@@ -1,0 +1,287 @@
+"""Vectorized kernels over *sorted partitions with contiguous key runs*.
+
+A "segmented array" is a 1-D numpy array whose rows are grouped into
+contiguous segments (one segment = one conversation, rows sorted by
+``(ts, turn_idx)`` inside).  All kernels here are O(n) numpy — no Python
+loop over rows and no loop over segments — so a partition of millions of
+rows is one vectorized pass.
+
+These kernels implement the transcript translation (SURVEY.md §7.1) of the
+reference's per-entry pooled statistics
+(featurebox/featurizers/extrastats.py:20-349 applied per record) as
+per-conversation windowed aggregates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# segment structure
+# ---------------------------------------------------------------------------
+
+
+def segment_ids(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Given per-row key codes (contiguous runs), return
+    ``(seg_start_of_row, row_in_seg, is_seg_start)``.
+
+    ``seg_start_of_row[i]`` = index of the first row of row i's segment;
+    ``row_in_seg[i]`` = 0-based position of row i inside its segment.
+    """
+    n = len(codes)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=bool)
+    is_start = np.empty(n, dtype=bool)
+    is_start[0] = True
+    is_start[1:] = codes[1:] != codes[:-1]
+    starts = np.where(is_start, np.arange(n, dtype=np.int64), 0)
+    seg_start = np.maximum.accumulate(starts)
+    row_in_seg = np.arange(n, dtype=np.int64) - seg_start
+    return seg_start, row_in_seg, is_start
+
+
+# ---------------------------------------------------------------------------
+# lag / lead / delta
+# ---------------------------------------------------------------------------
+
+
+def lag(values: np.ndarray, k: int, row_in_seg: np.ndarray, fill=np.nan) -> np.ndarray:
+    """``values`` shifted down by k within each segment; first k rows of each
+    segment get ``fill`` (analog of SQL LAG(col, k))."""
+    n = len(values)
+    out_dtype = np.float64 if not np.issubdtype(values.dtype, np.floating) else values.dtype
+    out = np.full(n, fill, dtype=out_dtype)
+    if n > k:
+        out[k:] = values[:-k]
+    out[row_in_seg < k] = fill
+    return out
+
+
+def lead(values: np.ndarray, k: int, row_in_seg: np.ndarray, seg_len_of_row: np.ndarray, fill=np.nan) -> np.ndarray:
+    """``values`` shifted up by k within each segment (SQL LEAD(col, k))."""
+    n = len(values)
+    out_dtype = np.float64 if not np.issubdtype(values.dtype, np.floating) else values.dtype
+    out = np.full(n, fill, dtype=out_dtype)
+    if n > k:
+        out[:-k] = values[k:]
+    out[row_in_seg >= seg_len_of_row - k] = fill
+    return out
+
+
+def seg_lengths(seg_start: np.ndarray, n: int) -> np.ndarray:
+    """Per-row segment length."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    # segment end of row = start of next segment (or n)
+    is_start = np.empty(n, dtype=bool)
+    is_start[0] = True
+    is_start[1:] = seg_start[1:] != seg_start[:-1]
+    start_positions = np.flatnonzero(is_start)
+    ends = np.append(start_positions[1:], n)
+    lens = ends - start_positions
+    return np.repeat(lens, lens)
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def sessionize(ts_us: np.ndarray, is_seg_start: np.ndarray, gap_us: int) -> np.ndarray:
+    """0-based session index per row within its segment: a new session starts
+    at the segment start or whenever ``ts - prev_ts > gap_us``.
+
+    Transcript analog of the reference's feature-group fold
+    (selection/mutibase.py:45-67) per SURVEY.md §7.1.
+    """
+    n = len(ts_us)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    gap = np.empty(n, dtype=np.int64)
+    gap[0] = gap_us + 1
+    gap[1:] = ts_us[1:] - ts_us[:-1]
+    new_sess = is_seg_start | (gap > gap_us)
+    sess_global = np.cumsum(new_sess)  # 1-based global session ordinal
+    # subtract the global ordinal at each row's segment start -> 0-based local
+    start_ordinal = np.where(is_seg_start, sess_global, 0)
+    start_ordinal = np.maximum.accumulate(start_ordinal)
+    return (sess_global - start_ordinal).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# rolling (trailing) windows — rows-based
+# ---------------------------------------------------------------------------
+
+
+def _window_bounds_rows(row_in_seg: np.ndarray, k: int) -> np.ndarray:
+    """Start index (inclusive) of the trailing k-row window for each row,
+    clamped to the segment start."""
+    idx = np.arange(len(row_in_seg), dtype=np.int64)
+    return np.maximum(idx - k + 1, idx - row_in_seg)
+
+
+def _window_bounds_time(
+    ts_us: np.ndarray,
+    seg_start: np.ndarray,
+    row_in_seg: np.ndarray,
+    delta_us: int,
+) -> np.ndarray:
+    """Start index of the trailing time window ``(ts - delta, ts]`` per row.
+
+    Vectorized via a per-segment monotone offset: within a segment ts is
+    non-decreasing, so we build a globally non-decreasing key by adding an
+    accumulated offset with gaps wider than ``delta_us``; then one global
+    ``searchsorted`` answers every row.
+    """
+    n = len(ts_us)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    is_start = row_in_seg == 0
+    base = ts_us[seg_start]  # ts at the row's own segment start
+    rel = ts_us - base  # >= 0, non-decreasing within segment
+    # per-segment offset: cumulative (previous segments' spans + delta + 1)
+    start_pos = np.flatnonzero(is_start)
+    ends = np.append(start_pos[1:], n)
+    span = rel[ends - 1]  # span of each segment
+    seg_offsets = np.zeros(len(start_pos), dtype=np.int64)
+    if len(start_pos) > 1:
+        seg_offsets[1:] = np.cumsum(span[:-1] + delta_us + 1)
+    off = np.repeat(seg_offsets, ends - start_pos)
+    mono = rel + off
+    starts = np.searchsorted(mono, mono - delta_us, side="left")
+    # clamp (defensive; gaps guarantee no cross-segment leakage)
+    return np.maximum(starts, seg_start)
+
+
+def _sums_over_bounds(values: np.ndarray, win_start: np.ndarray):
+    """Trailing-window count / sum / sumsq via prefix sums, null-aware
+    (NaN values excluded, as SQL aggregates ignore NULLs)."""
+    v = np.asarray(values, dtype=np.float64)
+    ok = ~np.isnan(v)
+    v0 = np.where(ok, v, 0.0)
+    idx = np.arange(len(v), dtype=np.int64)
+    c_cnt = np.concatenate([[0], np.cumsum(ok)])
+    c_sum = np.concatenate([[0.0], np.cumsum(v0)])
+    c_sq = np.concatenate([[0.0], np.cumsum(v0 * v0)])
+    end = idx + 1
+    cnt = c_cnt[end] - c_cnt[win_start]
+    s = c_sum[end] - c_sum[win_start]
+    sq = c_sq[end] - c_sq[win_start]
+    return cnt.astype(np.float64), s, sq
+
+
+def rolling_stats_rows(
+    values: np.ndarray,
+    k: int,
+    row_in_seg: np.ndarray,
+    *,
+    ddof: int = 1,
+) -> dict:
+    """Trailing k-row (including current) count/sum/mean/std per row, window
+    clamped at the segment start.  std uses ``ddof`` (1 = SQL STDDEV_SAMP);
+    windows with < ddof+1 non-null values get NaN std, empty windows NaN
+    mean/sum per SQL semantics (sum of empty = NULL)."""
+    win_start = _window_bounds_rows(row_in_seg, k)
+    return _finish_stats(values, win_start, ddof)
+
+
+def rolling_stats_time(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    delta_us: int,
+    seg_start: np.ndarray,
+    row_in_seg: np.ndarray,
+    *,
+    ddof: int = 1,
+) -> dict:
+    """Trailing time-window ``[ts - delta, ts]`` count/sum/mean/std."""
+    win_start = _window_bounds_time(ts_us, seg_start, row_in_seg, delta_us)
+    return _finish_stats(values, win_start, ddof)
+
+
+def _finish_stats(values: np.ndarray, win_start: np.ndarray, ddof: int) -> dict:
+    cnt, s, sq = _sums_over_bounds(values, win_start)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(cnt > 0, s / cnt, np.nan)
+        var = np.where(
+            cnt > ddof, (sq - cnt * mean * mean) / (cnt - ddof), np.nan
+        )
+        var = np.maximum(var, 0.0)  # numerical floor
+        std = np.sqrt(var)
+    return {
+        "count": cnt,
+        "sum": np.where(cnt > 0, s, np.nan),
+        "mean": mean,
+        "std": std,
+        "win_start": win_start,
+    }
+
+
+def rolling_min_max_rows(
+    values: np.ndarray, k: int, row_in_seg: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Trailing k-row min & max, segment-clamped, via sliding_window_view on a
+    NaN-padded copy (NaN-safe: nanmin/nanmax over the fixed window, then
+    positions whose window would cross the segment start fall back to a
+    prefix min/max from the segment start)."""
+    n = len(values)
+    v = np.asarray(values, dtype=np.float64)
+    if n == 0:
+        return v.copy(), v.copy()
+    pad = np.concatenate([np.full(k - 1, np.nan), v])
+    win = np.lib.stride_tricks.sliding_window_view(pad, k)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        mn = np.nanmin(win, axis=1)
+        mx = np.nanmax(win, axis=1)
+    # rows whose k-window would reach before the segment start: replace with
+    # expanding min/max from segment start (cummin/cummax reset per segment)
+    short = row_in_seg < (k - 1)
+    if short.any():
+        cmx = _seg_cummax(v, row_in_seg)
+        cmn = -_seg_cummax(-v, row_in_seg)
+        mn = np.where(short, cmn, mn)
+        mx = np.where(short, cmx, mx)
+    return mn, mx
+
+
+def _seg_cummax(v: np.ndarray, row_in_seg: np.ndarray) -> np.ndarray:
+    """Per-segment expanding max (NaN-skipping), O(n).
+
+    ``np.maximum.accumulate`` cannot reset at segment boundaries, so each
+    segment is lifted into its own disjoint band (``+ seg_ord * 4*big`` where
+    ``big`` bounds ``|v|``); one global accumulate then never crosses bands.
+    """
+    x = np.asarray(v, dtype=np.float64)
+    seg_ord = np.cumsum(row_in_seg == 0) - 1
+    finite = x[np.isfinite(x)]
+    big = (np.max(np.abs(finite)) * 2 + 1.0) if len(finite) else 1.0
+    shifted = np.where(np.isfinite(x), x, -big) + seg_ord * (4.0 * big)
+    acc = np.maximum.accumulate(shifted)
+    out = acc - seg_ord * (4.0 * big)
+    out[out <= -big] = np.nan  # no finite value seen yet in this segment
+    return out
+
+
+# ---------------------------------------------------------------------------
+# as-of forward fill (core of the as-of join merge)
+# ---------------------------------------------------------------------------
+
+
+def last_occurrence_index(
+    is_source: np.ndarray, seg_start: np.ndarray
+) -> np.ndarray:
+    """For each row, index of the most recent row at-or-before it (in the
+    sorted partition) where ``is_source`` is True, constrained to the same
+    segment; -1 if none.  This is the whole as-of merge once both sides are
+    union-sorted by (key, ts, side)."""
+    n = len(is_source)
+    idx = np.arange(n, dtype=np.int64)
+    src_pos = np.where(is_source, idx, -1)
+    last = np.maximum.accumulate(src_pos)
+    return np.where(last >= seg_start, last, -1)

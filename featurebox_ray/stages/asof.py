@@ -1,0 +1,134 @@
+"""Point-in-time-correct as-of join (backfill) — SURVEY.md §2.4 / §7.3 step 5.
+
+For every left row (turn) pick the latest right row (feature update) of the
+same ``key`` with ``right.ts <= left.ts`` (or ``< ts`` when ``strict``, the
+leakage-control flag).  Generalizes the reference's broadcast element-property
+lookup (featurebox/featurizers/compositionfeaturizer.py:79) along the time
+axis.
+
+Physical plan (no driver-side work, one shuffle):
+
+1. tag both sides (``__side``: right sorts before left at equal ts for
+   ``<=`` semantics, after it for strict ``<``), harmonize schemas with null
+   columns, ``union``;
+2. conv-hash ``partitioned_map`` sorted by ``(key, ts, __side, right value
+   cols)`` — every key's merged timeline is contiguous and ordered;
+3. one vectorized pass: ``last_occurrence_index`` (a segmented running
+   maximum over right-row positions) gives, for each left row, the most
+   recent visible right row; Arrow ``take`` with null indices materializes
+   the backfilled columns (null where no update precedes the turn — the
+   null-backfill path for keys absent from the right side).
+
+Ties at identical ``(key, ts)`` on the right side resolve to the row with the
+largest value tuple (deterministic; the oracle SQL replicates this with a
+ROW_NUMBER dedup).
+
+The monotonic-ts watermark invariant of the north rule holds by construction:
+within a partition the cursor (running max) never moves backward, and a
+partition holds every row of its keys, so no update outside the partition can
+be visible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import segments as seg
+from .partition import partitioned_map
+
+SIDE_COL = "__side"
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    right_cols: Sequence[str],
+    strict: bool = False,
+    num_partitions: int = 32,
+    strategy: str = "groupby",
+    order_col: Optional[str] = None,
+):
+    """As-of join two Datasets.  ``right_cols`` are the value columns pulled
+    from the right side (appended to every left row, null when no match)."""
+    right_cols = list(right_cols)
+    left_schema = left_ds.schema()
+    left_names = list(left_schema.names)
+    left_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    right_schema = right_ds.schema()
+    right_types = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+
+    overlap = [c for c in right_cols if c in left_names]
+    if overlap:
+        raise ValueError(f"right_cols {overlap} collide with left columns")
+
+    left_tag = 1
+    right_tag = 2 if strict else 0
+    all_names = left_names + right_cols
+    # common physical schema for union
+    types = dict(left_types)
+    types.update({c: right_types[c] for c in right_cols})
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        for c in right_cols:
+            t = t.append_column(c, pa.nulls(n, types[c]))
+        return t.append_column(SIDE_COL, pa.array(np.full(n, left_tag, np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for c in all_names:
+            if c in (key, ts_col):
+                cols[c] = t[c].cast(types[c])
+            elif c in right_cols:
+                cols[c] = t[c]
+            else:
+                cols[c] = pa.nulls(n, types[c])
+        out = pa.table(cols)
+        return out.append_column(SIDE_COL, pa.array(np.full(n, right_tag, np.int8)))
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right_ds.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = lt.union(rt)
+
+    def merge(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        codes = pc_.dictionary_encode(table[key].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False
+        )
+        side = table[SIDE_COL].combine_chunks().to_numpy()
+        seg_start, _, _ = seg.segment_ids(codes)
+        is_right = side == right_tag
+        last = seg.last_occurrence_index(is_right, seg_start)
+        left_mask = side == left_tag
+        left_pos = np.flatnonzero(left_mask)
+        src = last[left_pos]  # right row index per left row, -1 = none
+        idx = pa.array(
+            np.where(src >= 0, src, 0),
+            type=pa.int64(),
+            mask=(src < 0),
+        )
+        out = table.filter(pa.array(left_mask)).drop_columns(
+            [SIDE_COL] + right_cols
+        )
+        for c in right_cols:
+            out = out.append_column(c, table[c].take(idx))
+        return out
+
+    sort_keys = [key, ts_col, SIDE_COL] + right_cols
+    return partitioned_map(
+        unioned,
+        merge,
+        key=key,
+        sort_keys=sort_keys,
+        num_partitions=num_partitions,
+        strategy=strategy,
+    )

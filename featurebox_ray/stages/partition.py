@@ -1,0 +1,182 @@
+"""Keyed partitioning + within-partition sort — the engine's one load-bearing
+physical operator (SURVEY.md §7.3 step 3).
+
+Everything sequential (sessionize, lag/lead, rolling windows, as-of merge)
+runs *inside* a partition produced here: all rows of one key (conv_id) land in
+exactly one partition, and the kernel sees the whole partition sorted by
+``sort_keys`` so per-key runs are contiguous.
+
+Two physical strategies:
+
+* ``"groupby"`` (default, correctness-safe): add a deterministic bucket
+  column ``__part = crc32(key) % P`` with a vectorized unique-value hash,
+  then ``ds.groupby("__part").map_groups(kernel)``.  Ray Data guarantees a
+  whole group per kernel call; P buckets keep groups partition-sized (a few
+  hundred MB at scale) rather than per-conversation-sized, so the kernel
+  amortizes across thousands of conversations per call.
+* ``"hash"``: ``ds.repartition(num_blocks=P, keys=[key])`` under the
+  HASH_SHUFFLE strategy + ``map_batches(batch_size=None)``.  Avoids the sort
+  in groupby but requires whole-block batches.
+
+Scale notes (100 TB): P should be ~ total_bytes / 512 MB so each kernel call
+fits worker heap; mega-conversations (single key > partition cap) are
+detected by :func:`key_histogram` and can be salted — see
+``stages/window.py`` docstring for the state-carry contract.
+
+Reference analog: the reference is single-machine and has no shuffle; this
+replaces its implicit "whole DataFrame in memory" assumption
+(featurebox/featurizers/base.py:165-226).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+PART_COL = "__part"
+
+
+def _hash_chunk(arr: pa.Array, num_partitions: int) -> np.ndarray:
+    """Deterministic (process-independent) bucket for each element of a
+    string/int array, vectorized over dictionary-unique values."""
+    # Dictionary-encode so we hash each distinct key once per chunk.
+    if pa.types.is_dictionary(arr.type):
+        dict_arr = arr
+    else:
+        dict_arr = pc.dictionary_encode(arr)
+    uniques = dict_arr.dictionary.to_pylist()
+    lut = np.fromiter(
+        (zlib.crc32(str(u).encode()) % num_partitions for u in uniques),
+        dtype=np.int32,
+        count=len(uniques),
+    )
+    indices = dict_arr.indices.to_numpy(zero_copy_only=False)
+    return lut[indices]
+
+
+def with_partition_col(
+    ds,
+    key: str,
+    num_partitions: int,
+):
+    """Append ``__part = crc32(key) % P`` (vectorized, deterministic)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        combined = batch[key].combine_chunks() if batch[key].num_chunks > 1 else batch[key]
+        chunks = combined.chunks if isinstance(combined, pa.ChunkedArray) else [combined]
+        out = np.concatenate([_hash_chunk(c, num_partitions) for c in chunks]) if chunks else np.empty(0, np.int32)
+        return batch.append_column(PART_COL, pa.array(out, type=pa.int32()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sort_table(table: pa.Table, sort_keys: Sequence[str]) -> pa.Table:
+    """Stable sort of an Arrow table by the given columns (ascending)."""
+    idx = pc.sort_indices(
+        table, sort_keys=[(k, "ascending") for k in sort_keys]
+    )
+    return table.take(idx)
+
+
+def partitioned_map(
+    ds,
+    kernel: Union[Callable[[pa.Table], pa.Table], type],
+    *,
+    key: str,
+    sort_keys: Sequence[str],
+    num_partitions: int = 32,
+    strategy: str = "groupby",
+    drop_part_col: bool = True,
+    concurrency=None,
+    num_cpus: Optional[float] = None,
+    fn_constructor_args: Optional[tuple] = None,
+):
+    """Run ``kernel`` once per hash partition of ``key``, with the partition
+    sorted by ``sort_keys``.  ``kernel`` is a function ``pa.Table -> pa.Table``
+    or a callable class (actor pool; constructed once per actor with
+    ``fn_constructor_args``) whose ``__call__`` has the same signature.
+
+    Contract given to the kernel:
+      * all rows sharing a ``key`` value are present (never split);
+      * rows are sorted by ``sort_keys`` (stable), so per-key runs are
+        contiguous and internally ordered.
+    """
+    is_class = isinstance(kernel, type)
+
+    def make_wrapped(inner):
+        def wrapped(table: pa.Table) -> pa.Table:
+            t = sort_table(table, sort_keys)
+            out = inner(t)
+            if drop_part_col and PART_COL in out.column_names:
+                out = out.drop_columns([PART_COL])
+            return out
+
+        return wrapped
+
+    parted = with_partition_col(ds, key, num_partitions)
+
+    if strategy == "hash":
+        from ..context import enable_hash_shuffle
+
+        enable_hash_shuffle()
+        rep = parted.repartition(num_blocks=num_partitions, keys=[PART_COL])
+        if is_class:
+            class ActorKernel:
+                def __init__(self):
+                    args = fn_constructor_args or ()
+                    self._inner = make_wrapped(kernel(*args))
+
+                def __call__(self, table: pa.Table) -> pa.Table:
+                    return self._inner(table)
+
+            return rep.map_batches(
+                ActorKernel,
+                batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                concurrency=concurrency or 4,
+                num_cpus=num_cpus,
+            )
+        return rep.map_batches(
+            make_wrapped(kernel),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            num_cpus=num_cpus,
+        )
+
+    grouped = parted.groupby(PART_COL)
+    if is_class:
+        class ActorGroupKernel:
+            def __init__(self):
+                args = fn_constructor_args or ()
+                self._inner = make_wrapped(kernel(*args))
+
+            def __call__(self, table: pa.Table) -> pa.Table:
+                return self._inner(table)
+
+        return grouped.map_groups(
+            ActorGroupKernel,
+            batch_format="pyarrow",
+            concurrency=concurrency or 4,
+            num_cpus=num_cpus,
+        )
+    return grouped.map_groups(
+        make_wrapped(kernel),
+        batch_format="pyarrow",
+        num_cpus=num_cpus,
+    )
+
+
+def key_histogram(ds, key: str, top: int = 20):
+    """Small driver-side skew probe: rows per key, descending (for salting
+    decisions).  Uses a distributed count aggregate, only ``top`` rows come
+    back to the driver."""
+    from ray.data.aggregate import Count
+
+    agg = ds.groupby(key).aggregate(Count())
+    return agg.sort("count()", descending=True).limit(top).to_pandas()

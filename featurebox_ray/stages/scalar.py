@@ -1,0 +1,45 @@
+"""Stateless per-turn scalar features (SURVEY.md §7.2 minimum slice).
+
+Pure per-batch Arrow/numpy transforms — no shuffle, no state, runs as plain
+``map_batches`` tasks with ``batch_format="pyarrow"`` / ``zero_copy_batch``.
+
+Reference analog: the per-record map harness ``BaseFeaturizer.transform``
+(featurebox/featurizers/base.py:165-249) with its error policy, collapsed to
+vectorized kernels (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ROLE_CODES = {"user": 0, "assistant": 1, "system": 2, "tool": 3}
+
+
+def turn_scalar_features(batch: pa.Table) -> pa.Table:
+    """Append ``text_len``, ``n_tokens``, ``is_tool_turn``, ``role_code``."""
+    text = batch["text"]
+    text_len = pc.utf8_length(text)
+    # token count = number of whitespace-delimited tokens (empty -> 0)
+    n_tokens = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
+    # pc.split on empty string yields [""] (len 1); align with "0 tokens"
+    n_tokens = pc.if_else(pc.equal(text_len, 0), pa.scalar(0, pa.int32()), n_tokens)
+    is_tool = pc.is_valid(batch["tool"])
+    role_idx = pc.index_in(
+        batch["role"], value_set=pa.array(list(ROLE_CODES), pa.string())
+    )
+    out = batch.append_column("text_len", pc.cast(text_len, pa.int64()))
+    out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    out = out.append_column("is_tool_turn", is_tool)
+    out = out.append_column("role_code", pc.cast(role_idx, pa.int32()))
+    return out
+
+
+def add_scalar_features(ds, *, batch_size: int = 65536):
+    return ds.map_batches(
+        turn_scalar_features,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )

@@ -1,0 +1,126 @@
+"""Windowed / sessionize / lag-lead stage over sorted conv partitions
+(SURVEY.md §7.3 step 4).
+
+The kernel receives a whole hash partition (all rows of its conversations,
+sorted by ``(conv_id, ts, turn_idx)``) and appends feature columns in one
+vectorized pass using :mod:`featurebox_ray.functions.segments` — group
+boundaries are handled by masks, never by Python loops over rows or convs.
+
+Transcript translation (SURVEY.md §7.1) of the reference's pooled
+PropertyStats over an entry's element rows
+(featurebox/featurizers/compositionfeaturizer.py mix_functions +
+extrastats.py kernels) into trailing windows per conversation.
+
+Mega-conversation note: a conversation always lives entirely inside one
+partition, so windows never cross partition boundaries.  Skew is handled by
+partition-count sizing + the :func:`featurebox_ray.stages.partition.key_histogram`
+probe; a planted mega-conv (FIXTURES F1) is still one contiguous segment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import segments as seg
+from .partition import partitioned_map
+
+
+@dataclass
+class WindowSpec:
+    """Declarative window-feature request."""
+
+    key_col: str = "conv_id"
+    ts_col: str = "ts"
+    value_col: str = "text_len"
+    lags: Sequence[int] = (1, 2)
+    rolling_rows: Sequence[int] = (5,)
+    time_windows_s: Sequence[float] = (3600.0,)
+    session_gap_s: float = 1800.0
+    ddof: int = 1
+    add_delta_ts: bool = True
+    add_session: bool = True
+    add_turn_number: bool = True
+
+
+def _codes(conv: pa.ChunkedArray) -> np.ndarray:
+    """Integer codes for the (already sorted/contiguous) conv_id column."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(conv.combine_chunks())
+    return d.indices.to_numpy(zero_copy_only=False)
+
+
+def window_kernel(table: pa.Table, spec: WindowSpec) -> pa.Table:
+    """Append window features to one sorted partition (total over 0 rows —
+    empty partitions must still produce the full output schema)."""
+    codes = _codes(table[spec.key_col])
+    ts = table[spec.ts_col].combine_chunks().cast(pa.int64()).to_numpy()
+    v = table[spec.value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+    seg_start, row_in_seg, is_start = seg.segment_ids(codes)
+    seg_len = seg.seg_lengths(seg_start, len(codes))
+
+    cols: dict[str, np.ndarray] = {}
+    if spec.add_turn_number:
+        cols["turn_number"] = row_in_seg.astype(np.int64)
+    if spec.add_delta_ts:
+        prev_ts = seg.lag(ts.astype(np.float64), 1, row_in_seg)
+        cols["delta_ts_s"] = (ts - prev_ts) / 1e6  # NaN at conv start
+    if spec.add_session:
+        cols["session_id"] = seg.sessionize(
+            ts, is_start, int(spec.session_gap_s * 1e6)
+        )
+    for k in spec.lags:
+        cols[f"lag{k}_{spec.value_col}"] = seg.lag(v, k, row_in_seg)
+        cols[f"lead{k}_{spec.value_col}"] = seg.lead(v, k, row_in_seg, seg_len)
+    for k in spec.rolling_rows:
+        st = seg.rolling_stats_rows(v, k, row_in_seg, ddof=spec.ddof)
+        cols[f"roll{k}_count_{spec.value_col}"] = st["count"]
+        cols[f"roll{k}_sum_{spec.value_col}"] = st["sum"]
+        cols[f"roll{k}_mean_{spec.value_col}"] = st["mean"]
+        cols[f"roll{k}_std_{spec.value_col}"] = st["std"]
+        mn, mx = seg.rolling_min_max_rows(v, k, row_in_seg)
+        cols[f"roll{k}_min_{spec.value_col}"] = mn
+        cols[f"roll{k}_max_{spec.value_col}"] = mx
+    for w_s in spec.time_windows_s:
+        d_us = int(w_s * 1e6)
+        st = seg.rolling_stats_time(
+            v, ts, d_us, seg_start, row_in_seg, ddof=spec.ddof
+        )
+        tag = f"t{int(w_s)}s"
+        cols[f"win_{tag}_count_{spec.value_col}"] = st["count"]
+        cols[f"win_{tag}_sum_{spec.value_col}"] = st["sum"]
+        cols[f"win_{tag}_mean_{spec.value_col}"] = st["mean"]
+
+    out = table
+    for name, arr in cols.items():
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def add_window_features(
+    ds,
+    spec: Optional[WindowSpec] = None,
+    *,
+    order_col: str = "turn_idx",
+    num_partitions: int = 32,
+    strategy: str = "groupby",
+):
+    """conv-hash repartition + within-partition sort + window kernel."""
+    spec = spec or WindowSpec()
+    key, ts_col = spec.key_col, spec.ts_col
+
+    def kernel(t: pa.Table) -> pa.Table:
+        return window_kernel(t, spec)
+
+    return partitioned_map(
+        ds,
+        kernel,
+        key=key,
+        sort_keys=[key, ts_col, order_col],
+        num_partitions=num_partitions,
+        strategy=strategy,
+    )

@@ -1,0 +1,105 @@
+"""Unit tests for the segmented numpy kernels (no Ray)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from featurebox_ray.functions import segments as seg
+
+
+def _mk(codes):
+    codes = np.asarray(codes)
+    return seg.segment_ids(codes)
+
+
+def test_segment_ids():
+    seg_start, row_in_seg, is_start = _mk([0, 0, 0, 1, 1, 2])
+    assert seg_start.tolist() == [0, 0, 0, 3, 3, 5]
+    assert row_in_seg.tolist() == [0, 1, 2, 0, 1, 0]
+    assert is_start.tolist() == [True, False, False, True, False, True]
+
+
+def test_lag_lead():
+    codes = np.array([0, 0, 0, 1, 1])
+    v = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    seg_start, row_in_seg, _ = _mk(codes)
+    seg_len = seg.seg_lengths(seg_start, len(codes))
+    lag1 = seg.lag(v, 1, row_in_seg)
+    assert np.allclose(lag1[1:3], [1, 2]) and np.isnan(lag1[0]) and np.isnan(lag1[3])
+    lead1 = seg.lead(v, 1, row_in_seg, seg_len)
+    assert np.allclose(lead1[[0, 1, 3]], [2, 3, 5])
+    assert np.isnan(lead1[2]) and np.isnan(lead1[4])
+
+
+def test_sessionize():
+    ts = np.array([0, 10, 2000, 2005, 0, 5], dtype=np.int64)
+    codes = np.array([0, 0, 0, 0, 1, 1])
+    _, _, is_start = _mk(codes)
+    s = seg.sessionize(ts, is_start, gap_us=1000)
+    assert s.tolist() == [0, 0, 1, 1, 0, 0]
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 7])
+def test_rolling_rows_vs_pandas(k):
+    rng = np.random.default_rng(0)
+    codes = np.sort(rng.integers(0, 20, 500))
+    v = rng.normal(size=500)
+    v[rng.random(500) < 0.05] = np.nan
+    seg_start, row_in_seg, _ = _mk(codes)
+    st = seg.rolling_stats_rows(v, k, row_in_seg)
+    s = pd.Series(v)
+    g = pd.Series(codes)
+    r = s.groupby(g).rolling(k, min_periods=1)
+    assert np.allclose(st["count"], r.count().values, equal_nan=True)
+    assert np.allclose(st["sum"], r.sum().values, equal_nan=True)
+    assert np.allclose(st["mean"], r.mean().values, equal_nan=True)
+    assert np.allclose(st["std"], s.groupby(g).rolling(k, min_periods=1).std().values, equal_nan=True)
+    mn, mx = seg.rolling_min_max_rows(v, k, row_in_seg)
+    assert np.allclose(mn, r.min().values, equal_nan=True)
+    assert np.allclose(mx, r.max().values, equal_nan=True)
+
+
+def test_rolling_time_vs_pandas():
+    rng = np.random.default_rng(1)
+    n = 400
+    codes = np.sort(rng.integers(0, 10, n))
+    ts = np.zeros(n, dtype=np.int64)
+    # per-segment sorted ts
+    df = pd.DataFrame({"c": codes})
+    ts = (
+        df.groupby("c").cumcount().values * 100
+        + rng.integers(0, 80, n).cumsum() // 50
+    ).astype(np.int64)
+    # ensure sorted within segment
+    ts = pd.Series(ts).groupby(codes).cummax().values.astype(np.int64)
+    v = rng.normal(size=n)
+    seg_start, row_in_seg, _ = _mk(codes)
+    delta = 250
+    st = seg.rolling_stats_time(v, ts, delta, seg_start, row_in_seg)
+    # pandas oracle
+    out_cnt = np.empty(n)
+    out_sum = np.empty(n)
+    for c in np.unique(codes):
+        m = codes == c
+        tt, vv = ts[m], v[m]
+        for j, (t0, _) in enumerate(zip(tt, vv)):
+            w = vv[(tt >= t0 - delta) & (tt <= t0)]
+            out_cnt[m.nonzero()[0][j]] = len(w)
+            out_sum[m.nonzero()[0][j]] = w.sum()
+    assert np.allclose(st["count"], out_cnt)
+    assert np.allclose(st["sum"], out_sum)
+
+
+def test_last_occurrence_index():
+    #            r  l  l  r  l | r  l
+    side = np.array([0, 1, 1, 0, 1, 0, 1])
+    is_src = side == 0
+    codes = np.array([0, 0, 0, 0, 0, 1, 1])
+    seg_start, _, _ = _mk(codes)
+    last = seg.last_occurrence_index(is_src, seg_start)
+    assert last.tolist() == [0, 0, 0, 3, 3, 5, 5]
+    # no source yet in segment -> -1
+    side2 = np.array([1, 0, 1])
+    codes2 = np.array([0, 0, 0])
+    seg_start2, _, _ = _mk(codes2)
+    assert seg.last_occurrence_index(side2 == 0, seg_start2).tolist() == [-1, 1, 1]
