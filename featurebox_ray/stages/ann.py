@@ -1,0 +1,175 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* :func:`brute_force_topk` — baseline: the query matrix is broadcast once
+  (``ray.put``), every batch does one numpy matmul against it, per-batch
+  local top-k, then a tiny global top-k reduce per query.  This streams: no
+  stage ever materializes the corpus.
+* :func:`ivf_topk` — scale path: k-means-ish coarse quantizer (trained on a
+  driver-side sample), corpus bucketed by nearest centroid (groupby), query
+  probes only the ``nprobe`` closest buckets.
+
+No reference analog; part of the engine's large-scale training-data surface.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+class _BatchTopK:
+    """Actor: holds the normalized query matrix; per batch emits local
+    top-k (query_id, vec_id, cosine) triples."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        import ray
+
+        Q = queries_ref if isinstance(queries_ref, np.ndarray) else ray.get(queries_ref)
+        self.Q = _normalize(np.asarray(Q, dtype=np.float64))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({"query_id": pa.array([], pa.int32()),
+                          self.id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if n == 0:
+            return empty
+        V = _normalize(np.stack(batch[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        sims = self.Q @ V.T  # (q, n)
+        k = min(self.k, n)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qidx = np.repeat(np.arange(self.Q.shape[0], dtype=np.int32), k)
+        vidx = part.ravel()
+        return pa.table({
+            "query_id": pa.array(qidx),
+            self.id_col: pa.array(ids[vidx]),
+            "cosine": pa.array(sims[np.repeat(np.arange(self.Q.shape[0]), k), vidx]),
+        })
+
+
+def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     batch_size: int = 4096, concurrency=(2, 8)):
+    """Exact cosine top-k per query.  Returns Dataset
+    ``(query_id, vec_id, cosine)`` with exactly k rows per query (ties by
+    larger cosine; deterministic final sort on (cosine desc, vec_id))."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(qref, k, vec_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        df = df.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 11) -> np.ndarray:
+    """Tiny numpy k-means on a driver-side sample (coarse quantizer)."""
+    rng = np.random.default_rng(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_size: int = 10000, seed: int = 11):
+    """IVF-style ANN: bucket corpus by nearest centroid; each query scans
+    only its ``nprobe`` closest buckets.  Approximate (recall < 1)."""
+    import ray
+
+    sample = np.stack(
+        [r[vec_col] for r in ds.limit(sample_size).take(sample_size)]
+    )
+    C = train_centroids(sample, n_centroids, seed=seed)
+    cref = ray.put(C)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    # bucket -> queries probing it
+    bucket_queries = {}
+    for qi in range(len(Q)):
+        for b in probe[qi]:
+            bucket_queries.setdefault(int(b), []).append(qi)
+    bq_ref = ray.put((Q, bucket_queries))
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("__cent", pa.array([], pa.int32()))
+            V = _normalize(np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+            a = np.argmax(V @ self.C.T, axis=1).astype(np.int32)
+            return batch.append_column("__cent", pa.array(a))
+
+    assigned = ds.map_batches(Assign, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4))
+
+    def search_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int32()),
+                          id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if group.num_rows == 0:
+            return empty
+        Qm, bq = ray.get(bq_ref)
+        cent = int(group["__cent"][0].as_py())
+        qids = bq.get(cent, [])
+        if not qids:
+            return empty
+        V = _normalize(np.stack(group[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        sims = Qm[qids] @ V.T
+        kk = min(k, len(ids))
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q = np.repeat(np.asarray(qids, np.int32), kk)
+        vidx = part.ravel()
+        return pa.table({
+            "query_id": pa.array(out_q),
+            id_col: pa.array(ids[vidx]),
+            "cosine": pa.array(sims[np.repeat(np.arange(len(qids)), kk), vidx]),
+        })
+
+    local = assigned.groupby("__cent").map_groups(search_bucket, batch_format="pyarrow")
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        df = df.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")

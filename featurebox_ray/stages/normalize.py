@@ -1,0 +1,96 @@
+"""Two-pass magnitude normalization — distributed re-expression of the
+reference's ``MagnitudeTransformer`` (featurebox/symbol/preprocess.py:25-170):
+fit = global column means → per-column order-of-magnitude scale (group-aware:
+grouped columns share the mean of their means), transform = divide.
+
+Pass 1 is a partial+final aggregate (``ds.aggregate(Mean(...))`` — each block
+contributes partial sums, driver combines: SURVEY.md §2.5); pass 2 is a
+stateless vectorized ``map_batches`` divide with the tiny scale vector
+captured in the task closure (broadcast once, not per batch).
+
+Exact reference semantics preserved: float32 cast of means, scale =
+10^round-to-magnitude of |mean| (see ``_scale``), ``tolerate`` band -> 1,
+group fold via mean-of-means, ``standard`` divisor, keep/apply masks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+
+def _scale(mean_val: float) -> float:
+    """Order-of-magnitude scale of a column mean (reference ``_scale``,
+    preprocess.py:14-22): 10**floor(log10(|m|)) with 0/NaN -> 1."""
+    if mean_val == 0 or not math.isfinite(mean_val):
+        return 1.0
+    return 10.0 ** math.floor(math.log10(abs(mean_val)))
+
+
+class MagnitudeNormalizer:
+    def __init__(
+        self,
+        columns: Sequence[str],
+        *,
+        standard: float = 1.0,
+        tolerate: int = 0,
+        group: Union[int, List[List[int]], None] = None,
+        keep: Optional[Sequence[int]] = None,
+    ):
+        self.columns = list(columns)
+        self.standard = standard
+        self.tolerate = tolerate
+        self.group = group
+        self.keep = keep
+        self.scale: Optional[np.ndarray] = None
+
+    def fit(self, ds) -> "MagnitudeNormalizer":
+        from ray.data.aggregate import Mean
+
+        aggs = [Mean(c) for c in self.columns]
+        res = ds.aggregate(*aggs)
+        means = np.array(
+            [res[f"mean({c})"] for c in self.columns], dtype=np.float32
+        )
+        n = len(means)
+        group = self.group
+        if group:
+            if isinstance(group, int):
+                assert n > group > 1
+                idx = list(range(n))
+                group = [idx[i:i + group] for i in range(0, n, group)]
+            for g in group:
+                if len(g) > 0:
+                    means[g] = np.mean(means[g])
+        scale = np.array([_scale(float(m)) for m in means])
+        if self.tolerate:
+            lo, hi = 10.0 ** (-self.tolerate), 10.0 ** self.tolerate
+            scale = np.array([1.0 if lo <= s <= hi else s for s in scale])
+        scale = scale.astype(np.float32) / self.standard
+        if self.keep is not None:
+            for i in self.keep:
+                scale[i] = 1.0
+        self.scale = scale
+        return self
+
+    def transform(self, ds):
+        assert self.scale is not None, "fit first"
+        cols = self.columns
+        scale = self.scale.astype(np.float64)
+
+        def divide(batch: pa.Table) -> pa.Table:
+            for c, s in zip(cols, scale):
+                i = batch.column_names.index(c)
+                v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                batch = batch.set_column(i, c, pa.array(v / s))
+            return batch
+
+        return ds.map_batches(
+            divide, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def fit_transform(self, ds):
+        return self.fit(ds).transform(ds)
