@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-shaped feature pipeline on
+sf0.001; ``queries()``/``oracle_sql()`` expose one entry per implemented
+operator family (SURVEY.md §2) with DuckDB-checkable SQL where the op is
+SQL-expressible (rows-only checks otherwise).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +14,305 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+# Session gap used by sessionize queries (seconds)
+GAP_S = 1800
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: events → user-hash partition + ts sort → sessionize +
+    lag/lead + rolling + time windows → as-of backfill of latest error."""
+    import ray
+
+    from featurebox_ray.pipelines.events_features import event_features
+    from featurebox_ray.pipelines.events_queries import asof_backfill
+
+    ds = ray.data.read_parquet(f"{SF0001}/events.parquet")
+    feats = event_features(ds, num_partitions=8)
+    backfill = asof_backfill(SF0001)
+    joined = feats  # window features are the primary output
+    _ = backfill.count()  # exercise the as-of path too
+    return joined
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from featurebox_ray.pipelines import events_queries as eq
+    from featurebox_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _dedup_pairs_minhash(sf_dir: str):
+        import ray
+
+        from featurebox_ray.stages.dedup import minhash_lsh_dedup
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
+
+    def _dedup_pairs_simhash(sf_dir: str):
+        import ray
+
+        from featurebox_ray.stages.dedup import simhash_dedup
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return simhash_dedup(docs, max_hamming=3)
+
+    def _embedding_neardup(sf_dir: str):
+        import ray
+
+        from featurebox_ray.stages.dedup import embedding_neardup
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_neardup(emb, threshold=0.9)
+
+    def _ivf_ann(sf_dir: str):
+        import numpy as np
+        import ray
+
+        from featurebox_ray.stages.ann import ivf_topk
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        q = [r["embedding"] for r in emb.filter(expr="vec_id < 3").take(3)]
+        return ivf_topk(emb, np.stack(q), k=10, n_centroids=8, nprobe=4)
+
+    def _text_analysis(sf_dir: str):
+        import ray
+
+        from featurebox_ray.stages.text import add_text_features
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        out = add_text_features(docs, concurrency=(1, 4))
+        return out.select_columns(
+            ["doc_id", "ta_lang", "ta_quality", "ta_fingerprint",
+             "ta_stopword_ratio", "ta_n_bpe_tokens"]
+        )
+
+    def _multimodal(sf_dir: str):
+        import ray
+
+        from featurebox_ray.stages.multimodal import (
+            add_image_features, make_fake_media_table)
+
+        ds = ray.data.from_arrow(make_fake_media_table(256))
+        return add_image_features(ds, batch_size=32).select_columns(
+            ["media_id", "img_mean_r", "img_std_g", "img_entropy",
+             "img_decoder_is_fake"]
+        )
+
+    return {
+        # relational coverage (sources, filter/project, aggregate, join,
+        # top-k, distinct, union)
+        "q01_pricing_summary": rel.pricing_summary,
+        "q02_filter_project": rel.filter_project_revenue,
+        "q03_top_customers": rel.top_customers,
+        "q04_priority_revenue": rel.order_priority_revenue,
+        "q05_distinct_users": rel.distinct_users_per_type,
+        "q15_group_stats": rel.group_stats_kernels,
+        "q16_corr_matrix": rel.corr_matrix,
+        "q19_top_docs": rel.top_docs_by_len,
+        "q21_union": rel.union_all_keys,
+        # transcript-engine operators over events
+        "q06_sessionize": eq.sessionized,
+        "q07_lag_delta": eq.lag_delta,
+        "q08_rolling_window": eq.rolling_window,
+        "q09_time_window": eq.time_window,
+        "q10_asof_backfill": eq.asof_backfill,
+        "q11_session_stats": eq.session_aggregate,
+        "q12_normalize": eq.normalized_value,
+        "q13_poly": eq.poly_lineitem,
+        "q14_broadcast_lookup": eq.event_type_lookup,
+        # documents / embeddings operators
+        "q17_exact_dedup": eq.exact_dedup_docs,
+        "q18_token_counts": eq.token_counts,
+        "q20_ann_topk": eq.ann_topk,
+        # non-SQL-expressible (rows-only checks)
+        "q22_minhash_neardup": _dedup_pairs_minhash,
+        "q23_simhash_neardup": _dedup_pairs_simhash,
+        "q24_embedding_neardup": _embedding_neardup,
+        "q25_ivf_ann": _ivf_ann,
+        "q26_text_analysis": _text_analysis,
+        "q27_multimodal": _multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sess_cte = f"""
+        WITH d AS (
+          SELECT event_id, user_id, ts, value,
+                 epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)) AS gap
+          FROM events),
+        s AS (
+          SELECT event_id, user_id, ts, value,
+                 CAST(SUM(CASE WHEN gap IS NULL OR gap > {GAP_S} THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+          FROM d)
     """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 6) AS revenue
+            FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+        """,
+        "q03_top_customers": """
+            SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent, any_value(c_name) AS c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey
+            ORDER BY total_spent DESC, o_custkey LIMIT 10
+        """,
+        "q04_priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q05_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "q15_group_stats": """
+            WITH g AS (SELECT event_type, avg(value) AS m, count(*) AS n FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   any_value(g.n) AS n,
+                   round(any_value(g.m), 6) AS v_mean,
+                   round(sqrt(sum((e.value - g.m)*(e.value - g.m)) / any_value(g.n)), 6) AS v_std_pop,
+                   round(avg(abs(e.value - g.m)), 6) AS v_avg_dev,
+                   round(CASE WHEN abs(sum(pow(e.value - g.m, 3)) / any_value(g.n)) < 1e-8 THEN 0
+                         ELSE (sum(pow(e.value - g.m, 3)) / any_value(g.n))
+                              / pow(sum((e.value - g.m)*(e.value - g.m)) / any_value(g.n), 1.5) END, 6) AS v_skew,
+                   round(CASE WHEN abs(sum(pow(e.value - g.m, 4)) / any_value(g.n)) < 1e-8 THEN 0
+                         ELSE (sum(pow(e.value - g.m, 4)) / any_value(g.n))
+                              / pow(sum((e.value - g.m)*(e.value - g.m)) / any_value(g.n), 2) END, 6) AS v_kurt,
+                   round(min(e.value), 6) AS v_min,
+                   round(max(e.value), 6) AS v_max,
+                   round(max(e.value) - min(e.value), 6) AS v_range
+            FROM events e JOIN g ON e.event_type = g.event_type
+            GROUP BY e.event_type
+        """,
+        "q16_corr_matrix": """
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+            UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+        """,
+        "q19_top_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "q21_union": """
+            SELECT 'customer' AS kind, CAST(c_custkey AS BIGINT) AS key,
+                   round(c_acctbal, 6) AS acctbal FROM customer
+            UNION ALL
+            SELECT 'supplier', CAST(s_suppkey AS BIGINT), round(s_acctbal, 6)
+            FROM supplier
+        """,
+        "q06_sessionize": sess_cte + "SELECT event_id, session_id FROM s",
+        "q07_lag_delta": """
+            SELECT event_id,
+                   round(lag(value) OVER w, 6) AS lag1_value,
+                   round(epoch(ts - lag(ts) OVER w), 6) AS delta_ts_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q08_rolling_window": """
+            SELECT event_id,
+                   CAST(count(value) OVER w AS BIGINT) AS roll_count,
+                   round(sum(value) OVER w, 6) AS roll_sum,
+                   round(avg(value) OVER w, 6) AS roll_mean,
+                   round(stddev_samp(value) OVER w, 6) AS roll_std,
+                   round(min(value) OVER w, 6) AS roll_min,
+                   round(max(value) OVER w, 6) AS roll_max
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "q09_time_window": """
+            SELECT event_id,
+                   CAST(count(value) OVER w AS BIGINT) AS w_count,
+                   round(sum(value) OVER w, 6) AS w_sum,
+                   round(avg(value) OVER w, 6) AS w_mean
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                     AND CURRENT ROW)
+        """,
+        "q10_asof_backfill": """
+            SELECT e.event_id, round(f.err_value, 6) AS err_value
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS err_value
+                FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+            ) f ON e.user_id = f.user_id AND e.ts >= f.ts
+        """,
+        "q11_session_stats": sess_cte + """
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   round(epoch(max(ts) - min(ts)), 6) AS duration_s,
+                   round(avg(value), 6) AS mean_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "q12_normalize": """
+            SELECT event_id,
+                   round(value / pow(10, floor(log10(abs(
+                       (SELECT avg(value) FROM events))))), 6) AS value_scaled
+            FROM events
+        """,
+        "q13_poly": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity, 6) AS q1,
+                   round(l_quantity * l_quantity, 6) AS q2,
+                   round(l_discount, 6) AS d1,
+                   round(l_discount * l_discount, 6) AS d2,
+                   round(l_quantity * l_discount, 6) AS qd,
+                   round(l_quantity * l_discount * l_discount, 6) AS qd2,
+                   round(l_quantity * l_quantity * l_discount, 6) AS q2d,
+                   round(l_quantity * l_quantity * l_discount * l_discount, 6) AS q2d2
+            FROM lineitem
+        """,
+        "q14_broadcast_lookup": """
+            SELECT e.event_id,
+                   round(p.p0, 6) AS et_p0, round(p.p1, 6) AS et_p1,
+                   round(p.p2, 6) AS et_p2, round(p.p3, 6) AS et_p3
+            FROM events e LEFT JOIN (VALUES
+                ('click', 1.0, 1.0, 1.0, 10.0),
+                ('view', 2.0, 4.0, 0.5, 9.0),
+                ('purchase', 3.0, 9.0, 0.333333, 8.0),
+                ('signup', 4.0, 16.0, 0.25, 7.0),
+                ('error', 5.0, 25.0, 0.2, 6.0)
+            ) AS p(key, p0, p1, p2, p3) ON e.event_type = p.key
+        """,
+        "q17_exact_dedup": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "q18_token_counts": """
+            SELECT doc_id, length(text) AS ta_n_chars,
+                   len(regexp_extract_all(text, '\\S+')) AS ta_n_tokens
+            FROM documents
+        """,
+        "q20_ann_topk": """
+            WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3)
+            SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+                   CAST(e.vec_id AS BIGINT) AS vec_id,
+                   round(CAST(list_cosine_similarity(q.embedding, e.embedding)
+                              AS DOUBLE), 4) AS cosine
+            FROM qs q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                         e.vec_id) <= 5
+        """,
+    }

@@ -1,0 +1,287 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables —
+sources/sinks, filters, projections, aggregations, joins, top-k, distinct
+(SURVEY.md §2.1/2.2/2.4/2.5/2.7/2.8) expressed Ray-Data-first.
+
+Conventions:
+* reads prune columns at the source (``read_parquet(columns=[...])``);
+* small dimension sides broadcast (in-task lookup), large joins use
+  ``Dataset.join`` under the hash-shuffle strategy;
+* float aggregate outputs are rounded (default 6 dp) so DuckDB-oracle
+  value-hash comparison is robust to summation order.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..context import enable_hash_shuffle
+
+
+def read(sf_dir: str, table: str, columns: Optional[List[str]] = None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(ds, cols: Sequence[str], nd: int = 6):
+    cols = list(cols)
+
+    def r(batch: pa.Table) -> pa.Table:
+        # numpy rounding: pyarrow's pc.round returns a different nearest
+        # double than numpy/DuckDB at large magnitudes (breaks value-hash)
+        for c in cols:
+            i = batch.column_names.index(c)
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            batch = batch.set_column(i, c, pa.array(np.round(v, nd)))
+        return batch
+
+    return ds.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rename(ds, mapping: dict):
+    def r(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names]
+        )
+
+    return ds.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-style groupby aggregate with derived columns, partial
+    aggregation inside blocks (Ray's hash aggregate) before the shuffle."""
+    import ray
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+               "l_discount", "l_tax"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False)
+        batch = batch.append_column("disc_price", pa.array(price * (1 - disc)))
+        return batch.append_column("charge", pa.array(price * (1 - disc) * (1 + tax)))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity"), Sum("l_extendedprice"), Sum("disc_price"),
+        Sum("charge"), Mean("l_quantity"), Mean("l_extendedprice"),
+        Mean("l_discount"), Count(),
+    )
+    agg = rename(agg, {
+        "sum(l_quantity)": "sum_qty",
+        "sum(l_extendedprice)": "sum_base_price",
+        "sum(disc_price)": "sum_disc_price",
+        "sum(charge)": "sum_charge",
+        "mean(l_quantity)": "avg_qty",
+        "mean(l_extendedprice)": "avg_price",
+        "mean(l_discount)": "avg_disc",
+        "count()": "count_order",
+    })
+    return _round_cols(agg, ["sum_qty", "sum_base_price", "sum_disc_price",
+                             "sum_charge", "avg_qty", "avg_price", "avg_disc"], 4)
+
+
+def filter_project_revenue(sf_dir: str, min_ship: str = "1995-01-01"):
+    """Predicate pushdown-style filter + derived projection."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+               "l_shipdate"])
+    cut = datetime.date.fromisoformat(min_ship)
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch["l_shipdate"], pa.scalar(cut))
+        batch = batch.filter(mask)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        out = batch.select(["l_orderkey", "l_linenumber"])
+        return out.append_column("revenue", pa.array(np.round(price * (1 - disc), 6)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """orders ⋈ customer (broadcast small side) → per-customer revenue →
+    global top-k.  customer is small at every sandbox SF → broadcast lookup
+    instead of a shuffle join; at 100 TB swap for Dataset.join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(Sum("o_totalprice"))
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"]).to_arrow_refs()
+    cust_tbl = pa.concat_tables([ray.get(r) for r in cust])
+    names = dict(zip(cust_tbl["c_custkey"].to_pylist(),
+                     cust_tbl["c_name"].to_pylist()))
+    names_ref = ray.put(names)
+
+    class AttachName:
+        def __init__(self):
+            self.names = ray.get(names_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_pylist()
+            return batch.append_column(
+                "c_name", pa.array([self.names.get(key) for key in keys], pa.string())
+            )
+
+    named = per_cust.map_batches(AttachName, batch_format="pyarrow",
+                                 concurrency=(1, 2))
+    named = rename(named, {"sum(o_totalprice)": "total_spent"})
+    named = _round_cols(named, ["total_spent"], 4)
+    return named.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k)
+
+
+def order_priority_revenue(sf_dir: str):
+    """orders ⋈ lineitem (co-partitioned hash join, both sides large) →
+    revenue by priority."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import hash_join
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        out = batch.select(["l_orderkey"])
+        return out.append_column("revenue", pa.array(price * (1 - disc)))
+
+    li = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=16)
+    agg = joined.groupby("o_orderpriority").aggregate(Sum("revenue"))
+    agg = rename(agg, {"sum(revenue)": "total_revenue"})
+    return _round_cols(agg, ["total_revenue"], 4)
+
+
+def distinct_users_per_type(sf_dir: str):
+    """count(distinct user_id) per event_type: two-level hash aggregate
+    (distinct pairs first, then count) — no driver-side set building."""
+    from ray.data.aggregate import Count
+
+    ev = read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ev.groupby(["event_type", "user_id"]).aggregate(Count())
+    out = pairs.groupby("event_type").aggregate(Count())
+    out = rename(out, {"count()": "n_users"})
+
+    def fix(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_type", "n_users"])
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def group_stats_kernels(sf_dir: str):
+    """Per-event_type pooled stats with reference PropertyStats semantics
+    (population std, reference skew/kurt edge rules) — the §2.6 kernel
+    library applied group-wise."""
+    from ..functions import propstats as ps
+
+    ev = read(sf_dir, "events", ["event_type", "value"])
+
+    def stats(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        X = v[None, :]
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()]),
+            "n": pa.array([len(v)], pa.int64()),
+            "v_mean": pa.array(np.round(ps.mean(X), 6)),
+            "v_std_pop": pa.array(np.round(ps.std_dev(X), 6)),
+            "v_avg_dev": pa.array(np.round(ps.avg_dev(X), 6)),
+            "v_skew": pa.array(np.round(ps.skewness(X), 6)),
+            "v_kurt": pa.array(np.round(ps.kurtosis(X), 6)),
+            "v_min": pa.array(np.round(ps.minimum(X), 6)),
+            "v_max": pa.array(np.round(ps.maximum(X), 6)),
+            "v_range": pa.array(np.round(ps.prange(X), 6)),
+        })
+
+    return ev.groupby("event_type").map_groups(stats, batch_format="pyarrow")
+
+
+def corr_matrix(sf_dir: str, cols: Sequence[str] = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")):
+    """Pairwise Pearson correlations via one distributed pass of partial
+    sums (n, Σx, Σxy) combined on the driver — SURVEY.md §2.5 corr
+    (selection/corr.py:58-73) without materializing rows."""
+    import ray
+
+    cols = list(cols)
+    ds = read(sf_dir, "lineitem", cols)
+    p = len(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = np.column_stack([
+            batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols
+        ])
+        n = len(M)
+        s = M.sum(axis=0)
+        xy = M.T @ M
+        return pa.table({
+            "n": pa.array([float(n)]),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64(), p)),
+            "xy": pa.array([xy.ravel().tolist()], pa.list_(pa.float64(), p * p)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    xy = np.sum([np.asarray(r["xy"]).reshape(p, p) for r in parts], axis=0)
+    mean = s / n
+    cov = xy / n - np.outer(mean, mean)
+    std = np.sqrt(np.diag(cov))
+    corr = cov / np.outer(std, std)
+    rows = []
+    for i in range(p):
+        for j in range(i + 1, p):
+            rows.append({"col_a": cols[i], "col_b": cols[j],
+                         "corr": round(float(corr[i, j]), 6)})
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
+def top_docs_by_len(sf_dir: str, k: int = 20):
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+def union_all_keys(sf_dir: str):
+    """Union: customer + supplier keys as one (kind, key, acctbal) table."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    supp = read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def c_side(batch: pa.Table) -> pa.Table:
+        v = batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "kind": pa.array(["customer"] * batch.num_rows),
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "acctbal": pa.array(np.round(v, 6)),
+        })
+
+    def s_side(batch: pa.Table) -> pa.Table:
+        v = batch["s_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "kind": pa.array(["supplier"] * batch.num_rows),
+            "key": batch["s_suppkey"].cast(pa.int64()),
+            "acctbal": pa.array(np.round(v, 6)),
+        })
+
+    return cust.map_batches(c_side, batch_format="pyarrow").union(
+        supp.map_batches(s_side, batch_format="pyarrow")
+    )

@@ -1,0 +1,126 @@
+"""Per-partition checkpointed output with lineage manifests + resume
+(SURVEY.md §7.3 step 6; north_rule resumability requirement).
+
+Layout under ``out_dir``::
+
+    part-00017.parquet          one file per hash partition
+    _manifest/part-00017.json   {partition, rows, feature_hash, input, schema}
+
+A run writes each partition's parquet + manifest atomically-enough (parquet
+first, manifest last — a partition without a manifest is re-run).  Resume
+lists valid manifests and *prunes already-finished partitions at the read*
+(``__part`` filter before the shuffle), so a restart only pays for missing
+partitions.  Outputs are byte-stable given (input, partition id) because
+every kernel is deterministic and partition contents don't depend on
+scheduling (hash bucketing + full sort).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages.partition import PART_COL, sort_table, with_partition_col
+
+
+def _feature_hash(table: pa.Table) -> str:
+    """Order-insensitive content hash of a partition's output."""
+    import pandas as pd
+
+    df = table.to_pandas()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    h = pd.util.hash_pandas_object(df, index=False).values
+    return hashlib.sha1(h.tobytes()).hexdigest()
+
+
+def finished_partitions(out_dir: str) -> set:
+    mdir = os.path.join(out_dir, "_manifest")
+    done = set()
+    if not os.path.isdir(mdir):
+        return done
+    for f in os.listdir(mdir):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            pth = os.path.join(out_dir, m["file"])
+            if os.path.exists(pth) and pq.read_metadata(pth).num_rows == m["rows"]:
+                done.add(int(m["partition"]))
+        except Exception:
+            continue
+    return done
+
+
+def run_partitioned_checkpointed(
+    ds,
+    kernel: Callable[[pa.Table], pa.Table],
+    out_dir: str,
+    *,
+    key: str,
+    sort_keys: Sequence[str],
+    num_partitions: int = 32,
+    input_desc: str = "",
+) -> List[dict]:
+    """Run ``kernel`` per sorted hash partition, writing each partition's
+    output + manifest from inside the task (resumable).  Returns the list of
+    manifests (existing + new)."""
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    done = finished_partitions(out_dir)
+
+    parted = with_partition_col(ds, key, num_partitions)
+    if done:
+        done_list = sorted(done)
+        parted = parted.filter(expr=f"{PART_COL} not in {done_list}")
+
+    def write_partition(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return pa.table({"partition": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string())})
+        part_id = int(table[PART_COL][0].as_py())
+        t = sort_table(table, sort_keys)
+        out = kernel(t)
+        if PART_COL in out.column_names:
+            out = out.drop_columns([PART_COL])
+        fname = f"part-{part_id:05d}.parquet"
+        fpath = os.path.join(out_dir, fname)
+        pq.write_table(out, fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+        manifest = {
+            "partition": part_id,
+            "rows": out.num_rows,
+            "file": fname,
+            "feature_hash": _feature_hash(out),
+            "input": input_desc,
+            "columns": out.column_names,
+        }
+        mpath = os.path.join(out_dir, "_manifest", f"part-{part_id:05d}.json")
+        with open(mpath + ".tmp", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mpath + ".tmp", mpath)
+        return pa.table({"partition": pa.array([part_id], pa.int32()),
+                         "rows": pa.array([out.num_rows], pa.int64()),
+                         "file": pa.array([fname], pa.string())})
+
+    result = parted.groupby(PART_COL).map_groups(
+        write_partition, batch_format="pyarrow"
+    )
+    _ = result.count()  # drive execution
+    manifests = []
+    mdir = os.path.join(out_dir, "_manifest")
+    for f in sorted(os.listdir(mdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                manifests.append(json.load(fh))
+    return manifests
