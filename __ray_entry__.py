@@ -131,7 +131,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_ivf_ann": _ivf_ann,
         "q26_text_analysis": _text_analysis,
         "q27_multimodal": _multimodal,
+        "q28_subset_select": _subset_select,
+        "q29_symbolic_golden": _symbolic_golden,
+        "q30_ego_rank": _ego_rank,
     }
+
+
+def _feature_matrix(sf_dir: str):
+    """Small driver-side (X, y) from lineitem numeric columns (the
+    selection layer operates on the engine's materialized feature matrix,
+    as the reference's selection operates on the featurizer output)."""
+    import numpy as np
+    import ray
+
+    base = ["l_quantity", "l_discount", "l_tax", "l_partkey", "l_suppkey"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=base + ["l_extendedprice"])
+    t = ds.limit(20000).to_pandas()
+    X = t[base].to_numpy(dtype=float)
+    # derived crossing features (poly stage output shape): extendedprice is
+    # a quantity x price(part) product, only visible to crossed features
+    qp = (t["l_quantity"] * t["l_partkey"]).to_numpy(dtype=float)
+    X = np.column_stack([X, qp])
+    cols = base + ["l_quantity*l_partkey"]
+    y = t["l_extendedprice"].to_numpy(dtype=float)
+    return X, y, cols
+
+
+def _subset_select(sf_dir: str):
+    """Exhaustion subset search (ref selection/exhaustion.py) — Ray task
+    fan-out over all C(n,2)+C(n,3) candidate subsets.
+
+    Note: the synthetic lineitem has no planted predictive relation
+    (corr(l_extendedprice, anything) ~ 0), so near-zero CV r2 is the
+    correct answer here; the planted-relation parity tests live in
+    tests/test_selection_expr.py."""
+    import pandas as pd
+
+    from featurebox_ray.selection.search import Exhaustion
+
+    X, y, cols = _feature_matrix(sf_dir)
+    ex = Exhaustion(n_select=(2, 3)).fit(X, y)
+    ranked = sorted(ex.all_scores_, key=lambda t: -t[1])[:10]
+    return pd.DataFrame({
+        "rank": range(1, len(ranked) + 1),
+        "subset": ["+".join(cols[i] for i in s) for s, _ in ranked],
+        "cv_r2": [round(s, 6) for _, s in ranked],
+    })
+
+
+def _symbolic_golden(sf_dir: str):
+    """Golden-recovery: plant (x0+x1)*(x2-x3) and recover it via the
+    exhaustive height-2 expression search (ref Instance2 height_2.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from featurebox_ray.functions.expr import expr_to_str, golden_recover
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 5))
+    y = (X[:, 0] + X[:, 1]) * (X[:, 2] - X[:, 3])
+    best, score = golden_recover(X, y)
+    return pd.DataFrame({"expression": [expr_to_str(best)],
+                         "r2": [round(score, 9)]})
+
+
+def _ego_rank(sf_dir: str):
+    """EGO active-learning ranker (ref ego/ego.py): bootstrap ensemble →
+    EI over a search grid → top-10."""
+    import numpy as np
+    import pandas as pd
+
+    from featurebox_ray.selection.search import Ego
+
+    X, y, cols = _feature_matrix(sf_dir)
+    Xs, ys = X[:2000, :2], y[:2000]
+    g = np.linspace(Xs.min(0), Xs.max(0), 15)
+    grid = np.stack(np.meshgrid(g[:, 0], g[:, 1]), -1).reshape(-1, 2)
+    ego = Ego(n_models=8, seed=0)
+    rank = ego.fit_predict(Xs, ys, grid)
+    top = rank[:10]
+    return pd.DataFrame({
+        "rank": range(1, 11),
+        "x0": np.round(grid[top, 0], 6),
+        "x1": np.round(grid[top, 1], 6),
+        "ei": np.round(ego.ei_[top], 6),
+    })
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,297 @@
+"""Vectorized expression-feature engine — clean-room re-expression of the
+reference's GP symbolic layer (SURVEY.md §2.10; featurebox/symbol/base.py,
+gp.py, flow.py) on numpy + Ray task fan-outs.
+
+An expression is a nested tuple tree::
+
+    ("mul", ("add", ("x", 0), ("x", 1)), ("sub", ("x", 2), ("x", 3)))
+
+* :func:`eval_expr` evaluates a tree over a list of column arrays in one
+  vectorized pass (the reference lambdifies sympy to numpy —
+  symbol/calculation/scores.py:40-41; we skip sympy entirely).
+* :func:`dim_of_expr` folds :class:`~featurebox_ray.functions.dims.Dim`
+  bottom-up (dim validation, ref dimfunc.py:29-111).
+* :func:`fit_score` fits the reference's outer coefficients (a·expr + b via
+  least squares — ref symbol/calculation/coefficient.py) and returns r².
+* :func:`enumerate_height2` reproduces the reference's golden-recovery
+  enumeration (Instances/Instance2_efficient/height_2.py:12-46).
+* :class:`SymbolicSearch` is the evolution loop: generation on the driver,
+  fitness evaluation fanned out as Ray tasks over the broadcast column
+  block (ref flow.py:294-360 / base.py:1390-1420).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .dims import Dim
+
+UNARY = {
+    "sin": np.sin,
+    "cos": np.cos,
+    "exp": lambda v: np.exp(np.clip(v, -50, 50)),
+    "ln": lambda v: np.log(np.abs(v) + 1e-300),
+    "abs": np.abs,
+    "neg": np.negative,
+    "rec": lambda v: 1.0 / np.where(v == 0, np.nan, v),
+    "sqrt": lambda v: np.sqrt(np.abs(v)),
+    "sq": lambda v: v * v,
+    "cube": lambda v: v * v * v,
+}
+BINARY = {
+    "add": np.add,
+    "sub": np.subtract,
+    "mul": np.multiply,
+    "div": lambda a, b: a / np.where(b == 0, np.nan, b),
+}
+_POW = {"sqrt": 0.5, "sq": 2.0, "cube": 3.0}
+_TRANS = {"sin", "cos", "exp", "ln"}
+
+
+def eval_expr(expr, cols: Sequence[np.ndarray]) -> np.ndarray:
+    op = expr[0]
+    if op == "x":
+        return cols[expr[1]]
+    if op == "c":
+        return np.full_like(cols[0], float(expr[1]), dtype=np.float64)
+    if op in UNARY:
+        return UNARY[op](eval_expr(expr[1], cols))
+    if op in BINARY:
+        return BINARY[op](eval_expr(expr[1], cols), eval_expr(expr[2], cols))
+    raise ValueError(f"unknown op {op}")
+
+
+def dim_of_expr(expr, dims: Sequence[Dim]) -> Dim:
+    op = expr[0]
+    if op == "x":
+        return dims[expr[1]]
+    if op == "c":
+        return Dim.dless()
+    if op in UNARY:
+        d = dim_of_expr(expr[1], dims)
+        if op in _TRANS:
+            return d.func()
+        if op in _POW:
+            return d ** _POW[op]
+        if op in ("abs", "neg"):
+            return d
+        if op == "rec":
+            return Dim.dless() / d
+        return d
+    a, b = dim_of_expr(expr[1], dims), dim_of_expr(expr[2], dims)
+    if op in ("add", "sub"):
+        return a + b
+    if op == "mul":
+        return a * b
+    return a / b
+
+
+def expr_to_str(expr, names: Optional[Sequence[str]] = None) -> str:
+    op = expr[0]
+    if op == "x":
+        return names[expr[1]] if names else f"x{expr[1]}"
+    if op == "c":
+        return repr(expr[1])
+    if op in UNARY:
+        return f"{op}({expr_to_str(expr[1], names)})"
+    sym = {"add": "+", "sub": "-", "mul": "*", "div": "/"}[op]
+    return f"({expr_to_str(expr[1], names)} {sym} {expr_to_str(expr[2], names)})"
+
+
+def complexity(expr) -> int:
+    if expr[0] in ("x", "c"):
+        return 1
+    if expr[0] in UNARY:
+        return 1 + complexity(expr[1])
+    return 1 + complexity(expr[1]) + complexity(expr[2])
+
+
+def fit_score(expr, cols, y, dims: Optional[Sequence[Dim]] = None,
+              target_dim: Optional[Dim] = None,
+              dim_penalty: float = 0.0) -> float:
+    """r² of y ≈ a·expr + b (least-squares a, b), with optional dimensional
+    penalty when the expression's dim mismatches ``target_dim``."""
+    try:
+        v = eval_expr(expr, cols)
+    except Exception:
+        return -np.inf
+    if not np.all(np.isfinite(v)) or np.std(v) < 1e-12:
+        return -np.inf
+    vc = v - v.mean()
+    yc = y - y.mean()
+    denom = float(vc @ vc)
+    a = float(vc @ yc) / denom if denom > 0 else 0.0
+    resid = yc - a * vc
+    ss_tot = float(yc @ yc)
+    r2 = 1.0 - float(resid @ resid) / ss_tot if ss_tot > 0 else 0.0
+    if dims is not None and target_dim is not None:
+        d = dim_of_expr(expr, dims)
+        if d.is_nan or not (d == target_dim):
+            r2 -= dim_penalty
+    return r2
+
+
+# ---------------------------------------------------------------------------
+# golden-recovery enumeration (height <= 2 binary trees)
+# ---------------------------------------------------------------------------
+
+
+def enumerate_height2(n_features: int, ops: Sequence[str] = ("add", "sub", "mul")):
+    """All expressions binop(binop(xi,xj), binop(xk,xl)) plus height-1
+    binop(xi,xj) — the reference's exhaustive height-2 recovery space."""
+    import itertools
+
+    leaves = [("x", i) for i in range(n_features)]
+    h1 = [(o, a, b) for o in ops for a, b in
+          itertools.combinations_with_replacement(leaves, 2)]
+    # include non-commutative order for sub
+    h1 += [(o, b, a) for o in ops if o in ("sub", "div")
+           for a, b in itertools.combinations(leaves, 2)]
+    yield from h1
+    for o in ops:
+        for a, b in itertools.combinations_with_replacement(h1, 2):
+            yield (o, a, b)
+
+
+def golden_recover(X: np.ndarray, y: np.ndarray, *, ops=("add", "sub", "mul"),
+                   batch_size: int = 2000) -> Tuple[tuple, float]:
+    """Exhaustive height-2 search for the best-scoring expression, scored in
+    parallel Ray tasks over the broadcast column block."""
+    import ray
+
+    cols = [np.ascontiguousarray(X[:, j], dtype=np.float64) for j in range(X.shape[1])]
+    cols_ref = ray.put(cols)
+    y_ref = ray.put(np.asarray(y, dtype=np.float64))
+
+    @ray.remote
+    def score_chunk(cols_, y_, chunk):
+        return [(e, fit_score(e, cols_, y_)) for e in chunk]
+
+    futs = []
+    chunk: List[tuple] = []
+    for e in enumerate_height2(X.shape[1], ops):
+        chunk.append(e)
+        if len(chunk) >= batch_size:
+            futs.append(score_chunk.remote(cols_ref, y_ref, chunk))
+            chunk = []
+    if chunk:
+        futs.append(score_chunk.remote(cols_ref, y_ref, chunk))
+    best, best_s = None, -np.inf
+    for part in ray.get(futs):
+        for e, s in part:
+            if s > best_s or (s == best_s and complexity(e) < complexity(best)):
+                best, best_s = e, s
+    return best, best_s
+
+
+# ---------------------------------------------------------------------------
+# evolution loop
+# ---------------------------------------------------------------------------
+
+
+def _random_tree(rng, n_features, depth, un_ops, bin_ops):
+    if depth <= 0 or rng.random() < 0.3:
+        return ("x", int(rng.integers(0, n_features)))
+    if un_ops and rng.random() < 0.25:
+        return (un_ops[rng.integers(0, len(un_ops))],
+                _random_tree(rng, n_features, depth - 1, un_ops, bin_ops))
+    op = bin_ops[rng.integers(0, len(bin_ops))]
+    return (op, _random_tree(rng, n_features, depth - 1, un_ops, bin_ops),
+            _random_tree(rng, n_features, depth - 1, un_ops, bin_ops))
+
+
+def _subtrees(expr, path=()):
+    yield path, expr
+    if expr[0] in UNARY:
+        yield from _subtrees(expr[1], path + (1,))
+    elif expr[0] in BINARY:
+        yield from _subtrees(expr[1], path + (1,))
+        yield from _subtrees(expr[2], path + (2,))
+
+
+def _replace(expr, path, new):
+    if not path:
+        return new
+    lst = list(expr)
+    lst[path[0]] = _replace(expr[path[0]], path[1:], new)
+    return tuple(lst)
+
+
+class SymbolicSearch:
+    """Driver-side evolution with Ray-fan-out fitness (tournament select,
+    subtree crossover, subtree mutation, hall-of-fame)."""
+
+    def __init__(self, *, pop: int = 500, gens: int = 20, depth: int = 3,
+                 un_ops: Sequence[str] = ("sqrt", "sq", "ln"),
+                 bin_ops: Sequence[str] = ("add", "sub", "mul", "div"),
+                 tournament: int = 3, cx_prob: float = 0.6, mut_prob: float = 0.3,
+                 seed: int = 0, batch_size: int = 200,
+                 dims: Optional[Sequence[Dim]] = None,
+                 target_dim: Optional[Dim] = None, dim_penalty: float = 0.5):
+        self.pop_size, self.gens, self.depth = pop, gens, depth
+        self.un_ops, self.bin_ops = list(un_ops), list(bin_ops)
+        self.tournament, self.cx_prob, self.mut_prob = tournament, cx_prob, mut_prob
+        self.seed, self.batch_size = seed, batch_size
+        self.dims, self.target_dim, self.dim_penalty = dims, target_dim, dim_penalty
+        self.best_expr_: Optional[tuple] = None
+        self.best_score_: float = -np.inf
+        self.history_: List[float] = []
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "SymbolicSearch":
+        import ray
+
+        rng = np.random.default_rng(self.seed)
+        nf = X.shape[1]
+        cols = [np.ascontiguousarray(X[:, j], dtype=np.float64) for j in range(nf)]
+        cols_ref = ray.put(cols)
+        y_ref = ray.put(np.asarray(y, dtype=np.float64))
+        dims, tdim, dpen = self.dims, self.target_dim, self.dim_penalty
+
+        @ray.remote
+        def score_chunk(cols_, y_, chunk):
+            return [fit_score(e, cols_, y_, dims, tdim, dpen) for e in chunk]
+
+        def evaluate(pop):
+            futs = [score_chunk.remote(cols_ref, y_ref, pop[i:i + self.batch_size])
+                    for i in range(0, len(pop), self.batch_size)]
+            return np.array([s for b in ray.get(futs) for s in b])
+
+        pop = [_random_tree(rng, nf, self.depth, self.un_ops, self.bin_ops)
+               for _ in range(self.pop_size)]
+        fit = evaluate(pop)
+        for g in range(self.gens):
+            bi = int(np.argmax(fit))
+            if fit[bi] > self.best_score_:
+                self.best_score_, self.best_expr_ = float(fit[bi]), pop[bi]
+            self.history_.append(self.best_score_)
+            if self.best_score_ > 1 - 1e-10:
+                break
+            # tournament selection
+            idx = rng.integers(0, len(pop), (self.pop_size, self.tournament))
+            fitm = np.where(np.isfinite(fit), fit, -1e18)
+            winners = idx[np.arange(self.pop_size), np.argmax(fitm[idx], axis=1)]
+            new = [pop[w] for w in winners]
+            # crossover: swap random subtrees between neighbors
+            for a in range(0, self.pop_size - 1, 2):
+                if rng.random() < self.cx_prob:
+                    sa = list(_subtrees(new[a]))
+                    sb = list(_subtrees(new[a + 1]))
+                    pa, ea = sa[rng.integers(0, len(sa))]
+                    pb, eb = sb[rng.integers(0, len(sb))]
+                    new[a] = _replace(new[a], pa, eb)
+                    new[a + 1] = _replace(new[a + 1], pb, ea)
+            # mutation: replace a random subtree with a fresh one
+            for a in range(self.pop_size):
+                if rng.random() < self.mut_prob:
+                    st = list(_subtrees(new[a]))
+                    p, _ = st[rng.integers(0, len(st))]
+                    new[a] = _replace(new[a], p,
+                                      _random_tree(rng, nf, 2, self.un_ops, self.bin_ops))
+            # elitism
+            if self.best_expr_ is not None:
+                new[0] = self.best_expr_
+            pop = new
+            fit = evaluate(pop)
+        return self
