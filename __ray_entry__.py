@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_poly": eq.poly_lineitem,
         "q14_broadcast_lookup": eq.event_type_lookup,
         # documents / embeddings operators
+        "q31_turn_context": eq.turn_context,
+        "q32_usage_rate": eq.tool_usage_rate,
         "q17_exact_dedup": eq.exact_dedup_docs,
         "q18_token_counts": eq.token_counts,
         "q20_ann_topk": eq.ann_topk,
@@ -236,10 +238,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) AS sum_qty,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 4) AS sum_disc_price,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_charge,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_extendedprice), 4) AS avg_price,
                    round(avg(l_discount), 4) AS avg_disc,
@@ -260,7 +262,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q04_priority_revenue": """
             SELECT o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                                  AS BIGINT)) / 10000.0, 4) AS total_revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,
@@ -378,6 +381,19 @@ def oracle_sql() -> dict[str, str]:
                 ('signup', 4.0, 16.0, 0.25, 7.0),
                 ('error', 5.0, 25.0, 0.2, 6.0)
             ) AS p(key, p0, p1, p2, p3) ON e.event_type = p.key
+        """,
+        "q31_turn_context": """
+            SELECT event_id,
+                   lag(event_type) OVER w AS prev_event_type,
+                   lead(event_type) OVER w AS next_event_type
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q32_usage_rate": """
+            SELECT event_id,
+                   round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS err_rate
+            FROM events
         """,
         "q17_exact_dedup": """
             SELECT doc_id, lang, source, n_chars FROM documents

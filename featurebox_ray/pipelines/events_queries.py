@@ -166,6 +166,43 @@ def event_type_lookup(sf_dir: str):
                    ["et_p0", "et_p1", "et_p2", "et_p3"], ["event_id"])
 
 
+def turn_context(sf_dir: str):
+    """(event_id, prev_event_type, next_event_type) within user timeline —
+    the +-1 turn-context lookup (Neighborizer transcript analog)."""
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    spec = WindowSpec(key_col="user_id", ts_col="ts", value_col="event_id",
+                      lags=(), rolling_rows=(), time_windows_s=(),
+                      add_session=False, add_turn_number=False,
+                      add_delta_ts=False, context_cols=("event_type",))
+    out = add_window_features(ev, spec, order_col="event_id", num_partitions=16)
+    return _finish(out, ["event_id", "prev_event_type", "next_event_type"],
+                   [], ["event_id"])
+
+
+def tool_usage_rate(sf_dir: str, k: int = 10):
+    """Trailing k-row error rate per user (north_star tool-usage-rate
+    analog): rolling mean of an 0/1 indicator."""
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def ind(batch: pa.Table) -> pa.Table:
+        is_err = pc.equal(batch["event_type"], pa.scalar("error"))
+        return batch.append_column("err01", pc.cast(is_err, pa.float64()))
+
+    ev = ev.map_batches(ind, batch_format="pyarrow", zero_copy_batch=True)
+    spec = WindowSpec(key_col="user_id", ts_col="ts", value_col="err01",
+                      lags=(), rolling_rows=(), time_windows_s=(),
+                      add_session=False, add_turn_number=False,
+                      add_delta_ts=False, rate_cols=("err01",), rate_window=k)
+    out = add_window_features(ev, spec, order_col="event_id", num_partitions=16)
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [c if c != f"rate{k}_err01" else "err_rate" for c in batch.column_names])
+
+    out = out.map_batches(ren, batch_format="pyarrow")
+    return _finish(out, ["event_id", "err_rate"], ["err_rate"], ["event_id"])
+
+
 def event_type_props() -> pa.Table:
     """Deterministic 4-property constants per event_type (mirrors FIXTURES
     F3 role_props; hard-coded so the SQL oracle can inline it as VALUES)."""

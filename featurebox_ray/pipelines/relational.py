@@ -65,30 +65,48 @@ def pricing_summary(sf_dir: str):
                "l_discount", "l_tax"])
 
     def derive(batch: pa.Table) -> pa.Table:
+        # exact integer units for the big money sums (2/4/6 dp inputs):
+        # double summation at 1e9+ magnitude is not 4-dp-stable, int64 is
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
         tax = batch["l_tax"].to_numpy(zero_copy_only=False)
-        batch = batch.append_column("disc_price", pa.array(price * (1 - disc)))
-        return batch.append_column("charge", pa.array(price * (1 - disc) * (1 + tax)))
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        batch = batch.append_column("qty_i", pa.array(np.round(qty * 100).astype(np.int64)))
+        batch = batch.append_column("price_i", pa.array(np.round(price * 100).astype(np.int64)))
+        batch = batch.append_column(
+            "disc_price_i", pa.array(np.round(price * (1 - disc) * 1e4).astype(np.int64)))
+        return batch.append_column(
+            "charge_i", pa.array(np.round(price * (1 - disc) * (1 + tax) * 1e6).astype(np.int64)))
 
     ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
     agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity"), Sum("l_extendedprice"), Sum("disc_price"),
-        Sum("charge"), Mean("l_quantity"), Mean("l_extendedprice"),
-        Mean("l_discount"), Count(),
+        Sum("qty_i"), Sum("price_i"), Sum("disc_price_i"), Sum("charge_i"),
+        Mean("l_quantity"), Mean("l_extendedprice"), Mean("l_discount"),
+        Count(),
     )
-    agg = rename(agg, {
-        "sum(l_quantity)": "sum_qty",
-        "sum(l_extendedprice)": "sum_base_price",
-        "sum(disc_price)": "sum_disc_price",
-        "sum(charge)": "sum_charge",
-        "mean(l_quantity)": "avg_qty",
-        "mean(l_extendedprice)": "avg_price",
-        "mean(l_discount)": "avg_disc",
-        "count()": "count_order",
-    })
-    return _round_cols(agg, ["sum_qty", "sum_base_price", "sum_disc_price",
-                             "sum_charge", "avg_qty", "avg_price", "avg_disc"], 4)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        def scaled(name, s):
+            v = batch[f"sum({name})"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.array(np.round(v / s, 4))
+
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": scaled("qty_i", 100.0),
+            "sum_base_price": scaled("price_i", 100.0),
+            "sum_disc_price": scaled("disc_price_i", 1e4),
+            "sum_charge": scaled("charge_i", 1e6),
+            "avg_qty": pa.array(np.round(
+                batch["mean(l_quantity)"].to_numpy(zero_copy_only=False), 4)),
+            "avg_price": pa.array(np.round(
+                batch["mean(l_extendedprice)"].to_numpy(zero_copy_only=False), 4)),
+            "avg_disc": pa.array(np.round(
+                batch["mean(l_discount)"].to_numpy(zero_copy_only=False), 4)),
+            "count_order": batch["count()"],
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 def filter_project_revenue(sf_dir: str, min_ship: str = "1995-01-01"):
@@ -157,17 +175,37 @@ def order_priority_revenue(sf_dir: str):
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def derive(batch: pa.Table) -> pa.Table:
+        # revenue in exact 1e-4 units (int64): money sums at 1e9+ magnitude
+        # exceed double summation accuracy at 4 dp, so both engine and
+        # oracle sum integers and divide once at the end
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
         out = batch.select(["l_orderkey"])
-        return out.append_column("revenue", pa.array(price * (1 - disc)))
+        rev_i = np.round(price * (1 - disc) * 10000.0).astype(np.int64)
+        return out.append_column("revenue_i", pa.array(rev_i))
 
     li = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial_by_priority(joined: pa.Table) -> pa.Table:
+        # combiner: 5-row partial sums leave each join partition instead of
+        # the full joined rowset
+        import pandas as pd
+
+        df = joined.to_pandas().groupby("o_orderpriority", as_index=False)["revenue_i"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                       num_partitions=16)
-    agg = joined.groupby("o_orderpriority").aggregate(Sum("revenue"))
-    agg = rename(agg, {"sum(revenue)": "total_revenue"})
-    return _round_cols(agg, ["total_revenue"], 4)
+                       num_partitions=16, combine=partial_by_priority)
+    agg = joined.groupby("o_orderpriority").aggregate(Sum("revenue_i"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        s = batch["sum(revenue_i)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "total_revenue": pa.array(np.round(s / 10000.0, 4)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 def distinct_users_per_type(sf_dir: str):

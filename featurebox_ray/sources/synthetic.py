@@ -187,6 +187,16 @@ def make_role_props() -> pa.Table:
     return pa.table(cols)
 
 
+def _write_shard(args) -> None:
+    out_dir, per, seed, s, mega_every, mega_turns = args
+    t = make_transcripts(
+        per, seed=seed, shard=s, mega_every=mega_every, mega_turns=mega_turns
+    )
+    pq.write_table(t, f"{out_dir}/transcripts/shard-{s:04d}.parquet")
+    f = make_feature_table(per, seed=seed, shard=s)
+    pq.write_table(f, f"{out_dir}/feature_table/shard-{s:04d}.parquet")
+
+
 def write_dataset(
     out_dir: str,
     *,
@@ -195,17 +205,23 @@ def write_dataset(
     seed: int = 42,
     mega_every: int = 0,
     mega_turns: int = 2000,
+    processes: int = 1,
 ) -> None:
     """Write a multi-fragment transcripts + feature_table + role_props
-    dataset under ``out_dir`` (fragments per shard → parallel read)."""
+    dataset under ``out_dir`` (fragments per shard → parallel read).
+    Shards are seed-independent, so ``processes > 1`` parallelizes
+    generation with identical output bytes."""
     os.makedirs(f"{out_dir}/transcripts", exist_ok=True)
     os.makedirs(f"{out_dir}/feature_table", exist_ok=True)
     per = n_convs // n_shards
-    for s in range(n_shards):
-        t = make_transcripts(
-            per, seed=seed, shard=s, mega_every=mega_every, mega_turns=mega_turns
-        )
-        pq.write_table(t, f"{out_dir}/transcripts/shard-{s:04d}.parquet")
-        f = make_feature_table(per, seed=seed, shard=s)
-        pq.write_table(f, f"{out_dir}/feature_table/shard-{s:04d}.parquet")
+    jobs = [(out_dir, per, seed, s, mega_every, mega_turns)
+            for s in range(n_shards)]
+    if processes > 1:
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=processes) as ex:
+            list(ex.map(_write_shard, jobs))
+    else:
+        for j in jobs:
+            _write_shard(j)
     pq.write_table(make_role_props(), f"{out_dir}/role_props.parquet")

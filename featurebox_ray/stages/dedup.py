@@ -80,14 +80,38 @@ def _minhash_params(k: int, seed: int = 17) -> Tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingles(text: str, n: int) -> np.ndarray:
+_GRAM_A = np.uint64(1_000_003)
+_GRAM_B = np.uint64(999_999_937)
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """64-bit per-token hashes: crc32 (C speed) widened with a second salt
+    crc — deterministic across processes, no per-token sha1."""
+    import zlib
+
     toks = text.split()
-    if len(toks) < n:
-        toks = toks + [""] * (n - len(toks))
-    return np.fromiter(
-        (_sha64(" ".join(toks[i:i + n])) for i in range(max(1, len(toks) - n + 1))),
-        dtype=np.uint64,
-    )
+    if not toks:
+        toks = [""]
+    out = np.empty(len(toks), np.uint64)
+    for i, t in enumerate(toks):
+        b = t.encode()
+        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    return out
+
+
+def _shingles(text: str, n: int) -> np.ndarray:
+    """Hashes of word n-grams, vectorized: combine per-token hashes of the
+    sliding window arithmetically (position-weighted polynomial)."""
+    th = _token_hashes(text)
+    if len(th) < n:
+        pad = np.zeros(n - len(th), np.uint64)
+        th = np.concatenate([th, pad])
+    m = len(th) - n + 1
+    acc = np.zeros(m, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc = acc * _GRAM_A + th[j:j + m] * _GRAM_B
+    return acc
 
 
 class MinHasher:
@@ -113,6 +137,48 @@ class MinHasher:
         return batch.append_column(
             "__sig", pa.array(list(sigs), pa.list_(pa.uint64(), self.k))
         )
+
+
+_MH_CACHE: dict = {}
+
+
+def minhash_signature_fn(batch: pa.Table, *, k: int = 32,
+                         text_col: str = "text") -> pa.Table:
+    """Stateless-task MinHash signature stage (per-worker cached params) —
+    see ``text.text_features_fn`` for why this exists alongside the
+    actor-pool ``MinHasher``."""
+    key = (k, text_col)
+    mh = _MH_CACHE.get(key)
+    if mh is None:
+        mh = _MH_CACHE[key] = MinHasher(k=k, text_col=text_col)
+    return mh(batch)
+
+
+def minhash_bands_fn(batch: pa.Table, *, k: int = 16, bands: int = 4,
+                     text_col: str = "text") -> pa.Table:
+    """Compact dedup-signature stage: MinHash then fold into ``bands``
+    uint64 band-bucket columns (``mh_band0..``) instead of carrying the
+    full signature list (32 B/row vs 8k B/row) — the shape a 100 TB
+    pipeline ships through its shuffle."""
+    key = (k, text_col)
+    mh = _MH_CACHE.get(key)
+    if mh is None:
+        mh = _MH_CACHE[key] = MinHasher(k=k, text_col=text_col)
+    texts = batch[text_col].to_pylist()
+    if texts:
+        sig = np.stack([mh.signature(t) for t in texts])
+    else:
+        sig = np.empty((0, k), np.uint64)
+    rows_per_band = k // bands
+    out = batch
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            bucket = np.zeros(len(texts), dtype=np.uint64)
+            for j in range(rows_per_band):
+                bucket = bucket * np.uint64(1099511628211) + seg[:, j]
+            out = out.append_column(f"mh_band{b}", pa.array(bucket, pa.uint64()))
+    return out
 
 
 def minhash_lsh_dedup(
@@ -224,15 +290,15 @@ class SimHasher:
 
     @staticmethod
     def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            h = _sha64(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for b in np.flatnonzero(acc > 0):
-            out |= 1 << int(b)
-        return out
+        th = _token_hashes(text)  # (m,) uint64
+        # (m, 64) bit matrix in one vectorized op
+        bits = (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out = np.uint64(0)
+        pos = np.flatnonzero(acc > 0)
+        for b in pos:
+            out |= np.uint64(1) << np.uint64(b)
+        return int(out)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()

@@ -34,10 +34,16 @@ def hash_join(
     num_partitions: int = 32,
     left_cols: Optional[List[str]] = None,
     right_cols: Optional[List[str]] = None,
+    combine=None,
 ):
     """Equi-join on a single key column.  ``right_on`` defaults to ``on``
     (the right key is renamed to ``on`` in the output when different).
-    Supported ``how``: inner, left."""
+    Supported ``how``: inner, left.
+
+    ``combine`` (optional, ``pa.Table -> pa.Table``): partial-aggregation
+    callback applied to each partition's joined rows *before* they leave
+    the join task — the combiner pattern that keeps a downstream global
+    groupby from shuffling the full join output."""
     right_on = right_on or on
     lschema = left_ds.schema()
     rschema = right_ds.schema()
@@ -85,7 +91,8 @@ def hash_join(
         ldf = left_t.to_pandas()
         rdf = right_t.to_pandas()
         out = ldf.merge(rdf, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        joined = pa.Table.from_pandas(out, preserve_index=False)
+        return combine(joined) if combine is not None else joined
 
     return partitioned_map(
         unioned, merge, key=on, sort_keys=[on],

@@ -125,3 +125,17 @@ def add_text_features(ds, *, text_col: str = "text", batch_size: int = 4096,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+_TF_CACHE: dict = {}
+
+
+def text_features_fn(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Stateless-task variant of :func:`add_text_features`: the featurizer
+    is cached per worker process (module global), so no actor slot is
+    reserved — important at small CPU counts where min-1 actor pools would
+    pin scarce slots and stall the pipeline."""
+    tf = _TF_CACHE.get(text_col)
+    if tf is None:
+        tf = _TF_CACHE[text_col] = TextFeaturizer(text_col)
+    return tf(batch)

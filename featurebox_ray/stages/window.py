@@ -44,6 +44,12 @@ class WindowSpec:
     add_delta_ts: bool = True
     add_session: bool = True
     add_turn_number: bool = True
+    # boolean/0-1 columns whose trailing-k mean is a usage *rate*
+    # (north_star: "tool-usage rates over trailing windows")
+    rate_cols: Sequence[str] = ()
+    rate_window: int = 10
+    # string columns to shift by +-1 within the conversation (turn context)
+    context_cols: Sequence[str] = ()
 
 
 def _codes(conv: pa.ChunkedArray) -> np.ndarray:
@@ -98,6 +104,27 @@ def window_kernel(table: pa.Table, spec: WindowSpec) -> pa.Table:
     out = table
     for name, arr in cols.items():
         out = out.append_column(name, pa.array(arr))
+
+    for rc in spec.rate_cols:
+        rv = table[rc].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        st = seg.rolling_stats_rows(rv, spec.rate_window, row_in_seg, ddof=spec.ddof)
+        out = out.append_column(
+            f"rate{spec.rate_window}_{rc}", pa.array(st["mean"])
+        )
+
+    if spec.context_cols:
+        n = len(codes)
+        pos = np.arange(n, dtype=np.int64)
+        prev_idx = pa.array(np.maximum(pos - 1, 0), pa.int64(),
+                            mask=(row_in_seg < 1))
+        nxt = pos + 1
+        last_of_seg = row_in_seg == (seg_len - 1)
+        next_idx = pa.array(np.minimum(nxt, n - 1), pa.int64(),
+                            mask=last_of_seg)
+        for cc in spec.context_cols:
+            col = table[cc].combine_chunks()
+            out = out.append_column(f"prev_{cc}", col.take(prev_idx))
+            out = out.append_column(f"next_{cc}", col.take(next_idx))
     return out
 
 
