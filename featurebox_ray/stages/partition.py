@@ -149,6 +149,15 @@ def partitioned_map(
             num_cpus=num_cpus,
         )
 
+    if strategy == "tasks":
+        return _task_exchange_map(
+            ds, kernel if not is_class else None,
+            key=key, sort_keys=sort_keys, num_partitions=num_partitions,
+            kernel_cls=kernel if is_class else None,
+            fn_constructor_args=fn_constructor_args,
+            drop_part_col=drop_part_col,
+        )
+
     grouped = parted.groupby(PART_COL)
     if is_class:
         class ActorGroupKernel:
@@ -170,6 +179,81 @@ def partitioned_map(
         batch_format="pyarrow",
         num_cpus=num_cpus,
     )
+
+
+def _task_exchange_map(
+    ds,
+    kernel,
+    *,
+    key: str,
+    sort_keys: Sequence[str],
+    num_partitions: int,
+    kernel_cls=None,
+    fn_constructor_args=None,
+    drop_part_col: bool = True,
+):
+    """Two-stage all-to-all exchange with plain Ray tasks — B split tasks →
+    P gather+sort+kernel tasks — bypassing Ray Data's sort-based shuffle,
+    whose barrier costs tens of seconds of wall for sub-second task work at
+    mid scale (measured: Sort 'executed in 65s' with 0.4s remote time).
+
+    The upstream dataset is materialized to Arrow refs (object store holds
+    / spills the blocks); every split emits ``P`` sub-tables
+    (``num_returns=P`` — only refs travel to the driver), every gather
+    concats its column, sorts once, runs the kernel.  Output is a new
+    Dataset built from the gather refs, so downstream stages stream again.
+
+    This is exactly the exchange a fixed-size cluster runs for a keyed
+    shuffle: B×P objects, each fetched once, no central barrier beyond the
+    inherent all-to-all dependency.
+    """
+    import ray
+
+    refs = ds.to_arrow_refs()
+    P = num_partitions
+
+    @ray.remote(num_returns=P)
+    def split(table: pa.Table):
+        combined = table[key].combine_chunks() if table[key].num_chunks > 1 else table[key]
+        chunks = combined.chunks if isinstance(combined, pa.ChunkedArray) else [combined]
+        if chunks:
+            bucket = np.concatenate([_hash_chunk(c, P) for c in chunks])
+        else:
+            bucket = np.empty(0, np.int32)
+        order = np.argsort(bucket, kind="stable")
+        sorted_tbl = table.take(pa.array(order))
+        counts = np.bincount(bucket, minlength=P)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        outs = [sorted_tbl.slice(offsets[p], counts[p]) for p in range(P)]
+        return tuple(outs) if P > 1 else outs[0]
+
+    @ray.remote
+    def gather(*parts):
+        tables = [t for t in parts if t.num_rows > 0]
+        if not tables:
+            t = parts[0]
+        else:
+            t = pa.concat_tables(tables, promote_options="default")
+        t = sort_table(t, sort_keys)
+        if kernel_cls is not None:
+            inner = kernel_cls(*(fn_constructor_args or ()))
+        else:
+            inner = kernel
+        out = inner(t)
+        if drop_part_col and PART_COL in out.column_names:
+            out = out.drop_columns([PART_COL])
+        return out
+
+    split_refs = [split.remote(r) for r in refs]
+    # split_refs[b] is a list of P refs (or a single ref when P == 1)
+    if P == 1:
+        gathers = [gather.remote(*split_refs)]
+    else:
+        gathers = [
+            gather.remote(*[split_refs[b][p] for b in range(len(split_refs))])
+            for p in range(P)
+        ]
+    return ray.data.from_arrow_refs(gathers)
 
 
 def key_histogram(ds, key: str, top: int = 20):
