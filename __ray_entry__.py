@@ -136,7 +136,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q28_subset_select": _subset_select,
         "q29_symbolic_golden": _symbolic_golden,
         "q30_ego_rank": _ego_rank,
+        "q33_expression_feature": _expression_feature,
+        "q34_group_select": _group_select,
     }
+
+
+def _expression_feature(sf_dir: str):
+    """Expression promotion (ref add_tree_to_features, symbol/base.py:695):
+    evaluate (l_quantity + l_tax) * l_discount as a new column via the
+    vectorized expression engine."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.functions.expr import apply_expression
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"])
+    expr = ("mul", ("add", ("x", 0), ("x", 2)), ("x", 1))
+    out = apply_expression(li, expr,
+                           columns=["l_quantity", "l_discount", "l_tax"],
+                           out_col="expr_feat")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        v = batch["expr_feat"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "l_linenumber": batch["l_linenumber"].cast(pa.int64()),
+            "expr_feat": pa.array(np.round(v, 6)),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _group_select(sf_dir: str):
+    """GS prediction-distance clustering (ref selection/ugs.py:200-587) on
+    a planted matrix with redundant features; rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    from featurebox_ray.selection.groupsel import GroupSelect
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(250, 6))
+    X[:, 3] = X[:, 1] + rng.normal(0, 1e-6, 250)  # redundant copy
+    y = 2.0 * X[:, 1] + rng.normal(0, 0.05, 250)
+    subsets = [(i,) for i in range(6)] + [(1, 3)]
+    gs = GroupSelect(seed=0).fit(X, y, subsets)
+    return pd.DataFrame({
+        "subset": [",".join(map(str, s)) for s in subsets],
+        "cluster": gs.labels_.astype(int),
+        "cv_r2": np.round(gs.scores_, 6),
+    })
 
 
 def _feature_matrix(sf_dir: str):
@@ -394,6 +446,11 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS err_rate
             FROM events
+        """,
+        "q33_expression_feature": """
+            SELECT l_orderkey, l_linenumber,
+                   round((l_quantity + l_tax) * l_discount, 6) AS expr_feat
+            FROM lineitem
         """,
         "q17_exact_dedup": """
             SELECT doc_id, lang, source, n_chars FROM documents

@@ -133,6 +133,25 @@ def fit_score(expr, cols, y, dims: Optional[Sequence[Dim]] = None,
     return r2
 
 
+def apply_expression(ds, expr, *, columns: Sequence[str], out_col: str,
+                     batch_size: int = 65536):
+    """Promote an expression to a Dataset column — the reference's
+    ``add_tree_to_features`` (symbol/base.py:695-751) re-expressed as a
+    stateless vectorized ``map_batches``: terminals ``("x", i)`` bind to
+    ``columns[i]`` of each Arrow batch."""
+    import pyarrow as pa
+
+    columns = list(columns)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        cols = [batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in columns]
+        return batch.append_column(out_col, pa.array(eval_expr(expr, cols)))
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # golden-recovery enumeration (height <= 2 binary trees)
 # ---------------------------------------------------------------------------
