@@ -190,7 +190,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
-    concurrency=(2, 8),
+    concurrency=(2, 16),
 ):
     """Near-duplicate pairs via MinHash+LSH.
 
