@@ -138,7 +138,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_ego_rank": _ego_rank,
         "q33_expression_feature": _expression_feature,
         "q34_group_select": _group_select,
+        "q35_skew_probe": _skew_probe,
+        "q36_consensus_rank": _consensus_rank,
     }
+
+
+def _skew_probe(sf_dir: str):
+    """Key-skew histogram (the salting-decision probe,
+    stages/partition.py:key_histogram): rows per user, top 10."""
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.partition import key_histogram
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    df = key_histogram(ev, "user_id", top=10)
+    df = df.rename(columns={"count()": "n_rows"})
+    df["user_id"] = df["user_id"].astype("int64")
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df
+
+
+def _consensus_rank(sf_dir: str):
+    """SUM-style multi-model consensus (ref selection/sum.py:70-282):
+    score matrix over an alpha grid -> Pareto front -> mean consensus."""
+    import numpy as np
+    import pandas as pd
+
+    from featurebox_ray.selection.consensus import (
+        consensus_ranking, score_matrix)
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(200, 5))
+    y = X[:, 0] - 0.5 * X[:, 2] + rng.normal(0, 0.1, 200)
+    import itertools
+
+    subsets = list(itertools.combinations(range(5), 2))
+    S = score_matrix(X, y, subsets)
+    ranked = consensus_ranking(S, subsets)
+    return pd.DataFrame({
+        "rank": range(1, len(ranked) + 1),
+        "subset": ["+".join(map(str, s)) for s, _ in ranked],
+        "mean_cv_r2": [round(v, 6) for _, v in ranked],
+    })
 
 
 def _expression_feature(sf_dir: str):
@@ -446,6 +488,12 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS err_rate
             FROM events
+        """,
+        "q35_skew_probe": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   count(*) AS n_rows
+            FROM events GROUP BY user_id
+            ORDER BY n_rows DESC, user_id LIMIT 10
         """,
         "q33_expression_feature": """
             SELECT l_orderkey, l_linenumber,

@@ -263,4 +263,5 @@ def key_histogram(ds, key: str, top: int = 20):
     from ray.data.aggregate import Count
 
     agg = ds.groupby(key).aggregate(Count())
-    return agg.sort("count()", descending=True).limit(top).to_pandas()
+    return (agg.sort(["count()", key], descending=[True, False])
+            .limit(top).to_pandas())
