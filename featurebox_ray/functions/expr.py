@@ -200,7 +200,10 @@ def golden_recover(X: np.ndarray, y: np.ndarray, *, ops=("add", "sub", "mul"),
     best, best_s = None, -np.inf
     for part in ray.get(futs):
         for e, s in part:
-            if s > best_s or (s == best_s and complexity(e) < complexity(best)):
+            if s > best_s or (
+                best is not None and s == best_s
+                and complexity(e) < complexity(best)
+            ) or best is None:
                 best, best_s = e, s
     return best, best_s
 
@@ -313,4 +316,9 @@ class SymbolicSearch:
                 new[0] = self.best_expr_
             pop = new
             fit = evaluate(pop)
+        # fold the final generation's scores into the hall of fame (they
+        # were computed at the loop tail and would otherwise be discarded)
+        bi = int(np.argmax(fit))
+        if fit[bi] > self.best_score_:
+            self.best_score_, self.best_expr_ = float(fit[bi]), pop[bi]
         return self

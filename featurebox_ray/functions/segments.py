@@ -129,7 +129,15 @@ def _window_bounds_time(
     row_in_seg: np.ndarray,
     delta_us: int,
 ) -> np.ndarray:
-    """Start index of the trailing time window ``(ts - delta, ts]`` per row.
+    """Start index of the trailing time window ``[ts - delta, ts]`` per row.
+
+    Tie semantics: the window covers rows up to the CURRENT ROW POSITION in
+    the sorted order — equal-ts rows sorting *after* the current row are
+    excluded (pandas time-rolling semantics).  SQL ``RANGE ... CURRENT
+    ROW`` frames additionally include later equal-ts peers; the two agree
+    iff ``(key, ts)`` has no duplicates (verified for the driver testdata;
+    a peers-inclusive end bound would be ``searchsorted(mono, mono,
+    side='right')`` if needed).
 
     Vectorized via a per-segment monotone offset: within a segment ts is
     non-decreasing, so we build a globally non-decreasing key by adding an

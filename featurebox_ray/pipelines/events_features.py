@@ -44,6 +44,14 @@ def session_stats(ds, *, gap_s: float = 1800.0, num_partitions: int = 32):
     def kernel(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], t.schema.field("user_id").type),
+                "session_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "duration_s": pa.array([], pa.float64()),
+                "mean_value": pa.array([], pa.float64()),
+            })
         codes = pc.dictionary_encode(t["user_id"].combine_chunks()).indices.to_numpy(
             zero_copy_only=False
         )
@@ -53,7 +61,7 @@ def session_stats(ds, *, gap_s: float = 1800.0, num_partitions: int = 32):
         sess = seg.sessionize(ts, is_start, gap_us)
         # session key = (user run ordinal, session id) -> new segment coding
         sess_change = np.empty(len(codes), dtype=bool)
-        sess_change[0] = True if len(codes) else False
+        sess_change[0] = True
         if len(codes) > 1:
             sess_change[1:] = (codes[1:] != codes[:-1]) | (sess[1:] != sess[:-1])
         sid = np.cumsum(sess_change) - 1  # global session ordinal

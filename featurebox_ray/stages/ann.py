@@ -50,13 +50,19 @@ class _BatchTopK:
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         sims = self.Q @ V.T  # (q, n)
         k = min(self.k, n)
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        qidx = np.repeat(np.arange(self.Q.shape[0], dtype=np.int32), k)
-        vidx = part.ravel()
+        nq = self.Q.shape[0]
+        out_q = np.empty(nq * k, np.int32)
+        out_id = np.empty(nq * k, np.int64)
+        out_c = np.empty(nq * k, np.float64)
+        for q in range(nq):  # loop over queries (few); deterministic ties:
+            order = np.lexsort((ids, -sims[q]))[:k]  # cosine desc, id asc
+            out_q[q * k:(q + 1) * k] = q
+            out_id[q * k:(q + 1) * k] = ids[order]
+            out_c[q * k:(q + 1) * k] = sims[q][order]
         return pa.table({
-            "query_id": pa.array(qidx),
-            self.id_col: pa.array(ids[vidx]),
-            "cosine": pa.array(sims[np.repeat(np.arange(self.Q.shape[0]), k), vidx]),
+            "query_id": pa.array(out_q),
+            self.id_col: pa.array(out_id),
+            "cosine": pa.array(out_c),
         })
 
 

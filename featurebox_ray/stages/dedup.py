@@ -244,7 +244,13 @@ def minhash_lsh_dedup(
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
                           "est_jaccard": pa.array([], pa.float64())})
-        if n < 2 or n > 2000:  # size cap: pathological bucket guard (logged)
+        if n < 2 or n > 2000:
+            if n > 2000:  # size cap: pathological bucket — log the recall loss
+                import logging
+
+                logging.getLogger("featurebox_ray.dedup").warning(
+                    "minhash bucket over cap (%d rows) skipped — near-dup "
+                    "pairs inside it are not reported", n)
             return empty
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         sig = np.stack(group["__sig"].to_numpy(zero_copy_only=False))
@@ -342,6 +348,11 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           "hamming": pa.array([], pa.int32())})
         n = group.num_rows
         if n < 2 or n > 4000:
+            if n > 4000:
+                import logging
+
+                logging.getLogger("featurebox_ray.dedup").warning(
+                    "simhash bucket over cap (%d rows) skipped", n)
             return empty
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         h = group["__simhash"].to_numpy(zero_copy_only=False)
@@ -403,6 +414,11 @@ def embedding_neardup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                           "cosine": pa.array([], pa.float64())})
         n = group.num_rows
         if n < 2 or n > 5000:
+            if n > 5000:
+                import logging
+
+                logging.getLogger("featurebox_ray.dedup").warning(
+                    "embedding LSH bucket over cap (%d rows) skipped", n)
             return empty
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         V = np.stack(group[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)

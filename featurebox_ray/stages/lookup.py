@@ -101,30 +101,28 @@ class PooledLookupFeaturizer:
         "minimum": "min",
     }
 
-    def __init__(self, dim_ref, key_col: str, weight_col: Optional[str],
+    def __init__(self, dim_ref, key_col: str,
                  stats: Sequence[str] = ("mean",)):
         import ray
 
         table = ray.get(dim_ref) if not isinstance(dim_ref, pa.Table) else dim_ref
         self.bt = BroadcastTable(table)
         self.key_col = key_col
-        self.weight_col = weight_col
         self.stats = list(stats)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # per output row the "pool" is the property vector of its key; the
+        # stats reduce over the property axis (unweighted — the reference's
+        # per-ELEMENT fraction weights have no analog for a single key row;
+        # weighted pooling over a window of keys lives in the window stage
+        # via rate_cols / rolling means over DepartLookup columns)
         rows = self.bt.rows_for(batch[self.key_col])  # (n, p)
-        if self.weight_col is not None:
-            w = batch[self.weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        else:
-            w = None
-        # per-row "pool" is the single key row here; stats over property axis
         for stat in self.stats:
             vals = propstats.calc_stat(rows, stat, None)
             label = self.STAT_LABEL.get(stat, stat.replace("::", "_"))
             batch = batch.append_column(
                 f"{label}:{self.key_col}", pa.array(np.asarray(vals, dtype=np.float64))
             )
-        _ = w
         return batch
 
 

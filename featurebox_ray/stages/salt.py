@@ -55,6 +55,8 @@ def required_overlap(spec: WindowSpec) -> int:
         need = max(need, k)
     for k in spec.rolling_rows:
         need = max(need, k - 1)
+    if spec.rate_cols:
+        need = max(need, spec.rate_window - 1)
     return need
 
 
@@ -76,6 +78,11 @@ def add_window_features_salted(
         raise ValueError(
             "salted path supports only bounded windows; disable "
             "add_session/add_turn_number (compute them unsalted)")
+    if spec.time_windows_s:
+        raise ValueError(
+            "salted path cannot bound time windows by a row overlap; "
+            "compute time_windows_s on the unsalted path (or cap window "
+            "state per SURVEY.md §7.6)")
     policy = policy or SaltPolicy()
     need = required_overlap(spec)
     if policy.overlap < need:
@@ -112,6 +119,28 @@ def add_window_features_salted(
     kspec = dc_replace(spec, key_col="__salt_key")
 
     def kernel(t: pa.Table) -> pa.Table:
+        # precondition: turn_idx must be dense (0..n-1) per conversation —
+        # context selection is idx-arithmetic (idx % b).  Verify per salt
+        # segment: own rows of a bucket must form a contiguous idx range.
+        if t.num_rows:
+            idx = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ctx = t[CTX_COL].to_numpy(zero_copy_only=False)
+            import pyarrow.compute as pc_
+
+            codes = pc_.dictionary_encode(
+                t["__salt_key"].combine_chunks()).indices.to_numpy(zero_copy_only=False)
+            own = ctx == 0
+            if own.any():
+                import pandas as pd
+
+                g = pd.DataFrame({"c": codes[own], "i": idx[own]}).groupby("c")["i"]
+                span = (g.max() - g.min() + 1).to_numpy()
+                cnt = g.size().to_numpy()
+                if (span != cnt).any():
+                    raise ValueError(
+                        "salted windows require dense per-conversation "
+                        f"{order_col} (0..n-1); found gaps — filter/reindex "
+                        "before salting or use the unsalted path")
         out = window_kernel(t, kspec)
         keep = pc.equal(out[CTX_COL], pa.scalar(0, pa.int8()))
         return out.filter(keep).drop_columns([CTX_COL])

@@ -21,10 +21,9 @@ def turn_scalar_features(batch: pa.Table) -> pa.Table:
     """Append ``text_len``, ``n_tokens``, ``is_tool_turn``, ``role_code``."""
     text = batch["text"]
     text_len = pc.utf8_length(text)
-    # token count = number of whitespace-delimited tokens (empty -> 0)
-    n_tokens = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
-    # pc.split on empty string yields [""] (len 1); align with "0 tokens"
-    n_tokens = pc.if_else(pc.equal(text_len, 0), pa.scalar(0, pa.int32()), n_tokens)
+    # token count = number of non-whitespace runs — exact Python
+    # str.split() semantics incl. leading/trailing/multiple whitespace
+    n_tokens = pc.count_substring_regex(text, r"\S+")
     is_tool = pc.is_valid(batch["tool"])
     role_idx = pc.index_in(
         batch["role"], value_set=pa.array(list(ROLE_CODES), pa.string())
