@@ -166,7 +166,14 @@ def _window_bounds_time(
 
 def _sums_over_bounds(values: np.ndarray, win_start: np.ndarray):
     """Trailing-window count / sum / sumsq via prefix sums, null-aware
-    (NaN values excluded, as SQL aggregates ignore NULLs)."""
+    (NaN values excluded, as SQL aggregates ignore NULLs).
+
+    Precision contract: windowed sums are differences of running prefix
+    sums, so their absolute error is O(ulp(prefix total)) — variance/std
+    can lose small contributions that follow much larger ones (e.g. a 1e-8
+    value after a 1e+1 value in one segment).  Adequate for homogeneous
+    feature magnitudes (counts, lengths, rates); callers with adversarial
+    magnitude mixes should rescale or use an exact per-window pass."""
     v = np.asarray(values, dtype=np.float64)
     ok = ~np.isnan(v)
     v0 = np.where(ok, v, 0.0)
