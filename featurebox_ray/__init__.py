@@ -18,3 +18,32 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import featurebox_ray` light)."""
+    _API = {
+        "partitioned_map": ("featurebox_ray.stages.partition", "partitioned_map"),
+        "asof_join": ("featurebox_ray.stages.asof", "asof_join"),
+        "hash_join": ("featurebox_ray.stages.join", "hash_join"),
+        "broadcast_join": ("featurebox_ray.stages.join", "broadcast_join"),
+        "WindowSpec": ("featurebox_ray.stages.window", "WindowSpec"),
+        "add_window_features": ("featurebox_ray.stages.window", "add_window_features"),
+        "add_scalar_features": ("featurebox_ray.stages.scalar", "add_scalar_features"),
+        "add_text_features": ("featurebox_ray.stages.text", "add_text_features"),
+        "exact_dedup": ("featurebox_ray.stages.dedup", "exact_dedup"),
+        "minhash_lsh_dedup": ("featurebox_ray.stages.dedup", "minhash_lsh_dedup"),
+        "brute_force_topk": ("featurebox_ray.stages.ann", "brute_force_topk"),
+        "fused_features_backfill": ("featurebox_ray.pipelines.transcript",
+                                    "fused_features_backfill"),
+        "MagnitudeNormalizer": ("featurebox_ray.stages.normalize",
+                                "MagnitudeNormalizer"),
+        "FeatureRegistry": ("featurebox_ray.registry", "FeatureRegistry"),
+        "Catalog": ("featurebox_ray.sources.io", "Catalog"),
+    }
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

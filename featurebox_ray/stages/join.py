@@ -42,8 +42,9 @@ def hash_join(
 
     ``combine`` (optional, ``pa.Table -> pa.Table``): partial-aggregation
     callback applied to each partition's joined rows *before* they leave
-    the join task — the combiner pattern that keeps a downstream global
-    groupby from shuffling the full join output."""
+    the join task — the join-aware aggregate pushdown that LMFAO (VLDB'20,
+    "An Engine for Batches of Group-By Aggregates") formalizes: aggregate
+    inside the join instead of shuffling the full join output."""
     right_on = right_on or on
     lschema = left_ds.schema()
     rschema = right_ds.schema()

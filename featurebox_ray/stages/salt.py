@@ -4,7 +4,8 @@ Problem: one conversation with ~10% of all rows makes its hash partition a
 straggler and can exceed worker heap.  Plain salting (``(conv_id, bucket)``)
 breaks window continuity at bucket boundaries.
 
-Solution here — *bounded-overlap re-read*: window features with bounded
+Solution here — *bounded-overlap re-read* (cf. DS2, ICDE'21: skew
+handling by redistributing a hot key's work with bounded state transfer): window features with bounded
 lookback (lag k, rolling k rows, trailing Δt) only need the previous
 ``overlap`` rows of context.  Each row is assigned a salt bucket from its
 ``turn_idx`` (known from the data, no global sort needed)::
