@@ -273,13 +273,22 @@ def _seg_cummax(v: np.ndarray, row_in_seg: np.ndarray) -> np.ndarray:
     ``big`` bounds ``|v|``); one global accumulate then never crosses bands.
     """
     x = np.asarray(v, dtype=np.float64)
+    n = len(x)
     seg_ord = np.cumsum(row_in_seg == 0) - 1
-    finite = x[np.isfinite(x)]
+    isfin = np.isfinite(x)
+    finite = x[isfin]
     big = (np.max(np.abs(finite)) * 2 + 1.0) if len(finite) else 1.0
-    shifted = np.where(np.isfinite(x), x, -big) + seg_ord * (4.0 * big)
+    shifted = np.where(isfin, x, -big) + seg_ord * (4.0 * big)
     acc = np.maximum.accumulate(shifted)
     out = acc - seg_ord * (4.0 * big)
-    out[out <= -big] = np.nan  # no finite value seen yet in this segment
+    # "no finite value seen yet in this segment" must be an exact integer
+    # test, not a float-sentinel comparison (ULP-fragile): count finite
+    # values from the segment start
+    seg_start = np.arange(n, dtype=np.int64) - row_in_seg
+    c = np.cumsum(isfin)
+    prev = np.concatenate([[0], c[:-1]])
+    seen = (c - prev[seg_start]) > 0
+    out[~seen] = np.nan
     return out
 
 
