@@ -53,6 +53,12 @@ def fused_features_backfill(
     rschema = right_ds.schema()
     rtypes = dict(zip(rschema.names, rschema.types))
 
+    overlap_cols = [c for c in right_cols if c in left_names]
+    if overlap_cols:
+        raise ValueError(
+            f"right_cols {overlap_cols} collide with left columns; "
+            "rename or project the left side first")
+
     left_tag = 1
     right_tag = 2 if strict else 0
 

@@ -89,7 +89,8 @@ def s_dbw(X: np.ndarray, labels: np.ndarray) -> float:
     sigmas = np.array([float(np.linalg.norm(np.var(X[labels == c], axis=0)))
                        for c in ks])
     scatter = float(np.mean(sigmas) / sigma_all) if sigma_all > 0 else 0.0
-    stdev = float(np.sqrt(np.mean(sigmas)))
+    # reference radius: sqrt(sum ||var_c||) / n_clusters (sdw.py __getStdev)
+    stdev = float(np.sqrt(np.sum(sigmas)) / len(ks))
 
     def density(point, members):
         if len(members) == 0:

@@ -172,6 +172,7 @@ class UnionGroupSelect:
         self.ranking_: Optional[List[Tuple[Tuple[int, ...], float]]] = None
 
     def fit(self, X, y, subsets) -> "UnionGroupSelect":
+        self.per_model_ = []  # reset on refit
         agg: dict = {}
         for a in self.alphas:
             gs = GroupSelect(alpha=a, **self.kw).fit(X, y, subsets)

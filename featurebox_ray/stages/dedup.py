@@ -84,19 +84,32 @@ _GRAM_A = np.uint64(1_000_003)
 _GRAM_B = np.uint64(999_999_937)
 
 
-def _token_hashes(text: str) -> np.ndarray:
-    """64-bit per-token hashes: crc32 (C speed) widened with a second salt
-    crc — deterministic across processes, no per-token sha1."""
-    import zlib
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 20
 
+
+def _hash_token(t: str) -> int:
+    """True 64-bit token hash (blake2b/8B).  crc32-based widening is NOT
+    enough: crc32(b, salt) differs from crc32(b) by a constant that
+    depends only on len(b) (CRC linearity), so same-length tokens collide
+    at 32-bit birthday rates.  blake2b per UNIQUE token with a per-worker
+    vocab cache keeps cost ~one hash per vocabulary word."""
+    h = _TOKEN_HASH_CACHE.get(t)
+    if h is None:
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_HASH_CACHE_MAX:
+            _TOKEN_HASH_CACHE.clear()
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+        _TOKEN_HASH_CACHE[t] = h
+    return h
+
+
+def _token_hashes(text: str) -> np.ndarray:
     toks = text.split()
     if not toks:
         toks = [""]
-    out = np.empty(len(toks), np.uint64)
-    for i, t in enumerate(toks):
-        b = t.encode()
-        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
-    return out
+    return np.fromiter((_hash_token(t) for t in toks), dtype=np.uint64,
+                       count=len(toks))
 
 
 def _shingles(text: str, n: int) -> np.ndarray:
@@ -160,6 +173,7 @@ def minhash_bands_fn(batch: pa.Table, *, k: int = 16, bands: int = 4,
     uint64 band-bucket columns (``mh_band0..``) instead of carrying the
     full signature list (32 B/row vs 8k B/row) — the shape a 100 TB
     pipeline ships through its shuffle."""
+    assert k % bands == 0, "k must divide into bands (else hashes are dropped)"
     key = (k, text_col)
     mh = _MH_CACHE.get(key)
     if mh is None:
@@ -201,6 +215,7 @@ def minhash_lsh_dedup(
     each of ``bands`` band-buckets is a groupby on an 8-byte key; only
     (id, signature) pairs shuffle.
     """
+    assert k % bands == 0, "k must divide into bands (else hashes are dropped)"
     rows_per_band = k // bands
     sig_ds = ds.map_batches(
         MinHasher,

@@ -212,6 +212,18 @@ def _task_exchange_map(
     refs = ds.to_arrow_refs()
     P = num_partitions
 
+    if not refs:
+        # empty upstream: run the kernel once on an empty table so the
+        # output dataset still carries the kernel's schema
+        arrow_schema = ds.schema().base_schema if ds.schema() else pa.schema([])
+        empty = arrow_schema.empty_table()
+        inner = kernel_cls(*(fn_constructor_args or ())) if kernel_cls else kernel
+        out = inner(sort_table(empty, [k for k in sort_keys
+                                       if k in empty.column_names]))
+        if drop_part_col and PART_COL in out.column_names:
+            out = out.drop_columns([PART_COL])
+        return ray.data.from_arrow(out)
+
     @ray.remote(num_returns=P)
     def split(table: pa.Table):
         combined = table[key].combine_chunks() if table[key].num_chunks > 1 else table[key]

@@ -68,6 +68,7 @@ def add_window_features_salted(
     order_col: str = "turn_idx",
     num_partitions: int = 32,
     policy: Optional[SaltPolicy] = None,
+    strategy: str = "groupby",
 ):
     """Bounded-window features with per-conversation salting.
 
@@ -88,6 +89,13 @@ def add_window_features_salted(
     need = required_overlap(spec)
     if policy.overlap < need:
         raise ValueError(f"overlap {policy.overlap} < required {need}")
+    if policy.overlap >= policy.bucket_rows:
+        # context is sourced only from the adjacent bucket; an overlap
+        # spanning more than one bucket would silently truncate windows
+        raise ValueError(
+            f"overlap {policy.overlap} must be < bucket_rows "
+            f"{policy.bucket_rows} (context comes from the adjacent bucket "
+            "only); raise bucket_rows")
     b = policy.bucket_rows
     ov = policy.overlap
 
@@ -157,7 +165,7 @@ def add_window_features_salted(
     out = partitioned_map(
         keyed, kernel, key="__salt_key",
         sort_keys=["__salt_key", spec.ts_col, order_col],
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, strategy=strategy,
     )
 
     def cleanup(batch: pa.Table) -> pa.Table:

@@ -72,8 +72,9 @@ def main():
     t_plain = time.time() - t0
 
     t0 = time.time()
+    # same shuffle strategy as the plain path (apples-to-apples)
     salted = add_window_features_salted(
-        base, spec, num_partitions=16,
+        base, spec, num_partitions=16, strategy="tasks",
         policy=SaltPolicy(bucket_rows=20_000, overlap=8)).materialize()
     t_salted = time.time() - t0
 
