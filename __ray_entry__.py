@@ -140,7 +140,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q34_group_select": _group_select,
         "q35_skew_probe": _skew_probe,
         "q36_consensus_rank": _consensus_rank,
+        "q37_bpe_tokens": _bpe_tokens,
     }
+
+
+def _bpe_tokens(sf_dir: str):
+    """BPE-ish tokenizer count (stages/text.py regex) with a strong DuckDB
+    oracle running the identical regex."""
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.text import add_text_features
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = add_text_features(docs, concurrency=(1, 4))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_bpe": batch["ta_n_bpe_tokens"].cast(pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def _skew_probe(sf_dir: str):
@@ -488,6 +510,12 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS err_rate
             FROM events
+        """,
+        "q37_bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe
+            FROM documents
         """,
         "q35_skew_probe": """
             SELECT CAST(user_id AS BIGINT) AS user_id,
