@@ -213,15 +213,60 @@ def golden_recover(X: np.ndarray, y: np.ndarray, *, ops=("add", "sub", "mul"),
 # ---------------------------------------------------------------------------
 
 
-def _random_tree(rng, n_features, depth, un_ops, bin_ops):
+class PreMap:
+    """Terminal-preference map — clean-room analog of the reference's
+    pairwise co-occurrence probability matrix biasing GP generation
+    (featurebox/symbol/probability/preference.py): row-stochastic matrix
+    ``P[i, j]`` = probability of drawing terminal j given the previous
+    terminal was i; ``down(i, j)`` multiplicatively de-emphasizes a pair
+    and re-normalizes rows (reference invariant: rows keep summing to 1).
+    """
+
+    def __init__(self, n_features: int, seed: int = 0):
+        self.n = n_features
+        self.P = np.full((n_features, n_features), 1.0 / n_features)
+
+    def down(self, i: int, j: int, factor: float = 0.5) -> "PreMap":
+        self.P[i, j] *= factor
+        self.P[j, i] *= factor
+        self.P /= self.P.sum(axis=1, keepdims=True)
+        return self
+
+    def up(self, i: int, j: int, factor: float = 2.0) -> "PreMap":
+        return self.down(i, j, factor)
+
+    def draw(self, rng, prev: Optional[int]) -> int:
+        if prev is None:
+            return int(rng.integers(0, self.n))
+        return int(rng.choice(self.n, p=self.P[prev]))
+
+
+def _random_tree(rng, n_features, depth, un_ops, bin_ops,
+                 premap: Optional[PreMap] = None, prev_terminal=None):
     if depth <= 0 or rng.random() < 0.3:
+        if premap is not None:
+            return ("x", premap.draw(rng, prev_terminal))
         return ("x", int(rng.integers(0, n_features)))
     if un_ops and rng.random() < 0.25:
         return (un_ops[rng.integers(0, len(un_ops))],
-                _random_tree(rng, n_features, depth - 1, un_ops, bin_ops))
+                _random_tree(rng, n_features, depth - 1, un_ops, bin_ops,
+                             premap, prev_terminal))
     op = bin_ops[rng.integers(0, len(bin_ops))]
-    return (op, _random_tree(rng, n_features, depth - 1, un_ops, bin_ops),
-            _random_tree(rng, n_features, depth - 1, un_ops, bin_ops))
+    left = _random_tree(rng, n_features, depth - 1, un_ops, bin_ops,
+                        premap, prev_terminal)
+    # bias the right subtree's terminals by the left's first terminal
+    def first_terminal(e):
+        if e[0] == "x":
+            return e[1]
+        if e[0] in UNARY:
+            return first_terminal(e[1])
+        if e[0] in BINARY:
+            return first_terminal(e[1])
+        return None
+
+    return (op, left,
+            _random_tree(rng, n_features, depth - 1, un_ops, bin_ops,
+                         premap, first_terminal(left)))
 
 
 def _subtrees(expr, path=()):
@@ -251,12 +296,14 @@ class SymbolicSearch:
                  tournament: int = 3, cx_prob: float = 0.6, mut_prob: float = 0.3,
                  seed: int = 0, batch_size: int = 200,
                  dims: Optional[Sequence[Dim]] = None,
-                 target_dim: Optional[Dim] = None, dim_penalty: float = 0.5):
+                 target_dim: Optional[Dim] = None, dim_penalty: float = 0.5,
+                 premap: Optional["PreMap"] = None):
         self.pop_size, self.gens, self.depth = pop, gens, depth
         self.un_ops, self.bin_ops = list(un_ops), list(bin_ops)
         self.tournament, self.cx_prob, self.mut_prob = tournament, cx_prob, mut_prob
         self.seed, self.batch_size = seed, batch_size
         self.dims, self.target_dim, self.dim_penalty = dims, target_dim, dim_penalty
+        self.premap = premap
         self.best_expr_: Optional[tuple] = None
         self.best_score_: float = -np.inf
         self.history_: List[float] = []
@@ -280,7 +327,8 @@ class SymbolicSearch:
                     for i in range(0, len(pop), self.batch_size)]
             return np.array([s for b in ray.get(futs) for s in b])
 
-        pop = [_random_tree(rng, nf, self.depth, self.un_ops, self.bin_ops)
+        pop = [_random_tree(rng, nf, self.depth, self.un_ops, self.bin_ops,
+                            self.premap)
                for _ in range(self.pop_size)]
         fit = evaluate(pop)
         for g in range(self.gens):

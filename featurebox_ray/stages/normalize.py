@@ -94,3 +94,37 @@ class MagnitudeNormalizer:
 
     def fit_transform(self, ds):
         return self.fit(ds).transform(ds)
+
+    # ---- y / constants side (preprocess.py:90-170 parity) -------------
+    def fit_y(self, y_mean: float) -> "MagnitudeNormalizer":
+        """Fit the target scale from its (pre-aggregated) mean."""
+        import numpy as np
+
+        m = np.float32(y_mean)
+        s = _scale(float(m))
+        if self.tolerate:
+            lo, hi = 10.0 ** (-self.tolerate), 10.0 ** self.tolerate
+            s = 1.0 if lo <= s <= hi else s
+        self.scale_y = float(np.float32(s) / self.standard)
+        return self
+
+    def transform_y(self, y):
+        assert getattr(self, "scale_y", None) is not None, "fit_y first"
+        return y / self.scale_y
+
+    def inverse_transform_y(self, y):
+        assert getattr(self, "scale_y", None) is not None, "fit_y first"
+        return y * self.scale_y
+
+    def fit_transform_constants(self, consts):
+        """Per-constant scales (reference fit_constant/transform_constant)."""
+        import numpy as np
+
+        consts = np.asarray(consts, dtype=np.float64)
+        scales = np.array([_scale(float(np.float32(c))) for c in consts])
+        if self.tolerate:
+            lo, hi = 10.0 ** (-self.tolerate), 10.0 ** self.tolerate
+            scales = np.where((scales >= lo) & (scales <= hi), 1.0, scales)
+        scales = scales.astype(np.float32) / self.standard
+        self.scale_c = scales.astype(np.float64)
+        return consts / self.scale_c
