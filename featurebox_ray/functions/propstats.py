@@ -217,6 +217,26 @@ def quantile(X, weights=None, q: float = 0.5) -> np.ndarray:
     return np.quantile(_as2d(X), float(q), axis=1)
 
 
+def sorted_(X, weights=None) -> np.ndarray:
+    """Row-wise sorted copy (reference ``sorted``, extrastats.py:299)."""
+    return np.sort(_as2d(X), axis=1)
+
+
+def flatten(X, weights=None) -> np.ndarray:
+    """Flattened copy (reference ``flatten``, extrastats.py:323)."""
+    return np.asarray(X, dtype=np.float64).flatten()
+
+
+def eigenvalues(M, symm: bool = False, sort: bool = False) -> np.ndarray:
+    """Eigenvalues of one matrix (reference ``eigenvalues``,
+    extrastats.py:307)."""
+    M = np.asarray(M, dtype=np.float64)
+    eigs = np.linalg.eigvalsh(M) if symm else np.linalg.eigvals(M)
+    if sort:
+        eigs = np.sort(eigs)
+    return eigs
+
+
 _DISPATCH = {
     "minimum": minimum,
     "maximum": maximum,
@@ -231,6 +251,8 @@ _DISPATCH = {
     "mode": mode,
     "holder_mean": holder_mean,
     "quantile": quantile,
+    "sorted": sorted_,
+    "flatten": flatten,
 }
 
 STAT_NAMES = tuple(_DISPATCH)

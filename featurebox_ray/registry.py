@@ -87,6 +87,21 @@ class FeatureRegistry:
         return pa.schema(list(key_fields) +
                          [pa.field(n, self._specs[n].dtype) for n in self._order])
 
+    def align_names(self, wanted: Sequence[str]) -> List[Optional[str]]:
+        """Reference ``name_to_name`` (tools/tool.py:171-239) analog: align
+        a requested name list against the registry, returning the matching
+        registered name (exact, else unique case-insensitive prefix) or
+        None per entry."""
+        lowered = {n.lower(): n for n in self._order}
+        out: List[Optional[str]] = []
+        for w in wanted:
+            if w in self._specs:
+                out.append(w)
+                continue
+            cand = [n for low, n in lowered.items() if low.startswith(w.lower())]
+            out.append(cand[0] if len(cand) == 1 else None)
+        return out
+
     def validate_table(self, table: pa.Table, *, strict: bool = False) -> List[str]:
         """Missing/mistyped feature columns (strict also flags extras)."""
         problems = []
