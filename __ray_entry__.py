@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from featurebox_ray.pipelines import relational as rel
 
     def _dedup_pairs_minhash(sf_dir: str):
+        """MinHash-LSH candidates + EXACT shingle-Jaccard verification;
+        the DuckDB oracle computes all-pairs exact 3-gram Jaccard, so both
+        recall (banding found every true pair) and precision (verification
+        dropped every sub-threshold candidate) are value-hash-checked."""
         import ray
 
         from featurebox_ray.stages.dedup import minhash_lsh_dedup
@@ -49,30 +53,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
 
     def _dedup_pairs_simhash(sf_dir: str):
+        """Banded SimHash near-dup vs a brute-force all-pairs Hamming
+        fixture: an independent O(n²) numpy pass over the same simhashes
+        writes the ground-truth pair list to a parquet the oracle reads —
+        checking the 4×16 pigeonhole banding is a complete cover."""
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
         import ray
 
-        from featurebox_ray.stages.dedup import simhash_dedup
+        from featurebox_ray.stages.dedup import SimHasher, simhash_dedup
 
         docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-        return simhash_dedup(docs, max_hamming=3)
+
+        # independent brute-force ground truth (all pairs, no banding)
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = SimHasher.batch_simhash(tbl["text"].combine_chunks())
+        order = np.argsort(ids)
+        ids, h = ids[order], h[order]
+        ii, jj = np.triu_indices(len(ids), 1)
+        x = h[ii] ^ h[jj]
+        dist = np.zeros(len(x), np.int64)
+        for b in range(64):
+            dist += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        keep = dist <= 3
+        os.makedirs("/tmp/fbr_oracle", exist_ok=True)
+        pq.write_table(pa.table({
+            "id_a": pa.array(ids[ii[keep]], pa.int64()),
+            "id_b": pa.array(ids[jj[keep]], pa.int64()),
+            "hamming": pa.array(dist[keep], pa.int64()),
+        }), "/tmp/fbr_oracle/simhash_pairs.parquet")
+
+        out = simhash_dedup(docs, max_hamming=3)
+
+        def fin(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "id_a": batch["id_a"].cast(pa.int64()),
+                "id_b": batch["id_b"].cast(pa.int64()),
+                "hamming": batch["hamming"].cast(pa.int64()),
+            })
+
+        return out.map_batches(fin, batch_format="pyarrow")
 
     def _embedding_neardup(sf_dir: str):
+        """Banded hyperplane-LSH cosine near-dup; oracle = DuckDB all-pairs
+        cosine (DOUBLE[]) at the same threshold.  At t=0.45 with r=2, b=48
+        the banding miss probability per true pair is ~4e-12, so the LSH
+        path must reproduce the exact all-pairs answer."""
         import ray
 
         from featurebox_ray.stages.dedup import embedding_neardup
 
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-        return embedding_neardup(emb, threshold=0.9)
+        return embedding_neardup(emb, threshold=0.45, bands=48,
+                                 planes_per_band=2)
 
     def _ivf_ann(sf_dir: str):
+        """IVF ANN with deterministic first-C centroids (zero training
+        iterations) so the DuckDB oracle can replay the exact
+        assignment → probe → in-bucket search → global merge.  The
+        kmeans-trained variant is covered by tests/test_dedup_text_ann."""
         import numpy as np
+        import pyarrow as pa
         import ray
 
         from featurebox_ray.stages.ann import ivf_topk
 
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-        q = [r["embedding"] for r in emb.filter(expr="vec_id < 3").take(3)]
-        return ivf_topk(emb, np.stack(q), k=10, n_centroids=8, nprobe=4)
+        q = [r["embedding"] for r in sorted(
+            emb.filter(expr="vec_id < 3").take(6), key=lambda r: r["vec_id"])]
+        out = ivf_topk(emb, np.stack(q), k=10, n_centroids=8, nprobe=4,
+                       centroid_init="first")
+
+        def fin(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            v = batch["cosine"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "query_id": batch["query_id"].cast(pa.int64()),
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cosine": pa.array(np.round(v, 4)),
+            })
+
+        return out.map_batches(fin, batch_format="pyarrow")
 
     def _text_analysis(sf_dir: str):
         import ray
@@ -536,6 +602,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS ta_n_chars,
                    len(regexp_extract_all(text, '\\S+')) AS ta_n_tokens
             FROM documents
+        """,
+        "q22_minhash_neardup": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] AS s
+              FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+                   round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = ia
+            JOIN cnt cb ON cb.doc_id = ib
+            WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.8
+        """,
+        "q23_simhash_neardup": """
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('/tmp/fbr_oracle/simhash_pairs.parquet')
+        """,
+        "q24_embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+                   CAST(b.vec_id AS BIGINT) AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
+        "q25_ivf_ann": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, c_id FROM (
+                SELECT e.vec_id, c.c_id,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                  c.c_id) AS rn
+                FROM e CROSS JOIN cents c) WHERE rn = 1
+            ),
+            qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            probe AS (
+              SELECT query_id, c_id FROM (
+                SELECT q.query_id, c.c_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                  c.c_id) AS rn
+                FROM qs q CROSS JOIN cents c) WHERE rn <= 4
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   round(cosine, 4) AS cosine
+            FROM (
+              SELECT p.query_id, a.vec_id,
+                     list_cosine_similarity(q.qv, e.v) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+                                a.vec_id) AS rn
+              FROM probe p
+              JOIN assign a ON a.c_id = p.c_id
+              JOIN e ON e.vec_id = a.vec_id
+              JOIN qs q ON q.query_id = p.query_id)
+            WHERE rn <= 10
         """,
         "q20_ann_topk": """
             WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3)

@@ -89,7 +89,7 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
 
         df = group.to_pandas()
         df = df.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return local.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
 
@@ -112,18 +112,42 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
 
 def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
-             sample_size: int = 10000, seed: int = 11):
-    """IVF-style ANN: bucket corpus by nearest centroid; each query scans
-    only its ``nprobe`` closest buckets.  Approximate (recall < 1)."""
+             sample_size: int = 10000, seed: int = 11,
+             centroid_init: str = "kmeans", sub_buckets: int = 4):
+    """IVF-style ANN: bucket corpus by nearest (cosine) centroid; each
+    query scans only its ``nprobe`` closest buckets.  Approximate
+    (recall < 1 when nprobe < n_centroids).
+
+    ``centroid_init``:
+      * ``"kmeans"`` — k-means on a driver-side sample (default).
+      * ``"first"`` — centroids are the corpus vectors with
+        ``id_col < n_centroids``, zero training iterations.  Fully
+        deterministic and SQL-replayable (the q25 DuckDB oracle recomputes
+        the identical assignment/probe/search), so the whole IVF machinery
+        — bucketing, probing, in-bucket exact search, global merge — is
+        value-hash-checked; swap back to "kmeans" for quality.
+
+    ``sub_buckets``: each centroid's inverted list is split into
+    ``sub_buckets`` hash sub-partitions so one search task holds
+    ~1/(n_centroids·sub_buckets) of the corpus, not 1/n_centroids (the
+    global per-query top-k reduce merges sub-bucket results)."""
     import ray
 
-    sample = np.stack(
-        [r[vec_col] for r in ds.limit(sample_size).take(sample_size)]
-    )
-    C = train_centroids(sample, n_centroids, seed=seed)
+    if centroid_init == "first":
+        rows = sorted(
+            ds.filter(expr=f"{id_col} < {n_centroids}").take(n_centroids * 2),
+            key=lambda r: r[id_col])
+        C = _normalize(np.stack([r[vec_col] for r in rows]).astype(np.float64))
+    else:
+        sample = np.stack(
+            [r[vec_col] for r in ds.limit(sample_size).take(sample_size)]
+        )
+        C = train_centroids(sample, n_centroids, seed=seed)
     cref = ray.put(C)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    # ties (equal cosine): stable sort keeps the lower centroid id first,
+    # matching the SQL oracle's (cosine DESC, c_id) ordering
+    probe = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]
     # bucket -> queries probing it
     bucket_queries = {}
     for qi in range(len(Q)):
@@ -137,10 +161,17 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
-                return batch.append_column("__cent", pa.array([], pa.int32()))
+                return (batch.append_column("__cent", pa.array([], pa.int32()))
+                        .append_column("__sub", pa.array([], pa.int32())))
             V = _normalize(np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+            # argmax picks the FIRST max index on ties = lowest centroid id
             a = np.argmax(V @ self.C.T, axis=1).astype(np.int32)
-            return batch.append_column("__cent", pa.array(a))
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                sub = ((ids * np.uint64(0x9E3779B97F4A7C15))
+                       % np.uint64(sub_buckets)).astype(np.int32)
+            return (batch.append_column("__cent", pa.array(a))
+                    .append_column("__sub", pa.array(sub)))
 
     assigned = ds.map_batches(Assign, batch_format="pyarrow",
                               zero_copy_batch=True, concurrency=(1, 4))
@@ -160,22 +191,28 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         sims = Qm[qids] @ V.T
         kk = min(k, len(ids))
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q = np.repeat(np.asarray(qids, np.int32), kk)
-        vidx = part.ravel()
+        out_q = np.empty(len(qids) * kk, np.int32)
+        out_id = np.empty(len(qids) * kk, np.int64)
+        out_c = np.empty(len(qids) * kk, np.float64)
+        for qi, q in enumerate(qids):  # few queries; deterministic ties
+            order = np.lexsort((ids, -sims[qi]))[:kk]  # cosine desc, id asc
+            out_q[qi * kk:(qi + 1) * kk] = q
+            out_id[qi * kk:(qi + 1) * kk] = ids[order]
+            out_c[qi * kk:(qi + 1) * kk] = sims[qi][order]
         return pa.table({
             "query_id": pa.array(out_q),
-            id_col: pa.array(ids[vidx]),
-            "cosine": pa.array(sims[np.repeat(np.arange(len(qids)), kk), vidx]),
+            id_col: pa.array(out_id),
+            "cosine": pa.array(out_c),
         })
 
-    local = assigned.groupby("__cent").map_groups(search_bucket, batch_format="pyarrow")
+    local = assigned.groupby(["__cent", "__sub"]).map_groups(
+        search_bucket, batch_format="pyarrow")
 
     def global_topk(group: pa.Table) -> pa.Table:
         import pandas as pd
 
         df = group.to_pandas()
         df = df.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return local.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")

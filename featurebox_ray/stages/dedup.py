@@ -4,18 +4,27 @@ feature *columns* — featurebox/symbol/base.py:712-731; the same
 content-hash idea applied to rows at scale).
 
 All variants follow the same scale shape: a cheap per-batch vectorized
-signature (map_batches) → hash-partition groupby on the signature (only
-signatures shuffle, never full text where avoidable) → per-group vectorized
-resolution.
+signature (map_batches) → hash-partition groupby on a BUCKETED signature
+key (``hash % P`` — P partition-sized groups, never one tiny group per
+distinct value) → per-bucket vectorized resolution.
 
-* :func:`exact_dedup` — sha1(text) hash-partition + per-group first
-  (min id), collision-checked on the full text inside the group.
+* :func:`exact_dedup` — sha1(text) hash, bucketed ``% P``; one vectorized
+  sort+drop_duplicates per bucket, collision-checked on the full text.
 * :func:`minhash_lsh_dedup` — word-shingle → k minhashes → b bands; band
-  buckets shuffle; candidate pairs verified with exact shingle Jaccard.
+  buckets shuffle; candidate pairs are then VERIFIED with exact shingle
+  Jaccard (set intersection over the candidates' shingle sets) so the
+  output carries true Jaccard, not the signature estimate.
 * :func:`simhash_dedup` — 64-bit simhash, banded into 4×16-bit chunks
-  (Hamming ≤3 guarantee), verified by Hamming distance.
-* :func:`embedding_neardup` — cosine near-dup via random-hyperplane LSH
-  buckets + in-bucket exact cosine.
+  (Hamming ≤3 pigeonhole guarantee), verified by exact Hamming distance.
+* :func:`embedding_neardup` — cosine near-dup via BANDED random-hyperplane
+  LSH (``bands`` independent hash tables of ``planes_per_band`` planes
+  each) + exact in-bucket cosine; recall ≈ 1-(1-p^r)^b is tunable to ~1
+  at a chosen threshold instead of the single-table recall cliff.
+
+Signature computation is batch-vectorized: tokens come from Arrow
+``utf8_split_whitespace`` (zero Python per-row work), token hashes from a
+dictionary-encoded unique-token pass, and per-row minima / bit-sums from
+``np.minimum.reduceat`` / ``np.add.reduceat`` over the list offsets.
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_WORD_SPLIT = None
+_PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _sha64(s: str) -> int:
@@ -35,54 +44,8 @@ def _sha64(s: str) -> int:
 
 
 # ---------------------------------------------------------------------------
-# exact dedup
+# batched tokenization + hashing (shared by minhash / simhash)
 # ---------------------------------------------------------------------------
-
-
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                num_partitions: int = 32):
-    """Keep the first (min ``id_col``) row per exact ``text_col`` value.
-
-    Hash-partition by a 64-bit content hash so the shuffle key is 8 bytes
-    per row; the per-group kernel resolves hash collisions on the raw text.
-    """
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        h = np.fromiter((_sha64(t) for t in texts), dtype=np.uint64,
-                        count=len(texts))
-        return batch.append_column("__h", pa.array(h, pa.uint64()))
-
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-
-    def first_per_text(group: pa.Table) -> pa.Table:
-        # group = all rows of some hash bucket; resolve per exact text
-        import pandas as pd
-
-        df = group.to_pandas()
-        keep = df.sort_values(id_col).drop_duplicates(text_col, keep="first")
-        return pa.Table.from_pandas(keep.drop(columns="__h"), preserve_index=False)
-
-    return hashed.groupby("__h").map_groups(first_per_text, batch_format="pyarrow")
-
-
-# ---------------------------------------------------------------------------
-# minhash + LSH
-# ---------------------------------------------------------------------------
-
-_MERSENNE = (1 << 61) - 1
-
-
-def _minhash_params(k: int, seed: int = 17) -> Tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, k, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, k, dtype=np.int64).astype(np.uint64)
-    return a, b
-
-
-_GRAM_A = np.uint64(1_000_003)
-_GRAM_B = np.uint64(999_999_937)
-
 
 _TOKEN_HASH_CACHE: dict = {}
 _TOKEN_HASH_CACHE_MAX = 1 << 20
@@ -104,31 +67,197 @@ def _hash_token(t: str) -> int:
     return h
 
 
-def _token_hashes(text: str) -> np.ndarray:
-    toks = text.split()
-    if not toks:
-        toks = [""]
-    return np.fromiter((_hash_token(t) for t in toks), dtype=np.uint64,
-                       count=len(toks))
+def _batch_token_hashes(texts: pa.ChunkedArray | pa.Array
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-batch tokenization: returns (flat token hashes,
+    row offsets) where row i's tokens are ``flat[off[i]:off[i+1]]``.
+
+    Tokens are split with Arrow (C++), then hashed once per DISTINCT token
+    in the batch (dictionary encode → blake2b per dictionary entry, with
+    the per-worker vocab cache on top)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(texts)
+    # list offsets (absolute into .values; a sliced array may not start
+    # at 0) -> rebase both offsets and values to the covered range
+    off = np.asarray(toks.offsets).astype(np.int64)
+    flat_tokens = toks.values.slice(off[0], off[-1] - off[0])
+    off = off - off[0]
+    if len(flat_tokens) > 0:
+        # Arrow emits empty tokens at leading/trailing whitespace where
+        # Python str.split() emits none — drop them and rebuild offsets
+        lens = pc.binary_length(flat_tokens).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        if not keep.all():
+            nrows = len(off) - 1
+            row_ids = np.repeat(np.arange(nrows), np.diff(off))
+            kept_counts = np.bincount(row_ids[keep], minlength=nrows)
+            off = np.concatenate([[0], np.cumsum(kept_counts)])
+            flat_tokens = flat_tokens.filter(pa.array(keep))
+    if len(flat_tokens) == 0:
+        return np.empty(0, np.uint64), off
+    d = pc.dictionary_encode(flat_tokens)
+    uniques = d.dictionary.to_pylist()
+    lut = np.fromiter((_hash_token(u) for u in uniques), dtype=np.uint64,
+                      count=len(uniques))
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    return lut[idx], off
 
 
-def _shingles(text: str, n: int) -> np.ndarray:
-    """Hashes of word n-grams, vectorized: combine per-token hashes of the
-    sliding window arithmetically (position-weighted polynomial)."""
-    th = _token_hashes(text)
-    if len(th) < n:
-        pad = np.zeros(n - len(th), np.uint64)
-        th = np.concatenate([th, pad])
-    m = len(th) - n + 1
-    acc = np.zeros(m, np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(n):
-            acc = acc * _GRAM_A + th[j:j + m] * _GRAM_B
-    return acc
+_GRAM_A = np.uint64(1_000_003)
+_GRAM_B = np.uint64(999_999_937)
+
+
+def _batch_shingles(texts, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-n-gram shingle hashes for a whole batch.
+
+    Returns (flat shingle hashes, row offsets).  A global sliding-window
+    polynomial over the flat token-hash array computes every window once;
+    windows that straddle row boundaries are masked out.  Rows with fewer
+    than ``n`` tokens get one zero-padded shingle (matches the per-row
+    semantics: pad with zero-hash tokens)."""
+    flat, off = _batch_token_hashes(texts)
+    nrows = len(off) - 1
+    counts = np.diff(off)
+    T = len(flat)
+    # global windows over flat
+    if T >= n:
+        m = T - n + 1
+        acc = np.zeros(m, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                acc = acc * _GRAM_A + flat[j:j + m] * _GRAM_B
+    else:
+        acc = np.empty(0, np.uint64)
+    out_counts = np.maximum(counts - n + 1, 1)
+    out_off = np.concatenate([[0], np.cumsum(out_counts)])
+    out = np.empty(out_off[-1], np.uint64)
+    # rows with >= n tokens: copy their valid window range from acc
+    long_rows = np.flatnonzero(counts >= n)
+    for i in long_rows:
+        s, c = off[i], counts[i] - n + 1
+        out[out_off[i]:out_off[i] + c] = acc[s:s + c]
+    # short rows (rare): zero-pad to n and compute the single shingle
+    short_rows = np.flatnonzero(counts < n)
+    for i in short_rows:
+        th = np.zeros(n, np.uint64)
+        th[:counts[i]] = flat[off[i]:off[i + 1]]
+        a = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                a = a * _GRAM_A + th[j] * _GRAM_B
+        out[out_off[i]] = a
+    return out, out_off
+
+
+def shingle_set(text: str, n: int = 3) -> np.ndarray:
+    """Sorted unique shingle hashes of one text (for exact-Jaccard
+    verification of candidate pairs)."""
+    arr = pa.array([text], pa.string())
+    flat, off = _batch_shingles(arr, n)
+    return np.unique(flat)
+
+
+# ---------------------------------------------------------------------------
+# bucketed distinct (shared: exact dedup + pair dedup)
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_distinct(ds, key_cols: List[str], hash_cols: List[str],
+                       num_partitions: int, sort_col: Optional[str] = None,
+                       distinct_cols: Optional[List[str]] = None):
+    """Distinct rows by ``key_cols`` via hash-bucket groupby: the shuffle
+    key is ``mix(hash_cols) % P`` (P partition-sized groups — one
+    vectorized pandas ``drop_duplicates`` per bucket, NEVER one UDF call
+    per distinct value).  ``sort_col`` picks which duplicate survives
+    (min); ``distinct_cols`` defaults to ``key_cols``."""
+    P = num_partitions
+    distinct_cols = distinct_cols or key_cols
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, np.uint64)
+        with np.errstate(over="ignore"):
+            for c in hash_cols:
+                v = batch[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+                h = (h ^ v) * _PAIR_MIX
+        return batch.append_column(
+            "__b", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def distinct(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        if sort_col is not None:
+            df = df.sort_values(sort_col, kind="stable")
+        df = df.drop_duplicates(distinct_cols, keep="first").drop(columns="__b")
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return (ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__b").map_groups(distinct, batch_format="pyarrow"))
+
+
+def distinct_pairs(pairs_ds, *, num_partitions: int = 16):
+    """Drop duplicate (id_a, id_b) rows (same pair found in several LSH
+    bands).  Bucketed: shuffle key is an 8-byte pair hash ``% P``."""
+    return _bucketed_distinct(pairs_ds, ["id_a", "id_b"], ["id_a", "id_b"],
+                              num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 32):
+    """Keep the first (min ``id_col``) row per exact ``text_col`` value.
+
+    Hash-partition by ``sha64(text) % P`` so the kernel runs once per
+    partition-sized bucket (vectorized sort + drop_duplicates over the
+    raw text, which also resolves 64-bit hash collisions exactly)."""
+    P = num_partitions
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        h = np.fromiter((_sha64(t) for t in texts), dtype=np.uint64,
+                        count=len(texts))
+        return batch.append_column(
+            "__b", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    hashed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def first_per_text(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        keep = (df.sort_values(id_col, kind="stable")
+                .drop_duplicates(text_col, keep="first").drop(columns="__b"))
+        return pa.Table.from_pandas(keep, preserve_index=False).replace_schema_metadata(None)
+
+    return hashed.groupby("__b").map_groups(first_per_text,
+                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int, seed: int = 17) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, k, dtype=np.int64).astype(np.uint64)
+    return a, b
 
 
 class MinHasher:
-    """Stateful per-actor minhash signature computer (params built once)."""
+    """Stateful per-actor minhash signature computer (params built once).
+
+    Signatures for a whole batch are computed in one vectorized pass:
+    ``(k, n_shingles_total)`` universal-hash matrix (chunked over the
+    shingle axis to bound peak memory) followed by per-row
+    ``np.minimum.reduceat``."""
+
+    _CHUNK = 1 << 16  # shingle-axis chunk: k×CHUNK×8B peak (~32 MB at k=64)
 
     def __init__(self, k: int = 64, shingle_n: int = 3, seed: int = 17,
                  text_col: str = "text"):
@@ -137,18 +266,36 @@ class MinHasher:
         self.n = shingle_n
         self.text_col = text_col
 
+    def batch_signatures(self, texts) -> np.ndarray:
+        """(n_rows, k) uint64 signature matrix for an Arrow string array."""
+        flat, off = _batch_shingles(texts, self.n)
+        nrows = len(off) - 1
+        if nrows == 0:
+            return np.empty((0, self.k), np.uint64)
+        sigs = np.full((self.k, nrows), np.iinfo(np.uint64).max, np.uint64)
+        starts = off[:-1]
+        for s in range(0, len(flat), self._CHUNK):
+            chunk = flat[s:s + self._CHUNK]
+            with np.errstate(over="ignore"):
+                vals = (chunk[None, :] * self.a[:, None]
+                        + self.b[:, None]) % _MERSENNE
+            # rows overlapping this chunk (starts strictly increase: every
+            # row owns >= 1 shingle)
+            lo = np.searchsorted(starts, s, side="right") - 1
+            hi = np.searchsorted(starts, s + len(chunk), side="left")
+            idx = np.clip(starts[lo:hi] - s, 0, None)
+            part = np.minimum.reduceat(vals, idx, axis=1)
+            sigs[:, lo:hi] = np.minimum(sigs[:, lo:hi], part)
+        return sigs.T
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.n)
-        # (k, m) universal hash; min over shingles
-        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        return self.batch_signatures(pa.array([text], pa.string()))[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else \
-            np.empty((0, self.k), np.uint64)
+        sigs = self.batch_signatures(batch[self.text_col])
         return batch.append_column(
-            "__sig", pa.array(list(sigs), pa.list_(pa.uint64(), self.k))
+            "__sig", pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.ravel(), pa.uint64()), self.k)
         )
 
 
@@ -167,6 +314,22 @@ def minhash_signature_fn(batch: pa.Table, *, k: int = 32,
     return mh(batch)
 
 
+def _band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 bucket keys: FNV-fold of each band's signature
+    segment."""
+    n, k = sig.shape
+    rows_per_band = k // bands
+    out = np.empty((n, bands), np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            bucket = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                bucket = bucket * np.uint64(1099511628211) + seg[:, j]
+            out[:, b] = bucket
+    return out
+
+
 def minhash_bands_fn(batch: pa.Table, *, k: int = 16, bands: int = 4,
                      text_col: str = "text") -> pa.Table:
     """Compact dedup-signature stage: MinHash then fold into ``bands``
@@ -178,20 +341,12 @@ def minhash_bands_fn(batch: pa.Table, *, k: int = 16, bands: int = 4,
     mh = _MH_CACHE.get(key)
     if mh is None:
         mh = _MH_CACHE[key] = MinHasher(k=k, text_col=text_col)
-    texts = batch[text_col].to_pylist()
-    if texts:
-        sig = np.stack([mh.signature(t) for t in texts])
-    else:
-        sig = np.empty((0, k), np.uint64)
-    rows_per_band = k // bands
+    sig = mh.batch_signatures(batch[text_col])
+    buckets = _band_buckets(sig, bands)
     out = batch
-    with np.errstate(over="ignore"):
-        for b in range(bands):
-            seg = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            bucket = np.zeros(len(texts), dtype=np.uint64)
-            for j in range(rows_per_band):
-                bucket = bucket * np.uint64(1099511628211) + seg[:, j]
-            out = out.append_column(f"mh_band{b}", pa.array(bucket, pa.uint64()))
+    for b in range(bands):
+        out = out.append_column(f"mh_band{b}",
+                                pa.array(buckets[:, b], pa.uint64()))
     return out
 
 
@@ -204,22 +359,32 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    candidate_est_threshold: float = 0.5,
     concurrency=(2, 16),
+    bucket_cap: int = 2000,
+    verify_cap: int = 2_000_000,
+    round_nd: Optional[int] = 6,
 ):
-    """Near-duplicate pairs via MinHash+LSH.
+    """Near-duplicate pairs via MinHash+LSH, verified with EXACT shingle
+    Jaccard.
 
-    Returns a Dataset of verified candidate pairs
-    ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and estimated
-    Jaccard (signature agreement) ≥ threshold.  Scale shape:
-    signatures are computed in an actor pool (params once per actor), then
-    each of ``bands`` band-buckets is a groupby on an 8-byte key; only
-    (id, signature) pairs shuffle.
-    """
+    Returns a Dataset of pairs ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b`` and exact word-``shingle_n``-gram Jaccard ≥
+    ``jaccard_threshold``.  Scale shape: signatures in an actor pool
+    (params once per actor); each of ``bands`` band-buckets is a groupby
+    on an 8-byte key (only ``(id, signature)`` shuffles); candidate pairs
+    (signature agreement ≥ ``candidate_est_threshold``, a loose lower
+    bound so borderline-est true pairs aren't dropped) are bucket-deduped,
+    then verified against the candidates' exact shingle sets.
+
+    The verification side re-reads text ONLY for candidate doc ids (a tiny
+    broadcast set by construction — near-dup candidates ≪ corpus;
+    ``verify_cap`` enforces the assumption and fails loudly past it)."""
     assert k % bands == 0, "k must divide into bands (else hashes are dropped)"
-    rows_per_band = k // bands
     sig_ds = ds.map_batches(
         MinHasher,
-        fn_constructor_kwargs={"k": k, "shingle_n": shingle_n, "text_col": text_col},
+        fn_constructor_kwargs={"k": k, "shingle_n": shingle_n,
+                               "text_col": text_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
@@ -233,23 +398,17 @@ def minhash_lsh_dedup(
                              "__bucket": pa.array([], pa.uint64()),
                              "__sig": pa.array([], batch["__sig"].type)})
         sig = np.stack(batch["__sig"].to_numpy(zero_copy_only=False))
-        ids = batch[id_col]
-        out_ids, out_band, out_bucket, out_sig = [], [], [], []
-        for bnd in range(bands):
-            seg = sig[:, bnd * rows_per_band:(bnd + 1) * rows_per_band]
-            # bucket key: hash of the band segment
-            bucket = np.zeros(n, dtype=np.uint64)
-            for j in range(rows_per_band):
-                bucket = bucket * np.uint64(1099511628211) + seg[:, j]
-            out_ids.append(ids)
-            out_band.append(np.full(n, bnd, np.int32))
-            out_bucket.append(bucket)
-            out_sig.append(batch["__sig"])
+        buckets = _band_buckets(sig, bands)
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        sigc = batch["__sig"].combine_chunks() if isinstance(
+            batch["__sig"], pa.ChunkedArray) else batch["__sig"]
         return pa.table({
-            id_col: pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_ids]),
-            "__band": pa.array(np.concatenate(out_band)),
-            "__bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
-            "__sig": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_sig]),
+            id_col: pa.concat_arrays([ids] * bands),
+            "__band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)
+                               .reshape(bands, n).ravel()),
+            "__bucket": pa.array(buckets.T.ravel(), pa.uint64()),
+            "__sig": pa.concat_arrays([sigc] * bands),
         })
 
     exploded = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
@@ -259,8 +418,8 @@ def minhash_lsh_dedup(
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
                           "est_jaccard": pa.array([], pa.float64())})
-        if n < 2 or n > 2000:
-            if n > 2000:  # size cap: pathological bucket — log the recall loss
+        if n < 2 or n > bucket_cap:
+            if n > bucket_cap:  # size cap: pathological bucket — log it
                 import logging
 
                 logging.getLogger("featurebox_ray.dedup").warning(
@@ -269,8 +428,6 @@ def minhash_lsh_dedup(
             return empty
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         sig = np.stack(group["__sig"].to_numpy(zero_copy_only=False))
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
         # unique ids only (same doc may appear once per bucket)
         uniq, first = np.unique(ids, return_index=True)
         ids, sig = ids[first], sig[first]
@@ -279,7 +436,7 @@ def minhash_lsh_dedup(
             return empty
         ii, jj = np.triu_indices(m, 1)
         est = (sig[ii] == sig[jj]).mean(axis=1)
-        keep = est >= jaccard_threshold
+        keep = est >= candidate_est_threshold
         return pa.table({
             "id_a": pa.array(ids[ii[keep]]),
             "id_b": pa.array(ids[jj[keep]]),
@@ -289,15 +446,82 @@ def minhash_lsh_dedup(
     pairs = exploded.groupby(["__band", "__bucket"]).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
+    candidates = distinct_pairs(pairs)
+    return verify_jaccard_pairs(
+        candidates, ds, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
+        verify_cap=verify_cap, round_nd=round_nd)
 
-    # same pair can fire in multiple bands -> distinct
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        import pandas as pd
 
-        df = group.to_pandas().drop_duplicates(["id_a", "id_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
+                         id_col: str = "doc_id", shingle_n: int = 3,
+                         jaccard_threshold: float = 0.8,
+                         verify_cap: int = 2_000_000,
+                         round_nd: Optional[int] = 6):
+    """Exact-Jaccard verification of candidate pairs.
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+    Broadcast-small-side pattern: candidate ids (≪ corpus by LSH
+    construction) are collected, the corpus is filtered to candidate docs
+    only (streaming map_batches), their shingle sets are built once and
+    ``ray.put`` — every verification batch reads the shared copy.  Output:
+    ``(id_a, id_b, jaccard)`` with exact Jaccard ≥ threshold."""
+    import ray
+
+    cand = pairs_ds.select_columns(["id_a", "id_b"]).take_all()
+    if len(cand) > verify_cap:
+        raise ValueError(
+            f"{len(cand)} candidate pairs exceed verify_cap={verify_cap}; "
+            "raise candidate_est_threshold or the cap")
+    if not cand:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    ids_needed = sorted({r["id_a"] for r in cand} | {r["id_b"] for r in cand})
+    need_ref = ray.put(np.asarray(ids_needed, dtype=np.int64))
+
+    def candidate_shingles(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, need)
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "__sh": pa.array([], pa.list_(pa.uint64()))})
+        sub = batch.filter(pa.array(mask))
+        flat, off = _batch_shingles(sub[text_col], shingle_n)
+        sets = [np.unique(flat[off[i]:off[i + 1]])
+                for i in range(len(off) - 1)]
+        return pa.table({
+            id_col: sub[id_col].cast(pa.int64()),
+            "__sh": pa.array([s.tolist() for s in sets],
+                             pa.list_(pa.uint64())),
+        })
+
+    sh_rows = (docs_ds.map_batches(candidate_shingles, batch_format="pyarrow",
+                                   zero_copy_batch=True).take_all())
+    sh_map = {r[id_col]: np.asarray(r["__sh"], np.uint64) for r in sh_rows}
+    sh_ref = ray.put(sh_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        jac = np.empty(len(a), np.float64)
+        for i in range(len(a)):
+            sa, sb = sh[a[i]], sh[b[i]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
+        keep = jac >= jaccard_threshold
+        if round_nd is not None:
+            jac = np.round(jac, round_nd)
+        return pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep]),
+        })
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -310,28 +534,54 @@ class SimHasher:
         self.text_col = text_col
 
     @staticmethod
-    def simhash(text: str) -> int:
-        th = _token_hashes(text)  # (m,) uint64
-        # (m, 64) bit matrix in one vectorized op
-        bits = (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        out = np.uint64(0)
-        pos = np.flatnonzero(acc > 0)
-        for b in pos:
-            out |= np.uint64(1) << np.uint64(b)
-        return int(out)
+    def batch_simhash(texts) -> np.ndarray:
+        """(n,) uint64 simhashes for an Arrow string array, vectorized:
+        per-token bit matrix → signed sum per row (add.reduceat) → sign."""
+        flat, off = _batch_token_hashes(texts)
+        nrows = len(off) - 1
+        if nrows == 0:
+            return np.empty(0, np.uint64)
+        if len(flat) == 0:
+            return np.zeros(nrows, np.uint64)
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int8)
+        signed = 2 * bits.astype(np.int32) - 1
+        # rows with zero tokens contribute nothing; reduceat needs strictly
+        # valid starts — clip empty rows then zero them out
+        starts = np.minimum(off[:-1], len(flat) - 1)
+        sums = np.add.reduceat(signed, starts, axis=0)
+        empty = np.diff(off) == 0
+        # reduceat duplicates the next segment for empty rows; fix:
+        sums[empty] = 0
+        # rows whose start == next start (empty) already handled; rows where
+        # start was clipped share the last element — recompute those few
+        clipped = np.flatnonzero((off[:-1] >= len(flat)) & ~empty)
+        for i in clipped:
+            sums[i] = 0
+        pos = (sums > 0).astype(np.uint64)
+        out = np.zeros(nrows, np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(64):
+                out |= pos[:, b] << np.uint64(b)
+        return out
+
+    @classmethod
+    def simhash(cls, text: str) -> int:
+        return int(cls.batch_simhash(pa.array([text], pa.string()))[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        h = np.fromiter((self.simhash(t) for t in texts), dtype=np.uint64,
-                        count=len(texts))
+        h = self.batch_simhash(batch[self.text_col])
         return batch.append_column("__simhash", pa.array(h, pa.uint64()))
 
 
 def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, concurrency=(2, 8)):
+                  max_hamming: int = 3, concurrency=(2, 8),
+                  bucket_cap: int = 4000):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, via 4×16-bit
-    band buckets (pigeonhole: any pair within distance 3 shares a band)."""
+    band buckets (pigeonhole: any pair within distance 3 shares a band).
+    Exact within the bucket cap: banding is a complete cover for ≤3
+    differing bits over 4 bands, and in-bucket pairs are verified with the
+    true Hamming distance."""
     sigged = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
@@ -340,19 +590,20 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         h = batch["__simhash"].to_numpy(zero_copy_only=False)
-        ids = batch[id_col].combine_chunks() if n else batch[id_col]
-        parts = {"__band": [], "__bucket": [], id_col: [], "__simhash": []}
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        sh = batch["__simhash"].combine_chunks() if isinstance(
+            batch["__simhash"], pa.ChunkedArray) else batch["__simhash"]
+        bands_b, bands_bucket = [], []
         for bnd in range(4):
             chunk = (h >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
-            parts["__band"].append(np.full(n, bnd, np.int32))
-            parts["__bucket"].append(chunk.astype(np.uint64))
-            parts[id_col].append(ids)
-            parts["__simhash"].append(batch["__simhash"].combine_chunks() if n else batch["__simhash"])
+            bands_b.append(np.full(n, bnd, np.int32))
+            bands_bucket.append(chunk.astype(np.uint64))
         return pa.table({
-            id_col: pa.concat_arrays([a if isinstance(a, pa.Array) else a.combine_chunks() for a in parts[id_col]]),
-            "__band": pa.array(np.concatenate(parts["__band"])),
-            "__bucket": pa.array(np.concatenate(parts["__bucket"]), pa.uint64()),
-            "__simhash": pa.concat_arrays([a if isinstance(a, pa.Array) else a.combine_chunks() for a in parts["__simhash"]]),
+            id_col: pa.concat_arrays([ids] * 4),
+            "__band": pa.array(np.concatenate(bands_b)),
+            "__bucket": pa.array(np.concatenate(bands_bucket), pa.uint64()),
+            "__simhash": pa.concat_arrays([sh] * 4),
         })
 
     exploded = sigged.map_batches(explode, batch_format="pyarrow")
@@ -362,8 +613,8 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           "id_b": pa.array([], pa.int64()),
                           "hamming": pa.array([], pa.int32())})
         n = group.num_rows
-        if n < 2 or n > 4000:
-            if n > 4000:
+        if n < 2 or n > bucket_cap:
+            if n > bucket_cap:
                 import logging
 
                 logging.getLogger("featurebox_ray.dedup").warning(
@@ -386,65 +637,99 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "id_b": pa.array(ids[jj[keep]]),
                          "hamming": pa.array(dist[keep])})
 
-    p = exploded.groupby(["__band", "__bucket"]).map_groups(pairs, batch_format="pyarrow")
-
-    def dd(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        return pa.Table.from_pandas(
-            group.to_pandas().drop_duplicates(["id_a", "id_b"]),
-            preserve_index=False,
-        )
-
-    return p.groupby(["id_a", "id_b"]).map_groups(dd, batch_format="pyarrow")
+    p = exploded.groupby(["__band", "__bucket"]).map_groups(
+        pairs, batch_format="pyarrow")
+    return distinct_pairs(p)
 
 
 # ---------------------------------------------------------------------------
-# embedding cosine near-dup (LSH-bucketed)
+# embedding cosine near-dup (banded LSH)
 # ---------------------------------------------------------------------------
 
 
 def embedding_neardup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
-                      threshold: float = 0.95, n_planes: int = 12, seed: int = 5):
-    """Pairs with cosine similarity >= threshold.  Random-hyperplane LSH
-    buckets (sign pattern over ``n_planes`` planes) + exact in-bucket cosine.
-    Recall < 1 by construction (LSH); raise ``n_planes`` bands for recall."""
+                      threshold: float = 0.95, bands: int = 16,
+                      planes_per_band: int = 4, seed: int = 5,
+                      bucket_cap: int = 5000, round_nd: Optional[int] = 6):
+    """Pairs with cosine similarity >= threshold.  BANDED random-hyperplane
+    LSH: ``bands`` independent tables, each bucketing on the sign pattern
+    of ``planes_per_band`` hyperplanes, + exact in-bucket cosine (so
+    precision is exact; recall ≈ 1-(1-p^r)^b with p = 1-θ/π).
+
+    Tuning: at threshold t, p = 1-arccos(t)/π; pick (r, b) so recall ≈ 1
+    — e.g. t=0.45 → r=2, b=48 gives 1-4e-12.  The per-band bucket count is
+    2^r, so smaller r trades bigger buckets (more exact-cosine work) for
+    recall; bucket_cap bounds the damage and logs any skipped bucket."""
+
+    n_planes = bands * planes_per_band
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64) \
-            if batch.num_rows else np.empty((0, 1))
-        rng = np.random.default_rng(seed)
-        planes = rng.normal(size=(vecs.shape[1] if vecs.size else 1, n_planes))
-        signs = (vecs @ planes > 0) if vecs.size else np.empty((0, n_planes), bool)
-        bucket = np.zeros(len(vecs), dtype=np.uint64)
-        for j in range(n_planes):
-            bucket = (bucket << np.uint64(1)) | signs[:, j].astype(np.uint64)
-        return batch.append_column("__bucket", pa.array(bucket, pa.uint64()))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "__band": pa.array([], pa.int32()),
+                             "__bucket": pa.array([], pa.uint64()),
+                             vec_col: pa.array([], batch[vec_col].type)})
+        vecs = np.stack(
+            batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        rng = np.random.default_rng(seed)  # deterministic per batch (cheap)
+        planes = rng.normal(size=(vecs.shape[1], n_planes))
+        signs = (vecs @ planes > 0)
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        vc = batch[vec_col].combine_chunks() if isinstance(
+            batch[vec_col], pa.ChunkedArray) else batch[vec_col]
+        out_band, out_bucket = [], []
+        for bnd in range(bands):
+            seg = signs[:, bnd * planes_per_band:(bnd + 1) * planes_per_band]
+            bucket = np.zeros(n, dtype=np.uint64)
+            for j in range(planes_per_band):
+                bucket = (bucket << np.uint64(1)) | seg[:, j].astype(np.uint64)
+            out_band.append(np.full(n, bnd, np.int32))
+            out_bucket.append(bucket)
+        return pa.table({
+            id_col: pa.concat_arrays([ids] * bands),
+            "__band": pa.array(np.concatenate(out_band)),
+            "__bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
+            vec_col: pa.concat_arrays([vc] * bands),
+        })
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     def pairs(group: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
                           "cosine": pa.array([], pa.float64())})
         n = group.num_rows
-        if n < 2 or n > 5000:
-            if n > 5000:
+        if n < 2 or n > bucket_cap:
+            if n > bucket_cap:
                 import logging
 
                 logging.getLogger("featurebox_ray.dedup").warning(
                     "embedding LSH bucket over cap (%d rows) skipped", n)
             return empty
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
-        V = np.stack(group[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        V = np.stack(
+            group[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        uniq, first = np.unique(ids, return_index=True)
+        ids, V = ids[first], V[first]
+        m = len(ids)
+        if m < 2:
+            return empty
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         Vn = V / norms
         sim = Vn @ Vn.T
-        ii, jj = np.triu_indices(n, 1)
+        ii, jj = np.triu_indices(m, 1)
         keep = sim[ii, jj] >= threshold
+        cos = sim[ii, jj][keep]
+        if round_nd is not None:
+            cos = np.round(cos, round_nd)
         return pa.table({"id_a": pa.array(ids[ii[keep]]),
                          "id_b": pa.array(ids[jj[keep]]),
-                         "cosine": pa.array(sim[ii, jj][keep])})
+                         "cosine": pa.array(cos)})
 
-    return bucketed.groupby("__bucket").map_groups(pairs, batch_format="pyarrow")
+    p = bucketed.groupby(["__band", "__bucket"]).map_groups(
+        pairs, batch_format="pyarrow")
+    return distinct_pairs(p)
