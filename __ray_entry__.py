@@ -141,16 +141,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(fin, batch_format="pyarrow")
 
     def _text_analysis(sf_dir: str):
+        """Full text-analysis surface (lang-ID, quality, stopword ratio,
+        BPE-ish token count, md5 winnowing fingerprint) — every column is
+        replayed by the DuckDB oracle (same RE2 regexes, same stopword
+        lists, min(md5(5-gram)) fingerprint)."""
+        import numpy as np
+        import pyarrow as pa
         import ray
 
         from featurebox_ray.stages.text import add_text_features
 
-        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
         out = add_text_features(docs, concurrency=(1, 4))
-        return out.select_columns(
-            ["doc_id", "ta_lang", "ta_quality", "ta_fingerprint",
-             "ta_stopword_ratio", "ta_n_bpe_tokens"]
-        )
+
+        def fin(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "ta_lang": batch["ta_lang"],
+                "ta_quality": pa.array(np.round(
+                    batch["ta_quality"].to_numpy(zero_copy_only=False), 6)),
+                "ta_stopword_ratio": pa.array(np.round(
+                    batch["ta_stopword_ratio"].to_numpy(zero_copy_only=False), 6)),
+                "ta_n_bpe_tokens": batch["ta_n_bpe_tokens"].cast(pa.int64()),
+                "ta_fingerprint": batch["ta_fingerprint"],
+            })
+
+        return out.map_batches(fin, batch_format="pyarrow")
 
     def _multimodal(sf_dir: str):
         import ray
@@ -404,6 +421,48 @@ def _ego_rank(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
+    from featurebox_ray.stages.text import _LANG_STOPWORDS
+
+    def _inlist(ws):
+        return ", ".join(f"'{w}'" for w in ws)
+
+    ratio_cols = ",\n".join(
+        f"    CAST(len(list_filter(t, x -> lower(x) IN ({_inlist(ws)}))) "
+        f"AS DOUBLE) / greatest(1, len(t)) AS r_{lg}"
+        for lg, ws in _LANG_STOPWORDS.items())
+    q26 = f"""
+        WITH base AS (
+          SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS t
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, text, t, len(t) AS ntok,
+{ratio_cols}
+          FROM base
+        ),
+        fp AS (
+          SELECT doc_id,
+                 min(md5(array_to_string(list_slice(t, i, i + 4), ' '))) AS fp
+          FROM base, LATERAL unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)
+          GROUP BY doc_id
+        )
+        SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+          CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0.05 THEN 'und'
+               WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+               WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+               WHEN r_fr >= r_es THEN 'fr' ELSE 'es' END AS ta_lang,
+          round(least(1.0, ntok / 20.0)
+            * (1 - least(1.0, CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                                   AS DOUBLE) / greatest(1, length(text)) * 4))
+            * (1 - least(1.0, CAST(len(regexp_extract_all(text, '[A-Z]'))
+                                   AS DOUBLE) / greatest(1, length(text)) * 2)),
+            6) AS ta_quality,
+          round(greatest(r_en, r_de, r_fr, r_es), 6) AS ta_stopword_ratio,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
+            AS ta_n_bpe_tokens,
+          coalesce(fp.fp, '') AS ta_fingerprint
+        FROM r LEFT JOIN fp ON fp.doc_id = r.doc_id
+    """
     sess_cte = f"""
         WITH d AS (
           SELECT event_id, user_id, ts, value,
@@ -603,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\\S+')) AS ta_n_tokens
             FROM documents
         """,
+        "q26_text_analysis": q26,
         "q22_minhash_neardup": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents

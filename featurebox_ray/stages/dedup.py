@@ -67,14 +67,13 @@ def _hash_token(t: str) -> int:
     return h
 
 
-def _batch_token_hashes(texts: pa.ChunkedArray | pa.Array
-                        ) -> Tuple[np.ndarray, np.ndarray]:
-    """Vectorized per-batch tokenization: returns (flat token hashes,
-    row offsets) where row i's tokens are ``flat[off[i]:off[i+1]]``.
-
-    Tokens are split with Arrow (C++), then hashed once per DISTINCT token
-    in the batch (dictionary encode → blake2b per dictionary entry, with
-    the per-worker vocab cache on top)."""
+def split_tokens(texts: "pa.ChunkedArray | pa.Array"
+                 ) -> Tuple[pa.Array, np.ndarray]:
+    """Vectorized whitespace tokenization with Python ``str.split()``
+    semantics: returns (flat token StringArray, row offsets) where row i's
+    tokens are ``flat[off[i]:off[i+1]]``.  Arrow's C++ splitter does the
+    work; empty tokens Arrow emits at leading/trailing whitespace (which
+    Python's split() never yields) are dropped and offsets rebuilt."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     toks = pc.utf8_split_whitespace(texts)
@@ -84,8 +83,6 @@ def _batch_token_hashes(texts: pa.ChunkedArray | pa.Array
     flat_tokens = toks.values.slice(off[0], off[-1] - off[0])
     off = off - off[0]
     if len(flat_tokens) > 0:
-        # Arrow emits empty tokens at leading/trailing whitespace where
-        # Python str.split() emits none — drop them and rebuild offsets
         lens = pc.binary_length(flat_tokens).to_numpy(zero_copy_only=False)
         keep = lens > 0
         if not keep.all():
@@ -94,6 +91,18 @@ def _batch_token_hashes(texts: pa.ChunkedArray | pa.Array
             kept_counts = np.bincount(row_ids[keep], minlength=nrows)
             off = np.concatenate([[0], np.cumsum(kept_counts)])
             flat_tokens = flat_tokens.filter(pa.array(keep))
+    return flat_tokens, off
+
+
+def _batch_token_hashes(texts: "pa.ChunkedArray | pa.Array"
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-batch tokenization: returns (flat token hashes,
+    row offsets) where row i's tokens are ``flat[off[i]:off[i+1]]``.
+
+    Tokens are split with Arrow (C++), then hashed once per DISTINCT token
+    in the batch (dictionary encode → blake2b per dictionary entry, with
+    the per-worker vocab cache on top)."""
+    flat_tokens, off = split_tokens(texts)
     if len(flat_tokens) == 0:
         return np.empty(0, np.uint64), off
     d = pc.dictionary_encode(flat_tokens)

@@ -1,7 +1,21 @@
 """Text-analysis operators over document tables — language ID, quality
 scoring, token counting, fingerprinting.  All stateless vectorized
-``map_batches`` stages (compiled regexes / constant tables built once per
-actor via callable classes where state exists).
+``map_batches`` stages (constant tables / stopword value-sets built once
+per actor via callable classes).
+
+Fully batch-vectorized: character-level counts run as Arrow RE2 kernels
+(``count_substring_regex`` / ``utf8_length``), token-level stats
+(stopword hits, mean token length) run as ``pc.is_in`` + numpy
+``reduceat`` over the token-list offsets from
+:func:`..stages.dedup.split_tokens`.  The only per-row Python left is the
+md5 winnowing fingerprint (hashlib.md5 per token 5-gram — the hash itself
+is the cost; chosen because DuckDB ``md5()`` can replay it, giving the
+q26 oracle a value-hash check on every output column).
+
+Regex semantics note: counts use RE2 (Arrow + DuckDB both), where ``\\w``
+is ASCII ``[0-9A-Za-z_]`` and uppercase is ``[A-Z]`` — byte-identical
+between engine and oracle; non-ASCII corpora would need the unicode-aware
+variants.
 
 No reference analog (featurebox is numeric); these are the training-data
 operators the engine adds for 100 TB corpora (task brief).
@@ -10,109 +24,123 @@ operators the engine adds for 100 TB corpora (task brief).
 from __future__ import annotations
 
 import hashlib
-import re
 from typing import Dict, List
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# tiny public stopword profiles for the n-gram/stopword language heuristic
-_LANG_STOPWORDS: Dict[str, set] = {
-    "en": {"the", "and", "of", "to", "in", "a", "is", "that", "for", "it",
-           "on", "with", "as", "was", "at", "by", "an", "be", "this", "are"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
-           "zu", "den", "von", "für", "auf", "im", "des"},
-    "fr": {"le", "la", "les", "et", "est", "pas", "des", "un", "une", "du",
-           "que", "qui", "dans", "pour", "sur", "avec"},
-    "es": {"el", "la", "los", "las", "y", "es", "no", "con", "un", "una",
-           "de", "que", "en", "por", "para"},
+from .dedup import split_tokens
+
+# tiny public stopword profiles for the stopword-ratio language heuristic
+_LANG_STOPWORDS: Dict[str, tuple] = {
+    "en": ("the", "and", "of", "to", "in", "a", "is", "that", "for", "it",
+           "on", "with", "as", "was", "at", "by", "an", "be", "this", "are"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "für", "auf", "im", "des"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "des", "un", "une", "du",
+           "que", "qui", "dans", "pour", "sur", "avec"),
+    "es": ("el", "la", "los", "las", "y", "es", "no", "con", "un", "una",
+           "de", "que", "en", "por", "para"),
 }
 
-_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
-_PUNCT = re.compile(r"[^\w\s]")
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+PUNCT_PATTERN = r"[^\w\s]"
+UPPER_PATTERN = r"[A-Z]"
+FINGERPRINT_W = 5
+
+
+def _row_sums(values: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Sum ``values`` per row given list offsets (empty rows -> 0)."""
+    nrows = len(off) - 1
+    if len(values) == 0:
+        return np.zeros(nrows, values.dtype if values.dtype.kind == "f"
+                        else np.int64)
+    starts = np.minimum(off[:-1], len(values) - 1)
+    sums = np.add.reduceat(values, starts)
+    sums[np.diff(off) == 0] = 0
+    return sums
 
 
 class TextFeaturizer:
-    """Actor-pool stage: language-ID + quality metrics + token counts +
-    64-bit fingerprint per document, appended as columns."""
+    """Stateful stage: language-ID + quality metrics + token counts +
+    md5 winnowing fingerprint per document, appended as columns."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.langs = list(_LANG_STOPWORDS)
-        self.stop = _LANG_STOPWORDS
-        self.bpe = _BPE_ISH
-        self.punct = _PUNCT
+        self.stop_sets = {
+            lg: pa.array(ws, pa.string()) for lg, ws in _LANG_STOPWORDS.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts: List[str] = batch[self.text_col].to_pylist()
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
         n = len(texts)
-        n_chars = np.empty(n, np.int64)
-        n_ws_tokens = np.empty(n, np.int64)
-        n_bpe_tokens = np.empty(n, np.int64)
-        mean_tok_len = np.empty(n, np.float64)
-        stopword_ratio = np.empty(n, np.float64)
-        punct_ratio = np.empty(n, np.float64)
-        upper_ratio = np.empty(n, np.float64)
-        quality = np.empty(n, np.float64)
-        lang = np.empty(n, object)
-        fp = np.empty(n, np.uint64)
-        for i, t in enumerate(texts):
-            toks = t.split()
-            n_chars[i] = len(t)
-            n_ws_tokens[i] = len(toks)
-            n_bpe_tokens[i] = len(self.bpe.findall(t))
-            mean_tok_len[i] = (
-                sum(len(x) for x in toks) / len(toks) if toks else 0.0
-            )
-            lower = [x.lower() for x in toks]
-            best, best_score = "und", 0.0
-            for lg in self.langs:
-                sw = self.stop[lg]
-                score = sum(1 for x in lower if x in sw) / max(1, len(lower))
-                if score > best_score:
-                    best, best_score = lg, score
-            lang[i] = best if best_score > 0.05 else "und"
-            stopword_ratio[i] = best_score
-            n_punct = len(self.punct.findall(t))
-            punct_ratio[i] = n_punct / max(1, len(t))
-            n_upper = sum(1 for ch in t if ch.isupper())
-            upper_ratio[i] = n_upper / max(1, len(t))
-            # simple bounded quality score: long enough, word-like tokens,
-            # not punctuation-soup, not shouting
-            quality[i] = (
-                min(1.0, len(toks) / 20.0)
-                * (1.0 - min(1.0, punct_ratio[i] * 4))
-                * (1.0 - min(1.0, upper_ratio[i] * 2))
-            )
-            fp[i] = self._fingerprint(toks)
-        out = batch
-        for name, arr, typ in [
-            ("ta_n_chars", n_chars, pa.int64()),
-            ("ta_n_tokens", n_ws_tokens, pa.int64()),
-            ("ta_n_bpe_tokens", n_bpe_tokens, pa.int64()),
-            ("ta_mean_tok_len", mean_tok_len, pa.float64()),
-            ("ta_stopword_ratio", stopword_ratio, pa.float64()),
-            ("ta_punct_ratio", punct_ratio, pa.float64()),
-            ("ta_upper_ratio", upper_ratio, pa.float64()),
-            ("ta_quality", quality, pa.float64()),
-        ]:
-            out = out.append_column(name, pa.array(arr, typ))
-        out = out.append_column("ta_lang", pa.array(list(lang), pa.string()))
-        out = out.append_column("ta_fingerprint", pa.array(fp, pa.uint64()))
-        return out
+        n_chars = pc.utf8_length(texts).cast(pa.int64())
+        n_bpe = pc.count_substring_regex(texts, BPE_PATTERN).cast(pa.int64())
+        n_punct = pc.count_substring_regex(
+            texts, PUNCT_PATTERN).to_numpy(zero_copy_only=False)
+        n_upper = pc.count_substring_regex(
+            texts, UPPER_PATTERN).to_numpy(zero_copy_only=False)
 
-    @staticmethod
-    def _fingerprint(toks: List[str], w: int = 5) -> int:
-        """Winnowing-style document fingerprint: min 64-bit hash over rolling
-        word w-grams (deterministic; equal for token-identical docs)."""
-        if not toks:
-            return 0
-        grams = [" ".join(toks[i:i + w]) for i in range(max(1, len(toks) - w + 1))]
-        return min(
-            int.from_bytes(hashlib.sha1(g.encode()).digest()[:8], "little")
-            for g in grams
-        )
+        flat, off = split_tokens(texts)
+        counts = np.diff(off)
+        denom = np.maximum(counts, 1).astype(np.float64)
+        tok_lens = (pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                    .astype(np.int64) if len(flat) else np.empty(0, np.int64))
+        mean_tok_len = _row_sums(tok_lens, off) / denom
+
+        lower = pc.utf8_lower(flat) if len(flat) else flat
+        ratios = np.empty((len(self.langs), n), np.float64)
+        for li, lg in enumerate(self.langs):
+            hits = (pc.is_in(lower, value_set=self.stop_sets[lg])
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                    if len(flat) else np.empty(0, np.int64))
+            ratios[li] = _row_sums(hits, off) / denom
+        best_idx = np.argmax(ratios, axis=0)  # first max wins on ties
+        best_score = ratios[best_idx, np.arange(n)] if n else np.empty(0)
+        lang_arr = np.asarray(self.langs, object)[best_idx]
+        lang_arr = np.where(best_score > 0.05, lang_arr, "und")
+
+        chars_f = np.maximum(
+            n_chars.to_numpy(zero_copy_only=False), 1).astype(np.float64)
+        punct_ratio = n_punct / chars_f
+        upper_ratio = n_upper / chars_f
+        quality = (np.minimum(1.0, counts / 20.0)
+                   * (1.0 - np.minimum(1.0, punct_ratio * 4))
+                   * (1.0 - np.minimum(1.0, upper_ratio * 2)))
+
+        # md5 winnowing fingerprint (per-row; hashlib.md5 per w-gram is the
+        # irreducible cost — replayable in SQL as min(md5(gram)))
+        toks_py: List[str] = flat.to_pylist()
+        w = FINGERPRINT_W
+        fp = np.empty(n, object)
+        for i in range(n):
+            row = toks_py[off[i]:off[i + 1]]
+            if not row:
+                fp[i] = ""
+                continue
+            fp[i] = min(
+                hashlib.md5(" ".join(row[j:j + w]).encode()).hexdigest()
+                for j in range(max(1, len(row) - w + 1)))
+
+        out = batch
+        for name, arr in [
+            ("ta_n_chars", n_chars),
+            ("ta_n_tokens", pa.array(counts.astype(np.int64))),
+            ("ta_n_bpe_tokens", n_bpe),
+            ("ta_mean_tok_len", pa.array(mean_tok_len)),
+            ("ta_stopword_ratio", pa.array(best_score)),
+            ("ta_punct_ratio", pa.array(punct_ratio)),
+            ("ta_upper_ratio", pa.array(upper_ratio)),
+            ("ta_quality", pa.array(quality)),
+            ("ta_lang", pa.array(list(lang_arr), pa.string())),
+            ("ta_fingerprint", pa.array(list(fp), pa.string())),
+        ]:
+            out = out.append_column(name, arr)
+        return out
 
 
 def add_text_features(ds, *, text_col: str = "text", batch_size: int = 4096,
