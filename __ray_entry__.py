@@ -594,9 +594,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
         "q12_normalize": """
+            -- reference ger_magnitude closed form: m>1 -> 10^(floor(log10 m)+1),
+            -- 0<m<=1 -> 10^-(floor(-log10 m)+1), m<=-1 -> 1
+            WITH m AS (SELECT avg(value) AS mv FROM events),
+            s AS (SELECT CASE WHEN mv = 0 THEN 1
+                              WHEN mv <= -1 THEN 1
+                              WHEN abs(mv) > 1
+                                THEN pow(10, floor(log10(abs(mv))) + 1)
+                              ELSE pow(10, -(floor(-log10(abs(mv))) + 1))
+                         END AS sc FROM m)
             SELECT event_id,
-                   round(value / pow(10, floor(log10(abs(
-                       (SELECT avg(value) FROM events))))), 6) AS value_scaled
+                   round(value / (SELECT sc FROM s), 6) AS value_scaled
             FROM events
         """,
         "q13_poly": """

@@ -135,9 +135,9 @@ def _window_bounds_time(
     the sorted order — equal-ts rows sorting *after* the current row are
     excluded (pandas time-rolling semantics).  SQL ``RANGE ... CURRENT
     ROW`` frames additionally include later equal-ts peers; the two agree
-    iff ``(key, ts)`` has no duplicates (verified for the driver testdata;
-    a peers-inclusive end bound would be ``searchsorted(mono, mono,
-    side='right')`` if needed).
+    iff ``(key, ts)`` has no duplicates.  For SQL semantics pass
+    ``include_ts_peers=True`` to :func:`rolling_stats_time`, which pairs
+    these starts with :func:`_peer_end_bounds` ends.
 
     Vectorized via a per-segment monotone offset: within a segment ts is
     non-decreasing, so we build a globally non-decreasing key by adding an
@@ -164,7 +164,33 @@ def _window_bounds_time(
     return np.maximum(starts, seg_start)
 
 
-def _sums_over_bounds(values: np.ndarray, win_start: np.ndarray):
+def _peer_end_bounds(
+    ts_us: np.ndarray, seg_start: np.ndarray, row_in_seg: np.ndarray
+) -> np.ndarray:
+    """Exclusive end index of each row's equal-ts peer group within its
+    segment — the SQL ``RANGE ... CURRENT ROW`` frame end, which includes
+    LATER rows sharing the current timestamp.  Uses the same monotone
+    composite key as :func:`_window_bounds_time` (segment offsets keep
+    equal ts in different segments distinct)."""
+    n = len(ts_us)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    is_start = row_in_seg == 0
+    base = ts_us[seg_start]
+    rel = ts_us - base
+    start_pos = np.flatnonzero(is_start)
+    ends = np.append(start_pos[1:], n)
+    span = rel[ends - 1]
+    seg_offsets = np.zeros(len(start_pos), dtype=np.int64)
+    if len(start_pos) > 1:
+        seg_offsets[1:] = np.cumsum(span[:-1] + 1)
+    off = np.repeat(seg_offsets, ends - start_pos)
+    mono = rel + off
+    return np.searchsorted(mono, mono, side="right")
+
+
+def _sums_over_bounds(values: np.ndarray, win_start: np.ndarray,
+                      win_end: Optional[np.ndarray] = None):
     """Trailing-window count / sum / sumsq via prefix sums, null-aware
     (NaN values excluded, as SQL aggregates ignore NULLs).
 
@@ -181,7 +207,7 @@ def _sums_over_bounds(values: np.ndarray, win_start: np.ndarray):
     c_cnt = np.concatenate([[0], np.cumsum(ok)])
     c_sum = np.concatenate([[0.0], np.cumsum(v0)])
     c_sq = np.concatenate([[0.0], np.cumsum(v0 * v0)])
-    end = idx + 1
+    end = idx + 1 if win_end is None else win_end
     cnt = c_cnt[end] - c_cnt[win_start]
     s = c_sum[end] - c_sum[win_start]
     sq = c_sq[end] - c_sq[win_start]
@@ -211,14 +237,24 @@ def rolling_stats_time(
     row_in_seg: np.ndarray,
     *,
     ddof: int = 1,
+    include_ts_peers: bool = False,
 ) -> dict:
-    """Trailing time-window ``[ts - delta, ts]`` count/sum/mean/std."""
+    """Trailing time-window ``[ts - delta, ts]`` count/sum/mean/std.
+
+    ``include_ts_peers=False`` (default): window ends at the current row
+    POSITION — later rows with the same timestamp are excluded (pandas
+    time-rolling semantics).  ``True``: window ends after the last
+    equal-ts peer — SQL ``RANGE ... CURRENT ROW`` semantics.  The two
+    agree iff (key, ts) has no duplicates."""
     win_start = _window_bounds_time(ts_us, seg_start, row_in_seg, delta_us)
-    return _finish_stats(values, win_start, ddof)
+    win_end = (_peer_end_bounds(ts_us, seg_start, row_in_seg)
+               if include_ts_peers else None)
+    return _finish_stats(values, win_start, ddof, win_end)
 
 
-def _finish_stats(values: np.ndarray, win_start: np.ndarray, ddof: int) -> dict:
-    cnt, s, sq = _sums_over_bounds(values, win_start)
+def _finish_stats(values: np.ndarray, win_start: np.ndarray, ddof: int,
+                  win_end: Optional[np.ndarray] = None) -> dict:
+    cnt, s, sq = _sums_over_bounds(values, win_start, win_end)
     with np.errstate(invalid="ignore", divide="ignore"):
         mean = np.where(cnt > 0, s / cnt, np.nan)
         var = np.where(

@@ -133,31 +133,19 @@ def filter_project_revenue(sf_dir: str, min_ship: str = "1995-01-01"):
 
 def top_customers(sf_dir: str, k: int = 10):
     """orders ⋈ customer (broadcast small side) → per-customer revenue →
-    global top-k.  customer is small at every sandbox SF → broadcast lookup
-    instead of a shuffle join; at 100 TB swap for Dataset.join."""
-    import ray
+    global top-k.  The dim table rides the object store ONCE
+    (``broadcast_join``: ``ray.put`` + per-batch Arrow hash join inside
+    the tasks — the driver never materializes or loops over it); at 100 TB
+    with a large dim side swap for ``hash_join``."""
     from ray.data.aggregate import Sum
+
+    from ..stages.join import broadcast_join
 
     orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     per_cust = orders.groupby("o_custkey").aggregate(Sum("o_totalprice"))
-    cust = read(sf_dir, "customer", ["c_custkey", "c_name"]).to_arrow_refs()
-    cust_tbl = pa.concat_tables([ray.get(r) for r in cust])
-    names = dict(zip(cust_tbl["c_custkey"].to_pylist(),
-                     cust_tbl["c_name"].to_pylist()))
-    names_ref = ray.put(names)
-
-    class AttachName:
-        def __init__(self):
-            self.names = ray.get(names_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_pylist()
-            return batch.append_column(
-                "c_name", pa.array([self.names.get(key) for key in keys], pa.string())
-            )
-
-    named = per_cust.map_batches(AttachName, batch_format="pyarrow",
-                                 concurrency=(1, 2))
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    named = broadcast_join(per_cust, cust, on="o_custkey",
+                           right_on="c_custkey")
     named = rename(named, {"sum(o_totalprice)": "total_spent"})
     named = _round_cols(named, ["total_spent"], 4)
     return named.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k)

@@ -82,17 +82,20 @@ def hash_join(
     rt = right_ds.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
     unioned = lt.union(rt)
 
-    def merge(table: pa.Table) -> pa.Table:
-        import pandas as pd
+    arrow_how = {"inner": "inner", "left": "left outer"}[how]
+    out_order = list(left_cols) + list(right_cols)
 
+    def merge(table: pa.Table) -> pa.Table:
+        # Arrow-native per-partition join: no pandas round-trip, and —
+        # unlike pandas merge — unmatched left rows null-fill the right
+        # columns WITHOUT promoting int64 -> float64, so every partition
+        # emits the same fixed schema
         side = table[SIDE].to_numpy(zero_copy_only=False)
         lmask = side == 0
         left_t = table.filter(pa.array(lmask)).select(left_cols)
         right_t = table.filter(pa.array(~lmask)).select([on] + right_cols)
-        ldf = left_t.to_pandas()
-        rdf = right_t.to_pandas()
-        out = ldf.merge(rdf, on=on, how=how)
-        joined = pa.Table.from_pandas(out, preserve_index=False)
+        joined = left_t.join(right_t, keys=on, join_type=arrow_how)
+        joined = joined.select(out_order)
         return combine(joined) if combine is not None else joined
 
     return partitioned_map(
@@ -101,30 +104,39 @@ def hash_join(
     )
 
 
-def broadcast_join(left_ds, right_table: pa.Table, *, on: str,
+def broadcast_join(left_ds, right_table, *, on: str,
                    right_on: Optional[str] = None,
                    batch_size: int = 65536, concurrency=(1, 8)):
-    """Map-side join against a small in-memory right table (no shuffle):
-    ``ray.put`` once, per-actor pandas index, vectorized ``merge`` per
-    batch.  Left rows with no match get nulls (left join)."""
+    """Map-side join against a small right side (no shuffle): the right
+    table rides the object store once and each actor runs an Arrow hash
+    join per batch.  Left rows with no match get nulls (left join); output
+    row order within a batch follows the Arrow join, not the input.
+
+    ``right_table`` may be a ``pa.Table`` (``ray.put`` once) or a Ray
+    ``Dataset`` — then only its block REFS travel through the driver and
+    the bytes are concatenated inside each actor."""
     import ray
 
     right_on = right_on or on
-    ref = ray.put(right_table)
+    if isinstance(right_table, pa.Table):
+        refs = [ray.put(right_table)]
+    else:
+        refs = right_table.to_arrow_refs()
 
     class Joiner:
         def __init__(self):
-            import pandas as pd
-
-            rt = ray.get(ref)
-            self.rdf = rt.to_pandas().rename(columns={right_on: on})
+            rt = pa.concat_tables(ray.get(list(refs)))
+            if right_on != on:
+                rt = rt.rename_columns(
+                    [on if c == right_on else c for c in rt.column_names])
+            self.rt = rt.combine_chunks()
+            self.extra = [c for c in self.rt.column_names if c != on]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            ldf = batch.to_pandas()
-            out = ldf.merge(self.rdf, on=on, how="left")
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # Arrow hash join: type-stable null fill (no int->float
+            # promotion on unmatched rows), zero pandas copies
+            out = batch.join(self.rt, keys=on, join_type="left outer")
+            return out.select(list(batch.column_names) + self.extra)
 
     return left_ds.map_batches(
         Joiner, batch_format="pyarrow", zero_copy_batch=True,

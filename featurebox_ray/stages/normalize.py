@@ -8,9 +8,14 @@ contributes partial sums, driver combines: SURVEY.md §2.5); pass 2 is a
 stateless vectorized ``map_batches`` divide with the tiny scale vector
 captured in the task closure (broadcast once, not per batch).
 
-Exact reference semantics preserved: float32 cast of means, scale =
-10^round-to-magnitude of |mean| (see ``_scale``), ``tolerate`` band -> 1,
-group fold via mean-of-means, ``standard`` divisor, keep/apply masks.
+Reference semantics preserved where the reference is well-defined:
+float32 cast of means, scale = 10^ger_magnitude(mean) (closed form of the
+reference's divide/multiply loop — see ``_scale``), ``tolerate`` band ->
+1, group fold via mean-of-means, ``standard`` divisor, keep/apply masks.
+Documented divergence: for means in (-1, 0) the reference's
+``ger_magnitude`` loop never terminates (``while a <= 1`` with a negative
+``a`` multiplied by 10), so this engine uses the |mean| closed form there
+instead of hanging.
 """
 
 from __future__ import annotations
@@ -23,11 +28,23 @@ import pyarrow as pa
 
 
 def _scale(mean_val: float) -> float:
-    """Order-of-magnitude scale of a column mean (reference ``_scale``,
-    preprocess.py:14-22): 10**floor(log10(|m|)) with 0/NaN -> 1."""
+    """Order-of-magnitude scale of a column mean — closed form of the
+    reference ``ger_magnitude`` loop (symbol/preprocess.py:6-22):
+
+    * m > 1        -> 10**(floor(log10(m)) + 1)   (e.g. 1234.5 -> 10000)
+    * 0 < m <= 1   -> 10**-(floor(-log10(m)) + 1) (e.g. 0.5 -> 0.1, 1 -> 0.1)
+    * m <= -1      -> 1  (the reference's ``while a >= 1`` never runs)
+    * -1 < m < 0   -> |m| closed form (reference loop diverges; documented)
+    * 0 / NaN / inf -> 1
+    """
     if mean_val == 0 or not math.isfinite(mean_val):
         return 1.0
-    return 10.0 ** math.floor(math.log10(abs(mean_val)))
+    if mean_val <= -1:
+        return 1.0
+    a = abs(mean_val)
+    if a > 1:
+        return 10.0 ** (math.floor(math.log10(a)) + 1)
+    return 10.0 ** -(math.floor(-math.log10(a)) + 1)
 
 
 class MagnitudeNormalizer:

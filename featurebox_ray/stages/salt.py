@@ -138,6 +138,22 @@ def add_window_features_salted(
 
             codes = pc_.dictionary_encode(
                 t["__salt_key"].combine_chunks()).indices.to_numpy(zero_copy_only=False)
+            # precondition 2: the kernel sees rows sorted by (ts, turn_idx),
+            # but salt buckets were assigned by turn_idx arithmetic — if ts
+            # order disagrees with turn_idx order inside a conversation,
+            # context rows are not the true lookback/lookahead rows and the
+            # salted output would silently diverge from the unsalted path.
+            # turn_idx must therefore be strictly increasing within each
+            # sorted salt segment.
+            if len(idx) > 1:
+                same = codes[1:] == codes[:-1]
+                if (np.diff(idx)[same] <= 0).any():
+                    raise ValueError(
+                        "salted windows require ts order to agree with "
+                        f"{order_col} order within each conversation; found "
+                        "a (ts, turn_idx)-sorted segment whose turn_idx is "
+                        "not strictly increasing — fix timestamps or use "
+                        "the unsalted path")
             own = ctx == 0
             if own.any():
                 import pandas as pd

@@ -41,6 +41,10 @@ class WindowSpec:
     time_windows_s: Sequence[float] = (3600.0,)
     session_gap_s: float = 1800.0
     ddof: int = 1
+    # time-window tie semantics: False = window ends at the current row
+    # position (pandas time-rolling); True = include later equal-ts peers
+    # (SQL RANGE ... CURRENT ROW).  Identical when (key, ts) is unique.
+    time_peers_inclusive: bool = False
     add_delta_ts: bool = True
     add_session: bool = True
     add_turn_number: bool = True
@@ -94,7 +98,8 @@ def window_kernel(table: pa.Table, spec: WindowSpec) -> pa.Table:
     for w_s in spec.time_windows_s:
         d_us = int(w_s * 1e6)
         st = seg.rolling_stats_time(
-            v, ts, d_us, seg_start, row_in_seg, ddof=spec.ddof
+            v, ts, d_us, seg_start, row_in_seg, ddof=spec.ddof,
+            include_ts_peers=spec.time_peers_inclusive,
         )
         tag = f"t{int(w_s)}s"
         cols[f"win_{tag}_count_{spec.value_col}"] = st["count"]

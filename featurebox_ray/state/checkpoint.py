@@ -49,7 +49,7 @@ def finished_partitions(out_dir: str) -> set:
     if not os.path.isdir(mdir):
         return done
     for f in os.listdir(mdir):
-        if not f.endswith(".json"):
+        if not f.endswith(".json") or f.startswith("_"):
             continue
         try:
             with open(os.path.join(mdir, f)) as fh:
@@ -62,6 +62,49 @@ def finished_partitions(out_dir: str) -> set:
     return done
 
 
+def _run_params(key, sort_keys, num_partitions, input_desc) -> dict:
+    return {"key": key, "sort_keys": list(sort_keys),
+            "num_partitions": int(num_partitions), "input": input_desc}
+
+
+def _validate_run_manifest(out_dir: str, params: dict) -> bool:
+    """True if a prior run's parameters match ``params``.  A mismatch
+    (different num_partitions / key / sort order / input) means the
+    existing part files were bucketed under a DIFFERENT layout — keeping
+    them would silently duplicate or drop rows — so the caller must
+    invalidate them."""
+    rpath = os.path.join(out_dir, "_manifest", "_run.json")
+    if not os.path.exists(rpath):
+        return not finished_partitions(out_dir)  # legacy dir: only trust empty
+    try:
+        with open(rpath) as fh:
+            prior = json.load(fh)
+    except Exception:
+        return False
+    return prior == params
+
+
+def _invalidate(out_dir: str) -> None:
+    """Remove stale part files + manifests (layout changed)."""
+    mdir = os.path.join(out_dir, "_manifest")
+    for d, suffix in ((mdir, ".json"), (out_dir, ".parquet")):
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.startswith("part-") and f.endswith(suffix):
+                    os.remove(os.path.join(d, f))
+
+
+def partitioned_input_files(input_dir: str, missing: Sequence[int]) -> List[str]:
+    """Fragment-level resume pruning for inputs that are themselves the
+    part files of an upstream checkpointed run under the SAME
+    (key, num_partitions) layout: only the files of still-missing
+    partitions need to be read at all (``part-XXXXX.parquet`` names carry
+    the partition id)."""
+    want = {f"part-{p:05d}.parquet" for p in missing}
+    return [os.path.join(input_dir, f)
+            for f in sorted(os.listdir(input_dir)) if f in want]
+
+
 def run_partitioned_checkpointed(
     ds,
     kernel: Callable[[pa.Table], pa.Table],
@@ -71,12 +114,45 @@ def run_partitioned_checkpointed(
     sort_keys: Sequence[str],
     num_partitions: int = 32,
     input_desc: str = "",
+    input_partitioned_dir: Optional[str] = None,
 ) -> List[dict]:
     """Run ``kernel`` per sorted hash partition, writing each partition's
     output + manifest from inside the task (resumable).  Returns the list of
-    manifests (existing + new)."""
+    manifests (existing + new).
+
+    A run-level manifest (``_manifest/_run.json``) records
+    (key, sort_keys, num_partitions, input_desc); a resume whose parameters
+    differ invalidates every finished partition instead of silently mixing
+    two bucketing layouts.
+
+    ``input_partitioned_dir``: when the input is the part-file output of an
+    upstream run under the same layout, pass its directory — the resume
+    then reads ONLY the files of missing partitions (fragment-level prune)
+    instead of re-reading and re-hashing the full input."""
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    params = _run_params(key, sort_keys, num_partitions, input_desc)
+    if not _validate_run_manifest(out_dir, params):
+        _invalidate(out_dir)
+    rpath = os.path.join(out_dir, "_manifest", "_run.json")
+    with open(rpath + ".tmp", "w") as fh:
+        json.dump(params, fh)
+    os.replace(rpath + ".tmp", rpath)
     done = finished_partitions(out_dir)
+
+    if input_partitioned_dir is not None:
+        import ray
+
+        missing = [p for p in range(num_partitions) if p not in done]
+        if not missing:
+            files: List[str] = []
+        else:
+            files = partitioned_input_files(input_partitioned_dir, missing)
+        if not files:
+            mdir = os.path.join(out_dir, "_manifest")
+            return [json.load(open(os.path.join(mdir, f)))
+                    for f in sorted(os.listdir(mdir))
+                    if f.endswith(".json") and not f.startswith("_")]
+        ds = ray.data.read_parquet(files)
 
     parted = with_partition_col(ds, key, num_partitions)
     if done:
@@ -120,7 +196,7 @@ def run_partitioned_checkpointed(
     manifests = []
     mdir = os.path.join(out_dir, "_manifest")
     for f in sorted(os.listdir(mdir)):
-        if f.endswith(".json"):
+        if f.endswith(".json") and not f.startswith("_"):
             with open(os.path.join(mdir, f)) as fh:
                 manifests.append(json.load(fh))
     return manifests

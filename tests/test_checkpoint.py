@@ -59,3 +59,61 @@ def test_manifest_invalidated_by_row_mismatch(tiny_dir, tmp_path):
     pq.write_table(t.slice(0, max(1, t.num_rows // 2)), target)
     done = finished_partitions(out)
     assert len(done) == 7  # corrupted partition no longer counts as finished
+
+
+def test_param_change_invalidates_stale_layout(tiny_dir, tmp_path):
+    """Re-running with a different num_partitions must NOT mix partitions
+    bucketed under the old layout with new ones (ADVICE: stale crc32 % P
+    buckets silently duplicate/drop rows)."""
+    out = str(tmp_path / "ckpt3")
+    m1 = _run(tiny_dir, out)
+    total = sum(m["rows"] for m in m1)
+
+    spec = WindowSpec()
+    m2 = run_partitioned_checkpointed(
+        _mkds(tiny_dir), lambda t: window_kernel(t, spec), out,
+        key="conv_id", sort_keys=["conv_id", "ts", "turn_idx"],
+        num_partitions=4, input_desc="test")
+    assert len(m2) == 4  # old 8-way parts were invalidated, not merged
+    assert sum(m["rows"] for m in m2) == total
+    back = ray.data.read_parquet(out, file_extensions=["parquet"])
+    assert back.count() == total
+
+
+def test_fragment_level_resume_prunes_input(tiny_dir, tmp_path):
+    """Resume over a same-layout partitioned input reads only the files of
+    missing partitions."""
+    from featurebox_ray.state.checkpoint import partitioned_input_files
+
+    stage1 = str(tmp_path / "stage1")
+    spec = WindowSpec()
+    run_partitioned_checkpointed(
+        _mkds(tiny_dir), lambda t: window_kernel(t, spec), stage1,
+        key="conv_id", sort_keys=["conv_id", "ts", "turn_idx"],
+        num_partitions=8, input_desc="test")
+
+    stage2 = str(tmp_path / "stage2")
+    ident = lambda t: t
+    m1 = run_partitioned_checkpointed(
+        None, ident, stage2, key="conv_id",
+        sort_keys=["conv_id", "ts", "turn_idx"], num_partitions=8,
+        input_desc="stage1", input_partitioned_dir=stage1)
+    total = sum(m["rows"] for m in m1)
+    assert len(m1) == 8
+
+    # crash: drop partitions 2 and 5 from stage2
+    for pid in (2, 5):
+        os.remove(f"{stage2}/part-{pid:05d}.parquet")
+        os.remove(f"{stage2}/_manifest/part-{pid:05d}.json")
+
+    # the prune helper selects exactly the 2 missing files
+    files = partitioned_input_files(stage1, [2, 5])
+    assert [os.path.basename(f) for f in files] == [
+        "part-00002.parquet", "part-00005.parquet"]
+
+    m2 = run_partitioned_checkpointed(
+        None, ident, stage2, key="conv_id",
+        sort_keys=["conv_id", "ts", "turn_idx"], num_partitions=8,
+        input_desc="stage1", input_partitioned_dir=stage1)
+    assert sum(m["rows"] for m in m2) == total
+    assert {m["partition"] for m in m2} == set(range(8))

@@ -79,10 +79,13 @@ def test_premap_row_stochastic_and_bias():
 
 
 def test_magnitude_y_and_constants():
+    # reference ger_magnitude parity: 1234.5 -> 10**4 (divide-by-10 loop
+    # counts to c=4), 0.02 -> 10**-2, 300 -> 10**3, 1 -> 10**-1, -5 -> 1
     n = MagnitudeNormalizer(["v"]).fit_y(y_mean=1234.5)
-    assert n.scale_y == 1000.0
-    y = np.array([1000.0, 2000.0])
+    assert n.scale_y == 10000.0
+    y = np.array([10000.0, 20000.0])
     assert np.allclose(n.transform_y(y), [1.0, 2.0])
     assert np.allclose(n.inverse_transform_y(n.transform_y(y)), y)
-    out = MagnitudeNormalizer(["v"]).fit_transform_constants([0.02, 300.0])
-    assert np.allclose(out, [2.0, 3.0])
+    out = MagnitudeNormalizer(["v"]).fit_transform_constants(
+        [0.02, 300.0, 1.0, -5.0])
+    assert np.allclose(out, [2.0, 0.3, 10.0, -5.0])

@@ -50,3 +50,29 @@ def test_salted_rejects_small_overlap(small_dir):
     with pytest.raises(ValueError, match="overlap"):
         add_window_features_salted(
             ds, BOUNDED, policy=SaltPolicy(bucket_rows=100, overlap=2))
+
+
+def test_salted_rejects_ts_turnidx_disagreement(tiny_dir):
+    """If ts order contradicts turn_idx order inside a conversation, the
+    salted kernel must refuse (context rows would be wrong) rather than
+    silently diverge."""
+    import pyarrow as pa
+    import ray
+
+    n = 600
+    ts = list(range(n))
+    ts[10], ts[11] = ts[11], ts[10]  # swap: ts order != turn_idx order
+    tbl = pa.table({
+        "conv_id": pa.array(["c0"] * n),
+        "turn_idx": pa.array(list(range(n)), pa.int64()),
+        "ts": pa.array([float(t) for t in ts]),
+        "text_len": pa.array([1.0] * n),
+    })
+    ds = ray.data.from_arrow(tbl)
+    spec = WindowSpec(lags=(1,), rolling_rows=(3,), time_windows_s=(),
+                      add_session=False, add_turn_number=False)
+    out = add_window_features_salted(
+        ds, spec, policy=SaltPolicy(bucket_rows=100, overlap=8),
+        num_partitions=2)
+    with pytest.raises(Exception, match="strictly increasing|turn_idx"):
+        out.count()

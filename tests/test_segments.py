@@ -103,3 +103,50 @@ def test_last_occurrence_index():
     codes2 = np.array([0, 0, 0])
     seg_start2, _, _ = _mk(codes2)
     assert seg.last_occurrence_index(side2 == 0, seg_start2).tolist() == [-1, 1, 1]
+
+
+def test_time_window_tie_semantics_vs_duckdb():
+    """(key, ts) ties: peers-inclusive bounds must equal SQL RANGE ...
+    CURRENT ROW (later equal-ts peers in-window); default bounds must
+    equal pandas time-rolling (peers after the current position excluded)."""
+    import duckdb
+    import pandas as pd
+
+    from featurebox_ray.functions.segments import rolling_stats_time
+
+    # one segment with heavy ts duplication, one without
+    ts_s = np.array([0, 10, 10, 10, 25, 40, 40, 100,   0, 5, 30], np.int64)
+    seg_id = np.array([0] * 8 + [1] * 3)
+    vals = np.arange(len(ts_s), dtype=np.float64)
+    seg_changes = np.flatnonzero(np.diff(seg_id)) + 1
+    starts = np.concatenate([[0], seg_changes])
+    seg_start = np.repeat(starts, np.diff(np.append(starts, len(ts_s))))
+    row_in_seg = np.arange(len(ts_s)) - seg_start
+
+    delta_us = int(30e6)
+    ts_us = ts_s * 1_000_000
+
+    con = duckdb.connect()
+    df = pd.DataFrame({"k": seg_id, "ts": ts_s, "v": vals})
+    con.register("df", df)
+    ora = con.sql("""
+        SELECT sum(v) OVER w AS s, count(v) OVER w AS c
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY ts
+                             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        ORDER BY k, ts, v
+    """).df()
+
+    inc = rolling_stats_time(vals, ts_us, delta_us, seg_start, row_in_seg,
+                             include_ts_peers=True)
+    assert np.allclose(inc["sum"], ora["s"].to_numpy())
+    assert np.allclose(inc["count"], ora["c"].to_numpy())
+
+    # pandas semantics for the default path
+    exc = rolling_stats_time(vals, ts_us, delta_us, seg_start, row_in_seg)
+    pdf = df.copy()
+    pdf["t"] = pd.to_datetime(pdf["ts"], unit="s")
+    roll = (pdf.set_index("t").groupby("k")["v"]
+            .rolling("30s", closed="both").sum().to_numpy())
+    assert np.allclose(exc["sum"], roll)
+    # with ties present the two semantics MUST differ somewhere
+    assert not np.allclose(inc["sum"], exc["sum"])
