@@ -68,24 +68,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
-        # independent brute-force ground truth (all pairs, no banding)
+        # independent brute-force ground truth (all pairs, no banding) —
+        # chunked XOR + byte-LUT popcount so the n^2 pass stays in-cache
         tbl = pq.read_table(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = SimHasher.batch_simhash(tbl["text"].combine_chunks())
         order = np.argsort(ids)
         ids, h = ids[order], h[order]
-        ii, jj = np.triu_indices(len(ids), 1)
-        x = h[ii] ^ h[jj]
-        dist = np.zeros(len(x), np.int64)
-        for b in range(64):
-            dist += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-        keep = dist <= 3
+        pop = np.array([bin(v).count("1") for v in range(256)], np.uint8)
+        n = len(ids)
+        out_a, out_b, out_d = [], [], []
+        for s in range(0, n, 256):
+            e = min(s + 256, n)
+            x = h[s:e, None] ^ h[None, :]  # (chunk, n)
+            d = np.zeros(x.shape, np.int64)
+            for byte in range(8):
+                d += pop[((x >> np.uint64(8 * byte))
+                          & np.uint64(0xFF)).astype(np.uint8)]
+            ci, cj = np.nonzero(d <= 3)
+            keep = (ci + s) < cj  # upper triangle only
+            out_a.append(ids[ci[keep] + s])
+            out_b.append(ids[cj[keep]])
+            out_d.append(d[ci[keep], cj[keep]])
         os.makedirs("/tmp/fbr_oracle", exist_ok=True)
         pq.write_table(pa.table({
-            "id_a": pa.array(ids[ii[keep]], pa.int64()),
-            "id_b": pa.array(ids[jj[keep]], pa.int64()),
-            "hamming": pa.array(dist[keep], pa.int64()),
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "hamming": pa.array(np.concatenate(out_d), pa.int64()),
         }), "/tmp/fbr_oracle/simhash_pairs.parquet")
 
         out = simhash_dedup(docs, max_hamming=3)

@@ -55,10 +55,14 @@ def rename(ds, mapping: dict):
 
 
 def pricing_summary(sf_dir: str):
-    """TPC-H Q1-style groupby aggregate with derived columns, partial
-    aggregation inside blocks (Ray's hash aggregate) before the shuffle."""
-    import ray
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1-style groupby aggregate with derived columns.
+
+    Low-cardinality aggregate shape: one vectorized partial aggregate per
+    block (pandas groupby over ≤6 groups — LMFAO-style combiner), then a
+    single gather task on the task exchange sums the tiny partials.  No
+    Ray sort/hash-aggregate op runs at all: the only exchange moves
+    ~blocks×6 partial rows."""
+    from ..stages.partition import partitioned_map
 
     ds = read(sf_dir, "lineitem",
               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -79,34 +83,51 @@ def pricing_summary(sf_dir: str):
             "charge_i", pa.array(np.round(price * (1 - disc) * (1 + tax) * 1e6).astype(np.int64)))
 
     ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_i"), Sum("price_i"), Sum("disc_price_i"), Sum("charge_i"),
-        Mean("l_quantity"), Mean("l_extendedprice"), Mean("l_discount"),
-        Count(),
-    )
 
-    def fin(batch: pa.Table) -> pa.Table:
+    GKEYS = ["l_returnflag", "l_linestatus"]
+    SUMS = {"qty_i": "sum", "price_i": "sum", "disc_price_i": "sum",
+            "charge_i": "sum", "l_quantity": "sum", "l_extendedprice": "sum",
+            "l_discount": "sum"}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(GKEYS + list(SUMS)).to_pandas()
+        g = df.groupby(GKEYS, as_index=False, sort=False).agg(
+            **{c: (c, how) for c, how in SUMS.items()},
+            n=("qty_i", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = (t.select(GKEYS + list(SUMS) + ["n"]).to_pandas()
+              .groupby(GKEYS, as_index=False, sort=False).sum())
+        n = df["n"].to_numpy(dtype=np.float64)
+
         def scaled(name, s):
-            v = batch[f"sum({name})"].to_numpy(zero_copy_only=False).astype(np.float64)
-            return pa.array(np.round(v / s, 4))
+            return pa.array(np.round(
+                df[name].to_numpy(dtype=np.float64) / s, 4))
 
         return pa.table({
-            "l_returnflag": batch["l_returnflag"],
-            "l_linestatus": batch["l_linestatus"],
+            "l_returnflag": pa.array(df["l_returnflag"]),
+            "l_linestatus": pa.array(df["l_linestatus"]),
             "sum_qty": scaled("qty_i", 100.0),
             "sum_base_price": scaled("price_i", 100.0),
             "sum_disc_price": scaled("disc_price_i", 1e4),
             "sum_charge": scaled("charge_i", 1e6),
             "avg_qty": pa.array(np.round(
-                batch["mean(l_quantity)"].to_numpy(zero_copy_only=False), 4)),
+                df["l_quantity"].to_numpy(dtype=np.float64) / n, 4)),
             "avg_price": pa.array(np.round(
-                batch["mean(l_extendedprice)"].to_numpy(zero_copy_only=False), 4)),
+                df["l_extendedprice"].to_numpy(dtype=np.float64) / n, 4)),
             "avg_disc": pa.array(np.round(
-                batch["mean(l_discount)"].to_numpy(zero_copy_only=False), 4)),
-            "count_order": batch["count()"],
+                df["l_discount"].to_numpy(dtype=np.float64) / n, 4)),
+            "count_order": pa.array(df["n"].to_numpy(dtype=np.int64)),
         })
 
-    return agg.map_batches(fin, batch_format="pyarrow")
+    return partitioned_map(partials, combine, key="l_returnflag",
+                           sort_keys=GKEYS, num_partitions=1,
+                           strategy="tasks")
 
 
 def filter_project_revenue(sf_dir: str, min_ship: str = "1995-01-01"):
@@ -153,11 +174,11 @@ def top_customers(sf_dir: str, k: int = 10):
 
 def order_priority_revenue(sf_dir: str):
     """orders ⋈ lineitem (co-partitioned hash join, both sides large) →
-    revenue by priority."""
-    import ray
-    from ray.data.aggregate import Sum
-
+    revenue by priority.  The combiner inside the join emits 5-row
+    partials per partition; a single task-exchange gather sums them (no
+    Ray hash-aggregate op)."""
     from ..stages.join import hash_join
+    from ..stages.partition import partitioned_map
 
     orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -183,17 +204,21 @@ def order_priority_revenue(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                       num_partitions=16, combine=partial_by_priority)
-    agg = joined.groupby("o_orderpriority").aggregate(Sum("revenue_i"))
+                       num_partitions=16, combine=partial_by_priority,
+                       strategy="tasks")
 
-    def fin(batch: pa.Table) -> pa.Table:
-        s = batch["sum(revenue_i)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    def combine(t: pa.Table) -> pa.Table:
+        df = (t.select(["o_orderpriority", "revenue_i"]).to_pandas()
+              .groupby("o_orderpriority", as_index=False, sort=False).sum())
+        s = df["revenue_i"].to_numpy(dtype=np.float64)
         return pa.table({
-            "o_orderpriority": batch["o_orderpriority"],
+            "o_orderpriority": pa.array(df["o_orderpriority"]),
             "total_revenue": pa.array(np.round(s / 10000.0, 4)),
         })
 
-    return agg.map_batches(fin, batch_format="pyarrow")
+    return partitioned_map(joined, combine, key="o_orderpriority",
+                           sort_keys=["o_orderpriority"], num_partitions=1,
+                           strategy="tasks")
 
 
 def distinct_users_per_type(sf_dir: str):

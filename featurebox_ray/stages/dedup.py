@@ -199,8 +199,15 @@ def _bucketed_distinct(ds, key_cols: List[str], hash_cols: List[str],
         df = df.drop_duplicates(distinct_cols, keep="first").drop(columns="__b")
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    return (ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("__b").map_groups(distinct, batch_format="pyarrow"))
+    from .partition import partitioned_map
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # task exchange, not Ray's sort-based groupby: the Sort op's fixed
+    # barrier cost dwarfs the kernel work for signature-sized rows
+    return partitioned_map(bucketed, distinct, key="__b",
+                           sort_keys=["__b"], num_partitions=P,
+                           strategy="tasks", drop_part_col=True)
 
 
 def distinct_pairs(pairs_ds, *, num_partitions: int = 16):
@@ -208,6 +215,65 @@ def distinct_pairs(pairs_ds, *, num_partitions: int = 16):
     bands).  Bucketed: shuffle key is an 8-byte pair hash ``% P``."""
     return _bucketed_distinct(pairs_ds, ["id_a", "id_b"], ["id_a", "id_b"],
                               num_partitions)
+
+
+def _bucketed_pair_search(exploded, *, id_col: str, pair_fn,
+                          empty_table: pa.Table, bucket_cap: int,
+                          num_partitions: int = 16, cap_msg: str = "bucket"):
+    """Shared LSH pair-finding stage: rows carry ``(__band, __bucket)``
+    keys; the shuffle is a COARSE hash of (band, bucket) into P
+    partition-sized groups (one kernel call per partition — never one UDF
+    per tiny bucket), and the kernel walks that partition's buckets as
+    contiguous runs of a lexsort, calling ``pair_fn(bucket_table)`` only
+    for runs with >= 2 rows (most LSH buckets are singletons and cost one
+    comparison)."""
+    P = num_partitions
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        band = batch["__band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = batch["__bucket"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ((bucket ^ (band * np.uint64(0xD1B54A32D192ED03)))
+                 * _PAIR_MIX) % np.uint64(P)
+        return batch.append_column("__p", pa.array(h.astype(np.int32)))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return empty_table
+        band = group["__band"].to_numpy(zero_copy_only=False)
+        bucket = group["__bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bucket, band))
+        g = group.take(pa.array(order))
+        band, bucket = band[order], bucket[order]
+        change = np.flatnonzero((band[1:] != band[:-1])
+                                | (bucket[1:] != bucket[:-1])) + 1
+        starts = np.concatenate([[0], change, [n]])
+        outs = []
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            if e - s < 2:
+                continue
+            if e - s > bucket_cap:
+                import logging
+
+                logging.getLogger("featurebox_ray.dedup").warning(
+                    "%s over cap (%d rows) skipped — near-dup pairs inside "
+                    "it are not reported", cap_msg, e - s)
+                continue
+            t = pair_fn(g.slice(s, e - s))
+            if t.num_rows:
+                outs.append(t)
+        if not outs:
+            return empty_table
+        return pa.concat_tables(outs)
+
+    from .partition import partitioned_map
+
+    coarsed = exploded.map_batches(coarse, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return partitioned_map(coarsed, kernel, key="__p", sort_keys=["__p"],
+                           num_partitions=P, strategy="tasks")
 
 
 # ---------------------------------------------------------------------------
@@ -390,13 +456,19 @@ def minhash_lsh_dedup(
     broadcast set by construction — near-dup candidates ≪ corpus;
     ``verify_cap`` enforces the assumption and fails loudly past it)."""
     assert k % bands == 0, "k must divide into bands (else hashes are dropped)"
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        # stateless task with per-worker cached params: no actor-pool
+        # spin-up latency; state still built once per worker process
+        ck = (k, shingle_n, text_col)
+        mh = _MH_CACHE.get(ck)
+        if mh is None:
+            mh = _MH_CACHE[ck] = MinHasher(k=k, shingle_n=shingle_n,
+                                           text_col=text_col)
+        return mh(batch)
+
     sig_ds = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"k": k, "shingle_n": shingle_n,
-                               "text_col": text_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        sig_fn, batch_format="pyarrow", zero_copy_batch=True,
     ).select_columns([id_col, "__sig"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -422,19 +494,11 @@ def minhash_lsh_dedup(
 
     exploded = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "est_jaccard": pa.array([], pa.float64())})
-        if n < 2 or n > bucket_cap:
-            if n > bucket_cap:  # size cap: pathological bucket — log it
-                import logging
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
 
-                logging.getLogger("featurebox_ray.dedup").warning(
-                    "minhash bucket over cap (%d rows) skipped — near-dup "
-                    "pairs inside it are not reported", n)
-            return empty
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         sig = np.stack(group["__sig"].to_numpy(zero_copy_only=False))
         # unique ids only (same doc may appear once per bucket)
@@ -452,12 +516,11 @@ def minhash_lsh_dedup(
             "est_jaccard": pa.array(est[keep]),
         })
 
-    pairs = exploded.groupby(["__band", "__bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
-    )
-    candidates = distinct_pairs(pairs)
+    pairs = _bucketed_pair_search(
+        exploded, id_col=id_col, pair_fn=pairs_in_bucket,
+        empty_table=empty, bucket_cap=bucket_cap, cap_msg="minhash bucket")
     return verify_jaccard_pairs(
-        candidates, ds, text_col=text_col, id_col=id_col,
+        pairs, ds, text_col=text_col, id_col=id_col,
         shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
         verify_cap=verify_cap, round_nd=round_nd)
 
@@ -470,24 +533,41 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
     """Exact-Jaccard verification of candidate pairs.
 
     Broadcast-small-side pattern: candidate ids (≪ corpus by LSH
-    construction) are collected, the corpus is filtered to candidate docs
-    only (streaming map_batches), their shingle sets are built once and
-    ``ray.put`` — every verification batch reads the shared copy.  Output:
+    construction — ``verify_cap`` enforces it) are materialized ONCE
+    (so the lazy LSH pipeline doesn't re-execute per consumer) and
+    deduped; the corpus is filtered to candidate docs only (streaming
+    map_batches), their shingle sets built once and ``ray.put`` — every
+    verification batch reads the shared copy.  Output:
     ``(id_a, id_b, jaccard)`` with exact Jaccard ≥ threshold."""
     import ray
 
-    cand = pairs_ds.select_columns(["id_a", "id_b"]).take_all()
-    if len(cand) > verify_cap:
+    cand_tbl = pa.concat_tables(
+        [t for t in ray.get(
+            [r for b in pairs_ds.select_columns(["id_a", "id_b"])
+             .iter_internal_ref_bundles() for r in b.block_refs])
+         if t.num_rows > 0] or
+        [pa.table({"id_a": pa.array([], pa.int64()),
+                   "id_b": pa.array([], pa.int64())})],
+        promote_options="default")
+    if cand_tbl.num_rows > verify_cap:
         raise ValueError(
-            f"{len(cand)} candidate pairs exceed verify_cap={verify_cap}; "
-            "raise candidate_est_threshold or the cap")
-    if not cand:
+            f"{cand_tbl.num_rows} candidate pairs exceed "
+            f"verify_cap={verify_cap}; raise candidate_est_threshold or "
+            "the cap")
+    # dedupe pairs found in several bands (tiny by cap)
+    a = cand_tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = cand_tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0) if len(a) else \
+        np.empty((0, 2), np.int64)
+    if len(uniq) == 0:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()),
             "id_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64())}))
-    ids_needed = sorted({r["id_a"] for r in cand} | {r["id_b"] for r in cand})
-    need_ref = ray.put(np.asarray(ids_needed, dtype=np.int64))
+    pairs_ds = ray.data.from_arrow(pa.table({
+        "id_a": pa.array(uniq[:, 0]), "id_b": pa.array(uniq[:, 1])}))
+    ids_needed = np.unique(uniq)
+    need_ref = ray.put(ids_needed)
 
     def candidate_shingles(batch: pa.Table) -> pa.Table:
         need = ray.get(need_ref)
@@ -591,9 +671,14 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     Exact within the bucket cap: banding is a complete cover for ≤3
     differing bits over 4 bands, and in-bucket pairs are verified with the
     true Hamming distance."""
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        sh = _MH_CACHE.get(("simhash", text_col))
+        if sh is None:
+            sh = _MH_CACHE[("simhash", text_col)] = SimHasher(text_col)
+        return sh(batch)
+
     sigged = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        sig_fn, batch_format="pyarrow", zero_copy_batch=True,
     ).select_columns([id_col, "__simhash"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -617,18 +702,11 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = sigged.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "hamming": pa.array([], pa.int32())})
-        n = group.num_rows
-        if n < 2 or n > bucket_cap:
-            if n > bucket_cap:
-                import logging
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
 
-                logging.getLogger("featurebox_ray.dedup").warning(
-                    "simhash bucket over cap (%d rows) skipped", n)
-            return empty
+    def pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         h = group["__simhash"].to_numpy(zero_copy_only=False)
         uniq, first = np.unique(ids, return_index=True)
@@ -646,8 +724,9 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "id_b": pa.array(ids[jj[keep]]),
                          "hamming": pa.array(dist[keep])})
 
-    p = exploded.groupby(["__band", "__bucket"]).map_groups(
-        pairs, batch_format="pyarrow")
+    p = _bucketed_pair_search(
+        exploded, id_col=id_col, pair_fn=pairs, empty_table=empty,
+        bucket_cap=bucket_cap, cap_msg="simhash bucket")
     return distinct_pairs(p)
 
 
@@ -706,18 +785,11 @@ def embedding_neardup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    def pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
-        n = group.num_rows
-        if n < 2 or n > bucket_cap:
-            if n > bucket_cap:
-                import logging
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
 
-                logging.getLogger("featurebox_ray.dedup").warning(
-                    "embedding LSH bucket over cap (%d rows) skipped", n)
-            return empty
+    def pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         V = np.stack(
             group[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -739,6 +811,7 @@ def embedding_neardup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                          "id_b": pa.array(ids[jj[keep]]),
                          "cosine": pa.array(cos)})
 
-    p = bucketed.groupby(["__band", "__bucket"]).map_groups(
-        pairs, batch_format="pyarrow")
+    p = _bucketed_pair_search(
+        bucketed, id_col=id_col, pair_fn=pairs, empty_table=empty,
+        bucket_cap=bucket_cap, cap_msg="embedding LSH bucket")
     return distinct_pairs(p)

@@ -35,6 +35,7 @@ def hash_join(
     left_cols: Optional[List[str]] = None,
     right_cols: Optional[List[str]] = None,
     combine=None,
+    strategy: str = "groupby",
 ):
     """Equi-join on a single key column.  ``right_on`` defaults to ``on``
     (the right key is renamed to ``on`` in the output when different).
@@ -100,7 +101,7 @@ def hash_join(
 
     return partitioned_map(
         unioned, merge, key=on, sort_keys=[on],
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, strategy=strategy,
     )
 
 

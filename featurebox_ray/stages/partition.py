@@ -209,7 +209,16 @@ def _task_exchange_map(
     """
     import ray
 
-    refs = ds.to_arrow_refs()
+    # NOT to_arrow_refs(): that calls schema(fetch_if_missing=True) after
+    # execution, and when block schemas fail to unify (Ray's empty
+    # zero-column bundles from shuffle ops) the schema fetch RE-EXECUTES
+    # the whole upstream plan with limit(1) — doubling the pipeline cost.
+    # The ref bundles give us the already-materialized Arrow block refs.
+    try:
+        refs = [r for b in ds.iter_internal_ref_bundles()
+                for r in b.block_refs]
+    except AttributeError:  # older/newer Ray: fall back
+        refs = ds.to_arrow_refs()
     P = num_partitions
 
     if not refs:
@@ -225,7 +234,16 @@ def _task_exchange_map(
         return ray.data.from_arrow(out)
 
     @ray.remote(num_returns=P)
-    def split(table: pa.Table):
+    def split(table):
+        if not isinstance(table, pa.Table):  # rare non-arrow block
+            import pandas as pd
+
+            table = pa.Table.from_pandas(table, preserve_index=False)
+        if table.num_rows == 0 or key not in table.column_names:
+            # Ray's shuffle ops emit benign zero-column empty bundles;
+            # forward an empty slice to every gather
+            outs = [table.slice(0, 0)] * P
+            return tuple(outs) if P > 1 else outs[0]
         combined = table[key].combine_chunks() if table[key].num_chunks > 1 else table[key]
         chunks = combined.chunks if isinstance(combined, pa.ChunkedArray) else [combined]
         if chunks:
@@ -243,10 +261,11 @@ def _task_exchange_map(
     def gather(*parts):
         tables = [t for t in parts if t.num_rows > 0]
         if not tables:
-            t = parts[0]
+            # all-empty partition: keep the widest schema available
+            t = max(parts, key=lambda p: p.num_columns)
         else:
             t = pa.concat_tables(tables, promote_options="default")
-        t = sort_table(t, sort_keys)
+        t = sort_table(t, [k for k in sort_keys if k in t.column_names])
         if kernel_cls is not None:
             inner = kernel_cls(*(fn_constructor_args or ()))
         else:
