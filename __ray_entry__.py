@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_skew_probe": _skew_probe,
         "q36_consensus_rank": _consensus_rank,
         "q37_bpe_tokens": _bpe_tokens,
+        "q38_group_dispose": _group_dispose_feature,
+        "q39_voronoi_neighbors": _voronoi_stats,
+        "q40_multi_ego": _multi_ego_rank,
     }
 
 
@@ -253,6 +256,118 @@ def _bpe_tokens(sf_dir: str):
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
             "n_bpe": batch["ta_n_bpe_tokens"].cast(pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _group_dispose_feature(sf_dir: str):
+    """q38: grouped-terminal dispose ops (reference MAdd/MMul/MSub/MDiv/Conv,
+    symbol/functions/npfunc.py:3-61) over an x_group-packed lineitem pair
+    [l_extendedprice, l_quantity]; each dispose variant is one output
+    column with an exact SQL equivalent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.functions.expr import apply_expression
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_quantity"])
+    G = ["l_extendedprice", "l_quantity"]
+    out = li
+    for name, e in [
+        ("g_madd", ("madd", ("x", 0))),
+        ("g_mmul", ("mmul", ("x", 0))),
+        ("g_msub", ("msub", ("x", 0))),
+        ("g_mdiv", ("mdiv", ("x", 0))),
+        ("g_conv_msub", ("msub", ("conv", ("x", 0)))),
+    ]:
+        out = apply_expression(out, e, columns=[G], out_col=name)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        def r(c, nd):
+            return pa.array(np.round(
+                batch[c].to_numpy(zero_copy_only=False), nd))
+
+        def r_away(c, nd):
+            # price/qty has terminating decimal expansions -> exact .5
+            # ties at the rounding digit; DuckDB rounds half AWAY from
+            # zero while np.round rounds half to even, so replicate
+            # DuckDB's rule for the division column
+            v = batch[c].to_numpy(zero_copy_only=False)
+            s = 10.0 ** nd
+            return pa.array(np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s)
+
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "l_linenumber": batch["l_linenumber"].cast(pa.int64()),
+            "g_madd": r("g_madd", 4),
+            "g_mmul": r("g_mmul", 4),
+            "g_msub": r("g_msub", 4),
+            "g_mdiv": r_away("g_mdiv", 6),
+            "g_conv_msub": r("g_conv_msub", 4),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _multi_ego_rank(sf_dir: str):
+    """q40: multi-objective EGO (ref ego/multiplyego.py MutilplyEgo):
+    per-objective bootstrap ensembles over two targets derived from
+    lineitem, Pareto-front Pi/L, Ei = L*Pi ranking.  Rows-only check
+    (iterative model scoring is not SQL-expressible); the planted
+    two-objective behavior is tested in tests/test_multiego_voronoi.py."""
+    import numpy as np
+    import pandas as pd
+
+    from featurebox_ray.selection.search import MultiEgo
+
+    X, y, cols = _feature_matrix(sf_dir)
+    Xs = X[:2000, :2]
+    # two objectives: revenue-ish and its complement spread
+    Y = np.column_stack([y[:2000] / y[:2000].max(),
+                         1.0 - np.abs(Xs[:, 0]) / (np.abs(Xs[:, 0]).max() + 1)])
+    g = np.linspace(Xs.min(0), Xs.max(0), 12)
+    grid = np.stack(np.meshgrid(g[:, 0], g[:, 1]), -1).reshape(-1, 2)
+    me = MultiEgo(n_models=8, seed=0)
+    rank = me.fit_predict(Xs, Y, grid)
+    top = rank[:10]
+    return pd.DataFrame({
+        "rank": range(1, 11),
+        "x0": np.round(grid[top, 0], 6),
+        "x1": np.round(grid[top, 1], 6),
+        "pi": np.round(me.pi_[top], 6),
+        "l": np.round(me.l_[top], 6),
+        "ei": np.round(me.ei_[top], 6),
+    })
+
+
+def _voronoi_stats(sf_dir: str):
+    """q39: Gabriel-graph neighbor type-pair weights per user over
+    (rank, value) event points — the count_voronoinn analog
+    (stages/voronoi.py); the DuckDB oracle replays the exact midpoint
+    test with bit-identical arithmetic."""
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.voronoi import add_voronoi_features
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    out = add_voronoi_features(ev, key="user_id",
+                               order_cols=("ts", "event_id"),
+                               value_col="value", type_col="event_type")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "type_a": batch["type_a"],
+            "type_b": batch["type_b"],
+            "w": batch["w"],
         })
 
     return out.map_batches(fin, batch_format="pyarrow")
@@ -679,6 +794,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS ta_n_chars,
                    len(regexp_extract_all(text, '\\S+')) AS ta_n_tokens
             FROM documents
+        """,
+        "q38_group_dispose": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice + l_quantity, 4) AS g_madd,
+                   round(l_extendedprice * l_quantity, 4) AS g_mmul,
+                   round(l_extendedprice - l_quantity, 4) AS g_msub,
+                   round(l_extendedprice / l_quantity, 6) AS g_mdiv,
+                   round(l_quantity - l_extendedprice, 4) AS g_conv_msub
+            FROM lineitem
+        """,
+        "q39_voronoi_neighbors": """
+            WITH pts AS (
+              SELECT user_id, event_type,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) - 1
+                          AS DOUBLE) AS x,
+                     value AS y
+              FROM events
+            ),
+            cnt AS (SELECT user_id, count(*) AS n FROM pts GROUP BY user_id),
+            pairs AS (
+              SELECT a.user_id,
+                     a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj,
+                     a.event_type AS ta, b.event_type AS tb,
+                     (a.x + b.x) / 2 AS mx, (a.y + b.y) / 2 AS my,
+                     ((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) / 4 AS r2
+              FROM pts a JOIN pts b
+                ON a.user_id = b.user_id AND a.x < b.x
+            ),
+            gabriel AS (
+              SELECT * FROM pairs p WHERE NOT EXISTS (
+                SELECT 1 FROM pts k
+                WHERE k.user_id = p.user_id
+                  AND k.x <> p.xi AND k.x <> p.xj
+                  AND (k.x - p.mx) * (k.x - p.mx)
+                      + (k.y - p.my) * (k.y - p.my) < p.r2)
+            )
+            SELECT CAST(g.user_id AS BIGINT) AS user_id,
+                   least(ta, tb) AS type_a,
+                   greatest(ta, tb) AS type_b,
+                   round(sum(1.0 / (1.0 + sqrt((xi - xj) * (xi - xj)
+                                               + (yi - yj) * (yi - yj))))
+                         / any_value(cnt.n), 6) AS w
+            FROM gabriel g JOIN cnt ON cnt.user_id = g.user_id
+            GROUP BY g.user_id, least(ta, tb), greatest(ta, tb)
         """,
         "q26_text_analysis": q26,
         "q22_minhash_neardup": """

@@ -50,17 +50,93 @@ _POW = {"sqrt": 0.5, "sq": 2.0, "cube": 3.0}
 _TRANS = {"sin", "cos", "exp", "ln"}
 
 
-def eval_expr(expr, cols: Sequence[np.ndarray]) -> np.ndarray:
+def _flat(x):
+    return np.sum(x, axis=0) if getattr(x, "ndim", 1) == 2 else x
+
+
+def _comp(x):
+    return np.prod(x, axis=0) if getattr(x, "ndim", 1) == 2 else x
+
+
+def _diff(x):
+    if getattr(x, "ndim", 1) == 2 and x.shape[0] == 2:
+        return x[0] - x[1]
+    return x
+
+
+def _quot(x):
+    if getattr(x, "ndim", 1) == 2 and x.shape[0] == 2:
+        return x[0] / x[1]
+    return x
+
+
+def _conv(x):
+    if getattr(x, "ndim", 1) == 2 and x.shape[0] == 2:
+        return np.stack((x[1], x[0]))
+    return x
+
+
+#: group-dispose operators over PACKED group terminals (a terminal bound to
+#: a 2-D ``(group_size, n)`` array — see :func:`pack_groups`).  Semantics
+#: mirror the reference's np_map() exactly (symbol/functions/npfunc.py:3-61):
+#: madd/Flat sums group members, mmul/Comp multiplies them, msub/Diff and
+#: mdiv/Quot act on 2-member groups (identity otherwise), conv swaps a
+#: 2-member group's rows, self is identity.  All are no-ops on 1-D input.
+DISPOSE = {
+    "madd": _flat,
+    "mmul": _comp,
+    "msub": _diff,
+    "mdiv": _quot,
+    "conv": _conv,
+    "self": lambda x: x,
+}
+
+
+def eval_expr(expr, cols: Sequence[np.ndarray],
+              params: Optional[np.ndarray] = None) -> np.ndarray:
+    """Evaluate a tuple tree over column arrays.  A column may be 2-D
+    (a packed group, reference ``x_group``) — scalar ops broadcast over
+    the group axis and DISPOSE ops reduce it.  ``("k", i, sub)`` nodes
+    multiply the subtree by ``params[i]`` (inner coefficients)."""
     op = expr[0]
     if op == "x":
         return cols[expr[1]]
     if op == "c":
-        return np.full_like(cols[0], float(expr[1]), dtype=np.float64)
+        return np.full(np.shape(cols[0])[-1], float(expr[1]), dtype=np.float64)
+    if op == "k":
+        return params[expr[1]] * eval_expr(expr[2], cols, params)
     if op in UNARY:
-        return UNARY[op](eval_expr(expr[1], cols))
+        return UNARY[op](eval_expr(expr[1], cols, params))
+    if op in DISPOSE:
+        return DISPOSE[op](eval_expr(expr[1], cols, params))
     if op in BINARY:
-        return BINARY[op](eval_expr(expr[1], cols), eval_expr(expr[2], cols))
+        return BINARY[op](eval_expr(expr[1], cols, params),
+                          eval_expr(expr[2], cols, params))
     raise ValueError(f"unknown op {op}")
+
+
+def pack_groups(cols: Sequence[np.ndarray], x_group):
+    """Reference ``SymbolSet._group`` analog (symbol/base.py:461-480):
+    pack grouped columns into 2-D ``(len(g), n)`` terminals.
+
+    ``x_group``: an int g (consecutive chunks of g columns) or explicit
+    index lists; groups of < 2 columns are dropped (stay single).  Returns
+    (new_cols, names): ungrouped singles keep their original order, then
+    one packed terminal per group (named ``gx{i}``), matching the
+    reference's terminal-dict rebuild."""
+    n = len(cols)
+    if isinstance(x_group, int):
+        assert n > x_group > 1, "group size must be in (1, n_cols)"
+        idx = list(range(n))
+        x_group = [idx[i:i + x_group] for i in range(0, n, x_group)]
+    x_group = [g for g in x_group if len(g) >= 2]
+    grouped = {j for g in x_group for j in g}
+    new_cols = [cols[j] for j in range(n) if j not in grouped]
+    names = [f"x{j}" for j in range(n) if j not in grouped]
+    for i, g in enumerate(x_group):
+        new_cols.append(np.stack([np.asarray(cols[j], np.float64) for j in g]))
+        names.append(f"gx{i}")
+    return new_cols, names
 
 
 def dim_of_expr(expr, dims: Sequence[Dim]) -> Dim:
@@ -69,6 +145,18 @@ def dim_of_expr(expr, dims: Sequence[Dim]) -> Dim:
         return dims[expr[1]]
     if op == "c":
         return Dim.dless()
+    if op == "k":
+        return dim_of_expr(expr[2], dims)
+    if op in DISPOSE:
+        # group members share one dim: madd/msub/conv/self preserve it;
+        # mdiv cancels (d/d); mmul of a 2-member group squares it (the
+        # reference's grouped tests use pairwise groups)
+        d = dim_of_expr(expr[1], dims)
+        if op == "mdiv":
+            return Dim.dless()
+        if op == "mmul":
+            return d * d
+        return d
     if op in UNARY:
         d = dim_of_expr(expr[1], dims)
         if op in _TRANS:
@@ -94,7 +182,9 @@ def expr_to_str(expr, names: Optional[Sequence[str]] = None) -> str:
         return names[expr[1]] if names else f"x{expr[1]}"
     if op == "c":
         return repr(expr[1])
-    if op in UNARY:
+    if op == "k":
+        return f"k{expr[1]}*{expr_to_str(expr[2], names)}"
+    if op in UNARY or op in DISPOSE:
         return f"{op}({expr_to_str(expr[1], names)})"
     sym = {"add": "+", "sub": "-", "mul": "*", "div": "/"}[op]
     return f"({expr_to_str(expr[1], names)} {sym} {expr_to_str(expr[2], names)})"
@@ -103,7 +193,9 @@ def expr_to_str(expr, names: Optional[Sequence[str]] = None) -> str:
 def complexity(expr) -> int:
     if expr[0] in ("x", "c"):
         return 1
-    if expr[0] in UNARY:
+    if expr[0] == "k":
+        return 1 + complexity(expr[2])
+    if expr[0] in UNARY or expr[0] in DISPOSE:
         return 1 + complexity(expr[1])
     return 1 + complexity(expr[1]) + complexity(expr[2])
 
@@ -116,6 +208,8 @@ def fit_score(expr, cols, y, dims: Optional[Sequence[Dim]] = None,
     try:
         v = eval_expr(expr, cols)
     except Exception:
+        return -np.inf
+    if getattr(v, "ndim", 1) != 1:  # undisposed group output
         return -np.inf
     if not np.all(np.isfinite(v)) or np.std(v) < 1e-12:
         return -np.inf
@@ -133,23 +227,150 @@ def fit_score(expr, cols, y, dims: Optional[Sequence[Dim]] = None,
     return r2
 
 
-def apply_expression(ds, expr, *, columns: Sequence[str], out_col: str,
-                     batch_size: int = 65536):
+def apply_expression(ds, expr, *, columns: Sequence, out_col: str,
+                     batch_size: int = 65536,
+                     params: Optional[np.ndarray] = None):
     """Promote an expression to a Dataset column — the reference's
     ``add_tree_to_features`` (symbol/base.py:695-751) re-expressed as a
     stateless vectorized ``map_batches``: terminals ``("x", i)`` bind to
-    ``columns[i]`` of each Arrow batch."""
+    ``columns[i]`` of each Arrow batch.  An entry of ``columns`` may be a
+    LIST of column names — that terminal binds to the packed 2-D group
+    (reference ``x_group``) for DISPOSE ops.  ``params`` supplies fitted
+    inner coefficients for ``("k", i, ...)`` nodes."""
     import pyarrow as pa
 
     columns = list(columns)
 
     def kernel(batch: pa.Table) -> pa.Table:
-        cols = [batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
-                for c in columns]
-        return batch.append_column(out_col, pa.array(eval_expr(expr, cols)))
+        cols = []
+        for c in columns:
+            if isinstance(c, (list, tuple)):
+                cols.append(np.stack([
+                    batch[cc].to_numpy(zero_copy_only=False).astype(np.float64)
+                    for cc in c]))
+            else:
+                cols.append(batch[c].to_numpy(zero_copy_only=False)
+                            .astype(np.float64))
+        v = eval_expr(expr, cols, params)
+        if getattr(v, "ndim", 1) != 1:
+            raise ValueError(
+                f"expression output is {v.ndim}-D; apply a DISPOSE op "
+                "(madd/mmul/msub/mdiv) to reduce the group axis")
+        return batch.append_column(out_col, pa.array(v))
 
     return ds.map_batches(kernel, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# inner coefficient fitting (reference add_coefficient + least_squares,
+# symbol/calculation/coefficient.py:171-260, 395-405)
+# ---------------------------------------------------------------------------
+
+
+def add_inner_coefficients(expr) -> Tuple[tuple, int]:
+    """Attach multiplicative placeholder coefficients the way the
+    reference's ``add_coefficient(inner_add=True)`` does: every non-number
+    child of an add/sub node — at ANY depth, including inside nonlinear
+    ops — gets its own ``("k", i, child)`` wrapper (the reference's
+    ``W_i`` on top-level Add args and ``k_i`` on inner Add args).  The
+    outer scale/intercept (``A``/``B``) are fitted in closed form by
+    :func:`fit_inner_coefficients` and need no placeholder.
+
+    Returns (parameterized tree, n_coefficients)."""
+    counter = [0]
+
+    def wrap(e):
+        i = counter[0]
+        counter[0] += 1
+        return ("k", i, walk(e))
+
+    def walk(e):
+        op = e[0]
+        if op in ("x", "c"):
+            return e
+        if op in UNARY or op in DISPOSE:
+            return (op, walk(e[1]))
+        if op in ("add", "sub"):
+            return (op,
+                    e[1] if e[1][0] == "c" else wrap(e[1]),
+                    e[2] if e[2][0] == "c" else wrap(e[2]))
+        return (op, walk(e[1]), walk(e[2]))
+
+    return walk(expr), counter[0]
+
+
+def fit_inner_coefficients(expr, cols, y, *, max_iter: int = 60,
+                           tol: float = 1e-10):
+    """Fit ``y ≈ a·f(x; k) + b`` where ``f`` is ``expr`` with inner
+    coefficients ``k`` (see :func:`add_inner_coefficients`).
+
+    Variable-projection Gauss–Newton: for any ``k``, the outer (a, b) are
+    solved in closed form; ``k`` is refined with a finite-difference
+    jacobian and a Levenberg damping fallback (numpy only — the sandbox
+    has no scipy.optimize).  Returns (k, a, b, r2)."""
+    y = np.asarray(y, np.float64)
+    pexpr, nk = add_inner_coefficients(expr)
+
+    def project(v):
+        """closed-form (a, b, residual, r2) for y ~ a v + b"""
+        vc = v - v.mean()
+        yc = y - y.mean()
+        den = float(vc @ vc)
+        a = float(vc @ yc) / den if den > 0 else 0.0
+        b = float(y.mean() - a * v.mean())
+        resid = y - (a * v + b)
+        ss = float(yc @ yc)
+        r2 = 1.0 - float(resid @ resid) / ss if ss > 0 else 0.0
+        return a, b, resid, r2
+
+    if nk == 0:
+        v = eval_expr(expr, cols)
+        a, b, _, r2 = project(v)
+        return np.empty(0), a, b, r2
+
+    k = np.ones(nk)
+
+    def value(kv):
+        v = eval_expr(pexpr, cols, kv)
+        return np.where(np.isfinite(v), v, 0.0)
+
+    _, _, resid, best_r2 = project(value(k))
+    lam = 1e-3
+    for _ in range(max_iter):
+        v0 = value(k)
+        a, b, resid, r2 = project(v0)
+        # finite-difference jacobian of the PROJECTED residual wrt k
+        J = np.empty((len(y), nk))
+        eps = 1e-6
+        for i in range(nk):
+            kp = k.copy()
+            kp[i] += eps * max(1.0, abs(k[i]))
+            vi = value(kp)
+            ai, bi, ri, _ = project(vi)
+            J[:, i] = (ri - resid) / (kp[i] - k[i])
+        g = J.T @ resid
+        H = J.T @ J
+        step = None
+        for _try in range(6):
+            try:
+                step = np.linalg.solve(H + lam * np.eye(nk), -g)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            k_new = k + step
+            _, _, r_new, r2_new = project(value(k_new))
+            if r2_new > r2:
+                k = k_new
+                lam = max(lam / 10, 1e-12)
+                break
+            lam *= 10
+        else:
+            break
+        if step is not None and np.max(np.abs(step)) < tol:
+            break
+    a, b, _, r2 = project(value(k))
+    return k, a, b, r2
 
 
 # ---------------------------------------------------------------------------
@@ -271,8 +492,10 @@ def _random_tree(rng, n_features, depth, un_ops, bin_ops,
 
 def _subtrees(expr, path=()):
     yield path, expr
-    if expr[0] in UNARY:
+    if expr[0] in UNARY or expr[0] in DISPOSE:
         yield from _subtrees(expr[1], path + (1,))
+    elif expr[0] == "k":
+        yield from _subtrees(expr[2], path + (2,))
     elif expr[0] in BINARY:
         yield from _subtrees(expr[1], path + (1,))
         yield from _subtrees(expr[2], path + (2,))

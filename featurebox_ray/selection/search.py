@@ -140,6 +140,66 @@ class BackForward:
         return self
 
 
+class BackForwardCV:
+    """Per-fold BackForward with best-fold-support selection — the
+    reference's ``BackForwardCV`` (selection/backforward.py:252-423): one
+    independent add/prune search runs on each CV fold's TRAIN split (fold
+    fan-out as Ray tasks, mirroring the reference's parallelized
+    ``cv.split`` loop at :367-371), each fold's selected support is scored
+    on its TEST split, and the best fold's support wins (``support_`` =
+    ``support_cv[argmax(score_cv)]``); the final model refits on the full
+    data restricted to that support."""
+
+    def __init__(self, *, cv: int = 5, max_features: Optional[int] = None,
+                 tol: float = 1e-4, alpha: float = 1e-6, k: int = 3,
+                 seed: int = 0):
+        self.cv = cv
+        self.max_features = max_features
+        self.tol, self.alpha, self.k, self.seed = tol, alpha, k, seed
+        self.support_cv: List[Tuple[int, ...]] = []
+        self.score_cv: List[float] = []
+        self.support_: Optional[Tuple[int, ...]] = None
+        self.score_: float = -np.inf
+        self.estimator_: Optional[Ridge] = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "BackForwardCV":
+        import ray
+
+        from .models import kfold_indices
+
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        y = np.ascontiguousarray(y, dtype=np.float64)
+
+        @ray.remote
+        def fold_fit(x_ref, y_ref, train, test, seed, max_features, tol,
+                     alpha, k):
+            sub, _ = BackForward._search(x_ref[train], y_ref[train], seed,
+                                         max_features, tol, alpha, k)
+            m = Ridge(alpha).fit(x_ref[train][:, list(sub)], y_ref[train])
+            s = r2_score(y_ref[test], m.predict(x_ref[test][:, list(sub)]))
+            return sub, float(s)
+
+        x_ref, y_ref = ray.put(X), ray.put(y)
+        futs = [fold_fit.remote(x_ref, y_ref, train, test, self.seed + i,
+                                self.max_features, self.tol, self.alpha,
+                                self.k)
+                for i, (train, test) in enumerate(
+                    kfold_indices(len(y), self.cv, self.seed))]
+        results = ray.get(futs)
+        self.support_cv = [r[0] for r in results]
+        self.score_cv = [r[1] for r in results]
+        best = int(np.argmax(self.score_cv))
+        self.support_ = self.support_cv[best]
+        self.score_ = self.score_cv[best]
+        self.estimator_ = Ridge(self.alpha).fit(X[:, list(self.support_)], y)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        assert self.estimator_ is not None, "fit first"
+        return self.estimator_.predict(
+            np.asarray(X, float)[:, list(self.support_)])
+
+
 class GASelect:
     """Binary-mask genetic search with fitness fan-out per generation."""
 
@@ -268,5 +328,102 @@ class Ego:
         Phi = 0.5 * (1 + np.array([erf(v / np.sqrt(2)) for v in z]))
         self.ei_ = np.where(self.std_ > 0,
                             (self.mean_ - y_best) * Phi + self.std_ * phi, 0.0)
+        self.rank_ = np.argsort(-self.ei_)
+        return self.rank_
+
+
+def pareto_front_points(Y: np.ndarray, sign=None) -> np.ndarray:
+    """Indices of the (maximization) Pareto front of training objectives
+    (ref ego/multiplyego.py:121-138 ``pareto_front_point``: a point is on
+    the front iff no other point beats it in EVERY objective)."""
+    Y = np.asarray(Y, float)
+    if sign is not None:
+        Y = Y * np.asarray(sign, float)
+    front = []
+    for i in range(len(Y)):
+        diff = Y[i][None, :] - Y
+        if np.min(np.max(diff, axis=1)) >= 0:
+            front.append(i)
+    return np.asarray(front, dtype=np.int64)
+
+
+class MultiEgo:
+    """Multi-objective EGO (clean-room analog of the reference's
+    ``MutilplyEgo``, ego/multiplyego.py:28-268): one bootstrap Ridge
+    ensemble PER OBJECTIVE (optionally on its own feature slice), a
+    Pareto front of the training objectives, then
+
+    * ``Pi`` — fraction of joint bootstrap draws NOT strictly dominated by
+      any front point (ref ``CalculatePi``: ``max(draw - front) < 0`` in
+      every objective = dominated),
+    * ``L``  — distance proxy: |mean prediction - front point|, min over
+      front points then over objectives (ref ``CalculateL``),
+    * ``Ei = L * Pi`` (ref ``CalculateEi``), ranked descending.
+
+    Bootstrap fits fan out as Ray tasks over the broadcast search space,
+    like :class:`Ego`."""
+
+    def __init__(self, *, n_models: int = 16, alpha: float = 1e-6,
+                 seed: int = 0):
+        self.n_models = n_models
+        self.alpha = alpha
+        self.seed = seed
+        self.mean_: Optional[np.ndarray] = None  # (n_grid, d)
+        self.std_: Optional[np.ndarray] = None
+        self.pi_: Optional[np.ndarray] = None
+        self.l_: Optional[np.ndarray] = None
+        self.ei_: Optional[np.ndarray] = None
+        self.rank_: Optional[np.ndarray] = None
+        self.front_: Optional[np.ndarray] = None
+
+    def fit_predict(self, X, Y, searchspace, *, feature_slices=None,
+                    sign=None) -> np.ndarray:
+        import ray
+
+        X = np.asarray(X, float)
+        Y = np.asarray(Y, float)
+        space = np.asarray(searchspace, float)
+        n, d = Y.shape
+        if feature_slices is None:
+            feature_slices = [tuple(range(X.shape[1]))] * d
+
+        @ray.remote
+        def boot_fit_predict(x_ref, y_ref, space_ref, seed, alpha):
+            rng = np.random.default_rng(seed)
+            idx = rng.integers(0, len(y_ref), len(y_ref))
+            m = Ridge(alpha).fit(x_ref[idx], y_ref[idx])
+            return m.predict(space_ref)
+
+        # preds[j][b] = bootstrap b of objective j over the grid
+        futs = []
+        for j in range(d):
+            sl = list(feature_slices[j])
+            x_ref = ray.put(X[:, sl])
+            y_ref = ray.put(Y[:, j])
+            s_ref = ray.put(space[:, sl])
+            futs.append([
+                boot_fit_predict.remote(x_ref, y_ref, s_ref,
+                                        self.seed + 1000 * j + b, self.alpha)
+                for b in range(self.n_models)])
+        preds = np.stack([np.stack(ray.get(f)) for f in futs])  # (d, B, g)
+        self.mean_ = preds.mean(axis=1).T  # (g, d)
+        self.std_ = preds.std(axis=1).T
+
+        front_idx = pareto_front_points(Y, sign)
+        self.front_ = Y[front_idx]  # (f, d)
+
+        # Pi: per joint draw b, grid point g: dominated iff some front
+        # point beats it strictly in every objective
+        draws = preds.transpose(1, 2, 0)  # (B, g, d)
+        dominated = np.zeros(draws.shape[:2], dtype=bool)
+        for f in self.front_:
+            dominated |= np.all(draws < f[None, None, :], axis=2)
+        self.pi_ = 1.0 - dominated.mean(axis=0)
+
+        # L: |mean - front|, min over front points then objectives
+        diffs = np.abs(self.mean_[None, :, :] - self.front_[:, None, :])
+        self.l_ = np.min(np.min(diffs, axis=0), axis=1)
+
+        self.ei_ = self.l_ * self.pi_
         self.rank_ = np.argsort(-self.ei_)
         return self.rank_

@@ -1,0 +1,115 @@
+"""MultiEgo (reference MutilplyEgo parity shape), BackForwardCV per-fold
+selection, and Gabriel-graph neighbor stats (count_voronoinn analog)."""
+
+import numpy as np
+import pytest
+
+from featurebox_ray.selection.search import (
+    BackForwardCV, MultiEgo, pareto_front_points)
+from featurebox_ray.stages.voronoi import gabriel_edges, neighbor_type_stats
+
+rng = np.random.default_rng(3)
+
+
+def test_pareto_front_points_reference_rule():
+    Y = np.array([[1.0, 1.0], [2.0, 0.5], [0.5, 2.0], [0.4, 0.4],
+                  [2.0, 2.0]])
+    front = set(pareto_front_points(Y).tolist())
+    # (2,2) dominates everything except nothing dominates it; (1,1),(2,.5),
+    # (.5,2) are all dominated by (2,2); reference rule keeps only points
+    # not beaten in EVERY objective
+    assert 4 in front
+    assert 3 not in front
+    # equal points are both on the front
+    Y2 = np.array([[1.0, 1.0], [1.0, 1.0]])
+    assert set(pareto_front_points(Y2).tolist()) == {0, 1}
+
+
+def test_multiego_planted_two_objectives():
+    """Two objectives maximized at opposite corners: the EI ranking must
+    surface grid points near the training Pareto front, and Pi must be ~0
+    for points strictly dominated by it."""
+    n = 120
+    X = rng.uniform(-1, 1, size=(n, 2))
+    Y = np.column_stack([X[:, 0], X[:, 1]])  # y0 = x0, y1 = x1
+    g = np.linspace(-1, 1, 11)
+    grid = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+    me = MultiEgo(n_models=8, seed=0)
+    rank = me.fit_predict(X, Y, grid)
+    assert rank.shape == (len(grid),)
+    assert me.mean_.shape == (len(grid), 2)
+    assert me.pi_.min() >= 0 and me.pi_.max() <= 1
+    assert np.all(me.ei_ >= 0)
+    # a deep-dominated grid point (-1,-1) has ~zero probability of
+    # jointly beating the front
+    corner = int(np.argmin(np.abs(grid + 1).sum(axis=1)))
+    assert me.pi_[corner] < 0.2
+    # Ei = L * Pi exactly
+    assert np.allclose(me.ei_, me.l_ * me.pi_)
+
+
+def test_backforward_cv_per_fold_selection():
+    n = 300
+    X = rng.normal(size=(n, 6))
+    y = 3.0 * X[:, 1] - 2.0 * X[:, 4] + rng.normal(0, 0.05, n)
+    b = BackForwardCV(cv=4, seed=0).fit(X, y)
+    assert len(b.support_cv) == 4
+    assert len(b.score_cv) == 4
+    assert set(b.support_) >= {1, 4}
+    assert b.score_ > 0.95
+    assert b.score_ == max(b.score_cv)
+    # refit model predicts well
+    from featurebox_ray.selection.models import r2_score
+
+    assert r2_score(y, b.predict(X)) > 0.95
+
+
+# ---------------------------------------------------------------------------
+# Gabriel graph
+# ---------------------------------------------------------------------------
+
+
+def test_gabriel_edges_known_configurations():
+    # 3 collinear points: (0,0)-(2,0) circle contains (1,0) -> not an edge
+    P = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    ii, jj = gabriel_edges(P)
+    edges = set(zip(ii.tolist(), jj.tolist()))
+    assert edges == {(0, 1), (1, 2)}
+    # unit square: the other two corners lie exactly ON each diagonal's
+    # circle — the strict-interior rule therefore keeps the diagonals
+    # (cocircular degenerate case); all 6 pairs are edges
+    P = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    ii, jj = gabriel_edges(P)
+    assert len(ii) == 6
+    # a slightly inset point breaks the diagonal
+    P2 = np.array([[0.0, 0.0], [1.0, 1.0], [0.5, 0.49]])
+    ii, jj = gabriel_edges(P2)
+    assert (0, 1) not in set(zip(ii.tolist(), jj.tolist()))
+    # brute-force definition check on random points
+    Q = rng.normal(size=(30, 2))
+    ii, jj = gabriel_edges(Q)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    want = set()
+    for i in range(30):
+        for j in range(i + 1, 30):
+            mid = (Q[i] + Q[j]) / 2
+            r2 = np.sum((Q[i] - Q[j]) ** 2) / 4
+            ok = True
+            for k in range(30):
+                if k in (i, j):
+                    continue
+                if np.sum((Q[k] - mid) ** 2) < r2:
+                    ok = False
+                    break
+            if ok:
+                want.add((i, j))
+    assert got == want
+
+
+def test_neighbor_type_stats_normalization():
+    P = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    types = np.array(["a", "b", "a"], dtype=object)
+    stats = neighbor_type_stats(P, types)
+    # edges (0,1) and (1,2), both type pair (a,b), dist 1 -> w = 0.5 each
+    assert set(stats) == {("a", "b")}
+    assert stats[("a", "b")] == pytest.approx((0.5 + 0.5) / 3)
