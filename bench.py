@@ -100,7 +100,8 @@ QUERY_NAMES = [
     "q01_pricing_summary", "q04_priority_revenue", "q06_sessionize",
     "q08_rolling_window", "q09_time_window", "q10_asof_backfill",
     "q11_session_stats", "q17_exact_dedup", "q20_ann_topk",
-    "q22_minhash_neardup",
+    "q22_minhash_neardup", "q26_text_analysis", "q38_group_dispose",
+    "q39_voronoi_neighbors",
 ]
 
 
