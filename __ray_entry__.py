@@ -566,9 +566,12 @@ def oracle_sql() -> dict[str, str]:
           FROM base
         ),
         fp AS (
+          -- zero-token docs fingerprint as '' (engine semantics), not
+          -- md5('') — exclude them here, coalesce below supplies ''
           SELECT doc_id,
                  min(md5(array_to_string(list_slice(t, i, i + 4), ' '))) AS fp
           FROM base, LATERAL unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)
+          WHERE len(t) > 0
           GROUP BY doc_id
         )
         SELECT CAST(r.doc_id AS BIGINT) AS doc_id,

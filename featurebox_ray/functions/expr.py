@@ -139,41 +139,53 @@ def pack_groups(cols: Sequence[np.ndarray], x_group):
     return new_cols, names
 
 
-def dim_of_expr(expr, dims: Sequence[Dim]) -> Dim:
+def dim_of_expr(expr, dims: Sequence[Dim],
+                group_sizes: Optional[Sequence[int]] = None) -> Dim:
+    """Fold dims bottom-up.  ``group_sizes[i]`` is the member count of
+    terminal i (1 = scalar); dispose dims depend on it — group members
+    share one dim, so madd preserves d, mmul of an s-member group yields
+    d**s, msub/mdiv act only on 2-member groups (identity otherwise,
+    mirroring the numpy semantics)."""
+    return _dim_size_of(expr, dims, group_sizes)[0]
+
+
+def _dim_size_of(expr, dims, gs) -> Tuple[Dim, int]:
     op = expr[0]
     if op == "x":
-        return dims[expr[1]]
+        return dims[expr[1]], (int(gs[expr[1]]) if gs is not None else 1)
     if op == "c":
-        return Dim.dless()
+        return Dim.dless(), 1
     if op == "k":
-        return dim_of_expr(expr[2], dims)
+        return _dim_size_of(expr[2], dims, gs)
     if op in DISPOSE:
-        # group members share one dim: madd/msub/conv/self preserve it;
-        # mdiv cancels (d/d); mmul of a 2-member group squares it (the
-        # reference's grouped tests use pairwise groups)
-        d = dim_of_expr(expr[1], dims)
-        if op == "mdiv":
-            return Dim.dless()
+        d, s = _dim_size_of(expr[1], dims, gs)
+        if op in ("self", "conv"):
+            return d, s
+        if op == "madd":
+            return d, 1
         if op == "mmul":
-            return d * d
-        return d
+            return d ** s, 1
+        # msub / mdiv: defined for 2-member groups, identity otherwise
+        if s == 2:
+            return (d, 1) if op == "msub" else (Dim.dless(), 1)
+        return d, s
     if op in UNARY:
-        d = dim_of_expr(expr[1], dims)
+        d, s = _dim_size_of(expr[1], dims, gs)
         if op in _TRANS:
-            return d.func()
+            return d.func(), s
         if op in _POW:
-            return d ** _POW[op]
-        if op in ("abs", "neg"):
-            return d
+            return d ** _POW[op], s
         if op == "rec":
-            return Dim.dless() / d
-        return d
-    a, b = dim_of_expr(expr[1], dims), dim_of_expr(expr[2], dims)
+            return Dim.dless() / d, s
+        return d, s  # abs / neg
+    (a, sa), (b, sb) = (_dim_size_of(expr[1], dims, gs),
+                        _dim_size_of(expr[2], dims, gs))
+    s = max(sa, sb)  # broadcast keeps the group axis
     if op in ("add", "sub"):
-        return a + b
+        return a + b, s
     if op == "mul":
-        return a * b
-    return a / b
+        return a * b, s
+    return a / b, s
 
 
 def expr_to_str(expr, names: Optional[Sequence[str]] = None) -> str:

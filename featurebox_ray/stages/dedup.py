@@ -123,10 +123,10 @@ def _batch_shingles(texts, n: int) -> Tuple[np.ndarray, np.ndarray]:
     Returns (flat shingle hashes, row offsets).  A global sliding-window
     polynomial over the flat token-hash array computes every window once;
     windows that straddle row boundaries are masked out.  Rows with fewer
-    than ``n`` tokens get one zero-padded shingle (matches the per-row
-    semantics: pad with zero-hash tokens)."""
+    than ``n`` tokens get ZERO shingles — short docs are outside
+    near-dup-by-shingle semantics (the q22 oracle's ``len(t) >= n``
+    mirrors this; exact duplicates among them are exact_dedup's job)."""
     flat, off = _batch_token_hashes(texts)
-    nrows = len(off) - 1
     counts = np.diff(off)
     T = len(flat)
     # global windows over flat
@@ -138,7 +138,7 @@ def _batch_shingles(texts, n: int) -> Tuple[np.ndarray, np.ndarray]:
                 acc = acc * _GRAM_A + flat[j:j + m] * _GRAM_B
     else:
         acc = np.empty(0, np.uint64)
-    out_counts = np.maximum(counts - n + 1, 1)
+    out_counts = np.maximum(counts - n + 1, 0)
     out_off = np.concatenate([[0], np.cumsum(out_counts)])
     out = np.empty(out_off[-1], np.uint64)
     # rows with >= n tokens: copy their valid window range from acc
@@ -146,16 +146,6 @@ def _batch_shingles(texts, n: int) -> Tuple[np.ndarray, np.ndarray]:
     for i in long_rows:
         s, c = off[i], counts[i] - n + 1
         out[out_off[i]:out_off[i] + c] = acc[s:s + c]
-    # short rows (rare): zero-pad to n and compute the single shingle
-    short_rows = np.flatnonzero(counts < n)
-    for i in short_rows:
-        th = np.zeros(n, np.uint64)
-        th[:counts[i]] = flat[off[i]:off[i + 1]]
-        a = np.uint64(0)
-        with np.errstate(over="ignore"):
-            for j in range(n):
-                a = a * _GRAM_A + th[j] * _GRAM_B
-        out[out_off[i]] = a
     return out, out_off
 
 
@@ -342,25 +332,34 @@ class MinHasher:
         self.text_col = text_col
 
     def batch_signatures(self, texts) -> np.ndarray:
-        """(n_rows, k) uint64 signature matrix for an Arrow string array."""
+        """(n_rows, k) uint64 signature matrix for an Arrow string array.
+
+        Rows with zero shingles (< shingle_n tokens) keep an all-max
+        sentinel signature: they may band together as candidates, but the
+        exact-Jaccard verification scores empty-set pairs 0 and drops
+        them."""
         flat, off = _batch_shingles(texts, self.n)
         nrows = len(off) - 1
         if nrows == 0:
             return np.empty((0, self.k), np.uint64)
         sigs = np.full((self.k, nrows), np.iinfo(np.uint64).max, np.uint64)
-        starts = off[:-1]
+        nonempty = np.flatnonzero(np.diff(off) > 0)
+        starts = off[:-1][nonempty]  # strictly increasing, all < len(flat)
         for s in range(0, len(flat), self._CHUNK):
             chunk = flat[s:s + self._CHUNK]
             with np.errstate(over="ignore"):
                 vals = (chunk[None, :] * self.a[:, None]
                         + self.b[:, None]) % _MERSENNE
-            # rows overlapping this chunk (starts strictly increase: every
-            # row owns >= 1 shingle)
+            # non-empty rows overlapping this chunk
             lo = np.searchsorted(starts, s, side="right") - 1
+            lo = max(lo, 0)
             hi = np.searchsorted(starts, s + len(chunk), side="left")
+            if hi <= lo:
+                continue
             idx = np.clip(starts[lo:hi] - s, 0, None)
             part = np.minimum.reduceat(vals, idx, axis=1)
-            sigs[:, lo:hi] = np.minimum(sigs[:, lo:hi], part)
+            cols = nonempty[lo:hi]
+            sigs[:, cols] = np.minimum(sigs[:, cols], part)
         return sigs.T
 
     def signature(self, text: str) -> np.ndarray:
@@ -541,10 +540,11 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
     ``(id_a, id_b, jaccard)`` with exact Jaccard ≥ threshold."""
     import ray
 
+    from .partition import materialized_block_refs
+
     cand_tbl = pa.concat_tables(
-        [t for t in ray.get(
-            [r for b in pairs_ds.select_columns(["id_a", "id_b"])
-             .iter_internal_ref_bundles() for r in b.block_refs])
+        [t for t in ray.get(materialized_block_refs(
+            pairs_ds.select_columns(["id_a", "id_b"])))
          if t.num_rows > 0] or
         [pa.table({"id_a": pa.array([], pa.int64()),
                    "id_b": pa.array([], pa.int64())})],
@@ -600,7 +600,9 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
             sa, sb = sh[a[i]], sh[b[i]]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
-            jac[i] = inter / union if union else 1.0
+            # union == 0: both docs have < shingle_n tokens — outside
+            # shingle near-dup semantics, NOT a near-dup pair
+            jac[i] = inter / union if union else 0.0
         keep = jac >= jaccard_threshold
         if round_nd is not None:
             jac = np.round(jac, round_nd)
@@ -635,18 +637,16 @@ class SimHasher:
         bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int8)
         signed = 2 * bits.astype(np.int32) - 1
-        # rows with zero tokens contribute nothing; reduceat needs strictly
-        # valid starts — clip empty rows then zero them out
-        starts = np.minimum(off[:-1], len(flat) - 1)
-        sums = np.add.reduceat(signed, starts, axis=0)
-        empty = np.diff(off) == 0
-        # reduceat duplicates the next segment for empty rows; fix:
-        sums[empty] = 0
-        # rows whose start == next start (empty) already handled; rows where
-        # start was clipped share the last element — recompute those few
-        clipped = np.flatnonzero((off[:-1] >= len(flat)) & ~empty)
-        for i in clipped:
-            sums[i] = 0
+        # reduceat ONLY over non-empty rows' starts (strictly increasing,
+        # all < len(flat)); empty rows scatter to zero.  Clipping empty
+        # trailing starts into range instead would steal the final token
+        # from the preceding row's segment.
+        counts = np.diff(off)
+        nonempty = np.flatnonzero(counts > 0)
+        sums = np.zeros((nrows, 64), np.int32)
+        if len(nonempty):
+            sums[nonempty] = np.add.reduceat(
+                signed, off[:-1][nonempty], axis=0)
         pos = (sums > 0).astype(np.uint64)
         out = np.zeros(nrows, np.uint64)
         with np.errstate(over="ignore"):
@@ -747,7 +747,15 @@ def embedding_neardup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
     Tuning: at threshold t, p = 1-arccos(t)/π; pick (r, b) so recall ≈ 1
     — e.g. t=0.45 → r=2, b=48 gives 1-4e-12.  The per-band bucket count is
     2^r, so smaller r trades bigger buckets (more exact-cosine work) for
-    recall; bucket_cap bounds the damage and logs any skipped bucket."""
+    recall; bucket_cap bounds the damage and logs any skipped bucket.
+
+    Exchange cost: vectors ride WITH their band keys, so the shuffle moves
+    ``bands × corpus`` vector bytes (the standard banded-LSH replication —
+    it is what lets each bucket compute exact in-bucket cosine without a
+    second corpus pass or an all-candidate pair explosion).  At 100 TB
+    scale prefer few-band/many-plane configs (e.g. 8×16: small buckets,
+    8× traffic); many-band/few-plane configs like the 48×2 oracle setting
+    are small-corpus recall configurations."""
 
     n_planes = bands * planes_per_band
 

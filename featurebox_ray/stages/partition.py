@@ -181,6 +181,22 @@ def partitioned_map(
     )
 
 
+def materialized_block_refs(ds):
+    """Execute a Dataset and return its Arrow block refs.
+
+    NOT ``to_arrow_refs()``: that calls ``schema(fetch_if_missing=True)``
+    after execution, and when block schemas fail to unify (Ray's empty
+    zero-column bundles from shuffle ops) the schema fetch RE-EXECUTES the
+    whole upstream plan with limit(1) — doubling the pipeline cost.  The
+    ref bundles give the already-materialized block refs directly; fall
+    back to ``to_arrow_refs`` on Ray versions without the bundle API."""
+    try:
+        return [r for b in ds.iter_internal_ref_bundles()
+                for r in b.block_refs]
+    except AttributeError:  # older/newer Ray: fall back
+        return ds.to_arrow_refs()
+
+
 def _task_exchange_map(
     ds,
     kernel,
@@ -209,16 +225,7 @@ def _task_exchange_map(
     """
     import ray
 
-    # NOT to_arrow_refs(): that calls schema(fetch_if_missing=True) after
-    # execution, and when block schemas fail to unify (Ray's empty
-    # zero-column bundles from shuffle ops) the schema fetch RE-EXECUTES
-    # the whole upstream plan with limit(1) — doubling the pipeline cost.
-    # The ref bundles give us the already-materialized Arrow block refs.
-    try:
-        refs = [r for b in ds.iter_internal_ref_bundles()
-                for r in b.block_refs]
-    except AttributeError:  # older/newer Ray: fall back
-        refs = ds.to_arrow_refs()
+    refs = materialized_block_refs(ds)
     P = num_partitions
 
     if not refs:

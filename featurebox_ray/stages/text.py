@@ -51,15 +51,21 @@ FINGERPRINT_W = 5
 
 
 def _row_sums(values: np.ndarray, off: np.ndarray) -> np.ndarray:
-    """Sum ``values`` per row given list offsets (empty rows -> 0)."""
+    """Sum ``values`` per row given list offsets (empty rows -> 0).
+
+    reduceat runs ONLY over non-empty rows' starts — clipping empty
+    trailing starts into range would steal the final value from the
+    preceding row's segment."""
     nrows = len(off) - 1
+    out = np.zeros(nrows, values.dtype if values.dtype.kind == "f"
+                   else np.int64)
     if len(values) == 0:
-        return np.zeros(nrows, values.dtype if values.dtype.kind == "f"
-                        else np.int64)
-    starts = np.minimum(off[:-1], len(values) - 1)
-    sums = np.add.reduceat(values, starts)
-    sums[np.diff(off) == 0] = 0
-    return sums
+        return out
+    counts = np.diff(off)
+    nonempty = np.flatnonzero(counts > 0)
+    if len(nonempty):
+        out[nonempty] = np.add.reduceat(values, off[:-1][nonempty])
+    return out
 
 
 class TextFeaturizer:

@@ -43,18 +43,24 @@ def gabriel_edges(P: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     ii, jj = np.triu_indices(n, 1)
     mid = (P[ii] + P[jj]) / 2.0  # (m, 2)
     r2 = ((P[ii, 0] - P[jj, 0]) ** 2 + (P[ii, 1] - P[jj, 1]) ** 2) / 4.0
-    # distance² of every point to every midpoint, DIRECT form (m, n, 2):
-    # same expression the SQL oracle evaluates, so boundary comparisons
-    # are bit-identical (the expanded |m|²-2m·p+|p|² form rounds
-    # differently and could flip near-cocircular cases)
-    dx = mid[:, 0][:, None] - P[:, 0][None, :]
-    dy = mid[:, 1][:, None] - P[:, 1][None, :]
-    inside = dx * dx + dy * dy < r2[:, None]
-    # the endpoints themselves sit ON the circle; exclude them
     m = len(ii)
-    inside[np.arange(m), ii] = False
-    inside[np.arange(m), jj] = False
-    keep = ~inside.any(axis=1)
+    keep = np.empty(m, bool)
+    # chunk the (pairs × points) midpoint test so peak memory stays
+    # ~2×CHUNK_CELLS doubles regardless of group size
+    chunk_pairs = max(1, 4_000_000 // n)
+    for s in range(0, m, chunk_pairs):
+        e = min(s + chunk_pairs, m)
+        # distance² of every point to every midpoint, DIRECT form: same
+        # expression the SQL oracle evaluates, so boundary comparisons
+        # are bit-identical (the expanded |m|²-2m·p+|p|² form rounds
+        # differently and could flip near-cocircular cases)
+        dx = mid[s:e, 0][:, None] - P[:, 0][None, :]
+        dy = mid[s:e, 1][:, None] - P[:, 1][None, :]
+        inside = dx * dx + dy * dy < r2[s:e, None]
+        rows = np.arange(e - s)
+        inside[rows, ii[s:e]] = False  # endpoints sit ON the circle
+        inside[rows, jj[s:e]] = False
+        keep[s:e] = ~inside.any(axis=1)
     return ii[keep], jj[keep]
 
 
@@ -83,7 +89,7 @@ def add_voronoi_features(
     value_col: str = "value",
     type_col: str = "event_type",
     num_partitions: int = 32,
-    max_group: int = 2000,
+    max_group: int = 512,
     round_nd: Optional[int] = 6,
 ):
     """Per-key Gabriel-neighbor type-pair weights over points
@@ -93,7 +99,12 @@ def add_voronoi_features(
     Returns rows ``(key, type_a, type_b, w)``."""
 
     def kernel(t: pa.Table) -> pa.Table:
-        empty = pa.table({key: pa.array([], t[key].type if t.num_rows else pa.int64()),
+        # key type from the schema even for 0-row tables (only Ray's
+        # zero-COLUMN empty bundles need the int64 fallback) so all
+        # partitions emit one schema
+        key_type = (t.schema.field(key).type
+                    if key in t.column_names else pa.int64())
+        empty = pa.table({key: pa.array([], key_type),
                           "type_a": pa.array([], pa.string()),
                           "type_b": pa.array([], pa.string()),
                           "w": pa.array([], pa.float64())})
@@ -127,7 +138,8 @@ def add_voronoi_features(
                 out_key.append(kv)
                 out_a.append(a)
                 out_b.append(b)
-                out_w.append(round(v, round_nd) if round_nd else v)
+                out_w.append(round(v, round_nd) if round_nd is not None
+                             else v)
         if not out_key:
             return empty
         return pa.table({key: pa.array(out_key),

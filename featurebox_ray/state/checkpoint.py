@@ -143,10 +143,18 @@ def run_partitioned_checkpointed(
         import ray
 
         missing = [p for p in range(num_partitions) if p not in done]
-        if not missing:
-            files: List[str] = []
-        else:
-            files = partitioned_input_files(input_partitioned_dir, missing)
+        files = (partitioned_input_files(input_partitioned_dir, missing)
+                 if missing else [])
+        if missing and not files:
+            # an upstream partition that was EMPTY writes no part file, so
+            # partial absence is legitimate — but zero matches for a
+            # non-empty missing set means a wrong/renamed directory or an
+            # unfinished upstream, and returning the stale manifests as a
+            # completed run would be silent data loss
+            raise FileNotFoundError(
+                f"input_partitioned_dir={input_partitioned_dir!r} has no "
+                f"part files for any missing partition {missing}; wrong "
+                "directory, different layout, or upstream not finished")
         if not files:
             mdir = os.path.join(out_dir, "_manifest")
             return [json.load(open(os.path.join(mdir, f)))

@@ -141,3 +141,58 @@ def test_multimodal_plumbing():
     m = out.sort_values("media_id")["img_mean_r"].values
     m2 = out2.sort_values("media_id")["img_mean_r"].values
     assert np.allclose(m, m2)
+
+
+def test_empty_and_short_docs_edge_cases():
+    """Regression: a trailing empty/whitespace doc must not corrupt the
+    preceding doc's simhash or text features, and short (<n-token) docs
+    stay outside shingle near-dup semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featurebox_ray.stages.dedup import (MinHasher, SimHasher,
+                                             _batch_shingles)
+    from featurebox_ray.stages.text import TextFeaturizer
+
+    texts = ["aa bb cc", "", "dd ee", "   ", "ff gg hh ii"]
+    arr = pa.array(texts, pa.string())
+    # simhash of row 0 must equal the single-row computation
+    batch_h = SimHasher.batch_simhash(arr)
+    for i, t in enumerate(texts):
+        solo = SimHasher.batch_simhash(pa.array([t], pa.string()))[0]
+        assert batch_h[i] == solo, f"row {i}"
+    # short/empty docs have zero shingles; signatures are the sentinel
+    flat, off = _batch_shingles(arr, 3)
+    counts = np.diff(off)
+    assert counts.tolist() == [1, 0, 0, 0, 2]
+    mh = MinHasher(k=8)
+    sig = mh.batch_signatures(arr)
+    assert (sig[1] == np.iinfo(np.uint64).max).all()
+    assert not (sig[0] == np.iinfo(np.uint64).max).any()
+    # text features of the batch equal per-row computations
+    tf = TextFeaturizer()
+    full = tf(pa.table({"text": arr})).to_pandas()
+    for i, t in enumerate(texts):
+        solo = tf(pa.table({"text": pa.array([t])})).to_pandas().iloc[0]
+        row = full.iloc[i]
+        assert row["ta_mean_tok_len"] == solo["ta_mean_tok_len"], f"row {i}"
+        assert row["ta_stopword_ratio"] == solo["ta_stopword_ratio"]
+        assert row["ta_fingerprint"] == solo["ta_fingerprint"]
+
+
+def test_minhash_short_doc_pairs_excluded(ray_session_guard=None):
+    """Two identical 2-token docs must NOT appear as near-dup pairs (they
+    are exact_dedup's job; the q22 oracle's len(t)>=3 matches)."""
+    import ray
+
+    from featurebox_ray.stages.dedup import minhash_lsh_dedup
+
+    rows = [{"doc_id": 0, "text": "aa bb"},
+            {"doc_id": 1, "text": "aa bb"},
+            {"doc_id": 2, "text": "the quick brown fox jumps over a dog"},
+            {"doc_id": 3, "text": "the quick brown fox jumps over a cat"}]
+    ds = ray.data.from_items(rows)
+    pairs = minhash_lsh_dedup(ds, jaccard_threshold=0.5).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) not in got
+    assert (2, 3) in got
