@@ -180,16 +180,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(fin, batch_format="pyarrow")
 
     def _multimodal(sf_dir: str):
+        """Image-feature plumbing over the deterministic raw-byte fake
+        codec; the oracle is an INDEPENDENT pure-Python (math/statistics,
+        no numpy) replay of decode+features written to a fixture parquet —
+        a dual-implementation check on the vectorized path."""
+        import math
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
         import ray
 
         from featurebox_ray.stages.multimodal import (
             add_image_features, make_fake_media_table)
 
-        ds = ray.data.from_arrow(make_fake_media_table(256))
-        return add_image_features(ds, batch_size=32).select_columns(
-            ["media_id", "img_mean_r", "img_std_g", "img_entropy",
-             "img_decoder_is_fake"]
-        )
+        t = make_fake_media_table(256)
+
+        # independent scalar-Python feature computation (fixture oracle)
+        ids, means, stds, ents = [], [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(),
+                                t["payload"].to_pylist()):
+            need = 8 * 8 * 3
+            buf = (payload * (-(-need // len(payload))))[:need]
+            r = list(buf[0::3])
+            g = list(buf[1::3])
+            mean_r = sum(r) / len(r)
+            mean_g = sum(g) / len(g)
+            var_g = sum((v - mean_g) ** 2 for v in g) / len(g)
+            hist = [0] * 16
+            for v in r:
+                hist[v // 16] += 1
+            total = sum(hist)
+            ent = -sum((c / total) * math.log2(c / total)
+                       for c in hist if c)
+            ids.append(mid)
+            means.append(round(mean_r, 6))
+            stds.append(round(math.sqrt(var_g), 6))
+            ents.append(round(ent, 6))
+        os.makedirs("/tmp/fbr_oracle", exist_ok=True)
+        pq.write_table(pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "img_mean_r": pa.array(means),
+            "img_std_g": pa.array(stds),
+            "img_entropy": pa.array(ents),
+            "img_decoder_is_fake": pa.array([True] * len(ids)),
+        }), "/tmp/fbr_oracle/multimodal_features.parquet")
+
+        ds = ray.data.from_arrow(t)
+        out = add_image_features(ds, batch_size=32)
+
+        def fin(batch: pa.Table) -> pa.Table:
+            def r6(c):
+                return pa.array(np.round(
+                    batch[c].to_numpy(zero_copy_only=False), 6))
+
+            return pa.table({
+                "media_id": batch["media_id"].cast(pa.int64()),
+                "img_mean_r": r6("img_mean_r"),
+                "img_std_g": r6("img_std_g"),
+                "img_entropy": r6("img_entropy"),
+                "img_decoder_is_fake": batch["img_decoder_is_fake"],
+            })
+
+        return out.map_batches(fin, batch_format="pyarrow")
 
     return {
         # relational coverage (sources, filter/project, aggregate, join,
@@ -871,6 +925,11 @@ def oracle_sql() -> dict[str, str]:
         "q23_simhash_neardup": """
             SELECT id_a, id_b, hamming
             FROM read_parquet('/tmp/fbr_oracle/simhash_pairs.parquet')
+        """,
+        "q27_multimodal": """
+            SELECT media_id, img_mean_r, img_std_g, img_entropy,
+                   img_decoder_is_fake
+            FROM read_parquet('/tmp/fbr_oracle/multimodal_features.parquet')
         """,
         "q24_embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

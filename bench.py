@@ -105,6 +105,9 @@ QUERY_NAMES = [
 ]
 
 
+CAPTURE_STATS = os.environ.get("FBR_BENCH_STATS", "0") == "1"
+
+
 def run_queries(sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as e
@@ -117,6 +120,12 @@ def run_queries(sf_dir: str) -> dict:
         if hasattr(res, "count"):
             res.count()
         out[name] = round(time.time() - t0, 2)
+        if CAPTURE_STATS and hasattr(res, "stats"):
+            # per-stage wall/cpu breakdown for perf iteration (the
+            # "read ds.stats() and iterate" loop from the task brief)
+            os.makedirs("/tmp/fbr_bench/stats", exist_ok=True)
+            with open(f"/tmp/fbr_bench/stats/{name}.txt", "w") as fh:
+                fh.write(res.stats())
     return out
 
 

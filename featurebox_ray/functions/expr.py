@@ -36,6 +36,7 @@ UNARY = {
     "abs": np.abs,
     "neg": np.negative,
     "rec": lambda v: 1.0 / np.where(v == 0, np.nan, v),
+    "rem": lambda v: 1.0 - v,  # reference Rem (symfunc.py: 1 - x)
     "sqrt": lambda v: np.sqrt(np.abs(v)),
     "sq": lambda v: v * v,
     "cube": lambda v: v * v * v,
@@ -177,6 +178,8 @@ def _dim_size_of(expr, dims, gs) -> Tuple[Dim, int]:
             return d ** _POW[op], s
         if op == "rec":
             return Dim.dless() / d, s
+        if op == "rem":  # 1 - x: the Dim addition rule flags non-dless x
+            return Dim.dless() + d, s
         return d, s  # abs / neg
     (a, sa), (b, sb) = (_dim_size_of(expr[1], dims, gs),
                         _dim_size_of(expr[2], dims, gs))

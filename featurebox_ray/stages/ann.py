@@ -13,7 +13,7 @@ No reference analog; part of the engine's large-scale training-data surface.
 
 from __future__ import annotations
 
-import heapq
+import os
 from typing import Optional
 
 import numpy as np
@@ -113,7 +113,8 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
 def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
              sample_size: int = 10000, seed: int = 11,
-             centroid_init: str = "kmeans", sub_buckets: int = 4):
+             centroid_init: str = "kmeans", sub_buckets: int = 4,
+             centroid_cache: Optional[str] = None):
     """IVF-style ANN: bucket corpus by nearest (cosine) centroid; each
     query scans only its ``nprobe`` closest buckets.  Approximate
     (recall < 1 when nprobe < n_centroids).
@@ -130,7 +131,12 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
     ``sub_buckets``: each centroid's inverted list is split into
     ``sub_buckets`` hash sub-partitions so one search task holds
     ~1/(n_centroids·sub_buckets) of the corpus, not 1/n_centroids (the
-    global per-query top-k reduce merges sub-bucket results)."""
+    global per-query top-k reduce merges sub-bucket results).
+
+    ``centroid_cache``: path to persist trained kmeans centroids
+    (atomic ``.npy``); subsequent calls reuse them instead of retraining,
+    so repeated query batches against the same corpus skip the sample +
+    train step (shape-checked against ``n_centroids``)."""
     import ray
 
     if centroid_init == "first":
@@ -138,11 +144,22 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
             ds.filter(expr=f"{id_col} < {n_centroids}").take(n_centroids * 2),
             key=lambda r: r[id_col])
         C = _normalize(np.stack([r[vec_col] for r in rows]).astype(np.float64))
+    elif centroid_cache is not None and os.path.exists(centroid_cache):
+        C = np.load(centroid_cache)
+        if C.shape[0] != n_centroids:
+            raise ValueError(
+                f"cached centroids {C.shape} != n_centroids={n_centroids}; "
+                "delete the cache or match the parameters")
     else:
         sample = np.stack(
             [r[vec_col] for r in ds.limit(sample_size).take(sample_size)]
         )
         C = train_centroids(sample, n_centroids, seed=seed)
+        if centroid_cache is not None:
+            os.makedirs(os.path.dirname(centroid_cache) or ".",
+                        exist_ok=True)
+            np.save(centroid_cache + ".tmp.npy", C)
+            os.replace(centroid_cache + ".tmp.npy", centroid_cache)
     cref = ray.put(C)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     # ties (equal cosine): stable sort keeps the lower centroid id first,

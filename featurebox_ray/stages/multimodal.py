@@ -15,7 +15,6 @@ heap) — the caller passes ``batch_size`` accordingly.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Callable, Optional
 
 import numpy as np
@@ -32,11 +31,17 @@ def _try_import_pillow():
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in decoder: derives a small pseudo-image from the
-    payload hash.  Marked fake; replace with a real codec when available."""
-    h = hashlib.sha1(payload).digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    """Deterministic stand-in decoder: interprets the payload bytes
+    DIRECTLY as an 8×8×3 pixel block, repeating the payload to fill 192
+    bytes.  Marked fake; replace with a real codec when available.  Pure
+    byte arithmetic (no RNG) so an independent implementation — the q27
+    fixture oracle — can replay the downstream feature math exactly."""
+    need = 8 * 8 * 3
+    if not payload:
+        payload = b"\x00"
+    reps = -(-need // len(payload))
+    buf = (payload * reps)[:need]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(8, 8, 3).copy()
 
 
 class ImageFeatureExtractor:

@@ -2,6 +2,7 @@
 documents+embeddings tables and synthetic fixtures."""
 
 import numpy as np
+import os
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -196,3 +197,45 @@ def test_minhash_short_doc_pairs_excluded(ray_session_guard=None):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (0, 1) not in got
     assert (2, 3) in got
+
+
+def test_streaming_consumption_and_centroid_cache(tmp_path):
+    """iter_batches drain path + one-pass streaming moments + IVF centroid
+    persistence (trained once, reloaded on the next call)."""
+    import numpy as np
+    import ray
+
+    from featurebox_ray.pipelines.streaming import (
+        iter_feature_batches, streaming_column_moments)
+    from featurebox_ray.stages.ann import ivf_topk
+
+    li = ray.data.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                               columns=["l_quantity", "l_discount"])
+    n = 0
+    for b in iter_feature_batches(li, batch_size=1024,
+                                  columns=["l_quantity"]):
+        assert b.column_names == ["l_quantity"]
+        n += b.num_rows
+    assert n == li.count()
+
+    mom = streaming_column_moments(li, ["l_quantity", "l_discount"])
+    df = li.to_pandas()
+    assert mom["n"] == len(df)
+    assert abs(mom["mean"]["l_quantity"] - df["l_quantity"].mean()) < 1e-9
+    assert abs(mom["std"]["l_discount"] - df["l_discount"].std(ddof=0)) < 1e-9
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.stack([r["embedding"] for r in emb.take(2)])
+    cache = str(tmp_path / "cents.npy")
+    r1 = ivf_topk(emb, q, k=5, n_centroids=4, nprobe=2,
+                  centroid_cache=cache).to_pandas()
+    assert os.path.exists(cache)
+    r2 = ivf_topk(emb, q, k=5, n_centroids=4, nprobe=2,
+                  centroid_cache=cache).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert r1.sort_values(key).reset_index(drop=True).equals(
+        r2.sort_values(key).reset_index(drop=True))
+    import pytest
+
+    with pytest.raises(ValueError, match="n_centroids"):
+        ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2, centroid_cache=cache)
