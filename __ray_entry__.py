@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_group_dispose": _group_dispose_feature,
         "q39_voronoi_neighbors": _voronoi_stats,
         "q40_multi_ego": _multi_ego_rank,
+        "q41_composition_parse": _composition_parse,
     }
 
 
@@ -364,6 +365,49 @@ def _group_dispose_feature(sf_dir: str):
             "g_mdiv": r_away("g_mdiv", 6),
             "g_conv_msub": r("g_conv_msub", 4),
         })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _composition_parse(sf_dir: str):
+    """q41: composition-string round trip (reference namespilt analog,
+    data/namespilt.py): per-user event compositions are RENDERED as
+    name+count strings ("click3error12..."), parsed back with the
+    stages/parse.py grammar, and densely expanded over the event-type
+    vocabulary; the oracle computes the same dense counts directly from
+    events, so the build→parse→expand round trip is value-hash-checked."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count
+
+    from featurebox_ray.stages.parse import expand_composition
+
+    VOCAB = ["click", "view", "purchase", "signup", "error"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    counts = ev.groupby(["user_id", "event_type"]).aggregate(Count())
+
+    def render(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values("event_type")
+        s = "".join(f"{t}{int(c)}"
+                    for t, c in zip(df["event_type"], df["count()"]))
+        return pa.table({"user_id": pa.array([df["user_id"].iloc[0]]),
+                         "comp_str": pa.array([s])})
+
+    strings = counts.groupby("user_id").map_groups(render,
+                                                   batch_format="pyarrow")
+    out = expand_composition(strings, col="comp_str", vocab=VOCAB)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch["user_id"].cast(pa.int64())}
+        for v in VOCAB + ["other"]:
+            cols[f"comp_{v}"] = pa.array(
+                batch[f"comp_{v}"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+        return pa.table(cols)
 
     return out.map_batches(fin, batch_format="pyarrow")
 
@@ -860,6 +904,16 @@ def oracle_sql() -> dict[str, str]:
                    round(l_extendedprice / l_quantity, 6) AS g_mdiv,
                    round(l_quantity - l_extendedprice, 4) AS g_conv_msub
             FROM lineitem
+        """,
+        "q41_composition_parse": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS comp_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS comp_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS comp_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS comp_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS comp_error,
+                   CAST(0 AS BIGINT) AS comp_other
+            FROM events GROUP BY user_id
         """,
         "q39_voronoi_neighbors": """
             WITH pts AS (

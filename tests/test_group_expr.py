@@ -184,3 +184,26 @@ def test_apply_expression_with_group_columns():
         apply_expression(ds, ("mul", ("x", 0), ("x", 1)),
                          columns=[["l_quantity", "l_tax"], "l_discount"],
                          out_col="bad").to_pandas()
+
+
+def test_composition_parse_reference_semantics():
+    """namespilt analog: name+count grammar, missing count = 1, repeats
+    accumulate (Ele.__add__), unknown names land in the other bucket."""
+    from featurebox_ray.stages.parse import (CompositionExpander,
+                                             parse_composition)
+
+    assert parse_composition("click3error12view5") == {
+        "click": 3.0, "error": 12.0, "view": 5.0}
+    assert parse_composition("click") == {"click": 1.0}
+    assert parse_composition("click2click3") == {"click": 5.0}
+    assert parse_composition("tool_a1.5tool_b2") == {
+        "tool_a": 1.5, "tool_b": 2.0}
+    assert parse_composition("") == {}
+
+    import pyarrow as pa
+
+    exp = CompositionExpander("s", ["click", "view"])
+    out = exp(pa.table({"s": pa.array(["click3mystery7view2", None])}))
+    assert out["comp_click"].to_pylist() == [3.0, 0.0]
+    assert out["comp_view"].to_pylist() == [2.0, 0.0]
+    assert out["comp_other"].to_pylist() == [7.0, 0.0]
