@@ -193,7 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
 
         from featurebox_ray.stages.multimodal import (
-            add_image_features, make_fake_media_table)
+            add_image_features, fake_decode, make_fake_media_table)
 
         t = make_fake_media_table(256)
 
@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ids, means, stds, ents = [], [], [], []
         for mid, payload in zip(t["media_id"].to_pylist(),
                                 t["payload"].to_pylist()):
+            payload = payload or b"\x00"  # same guard as fake_decode
             need = 8 * 8 * 3
             buf = (payload * (-(-need // len(payload))))[:need]
             r = list(buf[0::3])
@@ -228,7 +229,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }), "/tmp/fbr_oracle/multimodal_features.parquet")
 
         ds = ray.data.from_arrow(t)
-        out = add_image_features(ds, batch_size=32)
+        # pin the fake codec: the fixture replays ITS math, and this keeps
+        # q27 stable even if a real image library becomes importable
+        out = add_image_features(ds, batch_size=32, codec=fake_decode)
 
         def fin(batch: pa.Table) -> pa.Table:
             def r6(c):
@@ -950,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
                                                + (yi - yj) * (yi - yj))))
                          / any_value(cnt.n), 6) AS w
             FROM gabriel g JOIN cnt ON cnt.user_id = g.user_id
+            WHERE cnt.n <= 512  -- mirrors the engine's max_group cap
             GROUP BY g.user_id, least(ta, tb), greatest(ta, tb)
         """,
         "q26_text_analysis": q26,

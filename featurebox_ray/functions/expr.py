@@ -236,7 +236,10 @@ def fit_score(expr, cols, y, dims: Optional[Sequence[Dim]] = None,
     ss_tot = float(yc @ yc)
     r2 = 1.0 - float(resid @ resid) / ss_tot if ss_tot > 0 else 0.0
     if dims is not None and target_dim is not None:
-        d = dim_of_expr(expr, dims)
+        # group sizes come straight from the bound columns (2-D = packed
+        # group), so dispose dims fold with the true member counts
+        gs = [c.shape[0] if getattr(c, "ndim", 1) == 2 else 1 for c in cols]
+        d = dim_of_expr(expr, dims, gs)
         if d.is_nan or not (d == target_dim):
             r2 -= dim_penalty
     return r2

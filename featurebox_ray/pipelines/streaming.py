@@ -23,10 +23,14 @@ def iter_feature_batches(ds, *, batch_size: int = 4096,
     prefetch — the training-loop feed path.  Backpressure: only
     ``prefetch_batches`` batches are in flight, so the upstream streaming
     executor never runs ahead of the consumer."""
-    for batch in ds.iter_batches(batch_size=batch_size,
-                                 batch_format="pyarrow",
-                                 prefetch_batches=prefetch_batches):
-        yield batch.select(list(columns)) if columns else batch
+    if columns:
+        # push the projection into the Dataset so Ray prunes upstream —
+        # driver-side select() would ship every column to the consumer
+        # before dropping it
+        ds = ds.select_columns(list(columns))
+    yield from ds.iter_batches(batch_size=batch_size,
+                               batch_format="pyarrow",
+                               prefetch_batches=prefetch_batches)
 
 
 def streaming_column_moments(ds, columns: Sequence[str],

@@ -471,6 +471,15 @@ def minhash_lsh_dedup(
     ).select_columns([id_col, "__sig"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            # drop zero-shingle (short/empty) docs BEFORE banding: their
+            # shared all-max sentinel signature would put every short doc
+            # of the corpus in one bucket per band — an O(S²) candidate
+            # explosion for pairs that verification is guaranteed to drop
+            sig0 = np.stack(batch["__sig"].to_numpy(zero_copy_only=False))
+            real = ~(sig0 == np.iinfo(np.uint64).max).all(axis=1)
+            if not real.all():
+                batch = batch.filter(pa.array(real))
         n = batch.num_rows
         if n == 0:
             return pa.table({id_col: pa.array([], batch[id_col].type),

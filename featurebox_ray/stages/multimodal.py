@@ -53,7 +53,7 @@ class ImageFeatureExtractor:
     def __init__(self, payload_col: str = "payload", codec: Optional[Callable] = None):
         self.payload_col = payload_col
         if codec is not None:
-            self.codec, self.fake = codec, False
+            self.codec, self.fake = codec, codec is fake_decode
         else:
             pil = _try_import_pillow()
             if pil is not None:
@@ -93,11 +93,14 @@ class ImageFeatureExtractor:
 
 
 def add_image_features(ds, *, payload_col: str = "payload",
+                       codec: Optional[Callable] = None,
                        batch_size: int = 64, concurrency=(2, 8), num_cpus=1):
-    """Small batches: payload × batch × actors sized to worker heap."""
+    """Small batches: payload × batch × actors sized to worker heap.
+    ``codec`` pins a specific decoder (e.g. ``fake_decode`` for
+    fixture-checked runs); default auto-selects Pillow when importable."""
     return ds.map_batches(
         ImageFeatureExtractor,
-        fn_constructor_kwargs={"payload_col": payload_col},
+        fn_constructor_kwargs={"payload_col": payload_col, "codec": codec},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -54,6 +54,10 @@ def finished_partitions(out_dir: str) -> set:
         try:
             with open(os.path.join(mdir, f)) as fh:
                 m = json.load(fh)
+            if m.get("file") is None:
+                if m.get("rows") == 0:  # recorded-empty partition
+                    done.add(int(m["partition"]))
+                continue
             pth = os.path.join(out_dir, m["file"])
             if os.path.exists(pth) and pq.read_metadata(pth).num_rows == m["rows"]:
                 done.add(int(m["partition"]))
@@ -201,8 +205,24 @@ def run_partitioned_checkpointed(
         write_partition, batch_format="pyarrow"
     )
     _ = result.count()  # drive execution
-    manifests = []
+    # the run completed: any partition still without a manifest received
+    # ZERO input rows — record it as an empty partition so resumes see a
+    # fully-finished layout (otherwise empty partitions stay "missing"
+    # forever and a partitioned-input resume of a completed run would
+    # trip the no-matching-files guard)
     mdir = os.path.join(out_dir, "_manifest")
+    have = finished_partitions(out_dir)
+    for p in range(num_partitions):
+        if p in have:
+            continue
+        manifest = {"partition": p, "rows": 0, "file": None,
+                    "feature_hash": None, "input": input_desc,
+                    "columns": []}
+        mpath = os.path.join(mdir, f"part-{p:05d}.json")
+        with open(mpath + ".tmp", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mpath + ".tmp", mpath)
+    manifests = []
     for f in sorted(os.listdir(mdir)):
         if f.endswith(".json") and not f.startswith("_"):
             with open(os.path.join(mdir, f)) as fh:

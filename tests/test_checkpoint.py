@@ -117,3 +117,44 @@ def test_fragment_level_resume_prunes_input(tiny_dir, tmp_path):
         input_desc="stage1", input_partitioned_dir=stage1)
     assert sum(m["rows"] for m in m2) == total
     assert {m["partition"] for m in m2} == set(range(8))
+
+
+def test_empty_partitions_recorded_and_resume_is_idempotent(tiny_dir, tmp_path):
+    """Partitions with zero input rows get zero-row manifests at run
+    completion, so (a) a completed run's resume is a no-op even with a
+    partitioned input, (b) finished_partitions reports the full layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from featurebox_ray.state.checkpoint import finished_partitions
+
+    # single-conversation input: with 8 partitions, 7 hash empty
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    n = 50
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["only_conv"] * n),
+        "turn_idx": pa.array(list(range(n))),
+        "ts": pa.array([float(i) for i in range(n)]),
+        "text_len": pa.array([1.0] * n),
+    }), f"{src}/part-00000.parquet")
+
+    out = str(tmp_path / "out")
+    ident = lambda t: t
+    m1 = run_partitioned_checkpointed(
+        ray.data.read_parquet(src), ident, out, key="conv_id",
+        sort_keys=["conv_id", "ts"], num_partitions=8, input_desc="one")
+    assert len(m1) == 8  # 1 data + 7 recorded-empty
+    assert sum(1 for m in m1 if m["rows"] > 0) == 1
+    assert finished_partitions(out) == set(range(8))
+
+    # re-invocation with a partitioned input dir whose only part file is
+    # already done: must be a clean no-op, not FileNotFoundError
+    out2 = str(tmp_path / "out2")
+    m2 = run_partitioned_checkpointed(
+        None, ident, out2, key="conv_id", sort_keys=["conv_id", "ts"],
+        num_partitions=8, input_desc="chained", input_partitioned_dir=out)
+    m3 = run_partitioned_checkpointed(
+        None, ident, out2, key="conv_id", sort_keys=["conv_id", "ts"],
+        num_partitions=8, input_desc="chained", input_partitioned_dir=out)
+    assert sum(m["rows"] for m in m3) == sum(m["rows"] for m in m2) == n

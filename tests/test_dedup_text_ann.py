@@ -239,3 +239,22 @@ def test_streaming_consumption_and_centroid_cache(tmp_path):
 
     with pytest.raises(ValueError, match="n_centroids"):
         ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2, centroid_cache=cache)
+
+
+def test_minhash_many_short_docs_no_candidate_explosion():
+    """Sentinel signatures of short docs must not band together — 300
+    short docs would otherwise produce ~45k guaranteed-dropped candidate
+    pairs per band."""
+    import ray
+
+    from featurebox_ray.stages.dedup import minhash_lsh_dedup
+
+    rows = [{"doc_id": i, "text": f"t{i} u{i}"} for i in range(300)]
+    rows += [{"doc_id": 1000, "text": "the quick brown fox jumps over a dog"},
+             {"doc_id": 1001, "text": "the quick brown fox jumps over a cat"}]
+    ds = ray.data.from_items(rows)
+    pairs = minhash_lsh_dedup(ds, jaccard_threshold=0.5,
+                              verify_cap=1000).to_pandas()
+    # verify_cap=1000 would raise if short docs flooded the candidate set
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == {(1000, 1001)}
