@@ -40,6 +40,30 @@ def __getattr__(name):
                                 "MagnitudeNormalizer"),
         "FeatureRegistry": ("featurebox_ray.registry", "FeatureRegistry"),
         "Catalog": ("featurebox_ray.sources.io", "Catalog"),
+        "simhash_dedup": ("featurebox_ray.stages.dedup", "simhash_dedup"),
+        "embedding_neardup": ("featurebox_ray.stages.dedup",
+                              "embedding_neardup"),
+        "ivf_topk": ("featurebox_ray.stages.ann", "ivf_topk"),
+        "add_voronoi_features": ("featurebox_ray.stages.voronoi",
+                                 "add_voronoi_features"),
+        "expand_composition": ("featurebox_ray.stages.parse",
+                               "expand_composition"),
+        "parse_composition": ("featurebox_ray.stages.parse",
+                              "parse_composition"),
+        "apply_expression": ("featurebox_ray.functions.expr",
+                             "apply_expression"),
+        "pack_groups": ("featurebox_ray.functions.expr", "pack_groups"),
+        "fit_inner_coefficients": ("featurebox_ray.functions.expr",
+                                   "fit_inner_coefficients"),
+        "MultiEgo": ("featurebox_ray.selection.search", "MultiEgo"),
+        "BackForwardCV": ("featurebox_ray.selection.search",
+                          "BackForwardCV"),
+        "iter_feature_batches": ("featurebox_ray.pipelines.streaming",
+                                 "iter_feature_batches"),
+        "add_image_features": ("featurebox_ray.stages.multimodal",
+                               "add_image_features"),
+        "run_partitioned_checkpointed": ("featurebox_ray.state.checkpoint",
+                                         "run_partitioned_checkpointed"),
     }
     if name in _API:
         import importlib
