@@ -116,3 +116,68 @@ def test_last_occurrence_fuzz(data, srcs):
             if is_src[j]:
                 exp = j
         assert out[i] == exp
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.dictionaries(
+    st.from_regex(r"[a-z_]{1,8}", fullmatch=True),
+    st.integers(min_value=1, max_value=99), min_size=0, max_size=6))
+def test_composition_parse_round_trip(d):
+    """render(parse) round trip: any name->count map rendered in sorted
+    order parses back exactly (namespilt grammar)."""
+    from featurebox_ray.stages.parse import parse_composition
+
+    s = "".join(f"{k}{v}" for k, v in sorted(d.items()))
+    got = parse_composition(s)
+    assert got == {k: float(v) for k, v in d.items()}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=2, max_value=5),
+       st.integers(min_value=3, max_value=40),
+       st.integers(min_value=0, max_value=10**6))
+def test_dispose_reductions_match_numpy(g, n, seed):
+    import numpy as np
+
+    from featurebox_ray.functions.expr import DISPOSE
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(g, n))
+    assert np.allclose(DISPOSE["madd"](X), X.sum(axis=0))
+    assert np.allclose(DISPOSE["mmul"](X), X.prod(axis=0))
+    if g == 2:
+        assert np.allclose(DISPOSE["msub"](X), X[0] - X[1])
+        assert np.allclose(DISPOSE["mdiv"](X), X[0] / X[1])
+        assert np.allclose(DISPOSE["conv"](X), X[::-1])
+    else:
+        for op in ("msub", "mdiv", "conv"):
+            assert DISPOSE[op](X) is X
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=2, max_value=25),
+       st.integers(min_value=0, max_value=10**6))
+def test_gabriel_edges_match_bruteforce(n, seed):
+    import numpy as np
+
+    from featurebox_ray.stages.voronoi import gabriel_edges
+
+    rng = np.random.default_rng(seed)
+    P = rng.normal(size=(n, 2))
+    ii, jj = gabriel_edges(P)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            mid = (P[i] + P[j]) / 2
+            r2 = ((P[i, 0] - P[j, 0]) ** 2 + (P[i, 1] - P[j, 1]) ** 2) / 4
+            if not any(
+                (P[k, 0] - mid[0]) ** 2 + (P[k, 1] - mid[1]) ** 2 < r2
+                for k in range(n) if k != i and k != j
+            ):
+                want.add((i, j))
+    assert got == want
