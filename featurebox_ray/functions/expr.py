@@ -508,6 +508,39 @@ def _random_tree(rng, n_features, depth, un_ops, bin_ops,
                          premap, first_terminal(left)))
 
 
+def _mut_node(rng, expr, nf, un_ops, bin_ops):
+    """Node replacement (reference mutNodeReplacement, flow.py
+    MutilMutateLoop.mutate0): swap ONE node's operator for another of the
+    same arity, keeping the children; terminals redraw their index."""
+    paths = list(_subtrees(expr))
+    p, e = paths[rng.integers(0, len(paths))]
+    if e[0] == "x":
+        new = ("x", int(rng.integers(0, nf)))
+    elif e[0] in UNARY:
+        if not un_ops:
+            return expr
+        new = (un_ops[rng.integers(0, len(un_ops))], e[1])
+    elif e[0] in BINARY:
+        new = (bin_ops[rng.integers(0, len(bin_ops))], e[1], e[2])
+    else:
+        return expr
+    return _replace(expr, p, new)
+
+
+def _mut_shrink(rng, expr):
+    """Shrink (reference mutShrink, flow.py mutate2): collapse a random
+    internal node to one of the terminals beneath it."""
+    paths = [(p, e) for p, e in _subtrees(expr)
+             if e[0] in UNARY or e[0] in BINARY]
+    if not paths:
+        return expr
+    p, e = paths[rng.integers(0, len(paths))]
+    terms = [t for _, t in _subtrees(e) if t[0] == "x"]
+    if not terms:
+        return expr
+    return _replace(expr, p, terms[rng.integers(0, len(terms))])
+
+
 def _subtrees(expr, path=()):
     yield path, expr
     if expr[0] in UNARY or expr[0] in DISPOSE:
@@ -538,16 +571,49 @@ class SymbolicSearch:
                  seed: int = 0, batch_size: int = 200,
                  dims: Optional[Sequence[Dim]] = None,
                  target_dim: Optional[Dim] = None, dim_penalty: float = 0.5,
-                 premap: Optional["PreMap"] = None):
+                 premap: Optional["PreMap"] = None,
+                 mutations: Sequence[str] = ("subtree",),
+                 hall_n: int = 1, dim_force: bool = False):
         self.pop_size, self.gens, self.depth = pop, gens, depth
         self.un_ops, self.bin_ops = list(un_ops), list(bin_ops)
         self.tournament, self.cx_prob, self.mut_prob = tournament, cx_prob, mut_prob
         self.seed, self.batch_size = seed, batch_size
         self.dims, self.target_dim, self.dim_penalty = dims, target_dim, dim_penalty
         self.premap = premap
+        # mutation-operator set (reference loop variants, flow.py:363-457:
+        # MutilMutateLoop = several operators, OnePointMutateLoop = node
+        # replacement only); kinds: subtree / node / shrink
+        self.mutations = tuple(mutations)
+        self.hall_n = hall_n
+        # DimForceLoop (flow.py:432): selection pool restricted to
+        # individuals whose dim matches target_dim (when any exist)
+        self.dim_force = dim_force
+        if dim_force:
+            assert dims is not None and target_dim is not None, \
+                "dim_force needs dims + target_dim (reference: cal_dim=True)"
         self.best_expr_: Optional[tuple] = None
         self.best_score_: float = -np.inf
+        self.hall_: List[Tuple[tuple, float]] = []
         self.history_: List[float] = []
+
+    def _mutate_one(self, rng, e, nf):
+        kind = self.mutations[rng.integers(0, len(self.mutations))]
+        if kind == "node":
+            return _mut_node(rng, e, nf, self.un_ops, self.bin_ops)
+        if kind == "shrink":
+            return _mut_shrink(rng, e)
+        st = list(_subtrees(e))
+        p, _ = st[rng.integers(0, len(st))]
+        return _replace(e, p, _random_tree(rng, nf, 2, self.un_ops,
+                                           self.bin_ops))
+
+    def _update_hall(self, pop, fit):
+        merged = {expr_to_str(e): (e, float(s))
+                  for e, s in self.hall_ + list(zip(pop, map(float, fit)))
+                  if np.isfinite(s)}
+        self.hall_ = sorted(merged.values(), key=lambda t: -t[1])[:self.hall_n]
+        if self.hall_ and self.hall_[0][1] > self.best_score_:
+            self.best_expr_, self.best_score_ = self.hall_[0]
 
     def fit(self, X: np.ndarray, y: np.ndarray) -> "SymbolicSearch":
         import ray
@@ -573,15 +639,21 @@ class SymbolicSearch:
                for _ in range(self.pop_size)]
         fit = evaluate(pop)
         for g in range(self.gens):
-            bi = int(np.argmax(fit))
-            if fit[bi] > self.best_score_:
-                self.best_score_, self.best_expr_ = float(fit[bi]), pop[bi]
+            self._update_hall(pop, fit)
             self.history_.append(self.best_score_)
             if self.best_score_ > 1 - 1e-10:
                 break
             # tournament selection
-            idx = rng.integers(0, len(pop), (self.pop_size, self.tournament))
             fitm = np.where(np.isfinite(fit), fit, -1e18)
+            if self.dim_force:
+                # DimForceLoop: only target-dim individuals enter the
+                # selection pool (when at least one exists)
+                match = np.array([
+                    (lambda d: not d.is_nan and d == tdim)(
+                        dim_of_expr(e, dims)) for e in pop])
+                if match.any():
+                    fitm = np.where(match, fitm, -1e18)
+            idx = rng.integers(0, len(pop), (self.pop_size, self.tournament))
             winners = idx[np.arange(self.pop_size), np.argmax(fitm[idx], axis=1)]
             new = [pop[w] for w in winners]
             # crossover: swap random subtrees between neighbors
@@ -593,21 +665,40 @@ class SymbolicSearch:
                     pb, eb = sb[rng.integers(0, len(sb))]
                     new[a] = _replace(new[a], pa, eb)
                     new[a + 1] = _replace(new[a + 1], pb, ea)
-            # mutation: replace a random subtree with a fresh one
+            # mutation: one of the configured operator kinds per victim
             for a in range(self.pop_size):
                 if rng.random() < self.mut_prob:
-                    st = list(_subtrees(new[a]))
-                    p, _ = st[rng.integers(0, len(st))]
-                    new[a] = _replace(new[a], p,
-                                      _random_tree(rng, nf, 2, self.un_ops, self.bin_ops))
-            # elitism
-            if self.best_expr_ is not None:
-                new[0] = self.best_expr_
+                    new[a] = self._mutate_one(rng, new[a], nf)
+            # elitism: re-seed the hall's survivors
+            for hi, (he, _) in enumerate(self.hall_[:min(len(self.hall_),
+                                                         self.pop_size)]):
+                new[hi] = he
             pop = new
             fit = evaluate(pop)
         # fold the final generation's scores into the hall of fame (they
         # were computed at the loop tail and would otherwise be discarded)
-        bi = int(np.argmax(fit))
-        if fit[bi] > self.best_score_:
-            self.best_score_, self.best_expr_ = float(fit[bi]), pop[bi]
+        self._update_hall(pop, fit)
         return self
+
+
+def multi_mutate_search(**kwargs) -> "SymbolicSearch":
+    """Reference ``MutilMutateLoop`` (flow.py:363-397): several mutation
+    operators — node replacement, fresh-subtree, shrink — drawn per
+    victim."""
+    kwargs.setdefault("mutations", ("node", "subtree", "shrink"))
+    return SymbolicSearch(**kwargs)
+
+
+def one_point_mutate_search(**kwargs) -> "SymbolicSearch":
+    """Reference ``OnePointMutateLoop`` (flow.py:400-429): node
+    replacement only — population tree heights never grow."""
+    kwargs.setdefault("mutations", ("node",))
+    return SymbolicSearch(**kwargs)
+
+
+def dim_force_search(*, dims, target_dim, **kwargs) -> "SymbolicSearch":
+    """Reference ``DimForceLoop`` (flow.py:432-440): MutilMutateLoop
+    mutations + selection restricted to target-dim individuals."""
+    kwargs.setdefault("mutations", ("node", "subtree", "shrink"))
+    return SymbolicSearch(dims=dims, target_dim=target_dim, dim_force=True,
+                          **kwargs)

@@ -65,3 +65,94 @@ def cv_score(X: np.ndarray, y: np.ndarray, *, alpha: float = 1e-6,
         m = Ridge(alpha).fit(X[train], y[train])
         scores.append(r2_score(y[test], m.predict(X[test])))
     return float(np.mean(scores))
+
+
+class KNNRegressor:
+    """k-nearest-neighbors regression (reference quickmethod 'KNR-set',
+    selection/quickmethod.py:169-175): uniform or inverse-distance
+    weights, brute-force vectorized distances (the sandbox corpus sizes
+    the selection layer sees are small; ANN-scale search lives in
+    stages/ann.py)."""
+
+    def __init__(self, n_neighbors: int = 5, weights: str = "uniform"):
+        assert weights in ("uniform", "distance")
+        self.k = n_neighbors
+        self.weights = weights
+        self._X = None
+        self._y = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "KNNRegressor":
+        self._X = np.asarray(X, np.float64)
+        self._y = np.asarray(y, np.float64)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, np.float64)
+        d2 = (np.sum(X * X, axis=1)[:, None]
+              - 2.0 * X @ self._X.T
+              + np.sum(self._X * self._X, axis=1)[None, :])
+        d2 = np.maximum(d2, 0.0)
+        k = min(self.k, len(self._y))
+        idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        rows = np.arange(len(X))[:, None]
+        if self.weights == "uniform":
+            return self._y[idx].mean(axis=1)
+        d = np.sqrt(d2[rows, idx])
+        w = 1.0 / np.maximum(d, 1e-12)
+        return (self._y[idx] * w).sum(axis=1) / w.sum(axis=1)
+
+
+class KernelRidgeRBF:
+    """RBF kernel ridge regression (reference 'KRR-set',
+    quickmethod.py:185-191): closed-form dual solve
+    ``(K + αI)c = y`` with ``K = exp(-γ‖x-x'‖²)``; γ defaults to
+    1/(n_features · var(X)) (sklearn's 'scale' heuristic)."""
+
+    def __init__(self, alpha: float = 1.0, gamma=None):
+        self.alpha = alpha
+        self.gamma = gamma
+        self._X = None
+        self._c = None
+
+    def _k(self, A, B):
+        d2 = (np.sum(A * A, axis=1)[:, None]
+              - 2.0 * A @ B.T + np.sum(B * B, axis=1)[None, :])
+        return np.exp(-self._g * np.maximum(d2, 0.0))
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "KernelRidgeRBF":
+        X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        v = X.var()
+        self._g = (self.gamma if self.gamma is not None
+                   else 1.0 / (X.shape[1] * (v if v > 0 else 1.0)))
+        self._X = X
+        K = self._k(X, X)
+        self._c = np.linalg.solve(K + self.alpha * np.eye(len(X)), y)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return self._k(np.asarray(X, np.float64), self._X) @ self._c
+
+
+def quick_models() -> dict:
+    """The numpy model zoo (analog of the reference's dict_method_reg
+    registry, quickmethod.py:164-230): name -> constructor.  sklearn's
+    tree/boosting ensembles have no closed numpy form and the sandbox has
+    no sklearn — documented out of scope (SURVEY §2.9)."""
+    return {
+        "OLS": lambda: Ridge(alpha=0.0),
+        "Ridge": lambda: Ridge(alpha=1e-2),
+        "KNR": lambda: KNNRegressor(n_neighbors=5),
+        "KNR-dist": lambda: KNNRegressor(n_neighbors=5, weights="distance"),
+        "KRR": lambda: KernelRidgeRBF(alpha=1.0),
+    }
+
+
+def cv_score_model(model_factory, X: np.ndarray, y: np.ndarray, *,
+                   k: int = 5, seed: int = 0) -> float:
+    """Mean k-fold r² for any zoo model (generalizes :func:`cv_score`)."""
+    scores = []
+    for train, test in kfold_indices(len(y), k, seed):
+        m = model_factory().fit(X[train], y[train])
+        scores.append(r2_score(y[test], m.predict(X[test])))
+    return float(np.mean(scores))

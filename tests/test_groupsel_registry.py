@@ -84,3 +84,36 @@ def test_registry_fold_unfold():
     assert reg.validate_table(t) == []
     t2 = t.drop_columns(["lag2_v"])
     assert any("missing" in p for p in reg.validate_table(t2))
+
+
+def test_model_zoo_knn_and_kernel_ridge():
+    """KNR/KRR numpy models: KNN matches a hand-rolled neighbor average;
+    kernel ridge interpolates smooth planted functions far better than a
+    linear fit; every zoo entry runs through generic CV."""
+    import numpy as np
+
+    from featurebox_ray.selection.models import (
+        KernelRidgeRBF, KNNRegressor, Ridge, cv_score_model, quick_models,
+        r2_score)
+
+    rng = np.random.default_rng(9)
+    X = rng.uniform(-2, 2, size=(250, 2))
+    y = np.sin(X[:, 0]) * X[:, 1]  # nonlinear: linear r2 is poor
+
+    knn = KNNRegressor(n_neighbors=3).fit(X[:200], y[:200])
+    pred = knn.predict(X[200:])
+    # manual check of one query point
+    q = X[200]
+    d = np.sum((X[:200] - q) ** 2, axis=1)
+    want = y[:200][np.argsort(d)[:3]].mean()
+    assert pred[0] == pytest.approx(want)
+
+    krr = KernelRidgeRBF(alpha=1e-3).fit(X[:200], y[:200])
+    r2_krr = r2_score(y[200:], krr.predict(X[200:]))
+    r2_lin = r2_score(y[200:], Ridge(1e-6).fit(X[:200], y[:200])
+                      .predict(X[200:]))
+    assert r2_krr > 0.95 > r2_lin + 0.3
+
+    for name, factory in quick_models().items():
+        s = cv_score_model(factory, X, y, k=3)
+        assert np.isfinite(s), name

@@ -122,3 +122,53 @@ def test_symbolic_search_improves(planted):
     assert ss.best_score_ > 0.9
     assert ss.best_expr_ is not None
     assert np.all(np.diff(ss.history_) >= 0)  # monotone hall of fame
+
+
+def test_loop_variants_and_hall():
+    """Reference loop-variant parity: MutilMutateLoop-style multi-mutation
+    + re_hall>1, OnePointMutateLoop height invariance, DimForceLoop
+    dim-constrained recovery."""
+    import numpy as np
+
+    from featurebox_ray.functions.dims import Dim
+    from featurebox_ray.functions.expr import (
+        _mut_node, _mut_shrink, complexity, dim_of_expr, dim_force_search,
+        expr_to_str, multi_mutate_search, one_point_mutate_search)
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(1, 3, size=(150, 3))
+    y = X[:, 0] * X[:, 1]
+
+    s = multi_mutate_search(pop=120, gens=8, depth=2, seed=1, hall_n=5)
+    s.fit(X, y)
+    assert s.best_score_ > 0.999
+    assert 1 <= len(s.hall_) <= 5
+    assert all(s.hall_[i][1] >= s.hall_[i + 1][1]
+               for i in range(len(s.hall_) - 1))
+    # hall entries are distinct expressions
+    strs = [expr_to_str(e) for e, _ in s.hall_]
+    assert len(strs) == len(set(strs))
+
+    # node replacement preserves structure size; shrink never grows
+    e = ("mul", ("add", ("x", 0), ("x", 1)), ("x", 2))
+    for _ in range(50):
+        assert complexity(_mut_node(rng, e, 3, ["sq"], ["add", "mul"])) == \
+            complexity(e)
+        assert complexity(_mut_shrink(rng, e)) <= complexity(e)
+
+    s2 = one_point_mutate_search(pop=60, gens=3, depth=2, seed=2)
+    s2.fit(X, y)
+    assert s2.best_expr_ is not None
+
+    # dim-forced: x0 has dim m, x1 dim s, x2 dless; target m/s -> the
+    # search must land on a dim-consistent expression
+    m = Dim([1, 0, 0, 0, 0, 0, 0])
+    sdim = Dim([0, 1, 0, 0, 0, 0, 0])
+    dims = [m, sdim, Dim.dless()]
+    yd = X[:, 0] / X[:, 1]
+    s3 = dim_force_search(dims=dims, target_dim=m / sdim, pop=150, gens=10,
+                          depth=2, seed=3, dim_penalty=0.5)
+    s3.fit(X, yd)
+    assert s3.best_score_ > 0.999
+    d = dim_of_expr(s3.best_expr_, dims)
+    assert (not d.is_nan) and d == m / sdim
