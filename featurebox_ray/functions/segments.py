@@ -224,9 +224,66 @@ def rolling_stats_rows(
     """Trailing k-row (including current) count/sum/mean/std per row, window
     clamped at the segment start.  std uses ``ddof`` (1 = SQL STDDEV_SAMP);
     windows with < ddof+1 non-null values get NaN std, empty windows NaN
-    mean/sum per SQL semantics (sum of empty = NULL)."""
+    mean/sum per SQL semantics (sum of empty = NULL).
+
+    For bounded k (≤ 64) the stats are computed EXACTLY per window
+    (sliding-window two-pass), not as prefix-sum differences: the
+    prefix-sum variance cancels two ~Σv² magnitudes and its ~1e-7
+    absolute error can straddle a 6-dp rounding boundary on large
+    partitions (observed once per ~600k rows at sf0.1).  Wider windows
+    keep the O(n) prefix path and its documented precision contract."""
     win_start = _window_bounds_rows(row_in_seg, k)
+    if k <= 64:
+        return _finish_stats_exact(values, win_start, k, ddof)
     return _finish_stats(values, win_start, ddof)
+
+
+def _finish_stats_exact(values: np.ndarray, win_start: np.ndarray, k: int,
+                        ddof: int, chunk: int = 1 << 16) -> dict:
+    """Exact trailing-k window stats via a (chunk, k) sliding view —
+    per-window summation like SQL engines do, no prefix cancellation.
+    Memory bounded at ~chunk×k doubles."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    v = np.asarray(values, dtype=np.float64)
+    n = len(v)
+    ok = ~np.isnan(v)
+    v0 = np.where(ok, v, 0.0)
+    pad_v = np.concatenate([np.zeros(k - 1), v0])
+    pad_ok = np.concatenate([np.zeros(k - 1, bool), ok])
+    cnt = np.empty(n)
+    s = np.empty(n)
+    var = np.empty(n)
+    cols = np.arange(k)[None, :]
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        W = sliding_window_view(pad_v[c0:c1 + k - 1], k)
+        M = sliding_window_view(pad_ok[c0:c1 + k - 1], k)
+        rows = np.arange(c0, c1)[:, None]
+        # window of row i covers positions [win_start[i], i]; column j of
+        # the view is position i - (k-1) + j
+        pos = rows - (k - 1) + cols
+        valid = M & (pos >= win_start[c0:c1, None])
+        cc = valid.sum(axis=1).astype(np.float64)
+        ss = np.where(valid, W, 0.0).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mm = ss / cc
+        dev = np.where(valid, W - mm[:, None], 0.0)
+        vv = (dev * dev).sum(axis=1)
+        cnt[c0:c1] = cc
+        s[c0:c1] = ss
+        var[c0:c1] = vv
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(cnt > 0, s / cnt, np.nan)
+        var = np.where(cnt > ddof, var / (cnt - ddof), np.nan)
+        std = np.sqrt(np.maximum(var, 0.0))
+    return {
+        "count": cnt,
+        "sum": np.where(cnt > 0, s, np.nan),
+        "mean": mean,
+        "std": std,
+        "win_start": win_start,
+    }
 
 
 def rolling_stats_time(
