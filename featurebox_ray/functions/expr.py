@@ -459,11 +459,22 @@ class PreMap:
     ``P[i, j]`` = probability of drawing terminal j given the previous
     terminal was i; ``down(i, j)`` multiplicatively de-emphasizes a pair
     and re-normalizes rows (reference invariant: rows keep summing to 1).
-    """
 
-    def __init__(self, n_features: int, seed: int = 0):
+    ``weights`` adds the reference's MARGINAL terminal probabilities
+    (per-terminal prob map, e.g. domain prior over features): the first /
+    context-free draw samples from the normalized weights instead of
+    uniform, and conditional rows start proportional to them."""
+
+    def __init__(self, n_features: int, seed: int = 0,
+                 weights: Optional[Sequence[float]] = None):
         self.n = n_features
-        self.P = np.full((n_features, n_features), 1.0 / n_features)
+        if weights is None:
+            self.w = np.full(n_features, 1.0 / n_features)
+        else:
+            w = np.asarray(weights, np.float64)
+            assert len(w) == n_features and (w >= 0).all() and w.sum() > 0
+            self.w = w / w.sum()
+        self.P = np.tile(self.w, (n_features, 1))
 
     def down(self, i: int, j: int, factor: float = 0.5) -> "PreMap":
         self.P[i, j] *= factor
@@ -476,7 +487,7 @@ class PreMap:
 
     def draw(self, rng, prev: Optional[int]) -> int:
         if prev is None:
-            return int(rng.integers(0, self.n))
+            return int(rng.choice(self.n, p=self.w))
         return int(rng.choice(self.n, p=self.P[prev]))
 
 

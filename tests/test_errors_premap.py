@@ -89,3 +89,19 @@ def test_magnitude_y_and_constants():
     out = MagnitudeNormalizer(["v"]).fit_transform_constants(
         [0.02, 300.0, 1.0, -5.0])
     assert np.allclose(out, [2.0, 0.3, 10.0, -5.0])
+
+
+def test_premap_marginal_weights():
+    """Reference per-terminal prob map: weighted marginals bias the first
+    draw and seed the conditional rows."""
+    from featurebox_ray.functions.expr import PreMap
+
+    pm = PreMap(3, weights=[8, 1, 1])
+    rng = np.random.default_rng(0)
+    draws = [pm.draw(rng, None) for _ in range(400)]
+    assert draws.count(0) > 250
+    # conditional rows start proportional to the marginals
+    assert pm.P[1, 0] > pm.P[1, 1]
+    # down() still renormalizes rows
+    pm.down(0, 0, 0.1)
+    assert np.allclose(pm.P.sum(axis=1), 1.0)
