@@ -60,11 +60,15 @@ def cv_score(X: np.ndarray, y: np.ndarray, *, alpha: float = 1e-6,
              k: int = 5, seed: int = 0) -> float:
     """Mean k-fold r² of Ridge on (X, y) — the per-candidate score the
     selection drivers fan out (analog of GridSearchCV.best_score_)."""
-    scores = []
-    for train, test in kfold_indices(len(y), k, seed):
-        m = Ridge(alpha).fit(X[train], y[train])
-        scores.append(r2_score(y[test], m.predict(X[test])))
-    return float(np.mean(scores))
+    return cv_score_model(lambda: Ridge(alpha), X, y, k=k, seed=seed)
+
+
+def _sq_dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Pairwise squared distances with the >=0 clamp (cancellation can go
+    slightly negative); shared by KNN and kernel ridge."""
+    d2 = (np.sum(A * A, axis=1)[:, None]
+          - 2.0 * A @ B.T + np.sum(B * B, axis=1)[None, :])
+    return np.maximum(d2, 0.0)
 
 
 class KNNRegressor:
@@ -88,10 +92,7 @@ class KNNRegressor:
 
     def predict(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, np.float64)
-        d2 = (np.sum(X * X, axis=1)[:, None]
-              - 2.0 * X @ self._X.T
-              + np.sum(self._X * self._X, axis=1)[None, :])
-        d2 = np.maximum(d2, 0.0)
+        d2 = _sq_dists(X, self._X)
         k = min(self.k, len(self._y))
         idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
         rows = np.arange(len(X))[:, None]
@@ -115,9 +116,7 @@ class KernelRidgeRBF:
         self._c = None
 
     def _k(self, A, B):
-        d2 = (np.sum(A * A, axis=1)[:, None]
-              - 2.0 * A @ B.T + np.sum(B * B, axis=1)[None, :])
-        return np.exp(-self._g * np.maximum(d2, 0.0))
+        return np.exp(-self._g * _sq_dists(A, B))
 
     def fit(self, X: np.ndarray, y: np.ndarray) -> "KernelRidgeRBF":
         X = np.asarray(X, np.float64)

@@ -335,9 +335,11 @@ class MinHasher:
         """(n_rows, k) uint64 signature matrix for an Arrow string array.
 
         Rows with zero shingles (< shingle_n tokens) keep an all-max
-        sentinel signature: they may band together as candidates, but the
-        exact-Jaccard verification scores empty-set pairs 0 and drops
-        them."""
+        sentinel signature; ``minhash_lsh_dedup`` FILTERS sentinel rows
+        out before banding (letting them band together would put every
+        short doc of the corpus in one bucket per band — an O(S²)
+        candidate explosion), and the exact-Jaccard verification scores
+        any surviving empty-set pair 0 as a second line of defense."""
         flat, off = _batch_shingles(texts, self.n)
         nrows = len(off) - 1
         if nrows == 0:
@@ -471,22 +473,24 @@ def minhash_lsh_dedup(
     ).select_columns([id_col, "__sig"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
+        sig = (np.stack(batch["__sig"].to_numpy(zero_copy_only=False))
+               if batch.num_rows else
+               np.empty((0, k), np.uint64))
+        if len(sig):
             # drop zero-shingle (short/empty) docs BEFORE banding: their
             # shared all-max sentinel signature would put every short doc
             # of the corpus in one bucket per band — an O(S²) candidate
             # explosion for pairs that verification is guaranteed to drop
-            sig0 = np.stack(batch["__sig"].to_numpy(zero_copy_only=False))
-            real = ~(sig0 == np.iinfo(np.uint64).max).all(axis=1)
+            real = ~(sig == np.iinfo(np.uint64).max).all(axis=1)
             if not real.all():
                 batch = batch.filter(pa.array(real))
+                sig = sig[real]
         n = batch.num_rows
         if n == 0:
             return pa.table({id_col: pa.array([], batch[id_col].type),
                              "__band": pa.array([], pa.int32()),
                              "__bucket": pa.array([], pa.uint64()),
                              "__sig": pa.array([], batch["__sig"].type)})
-        sig = np.stack(batch["__sig"].to_numpy(zero_copy_only=False))
         buckets = _band_buckets(sig, bands)
         ids = batch[id_col].combine_chunks() if isinstance(
             batch[id_col], pa.ChunkedArray) else batch[id_col]

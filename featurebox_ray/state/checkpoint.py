@@ -147,14 +147,28 @@ def run_partitioned_checkpointed(
         import ray
 
         missing = [p for p in range(num_partitions) if p not in done]
+        # partitions the UPSTREAM recorded as empty have no part file and
+        # can never produce rows here — record them as empty immediately
+        upstream_done = finished_partitions(input_partitioned_dir)
+        upstream_empty = [p for p in missing
+                          if p in upstream_done and not os.path.exists(
+                              os.path.join(input_partitioned_dir,
+                                           f"part-{p:05d}.parquet"))]
+        for p in upstream_empty:
+            mpath = os.path.join(out_dir, "_manifest", f"part-{p:05d}.json")
+            with open(mpath + ".tmp", "w") as fh:
+                json.dump({"partition": p, "rows": 0, "file": None,
+                           "feature_hash": None, "input": input_desc,
+                           "columns": []}, fh)
+            os.replace(mpath + ".tmp", mpath)
+        missing = [p for p in missing if p not in upstream_empty]
         files = (partitioned_input_files(input_partitioned_dir, missing)
                  if missing else [])
         if missing and not files:
-            # an upstream partition that was EMPTY writes no part file, so
-            # partial absence is legitimate — but zero matches for a
-            # non-empty missing set means a wrong/renamed directory or an
-            # unfinished upstream, and returning the stale manifests as a
-            # completed run would be silent data loss
+            # zero matches for a non-empty missing set means a
+            # wrong/renamed directory or an unfinished upstream; returning
+            # the stale manifests as a completed run would be silent data
+            # loss (upstream-empty partitions were already classified out)
             raise FileNotFoundError(
                 f"input_partitioned_dir={input_partitioned_dir!r} has no "
                 f"part files for any missing partition {missing}; wrong "
@@ -204,14 +218,17 @@ def run_partitioned_checkpointed(
     result = parted.groupby(PART_COL).map_groups(
         write_partition, batch_format="pyarrow"
     )
-    _ = result.count()  # drive execution
+    written = {int(r["partition"]) for r in result.take_all()}
     # the run completed: any partition still without a manifest received
     # ZERO input rows — record it as an empty partition so resumes see a
     # fully-finished layout (otherwise empty partitions stay "missing"
     # forever and a partitioned-input resume of a completed run would
-    # trip the no-matching-files guard)
+    # trip the no-matching-files guard).  `done` + this run's written set
+    # is the finished set — no need to re-read every manifest/footer.
     mdir = os.path.join(out_dir, "_manifest")
-    have = finished_partitions(out_dir)
+    have = done | written | {
+        int(f[5:10]) for f in os.listdir(mdir)
+        if f.startswith("part-") and f.endswith(".json")}
     for p in range(num_partitions):
         if p in have:
             continue

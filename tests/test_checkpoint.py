@@ -158,3 +158,40 @@ def test_empty_partitions_recorded_and_resume_is_idempotent(tiny_dir, tmp_path):
         None, ident, out2, key="conv_id", sort_keys=["conv_id", "ts"],
         num_partitions=8, input_desc="chained", input_partitioned_dir=out)
     assert sum(m["rows"] for m in m3) == sum(m["rows"] for m in m2) == n
+
+
+def test_resume_classifies_upstream_empty_partitions(tiny_dir, tmp_path):
+    """Wedge regression: a downstream resume whose only missing
+    partitions are upstream-recorded-empty must complete (classify them
+    empty), not raise FileNotFoundError forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["c"] * 20),
+        "turn_idx": pa.array(list(range(20))),
+        "ts": pa.array([float(i) for i in range(20)]),
+    }), f"{src}/part-00000.parquet")
+
+    up = str(tmp_path / "up")
+    ident = lambda t: t
+    run_partitioned_checkpointed(
+        ray.data.read_parquet(src), ident, up, key="conv_id",
+        sort_keys=["conv_id", "ts"], num_partitions=4, input_desc="src")
+
+    down = str(tmp_path / "down")
+    run_partitioned_checkpointed(
+        None, ident, down, key="conv_id", sort_keys=["conv_id", "ts"],
+        num_partitions=4, input_desc="up", input_partitioned_dir=up)
+    # crash simulation: drop the manifest of an upstream-EMPTY partition
+    empties = [p for p in range(4)
+               if not os.path.exists(f"{up}/part-{p:05d}.parquet")]
+    assert empties  # single conv -> 3 empty partitions
+    os.remove(f"{down}/_manifest/part-{empties[0]:05d}.json")
+    m = run_partitioned_checkpointed(
+        None, ident, down, key="conv_id", sort_keys=["conv_id", "ts"],
+        num_partitions=4, input_desc="up", input_partitioned_dir=up)
+    assert {mm["partition"] for mm in m} == set(range(4))
+    assert sum(mm["rows"] for mm in m) == 20
