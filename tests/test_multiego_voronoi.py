@@ -113,3 +113,33 @@ def test_neighbor_type_stats_normalization():
     # edges (0,1) and (1,2), both type pair (a,b), dist 1 -> w = 0.5 each
     assert set(stats) == {("a", "b")}
     assert stats[("a", "b")] == pytest.approx((0.5 + 0.5) / 3)
+
+
+def test_voronoi_parallelism_invariance_and_empty():
+    """Same output at different partition counts (hash layout must not
+    leak into results); empty input yields an empty typed table."""
+    import pandas as pd
+    import ray
+
+    from featurebox_ray.stages.voronoi import add_voronoi_features
+
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type", "value"])
+    key = ["user_id", "type_a", "type_b"]
+
+    def norm(ds):
+        return (ds.to_pandas().sort_values(key).reset_index(drop=True))
+
+    a = norm(add_voronoi_features(ev, num_partitions=4))
+    b = norm(add_voronoi_features(ev, num_partitions=16))
+    pd.testing.assert_frame_equal(a, b)
+
+    empty = add_voronoi_features(ev.filter(expr="user_id < 0"),
+                                 num_partitions=4)
+    assert empty.count() == 0
+    # Ray's to_pandas drops the schema for fully-empty datasets; the
+    # dataset-level schema keeps the typed columns
+    sch = empty.schema()
+    assert sch is None or list(sch.names) == ["user_id", "type_a",
+                                              "type_b", "w"]
