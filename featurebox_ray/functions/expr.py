@@ -532,6 +532,8 @@ def _mut_node(rng, expr, nf, un_ops, bin_ops):
             return expr
         new = (un_ops[rng.integers(0, len(un_ops))], e[1])
     elif e[0] in BINARY:
+        if not bin_ops:
+            return expr
         new = (bin_ops[rng.integers(0, len(bin_ops))], e[1], e[2])
     else:
         return expr

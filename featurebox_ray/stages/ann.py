@@ -133,10 +133,12 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
     ~1/(n_centroids·sub_buckets) of the corpus, not 1/n_centroids (the
     global per-query top-k reduce merges sub-bucket results).
 
-    ``centroid_cache``: path to persist trained kmeans centroids
-    (atomic ``.npy``); subsequent calls reuse them instead of retraining,
-    so repeated query batches against the same corpus skip the sample +
-    train step (shape-checked against ``n_centroids``)."""
+    ``centroid_cache``: path to persist trained kmeans centroids (atomic
+    ``.npz`` holding the centroids plus a ``(n_centroids, seed,
+    sample_size, corpus_rows)`` fingerprint); subsequent calls against the
+    SAME corpus/params reuse them instead of retraining.  A cache whose
+    fingerprint mismatches (different corpus, seed or sample) is retrained
+    and overwritten — never silently reused."""
     import ray
 
     if centroid_init == "first":
@@ -144,22 +146,28 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
             ds.filter(expr=f"{id_col} < {n_centroids}").take(n_centroids * 2),
             key=lambda r: r[id_col])
         C = _normalize(np.stack([r[vec_col] for r in rows]).astype(np.float64))
-    elif centroid_cache is not None and os.path.exists(centroid_cache):
-        C = np.load(centroid_cache)
-        if C.shape[0] != n_centroids:
-            raise ValueError(
-                f"cached centroids {C.shape} != n_centroids={n_centroids}; "
-                "delete the cache or match the parameters")
     else:
-        sample = np.stack(
-            [r[vec_col] for r in ds.limit(sample_size).take(sample_size)]
-        )
-        C = train_centroids(sample, n_centroids, seed=seed)
+        C = None
+        fp = None
         if centroid_cache is not None:
-            os.makedirs(os.path.dirname(centroid_cache) or ".",
-                        exist_ok=True)
-            np.save(centroid_cache + ".tmp.npy", C)
-            os.replace(centroid_cache + ".tmp.npy", centroid_cache)
+            fp = np.array([n_centroids, seed, sample_size, int(ds.count())],
+                          dtype=np.int64)
+            if os.path.exists(centroid_cache):
+                with np.load(centroid_cache) as z:
+                    if ("fingerprint" in z and "C" in z
+                            and np.array_equal(z["fingerprint"], fp)):
+                        C = np.asarray(z["C"], dtype=np.float64)
+                    # stale/foreign cache: fall through and retrain
+        if C is None:
+            sample = np.stack(
+                [r[vec_col] for r in ds.limit(sample_size).take(sample_size)]
+            )
+            C = train_centroids(sample, n_centroids, seed=seed)
+            if centroid_cache is not None:
+                os.makedirs(os.path.dirname(centroid_cache) or ".",
+                            exist_ok=True)
+                np.savez(centroid_cache + ".tmp.npz", C=C, fingerprint=fp)
+                os.replace(centroid_cache + ".tmp.npz", centroid_cache)
     cref = ray.put(C)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     # ties (equal cosine): stable sort keeps the lower centroid id first,

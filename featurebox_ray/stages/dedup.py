@@ -438,7 +438,7 @@ def minhash_lsh_dedup(
     candidate_est_threshold: float = 0.5,
     concurrency=(2, 16),
     bucket_cap: int = 2000,
-    verify_cap: int = 2_000_000,
+    verify_cap: Optional[int] = None,
     round_nd: Optional[int] = 6,
 ):
     """Near-duplicate pairs via MinHash+LSH, verified with EXACT shingle
@@ -453,9 +453,22 @@ def minhash_lsh_dedup(
     bound so borderline-est true pairs aren't dropped) are bucket-deduped,
     then verified against the candidates' exact shingle sets.
 
-    The verification side re-reads text ONLY for candidate doc ids (a tiny
-    broadcast set by construction — near-dup candidates ≪ corpus;
-    ``verify_cap`` enforces the assumption and fails loudly past it)."""
+    Verification is a distributed semi-join (see
+    :func:`verify_jaccard_pairs`): the corpus streams once through a
+    shingle stage that keeps only candidate docs, shingle sets are routed
+    to pair buckets by exchange, and each bucket verifies locally —
+    nothing pair- or shingle-sized materializes on the driver.
+    ``verify_cap`` (optional) fails loudly if the deduped candidate count
+    exceeds it (a mis-tuned banding config guard).
+
+    Recall note: LSH candidate recall is probabilistic (≈1-(1-j^(k/b))^b;
+    ~2e-4 miss per true pair at k=64/bands=16 and j=0.8) and
+    ``bucket_cap`` skips (with a logged warning) buckets over the cap.
+    The q22 oracle's exact equality with an all-pairs ground truth holds
+    because the test corpus's planted pairs sit at j≥0.9 (per-pair miss
+    <1e-6) and its buckets are far below the cap; for duplicate-heavier
+    corpora raise ``bands`` (more redundancy) the way the embedding
+    config (48×2) does, or treat parity as recall≈1, not identity."""
     assert k % bands == 0, "k must divide into bands (else hashes are dropped)"
 
     def sig_fn(batch: pa.Table) -> pa.Table:
@@ -540,47 +553,112 @@ def minhash_lsh_dedup(
 def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
                          id_col: str = "doc_id", shingle_n: int = 3,
                          jaccard_threshold: float = 0.8,
-                         verify_cap: int = 2_000_000,
+                         verify_cap: Optional[int] = None,
+                         num_partitions: int = 16,
                          round_nd: Optional[int] = 6):
-    """Exact-Jaccard verification of candidate pairs.
+    """Exact-Jaccard verification of candidate pairs — distributed
+    semi-join shape (nothing pair- or shingle-sized ever lands on the
+    driver; the driver only routes object refs):
 
-    Broadcast-small-side pattern: candidate ids (≪ corpus by LSH
-    construction — ``verify_cap`` enforces it) are materialized ONCE
-    (so the lazy LSH pipeline doesn't re-execute per consumer) and
-    deduped; the corpus is filtered to candidate docs only (streaming
-    map_batches), their shingle sets built once and ``ray.put`` — every
-    verification batch reads the shared copy.  Output:
-    ``(id_a, id_b, jaccard)`` with exact Jaccard ≥ threshold."""
+    1. pairs are bucketed by a hash of ``(id_a, id_b)`` and deduped
+       inside each bucket partition (same pair from several bands always
+       hashes to the same bucket);
+    2. the unique candidate-id SET (int64 ids, ≪ corpus by LSH
+       construction) is reduced inside a Ray task and broadcast as an
+       object-store ref — the one small broadcast this op needs, the
+       standard alternative to shuffling the full corpus text;
+    3. the corpus streams once through a shingle stage that keeps only
+       candidate docs (rows ``(doc_id, shingle-set)``);
+    4. shingle rows are routed to every pair bucket that references
+       their doc via a co-partitioned hash join with the
+       ``(doc_id, bucket)`` request table;
+    5. each bucket partition verifies its pairs against its local
+       shingle rows.
+
+    ``verify_cap`` (optional): loud guard on the deduped candidate-pair
+    count, for callers that want to enforce the candidates-≪-corpus
+    assumption rather than let a mis-tuned banding config run long.
+    Candidate ids absent from ``docs_ds`` (possible with
+    externally-supplied pairs) are skipped with a logged warning, never
+    a crash.  Output: ``(id_a, id_b, jaccard)`` with exact word-shingle
+    Jaccard ≥ ``jaccard_threshold``."""
     import ray
 
-    from .partition import materialized_block_refs
+    from .partition import materialized_block_refs, partitioned_map
 
-    cand_tbl = pa.concat_tables(
-        [t for t in ray.get(materialized_block_refs(
-            pairs_ds.select_columns(["id_a", "id_b"])))
-         if t.num_rows > 0] or
-        [pa.table({"id_a": pa.array([], pa.int64()),
-                   "id_b": pa.array([], pa.int64())})],
-        promote_options="default")
-    if cand_tbl.num_rows > verify_cap:
+    P = num_partitions
+    PB = "__pb"
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             PB: pa.array([], pa.int64())})
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            mix = (a.astype(np.uint64) * _PAIR_MIX
+                   + b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        pb = (mix % np.uint64(P)).astype(np.int64)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b),
+                         PB: pa.array(pb)})
+
+    bucketed = pairs_ds.map_batches(add_pb, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        # whole bucket partition, sorted by (id_a, id_b): duplicate pairs
+        # (found in several bands) are contiguous runs — keep the first
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             PB: pa.array([], pa.int64())})
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(a), bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return t.filter(pa.array(first))
+
+    uniq_pairs = partitioned_map(
+        bucketed, dedup_pairs, key=PB, sort_keys=["id_a", "id_b"],
+        num_partitions=P, strategy="tasks")
+    n_pairs = uniq_pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    if verify_cap is not None and n_pairs > verify_cap:
         raise ValueError(
-            f"{cand_tbl.num_rows} candidate pairs exceed "
-            f"verify_cap={verify_cap}; raise candidate_est_threshold or "
-            "the cap")
-    # dedupe pairs found in several bands (tiny by cap)
-    a = cand_tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = cand_tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq = np.unique(np.stack([a, b], axis=1), axis=0) if len(a) else \
-        np.empty((0, 2), np.int64)
-    if len(uniq) == 0:
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
-    pairs_ds = ray.data.from_arrow(pa.table({
-        "id_a": pa.array(uniq[:, 0]), "id_b": pa.array(uniq[:, 1])}))
-    ids_needed = np.unique(uniq)
-    need_ref = ray.put(ids_needed)
+            f"{n_pairs} candidate pairs exceed verify_cap={verify_cap}; "
+            "raise candidate_est_threshold or the cap")
+
+    def pairs_to_requests(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        pb = t[PB].to_numpy(zero_copy_only=False)
+        doc = np.concatenate([a, b])
+        pb2 = np.concatenate([pb, pb])
+        # within-batch dedup keeps the request exchange lean; cross-batch
+        # duplicates are harmless (the verify dict build overwrites)
+        uniq = np.unique(np.stack([doc, pb2], axis=1), axis=0) \
+            if len(doc) else np.empty((0, 2), np.int64)
+        return pa.table({id_col: pa.array(uniq[:, 0], pa.int64()),
+                         PB: pa.array(uniq[:, 1], pa.int64())})
+
+    requests = uniq_pairs.map_batches(pairs_to_requests,
+                                      batch_format="pyarrow")
+    req_refs = materialized_block_refs(requests)
+
+    @ray.remote
+    def collect_ids(*blocks):
+        arrs = [blk[id_col].to_numpy(zero_copy_only=False)
+                for blk in blocks if blk.num_rows > 0]
+        return (np.unique(np.concatenate(arrs)) if arrs
+                else np.empty(0, np.int64))
+
+    # candidate-id set reduced IN a task: the driver holds only the ref
+    need_ref = collect_ids.remote(*req_refs)
+    requests = ray.data.from_arrow_refs(req_refs)
 
     def candidate_shingles(batch: pa.Table) -> pa.Table:
         need = ray.get(need_ref)
@@ -599,23 +677,104 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
                              pa.list_(pa.uint64())),
         })
 
-    sh_rows = (docs_ds.map_batches(candidate_shingles, batch_format="pyarrow",
-                                   zero_copy_batch=True).take_all())
-    sh_map = {r[id_col]: np.asarray(r["__sh"], np.uint64) for r in sh_rows}
-    sh_ref = ray.put(sh_map)
+    sh_rows = docs_ds.map_batches(candidate_shingles, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
-        a = batch["id_a"].to_numpy(zero_copy_only=False)
-        b = batch["id_b"].to_numpy(zero_copy_only=False)
+    sh_type = pa.list_(pa.uint64())
+    routed_empty = pa.table({id_col: pa.array([], pa.int64()),
+                             "__sh": pa.array([], sh_type),
+                             PB: pa.array([], pa.int64())})
+
+    def tag_sh(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], "__sh": t["__sh"].cast(sh_type),
+                         PB: pa.nulls(t.num_rows, pa.int64())})
+
+    def tag_req(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col],
+                         "__sh": pa.nulls(t.num_rows, sh_type),
+                         PB: t[PB]})
+
+    route_in = (sh_rows.map_batches(tag_sh, batch_format="pyarrow")
+                .union(requests.map_batches(tag_req,
+                                            batch_format="pyarrow")))
+
+    def route_kernel(t: pa.Table) -> pa.Table:
+        # replicate each doc's shingle set to every bucket requesting it
+        # (Arrow acero can't carry list payloads through Table.join, so
+        # the match is a sorted searchsorted gather instead)
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return routed_empty
+        is_req = np.asarray(pc.is_valid(t[PB]))
+        req = t.filter(pa.array(is_req))
+        doc = t.filter(pa.array(~is_req))
+        did = doc[id_col].to_numpy(zero_copy_only=False)
+        rid = req[id_col].to_numpy(zero_copy_only=False)
+        if len(did) == 0 or len(rid) == 0:
+            return routed_empty
+        idx = np.searchsorted(did, rid)
+        ok = (idx < len(did)) & (did[np.minimum(idx, len(did) - 1)] == rid)
+        sh_col = doc["__sh"].combine_chunks() if isinstance(
+            doc["__sh"], pa.ChunkedArray) else doc["__sh"]
+        return pa.table({
+            id_col: pa.array(rid[ok], pa.int64()),
+            "__sh": sh_col.take(pa.array(idx[ok])),
+            PB: req[PB].filter(pa.array(ok)),
+        })
+
+    routed = partitioned_map(route_in, route_kernel, key=id_col,
+                             sort_keys=[id_col], num_partitions=P,
+                             strategy="tasks")
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": t["id_a"], "id_b": t["id_b"], PB: t[PB],
+            id_col: pa.nulls(t.num_rows, pa.int64()),
+            "__sh": pa.nulls(t.num_rows, sh_type)})
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": pa.nulls(t.num_rows, pa.int64()),
+            "id_b": pa.nulls(t.num_rows, pa.int64()),
+            PB: t[PB],
+            id_col: t[id_col], "__sh": t["__sh"].cast(sh_type)})
+
+    unioned = (uniq_pairs.map_batches(tag_pairs, batch_format="pyarrow")
+               .union(routed.map_batches(tag_docs, batch_format="pyarrow")))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return out_schema.empty_table()
+        is_doc = np.asarray(pc.is_valid(t[id_col]))
+        docs_t = t.filter(pa.array(is_doc))
+        sh = {}
+        doc_ids = docs_t[id_col].to_numpy(zero_copy_only=False)
+        sh_col = docs_t["__sh"].to_pylist()
+        for i in range(len(doc_ids)):
+            sh[doc_ids[i]] = np.asarray(sh_col[i], np.uint64)
+        pairs_t = t.filter(pa.array(~is_doc))
+        a = pairs_t["id_a"].to_numpy(zero_copy_only=False)
+        b = pairs_t["id_b"].to_numpy(zero_copy_only=False)
         jac = np.empty(len(a), np.float64)
+        missing = 0
         for i in range(len(a)):
-            sa, sb = sh[a[i]], sh[b[i]]
+            sa, sb = sh.get(a[i]), sh.get(b[i])
+            if sa is None or sb is None:
+                # candidate id absent from the corpus (externally-supplied
+                # pairs): not verifiable — skip, never crash
+                missing += 1
+                jac[i] = -1.0
+                continue
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             # union == 0: both docs have < shingle_n tokens — outside
             # shingle near-dup semantics, NOT a near-dup pair
             jac[i] = inter / union if union else 0.0
+        if missing:
+            import logging
+
+            logging.getLogger("featurebox_ray.dedup").warning(
+                "%d candidate pairs referenced doc ids absent from the "
+                "corpus; skipped", missing)
         keep = jac >= jaccard_threshold
         if round_nd is not None:
             jac = np.round(jac, round_nd)
@@ -625,7 +784,8 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
             "jaccard": pa.array(jac[keep]),
         })
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return partitioned_map(unioned, verify, key=PB, sort_keys=[PB],
+                           num_partitions=P, strategy="tasks")
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,7 @@ def hash_join(
     left_cols: Optional[List[str]] = None,
     right_cols: Optional[List[str]] = None,
     combine=None,
-    strategy: str = "groupby",
+    strategy: str = "tasks",
 ):
     """Equi-join on a single key column.  ``right_on`` defaults to ``on``
     (the right key is renamed to ``on`` in the output when different).
@@ -122,11 +122,20 @@ def broadcast_join(left_ds, right_table, *, on: str,
     if isinstance(right_table, pa.Table):
         refs = [ray.put(right_table)]
     else:
-        refs = right_table.to_arrow_refs()
+        from .partition import materialized_block_refs
+
+        refs = materialized_block_refs(right_table)
 
     class Joiner:
         def __init__(self):
-            rt = pa.concat_tables(ray.get(list(refs)))
+            blocks = []
+            for b in ray.get(list(refs)):
+                if not isinstance(b, pa.Table):  # rare pandas block
+                    import pandas as pd
+
+                    b = pa.Table.from_pandas(b, preserve_index=False)
+                blocks.append(b)
+            rt = pa.concat_tables(blocks, promote_options="default")
             if right_on != on:
                 rt = rt.rename_columns(
                     [on if c == right_on else c for c in rt.column_names])

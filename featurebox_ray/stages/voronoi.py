@@ -142,7 +142,10 @@ def add_voronoi_features(
                              else v)
         if not out_key:
             return empty
-        return pa.table({key: pa.array(out_key),
+        # build the key column with the schema's type: pa.array inference
+        # would widen e.g. int32 keys to int64 and mismatch the empty
+        # partitions' schema
+        return pa.table({key: pa.array(out_key, key_type),
                          "type_a": pa.array(out_a, pa.string()),
                          "type_b": pa.array(out_b, pa.string()),
                          "w": pa.array(out_w, pa.float64())})

@@ -235,10 +235,14 @@ def test_streaming_consumption_and_centroid_cache(tmp_path):
     key = ["query_id", "vec_id"]
     assert r1.sort_values(key).reset_index(drop=True).equals(
         r2.sort_values(key).reset_index(drop=True))
-    import pytest
-
-    with pytest.raises(ValueError, match="n_centroids"):
-        ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2, centroid_cache=cache)
+    # fingerprint mismatch (different n_centroids): retrains + overwrites
+    # the cache instead of silently reusing a stale one
+    r3 = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2,
+                  centroid_cache=cache).to_pandas()
+    assert len(r3) > 0
+    with np.load(cache) as z:
+        assert z["C"].shape[0] == 8
+        assert z["fingerprint"][0] == 8
 
 
 def test_minhash_many_short_docs_no_candidate_explosion():
