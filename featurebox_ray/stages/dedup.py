@@ -560,9 +560,10 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
     semi-join shape (nothing pair- or shingle-sized ever lands on the
     driver; the driver only routes object refs):
 
-    1. pairs are bucketed by a hash of ``(id_a, id_b)`` and deduped
-       inside each bucket partition (same pair from several bands always
-       hashes to the same bucket);
+    1. pairs get a deterministic bucket ``hash(id_a, id_b) % P`` (same
+       pair from several bands always lands in the same bucket, so
+       cross-band duplicates dedupe inside the verify kernel — no
+       dedicated dedup exchange);
     2. the unique candidate-id SET (int64 ids, ≪ corpus by LSH
        construction) is reduced inside a Ray task and broadcast as an
        object-store ref — the one small broadcast this op needs, the
@@ -570,10 +571,11 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
     3. the corpus streams once through a shingle stage that keeps only
        candidate docs (rows ``(doc_id, shingle-set)``);
     4. shingle rows are routed to every pair bucket that references
-       their doc via a co-partitioned hash join with the
-       ``(doc_id, bucket)`` request table;
+       their doc via a co-partitioned exchange with the
+       ``(doc_id, bucket)`` request table (exchange #1, on doc_id);
     5. each bucket partition verifies its pairs against its local
-       shingle rows.
+       shingle rows (exchange #2, on the pair bucket) — the classic
+       two-round distributed semi-join, nothing in between.
 
     ``verify_cap`` (optional): loud guard on the deduped candidate-pair
     count, for callers that want to enforce the candidates-≪-corpus
@@ -605,32 +607,20 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
         return pa.table({"id_a": pa.array(a), "id_b": pa.array(b),
                          PB: pa.array(pb)})
 
-    bucketed = pairs_ds.map_batches(add_pb, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-
-    def dedup_pairs(t: pa.Table) -> pa.Table:
-        # whole bucket partition, sorted by (id_a, id_b): duplicate pairs
-        # (found in several bands) are contiguous runs — keep the first
-        if t.num_rows == 0 or "id_a" not in t.column_names:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             PB: pa.array([], pa.int64())})
-        a = t["id_a"].to_numpy(zero_copy_only=False)
-        b = t["id_b"].to_numpy(zero_copy_only=False)
-        first = np.ones(len(a), bool)
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return t.filter(pa.array(first))
-
-    uniq_pairs = partitioned_map(
-        bucketed, dedup_pairs, key=PB, sort_keys=["id_a", "id_b"],
-        num_partitions=P, strategy="tasks")
-    n_pairs = uniq_pairs.count()
-    if n_pairs == 0:
+    # materialize the bucketed pairs ONCE (the LSH plan upstream must not
+    # re-execute per consumer — requests + verify union both read this)
+    pair_refs = materialized_block_refs(
+        pairs_ds.map_batches(add_pb, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    if not pair_refs:
         return ray.data.from_arrow(out_schema.empty_table())
-    if verify_cap is not None and n_pairs > verify_cap:
-        raise ValueError(
-            f"{n_pairs} candidate pairs exceed verify_cap={verify_cap}; "
-            "raise candidate_est_threshold or the cap")
+    uniq_pairs = ray.data.from_arrow_refs(pair_refs)
+    if verify_cap is not None:
+        n_pairs = uniq_pairs.count()
+        if n_pairs > verify_cap:
+            raise ValueError(
+                f"{n_pairs} candidate pairs exceed verify_cap="
+                f"{verify_cap}; raise candidate_est_threshold or the cap")
 
     def pairs_to_requests(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
@@ -754,6 +744,11 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
         pairs_t = t.filter(pa.array(~is_doc))
         a = pairs_t["id_a"].to_numpy(zero_copy_only=False)
         b = pairs_t["id_b"].to_numpy(zero_copy_only=False)
+        # same pair found in several bands hashes to the same bucket:
+        # dedupe here instead of in a dedicated exchange
+        if len(a):
+            uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = uniq[:, 0], uniq[:, 1]
         jac = np.empty(len(a), np.float64)
         missing = 0
         for i in range(len(a)):
