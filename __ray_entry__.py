@@ -419,12 +419,45 @@ def _composition_parse(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def _replays():
+    """Load the independent-replay module (sibling file; the driver may
+    import __ray_entry__ without /root/repo on sys.path)."""
+    try:
+        import _oracle_replays as rep
+
+        return rep
+    except ImportError:
+        import importlib.util
+        import os
+        import sys
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "_oracle_replays.py")
+        spec = importlib.util.spec_from_file_location("_oracle_replays", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sys.modules["_oracle_replays"] = mod
+        return mod
+
+
+def _write_fixture(df, name: str):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs("/tmp/fbr_oracle", exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"/tmp/fbr_oracle/{name}.parquet")
+
+
 def _multi_ego_rank(sf_dir: str):
     """q40: multi-objective EGO (ref ego/multiplyego.py MutilplyEgo):
     per-objective bootstrap ensembles over two targets derived from
-    lineitem, Pareto-front Pi/L, Ei = L*Pi ranking.  Rows-only check
-    (iterative model scoring is not SQL-expressible); the planted
-    two-objective behavior is tested in tests/test_multiego_voronoi.py."""
+    lineitem, Pareto-front Pi/L, Ei = L*Pi ranking.  Value oracle: an
+    independent serial replay (_oracle_replays.replay_multi_ego —
+    fsum/scalar Pi/L/Ei) writes the expected top-10 as a fixture the
+    DuckDB oracle reads back."""
     import numpy as np
     import pandas as pd
 
@@ -437,6 +470,9 @@ def _multi_ego_rank(sf_dir: str):
                          1.0 - np.abs(Xs[:, 0]) / (np.abs(Xs[:, 0]).max() + 1)])
     g = np.linspace(Xs.min(0), Xs.max(0), 12)
     grid = np.stack(np.meshgrid(g[:, 0], g[:, 1]), -1).reshape(-1, 2)
+    _write_fixture(_replays().replay_multi_ego(Xs, Y, grid, n_models=8,
+                                               seed=0),
+                   "multi_ego")
     me = MultiEgo(n_models=8, seed=0)
     rank = me.fit_predict(Xs, Y, grid)
     top = rank[:10]
@@ -496,7 +532,10 @@ def _skew_probe(sf_dir: str):
 
 def _consensus_rank(sf_dir: str):
     """SUM-style multi-model consensus (ref selection/sum.py:70-282):
-    score matrix over an alpha grid -> Pareto front -> mean consensus."""
+    score matrix over an alpha grid -> Pareto front -> mean consensus.
+    Value oracle: independent serial replay of the score matrix + Pareto
+    + consensus (_oracle_replays.replay_consensus_rank) written as a
+    fixture."""
     import numpy as np
     import pandas as pd
 
@@ -509,6 +548,8 @@ def _consensus_rank(sf_dir: str):
     import itertools
 
     subsets = list(itertools.combinations(range(5), 2))
+    _write_fixture(_replays().replay_consensus_rank(X, y, subsets),
+                   "consensus_rank")
     S = score_matrix(X, y, subsets)
     ranked = consensus_ranking(S, subsets)
     return pd.DataFrame({
@@ -549,7 +590,10 @@ def _expression_feature(sf_dir: str):
 
 def _group_select(sf_dir: str):
     """GS prediction-distance clustering (ref selection/ugs.py:200-587) on
-    a planted matrix with redundant features; rows-only check."""
+    a planted matrix with redundant features.  Value oracle: independent
+    serial replay (re-derived DBSCAN via core-graph components +
+    fsum Calinski-Harabasz, _oracle_replays.replay_group_select) written
+    as a fixture."""
     import numpy as np
     import pandas as pd
 
@@ -560,6 +604,8 @@ def _group_select(sf_dir: str):
     X[:, 3] = X[:, 1] + rng.normal(0, 1e-6, 250)  # redundant copy
     y = 2.0 * X[:, 1] + rng.normal(0, 0.05, 250)
     subsets = [(i,) for i in range(6)] + [(1, 3)]
+    _write_fixture(_replays().replay_group_select(X, y, subsets),
+                   "group_select")
     gs = GroupSelect(seed=0).fit(X, y, subsets)
     return pd.DataFrame({
         "subset": [",".join(map(str, s)) for s in subsets],
@@ -593,6 +639,9 @@ def _subset_select(sf_dir: str):
     """Exhaustion subset search (ref selection/exhaustion.py) — Ray task
     fan-out over all C(n,2)+C(n,3) candidate subsets.
 
+    Value oracle: an independent serial CV replay
+    (_oracle_replays.replay_subset_select — einsum Gram + fsum r²)
+    recomputes every subset's score and the top-10 ranking as a fixture.
     Note: the synthetic lineitem has no planted predictive relation
     (corr(l_extendedprice, anything) ~ 0), so near-zero CV r2 is the
     correct answer here; the planted-relation parity tests live in
@@ -602,6 +651,8 @@ def _subset_select(sf_dir: str):
     from featurebox_ray.selection.search import Exhaustion
 
     X, y, cols = _feature_matrix(sf_dir)
+    _write_fixture(_replays().replay_subset_select(X, y, cols),
+                   "subset_select")
     ex = Exhaustion(n_select=(2, 3)).fit(X, y)
     ranked = sorted(ex.all_scores_, key=lambda t: -t[1])[:10]
     return pd.DataFrame({
@@ -613,23 +664,54 @@ def _subset_select(sf_dir: str):
 
 def _symbolic_golden(sf_dir: str):
     """Golden-recovery: plant (x0+x1)*(x2-x3) and recover it via the
-    exhaustive height-2 expression search (ref Instance2 height_2.py)."""
+    exhaustive height-2 expression search (ref Instance2 height_2.py).
+
+    Value oracle: the affine-fitted predictions of the recovered
+    expression on the first 50 rows — identical for EVERY algebraically
+    exact recovery (sign/commutation variants fold into the fitted
+    (a, b)), and bit-equal to the planted target, which the fixture
+    recomputes in scalar Python."""
     import numpy as np
     import pandas as pd
 
-    from featurebox_ray.functions.expr import expr_to_str, golden_recover
+    from featurebox_ray.functions.expr import eval_expr, golden_recover
 
     rng = np.random.default_rng(7)
     X = rng.normal(size=(200, 5))
     y = (X[:, 0] + X[:, 1]) * (X[:, 2] - X[:, 3])
+    n_probe = 50
+
+    # independent scalar replay of the planted target (the expected
+    # prediction of any exact recovery)
+    planted = np.array([
+        (float(X[i, 0]) + float(X[i, 1]))
+        * (float(X[i, 2]) - float(X[i, 3])) for i in range(n_probe)])
+    _write_fixture(pd.DataFrame({
+        "row_id": np.arange(n_probe, dtype=np.int64),
+        "y_hat": np.round(planted, 6),
+        "r2": np.full(n_probe, 1.0),
+    }), "symbolic_golden")
+
     best, score = golden_recover(X, y)
-    return pd.DataFrame({"expression": [expr_to_str(best)],
-                         "r2": [round(score, 9)]})
+    cols = [np.ascontiguousarray(X[:, j]) for j in range(X.shape[1])]
+    v = eval_expr(best, cols)
+    vc, yc = v - v.mean(), y - y.mean()
+    den = float(vc @ vc)
+    a = float(vc @ yc) / den if den > 0 else 0.0
+    b = float(y.mean() - a * v.mean())
+    y_hat = a * v + b
+    return pd.DataFrame({
+        "row_id": np.arange(n_probe, dtype=np.int64),
+        "y_hat": np.round(y_hat[:n_probe], 6),
+        "r2": np.full(n_probe, round(score, 9)),
+    })
 
 
 def _ego_rank(sf_dir: str):
     """EGO active-learning ranker (ref ego/ego.py): bootstrap ensemble →
-    EI over a search grid → top-10."""
+    EI over a search grid → top-10.  Value oracle: independent serial
+    replay of the bootstrap ensemble + closed-form EI
+    (_oracle_replays.replay_ego_rank) written as a fixture."""
     import numpy as np
     import pandas as pd
 
@@ -639,6 +721,9 @@ def _ego_rank(sf_dir: str):
     Xs, ys = X[:2000, :2], y[:2000]
     g = np.linspace(Xs.min(0), Xs.max(0), 15)
     grid = np.stack(np.meshgrid(g[:, 0], g[:, 1]), -1).reshape(-1, 2)
+    _write_fixture(_replays().replay_ego_rank(Xs, ys, grid, n_models=8,
+                                              seed=0),
+                   "ego_rank")
     ego = Ego(n_models=8, seed=0)
     rank = ego.fit_predict(Xs, ys, grid)
     top = rank[:10]
@@ -987,6 +1072,30 @@ def oracle_sql() -> dict[str, str]:
         "q23_simhash_neardup": """
             SELECT id_a, id_b, hamming
             FROM read_parquet('/tmp/fbr_oracle/simhash_pairs.parquet')
+        """,
+        "q28_subset_select": """
+            SELECT "rank", subset, cv_r2
+            FROM read_parquet('/tmp/fbr_oracle/subset_select.parquet')
+        """,
+        "q29_symbolic_golden": """
+            SELECT row_id, y_hat, r2
+            FROM read_parquet('/tmp/fbr_oracle/symbolic_golden.parquet')
+        """,
+        "q30_ego_rank": """
+            SELECT "rank", x0, x1, ei
+            FROM read_parquet('/tmp/fbr_oracle/ego_rank.parquet')
+        """,
+        "q34_group_select": """
+            SELECT subset, cluster, cv_r2
+            FROM read_parquet('/tmp/fbr_oracle/group_select.parquet')
+        """,
+        "q36_consensus_rank": """
+            SELECT "rank", subset, mean_cv_r2
+            FROM read_parquet('/tmp/fbr_oracle/consensus_rank.parquet')
+        """,
+        "q40_multi_ego": """
+            SELECT "rank", x0, x1, pi, l, ei
+            FROM read_parquet('/tmp/fbr_oracle/multi_ego.parquet')
         """,
         "q27_multimodal": """
             SELECT media_id, img_mean_r, img_std_g, img_entropy,

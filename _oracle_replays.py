@@ -1,0 +1,353 @@
+"""Independent replays backing the planted-fixture value oracles for the
+selection / EGO / GP driver-gate queries (q28, q30, q34, q36, q40; q29's
+fixture is simpler and lives in ``__ray_entry__``).
+
+Each function recomputes a query's expected output WITHOUT the engine's
+selection layer (`featurebox_ray.selection` / `functions.expr` are never
+imported here): ridge solves assemble centered Gram matrices with
+``np.einsum`` (sequential C loops, not the BLAS path the engine uses),
+every reduction that feeds a reported number goes through ``math.fsum``
+(exact summation) or scalar loops, and DBSCAN / Calinski-Harabasz /
+Pareto / EI are re-derived from their definitions.  Only the RNG streams
+(``np.random.default_rng``) and fold-split spec are shared — they are
+part of each query's definition, not of the implementation under test.
+
+The resulting tables are written to ``/tmp/fbr_oracle/*.parquet`` by the
+query callables; the DuckDB oracle SQL reads them back, so the driver's
+value-hash compare checks the engine's distributed fan-outs against this
+serial independent computation (the q23/q27 dual-implementation pattern).
+
+Numerical coupling: engine and replay agree to ~1e-13 relative (same
+IEEE doubles, different summation orders); outputs are rounded to 6
+decimals, so a mismatch needs a value within ~1e-13 of a rounding
+boundary — negligible at these table sizes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# shared scalar numerics
+# ---------------------------------------------------------------------------
+
+
+def _ridge_fit(X: np.ndarray, y: np.ndarray, alpha: float):
+    """Centered ridge via einsum-assembled normal equations."""
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    mx = np.array([math.fsum(X[:, j]) / len(X) for j in range(X.shape[1])])
+    my = math.fsum(y) / len(y)
+    Xc = X - mx
+    yc = y - my
+    A = np.einsum("ni,nj->ij", Xc, Xc) + alpha * np.eye(X.shape[1])
+    b = np.einsum("ni,n->i", Xc, yc)
+    w = np.linalg.solve(A, b)
+    intercept = my - float(mx @ w)
+    return w, intercept
+
+
+def _predict(X: np.ndarray, w: np.ndarray, intercept: float) -> np.ndarray:
+    return np.einsum("ni,i->n", np.asarray(X, np.float64), w) + intercept
+
+
+def _r2(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    ss_res = math.fsum((float(a) - float(b)) ** 2
+                       for a, b in zip(y_true, y_pred))
+    m = math.fsum(float(v) for v in y_true) / len(y_true)
+    ss_tot = math.fsum((float(v) - m) ** 2 for v in y_true)
+    return 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+
+
+def _kfold(n: int, k: int, seed: int):
+    """The query spec's fold split: seeded permutation + array_split."""
+    order = np.random.default_rng(seed).permutation(n)
+    folds = np.array_split(order, k)
+    for i in range(k):
+        test = folds[i]
+        train = np.concatenate([folds[j] for j in range(k) if j != i])
+        yield train, test
+
+
+def _cv_r2(X: np.ndarray, y: np.ndarray, *, alpha: float, k: int = 5,
+           seed: int = 0) -> float:
+    scores = []
+    for train, test in _kfold(len(y), k, seed):
+        w, b = _ridge_fit(X[train], y[train], alpha)
+        scores.append(_r2(y[test], _predict(X[test], w, b)))
+    return math.fsum(scores) / len(scores)
+
+
+def _oof_predictions(X: np.ndarray, y: np.ndarray, *, alpha: float,
+                     k: int = 5, seed: int = 0) -> np.ndarray:
+    pred = np.empty(len(y))
+    for train, test in _kfold(len(y), k, seed):
+        w, b = _ridge_fit(X[train], y[train], alpha)
+        pred[test] = _predict(X[test], w, b)
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# q28: exhaustive subset ranking
+# ---------------------------------------------------------------------------
+
+
+def replay_subset_select(X: np.ndarray, y: np.ndarray,
+                         cols: Sequence[str], *, n_select=(2, 3),
+                         alpha: float = 1e-6, k: int = 5, seed: int = 0,
+                         top: int = 10):
+    """Expected (rank, subset, cv_r2) table for q28."""
+    import pandas as pd
+
+    cands: List[Tuple[int, ...]] = []
+    for size in n_select:
+        cands.extend(itertools.combinations(range(X.shape[1]), size))
+    scored = [(s, _cv_r2(X[:, list(s)], y, alpha=alpha, k=k, seed=seed))
+              for s in cands]
+    ranked = sorted(scored, key=lambda t: -t[1])[:top]
+    return pd.DataFrame({
+        "rank": range(1, len(ranked) + 1),
+        "subset": ["+".join(cols[i] for i in s) for s, _ in ranked],
+        "cv_r2": [round(v, 6) for _, v in ranked],
+    })
+
+
+# ---------------------------------------------------------------------------
+# q30: single-objective EGO (bootstrap ensemble -> EI)
+# ---------------------------------------------------------------------------
+
+
+def _bootstrap_preds(X, y, grid, *, n_models: int, alpha: float,
+                     seed_base: int) -> np.ndarray:
+    preds = []
+    for i in range(n_models):
+        rng = np.random.default_rng(seed_base + i)
+        idx = rng.integers(0, len(y), len(y))
+        w, b = _ridge_fit(X[idx], y[idx], alpha)
+        preds.append(_predict(grid, w, b))
+    return np.stack(preds)
+
+
+def _mean_std_cols(preds: np.ndarray):
+    """Per-grid-point mean/std over the model axis, fsum-exact."""
+    B, g = preds.shape
+    mean = np.array([math.fsum(preds[:, j]) / B for j in range(g)])
+    std = np.array([math.sqrt(math.fsum((preds[b, j] - mean[j]) ** 2
+                                        for b in range(B)) / B)
+                    for j in range(g)])
+    return mean, std
+
+
+def replay_ego_rank(X: np.ndarray, y: np.ndarray, grid: np.ndarray, *,
+                    n_models: int = 8, alpha: float = 1e-6, seed: int = 0,
+                    top: int = 10):
+    """Expected (rank, x0, x1, ei) table for q30."""
+    import pandas as pd
+
+    preds = _bootstrap_preds(X, y, grid, n_models=n_models, alpha=alpha,
+                             seed_base=seed)
+    mean, std = _mean_std_cols(preds)
+    y_best = max(float(v) for v in y)
+    ei = np.empty(len(mean))
+    for j in range(len(mean)):
+        if std[j] > 0:
+            z = (mean[j] - y_best) / std[j]
+            phi = math.exp(-0.5 * z * z) / math.sqrt(2 * math.pi)
+            Phi = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+            ei[j] = (mean[j] - y_best) * Phi + std[j] * phi
+        else:
+            ei[j] = 0.0
+    order = np.argsort(-ei)[:top]
+    return pd.DataFrame({
+        "rank": range(1, len(order) + 1),
+        "x0": np.round(grid[order, 0], 6),
+        "x1": np.round(grid[order, 1], 6),
+        "ei": np.round(ei[order], 6),
+    })
+
+
+# ---------------------------------------------------------------------------
+# q34: prediction-distance group clustering
+# ---------------------------------------------------------------------------
+
+
+def _dbscan(D: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """DBSCAN over a distance matrix, re-derived: clusters = connected
+    components of the core-core graph (numbered by smallest seed index,
+    matching ascending-scan numbering); border points attach to the
+    cluster of a reachable core neighbor; the rest are noise (-1)."""
+    n = D.shape[0]
+    nb = [set(np.flatnonzero(D[i] <= eps).tolist()) for i in range(n)]
+    core = [len(nb[i]) >= min_samples for i in range(n)]
+    labels = np.full(n, -1)
+    cluster = 0
+    for i in range(n):
+        if not core[i] or labels[i] >= 0:
+            continue
+        comp = {i}
+        frontier = [i]
+        while frontier:
+            j = frontier.pop()
+            for m in nb[j]:
+                if core[m] and m not in comp:
+                    comp.add(m)
+                    frontier.append(m)
+        for m in comp:
+            labels[m] = cluster
+        cluster += 1
+    for i in range(n):
+        if labels[i] < 0:
+            for m in sorted(nb[i]):
+                if core[m] and labels[m] >= 0:
+                    labels[i] = labels[m]
+                    break
+    return labels
+
+
+def _calinski_harabasz(pts: np.ndarray, labels: np.ndarray) -> float:
+    mask = labels >= 0
+    p, lbl = pts[mask], labels[mask]
+    ks = sorted(set(lbl.tolist()))
+    if len(ks) < 2 or len(p) <= len(ks):
+        return -math.inf
+    overall = np.array([math.fsum(p[:, j]) / len(p)
+                        for j in range(p.shape[1])])
+    ssb = ssw = 0.0
+    for c in ks:
+        sub = p[lbl == c]
+        mu = np.array([math.fsum(sub[:, j]) / len(sub)
+                       for j in range(sub.shape[1])])
+        ssb += len(sub) * math.fsum((float(a) - float(b)) ** 2
+                                    for a, b in zip(mu, overall))
+        ssw += math.fsum(float(v) ** 2 for v in (sub - mu).ravel())
+    if ssw == 0:
+        return math.inf
+    return (ssb / (len(ks) - 1)) / (ssw / (len(p) - len(ks)))
+
+
+def replay_group_select(X: np.ndarray, y: np.ndarray,
+                        subsets: Sequence[Tuple[int, ...]], *,
+                        alpha: float = 1e-6, k: int = 5, seed: int = 0,
+                        min_samples: int = 2):
+    """Expected (subset, cluster, cv_r2) table for q34."""
+    import pandas as pd
+
+    preds = np.stack([
+        _oof_predictions(X[:, list(s)], y, alpha=alpha, k=k, seed=seed)
+        for s in subsets])
+    scores = np.array([_r2(y, p) for p in preds])
+    n = len(subsets)
+    D = np.empty((n, n))
+    for i in range(n):
+        for j in range(n):
+            D[i, j] = math.sqrt(
+                math.fsum((float(a) - float(b)) ** 2
+                          for a, b in zip(preds[i], preds[j]))
+                / preds.shape[1])
+    pos = np.sort(D[D > 0])
+    scale = (float(np.median(pos)) if len(pos) else 1.0)
+    best_labels, best_ch = None, -math.inf
+    for f in (0.25, 0.5, 0.75, 1.0, 1.25):
+        labels = _dbscan(D, scale * f, min_samples)
+        ch = _calinski_harabasz(preds, labels)
+        if ch > best_ch:
+            best_labels, best_ch = labels, ch
+    if best_labels is None:
+        best_labels = np.zeros(n, dtype=int)
+    return pd.DataFrame({
+        "subset": [",".join(map(str, s)) for s in subsets],
+        "cluster": best_labels.astype(int),
+        "cv_r2": np.round(scores, 6),
+    })
+
+
+# ---------------------------------------------------------------------------
+# q36: multi-model consensus over the Pareto front
+# ---------------------------------------------------------------------------
+
+
+def replay_consensus_rank(X: np.ndarray, y: np.ndarray,
+                          subsets: Sequence[Tuple[int, ...]], *,
+                          alphas=(1e-6, 1e-2, 1.0), k: int = 5,
+                          seed: int = 0):
+    """Expected (rank, subset, mean_cv_r2) table for q36."""
+    import pandas as pd
+
+    S = np.array([[_cv_r2(X[:, list(s)], y, alpha=a, k=k, seed=seed)
+                   for s in subsets] for a in alphas])
+    front = []
+    for j in range(S.shape[1]):
+        dominated = any(
+            o != j and all(S[m, o] >= S[m, j] for m in range(S.shape[0]))
+            and any(S[m, o] > S[m, j] for m in range(S.shape[0]))
+            for o in range(S.shape[1]))
+        if not dominated:
+            front.append(j)
+    agg = {j: math.fsum(S[:, j]) / S.shape[0] for j in front}
+    ranked = sorted(((tuple(subsets[j]), agg[j]) for j in front),
+                    key=lambda t: (-t[1], len(t[0]), t[0]))
+    return pd.DataFrame({
+        "rank": range(1, len(ranked) + 1),
+        "subset": ["+".join(map(str, s)) for s, _ in ranked],
+        "mean_cv_r2": [round(v, 6) for _, v in ranked],
+    })
+
+
+# ---------------------------------------------------------------------------
+# q40: multi-objective EGO (Pareto Pi / L / Ei)
+# ---------------------------------------------------------------------------
+
+
+def replay_multi_ego(X: np.ndarray, Y: np.ndarray, grid: np.ndarray, *,
+                     n_models: int = 8, alpha: float = 1e-6, seed: int = 0,
+                     top: int = 10):
+    """Expected (rank, x0, x1, pi, l, ei) table for q40."""
+    import pandas as pd
+
+    d = Y.shape[1]
+    preds = np.stack([
+        _bootstrap_preds(X, Y[:, j], grid, n_models=n_models, alpha=alpha,
+                         seed_base=seed + 1000 * j)
+        for j in range(d)])  # (d, B, g)
+    g = grid.shape[0]
+    mean = np.empty((g, d))
+    for j in range(d):
+        m, _ = _mean_std_cols(preds[j])
+        mean[:, j] = m
+
+    # training-front: i is on the front iff no other point strictly beats
+    # it in every objective
+    front_rows = [i for i in range(len(Y))
+                  if all(max(float(Y[i, m]) - float(Y[o, m])
+                             for m in range(d)) >= 0
+                         for o in range(len(Y)))]
+    front = Y[front_rows]
+
+    B = n_models
+    pi = np.empty(g)
+    for p in range(g):
+        n_dom = 0
+        for b in range(B):
+            draw = [preds[j, b, p] for j in range(d)]
+            if any(all(draw[m] < f[m] for m in range(d)) for f in front):
+                n_dom += 1
+        pi[p] = 1.0 - n_dom / B
+    l = np.array([
+        min(min(abs(float(mean[p, m]) - float(f[m])) for f in front)
+            for m in range(d))
+        for p in range(g)])
+    ei = l * pi
+    order = np.argsort(-ei)[:top]
+    return pd.DataFrame({
+        "rank": range(1, len(order) + 1),
+        "x0": np.round(grid[order, 0], 6),
+        "x1": np.round(grid[order, 1], 6),
+        "pi": np.round(pi[order], 6),
+        "l": np.round(l[order], 6),
+        "ei": np.round(ei[order], 6),
+    })
