@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_voronoi_neighbors": _voronoi_stats,
         "q40_multi_ego": _multi_ego_rank,
         "q41_composition_parse": _composition_parse,
+        "q42_radius_neighbors": _radius_neighbors,
     }
 
 
@@ -395,17 +396,34 @@ def _composition_parse(sf_dir: str):
                                columns=["user_id", "event_type"])
     counts = ev.groupby(["user_id", "event_type"]).aggregate(Count())
 
-    def render(group: pa.Table) -> pa.Table:
-        import pandas as pd
+    def render_part(t: pa.Table) -> pa.Table:
+        # whole hash partition, sorted by (user_id, event_type): render
+        # every user's composition in one vectorized pass (list-offsets +
+        # binary_join), never one UDF call per user
+        import pyarrow.compute as pc
 
-        df = group.to_pandas().sort_values("event_type")
-        s = "".join(f"{t}{int(c)}"
-                    for t, c in zip(df["event_type"], df["count()"]))
-        return pa.table({"user_id": pa.array([df["user_id"].iloc[0]]),
-                         "comp_str": pa.array([s])})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "comp_str": pa.array([], pa.string())})
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        piece = pc.binary_join_element_wise(
+            t["event_type"].cast(pa.string()),
+            pc.cast(t["count()"], pa.string()), "")
+        if isinstance(piece, pa.ChunkedArray):
+            piece = piece.combine_chunks()
+        change = np.flatnonzero(uid[1:] != uid[:-1]) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        offsets = np.concatenate([starts, [len(uid)]]).astype(np.int32)
+        comp = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), piece), "")
+        return pa.table({"user_id": t["user_id"].take(pa.array(starts)),
+                         "comp_str": comp})
 
-    strings = counts.groupby("user_id").map_groups(render,
-                                                   batch_format="pyarrow")
+    from featurebox_ray.stages.partition import partitioned_map
+
+    strings = partitioned_map(counts, render_part, key="user_id",
+                              sort_keys=["user_id", "event_type"],
+                              num_partitions=8, strategy="tasks")
     out = expand_composition(strings, col="comp_str", vocab=VOCAB)
 
     def fin(batch: pa.Table) -> pa.Table:
@@ -509,6 +527,38 @@ def _voronoi_stats(sf_dir: str):
             "type_a": batch["type_a"],
             "type_b": batch["type_b"],
             "w": batch["w"],
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _radius_neighbors(sf_dir: str):
+    """q42: radius-neighbor multiplicity rows per event over the
+    (rank, value) plane — the reference Neighborizer analog
+    (featurizers/neighbor.py:18-74: r_max neighbor extraction, 4-dp
+    distance rounding, per-(type, distance) multiplicity counts).  The
+    DuckDB oracle replays the self-join with the identical direct-form
+    sqrt, so every boundary decision is bit-identical."""
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.neighbor import add_radius_neighbors
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    out = add_radius_neighbors(ev, key="user_id",
+                               order_cols=("ts", "event_id"),
+                               value_col="value", type_col="event_type",
+                               r_max=3.0, round_nd=4)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "n_type": batch["n_type"],
+            "dist": batch["dist"],
+            "mult": batch["mult"],
         })
 
     return out.map_batches(fin, batch_format="pyarrow")
@@ -1072,6 +1122,30 @@ def oracle_sql() -> dict[str, str]:
         "q23_simhash_neardup": """
             SELECT id_a, id_b, hamming
             FROM read_parquet('/tmp/fbr_oracle/simhash_pairs.parquet')
+        """,
+        "q42_radius_neighbors": """
+            WITH pts AS (
+              SELECT user_id, event_id, event_type, value,
+                     CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) - 1
+                       AS DOUBLE) AS rk
+              FROM events
+            ),
+            nb AS (
+              SELECT a.user_id, a.event_id, b.event_type AS n_type,
+                     round(sqrt((a.rk - b.rk) * (a.rk - b.rk)
+                                + (a.value - b.value) * (a.value - b.value)),
+                           4) AS dist
+              FROM pts a JOIN pts b
+                ON a.user_id = b.user_id AND a.event_id <> b.event_id
+              WHERE sqrt((a.rk - b.rk) * (a.rk - b.rk)
+                         + (a.value - b.value) * (a.value - b.value)) <= 3.0
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   n_type, dist, CAST(count(*) AS BIGINT) AS mult
+            FROM nb
+            GROUP BY user_id, event_id, n_type, dist
         """,
         "q28_subset_select": """
             SELECT "rank", subset, cv_r2

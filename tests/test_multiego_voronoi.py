@@ -143,3 +143,48 @@ def test_voronoi_parallelism_invariance_and_empty():
     sch = empty.schema()
     assert sch is None or list(sch.names) == ["user_id", "type_a",
                                               "type_b", "w"]
+
+
+def test_radius_neighbors_kernel_hand_case():
+    """Reference Neighborizer semantics on a hand-checked point set:
+    multiplicity counts per (type, rounded distance)."""
+    from featurebox_ray.stages.neighbor import radius_neighbors
+
+    # collinear points at ranks 0..3, equal values: distances = rank gaps
+    P = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
+    types = np.array(["a", "b", "b", "a"], dtype=object)
+    si, st, sd, sm = radius_neighbors(P, types, r_max=2.0, round_nd=4)
+    rows = {(int(i), t, float(d)): int(m)
+            for i, t, d, m in zip(si, st, sd, sm)}
+    # site 0: neighbors 1 (b, d=1), 2 (b, d=2) -> (b,1):1, (b,2):1
+    assert rows[(0, "b", 1.0)] == 1 and rows[(0, "b", 2.0)] == 1
+    # site 1: neighbors 0 (a,1), 2 (b,1), 3 (a,2)
+    assert rows[(1, "a", 1.0)] == 1 and rows[(1, "b", 1.0)] == 1
+    assert rows[(1, "a", 2.0)] == 1
+    # multiplicity: two same-type neighbors at the same rounded distance
+    P2 = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 0.0]])
+    t2 = np.array(["x", "y", "y"], dtype=object)
+    si, st, sd, sm = radius_neighbors(P2, t2, r_max=1.5, round_nd=4)
+    r2 = {(int(i), t, float(d)): int(m)
+          for i, t, d, m in zip(si, st, sd, sm)}
+    assert r2[(0, "y", 1.0)] == 2
+
+
+def test_radius_neighbors_parallelism_invariance():
+    import pandas as pd
+    import ray
+
+    from featurebox_ray.stages.neighbor import add_radius_neighbors
+
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type", "value"])
+    key = ["user_id", "event_id", "n_type", "dist"]
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(key).reset_index(drop=True)
+
+    a = norm(add_radius_neighbors(ev, num_partitions=4))
+    b = norm(add_radius_neighbors(ev, num_partitions=16))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
