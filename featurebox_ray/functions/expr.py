@@ -628,12 +628,19 @@ class SymbolicSearch:
         if self.hall_ and self.hall_[0][1] > self.best_score_:
             self.best_expr_, self.best_score_ = self.hall_[0]
 
-    def fit(self, X: np.ndarray, y: np.ndarray) -> "SymbolicSearch":
+    def fit(self, X, y: np.ndarray) -> "SymbolicSearch":
+        """``X``: (n, p) matrix, or a pre-packed COLUMN LIST (1-D arrays
+        and 2-D ``pack_groups`` terminals) for grouped searches."""
         import ray
 
         rng = np.random.default_rng(self.seed)
-        nf = X.shape[1]
-        cols = [np.ascontiguousarray(X[:, j], dtype=np.float64) for j in range(nf)]
+        if isinstance(X, (list, tuple)):
+            cols = [np.asarray(c, dtype=np.float64) for c in X]
+            nf = len(cols)
+        else:
+            nf = X.shape[1]
+            cols = [np.ascontiguousarray(X[:, j], dtype=np.float64)
+                    for j in range(nf)]
         cols_ref = ray.put(cols)
         y_ref = ray.put(np.asarray(y, dtype=np.float64))
         dims, tdim, dpen = self.dims, self.target_dim, self.dim_penalty

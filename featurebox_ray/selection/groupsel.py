@@ -31,10 +31,15 @@ from .models import Ridge, kfold_indices
 
 def cv_predictions(X: np.ndarray, y: np.ndarray, subsets: Sequence[Tuple[int, ...]],
                    *, alpha: float = 1e-6, k: int = 5, seed: int = 0,
-                   batch_size: int = 32) -> np.ndarray:
+                   batch_size: int = 32, model=None) -> np.ndarray:
     """(n_subsets, n_samples) out-of-fold prediction matrix, computed in
-    parallel Ray tasks against the broadcast (X, y)."""
+    parallel Ray tasks against the broadcast (X, y).  ``model``:
+    optional quick_models() name / factory (default: Ridge(alpha))."""
     import ray
+
+    from .search import resolve_model
+
+    factory = resolve_model(model)
 
     @ray.remote
     def predict_batch(x_ref, y_ref, chunk):
@@ -44,7 +49,8 @@ def cv_predictions(X: np.ndarray, y: np.ndarray, subsets: Sequence[Tuple[int, ..
             pred = np.empty(n)
             Xs = x_ref[:, list(s)]
             for train, test in kfold_indices(n, k, seed):
-                m = Ridge(alpha).fit(Xs[train], y_ref[train])
+                m = (factory() if factory is not None
+                     else Ridge(alpha)).fit(Xs[train], y_ref[train])
                 pred[test] = m.predict(Xs[test])
             out.append(pred)
         return np.stack(out)
@@ -109,10 +115,11 @@ class GroupSelect:
 
     def __init__(self, *, eps_grid: Optional[Sequence[float]] = None,
                  min_samples: int = 2, alpha: float = 1e-6, k: int = 5,
-                 seed: int = 0):
+                 seed: int = 0, model=None):
         self.eps_grid = eps_grid
         self.min_samples = min_samples
         self.alpha, self.k, self.seed = alpha, k, seed
+        self.model = model
         self.labels_: Optional[np.ndarray] = None
         self.clusters_: Optional[List[List[int]]] = None
         self.representatives_: Optional[List[Tuple[int, ...]]] = None
@@ -123,7 +130,7 @@ class GroupSelect:
         from .models import r2_score
 
         preds = cv_predictions(X, y, subsets, alpha=self.alpha, k=self.k,
-                               seed=self.seed)
+                               seed=self.seed, model=self.model)
         self.scores_ = np.array([r2_score(y, p) for p in preds])
         # pairwise prediction distance (normalized RMS, ref ugs.py:404-441)
         diff = preds[:, None, :] - preds[None, :, :]

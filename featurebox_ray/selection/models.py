@@ -133,17 +133,135 @@ class KernelRidgeRBF:
         return self._k(np.asarray(X, np.float64), self._X) @ self._c
 
 
+class DecisionTreeRegressor:
+    """Depth-bounded CART regression tree with exact deterministic splits
+    (reference quickmethod tree family, quickmethod.py:176-184 'DTR-set'
+    — sklearn-free): per node, every feature's SSE-reduction curve is
+    computed vectorized from sorted prefix sums; the best (feature,
+    threshold) is chosen by strictly-lower SSE with ascending feature
+    scan and first-min threshold, so ties resolve identically on every
+    run and machine.  Thresholds are midpoints between distinct
+    neighboring values; prediction routes ``x <= thr`` left."""
+
+    def __init__(self, max_depth: int = 5, min_samples_leaf: int = 5):
+        self.max_depth = max_depth
+        self.min_samples_leaf = min_samples_leaf
+        self._tree = None
+
+    @staticmethod
+    def _best_split(X: np.ndarray, y: np.ndarray, min_leaf: int):
+        n, p = X.shape
+        best = None  # (sse, j, thr)
+        for j in range(p):
+            order = np.argsort(X[:, j], kind="stable")
+            xs, ys = X[order, j], y[order]
+            cy = np.cumsum(ys)
+            cy2 = np.cumsum(ys * ys)
+            i = np.arange(min_leaf, n - min_leaf + 1)
+            if len(i) == 0:
+                continue
+            valid = xs[i - 1] < xs[i]
+            i = i[valid]
+            if len(i) == 0:
+                continue
+            ly, ly2 = cy[i - 1], cy2[i - 1]
+            ry, ry2 = cy[-1] - ly, cy2[-1] - ly2
+            sse = (ly2 - ly * ly / i) + (ry2 - ry * ry / (n - i))
+            k = int(np.argmin(sse))
+            if best is None or sse[k] < best[0]:
+                thr = (xs[i[k] - 1] + xs[i[k]]) / 2.0
+                best = (float(sse[k]), j, thr)
+        return best
+
+    def _build(self, X, y, depth):
+        n = len(y)
+        mean = float(y.mean())
+        if (depth >= self.max_depth or n < 2 * self.min_samples_leaf
+                or np.all(y == y[0])):
+            return mean
+        node_sse = float(np.sum((y - mean) ** 2))
+        best = self._best_split(X, y, self.min_samples_leaf)
+        if best is None or best[0] >= node_sse:
+            return mean
+        _, j, thr = best
+        left = X[:, j] <= thr
+        return (j, thr,
+                self._build(X[left], y[left], depth + 1),
+                self._build(X[~left], y[~left], depth + 1))
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "DecisionTreeRegressor":
+        X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        self._tree = self._build(X, y, 0)
+        return self
+
+    def _predict_node(self, node, X, out, idx):
+        if not isinstance(node, tuple):
+            out[idx] = node
+            return
+        j, thr, l, r = node
+        left = X[idx, j] <= thr
+        self._predict_node(l, X, out, idx[left])
+        self._predict_node(r, X, out, idx[~left])
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, np.float64)
+        out = np.empty(len(X))
+        self._predict_node(self._tree, X, out, np.arange(len(X)))
+        return out
+
+
+class GradientBoostedTrees:
+    """Squared-loss gradient boosting over shallow deterministic CART
+    trees (reference 'GBR-set'/'AdaBR-set' family, quickmethod.py:
+    193-205): each stage fits the residual, shrunk by ``learning_rate``.
+    Fully deterministic (no subsampling)."""
+
+    def __init__(self, n_estimators: int = 50, learning_rate: float = 0.1,
+                 max_depth: int = 2, min_samples_leaf: int = 5):
+        self.n_estimators = n_estimators
+        self.learning_rate = learning_rate
+        self.max_depth = max_depth
+        self.min_samples_leaf = min_samples_leaf
+        self._trees: list = []
+        self._base = 0.0
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "GradientBoostedTrees":
+        X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        self._base = float(y.mean())
+        resid = y - self._base
+        self._trees = []
+        for _ in range(self.n_estimators):
+            t = DecisionTreeRegressor(self.max_depth,
+                                      self.min_samples_leaf).fit(X, resid)
+            pred = t.predict(X)
+            resid = resid - self.learning_rate * pred
+            self._trees.append(t)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, np.float64)
+        out = np.full(len(X), self._base)
+        for t in self._trees:
+            out += self.learning_rate * t.predict(X)
+        return out
+
+
 def quick_models() -> dict:
     """The numpy model zoo (analog of the reference's dict_method_reg
-    registry, quickmethod.py:164-230): name -> constructor.  sklearn's
-    tree/boosting ensembles have no closed numpy form and the sandbox has
-    no sklearn — documented out of scope (SURVEY §2.9)."""
+    registry, quickmethod.py:164-230): name -> constructor.  The tree
+    family is covered by the deterministic numpy CART/GBT above (the
+    sandbox has no sklearn)."""
     return {
         "OLS": lambda: Ridge(alpha=0.0),
         "Ridge": lambda: Ridge(alpha=1e-2),
         "KNR": lambda: KNNRegressor(n_neighbors=5),
         "KNR-dist": lambda: KNNRegressor(n_neighbors=5, weights="distance"),
         "KRR": lambda: KernelRidgeRBF(alpha=1.0),
+        "DTR": lambda: DecisionTreeRegressor(max_depth=5),
+        "GBR": lambda: GradientBoostedTrees(n_estimators=50,
+                                            learning_rate=0.1, max_depth=2),
     }
 
 

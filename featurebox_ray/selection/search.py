@@ -42,14 +42,49 @@ def _score_batch_remote():
     return score_batch
 
 
+def resolve_model(model):
+    """``model`` -> zero-arg factory: a quick_models() name, a factory
+    callable, or None (the default Ridge path)."""
+    if model is None or callable(model):
+        return model
+    from .models import quick_models
+
+    zoo = quick_models()
+    if model not in zoo:
+        raise ValueError(f"unknown model {model!r}; one of {sorted(zoo)}")
+    return zoo[model]
+
+
+def _score_batch_model_remote():
+    import ray
+
+    from .models import cv_score_model
+
+    @ray.remote
+    def score_batch_model(x_ref, y_ref, subsets: List[Tuple[int, ...]],
+                         factory, k: int, seed: int) -> List[float]:
+        X, y = x_ref, y_ref
+        return [cv_score_model(factory, X[:, list(s)], y, k=k, seed=seed)
+                for s in subsets]
+
+    return score_batch_model
+
+
 class Exhaustion:
-    """Score every subset of size in ``n_select``; keep the argmax."""
+    """Score every subset of size in ``n_select``; keep the argmax.
+
+    ``model``: optional — a :func:`featurebox_ray.selection.models.
+    quick_models` name (e.g. ``"DTR"``, ``"GBR"``, ``"KRR"``) or a
+    zero-arg factory; defaults to the closed-form Ridge path (the
+    reference scores its zoo the same way, exhaustion.py:74-87)."""
 
     def __init__(self, *, n_select: Sequence[int] = (2, 3), alpha: float = 1e-6,
-                 k: int = 5, seed: int = 0, batch_size: int = 64):
+                 k: int = 5, seed: int = 0, batch_size: int = 64,
+                 model=None):
         self.n_select = tuple(n_select)
         self.alpha, self.k, self.seed = alpha, k, seed
         self.batch_size = batch_size
+        self.model = model
         self.best_subset_: Optional[Tuple[int, ...]] = None
         self.best_score_: float = -np.inf
         self.all_scores_: List[Tuple[Tuple[int, ...], float]] = []
@@ -62,12 +97,21 @@ class Exhaustion:
         for size in self.n_select:
             cands.extend(itertools.combinations(range(n), size))
         x_ref, y_ref = ray.put(np.ascontiguousarray(X)), ray.put(np.ascontiguousarray(y))
-        score_batch = _score_batch_remote()
+        factory = resolve_model(self.model)
         futs = []
-        for i in range(0, len(cands), self.batch_size):
-            chunk = cands[i:i + self.batch_size]
-            futs.append(score_batch.remote(x_ref, y_ref, chunk,
-                                           self.alpha, self.k, self.seed))
+        if factory is None:
+            score_batch = _score_batch_remote()
+            for i in range(0, len(cands), self.batch_size):
+                chunk = cands[i:i + self.batch_size]
+                futs.append(score_batch.remote(x_ref, y_ref, chunk,
+                                               self.alpha, self.k,
+                                               self.seed))
+        else:
+            score_batch = _score_batch_model_remote()
+            for i in range(0, len(cands), self.batch_size):
+                chunk = cands[i:i + self.batch_size]
+                futs.append(score_batch.remote(x_ref, y_ref, chunk,
+                                               factory, self.k, self.seed))
         scores = [s for batch in ray.get(futs) for s in batch]
         self.all_scores_ = list(zip(cands, scores))
         best = int(np.argmax(scores))
