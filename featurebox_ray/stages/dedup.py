@@ -275,29 +275,49 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int = 32):
     """Keep the first (min ``id_col``) row per exact ``text_col`` value.
 
-    Hash-partition by ``sha64(text) % P`` so the kernel runs once per
-    partition-sized bucket (vectorized sort + drop_duplicates over the
-    raw text, which also resolves 64-bit hash collisions exactly)."""
+    Hash-partition by ``sha64(text) % P``; the sha1 runs once per
+    DISTINCT text per batch (dictionary encode first — on the dup-heavy
+    corpora this op exists for, that's the whole point), and the
+    per-partition resolution is an Arrow-native sort + first-of-run
+    filter over the raw text (which also resolves 64-bit hash
+    collisions exactly) — no pandas round trip, no per-row Python
+    beyond the irreducible hash."""
     P = num_partitions
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        h = np.fromiter((_sha64(t) for t in texts), dtype=np.uint64,
-                        count=len(texts))
-        return batch.append_column(
-            "__b", pa.array((h % np.uint64(P)).astype(np.int32)))
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        d = pc.dictionary_encode(texts)
+        uniq = d.dictionary.to_pylist()
+        lut = np.fromiter((_sha64(t) % P for t in uniq), dtype=np.int32,
+                          count=len(uniq))
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        return batch.append_column("__b", pa.array(lut[idx], pa.int32()))
 
     hashed = ds.map_batches(add_bucket, batch_format="pyarrow",
                             zero_copy_batch=True)
 
-    def first_per_text(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        keep = (df.sort_values(id_col, kind="stable")
-                .drop_duplicates(text_col, keep="first").drop(columns="__b"))
-        return pa.Table.from_pandas(keep, preserve_index=False).replace_schema_metadata(None)
+    def first_per_text(t: pa.Table) -> pa.Table:
+        # whole partition sorted by (text, id): equal texts are
+        # contiguous runs and the first row of each run has the min id
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return (t.drop_columns(["__b"]) if "__b" in t.column_names
+                    else t)
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        codes = pc.dictionary_encode(texts).indices.to_numpy(
+            zero_copy_only=False)
+        first = np.ones(len(codes), bool)
+        first[1:] = codes[1:] != codes[:-1]
+        return t.filter(pa.array(first)).drop_columns(["__b"])
 
-    return hashed.groupby("__b").map_groups(first_per_text,
-                                            batch_format="pyarrow")
+    from .partition import partitioned_map
+
+    return partitioned_map(hashed, first_per_text, key="__b",
+                           sort_keys=[text_col, id_col],
+                           num_partitions=P, strategy="tasks")
 
 
 # ---------------------------------------------------------------------------
