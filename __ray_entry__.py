@@ -1125,11 +1125,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q42_radius_neighbors": """
             WITH pts AS (
+              -- mirror the engine's max_group=4096 skip: users over the
+              -- cap emit no rows on either side
               SELECT user_id, event_id, event_type, value,
                      CAST(row_number() OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) - 1
                        AS DOUBLE) AS rk
               FROM events
+              WHERE user_id IN (SELECT user_id FROM events
+                                GROUP BY user_id HAVING count(*) <= 4096)
             ),
             nb AS (
               SELECT a.user_id, a.event_id, b.event_type AS n_type,

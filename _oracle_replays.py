@@ -202,10 +202,12 @@ def _dbscan(D: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
         cluster += 1
     for i in range(n):
         if labels[i] < 0:
-            for m in sorted(nb[i]):
-                if core[m] and labels[m] >= 0:
-                    labels[i] = labels[m]
-                    break
+            # engine semantics: clusters expand fully in ascending
+            # cluster-number order, so a border point reachable from
+            # several clusters belongs to the LOWEST-numbered one
+            reach = [labels[m] for m in nb[i] if core[m] and labels[m] >= 0]
+            if reach:
+                labels[i] = min(reach)
     return labels
 
 

@@ -103,6 +103,14 @@ class SymbolLearning:
         if self.loop not in _LOOPS:
             raise ValueError(f"unknown loop {self.loop!r}; "
                              f"one of {sorted(_LOOPS)}")
+        if self.x_group is not None:
+            from .expr import DISPOSE
+
+            if not any(op in DISPOSE for op in self.un_ops):
+                raise ValueError(
+                    "x_group is set but un_ops contains no dispose op "
+                    f"({sorted(DISPOSE)}); expressions touching a packed "
+                    "group terminal would stay 2-D and always score -inf")
         X = np.asarray(X, np.float64)
         y = np.asarray(y, np.float64)
         cols, names = self._columns(X)
@@ -152,6 +160,11 @@ class SymbolLearning:
         cols, _ = self._columns(np.asarray(X, np.float64))
         v = eval_expr(self._pexpr, cols,
                       self.coef_k_ if len(self.coef_k_) else None)
+        if self.inner_add:
+            # fit_inner_coefficients optimizes against the non-finite-
+            # clamped evaluation (expr.py value()); predict must apply
+            # the same clamp or rows the fit treated as 0 return NaN
+            v = np.where(np.isfinite(v), v, 0.0)
         return self.coef_a_ * v + self.intercept_b_
 
     def transform(self, X: np.ndarray) -> np.ndarray:

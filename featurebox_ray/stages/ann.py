@@ -135,10 +135,12 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
 
     ``centroid_cache``: path to persist trained kmeans centroids (atomic
     ``.npz`` holding the centroids plus a ``(n_centroids, seed,
-    sample_size, corpus_rows)`` fingerprint); subsequent calls against the
-    SAME corpus/params reuse them instead of retraining.  A cache whose
-    fingerprint mismatches (different corpus, seed or sample) is retrained
-    and overwritten — never silently reused."""
+    sample_size, sample-bytes hash)`` fingerprint); subsequent calls
+    against the SAME corpus/params reuse them instead of retraining.
+    The fingerprint hashes the training SAMPLE (already read anyway — no
+    extra full-corpus pass), so a cache from a different corpus, seed or
+    sample is retrained and overwritten, never silently reused; legacy
+    ``.npy`` caches without a fingerprint are also retrained."""
     import ray
 
     if centroid_init == "first":
@@ -147,21 +149,29 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
             key=lambda r: r[id_col])
         C = _normalize(np.stack([r[vec_col] for r in rows]).astype(np.float64))
     else:
+        sample = np.stack(
+            [r[vec_col] for r in ds.limit(sample_size).take(sample_size)]
+        )
         C = None
         fp = None
         if centroid_cache is not None:
-            fp = np.array([n_centroids, seed, sample_size, int(ds.count())],
+            import hashlib
+
+            digest = hashlib.blake2b(
+                np.ascontiguousarray(sample, np.float64).tobytes(),
+                digest_size=8).digest()
+            fp = np.array([n_centroids, seed, sample_size,
+                           int.from_bytes(digest, "little", signed=True)],
                           dtype=np.int64)
             if os.path.exists(centroid_cache):
-                with np.load(centroid_cache) as z:
-                    if ("fingerprint" in z and "C" in z
-                            and np.array_equal(z["fingerprint"], fp)):
-                        C = np.asarray(z["C"], dtype=np.float64)
-                    # stale/foreign cache: fall through and retrain
+                z = np.load(centroid_cache, allow_pickle=False)
+                if isinstance(z, np.lib.npyio.NpzFile):
+                    with z:
+                        if ("fingerprint" in z and "C" in z
+                                and np.array_equal(z["fingerprint"], fp)):
+                            C = np.asarray(z["C"], dtype=np.float64)
+                # stale/foreign/legacy-.npy cache: fall through, retrain
         if C is None:
-            sample = np.stack(
-                [r[vec_col] for r in ds.limit(sample_size).take(sample_size)]
-            )
             C = train_centroids(sample, n_centroids, seed=seed)
             if centroid_cache is not None:
                 os.makedirs(os.path.dirname(centroid_cache) or ".",

@@ -8,8 +8,9 @@ signature (map_batches) → hash-partition groupby on a BUCKETED signature
 key (``hash % P`` — P partition-sized groups, never one tiny group per
 distinct value) → per-bucket vectorized resolution.
 
-* :func:`exact_dedup` — sha1(text) hash, bucketed ``% P``; one vectorized
-  sort+drop_duplicates per bucket, collision-checked on the full text.
+* :func:`exact_dedup` — hash-partition on the text column itself (one
+  crc32 per distinct value); one vectorized sort + first-of-run filter
+  per bucket over the raw text (exact, collision-free).
 * :func:`minhash_lsh_dedup` — word-shingle → k minhashes → b bands; band
   buckets shuffle; candidate pairs are then VERIFIED with exact shingle
   Jaccard (set intersection over the candidates' shingle sets) so the
@@ -37,10 +38,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _sha64(s: str) -> int:
-    return int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "little")
 
 
 # ---------------------------------------------------------------------------
@@ -275,35 +272,17 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int = 32):
     """Keep the first (min ``id_col``) row per exact ``text_col`` value.
 
-    Hash-partition by ``sha64(text) % P``; the sha1 runs once per
-    DISTINCT text per batch (dictionary encode first — on the dup-heavy
-    corpora this op exists for, that's the whole point), and the
-    per-partition resolution is an Arrow-native sort + first-of-run
-    filter over the raw text (which also resolves 64-bit hash
-    collisions exactly) — no pandas round trip, no per-row Python
-    beyond the irreducible hash."""
-    P = num_partitions
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        d = pc.dictionary_encode(texts)
-        uniq = d.dictionary.to_pylist()
-        lut = np.fromiter((_sha64(t) % P for t in uniq), dtype=np.int32,
-                          count=len(uniq))
-        idx = d.indices.to_numpy(zero_copy_only=False)
-        return batch.append_column("__b", pa.array(lut[idx], pa.int32()))
-
-    hashed = ds.map_batches(add_bucket, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    Partition directly on the text column (``partitioned_map`` hashes
+    each DISTINCT value once via its dictionary-encoded crc32 bucketer),
+    then resolve each partition with an Arrow-native sort +
+    first-of-run filter over the raw text — exact (no hash-collision
+    risk), no pandas round trip, no per-row Python."""
 
     def first_per_text(t: pa.Table) -> pa.Table:
         # whole partition sorted by (text, id): equal texts are
         # contiguous runs and the first row of each run has the min id
         if t.num_rows == 0 or text_col not in t.column_names:
-            return (t.drop_columns(["__b"]) if "__b" in t.column_names
-                    else t)
+            return t
         texts = t[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -311,13 +290,14 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
             zero_copy_only=False)
         first = np.ones(len(codes), bool)
         first[1:] = codes[1:] != codes[:-1]
-        return t.filter(pa.array(first)).drop_columns(["__b"])
+        return t.filter(pa.array(first))
 
     from .partition import partitioned_map
 
-    return partitioned_map(hashed, first_per_text, key="__b",
+    return partitioned_map(ds, first_per_text, key=text_col,
                            sort_keys=[text_col, id_col],
-                           num_partitions=P, strategy="tasks")
+                           num_partitions=num_partitions,
+                           strategy="tasks")
 
 
 # ---------------------------------------------------------------------------
@@ -597,9 +577,11 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
        shingle rows (exchange #2, on the pair bucket) — the classic
        two-round distributed semi-join, nothing in between.
 
-    ``verify_cap`` (optional): loud guard on the deduped candidate-pair
-    count, for callers that want to enforce the candidates-≪-corpus
-    assumption rather than let a mis-tuned banding config run long.
+    ``verify_cap`` (optional): loud guard on the PRE-dedup candidate-pair
+    count (pairs found in several bands count once per band — dedup
+    happens later, inside the verify kernel), for callers that want to
+    enforce the candidates-≪-corpus assumption rather than let a
+    mis-tuned banding config run long.
     Candidate ids absent from ``docs_ds`` (possible with
     externally-supplied pairs) are skipped with a logged warning, never
     a crash.  Output: ``(id_a, id_b, jaccard)`` with exact word-shingle
@@ -634,9 +616,9 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
                              zero_copy_batch=True))
     if not pair_refs:
         return ray.data.from_arrow(out_schema.empty_table())
-    uniq_pairs = ray.data.from_arrow_refs(pair_refs)
+    cand_pairs = ray.data.from_arrow_refs(pair_refs)
     if verify_cap is not None:
-        n_pairs = uniq_pairs.count()
+        n_pairs = cand_pairs.count()
         if n_pairs > verify_cap:
             raise ValueError(
                 f"{n_pairs} candidate pairs exceed verify_cap="
@@ -655,7 +637,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
         return pa.table({id_col: pa.array(uniq[:, 0], pa.int64()),
                          PB: pa.array(uniq[:, 1], pa.int64())})
 
-    requests = uniq_pairs.map_batches(pairs_to_requests,
+    requests = cand_pairs.map_batches(pairs_to_requests,
                                       batch_format="pyarrow")
     req_refs = materialized_block_refs(requests)
 
@@ -748,7 +730,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
             PB: t[PB],
             id_col: t[id_col], "__sh": t["__sh"].cast(sh_type)})
 
-    unioned = (uniq_pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    unioned = (cand_pairs.map_batches(tag_pairs, batch_format="pyarrow")
                .union(routed.map_batches(tag_docs, batch_format="pyarrow")))
 
     def verify(t: pa.Table) -> pa.Table:

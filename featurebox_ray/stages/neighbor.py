@@ -51,7 +51,11 @@ def radius_neighbors(P: np.ndarray, types: np.ndarray, r_max: float,
                 np.empty(0, np.float64), np.empty(0, np.int64))
     d = D[ii, jj]
     if round_nd is not None:
-        d = np.round(d, round_nd)
+        # half-away-from-zero (distances are >= 0): DuckDB round()
+        # parity — np.round's half-to-even would split a group key on an
+        # exact-half distance (same shim as the q38 division column)
+        s = 10.0 ** round_nd
+        d = np.floor(d * s + 0.5) / s
     # type codes for lexsort (types are arbitrary strings)
     uniq, tcode = np.unique(types, return_inverse=True)
     tj = tcode[jj]
