@@ -105,7 +105,7 @@ QUERY_NAMES = [
     "q08_rolling_window", "q09_time_window", "q10_asof_backfill",
     "q11_session_stats", "q17_exact_dedup", "q20_ann_topk",
     "q22_minhash_neardup", "q26_text_analysis", "q38_group_dispose",
-    "q39_voronoi_neighbors",
+    "q39_voronoi_neighbors", "q42_radius_neighbors",
 ]
 
 
