@@ -11,10 +11,18 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os as _os
+
 from collections.abc import Callable
 from typing import Any
 
 SF0001 = "/root/testdata/sf0.001"
+
+# Fixture-oracle scratch dir, namespaced PER PROCESS so two concurrent
+# gate/bench runs never clobber each other's fixtures.  queries() and
+# oracle_sql() run in the same driver process, so the pid is consistent
+# between the writer (query callable) and the reader (oracle SQL).
+_ORACLE_DIR = f"/tmp/fbr_oracle_{_os.getpid()}"
 
 # Session gap used by sessionize queries (seconds)
 GAP_S = 1800
@@ -91,12 +99,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out_a.append(ids[ci[keep] + s])
             out_b.append(ids[cj[keep]])
             out_d.append(d[ci[keep], cj[keep]])
-        os.makedirs("/tmp/fbr_oracle", exist_ok=True)
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
         pq.write_table(pa.table({
             "id_a": pa.array(np.concatenate(out_a), pa.int64()),
             "id_b": pa.array(np.concatenate(out_b), pa.int64()),
             "hamming": pa.array(np.concatenate(out_d), pa.int64()),
-        }), "/tmp/fbr_oracle/simhash_pairs.parquet")
+        }), f"{_ORACLE_DIR}/simhash_pairs.parquet.tmp")
+        os.replace(f"{_ORACLE_DIR}/simhash_pairs.parquet.tmp",
+                   f"{_ORACLE_DIR}/simhash_pairs.parquet")
 
         out = simhash_dedup(docs, max_hamming=3)
 
@@ -222,14 +232,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             means.append(round(mean_r, 6))
             stds.append(round(math.sqrt(var_g), 6))
             ents.append(round(ent, 6))
-        os.makedirs("/tmp/fbr_oracle", exist_ok=True)
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
         pq.write_table(pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "img_mean_r": pa.array(means),
             "img_std_g": pa.array(stds),
             "img_entropy": pa.array(ents),
             "img_decoder_is_fake": pa.array([True] * len(ids)),
-        }), "/tmp/fbr_oracle/multimodal_features.parquet")
+        }), f"{_ORACLE_DIR}/multimodal_features.parquet.tmp")
+        os.replace(f"{_ORACLE_DIR}/multimodal_features.parquet.tmp",
+                   f"{_ORACLE_DIR}/multimodal_features.parquet")
 
         ds = ray.data.from_arrow(t)
         # pin the fake codec: the fixture replays ITS math, and this keeps
@@ -299,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_multi_ego": _multi_ego_rank,
         "q41_composition_parse": _composition_parse,
         "q42_radius_neighbors": _radius_neighbors,
+        "q43_clf_select": _clf_select,
     }
 
 
@@ -464,9 +477,11 @@ def _write_fixture(df, name: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs("/tmp/fbr_oracle", exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
-                   f"/tmp/fbr_oracle/{name}.parquet")
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    # atomic: a reader never sees a half-written file
+    tmp = f"{_ORACLE_DIR}/{name}.parquet.tmp"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, f"{_ORACLE_DIR}/{name}.parquet")
 
 
 def _multi_ego_rank(sf_dir: str):
@@ -709,6 +724,48 @@ def _subset_select(sf_dir: str):
         "rank": range(1, len(ranked) + 1),
         "subset": ["+".join(cols[i] for i in s) for s, _ in ranked],
         "cv_r2": [round(s, 6) for _, s in ranked],
+    })
+
+
+def _clf_select(sf_dir: str):
+    """q43: Exhaustion subset search over a CLASSIFICATION target (ref
+    selection/quickmethod.py:44-163 dict_method_clf + exhaustion.py
+    dispatch at quickmethod.py:310) — Ray task fan-out scoring every
+    C(6,1)+C(6,2) subset with stratified-CV accuracy of the numpy
+    logistic model (selection/models.py LogisticRegressionClassifier).
+
+    The label plants a real boundary: hi/lo extendedprice vs its median
+    — extendedprice = quantity x price(part), so the crossing feature
+    separates it and the top subsets are clear-cut (accuracy ties among
+    weak subsets keep candidate order via stable sort on BOTH sides).
+
+    Value oracle: an independent serial replay
+    (_oracle_replays.replay_clf_select — lstsq-IRLS logistic, re-derived
+    stratified folds, exact-ratio accuracy) writes the expected top-10
+    as a fixture the DuckDB oracle reads back.  Accuracy is an integer
+    ratio, so the two solvers' ulp-level coefficient differences cannot
+    move any reported value."""
+    import numpy as np
+    import pandas as pd
+
+    from featurebox_ray.selection.search import Exhaustion
+
+    X, y_reg, cols = _feature_matrix(sf_dir)
+    X, y_reg = X[:5000], y_reg[:5000]
+    # shared data prep (not part of either implementation under test):
+    # standardized features, binary hi/lo label at the median
+    mx, sx = X.mean(axis=0), X.std(axis=0)
+    Xs = (X - mx) / np.where(sx > 0, sx, 1.0)
+    y = np.where(y_reg > np.median(y_reg), "hi", "lo")
+    _write_fixture(_replays().replay_clf_select(Xs, y, cols,
+                                                n_select=(1, 2), k=4),
+                   "clf_select")
+    ex = Exhaustion(n_select=(1, 2), model="LogR", k=4).fit(Xs, y)
+    ranked = sorted(ex.all_scores_, key=lambda t: -t[1])[:10]
+    return pd.DataFrame({
+        "rank": range(1, len(ranked) + 1),
+        "subset": ["+".join(cols[i] for i in s) for s, _ in ranked],
+        "cv_acc": [round(s, 6) for _, s in ranked],
     })
 
 
@@ -1119,9 +1176,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cb ON cb.doc_id = ib
             WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.8
         """,
-        "q23_simhash_neardup": """
+        "q23_simhash_neardup": f"""
             SELECT id_a, id_b, hamming
-            FROM read_parquet('/tmp/fbr_oracle/simhash_pairs.parquet')
+            FROM read_parquet('{_ORACLE_DIR}/simhash_pairs.parquet')
         """,
         "q42_radius_neighbors": """
             WITH pts AS (
@@ -1151,34 +1208,38 @@ def oracle_sql() -> dict[str, str]:
             FROM nb
             GROUP BY user_id, event_id, n_type, dist
         """,
-        "q28_subset_select": """
+        "q28_subset_select": f"""
             SELECT "rank", subset, cv_r2
-            FROM read_parquet('/tmp/fbr_oracle/subset_select.parquet')
+            FROM read_parquet('{_ORACLE_DIR}/subset_select.parquet')
         """,
-        "q29_symbolic_golden": """
+        "q43_clf_select": f"""
+            SELECT "rank", subset, cv_acc
+            FROM read_parquet('{_ORACLE_DIR}/clf_select.parquet')
+        """,
+        "q29_symbolic_golden": f"""
             SELECT row_id, y_hat, r2
-            FROM read_parquet('/tmp/fbr_oracle/symbolic_golden.parquet')
+            FROM read_parquet('{_ORACLE_DIR}/symbolic_golden.parquet')
         """,
-        "q30_ego_rank": """
+        "q30_ego_rank": f"""
             SELECT "rank", x0, x1, ei
-            FROM read_parquet('/tmp/fbr_oracle/ego_rank.parquet')
+            FROM read_parquet('{_ORACLE_DIR}/ego_rank.parquet')
         """,
-        "q34_group_select": """
+        "q34_group_select": f"""
             SELECT subset, cluster, cv_r2
-            FROM read_parquet('/tmp/fbr_oracle/group_select.parquet')
+            FROM read_parquet('{_ORACLE_DIR}/group_select.parquet')
         """,
-        "q36_consensus_rank": """
+        "q36_consensus_rank": f"""
             SELECT "rank", subset, mean_cv_r2
-            FROM read_parquet('/tmp/fbr_oracle/consensus_rank.parquet')
+            FROM read_parquet('{_ORACLE_DIR}/consensus_rank.parquet')
         """,
-        "q40_multi_ego": """
+        "q40_multi_ego": f"""
             SELECT "rank", x0, x1, pi, l, ei
-            FROM read_parquet('/tmp/fbr_oracle/multi_ego.parquet')
+            FROM read_parquet('{_ORACLE_DIR}/multi_ego.parquet')
         """,
-        "q27_multimodal": """
+        "q27_multimodal": f"""
             SELECT media_id, img_mean_r, img_std_g, img_entropy,
                    img_decoder_is_fake
-            FROM read_parquet('/tmp/fbr_oracle/multimodal_features.parquet')
+            FROM read_parquet('{_ORACLE_DIR}/multimodal_features.parquet')
         """,
         "q24_embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

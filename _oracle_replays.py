@@ -12,7 +12,7 @@ Pareto / EI are re-derived from their definitions.  Only the RNG streams
 (``np.random.default_rng``) and fold-split spec are shared — they are
 part of each query's definition, not of the implementation under test.
 
-The resulting tables are written to ``/tmp/fbr_oracle/*.parquet`` by the
+The resulting tables are written to ``/tmp/fbr_oracle_<pid>/*.parquet`` by the
 query callables; the DuckDB oracle SQL reads them back, so the driver's
 value-hash compare checks the engine's distributed fan-outs against this
 serial independent computation (the q23/q27 dual-implementation pattern).
@@ -352,4 +352,96 @@ def replay_multi_ego(X: np.ndarray, Y: np.ndarray, grid: np.ndarray, *,
         "pi": np.round(pi[order], 6),
         "l": np.round(l[order], 6),
         "ei": np.round(ei[order], 6),
+    })
+
+
+# ---------------------------------------------------------------------------
+# q43: exhaustive subset ranking, CLASSIFICATION (stratified CV accuracy)
+# ---------------------------------------------------------------------------
+
+
+def _logreg_fit(X: np.ndarray, t: np.ndarray, lam: float,
+                max_iter: int = 100, tol: float = 1e-10) -> np.ndarray:
+    """L2-penalized logistic regression solved as iteratively reweighted
+    least squares via the AUGMENTED-ROWS lstsq formulation (a different
+    algebraic path than the engine's Newton ``solve(H, grad)``; both
+    converge to the unique optimum of the strictly convex penalized
+    loss, so predictions ``sign(Xw+b)`` agree except for rows within
+    ~1e-12 of the boundary).  Intercept unpenalized."""
+    n, p = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+    w = np.zeros(p + 1)
+    sq = math.sqrt(lam)
+    aug_X = np.zeros((p, p + 1))
+    for j in range(p):
+        aug_X[j, j] = sq
+    for _ in range(max_iter):
+        z = Xb @ w
+        mu = 1.0 / (1.0 + np.exp(-np.clip(z, -500, 500)))
+        s = np.maximum(mu * (1.0 - mu), 1e-10)
+        # working response of the Newton step in WLS form
+        zw = z + (t - mu) / s
+        rs = np.sqrt(s)
+        A = np.vstack([Xb * rs[:, None], aug_X])
+        b = np.concatenate([zw * rs, np.zeros(p)])
+        w_new, *_ = np.linalg.lstsq(A, b, rcond=None)
+        step = float(np.max(np.abs(w_new - w)))
+        w = w_new
+        if step < tol:
+            break
+    return w
+
+
+def _stratified_kfold(y: np.ndarray, k: int):
+    """The query spec's stratified split: each class's indices, in order
+    of appearance, into k near-equal contiguous chunks."""
+    n = len(y)
+    for i in range(k):
+        test_parts = []
+        for c in np.unique(y):
+            idx = np.flatnonzero(y == c)
+            test_parts.append(np.array_split(idx, k)[i])
+        test = np.sort(np.concatenate(test_parts))
+        mask = np.ones(n, dtype=bool)
+        mask[test] = False
+        yield np.flatnonzero(mask), test
+
+
+def _cv_accuracy_logreg(X: np.ndarray, y: np.ndarray, *, lam: float,
+                        k: int) -> float:
+    """Mean stratified-k-fold accuracy of the lstsq-IRLS logistic model;
+    accuracy is an exact integer ratio, so ulp-level coefficient
+    differences between engine and replay cannot move it unless a row
+    sits within ~1e-12 of the decision boundary."""
+    classes = np.unique(y)
+    scores = []
+    for train, test in _stratified_kfold(y, k):
+        w = _logreg_fit(X[train], (y[train] == classes[1]).astype(np.float64),
+                        lam)
+        z = X[test] @ w[:-1] + w[-1]
+        pred = classes[(z > 0).astype(int)]
+        n_ok = sum(1 for a, b in zip(pred, y[test]) if a == b)
+        scores.append(n_ok / len(test))
+    return math.fsum(scores) / len(scores)
+
+
+def replay_clf_select(X: np.ndarray, y: np.ndarray, cols: Sequence[str], *,
+                      n_select=(1, 2), C: float = 1.0, k: int = 4,
+                      top: int = 10):
+    """Expected (rank, subset, cv_acc) table for q43: every candidate
+    subset scored with stratified-CV accuracy of the independent logistic
+    solver; stable sort on descending score so exact-accuracy ties keep
+    candidate-generation order (the engine sorts the same way)."""
+    import pandas as pd
+
+    cands: List[Tuple[int, ...]] = []
+    for size in n_select:
+        cands.extend(itertools.combinations(range(X.shape[1]), size))
+    scored = [(s, _cv_accuracy_logreg(X[:, list(s)], y, lam=1.0 / C, k=k))
+              for s in cands]
+    ranked = sorted(scored, key=lambda t: -t[1])[:top]
+    return pd.DataFrame({
+        "rank": range(1, len(ranked) + 1),
+        "subset": ["+".join(cols[i] for i in s) for s, _ in ranked],
+        "cv_acc": [round(v, 6) for _, v in ranked],
     })

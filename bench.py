@@ -186,8 +186,13 @@ def main_scaling():
     results: dict = {}
     runs: dict = {}
     pair = (SCALING_N, 4 * SCALING_N)
-    # interleave levels so throttle states average out across both
-    order = [n for _ in range(SCALING_REPEATS) for n in pair]
+    # mirrored interleave (lo,hi,hi,lo,lo,hi,...) so BOTH levels get an
+    # equally-early slot: the host throttle degrades monotonically within
+    # a session, and a plain [lo,hi]*R order hands lo the coolest run
+    # every time, biasing measured efficiency down
+    order = []
+    for r in range(SCALING_REPEATS):
+        order.extend(pair if r % 2 == 0 else pair[::-1])
     for n in order:
         time.sleep(SCALING_COOLDOWN_S)  # let host CPU credits recover
         p = subprocess.run(

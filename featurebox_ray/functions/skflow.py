@@ -23,6 +23,9 @@ _LOOPS = {
     # reference flow.py loop names -> mutation-operator sets
     "BaseLoop": ("subtree",),
     "MultiMutateLoop": ("node", "subtree", "shrink"),
+    # the reference's literal class name (flow.py spells it "Mutil");
+    # accept both so code ported from reference usage keeps working
+    "MutilMutateLoop": ("node", "subtree", "shrink"),
     "OnePointMutateLoop": ("node",),
     "DimForceLoop": ("node", "subtree", "shrink"),
 }
@@ -160,11 +163,11 @@ class SymbolLearning:
         cols, _ = self._columns(np.asarray(X, np.float64))
         v = eval_expr(self._pexpr, cols,
                       self.coef_k_ if len(self.coef_k_) else None)
-        if self.inner_add:
-            # fit_inner_coefficients optimizes against the non-finite-
-            # clamped evaluation (expr.py value()); predict must apply
-            # the same clamp or rows the fit treated as 0 return NaN
-            v = np.where(np.isfinite(v), v, 0.0)
+        # the search scored the expression with the non-finite-clamped
+        # evaluation (expr.py value()); predict applies the same clamp on
+        # BOTH paths, or out-of-sample rows hitting div-by-~0 / ln(<=0)
+        # would return NaN/inf where scoring treated them as 0
+        v = np.where(np.isfinite(v), v, 0.0)
         return self.coef_a_ * v + self.intercept_b_
 
     def transform(self, X: np.ndarray) -> np.ndarray:

@@ -43,28 +43,44 @@ def _score_batch_remote():
 
 
 def resolve_model(model):
-    """``model`` -> zero-arg factory: a quick_models() name, a factory
-    callable, or None (the default Ridge path)."""
+    """``model`` -> zero-arg factory: a quick_models() /
+    quick_models_clf() name, a factory callable, or None (the default
+    Ridge path)."""
     if model is None or callable(model):
         return model
-    from .models import quick_models
+    from .models import quick_models, quick_models_clf
 
     zoo = quick_models()
-    if model not in zoo:
-        raise ValueError(f"unknown model {model!r}; one of {sorted(zoo)}")
-    return zoo[model]
+    clf_zoo = quick_models_clf()
+    if model in zoo:
+        return zoo[model]
+    if model in clf_zoo:
+        return clf_zoo[model]
+    raise ValueError(f"unknown model {model!r}; one of "
+                     f"{sorted(zoo) + sorted(clf_zoo)}")
+
+
+def default_scoring(model) -> str:
+    """``"accuracy"`` for classifier-zoo names, else ``"r2"`` (callables
+    and regression names).  Callers override with an explicit scoring."""
+    from .models import quick_models_clf
+
+    return ("accuracy" if isinstance(model, str)
+            and model in quick_models_clf() else "r2")
 
 
 def _score_batch_model_remote():
     import ray
 
-    from .models import cv_score_model
+    from .models import cv_score_any
 
     @ray.remote
     def score_batch_model(x_ref, y_ref, subsets: List[Tuple[int, ...]],
-                         factory, k: int, seed: int) -> List[float]:
+                         factory, k: int, seed: int,
+                         scoring: str = "r2") -> List[float]:
         X, y = x_ref, y_ref
-        return [cv_score_model(factory, X[:, list(s)], y, k=k, seed=seed)
+        return [cv_score_any(factory, X[:, list(s)], y, k=k, seed=seed,
+                             scoring=scoring)
                 for s in subsets]
 
     return score_batch_model
@@ -74,17 +90,23 @@ class Exhaustion:
     """Score every subset of size in ``n_select``; keep the argmax.
 
     ``model``: optional — a :func:`featurebox_ray.selection.models.
-    quick_models` name (e.g. ``"DTR"``, ``"GBR"``, ``"KRR"``) or a
-    zero-arg factory; defaults to the closed-form Ridge path (the
-    reference scores its zoo the same way, exhaustion.py:74-87)."""
+    quick_models` / ``quick_models_clf`` name (e.g. ``"DTR"``, ``"GBR"``,
+    ``"LogR"``, ``"TreeC"``) or a zero-arg factory; defaults to the
+    closed-form Ridge path (the reference scores its zoo the same way,
+    exhaustion.py:74-87).  ``scoring``: ``"r2"`` (shuffled k-fold) or
+    ``"accuracy"``/``"balanced_accuracy"`` (stratified k-fold, the
+    reference's dict_method_clf protocol, quickmethod.py:300-320);
+    default inferred from the model name (classifier names score
+    accuracy)."""
 
     def __init__(self, *, n_select: Sequence[int] = (2, 3), alpha: float = 1e-6,
                  k: int = 5, seed: int = 0, batch_size: int = 64,
-                 model=None):
+                 model=None, scoring: Optional[str] = None):
         self.n_select = tuple(n_select)
         self.alpha, self.k, self.seed = alpha, k, seed
         self.batch_size = batch_size
         self.model = model
+        self.scoring = scoring
         self.best_subset_: Optional[Tuple[int, ...]] = None
         self.best_score_: float = -np.inf
         self.all_scores_: List[Tuple[Tuple[int, ...], float]] = []
@@ -107,11 +129,13 @@ class Exhaustion:
                                                self.alpha, self.k,
                                                self.seed))
         else:
+            scoring = self.scoring or default_scoring(self.model)
             score_batch = _score_batch_model_remote()
             for i in range(0, len(cands), self.batch_size):
                 chunk = cands[i:i + self.batch_size]
                 futs.append(score_batch.remote(x_ref, y_ref, chunk,
-                                               factory, self.k, self.seed))
+                                               factory, self.k, self.seed,
+                                               scoring))
         scores = [s for batch in ray.get(futs) for s in batch]
         self.all_scores_ = list(zip(cands, scores))
         best = int(np.argmax(scores))

@@ -164,12 +164,17 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
                            int.from_bytes(digest, "little", signed=True)],
                           dtype=np.int64)
             if os.path.exists(centroid_cache):
-                z = np.load(centroid_cache, allow_pickle=False)
-                if isinstance(z, np.lib.npyio.NpzFile):
-                    with z:
-                        if ("fingerprint" in z and "C" in z
-                                and np.array_equal(z["fingerprint"], fp)):
-                            C = np.asarray(z["C"], dtype=np.float64)
+                try:
+                    z = np.load(centroid_cache, allow_pickle=False)
+                    if isinstance(z, np.lib.npyio.NpzFile):
+                        with z:
+                            if ("fingerprint" in z and "C" in z
+                                    and np.array_equal(z["fingerprint"], fp)):
+                                C = np.asarray(z["C"], dtype=np.float64)
+                except Exception:
+                    # corrupt/truncated/foreign file: same treatment as a
+                    # stale fingerprint — retrain and overwrite below
+                    C = None
                 # stale/foreign/legacy-.npy cache: fall through, retrain
         if C is None:
             C = train_centroids(sample, n_centroids, seed=seed)

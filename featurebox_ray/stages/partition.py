@@ -40,14 +40,90 @@ import pyarrow.compute as pc
 PART_COL = "__part"
 
 
+_MIX_A = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_B = np.uint64(0x94D049BB133111EB)
+_POLY_A = np.uint64(0x100000001B3)  # FNV prime, odd -> bijective mod 2^64
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: spreads the polynomial sum's structured low
+    bits so ``% P`` (P often a power of two) sees all byte positions."""
+    h = (h ^ (h >> np.uint64(30))) * _MIX_A
+    h = (h ^ (h >> np.uint64(27))) * _MIX_B
+    return h ^ (h >> np.uint64(31))
+
+
+def _hash_string_values(arr: pa.Array) -> np.ndarray:
+    """uint64 hash per element of a string/binary Array — fully
+    vectorized over the Arrow offsets/values buffers (no per-value
+    Python, so partitioning on a mostly-unique key like raw document
+    text costs O(bytes) numpy, not one Python hash per row)."""
+    n = len(arr)
+    raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    off = raw_off[arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    start = off[0]
+    lens = np.diff(off)
+    total = int(off[-1] - start)
+    if total == 0:
+        return np.zeros(n, np.uint64)
+    b = data[start:off[-1]].astype(np.uint64)
+    # h_i = sum_p byte[p] * A^(end_i-1-p)  mod 2^64  (positional
+    # polynomial; exponent table bounded by the longest value)
+    max_len = int(lens.max())
+    powers = np.empty(max_len, np.uint64)
+    powers[0] = 1
+    with np.errstate(over="ignore"):
+        for i in range(1, max_len):
+            powers[i] = powers[i - 1] * _POLY_A
+        row_ids = np.repeat(np.arange(n), lens)
+        exp = (off[row_ids + 1] - 1 - (np.arange(total) + start))
+        terms = b * powers[exp]
+        # segment sums via wraparound cumsum (reduceat mishandles empty
+        # segments: a zero-length row must hash from 0, not steal the
+        # next row's first term)
+        c = np.concatenate([np.zeros(1, np.uint64), np.cumsum(terms)])
+        sums = c[off[1:] - start] - c[off[:-1] - start]
+        # fold in the length so "a"+"" and ""+"a" style families differ
+        h = _mix64(sums + _mix64(lens.astype(np.uint64)))
+    if arr.null_count:
+        h = np.where(np.asarray(pc.is_valid(arr)), h, np.uint64(0))
+    return h
+
+
 def _hash_chunk(arr: pa.Array, num_partitions: int) -> np.ndarray:
     """Deterministic (process-independent) bucket for each element of a
-    string/int array, vectorized over dictionary-unique values."""
-    # Dictionary-encode so we hash each distinct key once per chunk.
+    string/int array — vectorized numpy over the Arrow buffers for
+    string/binary/integer types (no per-distinct-value Python), with a
+    crc32-per-unique fallback for anything else."""
     if pa.types.is_dictionary(arr.type):
-        dict_arr = arr
-    else:
-        dict_arr = pc.dictionary_encode(arr)
+        # hash the (small) dictionary, gather through the indices
+        h = _hash_string_values(arr.dictionary) \
+            if (pa.types.is_string(arr.dictionary.type)
+                or pa.types.is_large_string(arr.dictionary.type)
+                or pa.types.is_binary(arr.dictionary.type)) \
+            else None
+        if h is not None:
+            idx = arr.indices.to_numpy(zero_copy_only=False)
+            bucket = (h % np.uint64(num_partitions)).astype(np.int32)
+            return bucket[idx]
+        arr = arr.cast(arr.type.value_type)
+    t = arr.type
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)):
+        if pa.types.is_large_string(t):
+            arr = arr.cast(pa.string())
+        h = _hash_string_values(arr)
+        return (h % np.uint64(num_partitions)).astype(np.int32)
+    if pa.types.is_integer(t):
+        v = arr.to_numpy(zero_copy_only=False)
+        v = np.nan_to_num(v, nan=0).astype(np.int64).view(np.uint64) \
+            if v.dtype.kind == "f" else v.astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _mix64(v)
+        return (h % np.uint64(num_partitions)).astype(np.int32)
+    # fallback (float/struct/...): per-unique crc32 of the repr
+    dict_arr = pc.dictionary_encode(arr)
     uniques = dict_arr.dictionary.to_pylist()
     lut = np.fromiter(
         (zlib.crc32(str(u).encode()) % num_partitions for u in uniques),

@@ -67,8 +67,14 @@ def finished_partitions(out_dir: str) -> set:
 
 
 def _run_params(key, sort_keys, num_partitions, input_desc) -> dict:
+    # bucketer: version of the key->partition hash (stages/partition.py
+    # _hash_chunk).  Bump whenever the hash function changes so a resume
+    # over a checkpoint bucketed under the OLD function invalidates
+    # instead of silently mixing layouts ("finished" partitions would
+    # hold a different row subset than the new bucketing expects).
     return {"key": key, "sort_keys": list(sort_keys),
-            "num_partitions": int(num_partitions), "input": input_desc}
+            "num_partitions": int(num_partitions), "input": input_desc,
+            "bucketer": "poly64-v2"}
 
 
 def _validate_run_manifest(out_dir: str, params: dict) -> bool:
