@@ -64,6 +64,13 @@ def __getattr__(name):
                                "add_image_features"),
         "run_partitioned_checkpointed": ("featurebox_ray.state.checkpoint",
                                          "run_partitioned_checkpointed"),
+        "Pipeline": ("featurebox_ray.functions.pipeline", "Pipeline"),
+        "StandardScaler": ("featurebox_ray.functions.pipeline",
+                           "StandardScaler"),
+        "SymbolLearning": ("featurebox_ray.functions.skflow",
+                           "SymbolLearning"),
+        "verify_jaccard_pairs": ("featurebox_ray.stages.dedup",
+                                 "verify_jaccard_pairs"),
     }
     if name in _API:
         import importlib

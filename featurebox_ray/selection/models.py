@@ -10,12 +10,36 @@ what the engine reproduces.
 
 from __future__ import annotations
 
+import inspect
+
 from typing import Iterator, Tuple
 
 import numpy as np
 
 
-class Ridge:
+class ParamsMixin:
+    """sklearn-style get_params/set_params derived from the __init__
+    signature (every zoo model stores its constructor args under the
+    same attribute names), so the models compose with
+    :class:`featurebox_ray.functions.pipeline.Pipeline` param routing."""
+
+    def get_params(self, deep: bool = True) -> dict:
+        sig = inspect.signature(type(self).__init__)
+        return {k: getattr(self, k) for k in sig.parameters
+                if k != "self" and hasattr(self, k)}
+
+    def set_params(self, **params):
+        valid = set(self.get_params())
+        for k, v in params.items():
+            if k not in valid:
+                raise ValueError(
+                    f"unknown parameter {k!r} for {type(self).__name__}; "
+                    f"one of {sorted(valid)}")
+            setattr(self, k, v)
+        return self
+
+
+class Ridge(ParamsMixin):
     """Closed-form ridge regression (alpha=0 -> OLS) with intercept."""
 
     def __init__(self, alpha: float = 1e-6):
@@ -71,7 +95,7 @@ def _sq_dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return np.maximum(d2, 0.0)
 
 
-class KNNRegressor:
+class KNNRegressor(ParamsMixin):
     """k-nearest-neighbors regression (reference quickmethod 'KNR-set',
     selection/quickmethod.py:169-175): uniform or inverse-distance
     weights, brute-force vectorized distances (the sandbox corpus sizes
@@ -80,6 +104,7 @@ class KNNRegressor:
 
     def __init__(self, n_neighbors: int = 5, weights: str = "uniform"):
         assert weights in ("uniform", "distance")
+        self.n_neighbors = n_neighbors
         self.k = n_neighbors
         self.weights = weights
         self._X = None
@@ -103,7 +128,7 @@ class KNNRegressor:
         return (self._y[idx] * w).sum(axis=1) / w.sum(axis=1)
 
 
-class KernelRidgeRBF:
+class KernelRidgeRBF(ParamsMixin):
     """RBF kernel ridge regression (reference 'KRR-set',
     quickmethod.py:185-191): closed-form dual solve
     ``(K + αI)c = y`` with ``K = exp(-γ‖x-x'‖²)``; γ defaults to
@@ -133,7 +158,7 @@ class KernelRidgeRBF:
         return self._k(np.asarray(X, np.float64), self._X) @ self._c
 
 
-class DecisionTreeRegressor:
+class DecisionTreeRegressor(ParamsMixin):
     """Depth-bounded CART regression tree with exact deterministic splits
     (reference quickmethod tree family, quickmethod.py:176-184 'DTR-set'
     — sklearn-free): per node, every feature's SSE-reduction curve is
@@ -216,7 +241,7 @@ class DecisionTreeRegressor:
         return out
 
 
-class GradientBoostedTrees:
+class GradientBoostedTrees(ParamsMixin):
     """Squared-loss gradient boosting over shallow deterministic CART
     trees (reference 'GBR-set'/'AdaBR-set' family, quickmethod.py:
     193-205): each stage fits the residual, shrunk by ``learning_rate``.
@@ -293,7 +318,7 @@ def stratified_kfold_indices(y: np.ndarray, k: int = 5
         yield np.flatnonzero(mask), test
 
 
-class LogisticRegressionClassifier:
+class LogisticRegressionClassifier(ParamsMixin):
     """L2-regularized logistic regression fit by IRLS/Newton (reference
     'LogR-L1' set, quickmethod.py:143-148 — the sandbox has no liblinear;
     the deterministic Newton solve replaces it, penalty fixed to L2).
@@ -355,13 +380,14 @@ class LogisticRegressionClassifier:
         return self.classes_[np.argmax(d, axis=1)]
 
 
-class KNNClassifier:
+class KNNClassifier(ParamsMixin):
     """k-nearest-neighbors vote (reference 'KNC-set',
     quickmethod.py:47-56): uniform or inverse-distance weights; vote
     ties break to the LOWEST class label (deterministic on every run)."""
 
     def __init__(self, n_neighbors: int = 5, weights: str = "uniform"):
         assert weights in ("uniform", "distance")
+        self.n_neighbors = n_neighbors
         self.k = n_neighbors
         self.weights = weights
         self._X = None
@@ -392,7 +418,7 @@ class KNNClassifier:
         return self.classes_[np.argmax(votes, axis=1)]
 
 
-class DecisionTreeClassifier:
+class DecisionTreeClassifier(ParamsMixin):
     """Depth-bounded Gini CART (reference 'TreeC-em',
     quickmethod.py:82-90 — sklearn-free): per node, every feature's
     weighted-Gini curve comes from per-class one-hot prefix sums over the
@@ -484,7 +510,7 @@ class DecisionTreeClassifier:
         return self.classes_[out]
 
 
-class GradientBoostedClassifier:
+class GradientBoostedClassifier(ParamsMixin):
     """Logistic-loss gradient boosting over shallow deterministic CART
     regression trees (reference 'GBC-em', quickmethod.py:92-105): binary
     directly (stages fit the gradient y - sigmoid(F)); >2 classes
@@ -541,7 +567,7 @@ class GradientBoostedClassifier:
         return self.classes_[np.argmax(S, axis=1)]
 
 
-class PerceptronClassifier:
+class PerceptronClassifier(ParamsMixin):
     """Deterministic perceptron (reference 'Per-L1',
     quickmethod.py:135-141, minus the L1 shrinkage): fixed epoch count,
     rows visited in dataset order (no shuffling), binary ±1 update;

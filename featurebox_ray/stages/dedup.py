@@ -550,15 +550,18 @@ def minhash_lsh_dedup(
         verify_cap=verify_cap, round_nd=round_nd)
 
 
-def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
-                         id_col: str = "doc_id", shingle_n: int = 3,
-                         jaccard_threshold: float = 0.8,
-                         verify_cap: Optional[int] = None,
-                         num_partitions: int = 16,
-                         round_nd: Optional[int] = 6):
-    """Exact-Jaccard verification of candidate pairs — distributed
-    semi-join shape (nothing pair- or shingle-sized ever lands on the
-    driver; the driver only routes object refs):
+def _verify_pairs_generic(pairs_ds, docs_ds, *, id_col: str,
+                          payload_fn, payload_type: pa.DataType,
+                          pair_scorer, out_col: str, threshold: float,
+                          verify_cap: Optional[int] = None,
+                          num_partitions: int = 16,
+                          round_nd: Optional[int] = 6):
+    """Exact verification of candidate pairs against a per-doc payload —
+    the distributed semi-join shape shared by shingle-Jaccard
+    (:func:`verify_jaccard_pairs`) and embedding-cosine
+    (:func:`embedding_neardup`) verification.  Nothing pair- or
+    payload-sized ever lands on the driver; the driver only routes
+    object refs:
 
     1. pairs get a deterministic bucket ``hash(id_a, id_b) % P`` (same
        pair from several bands always lands in the same bucket, so
@@ -567,15 +570,21 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
     2. the unique candidate-id SET (int64 ids, ≪ corpus by LSH
        construction) is reduced inside a Ray task and broadcast as an
        object-store ref — the one small broadcast this op needs, the
-       standard alternative to shuffling the full corpus text;
-    3. the corpus streams once through a shingle stage that keeps only
-       candidate docs (rows ``(doc_id, shingle-set)``);
-    4. shingle rows are routed to every pair bucket that references
+       standard alternative to shuffling the full corpus payload;
+    3. the corpus streams once through ``payload_fn``, which keeps only
+       candidate docs and emits rows ``(doc_id, payload list)``;
+    4. payload rows are routed to every pair bucket that references
        their doc via a co-partitioned exchange with the
        ``(doc_id, bucket)`` request table (exchange #1, on doc_id);
-    5. each bucket partition verifies its pairs against its local
-       shingle rows (exchange #2, on the pair bucket) — the classic
-       two-round distributed semi-join, nothing in between.
+    5. each bucket partition scores its pairs with ``pair_scorer``
+       against its local payload rows and keeps scores >= ``threshold``
+       (exchange #2, on the pair bucket) — the classic two-round
+       distributed semi-join, nothing in between.
+
+    ``payload_fn(sub: pa.Table) -> pa.Array`` receives the
+    candidate-filtered corpus rows and returns one ``payload_type``
+    (a list type) entry per row; ``pair_scorer(pa_, pb) -> float``
+    receives the two numpy payload arrays.
 
     ``verify_cap`` (optional): loud guard on the PRE-dedup candidate-pair
     count (pairs found in several bands count once per band — dedup
@@ -584,8 +593,8 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
     mis-tuned banding config run long.
     Candidate ids absent from ``docs_ds`` (possible with
     externally-supplied pairs) are skipped with a logged warning, never
-    a crash.  Output: ``(id_a, id_b, jaccard)`` with exact word-shingle
-    Jaccard ≥ ``jaccard_threshold``."""
+    a crash.  Output: ``(id_a, id_b, <out_col>)`` with score
+    >= ``threshold``."""
     import ray
 
     from .partition import materialized_block_refs, partitioned_map
@@ -593,7 +602,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
     P = num_partitions
     PB = "__pb"
     out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                            ("jaccard", pa.float64())])
+                            (out_col, pa.float64())])
 
     def add_pb(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "id_a" not in t.column_names:
@@ -652,27 +661,23 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
     need_ref = collect_ids.remote(*req_refs)
     requests = ray.data.from_arrow_refs(req_refs)
 
-    def candidate_shingles(batch: pa.Table) -> pa.Table:
+    def candidate_payloads(batch: pa.Table) -> pa.Table:
         need = ray.get(need_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mask = np.isin(ids, need)
         if not mask.any():
             return pa.table({id_col: pa.array([], pa.int64()),
-                             "__sh": pa.array([], pa.list_(pa.uint64()))})
+                             "__sh": pa.array([], payload_type)})
         sub = batch.filter(pa.array(mask))
-        flat, off = _batch_shingles(sub[text_col], shingle_n)
-        sets = [np.unique(flat[off[i]:off[i + 1]])
-                for i in range(len(off) - 1)]
         return pa.table({
             id_col: sub[id_col].cast(pa.int64()),
-            "__sh": pa.array([s.tolist() for s in sets],
-                             pa.list_(pa.uint64())),
+            "__sh": payload_fn(sub),
         })
 
-    sh_rows = docs_ds.map_batches(candidate_shingles, batch_format="pyarrow",
+    sh_rows = docs_ds.map_batches(candidate_payloads, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    sh_type = pa.list_(pa.uint64())
+    sh_type = payload_type
     routed_empty = pa.table({id_col: pa.array([], pa.int64()),
                              "__sh": pa.array([], sh_type),
                              PB: pa.array([], pa.int64())})
@@ -691,7 +696,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
                                             batch_format="pyarrow")))
 
     def route_kernel(t: pa.Table) -> pa.Table:
-        # replicate each doc's shingle set to every bucket requesting it
+        # replicate each doc's payload to every bucket requesting it
         # (Arrow acero can't carry list payloads through Table.join, so
         # the match is a sorted searchsorted gather instead)
         if t.num_rows == 0 or id_col not in t.column_names:
@@ -733,6 +738,8 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
     unioned = (cand_pairs.map_batches(tag_pairs, batch_format="pyarrow")
                .union(routed.map_batches(tag_docs, batch_format="pyarrow")))
 
+    np_value_dtype = payload_type.value_type.to_pandas_dtype()
+
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "id_a" not in t.column_names:
             return out_schema.empty_table()
@@ -742,7 +749,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
         doc_ids = docs_t[id_col].to_numpy(zero_copy_only=False)
         sh_col = docs_t["__sh"].to_pylist()
         for i in range(len(doc_ids)):
-            sh[doc_ids[i]] = np.asarray(sh_col[i], np.uint64)
+            sh[doc_ids[i]] = np.asarray(sh_col[i], np_value_dtype)
         pairs_t = t.filter(pa.array(~is_doc))
         a = pairs_t["id_a"].to_numpy(zero_copy_only=False)
         b = pairs_t["id_b"].to_numpy(zero_copy_only=False)
@@ -751,7 +758,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
         if len(a):
             uniq = np.unique(np.stack([a, b], axis=1), axis=0)
             a, b = uniq[:, 0], uniq[:, 1]
-        jac = np.empty(len(a), np.float64)
+        score = np.empty(len(a), np.float64)
         missing = 0
         for i in range(len(a)):
             sa, sb = sh.get(a[i]), sh.get(b[i])
@@ -759,30 +766,60 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
                 # candidate id absent from the corpus (externally-supplied
                 # pairs): not verifiable — skip, never crash
                 missing += 1
-                jac[i] = -1.0
+                score[i] = -np.inf
                 continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            # union == 0: both docs have < shingle_n tokens — outside
-            # shingle near-dup semantics, NOT a near-dup pair
-            jac[i] = inter / union if union else 0.0
+            score[i] = pair_scorer(sa, sb)
         if missing:
             import logging
 
             logging.getLogger("featurebox_ray.dedup").warning(
                 "%d candidate pairs referenced doc ids absent from the "
                 "corpus; skipped", missing)
-        keep = jac >= jaccard_threshold
+        keep = score >= threshold
         if round_nd is not None:
-            jac = np.round(jac, round_nd)
+            score = np.round(score, round_nd)
         return pa.table({
             "id_a": pa.array(a[keep], pa.int64()),
             "id_b": pa.array(b[keep], pa.int64()),
-            "jaccard": pa.array(jac[keep]),
+            out_col: pa.array(score[keep]),
         })
 
     return partitioned_map(unioned, verify, key=PB, sort_keys=[PB],
                            num_partitions=P, strategy="tasks")
+
+
+def _jaccard_scorer(sa: np.ndarray, sb: np.ndarray) -> float:
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    # union == 0: both docs have < shingle_n tokens — outside shingle
+    # near-dup semantics, NOT a near-dup pair
+    return inter / union if union else 0.0
+
+
+def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
+                         id_col: str = "doc_id", shingle_n: int = 3,
+                         jaccard_threshold: float = 0.8,
+                         verify_cap: Optional[int] = None,
+                         num_partitions: int = 16,
+                         round_nd: Optional[int] = 6):
+    """Exact shingle-Jaccard verification of candidate pairs — the
+    :func:`_verify_pairs_generic` semi-join with shingle-set payloads
+    (see that docstring for the exchange shape and scale contract).
+    Output: ``(id_a, id_b, jaccard)`` with exact word-``shingle_n``-gram
+    Jaccard >= ``jaccard_threshold``."""
+
+    def shingle_payload(sub: pa.Table) -> pa.Array:
+        flat, off = _batch_shingles(sub[text_col], shingle_n)
+        sets = [np.unique(flat[off[i]:off[i + 1]])
+                for i in range(len(off) - 1)]
+        return pa.array([s.tolist() for s in sets], pa.list_(pa.uint64()))
+
+    return _verify_pairs_generic(
+        pairs_ds, docs_ds, id_col=id_col, payload_fn=shingle_payload,
+        payload_type=pa.list_(pa.uint64()), pair_scorer=_jaccard_scorer,
+        out_col="jaccard", threshold=jaccard_threshold,
+        verify_cap=verify_cap, num_partitions=num_partitions,
+        round_nd=round_nd)
 
 
 # ---------------------------------------------------------------------------
@@ -908,26 +945,60 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 def embedding_neardup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                       threshold: float = 0.95, bands: int = 16,
                       planes_per_band: int = 4, seed: int = 5,
-                      bucket_cap: int = 5000, round_nd: Optional[int] = 6):
+                      bucket_cap: int = 5000, round_nd: Optional[int] = 6,
+                      carry_vectors: bool = False):
     """Pairs with cosine similarity >= threshold.  BANDED random-hyperplane
     LSH: ``bands`` independent tables, each bucketing on the sign pattern
-    of ``planes_per_band`` hyperplanes, + exact in-bucket cosine (so
+    of ``planes_per_band`` hyperplanes, + exact cosine verification (so
     precision is exact; recall ≈ 1-(1-p^r)^b with p = 1-θ/π).
 
     Tuning: at threshold t, p = 1-arccos(t)/π; pick (r, b) so recall ≈ 1
     — e.g. t=0.45 → r=2, b=48 gives 1-4e-12.  The per-band bucket count is
-    2^r, so smaller r trades bigger buckets (more exact-cosine work) for
+    2^r, so smaller r trades bigger buckets (more pair candidates) for
     recall; bucket_cap bounds the damage and logs any skipped bucket.
 
-    Exchange cost: vectors ride WITH their band keys, so the shuffle moves
-    ``bands × corpus`` vector bytes (the standard banded-LSH replication —
-    it is what lets each bucket compute exact in-bucket cosine without a
-    second corpus pass or an all-candidate pair explosion).  At 100 TB
-    scale prefer few-band/many-plane configs (e.g. 8×16: small buckets,
-    8× traffic); many-band/few-plane configs like the 48×2 oracle setting
-    are small-corpus recall configurations."""
+    Exchange cost — two modes, identical output:
+
+    * default (``carry_vectors=False``, the 100-TB shape): the banding
+      shuffle moves only ``(id, band, bucket)`` rows (~20 bytes × bands
+      per doc, NOT the vectors); in-bucket candidates are ids only, and
+      exact cosine runs in the :func:`_verify_pairs_generic` semi-join —
+      the corpus streams once more and only CANDIDATE vectors (≪ corpus
+      by LSH construction) travel, each to the pair buckets that
+      reference it.
+    * ``carry_vectors=True`` (small-corpus fast path): vectors ride with
+      their band keys — ``bands × corpus`` vector bytes through one
+      shuffle, exact cosine inline per bucket, no second corpus pass.
+      Prefer it only when ``bands × corpus`` fits comfortably in the
+      object store."""
 
     n_planes = bands * planes_per_band
+
+    def batch_signs(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
+        """(n × bands) uint64 bucket keys from the sign pattern of the
+        seeded hyperplanes (deterministic per batch: same seed, same
+        planes)."""
+        vecs = np.stack(
+            batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        rng = np.random.default_rng(seed)  # deterministic per batch (cheap)
+        planes = rng.normal(size=(vecs.shape[1], n_planes))
+        signs = (vecs @ planes > 0)
+        n = len(vecs)
+        buckets = np.zeros((n, bands), np.uint64)
+        with np.errstate(over="ignore"):
+            for bnd in range(bands):
+                seg = signs[:, bnd * planes_per_band:(bnd + 1) * planes_per_band]
+                b = np.zeros(n, dtype=np.uint64)
+                for j in range(planes_per_band):
+                    b = (b << np.uint64(1)) | seg[:, j].astype(np.uint64)
+                buckets[:, bnd] = b
+        return buckets, vecs
+
+    if not carry_vectors:
+        return _embedding_neardup_semijoin(
+            ds, batch_signs, vec_col=vec_col, id_col=id_col,
+            threshold=threshold, bands=bands, bucket_cap=bucket_cap,
+            round_nd=round_nd)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -936,27 +1007,15 @@ def embedding_neardup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                              "__band": pa.array([], pa.int32()),
                              "__bucket": pa.array([], pa.uint64()),
                              vec_col: pa.array([], batch[vec_col].type)})
-        vecs = np.stack(
-            batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        rng = np.random.default_rng(seed)  # deterministic per batch (cheap)
-        planes = rng.normal(size=(vecs.shape[1], n_planes))
-        signs = (vecs @ planes > 0)
+        buckets, _ = batch_signs(batch)
         ids = batch[id_col].combine_chunks() if isinstance(
             batch[id_col], pa.ChunkedArray) else batch[id_col]
         vc = batch[vec_col].combine_chunks() if isinstance(
             batch[vec_col], pa.ChunkedArray) else batch[vec_col]
-        out_band, out_bucket = [], []
-        for bnd in range(bands):
-            seg = signs[:, bnd * planes_per_band:(bnd + 1) * planes_per_band]
-            bucket = np.zeros(n, dtype=np.uint64)
-            for j in range(planes_per_band):
-                bucket = (bucket << np.uint64(1)) | seg[:, j].astype(np.uint64)
-            out_band.append(np.full(n, bnd, np.int32))
-            out_bucket.append(bucket)
         return pa.table({
             id_col: pa.concat_arrays([ids] * bands),
-            "__band": pa.array(np.concatenate(out_band)),
-            "__bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
+            "__band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+            "__bucket": pa.array(buckets.T.ravel(), pa.uint64()),
             vec_col: pa.concat_arrays([vc] * bands),
         })
 
@@ -993,3 +1052,64 @@ def embedding_neardup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
         bucketed, id_col=id_col, pair_fn=pairs, empty_table=empty,
         bucket_cap=bucket_cap, cap_msg="embedding LSH bucket")
     return distinct_pairs(p)
+
+
+def _embedding_neardup_semijoin(ds, batch_signs, *, vec_col: str,
+                                id_col: str, threshold: float, bands: int,
+                                bucket_cap: int, round_nd: Optional[int]):
+    """Signature-only banding + semi-join vector fetch (the default
+    :func:`embedding_neardup` path; see its docstring for the exchange
+    cost contract).  Stage 1 ships only ``(id, band, bucket)`` keys;
+    stage 2 emits in-bucket candidate id pairs; stage 3 verifies with
+    exact cosine via :func:`_verify_pairs_generic`, so only candidate
+    vectors ever travel."""
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "__band": pa.array([], pa.int32()),
+                             "__bucket": pa.array([], pa.uint64())})
+        buckets, _ = batch_signs(batch)
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        ids = ids.cast(pa.int64())
+        return pa.table({
+            id_col: pa.concat_arrays([ids] * bands),
+            "__band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+            "__bucket": pa.array(buckets.T.ravel(), pa.uint64()),
+        })
+
+    keyed = ds.map_batches(explode_keys, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+
+    def candidate_pairs(group: pa.Table) -> pa.Table:
+        uniq = np.unique(
+            np.asarray(group[id_col].to_pylist(), dtype=np.int64))
+        m = len(uniq)
+        if m < 2:
+            return empty
+        ii, jj = np.triu_indices(m, 1)
+        return pa.table({"id_a": pa.array(uniq[ii]),
+                         "id_b": pa.array(uniq[jj])})
+
+    pairs = _bucketed_pair_search(
+        keyed, id_col=id_col, pair_fn=candidate_pairs, empty_table=empty,
+        bucket_cap=bucket_cap, cap_msg="embedding LSH bucket")
+
+    def vec_payload(sub: pa.Table) -> pa.Array:
+        vecs = np.stack(
+            sub[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms
+        return pa.array(list(vn), pa.list_(pa.float64()))
+
+    return _verify_pairs_generic(
+        pairs, ds, id_col=id_col, payload_fn=vec_payload,
+        payload_type=pa.list_(pa.float64()),
+        pair_scorer=lambda va, vb: float(va @ vb),
+        out_col="cosine", threshold=threshold, round_nd=round_nd)

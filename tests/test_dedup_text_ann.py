@@ -262,3 +262,20 @@ def test_minhash_many_short_docs_no_candidate_explosion():
     # verify_cap=1000 would raise if short docs flooded the candidate set
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert got == {(1000, 1001)}
+
+
+def test_embedding_neardup_modes_identical():
+    """The signature-only semi-join default and the vectors-ride-along
+    fast path must produce byte-identical pair sets (same banding, same
+    exact-cosine verification, different exchange plans)."""
+    from featurebox_ray.stages.dedup import embedding_neardup
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    kw = dict(threshold=0.45, bands=48, planes_per_band=2)
+    key = ["id_a", "id_b"]
+    a = embedding_neardup(ds, **kw).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = embedding_neardup(ds, carry_vectors=True, **kw).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
