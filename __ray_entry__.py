@@ -57,8 +57,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from featurebox_ray.stages.dedup import minhash_lsh_dedup
 
-        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
         return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
+
+    def _ngram_jaccard(sf_dir: str):
+        """EXACT n-gram Jaccard similarity self-join via prefix
+        filtering (All-Pairs/PPJoin candidate scheme) — no MinHash, so
+        the all-pairs DuckDB oracle checks recall=1.0 of the prefix
+        filter itself, not a probabilistic banding.  Lower threshold
+        than q22 (0.7) exercises pairs the LSH path never reports."""
+        import ray
+
+        from featurebox_ray.stages.dedup import ngram_jaccard_join
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return ngram_jaccard_join(docs, jaccard_threshold=0.7)
 
     def _dedup_pairs_simhash(sf_dir: str):
         """Banded SimHash near-dup vs a brute-force all-pairs Hamming
@@ -312,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q41_composition_parse": _composition_parse,
         "q42_radius_neighbors": _radius_neighbors,
         "q43_clf_select": _clf_select,
+        "q44_grid_search": _grid_search_cv,
+        "q45_ngram_jaccard": _ngram_jaccard,
     }
 
 
@@ -769,6 +786,46 @@ def _clf_select(sf_dir: str):
     })
 
 
+def _grid_search_cv(sf_dir: str):
+    """q44: hyper-parameter grid search (ref selection/quickmethod.py
+    316-346 `method_pack` wraps every zoo entry in GridSearchCV) — the
+    engine's `selection.grid.GridSearchCV` broadcasts X/y to the object
+    store once and scores every alpha combo in parallel Ray tasks
+    (k-fold ridge CV, selection/models.py `cv_score_model`), then marks
+    the first-max best combo (np.argmax tie-break).
+
+    Value oracle: an independent serial replay
+    (_oracle_replays.replay_grid_search — einsum/fsum ridge normal
+    equations + fsum r², re-derived folds from the same split spec)
+    writes the expected per-combo table as a fixture the DuckDB oracle
+    reads back.  Distinct alphas on a smooth CV curve keep every score
+    gap ≫ the ~1e-13 solver coupling, so 6-dp rounding and the is_best
+    argmax are both stable."""
+    import numpy as np
+    import pandas as pd
+
+    from featurebox_ray.selection.grid import GridSearchCV
+    from featurebox_ray.selection.models import Ridge
+
+    X, y, _cols = _feature_matrix(sf_dir)
+    X, y = X[:8000], y[:8000]
+    mx, sx = X.mean(axis=0), X.std(axis=0)
+    Xs = (X - mx) / np.where(sx > 0, sx, 1.0)
+    alphas = [1e3, 1e2, 10.0, 1.0, 0.1, 1e-2, 1e-3]
+    _write_fixture(_replays().replay_grid_search(Xs, y, alphas, k=5),
+                   "grid_search")
+    gs = GridSearchCV(Ridge(), {"alpha": alphas}, cv=5,
+                      scoring="r2").fit(Xs, y)
+    scores = gs.cv_results_["mean_test_score"]
+    best = int(np.argmax(scores))
+    return pd.DataFrame({
+        "combo_id": np.arange(1, len(alphas) + 1, dtype=np.int64),
+        "alpha": [float(a) for a in alphas],
+        "cv_r2": [round(s, 6) for s in scores],
+        "is_best": [i == best for i in range(len(alphas))],
+    })
+
+
 def _symbolic_golden(sf_dir: str):
     """Golden-recovery: plant (x0+x1)*(x2-x3) and recover it via the
     exhaustive height-2 expression search (ref Instance2 height_2.py).
@@ -1215,6 +1272,33 @@ def oracle_sql() -> dict[str, str]:
         "q43_clf_select": f"""
             SELECT "rank", subset, cv_acc
             FROM read_parquet('{_ORACLE_DIR}/clf_select.parquet')
+        """,
+        "q44_grid_search": f"""
+            SELECT combo_id, alpha, cv_r2, is_best
+            FROM read_parquet('{_ORACLE_DIR}/grid_search.parquet')
+        """,
+        "q45_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] AS s
+              FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+                   round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = ia
+            JOIN cnt cb ON cb.doc_id = ib
+            WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.7
         """,
         "q29_symbolic_golden": f"""
             SELECT row_id, y_hat, r2

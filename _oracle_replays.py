@@ -445,3 +445,28 @@ def replay_clf_select(X: np.ndarray, y: np.ndarray, cols: Sequence[str], *,
         "subset": ["+".join(cols[i] for i in s) for s, _ in ranked],
         "cv_acc": [round(v, 6) for _, v in ranked],
     })
+
+
+# ---------------------------------------------------------------------------
+# q44: hyper-parameter grid search (GridSearchCV analog)
+# ---------------------------------------------------------------------------
+
+
+def replay_grid_search(X: np.ndarray, y: np.ndarray,
+                       alphas: Sequence[float], *, k: int = 5,
+                       seed: int = 0):
+    """Expected (combo_id, alpha, cv_r2, is_best) table for q44: every
+    ridge alpha scored with the independent einsum/fsum CV replay over
+    the query spec's fold split; best = first max (the engine's argmax
+    tie-break)."""
+    import pandas as pd
+
+    scores = [_cv_r2(X, y, alpha=float(a), k=k, seed=seed)
+              for a in alphas]
+    best = int(np.argmax(scores))
+    return pd.DataFrame({
+        "combo_id": np.arange(1, len(alphas) + 1, dtype=np.int64),
+        "alpha": [float(a) for a in alphas],
+        "cv_r2": [round(s, 6) for s in scores],
+        "is_best": [i == best for i in range(len(alphas))],
+    })

@@ -41,6 +41,10 @@ def __getattr__(name):
         "FeatureRegistry": ("featurebox_ray.registry", "FeatureRegistry"),
         "Catalog": ("featurebox_ray.sources.io", "Catalog"),
         "simhash_dedup": ("featurebox_ray.stages.dedup", "simhash_dedup"),
+        "ngram_jaccard_join": ("featurebox_ray.stages.dedup",
+                               "ngram_jaccard_join"),
+        "GridSearchCV": ("featurebox_ray.selection.grid", "GridSearchCV"),
+        "method_pack": ("featurebox_ray.selection.grid", "method_pack"),
         "embedding_neardup": ("featurebox_ray.stages.dedup",
                               "embedding_neardup"),
         "ivf_topk": ("featurebox_ray.stages.ann", "ivf_topk"),

@@ -823,6 +823,120 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_join(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    num_partitions: int = 16,
+    bucket_cap: int = 2000,
+    verify_cap: Optional[int] = None,
+    round_nd: Optional[int] = 6,
+):
+    """EXACT word-n-gram Jaccard similarity self-join (no MinHash
+    approximation) via prefix filtering — the All-Pairs / PPJoin
+    candidate scheme (Bayardo et al., WWW'07; Xiao et al., WWW'08).
+
+    Returns pairs ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and
+    exact shingle Jaccard >= ``jaccard_threshold``; unlike
+    :func:`minhash_lsh_dedup` the candidate generation itself is exact:
+    any pair with ``J >= t`` MUST share a shingle in both docs' length-
+    ``|s| - ceil(t*|s|) + 1`` prefixes under a global shingle order (here:
+    ascending 64-bit shingle hash), so recall is 1.0 up to ``bucket_cap``
+    skips (logged).  Scale shape: only ``(id, prefix-shingle, set-size)``
+    rows shuffle — a ``(1-t)``-fraction of each doc's distinct shingles,
+    NOT the full shingle multiset; candidate pairs are size-filtered
+    (``min >= t*max``) in the bucket kernel; verification is the same
+    two-exchange distributed semi-join the MinHash path uses (cross-
+    bucket duplicate pairs dedupe inside the verify kernel).  At 100 TB
+    the lever is the global order: hash order is deterministic but
+    frequency-blind, so a corpus with ultra-common shingles wants the
+    documented two-pass rarest-first variant (count shingle df, broadcast
+    a hot-shingle blacklist) to keep prefix buckets under ``bucket_cap``.
+
+    Reference anchor: the engine-side analog of exact duplicate-feature
+    rejection generalized to near-dup (SURVEY §2.8); oracle = all-pairs
+    shingle Jaccard in SQL (q45)."""
+    t = float(jaccard_threshold)
+    assert 0.0 < t <= 1.0
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        empty_out = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "__band": pa.array([], pa.int32()),
+            "__bucket": pa.array([], pa.uint64()),
+            "__nsh": pa.array([], pa.int64())})
+        if n_rows == 0:
+            return empty_out
+        flat, off = _batch_shingles(batch[text_col], shingle_n)
+        counts = np.diff(off)
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        if len(flat) == 0:
+            return empty_out
+        # per-row distinct shingles, ascending hash within each row
+        # (one lexsort for the whole batch — the global prefix order)
+        order = np.lexsort((flat, row_ids))
+        rs, hs = row_ids[order], flat[order]
+        keep = np.ones(len(hs), bool)
+        keep[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+        rs, hs = rs[keep], hs[keep]
+        nsh = np.bincount(rs, minlength=n_rows)
+        # prefix length p = n - ceil(t*n) + 1 (the 1e-9 shim keeps an
+        # exactly-integer t*n from float-rounding UP, which would shrink
+        # the prefix and silently lose recall)
+        p = nsh - np.ceil(t * nsh - 1e-9).astype(np.int64) + 1
+        p = np.where(nsh > 0, p, 0)
+        starts = np.concatenate([[0], np.cumsum(nsh)])[:-1]
+        pos = np.arange(len(rs)) - starts[rs]
+        in_prefix = pos < p[rs]
+        rs, hs = rs[in_prefix], hs[in_prefix]
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[rs]),
+            "__band": pa.array(np.zeros(len(rs), np.int32)),
+            "__bucket": pa.array(hs, pa.uint64()),
+            "__nsh": pa.array(nsh[rs], pa.int64())})
+
+    exploded = ds.map_batches(prefix_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nsh = group["__nsh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, first = np.unique(ids, return_index=True)
+        ids, nsh = ids[first], nsh[first]    # sorted ids: ii<jj => a<b
+        m = len(ids)
+        if m < 2:
+            return empty
+        ii, jj = np.triu_indices(m, 1)
+        lo = np.minimum(nsh[ii], nsh[jj])
+        hi = np.maximum(nsh[ii], nsh[jj])
+        keep = lo >= t * hi - 1e-9           # J <= |min|/|max|
+        return pa.table({"id_a": pa.array(ids[ii[keep]]),
+                         "id_b": pa.array(ids[jj[keep]])})
+
+    pairs = _bucketed_pair_search(
+        exploded, id_col=id_col, pair_fn=pairs_in_bucket,
+        empty_table=empty, bucket_cap=bucket_cap,
+        num_partitions=num_partitions, cap_msg="prefix-shingle bucket")
+    return verify_jaccard_pairs(
+        pairs, ds, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, jaccard_threshold=t,
+        verify_cap=verify_cap, num_partitions=num_partitions,
+        round_nd=round_nd)
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -279,3 +279,58 @@ def test_embedding_neardup_modes_identical():
         .sort_values(key).reset_index(drop=True)
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ngram_jaccard_join_exact_vs_bruteforce():
+    """Prefix-filter candidate generation is EXACT: engine pairs ==
+    all-pairs Python-set shingle Jaccard, both membership and values
+    (recall 1.0 and precision 1.0, unlike the probabilistic LSH path)."""
+    from featurebox_ray.stages.dedup import ngram_jaccard_join
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(150)]
+    rows, did = [], 0
+    bases = [" ".join(rng.choice(words, 30)) for _ in range(40)]
+    for b in bases:
+        rows.append({"doc_id": did, "text": b}); did += 1
+    # variants at graded distances so pairs straddle the 0.6 threshold
+    for i, n_mut in zip(range(0, 40, 4), [1, 2, 3, 4, 5, 6, 8, 10, 12, 14]):
+        toks = bases[i].split()
+        for m in range(n_mut):
+            toks[(3 * m + 1) % len(toks)] = f"mut{i}_{m}"
+        rows.append({"doc_id": did, "text": " ".join(toks)}); did += 1
+    t = 0.6
+
+    def grams(s):
+        tk = s.split()
+        return {tuple(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    expected = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ga, gb = grams(rows[i]["text"]), grams(rows[j]["text"])
+            if not ga or not gb:
+                continue
+            jac = len(ga & gb) / len(ga | gb)
+            if jac >= t:
+                expected[(rows[i]["doc_id"], rows[j]["doc_id"])] = round(jac, 6)
+
+    assert expected and any(v < 0.8 for v in expected.values())
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    got = ngram_jaccard_join(ds, jaccard_threshold=t).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in
+                 zip(got["id_a"], got["id_b"], got["jaccard"])}
+    assert got_pairs == expected
+
+
+def test_ngram_jaccard_short_and_empty_docs():
+    from featurebox_ray.stages.dedup import ngram_jaccard_join
+
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["", "one two", "a b c d e", "a b c d e", "x"],
+    })
+    got = ngram_jaccard_join(ray.data.from_pandas(rows),
+                             jaccard_threshold=0.5).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(2, 3)}
+    assert (got["jaccard"] == 1.0).all()
