@@ -84,10 +84,22 @@ def run_flagship(num_partitions: int = 32, n_convs: int = BENCH_CONVS) -> dict:
                         zero_copy_batch=True, batch_size=None)
     ds = ds.map_batches(minhash_bands_fn, batch_format="pyarrow",
                         zero_copy_batch=True, batch_size=None)
+    # left schema via a LOCAL one-row probe through the same batch fns —
+    # letting fused_features_backfill call ds.schema() would execute one
+    # full block of the scalar/text/minhash chain just for column names
+    import pyarrow as pa
+    import pyarrow.dataset as _pads
+
+    from featurebox_ray.stages.scalar import turn_scalar_features
+
+    probe = next(_pads.dataset(f"{d}/transcripts").to_batches(
+        batch_size=1))
+    probe_t = minhash_bands_fn(text_features_fn(turn_scalar_features(
+        pa.Table.from_batches([probe.slice(0, 1)]))))
     ds = fused_features_backfill(
         ds, ray.data.read_parquet(f"{d}/feature_table"), WindowSpec(),
         right_cols=["f_score", "f_label"], num_partitions=num_partitions,
-        strategy="tasks")
+        strategy="tasks", left_schema=probe_t.schema)
     ds.write_parquet(out_dir)
     import pyarrow.dataset as pads
 
@@ -105,7 +117,7 @@ QUERY_NAMES = [
     "q08_rolling_window", "q09_time_window", "q10_asof_backfill",
     "q11_session_stats", "q17_exact_dedup", "q20_ann_topk",
     "q22_minhash_neardup", "q26_text_analysis", "q38_group_dispose",
-    "q39_voronoi_neighbors", "q42_radius_neighbors",
+    "q39_voronoi_neighbors", "q42_radius_neighbors", "q45_ngram_jaccard",
 ]
 
 

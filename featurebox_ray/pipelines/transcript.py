@@ -36,18 +36,29 @@ def fused_features_backfill(
     order_col: str = "turn_idx",
     num_partitions: int = 32,
     strategy: str = "groupby",
+    left_schema: Optional[pa.Schema] = None,
 ):
     """window features + as-of backfill in one shuffle.
 
     ``strategy="hash"`` uses the streaming HASH_SHUFFLE repartition (no
     sort barrier — overlaps with upstream compute); callers must ensure a
     partition's bytes stay under ``DataContext.target_max_block_size`` so
-    whole partitions arrive as single blocks."""
+    whole partitions arrive as single blocks.
+
+    ``left_schema``: the schema of ``left_ds`` if the caller already
+    knows it.  When ``left_ds`` ends in expensive lazy map stages,
+    ``left_ds.schema()`` executes ONE FULL BLOCK of that chain just to
+    learn the column names (a limit-1 probe is still a whole block per
+    upstream operator) — ~25% of flagship wall at bench scale.  Callers
+    that hold the raw batch fns can instead apply them to a one-row
+    local table and pass ``probe.schema`` (see bench.py), skipping the
+    probe execution entirely."""
     spec = spec or WindowSpec()
     key, ts_col = spec.key_col, spec.ts_col
     right_cols = list(right_cols)
 
-    left_schema = left_ds.schema()
+    if left_schema is None:
+        left_schema = left_ds.schema()
     ltypes = dict(zip(left_schema.names, left_schema.types))
     left_names = list(left_schema.names)
     rschema = right_ds.schema()
