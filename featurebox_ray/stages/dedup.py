@@ -896,13 +896,14 @@ def ngram_jaccard_join(
         starts = np.concatenate([[0], np.cumsum(nsh)])[:-1]
         pos = np.arange(len(rs)) - starts[rs]
         in_prefix = pos < p[rs]
-        rs, hs = rs[in_prefix], hs[in_prefix]
+        rs, hs, pos = rs[in_prefix], hs[in_prefix], pos[in_prefix]
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             id_col: pa.array(ids[rs]),
             "__band": pa.array(np.zeros(len(rs), np.int32)),
             "__bucket": pa.array(hs, pa.uint64()),
-            "__nsh": pa.array(nsh[rs], pa.int64())})
+            "__nsh": pa.array(nsh[rs], pa.int64()),
+            "__pos": pa.array(pos, pa.int64())})
 
     exploded = ds.map_batches(prefix_rows, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -913,8 +914,9 @@ def ngram_jaccard_join(
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         nsh = group["__nsh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = group["__pos"].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, first = np.unique(ids, return_index=True)
-        ids, nsh = ids[first], nsh[first]    # sorted ids: ii<jj => a<b
+        ids, nsh, pos = ids[first], nsh[first], pos[first]  # ii<jj => a<b
         m = len(ids)
         if m < 2:
             return empty
@@ -922,6 +924,15 @@ def ngram_jaccard_join(
         lo = np.minimum(nsh[ii], nsh[jj])
         hi = np.maximum(nsh[ii], nsh[jj])
         keep = lo >= t * hi - 1e-9           # J <= |min|/|max|
+        # positional filter (PPJoin): overlap after this shingle is at
+        # most min(n-pos) per side; J >= t needs overlap >=
+        # t/(1+t)*(nA+nB).  Recall-exact: a true pair's SMALLEST common
+        # shingle has all common shingles at-or-after pos in both docs,
+        # so its bucket passes; later-common-shingle buckets may prune
+        # the duplicate emission, never the pair.
+        alpha = (t / (1.0 + t)) * (nsh[ii] + nsh[jj])
+        bound = np.minimum(nsh[ii] - pos[ii], nsh[jj] - pos[jj])
+        keep &= bound >= alpha - 1e-9
         return pa.table({"id_a": pa.array(ids[ii[keep]]),
                          "id_b": pa.array(ids[jj[keep]])})
 
