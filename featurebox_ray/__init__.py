@@ -44,6 +44,10 @@ def __getattr__(name):
         "ngram_jaccard_join": ("featurebox_ray.stages.dedup",
                                "ngram_jaccard_join"),
         "GridSearchCV": ("featurebox_ray.selection.grid", "GridSearchCV"),
+        "rotate_slices": ("featurebox_ray.functions.tensor", "rotate_slices"),
+        "rotatespilt": ("featurebox_ray.functions.tensor", "rotatespilt"),
+        "rotate_slices_fn": ("featurebox_ray.functions.tensor",
+                             "rotate_slices_fn"),
         "method_pack": ("featurebox_ray.selection.grid", "method_pack"),
         "embedding_neardup": ("featurebox_ray.stages.dedup",
                               "embedding_neardup"),

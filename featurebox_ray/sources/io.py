@@ -58,6 +58,48 @@ class Catalog:
             raise AttributeError(name)
         return self.read(name)
 
+    @classmethod
+    def from_http(cls, url: str, save_to: str, *, filename: Optional[str] = None,
+                  chunk_size: int = 256 * 1024, params: Optional[dict] = None,
+                  headers: Optional[dict] = None, timeout: float = 30.0) -> str:
+        """Download a file over HTTP into ``save_to`` and return its path
+        (reference ``Call.from_http``, tools/imports.py:108-156: filename
+        from the ``filename`` response header, else the URL tail; streamed
+        chunked write).  Stdlib urllib — no third-party HTTP client.
+
+        The download is a driver-side convenience (fetch a table file,
+        then ``Catalog(save_to)`` / ``read_parquet`` it); at cluster scale
+        the fetched artifact should land on shared storage, not a single
+        node's disk.
+        """
+        import urllib.parse
+        import urllib.request
+
+        if params:
+            sep = "&" if urllib.parse.urlparse(url).query else "?"
+            url = url + sep + urllib.parse.urlencode(params)
+        req = urllib.request.Request(url, headers=headers or {})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            status = getattr(resp, "status", 200)
+            if status >= 400:
+                raise RuntimeError(f"HTTP {status} for {url}")
+            if not filename:
+                filename = (resp.headers.get("filename")
+                            or os.path.basename(
+                                urllib.parse.urlparse(url).path)
+                            or "download")
+            if not os.path.isdir(save_to):
+                raise RuntimeError(
+                    f"{save_to!r} is not a directory to save into")
+            dest = os.path.join(save_to, filename)
+            with open(dest, "wb") as fh:
+                while True:
+                    chunk = resp.read(chunk_size)
+                    if not chunk:
+                        break
+                    fh.write(chunk)
+        return dest
+
 
 def write_table(ds, path: str, *, fmt: str = "parquet") -> None:
     if fmt == "parquet":
