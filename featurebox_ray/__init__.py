@@ -44,6 +44,9 @@ def __getattr__(name):
         "ngram_jaccard_join": ("featurebox_ray.stages.dedup",
                                "ngram_jaccard_join"),
         "GridSearchCV": ("featurebox_ray.selection.grid", "GridSearchCV"),
+        "fetch_records": ("featurebox_ray.sources.fetch", "fetch_records"),
+        "data_fetcher": ("featurebox_ray.sources.fetch", "data_fetcher"),
+        "get_ids": ("featurebox_ray.sources.fetch", "get_ids"),
         "rotate_slices": ("featurebox_ray.functions.tensor", "rotate_slices"),
         "rotatespilt": ("featurebox_ray.functions.tensor", "rotatespilt"),
         "rotate_slices_fn": ("featurebox_ray.functions.tensor",
