@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q43_clf_select": _clf_select,
         "q44_grid_search": _grid_search_cv,
         "q45_ngram_jaccard": _ngram_jaccard,
+        "q46_rotate_slices": _rotate_slices_q,
+        "q47_http_fetch": _http_fetch_q,
     }
 
 
@@ -826,6 +828,140 @@ def _grid_search_cv(sf_dir: str):
     })
 
 
+def _rotate_slices_q(sf_dir: str):
+    """q46: rotated-plane 3-D slicing sweep (ref data/array_extract.py
+    rotatespilt) — embeddings reshaped to deterministic (4,4,4) volumes,
+    swept at 30 deg steps block-parallel via `rotate_slices_fn`
+    (functions/tensor.py: one step-by-candidate argpartition + one fancy
+    gather per angle), summarised per (volume, angle).
+
+    Value oracle: an independent serial replay
+    (_oracle_replays.replay_rotate_slices — per-step loop, one fiber at a
+    time, the reference's own shape) writes the expected table as a
+    fixture the DuckDB oracle reads back."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.functions.tensor import rotate_slices_fn
+
+    # independent replay over the same rows, read serially
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    keep = pc.equal(pc.bit_wise_and(t["vec_id"], 7), 0)  # vec_id % 8 == 0
+    t_small = t.filter(keep)
+    vols = [(int(i), np.asarray(e, np.float64).reshape(4, 4, 4))
+            for i, e in zip(t_small["vec_id"].to_pylist(),
+                            t_small["embedding"].to_pylist())]
+    _write_fixture(_replays().replay_rotate_slices(vols, angle_deg=30.0,
+                                                   axis=0),
+                   "rotate_slices")
+
+    def to_vols(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        embs = batch["embedding"].to_pylist()
+        sel = [(i, e) for i, e in zip(ids, embs) if i % 8 == 0]
+        return pa.table({
+            "vol_id": pa.array([i for i, _ in sel], pa.int64()),
+            "tensor": pa.array([[float(v) for v in e] for _, e in sel],
+                               pa.list_(pa.float64())),
+            "shape": pa.array([[4, 4, 4]] * len(sel), pa.list_(pa.int64())),
+        })
+
+    def summarise(batch: pa.Table) -> pa.Table:
+        import math as _math
+
+        sums, firsts, ncols = [], [], []
+        for flat, shp in zip(batch["slice"].to_pylist(),
+                             batch["slice_shape"].to_pylist()):
+            arr = np.asarray(flat, np.float64).reshape(shp)
+            ncols.append(int(arr.shape[1]))
+            sums.append(round(float(np.sum(arr)), 6))
+            firsts.append(round(float(arr[0, 0]), 6))
+        return pa.table({
+            "vol_id": batch["vol_id"],
+            "angle_deg": batch["angle_deg"],
+            "n_cols": pa.array(ncols, pa.int64()),
+            "slice_sum": pa.array(sums, pa.float64()),
+            "slice_first": pa.array(firsts, pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ds = ds.map_batches(to_vols, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: rotate_slices_fn(b, angle=30.0, axis=0),
+                        batch_format="pyarrow")
+    return ds.map_batches(summarise, batch_format="pyarrow")
+
+
+def _http_fetch_q(sf_dir: str):
+    """q47: distributed HTTP-JSON ingest (ref data/fetcher_pymatgen.py
+    data_fetcher) — the documents table's ids fan out as a Dataset
+    (`sources/fetch.fetch_records`, ids never materialize on the driver),
+    each task POSTs chunked Mongo-style `$in` queries to an endpoint and
+    emits schema-stable record blocks.  The endpoint here is a loopback
+    server computing every property as an EXACT arithmetic function of
+    the id (0.125 steps, halves, integers — all binary-representable),
+    so the DuckDB oracle recomputes the identical table directly from
+    `documents` with no fixture and no rounding."""
+    import http.server
+    import json as _json
+    import threading
+
+    import ray
+
+    from featurebox_ray.sources.fetch import fetch_records
+
+    def _rec(i: int) -> dict:
+        return {
+            "material_id": str(i),
+            "band_gap": (i % 97) * 0.125,
+            "density": (i % 13) + 0.5,
+            "volume": float(i % 1000),
+            "nelements": float(i % 5 + 1),
+        }
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: D102
+            pass
+
+        def do_POST(self):
+            body = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            ids = body["criteria"]["material_id"]["$in"]
+            props = body["properties"]
+            out = [{p: v for p, v in _rec(int(s)).items() if p in props}
+                   for s in ids]
+            payload = _json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}/query"
+
+    import pyarrow as pa
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        ids = [i for i in batch["doc_id"].to_pylist() if i % 3 == 0]
+        return pa.table({"material_id": pa.array([str(i) for i in ids],
+                                                 pa.string())})
+
+    ids_ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id"])
+    ids_ds = ids_ds.map_batches(to_ids, batch_format="pyarrow")
+    props = ["material_id", "band_gap", "density", "volume", "nelements"]
+    return fetch_records(endpoint, ids_ds, props=props,
+                         numeric_props=("band_gap", "density", "volume",
+                                        "nelements"),
+                         chunk_size=16)
+
+
 def _symbolic_golden(sf_dir: str):
     """Golden-recovery: plant (x0+x1)*(x2-x3) and recover it via the
     exhaustive height-2 expression search (ref Instance2 height_2.py).
@@ -1299,6 +1435,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = ia
             JOIN cnt cb ON cb.doc_id = ib
             WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.7
+        """,
+        "q46_rotate_slices": f"""
+            SELECT vol_id, angle_deg, n_cols, slice_sum, slice_first
+            FROM read_parquet('{_ORACLE_DIR}/rotate_slices.parquet')
+        """,
+        "q47_http_fetch": """
+            SELECT CAST(doc_id AS VARCHAR) AS material_id,
+                   CAST(doc_id % 97 AS DOUBLE) * CAST(0.125 AS DOUBLE)
+                       AS band_gap,
+                   CAST(doc_id % 13 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+                       AS density,
+                   CAST(doc_id % 1000 AS DOUBLE) AS volume,
+                   CAST(doc_id % 5 + 1 AS DOUBLE) AS nelements
+            FROM documents
+            WHERE doc_id % 3 = 0
         """,
         "q29_symbolic_golden": f"""
             SELECT row_id, y_hat, r2

@@ -470,3 +470,62 @@ def replay_grid_search(X: np.ndarray, y: np.ndarray,
         "cv_r2": [round(s, 6) for s in scores],
         "is_best": [i == best for i in range(len(alphas))],
     })
+
+
+def replay_rotate_slices(vols: "List[Tuple[int, np.ndarray]]", *,
+                         angle_deg: float = 30.0, axis: int = 0):
+    """Expected (vol_id, angle_deg, n_cols, slice_sum, slice_first) table
+    for q46: the rotated-plane sweep re-derived per-step with one fiber
+    gathered at a time (the reference array_extract.py:55-125 shape),
+    never importing ``functions.tensor``.  Skips corner-clip draws the
+    same way the sweep does."""
+    rows = []
+    for vol_id, vol in vols:
+        dims = [s for a, s in enumerate(vol.shape) if a != axis]
+        step = np.pi / 180.0 * angle_deg
+        for theta in np.arange(0, np.pi, step):
+            if theta == np.pi / 2:
+                if axis == 0:
+                    sl = np.squeeze(vol[:, [0], :])
+                elif axis == 1:
+                    sl = np.squeeze(vol[[0], :, :])
+                else:
+                    sl = np.squeeze(vol[:, :, [0]])
+            else:
+                pts = [(u, v) for v in range(dims[1])
+                       for u in range(dims[0])
+                       if abs(u - math.tan(theta) * v) < 2]
+                if len(pts) <= 3:
+                    continue
+                pu = np.array([p[0] for p in pts])
+                pv = np.array([p[1] for p in pts])
+                n_steps = int(math.sqrt(float(np.ptp(pu)) ** 2
+                                        + float(np.ptp(pv)) ** 2)) + 1
+                corner = ((pu.min(), pv.min()) if theta < 1.57
+                          else (pu.min(), pv.max()))
+                dist = np.sqrt((pu - corner[0]) ** 2.0
+                               + (pv - corner[1]) ** 2.0)
+                cols = []
+                for i in range(n_steps):
+                    near = np.argpartition(np.abs(dist - i), 3)[:3]
+                    fibers = []
+                    for k in near:
+                        u, v = pu[k], pv[k]
+                        if axis == 0:
+                            fibers.append(vol[:, u, v])
+                        elif axis == 1:
+                            fibers.append(vol[u, :, v])
+                        else:
+                            fibers.append(vol[u, v, :])
+                    cols.append(np.mean(np.array(fibers), axis=0))
+                sl = np.array(cols).T
+            rows.append({
+                "vol_id": int(vol_id),
+                "angle_deg": round(theta / np.pi * 180.0, 6),
+                "n_cols": int(sl.shape[1]),
+                "slice_sum": round(float(np.sum(sl)), 6),
+                "slice_first": round(float(sl[0, 0]), 6),
+            })
+    import pandas as pd
+
+    return pd.DataFrame(rows)

@@ -150,13 +150,20 @@ def fetch_records(endpoint: str, ids: Iterable, *,
     ``rows_per_task`` ids each (= ``rows_per_task / chunk_size`` requests
     per task) so request-level parallelism is ``concurrency``-bounded,
     polite to the endpoint, and resumable at block granularity.
+
+    ``ids`` may be a ``ray.data.Dataset`` carrying an ``id_field`` string
+    column — the at-scale path: a 10⁸-id table never touches the driver,
+    the fetch rides the Dataset's own blocks.
     """
     import ray
 
-    id_list = list(ids)
-    tbl = pa.table({id_field: pa.array([str(i) for i in id_list])})
-    n_blocks = max(1, (len(id_list) + rows_per_task - 1) // rows_per_task)
-    ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+    if hasattr(ids, "map_batches"):  # already a Dataset of ids
+        ds = ids
+    else:
+        id_list = list(ids)
+        tbl = pa.table({id_field: pa.array([str(i) for i in id_list])})
+        n_blocks = max(1, (len(id_list) + rows_per_task - 1) // rows_per_task)
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
     fetcher = JsonApiFetcher(
         endpoint, props, id_field=id_field, chunk_size=chunk_size,
         numeric_props=numeric_props, flatten=flatten,
