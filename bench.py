@@ -146,6 +146,7 @@ QUERY_NAMES = [
     "q11_session_stats", "q17_exact_dedup", "q20_ann_topk",
     "q22_minhash_neardup", "q26_text_analysis", "q38_group_dispose",
     "q39_voronoi_neighbors", "q42_radius_neighbors", "q45_ngram_jaccard",
+    "q46_rotate_slices", "q47_http_fetch",
 ]
 
 
