@@ -871,8 +871,6 @@ def _rotate_slices_q(sf_dir: str):
         })
 
     def summarise(batch: pa.Table) -> pa.Table:
-        import math as _math
-
         sums, firsts, ncols = [], [], []
         for flat, shp in zip(batch["slice"].to_pylist(),
                              batch["slice_shape"].to_pylist()):
@@ -941,8 +939,13 @@ def _http_fetch_q(sf_dir: str):
             self.end_headers()
             self.wfile.write(payload)
 
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    # one server per process, reused across invocations (bench/gate call
+    # this repeatedly in one driver) — no socket/thread accumulation
+    srv = getattr(_http_fetch_q, "_srv", None)
+    if srv is None:
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        _http_fetch_q._srv = srv
     endpoint = f"http://127.0.0.1:{srv.server_address[1]}/query"
 
     import pyarrow as pa

@@ -146,7 +146,10 @@ QUERY_NAMES = [
     "q11_session_stats", "q17_exact_dedup", "q20_ann_topk",
     "q22_minhash_neardup", "q26_text_analysis", "q38_group_dispose",
     "q39_voronoi_neighbors", "q42_radius_neighbors", "q45_ngram_jaccard",
-    "q46_rotate_slices", "q47_http_fetch",
+    # q46 is excluded like the other fixture-oracle queries: its callable
+    # runs the serial replay oracle inline, which would dominate the
+    # reported time.  q47's loopback endpoint is trivial, so it stays.
+    "q47_http_fetch",
 ]
 
 

@@ -122,8 +122,12 @@ def rotate_slices(vol: np.ndarray, angle: float = 10, axis: int = 0,
             out.append(rotate_slice(vol, theta, axis=axis,
                                     axis_site=axis_site))
         except UserWarning:
-            warnings.warn(
-                f"skipped angle {theta / np.pi * 180:.1f} deg (corner clip)")
+            with warnings.catch_warnings():
+                # local 'always' filter: the skip notice must not itself
+                # raise under -W error / pytest filterwarnings=error
+                warnings.simplefilter("always")
+                warnings.warn(f"skipped angle {theta / np.pi * 180:.1f} deg "
+                              "(corner clip)")
     return out
 
 
@@ -157,7 +161,9 @@ def rotate_slices_fn(batch, *, angle: float = 30, axis: int = 0,
             out_slice.append(sl.ravel().tolist())
             out_shape.append(list(sl.shape))
     return pa.table({
-        id_col: pa.array(out_id),
+        # explicit type: an all-clipped/empty batch must not emit a
+        # null-typed id column that can't unify with sibling blocks
+        id_col: pa.array(out_id, type=batch[id_col].type),
         "angle_deg": pa.array(out_angle, pa.float64()),
         "slice": pa.array(out_slice, pa.list_(pa.float64())),
         "slice_shape": pa.array(out_shape, pa.list_(pa.int64())),

@@ -46,6 +46,8 @@ def _post_json(url: str, payload: dict, timeout: float, retries: int) -> list:
     import time
     import urllib.request
 
+    import urllib.error
+
     body = json.dumps(payload).encode()
     last: Optional[Exception] = None
     for attempt in range(retries + 1):
@@ -54,10 +56,14 @@ def _post_json(url: str, payload: dict, timeout: float, retries: int) -> list:
                 url, data=body, headers={"Content-Type": "application/json"})
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return json.loads(resp.read().decode())
-        except Exception as exc:  # noqa: BLE001 — retry any transport error
+        except urllib.error.HTTPError as exc:
+            if 400 <= exc.code < 500:  # deterministic client error: no retry
+                raise RuntimeError(f"fetch rejected ({exc.code}) for {url}")
             last = exc
-            if attempt < retries:
-                time.sleep(0.2 * (2 ** attempt))
+        except Exception as exc:  # noqa: BLE001 — transient transport error
+            last = exc
+        if attempt < retries:
+            time.sleep(0.2 * (2 ** attempt))
     raise RuntimeError(f"fetch failed after {retries + 1} attempts: {last}")
 
 
@@ -187,11 +193,18 @@ def data_fetcher(endpoint: str, mp_ids: Iterable, *, elasticity: bool = True,
                        chunk_size=chunk_size, timeout=timeout,
                        retries=retries)
     df = ds.to_pandas()
+
+    def _maybe_json(v):
+        if not (isinstance(v, str) and v and v[0] in "[{\"-0123456789tfn"):
+            return v
+        try:
+            return json.loads(v)
+        except ValueError:
+            return v
+
     for c in df.columns:  # decode JSON text columns back to objects
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: json.loads(v) if isinstance(v, str) and v and
-                v[0] in "[{\"-0123456789tfn" else v)
+        if df[c].dtype == object and c != "material_id":
+            df[c] = df[c].map(_maybe_json)
     if elasticity and "elasticity" in df.columns:
         # reference's dynamic flatten (fetcher_pymatgen.py:60-64) — at the
         # driver, where per-record key discovery can't skew block schemas
@@ -220,4 +233,4 @@ def get_ids(endpoint: str, criteria: dict, *, id_field: str = "material_id",
     recs = _post_json(endpoint, {"criteria": criteria,
                                  "properties": [id_field]},
                       timeout, retries)
-    return [str(r[id_field]) for r in recs]
+    return [str(r[id_field]) for r in recs if id_field in r]

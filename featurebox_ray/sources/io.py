@@ -84,10 +84,12 @@ class Catalog:
             if status >= 400:
                 raise RuntimeError(f"HTTP {status} for {url}")
             if not filename:
-                filename = (resp.headers.get("filename")
-                            or os.path.basename(
-                                urllib.parse.urlparse(url).path)
-                            or "download")
+                # basename both sources: a server-supplied header must not
+                # traverse outside save_to ("../../x" or an absolute path)
+                filename = os.path.basename(
+                    resp.headers.get("filename")
+                    or os.path.basename(urllib.parse.urlparse(url).path)
+                    or "download")
             if not os.path.isdir(save_to):
                 raise RuntimeError(
                     f"{save_to!r} is not a directory to save into")
