@@ -149,3 +149,34 @@ def test_from_http_roundtrip(tmp_path):
             Catalog.from_http(url, str(dst / "nope"))
     finally:
         srv.shutdown()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    d0=st.integers(3, 8), d1=st.integers(4, 10), d2=st.integers(4, 10),
+    axis=st.integers(0, 2),
+    theta=st.floats(0.0, 3.1, allow_nan=False),
+    cu=st.sampled_from([0.0, 0.25, 0.5]),
+    cv=st.sampled_from([0.0, 0.25]),
+    seed=st.integers(0, 10_000),
+)
+def test_rotate_slice_fuzz_matches_naive(d0, d1, d2, axis, theta, cu, cv,
+                                         seed):
+    """Vectorized kernel == per-step naive implementation for random
+    volumes, axes, angles and rotate centers (bit-identical, or both
+    raise the corner-clip warning)."""
+    rng = np.random.default_rng(seed)
+    vol = rng.normal(size=(d0, d1, d2))
+    site = (cu, cv)
+    try:
+        want = _naive_slice(vol, theta, axis=axis, axis_site=site)
+    except UserWarning:
+        with pytest.raises(UserWarning):
+            rotate_slice(vol, theta, axis=axis, axis_site=site)
+        return
+    got = rotate_slice(vol, theta, axis=axis, axis_site=site)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
