@@ -96,7 +96,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tbl = pq.read_table(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = SimHasher.batch_simhash(tbl["text"].combine_chunks())
+        h, ntok = SimHasher.batch_simhash(tbl["text"].combine_chunks(),
+                                          return_counts=True)
+        # spec: zero-token docs are outside simhash near-dup semantics
+        # (engine drops them pre-banding; mirror it here)
+        ids, h = ids[ntok > 0], h[ntok > 0]
         order = np.argsort(ids)
         ids, h = ids[order], h[order]
         pop = np.array([bin(v).count("1") for v in range(256)], np.uint8)

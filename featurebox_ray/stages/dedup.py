@@ -137,13 +137,19 @@ def _batch_shingles(texts, n: int) -> Tuple[np.ndarray, np.ndarray]:
         acc = np.empty(0, np.uint64)
     out_counts = np.maximum(counts - n + 1, 0)
     out_off = np.concatenate([[0], np.cumsum(out_counts)])
-    out = np.empty(out_off[-1], np.uint64)
-    # rows with >= n tokens: copy their valid window range from acc
+    total_out = int(out_off[-1])
+    # rows with >= n tokens: gather their valid window ranges from acc in
+    # ONE ragged fancy index (no per-row Python in the hottest dedup
+    # stage): position j of the output belongs to long row i and maps to
+    # acc[off[i] + (j - out_off[i])]
     long_rows = np.flatnonzero(counts >= n)
-    for i in long_rows:
-        s, c = off[i], counts[i] - n + 1
-        out[out_off[i]:out_off[i] + c] = acc[s:s + c]
-    return out, out_off
+    if total_out == 0 or long_rows.size == 0:
+        return np.empty(0, np.uint64), out_off
+    c = out_counts[long_rows]
+    rep_src = np.repeat(off[long_rows], c)
+    rep_dst = np.repeat(out_off[long_rows], c)
+    idx = rep_src + (np.arange(total_out, dtype=np.int64) - rep_dst)
+    return acc[idx], out_off
 
 
 def shingle_set(text: str, n: int = 3) -> np.ndarray:
@@ -436,7 +442,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     candidate_est_threshold: float = 0.5,
-    concurrency=(2, 16),
+    concurrency=None,
     bucket_cap: int = 2000,
     verify_cap: Optional[int] = None,
     round_nd: Optional[int] = 6,
@@ -446,8 +452,11 @@ def minhash_lsh_dedup(
 
     Returns a Dataset of pairs ``(id_a, id_b, jaccard)`` with
     ``id_a < id_b`` and exact word-``shingle_n``-gram Jaccard ≥
-    ``jaccard_threshold``.  Scale shape: signatures in an actor pool
-    (params once per actor); each of ``bands`` band-buckets is a groupby
+    ``jaccard_threshold``.  Scale shape: signatures are stateless tasks
+    with per-worker cached params (``concurrency`` — an int, or the
+    legacy (min, max) tuple whose max is used — caps concurrent
+    signature tasks; default None = every core); each of ``bands``
+    band-buckets is a groupby
     on an 8-byte key (only ``(id, signature)`` shuffles); candidate pairs
     (signature agreement ≥ ``candidate_est_threshold``, a loose lower
     bound so borderline-est true pairs aren't dropped) are bucket-deduped,
@@ -481,8 +490,13 @@ def minhash_lsh_dedup(
                                            text_col=text_col)
         return mh(batch)
 
+    sig_kw = {}
+    if concurrency is not None:
+        c = concurrency[-1] if isinstance(concurrency, (tuple, list)) \
+            else concurrency
+        sig_kw["concurrency"] = int(c)
     sig_ds = ds.map_batches(
-        sig_fn, batch_format="pyarrow", zero_copy_batch=True,
+        sig_fn, batch_format="pyarrow", zero_copy_batch=True, **sig_kw,
     ).select_columns([id_col, "__sig"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -872,7 +886,8 @@ def ngram_jaccard_join(
             id_col: pa.array([], pa.int64()),
             "__band": pa.array([], pa.int32()),
             "__bucket": pa.array([], pa.uint64()),
-            "__nsh": pa.array([], pa.int64())})
+            "__nsh": pa.array([], pa.int64()),
+            "__pos": pa.array([], pa.int64())})
         if n_rows == 0:
             return empty_out
         flat, off = _batch_shingles(batch[text_col], shingle_n)
@@ -957,15 +972,21 @@ class SimHasher:
         self.text_col = text_col
 
     @staticmethod
-    def batch_simhash(texts) -> np.ndarray:
+    def batch_simhash(texts, return_counts: bool = False):
         """(n,) uint64 simhashes for an Arrow string array, vectorized:
-        per-token bit matrix → signed sum per row (add.reduceat) → sign."""
+        per-token bit matrix → signed sum per row (add.reduceat) → sign.
+        ``return_counts=True`` also returns the per-row token counts (the
+        zero-token filter in :func:`simhash_dedup` and its oracle both
+        key off them)."""
         flat, off = _batch_token_hashes(texts)
         nrows = len(off) - 1
         if nrows == 0:
-            return np.empty(0, np.uint64)
+            out = np.empty(0, np.uint64)
+            return (out, np.empty(0, np.int64)) if return_counts else out
         if len(flat) == 0:
-            return np.zeros(nrows, np.uint64)
+            out = np.zeros(nrows, np.uint64)
+            return (out, np.zeros(nrows, np.int64)) if return_counts \
+                else out
         bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int8)
         signed = 2 * bits.astype(np.int32) - 1
@@ -984,25 +1005,42 @@ class SimHasher:
         with np.errstate(over="ignore"):
             for b in range(64):
                 out |= pos[:, b] << np.uint64(b)
-        return out
+        return (out, counts.astype(np.int64)) if return_counts else out
 
     @classmethod
     def simhash(cls, text: str) -> int:
         return int(cls.batch_simhash(pa.array([text], pa.string()))[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h = self.batch_simhash(batch[self.text_col])
-        return batch.append_column("__simhash", pa.array(h, pa.uint64()))
+        h, ntok = self.batch_simhash(batch[self.text_col],
+                                     return_counts=True)
+        batch = batch.append_column("__simhash", pa.array(h, pa.uint64()))
+        return batch.append_column("__ntok", pa.array(ntok, pa.int64()))
 
 
 def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, concurrency=(2, 8),
+                  max_hamming: int = 3, concurrency=None,
                   bucket_cap: int = 4000):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, via 4×16-bit
     band buckets (pigeonhole: any pair within distance 3 shares a band).
     Exact within the bucket cap: banding is a complete cover for ≤3
     differing bits over 4 bands, and in-bucket pairs are verified with the
-    true Hamming distance."""
+    true Hamming distance.
+
+    Zero-token (empty/whitespace-only) docs are excluded: they all carry
+    simhash 0 and would otherwise pigeonhole the entire empty-doc set
+    into ONE bucket per band — an O(S²) pair explosion for texts that
+    may differ ("" vs "  "); exact duplicates among them are
+    :func:`exact_dedup`'s job (mirrors the zero-shingle sentinel drop in
+    :func:`minhash_lsh_dedup`).  ``concurrency`` (optional int, or the
+    legacy (min, max) tuple whose max is used) caps concurrent signature
+    tasks; default None = let the scheduler use every core."""
+    sig_kw = {}
+    if concurrency is not None:
+        c = concurrency[-1] if isinstance(concurrency, (tuple, list)) \
+            else concurrency
+        sig_kw["concurrency"] = int(c)
+
     def sig_fn(batch: pa.Table) -> pa.Table:
         sh = _MH_CACHE.get(("simhash", text_col))
         if sh is None:
@@ -1010,10 +1048,13 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return sh(batch)
 
     sigged = ds.map_batches(
-        sig_fn, batch_format="pyarrow", zero_copy_batch=True,
-    ).select_columns([id_col, "__simhash"])
+        sig_fn, batch_format="pyarrow", zero_copy_batch=True, **sig_kw,
+    ).select_columns([id_col, "__simhash", "__ntok"])
 
     def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            batch = batch.filter(pc.greater(batch["__ntok"], 0))
+        batch = batch.drop_columns(["__ntok"])
         n = batch.num_rows
         h = batch["__simhash"].to_numpy(zero_copy_only=False)
         ids = batch[id_col].combine_chunks() if isinstance(

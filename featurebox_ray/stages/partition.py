@@ -98,27 +98,46 @@ def _hash_chunk(arr: pa.Array, num_partitions: int) -> np.ndarray:
     crc32-per-unique fallback for anything else."""
     if pa.types.is_dictionary(arr.type):
         # hash the (small) dictionary, gather through the indices
-        h = _hash_string_values(arr.dictionary) \
-            if (pa.types.is_string(arr.dictionary.type)
-                or pa.types.is_large_string(arr.dictionary.type)
-                or pa.types.is_binary(arr.dictionary.type)) \
-            else None
-        if h is not None:
-            idx = arr.indices.to_numpy(zero_copy_only=False)
+        d = arr.dictionary
+        if pa.types.is_large_string(d.type):
+            # _hash_string_values reads int32 offsets; large types carry
+            # int64 offsets and would be read as garbage
+            d = d.cast(pa.string())
+        elif pa.types.is_large_binary(d.type):
+            d = d.cast(pa.binary())
+        if pa.types.is_string(d.type) or pa.types.is_binary(d.type):
+            h = _hash_string_values(d)
             bucket = (h % np.uint64(num_partitions)).astype(np.int32)
+            if arr.null_count:
+                # null indices surface as NaN through to_numpy; route
+                # nulls to bucket 0 like the plain-string path (h = 0)
+                valid = np.asarray(pc.is_valid(arr))
+                idx = np.asarray(pc.fill_null(arr.indices, 0))
+                out = bucket[idx]
+                out[~valid] = 0
+                return out
+            idx = arr.indices.to_numpy(zero_copy_only=False)
             return bucket[idx]
         arr = arr.cast(arr.type.value_type)
     t = arr.type
     if (pa.types.is_string(t) or pa.types.is_large_string(t)
-            or pa.types.is_binary(t)):
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
         if pa.types.is_large_string(t):
             arr = arr.cast(pa.string())
+        elif pa.types.is_large_binary(t):
+            arr = arr.cast(pa.binary())
         h = _hash_string_values(arr)
         return (h % np.uint64(num_partitions)).astype(np.int32)
     if pa.types.is_integer(t):
-        v = arr.to_numpy(zero_copy_only=False)
-        v = np.nan_to_num(v, nan=0).astype(np.int64).view(np.uint64) \
-            if v.dtype.kind == "f" else v.astype(np.int64).view(np.uint64)
+        # exact int64 extraction: a batch WITH nulls must hash ids the
+        # same as a batch without (to_numpy on a null-bearing int column
+        # yields float64, which rounds ids > 2^53 and would split a key
+        # across partitions); nulls hash to 0 on both paths
+        if arr.null_count:
+            v = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+        else:
+            v = arr.to_numpy(zero_copy_only=False)
+        v = v.astype(np.int64).view(np.uint64)
         with np.errstate(over="ignore"):
             h = _mix64(v)
         return (h % np.uint64(num_partitions)).astype(np.int32)
@@ -142,6 +161,15 @@ def with_partition_col(
     """Append ``__part = crc32(key) % P`` (vectorized, deterministic)."""
 
     def add_part(batch: pa.Table) -> pa.Table:
+        if key not in batch.column_names:
+            if batch.num_rows == 0:
+                # Ray shuffle ops emit benign zero-column empty bundles
+                # (same guard as the tasks-strategy split kernel)
+                return batch.append_column(
+                    PART_COL, pa.array([], type=pa.int32()))
+            raise KeyError(
+                f"partition key {key!r} missing from batch columns "
+                f"{batch.column_names}")
         combined = batch[key].combine_chunks() if batch[key].num_chunks > 1 else batch[key]
         chunks = combined.chunks if isinstance(combined, pa.ChunkedArray) else [combined]
         out = np.concatenate([_hash_chunk(c, num_partitions) for c in chunks]) if chunks else np.empty(0, np.int32)
@@ -185,6 +213,22 @@ def partitioned_map(
 
     def make_wrapped(inner):
         def wrapped(table: pa.Table) -> pa.Table:
+            if PART_COL in table.column_names and table.num_rows:
+                # whole-partition contract: a kernel batch must hold ONE
+                # hash partition.  This catches mixed-partition blocks
+                # (a mis-keyed repartition); it cannot catch a single
+                # oversized partition that Ray split into two
+                # single-valued blocks — that hazard is why the hash
+                # strategy's docstring bounds partition bytes by
+                # target_max_block_size (strategy="tasks" is immune:
+                # each gather task receives its whole partition).
+                mm = pc.min_max(table[PART_COL])
+                if mm["min"].as_py() != mm["max"].as_py():
+                    raise ValueError(
+                        "partitioned_map kernel received rows from "
+                        f"partitions {mm['min']}..{mm['max']} in one "
+                        "batch; the repartition did not isolate "
+                        "partitions — use strategy='tasks'")
             t = sort_table(table, sort_keys)
             out = inner(t)
             if drop_part_col and PART_COL in out.column_names:
