@@ -411,6 +411,13 @@ def enumerate_height2(n_features: int, ops: Sequence[str] = ("add", "sub", "mul"
     for o in ops:
         for a, b in itertools.combinations_with_replacement(h1, 2):
             yield (o, a, b)
+        if o in ("sub", "div"):
+            # non-commutative: combinations_with_replacement only emits
+            # (a, b) in h1 order, so div(mul(...), add(...)) style trees
+            # need the reversed operand order too (appended AFTER the
+            # original space, preserving first-max picks on ties)
+            for a, b in itertools.combinations(h1, 2):
+                yield (o, b, a)
 
 
 def golden_recover(X: np.ndarray, y: np.ndarray, *, ops=("add", "sub", "mul"),
@@ -478,7 +485,8 @@ class PreMap:
 
     def down(self, i: int, j: int, factor: float = 0.5) -> "PreMap":
         self.P[i, j] *= factor
-        self.P[j, i] *= factor
+        if i != j:  # the diagonal is ONE pair — don't square the factor
+            self.P[j, i] *= factor
         self.P /= self.P.sum(axis=1, keepdims=True)
         return self
 
@@ -519,14 +527,17 @@ def _random_tree(rng, n_features, depth, un_ops, bin_ops,
                          premap, first_terminal(left)))
 
 
-def _mut_node(rng, expr, nf, un_ops, bin_ops):
+def _mut_node(rng, expr, nf, un_ops, bin_ops, premap=None):
     """Node replacement (reference mutNodeReplacement, flow.py
     MutilMutateLoop.mutate0): swap ONE node's operator for another of the
-    same arity, keeping the children; terminals redraw their index."""
+    same arity, keeping the children; terminals redraw their index (via
+    the configured premap's marginals when one is set, so the terminal
+    bias survives past the initial population)."""
     paths = list(_subtrees(expr))
     p, e = paths[rng.integers(0, len(paths))]
     if e[0] == "x":
-        new = ("x", int(rng.integers(0, nf)))
+        new = ("x", premap.draw(rng, None)) if premap is not None \
+            else ("x", int(rng.integers(0, nf)))
     elif e[0] in UNARY:
         if not un_ops:
             return expr
@@ -612,13 +623,15 @@ class SymbolicSearch:
     def _mutate_one(self, rng, e, nf):
         kind = self.mutations[rng.integers(0, len(self.mutations))]
         if kind == "node":
-            return _mut_node(rng, e, nf, self.un_ops, self.bin_ops)
+            return _mut_node(rng, e, nf, self.un_ops, self.bin_ops,
+                             self.premap)
         if kind == "shrink":
             return _mut_shrink(rng, e)
         st = list(_subtrees(e))
         p, _ = st[rng.integers(0, len(st))]
+        # regrown subtrees keep the configured terminal-preference map
         return _replace(e, p, _random_tree(rng, nf, 2, self.un_ops,
-                                           self.bin_ops))
+                                           self.bin_ops, self.premap))
 
     def _update_hall(self, pop, fit):
         merged = {expr_to_str(e): (e, float(s))
@@ -667,10 +680,15 @@ class SymbolicSearch:
             fitm = np.where(np.isfinite(fit), fit, -1e18)
             if self.dim_force:
                 # DimForceLoop: only target-dim individuals enter the
-                # selection pool (when at least one exists)
+                # selection pool (when at least one exists).  Group sizes
+                # come from the bound columns exactly as fit_score's
+                # penalty does — the two dim judgements must agree for
+                # grouped (x_group) searches
+                gsz = [c.shape[0] if getattr(c, "ndim", 1) == 2 else 1
+                       for c in cols]
                 match = np.array([
                     (lambda d: not d.is_nan and d == tdim)(
-                        dim_of_expr(e, dims)) for e in pop])
+                        dim_of_expr(e, dims, gsz)) for e in pop])
                 if match.any():
                     fitm = np.where(match, fitm, -1e18)
             idx = rng.integers(0, len(pop), (self.pop_size, self.tournament))

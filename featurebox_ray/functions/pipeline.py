@@ -65,13 +65,30 @@ class StandardScaler:
         return self
 
 
-def _fit_step(est, X, y):
-    """fit with y, falling back to the y-less signature (Dataset-level
-    transformers like MagnitudeNormalizer take only the data)."""
+def _accepts_y(fn) -> bool:
+    """Whether a fit/fit_transform callable takes a second positional
+    (the target) — decided from the signature, NOT by catching
+    TypeError (which would mask genuine TypeErrors raised inside fit and
+    mis-retry them without y)."""
+    import inspect
+
     try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return True  # builtins/extensions: assume the sklearn signature
+    pos = [p for p in sig.parameters.values()
+           if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    return (len(pos) >= 2 or "y" in sig.parameters
+            or any(p.kind == p.VAR_POSITIONAL
+                   for p in sig.parameters.values()))
+
+
+def _fit_step(est, X, y):
+    """fit with y when the signature takes one (Dataset-level
+    transformers like MagnitudeNormalizer take only the data)."""
+    if y is not None and _accepts_y(est.fit):
         return est.fit(X, y)
-    except TypeError:
-        return est.fit(X)
+    return est.fit(X)
 
 
 class Pipeline:
@@ -122,7 +139,8 @@ class Pipeline:
             if est == "passthrough":
                 continue
             if hasattr(est, "fit_transform"):
-                Xt = est.fit_transform(Xt, y) if y is not None \
+                Xt = est.fit_transform(Xt, y) \
+                    if y is not None and _accepts_y(est.fit_transform) \
                     else est.fit_transform(Xt)
             else:
                 _fit_step(est, Xt, y)
@@ -147,7 +165,8 @@ class Pipeline:
             return last.score(Xt, y)
         pred = np.asarray(last.predict(Xt))
         y = np.asarray(y)
-        if pred.dtype.kind in "OUSb" or y.dtype.kind in "OUSb":
+        if (hasattr(last, "classes_")  # classifiers with int labels too
+                or pred.dtype.kind in "OUSb" or y.dtype.kind in "OUSb"):
             return float(np.mean(pred == y))          # accuracy
         from ..selection.models import r2_score
 

@@ -143,12 +143,21 @@ class GridSearchCV:
     def score(self, X, y):
         if self.best_estimator_ is None:
             raise RuntimeError("GridSearchCV not fitted")
-        if hasattr(self.best_estimator_, "score"):
-            return self.best_estimator_.score(X, y)
-        from .models import accuracy_score, r2_score
+        # the sweep selected by self.scoring; report the same metric
+        # (integer class labels must not fall through to r2 of label
+        # codes just because their dtype is numeric)
+        from .models import (accuracy_score, balanced_accuracy_score,
+                             r2_score)
 
         pred = np.asarray(self.predict(X))
         y = np.asarray(y)
+        if self.scoring == "balanced_accuracy":
+            return balanced_accuracy_score(y, pred)
+        if self.scoring == "accuracy" or hasattr(self.best_estimator_,
+                                                 "classes_"):
+            return accuracy_score(y, pred)
+        if hasattr(self.best_estimator_, "score"):
+            return self.best_estimator_.score(X, y)
         if pred.dtype.kind in "OUSb" or y.dtype.kind in "OUSb":
             return accuracy_score(y, pred)
         return r2_score(y, pred)

@@ -105,7 +105,6 @@ class KNNRegressor(ParamsMixin):
     def __init__(self, n_neighbors: int = 5, weights: str = "uniform"):
         assert weights in ("uniform", "distance")
         self.n_neighbors = n_neighbors
-        self.k = n_neighbors
         self.weights = weights
         self._X = None
         self._y = None
@@ -118,7 +117,7 @@ class KNNRegressor(ParamsMixin):
     def predict(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, np.float64)
         d2 = _sq_dists(X, self._X)
-        k = min(self.k, len(self._y))
+        k = min(self.n_neighbors, len(self._y))
         idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
         rows = np.arange(len(X))[:, None]
         if self.weights == "uniform":
@@ -388,7 +387,6 @@ class KNNClassifier(ParamsMixin):
     def __init__(self, n_neighbors: int = 5, weights: str = "uniform"):
         assert weights in ("uniform", "distance")
         self.n_neighbors = n_neighbors
-        self.k = n_neighbors
         self.weights = weights
         self._X = None
         self._yi = None
@@ -403,7 +401,7 @@ class KNNClassifier(ParamsMixin):
     def predict(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, np.float64)
         d2 = _sq_dists(X, self._X)
-        k = min(self.k, len(self._yi))
+        k = min(self.n_neighbors, len(self._yi))
         idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
         rows = np.arange(len(X))[:, None]
         lab = self._yi[idx]                       # (m, k) class indices

@@ -291,9 +291,19 @@ class GASelect:
         rng = np.random.default_rng(self.seed)
         n = X.shape[1]
         pop = (rng.random((self.pop, n)) < 0.3)
+
+        def repair(ind):
+            # enforce min_features: one random flip may hit an already-set
+            # bit (or still leave the mask short) — add UNSET positions
+            # until the floor holds
+            while ind.sum() < self.min_features:
+                unset = np.flatnonzero(~ind)
+                if unset.size == 0:  # min_features >= n: all selected
+                    break
+                ind[rng.choice(unset)] = True
+
         for ind in pop:
-            if ind.sum() < self.min_features:
-                ind[rng.integers(0, n)] = True
+            repair(ind)
         x_ref, y_ref = ray.put(np.ascontiguousarray(X)), ray.put(np.ascontiguousarray(y))
         score_batch = _score_batch_remote()
 
@@ -335,8 +345,7 @@ class GASelect:
                 if rng.random() < self.mut_prob:
                     i1, i2 = rng.integers(0, n, 2)
                     new[a, [i1, i2]] = new[a, [i2, i1]]
-                if new[a].sum() < self.min_features:
-                    new[a, rng.integers(0, n)] = True
+                repair(new[a])
             pop = new
             fit = evaluate(pop)
         return self
@@ -478,13 +487,16 @@ class MultiEgo:
         self.std_ = preds.std(axis=1).T
 
         front_idx = pareto_front_points(Y, sign)
-        self.front_ = Y[front_idx]  # (f, d)
+        self.front_ = Y[front_idx]  # (f, d), raw scale for reporting
 
         # Pi: per joint draw b, grid point g: dominated iff some front
-        # point beats it strictly in every objective
-        draws = preds.transpose(1, 2, 0)  # (B, g, d)
+        # point beats it strictly in every objective — tested in
+        # maximize-scale (x sign), so sign=[1,-1] minimized objectives
+        # dominate in the right direction (L is sign-invariant: |±1|=1)
+        sgn = np.ones(d) if sign is None else np.asarray(sign, float)
+        draws = preds.transpose(1, 2, 0) * sgn[None, None, :]  # (B, g, d)
         dominated = np.zeros(draws.shape[:2], dtype=bool)
-        for f in self.front_:
+        for f in self.front_ * sgn:
             dominated |= np.all(draws < f[None, None, :], axis=2)
         self.pi_ = 1.0 - dominated.mean(axis=0)
 
