@@ -53,6 +53,8 @@ def lag(values: np.ndarray, k: int, row_in_seg: np.ndarray, fill=np.nan) -> np.n
     segment get ``fill`` (analog of SQL LAG(col, k))."""
     n = len(values)
     out_dtype = np.float64 if not np.issubdtype(values.dtype, np.floating) else values.dtype
+    if k <= 0:  # LAG(col, 0) is the identity (values[:-0] would be empty)
+        return values.astype(out_dtype, copy=True)
     out = np.full(n, fill, dtype=out_dtype)
     if n > k:
         out[k:] = values[:-k]
@@ -64,6 +66,8 @@ def lead(values: np.ndarray, k: int, row_in_seg: np.ndarray, seg_len_of_row: np.
     """``values`` shifted up by k within each segment (SQL LEAD(col, k))."""
     n = len(values)
     out_dtype = np.float64 if not np.issubdtype(values.dtype, np.floating) else values.dtype
+    if k <= 0:  # LEAD(col, 0) is the identity
+        return values.astype(out_dtype, copy=True)
     out = np.full(n, fill, dtype=out_dtype)
     if n > k:
         out[:-k] = values[k:]
@@ -359,30 +363,24 @@ def rolling_min_max_rows(
 
 
 def _seg_cummax(v: np.ndarray, row_in_seg: np.ndarray) -> np.ndarray:
-    """Per-segment expanding max (NaN-skipping), O(n).
+    """Per-segment expanding max (NaN rows carry the running max), O(n).
 
-    ``np.maximum.accumulate`` cannot reset at segment boundaries, so each
-    segment is lifted into its own disjoint band (``+ seg_ord * 4*big`` where
-    ``big`` bounds ``|v|``); one global accumulate then never crosses bands.
+    Exact: pandas' grouped cummax + group-ffill, no float arithmetic.
+    An earlier band-shift formulation (lift each segment by
+    ``seg_ord * 4 * big`` and run one global accumulate) lost absolute
+    precision proportional to ``ulp(seg_ord * big)`` on partitions with
+    many segments and silently dropped ±inf values; this path keeps
+    both exact and treats inf like the full-window nanmin/nanmax path.
     """
+    import pandas as pd
+
     x = np.asarray(v, dtype=np.float64)
-    n = len(x)
-    seg_ord = np.cumsum(row_in_seg == 0) - 1
-    isfin = np.isfinite(x)
-    finite = x[isfin]
-    big = (np.max(np.abs(finite)) * 2 + 1.0) if len(finite) else 1.0
-    shifted = np.where(isfin, x, -big) + seg_ord * (4.0 * big)
-    acc = np.maximum.accumulate(shifted)
-    out = acc - seg_ord * (4.0 * big)
-    # "no finite value seen yet in this segment" must be an exact integer
-    # test, not a float-sentinel comparison (ULP-fragile): count finite
-    # values from the segment start
-    seg_start = np.arange(n, dtype=np.int64) - row_in_seg
-    c = np.cumsum(isfin)
-    prev = np.concatenate([[0], c[:-1]])
-    seen = (c - prev[seg_start]) > 0
-    out[~seen] = np.nan
-    return out
+    g = np.cumsum(row_in_seg == 0) - 1
+    s = pd.Series(x)
+    cm = s.groupby(g).cummax()  # NaN positions stay NaN here
+    # NaN rows take the running max seen so far in the segment (leading
+    # NaNs stay NaN) — the semantics every caller expects
+    return cm.groupby(g).ffill().to_numpy()
 
 
 # ---------------------------------------------------------------------------

@@ -101,8 +101,17 @@ def pricing_summary(sf_dir: str):
                               zero_copy_batch=True)
 
     def combine(t: pa.Table) -> pa.Table:
-        df = (t.select(GKEYS + list(SUMS) + ["n"]).to_pandas()
-              .groupby(GKEYS, as_index=False, sort=False).sum())
+        df = t.select(GKEYS + list(SUMS) + ["n"]).to_pandas()
+        # exact big-int totals: the combine table is tiny (groups x
+        # blocks), so summing the integer-unit partials as Python ints
+        # costs nothing and keeps the grand totals exact where int64
+        # would wrap (charge_i ~ 3.7e10/row -> wraps near sf 40; DuckDB
+        # promotes BIGINT sums to 128-bit, so the oracle would not) —
+        # the single exact-total -> double conversion below then rounds
+        # identically to DuckDB's hugeint -> double
+        for c in ("qty_i", "price_i", "disc_price_i", "charge_i"):
+            df[c] = df[c].astype(object)
+        df = df.groupby(GKEYS, as_index=False, sort=False).sum()
         n = df["n"].to_numpy(dtype=np.float64)
 
         def scaled(name, s):

@@ -123,7 +123,11 @@ def asof_join(
             out = out.append_column(c, table[c].take(idx))
         return out
 
+    # order_col last: deterministic output order for left rows tied on
+    # (key, ts) — same key list the fused transcript pipeline uses
     sort_keys = [key, ts_col, SIDE_COL] + right_cols
+    if order_col is not None:
+        sort_keys.append(order_col)
     return partitioned_map(
         unioned,
         merge,

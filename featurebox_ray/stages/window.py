@@ -101,7 +101,9 @@ def window_kernel(table: pa.Table, spec: WindowSpec) -> pa.Table:
             v, ts, d_us, seg_start, row_in_seg, ddof=spec.ddof,
             include_ts_peers=spec.time_peers_inclusive,
         )
-        tag = f"t{int(w_s)}s"
+        # :g keeps fractional windows distinct ("t90s" vs "t90.5s") —
+        # int() would collide them and silently overwrite columns
+        tag = f"t{w_s:g}s"
         cols[f"win_{tag}_count_{spec.value_col}"] = st["count"]
         cols[f"win_{tag}_sum_{spec.value_col}"] = st["sum"]
         cols[f"win_{tag}_mean_{spec.value_col}"] = st["mean"]

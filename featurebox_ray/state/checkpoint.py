@@ -66,15 +66,20 @@ def finished_partitions(out_dir: str) -> set:
     return done
 
 
-def _run_params(key, sort_keys, num_partitions, input_desc) -> dict:
+def _run_params(key, sort_keys, num_partitions, input_desc,
+                kernel_id=None) -> dict:
     # bucketer: version of the key->partition hash (stages/partition.py
     # _hash_chunk).  Bump whenever the hash function changes so a resume
     # over a checkpoint bucketed under the OLD function invalidates
     # instead of silently mixing layouts ("finished" partitions would
     # hold a different row subset than the new bucketing expects).
+    # kernel_id: caller-supplied fingerprint of the TRANSFORM (spec hash,
+    # version string) — layout params alone can't tell that the kernel
+    # changed between runs, and mixing old-kernel and new-kernel
+    # partition outputs in one directory is silent corruption.
     return {"key": key, "sort_keys": list(sort_keys),
             "num_partitions": int(num_partitions), "input": input_desc,
-            "bucketer": "poly64-v2"}
+            "bucketer": "poly64-v2", "kernel_id": kernel_id}
 
 
 def _validate_run_manifest(out_dir: str, params: dict) -> bool:
@@ -125,6 +130,7 @@ def run_partitioned_checkpointed(
     num_partitions: int = 32,
     input_desc: str = "",
     input_partitioned_dir: Optional[str] = None,
+    kernel_id: Optional[str] = None,
 ) -> List[dict]:
     """Run ``kernel`` per sorted hash partition, writing each partition's
     output + manifest from inside the task (resumable).  Returns the list of
@@ -140,7 +146,8 @@ def run_partitioned_checkpointed(
     then reads ONLY the files of missing partitions (fragment-level prune)
     instead of re-reading and re-hashing the full input."""
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
-    params = _run_params(key, sort_keys, num_partitions, input_desc)
+    params = _run_params(key, sort_keys, num_partitions, input_desc,
+                         kernel_id)
     if not _validate_run_manifest(out_dir, params):
         _invalidate(out_dir)
     rpath = os.path.join(out_dir, "_manifest", "_run.json")
@@ -156,6 +163,19 @@ def run_partitioned_checkpointed(
         # partitions the UPSTREAM recorded as empty have no part file and
         # can never produce rows here — record them as empty immediately
         upstream_done = finished_partitions(input_partitioned_dir)
+        if os.path.isdir(os.path.join(input_partitioned_dir, "_manifest")):
+            # the upstream is itself a checkpointed run: every missing
+            # partition must be FINISHED there, or this run would read
+            # nothing for it and permanently record it as empty — silent
+            # data loss that the all-files guard below can't see when
+            # OTHER missing partitions do have files
+            unfinished = [p for p in missing if p not in upstream_done]
+            if unfinished:
+                raise FileNotFoundError(
+                    f"input_partitioned_dir={input_partitioned_dir!r} has "
+                    f"not finished partitions {unfinished[:8]}"
+                    f"{'...' if len(unfinished) > 8 else ''}; finish the "
+                    "upstream run before resuming this one")
         upstream_empty = [p for p in missing
                           if p in upstream_done and not os.path.exists(
                               os.path.join(input_partitioned_dir,

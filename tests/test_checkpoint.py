@@ -195,3 +195,53 @@ def test_resume_classifies_upstream_empty_partitions(tiny_dir, tmp_path):
         num_partitions=4, input_desc="up", input_partitioned_dir=up)
     assert {mm["partition"] for mm in m} == set(range(4))
     assert sum(mm["rows"] for mm in m) == 20
+
+
+def test_unfinished_upstream_raises_not_silent_loss(tiny_dir, tmp_path):
+    """A downstream resume over a PARTIALLY-finished upstream checkpoint
+    must fail loudly: recording the upstream's unfinished partitions as
+    empty would be permanent silent data loss."""
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    _run(tiny_dir, up)
+    # simulate an upstream crash: partitions 2 and 5 unfinished
+    for pid in (2, 5):
+        for f in glob.glob(f"{up}/part-{pid:05d}.parquet") + glob.glob(
+                f"{up}/_manifest/part-{pid:05d}.json"):
+            os.remove(f)
+
+    spec = WindowSpec()
+    with pytest.raises(FileNotFoundError, match="not finished"):
+        run_partitioned_checkpointed(
+            _mkds(tiny_dir), lambda t: window_kernel(t, spec), down,
+            key="conv_id", sort_keys=["conv_id", "ts", "turn_idx"],
+            num_partitions=8, input_desc="test",
+            input_partitioned_dir=up)
+    # no manifest may claim a partition finished after the refusal
+    assert not any(m for m in finished_partitions(down)
+                   if m in (2, 5)) or not os.path.isdir(down)
+
+
+def test_kernel_id_change_invalidates(tiny_dir, tmp_path):
+    """Same layout + different kernel_id => stale partitions invalidated
+    (old-kernel and new-kernel outputs never mix in one directory)."""
+    out = str(tmp_path / "ckpt")
+    spec = WindowSpec()
+
+    def go(kid, kern):
+        return run_partitioned_checkpointed(
+            _mkds(tiny_dir), kern, out,
+            key="conv_id", sort_keys=["conv_id", "ts", "turn_idx"],
+            num_partitions=8, input_desc="test", kernel_id=kid)
+
+    m1 = go("spec-v1", lambda t: window_kernel(t, spec))
+    cols1 = set(m1[0]["columns"])
+
+    def kern2(t):
+        out_t = window_kernel(t, spec)
+        import pyarrow as pa
+        return out_t.append_column("extra", pa.nulls(out_t.num_rows))
+
+    m2 = go("spec-v2", kern2)
+    assert all("extra" in m["columns"] for m in m2 if m["rows"])
+    assert cols1 != set(m2[0]["columns"]) or not m2[0]["rows"]

@@ -150,3 +150,33 @@ def test_time_window_tie_semantics_vs_duckdb():
     assert np.allclose(exc["sum"], roll)
     # with ties present the two semantics MUST differ somewhere
     assert not np.allclose(inc["sum"], exc["sum"])
+
+
+def test_lag_lead_zero_is_identity():
+    from featurebox_ray.functions.segments import lag, lead, seg_lengths
+
+    v = np.array([1.0, 2.0, 3.0, 10.0, 20.0])
+    row_in_seg = np.array([0, 1, 2, 0, 1])
+    seg_len = np.array([3, 3, 3, 2, 2])
+    np.testing.assert_array_equal(lag(v, 0, row_in_seg), v)
+    np.testing.assert_array_equal(lead(v, 0, row_in_seg, seg_len), v)
+
+
+def test_seg_cummax_many_segments_exact_and_inf():
+    """The expanding min/max path must stay EXACT with many segments
+    (the old band-shift lost ulp(seg_ord*big)) and must keep ±inf."""
+    from featurebox_ray.functions.segments import _seg_cummax
+
+    rng = np.random.default_rng(0)
+    n_segs, seg_len = 20_000, 3
+    v = rng.normal(scale=4e4, size=n_segs * seg_len)
+    row_in_seg = np.tile(np.arange(seg_len), n_segs)
+    got = _seg_cummax(v, row_in_seg)
+    want = np.maximum.accumulate(v.reshape(n_segs, seg_len), axis=1).ravel()
+    np.testing.assert_array_equal(got, want)  # bit-exact, not allclose
+
+    v2 = np.array([1.0, np.inf, 0.5, np.nan, -np.inf, 2.0])
+    ris2 = np.array([0, 1, 2, 0, 1, 2])
+    got2 = _seg_cummax(v2, ris2)
+    np.testing.assert_array_equal(
+        got2, [1.0, np.inf, np.inf, np.nan, -np.inf, 2.0])
