@@ -70,12 +70,6 @@ def prange(X, weights=None) -> np.ndarray:
         return _nan_guard(X, np.nanmax(X, axis=1) - np.nanmin(X, axis=1))
 
 
-def _wsum(weights: Optional[np.ndarray], X: np.ndarray) -> np.ndarray:
-    if weights is None:
-        return np.full(X.shape[0], X.shape[1], dtype=np.float64)
-    return np.sum(np.asarray(weights, dtype=np.float64), axis=1)
-
-
 def mean(X, weights=None) -> np.ndarray:
     X = _as2d(X)
     if weights is None:

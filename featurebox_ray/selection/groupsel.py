@@ -136,7 +136,8 @@ class GroupSelect:
         diff = preds[:, None, :] - preds[None, :, :]
         D = np.sqrt(np.mean(diff ** 2, axis=2))
         scale = np.median(D[D > 0]) if (D > 0).any() else 1.0
-        eps_grid = self.eps_grid or [scale * f for f in
+        eps_grid = (list(self.eps_grid) if self.eps_grid is not None
+                    else None) or [scale * f for f in
                                      (0.25, 0.5, 0.75, 1.0, 1.25)]
         best_labels, best_ch = None, -np.inf
         for eps in eps_grid:

@@ -152,7 +152,10 @@ def make_feature_table(
     off = rng.integers(-86_400, 2 * 86_400, total).astype(np.int64) * 1_000_000
     is_first = _first_of_run(np.repeat(np.arange(len(idx)), n_upd))
     off = np.where(is_first, -3600 * 1_000_000, off)  # guarantee one early row
-    tie = rng.random(total) < 0.05
+    # exact-tie rows must never land on the guaranteed early row, or the
+    # "one update strictly before conv start" property silently breaks
+    # for ~5% of conversations (strict as-of tests would flake by seed)
+    tie = (rng.random(total) < 0.05) & ~is_first
     ts = np.where(tie, base, base + off)
     f_score = np.round(rng.normal(0, 1, total).cumsum() * 0.1, 6)
     f_label = F_LABELS[rng.integers(0, len(F_LABELS), total)]
@@ -213,8 +216,12 @@ def write_dataset(
     generation with identical output bytes."""
     os.makedirs(f"{out_dir}/transcripts", exist_ok=True)
     os.makedirs(f"{out_dir}/feature_table", exist_ok=True)
+    # distribute the remainder so exactly n_convs conversations exist
+    # (floor division alone silently dropped n_convs % n_shards of them)
     per = n_convs // n_shards
-    jobs = [(out_dir, per, seed, s, mega_every, mega_turns)
+    rem = n_convs % n_shards
+    jobs = [(out_dir, per + (1 if s < rem else 0), seed, s,
+             mega_every, mega_turns)
             for s in range(n_shards)]
     if processes > 1:
         import concurrent.futures as cf

@@ -46,7 +46,14 @@ class BroadcastTable:
         lut = np.array(
             [self.key_to_row.get(u, -1) for u in uniques], dtype=np.int64
         )
-        idx = lut[d.indices.to_numpy(zero_copy_only=False)]
+        if d.null_count:
+            # null keys (e.g. tool on non-tool turns) -> NaN rows, like
+            # unknown keys; raw to_numpy would yield float NaN indices
+            valid = np.asarray(pc.is_valid(d))
+            idx = lut[np.asarray(pc.fill_null(d.indices, 0))]
+            idx[~valid] = -1
+        else:
+            idx = lut[d.indices.to_numpy(zero_copy_only=False)]
         out = self.matrix[np.clip(idx, 0, None)]
         out[idx < 0] = np.nan
         return out
@@ -96,7 +103,11 @@ class PooledLookupFeaturizer:
         "sum": "sum",           # WeightedSum
         "holder_mean::0": "gmean",
         "holder_mean::-1": "hmean",
-        "std_dev": "var",
+        # WeightedVariance parity ('var:' prefix, compositionfeaturizer
+        # .py:196-230) is the VARIANCE w·(x-mean)², not its square root —
+        # 'variance' computes it; propstats' std_dev keeps its own label
+        "variance": "var",
+        "std_dev": "std",
         "maximum": "max",
         "minimum": "min",
     }
@@ -118,7 +129,11 @@ class PooledLookupFeaturizer:
         # via rate_cols / rolling means over DepartLookup columns)
         rows = self.bt.rows_for(batch[self.key_col])  # (n, p)
         for stat in self.stats:
-            vals = propstats.calc_stat(rows, stat, None)
+            if stat == "variance":  # w·(x-mean)², reference WeightedVariance
+                mu = rows.mean(axis=1)
+                vals = ((rows - mu[:, None]) ** 2).mean(axis=1)
+            else:
+                vals = propstats.calc_stat(rows, stat, None)
             label = self.STAT_LABEL.get(stat, stat.replace("::", "_"))
             batch = batch.append_column(
                 f"{label}:{self.key_col}", pa.array(np.asarray(vals, dtype=np.float64))

@@ -109,7 +109,9 @@ def add_radius_neighbors(
             else keys).indices.to_numpy(zero_copy_only=False)
         vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        types = np.asarray(t[type_col].to_pylist(), dtype=object)
+        types = np.asarray(
+            ["" if v is None else v for v in t[type_col].to_pylist()],
+            dtype=object)  # null types group as "" (sortable)
         change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
         starts = np.concatenate([[0], change, [n]])
         out_key, out_id, out_t, out_d, out_m = [], [], [], [], []

@@ -25,6 +25,7 @@ as the LSH bucket caps).
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -118,7 +119,9 @@ def add_voronoi_features(
             keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
             else keys).indices.to_numpy(zero_copy_only=False)
         vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        types = np.asarray(t[type_col].to_pylist(), dtype=object)
+        types = np.asarray(
+            ["" if v is None else v for v in t[type_col].to_pylist()],
+            dtype=object)  # null types group as "" (sortable)
         change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
         starts = np.concatenate([[0], change, [n]])
         out_key, out_a, out_b, out_w = [], [], [], []
@@ -138,8 +141,11 @@ def add_voronoi_features(
                 out_key.append(kv)
                 out_a.append(a)
                 out_b.append(b)
-                out_w.append(round(v, round_nd) if round_nd is not None
-                             else v)
+                # half-away-from-zero (DuckDB round parity) — Python
+                # round() is half-to-even; same shim as neighbor.py
+                out_w.append(math.floor(v * (10 ** round_nd) + 0.5)
+                             / (10 ** round_nd)
+                             if round_nd is not None else v)
         if not out_key:
             return empty
         # build the key column with the schema's type: pa.array inference
