@@ -15,9 +15,13 @@ import os
 class EngineConfig:
     # Number of hash partitions for keyed shuffles (conv_id).  At 100 TB this
     # should be ~ total_bytes / 512 MB; here sized for local testing.
-    num_partitions: int = int(os.environ.get("FBR_NUM_PARTITIONS", "32"))
+    num_partitions: int = dataclasses.field(
+        default_factory=lambda: int(
+            os.environ.get("FBR_NUM_PARTITIONS", "32")))
     # Rows per batch for stateless map_batches stages (arrow, zero copy).
-    batch_size: int = int(os.environ.get("FBR_BATCH_SIZE", "65536"))
+    batch_size: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("FBR_BATCH_SIZE",
+                                                   "65536")))
     # Session gap threshold (seconds) for sessionization.
     session_gap_s: float = 1800.0
     # Salting: conversations with more rows than this are flagged mega;

@@ -92,13 +92,21 @@ class FeatureRegistry:
         a requested name list against the registry, returning the matching
         registered name (exact, else unique case-insensitive prefix) or
         None per entry."""
-        lowered = {n.lower(): n for n in self._order}
+        lowered: dict = {}
+        for n in self._order:  # first registration wins on case collisions
+            lowered.setdefault(n.lower(), n)
         out: List[Optional[str]] = []
         for w in wanted:
             if w in self._specs:
                 out.append(w)
                 continue
-            cand = [n for low, n in lowered.items() if low.startswith(w.lower())]
+            lw = w.lower()
+            if lw in lowered:
+                # exact case-insensitive match beats the prefix scan —
+                # 'TEXT_LEN' must resolve even when 'text_len_sq' exists
+                out.append(lowered[lw])
+                continue
+            cand = [n for low, n in lowered.items() if low.startswith(lw)]
             out.append(cand[0] if len(cand) == 1 else None)
         return out
 

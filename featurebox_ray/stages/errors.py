@@ -62,9 +62,13 @@ def robust_kernel(
                 errors.append(1)
                 msgs.append(f"{type(e).__name__}: {e}"[:500])
         if out_schema is None:
+            # the kernel never succeeded, so the output schema is unknown
+            # and rows cannot be null-filled — fail with the real cause
+            # (an empty batch that still raised has no per-row message)
+            first = msgs[0] if msgs else "kernel failed on an empty batch"
             raise RuntimeError(
                 "robust_kernel: every row of the batch failed; first error: "
-                f"{msgs[0]}")
+                f"{first}")
         fixed = []
         for i, r in enumerate(rows):
             if r is not None:
@@ -76,7 +80,13 @@ def robust_kernel(
             src = batch.slice(i, 1)
             for f in out_schema:
                 if f.name in src.column_names:
-                    cols.append(src[f.name].cast(f.type))
+                    try:
+                        cols.append(src[f.name].cast(f.type))
+                    except Exception:
+                        # the failing row's input may be exactly what the
+                        # kernel could not convert (e.g. an unparseable
+                        # string for a now-float column) — null, don't die
+                        cols.append(pa.nulls(1, f.type))
                 else:
                     cols.append(pa.nulls(1, f.type))
             fixed.append(pa.table(dict(zip(out_schema.names, cols))))

@@ -69,11 +69,17 @@ class ImageFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         n = len(payloads)
-        mean = np.empty((n, 3))
-        std = np.empty((n, 3))
-        ent = np.empty(n)
+        mean = np.full((n, 3), np.nan)
+        std = np.full((n, 3), np.nan)
+        ent = np.full(n, np.nan)
+        missing = np.zeros(n, bool)
         for i, b in enumerate(payloads):
-            img = self.codec(b if b is not None else b"")
+            if b is None:
+                # a null payload has no decodable content under ANY codec
+                # — emit null features, never fabricate stats from b""
+                missing[i] = True
+                continue
+            img = self.codec(b)
             f = img.reshape(-1, img.shape[-1]).astype(np.float64)
             mean[i] = f.mean(axis=0)
             std[i] = f.std(axis=0)
@@ -85,7 +91,7 @@ class ImageFeatureExtractor:
                        ("img_mean_b", mean[:, 2]), ("img_std_r", std[:, 0]),
                        ("img_std_g", std[:, 1]), ("img_std_b", std[:, 2]),
                        ("img_entropy", ent)]:
-            out = out.append_column(c, pa.array(arr))
+            out = out.append_column(c, pa.array(arr, mask=missing))
         out = out.append_column(
             "img_decoder_is_fake", pa.array(np.full(n, self.fake, dtype=bool))
         )

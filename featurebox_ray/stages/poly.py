@@ -26,7 +26,8 @@ def degree_tuples(n_cols: int, degrees: Sequence[int]) -> List[Tuple[int, ...]]:
 def poly_feature_names(columns: Sequence[str], degrees: Sequence[int]) -> List[str]:
     names = []
     for t in degree_tuples(len(columns), degrees):
-        parts = [f"{c}^{d}" if d > 1 else c for c, d in zip(columns, t) if d > 0]
+        parts = [f"{c}^{d}" if d != 1 else c
+                 for c, d in zip(columns, t) if d != 0]
         names.append("*".join(parts))
     return names
 
@@ -47,7 +48,7 @@ def add_poly_features(ds, columns: Sequence[str], degrees: Sequence[int] = (0, 1
             for j, d in enumerate(t):
                 if d == 1:
                     v = v * mat[:, j]
-                elif d > 1:
+                elif d != 0:  # negative degrees divide (x^-1 = 1/x), not skip
                     v = v * mat[:, j] ** d
             batch = batch.append_column(f"{prefix}:{name}", pa.array(v))
         return batch

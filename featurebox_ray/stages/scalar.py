@@ -25,9 +25,12 @@ def turn_scalar_features(batch: pa.Table) -> pa.Table:
     # str.split() semantics incl. leading/trailing/multiple whitespace
     n_tokens = pc.count_substring_regex(text, r"\S+")
     is_tool = pc.is_valid(batch["tool"])
-    role_idx = pc.index_in(
+    # unknown roles code as -1 (visible sentinel) rather than null — a
+    # null would silently NaN every downstream numeric feature, and the
+    # pandas oracle maps the same way (tests/oracle.py)
+    role_idx = pc.fill_null(pc.index_in(
         batch["role"], value_set=pa.array(list(ROLE_CODES), pa.string())
-    )
+    ), -1)
     out = batch.append_column("text_len", pc.cast(text_len, pa.int64()))
     out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
     out = out.append_column("is_tool_turn", is_tool)

@@ -39,7 +39,8 @@ def oracle_features(
     )
     df["is_tool_turn"] = df["tool"].notna()
     role_codes = {"user": 0, "assistant": 1, "system": 2, "tool": 3}
-    df["role_code"] = df["role"].map(role_codes).astype("int32")
+    # unknown roles -> -1 sentinel, mirroring stages/scalar.py
+    df["role_code"] = df["role"].map(role_codes).fillna(-1).astype("int32")
 
     g = df.groupby("conv_id", sort=False)
     df["turn_number"] = g.cumcount().astype("int64")
