@@ -105,6 +105,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ids, h = ids[order], h[order]
         pop = np.array([bin(v).count("1") for v in range(256)], np.uint8)
         n = len(ids)
+        # mirror the engine's bucket_cap skip (default 4000): a pair is
+        # reported only when SOME shared 16-bit band bucket is under the
+        # cap — without this the capless all-pairs truth would fail a
+        # correct engine on duplicate-heavy corpora (q39/q42 mirror
+        # their caps the same way)
+        CAP = 4000
+        shifts = np.array([0, 16, 32, 48], np.uint64)
+        bands = ((h[:, None] >> shifts[None, :])
+                 & np.uint64(0xFFFF)).astype(np.int64)  # (n, 4)
+        bucket_sz = np.empty((n, 4), np.int64)
+        for b in range(4):
+            _, inv, c = np.unique(bands[:, b], return_inverse=True,
+                                  return_counts=True)
+            bucket_sz[:, b] = c[inv]
         out_a, out_b, out_d = [], [], []
         for s in range(0, n, 256):
             e = min(s + 256, n)
@@ -115,9 +129,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           & np.uint64(0xFF)).astype(np.uint8)]
             ci, cj = np.nonzero(d <= 3)
             keep = (ci + s) < cj  # upper triangle only
-            out_a.append(ids[ci[keep] + s])
-            out_b.append(ids[cj[keep]])
-            out_d.append(d[ci[keep], cj[keep]])
+            gi, gj = ci[keep] + s, cj[keep]
+            covered = ((bands[gi] == bands[gj])
+                       & (bucket_sz[gi] <= CAP)).any(axis=1)
+            gi, gj = gi[covered], gj[covered]
+            out_a.append(ids[gi])
+            out_b.append(ids[gj])
+            out_d.append(d[gi - s, gj])
         os.makedirs(_ORACLE_DIR, exist_ok=True)
         pq.write_table(pa.table({
             "id_a": pa.array(np.concatenate(out_a), pa.int64()),

@@ -95,6 +95,11 @@ def run_flagship(num_partitions: int = 32, n_convs: int = BENCH_CONVS) -> dict:
     # the sandbox disk; real deployments write to their own storage tier
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     out_dir = f"{base}/fbr_bench_out_{os.getpid()}"
+    import shutil
+
+    # a crashed prior run with a reused pid must not leave fragments that
+    # write_parquet would append to (inflating the counted row total)
+    shutil.rmtree(out_dir, ignore_errors=True)
     _warm_ray_data(d)
     t0 = time.time()
     # blocks ~= num_cpus so every core gets a featurize task; whole-block
@@ -246,13 +251,20 @@ def main_scaling():
     order = []
     for r in range(SCALING_REPEATS):
         order.extend(pair if r % 2 == 0 else pair[::-1])
-    for n in order:
-        time.sleep(SCALING_COOLDOWN_S)  # let host CPU credits recover
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
-            capture_output=True, text=True, timeout=3600,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
+    for i, n in enumerate(order):
+        if i:  # no load generated yet before the first child
+            time.sleep(SCALING_COOLDOWN_S)  # let host CPU credits recover
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-child", str(n)],
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            # report the completed measurements instead of losing them
+            runs.setdefault(n, []).append(None)
+            continue
         got = None
         for line in p.stdout.splitlines():
             if line.startswith("SCALING_RESULT "):
@@ -266,6 +278,11 @@ def main_scaling():
         if best is None or got["turns_per_sec"] > best["turns_per_sec"]:
             results[n] = got
     lo, hi = pair
+    if lo not in results or hi not in results:
+        raise RuntimeError(
+            f"every scaling child at level(s) "
+            f"{[n for n in pair if n not in results]} timed out; raw runs: "
+            f"{ {str(k): [r['sec'] if r else 'timeout' for r in v] for k, v in runs.items()} }")
     t_lo, t_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
     eff = round(t_hi / (t_lo * 4), 3)
     print(json.dumps({
@@ -275,7 +292,8 @@ def main_scaling():
         f"throughput_{lo}": t_lo,
         f"throughput_{hi}": t_hi,
         "scaling_efficiency": eff,
-        "all_runs": {str(k): [r["sec"] for r in v] for k, v in runs.items()},
+        "all_runs": {str(k): [r["sec"] if r else "timeout" for r in v]
+                     for k, v in runs.items()},
         "detail": results,
     }))
 

@@ -22,9 +22,7 @@ def to_pandas(res) -> pd.DataFrame:
 
     if isinstance(res, pd.DataFrame):
         return res
-    if isinstance(res, pa.Table):
-        return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    return res.to_pandas()  # pa.Table or ray Dataset
 
 
 def value_hash(df: pd.DataFrame) -> int:
@@ -55,6 +53,12 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    unknown = only - set(qs)
+    if unknown:
+        # a typo must not yield "0 pass, 0 fail" + exit 0
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}; "
+                         f"available: {sorted(qs)}")
 
     n_pass = n_fail = 0
     for name, fn in qs.items():
@@ -92,11 +96,21 @@ def main():
                     sorted(eng.columns)).reset_index(drop=True)
                 o2 = ora[sorted(ora.columns)].sort_values(
                     sorted(ora.columns)).reset_index(drop=True)
+                found = False
                 for i in range(min(len(e2), len(o2))):
                     if not e2.iloc[i].equals(o2.iloc[i]):
                         problems.append(
                             f"first diff row {i}:\n  eng={e2.iloc[i].to_dict()}\n  ora={o2.iloc[i].to_dict()}")
+                        found = True
                         break
+                if not found:
+                    # Series.equals treats -0.0 == 0.0 and NaN == NaN,
+                    # but value_hash hashes bit patterns — say so instead
+                    # of showing a mismatch with no differing row
+                    problems.append(
+                        "no value-differing row: bit-level difference "
+                        "(-0.0 vs 0.0 or dtype width) — compare dtypes "
+                        "and np.signbit of zero cells")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
