@@ -353,6 +353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_ngram_jaccard": _ngram_jaccard,
         "q46_rotate_slices": _rotate_slices_q,
         "q47_http_fetch": _http_fetch_q,
+        "q48_kmv_distinct": _kmv_distinct_q,
+        "q49_interval_join": _interval_join_q,
+        "q50_hash_sample": _hash_sample_q,
     }
 
 
@@ -987,6 +990,150 @@ def _http_fetch_q(sf_dir: str):
                          chunk_size=16)
 
 
+def _kmv_distinct_q(sf_dir: str):
+    """q48: KMV (k-minimum-values) distinct-count sketch per event_type —
+    mergeable approximate COUNT(DISTINCT user_id) (beyond-reference scale
+    operator; exact counterpart is q05).  md5-based hashing makes the
+    sketch exactly replayable in SQL: DuckDB recomputes the identical
+    60-bit hashes, row_numbers them per group and applies the same
+    (k-1)/u_k estimator, so k_used/kth_hash/est_distinct all value-hash."""
+    import ray
+
+    from featurebox_ray.stages.sketch import kmv_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return kmv_distinct(ev, group_col="event_type", value_col="user_id",
+                        k=64)
+
+
+def _interval_join_q(sf_dir: str):
+    """q49: broadcast interval (range) join — per event_type the top-10
+    events by value anchor ±2h windows; every event whose ts falls in a
+    window [lo, hi) joins it (pure range predicate, NO equality key).
+    The interval side broadcasts once; the fact side streams with two
+    searchsorted probes per batch (beyond-reference operator; the as-of
+    analog is q10).  Aggregates are order-independent-exact: counts and
+    int64 id sums, min/max doubles."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.interval import (broadcast_interval_join,
+                                                top_k_per_group)
+    from featurebox_ray.stages.partition import partitioned_map
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"])
+    # mirror the oracle's WHERE value IS NOT NULL on the anchor side
+    import pyarrow.compute as _pc
+
+    anchor_src = ev.map_batches(
+        lambda b: b.filter(_pc.is_valid(b["value"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    anchors = top_k_per_group(anchor_src, group_col="event_type",
+                              order_col="value", tie_col="event_id", k=10,
+                              keep_cols=["event_id", "ts"])
+    ts_us = anchors["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    H2 = 2 * 3600 * 1_000_000  # ±2h in microseconds
+    intervals = pa.table({
+        "win_id": anchors["event_id"].cast(pa.int64()),
+        "lo": pa.array(ts_us - H2, pa.int64()),
+        "hi": pa.array(ts_us + H2, pa.int64()),
+    })
+    joined = broadcast_interval_join(ev, intervals, ts_col="ts",
+                                     keep_cols=["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("win_id", as_index=False, sort=False).agg(
+            n_events=("event_id", "size"), id_sum=("event_id", "sum"),
+            v_min=("value", "min"), v_max=("value", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("win_id", as_index=False, sort=False).agg(
+            n_events=("n_events", "sum"), id_sum=("id_sum", "sum"),
+            v_min=("v_min", "min"), v_max=("v_max", "max"))
+        return pa.table({
+            "win_id": pa.array(g["win_id"].to_numpy(np.int64)),
+            "n_events": pa.array(g["n_events"].to_numpy(np.int64)),
+            "id_sum": pa.array(g["id_sum"].to_numpy(np.int64)),
+            "v_min": pa.array(np.round(g["v_min"].to_numpy(np.float64), 6)),
+            "v_max": pa.array(np.round(g["v_max"].to_numpy(np.float64), 6)),
+        })
+
+    partials = joined.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return partitioned_map(partials, combine, key="win_id",
+                           sort_keys=["win_id"], num_partitions=1,
+                           strategy="tasks")
+
+
+def _hash_sample_q(sf_dir: str):
+    """q50: deterministic multiplicative-hash sample (5% of order keys,
+    exact-arithmetic replayable in SQL HUGEINT) → grouped money sums over
+    the sample.  Stable across runs/partitionings/cluster sizes — the
+    shuffle-free estimation sample a 100-TB pipeline debugs with
+    (beyond-reference operator)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.partition import partitioned_map
+    from featurebox_ray.stages.sample import hash_sample, sample_threshold
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+    ds = hash_sample(ds, key_col="l_orderkey",
+                     threshold=sample_threshold(0.05))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        t = t.select(["l_returnflag", "l_linestatus"])
+        t = t.append_column("qty_i", pa.array(
+            np.round(qty * 100).astype(np.int64)))
+        t = t.append_column("price_i", pa.array(
+            np.round(price * 100).astype(np.int64)))
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False,
+                       sort=False).agg(n_rows=("qty_i", "size"),
+                                       qty_i=("qty_i", "sum"),
+                                       price_i=("price_i", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False,
+                       sort=False).agg(n_rows=("n_rows", "sum"),
+                                       qty_i=("qty_i", "sum"),
+                                       price_i=("price_i", "sum"))
+        import numpy as np
+        return pa.table({
+            "l_returnflag": pa.array(g["l_returnflag"]),
+            "l_linestatus": pa.array(g["l_linestatus"]),
+            "n_rows": pa.array(g["n_rows"].to_numpy(np.int64)),
+            "sum_qty": pa.array(np.round(
+                g["qty_i"].to_numpy(np.float64) / 100.0, 4)),
+            "sum_price": pa.array(np.round(
+                g["price_i"].to_numpy(np.float64) / 100.0, 4)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partitioned_map(partials, combine, key="l_returnflag",
+                           sort_keys=["l_returnflag", "l_linestatus"],
+                           num_partitions=1, strategy="tasks")
+
+
 def _symbolic_golden(sf_dir: str):
     """Golden-recovery: plant (x0+x1)*(x2-x3) and recover it via the
     exhaustive height-2 expression search (ref Instance2 height_2.py).
@@ -1560,5 +1707,66 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q.vec_id
                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
                          e.vec_id) <= 5
+        """,
+        # KMV sketch replay: identical 60-bit md5 prefixes, per-group
+        # row_number over DISTINCT hashes, same (k-1)/u_k estimator —
+        # 63*2^60 is float64-exact on both sides, so est_distinct is
+        # bit-identical with no rounding
+        "q48_kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                               AS UBIGINT) AS BIGINT) AS hv
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), r AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn
+              FROM h
+            )
+            SELECT event_type,
+                   CAST(max(rn) AS BIGINT) AS k_used,
+                   max(hv) AS kth_hash,
+                   CASE WHEN max(rn) < 64 THEN CAST(max(rn) AS DOUBLE)
+                        ELSE 63.0 * 1152921504606846976.0
+                             / CAST(max(hv) AS DOUBLE) END AS est_distinct
+            FROM r WHERE rn <= 64
+            GROUP BY event_type
+        """,
+        # interval join: top-10-per-type anchors open ±2h windows; the
+        # join predicate is a pure range (no equality key); aggregates
+        # are order-independent-exact (count / int64 sum / min / max)
+        "q49_interval_join": """
+            WITH w AS (
+              SELECT event_id AS win_id, ts FROM (
+                SELECT event_id, ts,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events WHERE value IS NOT NULL) WHERE rn <= 10
+            )
+            SELECT w.win_id, count(*) AS n_events,
+                   CAST(sum(e.event_id) AS BIGINT) AS id_sum,
+                   round(min(e.value), 6) AS v_min,
+                   round(max(e.value), 6) AS v_max
+            FROM w JOIN events e
+              ON e.ts >= w.ts - INTERVAL 2 HOUR
+             AND e.ts <  w.ts + INTERVAL 2 HOUR
+            GROUP BY w.win_id
+        """,
+        # multiplicative-hash sample: HUGEINT keeps the (key%2^32)*mult
+        # product exact (max ~1.1e19 > int64), matching numpy uint64;
+        # threshold 214748365 = sample_threshold(0.05)
+        "q50_hash_sample": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                         / 100.0, 4) AS sum_qty,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         / 100.0, 4) AS sum_price
+            FROM lineitem
+            WHERE ((CAST(l_orderkey AS HUGEINT) % 4294967296)
+                   * 2654435761) % 4294967296 < 214748365
+            GROUP BY l_returnflag, l_linestatus
         """,
     }

@@ -158,7 +158,8 @@ QUERY_NAMES = [
     # q46 is excluded like the other fixture-oracle queries: its callable
     # runs the serial replay oracle inline, which would dominate the
     # reported time.  q47's loopback endpoint is trivial, so it stays.
-    "q47_http_fetch",
+    "q47_http_fetch", "q48_kmv_distinct", "q49_interval_join",
+    "q50_hash_sample",
 ]
 
 

@@ -1,0 +1,105 @@
+"""K-minimum-values (KMV) distinct-count sketch — mergeable approximate
+COUNT(DISTINCT value) per group.
+
+A KMV sketch keeps the ``k`` smallest hash values of the distinct inputs;
+with the kth-smallest normalized hash ``u_k`` the estimator is
+``(k-1) / u_k`` (Bar-Yossef et al. 2002 / Beyer et al. "distinct sampling").
+The sketch is a set union under merge, so it composes exactly with the
+engine's partial→combine aggregate shape: every block contributes at most
+``k`` rows per group, the final per-group combine is a union + take-k —
+at 100 TB the shuffle moves O(blocks × groups × k) tiny rows, never the
+data.
+
+Hash choice: md5 truncated to 60 bits.  md5 is the ONLY per-row Python in
+this stage and it runs once per *distinct value per batch* (dictionary
+dedupe first), bounded by value cardinality, not row count — the same
+deliberate replayability trade as the winnowing fingerprint in
+``stages/text.py``: DuckDB computes the identical sketch with
+``CAST('0x' || substr(md5(v), 1, 15) AS UBIGINT)``, so the estimate is
+value-hash-checkable end to end (60-bit hashes convert to float64 with
+identical IEEE rounding on both sides; ``(k-1) * 2^60`` is exact in
+float64, so the division is bit-identical).
+
+Reference analog: none — the reference has no approximate-distinct
+operator; this is one of the beyond-reference scale operators (exact
+distinct is q05 / ``relational.distinct_users_per_type``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HASH_HEX_DIGITS = 15          # 60 bits: exact in int64, headroom in ops below
+HASH_SPAN = float(1 << (4 * HASH_HEX_DIGITS))
+
+
+def _md5_60(uniques) -> np.ndarray:
+    """60-bit md5 prefix per value (values stringified like SQL
+    ``CAST(v AS VARCHAR)``); one md5 per DISTINCT value only."""
+    return np.fromiter(
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:HASH_HEX_DIGITS], 16)
+         for v in uniques),
+        dtype=np.int64, count=len(uniques))
+
+
+def _partial_kernel(batch: pa.Table, group_col: str, value_col: str,
+                    k: int) -> pa.Table:
+    """≤k smallest distinct hashes per group present in this batch."""
+    mask = pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[value_col]))
+    if not pc.all(mask).as_py():
+        batch = batch.filter(mask)
+    if batch.num_rows == 0:
+        return pa.table({group_col: pa.array([], batch.schema.field(group_col).type),
+                         "hv": pa.array([], pa.int64())})
+    gd = pc.dictionary_encode(batch[group_col].combine_chunks())
+    codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = batch[value_col].to_numpy(zero_copy_only=False)
+    uv, inv = np.unique(vals, return_inverse=True)
+    hv = _md5_60(uv)[inv]
+    # dedupe (group, hash) pairs, then keep the k smallest per group:
+    # one lexsort gives both (pairs sharing a group are hash-sorted)
+    order = np.lexsort((hv, codes))
+    c, h = codes[order], hv[order]
+    first = np.ones(len(c), bool)
+    first[1:] = (c[1:] != c[:-1]) | (h[1:] != h[:-1])
+    c, h = c[first], h[first]
+    # rank within each group run; keep rank < k
+    starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+    run_id = np.cumsum(np.concatenate([[0], (c[1:] != c[:-1]).astype(np.int64)]))
+    rank = np.arange(len(c)) - starts[run_id]
+    keep = rank < k
+    groups = gd.dictionary.take(pa.array(c[keep], pa.int64()))
+    return pa.table({group_col: groups, "hv": pa.array(h[keep], pa.int64())})
+
+
+def kmv_distinct(ds, *, group_col: str, value_col: str, k: int = 64):
+    """Approximate COUNT(DISTINCT value_col) GROUP BY group_col.
+
+    Returns a Dataset with columns ``(group_col, k_used:int64,
+    kth_hash:int64, est_distinct:float64)``; when a group has fewer than
+    ``k`` distinct hashes the estimate is the exact count.
+    """
+    partials = ds.map_batches(
+        lambda b: _partial_kernel(b, group_col, value_col, k),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        hv = np.unique(t["hv"].to_numpy(zero_copy_only=False))  # cross-batch dedupe
+        k_used = min(k, len(hv))
+        kth = int(hv[k_used - 1])
+        est = float(k_used) if k_used < k else (k - 1) * HASH_SPAN / float(kth)
+        return pa.table({
+            group_col: t[group_col].slice(0, 1),
+            "k_used": pa.array([k_used], pa.int64()),
+            "kth_hash": pa.array([kth], pa.int64()),
+            "est_distinct": pa.array([est], pa.float64()),
+        })
+
+    # the partials table is O(groups × blocks × k) rows — the groupby
+    # shuffles sketches, never data
+    return partials.groupby(group_col).map_groups(
+        finalize, batch_format="pyarrow")

@@ -1,0 +1,165 @@
+"""KMV distinct sketch, broadcast interval join, deterministic hash sample
+(stages/sketch.py, stages/interval.py, stages/sample.py) vs serial replays.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from featurebox_ray.stages.interval import (broadcast_interval_join,
+                                            top_k_per_group)
+from featurebox_ray.stages.sample import (MOD, hash_sample,
+                                          sample_threshold)
+from featurebox_ray.stages.sketch import HASH_SPAN, kmv_distinct
+
+
+def _md5_60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _to_table(ds) -> pa.Table:
+    return pa.concat_tables(
+        [pa.Table.from_pandas(ds.to_pandas())], promote_options="default")
+
+
+# ---------------------------------------------------------------- KMV ----
+
+def _kmv_replay(groups, values, k):
+    """Serial KMV over (group, value) pairs."""
+    out = {}
+    byg = {}
+    for g, v in zip(groups, values):
+        byg.setdefault(g, set()).add(_md5_60(v))
+    for g, hs in byg.items():
+        hv = sorted(hs)[:k]
+        k_used = len(hv)
+        kth = hv[-1]
+        est = float(k_used) if k_used < k else (k - 1) * HASH_SPAN / float(kth)
+        out[g] = (k_used, kth, est)
+    return out
+
+
+@pytest.mark.parametrize("k", [4, 64])
+def test_kmv_matches_serial_replay(k):
+    rng = np.random.default_rng(7)
+    groups = rng.choice(["a", "b", "c"], size=500).tolist()
+    values = rng.integers(0, 40, size=500).tolist()  # ≤40 distinct per group
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(groups), "v": pa.array(values, pa.int64()),
+    })).repartition(5)
+    got = kmv_distinct(ds, group_col="g", value_col="v", k=k).to_pandas()
+    want = _kmv_replay(groups, values, k)
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        k_used, kth, est = want[row["g"]]
+        assert row["k_used"] == k_used
+        assert row["kth_hash"] == kth
+        assert row["est_distinct"] == est  # bit-exact by construction
+
+
+def test_kmv_exact_when_under_k():
+    # k=64 > 40 distinct: estimate must equal the exact distinct count
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["x"] * 100),
+        "v": pa.array(list(range(40)) * 2 + list(range(20)), pa.int64()),
+    }))
+    got = kmv_distinct(ds, group_col="g", value_col="v", k=64).to_pandas()
+    assert got["est_distinct"].iloc[0] == 40.0
+    assert got["k_used"].iloc[0] == 40
+
+
+def test_kmv_partition_invariance():
+    rng = np.random.default_rng(3)
+    t = pa.table({"g": pa.array(rng.choice(["p", "q"], 300).tolist()),
+                  "v": pa.array(rng.integers(0, 1000, 300), pa.int64())})
+    a = kmv_distinct(ray.data.from_arrow(t), group_col="g",
+                     value_col="v", k=16).to_pandas().sort_values("g")
+    b = kmv_distinct(ray.data.from_arrow(t).repartition(7), group_col="g",
+                     value_col="v", k=16).to_pandas().sort_values("g")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+# ------------------------------------------------------- interval join ----
+
+def test_interval_join_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    n, m = 400, 12
+    ts = rng.integers(0, 10_000, n)
+    fact = pa.table({"rid": pa.array(np.arange(n), pa.int64()),
+                     "ts": pa.array(ts, pa.int64())})
+    lo = rng.integers(0, 9_000, m)
+    width = rng.integers(1, 3_000, m)          # arbitrary overlaps
+    iv = pa.table({"win_id": pa.array(np.arange(m), pa.int64()),
+                   "lo": pa.array(lo, pa.int64()),
+                   "hi": pa.array(lo + width, pa.int64())})
+    out = broadcast_interval_join(
+        ray.data.from_arrow(fact).repartition(4), iv, ts_col="ts",
+        keep_cols=["rid"]).to_pandas()
+    got = set(zip(out["rid"], out["win_id"]))
+    want = {(r, w) for r in range(n) for w in range(m)
+            if lo[w] <= ts[r] < lo[w] + width[w]}
+    assert got == want
+
+
+def test_interval_join_empty_intervals():
+    fact = pa.table({"rid": pa.array([1, 2], pa.int64()),
+                     "ts": pa.array([5, 6], pa.int64())})
+    iv = pa.table({"win_id": pa.array([], pa.int64()),
+                   "lo": pa.array([], pa.int64()),
+                   "hi": pa.array([], pa.int64())})
+    out = broadcast_interval_join(ray.data.from_arrow(fact), iv,
+                                  ts_col="ts", keep_cols=["rid"])
+    assert out.count() == 0
+
+
+def test_top_k_per_group_ties_deterministic():
+    t = pa.table({"g": pa.array(["a"] * 4 + ["b"] * 2),
+                  "score": pa.array([1.0, 2.0, 2.0, 0.5, 3.0, 3.0]),
+                  "id": pa.array([40, 30, 20, 10, 2, 1], pa.int64())})
+    got = top_k_per_group(ray.data.from_arrow(t), group_col="g",
+                          order_col="score", tie_col="id", k=2,
+                          keep_cols=["g", "id"])
+    df = got.to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    # a: score-2 tie broken by id asc -> ids 20,30 ; b: ids 1,2
+    assert df["id"].tolist() == [20, 30, 1, 2]
+
+
+# --------------------------------------------------------- hash sample ----
+
+def test_hash_sample_bounds_and_determinism():
+    keys = pa.table({"k": pa.array(np.arange(10_000), pa.int64())})
+    full = hash_sample(ray.data.from_arrow(keys), key_col="k",
+                       threshold=MOD).count()
+    none = hash_sample(ray.data.from_arrow(keys), key_col="k",
+                       threshold=0).count()
+    assert (full, none) == (10_000, 0)
+    t = sample_threshold(0.1)
+    a = hash_sample(ray.data.from_arrow(keys), key_col="k",
+                    threshold=t).to_pandas()["k"].tolist()
+    b = hash_sample(ray.data.from_arrow(keys).repartition(8), key_col="k",
+                    threshold=t).to_pandas()["k"].tolist()
+    assert sorted(a) == sorted(b)
+    frac = len(a) / 10_000
+    assert 0.05 < frac < 0.15  # multiplicative hash is near-uniform
+
+
+def test_hash_sample_key_consistency_across_tables():
+    # the same key set sampled from two different tables -> same keys kept
+    t1 = pa.table({"k": pa.array([2, 3, 5, 7, 11, 13] * 10, pa.int64())})
+    t2 = pa.table({"k": pa.array([13, 11, 7, 5, 3, 2], pa.int64())})
+    thr = sample_threshold(0.5)
+    s1 = set(hash_sample(ray.data.from_arrow(t1), key_col="k",
+                         threshold=thr).to_pandas()["k"])
+    s2 = set(hash_sample(ray.data.from_arrow(t2), key_col="k",
+                         threshold=thr).to_pandas()["k"])
+    assert s1 == s2
+
+
+def test_hash_sample_negative_key_raises():
+    t = pa.table({"k": pa.array([-1, 2], pa.int64())})
+    with pytest.raises(Exception, match="non-negative"):
+        hash_sample(ray.data.from_arrow(t), key_col="k",
+                    threshold=MOD).count()
