@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_kmv_distinct": _kmv_distinct_q,
         "q49_interval_join": _interval_join_q,
         "q50_hash_sample": _hash_sample_q,
+        "q51_group_quantiles": _group_quantiles_q,
     }
 
 
@@ -1134,6 +1135,22 @@ def _hash_sample_q(sf_dir: str):
                            num_partitions=1, strategy="tasks")
 
 
+def _group_quantiles_q(sf_dir: str):
+    """q51: exact distributed per-group order statistics — p50/p90/p99 of
+    events.value per event_type (beyond-reference operator; lifts the
+    reference's per-entry PropertyStats.quantile to a grouped aggregate).
+    Values are exact data elements picked at DuckDB's quantile_disc rank
+    max(ceil(q*n)-1, 0), so the oracle matches bit-exactly, no rounding."""
+    import ray
+
+    from featurebox_ray.stages.quantile import group_quantiles
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return group_quantiles(ev, group_col="event_type", value_col="value",
+                           qs=[0.5, 0.9, 0.99], num_partitions=8)
+
+
 def _symbolic_golden(sf_dir: str):
     """Golden-recovery: plant (x0+x1)*(x2-x3) and recover it via the
     exhaustive height-2 expression search (ref Instance2 height_2.py).
@@ -1768,5 +1785,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((CAST(l_orderkey AS HUGEINT) % 4294967296)
                    * 2654435761) % 4294967296 < 214748365
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # exact order statistics: quantile_disc picks the sorted element
+        # at max(ceil(q*n)-1, 0) — the engine replicates the identical
+        # rank, so the doubles are exact data elements (no rounding)
+        "q51_group_quantiles": """
+            SELECT event_type,
+                   count(value) AS n_vals,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type
         """,
     }

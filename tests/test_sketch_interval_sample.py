@@ -163,3 +163,43 @@ def test_hash_sample_negative_key_raises():
     with pytest.raises(Exception, match="non-negative"):
         hash_sample(ray.data.from_arrow(t), key_col="k",
                     threshold=MOD).count()
+
+
+# ----------------------------------------------------- group quantiles ----
+
+def test_group_quantiles_duckdb_parity_and_nulls():
+    import duckdb
+
+    from featurebox_ray.stages.quantile import group_quantiles
+
+    rng = np.random.default_rng(5)
+    g = rng.choice(["a", "b", "c"], 501).tolist()
+    v = rng.normal(size=501)
+    v[rng.choice(501, 30, replace=False)] = np.nan  # nulls
+    t = pa.table({"g": pa.array(g),
+                  "v": pa.array(v, pa.float64(), mask=np.isnan(v))})
+    got = group_quantiles(ray.data.from_arrow(t).repartition(6),
+                          group_col="g", value_col="v",
+                          qs=[0.5, 0.9, 0.99], num_partitions=4
+                          ).to_pandas().sort_values("g").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT g, count(v) AS n_vals, quantile_disc(v, 0.5) AS p50, "
+        "quantile_disc(v, 0.9) AS p90, quantile_disc(v, 0.99) AS p99 "
+        "FROM t GROUP BY g ORDER BY g").df()
+    assert got["n_vals"].tolist() == want["n_vals"].tolist()
+    for c in ("p50", "p90", "p99"):
+        assert got[c].tolist() == want[c].tolist()  # bit-exact elements
+
+
+def test_group_quantiles_tiny_groups():
+    from featurebox_ray.stages.quantile import group_quantiles
+
+    t = pa.table({"g": pa.array(["x", "y", "y", "z"]),
+                  "v": pa.array([7.0, 1.0, 2.0, None], pa.float64())})
+    got = group_quantiles(ray.data.from_arrow(t), group_col="g",
+                          value_col="v", qs=[0.5],
+                          num_partitions=2).to_pandas()
+    got = got.set_index("g")
+    assert got.loc["x", "p50"] == 7.0
+    assert got.loc["y", "p50"] == 1.0      # ceil(0.5*2)-1 = 0 -> lower
+    assert got.loc["z", "n_vals"] == 0 and np.isnan(got.loc["z", "p50"])
