@@ -59,9 +59,16 @@ def broadcast_interval_join(
     import ray
 
     if intervals.num_rows == 0:
+        # keep the output schema identical to the non-empty path:
+        # keep_cols + the interval attach columns, all correctly typed
+        attach_schema = intervals.drop_columns([lo_col, hi_col]).schema
+
         def empty(b: pa.Table) -> pa.Table:
             out = b.select(list(keep_cols) if keep_cols else b.column_names)
-            return out.slice(0, 0)
+            out = out.slice(0, 0)
+            for f in attach_schema:
+                out = out.append_column(f.name, pa.array([], f.type))
+            return out
         return ds.map_batches(empty, batch_format="pyarrow",
                               zero_copy_batch=True)
 
@@ -76,6 +83,10 @@ def broadcast_interval_join(
 
     def join_batch(batch: pa.Table) -> pa.Table:
         lo_, hi_, w_, attach_ = ray.get(iv_ref)
+        if batch[ts_col].null_count:
+            # SQL range predicates on NULL ts are false — drop the rows
+            # (a null would otherwise become INT64_MIN and wrap below)
+            batch = batch.filter(pc.is_valid(batch[ts_col]))
         proj = batch.select(list(keep_cols)) if keep_cols else batch
         ts = _as_int64(batch[ts_col])
         left = np.searchsorted(lo_, ts - w_, side="right")
@@ -117,6 +128,11 @@ def top_k_per_group(ds, *, group_col: str, order_col: str, tie_col: str,
     blocks = [b for b in ray.get(materialized_block_refs(small))
               if b.num_rows > 0]
     if not blocks:
+        # preserve the source column types so empty and non-empty
+        # results have the same schema (callers cast/take on these)
+        src = ds.schema()
+        src = getattr(src, "base_schema", None) if src is not None else None
         return pa.schema(
-            [(c, pa.null()) for c in keep_cols]).empty_table()
+            [(c, src.field(c).type if src is not None else pa.null())
+             for c in keep_cols]).empty_table()
     return pa.concat_tables(blocks, promote_options="default")

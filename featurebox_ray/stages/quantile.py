@@ -61,10 +61,20 @@ def group_quantiles(
         raise ValueError("names and qs must have equal length")
 
     def kernel(t: pa.Table) -> pa.Table:
-        gd = pc.dictionary_encode(t[group_col].combine_chunks())
-        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        g_arr = t[group_col].combine_chunks()
+        gd = pc.dictionary_encode(g_arr)
+        n_named = len(gd.dictionary)
+        # SQL GROUP BY keeps a NULL group: route null-keyed rows to an
+        # extra trailing slot instead of crashing on null indices
+        has_null_group = g_arr.null_count > 0
+        n_groups = n_named + (1 if has_null_group else 0)
+        idx = gd.indices
+        if idx.null_count:
+            codes = pc.fill_null(idx, n_named).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        n_groups = len(gd.dictionary)
         cols = {nm: np.full(n_groups, np.nan) for nm in names}
         # sort once by (group, value); null/NaN values sort last per
         # group and the picked rank counts only the valid prefix — SQL
@@ -75,14 +85,18 @@ def group_quantiles(
         starts = np.searchsorted(c_s, np.arange(n_groups), side="left")
         n_ok = np.zeros(n_groups, np.int64)
         np.add.at(n_ok, codes[valid], 1)
-        for g in range(n_groups):
-            n = int(n_ok[g])
-            if n == 0:
-                continue
-            seg = v_s[starts[g]:starts[g] + n]  # valid values sort first
-            for q, nm in zip(qs, names):
-                cols[nm][g] = seg[_disc_index(q, n)]
-        res = {group_col: gd.dictionary,
+        nonempty = n_ok > 0
+        for q, nm in zip(qs, names):
+            # vectorized element pick at the quantile_disc rank (same
+            # float64 ceil as _disc_index, one gather per q)
+            idxq = np.maximum(
+                np.ceil(q * n_ok.astype(np.float64)).astype(np.int64) - 1, 0)
+            cols[nm][nonempty] = v_s[(starts + idxq)[nonempty]]
+        group_out = gd.dictionary
+        if has_null_group:
+            group_out = pa.concat_arrays(
+                [group_out, pa.nulls(1, group_out.type)])
+        res = {group_col: group_out,
                "n_vals": pa.array(n_ok, pa.int64())}
         for nm in names:
             v = cols[nm]

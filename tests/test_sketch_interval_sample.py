@@ -20,11 +20,6 @@ def _md5_60(v) -> int:
     return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
 
 
-def _to_table(ds) -> pa.Table:
-    return pa.concat_tables(
-        [pa.Table.from_pandas(ds.to_pandas())], promote_options="default")
-
-
 # ---------------------------------------------------------------- KMV ----
 
 def _kmv_replay(groups, values, k):
@@ -203,3 +198,49 @@ def test_group_quantiles_tiny_groups():
     assert got.loc["x", "p50"] == 7.0
     assert got.loc["y", "p50"] == 1.0      # ceil(0.5*2)-1 = 0 -> lower
     assert got.loc["z", "n_vals"] == 0 and np.isnan(got.loc["z", "p50"])
+
+
+def test_group_quantiles_null_group_key():
+    from featurebox_ray.stages.quantile import group_quantiles
+
+    t = pa.table({"g": pa.array(["a", None, "a", None]),
+                  "v": pa.array([1.0, 5.0, 3.0, 7.0])})
+    got = group_quantiles(ray.data.from_arrow(t), group_col="g",
+                          value_col="v", qs=[0.5],
+                          num_partitions=2).to_pandas()
+    # SQL GROUP BY keeps the NULL group as its own row
+    assert len(got) == 2
+    byg = {(None if g is None or (isinstance(g, float) and np.isnan(g))
+            else g): r for g, r in zip(got["g"], got.itertuples())}
+    assert byg["a"].p50 == 1.0           # ceil(0.5*2)-1 = 0
+    assert byg[None].p50 == 5.0
+    assert byg[None].n_vals == 2
+
+
+def test_interval_join_null_ts_dropped():
+    fact = pa.table({"rid": pa.array([1, 2, 3], pa.int64()),
+                     "ts": pa.array([5, None, 15], pa.int64())})
+    iv = pa.table({"win_id": pa.array([0], pa.int64()),
+                   "lo": pa.array([0], pa.int64()),
+                   "hi": pa.array([10], pa.int64())})
+    out = broadcast_interval_join(ray.data.from_arrow(fact), iv,
+                                  ts_col="ts", keep_cols=["rid"]).to_pandas()
+    assert out["rid"].tolist() == [1]
+
+
+def test_interval_join_empty_intervals_schema():
+    fact = pa.table({"rid": pa.array([1], pa.int64()),
+                     "ts": pa.array([5], pa.int64())})
+    iv = pa.table({"win_id": pa.array([], pa.int64()),
+                   "lo": pa.array([], pa.int64()),
+                   "hi": pa.array([], pa.int64())})
+    out = broadcast_interval_join(ray.data.from_arrow(fact), iv,
+                                  ts_col="ts", keep_cols=["rid"])
+    # Ray's to_pandas drops the schema of an all-empty dataset; the
+    # blocks themselves must still carry keep_cols + attach columns
+    from featurebox_ray.stages.partition import materialized_block_refs
+
+    blocks = ray.get(materialized_block_refs(out))
+    assert blocks and blocks[0].num_rows == 0
+    assert blocks[0].column_names == ["rid", "win_id"]
+    assert blocks[0].schema.field("win_id").type == pa.int64()
