@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q49_interval_join": _interval_join_q,
         "q50_hash_sample": _hash_sample_q,
         "q51_group_quantiles": _group_quantiles_q,
+        "q52_tumbling_window": eq.tumbling_stats,
+        "q53_tfidf": _tfidf_q,
     }
 
 
@@ -1151,6 +1153,22 @@ def _group_quantiles_q(sf_dir: str):
                            qs=[0.5, 0.9, 0.99], num_partitions=8)
 
 
+def _tfidf_q(sf_dir: str):
+    """q53: distributed TF-IDF over documents — per-batch TF + partial DF,
+    one term-keyed exchange for the global DF, broadcast vocabulary,
+    top-3 terms per doc.  IDF is the exact rational N/df (no ln: libm
+    ulps differ between engines), so tf*(N/df) is two IEEE ops DuckDB
+    reproduces bit-exactly — full value-hash, no rounding, including the
+    (tfidf DESC, term ASC) tie-break."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import tfidf_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return tfidf_topk(docs, id_col="doc_id", text_col="text", k=3)
+
+
 def _symbolic_golden(sf_dir: str):
     """Golden-recovery: plant (x0+x1)*(x2-x3) and recover it via the
     exhaustive height-2 expression search (ref Instance2 height_2.py).
@@ -1796,5 +1814,38 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS p90,
                    quantile_disc(value, 0.99) AS p99
             FROM events GROUP BY event_type
+        """,
+        # tumbling 6h windows: bucket = floor(epoch_us / width), exact
+        # int64 on both sides; aggregates order-independent-exact
+        "q52_tumbling_window": """
+            SELECT user_id,
+                   (epoch_us(ts) // 21600000000) * 21600000000 AS w_start,
+                   count(*) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS id_sum,
+                   round(min(value), 6) AS v_min,
+                   round(max(value), 6) AS v_max
+            FROM events
+            GROUP BY user_id, (epoch_us(ts) // 21600000000)
+        """,
+        # TF-IDF with exact rational IDF (N/df; no ln — libm ulps differ);
+        # tf*(N/df) = two IEEE ops, bit-identical to the engine; tokenizer
+        # equivalence \\S+ <-> utf8_split_whitespace as established by q26
+        "q53_tfidf": """
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT count(*) AS n FROM documents)
+            SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+                   CAST(tf.tf AS DOUBLE)
+                   * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+            QUALIFY row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tfidf DESC, tf.term) <= 3
         """,
     }

@@ -159,7 +159,8 @@ QUERY_NAMES = [
     # runs the serial replay oracle inline, which would dominate the
     # reported time.  q47's loopback endpoint is trivial, so it stays.
     "q47_http_fetch", "q48_kmv_distinct", "q49_interval_join",
-    "q50_hash_sample", "q51_group_quantiles",
+    "q50_hash_sample", "q51_group_quantiles", "q52_tumbling_window",
+    "q53_tfidf",
 ]
 
 

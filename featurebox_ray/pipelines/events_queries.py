@@ -289,3 +289,18 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 3):
     # relative error); 4 dp absorbs it
     return _finish(out, ["query_id", "vec_id", "cosine"], ["cosine"],
                    ["query_id", "vec_id"], nd=4)
+
+
+def tumbling_stats(sf_dir: str, width_s: float = 6 * 3600.0):
+    """Fixed 6-hour tumbling windows per user: one row per occupied
+    (user, window) bucket with order-independent-exact aggregates."""
+    from ..stages.window import tumbling_window_stats
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = tumbling_window_stats(ev, key_col="user_id", ts_col="ts",
+                                value_col="value", id_col="event_id",
+                                width_s=width_s)
+    return _finish(out, ["user_id", "w_start", "n_events", "id_sum",
+                         "v_min", "v_max"],
+                   ["v_min", "v_max"],
+                   ["user_id", "w_start", "n_events", "id_sum"])

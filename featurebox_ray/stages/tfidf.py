@@ -1,0 +1,158 @@
+"""Distributed TF-IDF — term-frequency × inverse-document-frequency over a
+document table, with per-document top-k term extraction.
+
+Three-stage shape (the classic two-pass text pipeline at scale):
+
+1. **TF / partial-DF pass** (streaming map): tokenize each batch
+   (``stages/dedup.split_tokens`` — Arrow C++ whitespace splitter), count
+   terms per document (documents are rows, so TF is batch-local), and emit
+   per-term partial document counts.
+2. **DF aggregate** (the one keyed exchange): sum partial DFs per term —
+   the shuffle moves ``(term, count)`` pairs, never documents.
+3. **Score pass** (streaming map): the DF vocabulary broadcasts once
+   (``ray.put`` of a sorted term array + counts; lookups are one
+   ``searchsorted`` per batch) and each batch re-derives its TFs and picks
+   its documents' top-k terms.
+
+IDF here is the exact rational ``N / df`` (no logarithm): ``ln`` differs
+in ulps between libm implementations, while ``tf * (N / df)`` is two IEEE
+ops that DuckDB reproduces bit-exactly — the ranking is the same
+monotone transform, and results value-hash end to end.
+
+Scale notes (100 TB): the vocabulary broadcast is O(distinct terms); for
+open-vocabulary corpora cap it (min-DF prune inside stage 2 — terms with
+df=1 can never rank above a repeated term within the same doc) or swap
+stage 3's broadcast for the semi-join fetch shape of
+``dedup.verify_jaccard_pairs``.  Tokenization runs twice (stages 1 and 3)
+to keep the exchange term-sized; materializing the tokenized table
+instead would ship every token through the object store.
+
+Reference analog: none (the reference has no text pipeline); this is a
+beyond-reference LLM-data operator alongside dedup/ANN/text-analysis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import split_tokens
+
+
+def _doc_term_tf(batch: pa.Table, id_col: str, text_col: str):
+    """(doc_ids, terms, tf) for every distinct (doc, term) pair in the
+    batch — vectorized: tokenize, lexsort (row, term), run-length."""
+    texts = batch[text_col].combine_chunks()
+    flat, off = split_tokens(texts)
+    n_rows = batch.num_rows
+    if len(flat) == 0:
+        return (np.empty(0, np.int64), flat, np.empty(0, np.int64))
+    row_ids = np.repeat(np.arange(n_rows), np.diff(off))
+    # dictionary-encode tokens once; runs of equal (row, code) give TF
+    dct = pc.dictionary_encode(flat)
+    codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((codes, row_ids))
+    r_s, c_s = row_ids[order], codes[order]
+    new_run = np.ones(len(r_s), bool)
+    new_run[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+    starts = np.flatnonzero(new_run)
+    tf = np.diff(np.concatenate([starts, [len(r_s)]]))
+    doc_idx = r_s[starts]
+    docs = batch[id_col].combine_chunks().take(
+        pa.array(doc_idx, pa.int64()))
+    terms = dct.dictionary.take(pa.array(c_s[starts], pa.int64()))
+    return docs, terms, tf.astype(np.int64)
+
+
+def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, num_partitions: int = 8,
+               n_docs: int | None = None):
+    """Top-k terms per document by ``tf * (N / df)``, ties broken by
+    ascending term.  Returns ``(id_col, term, tf:int64, tfidf:float64)``.
+
+    ``n_docs``: pass the corpus row count when ``ds`` ends in expensive
+    lazy stages — the default ``ds.count()`` is metadata-cheap on a
+    parquet read but executes the full chain on a mapped dataset (the
+    same hazard as ``.schema()``, see bench.py's flagship probe).
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, terms, _ = _doc_term_tf(batch, id_col, text_col)
+        # every (doc, term) pair is distinct -> per-term pair count is
+        # this batch's document frequency
+        dct = pc.dictionary_encode(terms) if len(terms) else None
+        if dct is None:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        counts = np.bincount(
+            dct.indices.to_numpy(zero_copy_only=False),
+            minlength=len(dct.dictionary))
+        return pa.table({"term": dct.dictionary,
+                         "df": pa.array(counts.astype(np.int64))})
+
+    def df_combine(t: pa.Table) -> pa.Table:
+        dct = pc.dictionary_encode(t["term"].combine_chunks())
+        sums = np.zeros(len(dct.dictionary), np.int64)
+        np.add.at(sums, dct.indices.to_numpy(zero_copy_only=False),
+                  t["df"].to_numpy(zero_copy_only=False))
+        return pa.table({"term": dct.dictionary, "df": pa.array(sums)})
+
+    partials = ds.map_batches(df_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    df_ds = partitioned_map(partials, df_combine, key="term",
+                            sort_keys=["term"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    blocks = [b for b in ray.get(materialized_block_refs(df_ds))
+              if b.num_rows > 0]
+    if not blocks:
+        empty = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64()), ("tfidf", pa.float64())])
+        return ray.data.from_arrow(empty.empty_table())
+    vocab = pa.concat_tables(blocks, promote_options="default")
+    # vocabulary sorted by term (Arrow bytewise = DuckDB binary collation):
+    # `index_in` positions double as the ascending-term tie-break key
+    vocab = vocab.take(pc.sort_indices(vocab["term"]))
+    vterms = vocab["term"].combine_chunks()
+    vdfs = vocab["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    vocab_ref = ray.put((vterms, vdfs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vterms_, vdfs_ = ray.get(vocab_ref)
+        docs, terms, tf = _doc_term_tf(batch, id_col, text_col)
+        if len(tf) == 0:
+            return pa.table({id_col: docs, "term": terms,
+                             "tf": pa.array([], pa.int64()),
+                             "tfidf": pa.array([], pa.float64())})
+        pos = pc.index_in(terms, value_set=vterms_).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = vdfs_[pos]
+        tfidf = tf.astype(np.float64) * (float(n_docs) / df)
+        # top-k per doc by (tfidf desc, term asc = vocab pos asc); docs
+        # are contiguous after the lexsort
+        doc_np = docs.to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, -tfidf, doc_np))
+        d_s = doc_np[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], d_s[1:] != d_s[:-1]]))
+        run_id = np.cumsum(
+            np.concatenate([[0], (d_s[1:] != d_s[:-1]).astype(np.int64)]))
+        rank = np.arange(len(d_s)) - starts[run_id]
+        sel = order[rank < k]
+        sel_arr = pa.array(sel, pa.int64())
+        return pa.table({
+            id_col: docs.take(sel_arr),
+            "term": terms.take(sel_arr),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "tfidf": pa.array(tfidf[sel], pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

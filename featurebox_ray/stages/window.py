@@ -158,3 +158,65 @@ def add_window_features(
         num_partitions=num_partitions,
         strategy=strategy,
     )
+
+
+def tumbling_window_stats(ds, *, key_col: str, ts_col: str, value_col: str,
+                          id_col: str, width_s: float,
+                          num_partitions: int = 16):
+    """Fixed (tumbling) time-window aggregate per key: rows bucketed by
+    ``floor(epoch_us / width_us)`` and aggregated per ``(key, bucket)``.
+
+    Unlike the trailing windows in :func:`add_window_features` (one output
+    row per input row), a tumbling window emits one row per occupied
+    bucket — the batch/offline shape of a streaming windowed aggregate.
+    Pure hash aggregate: a per-block partial (pandas groupby over the
+    derived bucket) then a tiny keyed combine — no sort, no per-row state,
+    so the only exchange moves ``(keys × buckets)`` partial rows.  All
+    aggregates are order-independent-exact (count, int64 id sum, min/max),
+    so results are reproducible under any partitioning.
+
+    Output: ``(key_col, w_start:timestamp-like int64 us, n_events:int64,
+    id_sum:int64, v_min, v_max)``.
+    """
+    import pandas as pd
+
+    from .partition import partitioned_map
+
+    width_us = int(round(width_s * 1_000_000))
+    if width_us <= 0:
+        raise ValueError("width_s must be positive")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t[ts_col].null_count:
+            t = t.filter(pc.is_valid(t[ts_col]))
+        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        bucket = ts // width_us  # floor division, exact int64
+        df = pd.DataFrame({
+            "k": t[key_col].to_numpy(zero_copy_only=False),
+            "w_start": bucket * width_us,
+            "i": t[id_col].to_numpy(zero_copy_only=False),
+            "v": t[value_col].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["k", "w_start"], as_index=False, sort=False).agg(
+            n_events=("i", "size"), id_sum=("i", "sum"),
+            v_min=("v", "min"), v_max=("v", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["k", "w_start"], as_index=False, sort=False).agg(
+            n_events=("n_events", "sum"), id_sum=("id_sum", "sum"),
+            v_min=("v_min", "min"), v_max=("v_max", "max"))
+        g = g.rename(columns={"k": key_col})
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partitioned_map(partials, combine, key="k",
+                           sort_keys=["k", "w_start"],
+                           num_partitions=num_partitions, strategy="tasks")

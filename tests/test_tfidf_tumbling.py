@@ -1,0 +1,110 @@
+"""Tumbling-window aggregate (stages/window.py) and distributed TF-IDF
+(stages/tfidf.py) vs serial replays.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from featurebox_ray.stages.tfidf import tfidf_topk
+from featurebox_ray.stages.window import tumbling_window_stats
+
+
+def test_tumbling_window_matches_serial():
+    rng = np.random.default_rng(9)
+    n = 400
+    keys = rng.choice(["u1", "u2", "u3"], n)
+    ts = rng.integers(0, 100_000, n)          # raw int64 "us"
+    ids = np.arange(n)
+    vals = rng.normal(size=n)
+    t = pa.table({"k": pa.array(keys.tolist()),
+                  "ts": pa.array(ts, pa.int64()),
+                  "id": pa.array(ids, pa.int64()),
+                  "v": pa.array(vals)})
+    W = 7.0  # 7s -> 7_000_000 us windows
+    got = tumbling_window_stats(
+        ray.data.from_arrow(t).repartition(5), key_col="k", ts_col="ts",
+        value_col="v", id_col="id", width_s=W, num_partitions=4
+    ).to_pandas().sort_values(["k", "w_start"]).reset_index(drop=True)
+
+    width_us = int(W * 1e6)
+    want = {}
+    for k_, t_, i_, v_ in zip(keys, ts, ids, vals):
+        w = (t_ // width_us) * width_us
+        e = want.setdefault((k_, w), [0, 0, np.inf, -np.inf])
+        e[0] += 1
+        e[1] += i_
+        e[2] = min(e[2], v_)
+        e[3] = max(e[3], v_)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        n_, s_, mn, mx = want[(r["k"], r["w_start"])]
+        assert (r["n_events"], r["id_sum"]) == (n_, s_)
+        assert r["v_min"] == mn and r["v_max"] == mx
+
+
+def test_tumbling_window_partition_invariance():
+    rng = np.random.default_rng(2)
+    t = pa.table({"k": pa.array(rng.choice(["a", "b"], 200).tolist()),
+                  "ts": pa.array(rng.integers(0, 10_000, 200), pa.int64()),
+                  "id": pa.array(np.arange(200), pa.int64()),
+                  "v": pa.array(rng.normal(size=200))})
+
+    def run(ds, p):
+        return tumbling_window_stats(
+            ds, key_col="k", ts_col="ts", value_col="v", id_col="id",
+            width_s=0.001, num_partitions=p
+        ).to_pandas().sort_values(["k", "w_start"]).reset_index(drop=True)
+
+    a = run(ray.data.from_arrow(t), 2)
+    b = run(ray.data.from_arrow(t).repartition(9), 7)
+    assert a.equals(b)
+
+
+def _tfidf_replay(ids, texts, k):
+    tf = {}
+    df = {}
+    for d, tx in zip(ids, texts):
+        toks = tx.split()
+        for term in set(toks):
+            df[term] = df.get(term, 0) + 1
+        for term in toks:
+            tf[(d, term)] = tf.get((d, term), 0) + 1
+    n = float(len(ids))
+    rows = []
+    for (d, term), f in tf.items():
+        rows.append((d, term, f, f * (n / df[term])))
+    out = []
+    for d in set(ids):
+        mine = sorted((r for r in rows if r[0] == d),
+                      key=lambda r: (-r[3], r[1]))[:k]
+        out.extend(mine)
+    return {(d, t): (f, s) for d, t, f, s in out}
+
+
+def test_tfidf_matches_serial_replay():
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(30)]
+    ids = list(range(60))
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25)).tolist())
+             for _ in ids]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    got = tfidf_topk(ray.data.from_arrow(t).repartition(6),
+                     id_col="doc_id", text_col="text", k=3).to_pandas()
+    want = _tfidf_replay(ids, texts, 3)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        f, s = want[(r["doc_id"], r["term"])]
+        assert r["tf"] == f
+        assert r["tfidf"] == s  # bit-exact: same two IEEE ops
+
+
+def test_tfidf_empty_and_short_docs():
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["only", "", "   "])})
+    got = tfidf_topk(ray.data.from_arrow(t), k=3).to_pandas()
+    # docs 2/3 have no tokens -> no rows; doc 1 has one term
+    assert got["doc_id"].tolist() == [1]
+    assert got["term"].tolist() == ["only"]
+    assert got["tfidf"].tolist() == [1.0 * (3.0 / 1.0)]
