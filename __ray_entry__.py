@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_group_quantiles": _group_quantiles_q,
         "q52_tumbling_window": eq.tumbling_stats,
         "q53_tfidf": _tfidf_q,
+        "q54_batch_files": _batch_files_q,
     }
 
 
@@ -1153,6 +1154,78 @@ def _group_quantiles_q(sf_dir: str):
                            qs=[0.5, 0.9, 0.99], num_partitions=8)
 
 
+def _batch_files_q(sf_dir: str):
+    """q54: batch file discovery + filter + distributed VASP-POSCAR ingest
+    (ref tools/imports.py:206-344 BatchFile walk/filter semantics +
+    data/fetcher_vasp.py ingest, pymatgen replaced by a stdlib parser).
+    A deterministic POSCAR tree is generated from documents.doc_id (every
+    field an exact binary fraction of the id), so the DuckDB oracle
+    recomputes the parsed table directly from `documents` — full
+    value-hash, no fixture.  The pipeline exercises name filtering
+    (junk.txt dropped), dir-layer filtering (g2 subtrees excluded) and
+    the cofactor-determinant volume."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.sources.files import (discover_files, filter_files,
+                                              read_poscar_fn)
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]
+                        )["doc_id"].to_numpy(zero_copy_only=False)
+    ids = np.sort(ids[ids % 5 == 0])
+    tag = f"{len(ids)}_{int(ids[-1]) if len(ids) else 0}_v1"
+    root = f"/tmp/fbr_vasp_trees/{tag}"
+    marker = f"{root}/.done"
+    if not os.path.exists(marker):
+        # build under a temp name, atomic rename (concurrent gate/bench
+        # runs share the tree; same ids -> same bytes)
+        tmp = f"{root}.build{os.getpid()}"
+        for i in ids.tolist():
+            s = 1.0 + (i % 8) * 0.125
+            a = 2 + (i % 5) * 0.25
+            b = 3 + (i % 7) * 0.5
+            c = 1 + (i % 3) * 0.25
+            dd = (i % 4) * 0.25
+            n1, n2 = 1 + i % 3, 1 + i % 4
+            n = n1 + n2
+            d = f"{tmp}/g{i % 3}/s{i}"
+            os.makedirs(d, exist_ok=True)
+            coords = "\n".join(f"{j * 0.0625!r} 0.25 0.5" for j in range(n))
+            with open(f"{d}/POSCAR", "w") as fh:
+                fh.write(f"doc {i}\n{s!r}\n{a!r} 0.0 0.0\n{dd!r} {b!r} 0.0\n"
+                         f"0.0 0.0 {c!r}\nSi O\n{n1} {n2}\nDirect\n"
+                         f"{coords}\n")
+            with open(f"{d}/junk.txt", "w") as fh:
+                fh.write("not a poscar")
+        open(f"{tmp}/.done", "w").close()
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            pass  # another run won the race; its tree is identical
+    ds = discover_files(root)
+    ds = filter_files(ds, name_include="POSCAR", dir_exclude="g2",
+                      layer=-2)
+    parsed = ds.map_batches(read_poscar_fn, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        doc_id = pc.cast(pc.utf8_replace_slice(batch["comment"], 0, 4, ""),
+                         pa.int64())
+        return pa.table({
+            "doc_id": doc_id,
+            "n_atoms": batch["n_atoms"],
+            "scale": batch["scale"],
+            "volume": batch["volume"],
+            "x_sum": batch["x_sum"],
+        })
+
+    return parsed.map_batches(finish, batch_format="pyarrow")
+
+
 def _tfidf_q(sf_dir: str):
     """q53: distributed TF-IDF over documents — per-batch TF + partial DF,
     one term-keyed exchange for the global DF, broadcast vocabulary,
@@ -1847,5 +1920,25 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY tf.doc_id
                 ORDER BY tfidf DESC, tf.term) <= 3
+        """,
+        # POSCAR ingest replay: every parsed field is an exact binary
+        # fraction of doc_id, so the oracle recomputes the table without
+        # touching files; volume = s*s*s * (a*(b*c)) matches the parser's
+        # cofactor det (zero terms vanish exactly); x_sum is the closed
+        # form of sum(j*0.0625) — dyadic, order-independent-exact
+        "q54_batch_files": """
+            SELECT doc_id,
+                   CAST(2 + doc_id % 3 + doc_id % 4 AS BIGINT) AS n_atoms,
+                   1.0 + (doc_id % 8) * 0.125 AS scale,
+                   ((1.0 + (doc_id % 8) * 0.125)
+                    * (1.0 + (doc_id % 8) * 0.125)
+                    * (1.0 + (doc_id % 8) * 0.125))
+                   * ((2 + (doc_id % 5) * 0.25)
+                      * ((3 + (doc_id % 7) * 0.5)
+                         * (1 + (doc_id % 3) * 0.25))) AS volume,
+                   0.0625 * (((2 + doc_id % 3 + doc_id % 4)
+                              * (1 + doc_id % 3 + doc_id % 4)) / 2) AS x_sum
+            FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id % 3 <> 2
         """,
     }
