@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q52_tumbling_window": eq.tumbling_stats,
         "q53_tfidf": _tfidf_q,
         "q54_batch_files": _batch_files_q,
+        "q55_cap_per_group": _cap_per_group_q,
     }
 
 
@@ -1226,6 +1227,21 @@ def _batch_files_q(sf_dir: str):
     return parsed.map_batches(finish, batch_format="pyarrow")
 
 
+def _cap_per_group_q(sf_dir: str):
+    """q55: deterministic per-group row cap — keep the 7 docs per source
+    with the smallest (knuth_hash(doc_id), doc_id): the dataset-balancing
+    primitive (cap documents per domain before training).  Two-pass: tiny
+    per-group top-m exchange, then a broadcast winner-id semi-join filter;
+    pure function of ids, so SQL replays it with the identical hash."""
+    import ray
+
+    from featurebox_ray.stages.sample import cap_per_group
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "n_chars"])
+    return cap_per_group(docs, group_col="source", id_col="doc_id", m=7)
+
+
 def _tfidf_q(sf_dir: str):
     """q53: distributed TF-IDF over documents — per-batch TF + partial DF,
     one term-keyed exchange for the global DF, broadcast vocabulary,
@@ -1940,5 +1956,14 @@ def oracle_sql() -> dict[str, str]:
                               * (1 + doc_id % 3 + doc_id % 4)) / 2) AS x_sum
             FROM documents
             WHERE doc_id % 5 = 0 AND doc_id % 3 <> 2
+        """,
+        # per-group cap: identical Knuth hash in HUGEINT; ties (none for
+        # distinct ids, but specified) break by doc_id ascending
+        "q55_cap_per_group": """
+            SELECT doc_id, source, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY ((CAST(doc_id AS HUGEINT) % 4294967296)
+                          * 2654435761) % 4294967296, doc_id) <= 7
         """,
     }

@@ -58,3 +58,82 @@ def hash_sample(ds, *, key_col: str, threshold: int):
         return batch.filter(pa.array(h < np.uint64(threshold)))
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cap_per_group(ds, *, group_col: str, id_col: str, m: int):
+    """Deterministic per-group row cap — keep the ``m`` rows of each group
+    with the smallest ``(knuth_hash(id), id)``, i.e. a stable uniform
+    downsample per group (the dataset-balancing primitive: cap documents
+    per source/domain before training).
+
+    Two-pass, shuffle-free on the data: (1) a streaming partial top-m per
+    group per block, combined through ONE tiny keyed exchange (the
+    exchange moves ``groups × m`` (group, hash, id) rows, never data);
+    (2) the winning id set broadcasts (``ray.put`` once) and the fact
+    stream filters with ``pc.is_in``.  Deterministic across runs,
+    partitionings and cluster sizes (pure function of ids), and
+    SQL-replayable: ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY
+    ((id % 4294967296) * 2654435761) % 4294967296, id) <= m``.
+
+    Requires non-negative integer ids (same domain note as
+    :func:`hash_sample`).  At extreme group cardinality the winner set is
+    ``groups × m`` ids — swap the broadcast for the semi-join fetch shape
+    if that outgrows worker memory.
+    """
+    import ray
+
+    from .partition import partitioned_map
+
+    def key_hash(k: np.ndarray) -> np.ndarray:
+        if k.size and int(k.min()) < 0:
+            raise ValueError("cap_per_group requires non-negative ids")
+        return ((k.astype(np.int64).view(np.uint64) % np.uint64(MOD))
+                * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: batch[group_col],
+                             "h": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = key_hash(ids).astype(np.int64)
+        gd = pc.dictionary_encode(batch[group_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h, codes))
+        c_s = codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], c_s[1:] != c_s[:-1]]))
+        run_id = np.cumsum(np.concatenate(
+            [[0], (c_s[1:] != c_s[:-1]).astype(np.int64)]))
+        rank = np.arange(len(c_s)) - starts[run_id]
+        sel = order[rank < m]
+        return pa.table({
+            group_col: gd.dictionary.take(pa.array(codes[sel], pa.int64())),
+            "h": pa.array(h[sel], pa.int64()),
+            id_col: pa.array(ids[sel], pa.int64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        return partial(t)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    winners = partitioned_map(partials, combine, key=group_col,
+                              sort_keys=[group_col, "h", id_col],
+                              num_partitions=8, strategy="tasks")
+    from .partition import materialized_block_refs
+
+    blocks = [b for b in ray.get(materialized_block_refs(winners))
+              if b.num_rows > 0]
+    if not blocks:
+        return ds.map_batches(lambda b: b.slice(0, 0),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    win_ids = pa.concat_tables(
+        [b.select([id_col]) for b in blocks],
+        promote_options="default")[id_col].combine_chunks()
+    ids_ref = ray.put(win_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ws = ray.get(ids_ref)
+        return batch.filter(pc.is_in(batch[id_col], value_set=ws))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -244,3 +244,37 @@ def test_interval_join_empty_intervals_schema():
     assert blocks and blocks[0].num_rows == 0
     assert blocks[0].column_names == ["rid", "win_id"]
     assert blocks[0].schema.field("win_id").type == pa.int64()
+
+
+def test_cap_per_group_matches_serial_and_partition_invariant():
+    from featurebox_ray.stages.sample import KNUTH_MULT, cap_per_group
+
+    rng = np.random.default_rng(8)
+    n = 500
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    grp = rng.choice(["a", "b", "c", "d"], n)
+    t = pa.table({"id": pa.array(ids), "g": pa.array(grp.tolist()),
+                  "x": pa.array(rng.normal(size=n))})
+
+    def serial(m):
+        h = ((ids.view(np.uint64) % np.uint64(MOD))
+             * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+        keep = set()
+        for g in np.unique(grp):
+            sel = np.flatnonzero(grp == g)
+            order = sel[np.lexsort((ids[sel], h[sel]))][:m]
+            keep.update(ids[order].tolist())
+        return keep
+
+    got = cap_per_group(ray.data.from_arrow(t).repartition(6),
+                        group_col="g", id_col="id", m=20).to_pandas()
+    assert set(got["id"]) == serial(20)
+    assert got.groupby(got["id"].map(dict(zip(ids, grp)))).size().max() <= 20
+    # different partitioning -> identical winner set
+    got2 = cap_per_group(ray.data.from_arrow(t).repartition(3),
+                         group_col="g", id_col="id", m=20).to_pandas()
+    assert sorted(got["id"]) == sorted(got2["id"])
+    # m larger than any group -> identity
+    all_rows = cap_per_group(ray.data.from_arrow(t), group_col="g",
+                             id_col="id", m=n).count()
+    assert all_rows == n
