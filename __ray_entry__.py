@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_tfidf": _tfidf_q,
         "q54_batch_files": _batch_files_q,
         "q55_cap_per_group": _cap_per_group_q,
+        "q56_asof_forward": eq.asof_next_event,
     }
 
 
@@ -1965,5 +1966,16 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source
                 ORDER BY ((CAST(doc_id AS HUGEINT) % 4294967296)
                           * 2654435761) % 4294967296, doc_id) <= 7
+        """,
+        # forward as-of (next-event lookup): engine picks the FIRST right
+        # row by right_cols among equal (key, ts) -> pre-dedup with min()
+        # (mirror of q10's max() for the backward LAST pick)
+        "q56_asof_forward": """
+            SELECT e.event_id, round(f.next_err, 6) AS next_err
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, min(value) AS next_err
+                FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+            ) f ON e.user_id = f.user_id AND f.ts >= e.ts
         """,
     }

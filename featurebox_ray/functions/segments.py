@@ -400,3 +400,19 @@ def last_occurrence_index(
     src_pos = np.where(is_source, idx, -1)
     last = np.maximum.accumulate(src_pos)
     return np.where(last >= seg_start, last, -1)
+
+
+def next_occurrence_index(
+    is_source: np.ndarray, seg_end: np.ndarray
+) -> np.ndarray:
+    """Mirror of :func:`last_occurrence_index`: for each row, index of the
+    nearest row at-or-after it (in the sorted partition) where
+    ``is_source`` is True, constrained to the same segment; -1 if none.
+    ``seg_end[i]`` = exclusive end index of row i's segment.  This is the
+    forward as-of merge."""
+    n = len(is_source)
+    idx = np.arange(n, dtype=np.int64)
+    src_pos = np.where(is_source, idx, n)
+    # suffix-min: nearest source at-or-after each position
+    nxt = np.minimum.accumulate(src_pos[::-1])[::-1]
+    return np.where(nxt < seg_end, nxt, -1)

@@ -304,3 +304,28 @@ def tumbling_stats(sf_dir: str, width_s: float = 6 * 3600.0):
                          "v_min", "v_max"],
                    ["v_min", "v_max"],
                    ["user_id", "w_start", "n_events", "id_sum"])
+
+
+def asof_next_event(sf_dir: str):
+    """Forward as-of: EARLIEST 'error' value at-or-after each event per
+    user (next-event lookup; DuckDB ASOF r.ts >= l.ts semantics)."""
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type",
+                                 "value"])
+
+    def right_side(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], pa.scalar("error"))
+        b = batch.filter(m)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "next_err": b["value"],
+        })
+
+    right = ev.map_batches(right_side, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    left = _finish(ev, ["event_id", "user_id", "ts"], [], ["event_id"])
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    right_cols=["next_err"], num_partitions=16,
+                    strategy="tasks", direction="forward")
+    return _finish(out, ["event_id", "next_err"], ["next_err"],
+                   ["event_id"])

@@ -54,9 +54,20 @@ def asof_join(
     num_partitions: int = 32,
     strategy: str = "groupby",
     order_col: Optional[str] = None,
+    direction: str = "backward",
 ):
     """As-of join two Datasets.  ``right_cols`` are the value columns pulled
-    from the right side (appended to every left row, null when no match)."""
+    from the right side (appended to every left row, null when no match).
+
+    ``direction="backward"`` (default) matches the latest right row with
+    ``right.ts <= left.ts`` (``<`` when strict) — the point-in-time
+    backfill.  ``direction="forward"`` matches the EARLIEST right row with
+    ``right.ts >= left.ts`` (``>`` when strict) — the next-event lookup
+    (DuckDB ``ASOF JOIN ... ON r.ts >= l.ts`` semantics).  When several
+    right rows share (key, ts), backward picks the one sorting LAST by
+    ``right_cols``, forward the one sorting FIRST (both deterministic)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = list(right_cols)
     left_schema = left_ds.schema()
     left_names = list(left_schema.names)
@@ -69,7 +80,13 @@ def asof_join(
         raise ValueError(f"right_cols {overlap} collide with left columns")
 
     left_tag = 1
-    right_tag = 2 if strict else 0
+    if direction == "backward":
+        # right rows at equal ts sort BEFORE left (match) unless strict
+        right_tag = 2 if strict else 0
+    else:
+        # forward: right rows at equal ts sort AFTER left (match) unless
+        # strict, mirroring the backward tag trick
+        right_tag = 0 if strict else 2
     all_names = left_names + right_cols
     # common physical schema for union
     types = dict(left_types)
@@ -105,12 +122,19 @@ def asof_join(
             zero_copy_only=False
         )
         side = table[SIDE_COL].combine_chunks().to_numpy()
-        seg_start, _, _ = seg.segment_ids(codes)
+        seg_start, _, is_start = seg.segment_ids(codes)
         is_right = side == right_tag
-        last = seg.last_occurrence_index(is_right, seg_start)
         left_mask = side == left_tag
+        if direction == "backward":
+            match = seg.last_occurrence_index(is_right, seg_start)
+        else:
+            n = len(codes)
+            starts_idx = np.flatnonzero(is_start)
+            ends = np.append(starts_idx[1:], n)
+            seg_id = np.cumsum(is_start) - 1
+            match = seg.next_occurrence_index(is_right, ends[seg_id])
         left_pos = np.flatnonzero(left_mask)
-        src = last[left_pos]  # right row index per left row, -1 = none
+        src = match[left_pos]  # right row index per left row, -1 = none
         idx = pa.array(
             np.where(src >= 0, src, 0),
             type=pa.int64(),

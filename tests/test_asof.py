@@ -102,3 +102,46 @@ def test_strict_vs_nonstrict_on_ties(tiny_dir):
     st = run_asof(tiny_dir, strict=True)
     diff = (ns["f_score"].fillna(-1) != st["f_score"].fillna(-1)).sum()
     assert diff > 0, "tie rows should differentiate <= from <"
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_forward_asof_matches_duckdb(strict):
+    """direction='forward' vs DuckDB ASOF (r.ts >= / > l.ts) on random
+    data with planted equal-ts ties and keys with no right rows."""
+    import duckdb
+    import pyarrow as pa
+
+    rng = np.random.default_rng(13)
+    nl, nr = 300, 120
+    lk = rng.choice(["a", "b", "c", "d"], nl)
+    lts = rng.integers(0, 1000, nl)
+    rk = rng.choice(["a", "b", "c"], nr)
+    rts = rng.integers(0, 1000, nr)
+    # plant exact tie timestamps
+    rts[:30] = lts[:30]
+    rk[:30] = lk[:30]
+    rv = np.round(rng.normal(size=nr), 6)
+    ltab = pa.table({"lid": pa.array(np.arange(nl), pa.int64()),
+                     "k": pa.array(lk.tolist()),
+                     "ts": pa.array(lts, pa.int64())})
+    # unique right (k, ts): keep min v like the q56 oracle
+    import pandas as pd
+
+    rdf = (pd.DataFrame({"k": rk, "ts": rts, "v": rv})
+           .groupby(["k", "ts"], as_index=False)["v"].min())
+    right = pa.Table.from_pandas(rdf, preserve_index=False)
+    out = asof_join(ray.data.from_arrow(ltab).repartition(4),
+                    ray.data.from_arrow(right), key="k", ts_col="ts",
+                    right_cols=["v"], num_partitions=4, strategy="tasks",
+                    direction="forward", strict=strict,
+                    order_col="lid").to_pandas()
+    op = ">" if strict else ">="
+    want = duckdb.sql(
+        f"SELECT l.lid, r.v FROM ltab l ASOF LEFT JOIN rdf r "
+        f"ON l.k = r.k AND r.ts {op} l.ts ORDER BY l.lid").df()
+    got = out.sort_values("lid").reset_index(drop=True)
+    assert got["lid"].tolist() == want["lid"].tolist()
+    a, b = got["v"].to_numpy(), want["v"].to_numpy()
+    assert np.allclose(a, b, equal_nan=True)
+    # some lefts genuinely have no future match -> nulls survive the join
+    assert got["v"].isna().any()
