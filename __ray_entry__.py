@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_batch_files": _batch_files_q,
         "q55_cap_per_group": _cap_per_group_q,
         "q56_asof_forward": eq.asof_next_event,
+        "q57_kmeans": _kmeans_q,
     }
 
 
@@ -1243,6 +1244,64 @@ def _cap_per_group_q(sf_dir: str):
     return cap_per_group(docs, group_col="source", id_col="doc_id", m=7)
 
 
+def _kmeans_q(sf_dir: str):
+    """q57: distributed k-means (Lloyd's, 5 iterations, k=8) over the
+    embeddings table — the iterative-algorithm shape (per-iteration
+    centroid broadcast + streaming partial sums).  Exactness contract
+    (stages/kmeans.py docstring): dyadic quantization makes every
+    per-cluster sum EXACT under any block structure, so the serial numpy
+    replay (same arithmetic, zero distribution) is bit-identical — the
+    fixture oracle needs no rounding at all."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.kmeans import (_iterate_serial, assign,
+                                              kmeans_cluster_stats,
+                                              quantize)
+
+    K, ITERS, QB, SD = 8, 5, 10, 3
+
+    # ---- serial replay fixture (independent single-process recompute) --
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    t_sorted = t.take(pa.array(order, pa.int64()))
+    ids = t_sorted["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    arr = t_sorted["embedding"].combine_chunks()
+    x = quantize(arr.flatten().to_numpy(zero_copy_only=False)
+                 .reshape(len(arr), -1), QB)
+    _, a = _iterate_serial(x, K, ITERS)
+    cols = {"cluster": pa.array(np.arange(K), pa.int64())}
+    n = np.bincount(a, minlength=K).astype(np.int64)
+    id_sum = np.zeros(K, np.int64)
+    np.add.at(id_sum, a, ids)
+    xx = (x ** 2).sum(axis=-1)
+    xx_sum = np.zeros(K, np.float64)
+    np.add.at(xx_sum, a, xx)
+    cols.update({"n": pa.array(n), "id_sum": pa.array(id_sum),
+                 "xx_sum": pa.array(xx_sum)})
+    for d in range(SD):
+        s = np.zeros(K, np.float64)
+        np.add.at(s, a, x[:, d])
+        cols[f"s{d}"] = pa.array(s)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table(cols), f"{_ORACLE_DIR}/kmeans_stats.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/kmeans_stats.parquet.tmp",
+               f"{_ORACLE_DIR}/kmeans_stats.parquet")
+
+    # ---- distributed engine run ----------------------------------------
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return kmeans_cluster_stats(ds, vec_col="embedding", id_col="vec_id",
+                                k=K, iters=ITERS, quant_bits=QB,
+                                stat_dims=SD)
+
+
 def _tfidf_q(sf_dir: str):
     """q53: distributed TF-IDF over documents — per-batch TF + partial DF,
     one term-keyed exchange for the global DF, broadcast vocabulary,
@@ -1977,5 +2036,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, min(value) AS next_err
                 FROM events WHERE event_type = 'error' GROUP BY user_id, ts
             ) f ON e.user_id = f.user_id AND f.ts >= e.ts
+        """,
+        # k-means fixture replay: serial Lloyd's with identical dyadic
+        # arithmetic — bit-exact vs the distributed run, no rounding
+        "q57_kmeans": f"""
+            SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
+            FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
     }
