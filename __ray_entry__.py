@@ -363,6 +363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_cap_per_group": _cap_per_group_q,
         "q56_asof_forward": eq.asof_next_event,
         "q57_kmeans": _kmeans_q,
+        "q58_bloom_semi": _bloom_semi_q,
+        "q59_bloom_anti": _bloom_anti_q,
+        "q60_rank_family": _rank_family_q,
     }
 
 
@@ -1391,6 +1394,118 @@ def _ego_rank(sf_dir: str):
     })
 
 
+def _bloom_semi_q(sf_dir: str):
+    """q58: Bloom-filtered EXACT semi join (WHERE EXISTS) — lineitems of
+    high-value orders (o_totalprice > 400000, ~20% of orders).  The
+    bloom bitmap (128 KiB) broadcasts instead of the key set; bloom
+    misses drop before the verify exchange, so the single all-to-all
+    moves ~matches+ε rows, not the whole lineitem table.  Aggregated per
+    returnflag with exact int64 sums (qty integral; price in 1e-4
+    units) so values replay bit-exactly under any summation order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.bloom import bloom_semi_join
+    from featurebox_ray.stages.partition import partitioned_map
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+
+    def high_value(b: pa.Table) -> pa.Table:
+        keep = b["o_totalprice"].to_numpy(zero_copy_only=False) > 400000.0
+        return b.filter(pa.array(keep)).select(["o_orderkey"])
+
+    hv = orders.map_batches(high_value, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity",
+                 "l_extendedprice"])
+    semi = bloom_semi_join(li, hv, on="l_orderkey", right_on="o_orderkey",
+                           num_bits=1 << 17, num_partitions=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qty = np.round(b["l_quantity"].to_numpy(zero_copy_only=False)
+                       ).astype(np.int64)
+        price_i = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 10000.0).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_pandas(),
+            "n_items": np.ones(b.num_rows, np.int64),
+            "sum_qty": qty, "price_i": price_i,
+        }).groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = semi.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def combine(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (t.to_pandas().groupby("l_returnflag", as_index=False).sum())
+        return pa.table({
+            "l_returnflag": pa.array(df["l_returnflag"]),
+            "n_items": pa.array(df["n_items"].to_numpy(np.int64)),
+            "sum_qty": pa.array(df["sum_qty"].to_numpy(np.int64)),
+            "sum_price": pa.array(np.round(
+                df["price_i"].to_numpy(np.float64) / 10000.0, 4)),
+        })
+
+    return partitioned_map(partials, combine, key="l_returnflag",
+                           sort_keys=["l_returnflag"], num_partitions=1,
+                           strategy="tasks")
+
+
+def _bloom_anti_q(sf_dir: str):
+    """q59: Bloom-filtered EXACT anti join (WHERE NOT EXISTS) — orders
+    NOT placed by BUILDING-segment customers.  Bloom misses (definitely
+    unmatched, no false negatives) stream straight to the output with no
+    exchange; only the ~20% bloom hits ride the verify exchange.  Raw
+    left rows out — bit-exact trivially."""
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.bloom import bloom_anti_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def building(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return (b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+                .select(["c_custkey"]))
+
+    seg = cust.map_batches(building, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority"])
+    return bloom_anti_join(orders, seg, on="o_custkey",
+                           right_on="c_custkey", num_bits=1 << 15,
+                           num_partitions=16)
+
+
+def _rank_family_q(sf_dir: str):
+    """q60: SQL window-rank family — row_number/rank/dense_rank/
+    percent_rank/cume_dist per user over (value, event_id).  One keyed
+    exchange + O(n) numpy prefix math per sorted partition;
+    percent_rank/cume_dist are single int/int IEEE divisions, so the
+    DuckDB window functions replay them bit-exactly."""
+    import ray
+
+    from featurebox_ray.stages.rank import rank_in_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    return rank_in_group(ev, group_col="user_id", value_col="value",
+                         tie_col="event_id", num_partitions=16)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2042,5 +2157,42 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # bloom semi join: exact EXISTS semantics (the bloom only prunes
+        # the exchange); int64-exact sums survive any summation order
+        "q58_bloom_semi": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   round(sum(CAST(round(l_extendedprice * 10000)
+                                  AS BIGINT)) / 10000.0, 4) AS sum_price
+            FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey
+                            AND o_totalprice > 400000)
+            GROUP BY l_returnflag
+        """,
+        # bloom anti join: exact NOT EXISTS; raw left rows out
+        "q59_bloom_anti": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey
+                                AND c.c_mktsegment = 'BUILDING')
+        """,
+        # window-rank family: peers by value (rank/dense/percent/cume),
+        # total order (value, event_id) for row_number; percent_rank and
+        # cume_dist are one int/int double division each -> bit-exact
+        "q60_rank_family": """
+            SELECT event_id, user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value, event_id) AS row_number,
+                   rank() OVER w AS "rank",
+                   dense_rank() OVER w AS dense_rank,
+                   percent_rank() OVER w AS percent_rank,
+                   cume_dist() OVER w AS cume_dist
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value)
         """,
     }

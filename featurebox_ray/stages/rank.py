@@ -1,0 +1,119 @@
+"""Distributed SQL window-rank family: row_number / rank / dense_rank /
+percent_rank / cume_dist per group, exactly DuckDB/ANSI semantics.
+
+One keyed exchange co-locates each group and sorts the partition by
+``(group, value, tie)``; the kernel is pure O(n) numpy prefix math —
+no per-row Python, no second pass:
+
+* ``row_number``: 1-based position under the TOTAL order
+  ``(value, tie)`` (the tie column must be unique per group for a
+  deterministic result — use the row's id).
+* ``rank`` / ``dense_rank`` / ``percent_rank`` / ``cume_dist``: peers
+  are rows with equal ``value`` (ties share), matching
+  ``OVER (PARTITION BY g ORDER BY v)``.
+* ``percent_rank = (rank-1)/(n-1)`` (0.0 for single-row groups) and
+  ``cume_dist = peers_upto/n`` are each ONE IEEE double division of
+  small integers, so they replay bit-exactly in SQL.
+
+NaN values sort after all numbers (Arrow and DuckDB agree) and are
+peers of each other.  NULL group keys form their own group (SQL
+``PARTITION BY`` groups NULLs together).
+
+Reference analog: the rank/argsort driver-side selections of
+``featurebox/selection/exhaustion.py:106-119`` generalized to a
+distributed per-group operator (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+RANK_COLS = ("row_number", "rank", "dense_rank", "percent_rank",
+             "cume_dist")
+
+
+def _group_codes(col: pa.ChunkedArray) -> np.ndarray:
+    """Adjacent-change detection codes for an arbitrary-type group column
+    (rows arrive sorted by group, so dictionary codes need not be
+    ordered).  NULLs get a dedicated code."""
+    d = pc.dictionary_encode(col.combine_chunks())
+    codes = d.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+    return codes.astype(np.int64)
+
+
+def rank_kernel(table: pa.Table, *, group_col: str,
+                value_col: str) -> pa.Table:
+    """Append the five rank columns to a table already sorted by
+    ``(group_col, value_col, tie)``."""
+    n = table.num_rows
+    if n == 0:
+        out = table
+        for name in RANK_COLS:
+            typ = pa.int64() if name in ("row_number", "rank",
+                                         "dense_rank") else pa.float64()
+            out = out.append_column(name, pa.array([], typ))
+        return out
+
+    g = _group_codes(table[group_col])
+    v = table[value_col].to_numpy(zero_copy_only=False)
+
+    new_group = np.empty(n, bool)
+    new_group[0] = True
+    new_group[1:] = g[1:] != g[:-1]
+
+    if v.dtype.kind == "f":
+        same_val = np.zeros(n, bool)
+        same_val[1:] = (v[1:] == v[:-1]) | (np.isnan(v[1:]) & np.isnan(v[:-1]))
+    else:
+        same_val = np.zeros(n, bool)
+        same_val[1:] = v[1:] == v[:-1]
+    new_peer = new_group | ~same_val
+
+    idx = np.arange(n, dtype=np.int64)
+    g_starts = np.flatnonzero(new_group)
+    g_run = np.cumsum(new_group) - 1
+    gstart = g_starts[g_run]
+    glen = np.diff(np.append(g_starts, n))[g_run]
+
+    p_starts = np.flatnonzero(new_peer)
+    p_run = np.cumsum(new_peer) - 1
+    pstart = p_starts[p_run]
+    pend = pstart + np.diff(np.append(p_starts, n))[p_run] - 1
+
+    row_number = idx - gstart + 1
+    rank = pstart - gstart + 1
+    dense_rank = p_run - p_run[gstart] + 1
+    peers_upto = (pend - gstart + 1).astype(np.float64)
+    cume_dist = peers_upto / glen.astype(np.float64)
+    percent_rank = np.where(
+        glen > 1,
+        (rank - 1).astype(np.float64)
+        / np.maximum(glen - 1, 1).astype(np.float64),
+        0.0)
+
+    out = table
+    for name, arr in (("row_number", row_number), ("rank", rank),
+                      ("dense_rank", dense_rank),
+                      ("percent_rank", percent_rank),
+                      ("cume_dist", cume_dist)):
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def rank_in_group(ds, *, group_col: str, value_col: str, tie_col: str,
+                  num_partitions: int = 32, strategy: str = "tasks"):
+    """Add the five window-rank columns per ``group_col``, ordered by
+    ``(value_col, tie_col)``.  One keyed exchange; output row order is
+    the within-partition sort order (deterministic given a unique tie
+    column)."""
+    from .partition import partitioned_map
+
+    def kernel(t: pa.Table) -> pa.Table:
+        return rank_kernel(t, group_col=group_col, value_col=value_col)
+
+    return partitioned_map(ds, kernel, key=group_col,
+                           sort_keys=[group_col, value_col, tie_col],
+                           num_partitions=num_partitions,
+                           strategy=strategy)

@@ -1,0 +1,158 @@
+"""Bloom semi/anti join (stages/bloom.py) and window-rank family
+(stages/rank.py) vs pandas/numpy serial oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from featurebox_ray.stages.bloom import (bloom_anti_join, bloom_maybe_mask,
+                                         bloom_semi_join, build_bloom)
+from featurebox_ray.stages.rank import rank_in_group
+
+# ---------------------------------------------------------------- bloom ---
+
+
+def _tables(seed=3, n_left=800, with_null=True):
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(0, 300, size=n_left).astype(np.int64)
+    left = pd.DataFrame({
+        "k": lk,
+        "payload": rng.normal(size=n_left),
+        "tag": rng.choice(["x", "y", "z"], size=n_left),
+    })
+    if with_null:
+        left.loc[left.index[:5], "k"] = None
+        left["k"] = left["k"].astype("Int64")
+    right = pd.DataFrame({"rk": np.unique(
+        rng.integers(0, 300, size=120)).astype(np.int64)})
+    return left, right
+
+
+def _ds(df, nparts=5):
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(nparts)
+
+
+@pytest.mark.parametrize("num_bits", [64, 1 << 14])
+def test_semi_and_anti_match_pandas(num_bits):
+    # num_bits=64 forces heavy false positives: the verify exchange must
+    # remove every one of them (result identical to the roomy filter)
+    left, right = _tables()
+    keys = set(right["rk"].tolist())
+    in_r = left["k"].map(lambda v: v in keys if pd.notna(v) else False)
+    want_semi = left[in_r]
+    want_anti = left[~in_r]  # NULL keys never match => kept by anti
+
+    got_semi = bloom_semi_join(_ds(left), _ds(right, 3), on="k",
+                               right_on="rk", num_bits=num_bits,
+                               num_partitions=4).to_pandas()
+    got_anti = bloom_anti_join(_ds(left), _ds(right, 3), on="k",
+                               right_on="rk", num_bits=num_bits,
+                               num_partitions=4).to_pandas()
+
+    def norm(df):
+        df = df.copy()
+        df["k"] = df["k"].astype("float64")  # nulls -> NaN for sorting
+        return (df.sort_values(["k", "payload"], na_position="last")
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(norm(got_semi), norm(want_semi),
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(norm(got_anti), norm(want_anti),
+                                  check_dtype=False)
+    assert len(got_semi) + len(got_anti) == len(left)
+
+
+def test_bloom_no_false_negatives_and_partition_invariance():
+    left, right = _tables(seed=11, with_null=False)
+    ref = build_bloom(_ds(right, 4), key_col="rk", num_bits=1 << 12)
+    bitmap = ray.get(ref)
+    mask = bloom_maybe_mask(bitmap, right["rk"].to_numpy(),
+                            num_bits=1 << 12, num_hashes=4)
+    assert mask.all()  # every inserted key must probe positive
+
+    a = bloom_semi_join(_ds(left, 2), _ds(right, 2), on="k", right_on="rk",
+                        num_partitions=2).to_pandas()
+    b = bloom_semi_join(_ds(left, 7), _ds(right, 5), on="k", right_on="rk",
+                        num_partitions=9).to_pandas()
+    key = ["k", "payload", "tag"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+
+def test_empty_right_side():
+    left, right = _tables(seed=5, with_null=False)
+    empty = right.iloc[:0]
+    semi = bloom_semi_join(_ds(left), _ds(empty, 1), on="k",
+                           right_on="rk").to_pandas()
+    anti = bloom_anti_join(_ds(left), _ds(empty, 1), on="k",
+                           right_on="rk").to_pandas()
+    assert len(semi) == 0
+    assert len(anti) == len(left)
+
+
+def test_negative_keys_raise():
+    left = pd.DataFrame({"k": np.array([-1, 2], np.int64)})
+    right = pd.DataFrame({"k": np.array([2], np.int64)})
+    with pytest.raises(Exception, match="non-negative"):
+        bloom_semi_join(_ds(left, 1), _ds(right, 1), on="k").to_pandas()
+
+
+# ----------------------------------------------------------------- rank ---
+
+
+def _rank_oracle(df, g, v):
+    out = df.sort_values([g, v, "id"]).reset_index(drop=True)
+    grp = out.groupby(g, sort=False)
+    out["row_number"] = grp.cumcount() + 1
+    out["rank"] = grp[v].rank(method="min").astype(np.int64)
+    out["dense_rank"] = grp[v].rank(method="dense").astype(np.int64)
+    n = grp[v].transform("size").to_numpy()
+    mx = grp[v].rank(method="max").to_numpy()
+    out["cume_dist"] = mx / n
+    out["percent_rank"] = np.where(
+        n > 1, (out["rank"].to_numpy() - 1) / np.maximum(n - 1, 1), 0.0)
+    return out
+
+
+def test_rank_family_matches_pandas():
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 12, size=400).astype(np.int64),
+        "v": rng.integers(0, 8, size=400).astype(np.float64),  # many ties
+        "id": np.arange(400, dtype=np.int64),
+    })
+    got = rank_in_group(_ds(df, 6), group_col="g", value_col="v",
+                        tie_col="id", num_partitions=5).to_pandas()
+    want = _rank_oracle(df, "g", "v")
+    got = got.sort_values(["g", "v", "id"]).reset_index(drop=True)
+    for c in ["row_number", "rank", "dense_rank"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(),
+                                      err_msg=c)
+    for c in ["percent_rank", "cume_dist"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(),
+                                      err_msg=c)  # bit-exact: one division
+
+
+def test_rank_single_row_groups_and_nan():
+    df = pd.DataFrame({
+        "g": np.array([1, 2, 2, 2], np.int64),
+        "v": np.array([7.0, np.nan, np.nan, 1.0]),
+        "id": np.arange(4, dtype=np.int64),
+    })
+    got = (rank_in_group(_ds(df, 2), group_col="g", value_col="v",
+                         tie_col="id", num_partitions=2)
+           .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    one = got[got.g == 1].iloc[0]
+    assert one["row_number"] == 1 and one["rank"] == 1
+    assert one["percent_rank"] == 0.0 and one["cume_dist"] == 1.0
+    # NaNs sort last and are peers of each other
+    two = got[got.g == 2].sort_values("v", na_position="last")
+    nan_rows = got[(got.g == 2) & got.v.isna()]
+    assert set(nan_rows["rank"]) == {2}
+    assert set(nan_rows["dense_rank"]) == {2}
+    assert got[(got.g == 2) & (got.v == 1.0)]["rank"].iloc[0] == 1
+    assert len(two) == 3
