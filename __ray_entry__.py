@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q58_bloom_semi": _bloom_semi_q,
         "q59_bloom_anti": _bloom_anti_q,
         "q60_rank_family": _rank_family_q,
+        "q61_hist_quantiles": _hist_quantiles_q,
     }
 
 
@@ -1506,6 +1507,26 @@ def _rank_family_q(sf_dir: str):
                          tie_col="event_id", num_partitions=16)
 
 
+def _hist_quantiles_q(sf_dir: str):
+    """q61: mergeable histogram-quantile sketch — the at-scale fallback
+    to q51's exact per-group quantiles when a group cannot co-locate.
+    Fixed dyadic bins (width 0.125 = 2^-3, so value/width is an exact
+    exponent shift) make the per-(group,bin) counts order-independent-
+    exact; the exchange moves only (group, bin, count) partials.  The
+    reported value is the lower edge of the bin holding the
+    quantile_disc rank — deterministic, error ≤ bin width, and every
+    arithmetic step replays bit-exactly in SQL."""
+    import ray
+
+    from featurebox_ray.stages.quantile import histogram_quantiles
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return histogram_quantiles(ev, group_col="event_type",
+                               value_col="value", qs=[0.5, 0.9, 0.99],
+                               bin_width=0.125, num_partitions=8)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2180,6 +2201,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey = o.o_custkey
                                 AND c.c_mktsegment = 'BUILDING')
+        """,
+        # histogram-quantile sketch: identical dyadic bin arithmetic
+        # (value/0.125 exact shift, bin*0.125 exact), cumulative counts
+        # per group, first bin reaching the quantile_disc rank
+        "q61_hist_quantiles": """
+            WITH b AS (
+                SELECT event_type AS g,
+                       CAST(floor(value / 0.125) AS BIGINT) AS bin,
+                       count(*) AS c
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY g),
+            cum AS (SELECT g, bin,
+                           CAST(sum(c) OVER (PARTITION BY g ORDER BY bin)
+                                AS BIGINT) AS cc
+                    FROM b)
+            SELECT t.g AS event_type, any_value(t.n) AS n_vals,
+                   min(CASE WHEN cc >= greatest(CAST(ceil(0.5 * t.n) AS BIGINT), 1)
+                            THEN bin END) * 0.125 AS p50_lo,
+                   min(CASE WHEN cc >= greatest(CAST(ceil(0.9 * t.n) AS BIGINT), 1)
+                            THEN bin END) * 0.125 AS p90_lo,
+                   min(CASE WHEN cc >= greatest(CAST(ceil(0.99 * t.n) AS BIGINT), 1)
+                            THEN bin END) * 0.125 AS p99_lo
+            FROM cum JOIN tot t ON cum.g = t.g
+            GROUP BY t.g
         """,
         # window-rank family: peers by value (rank/dense/percent/cume),
         # total order (value, event_id) for row_number; percent_rank and

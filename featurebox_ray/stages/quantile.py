@@ -12,9 +12,11 @@ value-hash bit-exactly.
 Scale note (100 TB): exact per-group quantiles need all rows of a group
 in one kernel call — the same assumption every sequential operator here
 rides (sessionize, as-of, windows).  For groups too large to co-locate,
-switch to a mergeable sketch (the KMV module's hash-sample shape, or a
-t-digest) and accept approximation; this operator is the exact path for
-bounded group sizes.
+:func:`histogram_quantiles` (below) is the mergeable-sketch path: fixed
+dyadic bins whose counts are order-independent-exact, so unlike a
+t-digest/KLL the "approximation" is a DETERMINISTIC bin-edge answer
+(error bounded by the bin width, never by merge order) and it
+SQL-replays bit-exactly.
 
 Reference analog: ``PropertyStats.quantile`` (featurebox
 featurizers/state/statistics.py) computes quantiles over tiny per-entry
@@ -104,4 +106,141 @@ def group_quantiles(
         return pa.table(res)
 
     return partitioned_map(ds, kernel, key=group_col, sort_keys=[group_col],
+                           num_partitions=num_partitions, strategy="tasks")
+
+
+def histogram_quantiles(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    names: Sequence[str] | None = None,
+    bin_width: float = 0.125,
+    num_partitions: int = 8,
+):
+    """Mergeable per-group quantile sketch over fixed dyadic bins — the
+    at-scale fallback to :func:`group_quantiles` when a group's rows
+    cannot co-locate.
+
+    Per block each value maps to ``bin = floor(value / bin_width)``
+    (``bin_width`` MUST be a power of two: the division is then a pure
+    exponent shift, exact in IEEE double on every engine); the exchange
+    moves only ``(group, bin, count)`` partials — O(groups × bins) rows,
+    never data, merged by integer addition, so the result is independent
+    of block structure and merge order.  The reported quantile is the
+    LOWER EDGE of the bin holding the ``quantile_disc`` rank
+    (``max(ceil(q·n), 1)``-th value): the true quantile lies in
+    ``[edge, edge + bin_width)``.  Every arithmetic step (dyadic
+    division, floor, int sums, ``ceil(q·n)`` in float64, ``bin ×
+    bin_width``) is bit-identical in SQL — see the q61 oracle.
+
+    Values must be finite (non-finite raise; NULL/NaN are ignored like
+    SQL aggregates).  Returns ``(group_col, n_vals:int64, <one float64
+    lower-edge column per q>)``; zero-value groups emit null edges.
+    """
+    from .partition import partitioned_map
+
+    qs = list(qs)
+    names = list(names) if names is not None else [
+        f"p{int(round(q * 100))}_lo" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("names and qs must have equal length")
+    w = float(bin_width)
+    m, e = math.frexp(w)
+    if not (w > 0 and m == 0.5):
+        raise ValueError("bin_width must be a positive power of two")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g_arr = t[group_col].combine_chunks()
+        gtype = g_arr.type
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(vals)
+        if np.isinf(vals).any():
+            raise ValueError("histogram_quantiles requires finite values")
+        gd = pc.dictionary_encode(g_arr)
+        idx = gd.indices
+        n_named = len(gd.dictionary)
+        has_null = g_arr.null_count > 0
+        codes = (pc.fill_null(idx, n_named) if idx.null_count else idx
+                 ).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, vals = codes[ok], vals[ok]
+        bins = np.floor(vals / w).astype(np.int64)
+        # count per (group, bin): one lexsort + run-length
+        order = np.lexsort((bins, codes))
+        c_s, b_s = codes[order], bins[order]
+        first = np.ones(len(c_s), bool)
+        first[1:] = (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(c_s)))
+        gc, gb = c_s[starts], b_s[starts]
+        dic = gd.dictionary
+        if has_null:
+            dic = pa.concat_arrays([dic, pa.nulls(1, gtype)])
+        groups = dic.take(pa.array(gc, pa.int64())) if len(gc) else \
+            pa.array([], gtype)
+        return pa.table({group_col: groups,
+                         "bin": pa.array(gb, pa.int64()),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        # partition arrives sorted by (group, bin); merge duplicate
+        # (group, bin) rows from different blocks, then cum-count picks
+        g_arr = t[group_col].combine_chunks()
+        gd = pc.dictionary_encode(g_arr)
+        idx = gd.indices
+        n_named = len(gd.dictionary)
+        has_null = g_arr.null_count > 0
+        codes = (pc.fill_null(idx, n_named) if idx.null_count else idx
+                 ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bins = t["bin"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bins, codes))
+        c_s, b_s, n_s = codes[order], bins[order], cnts[order]
+        first = np.ones(len(c_s), bool)
+        first[1:] = (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])
+        seg = np.cumsum(first) - 1
+        merged = np.zeros(int(seg[-1]) + 1 if len(seg) else 0, np.int64)
+        np.add.at(merged, seg, n_s)
+        starts = np.flatnonzero(first)
+        mc, mb = c_s[starts], b_s[starts]
+        # per-group totals + cumulative counts (bins are sorted per group)
+        g_first = np.ones(len(mc), bool)
+        g_first[1:] = mc[1:] != mc[:-1]
+        g_starts = np.flatnonzero(g_first)
+        g_run = np.cumsum(g_first) - 1
+        cum = np.cumsum(merged)
+        base = np.concatenate([[0], cum[g_starts[1:] - 1]]) if len(
+            g_starts) > 1 else np.zeros(len(g_starts), np.int64)
+        cum_in_g = cum - base[g_run]
+        n_per_g = np.zeros(len(g_starts), np.int64)
+        np.add.at(n_per_g, g_run, merged)
+        n_groups = len(g_starts)
+        out_edges = {nm: np.full(n_groups, np.nan) for nm in names}
+        for q, nm in zip(qs, names):
+            target = np.maximum(
+                np.ceil(q * n_per_g.astype(np.float64)).astype(np.int64), 1)
+            # first bin (per group) whose cumulative count reaches target
+            hit = cum_in_g >= target[g_run]
+            # index of first hit per group: bins sorted, hits are a suffix
+            first_hit = np.full(n_groups, -1, np.int64)
+            rev = np.flatnonzero(hit)[::-1]
+            first_hit[g_run[rev]] = rev
+            got = first_hit >= 0
+            out_edges[nm][got] = mb[first_hit[got]] * w
+        dic = gd.dictionary
+        if has_null:
+            dic = pa.concat_arrays([dic, pa.nulls(1, g_arr.type)])
+        res = {group_col: dic.take(pa.array(mc[g_starts], pa.int64())),
+               "n_vals": pa.array(n_per_g, pa.int64())}
+        for nm in names:
+            v = out_edges[nm]
+            res[nm] = pa.array(v, pa.float64(), mask=np.isnan(v))
+        return pa.table(res)
+
+    return partitioned_map(partials, combine, key=group_col,
+                           sort_keys=[group_col, "bin"],
                            num_partitions=num_partitions, strategy="tasks")

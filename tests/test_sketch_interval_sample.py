@@ -278,3 +278,68 @@ def test_cap_per_group_matches_serial_and_partition_invariant():
     all_rows = cap_per_group(ray.data.from_arrow(t), group_col="g",
                              id_col="id", m=n).count()
     assert all_rows == n
+
+
+# ------------------------------------------------- histogram quantiles ----
+
+def _hist_replay(df, qs, w):
+    import math
+
+    out = {}
+    for g, sub in df.dropna(subset=["v"]).groupby("g"):
+        bins = np.sort(np.floor(sub["v"].to_numpy() / w).astype(np.int64))
+        n = len(bins)
+        row = [n]
+        for q in qs:
+            target = max(int(math.ceil(q * float(n))), 1)
+            row.append(bins[target - 1] * w)  # sorted bins: rank pick
+        out[g] = row
+    return out
+
+
+def test_histogram_quantiles_serial_replay_and_invariance():
+    from featurebox_ray.stages.quantile import histogram_quantiles
+
+    rng = np.random.default_rng(13)
+    df = __import__("pandas").DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=900),
+        "v": rng.normal(scale=40.0, size=900),
+    })
+    df.loc[df.index[:7], "v"] = np.nan  # ignored like SQL aggregates
+    ds = ray.data.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False))
+    qs = [0.5, 0.9, 0.99]
+    got2 = histogram_quantiles(ds.repartition(2), group_col="g",
+                               value_col="v", qs=qs,
+                               num_partitions=2).to_pandas()
+    got7 = histogram_quantiles(ds.repartition(7), group_col="g",
+                               value_col="v", qs=qs,
+                               num_partitions=5).to_pandas()
+    want = _hist_replay(df, qs, 0.125)
+    for got in (got2, got7):
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            n, p50, p90, p99 = want[r["g"]]
+            assert r["n_vals"] == n
+            assert r["p50_lo"] == p50 and r["p90_lo"] == p90 \
+                and r["p99_lo"] == p99  # bit-exact dyadic arithmetic
+    # the exact quantile must fall inside [edge, edge + width)
+    for g, sub in df.dropna(subset=["v"]).groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        n = len(v)
+        exact = v[max(int(np.ceil(0.9 * n)) - 1, 0)]
+        edge = want[g][2]
+        assert edge <= exact < edge + 0.125
+
+
+def test_histogram_quantiles_guards():
+    from featurebox_ray.stages.quantile import histogram_quantiles
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["a"]), "v": pa.array([float("inf")])}))
+    with pytest.raises(ValueError, match="power of two"):
+        histogram_quantiles(ds, group_col="g", value_col="v",
+                            qs=[0.5], bin_width=0.1)
+    with pytest.raises(Exception, match="finite"):
+        histogram_quantiles(ds, group_col="g", value_col="v",
+                            qs=[0.5]).to_pandas()
