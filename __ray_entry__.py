@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q59_bloom_anti": _bloom_anti_q,
         "q60_rank_family": _rank_family_q,
         "q61_hist_quantiles": _hist_quantiles_q,
+        "q62_top_terms": _top_terms_q,
+        "q63_stratified_sample": _stratified_sample_q,
     }
 
 
@@ -1527,6 +1529,39 @@ def _hist_quantiles_q(sf_dir: str):
                                bin_width=0.125, num_partitions=8)
 
 
+def _top_terms_q(sf_dir: str):
+    """q62: exact global heavy hitters — top-10 terms by document
+    frequency.  Per-block partial counts, one term-keyed exchange sums
+    them, partition-local top-k (sound after global summation), one
+    final pick.  Total order (count desc, term asc) makes the LIMIT
+    boundary deterministic and SQL-replayable."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import top_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return top_terms(docs, k=10, by="doc_freq", num_partitions=8)
+
+
+def _stratified_sample_q(sf_dir: str):
+    """q63: deterministic stratified hash sample — the corpus-rebalance
+    primitive: keep 100% zh, 50% de, 25% en, 12.5% of everything else,
+    decided by the same Knuth multiplicative hash as q50 so the SQL
+    replay is the identical integer arithmetic under a CASE."""
+    import ray
+
+    from featurebox_ray.stages.sample import stratified_hash_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"])
+    return stratified_hash_sample(
+        docs, key_col="doc_id", group_col="lang",
+        fractions={"en": 0.25, "de": 0.5, "zh": 1.0},
+        default_fraction=0.125)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2178,6 +2213,28 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # exact heavy hitters: same regexp tokenizer as q53; LIMIT
+        # boundary deterministic under (count desc, term asc)
+        "q62_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+              FROM documents
+            )
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS cnt
+            FROM tok GROUP BY term
+            ORDER BY cnt DESC, term LIMIT 10
+        """,
+        # stratified sample: identical Knuth hash (q50) with per-group
+        # integer thresholds under a CASE
+        "q63_stratified_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE ((CAST(doc_id AS HUGEINT) % 4294967296)
+                   * 2654435761) % 4294967296 <
+                  CASE lang WHEN 'en' THEN 1073741824
+                            WHEN 'de' THEN 2147483648
+                            WHEN 'zh' THEN 4294967296
+                            ELSE 536870912 END
         """,
         # bloom semi join: exact EXISTS semantics (the bloom only prunes
         # the exchange); int64-exact sums survive any summation order

@@ -137,3 +137,49 @@ def cap_per_group(ds, *, group_col: str, id_col: str, m: int):
         return batch.filter(pc.is_in(batch[id_col], value_set=ws))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_hash_sample(ds, *, key_col: str, group_col: str,
+                           fractions: dict, default_fraction: float = 0.0):
+    """Deterministic PER-GROUP hash sample — the corpus-rebalancing
+    primitive (keep 100% of low-resource languages, 10% of English)
+    expressed as one shuffle-free streaming filter.
+
+    Each row's threshold comes from its ``group_col`` value
+    (``fractions[group]``, else ``default_fraction``; NULL groups use the
+    default); the keep decision is the same Knuth multiplicative hash as
+    :func:`hash_sample`, so the sample stays reproducible, consistent
+    across tables sharing the key, and SQL-replayable with a ``CASE``
+    over the same integer thresholds.  All rows of one key within one
+    group are kept or dropped together; non-negative integer keys only.
+    """
+    thresholds = {g: sample_threshold(f) for g, f in fractions.items()}
+    default_thr = sample_threshold(default_fraction)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+            col = batch[key_col]
+        if batch.num_rows == 0:
+            return batch
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size and int(k.min()) < 0:
+            raise ValueError(
+                f"stratified_hash_sample requires non-negative keys; "
+                f"{key_col} has min {int(k.min())}")
+        h = ((k.view(np.uint64) % np.uint64(MOD)) * np.uint64(KNUTH_MULT)
+             ) % np.uint64(MOD)
+        gd = pc.dictionary_encode(batch[group_col].combine_chunks())
+        per_code = np.array(
+            [thresholds.get(v, default_thr)
+             for v in gd.dictionary.to_pylist()], np.uint64)
+        codes = gd.indices
+        if codes.null_count:
+            per_code = np.append(per_code, np.uint64(default_thr))
+            codes = pc.fill_null(codes, len(per_code) - 1)
+        thr = per_code[codes.to_numpy(zero_copy_only=False).astype(np.int64)]
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(filt, batch_format="pyarrow",
+                          zero_copy_batch=True)

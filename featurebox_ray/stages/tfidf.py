@@ -156,3 +156,91 @@ def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def top_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
+              k: int = 10, by: str = "doc_freq", num_partitions: int = 8):
+    """Exact global heavy hitters: the ``k`` most frequent terms in the
+    corpus, by document frequency (``by="doc_freq"``, counts each doc
+    once per term) or total occurrences (``by="term_count"``).
+
+    Classic exact distributed top-k — no Misra-Gries/count-min error
+    bound needed because counts fully aggregate before any truncation:
+
+    1. per-block partial ``(term, count)`` rows (vectorized run-length);
+    2. ONE term-keyed exchange sums partials per term (the shuffle moves
+       O(blocks × vocab) tiny rows, never tokens);
+    3. each partition emits its LOCAL top-k (sound: per-term counts are
+       already global after step 2, so the global top-k is a subset of
+       the union of partition-local top-ks);
+    4. the ≤ k × partitions survivors meet in one final partition for
+       the global pick.
+
+    Deterministic total order ``(count desc, term asc)`` — the LIMIT
+    boundary is stable and SQL replays it bit-exactly.  Returns
+    ``(term:string, cnt:int64)``.
+    """
+    from .partition import partitioned_map
+
+    if by not in ("doc_freq", "term_count"):
+        raise ValueError("by must be 'doc_freq' or 'term_count'")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if by == "doc_freq":
+            _, terms, _ = _doc_term_tf(batch, id_col, text_col)
+            if len(terms) == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            dct = pc.dictionary_encode(terms)
+            counts = np.bincount(
+                dct.indices.to_numpy(zero_copy_only=False),
+                minlength=len(dct.dictionary))
+        else:
+            flat, _ = split_tokens(batch[text_col].combine_chunks())
+            if len(flat) == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            dct = pc.dictionary_encode(flat)
+            counts = np.bincount(
+                dct.indices.to_numpy(zero_copy_only=False),
+                minlength=len(dct.dictionary))
+        return pa.table({"term": dct.dictionary,
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    def sum_local_topk(t: pa.Table) -> pa.Table:
+        dct = pc.dictionary_encode(t["term"].combine_chunks())
+        sums = np.zeros(len(dct.dictionary), np.int64)
+        np.add.at(sums, dct.indices.to_numpy(zero_copy_only=False),
+                  t["cnt"].to_numpy(zero_copy_only=False))
+        # local top-k by (count desc, term asc); dictionary order is not
+        # sorted, so rank terms bytewise first
+        term_rank = pc.sort_indices(dct.dictionary)  # positions by term
+        inv = np.empty(len(dct.dictionary), np.int64)
+        inv[term_rank.to_numpy(zero_copy_only=False)] = np.arange(
+            len(dct.dictionary))
+        order = np.lexsort((inv, -sums))[:k]
+        return pa.table({
+            "term": dct.dictionary.take(pa.array(order, pa.int64())),
+            "cnt": pa.array(sums[order]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    local = partitioned_map(partials, sum_local_topk, key="term",
+                            sort_keys=["term"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+
+    def global_topk(t: pa.Table) -> pa.Table:
+        # survivors are already fully summed; just order and cut
+        sums = t["cnt"].to_numpy(zero_copy_only=False)
+        term_rank = pc.sort_indices(t["term"].combine_chunks())
+        inv = np.empty(t.num_rows, np.int64)
+        inv[term_rank.to_numpy(zero_copy_only=False)] = np.arange(
+            t.num_rows)
+        order = np.lexsort((inv, -sums))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    return partitioned_map(local, global_topk, key="term",
+                           sort_keys=["term"], num_partitions=1,
+                           strategy="tasks")

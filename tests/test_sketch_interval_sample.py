@@ -343,3 +343,36 @@ def test_histogram_quantiles_guards():
     with pytest.raises(Exception, match="finite"):
         histogram_quantiles(ds, group_col="g", value_col="v",
                             qs=[0.5]).to_pandas()
+
+
+# ---------------------------------------------------- stratified sample ---
+
+def test_stratified_hash_sample_matches_serial_replay():
+    from featurebox_ray.stages.sample import (KNUTH_MULT,
+                                              stratified_hash_sample,
+                                              sample_threshold)
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    df = __import__("pandas").DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["en", "de", "zh", "fr"], size=n),
+    })
+    fr = {"en": 0.25, "de": 0.5, "zh": 1.0}
+    ds = ray.data.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(5)
+    got = stratified_hash_sample(ds, key_col="id", group_col="g",
+                                 fractions=fr,
+                                 default_fraction=0.125).to_pandas()
+    thr = {g: sample_threshold(f) for g, f in fr.items()}
+    h = (df["id"].to_numpy().astype(np.uint64) % np.uint64(MOD)
+         * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+    keep = h < np.array([thr.get(g, sample_threshold(0.125))
+                         for g in df["g"]], np.uint64)
+    want = df[keep]
+    assert got.sort_values("id").reset_index(drop=True).equals(
+        want.sort_values("id").reset_index(drop=True))
+    # fraction 1.0 keeps the whole group
+    assert (got["g"] == "zh").sum() == (df["g"] == "zh").sum()
+    # default fraction applies to the unlisted group
+    assert 0 < (got["g"] == "fr").sum() < (df["g"] == "fr").sum()

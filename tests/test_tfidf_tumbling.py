@@ -4,6 +4,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray
 
 from featurebox_ray.stages.tfidf import tfidf_topk
@@ -108,3 +109,44 @@ def test_tfidf_empty_and_short_docs():
     assert got["doc_id"].tolist() == [1]
     assert got["term"].tolist() == ["only"]
     assert got["tfidf"].tolist() == [1.0 * (3.0 / 1.0)]
+
+
+# ------------------------------------------------------- heavy hitters ----
+
+def _hh_replay(texts, by, k):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        toks = t.split()
+        c.update(set(toks) if by == "doc_freq" else toks)
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("by", ["doc_freq", "term_count"])
+def test_top_terms_matches_counter(by):
+    from featurebox_ray.stages.tfidf import top_terms
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+             for _ in range(300)] + ["", "  "]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(6)
+    got = top_terms(ds, k=7, by=by, num_partitions=3).to_pandas()
+    want = _hh_replay(texts, by, 7)
+    assert list(zip(got["term"], got["cnt"])) == want
+
+
+def test_top_terms_k_exceeds_vocab_and_ties():
+    from featurebox_ray.stages.tfidf import top_terms
+
+    texts = ["b a", "b c", "a c"]  # every term df=2: pure term tie-break
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts)}))
+    got = top_terms(ds, k=99, by="doc_freq", num_partitions=2).to_pandas()
+    assert list(got["term"]) == ["a", "b", "c"]
+    assert list(got["cnt"]) == [2, 2, 2]
