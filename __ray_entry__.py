@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q61_hist_quantiles": _hist_quantiles_q,
         "q62_top_terms": _top_terms_q,
         "q63_stratified_sample": _stratified_sample_q,
+        "q64_cont_quantiles": _cont_quantiles_q,
     }
 
 
@@ -1562,6 +1563,23 @@ def _stratified_sample_q(sf_dir: str):
         default_fraction=0.125)
 
 
+def _cont_quantiles_q(sf_dir: str):
+    """q64: interpolated per-group quantiles — DuckDB quantile_cont
+    parity (RN = q·(n-1) in float64, (⌈RN⌉-RN)·lo + (RN-⌊RN⌋)·hi with
+    DuckDB's exact operation order), complementing q51's discrete picks.
+    Doubles value-hash bit-exactly — no rounding."""
+    import ray
+
+    from featurebox_ray.stages.quantile import group_quantiles
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return group_quantiles(ev, group_col="event_type", value_col="value",
+                           qs=[0.25, 0.5, 0.875],
+                           names=["p25_c", "p50_c", "p875_c"],
+                           num_partitions=8, interpolated=True)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2213,6 +2231,16 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # interpolated quantiles: quantile_cont's exact arithmetic both
+        # sides (CAST keeps the q literal a DOUBLE, not DECIMAL — a
+        # DECIMAL q converts to a different double for non-dyadic q)
+        "q64_cont_quantiles": """
+            SELECT event_type, count(value) AS n_vals,
+                   quantile_cont(value, CAST(0.25 AS DOUBLE)) AS p25_c,
+                   quantile_cont(value, CAST(0.5 AS DOUBLE)) AS p50_c,
+                   quantile_cont(value, CAST(0.875 AS DOUBLE)) AS p875_c
+            FROM events GROUP BY event_type
         """,
         # exact heavy hitters: same regexp tokenizer as q53; LIMIT
         # boundary deterministic under (count desc, term asc)

@@ -160,7 +160,8 @@ QUERY_NAMES = [
     # reported time.  q47's loopback endpoint is trivial, so it stays.
     "q47_http_fetch", "q48_kmv_distinct", "q49_interval_join",
     "q50_hash_sample", "q51_group_quantiles", "q52_tumbling_window",
-    "q53_tfidf", "q55_cap_per_group",
+    "q53_tfidf", "q55_cap_per_group", "q58_bloom_semi", "q60_rank_family",
+    "q62_top_terms",
 ]
 
 

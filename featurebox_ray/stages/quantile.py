@@ -47,12 +47,20 @@ def group_quantiles(
     qs: Sequence[float],
     names: Sequence[str] | None = None,
     num_partitions: int = 16,
+    interpolated: bool = False,
 ):
     """Per-group discrete quantiles of ``value_col``.
 
     Returns a Dataset with ``(group_col, n_vals:int64, <one float64
     column per q>)``; nulls in ``value_col`` are ignored (SQL aggregate
     semantics), groups with zero non-null values emit null quantiles.
+
+    ``interpolated=True`` switches to DuckDB ``quantile_cont`` parity:
+    ``RN = q·(n-1)`` in float64, result ``(⌈RN⌉-RN)·v[⌊RN⌋] +
+    (RN-⌊RN⌋)·v[⌈RN⌉]`` (the exact operation order DuckDB executes, so
+    doubles value-hash bit-exactly; integral RN returns the element).
+    NaN values are treated as NULL on both paths — pass NaN-free data
+    when replaying against SQL, which would sort NaN as a value.
     """
     from .partition import partitioned_map
 
@@ -89,6 +97,19 @@ def group_quantiles(
         np.add.at(n_ok, codes[valid], 1)
         nonempty = n_ok > 0
         for q, nm in zip(qs, names):
+            if interpolated:
+                # quantile_cont: RN = q*(n-1) in float64, weights from
+                # ceil/floor of RN — DuckDB's exact arithmetic
+                p = q * (n_ok.astype(np.float64) - 1.0)
+                flo, fhi = np.floor(p), np.ceil(p)
+                lo_i = np.maximum(flo.astype(np.int64), 0)
+                hi_i = np.maximum(fhi.astype(np.int64), 0)
+                vlo = v_s[np.minimum(starts + lo_i, len(v_s) - 1)]
+                vhi = v_s[np.minimum(starts + hi_i, len(v_s) - 1)]
+                res = np.where(lo_i == hi_i, vlo,
+                               (fhi - p) * vlo + (p - flo) * vhi)
+                cols[nm][nonempty] = res[nonempty]
+                continue
             # vectorized element pick at the quantile_disc rank (same
             # float64 ceil as _disc_index, one gather per q)
             idxq = np.maximum(

@@ -43,10 +43,10 @@ def _group_codes(col: pa.ChunkedArray) -> np.ndarray:
     return codes.astype(np.int64)
 
 
-def rank_kernel(table: pa.Table, *, group_col: str,
-                value_col: str) -> pa.Table:
-    """Append the five rank columns to a table already sorted by
-    ``(group_col, value_col, tie)``."""
+def rank_kernel(table: pa.Table, *, group_col: str, value_col: str,
+                ntile: int | None = None) -> pa.Table:
+    """Append the five rank columns (plus ``ntile`` when requested) to a
+    table already sorted by ``(group_col, value_col, tie)``."""
     n = table.num_rows
     if n == 0:
         out = table
@@ -54,6 +54,8 @@ def rank_kernel(table: pa.Table, *, group_col: str,
             typ = pa.int64() if name in ("row_number", "rank",
                                          "dense_rank") else pa.float64()
             out = out.append_column(name, pa.array([], typ))
+        if ntile is not None:
+            out = out.append_column("ntile", pa.array([], pa.int64()))
         return out
 
     g = _group_codes(table[group_col])
@@ -99,19 +101,36 @@ def rank_kernel(table: pa.Table, *, group_col: str,
                       ("percent_rank", percent_rank),
                       ("cume_dist", cume_dist)):
         out = out.append_column(name, pa.array(arr))
+    if ntile is not None:
+        # ANSI NTILE(T) under the row_number total order: the first
+        # n % T buckets get floor(n/T)+1 rows, the rest floor(n/T)
+        T = int(ntile)
+        if T < 1:
+            raise ValueError("ntile must be >= 1")
+        q_, r0 = glen // T, glen % T
+        cut = r0 * (q_ + 1)
+        rn = row_number
+        small = np.maximum(q_, 1)  # q_=0 only when rn<=cut always holds
+        tiles = np.where(rn <= cut,
+                         (rn - 1) // np.maximum(q_ + 1, 1) + 1,
+                         r0 + (rn - cut - 1) // small + 1)
+        out = out.append_column("ntile", pa.array(tiles.astype(np.int64)))
     return out
 
 
 def rank_in_group(ds, *, group_col: str, value_col: str, tie_col: str,
-                  num_partitions: int = 32, strategy: str = "tasks"):
+                  num_partitions: int = 32, strategy: str = "tasks",
+                  ntile: int | None = None):
     """Add the five window-rank columns per ``group_col``, ordered by
-    ``(value_col, tie_col)``.  One keyed exchange; output row order is
-    the within-partition sort order (deterministic given a unique tie
+    ``(value_col, tie_col)`` (plus ``ntile(T)`` buckets when ``ntile``
+    is given).  One keyed exchange; output row order is the
+    within-partition sort order (deterministic given a unique tie
     column)."""
     from .partition import partitioned_map
 
     def kernel(t: pa.Table) -> pa.Table:
-        return rank_kernel(t, group_col=group_col, value_col=value_col)
+        return rank_kernel(t, group_col=group_col, value_col=value_col,
+                           ntile=ntile)
 
     return partitioned_map(ds, kernel, key=group_col,
                            sort_keys=[group_col, value_col, tie_col],

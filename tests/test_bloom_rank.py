@@ -156,3 +156,33 @@ def test_rank_single_row_groups_and_nan():
     assert set(nan_rows["dense_rank"]) == {2}
     assert got[(got.g == 2) & (got.v == 1.0)]["rank"].iloc[0] == 1
     assert len(two) == 3
+
+
+def test_ntile_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 9, size=300).astype(np.int64),
+        "v": rng.normal(size=300),
+        "id": np.arange(300, dtype=np.int64),
+    })
+    got = (rank_in_group(_ds(df, 4), group_col="g", value_col="v",
+                         tie_col="id", num_partitions=3, ntile=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT id, ntile(4) OVER (PARTITION BY g ORDER BY v, id) AS nt
+        FROM t ORDER BY id
+    """).df()
+    np.testing.assert_array_equal(got["ntile"].to_numpy(),
+                                  want["nt"].to_numpy())
+    # tiny groups (n < tiles): each row its own bucket, in order
+    small = pd.DataFrame({"g": np.zeros(2, np.int64),
+                          "v": np.array([3.0, 1.0]),
+                          "id": np.arange(2, dtype=np.int64)})
+    got2 = (rank_in_group(_ds(small, 1), group_col="g", value_col="v",
+                          tie_col="id", num_partitions=1, ntile=5)
+            .to_pandas().sort_values("v").reset_index(drop=True))
+    assert list(got2["ntile"]) == [1, 2]

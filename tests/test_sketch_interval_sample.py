@@ -376,3 +376,54 @@ def test_stratified_hash_sample_matches_serial_replay():
     assert (got["g"] == "zh").sum() == (df["g"] == "zh").sum()
     # default fraction applies to the unlisted group
     assert 0 < (got["g"] == "fr").sum() < (df["g"] == "fr").sum()
+
+
+# ------------------------------------------------ interpolated quantiles --
+
+def test_group_quantiles_interpolated_duckdb_parity():
+    import duckdb
+
+    from featurebox_ray.stages.quantile import group_quantiles
+
+    rng = np.random.default_rng(23)
+    pdf = __import__("pandas").DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], size=700),
+        "v": rng.normal(scale=50.0, size=700),
+    })
+    pdf.loc[pdf.index[:6], "v"] = None  # NULLs ignored
+    # non-dyadic qs exercise the RN float arithmetic
+    qs = [0.333, 0.5, 0.917]
+    ds = ray.data.from_arrow(pa.Table.from_pandas(
+        pdf, preserve_index=False)).repartition(4)
+    got = group_quantiles(ds, group_col="g", value_col="v", qs=qs,
+                          names=["q1", "q2", "q3"], num_partitions=3,
+                          interpolated=True).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute("""
+        SELECT g, count(v) AS n_vals,
+               quantile_cont(v, CAST(0.333 AS DOUBLE)) AS q1,
+               quantile_cont(v, CAST(0.5 AS DOUBLE)) AS q2,
+               quantile_cont(v, CAST(0.917 AS DOUBLE)) AS q3
+        FROM t GROUP BY g
+    """).df()
+    got = got.sort_values("g").reset_index(drop=True)
+    want = want.sort_values("g").reset_index(drop=True)
+    assert list(got["g"]) == list(want["g"])
+    np.testing.assert_array_equal(got["n_vals"], want["n_vals"])
+    for c in ["q1", "q2", "q3"]:
+        np.testing.assert_array_equal(  # bit-exact, no tolerance
+            got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+def test_group_quantiles_interpolated_single_row_group():
+    from featurebox_ray.stages.quantile import group_quantiles
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["solo", "two", "two"]),
+        "v": pa.array([7.5, 1.0, 2.0])}))
+    got = (group_quantiles(ds, group_col="g", value_col="v", qs=[0.5],
+                           names=["med"], interpolated=True)
+           .to_pandas().set_index("g"))
+    assert got.loc["solo", "med"] == 7.5
+    assert got.loc["two", "med"] == 1.5
