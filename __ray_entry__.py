@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q62_top_terms": _top_terms_q,
         "q63_stratified_sample": _stratified_sample_q,
         "q64_cont_quantiles": _cont_quantiles_q,
+        "q65_rollup": _rollup_q,
     }
 
 
@@ -1580,6 +1581,43 @@ def _cont_quantiles_q(sf_dir: str):
                            num_partitions=8, interpolated=True)
 
 
+def _rollup_q(sf_dir: str):
+    """q65: ROLLUP(l_returnflag, l_linestatus) in one pass — per-block
+    finest-level partials, one g1-keyed exchange emitting both complete
+    levels, a tiny final combine for the grand total.  lvl mirrors SQL
+    GROUPING(g1, g2); qty pre-scaled ×100 to int64 so every sum is
+    order-independent-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.rollup import rollup_counts
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def scale(b: pa.Table) -> pa.Table:
+        q = np.round(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return (b.select(["l_returnflag", "l_linestatus"])
+                .append_column("qty_c", pa.array(q)))
+
+    li = li.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+    out = rollup_counts(li, g1="l_returnflag", g2="l_linestatus",
+                        int_sum_cols=["qty_c"], num_partitions=8)
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = b["sum_qty_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return (b.select(["l_returnflag", "l_linestatus", "lvl", "n_rows"])
+                .append_column("sum_qty", pa.array(np.round(s / 100.0, 4))))
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2231,6 +2269,16 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # rollup: GROUPING(g1,g2) bitmask = engine lvl; int64-exact sums
+        "q65_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   GROUPING(l_returnflag, l_linestatus) AS lvl,
+                   count(*) AS n_rows,
+                   round(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                         / 100.0, 4) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         # interpolated quantiles: quantile_cont's exact arithmetic both
         # sides (CAST keeps the q literal a DOUBLE, not DECIMAL — a

@@ -427,3 +427,34 @@ def test_group_quantiles_interpolated_single_row_group():
            .to_pandas().set_index("g"))
     assert got.loc["solo", "med"] == 7.5
     assert got.loc["two", "med"] == 1.5
+
+
+# ----------------------------------------------------------------- rollup --
+
+def test_rollup_counts_matches_pandas():
+    from featurebox_ray.stages.rollup import rollup_counts
+
+    rng = np.random.default_rng(41)
+    pdf = __import__("pandas").DataFrame({
+        "a": rng.choice(["x", "y", "z"], size=500),
+        "b": rng.choice(["p", "q"], size=500),
+        "m": rng.integers(0, 100, size=500).astype(np.int64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(
+        pdf, preserve_index=False)).repartition(6)
+    got = rollup_counts(ds, g1="a", g2="b", int_sum_cols=["m"],
+                        num_partitions=3).to_pandas()
+    fine = pdf.groupby(["a", "b"]).agg(n=("m", "size"), s=("m", "sum"))
+    mid = pdf.groupby("a").agg(n=("m", "size"), s=("m", "sum"))
+    assert len(got) == len(fine) + len(mid) + 1
+    for (a, b), r in fine.iterrows():
+        row = got[(got.a == a) & (got.b == b)]
+        assert row["lvl"].iloc[0] == 0
+        assert row["n_rows"].iloc[0] == r["n"] and row["sum_m"].iloc[0] == r["s"]
+    for a, r in mid.iterrows():
+        row = got[(got.a == a) & got.b.isna()]
+        assert row["lvl"].iloc[0] == 1
+        assert row["n_rows"].iloc[0] == r["n"] and row["sum_m"].iloc[0] == r["s"]
+    g = got[got.a.isna()]
+    assert len(g) == 1 and g["lvl"].iloc[0] == 3
+    assert g["n_rows"].iloc[0] == 500 and g["sum_m"].iloc[0] == pdf["m"].sum()
