@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_stratified_sample": _stratified_sample_q,
         "q64_cont_quantiles": _cont_quantiles_q,
         "q65_rollup": _rollup_q,
+        "q66_pivot": _pivot_q,
     }
 
 
@@ -1618,6 +1619,23 @@ def _rollup_q(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def _pivot_q(sf_dir: str):
+    """q66: per-user event-type count vector — the pivot/feature-
+    materialization shape (one int64 column per category, count mode).
+    Fixed-width per-block partials (np.add.at into a groups×categories
+    matrix), one user-keyed exchange sums them; category list passed
+    explicitly so the schema is static."""
+    import ray
+
+    from featurebox_ray.stages.pivot import pivot_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    cats = ["click", "error", "purchase", "signup", "view"]
+    return pivot_agg(ev, group_col="user_id", cat_col="event_type",
+                     categories=cats, num_partitions=8)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2269,6 +2287,17 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # pivot: FILTER aggregates replay the category vector exactly
+        "q66_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY user_id
         """,
         # rollup: GROUPING(g1,g2) bitmask = engine lvl; int64-exact sums
         "q65_rollup": """

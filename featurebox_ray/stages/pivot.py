@@ -1,0 +1,122 @@
+"""Distributed pivot aggregate — categorical columns widened into a
+per-group feature vector (counts or exact int sums per category).
+
+This is the feature-materialization shape of the reference's
+composition featurizers (one output column per element/property,
+``compositionfeaturizer.py``) lifted to a grouped aggregate: per-user
+event-type count vectors, per-domain language mixes, etc.
+
+One pass: each block emits a fixed-width partial row per group present
+(``np.add.at`` into a (groups × categories) matrix — no per-row
+Python); ONE group-keyed exchange sums the partials.  The category
+list fixes the schema up front — pass it explicitly, or let
+``distinct_categories`` discover it with a tiny column-pruned pass
+(the discovered set broadcasts via the closure, one small driver list).
+
+Counts are int64 and sums must be pre-scaled integers, so every merge
+is order-independent-exact and the SQL ``FILTER (WHERE ...)`` replay
+value-hashes bit-exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def distinct_categories(ds, *, cat_col: str) -> list:
+    """Small driver-side discovery: per-block unique values, reduced in
+    a Ray task, returned as a sorted list (drives the output schema —
+    keep the cardinality bounded; pass an explicit list otherwise)."""
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({cat_col: b[cat_col].combine_chunks().unique()})
+
+    parts = ds.select_columns([cat_col]).map_batches(
+        uniq, batch_format="pyarrow", zero_copy_batch=True)
+    refs = materialized_block_refs(parts)
+
+    @ray.remote
+    def _reduce(*blocks):
+        vals = set()
+        for b in blocks:
+            if cat_col in b.column_names:
+                vals.update(v for v in b[cat_col].to_pylist()
+                            if v is not None)
+        return sorted(vals)
+
+    return ray.get(_reduce.remote(*refs))
+
+
+def pivot_agg(ds, *, group_col: str, cat_col: str,
+              categories: Optional[Sequence] = None,
+              value_col: Optional[str] = None,
+              num_partitions: int = 16, prefix: str = "n_"):
+    """Per-group category vector: ``count(*)`` per category (default) or
+    exact int64 sums of ``value_col``.  Rows whose category is NULL or
+    outside ``categories`` land in no column but still count toward
+    ``n_total`` (count mode).  Returns ``(group_col, <prefix><cat>...,
+    n_total:int64)``."""
+    from .partition import partitioned_map
+
+    if categories is None:
+        categories = distinct_categories(ds, cat_col=cat_col)
+    categories = list(categories)
+    cat_arr = pa.array(categories)
+    out_cols = [f"{prefix}{c}" for c in categories]
+    C = len(categories)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g_arr = b[group_col].combine_chunks()
+        gd = pc.dictionary_encode(g_arr)
+        codes = gd.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # index_in against the FIXED category list: unknown/null -> -1
+        pos = pc.index_in(b[cat_col].combine_chunks(),
+                          value_set=cat_arr).fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_named = len(gd.dictionary)
+        has_null_g = g_arr.null_count > 0
+        n_g = n_named + (1 if has_null_g else 0)
+        codes = np.where(codes < 0, n_named, codes)
+        mat = np.zeros((n_g, C), np.int64)
+        if value_col is not None:
+            w = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            w = np.ones(len(codes), np.int64)
+        inside = pos >= 0
+        np.add.at(mat, (codes[inside], pos[inside]), w[inside])
+        total = np.zeros(n_g, np.int64)
+        np.add.at(total, codes, w)
+        dic = gd.dictionary
+        if has_null_g:
+            dic = pa.concat_arrays([dic, pa.nulls(1, dic.type)])
+        cols = {group_col: dic}
+        for j, nm in enumerate(out_cols):
+            cols[nm] = pa.array(mat[:, j])
+        cols["n_total"] = pa.array(total)
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(group_col, as_index=False, dropna=False)[
+            out_cols + ["n_total"]].sum()
+        cols = {group_col: pa.Array.from_pandas(
+            out[group_col], type=t.schema.field(group_col).type)}
+        for nm in out_cols + ["n_total"]:
+            cols[nm] = pa.array(out[nm].to_numpy(np.int64))
+        return pa.table(cols)
+
+    return partitioned_map(partials, combine, key=group_col,
+                           sort_keys=[group_col],
+                           num_partitions=num_partitions, strategy="tasks")

@@ -44,9 +44,14 @@ def _group_codes(col: pa.ChunkedArray) -> np.ndarray:
 
 
 def rank_kernel(table: pa.Table, *, group_col: str, value_col: str,
-                ntile: int | None = None) -> pa.Table:
-    """Append the five rank columns (plus ``ntile`` when requested) to a
-    table already sorted by ``(group_col, value_col, tie)``."""
+                ntile: int | None = None,
+                payload_cols: tuple = ()) -> pa.Table:
+    """Append the five rank columns (plus ``ntile`` and
+    ``first_/last_<payload>`` when requested) to a table already sorted
+    by ``(group_col, value_col, tie)``.  ``first_`` is the value at the
+    partition's first row; ``last_`` is the value at the LAST PEER of
+    the current row — ANSI default frame (RANGE ... CURRENT ROW)
+    semantics, matching what SQL ``last_value`` actually returns."""
     n = table.num_rows
     if n == 0:
         out = table
@@ -56,6 +61,10 @@ def rank_kernel(table: pa.Table, *, group_col: str, value_col: str,
             out = out.append_column(name, pa.array([], typ))
         if ntile is not None:
             out = out.append_column("ntile", pa.array([], pa.int64()))
+        for c in payload_cols:
+            ct = table.schema.field(c).type
+            out = out.append_column(f"first_{c}", pa.array([], ct))
+            out = out.append_column(f"last_{c}", pa.array([], ct))
         return out
 
     g = _group_codes(table[group_col])
@@ -115,12 +124,19 @@ def rank_kernel(table: pa.Table, *, group_col: str, value_col: str,
                          (rn - 1) // np.maximum(q_ + 1, 1) + 1,
                          r0 + (rn - cut - 1) // small + 1)
         out = out.append_column("ntile", pa.array(tiles.astype(np.int64)))
+    for c in payload_cols:
+        col = table[c].combine_chunks()
+        out = out.append_column(
+            f"first_{c}", col.take(pa.array(gstart, pa.int64())))
+        out = out.append_column(
+            f"last_{c}", col.take(pa.array(pend, pa.int64())))
     return out
 
 
 def rank_in_group(ds, *, group_col: str, value_col: str, tie_col: str,
                   num_partitions: int = 32, strategy: str = "tasks",
-                  ntile: int | None = None):
+                  ntile: int | None = None,
+                  payload_cols: tuple = ()):
     """Add the five window-rank columns per ``group_col``, ordered by
     ``(value_col, tie_col)`` (plus ``ntile(T)`` buckets when ``ntile``
     is given).  One keyed exchange; output row order is the
@@ -130,7 +146,7 @@ def rank_in_group(ds, *, group_col: str, value_col: str, tie_col: str,
 
     def kernel(t: pa.Table) -> pa.Table:
         return rank_kernel(t, group_col=group_col, value_col=value_col,
-                           ntile=ntile)
+                           ntile=ntile, payload_cols=tuple(payload_cols))
 
     return partitioned_map(ds, kernel, key=group_col,
                            sort_keys=[group_col, value_col, tie_col],

@@ -186,3 +186,62 @@ def test_ntile_matches_duckdb():
                           tie_col="id", num_partitions=1, ntile=5)
             .to_pandas().sort_values("v").reset_index(drop=True))
     assert list(got2["ntile"]) == [1, 2]
+
+
+def test_first_last_value_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 6, size=200).astype(np.int64),
+        "v": rng.integers(0, 5, size=200).astype(np.float64),  # ties
+        "id": np.arange(200, dtype=np.int64),
+        "pay": rng.normal(size=200),
+    })
+    got = (rank_in_group(_ds(df, 3), group_col="g", value_col="v",
+                         tie_col="id", num_partitions=3,
+                         payload_cols=("pay",))
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT id,
+               first_value(pay) OVER w AS f,
+               last_value(pay) OVER w AS l
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY v) ORDER BY id
+    """).df()
+    np.testing.assert_array_equal(got["first_pay"].to_numpy(),
+                                  want["f"].to_numpy())
+    np.testing.assert_array_equal(got["last_pay"].to_numpy(),
+                                  want["l"].to_numpy())
+
+
+def test_pivot_agg_matches_pandas():
+    from featurebox_ray.stages.pivot import distinct_categories, pivot_agg
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 20, size=600).astype(np.int64),
+        "c": rng.choice(["a", "b", "c", "d"], size=600),
+        "w": rng.integers(1, 9, size=600).astype(np.int64),
+    })
+    ds = _ds(df, 5)
+    cats = distinct_categories(ds, cat_col="c")
+    assert cats == ["a", "b", "c", "d"]
+    got = pivot_agg(ds, group_col="g", cat_col="c", categories=cats,
+                    value_col="w", num_partitions=4).to_pandas()
+    want = df.pivot_table(index="g", columns="c", values="w",
+                          aggfunc="sum", fill_value=0)
+    got = got.sort_values("g").reset_index(drop=True)
+    for cat in cats:
+        np.testing.assert_array_equal(
+            got[f"n_{cat}"].to_numpy(),
+            want[cat].reindex(got["g"]).to_numpy(), err_msg=cat)
+    np.testing.assert_array_equal(
+        got["n_total"].to_numpy(),
+        df.groupby("g")["w"].sum().reindex(got["g"]).to_numpy())
+    # unknown category rows count toward n_total only
+    got2 = pivot_agg(ds, group_col="g", cat_col="c",
+                     categories=["a", "b"], num_partitions=2).to_pandas()
+    assert (got2["n_total"].sum() == 600
+            and got2["n_a"].sum() == (df.c == "a").sum())
