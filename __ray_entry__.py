@@ -1403,7 +1403,8 @@ def _ego_rank(sf_dir: str):
 def _bloom_semi_q(sf_dir: str):
     """q58: Bloom-filtered EXACT semi join (WHERE EXISTS) — lineitems of
     high-value orders (o_totalprice > 400000, ~20% of orders).  The
-    bloom bitmap (128 KiB) broadcasts instead of the key set; bloom
+    bloom bitmap (1<<17 bits = 16 KiB here; 128 KiB at the 1<<20
+    default) broadcasts instead of the key set; bloom
     misses drop before the verify exchange, so the single all-to-all
     moves ~matches+ε rows, not the whole lineitem table.  Aggregated per
     returnflag with exact int64 sums (qty integral; price in 1e-4

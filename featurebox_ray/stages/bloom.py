@@ -178,7 +178,19 @@ def _bloom_join(left_ds, right_ds, *, on: str, right_on: Optional[str],
                                num_hashes=num_hashes) & valid
         return batch.filter(pa.array(hit if want_hits else ~hit))
 
-    candidates = left_ds.map_batches(
+    if how == "anti":
+        # anti consumes the left side twice (candidates + definite
+        # keeps): materialize its blocks ONCE so the parquet scan and
+        # any upstream map chain never re-execute — both branches then
+        # stream from the same object-store refs
+        from .partition import materialized_block_refs
+
+        left_refs = list(materialized_block_refs(left_ds))
+        left_src = ray.data.from_arrow_refs(left_refs)
+    else:
+        left_src = left_ds
+
+    candidates = left_src.map_batches(
         lambda b: split(b, True), batch_format="pyarrow",
         zero_copy_batch=True)
 
@@ -188,16 +200,18 @@ def _bloom_join(left_ds, right_ds, *, on: str, right_on: Optional[str],
     def tag_left(t: pa.Table) -> pa.Table:
         return t.append_column(SIDE, pa.array(np.zeros(t.num_rows, np.int8)))
 
+    ltypes = dict(zip(lschema.names, lschema.types))
+
     def tag_right(t: pa.Table) -> pa.Table:
+        # per-block key dedupe: verify only needs DISTINCT right keys, so
+        # the exchange traffic is bounded by distinct keys per block, not
+        # raw right rows
+        keys = t[right_on].combine_chunks().unique().cast(key_type)
         cols = {}
         for c in left_cols:
-            if c == on:
-                cols[c] = t[right_on].cast(key_type)
-            else:
-                cols[c] = pa.nulls(t.num_rows,
-                                   dict(zip(lschema.names, lschema.types))[c])
+            cols[c] = keys if c == on else pa.nulls(len(keys), ltypes[c])
         out = pa.table(cols)
-        return out.append_column(SIDE, pa.array(np.ones(t.num_rows, np.int8)))
+        return out.append_column(SIDE, pa.array(np.ones(len(keys), np.int8)))
 
     lt = candidates.map_batches(tag_left, batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -228,9 +242,9 @@ def _bloom_join(left_ds, right_ds, *, on: str, right_on: Optional[str],
 
     # anti: bloom misses (and NULL keys) are definitely unmatched —
     # they bypass the exchange entirely
-    definite = left_ds.map_batches(lambda b: split(b, False),
-                                   batch_format="pyarrow",
-                                   zero_copy_batch=True)
+    definite = ray.data.from_arrow_refs(left_refs).map_batches(
+        lambda b: split(b, False), batch_format="pyarrow",
+        zero_copy_batch=True)
     return definite.union(checked)
 
 

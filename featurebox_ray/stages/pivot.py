@@ -23,7 +23,6 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -71,6 +70,11 @@ def pivot_agg(ds, *, group_col: str, cat_col: str,
     categories = list(categories)
     cat_arr = pa.array(categories)
     out_cols = [f"{prefix}{c}" for c in categories]
+    if "n_total" in out_cols or len(set(out_cols)) != len(out_cols):
+        raise ValueError(
+            "category output names collide (a category named 'total' "
+            f"with prefix {prefix!r}, or duplicate categories); rename "
+            "the prefix or dedupe the category list")
     C = len(categories)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -88,7 +92,11 @@ def pivot_agg(ds, *, group_col: str, cat_col: str,
         codes = np.where(codes < 0, n_named, codes)
         mat = np.zeros((n_g, C), np.int64)
         if value_col is not None:
-            w = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            # NULL weights contribute 0 — SQL sum-ignores-NULL semantics
+            # (astype on the NaN a null converts to would silently write
+            # INT64_MIN into the sums)
+            w = pc.fill_null(b[value_col].combine_chunks(), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
         else:
             w = np.ones(len(codes), np.int64)
         inside = pos >= 0
@@ -108,13 +116,26 @@ def pivot_agg(ds, *, group_col: str, cat_col: str,
                               zero_copy_batch=True, batch_size=None)
 
     def combine(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out = df.groupby(group_col, as_index=False, dropna=False)[
-            out_cols + ["n_total"]].sum()
-        cols = {group_col: pa.Array.from_pandas(
-            out[group_col], type=t.schema.field(group_col).type)}
+        # group on dictionary CODES, never through pandas: a pandas
+        # round-trip would coerce int64-with-null keys to float64 and
+        # corrupt ids above 2^53
+        g_arr = t[group_col].combine_chunks()
+        gd = pc.dictionary_encode(g_arr)
+        n_named = len(gd.dictionary)
+        has_null = g_arr.null_count > 0
+        codes = (pc.fill_null(gd.indices, n_named) if has_null
+                 else gd.indices).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_g = n_named + (1 if has_null else 0)
+        dic = gd.dictionary
+        if has_null:
+            dic = pa.concat_arrays([dic, pa.nulls(1, dic.type)])
+        cols = {group_col: dic}
         for nm in out_cols + ["n_total"]:
-            cols[nm] = pa.array(out[nm].to_numpy(np.int64))
+            acc = np.zeros(n_g, np.int64)
+            np.add.at(acc, codes,
+                      t[nm].to_numpy(zero_copy_only=False))
+            cols[nm] = pa.array(acc)
         return pa.table(cols)
 
     return partitioned_map(partials, combine, key=group_col,

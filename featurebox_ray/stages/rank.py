@@ -68,18 +68,30 @@ def rank_kernel(table: pa.Table, *, group_col: str, value_col: str,
         return out
 
     g = _group_codes(table[group_col])
-    v = table[value_col].to_numpy(zero_copy_only=False)
+    vcol = table[value_col].combine_chunks()
+    v = vcol.to_numpy(zero_copy_only=False)
 
     new_group = np.empty(n, bool)
     new_group[0] = True
     new_group[1:] = g[1:] != g[:-1]
 
-    if v.dtype.kind == "f":
-        same_val = np.zeros(n, bool)
-        same_val[1:] = (v[1:] == v[:-1]) | (np.isnan(v[1:]) & np.isnan(v[:-1]))
+    # NULL and NaN are DISTINCT peer classes (to_numpy folds NULL into
+    # NaN, so track validity separately): NaN==NaN peers, NULL==NULL
+    # peers, NaN!=NULL — matching DuckDB, which sorts values < NaN <
+    # NULL and ranks the two classes apart
+    if vcol.null_count:
+        isnull = pc.is_null(vcol).to_numpy(zero_copy_only=False)
     else:
-        same_val = np.zeros(n, bool)
-        same_val[1:] = v[1:] == v[:-1]
+        isnull = np.zeros(n, bool)
+    same_val = np.zeros(n, bool)
+    if v.dtype.kind == "f":
+        both_nan = (np.isnan(v[1:]) & ~isnull[1:]
+                    & np.isnan(v[:-1]) & ~isnull[:-1])
+        same_val[1:] = ((v[1:] == v[:-1]) | both_nan
+                        | (isnull[1:] & isnull[:-1]))
+    else:
+        same_val[1:] = ((isnull[1:] & isnull[:-1])
+                        | (~isnull[1:] & ~isnull[:-1] & (v[1:] == v[:-1])))
     new_peer = new_group | ~same_val
 
     idx = np.arange(n, dtype=np.int64)

@@ -30,6 +30,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def rollup_counts(ds, *, g1: str, g2: str, int_sum_cols: Sequence[str],
@@ -45,48 +46,77 @@ def rollup_counts(ds, *, g1: str, g2: str, int_sum_cols: Sequence[str],
 
     sum_names = [f"sum_{c}" for c in int_sum_cols]
 
+    def _codes_dic(col: pa.ChunkedArray):
+        """Dictionary codes with a trailing null slot — group keys never
+        round-trip through pandas values (an all-None block would infer
+        the null type; int64-with-null keys would coerce to float64 and
+        corrupt ids above 2^53)."""
+        d = pc.dictionary_encode(col.combine_chunks())
+        n_named = len(d.dictionary)
+        idx = d.indices
+        codes = (pc.fill_null(idx, n_named) if idx.null_count else idx
+                 ).to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = d.dictionary
+        if col.null_count:
+            dic = pa.concat_arrays([dic, pa.nulls(1, dic.type)])
+        return codes, dic
+
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            g1: b[g1].to_pandas(), g2: b[g2].to_pandas(),
-            "n_rows": np.ones(b.num_rows, np.int64),
-        })
+        c1, dic1 = _codes_dic(b[g1])
+        c2, dic2 = _codes_dic(b[g2])
+        df = pd.DataFrame({"c1": c1, "c2": c2,
+                           "n_rows": np.ones(b.num_rows, np.int64)})
         for c, nm in zip(int_sum_cols, sum_names):
             df[nm] = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
-        out = df.groupby([g1, g2], as_index=False, dropna=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out = df.groupby(["c1", "c2"], as_index=False).sum()
+        cols = {
+            g1: dic1.take(pa.array(out["c1"].to_numpy(np.int64))),
+            g2: dic2.take(pa.array(out["c2"].to_numpy(np.int64))),
+        }
+        for nm in ["n_rows"] + sum_names:
+            cols[nm] = pa.array(out[nm].to_numpy(np.int64))
+        return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
 
     metric_cols = ["n_rows"] + sum_names
 
-    def _typed(out: pd.DataFrame, gt1, gt2) -> pa.Table:
-        # explicit Arrow types: an all-None pandas column would otherwise
-        # infer the null type and break the union's fixed schema
-        cols = {g1: pa.Array.from_pandas(out[g1], type=gt1),
-                g2: pa.Array.from_pandas(out[g2], type=gt2),
-                "lvl": pa.array(out["lvl"].to_numpy(np.int64))}
-        for m in metric_cols:
-            cols[m] = pa.array(out[m].to_numpy(np.int64))
-        return pa.table(cols)
-
     def combine(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        fine = df.groupby([g1, g2], as_index=False, dropna=False)[
-            metric_cols].sum()
-        fine["lvl"] = np.int64(0)
-        mid = df.groupby([g1], as_index=False, dropna=False)[
-            metric_cols].sum()
-        mid[g2] = None
-        mid["lvl"] = np.int64(1)
-        grand = df[metric_cols].sum().to_frame().T
-        grand[g1] = None
-        grand[g2] = None
-        grand["lvl"] = np.int64(3)  # incomplete: merged in the final pass
-        cols = [g1, g2, "lvl"] + metric_cols
-        out = pd.concat([fine[cols], mid[cols], grand[cols]],
-                        ignore_index=True)
-        return _typed(out, t.schema.field(g1).type, t.schema.field(g2).type)
+        c1, dic1 = _codes_dic(t[g1])
+        c2, dic2 = _codes_dic(t[g2])
+        gt1 = t.schema.field(g1).type
+        gt2 = t.schema.field(g2).type
+        df = pd.DataFrame({"c1": c1, "c2": c2})
+        for m in metric_cols:
+            df[m] = t[m].to_numpy(zero_copy_only=False).astype(np.int64)
+        fine = df.groupby(["c1", "c2"], as_index=False)[metric_cols].sum()
+        mid = df.groupby(["c1"], as_index=False)[metric_cols].sum()
+        grand = df[metric_cols].sum()
+
+        def take1(codes_np):
+            return dic1.take(pa.array(codes_np.to_numpy(np.int64)))
+
+        parts = []
+        parts.append(pa.table({
+            g1: take1(fine["c1"]),
+            g2: dic2.take(pa.array(fine["c2"].to_numpy(np.int64))),
+            "lvl": pa.array(np.zeros(len(fine), np.int64)),
+            **{m: pa.array(fine[m].to_numpy(np.int64))
+               for m in metric_cols}}))
+        parts.append(pa.table({
+            g1: take1(mid["c1"]),
+            g2: pa.nulls(len(mid), gt2),
+            "lvl": pa.array(np.full(len(mid), 1, np.int64)),
+            **{m: pa.array(mid[m].to_numpy(np.int64))
+               for m in metric_cols}}))
+        # incomplete grand partial: merged in the final pass (lvl 3)
+        parts.append(pa.table({
+            g1: pa.nulls(1, gt1), g2: pa.nulls(1, gt2),
+            "lvl": pa.array([3], pa.int64()),
+            **{m: pa.array([int(grand[m])], pa.int64())
+               for m in metric_cols}}))
+        return pa.concat_tables(parts)
 
     staged = partitioned_map(partials, combine, key=g1,
                              sort_keys=[g1], num_partitions=num_partitions,

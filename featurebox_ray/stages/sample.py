@@ -38,6 +38,17 @@ def sample_threshold(fraction: float) -> int:
     return int(round(fraction * MOD))
 
 
+def knuth_hash(k: np.ndarray, *, op: str = "knuth_hash") -> np.ndarray:
+    """The engine's ONE key-hash definition (``((k % 2^32) * 2654435761)
+    % 2^32``) — every sampler/capper below routes through here so the
+    "consistent across tables sharing the key" invariant cannot drift
+    between operators.  Non-negative integer keys only."""
+    if k.size and int(k.min()) < 0:
+        raise ValueError(f"{op} requires non-negative integer keys")
+    return ((k.astype(np.int64).view(np.uint64) % np.uint64(MOD))
+            * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+
+
 def hash_sample(ds, *, key_col: str, threshold: int):
     """Keep rows whose multiplicative key hash lands under ``threshold``
     (≈ ``threshold / 2**32`` of all distinct keys — all rows of one key
@@ -49,12 +60,7 @@ def hash_sample(ds, *, key_col: str, threshold: int):
             batch = batch.filter(pc.is_valid(col))
             col = batch[key_col]
         k = col.to_numpy(zero_copy_only=False).astype(np.int64)
-        if k.size and int(k.min()) < 0:
-            raise ValueError(
-                f"hash_sample requires non-negative keys; {key_col} has "
-                f"min {int(k.min())}")
-        h = ((k.view(np.uint64) % np.uint64(MOD)) * np.uint64(KNUTH_MULT)
-             ) % np.uint64(MOD)
+        h = knuth_hash(k, op=f"hash_sample({key_col})")
         return batch.filter(pa.array(h < np.uint64(threshold)))
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
@@ -85,10 +91,7 @@ def cap_per_group(ds, *, group_col: str, id_col: str, m: int):
     from .partition import partitioned_map
 
     def key_hash(k: np.ndarray) -> np.ndarray:
-        if k.size and int(k.min()) < 0:
-            raise ValueError("cap_per_group requires non-negative ids")
-        return ((k.astype(np.int64).view(np.uint64) % np.uint64(MOD))
-                * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+        return knuth_hash(k, op="cap_per_group")
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -164,12 +167,7 @@ def stratified_hash_sample(ds, *, key_col: str, group_col: str,
         if batch.num_rows == 0:
             return batch
         k = col.to_numpy(zero_copy_only=False).astype(np.int64)
-        if k.size and int(k.min()) < 0:
-            raise ValueError(
-                f"stratified_hash_sample requires non-negative keys; "
-                f"{key_col} has min {int(k.min())}")
-        h = ((k.view(np.uint64) % np.uint64(MOD)) * np.uint64(KNUTH_MULT)
-             ) % np.uint64(MOD)
+        h = knuth_hash(k, op=f"stratified_hash_sample({key_col})")
         gd = pc.dictionary_encode(batch[group_col].combine_chunks())
         per_code = np.array(
             [thresholds.get(v, default_thr)

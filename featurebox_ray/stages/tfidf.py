@@ -179,6 +179,13 @@ def top_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
     Deterministic total order ``(count desc, term asc)`` — the LIMIT
     boundary is stable and SQL replays it bit-exactly.  Returns
     ``(term:string, cnt:int64)``.
+
+    ``doc_freq`` assumes one row per document (the document-table
+    contract shared with :func:`tfidf_topk`): (doc, term) pairs dedupe
+    within a block, so a doc_id duplicated ACROSS blocks counts once
+    per row, where SQL ``count(DISTINCT doc_id)`` counts once globally.
+    Run :func:`~featurebox_ray.stages.dedup.exact_dedup` first if the
+    corpus may contain duplicate ids.
     """
     from .partition import partitioned_map
 

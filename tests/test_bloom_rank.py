@@ -245,3 +245,85 @@ def test_pivot_agg_matches_pandas():
                      categories=["a", "b"], num_partitions=2).to_pandas()
     assert (got2["n_total"].sum() == 600
             and got2["n_a"].sum() == (df.c == "a").sum())
+
+
+def test_rank_null_and_nan_are_distinct_peers():
+    import duckdb
+
+    df = pd.DataFrame({
+        "g": np.ones(5, np.int64),
+        "v": [1.0, np.nan, None, np.nan, None],
+        "id": np.arange(5, dtype=np.int64),
+    })
+    got = (rank_in_group(_ds(df, 2), group_col="g", value_col="v",
+                         tie_col="id", num_partitions=1)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT id, rank() OVER (PARTITION BY g ORDER BY v) AS r,
+               dense_rank() OVER (PARTITION BY g ORDER BY v) AS d
+        FROM t ORDER BY id
+    """).df()
+    np.testing.assert_array_equal(got["rank"].to_numpy(),
+                                  want["r"].to_numpy())
+    np.testing.assert_array_equal(got["dense_rank"].to_numpy(),
+                                  want["d"].to_numpy())
+
+
+def _collect_arrow(ds) -> pa.Table:
+    """Collect a Dataset as ONE Arrow table — Dataset.to_pandas would
+    coerce int64-with-null columns to float64 and corrupt ids > 2^53
+    (the exact hazard these tests assert the ENGINE avoids)."""
+    from featurebox_ray.stages.partition import materialized_block_refs
+
+    blocks = [b for b in ray.get(materialized_block_refs(ds))
+              if b.num_rows > 0]
+    return pa.concat_tables(blocks, promote_options="default")
+
+
+def test_pivot_large_int_keys_null_group_and_guards():
+    from featurebox_ray.stages.pivot import pivot_agg
+
+    big = (1 << 53) + 1
+    df = pd.DataFrame({
+        "g": pd.array([big, big + 2, None, big], dtype="Int64"),
+        "c": ["a", "a", "b", "b"],
+        "w": pd.array([5, 7, 11, None], dtype="Int64"),
+    })
+    t = _collect_arrow(pivot_agg(_ds(df, 2), group_col="g", cat_col="c",
+                                 categories=["a", "b"], value_col="w",
+                                 num_partitions=2))
+    rows = {(r["g"]): r for r in t.to_pylist()}
+    # ids above 2^53 survive exactly (no pandas float64 round-trip)
+    assert set(k for k in rows if k is not None) == {big, big + 2}
+    r = rows[big]
+    assert r["n_a"] == 5 and r["n_b"] == 0 and r["n_total"] == 5  # NULL w -> 0
+    assert rows[None]["n_b"] == 11
+    with pytest.raises(ValueError, match="collide"):
+        pivot_agg(_ds(df, 1), group_col="g", cat_col="c",
+                  categories=["a", "total"])
+
+
+def test_rollup_null_and_large_int_keys():
+    from featurebox_ray.stages.rollup import rollup_counts
+
+    big = (1 << 53) + 1
+    df = pd.DataFrame({
+        "a": pd.array([big, big, None, big + 2], dtype="Int64"),
+        "b": ["x", "y", "x", None],
+        "m": np.array([1, 2, 4, 8], np.int64),
+    })
+    t = _collect_arrow(rollup_counts(_ds(df, 2), g1="a", g2="b",
+                                     int_sum_cols=["m"],
+                                     num_partitions=2))
+    rows = t.to_pylist()
+    grand = [r for r in rows if r["lvl"] == 3]
+    assert len(grand) == 1 and grand[0]["sum_m"] == 15
+    mid_big = [r for r in rows if r["lvl"] == 1 and r["a"] == big]
+    assert mid_big[0]["sum_m"] == 3 and mid_big[0]["n_rows"] == 2
+    mid_null = [r for r in rows if r["lvl"] == 1 and r["a"] is None]
+    assert mid_null[0]["sum_m"] == 4
+    fine_nb = [r for r in rows if r["lvl"] == 0 and r["a"] == big + 2]
+    assert fine_nb[0]["b"] is None and fine_nb[0]["sum_m"] == 8
+    assert set(r["a"] for r in rows if r["a"] is not None) == {big, big + 2}
