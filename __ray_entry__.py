@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q64_cont_quantiles": _cont_quantiles_q,
         "q65_rollup": _rollup_q,
         "q66_pivot": _pivot_q,
+        "q67_weighted_sample": _weighted_sample_q,
     }
 
 
@@ -1637,6 +1638,40 @@ def _pivot_q(sf_dir: str):
                      categories=cats, num_partitions=8)
 
 
+def _weighted_sample_q(sf_dir: str):
+    """q67: deterministic weighted sample without replacement — the
+    quality-weighted corpus downsampler (Efraimidis-Spirakis A-ES with
+    hash-derived uniforms, so the draw is a pure function of doc_id).
+    Top-50 documents by n_chars weight.  The score uses pow (libm ulps
+    differ across engines), so the oracle is an independent serial
+    numpy replay written as a fixture — bit-exact, no rounding."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.sample import (MOD, knuth_hash,
+                                              weighted_sample_k)
+
+    # independent serial replay over the whole table (no Ray, no engine
+    # partials): score every doc, take the top-50 by (score desc, id)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    w = t["n_chars"].to_numpy().astype(np.float64)
+    u = (knuth_hash(ids).astype(np.float64) + 0.5) / float(MOD)
+    score = u ** (1.0 / w)
+    order = np.lexsort((ids, -score))[:50]
+    _write_fixture(pd.DataFrame({
+        "doc_id": ids[order], "n_chars": w[order].astype(np.int64),
+        "ws_score": score[order]}), "weighted_sample")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    return weighted_sample_k(docs, key_col="doc_id",
+                             weight_col="n_chars", k=50)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2288,6 +2323,12 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # weighted sample: serial numpy A-ES replay (pow is not
+        # SQL-replayable bit-exactly; same-arithmetic fixture instead)
+        "q67_weighted_sample": f"""
+            SELECT doc_id, n_chars, ws_score
+            FROM read_parquet('{_ORACLE_DIR}/weighted_sample.parquet')
         """,
         # pivot: FILTER aggregates replay the category vector exactly
         "q66_pivot": """

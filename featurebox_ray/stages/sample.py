@@ -181,3 +181,71 @@ def stratified_hash_sample(ds, *, key_col: str, group_col: str,
 
     return ds.map_batches(filt, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def weighted_sample_k(ds, *, key_col: str, weight_col: str, k: int,
+                      num_partitions: int = 8):
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows —
+    Efraimidis–Spirakis A-ES: each row draws ``u = (knuth_hash(id)+0.5)
+    / 2^32`` (a hash-derived uniform, so the draw is a pure function of
+    the id: reproducible across runs, partitionings and cluster sizes)
+    and the sample is the top-k by ``u^(1/w)``.  Rows with larger
+    weight w win proportionally more often — the quality-weighted
+    corpus downsampler.
+
+    Distributed as streaming partial top-k per block + one tiny keyed
+    combine (the cap_per_group shape): the exchange moves
+    ``blocks × k`` (id, score) rows, never data.  Ties (possible only
+    for duplicated ids) break by id ascending.  Weights must be finite
+    and > 0; null keys/weights are excluded.
+
+    The selection score uses ``pow`` — libm ulps differ across engines,
+    so this op takes a serial numpy REPLAY oracle (same arithmetic),
+    not a SQL one.  Returns the selected rows with a ``ws_score``
+    float64 column attached.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        cols = [batch[key_col], batch[weight_col]]
+        valid = np.ones(batch.num_rows, bool)
+        for c in cols:
+            if c.null_count:
+                valid &= pc.is_valid(c).to_numpy(zero_copy_only=False)
+        if not valid.all():
+            batch = batch.filter(pa.array(valid))
+        ids = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if w.size and (not np.isfinite(w).all() or (w <= 0).any()):
+            raise ValueError("weighted_sample_k requires finite positive "
+                             "weights")
+        u = (knuth_hash(ids, op="weighted_sample_k").astype(np.float64)
+             + 0.5) / float(MOD)
+        score = u ** (1.0 / w)
+        return batch.append_column("ws_score", pa.array(score))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        t = score_batch(batch)
+        s = t["ws_score"].to_numpy(zero_copy_only=False)
+        ids = t[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        s = t["ws_score"].to_numpy(zero_copy_only=False)
+        ids = t[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    return partitioned_map(partials, final_topk, key=key_col,
+                           sort_keys=[key_col], num_partitions=1,
+                           strategy="tasks")

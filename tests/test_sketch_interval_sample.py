@@ -458,3 +458,38 @@ def test_rollup_counts_matches_pandas():
     g = got[got.a.isna()]
     assert len(g) == 1 and g["lvl"].iloc[0] == 3
     assert g["n_rows"].iloc[0] == 500 and g["sum_m"].iloc[0] == pdf["m"].sum()
+
+
+# ----------------------------------------------------- weighted sample ----
+
+def test_weighted_sample_k_partition_invariant_and_weight_biased():
+    from featurebox_ray.stages.sample import MOD, knuth_hash, \
+        weighted_sample_k
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    df = __import__("pandas").DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "w": rng.uniform(0.5, 20.0, size=n),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    a = weighted_sample_k(ds.repartition(3), key_col="id", weight_col="w",
+                          k=100).to_pandas()
+    b = weighted_sample_k(ds.repartition(11), key_col="id", weight_col="w",
+                          k=100).to_pandas()
+    assert sorted(a["id"]) == sorted(b["id"])  # pure function of ids
+    # serial replay equality (same arithmetic)
+    u = (knuth_hash(df["id"].to_numpy()).astype(np.float64) + 0.5) / MOD
+    score = u ** (1.0 / df["w"].to_numpy())
+    want = set(np.lexsort((df["id"].to_numpy(), -score))[:100])
+    assert set(a["id"]) == want
+    # heavier rows are overrepresented vs their population share
+    heavy_share = (df.loc[list(want), "w"] > 10).mean()
+    pop_share = (df["w"] > 10).mean()
+    assert heavy_share > pop_share
+
+    with pytest.raises(Exception, match="finite positive"):
+        bad = df.copy(); bad.loc[0, "w"] = -1.0
+        weighted_sample_k(ray.data.from_arrow(
+            pa.Table.from_pandas(bad, preserve_index=False)),
+            key_col="id", weight_col="w", k=5).to_pandas()
