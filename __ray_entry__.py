@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_rollup": _rollup_q,
         "q66_pivot": _pivot_q,
         "q67_weighted_sample": _weighted_sample_q,
+        "q68_chunk_docs": _chunk_docs_q,
     }
 
 
@@ -1672,6 +1673,22 @@ def _weighted_sample_q(sf_dir: str):
                              weight_col="n_chars", k=50)
 
 
+def _chunk_docs_q(sf_dir: str):
+    """q68: document chunking — fixed 32-token windows with 8-token
+    overlap (stride 24), one row per chunk: the LLM-training row
+    expander.  Pure streaming flat-map (no shuffle); the kernel builds
+    every chunk's token indices with one ragged arange + one Arrow take
+    + binary_join (zero per-row Python).  DuckDB replays the identical
+    spec with generate_series over list slices."""
+    import ray
+
+    from featurebox_ray.stages.chunk import chunk_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2323,6 +2340,25 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # chunking: same tokenizer as q53; starts at multiples of the
+        # stride while start < n_tokens; list slice is 1-based inclusive
+        "q68_chunk_docs": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents
+            ), st AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 24)) AS start
+              FROM tok WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST(start / 24 AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[start + 1 :
+                                        least(start + 32, len(toks))],
+                                   ' ') AS chunk_text,
+                   CAST(least(32, len(toks) - start) AS BIGINT) AS n_tokens
+            FROM st
         """,
         # weighted sample: serial numpy A-ES replay (pow is not
         # SQL-replayable bit-exactly; same-arithmetic fixture instead)

@@ -150,3 +150,38 @@ def test_top_terms_k_exceeds_vocab_and_ties():
     got = top_terms(ds, k=99, by="doc_freq", num_partitions=2).to_pandas()
     assert list(got["term"]) == ["a", "b", "c"]
     assert list(got["cnt"]) == [2, 2, 2]
+
+
+# ----------------------------------------------------------- chunking -----
+
+def test_chunk_documents_matches_serial_replay():
+    from featurebox_ray.stages.chunk import chunk_documents
+
+    rng = np.random.default_rng(53)
+    texts = [" ".join(f"t{j}" for j in range(rng.integers(0, 90)))
+             for _ in range(120)]
+    texts[0] = ""          # zero-token doc emits no chunks
+    texts[1] = "only"      # single short chunk
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(5)
+    K, OV = 16, 4
+    got = (chunk_documents(ds, chunk_tokens=K, overlap=OV)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    want = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        for ci, start in enumerate(range(0, len(toks), K - OV)):
+            sel = toks[start:start + K]
+            want.append((i, ci, " ".join(sel), len(sel)))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    # overlap: consecutive chunks share exactly OV tokens (full chunks)
+    full = got[(got.doc_id == got.doc_id.iloc[-1]) & (got.n_tokens == K)]
+    if len(full) >= 2:
+        a = full.iloc[0]["chunk_text"].split()
+        b = full.iloc[1]["chunk_text"].split()
+        assert a[-OV:] == b[:OV]
+
+    with pytest.raises(Exception, match="overlap"):
+        chunk_documents(ds, chunk_tokens=8, overlap=8).to_pandas()
