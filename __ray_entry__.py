@@ -2348,8 +2348,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
               FROM documents
             ), st AS (
+              -- last start = smallest stride multiple whose window
+              -- reaches the doc end (engine spec: no subset chunks)
               SELECT doc_id, toks,
-                     unnest(generate_series(0, len(toks) - 1, 24)) AS start
+                     unnest(generate_series(
+                         0,
+                         CASE WHEN len(toks) <= 32 THEN 0
+                              ELSE ((len(toks) - 32 + 23) // 24) * 24 END,
+                         24)) AS start
               FROM tok WHERE len(toks) > 0
             )
             SELECT doc_id,

@@ -183,8 +183,7 @@ def stratified_hash_sample(ds, *, key_col: str, group_col: str,
                           zero_copy_batch=True)
 
 
-def weighted_sample_k(ds, *, key_col: str, weight_col: str, k: int,
-                      num_partitions: int = 8):
+def weighted_sample_k(ds, *, key_col: str, weight_col: str, k: int):
     """Deterministic weighted sample WITHOUT replacement of ``k`` rows —
     Efraimidis–Spirakis A-ES: each row draws ``u = (knuth_hash(id)+0.5)
     / 2^32`` (a hash-derived uniform, so the draw is a pure function of
@@ -204,12 +203,16 @@ def weighted_sample_k(ds, *, key_col: str, weight_col: str, k: int,
     not a SQL one.  Returns the selected rows with a ``ws_score``
     float64 column attached.
     """
-    import ray
-
-    from .partition import materialized_block_refs, partitioned_map
+    from .partition import partitioned_map
 
     if k < 1:
         raise ValueError("k must be >= 1")
+
+    def topk(t: pa.Table) -> pa.Table:
+        s = t["ws_score"].to_numpy(zero_copy_only=False)
+        ids = t[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return t.take(pa.array(order, pa.int64()))
 
     def score_batch(batch: pa.Table) -> pa.Table:
         cols = [batch[key_col], batch[weight_col]]
@@ -231,21 +234,13 @@ def weighted_sample_k(ds, *, key_col: str, weight_col: str, k: int,
         return batch.append_column("ws_score", pa.array(score))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        t = score_batch(batch)
-        s = t["ws_score"].to_numpy(zero_copy_only=False)
-        ids = t[key_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -s))[:k]
-        return t.take(pa.array(order, pa.int64()))
+        return topk(score_batch(batch))
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
-
-    def final_topk(t: pa.Table) -> pa.Table:
-        s = t["ws_score"].to_numpy(zero_copy_only=False)
-        ids = t[key_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -s))[:k]
-        return t.take(pa.array(order, pa.int64()))
-
-    return partitioned_map(partials, final_topk, key=key_col,
+    # global pick over the blocks×k survivors in ONE partition (correct
+    # for a global top-k); sort_keys is just the exchange's required
+    # pre-sort over those few rows — topk re-orders by (-score, id)
+    return partitioned_map(partials, topk, key=key_col,
                            sort_keys=[key_col], num_partitions=1,
                            strategy="tasks")

@@ -175,6 +175,8 @@ def test_chunk_documents_matches_serial_replay():
         for ci, start in enumerate(range(0, len(toks), K - OV)):
             sel = toks[start:start + K]
             want.append((i, ci, " ".join(sel), len(sel)))
+            if start + K >= len(toks):  # spec: stop at the first window
+                break                   # that reaches the doc end
     assert list(map(tuple, got.itertuples(index=False))) == want
     # overlap: consecutive chunks share exactly OV tokens (full chunks)
     full = got[(got.doc_id == got.doc_id.iloc[-1]) & (got.n_tokens == K)]
