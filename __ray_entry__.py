@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q66_pivot": _pivot_q,
         "q67_weighted_sample": _weighted_sample_q,
         "q68_chunk_docs": _chunk_docs_q,
+        "q69_pack_sequences": _pack_sequences_q,
     }
 
 
@@ -1689,6 +1690,45 @@ def _chunk_docs_q(sf_dir: str):
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
+def _pack_sequences_q(sf_dir: str):
+    """q69: deterministic sequence packing — docs assigned to
+    2000-char-budget packs (next-fit over a hash-shuffled deterministic
+    order, docs never split; the training-batch constructor downstream
+    of chunking).  Packing is order-defined, so the oracle is an
+    independent serial replay of the same per-bucket arithmetic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.pack import PACK_SHIFT, pack_partition
+    from featurebox_ray.stages.sample import knuth_hash
+    from featurebox_ray.stages.pack import pack_sequences
+
+    BUDGET, P = 2000, 8
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    tok = t["n_chars"].to_numpy().astype(np.int64)
+    bucket = (knuth_hash(ids) % np.uint64(P)).astype(np.int64)
+    rows = []
+    for b in sorted(set(bucket.tolist())):
+        m = bucket == b
+        order, local_pack, pos = pack_partition(ids[m], tok[m],
+                                                budget=BUDGET)
+        bi, bt = ids[m][order], tok[m][order]
+        rows.append(pd.DataFrame({
+            "doc_id": bi, "n_chars": bt,
+            "pack_id": (np.int64(b) << np.int64(PACK_SHIFT)) + local_pack,
+            "pack_pos": pos}))
+    _write_fixture(pd.concat(rows, ignore_index=True), "pack_sequences")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    return pack_sequences(docs, id_col="doc_id", n_tokens_col="n_chars",
+                          budget=BUDGET, num_partitions=P)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2340,6 +2380,12 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # sequence packing: order-defined (no SQL window expresses
+        # next-fit) -> independent serial per-bucket replay fixture
+        "q69_pack_sequences": f"""
+            SELECT doc_id, n_chars, pack_id, pack_pos
+            FROM read_parquet('{_ORACLE_DIR}/pack_sequences.parquet')
         """,
         # chunking: same tokenizer as q53; starts at multiples of the
         # stride while start < n_tokens; list slice is 1-based inclusive

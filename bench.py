@@ -161,7 +161,7 @@ QUERY_NAMES = [
     "q47_http_fetch", "q48_kmv_distinct", "q49_interval_join",
     "q50_hash_sample", "q51_group_quantiles", "q52_tumbling_window",
     "q53_tfidf", "q55_cap_per_group", "q58_bloom_semi", "q60_rank_family",
-    "q62_top_terms",
+    "q62_top_terms", "q68_chunk_docs",
 ]
 
 

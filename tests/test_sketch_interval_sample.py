@@ -493,3 +493,53 @@ def test_weighted_sample_k_partition_invariant_and_weight_biased():
         weighted_sample_k(ray.data.from_arrow(
             pa.Table.from_pandas(bad, preserve_index=False)),
             key_col="id", weight_col="w", k=5).to_pandas()
+
+
+# ------------------------------------------------------ sequence packing --
+
+def test_pack_sequences_invariants_and_replay():
+    from featurebox_ray.stages.pack import (PACK_SHIFT, pack_partition,
+                                            pack_sequences)
+    from featurebox_ray.stages.sample import knuth_hash
+
+    rng = np.random.default_rng(59)
+    n = 800
+    pdf = __import__("pandas").DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "nt": rng.integers(1, 600, size=n).astype(np.int64),
+    })
+    pdf.loc[5, "nt"] = 5000  # oversized doc -> its own pack
+    ds = ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+    BUDGET, P = 1024, 4
+    got = pack_sequences(ds.repartition(3), id_col="id",
+                         n_tokens_col="nt", budget=BUDGET,
+                         num_partitions=P).to_pandas()
+    got7 = pack_sequences(ds.repartition(9), id_col="id",
+                          n_tokens_col="nt", budget=BUDGET,
+                          num_partitions=P).to_pandas()
+    key = ["id"]
+    assert (got.sort_values(key).reset_index(drop=True)
+            .equals(got7.sort_values(key).reset_index(drop=True)))
+    assert len(got) == n and set(got["id"]) == set(pdf["id"])
+    # budget invariant: every pack's tokens <= budget unless single-doc
+    sizes = got.groupby("pack_id").agg(tot=("nt", "sum"), m=("nt", "size"))
+    bad = sizes[(sizes.tot > BUDGET) & (sizes.m > 1)]
+    assert len(bad) == 0
+    # oversized doc alone in its pack
+    big_pack = got[got.id == 5]["pack_id"].iloc[0]
+    assert (got.pack_id == big_pack).sum() == 1
+    # pack_pos is 0..m-1 within each pack
+    for _, grp in got.groupby("pack_id"):
+        assert sorted(grp["pack_pos"]) == list(range(len(grp)))
+    # serial per-bucket replay equality
+    bucket = (knuth_hash(pdf["id"].to_numpy()) % np.uint64(P)).astype(np.int64)
+    for b in set(bucket.tolist()):
+        m = bucket == b
+        order, lp, pos = pack_partition(pdf["id"].to_numpy()[m],
+                                        pdf["nt"].to_numpy()[m],
+                                        budget=BUDGET)
+        ids_b = pdf["id"].to_numpy()[m][order]
+        want_pid = (np.int64(b) << np.int64(PACK_SHIFT)) + lp
+        sub = got.set_index("id").loc[ids_b]
+        np.testing.assert_array_equal(sub["pack_id"].to_numpy(), want_pid)
+        np.testing.assert_array_equal(sub["pack_pos"].to_numpy(), pos)
