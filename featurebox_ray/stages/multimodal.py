@@ -126,3 +126,111 @@ def make_fake_media_table(n: int = 64, seed: int = 0) -> pa.Table:
         "mm_format": pa.array(["fake"] * n),
         "payload": pa.array(payloads, pa.binary()),
     })
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → nearest-neighbor resize → re-emit the
+    payload as raw RGB bytes (``mm_format='raw_rgb'``) with
+    ``mm_width``/``mm_height`` metadata.  Same codec contract as
+    :class:`ImageFeatureExtractor` (stub decode unless Pillow is
+    importable or a codec is pinned); the resize math itself is real
+    vectorized numpy per image."""
+
+    def __init__(self, payload_col: str = "payload",
+                 size: tuple = (4, 4), codec: Optional[Callable] = None):
+        self.payload_col = payload_col
+        self.h, self.w = int(size[0]), int(size[1])
+        if self.h < 1 or self.w < 1:
+            raise ValueError("size must be >= 1 in both dimensions")
+        proto = ImageFeatureExtractor(payload_col, codec)
+        self.codec, self.fake = proto.codec, proto.fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        out_payloads = []
+        for b in payloads:
+            if b is None:
+                out_payloads.append(None)
+                continue
+            img = self.codec(b)
+            ih, iw = img.shape[0], img.shape[1]
+            # nearest-neighbor: one fancy-index gather per image
+            ri = (np.arange(self.h) * ih) // self.h
+            ci = (np.arange(self.w) * iw) // self.w
+            out_payloads.append(img[ri][:, ci].tobytes())
+        n = batch.num_rows
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column(self.payload_col,
+                                pa.array(out_payloads, pa.binary()))
+        names = set(out.column_names)
+        for c, v in [("mm_width", self.w), ("mm_height", self.h)]:
+            arr = pa.array(np.full(n, v, np.int64))
+            out = (out.set_column(out.column_names.index(c), c, arr)
+                   if c in names else out.append_column(c, arr))
+        if "mm_format" in names:
+            fmt = pa.array(["raw_rgb"] * n)
+            out = out.set_column(out.column_names.index("mm_format"),
+                                 "mm_format", fmt)
+        return out
+
+
+def resize_images(ds, *, payload_col: str = "payload", size=(4, 4),
+                  codec: Optional[Callable] = None, batch_size: int = 64,
+                  concurrency=(2, 8), num_cpus=1):
+    """Actor-pool resize stage (small batches — payloads dominate
+    memory, same sizing note as :func:`add_image_features`)."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"payload_col": payload_col, "size": size,
+                               "codec": codec},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=num_cpus)
+
+
+def sample_frames(ds, *, payload_col: str = "payload", n_frames: int = 4,
+                  frame_bytes: int = 192, batch_size: int = 32,
+                  concurrency=(2, 8)):
+    """Video frame sampling — FLAT-MAP: one output row per sampled
+    frame, payload replaced by the frame's bytes plus ``frame_idx`` /
+    ``n_frames_total`` columns.
+
+    Stub container format (deterministic, like ``fake_decode``): the
+    payload is treated as consecutive ``frame_bytes``-sized frames;
+    rows shorter than one frame emit zero rows.  Sampling picks
+    ``min(n_frames, F)`` evenly spaced frames — indices
+    ``floor(j*F/n)`` — a pure function of the payload length, so runs
+    and replays agree.  A real demuxer later replaces only the
+    slicing, not the Ray plumbing (row expansion, schema, sizing)."""
+    if n_frames < 1 or frame_bytes < 1:
+        raise ValueError("n_frames and frame_bytes must be >= 1")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = batch[payload_col].to_pylist()
+        keep_rows = []
+        frames = []
+        fidx = []
+        ftot = []
+        for i, b in enumerate(payloads):
+            if b is None:
+                continue
+            F = len(b) // frame_bytes
+            if F == 0:
+                continue
+            k = min(n_frames, F)
+            for j in range(k):
+                t = (j * F) // k
+                keep_rows.append(i)
+                frames.append(b[t * frame_bytes:(t + 1) * frame_bytes])
+                fidx.append(t)
+                ftot.append(F)
+        base = (batch.drop_columns([payload_col])
+                .take(pa.array(keep_rows, pa.int64())))
+        base = base.append_column(payload_col,
+                                  pa.array(frames, pa.binary()))
+        base = base.append_column("frame_idx",
+                                  pa.array(fidx, pa.int64()))
+        return base.append_column("n_frames_total",
+                                  pa.array(ftot, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

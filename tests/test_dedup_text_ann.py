@@ -334,3 +334,42 @@ def test_ngram_jaccard_short_and_empty_docs():
                              jaccard_threshold=0.5).to_pandas()
     assert set(zip(got["id_a"], got["id_b"])) == {(2, 3)}
     assert (got["jaccard"] == 1.0).all()
+
+
+def test_multimodal_resize_and_frame_sampling():
+    import numpy as np
+
+    from featurebox_ray.stages.multimodal import (fake_decode,
+                                                  make_fake_media_table,
+                                                  resize_images,
+                                                  sample_frames)
+
+    t = make_fake_media_table(24, seed=3)
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    resized = resize_images(ds, size=(4, 4), codec=fake_decode,
+                            batch_size=8).to_pandas()
+    assert len(resized) == 24
+    assert (resized["mm_width"] == 4).all() and (resized["mm_height"] == 4).all()
+    assert (resized["mm_format"] == "raw_rgb").all()
+    assert resized["payload"].map(len).eq(4 * 4 * 3).all()
+    # nearest-neighbor replay on one payload
+    row = resized[resized.media_id == 0].iloc[0]
+    img = fake_decode(t["payload"][0].as_py())
+    ri = (np.arange(4) * 8) // 4
+    want = img[ri][:, ri].tobytes()
+    assert row["payload"] == want
+
+    frames = sample_frames(ds, n_frames=3, frame_bytes=100,
+                           batch_size=8).to_pandas()
+    lens = t["payload"].to_pandas().map(len)
+    want_rows = sum(min(3, ln // 100) for ln in lens)
+    assert len(frames) == want_rows
+    assert frames["payload"].map(len).eq(100).all()
+    one = frames[frames.media_id == 0].sort_values("frame_idx")
+    F = lens[0] // 100
+    k = min(3, F)
+    assert list(one["frame_idx"]) == [(j * F) // k for j in range(k)]
+    pay = t["payload"][0].as_py()
+    fi = one["frame_idx"].iloc[0]
+    assert one["payload"].iloc[0] == pay[fi * 100:(fi + 1) * 100]
