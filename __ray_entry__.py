@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q67_weighted_sample": _weighted_sample_q,
         "q68_chunk_docs": _chunk_docs_q,
         "q69_pack_sequences": _pack_sequences_q,
+        "q70_llm_prep": _llm_prep_q,
     }
 
 
@@ -1729,6 +1730,78 @@ def _pack_sequences_q(sf_dir: str):
                           budget=BUDGET, num_partitions=P)
 
 
+def _llm_prep_q(sf_dir: str):
+    """q70: end-to-end LLM training-data prep COMPOSITION — documents →
+    token-window chunking (32/8, q68 spec) → deterministic sequence
+    packing of the chunks into 128-token budgets (q69 spec, chunk ids
+    = doc_id·2^20 + chunk_idx).  Exercises operator chaining: the
+    flat-map expansion feeds the keyed packing exchange directly, no
+    materialization between stages.  Oracle: independent serial replay
+    (python str.split chunking + the per-bucket next-fit arithmetic)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.chunk import chunk_documents
+    from featurebox_ray.stages.pack import (PACK_SHIFT, pack_partition,
+                                            pack_sequences)
+    from featurebox_ray.stages.sample import knuth_hash
+
+    K, OV, BUDGET, P = 32, 8, 128, 8
+
+    # --- independent serial replay (no Ray, no engine chunk kernel) ---
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (tx or "").split()
+        for ci, start in enumerate(range(0, len(toks), K - OV)):
+            sel = toks[start:start + K]
+            rows.append((did * (1 << 20) + ci, did, ci, len(sel)))
+            if start + K >= len(toks):
+                break
+    rep = pd.DataFrame(rows, columns=["chunk_id", "doc_id", "chunk_idx",
+                                      "n_tokens"])
+    cid = rep["chunk_id"].to_numpy(np.int64)
+    bucket = (knuth_hash(cid) % np.uint64(P)).astype(np.int64)
+    outs = []
+    for b in sorted(set(bucket.tolist())):
+        m = bucket == b
+        sub = rep[m]
+        order, lp, pos = pack_partition(
+            sub["chunk_id"].to_numpy(np.int64),
+            sub["n_tokens"].to_numpy(np.int64), budget=BUDGET)
+        s = sub.iloc[order].copy()
+        s["pack_id"] = (np.int64(b) << np.int64(PACK_SHIFT)) + lp
+        s["pack_pos"] = pos
+        outs.append(s)
+    _write_fixture(pd.concat(outs, ignore_index=True), "llm_prep")
+
+    # --- the engine pipeline ---
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    chunks = chunk_documents(docs, chunk_tokens=K, overlap=OV)
+
+    def add_id(bt: pa.Table) -> pa.Table:
+        did = bt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = bt["chunk_idx"].to_numpy(zero_copy_only=False)
+        out = bt.drop_columns(["chunk_text"])
+        return out.append_column(
+            "chunk_id", pa.array(did * (1 << 20) + ci))
+
+    chunks = chunks.map_batches(add_id, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    packed = pack_sequences(chunks, id_col="chunk_id",
+                            n_tokens_col="n_tokens", budget=BUDGET,
+                            num_partitions=P)
+    return packed.map_batches(
+        lambda b: b.select(["chunk_id", "doc_id", "chunk_idx", "n_tokens",
+                            "pack_id", "pack_pos"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2380,6 +2453,11 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # chunk→pack composition: independent serial replay fixture
+        "q70_llm_prep": f"""
+            SELECT chunk_id, doc_id, chunk_idx, n_tokens, pack_id, pack_pos
+            FROM read_parquet('{_ORACLE_DIR}/llm_prep.parquet')
         """,
         # sequence packing: order-defined (no SQL window expresses
         # next-fit) -> independent serial per-bucket replay fixture
