@@ -327,3 +327,44 @@ def test_rollup_null_and_large_int_keys():
     fine_nb = [r for r in rows if r["lvl"] == 0 and r["a"] == big + 2]
     assert fine_nb[0]["b"] is None and fine_nb[0]["sum_m"] == 8
     assert set(r["a"] for r in rows if r["a"] is not None) == {big, big + 2}
+
+
+def test_rank_family_duckdb_fuzz():
+    """Random groups/values with heavy ties, NaNs AND NULLs mixed, across
+    several partition counts — every rank column must match DuckDB
+    bit-for-bit (percent_rank/cume_dist included: one division each)."""
+    import duckdb
+
+    rng = np.random.default_rng(61)
+    con = duckdb.connect()
+    for trial in range(3):
+        n = int(rng.integers(50, 400))
+        v = rng.integers(0, 6, size=n).astype(np.float64)
+        v[rng.random(n) < 0.1] = np.nan
+        vals = [None if rng.random() < 0.1 else float(x)
+                for x in v]
+        df = pd.DataFrame({
+            "g": rng.integers(0, 7, size=n).astype(np.int64),
+            "v": pd.array(vals, dtype="Float64"),
+            "id": np.arange(n, dtype=np.int64),
+        })
+        got = (rank_in_group(_ds(df, int(rng.integers(1, 6))),
+                             group_col="g", value_col="v", tie_col="id",
+                             num_partitions=int(rng.integers(1, 8)))
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        con.execute("drop view if exists t")
+        con.register("t", df)
+        want = con.execute("""
+            SELECT id,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY v, id) AS rn,
+                   rank() OVER w AS r, dense_rank() OVER w AS d,
+                   percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+            FROM t WINDOW w AS (PARTITION BY g ORDER BY v) ORDER BY id
+        """).df()
+        for eng, sql in [("row_number", "rn"), ("rank", "r"),
+                         ("dense_rank", "d"), ("percent_rank", "pr"),
+                         ("cume_dist", "cd")]:
+            np.testing.assert_array_equal(
+                got[eng].to_numpy(), want[sql].to_numpy(),
+                err_msg=f"trial {trial} col {eng}")
