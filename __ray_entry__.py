@@ -1702,16 +1702,16 @@ def _pack_sequences_q(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
 
-    from featurebox_ray.stages.pack import PACK_SHIFT, pack_partition
+    from featurebox_ray.stages.pack import (PACK_SHIFT, pack_partition,
+                                            pack_sequences)
     from featurebox_ray.stages.sample import knuth_hash
-    from featurebox_ray.stages.pack import pack_sequences
 
-    BUDGET, P = 2000, 8
+    BUDGET, P, B = 2000, 8, 256
     t = pq.read_table(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "n_chars"])
     ids = t["doc_id"].to_numpy().astype(np.int64)
     tok = t["n_chars"].to_numpy().astype(np.int64)
-    bucket = (knuth_hash(ids) % np.uint64(P)).astype(np.int64)
+    bucket = (knuth_hash(ids) % np.uint64(B)).astype(np.int64)
     rows = []
     for b in sorted(set(bucket.tolist())):
         m = bucket == b
@@ -1727,7 +1727,7 @@ def _pack_sequences_q(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
     return pack_sequences(docs, id_col="doc_id", n_tokens_col="n_chars",
-                          budget=BUDGET, num_partitions=P)
+                          budget=BUDGET, num_partitions=P, n_buckets=B)
 
 
 def _llm_prep_q(sf_dir: str):
@@ -1749,7 +1749,7 @@ def _llm_prep_q(sf_dir: str):
                                             pack_sequences)
     from featurebox_ray.stages.sample import knuth_hash
 
-    K, OV, BUDGET, P = 32, 8, 128, 8
+    K, OV, BUDGET, P, B = 32, 8, 128, 8, 256
 
     # --- independent serial replay (no Ray, no engine chunk kernel) ---
     t = pq.read_table(f"{sf_dir}/documents.parquet",
@@ -1765,7 +1765,7 @@ def _llm_prep_q(sf_dir: str):
     rep = pd.DataFrame(rows, columns=["chunk_id", "doc_id", "chunk_idx",
                                       "n_tokens"])
     cid = rep["chunk_id"].to_numpy(np.int64)
-    bucket = (knuth_hash(cid) % np.uint64(P)).astype(np.int64)
+    bucket = (knuth_hash(cid) % np.uint64(B)).astype(np.int64)
     outs = []
     for b in sorted(set(bucket.tolist())):
         m = bucket == b
@@ -1795,7 +1795,7 @@ def _llm_prep_q(sf_dir: str):
                                 zero_copy_batch=True)
     packed = pack_sequences(chunks, id_col="chunk_id",
                             n_tokens_col="n_tokens", budget=BUDGET,
-                            num_partitions=P)
+                            num_partitions=P, n_buckets=B)
     return packed.map_batches(
         lambda b: b.select(["chunk_id", "doc_id", "chunk_idx", "n_tokens",
                             "pack_id", "pack_pos"]),

@@ -148,9 +148,14 @@ class ImageResizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         out_payloads = []
-        for b in payloads:
+        missing = np.zeros(batch.num_rows, bool)
+        for i, b in enumerate(payloads):
             if b is None:
+                # null payload was never decoded: payload AND metadata
+                # stay null (the ImageFeatureExtractor precedent — never
+                # fabricate provenance for undecodable media)
                 out_payloads.append(None)
+                missing[i] = True
                 continue
             img = self.codec(b)
             ih, iw = img.shape[0], img.shape[1]
@@ -164,14 +169,17 @@ class ImageResizer:
                                 pa.array(out_payloads, pa.binary()))
         names = set(out.column_names)
         for c, v in [("mm_width", self.w), ("mm_height", self.h)]:
-            arr = pa.array(np.full(n, v, np.int64))
+            arr = pa.array(np.full(n, v, np.int64), mask=missing)
             out = (out.set_column(out.column_names.index(c), c, arr)
                    if c in names else out.append_column(c, arr))
         if "mm_format" in names:
-            fmt = pa.array(["raw_rgb"] * n)
+            fmt = pa.array([None if m else "raw_rgb" for m in missing],
+                           pa.string())
             out = out.set_column(out.column_names.index("mm_format"),
                                  "mm_format", fmt)
-        return out
+        return out.append_column(
+            "img_decoder_is_fake",
+            pa.array(np.full(n, self.fake, dtype=bool), mask=missing))
 
 
 def resize_images(ds, *, payload_col: str = "payload", size=(4, 4),
@@ -197,9 +205,9 @@ def sample_frames(ds, *, payload_col: str = "payload", n_frames: int = 4,
     Stub container format (deterministic, like ``fake_decode``): the
     payload is treated as consecutive ``frame_bytes``-sized frames;
     rows shorter than one frame emit zero rows.  Sampling picks
-    ``min(n_frames, F)`` evenly spaced frames — indices
-    ``floor(j*F/n)`` — a pure function of the payload length, so runs
-    and replays agree.  A real demuxer later replaces only the
+    ``k = min(n_frames, F)`` evenly spaced frames at indices
+    ``floor(j*F/k)`` for ``j in [0, k)`` (distinct because F/k >= 1) —
+    a pure function of the payload length, so runs and replays agree.  A real demuxer later replaces only the
     slicing, not the Ray plumbing (row expansion, schema, sizing)."""
     if n_frames < 1 or frame_bytes < 1:
         raise ValueError("n_frames and frame_bytes must be >= 1")

@@ -2,10 +2,11 @@
 (training-batch construction: concatenate short docs until the context
 window is full, never splitting a doc).
 
-Deterministic distributed spec: docs hash-partition by
-``knuth_hash(id) % num_partitions`` (the engine's one key hash, so the
-assignment is a pure function of ids — stable across runs and cluster
-sizes); within a partition docs order by ``(knuth_hash(id), id)`` (a
+Deterministic distributed spec: docs bucket by
+``knuth_hash(id) % n_buckets`` (the engine's one key hash, so the
+assignment is a pure function of ids — stable across runs, partition
+counts and cluster sizes); within a bucket docs order by
+``(knuth_hash(id), id)`` (a
 deterministic uniform shuffle, avoiding length-sorted pathologies) and
 greedy NEXT-FIT packs them: accumulate docs until adding the next one
 would exceed ``budget``, then open a new pack.  A single doc larger
@@ -66,16 +67,23 @@ def pack_partition(ids: np.ndarray, n_tokens: np.ndarray, *,
 
 def pack_sequences(ds, *, id_col: str = "doc_id",
                    n_tokens_col: str = "n_tokens", budget: int = 2048,
-                   num_partitions: int = 32):
+                   num_partitions: int = 32, n_buckets: int = 256):
     """Assign every doc a ``(pack_id, pack_pos)`` under the deterministic
-    next-fit spec above.  One keyed exchange (hash bucket of the id);
-    rows with NULL id or NULL/negative token counts raise."""
-    import pyarrow.compute as pc
+    next-fit spec above.  One keyed exchange; rows with NULL id or
+    NULL/negative token counts raise.
 
+    ``n_buckets`` (the pack-id namespace) is DECOUPLED from
+    ``num_partitions`` (physical parallelism): buckets are a pure
+    function of ids, so the packing result is identical at any cluster
+    size / partition count, and many buckets per partition keep the
+    exchange balanced (hashing exactly P tiny bucket ints into P
+    partitions would collapse onto a fraction of the gather tasks)."""
     from .partition import partitioned_map
 
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    if not 1 <= n_buckets < (1 << 23):
+        raise ValueError("n_buckets must be in [1, 2^23)")
 
     BUCKET = "__pack_bucket"
 
@@ -85,7 +93,7 @@ def pack_sequences(ds, *, id_col: str = "doc_id",
             raise ValueError("pack_sequences requires non-null ids")
         ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = (knuth_hash(ids, op="pack_sequences")
-                  % np.uint64(num_partitions)).astype(np.int64)
+                  % np.uint64(n_buckets)).astype(np.int64)
         return b.append_column(BUCKET, pa.array(bucket))
 
     def kernel(t: pa.Table) -> pa.Table:

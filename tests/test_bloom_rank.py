@@ -340,20 +340,24 @@ def test_rank_family_duckdb_fuzz():
     for trial in range(3):
         n = int(rng.integers(50, 400))
         v = rng.integers(0, 6, size=n).astype(np.float64)
-        v[rng.random(n) < 0.1] = np.nan
-        vals = [None if rng.random() < 0.1 else float(x)
-                for x in v]
-        df = pd.DataFrame({
-            "g": rng.integers(0, 7, size=n).astype(np.int64),
-            "v": pd.array(vals, dtype="Float64"),
-            "id": np.arange(n, dtype=np.int64),
+        v[rng.random(n) < 0.1] = np.nan          # REAL NaN values
+        null_mask = rng.random(n) < 0.1          # distinct NULLs
+        # Arrow on BOTH sides: a pandas Float64 column would coerce NaN
+        # to NA and silently void the NaN coverage
+        t = pa.table({
+            "g": pa.array(rng.integers(0, 7, size=n).astype(np.int64)),
+            "v": pa.array(v, pa.float64(), mask=null_mask),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
         })
-        got = (rank_in_group(_ds(df, int(rng.integers(1, 6))),
-                             group_col="g", value_col="v", tie_col="id",
+        assert pa.compute.sum(pa.compute.is_nan(
+            t["v"].drop_null())).as_py() > 0  # NaNs actually present
+        ds = ray.data.from_arrow(t).repartition(int(rng.integers(1, 6)))
+        got = (rank_in_group(ds, group_col="g", value_col="v",
+                             tie_col="id",
                              num_partitions=int(rng.integers(1, 8)))
                .to_pandas().sort_values("id").reset_index(drop=True))
         con.execute("drop view if exists t")
-        con.register("t", df)
+        con.register("t", t)
         want = con.execute("""
             SELECT id,
                    row_number() OVER (PARTITION BY g

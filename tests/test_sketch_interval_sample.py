@@ -510,13 +510,13 @@ def test_pack_sequences_invariants_and_replay():
     })
     pdf.loc[5, "nt"] = 5000  # oversized doc -> its own pack
     ds = ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
-    BUDGET, P = 1024, 4
+    BUDGET, P, B = 1024, 4, 64
     got = pack_sequences(ds.repartition(3), id_col="id",
                          n_tokens_col="nt", budget=BUDGET,
-                         num_partitions=P).to_pandas()
+                         num_partitions=P, n_buckets=B).to_pandas()
     got7 = pack_sequences(ds.repartition(9), id_col="id",
                           n_tokens_col="nt", budget=BUDGET,
-                          num_partitions=P).to_pandas()
+                          num_partitions=P, n_buckets=B).to_pandas()
     key = ["id"]
     assert (got.sort_values(key).reset_index(drop=True)
             .equals(got7.sort_values(key).reset_index(drop=True)))
@@ -532,7 +532,7 @@ def test_pack_sequences_invariants_and_replay():
     for _, grp in got.groupby("pack_id"):
         assert sorted(grp["pack_pos"]) == list(range(len(grp)))
     # serial per-bucket replay equality
-    bucket = (knuth_hash(pdf["id"].to_numpy()) % np.uint64(P)).astype(np.int64)
+    bucket = (knuth_hash(pdf["id"].to_numpy()) % np.uint64(B)).astype(np.int64)
     for b in set(bucket.tolist()):
         m = bucket == b
         order, lp, pos = pack_partition(pdf["id"].to_numpy()[m],
