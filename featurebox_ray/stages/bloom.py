@@ -149,11 +149,22 @@ def _bloom_join(left_ds, right_ds, *, on: str, right_on: Optional[str],
 
     from .partition import partitioned_map
 
+    from .partition import materialized_block_refs
+
     right_on = right_on or on
-    bloom_ref, n_keys_ref = _build_bloom_counted(
-        right_ds.select_columns([right_on]), key_col=right_on,
-        num_bits=num_bits, num_hashes=num_hashes)
-    if ray.get(n_keys_ref) == 0:
+    # the right key column is consumed twice (bloom build + verify
+    # union): materialize the column-pruned blocks ONCE so the scan and
+    # any upstream chain never re-execute
+    rkey_refs = list(materialized_block_refs(
+        right_ds.select_columns([right_on])))
+    if rkey_refs:
+        bloom_ref, n_keys_ref = _build_bloom_counted(
+            ray.data.from_arrow_refs(rkey_refs), key_col=right_on,
+            num_bits=num_bits, num_hashes=num_hashes)
+        n_keys = ray.get(n_keys_ref)
+    else:
+        n_keys = 0
+    if n_keys == 0:
         # no right keys: semi is empty, anti is the left side unchanged
         # (also sidesteps schema-less empty-map datasets in the union)
         if how == "semi":
@@ -183,8 +194,6 @@ def _bloom_join(left_ds, right_ds, *, on: str, right_on: Optional[str],
         # keeps): materialize its blocks ONCE so the parquet scan and
         # any upstream map chain never re-execute — both branches then
         # stream from the same object-store refs
-        from .partition import materialized_block_refs
-
         left_refs = list(materialized_block_refs(left_ds))
         left_src = ray.data.from_arrow_refs(left_refs)
     else:
@@ -215,9 +224,8 @@ def _bloom_join(left_ds, right_ds, *, on: str, right_on: Optional[str],
 
     lt = candidates.map_batches(tag_left, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    rt = (right_ds.select_columns([right_on])
-          .map_batches(tag_right, batch_format="pyarrow",
-                       zero_copy_batch=True))
+    rt = ray.data.from_arrow_refs(rkey_refs).map_batches(
+        tag_right, batch_format="pyarrow", zero_copy_batch=True)
     unioned = lt.union(rt)
 
     keep_matched = how == "semi"
