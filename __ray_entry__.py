@@ -1691,33 +1691,59 @@ def _chunk_docs_q(sf_dir: str):
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
+def _serial_next_fit(ids, toks, budget):
+    """Pure-python next-fit replay, INDEPENDENT of stages/pack.py: the
+    Knuth hash is written out inline and packing is a plain loop, so a
+    bug in the engine's vectorized searchsorted packing cannot hide in
+    a shared helper.  Returns (ordered_ids, ordered_toks, local_pack,
+    pack_pos) for ONE bucket."""
+    h = [((int(i) % 4294967296) * 2654435761) % 4294967296 for i in ids]
+    order = sorted(range(len(ids)), key=lambda j: (h[j], int(ids[j])))
+    local_pack, pack_pos = [], []
+    pack = -1
+    acc = None
+    for j in order:
+        t = int(toks[j])
+        if acc is None or acc + t > budget:
+            pack += 1
+            acc = 0
+            pos = 0
+        local_pack.append(pack)
+        pack_pos.append(pos)
+        acc += t
+        pos += 1
+    import numpy as np
+
+    return ([int(ids[j]) for j in order], [int(toks[j]) for j in order],
+            np.asarray(local_pack, np.int64), np.asarray(pack_pos, np.int64))
+
+
 def _pack_sequences_q(sf_dir: str):
     """q69: deterministic sequence packing — docs assigned to
     2000-char-budget packs (next-fit over a hash-shuffled deterministic
     order, docs never split; the training-batch constructor downstream
     of chunking).  Packing is order-defined, so the oracle is an
-    independent serial replay of the same per-bucket arithmetic."""
+    INDEPENDENT serial replay (pure-python next-fit + inline hash, no
+    engine pack helpers)."""
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
     import ray
 
-    from featurebox_ray.stages.pack import (PACK_SHIFT, pack_partition,
-                                            pack_sequences)
-    from featurebox_ray.stages.sample import knuth_hash
+    from featurebox_ray.stages.pack import PACK_SHIFT, pack_sequences
 
     BUDGET, P, B = 2000, 8, 256
     t = pq.read_table(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "n_chars"])
     ids = t["doc_id"].to_numpy().astype(np.int64)
     tok = t["n_chars"].to_numpy().astype(np.int64)
-    bucket = (knuth_hash(ids) % np.uint64(B)).astype(np.int64)
+    bucket = np.asarray(
+        [((int(i) % 4294967296) * 2654435761) % 4294967296 % B
+         for i in ids], np.int64)
     rows = []
     for b in sorted(set(bucket.tolist())):
         m = bucket == b
-        order, local_pack, pos = pack_partition(ids[m], tok[m],
-                                                budget=BUDGET)
-        bi, bt = ids[m][order], tok[m][order]
+        bi, bt, local_pack, pos = _serial_next_fit(ids[m], tok[m], BUDGET)
         rows.append(pd.DataFrame({
             "doc_id": bi, "n_chars": bt,
             "pack_id": (np.int64(b) << np.int64(PACK_SHIFT)) + local_pack,
@@ -1745,9 +1771,7 @@ def _llm_prep_q(sf_dir: str):
     import ray
 
     from featurebox_ray.stages.chunk import chunk_documents
-    from featurebox_ray.stages.pack import (PACK_SHIFT, pack_partition,
-                                            pack_sequences)
-    from featurebox_ray.stages.sample import knuth_hash
+    from featurebox_ray.stages.pack import PACK_SHIFT, pack_sequences
 
     K, OV, BUDGET, P, B = 32, 8, 128, 8, 256
 
@@ -1765,18 +1789,24 @@ def _llm_prep_q(sf_dir: str):
     rep = pd.DataFrame(rows, columns=["chunk_id", "doc_id", "chunk_idx",
                                       "n_tokens"])
     cid = rep["chunk_id"].to_numpy(np.int64)
-    bucket = (knuth_hash(cid) % np.uint64(B)).astype(np.int64)
+    bucket = np.asarray(
+        [((int(i) % 4294967296) * 2654435761) % 4294967296 % B
+         for i in cid], np.int64)
+    meta = {int(r.chunk_id): (int(r.doc_id), int(r.chunk_idx))
+            for r in rep.itertuples()}
     outs = []
     for b in sorted(set(bucket.tolist())):
         m = bucket == b
-        sub = rep[m]
-        order, lp, pos = pack_partition(
-            sub["chunk_id"].to_numpy(np.int64),
-            sub["n_tokens"].to_numpy(np.int64), budget=BUDGET)
-        s = sub.iloc[order].copy()
-        s["pack_id"] = (np.int64(b) << np.int64(PACK_SHIFT)) + lp
-        s["pack_pos"] = pos
-        outs.append(s)
+        oi, ot, lp, pos = _serial_next_fit(
+            rep["chunk_id"].to_numpy(np.int64)[m],
+            rep["n_tokens"].to_numpy(np.int64)[m], BUDGET)
+        outs.append(pd.DataFrame({
+            "chunk_id": oi,
+            "doc_id": [meta[i][0] for i in oi],
+            "chunk_idx": [meta[i][1] for i in oi],
+            "n_tokens": ot,
+            "pack_id": (np.int64(b) << np.int64(PACK_SHIFT)) + lp,
+            "pack_pos": pos}))
     _write_fixture(pd.concat(outs, ignore_index=True), "llm_prep")
 
     # --- the engine pipeline ---
