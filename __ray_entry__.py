@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q68_chunk_docs": _chunk_docs_q,
         "q69_pack_sequences": _pack_sequences_q,
         "q70_llm_prep": _llm_prep_q,
+        "q71_quantile_bin": _quantile_bin_q,
     }
 
 
@@ -1832,6 +1833,21 @@ def _llm_prep_q(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _quantile_bin_q(sf_dir: str):
+    """q71: per-group quantile binning — each event's value discretized
+    into its event_type's quartile bucket (the distribution-aware
+    feature discretizer).  Edges are exact quantile_disc data elements,
+    so the <= comparisons and buckets replay bit-exactly in SQL."""
+    import ray
+
+    from featurebox_ray.stages.binning import quantile_bin
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    return quantile_bin(ev, group_col="event_type", value_col="value",
+                        qs=(0.25, 0.5, 0.75), num_partitions=8)
+
+
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
 
@@ -2483,6 +2499,21 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # quantile binning: exact quantile_disc edges -> exact <= CASE
+        "q71_quantile_bin": """
+            WITH e AS (SELECT event_type AS g,
+                              quantile_disc(value, 0.25) AS q1,
+                              quantile_disc(value, 0.5) AS q2,
+                              quantile_disc(value, 0.75) AS q3
+                       FROM events GROUP BY event_type)
+            SELECT event_id, event_type, value,
+                   CAST(CASE WHEN value IS NULL THEN NULL
+                             WHEN value <= q1 THEN 0
+                             WHEN value <= q2 THEN 1
+                             WHEN value <= q3 THEN 2
+                             ELSE 3 END AS BIGINT) AS q_bucket
+            FROM events LEFT JOIN e ON event_type = e.g
         """,
         # chunk→pack composition: independent serial replay fixture
         "q70_llm_prep": f"""

@@ -543,3 +543,41 @@ def test_pack_sequences_invariants_and_replay():
         sub = got.set_index("id").loc[ids_b]
         np.testing.assert_array_equal(sub["pack_id"].to_numpy(), want_pid)
         np.testing.assert_array_equal(sub["pack_pos"].to_numpy(), pos)
+
+
+# ------------------------------------------------------ quantile binning --
+
+def test_quantile_bin_matches_pandas_and_handles_nulls():
+    from featurebox_ray.stages.binning import quantile_bin
+
+    rng = np.random.default_rng(67)
+    n = 600
+    v = rng.normal(size=n)
+    null_mask = rng.random(n) < 0.05
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], size=n)),
+        "v": pa.array(v, pa.float64(), mask=null_mask),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    got = (quantile_bin(ray.data.from_arrow(t).repartition(4),
+                        group_col="g", value_col="v", num_partitions=3)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    import math
+
+    df = t.to_pandas()
+    for g, sub in df.dropna(subset=["v"]).groupby("g"):
+        s = np.sort(sub["v"].to_numpy())
+        edges = [s[max(math.ceil(q * len(s)) - 1, 0)]
+                 for q in (0.25, 0.5, 0.75)]
+        rows = got[(got.g == g) & got.v.notna()]
+        want = np.searchsorted(np.array(edges), rows["v"].to_numpy(),
+                               side="left")
+        # searchsorted(left) counts edges < v only when no tie; compute
+        # directly instead: bucket = #edges strictly below v
+        want = (np.array(edges)[None, :]
+                < rows["v"].to_numpy()[:, None]).sum(axis=1)
+        np.testing.assert_array_equal(rows["q_bucket"].to_numpy(), want)
+        # buckets are roughly balanced quarters
+        counts = np.bincount(want, minlength=4)
+        assert counts.min() >= len(rows) // 8
+    assert got[got.v.isna()]["q_bucket"].isna().all()
