@@ -377,7 +377,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q69_pack_sequences": _pack_sequences_q,
         "q70_llm_prep": _llm_prep_q,
         "q71_quantile_bin": _quantile_bin_q,
+        "q72_decontaminate": _decontaminate_q,
     }
+
+
+def _decontaminate_q(sf_dir: str):
+    """q72: benchmark decontamination — per-document count of DISTINCT
+    token 5-grams shared with a held-out 'benchmark' slice (doc_id % 97
+    == 0), the GPT-3/Pile overlap recipe.  Map-only at scale: the bench
+    side reduces to one broadcast (sorted-hash prefilter + exact string
+    verify), the corpus streams; the DuckDB oracle replays the exact
+    string semantics with IN over regexp-extracted n-grams."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.decontam import ngram_decontaminate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def keep_bench(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(keep_bench, batch_format="pyarrow", zero_copy_batch=True)
+    return ngram_decontaminate(docs, bench, n=5)
 
 
 def _bpe_tokens(sf_dir: str):
@@ -2501,6 +2528,33 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # decontamination: exact string n-gram overlap vs the doc_id%97
+        # benchmark slice (engine's hash path is prefilter-only; the
+        # decision is exact string compare, so IN replays it exactly)
+        "q72_decontaminate": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents
+            ), st AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS i
+              FROM tok WHERE len(toks) >= 5
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(toks[i : i + 4], ' ') AS g
+              FROM st
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT doc_id, count(DISTINCT g) AS n
+              FROM grams
+              WHERE g IN (SELECT g FROM bench)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
         "q71_quantile_bin": """
             WITH e AS (SELECT event_type AS g,
                               quantile_disc(value, 0.25) AS q1,
