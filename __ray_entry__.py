@@ -378,7 +378,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q70_llm_prep": _llm_prep_q,
         "q71_quantile_bin": _quantile_bin_q,
         "q72_decontaminate": _decontaminate_q,
+        "q73_repetition": _repetition_q,
     }
+
+
+def _repetition_q(sf_dir: str):
+    """q73: Gopher-style repetition/quality signals per document —
+    duplicate-word fraction, most-frequent bigram/trigram fractions,
+    mean word length.  Map-only (no shuffle); every fraction is one
+    int/int float64 division so the DuckDB aggregate replay is
+    bit-exact."""
+    import ray
+
+    from featurebox_ray.stages.repetition import repetition_features
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return repetition_features(docs)
 
 
 def _decontaminate_q(sf_dir: str):
@@ -2528,6 +2544,56 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # repetition signals: every fraction is ONE int/int double
+        # division (n<=99 ints convert exactly) -> bit-exact both sides
+        "q73_repetition": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(toks) AS w FROM tok
+            ), ws AS (
+              SELECT doc_id, count(*) AS n, count(DISTINCT w) AS d,
+                     sum(len(w)) AS sl
+              FROM w GROUP BY doc_id
+            ), bst AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tok WHERE len(toks) >= 2
+            ), bmax AS (
+              SELECT doc_id, max(c) AS m FROM (
+                SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS g,
+                       count(*) AS c
+                FROM bst GROUP BY doc_id, g) GROUP BY doc_id
+            ), tst AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS i
+              FROM tok WHERE len(toks) >= 3
+            ), tmax AS (
+              SELECT doc_id, max(c) AS m FROM (
+                SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS g,
+                       count(*) AS c
+                FROM tst GROUP BY doc_id, g) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(ws.n, 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN coalesce(ws.n, 0) = 0 THEN 0.0
+                        ELSE CAST(ws.n - ws.d AS DOUBLE) / ws.n
+                   END AS dup_word_frac,
+                   CASE WHEN coalesce(ws.n, 0) < 2 THEN 0.0
+                        ELSE CAST(bmax.m AS DOUBLE) / (ws.n - 1)
+                   END AS top_bigram_frac,
+                   CASE WHEN coalesce(ws.n, 0) < 3 THEN 0.0
+                        ELSE CAST(tmax.m AS DOUBLE) / (ws.n - 2)
+                   END AS top_trigram_frac,
+                   CASE WHEN coalesce(ws.n, 0) = 0 THEN 0.0
+                        ELSE CAST(ws.sl AS DOUBLE) / ws.n
+                   END AS mean_word_len
+            FROM documents d
+            LEFT JOIN ws USING (doc_id)
+            LEFT JOIN bmax USING (doc_id)
+            LEFT JOIN tmax USING (doc_id)
+        """,
         # decontamination: exact string n-gram overlap vs the doc_id%97
         # benchmark slice (engine's hash path is prefilter-only; the
         # decision is exact string compare, so IN replays it exactly)
