@@ -379,7 +379,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q71_quantile_bin": _quantile_bin_q,
         "q72_decontaminate": _decontaminate_q,
         "q73_repetition": _repetition_q,
+        "q74_semantic_dedup": _semantic_dedup_q,
     }
+
+
+def _semantic_dedup_q(sf_dir: str):
+    """q74: SemDeDup-style semantic dedup (Abbas et al. 2023) — k-means
+    the embeddings, mark within-cluster cosine duplicates (keep lowest
+    id).  Exactness: dyadic quantization makes every pairwise dot and
+    norm EXACT in float64 (stages/semdedup.py docstring), so the serial
+    single-process replay — identical arithmetic, zero distribution —
+    is bit-identical for any partitioning; no rounding in the fixture."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.semdedup import (semantic_dedup,
+                                                semantic_dedup_serial)
+
+    K, ITERS, QB, T = 8, 4, 10, 0.9
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    rep = semantic_dedup_serial(t, k=K, iters=ITERS, quant_bits=QB,
+                                threshold=T)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(rep, f"{_ORACLE_DIR}/semdedup.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/semdedup.parquet.tmp",
+               f"{_ORACLE_DIR}/semdedup.parquet")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, k=K, iters=ITERS, quant_bits=QB,
+                          threshold=T, num_partitions=8)
 
 
 def _repetition_q(sf_dir: str):
@@ -2544,6 +2577,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # semantic dedup: bit-identical serial replay (dyadic dots are
+        # EXACT under any summation order -> no rounding, no tolerance)
+        "q74_semantic_dedup": f"""
+            SELECT vec_id, cluster, is_dup
+            FROM read_parquet('{_ORACLE_DIR}/semdedup.parquet')
+        """,
         # repetition signals: every fraction is ONE int/int double
         # division (n<=99 ints convert exactly) -> bit-exact both sides
         "q73_repetition": """
