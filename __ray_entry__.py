@@ -380,7 +380,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q72_decontaminate": _decontaminate_q,
         "q73_repetition": _repetition_q,
         "q74_semantic_dedup": _semantic_dedup_q,
+        "q75_bpe_train": _bpe_train_q,
     }
+
+
+def _bpe_train_q(sf_dir: str):
+    """q75: BPE merge-rule training (Sennrich et al. 2016) — distributed
+    word-count reduction (per-block partials + one term-keyed exchange)
+    feeding the vocabulary-sized merge loop in a Ray task.  Exact
+    integer counts + a total-order tie-break make the merge table
+    deterministic; the fixture is an independent dict-based replay
+    (_oracle_replays.replay_bpe_merges) over the raw parquet."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_bpe_merges
+    from featurebox_ray.stages.bpe import bpe_train
+
+    M = 25
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    rep = replay_bpe_merges(t["text"].to_pylist(), M)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    rep_t = pa.table({
+        "merge_rank": pa.array(rep["merge_rank"], pa.int64()),
+        "left": pa.array(rep["left"], pa.string()),
+        "right": pa.array(rep["right"], pa.string()),
+        "pair_count": pa.array(rep["pair_count"], pa.int64()),
+    })
+    pq.write_table(rep_t, f"{_ORACLE_DIR}/bpe_merges.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/bpe_merges.parquet.tmp",
+               f"{_ORACLE_DIR}/bpe_merges.parquet")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return bpe_train(docs, num_merges=M, num_partitions=8)
 
 
 def _semantic_dedup_q(sf_dir: str):
@@ -2577,6 +2613,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # BPE merges: exact-integer counts + total-order tie-break ->
+        # the independent dict replay is identical, no tolerance
+        "q75_bpe_train": f"""
+            SELECT merge_rank, "left", "right", pair_count
+            FROM read_parquet('{_ORACLE_DIR}/bpe_merges.parquet')
+        """,
         # semantic dedup: bit-identical serial replay (dyadic dots are
         # EXACT under any summation order -> no rounding, no tolerance)
         "q74_semantic_dedup": f"""

@@ -529,3 +529,42 @@ def replay_rotate_slices(vols: "List[Tuple[int, np.ndarray]]", *,
     import pandas as pd
 
     return pd.DataFrame(rows)
+
+
+def replay_bpe_merges(texts: Sequence[str], num_merges: int):
+    """Independent BPE merge-rule replay (Sennrich loop, dict-based —
+    stages/bpe.py is never imported here).  Word symbols are the chars
+    plus a trailing '</w>'; best pair by (count desc, pair asc)."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for x in texts:
+        wc.update((x or "").split())
+    vocab = {tuple(w) + ("</w>",): c for w, c in wc.items()}
+    out = []
+    for rank in range(num_merges):
+        pc_: Counter = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pc_[(a, b)] += c
+        if not pc_:
+            break
+        best_cnt = max(pc_.values())
+        best = min(p for p, c in pc_.items() if c == best_cnt)
+        out.append((rank, best[0], best[1], best_cnt))
+        nv: dict = {}
+        for sym, c in vocab.items():
+            ns, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    ns.append(best[0] + best[1])
+                    i += 2
+                else:
+                    ns.append(sym[i])
+                    i += 1
+            nv[tuple(ns)] = nv.get(tuple(ns), 0) + c
+        vocab = nv
+    import pandas as pd
+
+    return pd.DataFrame(out, columns=["merge_rank", "left", "right",
+                                      "pair_count"])
