@@ -381,7 +381,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q73_repetition": _repetition_q,
         "q74_semantic_dedup": _semantic_dedup_q,
         "q75_bpe_train": _bpe_train_q,
+        "q76_dup_components": _dup_components_q,
     }
+
+
+def _dup_components_q(sf_dir: str):
+    """q76: near-dup pairs → connected components → per-document
+    canonical group label (min reachable id; survivor = ``doc_id ==
+    component``) — the standard post-dedup grouping step.  The fixture
+    is fully independent: python all-pairs exact STRING-shingle Jaccard
+    (no engine hashing) + BFS labels; engine recall over these pairs is
+    exact on this corpus per the q22 coupling note
+    (dedup.minhash_lsh_dedup docstring)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.components import connected_components
+    from featurebox_ray.stages.dedup import minhash_lsh_dedup
+
+    T = 0.8
+
+    # ---- independent replay fixture ------------------------------------
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    shingles = []
+    for x in t["text"].to_pylist():
+        toks = (x or "").split()
+        shingles.append({tuple(toks[i:i + 3])
+                         for i in range(len(toks) - 2)})
+    edges = []
+    for i in range(len(ids)):
+        if not shingles[i]:
+            continue
+        for j in range(i + 1, len(ids)):
+            if not shingles[j]:
+                continue
+            inter = len(shingles[i] & shingles[j])
+            if inter and inter / (len(shingles[i]) + len(shingles[j])
+                                  - inter) >= T:
+                edges.append((ids[i], ids[j]))
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label: dict = {}
+    for n in ids:
+        if n in label or n not in adj:
+            continue
+        seen, stack = {n}, [n]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(seen)
+        for x in seen:
+            label[x] = m
+    rep = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "component": pa.array([label.get(n, n) for n in ids], pa.int64()),
+    })
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(rep, f"{_ORACLE_DIR}/dup_components.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/dup_components.parquet.tmp",
+               f"{_ORACLE_DIR}/dup_components.parquet")
+
+    # ---- distributed engine run ----------------------------------------
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    pairs = minhash_lsh_dedup(docs, jaccard_threshold=T)
+    return connected_components(pairs, docs.select_columns(["doc_id"]))
 
 
 def _bpe_train_q(sf_dir: str):
@@ -2613,6 +2687,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # dup components: min-reachable-id labels are a property of the
+        # edge SET -> python all-pairs+BFS fixture is exact
+        "q76_dup_components": f"""
+            SELECT doc_id, component
+            FROM read_parquet('{_ORACLE_DIR}/dup_components.parquet')
+        """,
         # BPE merges: exact-integer counts + total-order tie-break ->
         # the independent dict replay is identical, no tolerance
         "q75_bpe_train": f"""

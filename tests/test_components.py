@@ -1,0 +1,68 @@
+"""Connected components (stages/components.py) vs brute-force BFS."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from featurebox_ray.stages.components import (connected_components,
+                                              union_find_min_labels)
+
+
+def _bfs_labels(edges, nodes):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {}
+    for n in nodes:
+        if n in label or n not in adj:
+            continue
+        seen, stack = {n}, [n]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(seen)
+        for x in seen:
+            label[x] = m
+    return {n: label.get(n, n) for n in nodes}
+
+
+def test_union_find_matches_bfs_random_graphs():
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n_edges = int(rng.integers(0, 40))
+        a = rng.integers(0, 30, n_edges).astype(np.int64)
+        b = rng.integers(0, 30, n_edges).astype(np.int64)
+        edges = list(zip(a.tolist(), b.tolist()))
+        lab = union_find_min_labels(a, b)
+        nodes = sorted({x for e in edges for x in e})
+        want = _bfs_labels(edges, nodes)
+        assert {n: lab[n] for n in nodes} == want, trial
+
+
+def test_connected_components_dataset_chain_star_isolated():
+    pairs = pa.table({
+        "id_a": pa.array([1, 2, 10, 10, 20], pa.int64()),
+        "id_b": pa.array([2, 3, 11, 12, 21], pa.int64()),
+    })
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3, 5, 10, 11, 12, 20, 21, 99], pa.int64()),
+    })
+    out = connected_components(
+        ray.data.from_arrow(pairs), ray.data.from_arrow(corpus)
+    ).to_pandas().set_index("doc_id")["component"].to_dict()
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 99: 99}
+
+
+def test_connected_components_empty_pairs_identity():
+    pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    corpus = pa.table({"doc_id": pa.array([7, 8], pa.int64())})
+    out = connected_components(
+        ray.data.from_arrow(pairs), ray.data.from_arrow(corpus)
+    ).to_pandas()
+    assert out["component"].tolist() == [7, 8]
