@@ -382,7 +382,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q74_semantic_dedup": _semantic_dedup_q,
         "q75_bpe_train": _bpe_train_q,
         "q76_dup_components": _dup_components_q,
+        "q77_clean_corpus": _clean_corpus_q,
     }
+
+
+def _clean_corpus_q(sf_dir: str):
+    """q77: the composed C4/Gopher cleaning chain — exact dedup →
+    repetition signals + benchmark-overlap in ONE streaming pass →
+    dyadic-threshold filter.  Fully SQL-replayable: survivors = min id
+    per text, fractions are the q73 divisions, overlap is the q72 IN —
+    thresholds are dyadic doubles so every comparison is bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.pipelines.cleaning import clean_corpus
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def keep_bench(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(keep_bench, batch_format="pyarrow", zero_copy_batch=True)
+    return clean_corpus(docs, bench, num_partitions=8)
 
 
 def _dup_components_q(sf_dir: str):
@@ -2687,6 +2713,72 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # cleaning chain: q17 survivor + q73 fractions + q72 overlap
+        # under dyadic thresholds -> pure SQL, bit-exact comparisons
+        "q77_clean_corpus": """
+            WITH surv AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ), d AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM surv)
+            ), tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM d
+            ), w AS (
+              SELECT doc_id, unnest(toks) AS w FROM tok
+            ), ws AS (
+              SELECT doc_id, count(*) AS n, count(DISTINCT w) AS dd
+              FROM w GROUP BY doc_id
+            ), bst AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tok WHERE len(toks) >= 2
+            ), bmax AS (
+              SELECT doc_id, max(c) AS m FROM (
+                SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS g,
+                       count(*) AS c
+                FROM bst GROUP BY doc_id, g) GROUP BY doc_id
+            ), tst AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS i
+              FROM tok WHERE len(toks) >= 3
+            ), tmax AS (
+              SELECT doc_id, max(c) AS m FROM (
+                SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS g,
+                       count(*) AS c
+                FROM tst GROUP BY doc_id, g) GROUP BY doc_id
+            ), atok AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents
+            ), ast AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS i
+              FROM atok WHERE len(toks) >= 5
+            ), agrams AS (
+              SELECT doc_id,
+                     array_to_string(toks[i : i + 4], ' ') AS g
+              FROM ast
+            ), bench AS (
+              SELECT DISTINCT g FROM agrams WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT doc_id, count(DISTINCT g) AS n
+              FROM agrams WHERE g IN (SELECT g FROM bench)
+              GROUP BY doc_id
+            )
+            SELECT ws.doc_id, CAST(ws.n AS BIGINT) AS n_tokens
+            FROM ws
+            JOIN d USING (doc_id)
+            LEFT JOIN bmax USING (doc_id)
+            LEFT JOIN tmax USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
+            WHERE ws.n >= 20
+              AND CAST(ws.n - ws.dd AS DOUBLE) / ws.n <= 0.5
+              AND (ws.n < 2 OR CAST(bmax.m AS DOUBLE) / (ws.n - 1)
+                   <= 0.125)
+              AND (ws.n < 3 OR CAST(tmax.m AS DOUBLE) / (ws.n - 2)
+                   <= 0.0625)
+              AND coalesce(hits.n, 0) = 0
+        """,
         # dup components: min-reachable-id labels are a property of the
         # edge SET -> python all-pairs+BFS fixture is exact
         "q76_dup_components": f"""

@@ -1,0 +1,69 @@
+"""C4/Gopher-style corpus cleaning — the canonical LLM-data filter
+chain composed from this engine's stages, in the order a 100 TB run
+wants them:
+
+1. **exact dedup** first (text-keyed exchange; removes whole-row
+   copies before any per-doc compute is spent on them),
+2. **one streaming pass** computing repetition signals
+   (:mod:`..stages.repetition`) and benchmark-overlap hits
+   (:mod:`..stages.decontam`) together — the batch is tokenized by the
+   same Arrow splitter in both kernels and never leaves the worker,
+3. **predicate filter** with dyadic thresholds (exactly representable
+   doubles, so the SQL replay's comparisons are bit-identical).
+
+Output: ``(doc_id, n_tokens)`` of the surviving documents.  Every
+stage streams; the only exchange is exact-dedup's text-keyed one; the
+decontamination set is one broadcast.
+
+Reference analog: none (beyond-reference; composition of q17+q72+q73).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.decontam import bench_ngram_set, count_overlap_hits
+from ..stages.dedup import exact_dedup
+from ..stages.repetition import repetition_features_fn
+
+
+def clean_corpus(docs, bench, *, id_col: str = "doc_id",
+                 text_col: str = "text", ngram_n: int = 5,
+                 min_tokens: int = 20, max_dup_word: float = 0.5,
+                 max_top_bigram: float = 0.125,
+                 max_top_trigram: float = 0.0625,
+                 num_partitions: int = 32, batch_size=None):
+    """``docs`` → surviving ``(id_col, n_tokens)``.  ``bench`` is a
+    Dataset of benchmark docs (reduced here) or a ready
+    ``bench_ngram_set`` ObjectRef.  Thresholds default to dyadic values
+    (see module docstring)."""
+    import ray
+
+    if isinstance(bench, ray.ObjectRef):
+        bench_ref = bench
+    else:
+        bench_ref = bench_ngram_set(bench, text_col=text_col, n=ngram_n)
+
+    surv = exact_dedup(docs, text_col=text_col, id_col=id_col,
+                       num_partitions=num_partitions)
+
+    def score_and_filter(batch: pa.Table) -> pa.Table:
+        rep = repetition_features_fn(batch, id_col=id_col,
+                                     text_col=text_col)
+        hashes, by_hash = ray.get(bench_ref)
+        hits = count_overlap_hits(batch[text_col], hashes, by_hash,
+                                  ngram_n, batch.num_rows)
+        n_tok = rep["n_tokens"].to_numpy(zero_copy_only=False)
+        keep = ((n_tok >= min_tokens)
+                & (rep["dup_word_frac"].to_numpy(zero_copy_only=False)
+                   <= max_dup_word)
+                & (rep["top_bigram_frac"].to_numpy(zero_copy_only=False)
+                   <= max_top_bigram)
+                & (rep["top_trigram_frac"].to_numpy(zero_copy_only=False)
+                   <= max_top_trigram)
+                & (hits == 0))
+        return rep.select([id_col, "n_tokens"]).filter(pa.array(keep))
+
+    return surv.map_batches(score_and_filter, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)

@@ -107,6 +107,33 @@ def bench_ngram_set(bench_ds, *, text_col: str = "text", n: int = 5):
     return union.remote(*refs)
 
 
+def count_overlap_hits(texts, hashes: np.ndarray, by_hash: dict, n: int,
+                       nrows: int) -> np.ndarray:
+    """Per-row count of DISTINCT n-grams present in the broadcast set:
+    vectorized hash prefilter (one searchsorted), exact string verify on
+    candidates only (true hits + ~0 collisions, never the full batch)."""
+    hits = np.zeros(nrows, np.int64)
+    grams, gram_doc = batch_ngrams(texts, n)
+    if len(grams) and len(hashes):
+        h = _hash_string_values(grams)
+        idx = np.searchsorted(hashes, h)
+        idx_c = np.minimum(idx, len(hashes) - 1)
+        cand_pos = np.flatnonzero(hashes[idx_c] == h)
+        if len(cand_pos):
+            cand_grams = grams.take(
+                pa.array(cand_pos, pa.int64())).to_pylist()
+            matched: set = set()
+            for p, g in zip(cand_pos.tolist(), cand_grams):
+                entry = by_hash.get(int(h[p]))
+                ok = (g in entry) if isinstance(entry, tuple) \
+                    else (g == entry)
+                if ok:
+                    matched.add((int(gram_doc[p]), g))
+            for d, _ in matched:
+                hits[d] += 1
+    return hits
+
+
 def ngram_decontaminate(ds, bench, *, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         batch_size=None):
@@ -125,29 +152,8 @@ def ngram_decontaminate(ds, bench, *, id_col: str = "doc_id",
 
     def tag(batch: pa.Table) -> pa.Table:
         hashes, by_hash = ray.get(bench_ref)
-        nrows = batch.num_rows
-        grams, gram_doc = batch_ngrams(batch[text_col], n)
-        hits = np.zeros(nrows, np.int64)
-        if len(grams) and len(hashes):
-            h = _hash_string_values(grams)
-            idx = np.searchsorted(hashes, h)
-            idx_c = np.minimum(idx, len(hashes) - 1)
-            cand = hashes[idx_c] == h
-            cand_pos = np.flatnonzero(cand)
-            if len(cand_pos):
-                # exact verify + per-doc distinct count — candidates
-                # only (true hits + ~0 collisions), never the full batch
-                cand_grams = grams.take(
-                    pa.array(cand_pos, pa.int64())).to_pylist()
-                matched: set = set()
-                for p, g in zip(cand_pos.tolist(), cand_grams):
-                    entry = by_hash.get(int(h[p]))
-                    ok = (g in entry) if isinstance(entry, tuple) \
-                        else (g == entry)
-                    if ok:
-                        matched.add((int(gram_doc[p]), g))
-                for d, _ in matched:
-                    hits[d] += 1
+        hits = count_overlap_hits(batch[text_col], hashes, by_hash, n,
+                                  batch.num_rows)
         return pa.table({
             id_col: batch[id_col].cast(pa.int64()),
             "n_hits": pa.array(hits),
