@@ -383,7 +383,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q75_bpe_train": _bpe_train_q,
         "q76_dup_components": _dup_components_q,
         "q77_clean_corpus": _clean_corpus_q,
+        "q78_inverted_index": _inverted_index_q,
     }
+
+
+def _inverted_index_q(sf_dir: str):
+    """q78: distributed inverted index — distinct (term, doc) pairs per
+    block, one term-keyed exchange, run-length postings assembly
+    (vectorized int→string + binary_join).  Postings ship as a CSV
+    string so the DuckDB list_sort/array_to_string replay value-hashes
+    byte-identically; min_df=2 exercises the hapax prune."""
+    import ray
+
+    from featurebox_ray.stages.invindex import inverted_index
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return inverted_index(docs, num_partitions=8, min_df=2)
 
 
 def _clean_corpus_q(sf_dir: str):
@@ -2713,6 +2729,19 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # inverted index: postings CSV is byte-identical both sides
+        # (ints -> ascending sort -> comma join)
+        "q78_inverted_index": """
+            WITH w AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS term
+              FROM documents
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(list_sort(list(doc_id)), ',')
+                       AS postings
+            FROM w GROUP BY term HAVING count(*) >= 2
+        """,
         # cleaning chain: q17 survivor + q73 fractions + q72 overlap
         # under dyadic thresholds -> pure SQL, bit-exact comparisons
         "q77_clean_corpus": """
