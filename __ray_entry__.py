@@ -384,7 +384,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q76_dup_components": _dup_components_q,
         "q77_clean_corpus": _clean_corpus_q,
         "q78_inverted_index": _inverted_index_q,
+        "q79_group_split": _group_split_q,
+        "q80_redact": _redact_q,
     }
+
+
+def _group_split_q(sf_dir: str):
+    """q79: leakage-safe train/val/test split — the label is a function
+    of user_id's multiplicative hash (the engine's one key-hash,
+    stages/sample.py), so every row of a user lands in the same split
+    and the SQL replay is the identical HUGEINT arithmetic under a
+    CASE."""
+    import ray
+
+    from featurebox_ray.stages.sample import add_split_column
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+    return add_split_column(ev, key_col="user_id",
+                            splits=[("train", 0.8), ("val", 0.1),
+                                    ("test", None)])
+
+
+def _redact_q(sf_dir: str):
+    """q80: regex pattern redaction (the PII-scrub shape) — Arrow
+    replace_substring_regex and DuckDB regexp_replace(...,'g') are both
+    RE2, so cleaned text + match counts value-hash exactly."""
+    import ray
+
+    from featurebox_ray.stages.redact import pattern_redact
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return pattern_redact(docs, pattern=r"\b(spark|hash|join)\b",
+                          replacement="[REDACTED]")
 
 
 def _inverted_index_q(sf_dir: str):
@@ -2729,6 +2762,30 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # group split: same HUGEINT hash as q50/q63, cumulative-bound
+        # CASE (ints computed by the same float arithmetic as the engine)
+        "q79_group_split": f"""
+            SELECT event_id, user_id,
+                   CASE WHEN ((CAST(user_id AS HUGEINT) % 4294967296)
+                              * 2654435761) % 4294967296
+                             < {int(round(0.8 * 4294967296))} THEN 'train'
+                        WHEN ((CAST(user_id AS HUGEINT) % 4294967296)
+                              * 2654435761) % 4294967296
+                             < {int(round((0.8 + 0.1) * 4294967296))}
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM events
+        """,
+        # redaction: RE2 on both sides -> cleaned text + counts exact
+        "q80_redact": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(spark|hash|join)\b',
+                                  '[REDACTED]', 'g') AS text,
+                   CAST(len(regexp_extract_all(
+                        text, '\b(spark|hash|join)\b')) AS BIGINT)
+                       AS n_redactions
+            FROM documents
+        """,
         # inverted index: postings CSV is byte-identical both sides
         # (ints -> ascending sort -> comma join)
         "q78_inverted_index": """

@@ -244,3 +244,47 @@ def weighted_sample_k(ds, *, key_col: str, weight_col: str, k: int):
     return partitioned_map(partials, topk, key=key_col,
                            sort_keys=[key_col], num_partitions=1,
                            strategy="tasks")
+
+
+def add_split_column(ds, *, key_col: str, splits, out_col: str = "split"):
+    """Leakage-safe multi-way split: every row gets a split label decided
+    by its KEY's multiplicative hash, so all rows sharing a key (user,
+    conversation, dup-component) land in the same split — the
+    train/val/test contract for sequence data.
+
+    ``splits``: ordered ``[(name, fraction), ...]``; the LAST entry's
+    fraction may be ``None`` = remainder.  Fractions become cumulative
+    integer thresholds via :func:`sample_threshold` — replay the exact
+    ints in SQL (``CASE WHEN h < t1 THEN ... WHEN h < t2 ...``).
+    Null keys get a null label."""
+    names = [n for n, _ in splits]
+    fracs = [f for _, f in splits]
+    if fracs[-1] is None:
+        fracs[-1] = 1.0 - sum(fracs[:-1])
+    cum, bounds = 0.0, []
+    for f in fracs:
+        if f < 0:
+            raise ValueError("split fractions must be non-negative")
+        cum += f
+        bounds.append(sample_threshold(cum))
+    if bounds[-1] < MOD:
+        raise ValueError(f"split fractions sum to {cum} < 1")
+    bounds_arr = np.asarray(bounds, np.uint64)
+    labels = np.asarray(names, object)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nulls = (np.asarray(pc.is_null(col)) if col.null_count
+                 else np.zeros(len(col), bool))
+        k = col.to_numpy(zero_copy_only=False)
+        k = np.where(nulls, 0, k).astype(np.int64)
+        h = knuth_hash(k, op=f"add_split_column({key_col})")
+        # first bucket whose cumulative bound exceeds the hash
+        idx = np.searchsorted(bounds_arr, h, side="right")
+        lab = labels[np.minimum(idx, len(labels) - 1)]
+        arr = pa.array(np.where(nulls, None, lab), pa.string())
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
