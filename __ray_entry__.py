@@ -2766,7 +2766,8 @@ def oracle_sql() -> dict[str, str]:
         # CASE (ints computed by the same float arithmetic as the engine)
         "q79_group_split": f"""
             SELECT event_id, user_id,
-                   CASE WHEN ((CAST(user_id AS HUGEINT) % 4294967296)
+                   CASE WHEN user_id IS NULL THEN NULL
+                        WHEN ((CAST(user_id AS HUGEINT) % 4294967296)
                               * 2654435761) % 4294967296
                              < {int(round(0.8 * 4294967296))} THEN 'train'
                         WHEN ((CAST(user_id AS HUGEINT) % 4294967296)

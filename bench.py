@@ -162,6 +162,11 @@ QUERY_NAMES = [
     "q50_hash_sample", "q51_group_quantiles", "q52_tumbling_window",
     "q53_tfidf", "q55_cap_per_group", "q58_bloom_semi", "q60_rank_family",
     "q62_top_terms", "q68_chunk_docs",
+    # round-4 session-5 LLM-prep additions (SQL-oracled, engine-only
+    # callables — no inline replay cost): decontamination, repetition
+    # signals, the composed cleaning chain, inverted index, redaction
+    "q72_decontaminate", "q73_repetition", "q77_clean_corpus",
+    "q78_inverted_index", "q80_redact",
 ]
 
 

@@ -6,8 +6,9 @@ wants them:
    copies before any per-doc compute is spent on them),
 2. **one streaming pass** computing repetition signals
    (:mod:`..stages.repetition`) and benchmark-overlap hits
-   (:mod:`..stages.decontam`) together — the batch is tokenized by the
-   same Arrow splitter in both kernels and never leaves the worker,
+   (:mod:`..stages.decontam`) together — the batch is tokenized ONCE
+   (the ``split_tokens`` pair threads through every gram kernel) and
+   never leaves the worker,
 3. **predicate filter** with dyadic thresholds (exactly representable
    doubles, so the SQL replay's comparisons are bit-identical).
 
@@ -23,8 +24,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..stages.decontam import bench_ngram_set, count_overlap_hits
-from ..stages.dedup import exact_dedup
+from ..stages.decontam import (_resolve_bench, bench_ngram_set,
+                               count_overlap_hits)
+from ..stages.dedup import exact_dedup, split_tokens
 from ..stages.repetition import repetition_features_fn
 
 
@@ -49,11 +51,15 @@ def clean_corpus(docs, bench, *, id_col: str = "doc_id",
                        num_partitions=num_partitions)
 
     def score_and_filter(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        pre = split_tokens(texts)  # tokenize ONCE for all four kernels
         rep = repetition_features_fn(batch, id_col=id_col,
-                                     text_col=text_col)
-        hashes, by_hash = ray.get(bench_ref)
-        hits = count_overlap_hits(batch[text_col], hashes, by_hash,
-                                  ngram_n, batch.num_rows)
+                                     text_col=text_col, pre=pre)
+        hashes, by_hash = _resolve_bench(bench_ref)
+        hits = count_overlap_hits(texts, hashes, by_hash,
+                                  ngram_n, batch.num_rows, pre=pre)
         n_tok = rep["n_tokens"].to_numpy(zero_copy_only=False)
         keep = ((n_tok >= min_tokens)
                 & (rep["dup_word_frac"].to_numpy(zero_copy_only=False)

@@ -39,14 +39,35 @@ import pyarrow.compute as pc
 from .dedup import split_tokens
 from .partition import _hash_string_values
 
+# Per-worker cache of the resolved broadcast object: ray.get zero-copies
+# the numpy hash array but RE-UNPICKLES the by_hash dict on every call —
+# for a ~10^7-gram set that unpickle would dominate every batch (the
+# dedup._MH_CACHE pattern).  Keyed by ObjectRef; one benchmark set per
+# pipeline, so a tiny bound suffices.
+_BENCH_CACHE: dict = {}
 
-def batch_ngrams(texts, n: int) -> Tuple[pa.Array, np.ndarray]:
+
+def _resolve_bench(bench_ref):
+    import ray
+
+    got = _BENCH_CACHE.get(bench_ref)
+    if got is None:
+        if len(_BENCH_CACHE) >= 4:
+            _BENCH_CACHE.clear()
+        got = ray.get(bench_ref)
+        _BENCH_CACHE[bench_ref] = got
+    return got
+
+
+def batch_ngrams(texts, n: int, *, pre=None) -> Tuple[pa.Array, np.ndarray]:
     """Vectorized word-n-gram STRINGS for a batch: returns
     ``(grams, gram_doc)`` where ``grams`` is a flat StringArray of
     space-joined n-grams and ``gram_doc[i]`` the row index each gram
     came from.  Rows with fewer than ``n`` tokens yield no grams
-    (mirrors the SQL replay's ``len(toks) >= n`` windowing)."""
-    flat, off = split_tokens(texts)
+    (mirrors the SQL replay's ``len(toks) >= n`` windowing).
+    ``pre``: an already-computed ``split_tokens(texts)`` pair, so a
+    caller building several gram widths tokenizes once."""
+    flat, off = pre if pre is not None else split_tokens(texts)
     m = len(flat)
     nrows = len(off) - 1
     if m < n:
@@ -108,12 +129,12 @@ def bench_ngram_set(bench_ds, *, text_col: str = "text", n: int = 5):
 
 
 def count_overlap_hits(texts, hashes: np.ndarray, by_hash: dict, n: int,
-                       nrows: int) -> np.ndarray:
+                       nrows: int, *, pre=None) -> np.ndarray:
     """Per-row count of DISTINCT n-grams present in the broadcast set:
     vectorized hash prefilter (one searchsorted), exact string verify on
     candidates only (true hits + ~0 collisions, never the full batch)."""
     hits = np.zeros(nrows, np.int64)
-    grams, gram_doc = batch_ngrams(texts, n)
+    grams, gram_doc = batch_ngrams(texts, n, pre=pre)
     if len(grams) and len(hashes):
         h = _hash_string_values(grams)
         idx = np.searchsorted(hashes, h)
@@ -151,7 +172,7 @@ def ngram_decontaminate(ds, bench, *, id_col: str = "doc_id",
         bench_ref = bench_ngram_set(bench, text_col=text_col, n=n)
 
     def tag(batch: pa.Table) -> pa.Table:
-        hashes, by_hash = ray.get(bench_ref)
+        hashes, by_hash = _resolve_bench(bench_ref)
         hits = count_overlap_hits(batch[text_col], hashes, by_hash, n,
                                   batch.num_rows)
         return pa.table({

@@ -47,7 +47,7 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
         # partition arrives sorted by (term, doc_id): contiguous runs
         empty = pa.table({"term": pa.array([], pa.string()),
                           "df": pa.array([], pa.int64()),
-                          "postings": pa.array([], pa.string())})
+                          "postings": pa.array([], pa.large_string())})
         if t.num_rows == 0:
             return empty
         terms = t["term"].combine_chunks()
@@ -74,13 +74,17 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                                   np.cumsum(df_k)[:-1]]),
                                   df_k))
             vals = ids_str.take(pa.array(base + within, pa.int64()))
-        off = np.concatenate([[0], np.cumsum(df_k)]).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()),
-                                         vals.combine_chunks()
-                                         if isinstance(vals,
-                                                       pa.ChunkedArray)
-                                         else vals)
-        postings = pc.binary_join(lists, ",")
+        # 64-bit offsets: a partition of a 100 TB corpus can exceed 2^31
+        # postings, where int32 offsets would wrap silently
+        off = np.concatenate([[0], np.cumsum(df_k)]).astype(np.int64)
+        flat_vals = (vals.combine_chunks()
+                     if isinstance(vals, pa.ChunkedArray) else vals)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), flat_vals.cast(pa.large_string()))
+        # large_list input requires a large_string separator (q68 lesson);
+        # output stays large_string (a single partition's postings bytes
+        # can exceed the int32 string-offset limit too)
+        postings = pc.binary_join(lists, pa.scalar(",", pa.large_string()))
         return pa.table({
             "term": terms.take(pa.array(starts_k, pa.int64())),
             "df": pa.array(df_k.astype(np.int64)),

@@ -44,12 +44,12 @@ def _max_count_per_doc(grams: pa.Array, gram_doc: np.ndarray,
 
 
 def repetition_features_fn(batch: pa.Table, *, id_col: str = "doc_id",
-                           text_col: str = "text") -> pa.Table:
+                           text_col: str = "text", pre=None) -> pa.Table:
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     nrows = batch.num_rows
-    flat, off = split_tokens(texts)
+    flat, off = pre if pre is not None else split_tokens(texts)
     n_tok = np.diff(off).astype(np.int64)
 
     # distinct words per doc: exact string grouping (C hash table)
@@ -65,8 +65,8 @@ def repetition_features_fn(batch: pa.Table, *, id_col: str = "doc_id",
         pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
         if len(flat) else np.empty(0, np.int64), off)
 
-    big, big_doc = batch_ngrams(texts, 2)
-    tri, tri_doc = batch_ngrams(texts, 3)
+    big, big_doc = batch_ngrams(texts, 2, pre=(flat, off))
+    tri, tri_doc = batch_ngrams(texts, 3, pre=(flat, off))
     max_big = _max_count_per_doc(big, big_doc, nrows)
     max_tri = _max_count_per_doc(tri, tri_doc, nrows)
 

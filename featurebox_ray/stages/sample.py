@@ -259,6 +259,9 @@ def add_split_column(ds, *, key_col: str, splits, out_col: str = "split"):
     Null keys get a null label."""
     names = [n for n, _ in splits]
     fracs = [f for _, f in splits]
+    if any(f is None for f in fracs[:-1]):
+        raise ValueError("only the LAST split fraction may be None "
+                         "(= remainder)")
     if fracs[-1] is None:
         fracs[-1] = 1.0 - sum(fracs[:-1])
     cum, bounds = 0.0, []
@@ -267,8 +270,8 @@ def add_split_column(ds, *, key_col: str, splits, out_col: str = "split"):
             raise ValueError("split fractions must be non-negative")
         cum += f
         bounds.append(sample_threshold(cum))
-    if bounds[-1] < MOD:
-        raise ValueError(f"split fractions sum to {cum} < 1")
+    if bounds[-1] != MOD:
+        raise ValueError(f"split fractions sum to {cum} != 1")
     bounds_arr = np.asarray(bounds, np.uint64)
     labels = np.asarray(names, object)
 
@@ -278,8 +281,12 @@ def add_split_column(ds, *, key_col: str, splits, out_col: str = "split"):
             col = col.combine_chunks()
         nulls = (np.asarray(pc.is_null(col)) if col.null_count
                  else np.zeros(len(col), bool))
-        k = col.to_numpy(zero_copy_only=False)
-        k = np.where(nulls, 0, k).astype(np.int64)
+        # fill_null BEFORE to_numpy: a null in the batch would otherwise
+        # route the whole column through float64 and corrupt ids > 2^53
+        # (the _hash_chunk lesson) — and make the SAME key hash
+        # differently depending on its batch's null content
+        k = (col.fill_null(0) if col.null_count else col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         h = knuth_hash(k, op=f"add_split_column({key_col})")
         # first bucket whose cumulative bound exceeds the hash
         idx = np.searchsorted(bounds_arr, h, side="right")

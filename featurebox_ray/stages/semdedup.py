@@ -110,14 +110,19 @@ def semantic_dedup(ds, *, vec_col: str = "embedding",
 
     return partitioned_map(tagged, kernel, key="cluster",
                            sort_keys=["cluster", id_col],
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions,
+                           strategy="tasks")
 
 
 def semantic_dedup_serial(tbl: pa.Table, *, vec_col: str = "embedding",
                           id_col: str = "vec_id", k: int = 8,
                           iters: int = 5, quant_bits: int = 10,
-                          threshold: float = 0.9) -> pa.Table:
-    """Single-process replay with identical arithmetic (tests/oracle)."""
+                          threshold: float = 0.9,
+                          max_group: int = 65536) -> pa.Table:
+    """Single-process replay with identical arithmetic (tests/oracle) —
+    including the distributed kernel's ``max_group`` skip rule, so
+    replay and engine agree even on a corpus with an oversized
+    cluster."""
     from .kmeans import _iterate_serial
 
     order = np.argsort(tbl[id_col].to_numpy(zero_copy_only=False),
@@ -131,6 +136,8 @@ def semantic_dedup_serial(tbl: pa.Table, *, vec_col: str = "embedding",
     dup = np.zeros(len(ids), bool)
     for j in range(k):
         m = np.flatnonzero(a == j)
+        if len(m) > max_group:
+            continue
         dup[m] = _cluster_dups(x[m], threshold)
     return pa.table({
         id_col: pa.array(ids),

@@ -42,6 +42,36 @@ def test_split_column_null_keys_and_bad_fractions():
                          splits=[("a", 0.5), ("b", 0.1)])
 
 
+def test_split_column_null_batch_does_not_corrupt_large_ids():
+    # regression: a null in the batch used to route keys through float64,
+    # rounding ids > 2^53 and flipping their split
+    big = (1 << 60) + 1
+    with_null = pa.table({"k": pa.array([big, None, 7], pa.int64())})
+    without = pa.table({"k": pa.array([big, 7], pa.int64())})
+    kw = dict(key_col="k", splits=[("a", 0.5), ("b", None)])
+    # collect as rows, NOT to_pandas: int64-with-null pandas round-trip
+    # would itself corrupt the big id (the known Dataset.to_pandas trap)
+    rows_n = add_split_column(ray.data.from_arrow(with_null),
+                              **kw).take_all()
+    rows = add_split_column(ray.data.from_arrow(without), **kw).take_all()
+    by_k_n = {r["k"]: r["split"] for r in rows_n if r["k"] is not None}
+    by_k = {r["k"]: r["split"] for r in rows}
+    assert by_k_n == by_k
+    h = knuth_hash(np.array([big], np.int64))[0]
+    assert by_k[big] == ("a" if h < sample_threshold(0.5) else "b")
+
+
+def test_split_column_rejects_oversum_and_misplaced_none():
+    import pytest
+    tbl = pa.table({"k": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="!= 1"):
+        add_split_column(ray.data.from_arrow(tbl), key_col="k",
+                         splits=[("a", 0.8), ("b", 0.4)])
+    with pytest.raises(ValueError, match="LAST"):
+        add_split_column(ray.data.from_arrow(tbl), key_col="k",
+                         splits=[("a", None), ("b", 0.4)])
+
+
 def test_pattern_redact_matches_re():
     pat = r"\b(spark|hash)\b"
     tbl = pa.table({
