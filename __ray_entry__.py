@@ -386,7 +386,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q78_inverted_index": _inverted_index_q,
         "q79_group_split": _group_split_q,
         "q80_redact": _redact_q,
+        "q81_full_join": _full_join_q,
     }
+
+
+def _full_join_q(sf_dir: str):
+    """q81: FULL OUTER equi-join on the co-partitioned task exchange —
+    both inputs pre-filtered so BOTH null sides occur (orders without a
+    BUILDING customer, BUILDING customers without a big order); the key
+    coalesces so right-only rows keep their key."""
+    import pyarrow.compute as pc_
+    import ray
+
+    from featurebox_ray.stages.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=(pc_.field("o_totalprice") > 300000.0))
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pc_.field("c_mktsegment") == "BUILDING"))
+    return hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                     how="full", num_partitions=8,
+                     right_cols=["c_mktsegment"])
 
 
 def _group_split_q(sf_dir: str):
@@ -2762,6 +2786,16 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # full outer join: key coalesced, exact raw rows both null sides
+        "q81_full_join": """
+            SELECT coalesce(o.o_custkey, c.c_custkey) AS o_custkey,
+                   o.o_orderkey, o.o_totalprice, c.c_mktsegment
+            FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                  WHERE o_totalprice > 300000) o
+            FULL JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                       WHERE c_mktsegment = 'BUILDING') c
+            ON o.o_custkey = c.c_custkey
+        """,
         # group split: same HUGEINT hash as q50/q63, cumulative-bound
         # CASE (ints computed by the same float arithmetic as the engine)
         "q79_group_split": f"""

@@ -39,7 +39,9 @@ def hash_join(
 ):
     """Equi-join on a single key column.  ``right_on`` defaults to ``on``
     (the right key is renamed to ``on`` in the output when different).
-    Supported ``how``: inner, left.
+    Supported ``how``: inner, left, full (full outer coalesces the key,
+    so right-only rows carry their key in ``on`` with null left
+    payloads).
 
     ``combine`` (optional, ``pa.Table -> pa.Table``): partial-aggregation
     callback applied to each partition's joined rows *before* they leave
@@ -83,7 +85,8 @@ def hash_join(
     rt = right_ds.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
     unioned = lt.union(rt)
 
-    arrow_how = {"inner": "inner", "left": "left outer"}[how]
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
     out_order = list(left_cols) + list(right_cols)
 
     def merge(table: pa.Table) -> pa.Table:

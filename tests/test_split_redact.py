@@ -89,3 +89,17 @@ def test_pattern_redact_matches_re():
         assert row.n_redactions == len(re.findall(pat, src))
     assert out["n_redactions"].tolist() == [2, 0, 3]
     assert out.loc[0, "text"] == "[X] and [X] and sparkle"
+
+
+def test_hash_join_full_outer_both_null_sides():
+    from featurebox_ray.stages.join import hash_join
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "lv": pa.array([10, 20], pa.int64())})
+    right = pa.table({"rk": pa.array([2, 3], pa.int64()),
+                      "rv": pa.array(["b", "c"])})
+    out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    on="k", right_on="rk", how="full",
+                    num_partitions=2).to_pandas()
+    rows = {int(r.k): (None if r.lv != r.lv else int(r.lv), r.rv)
+            for r in out.itertuples()}
+    assert rows == {1: (10, None), 2: (20, "b"), 3: (None, "c")}
