@@ -387,7 +387,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q79_group_split": _group_split_q,
         "q80_redact": _redact_q,
         "q81_full_join": _full_join_q,
+        "q82_winsorize": _winsorize_q,
     }
+
+
+def _winsorize_q(sf_dir: str):
+    """q82: per-group winsorization — clip each value to its group's
+    [p5, p95] quantile_disc edges (exact data elements, so the clip is
+    comparison + substitution and the SQL CASE replays bit-exactly).
+    The q71 two-stage shape: one keyed exchange for edges, one broadcast
+    map over the fact stream."""
+    import ray
+
+    from featurebox_ray.stages.binning import winsorize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    return winsorize(ev, group_col="event_type", value_col="value",
+                     q_lo=0.05, q_hi=0.95, num_partitions=8)
 
 
 def _full_join_q(sf_dir: str):
@@ -2786,6 +2803,20 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
+        # winsorize: quantile_disc edges are exact data elements ->
+        # comparison+substitution CASE replays bit-exactly
+        "q82_winsorize": """
+            WITH e AS (SELECT event_type AS g,
+                              quantile_disc(value, 0.05) AS lo,
+                              quantile_disc(value, 0.95) AS hi
+                       FROM events GROUP BY event_type)
+            SELECT event_id, event_type, value,
+                   CASE WHEN value IS NULL THEN NULL
+                        WHEN value < lo THEN lo
+                        WHEN value > hi THEN hi
+                        ELSE value END AS value_w
+            FROM events LEFT JOIN e ON event_type = e.g
+        """,
         # full outer join: key coalesced, exact raw rows both null sides
         "q81_full_join": """
             SELECT coalesce(o.o_custkey, c.c_custkey) AS o_custkey,

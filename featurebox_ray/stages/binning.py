@@ -75,3 +75,64 @@ def quantile_bin(ds, *, group_col: str, value_col: str,
 
     return ds.map_batches(bin_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def winsorize(ds, *, group_col: str, value_col: str,
+              q_lo: float = 0.05, q_hi: float = 0.95,
+              num_partitions: int = 8, out_col: str = "value_w"):
+    """Per-group winsorization (outlier clipping): append ``out_col`` =
+    ``value`` clipped to the group's ``[q_lo, q_hi]`` quantile_disc
+    edges.  Same two-stage shape as :func:`quantile_bin`; the edges are
+    EXACT data elements, so clipping is pure comparison + substitution
+    of stored doubles — SQL ``least(greatest(value, lo), hi)`` replays
+    it bit-exactly.  NULL value/group rows keep a NULL output; a group
+    whose edges are null (no non-null values) passes values through
+    un-clipped."""
+    import ray
+
+    from .partition import materialized_block_refs
+    from .quantile import group_quantiles
+
+    edges_ds = group_quantiles(ds, group_col=group_col,
+                               value_col=value_col, qs=[q_lo, q_hi],
+                               names=["__lo", "__hi"],
+                               num_partitions=num_partitions)
+    blocks = [b for b in ray.get(materialized_block_refs(edges_ds))
+              if b.num_rows > 0]
+    if not blocks:
+        def passthrough(b: pa.Table) -> pa.Table:
+            return b.append_column(out_col,
+                                   pa.nulls(b.num_rows, pa.float64()))
+
+        return ds.map_batches(passthrough, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    edges = pa.concat_tables(blocks, promote_options="default")
+    garr = edges[group_col].combine_chunks()
+    lo = edges["__lo"].to_numpy(zero_copy_only=False)
+    hi = edges["__hi"].to_numpy(zero_copy_only=False)
+    bcast = ray.put((garr, lo, hi))
+
+    def clip_batch(b: pa.Table) -> pa.Table:
+        g_ref, lo_ref, hi_ref = ray.get(bcast)
+        pos = pc.index_in(b[group_col].combine_chunks(), value_set=g_ref)
+        valid_g = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        p = pos.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        vcol = b[value_col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        null_v = (np.asarray(pc.is_null(vcol)) if vcol.null_count
+                  else np.zeros(len(vcol), bool))
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+        row_lo = np.where(valid_g, lo_ref[p], np.nan)
+        row_hi = np.where(valid_g, hi_ref[p], np.nan)
+        with np.errstate(invalid="ignore"):
+            # comparison-substitution (NOT np.clip: its NaN semantics
+            # differ and it computes min(max(...)) in one pass anyway)
+            out = np.where(v < row_lo, row_lo, v)
+            out = np.where(out > row_hi, row_hi, out)
+        # NaN edges (unknown group / all-null group) -> pass-through
+        out = np.where(np.isnan(row_lo) | np.isnan(row_hi), v, out)
+        return b.append_column(out_col, pa.array(out, mask=null_v))
+
+    return ds.map_batches(clip_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
