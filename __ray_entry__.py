@@ -388,7 +388,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q80_redact": _redact_q,
         "q81_full_join": _full_join_q,
         "q82_winsorize": _winsorize_q,
+        "q83_cube": _cube_q,
     }
+
+
+def _cube_q(sf_dir: str):
+    """q83: CUBE(o_orderstatus, o_orderpriority) in one pass — the q65
+    rollup plan plus the (g2)-only level: per-partition g2 partials ride
+    the same g1-keyed exchange, then a SECOND exchange over
+    <= partitions x |g2| tiny partial rows (never the data) completes
+    them.  lvl mirrors SQL GROUPING(g1, g2); price pre-scaled x100 to
+    int64 cents so every sum is order-independent-exact (no float
+    output at all)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.rollup import rollup_counts
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def scale(b: pa.Table) -> pa.Table:
+        p = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return (b.select(["o_orderstatus", "o_orderpriority"])
+                .append_column("price_c", pa.array(p)))
+
+    orders = orders.map_batches(scale, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return rollup_counts(orders, g1="o_orderstatus", g2="o_orderpriority",
+                         int_sum_cols=["price_c"], num_partitions=8,
+                         cube=True)
 
 
 def _winsorize_q(sf_dir: str):
@@ -2801,6 +2833,17 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # cube: GROUPING(g1,g2) bitmask = engine lvl; int64-cent sums,
+        # no float output at all
+        "q83_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING(o_orderstatus, o_orderpriority) AS lvl,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_c
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         # quantile binning: exact quantile_disc edges -> exact <= CASE
         # winsorize: quantile_disc edges are exact data elements ->

@@ -34,13 +34,19 @@ import pyarrow.compute as pc
 
 
 def rollup_counts(ds, *, g1: str, g2: str, int_sum_cols: Sequence[str],
-                  num_partitions: int = 16):
+                  num_partitions: int = 16, cube: bool = False):
     """ROLLUP(g1, g2) with ``count(*)`` and exact int64 sums of
     ``int_sum_cols`` (pass pre-scaled integer columns — money in cents —
     so results are independent of summation order).
 
     Returns ``(g1, g2, lvl:int64, n_rows:int64, <sum_<col>:int64 ...>)``
     with NULL group values on rolled-up levels, exactly like SQL.
+
+    ``cube=True`` adds the ``(g2)``-only level (SQL ``GROUP BY CUBE``,
+    ``lvl = GROUPING(g1,g2) = 2``): the g1-keyed exchange cannot
+    complete it (a g2 value spans g1 partitions), so each partition
+    emits tiny incomplete g2 partials and a SECOND exchange — over
+    ≤ partitions × |g2| partial rows, never the data — completes them.
     """
     from .partition import partitioned_map
 
@@ -116,6 +122,17 @@ def rollup_counts(ds, *, g1: str, g2: str, int_sum_cols: Sequence[str],
             "lvl": pa.array([3], pa.int64()),
             **{m: pa.array([int(grand[m])], pa.int64())
                for m in metric_cols}}))
+        if cube:
+            # incomplete (g2)-only partials: a g2 value spans g1
+            # partitions, so these are completed by a second (tiny)
+            # g2-keyed exchange below (lvl 2).
+            g2p = df.groupby(["c2"], as_index=False)[metric_cols].sum()
+            parts.append(pa.table({
+                g1: pa.nulls(len(g2p), gt1),
+                g2: dic2.take(pa.array(g2p["c2"].to_numpy(np.int64))),
+                "lvl": pa.array(np.full(len(g2p), 2, np.int64)),
+                **{m: pa.array(g2p[m].to_numpy(np.int64))
+                   for m in metric_cols}}))
         return pa.concat_tables(parts)
 
     staged = partitioned_map(partials, combine, key=g1,
@@ -133,11 +150,15 @@ def rollup_counts(ds, *, g1: str, g2: str, int_sum_cols: Sequence[str],
 
     def split_done(b: pa.Table) -> pa.Table:
         lv = b["lvl"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(lv != 3))
+        return b.filter(pa.array((lv != 3) & (lv != 2)))
 
     def split_grand(b: pa.Table) -> pa.Table:
         lv = b["lvl"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(lv == 3))
+
+    def split_cube(b: pa.Table) -> pa.Table:
+        lv = b["lvl"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(lv == 2))
 
     done = ray.data.from_arrow_refs(list(refs)).map_batches(
         split_done, batch_format="pyarrow", zero_copy_batch=True)
@@ -155,4 +176,32 @@ def rollup_counts(ds, *, g1: str, g2: str, int_sum_cols: Sequence[str],
 
     total = partitioned_map(grands, final, key="lvl", sort_keys=["lvl"],
                             num_partitions=1, strategy="tasks")
-    return done.union(total)
+    out = done.union(total)
+
+    if cube:
+        # complete the (g2)-only level: ≤ num_partitions × |g2| partial
+        # rows meet keyed on g2 (nulls hash to their own partition), each
+        # g2 run collapses to one complete lvl-2 row.
+        cubes = ray.data.from_arrow_refs(list(refs)).map_batches(
+            split_cube, batch_format="pyarrow", zero_copy_batch=True)
+
+        def complete_g2(t: pa.Table) -> pa.Table:
+            gt1 = t.schema.field(g1).type
+            c2, dic2 = _codes_dic(t[g2])
+            df = pd.DataFrame({"c2": c2})
+            for m in metric_cols:
+                df[m] = t[m].to_numpy(zero_copy_only=False).astype(np.int64)
+            agg = df.groupby(["c2"], as_index=False)[metric_cols].sum()
+            return pa.table({
+                g1: pa.nulls(len(agg), gt1),
+                g2: dic2.take(pa.array(agg["c2"].to_numpy(np.int64))),
+                "lvl": pa.array(np.full(len(agg), 2, np.int64)),
+                **{m: pa.array(agg[m].to_numpy(np.int64))
+                   for m in metric_cols}})
+
+        cube_done = partitioned_map(
+            cubes, complete_g2, key=g2, sort_keys=[g2],
+            num_partitions=min(num_partitions, 8), strategy="tasks")
+        out = out.union(cube_done)
+
+    return out

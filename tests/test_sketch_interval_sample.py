@@ -460,6 +460,43 @@ def test_rollup_counts_matches_pandas():
     assert g["n_rows"].iloc[0] == 500 and g["sum_m"].iloc[0] == pdf["m"].sum()
 
 
+def test_rollup_cube_matches_duckdb():
+    """CUBE mode adds the (g2)-only level via a second tiny exchange;
+    every (key, lvl) cell must match DuckDB GROUP BY CUBE exactly,
+    including NULL group values (a real-null group is distinguished
+    from a rolled-up level only by lvl = GROUPING bitmask)."""
+    import duckdb
+
+    from featurebox_ray.stages.rollup import rollup_counts
+
+    pdf = __import__("pandas").DataFrame({
+        "a": (["x", "y", "z", None] * 100),
+        "b": (["p", "q", None, "p", "q"] * 80),
+        "m": np.arange(400, dtype=np.int64) % 97,
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(
+        pdf, preserve_index=False)).repartition(5)
+    got = (rollup_counts(ds, g1="a", g2="b", int_sum_cols=["m"],
+                         num_partitions=3, cube=True)
+           .to_pandas()
+           .sort_values(["lvl", "a", "b"], na_position="last")
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.execute("""
+        SELECT a, b, GROUPING(a, b) AS lvl, count(*) AS n_rows,
+               sum(m) AS sum_m
+        FROM pdf GROUP BY CUBE(a, b)
+        ORDER BY lvl, a NULLS LAST, b NULLS LAST
+    """).df()
+    con.close()
+    assert len(got) == len(want)
+    for c in ["lvl", "n_rows", "sum_m"]:
+        assert (got[c].to_numpy(np.int64)
+                == want[c].to_numpy(np.int64)).all(), c
+    for c in ["a", "b"]:
+        assert got[c].fillna("~").tolist() == want[c].fillna("~").tolist()
+
+
 # ----------------------------------------------------- weighted sample ----
 
 def test_weighted_sample_k_partition_invariant_and_weight_biased():
