@@ -389,7 +389,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q81_full_join": _full_join_q,
         "q82_winsorize": _winsorize_q,
         "q83_cube": _cube_q,
+        "q84_dup_spans": _dup_spans_q,
     }
+
+
+def _dup_spans_q(sf_dir: str):
+    """q84: exact-substring duplicate spans (Lee et al. 2022 ExactSubstr
+    shape) — every word 8-gram keyed by md5 rides ONE gram-keyed
+    exchange; runs >= 2 mark their (doc, pos) rows; a doc-keyed exchange
+    merges overlapping/adjacent intervals into maximal spans.  md5 mode
+    so DuckDB replays the decision procedure bit-exactly; the vectorized
+    poly-hash mode is the 100-TB path (tested equal)."""
+    import ray
+
+    from featurebox_ray.stages.substr import dup_spans
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return dup_spans(docs, id_col="doc_id", text_col="text", k=8,
+                     min_count=2, num_partitions=8, hash_mode="md5")
 
 
 def _cube_q(sf_dir: str):
@@ -2833,6 +2851,45 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # dup spans: md5 gram keys replay exactly; islands merge via
+        # the prev-max(e) window (ends are monotone at fixed k)
+        "q84_dup_spans": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 7)) AS pos
+              FROM tok WHERE len(t) >= 8
+            ), gh AS (
+              SELECT doc_id, pos,
+                     md5(array_to_string(t[pos : pos + 7], ' ')) AS h
+              FROM g
+            ), dup AS (
+              SELECT h FROM gh GROUP BY h HAVING count(*) >= 2
+            ), d AS (
+              SELECT gh.doc_id, gh.pos AS s, gh.pos + 8 AS e
+              FROM gh JOIN dup USING (h)
+            ), m AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS brk
+              FROM d
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     sum(brk) OVER (PARTITION BY doc_id
+                                    ORDER BY s) AS isl_id
+              FROM m
+            )
+            SELECT doc_id,
+                   min(s) AS span_start,
+                   max(e) AS span_end,
+                   max(e) - min(s) AS span_len
+            FROM isl GROUP BY doc_id, isl_id
         """,
         # cube: GROUPING(g1,g2) bitmask = engine lvl; int64-cent sums,
         # no float output at all

@@ -1,0 +1,168 @@
+"""Exact-substring duplicate-span detection (the ExactSubstr recipe of
+Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better") re-expressed as two keyed exchanges — no suffix array, no
+driver-side state:
+
+1. every document emits one row per word ``k``-gram: ``(gram key,
+   doc_id, pos)`` — the honest one-row-per-token cost of ExactSubstr,
+   streamed block by block;
+2. ONE gram-keyed exchange: a sorted run of the same gram key with
+   ``>= min_count`` occurrences (across the whole corpus, same-doc
+   repeats included) marks every one of its ``(doc_id, pos)`` rows
+   duplicated; unique grams are dropped right there, so the second
+   exchange moves only duplicated positions;
+3. ONE doc-keyed exchange: each document's duplicated gram positions
+   become token intervals ``[pos, pos + k)`` and overlapping/adjacent
+   intervals merge into maximal spans (gaps-and-islands over the sorted
+   positions — with fixed ``k`` the interval ends are monotone, so one
+   vectorized compare per row suffices).
+
+Gram keys come in two modes:
+
+- ``hash_mode="md5"`` — md5 hex of the space-joined gram, one hashlib
+  call per gram (Python loop; the documented replayable-hash cost, same
+  family as the q26/q48 md5 loops).  DuckDB ``md5()`` replays the whole
+  decision procedure bit-exactly → full SQL value oracle (q84).
+- ``hash_mode="poly"`` — the vectorized uint64 polynomial shingle hash
+  shared with MinHash (`dedup._batch_shingles`): zero Python per row,
+  the 100-TB path.  Output is identical barring a ~2^-64-per-pair hash
+  collision; not byte-replayable in SQL (tested against md5 mode
+  instead).
+
+Reference analog: none (the reference has no substring dedup); this is
+an added-for-100-TB corpus-cleaning primitive alongside exact/MinHash/
+SimHash dedup (stages/dedup.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["dup_spans"]
+
+
+def _gram_emit_md5(batch: pa.Table, id_col: str, text_col: str,
+                   k: int) -> pa.Table:
+    from .dedup import split_tokens
+
+    texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+    flat, off = split_tokens(texts)
+    toks = flat.to_pylist()
+    counts = np.diff(off)
+    n_grams = np.maximum(counts - k + 1, 0)
+    doc_idx = np.repeat(np.arange(len(counts)), n_grams)
+    starts = np.repeat(off[:-1], n_grams)
+    first = np.repeat(np.cumsum(n_grams) - n_grams, n_grams)
+    pos = np.arange(int(n_grams.sum()), dtype=np.int64) - first  # 0-based
+    abs_start = starts + pos
+    hexes = [hashlib.md5(" ".join(toks[s:s + k]).encode()).hexdigest()
+             for s in abs_start]
+    ids = (batch[id_col].combine_chunks()
+           .take(pa.array(doc_idx, pa.int64())))
+    return pa.table({
+        "gh": pa.array(hexes, pa.string()),
+        id_col: ids,
+        "pos": pa.array(pos + 1),  # 1-based, matches SQL generate_series
+    })
+
+
+def _gram_emit_poly(batch: pa.Table, id_col: str, text_col: str,
+                    k: int) -> pa.Table:
+    from .dedup import _batch_shingles
+
+    texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+    sh, off = _batch_shingles(texts, k)
+    n_grams = np.diff(off)  # shingle counts per row (0 for short docs)
+    doc_idx = np.repeat(np.arange(len(n_grams)), n_grams)
+    first = np.repeat(np.cumsum(n_grams) - n_grams, n_grams)
+    pos = np.arange(int(n_grams.sum()), dtype=np.int64) - first
+    ids = (batch[id_col].combine_chunks()
+           .take(pa.array(doc_idx, pa.int64())))
+    return pa.table({
+        "gh": pa.array(sh.view(np.int64)),  # uint64 bits as int64 key
+        id_col: ids,
+        "pos": pa.array(pos + 1),
+    })
+
+
+def dup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
+              k: int = 8, min_count: int = 2, num_partitions: int = 16,
+              hash_mode: str = "md5"):
+    """Maximal duplicated-substring spans per document.
+
+    Returns ``(id_col, span_start, span_end, span_len)`` — 1-based token
+    indices, ``span_end`` exclusive — one row per maximal merged span of
+    word ``k``-grams occurring ``>= min_count`` times corpus-wide.
+    Overlapping AND adjacent spans merge (they describe one removable
+    region).  Documents with no duplicated gram emit nothing.
+    """
+    from .partition import partitioned_map
+
+    if hash_mode not in ("md5", "poly"):
+        raise ValueError(f"hash_mode must be 'md5' or 'poly', got "
+                         f"{hash_mode!r}")
+    emit = _gram_emit_md5 if hash_mode == "md5" else _gram_emit_poly
+
+    grams = ds.map_batches(
+        lambda b: emit(b, id_col, text_col, k),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def keep_dup_runs(t: pa.Table) -> pa.Table:
+        """Sorted by gh: mark rows whose gh run is >= min_count long."""
+        n = t.num_rows
+        if n == 0:
+            return t.select([id_col, "pos"])
+        d = pc.dictionary_encode(t["gh"].combine_chunks())
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        new_run = np.empty(n, np.bool_)
+        new_run[0] = True
+        new_run[1:] = codes[1:] != codes[:-1]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        return t.filter(pa.array(run_len[run_id] >= min_count)).select(
+            [id_col, "pos"])
+
+    dups = partitioned_map(grams, keep_dup_runs, key="gh",
+                           sort_keys=["gh"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+    def merge_spans(t: pa.Table) -> pa.Table:
+        """Sorted by (doc, pos): intervals [pos, pos+k) have monotone
+        ends within a doc, so island breaks are one shifted compare."""
+        n = t.num_rows
+        out_schema = pa.schema([
+            pa.field(id_col, t.schema.field(id_col).type),
+            pa.field("span_start", pa.int64()),
+            pa.field("span_end", pa.int64()),
+            pa.field("span_len", pa.int64())])
+        if n == 0:
+            return out_schema.empty_table()
+        ids = t[id_col].combine_chunks()
+        # group on dictionary codes — ids never round-trip through pandas
+        codes = pc.dictionary_encode(ids).indices.to_numpy(
+            zero_copy_only=False)
+        s = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = s + k
+        brk = np.empty(n, np.bool_)
+        brk[0] = True
+        brk[1:] = (codes[1:] != codes[:-1]) | (s[1:] > e[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]]) - 1  # last row of island
+        span_start = s[starts]
+        span_end = e[ends]
+        return pa.table({
+            id_col: ids.take(pa.array(starts, pa.int64())),
+            "span_start": pa.array(span_start),
+            "span_end": pa.array(span_end),
+            "span_len": pa.array(span_end - span_start),
+        })
+
+    return partitioned_map(dups, merge_spans, key=id_col,
+                           sort_keys=[id_col, "pos"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
