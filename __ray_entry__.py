@@ -390,7 +390,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q82_winsorize": _winsorize_q,
         "q83_cube": _cube_q,
         "q84_dup_spans": _dup_spans_q,
+        "q85_global_rank": _global_rank_q,
     }
+
+
+def _global_rank_q(sf_dir: str):
+    """q85: exact global row_number over (value, event_id) — Ray range
+    sort is the one all-to-all; block offsets come from per-block
+    (first-key, count) metadata ordered by CONTENT on the driver (one
+    tuple per block), so the result is independent of streaming bundle
+    arrival order.  The curriculum-ordering primitive."""
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.rank import global_row_number
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    # a unique total order needs null-free keys: keep finite values only
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.fill_null(pc.is_finite(b["value"]), False)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return global_row_number(ev, order_cols=["value", "event_id"])
 
 
 def _dup_spans_q(sf_dir: str):
@@ -2851,6 +2872,13 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # global rank: unique (value, id) total order -> exact ints
+        "q85_global_rank": """
+            SELECT event_id, value,
+                   row_number() OVER (ORDER BY value, event_id) AS g_rank
+            FROM events
+            WHERE value IS NOT NULL AND isfinite(value)
         """,
         # dup spans: md5 gram keys replay exactly; islands merge via
         # the prev-max(e) window (ends are monotone at fixed k)

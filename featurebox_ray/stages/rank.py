@@ -164,3 +164,64 @@ def rank_in_group(ds, *, group_col: str, value_col: str, tie_col: str,
                            sort_keys=[group_col, value_col, tie_col],
                            num_partitions=num_partitions,
                            strategy=strategy)
+
+
+def global_row_number(ds, *, order_cols, rank_col: str = "g_rank",
+                      descending: bool = False):
+    """Exact GLOBAL ``row_number() OVER (ORDER BY order_cols)`` — 1-based
+    position under the corpus-wide total order.
+
+    The all-to-all is Ray's distributed range sort (unavoidable for a
+    global order); everything after it is metadata-sized: each sorted
+    block contributes only ``(first-row key, num_rows)`` to the driver,
+    which orders the blocks by first key (block key ranges are disjoint
+    because ``order_cols`` must be a UNIQUE key — include a row id) and
+    prefix-sums the offsets; one tiny task per block then appends
+    ``offset + arange``.  No block ever moves twice and the driver holds
+    one tuple per block, so this scales with block count, not rows.
+
+    Raw Ray tasks are used below the Dataset API deliberately: a global
+    running offset is cross-block state that ``map_batches`` cannot
+    express, and streaming execution does not guarantee bundle order, so
+    the offsets are derived from block CONTENT (first key), never from
+    arrival order.
+
+    ``order_cols`` must be null-free (filter first) and unique as a
+    tuple; ``descending`` applies to every order column.
+
+    Reference analog: the driver-side global argsort selections of
+    ``featurebox/selection/exhaustion.py:106-119`` at distributed scale
+    (SURVEY.md §2.7); the curriculum-ordering primitive for training-data
+    pipelines.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    cols = list(order_cols)
+    sd = ds.sort(cols, descending=descending)
+    refs = materialized_block_refs(sd)
+
+    @ray.remote
+    def blk_meta(blk: pa.Table):
+        if blk.num_rows == 0:
+            return None
+        return (tuple(blk.column(c)[0].as_py() for c in cols),
+                blk.num_rows)
+
+    @ray.remote
+    def add_rank(blk: pa.Table, off: int) -> pa.Table:
+        n = blk.num_rows
+        return blk.append_column(
+            rank_col, pa.array(np.arange(off + 1, off + 1 + n)))
+
+    metas = ray.get([blk_meta.remote(r) for r in refs])
+    live = [(m[0], m[1], r) for m, r in zip(metas, refs) if m is not None]
+    live.sort(key=lambda x: x[0], reverse=descending)
+    out_refs, off = [], 0
+    for _, n, r in live:
+        out_refs.append(add_rank.remote(r, off))
+        off += n
+    if not out_refs:
+        return sd  # empty input: nothing to rank
+    return ray.data.from_arrow_refs(out_refs)
