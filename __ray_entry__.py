@@ -391,7 +391,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q83_cube": _cube_q,
         "q84_dup_spans": _dup_spans_q,
         "q85_global_rank": _global_rank_q,
+        "q86_corpus_freq": _corpus_freq_q,
     }
+
+
+def _corpus_freq_q(sf_dir: str):
+    """q86: corpus-frequency familiarity scoring (the integer-exact core
+    of the CCNet quality filter) — exact global top-512 vocabulary via
+    the term-keyed partial-counts exchange, vocabulary broadcast once
+    with ray.put, per-doc n_tokens / n_invocab / fam_sum as pure int64
+    bincounts (no log-prob: libm ulps differ across engines; counting
+    replays in SQL)."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import corpus_freq_score
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return corpus_freq_score(docs, top_v=512, num_partitions=8)
 
 
 def _global_rank_q(sf_dir: str):
@@ -2872,6 +2889,24 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # corpus familiarity: pure int64 counting, LIMIT boundary
+        # deterministic under (count desc, term asc)
+        "q86_corpus_freq": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+                         AS term
+              FROM documents
+            ), cnt AS (
+              SELECT term, count(*) AS c FROM tok GROUP BY term
+            ), top AS (
+              SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 512
+            )
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   count(top.term) AS n_invocab,
+                   CAST(coalesce(sum(top.c), 0) AS BIGINT) AS fam_sum
+            FROM tok t LEFT JOIN top USING (term)
+            GROUP BY t.doc_id
         """,
         # global rank: unique (value, id) total order -> exact ints
         "q85_global_rank": """

@@ -251,3 +251,84 @@ def top_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return partitioned_map(local, global_topk, key="term",
                            sort_keys=["term"], num_partitions=1,
                            strategy="tasks")
+
+
+def corpus_freq_score(ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", top_v: int = 512,
+                      num_partitions: int = 8):
+    """Corpus-frequency familiarity scoring — the integer-exact core of
+    the CCNet/KenLM quality-filter recipe (Wenzek et al. 2020): docs
+    whose tokens are common in the corpus score high, gibberish scores
+    low.  Instead of a log-probability LM score (libm ulps differ across
+    engines), the score is pure int64 counting, so it is exact under any
+    summation order AND replayable in SQL:
+
+    1. :func:`top_terms` computes the exact global top-``top_v``
+       vocabulary with total occurrence counts (term-keyed exchange of
+       per-block partials; the shuffle moves O(blocks × vocab) rows);
+    2. the tiny ``(term, count)`` vocabulary is ``ray.put`` ONCE and
+       every score task reads it from the object store — no shuffle
+       touches the documents themselves;
+    3. per block, ``pc.index_in`` maps tokens to vocab slots and two
+       bincount/add.at passes produce per-doc ``n_tokens``,
+       ``n_invocab`` (tokens found in the vocabulary) and ``fam_sum``
+       (sum of the corpus counts of in-vocab tokens, int64).
+
+    Zero-token (and null-text) documents emit nothing, matching SQL
+    ``unnest``.  Downstream filters use e.g. ``n_invocab / n_tokens``
+    (OOV rate) or ``fam_sum / n_tokens`` (mean familiarity).
+
+    Reference analog: none; added-for-100-TB corpus cleaning alongside
+    the Gopher repetition signals (stages/repetition.py).
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    vocab_ds = top_terms(ds, id_col=id_col, text_col=text_col, k=top_v,
+                         by="term_count", num_partitions=num_partitions)
+    blocks = [b for b in ray.get(materialized_block_refs(vocab_ds))
+              if b.num_rows > 0]
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("n_invocab", pa.int64()),
+                            ("fam_sum", pa.int64())])
+    if not blocks:
+        return ray.data.from_arrow(out_schema.empty_table())
+    vocab = pa.concat_tables(blocks, promote_options="default")
+    vterms = vocab["term"].combine_chunks()
+    vcnts = vocab["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab_ref = ray.put((vterms, vcnts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vterms_, vcnts_ = ray.get(vocab_ref)
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        n = batch.num_rows
+        counts = np.diff(off)
+        if len(flat) == 0:
+            # preserve the caller's id type (out_schema fixes int64 only
+            # for the vocab-empty early return, where no batch exists)
+            return pa.table({
+                id_col: batch[id_col].combine_chunks().slice(0, 0),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_invocab": pa.array([], pa.int64()),
+                "fam_sum": pa.array([], pa.int64())})
+        pos = pc.fill_null(pc.index_in(flat, value_set=vterms_), -1
+                           ).to_numpy(zero_copy_only=False).astype(np.int64)
+        row_ids = np.repeat(np.arange(n), counts)
+        iv = pos >= 0
+        fam = np.zeros(n, np.int64)
+        np.add.at(fam, row_ids[iv], vcnts_[pos[iv]])
+        niv = np.bincount(row_ids[iv], minlength=n).astype(np.int64)
+        keep = counts > 0
+        ids = batch[id_col].combine_chunks().filter(pa.array(keep))
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pa.array(counts[keep].astype(np.int64)),
+            "n_invocab": pa.array(niv[keep]),
+            "fam_sum": pa.array(fam[keep]),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
