@@ -392,7 +392,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q84_dup_spans": _dup_spans_q,
         "q85_global_rank": _global_rank_q,
         "q86_corpus_freq": _corpus_freq_q,
+        "q87_hopping_window": _hopping_window_q,
     }
+
+
+def _hopping_window_q(sf_dir: str):
+    """q87: 6-hour windows hopping every 2 hours per user — each row
+    expands to exactly 3 overlapping windows, collapses to per-block
+    (key, w_start) partials BEFORE the exchange; aggregates are the q52
+    order-independent-exact set (count, int64 id sum, min/max)."""
+    import ray
+
+    from featurebox_ray.pipelines.events_queries import _finish, read
+    from featurebox_ray.stages.window import hopping_window_stats
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = hopping_window_stats(ev, key_col="user_id", ts_col="ts",
+                               value_col="value", id_col="event_id",
+                               width_s=6 * 3600.0, hop_s=2 * 3600.0)
+    return _finish(out, ["user_id", "w_start", "n_events", "id_sum",
+                         "v_min", "v_max"],
+                   ["v_min", "v_max"],
+                   ["user_id", "w_start", "n_events", "id_sum"])
 
 
 def _corpus_freq_q(sf_dir: str):
@@ -2889,6 +2910,22 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # hopping windows: each row in exactly width/hop = 3 windows;
+        # same exact aggregate set as q52, floor // both sides
+        "q87_hopping_window": """
+            WITH x AS (
+              SELECT user_id, event_id, value,
+                     (epoch_us(ts) // 7200000000) * 7200000000
+                       - unnest(generate_series(0, 2)) * 7200000000
+                         AS w_start
+              FROM events
+            )
+            SELECT user_id, w_start, count(*) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS id_sum,
+                   round(min(value), 6) AS v_min,
+                   round(max(value), 6) AS v_max
+            FROM x GROUP BY user_id, w_start
         """,
         # corpus familiarity: pure int64 counting, LIMIT boundary
         # deterministic under (count desc, term asc)

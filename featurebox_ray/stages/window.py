@@ -220,3 +220,72 @@ def tumbling_window_stats(ds, *, key_col: str, ts_col: str, value_col: str,
     return partitioned_map(partials, combine, key="k",
                            sort_keys=["k", "w_start"],
                            num_partitions=num_partitions, strategy="tasks")
+
+
+def hopping_window_stats(ds, *, key_col: str, ts_col: str, value_col: str,
+                         id_col: str, width_s: float, hop_s: float,
+                         num_partitions: int = 16):
+    """Hopping (sliding) time-window aggregate per key: windows of
+    ``width_s`` seconds start every ``hop_s`` seconds, so each row lands
+    in exactly ``width/hop`` overlapping windows (``width`` must be an
+    integer multiple of ``hop`` — the clean overlap contract).
+
+    Same order-independent-exact shape as :func:`tumbling_window_stats`:
+    each block expands rows ×(width/hop) with vectorized window starts,
+    collapses to per-block ``(key, w_start)`` partials BEFORE the
+    exchange (the expansion never crosses the wire unaggregated), and a
+    tiny keyed combine finishes.  The shuffle moves
+    O(keys × occupied windows) partial rows, not data.
+
+    Output: ``(key_col, w_start:int64 epoch-us, n_events:int64,
+    id_sum:int64, v_min, v_max)``.
+    """
+    import pandas as pd
+
+    from .partition import partitioned_map
+
+    width_us = int(round(width_s * 1_000_000))
+    hop_us = int(round(hop_s * 1_000_000))
+    if width_us <= 0 or hop_us <= 0:
+        raise ValueError("width_s and hop_s must be positive")
+    if width_us % hop_us:
+        raise ValueError("width_s must be an integer multiple of hop_s")
+    m = width_us // hop_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t[ts_col].null_count:
+            t = t.filter(pc.is_valid(t[ts_col]))
+        n = t.num_rows
+        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        latest = (ts // hop_us) * hop_us  # floor: matches SQL //
+        # row r belongs to starts latest - i*hop for i in 0..m-1
+        starts = (np.repeat(latest, m)
+                  - np.tile(np.arange(m, dtype=np.int64) * hop_us, n))
+        rep = np.repeat(np.arange(n), m)
+        df = pd.DataFrame({
+            "k": t[key_col].to_numpy(zero_copy_only=False)[rep],
+            "w_start": starts,
+            "i": t[id_col].to_numpy(zero_copy_only=False)[rep],
+            "v": t[value_col].to_numpy(zero_copy_only=False)[rep],
+        })
+        g = df.groupby(["k", "w_start"], as_index=False, sort=False).agg(
+            n_events=("i", "size"), id_sum=("i", "sum"),
+            v_min=("v", "min"), v_max=("v", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["k", "w_start"], as_index=False, sort=False).agg(
+            n_events=("n_events", "sum"), id_sum=("id_sum", "sum"),
+            v_min=("v_min", "min"), v_max=("v_max", "max"))
+        g = g.rename(columns={"k": key_col})
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partitioned_map(partials, combine, key="k",
+                           sort_keys=["k", "w_start"],
+                           num_partitions=num_partitions, strategy="tasks")

@@ -187,3 +187,58 @@ def test_chunk_documents_matches_serial_replay():
 
     with pytest.raises(Exception, match="overlap"):
         chunk_documents(ds, chunk_tokens=8, overlap=8).to_pandas()
+
+
+def test_hopping_window_matches_serial_and_tumbling():
+    from featurebox_ray.stages.window import hopping_window_stats
+
+    rng = np.random.default_rng(19)
+    n = 300
+    keys = rng.choice(["u1", "u2"], n)
+    ts = rng.integers(0, 60_000, n)
+    ids = np.arange(n)
+    vals = rng.normal(size=n)
+    t = pa.table({"k": pa.array(keys.tolist()),
+                  "ts": pa.array(ts, pa.int64()),
+                  "id": pa.array(ids, pa.int64()),
+                  "v": pa.array(vals)})
+    ds = ray.data.from_arrow(t)
+    W, H = 6.0, 2.0  # each row in exactly 3 windows
+    got = hopping_window_stats(
+        ds.repartition(4), key_col="k", ts_col="ts", value_col="v",
+        id_col="id", width_s=W, hop_s=H, num_partitions=3
+    ).to_pandas().sort_values(["k", "w_start"]).reset_index(drop=True)
+
+    hop_us, m = int(H * 1e6), 3
+    want = {}
+    for k_, t_, i_, v_ in zip(keys, ts, ids, vals):
+        top = (t_ // hop_us) * hop_us
+        for j in range(m):
+            e = want.setdefault((k_, top - j * hop_us),
+                                [0, 0, np.inf, -np.inf])
+            e[0] += 1
+            e[1] += i_
+            e[2] = min(e[2], v_)
+            e[3] = max(e[3], v_)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        n_, s_, mn, mx = want[(r["k"], r["w_start"])]
+        assert (r["n_events"], r["id_sum"]) == (n_, s_)
+        assert r["v_min"] == mn and r["v_max"] == mx
+    # every event is counted exactly m times across all windows
+    assert got["n_events"].sum() == n * m
+
+    # hop == width degenerates to the tumbling aggregate exactly
+    a = hopping_window_stats(ds, key_col="k", ts_col="ts", value_col="v",
+                             id_col="id", width_s=W, hop_s=W
+                             ).to_pandas().sort_values(["k", "w_start"]
+                                                       ).reset_index(drop=True)
+    b = tumbling_window_stats(ds, key_col="k", ts_col="ts", value_col="v",
+                              id_col="id", width_s=W
+                              ).to_pandas().sort_values(["k", "w_start"]
+                                                        ).reset_index(drop=True)
+    assert a.equals(b)
+
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window_stats(ds, key_col="k", ts_col="ts", value_col="v",
+                             id_col="id", width_s=5.0, hop_s=2.0)
