@@ -167,6 +167,11 @@ QUERY_NAMES = [
     # signals, the composed cleaning chain, inverted index, redaction
     "q72_decontaminate", "q73_repetition", "q77_clean_corpus",
     "q78_inverted_index", "q80_redact",
+    # session-6 additions: exact-substring dup spans (two exchanges of
+    # one-row-per-gram tables — the heaviest new surface), int-exact
+    # corpus familiarity, hopping windows, global row_number
+    "q84_dup_spans", "q85_global_rank", "q86_corpus_freq",
+    "q87_hopping_window",
 ]
 
 
