@@ -393,7 +393,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q85_global_rank": _global_rank_q,
         "q86_corpus_freq": _corpus_freq_q,
         "q87_hopping_window": _hopping_window_q,
+        "q88_cms_counts": _cms_counts_q,
     }
+
+
+def _cms_counts_q(sf_dir: str):
+    """q88: count-min sketch term counts — fixed depth×width int64
+    counter matrix merged by addition (shuffle moves O(blocks × d×w)
+    cells regardless of vocabulary size), 60-bit md5 bucket hashes so
+    DuckDB rebuilds the IDENTICAL sketch; point estimates (min over
+    depth) for the exact top-20 terms, overestimate guaranteed."""
+    import ray
+
+    from featurebox_ray.stages.sketch import cms_term_estimates
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return cms_term_estimates(docs, depth=4, width=1024, query_k=20,
+                              num_partitions=8)
 
 
 def _hopping_window_q(sf_dir: str):
@@ -2910,6 +2927,37 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # count-min sketch: identical 60-bit md5 buckets both sides,
+        # pure integer sums + min -> bit-exact (q48 hex-cast trick)
+        "q88_cms_counts": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents
+            ), tc AS (
+              SELECT term, count(*) AS c FROM tok GROUP BY term
+            ), topq AS (
+              SELECT term, c FROM tc ORDER BY c DESC, term LIMIT 20
+            ), js AS (
+              SELECT unnest(generate_series(0, 3)) AS j
+            ), cells AS (
+              SELECT js.j,
+                     CAST('0x' || substr(md5(CAST(js.j AS VARCHAR)
+                                             || ' ' || tc.term), 1, 15)
+                          AS UBIGINT) % 1024 AS b,
+                     CAST(sum(tc.c) AS BIGINT) AS cnt
+              FROM tc, js GROUP BY js.j, b
+            )
+            SELECT t.term, CAST(t.c AS BIGINT) AS exact_cnt,
+                   CAST(min(cells.cnt) AS BIGINT) AS cms_est
+            FROM topq t, js
+            JOIN cells
+              ON cells.j = js.j
+             AND cells.b = CAST('0x' || substr(md5(CAST(js.j AS VARCHAR)
+                                                   || ' ' || t.term),
+                                               1, 15)
+                                AS UBIGINT) % 1024
+            GROUP BY t.term, t.c
         """,
         # hopping windows: each row in exactly width/hop = 3 windows;
         # same exact aggregate set as q52, floor // both sides

@@ -103,3 +103,107 @@ def kmv_distinct(ds, *, group_col: str, value_col: str, k: int = 64):
     # shuffles sketches, never data
     return partials.groupby(group_col).map_groups(
         finalize, batch_format="pyarrow")
+
+
+def cms_term_estimates(ds, *, text_col: str = "text", depth: int = 4,
+                       width: int = 1024, query_k: int = 20,
+                       id_col: str = "doc_id", num_partitions: int = 8):
+    """Count-min sketch over corpus term occurrences (Cormode &
+    Muthukrishnan 2005) — the fixed-memory streaming complement to the
+    exact :func:`~featurebox_ray.stages.tfidf.top_terms` exchange: the
+    whole corpus collapses into a ``depth × width`` int64 counter matrix
+    that merges by addition, so at 100 TB the shuffle moves
+    O(blocks × depth × width) tiny cell rows regardless of vocabulary
+    size (where the exact exchange moves O(blocks × vocab)).
+
+    Bucket hashes are 60-bit md5 prefixes of ``"{j} {term}"`` (one md5
+    per distinct term per batch per row of the sketch — the documented
+    replayable-hash trade of this module) so DuckDB recomputes the
+    IDENTICAL sketch and estimates with pure integer arithmetic.
+
+    Returns one row per exact top-``query_k`` term (ties broken
+    (count desc, term asc) like :func:`top_terms`):
+    ``(term, exact_cnt:int64, cms_est:int64)`` with the CMS guarantee
+    ``cms_est >= exact_cnt`` (point query = min over the depth rows).
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+    from .tfidf import top_terms
+
+    if depth <= 0 or width <= 0:
+        raise ValueError("depth and width must be positive")
+
+    from .dedup import split_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat, _ = split_tokens(texts)
+        if len(flat) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        d = pc.dictionary_encode(flat)
+        uniques = d.dictionary.to_pylist()
+        tok_counts = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            minlength=len(uniques)).astype(np.int64)
+        mat = np.zeros((depth, width), np.int64)
+        for j in range(depth):
+            buckets = np.fromiter(
+                (int(hashlib.md5(f"{j} {u}".encode())
+                     .hexdigest()[:HASH_HEX_DIGITS], 16) % width
+                 for u in uniques),
+                dtype=np.int64, count=len(uniques))
+            np.add.at(mat[j], buckets, tok_counts)
+        jj, bb = np.nonzero(mat)
+        return pa.table({"cell": pa.array(jj * width + bb),
+                         "cnt": pa.array(mat[jj, bb])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(cells, return_inverse=True)
+        sums = np.zeros(len(uc), np.int64)
+        np.add.at(sums, inv, cnts)
+        return pa.table({"cell": pa.array(uc), "cnt": pa.array(sums)})
+
+    sketch_ds = partitioned_map(partials, combine, key="cell",
+                                sort_keys=["cell"],
+                                num_partitions=num_partitions,
+                                strategy="tasks")
+
+    # the combined sketch is <= depth*width rows (driver-tiny, like the
+    # tfidf vocabulary); point queries are min over depth cells
+    blocks = [b for b in ray.get(materialized_block_refs(sketch_ds))
+              if b.num_rows > 0]
+    cell_map = np.zeros(depth * width, np.int64)
+    if blocks:
+        st = pa.concat_tables(blocks)
+        cell_map[st["cell"].to_numpy(zero_copy_only=False)] = \
+            st["cnt"].to_numpy(zero_copy_only=False)
+
+    top = top_terms(ds, id_col=id_col, text_col=text_col, k=query_k,
+                    by="term_count", num_partitions=num_partitions)
+    tb = [b for b in ray.get(materialized_block_refs(top))
+          if b.num_rows > 0]
+    if not tb:
+        return ray.data.from_arrow(pa.schema(
+            [("term", pa.string()), ("exact_cnt", pa.int64()),
+             ("cms_est", pa.int64())]).empty_table())
+    tt = pa.concat_tables(tb)
+    terms = tt["term"].to_pylist()
+    ests = []
+    for term in terms:
+        cells = [j * width
+                 + int(hashlib.md5(f"{j} {term}".encode())
+                       .hexdigest()[:HASH_HEX_DIGITS], 16) % width
+                 for j in range(depth)]
+        ests.append(int(cell_map[cells].min()))
+    return ray.data.from_arrow(pa.table({
+        "term": tt["term"],
+        "exact_cnt": tt["cnt"].cast(pa.int64()),
+        "cms_est": pa.array(ests, pa.int64()),
+    }))
