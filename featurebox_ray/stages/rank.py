@@ -215,13 +215,35 @@ def global_row_number(ds, *, order_cols, rank_col: str = "g_rank",
         return blk.append_column(
             rank_col, pa.array(np.arange(off + 1, off + 1 + n)))
 
+    def robust_key(key_tuple):
+        # Python tuple comparison is not a total order under float NaN
+        # (every compare is False, so timsort can leave a NaN-first-key
+        # block out of position with no error) and raises on None; map
+        # each element to (class, value) with numbers < NaN < null —
+        # exactly where Arrow's sort put those rows
+        out = []
+        for e in key_tuple:
+            if e is None:
+                out.append((2, 0.0))
+            elif isinstance(e, float) and e != e:
+                out.append((1, 0.0))
+            else:
+                out.append((0, e))
+        return tuple(out)
+
     metas = ray.get([blk_meta.remote(r) for r in refs])
     live = [(m[0], m[1], r) for m, r in zip(metas, refs) if m is not None]
-    live.sort(key=lambda x: x[0], reverse=descending)
+    live.sort(key=lambda x: robust_key(x[0]), reverse=descending)
     out_refs, off = [], 0
     for _, n, r in live:
         out_refs.append(add_rank.remote(r, off))
         off += n
     if not out_refs:
-        return sd  # empty input: nothing to rank
+        # empty input: still honor the output-schema contract
+        schema = sd.schema()
+        base = getattr(schema, "base_schema", schema)
+        if isinstance(base, pa.Schema):
+            return ray.data.from_arrow(base.append(
+                pa.field(rank_col, pa.int64())).empty_table())
+        return sd  # schema unknown (fully schemaless empty dataset)
     return ray.data.from_arrow_refs(out_refs)

@@ -88,6 +88,18 @@ def rollup_counts(ds, *, g1: str, g2: str, int_sum_cols: Sequence[str],
 
     metric_cols = ["n_rows"] + sum_names
 
+    def _lvl2_table(df, dic2, gt1) -> pa.Table:
+        """(g2)-only rows (lvl 2) from a codes frame — shared by the
+        cube-partial emit and the second-exchange completion so the two
+        sides can never drift in shape."""
+        agg = df.groupby(["c2"], as_index=False)[metric_cols].sum()
+        return pa.table({
+            g1: pa.nulls(len(agg), gt1),
+            g2: dic2.take(pa.array(agg["c2"].to_numpy(np.int64))),
+            "lvl": pa.array(np.full(len(agg), 2, np.int64)),
+            **{m: pa.array(agg[m].to_numpy(np.int64))
+               for m in metric_cols}})
+
     def combine(t: pa.Table) -> pa.Table:
         c1, dic1 = _codes_dic(t[g1])
         c2, dic2 = _codes_dic(t[g2])
@@ -126,13 +138,7 @@ def rollup_counts(ds, *, g1: str, g2: str, int_sum_cols: Sequence[str],
             # incomplete (g2)-only partials: a g2 value spans g1
             # partitions, so these are completed by a second (tiny)
             # g2-keyed exchange below (lvl 2).
-            g2p = df.groupby(["c2"], as_index=False)[metric_cols].sum()
-            parts.append(pa.table({
-                g1: pa.nulls(len(g2p), gt1),
-                g2: dic2.take(pa.array(g2p["c2"].to_numpy(np.int64))),
-                "lvl": pa.array(np.full(len(g2p), 2, np.int64)),
-                **{m: pa.array(g2p[m].to_numpy(np.int64))
-                   for m in metric_cols}}))
+            parts.append(_lvl2_table(df, dic2, gt1))
         return pa.concat_tables(parts)
 
     staged = partitioned_map(partials, combine, key=g1,
@@ -186,18 +192,11 @@ def rollup_counts(ds, *, g1: str, g2: str, int_sum_cols: Sequence[str],
             split_cube, batch_format="pyarrow", zero_copy_batch=True)
 
         def complete_g2(t: pa.Table) -> pa.Table:
-            gt1 = t.schema.field(g1).type
             c2, dic2 = _codes_dic(t[g2])
             df = pd.DataFrame({"c2": c2})
             for m in metric_cols:
                 df[m] = t[m].to_numpy(zero_copy_only=False).astype(np.int64)
-            agg = df.groupby(["c2"], as_index=False)[metric_cols].sum()
-            return pa.table({
-                g1: pa.nulls(len(agg), gt1),
-                g2: dic2.take(pa.array(agg["c2"].to_numpy(np.int64))),
-                "lvl": pa.array(np.full(len(agg), 2, np.int64)),
-                **{m: pa.array(agg[m].to_numpy(np.int64))
-                   for m in metric_cols}})
+            return _lvl2_table(df, dic2, t.schema.field(g1).type)
 
         cube_done = partitioned_map(
             cubes, complete_g2, key=g2, sort_keys=[g2],

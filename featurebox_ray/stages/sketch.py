@@ -149,11 +149,7 @@ def cms_term_estimates(ds, *, text_col: str = "text", depth: int = 4,
             minlength=len(uniques)).astype(np.int64)
         mat = np.zeros((depth, width), np.int64)
         for j in range(depth):
-            buckets = np.fromiter(
-                (int(hashlib.md5(f"{j} {u}".encode())
-                     .hexdigest()[:HASH_HEX_DIGITS], 16) % width
-                 for u in uniques),
-                dtype=np.int64, count=len(uniques))
+            buckets = _md5_60([f"{j} {u}" for u in uniques]) % width
             np.add.at(mat[j], buckets, tok_counts)
         jj, bb = np.nonzero(mat)
         return pa.table({"cell": pa.array(jj * width + bb),
@@ -197,11 +193,8 @@ def cms_term_estimates(ds, *, text_col: str = "text", depth: int = 4,
     terms = tt["term"].to_pylist()
     ests = []
     for term in terms:
-        cells = [j * width
-                 + int(hashlib.md5(f"{j} {term}".encode())
-                       .hexdigest()[:HASH_HEX_DIGITS], 16) % width
-                 for j in range(depth)]
-        ests.append(int(cell_map[cells].min()))
+        hv = _md5_60([f"{j} {term}" for j in range(depth)]) % width
+        ests.append(int(cell_map[np.arange(depth) * width + hv].min()))
     return ray.data.from_arrow(pa.table({
         "term": tt["term"],
         "exact_cnt": tt["cnt"].cast(pa.int64()),

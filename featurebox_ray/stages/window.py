@@ -24,6 +24,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import segments as seg
 from .partition import partitioned_map
@@ -58,10 +59,43 @@ class WindowSpec:
 
 def _codes(conv: pa.ChunkedArray) -> np.ndarray:
     """Integer codes for the (already sorted/contiguous) conv_id column."""
-    import pyarrow.compute as pc
-
     d = pc.dictionary_encode(conv.combine_chunks())
     return d.indices.to_numpy(zero_copy_only=False)
+
+
+def _key_codes_dic(col: pa.ChunkedArray):
+    """Dictionary codes with a trailing null slot — group keys never
+    round-trip through pandas (NaN keys would be silently DROPPED by
+    pandas groupby; int64-with-null would coerce to float64)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(col)
+    n_named = len(d.dictionary)
+    idx = d.indices
+    codes = (pc.fill_null(idx, n_named) if idx.null_count else idx
+             ).to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = d.dictionary
+    if col.null_count:
+        dic = pa.concat_arrays([dic, pa.nulls(1, dic.type)])
+    return codes, dic
+
+
+def _window_group_agg(key_arr: pa.ChunkedArray, w_start: np.ndarray,
+                      cols: dict, aggspec: dict, key_col: str) -> pa.Table:
+    """Group ``cols`` by (key, window-start) null-key-safely: pandas sees
+    only integer codes; key VALUES re-emit via ``dictionary.take`` (an
+    all-null group would otherwise infer the Arrow null type)."""
+    import pandas as pd
+
+    codes, dic = _key_codes_dic(key_arr)
+    df = pd.DataFrame({"kc": codes, "w_start": w_start, **cols})
+    g = df.groupby(["kc", "w_start"], as_index=False, sort=False).agg(
+        **aggspec)
+    out = {key_col: dic.take(pa.array(g["kc"].to_numpy(np.int64))),
+           "w_start": pa.array(g["w_start"].to_numpy(np.int64))}
+    for m in aggspec:
+        out[m] = pa.Array.from_pandas(g[m])
+    return pa.table(out)
 
 
 def window_kernel(table: pa.Table, spec: WindowSpec) -> pa.Table:
@@ -178,8 +212,6 @@ def tumbling_window_stats(ds, *, key_col: str, ts_col: str, value_col: str,
     Output: ``(key_col, w_start:timestamp-like int64 us, n_events:int64,
     id_sum:int64, v_min, v_max)``.
     """
-    import pandas as pd
-
     from .partition import partitioned_map
 
     width_us = int(round(width_s * 1_000_000))
@@ -192,33 +224,28 @@ def tumbling_window_stats(ds, *, key_col: str, ts_col: str, value_col: str,
         ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         bucket = ts // width_us  # floor division, exact int64
-        df = pd.DataFrame({
-            "k": t[key_col].to_numpy(zero_copy_only=False),
-            "w_start": bucket * width_us,
-            "i": t[id_col].to_numpy(zero_copy_only=False),
-            "v": t[value_col].to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby(["k", "w_start"], as_index=False, sort=False).agg(
-            n_events=("i", "size"), id_sum=("i", "sum"),
-            v_min=("v", "min"), v_max=("v", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False
-                                    ).replace_schema_metadata(None)
+        return _window_group_agg(
+            t[key_col], bucket * width_us,
+            {"i": t[id_col].to_numpy(zero_copy_only=False),
+             "v": t[value_col].to_numpy(zero_copy_only=False)},
+            dict(n_events=("i", "size"), id_sum=("i", "sum"),
+                 v_min=("v", "min"), v_max=("v", "max")),
+            key_col)
 
     def combine(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.to_pandas()
-        g = df.groupby(["k", "w_start"], as_index=False, sort=False).agg(
-            n_events=("n_events", "sum"), id_sum=("id_sum", "sum"),
-            v_min=("v_min", "min"), v_max=("v_max", "max"))
-        g = g.rename(columns={"k": key_col})
-        return pa.Table.from_pandas(g, preserve_index=False
-                                    ).replace_schema_metadata(None)
+        return _window_group_agg(
+            t[key_col],
+            t["w_start"].to_numpy(zero_copy_only=False),
+            {m: t[m].to_numpy(zero_copy_only=False)
+             for m in ("n_events", "id_sum", "v_min", "v_max")},
+            dict(n_events=("n_events", "sum"), id_sum=("id_sum", "sum"),
+                 v_min=("v_min", "min"), v_max=("v_max", "max")),
+            key_col)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    return partitioned_map(partials, combine, key="k",
-                           sort_keys=["k", "w_start"],
+    return partitioned_map(partials, combine, key=key_col,
+                           sort_keys=[key_col, "w_start"],
                            num_partitions=num_partitions, strategy="tasks")
 
 
@@ -240,8 +267,6 @@ def hopping_window_stats(ds, *, key_col: str, ts_col: str, value_col: str,
     Output: ``(key_col, w_start:int64 epoch-us, n_events:int64,
     id_sum:int64, v_min, v_max)``.
     """
-    import pandas as pd
-
     from .partition import partitioned_map
 
     width_us = int(round(width_s * 1_000_000))
@@ -262,30 +287,28 @@ def hopping_window_stats(ds, *, key_col: str, ts_col: str, value_col: str,
         # row r belongs to starts latest - i*hop for i in 0..m-1
         starts = (np.repeat(latest, m)
                   - np.tile(np.arange(m, dtype=np.int64) * hop_us, n))
+        rep_arr = pa.array(np.repeat(np.arange(n), m), pa.int64())
         rep = np.repeat(np.arange(n), m)
-        df = pd.DataFrame({
-            "k": t[key_col].to_numpy(zero_copy_only=False)[rep],
-            "w_start": starts,
-            "i": t[id_col].to_numpy(zero_copy_only=False)[rep],
-            "v": t[value_col].to_numpy(zero_copy_only=False)[rep],
-        })
-        g = df.groupby(["k", "w_start"], as_index=False, sort=False).agg(
-            n_events=("i", "size"), id_sum=("i", "sum"),
-            v_min=("v", "min"), v_max=("v", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False
-                                    ).replace_schema_metadata(None)
+        return _window_group_agg(
+            t[key_col].combine_chunks().take(rep_arr), starts,
+            {"i": t[id_col].to_numpy(zero_copy_only=False)[rep],
+             "v": t[value_col].to_numpy(zero_copy_only=False)[rep]},
+            dict(n_events=("i", "size"), id_sum=("i", "sum"),
+                 v_min=("v", "min"), v_max=("v", "max")),
+            key_col)
 
     def combine(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby(["k", "w_start"], as_index=False, sort=False).agg(
-            n_events=("n_events", "sum"), id_sum=("id_sum", "sum"),
-            v_min=("v_min", "min"), v_max=("v_max", "max"))
-        g = g.rename(columns={"k": key_col})
-        return pa.Table.from_pandas(g, preserve_index=False
-                                    ).replace_schema_metadata(None)
+        return _window_group_agg(
+            t[key_col],
+            t["w_start"].to_numpy(zero_copy_only=False),
+            {m_: t[m_].to_numpy(zero_copy_only=False)
+             for m_ in ("n_events", "id_sum", "v_min", "v_max")},
+            dict(n_events=("n_events", "sum"), id_sum=("id_sum", "sum"),
+                 v_min=("v_min", "min"), v_max=("v_max", "max")),
+            key_col)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    return partitioned_map(partials, combine, key="k",
-                           sort_keys=["k", "w_start"],
+    return partitioned_map(partials, combine, key=key_col,
+                           sort_keys=[key_col, "w_start"],
                            num_partitions=num_partitions, strategy="tasks")

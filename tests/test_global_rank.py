@@ -51,3 +51,38 @@ def test_global_row_number_descending_and_empty():
     empty = _ds(df, 2).filter(lambda r: False)
     out = global_row_number(empty, order_cols=["v", "id"])
     assert out.count() == 0
+
+
+def test_global_row_number_empty_schema_and_nan_order():
+    import duckdb
+    import pandas as pd
+
+    # empty input: Ray's sort emits a zero-column bundle for an empty
+    # dataset (schema None — same semantics as filter-all), so the rank
+    # column cannot be materialized; the op must still return cleanly
+    # with 0 rows rather than raise
+    df = pd.DataFrame({"id": np.arange(6, dtype=np.int64),
+                       "v": np.arange(6, dtype=np.float64)})
+    for empty in (ray.data.from_arrow(pa.Table.from_pandas(
+                      df, preserve_index=False).slice(0, 0)),
+                  _ds(df, 2).filter(lambda r: False)):
+        out = global_row_number(empty, order_cols=["v", "id"])
+        assert out.count() == 0
+        sch = out.schema()
+        assert sch is None or "g_rank" in sch.names
+
+    # NaN first-key values must not scramble the driver's block order
+    rng = np.random.default_rng(5)
+    n = 500
+    vals = rng.choice([1.0, 2.0, np.nan, -3.5], size=n)
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "v": vals})
+    got = (global_row_number(_ds(df, 6), order_cols=["v", "id"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.execute("""
+        SELECT id, row_number() OVER (ORDER BY v, id) AS g_rank
+        FROM df ORDER BY id
+    """).df()
+    con.close()
+    assert (got["g_rank"].to_numpy(np.int64)
+            == want["g_rank"].to_numpy(np.int64)).all()

@@ -242,3 +242,31 @@ def test_hopping_window_matches_serial_and_tumbling():
     with pytest.raises(ValueError, match="multiple"):
         hopping_window_stats(ds, key_col="k", ts_col="ts", value_col="v",
                              id_col="id", width_s=5.0, hop_s=2.0)
+
+
+def test_window_stats_null_ts_and_null_key():
+    """Null timestamps are filtered (not crashed on); NULL keys form
+    their own group like SQL GROUP BY, for both tumbling and hopping."""
+    from featurebox_ray.stages.window import hopping_window_stats
+
+    t = pa.table({
+        "k": pa.array(["a", None, "a", None, "b"]),
+        "ts": pa.array([1_000_000, 1_500_000, None, 2_000_000, 500_000],
+                       pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    tumb = tumbling_window_stats(ds, key_col="k", ts_col="ts",
+                                 value_col="v", id_col="id",
+                                 width_s=1.0).to_pandas()
+    # null-ts row (id 3) dropped; null-key rows kept as their own group
+    assert tumb["n_events"].sum() == 4
+    nullk = tumb[tumb["k"].isna()]
+    assert nullk["n_events"].sum() == 2 and nullk["id_sum"].sum() == 6
+
+    hop = hopping_window_stats(ds, key_col="k", ts_col="ts",
+                               value_col="v", id_col="id",
+                               width_s=2.0, hop_s=1.0).to_pandas()
+    assert hop["n_events"].sum() == 4 * 2
+    assert hop[hop["k"].isna()]["n_events"].sum() == 4
