@@ -480,8 +480,11 @@ def _dup_spans_q(sf_dir: str):
 
     from featurebox_ray.stages.substr import dup_spans
 
+    # the gram emit is CPU-bound (one md5 per gram): split the single
+    # row group so it parallelizes (Ray left it one block otherwise)
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=32)
     return dup_spans(docs, id_col="doc_id", text_col="text", k=8,
                      min_count=2, num_partitions=8, hash_mode="md5")
 

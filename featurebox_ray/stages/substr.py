@@ -19,10 +19,13 @@ driver-side state:
 
 Gram keys come in two modes:
 
-- ``hash_mode="md5"`` — md5 hex of the space-joined gram, one hashlib
-  call per gram (Python loop; the documented replayable-hash cost, same
-  family as the q26/q48 md5 loops).  DuckDB ``md5()`` replays the whole
-  decision procedure bit-exactly → full SQL value oracle (q84).
+- ``hash_mode="md5"`` — the full 128-bit md5 digest of the space-joined
+  gram, shipped as TWO int64 columns (identical equality classes to the
+  hex string DuckDB groups by, but the exchange moves 16 bytes + int
+  sorts, never strings); one hashlib call per gram (Python loop; the
+  documented replayable-hash cost, same family as the q26/q48 md5
+  loops).  DuckDB ``md5()`` replays the whole decision procedure
+  bit-exactly → full SQL value oracle (q84).
 - ``hash_mode="poly"`` — the vectorized uint64 polynomial shingle hash
   shared with MinHash (`dedup._batch_shingles`): zero Python per row,
   the 100-TB path.  Output is identical barring a ~2^-64-per-pair hash
@@ -59,12 +62,19 @@ def _gram_emit_md5(batch: pa.Table, id_col: str, text_col: str,
     first = np.repeat(np.cumsum(n_grams) - n_grams, n_grams)
     pos = np.arange(int(n_grams.sum()), dtype=np.int64) - first  # 0-based
     abs_start = starts + pos
-    hexes = [hashlib.md5(" ".join(toks[s:s + k]).encode()).hexdigest()
-             for s in abs_start]
+    # full 128-bit digest as TWO int64 columns: exactly md5's equality
+    # classes (what the SQL oracle groups by) but the exchange ships 16
+    # bytes + int sorts instead of 32-char hex strings
+    dig = b"".join(
+        hashlib.md5(" ".join(toks[s:s + k]).encode()).digest()
+        for s in abs_start)
+    gh = np.frombuffer(dig, dtype="<i8").reshape(-1, 2) \
+        if len(abs_start) else np.empty((0, 2), np.int64)
     ids = (batch[id_col].combine_chunks()
            .take(pa.array(doc_idx, pa.int64())))
     return pa.table({
-        "gh": pa.array(hexes, pa.string()),
+        "gh": pa.array(gh[:, 0].copy()),
+        "gh2": pa.array(gh[:, 1].copy()),
         id_col: ids,
         "pos": pa.array(pos + 1),  # 1-based, matches SQL generate_series
     })
@@ -84,6 +94,7 @@ def _gram_emit_poly(batch: pa.Table, id_col: str, text_col: str,
            .take(pa.array(doc_idx, pa.int64())))
     return pa.table({
         "gh": pa.array(sh.view(np.int64)),  # uint64 bits as int64 key
+        "gh2": pa.array(np.zeros(len(sh), np.int64)),
         id_col: ids,
         "pos": pa.array(pos + 1),
     })
@@ -112,22 +123,23 @@ def dup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def keep_dup_runs(t: pa.Table) -> pa.Table:
-        """Sorted by gh: mark rows whose gh run is >= min_count long."""
+        """Sorted by (gh, gh2): mark rows whose full-digest run is
+        >= min_count long (pure int compares, no strings)."""
         n = t.num_rows
         if n == 0:
             return t.select([id_col, "pos"])
-        d = pc.dictionary_encode(t["gh"].combine_chunks())
-        codes = d.indices.to_numpy(zero_copy_only=False)
+        h1 = t["gh"].to_numpy(zero_copy_only=False)
+        h2 = t["gh2"].to_numpy(zero_copy_only=False)
         new_run = np.empty(n, np.bool_)
         new_run[0] = True
-        new_run[1:] = codes[1:] != codes[:-1]
+        new_run[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
         run_id = np.cumsum(new_run) - 1
         run_len = np.bincount(run_id)
         return t.filter(pa.array(run_len[run_id] >= min_count)).select(
             [id_col, "pos"])
 
     dups = partitioned_map(grams, keep_dup_runs, key="gh",
-                           sort_keys=["gh"],
+                           sort_keys=["gh", "gh2"],
                            num_partitions=num_partitions,
                            strategy="tasks")
 
