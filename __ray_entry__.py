@@ -394,7 +394,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q86_corpus_freq": _corpus_freq_q,
         "q87_hopping_window": _hopping_window_q,
         "q88_cms_counts": _cms_counts_q,
+        "q89_dup_fraction": _dup_fraction_q,
     }
+
+
+def _dup_fraction_q(sf_dir: str):
+    """q89: per-document duplicated-token fraction — the ExactSubstr
+    decision signal.  Same two exchanges as q84, but the final doc-keyed
+    exchange also carries one (doc, n_tokens) row per document (tagged
+    union, no separate join), so every tokenized doc emits exactly once;
+    dup_frac is one IEEE division of small ints (bit-exact in SQL)."""
+    import ray
+
+    from featurebox_ray.stages.substr import dup_token_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=32)
+    return dup_token_stats(docs, id_col="doc_id", text_col="text", k=8,
+                           min_count=2, num_partitions=8,
+                           hash_mode="md5")
 
 
 def _cms_counts_q(sf_dir: str):
@@ -2930,6 +2949,54 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # dup fraction: the q84 chain + span sums joined to per-doc
+        # token counts; the division is small-int IEEE (bit-exact)
+        "q89_dup_fraction": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+              FROM documents
+            ), nt AS (
+              SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+              FROM tok WHERE len(t) > 0
+            ), g AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 7)) AS pos
+              FROM tok WHERE len(t) >= 8
+            ), gh AS (
+              SELECT doc_id, pos,
+                     md5(array_to_string(t[pos : pos + 7], ' ')) AS h
+              FROM g
+            ), dup AS (
+              SELECT h FROM gh GROUP BY h HAVING count(*) >= 2
+            ), d AS (
+              SELECT gh.doc_id, gh.pos AS s, gh.pos + 8 AS e
+              FROM gh JOIN dup USING (h)
+            ), m AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS brk
+              FROM d
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     sum(brk) OVER (PARTITION BY doc_id
+                                    ORDER BY s) AS isl_id
+              FROM m
+            ), spans AS (
+              SELECT doc_id, max(e) - min(s) AS span_len
+              FROM isl GROUP BY doc_id, isl_id
+            ), agg AS (
+              SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+              FROM spans GROUP BY doc_id
+            )
+            SELECT nt.doc_id, nt.n_tokens,
+                   coalesce(agg.dup_tokens, 0) AS dup_tokens,
+                   CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)
+                       / nt.n_tokens AS dup_frac
+            FROM nt LEFT JOIN agg USING (doc_id)
         """,
         # count-min sketch: identical 60-bit md5 buckets both sides,
         # pure integer sums + min -> bit-exact (q48 hex-cast trick)

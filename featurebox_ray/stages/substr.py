@@ -45,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["dup_spans"]
+__all__ = ["dup_spans", "dup_token_stats"]
 
 
 def _gram_emit_md5(batch: pa.Table, id_col: str, text_col: str,
@@ -175,6 +175,128 @@ def dup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return partitioned_map(dups, merge_spans, key=id_col,
+                           sort_keys=[id_col, "pos"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+
+def dup_token_stats(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 8, min_count: int = 2,
+                    num_partitions: int = 16, hash_mode: str = "md5"):
+    """Per-document duplicated-token fraction — the ExactSubstr DECISION
+    signal (what fraction of a doc is covered by corpus-duplicated
+    ``k``-gram spans).
+
+    Same two-exchange plan as :func:`dup_spans`, but the final doc-keyed
+    exchange also carries one tiny ``(doc, n_tokens)`` row per document
+    (tagged union — no separate join, no schema probe on a lazy mapped
+    dataset), so the kernel emits every tokenized document exactly once:
+    ``(id_col, n_tokens:int64, dup_tokens:int64, dup_frac:float64)``
+    with ``dup_frac`` one IEEE division of small ints (bit-exact in SQL,
+    the percent_rank precedent).  Zero-token documents emit nothing.
+    """
+    from .dedup import split_tokens
+    from .partition import partitioned_map
+
+    if hash_mode not in ("md5", "poly"):
+        raise ValueError(f"hash_mode must be 'md5' or 'poly', got "
+                         f"{hash_mode!r}")
+    emit = _gram_emit_md5 if hash_mode == "md5" else _gram_emit_poly
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        return emit(b, id_col, text_col, k)
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+    def keep_dup_runs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out_cols = [id_col, "pos"]
+        if n == 0:
+            return t.select(out_cols)
+        h1 = t["gh"].to_numpy(zero_copy_only=False)
+        h2 = t["gh2"].to_numpy(zero_copy_only=False)
+        new_run = np.empty(n, np.bool_)
+        new_run[0] = True
+        new_run[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        return t.filter(pa.array(run_len[run_id] >= min_count)).select(
+            out_cols)
+
+    dups = partitioned_map(grams, keep_dup_runs, key="gh",
+                           sort_keys=["gh", "gh2"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+    def tag_dups(t: pa.Table) -> pa.Table:
+        return t.append_column("n_tok", pa.nulls(t.num_rows, pa.int64()))
+
+    def count_rows(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b[text_col].combine_chunks(), "")
+        _, off = split_tokens(texts)
+        counts = np.diff(off)
+        keep = counts > 0
+        return pa.table({
+            id_col: b[id_col].combine_chunks().filter(pa.array(keep)),
+            "pos": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "n_tok": pa.array(counts[keep].astype(np.int64)),
+        })
+
+    tagged = dups.map_batches(tag_dups, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        ds.map_batches(count_rows, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None))
+
+    def stats_kernel(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(id_col, t.schema.field(id_col).type),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("dup_tokens", pa.int64()),
+            pa.field("dup_frac", pa.float64())])
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        # sorted by (doc, pos): the pos=0 count row leads each doc run
+        ids = t[id_col].combine_chunks()
+        codes = pc.dictionary_encode(ids).indices.to_numpy(
+            zero_copy_only=False)
+        s = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = pc.fill_null(t["n_tok"], -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        is_count = ntok >= 0
+        # per-doc dup coverage: islands over the dup rows only (with
+        # sorted pos and fixed k, dup interval ends are monotone per doc)
+        idx_dup = np.flatnonzero(~is_count)
+        dup_tokens = np.zeros(n, np.int64)
+        if len(idx_dup):
+            d_codes = codes[idx_dup]
+            d_s = s[idx_dup]
+            d_e = d_s + k
+            d_first = np.empty(len(idx_dup), np.bool_)
+            d_first[0] = True
+            d_first[1:] = d_codes[1:] != d_codes[:-1]
+            d_brk = d_first | np.concatenate(
+                [[True], d_s[1:] > d_e[:-1]])
+            starts = np.flatnonzero(d_brk)
+            ends = np.concatenate([starts[1:], [len(idx_dup)]]) - 1
+            span_len = d_e[ends] - d_s[starts]
+            span_doc = d_codes[starts]
+            np.add.at(dup_tokens, span_doc, span_len)
+        # one output row per count row (every tokenized doc)
+        cnt_idx = np.flatnonzero(is_count)
+        doc_codes = codes[cnt_idx]
+        ntoks = ntok[cnt_idx]
+        dups_per_doc = dup_tokens[doc_codes]
+        return pa.table({
+            id_col: ids.take(pa.array(cnt_idx, pa.int64())),
+            "n_tokens": pa.array(ntoks),
+            "dup_tokens": pa.array(dups_per_doc),
+            "dup_frac": pa.array(dups_per_doc.astype(np.float64)
+                                 / ntoks.astype(np.float64)),
+        })
+
+    return partitioned_map(tagged, stats_kernel, key=id_col,
                            sort_keys=[id_col, "pos"],
                            num_partitions=num_partitions,
                            strategy="tasks")

@@ -96,3 +96,62 @@ def test_dup_spans_partition_invariance_fuzz():
                     spans.append([s, e])
         want += [(i, s, e, e - s) for s, e in spans]
     assert a == sorted(want)
+
+
+def test_dup_token_stats_matches_serial_and_duckdb():
+    from featurebox_ray.stages.substr import dup_token_stats
+
+    shared = "a b c d e f g h i j"
+    rows = [
+        (1, f"{shared} unique1 tail1 x y z"),   # 15 tokens, 10 dup
+        (2, f"pre1 pre2 {shared} tail2"),       # 13 tokens, 10 dup
+        (3, "p q r s gap1 gap2 p q r s"),       # 10 tokens, 8 dup
+        (4, "no duplicated grams in here at all truly"),
+        (5, ""),                                 # zero tokens -> no row
+    ]
+    got = {r["doc_id"]: r for r in
+           dup_token_stats(_ds(rows), k=4, min_count=2,
+                           num_partitions=3).to_pandas()
+           .to_dict("records")}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["n_tokens"], got[1]["dup_tokens"]) == (15, 10)
+    assert (got[2]["n_tokens"], got[2]["dup_tokens"]) == (13, 10)
+    assert (got[3]["n_tokens"], got[3]["dup_tokens"]) == (10, 8)
+    assert (got[4]["n_tokens"], got[4]["dup_tokens"]) == (8, 0)
+    assert got[1]["dup_frac"] == 10.0 / 15.0
+    assert got[4]["dup_frac"] == 0.0
+
+    # fuzz vs serial replay + md5/poly/partitioning invariance
+    import numpy as np
+    rng = np.random.default_rng(101)
+    vocab = [f"t{i}" for i in range(25)]
+    docs = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(0, 35)))))
+            for i in range(50)]
+    a = (dup_token_stats(_ds(docs, 2), k=5, num_partitions=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dup_token_stats(_ds(docs, 7), k=5, num_partitions=8,
+                         hash_mode="poly")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    from collections import Counter
+    grams = Counter()
+    per_doc = {}
+    for i, txt in docs:
+        toks = txt.split()
+        gs = [" ".join(toks[j:j + 5]) for j in range(len(toks) - 4)]
+        per_doc[i] = (len(toks), gs)
+    for _, (nt, gs) in per_doc.items():
+        grams.update(gs)
+    for _, r in a.iterrows():
+        nt, gs = per_doc[r["doc_id"]]
+        spans = []
+        for j, g in enumerate(gs):
+            if grams[g] >= 2:
+                s_, e_ = j + 1, j + 6
+                if spans and s_ <= spans[-1][1]:
+                    spans[-1][1] = e_
+                else:
+                    spans.append([s_, e_])
+        dup = sum(e_ - s_ for s_, e_ in spans)
+        assert (r["n_tokens"], r["dup_tokens"]) == (nt, dup)
+        assert r["dup_frac"] == dup / nt
