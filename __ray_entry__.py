@@ -395,7 +395,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q87_hopping_window": _hopping_window_q,
         "q88_cms_counts": _cms_counts_q,
         "q89_dup_fraction": _dup_fraction_q,
+        "q90_group_mode": _group_mode_q,
     }
+
+
+def _group_mode_q(sf_dir: str):
+    """q90: exact distributed MODE per user — most frequent event_type
+    with deterministic (count desc, value asc) tie-break; per-block
+    (group, value, cnt) partials, one group-keyed exchange, vectorized
+    final pick.  The categorical-feature counterpart to q66's pivot."""
+    import ray
+
+    from featurebox_ray.stages.pivot import group_mode
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return group_mode(ev, group_col="user_id", value_col="event_type",
+                      num_partitions=8)
 
 
 def _dup_fraction_q(sf_dir: str):
@@ -2949,6 +2965,21 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # group mode: deterministic (cnt desc, value asc) pick
+        "q90_group_mode": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS cnt FROM events
+              WHERE event_type IS NOT NULL GROUP BY user_id, event_type
+            ), r AS (
+              SELECT user_id, event_type, cnt,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY cnt DESC, event_type)
+                         AS rn
+              FROM c
+            )
+            SELECT user_id, event_type AS mode_value, cnt AS mode_cnt
+            FROM r WHERE rn = 1
         """,
         # dup fraction: the q84 chain + span sums joined to per-doc
         # token counts; the division is small-int IEEE (bit-exact)

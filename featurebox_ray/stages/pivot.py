@@ -141,3 +141,90 @@ def pivot_agg(ds, *, group_col: str, cat_col: str,
     return partitioned_map(partials, combine, key=group_col,
                            sort_keys=[group_col],
                            num_partitions=num_partitions, strategy="tasks")
+
+
+def group_mode(ds, *, group_col: str, value_col: str,
+               num_partitions: int = 16):
+    """Exact distributed MODE per group — the most frequent
+    ``value_col`` per ``group_col`` with a deterministic tie-break
+    (count desc, value asc bytewise = DuckDB binary collation), plus its
+    count.
+
+    Same two-level shape as the pivot/top_terms family: per-block
+    ``(group, value, cnt)`` partials (pandas groupby over dictionary
+    CODES — group keys never round-trip through pandas), ONE group-keyed
+    exchange, per-partition final pick.  The shuffle moves
+    O(blocks × groups × values-per-group) partial rows, never data.
+    NULL groups form their own group (SQL ``GROUP BY``); NULL values are
+    ignored (DuckDB ``mode()`` semantics).
+
+    Output: ``(group_col, mode_value, mode_cnt:int64)``.
+    """
+    import pandas as pd
+
+    from .partition import partitioned_map
+
+    def codes_dic(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = pc.dictionary_encode(col)
+        n_named = len(d.dictionary)
+        idx = d.indices
+        codes = (pc.fill_null(idx, n_named) if idx.null_count else idx
+                 ).to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = d.dictionary
+        if col.null_count:
+            dic = pa.concat_arrays([dic, pa.nulls(1, dic.type)])
+        return codes, dic
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b[value_col])) \
+            if b[value_col].null_count else b
+        gc, gdic = codes_dic(t[group_col])
+        vc, vdic = codes_dic(t[value_col])
+        df = pd.DataFrame({"g": gc, "v": vc,
+                           "c": np.ones(t.num_rows, np.int64)})
+        agg = df.groupby(["g", "v"], as_index=False)["c"].sum()
+        return pa.table({
+            group_col: gdic.take(pa.array(agg["g"].to_numpy(np.int64))),
+            value_col: vdic.take(pa.array(agg["v"].to_numpy(np.int64))),
+            "cnt": pa.array(agg["c"].to_numpy(np.int64)),
+        })
+
+    def pick(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(group_col, t.schema.field(group_col).type),
+            pa.field("mode_value", t.schema.field(value_col).type),
+            pa.field("mode_cnt", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        gc, gdic = codes_dic(t[group_col])
+        vc, vdic = codes_dic(t[value_col])
+        df = pd.DataFrame({"g": gc, "v": vc,
+                           "c": t["cnt"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby(["g", "v"], as_index=False)["c"].sum()
+        # value byte-rank = DuckDB binary collation tie-break
+        order_pos = pc.sort_indices(vdic).to_numpy(zero_copy_only=False)
+        vrank = np.empty(len(vdic), np.int64)
+        vrank[order_pos] = np.arange(len(vdic))
+        g = agg["g"].to_numpy(np.int64)
+        v = agg["v"].to_numpy(np.int64)
+        c = agg["c"].to_numpy(np.int64)
+        order = np.lexsort((vrank[v], -c, g))
+        g_s = g[order]
+        first = np.empty(len(g_s), np.bool_)
+        first[0] = True
+        first[1:] = g_s[1:] != g_s[:-1]
+        win = order[first]
+        return pa.table({
+            group_col: gdic.take(pa.array(g[win])),
+            "mode_value": vdic.take(pa.array(v[win])),
+            "mode_cnt": pa.array(c[win]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return partitioned_map(partials, pick, key=group_col,
+                           sort_keys=[group_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

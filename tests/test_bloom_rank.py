@@ -372,3 +372,47 @@ def test_rank_family_duckdb_fuzz():
             np.testing.assert_array_equal(
                 got[eng].to_numpy(), want[sql].to_numpy(),
                 err_msg=f"trial {trial} col {eng}")
+
+
+def test_group_mode_matches_duckdb_fuzz():
+    import duckdb
+
+    from featurebox_ray.stages.pivot import group_mode
+
+    rng = np.random.default_rng(113)
+    n = 3000
+    pdf = pd.DataFrame({
+        "g": pd.array(rng.choice([1, 2, 3, 7, None], size=n),
+                      dtype="Int64"),
+        "v": rng.choice(["a", "bb", "c", "dd", None], size=n),
+    })
+    got = (group_mode(_ds(pdf, 5), group_col="g", value_col="v",
+                      num_partitions=3).to_pandas()
+           .sort_values("g", na_position="last").reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.execute("""
+        WITH c AS (
+          SELECT g, v, count(*) AS cnt FROM pdf
+          WHERE v IS NOT NULL GROUP BY g, v
+        ), r AS (
+          SELECT g, v, cnt,
+                 row_number() OVER (PARTITION BY g
+                                    ORDER BY cnt DESC, v) AS rn
+          FROM c
+        )
+        SELECT g, v AS mode_value, cnt AS mode_cnt FROM r WHERE rn = 1
+        ORDER BY g NULLS LAST
+    """).df()
+    con.close()
+    assert len(got) == len(want)
+    assert got["mode_value"].tolist() == want["mode_value"].tolist()
+    assert (got["mode_cnt"].to_numpy(np.int64)
+            == want["mode_cnt"].to_numpy(np.int64)).all()
+    assert (got["g"].fillna(-1).to_numpy(np.int64)
+            == want["g"].fillna(-1).to_numpy(np.int64)).all()
+    # partition invariance
+    again = (group_mode(_ds(pdf, 11), group_col="g", value_col="v",
+                        num_partitions=7).to_pandas()
+             .sort_values("g", na_position="last")
+             .reset_index(drop=True))
+    assert got.equals(again)
