@@ -396,7 +396,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q88_cms_counts": _cms_counts_q,
         "q89_dup_fraction": _dup_fraction_q,
         "q90_group_mode": _group_mode_q,
+        "q91_asof_tolerance": _asof_tolerance_q,
     }
+
+
+def _asof_tolerance_q(sf_dir: str):
+    """q91: the q10 point-in-time backfill with a 1-hour staleness bound
+    (pandas merge_asof tolerance semantics) — a match further than the
+    bound nulls out inside the same fused merge kernel (the matched
+    right index is already there; one |gap| compare, no extra pass)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.pipelines.events_queries import _finish, read
+    from featurebox_ray.stages.asof import asof_join
+
+    ev = read(sf_dir, "events",
+              ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def right_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"],
+                                  pa.scalar("error")))
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "err_value_tol": b["value"]})
+
+    right = ev.map_batches(right_side, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    left = _finish(ev, ["event_id", "user_id", "ts"], [], ["event_id"])
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    right_cols=["err_value_tol"], num_partitions=16,
+                    strategy="tasks", tolerance_s=3600.0)
+    return _finish(out, ["event_id", "err_value_tol"],
+                   ["err_value_tol"], ["event_id"])
 
 
 def _group_mode_q(sf_dir: str):
@@ -2965,6 +2997,21 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # asof tolerance: the q10 oracle with a staleness CASE; exact
+        # integer epoch gap both sides
+        "q91_asof_tolerance": """
+            SELECT e.event_id,
+                   round(CASE WHEN epoch_us(e.ts) - epoch_us(f.ts)
+                                   <= 3600000000
+                              THEN f.err_value_tol END, 6)
+                       AS err_value_tol
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS err_value_tol
+                FROM events WHERE event_type = 'error'
+                GROUP BY user_id, ts
+            ) f ON e.user_id = f.user_id AND e.ts >= f.ts
         """,
         # group mode: deterministic (cnt desc, value asc) pick
         "q90_group_mode": """

@@ -55,6 +55,7 @@ def asof_join(
     strategy: str = "groupby",
     order_col: Optional[str] = None,
     direction: str = "backward",
+    tolerance_s: Optional[float] = None,
 ):
     """As-of join two Datasets.  ``right_cols`` are the value columns pulled
     from the right side (appended to every left row, null when no match).
@@ -65,9 +66,19 @@ def asof_join(
     ``right.ts >= left.ts`` (``>`` when strict) — the next-event lookup
     (DuckDB ``ASOF JOIN ... ON r.ts >= l.ts`` semantics).  When several
     right rows share (key, ts), backward picks the one sorting LAST by
-    ``right_cols``, forward the one sorting FIRST (both deterministic)."""
+    ``right_cols``, forward the one sorting FIRST (both deterministic).
+
+    ``tolerance_s`` (pandas ``merge_asof(tolerance=)`` semantics): a
+    match further than this many seconds from the left row is treated
+    as no match (right cols null) — the staleness bound for
+    point-in-time feature backfill."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    tol_us = None
+    if tolerance_s is not None:
+        tol_us = int(round(tolerance_s * 1_000_000))
+        if tol_us < 0:
+            raise ValueError("tolerance_s must be non-negative")
     right_cols = list(right_cols)
     left_schema = left_ds.schema()
     left_names = list(left_schema.names)
@@ -135,6 +146,12 @@ def asof_join(
             match = seg.next_occurrence_index(is_right, ends[seg_id])
         left_pos = np.flatnonzero(left_mask)
         src = match[left_pos]  # right row index per left row, -1 = none
+        if tol_us is not None:
+            ts_np = (table[ts_col].combine_chunks().cast(pa.int64())
+                     .to_numpy(zero_copy_only=False))
+            has = src >= 0
+            gap = np.abs(ts_np[left_pos] - ts_np[np.where(has, src, 0)])
+            src = np.where(has & (gap <= tol_us), src, -1)
         idx = pa.array(
             np.where(src >= 0, src, 0),
             type=pa.int64(),

@@ -145,3 +145,42 @@ def test_forward_asof_matches_duckdb(strict):
     assert np.allclose(a, b, equal_nan=True)
     # some lefts genuinely have no future match -> nulls survive the join
     assert got["v"].isna().any()
+
+
+def test_asof_tolerance_matches_pandas(tiny_dir):
+    """tolerance_s nulls matches older than the bound — exactly pandas
+    merge_asof(tolerance=) on the same inputs, both directions."""
+    left = load_transcripts(tiny_dir).sort_values(["conv_id", "ts",
+                                                   "turn_idx"])
+    right = load_feature_table(tiny_dir)
+    tol = 900.0  # seconds
+
+    lds = ray.data.read_parquet(f"{tiny_dir}/transcripts")
+    rds = ray.data.read_parquet(f"{tiny_dir}/feature_table")
+    got = (asof_join(lds, rds, key="conv_id", ts_col="ts",
+                     right_cols=["f_score", "f_label"],
+                     num_partitions=5, tolerance_s=tol)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+
+    r = (right.sort_values(["conv_id", "ts", "f_score", "f_label"])
+         .groupby(["conv_id", "ts"], as_index=False).last())
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        r.sort_values("ts", kind="stable"),
+        on="ts", by="conv_id",
+        tolerance=pd.Timedelta(seconds=tol),
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert np.allclose(got["f_score"].to_numpy(np.float64),
+                       want["f_score"].to_numpy(np.float64),
+                       equal_nan=True)
+    # the bound actually bites: strictly fewer matches than unbounded
+    unbounded = (asof_join(lds, rds, key="conv_id", ts_col="ts",
+                           right_cols=["f_score"], num_partitions=5)
+                 .to_pandas())
+    assert (got["f_score"].notna().sum()
+            < unbounded["f_score"].notna().sum())
+
+    with pytest.raises(ValueError, match="non-negative"):
+        asof_join(lds, rds, key="conv_id", ts_col="ts",
+                  right_cols=["f_score"], tolerance_s=-1.0)
