@@ -397,7 +397,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q89_dup_fraction": _dup_fraction_q,
         "q90_group_mode": _group_mode_q,
         "q91_asof_tolerance": _asof_tolerance_q,
+        "q92_pca": _pca_q,
     }
+
+
+def _pca_q(sf_dir: str):
+    """q92: distributed PCA over the embeddings table — the q57 dyadic
+    exactness trick lifted to second moments: int64 Gram/colsum partials
+    merge order-independent-exactly, the d²+d+1 cells ride one tiny
+    keyed exchange, eigh runs driver-side on the exactly-reconstructed
+    covariance, and the projection is integer matmul again — so the
+    serial replay fixture is BIT-IDENTICAL (no rounding at all)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.pca import (_finish_fit, _quantized_int,
+                                           pca_fit_transform)
+
+    P, QB, PB = 4, 10, 20
+
+    # ---- serial replay fixture (independent single-process recompute) --
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qi = _quantized_int(t, "embedding", QB)
+    n, d = qi.shape
+    g = qi.T @ qi
+    cs = qi.sum(axis=0)
+    comps, _ = _finish_fit(g, cs, n, d, QB, P)
+    vq = np.round(comps * float(1 << PB)).astype(np.int64)
+    denom = float(n) * float(1 << (QB + PB))
+    offs = [float(sum(int(a) * int(b) for a, b in zip(cs, vq[:, c])))
+            / denom for c in range(P)]
+    scale = float(1 << (QB + PB))
+    si = qi @ vq
+    cols = {"vec_id": t["vec_id"]}
+    for c in range(P):
+        cols[f"pc{c + 1}"] = pa.array(
+            si[:, c].astype(np.float64) / scale - offs[c])
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table(cols), f"{_ORACLE_DIR}/pca.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/pca.parquet.tmp", f"{_ORACLE_DIR}/pca.parquet")
+
+    # ---- distributed engine run ----------------------------------------
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return pca_fit_transform(ds, vec_col="embedding", id_col="vec_id",
+                             n_components=P, quant_bits=QB, proj_bits=PB)
 
 
 def _asof_tolerance_q(sf_dir: str):
@@ -2997,6 +3046,12 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # pca: integer sufficient stats + integer projection -> the
+        # serial replay is bit-identical (q57 exactness family)
+        "q92_pca": f"""
+            SELECT vec_id, pc1, pc2, pc3, pc4
+            FROM read_parquet('{_ORACLE_DIR}/pca.parquet')
         """,
         # asof tolerance: the q10 oracle with a staleness CASE; exact
         # integer epoch gap both sides
