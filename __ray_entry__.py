@@ -410,12 +410,12 @@ def _pca_q(sf_dir: str):
     serial replay fixture is BIT-IDENTICAL (no rounding at all)."""
     import os
 
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
 
-    from featurebox_ray.stages.pca import (_finish_fit, _quantized_int,
+    from featurebox_ray.stages.pca import (_finish_fit, _project_serial,
+                                           _quantized_int,
                                            pca_fit_transform)
 
     P, QB, PB = 4, 10, 20
@@ -428,16 +428,10 @@ def _pca_q(sf_dir: str):
     g = qi.T @ qi
     cs = qi.sum(axis=0)
     comps, _ = _finish_fit(g, cs, n, d, QB, P)
-    vq = np.round(comps * float(1 << PB)).astype(np.int64)
-    denom = float(n) * float(1 << (QB + PB))
-    offs = [float(sum(int(a) * int(b) for a, b in zip(cs, vq[:, c])))
-            / denom for c in range(P)]
-    scale = float(1 << (QB + PB))
-    si = qi @ vq
+    scores = _project_serial(qi, cs, n, comps, QB, PB)
     cols = {"vec_id": t["vec_id"]}
     for c in range(P):
-        cols[f"pc{c + 1}"] = pa.array(
-            si[:, c].astype(np.float64) / scale - offs[c])
+        cols[f"pc{c + 1}"] = pa.array(scores[:, c])
     os.makedirs(_ORACLE_DIR, exist_ok=True)
     pq.write_table(pa.table(cols), f"{_ORACLE_DIR}/pca.parquet.tmp")
     os.replace(f"{_ORACLE_DIR}/pca.parquet.tmp", f"{_ORACLE_DIR}/pca.parquet")
@@ -3068,9 +3062,12 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY user_id, ts
             ) f ON e.user_id = f.user_id AND e.ts >= f.ts
         """,
-        # group mode: deterministic (cnt desc, value asc) pick
+        # group mode: deterministic (cnt desc, value asc) pick; groups
+        # whose values are all NULL still emit (NULL mode, cnt 0)
         "q90_group_mode": """
-            WITH c AS (
+            WITH gset AS (
+              SELECT DISTINCT user_id FROM events
+            ), c AS (
               SELECT user_id, event_type, count(*) AS cnt FROM events
               WHERE event_type IS NOT NULL GROUP BY user_id, event_type
             ), r AS (
@@ -3079,9 +3076,13 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cnt DESC, event_type)
                          AS rn
               FROM c
+            ), w AS (
+              SELECT user_id, event_type, cnt FROM r WHERE rn = 1
             )
-            SELECT user_id, event_type AS mode_value, cnt AS mode_cnt
-            FROM r WHERE rn = 1
+            SELECT gset.user_id, w.event_type AS mode_value,
+                   coalesce(w.cnt, 0) AS mode_cnt
+            FROM gset LEFT JOIN w
+              ON gset.user_id IS NOT DISTINCT FROM w.user_id
         """,
         # dup fraction: the q84 chain + span sums joined to per-doc
         # token counts; the division is small-int IEEE (bit-exact)

@@ -147,11 +147,19 @@ def asof_join(
         left_pos = np.flatnonzero(left_mask)
         src = match[left_pos]  # right row index per left row, -1 = none
         if tol_us is not None:
+            # the bound must be in the ts column's NATIVE unit: scale
+            # from seconds by the Arrow timestamp unit; plain numeric ts
+            # columns follow the repo's int64-microseconds convention
+            tt = table.schema.field(ts_col).type
+            unit = tt.unit if pa.types.is_timestamp(tt) else "us"
+            tol_native = int(round(
+                (tol_us / 1_000_000)
+                * {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]))
             ts_np = (table[ts_col].combine_chunks().cast(pa.int64())
                      .to_numpy(zero_copy_only=False))
             has = src >= 0
             gap = np.abs(ts_np[left_pos] - ts_np[np.where(has, src, 0)])
-            src = np.where(has & (gap <= tol_us), src, -1)
+            src = np.where(has & (gap <= tol_native), src, -1)
         idx = pa.array(
             np.where(src >= 0, src, 0),
             type=pa.int64(),

@@ -42,9 +42,39 @@ __all__ = ["pca_fit", "pca_fit_transform"]
 def _quantized_int(batch: pa.Table, vec_col: str, quant_bits: int
                    ) -> np.ndarray:
     arr = batch[vec_col].combine_chunks()
+    if len(arr) == 0:  # reshape(0, -1) raises in numpy
+        return np.empty((0, 0), np.int64)
     flat = arr.flatten().to_numpy(zero_copy_only=False)
     x = flat.reshape(len(arr), -1).astype(np.float64)
     return np.round(x * float(1 << quant_bits)).astype(np.int64)
+
+
+def _proj_params(comps: np.ndarray, cs: np.ndarray, n: int,
+                 quant_bits: int, proj_bits: int):
+    """The ONE authoritative projection op order (shared by the
+    distributed transform, the q92 fixture replay and the tests — the
+    bit-identical-oracle claim rests on there being a single copy)."""
+    vq = np.round(comps * float(1 << proj_bits)).astype(np.int64)
+    denom = float(n) * float(1 << (quant_bits + proj_bits))
+    # exact integer numerators in PYTHON ints (an int64 dot could
+    # silently wrap at extreme row counts), one division each
+    offsets = np.array([
+        float(sum(int(a) * int(b) for a, b in zip(cs, vq[:, c]))) / denom
+        for c in range(vq.shape[1])])
+    scale = float(1 << (quant_bits + proj_bits))
+    return vq, offsets, scale
+
+
+def _project_serial(qi: np.ndarray, cs: np.ndarray, n: int,
+                    comps: np.ndarray, quant_bits: int,
+                    proj_bits: int) -> np.ndarray:
+    """Serial replay of the projection — same arithmetic, zero
+    distribution; used by the q92 fixture oracle and tests."""
+    vq, offsets, scale = _proj_params(comps, cs, n, quant_bits, proj_bits)
+    si = qi @ vq
+    return np.column_stack([
+        si[:, c].astype(np.float64) / scale - offsets[c]
+        for c in range(vq.shape[1])])
 
 
 def pca_fit(ds, *, vec_col: str = "embedding", n_components: int = 4,
@@ -59,6 +89,9 @@ def pca_fit(ds, *, vec_col: str = "embedding", n_components: int = 4,
     def partial(b: pa.Table) -> pa.Table:
         qi = _quantized_int(b, vec_col, quant_bits)
         n_b, d = qi.shape
+        if n_b == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
         g = qi.T @ qi                       # int64 exact
         cs = qi.sum(axis=0)                 # int64 exact
         cells = np.concatenate([
@@ -99,6 +132,9 @@ def pca_fit(ds, *, vec_col: str = "embedding", n_components: int = 4,
     n = int(flat[-1])
     if n < 2:
         raise ValueError("pca_fit: need at least 2 rows")
+    if n_components > d:
+        raise ValueError(f"pca_fit: n_components={n_components} exceeds "
+                         f"input dimensionality d={d}")
     comps, mean = _finish_fit(g, cs, n, d, quant_bits, n_components)
     return comps, mean, n, cs
 
@@ -134,21 +170,18 @@ def pca_fit_transform(ds, *, vec_col: str = "embedding",
                                  n_components=n_components,
                                  quant_bits=quant_bits,
                                  num_partitions=num_partitions)
-    vq = np.round(comps * float(1 << proj_bits)).astype(np.int64)
-    # offsets: exact integer numerators in PYTHON ints (an int64 dot
-    # could silently wrap at extreme row counts), one division each
-    denom = float(n) * float(1 << (quant_bits + proj_bits))
-    offsets = np.array([
-        float(sum(int(a) * int(b) for a, b in zip(cs, vq[:, c]))) / denom
-        for c in range(vq.shape[1])])
-    scale = float(1 << (quant_bits + proj_bits))
+    vq, offsets, scale = _proj_params(comps, cs, n, quant_bits, proj_bits)
     comps_ref = ray.put((vq, offsets))
 
     def project(b: pa.Table) -> pa.Table:
         vq_, off_ = ray.get(comps_ref)
         qi = _quantized_int(b, vec_col, quant_bits)
-        si = qi @ vq_                     # int64 exact
         cols = {id_col: b[id_col]}
+        if qi.shape[0] == 0:
+            for c in range(vq_.shape[1]):
+                cols[f"pc{c + 1}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        si = qi @ vq_                     # int64 exact
         for c in range(si.shape[1]):
             cols[f"pc{c + 1}"] = pa.array(
                 si[:, c].astype(np.float64) / scale - off_[c])

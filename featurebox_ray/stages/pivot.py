@@ -155,8 +155,11 @@ def group_mode(ds, *, group_col: str, value_col: str,
     CODES — group keys never round-trip through pandas), ONE group-keyed
     exchange, per-partition final pick.  The shuffle moves
     O(blocks × groups × values-per-group) partial rows, never data.
-    NULL groups form their own group (SQL ``GROUP BY``); NULL values are
-    ignored (DuckDB ``mode()`` semantics).
+    NULL groups form their own group (SQL ``GROUP BY``); NULL values
+    never win (DuckDB ``mode()`` semantics) but they DO keep their group
+    alive — a group whose values are all NULL still emits one row with
+    ``mode_value`` NULL and ``mode_cnt`` 0, so mode output stays
+    one-row-per-group for downstream joins.
 
     Output: ``(group_col, mode_value, mode_cnt:int64)``.
     """
@@ -178,8 +181,9 @@ def group_mode(ds, *, group_col: str, value_col: str,
         return codes, dic
 
     def partial(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.is_valid(b[value_col])) \
-            if b[value_col].null_count else b
+        # NULL values ride along (they keep all-NULL groups alive); the
+        # final pick excludes them from winning
+        t = b
         gc, gdic = codes_dic(t[group_col])
         vc, vdic = codes_dic(t[value_col])
         df = pd.DataFrame({"g": gc, "v": vc,
@@ -203,24 +207,39 @@ def group_mode(ds, *, group_col: str, value_col: str,
         df = pd.DataFrame({"g": gc, "v": vc,
                            "c": t["cnt"].to_numpy(zero_copy_only=False)})
         agg = df.groupby(["g", "v"], as_index=False)["c"].sum()
-        # value byte-rank = DuckDB binary collation tie-break
-        order_pos = pc.sort_indices(vdic).to_numpy(zero_copy_only=False)
-        vrank = np.empty(len(vdic), np.int64)
-        vrank[order_pos] = np.arange(len(vdic))
         g = agg["g"].to_numpy(np.int64)
         v = agg["v"].to_numpy(np.int64)
         c = agg["c"].to_numpy(np.int64)
-        order = np.lexsort((vrank[v], -c, g))
-        g_s = g[order]
-        first = np.empty(len(g_s), np.bool_)
-        first[0] = True
-        first[1:] = g_s[1:] != g_s[:-1]
-        win = order[first]
-        return pa.table({
+        # NULL values never win; groups with ONLY null values emit
+        # (group, NULL, 0)
+        v_valid = pc.is_valid(vdic).to_numpy(zero_copy_only=False)
+        nn = np.flatnonzero(v_valid[v])
+        win = np.empty(0, np.int64)
+        if len(nn):
+            # value byte-rank = DuckDB binary collation tie-break
+            order_pos = pc.sort_indices(vdic).to_numpy(
+                zero_copy_only=False)
+            vrank = np.empty(len(vdic), np.int64)
+            vrank[order_pos] = np.arange(len(vdic))
+            order = nn[np.lexsort((vrank[v[nn]], -c[nn], g[nn]))]
+            g_s = g[order]
+            first = np.empty(len(g_s), np.bool_)
+            first[0] = True
+            first[1:] = g_s[1:] != g_s[:-1]
+            win = order[first]
+        only_null = np.setdiff1d(np.unique(g), g[win])
+        parts = [pa.table({
             group_col: gdic.take(pa.array(g[win])),
             "mode_value": vdic.take(pa.array(v[win])),
             "mode_cnt": pa.array(c[win]),
-        })
+        })]
+        if len(only_null):
+            parts.append(pa.table({
+                group_col: gdic.take(pa.array(only_null)),
+                "mode_value": pa.nulls(len(only_null), vdic.type),
+                "mode_cnt": pa.array(np.zeros(len(only_null), np.int64)),
+            }))
+        return pa.concat_tables(parts)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)

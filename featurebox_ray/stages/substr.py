@@ -100,6 +100,44 @@ def _gram_emit_poly(batch: pa.Table, id_col: str, text_col: str,
     })
 
 
+def _keep_dup_runs(t: pa.Table, id_col: str, min_count: int) -> pa.Table:
+    """Sorted by (gh, gh2): keep rows whose full-digest run is
+    >= min_count long (pure int compares, no strings).  Shared by
+    dup_spans and dup_token_stats — the run-marking contract lives in
+    exactly one place."""
+    n = t.num_rows
+    if n == 0:
+        return t.select([id_col, "pos"])
+    h1 = t["gh"].to_numpy(zero_copy_only=False)
+    h2 = t["gh2"].to_numpy(zero_copy_only=False)
+    new_run = np.empty(n, np.bool_)
+    new_run[0] = True
+    new_run[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id)
+    return t.filter(pa.array(run_len[run_id] >= min_count)).select(
+        [id_col, "pos"])
+
+
+def _marked_dup_positions(grams, *, id_col: str, min_count: int,
+                          num_partitions: int):
+    """ONE gram-keyed exchange: (doc, pos) of every gram whose corpus
+    count >= min_count."""
+    from .partition import partitioned_map
+
+    return partitioned_map(
+        grams, lambda t: _keep_dup_runs(t, id_col, min_count),
+        key="gh", sort_keys=["gh", "gh2"],
+        num_partitions=num_partitions, strategy="tasks")
+
+
+def _check_hash_mode(hash_mode: str):
+    if hash_mode not in ("md5", "poly"):
+        raise ValueError(f"hash_mode must be 'md5' or 'poly', got "
+                         f"{hash_mode!r}")
+    return _gram_emit_md5 if hash_mode == "md5" else _gram_emit_poly
+
+
 def dup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
               k: int = 8, min_count: int = 2, num_partitions: int = 16,
               hash_mode: str = "md5"):
@@ -113,35 +151,15 @@ def dup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
     """
     from .partition import partitioned_map
 
-    if hash_mode not in ("md5", "poly"):
-        raise ValueError(f"hash_mode must be 'md5' or 'poly', got "
-                         f"{hash_mode!r}")
-    emit = _gram_emit_md5 if hash_mode == "md5" else _gram_emit_poly
+    emit = _check_hash_mode(hash_mode)
 
     grams = ds.map_batches(
         lambda b: emit(b, id_col, text_col, k),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
-    def keep_dup_runs(t: pa.Table) -> pa.Table:
-        """Sorted by (gh, gh2): mark rows whose full-digest run is
-        >= min_count long (pure int compares, no strings)."""
-        n = t.num_rows
-        if n == 0:
-            return t.select([id_col, "pos"])
-        h1 = t["gh"].to_numpy(zero_copy_only=False)
-        h2 = t["gh2"].to_numpy(zero_copy_only=False)
-        new_run = np.empty(n, np.bool_)
-        new_run[0] = True
-        new_run[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-        run_id = np.cumsum(new_run) - 1
-        run_len = np.bincount(run_id)
-        return t.filter(pa.array(run_len[run_id] >= min_count)).select(
-            [id_col, "pos"])
-
-    dups = partitioned_map(grams, keep_dup_runs, key="gh",
-                           sort_keys=["gh", "gh2"],
-                           num_partitions=num_partitions,
-                           strategy="tasks")
+    dups = _marked_dup_positions(grams, id_col=id_col,
+                                 min_count=min_count,
+                                 num_partitions=num_partitions)
 
     def merge_spans(t: pa.Table) -> pa.Table:
         """Sorted by (doc, pos): intervals [pos, pos+k) have monotone
@@ -194,59 +212,67 @@ def dup_token_stats(ds, *, id_col: str = "doc_id", text_col: str = "text",
     ``(id_col, n_tokens:int64, dup_tokens:int64, dup_frac:float64)``
     with ``dup_frac`` one IEEE division of small ints (bit-exact in SQL,
     the percent_rank precedent).  Zero-token documents emit nothing.
+
+    The corpus is SCANNED ONCE: the count rows ride the gram-emit pass
+    as ``pos=0`` rows (``gh`` = token count), the materialized emit
+    splits into the gram branch and the count branch without
+    re-executing the read (one extra in-memory tokenize per batch for
+    the counts — Arrow C++, cheap next to the gram hashing).
     """
+    import ray
+
     from .dedup import split_tokens
-    from .partition import partitioned_map
+    from .partition import materialized_block_refs, partitioned_map
 
-    if hash_mode not in ("md5", "poly"):
-        raise ValueError(f"hash_mode must be 'md5' or 'poly', got "
-                         f"{hash_mode!r}")
-    emit = _gram_emit_md5 if hash_mode == "md5" else _gram_emit_poly
+    emit = _check_hash_mode(hash_mode)
 
-    def gram_rows(b: pa.Table) -> pa.Table:
-        return emit(b, id_col, text_col, k)
-
-    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None)
-
-    def keep_dup_runs(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        out_cols = [id_col, "pos"]
-        if n == 0:
-            return t.select(out_cols)
-        h1 = t["gh"].to_numpy(zero_copy_only=False)
-        h2 = t["gh2"].to_numpy(zero_copy_only=False)
-        new_run = np.empty(n, np.bool_)
-        new_run[0] = True
-        new_run[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-        run_id = np.cumsum(new_run) - 1
-        run_len = np.bincount(run_id)
-        return t.filter(pa.array(run_len[run_id] >= min_count)).select(
-            out_cols)
-
-    dups = partitioned_map(grams, keep_dup_runs, key="gh",
-                           sort_keys=["gh", "gh2"],
-                           num_partitions=num_partitions,
-                           strategy="tasks")
-
-    def tag_dups(t: pa.Table) -> pa.Table:
-        return t.append_column("n_tok", pa.nulls(t.num_rows, pa.int64()))
-
-    def count_rows(b: pa.Table) -> pa.Table:
+    def emit_all(b: pa.Table) -> pa.Table:
+        g = emit(b, id_col, text_col, k)
         texts = pc.fill_null(b[text_col].combine_chunks(), "")
         _, off = split_tokens(texts)
         counts = np.diff(off)
         keep = counts > 0
-        return pa.table({
+        nk = int(keep.sum())
+        cnt_rows = pa.table({
+            "gh": pa.array(counts[keep].astype(np.int64)),
+            "gh2": pa.array(np.zeros(nk, np.int64)),
             id_col: b[id_col].combine_chunks().filter(pa.array(keep)),
-            "pos": pa.array(np.zeros(int(keep.sum()), np.int64)),
-            "n_tok": pa.array(counts[keep].astype(np.int64)),
+            "pos": pa.array(np.zeros(nk, np.int64)),  # marker: count row
+        })
+        return pa.concat_tables([g, cnt_rows])
+
+    emitted = ds.map_batches(emit_all, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    # one scan: materialize the emit once, branch without re-execution
+    refs = materialized_block_refs(emitted)
+
+    def gram_branch(t: pa.Table) -> pa.Table:
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(p > 0))
+
+    def count_branch(t: pa.Table) -> pa.Table:
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        c = t.filter(pa.array(p == 0))
+        return pa.table({
+            id_col: c[id_col],
+            "pos": c["pos"],
+            "n_tok": c["gh"],
         })
 
+    grams = ray.data.from_arrow_refs(list(refs)).map_batches(
+        gram_branch, batch_format="pyarrow", zero_copy_batch=True)
+    counts_ds = ray.data.from_arrow_refs(list(refs)).map_batches(
+        count_branch, batch_format="pyarrow", zero_copy_batch=True)
+
+    dups = _marked_dup_positions(grams, id_col=id_col,
+                                 min_count=min_count,
+                                 num_partitions=num_partitions)
+
+    def tag_dups(t: pa.Table) -> pa.Table:
+        return t.append_column("n_tok", pa.nulls(t.num_rows, pa.int64()))
+
     tagged = dups.map_batches(tag_dups, batch_format="pyarrow",
-                              zero_copy_batch=True).union(
-        ds.map_batches(count_rows, batch_format="pyarrow",
-                       zero_copy_batch=True, batch_size=None))
+                              zero_copy_batch=True).union(counts_ds)
 
     def stats_kernel(t: pa.Table) -> pa.Table:
         out_schema = pa.schema([

@@ -386,12 +386,17 @@ def test_group_mode_matches_duckdb_fuzz():
                       dtype="Int64"),
         "v": rng.choice(["a", "bb", "c", "dd", None], size=n),
     })
+    # a group whose values are all NULL must still emit one row
+    pdf = pd.concat([pdf, pd.DataFrame(
+        {"g": pd.array([99, 99], dtype="Int64"), "v": [None, None]})],
+        ignore_index=True)
     got = (group_mode(_ds(pdf, 5), group_col="g", value_col="v",
                       num_partitions=3).to_pandas()
            .sort_values("g", na_position="last").reset_index(drop=True))
     con = duckdb.connect()
     want = con.execute("""
-        WITH c AS (
+        WITH gset AS (SELECT DISTINCT g FROM pdf),
+        c AS (
           SELECT g, v, count(*) AS cnt FROM pdf
           WHERE v IS NOT NULL GROUP BY g, v
         ), r AS (
@@ -399,13 +404,15 @@ def test_group_mode_matches_duckdb_fuzz():
                  row_number() OVER (PARTITION BY g
                                     ORDER BY cnt DESC, v) AS rn
           FROM c
-        )
-        SELECT g, v AS mode_value, cnt AS mode_cnt FROM r WHERE rn = 1
-        ORDER BY g NULLS LAST
+        ), w AS (SELECT g, v, cnt FROM r WHERE rn = 1)
+        SELECT gset.g, w.v AS mode_value, coalesce(w.cnt, 0) AS mode_cnt
+        FROM gset LEFT JOIN w ON gset.g IS NOT DISTINCT FROM w.g
+        ORDER BY gset.g NULLS LAST
     """).df()
     con.close()
     assert len(got) == len(want)
-    assert got["mode_value"].tolist() == want["mode_value"].tolist()
+    assert (got["mode_value"].fillna("~").tolist()
+            == want["mode_value"].fillna("~").tolist())
     assert (got["mode_cnt"].to_numpy(np.int64)
             == want["mode_cnt"].to_numpy(np.int64)).all()
     assert (got["g"].fillna(-1).to_numpy(np.int64)

@@ -5,8 +5,9 @@ import pyarrow as pa
 import pytest
 import ray
 
-from featurebox_ray.stages.pca import (_finish_fit, _quantized_int,
-                                       pca_fit, pca_fit_transform)
+from featurebox_ray.stages.pca import (_finish_fit, _project_serial,
+                                       _quantized_int, pca_fit,
+                                       pca_fit_transform)
 
 
 def _make(n=400, d=16, seed=7):
@@ -25,16 +26,8 @@ def _serial_replay(t, n_components, quant_bits, proj_bits):
     n, d = qi.shape
     g = qi.T @ qi
     cs = qi.sum(axis=0)
-    comps, mean = _finish_fit(g, cs, n, d, quant_bits, n_components)
-    vq = np.round(comps * float(1 << proj_bits)).astype(np.int64)
-    denom = float(n) * float(1 << (quant_bits + proj_bits))
-    offs = np.array([
-        float(sum(int(a) * int(b) for a, b in zip(cs, vq[:, c]))) / denom
-        for c in range(vq.shape[1])])
-    scale = float(1 << (quant_bits + proj_bits))
-    si = qi @ vq
-    return np.column_stack([si[:, c].astype(np.float64) / scale - offs[c]
-                            for c in range(vq.shape[1])])
+    comps, _ = _finish_fit(g, cs, n, d, quant_bits, n_components)
+    return _project_serial(qi, cs, n, comps, quant_bits, proj_bits)
 
 
 def test_pca_bit_exact_vs_serial_and_partition_invariant():
