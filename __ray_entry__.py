@@ -398,7 +398,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q90_group_mode": _group_mode_q,
         "q91_asof_tolerance": _asof_tolerance_q,
         "q92_pca": _pca_q,
+        "q93_json_extract": _json_extract_q,
     }
+
+
+def _json_extract_q(sf_dir: str):
+    """q93: typed-field extraction from the props JSON column — one
+    Arrow RE2 extract_regex pass (zero per-row Python), the identical
+    regex replayed by DuckDB regexp_extract (both RE2)."""
+    import ray
+
+    from featurebox_ray.stages.scalar import extract_json_fields
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "props"])
+    out = extract_json_fields(ev, json_col="props",
+                              fields={"prop_k": ("k", "int")})
+    return out.select_columns(["event_id", "prop_k"])
 
 
 def _pca_q(sf_dir: str):
@@ -3040,6 +3056,15 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # json extract: same RE2 both sides; NULLIF models Arrow's
+        # null-on-no-match where DuckDB returns ''
+        "q93_json_extract": r"""
+            SELECT event_id,
+                   CAST(NULLIF(regexp_extract(
+                            props, '"k"\s*:\s*(-?\d+(?:\.\d+)?)', 1),
+                        '') AS BIGINT) AS prop_k
+            FROM events
         """,
         # pca: integer sufficient stats + integer projection -> the
         # serial replay is bit-identical (q57 exactness family)

@@ -45,3 +45,48 @@ def add_scalar_features(ds, *, batch_size: int = 65536):
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+
+
+def extract_json_fields(ds, *, json_col: str, fields: dict):
+    """Vectorized typed-field extraction from a flat-JSON string column
+    (the props/payload pre-parse ETL stage) — ZERO per-row Python:
+    one Arrow RE2 ``extract_regex`` pass per requested field, so the
+    same regex replays in SQL (DuckDB ``regexp_extract`` is RE2 too).
+
+    ``fields`` maps output column name → ``(json_key, type)`` with type
+    in ``{"int", "float", "str"}``; int/float match bare JSON numbers,
+    str matches a double-quoted string (no escape handling — flat
+    machine-generated JSON; reach for a real parser stage when payloads
+    nest).  Missing keys / non-matching values yield NULL.
+
+    Reference analog: the declarative ``flatten_keys`` of
+    ``sources/fetch.py`` applied to an existing column instead of an
+    HTTP response.
+    """
+    # Arrow extract_regex needs a NAMED group; DuckDB regexp_extract
+    # replays the same RE2 with the plain group + index 1
+    num_pat = r'"%s"\s*:\s*(?P<v>-?\d+(?:\.\d+)?)'
+    str_pat = r'"%s"\s*:\s*"(?P<v>[^"]*)"'
+
+    specs = []
+    for name, (key, typ) in fields.items():
+        if typ not in ("int", "float", "str"):
+            raise ValueError(f"unsupported type {typ!r} for {name!r}")
+        pat = (str_pat if typ == "str" else num_pat) % key
+        specs.append((name, pat, typ))
+
+    def extract(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b[json_col].combine_chunks(), "")
+        out = b
+        for name, pat, typ in specs:
+            m = pc.extract_regex(col, pat)  # struct<v> or null
+            vals = pc.struct_field(m, "v")
+            if typ == "int":
+                vals = pc.cast(vals, pa.int64())
+            elif typ == "float":
+                vals = pc.cast(vals, pa.float64())
+            out = out.append_column(name, vals)
+        return out
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
