@@ -399,7 +399,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q91_asof_tolerance": _asof_tolerance_q,
         "q92_pca": _pca_q,
         "q93_json_extract": _json_extract_q,
+        "q94_canon_dedup": _canon_dedup_q,
     }
+
+
+def _canon_dedup_q(sf_dir: str):
+    """q94: canonicalized exact dedup — the C4 recipe of lowercase +
+    whitespace-collapse + trim (pure Arrow kernels) feeding exact_dedup
+    keyed on the CANONICAL text, so near-identical casings/spacings
+    collapse; keeps the min-doc_id representative per canonical form."""
+    import ray
+
+    from featurebox_ray.stages.dedup import exact_dedup
+    from featurebox_ray.stages.text import normalize_text
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    canon = normalize_text(docs, text_col="text", out_col="norm_text")
+    out = exact_dedup(canon, text_col="norm_text", id_col="doc_id",
+                      num_partitions=8)
+    return out.select_columns(["doc_id", "norm_text"])
 
 
 def _json_extract_q(sf_dir: str):
@@ -3056,6 +3075,19 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # canon dedup: lower/regexp_replace/trim replay 1:1; q17 keep
+        # rule on the canonical form
+        "q94_canon_dedup": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                         AS norm_text
+              FROM documents
+            )
+            SELECT doc_id, norm_text FROM n
+            QUALIFY row_number() OVER (PARTITION BY norm_text
+                                       ORDER BY doc_id) = 1
         """,
         # json extract: same RE2 both sides; NULLIF models Arrow's
         # null-on-no-match where DuckDB returns ''

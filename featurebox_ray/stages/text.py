@@ -173,3 +173,28 @@ def text_features_fn(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     if tf is None:
         tf = _TF_CACHE[text_col] = TextFeaturizer(text_col)
     return tf(batch)
+
+
+def normalize_text(ds, *, text_col: str = "text",
+                   out_col: str = "norm_text", lower: bool = True,
+                   collapse_ws: bool = True, trim: bool = True):
+    """Text canonicalization (the C4-style pre-dedup normalization):
+    lowercase + whitespace collapse + trim as pure Arrow kernels (zero
+    per-row Python), appended as ``out_col`` so exact dedup / hashing
+    can key on the canonical form while the original text rides along.
+
+    Each step replays in SQL (``lower``, ``regexp_replace '\\s+'``,
+    ``trim``) — both sides RE2/Unicode.  NULL text stays NULL.
+    """
+    def fn(b: pa.Table) -> pa.Table:
+        v = b[text_col].combine_chunks()
+        if lower:
+            v = pc.utf8_lower(v)
+        if collapse_ws:
+            v = pc.replace_substring_regex(v, r"\s+", " ")
+        if trim:
+            v = pc.utf8_trim(v, characters=" ")
+        return b.append_column(out_col, v)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -155,3 +155,28 @@ def test_dup_token_stats_matches_serial_and_duckdb():
         dup = sum(e_ - s_ for s_, e_ in spans)
         assert (r["n_tokens"], r["dup_tokens"]) == (nt, dup)
         assert r["dup_frac"] == dup / nt
+
+
+def test_normalize_text_and_canon_dedup():
+    from featurebox_ray.stages.dedup import exact_dedup
+    from featurebox_ray.stages.text import normalize_text
+
+    rows = [
+        (1, "Hello   World"),
+        (2, "hello world"),          # same canonical form as 1
+        (3, "  HELLO WORLD  "),      # and again
+        (4, "different text"),
+        (5, None),
+    ]
+    ds = _ds(rows, 2)
+    canon = normalize_text(ds, text_col="text", out_col="norm_text")
+    got = canon.to_pandas().set_index("doc_id")
+    assert got.loc[1, "norm_text"] == "hello world"
+    assert got.loc[3, "norm_text"] == "hello world"
+    assert got.loc[4, "norm_text"] == "different text"
+    assert got.loc[5, "norm_text"] is None
+
+    kept = (exact_dedup(canon, text_col="norm_text", id_col="doc_id",
+                        num_partitions=3).to_pandas())
+    # min-id representative per canonical form survives
+    assert sorted(kept["doc_id"]) == [1, 4, 5]
