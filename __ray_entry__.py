@@ -400,7 +400,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q92_pca": _pca_q,
         "q93_json_extract": _json_extract_q,
         "q94_canon_dedup": _canon_dedup_q,
+        "q95_ewm": _ewm_q,
     }
+
+
+def _ewm_q(sf_dir: str):
+    """q95: per-user exponential moving average of value over time
+    (pandas ewm(adjust=False) semantics) — one keyed exchange + the
+    blocked scan of segments.ewm_mean (vectorized 64-row blocks, Python
+    only at block/segment boundaries).  Exactness contract: the fixture
+    replays the SAME blocked arithmetic serially, so the comparison is
+    bit-exact (block boundaries are segment-relative, independent of
+    partitioning)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.functions.segments import ewm_mean
+    from featurebox_ray.stages.window import add_ewm
+
+    ALPHA = 0.25
+
+    # ---- serial replay fixture -----------------------------------------
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "value"])
+    ids = t["event_id"].to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ts, uid))
+    u_s = uid[order]
+    v_s = (t["value"].to_numpy(zero_copy_only=False)
+           .astype(np.float64)[order])
+    is_start = np.empty(len(u_s), np.bool_)
+    is_start[0] = True
+    is_start[1:] = u_s[1:] != u_s[:-1]
+    ew = ewm_mean(v_s, ALPHA, is_start)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({"event_id": pa.array(ids[order]),
+                             "ewm_value": pa.array(ew)}),
+                   f"{_ORACLE_DIR}/ewm.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/ewm.parquet.tmp",
+               f"{_ORACLE_DIR}/ewm.parquet")
+
+    # ---- distributed engine run ----------------------------------------
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    out = add_ewm(ev, key_col="user_id", ts_col="ts", value_col="value",
+                  alpha=ALPHA, order_col="event_id",
+                  out_col="ewm_value", num_partitions=8)
+    return out.select_columns(["event_id", "ewm_value"])
 
 
 def _canon_dedup_q(sf_dir: str):
@@ -3075,6 +3127,11 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # ewm: blocked-scan arithmetic replayed serially -> bit-exact
+        "q95_ewm": f"""
+            SELECT event_id, ewm_value
+            FROM read_parquet('{_ORACLE_DIR}/ewm.parquet')
         """,
         # canon dedup: lower/regexp_replace/trim replay 1:1; q17 keep
         # rule on the canonical form

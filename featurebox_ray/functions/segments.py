@@ -416,3 +416,48 @@ def next_occurrence_index(
     # suffix-min: nearest source at-or-after each position
     nxt = np.minimum.accumulate(src_pos[::-1])[::-1]
     return np.where(nxt < seg_end, nxt, -1)
+
+
+def ewm_mean(values: np.ndarray, alpha: float, seg_start: np.ndarray,
+             chunk: int = 64) -> np.ndarray:
+    """Per-segment exponential moving average (pandas
+    ``ewm(alpha=..., adjust=False).mean()`` recursion
+    ``y_i = (1-a)·y_{i-1} + a·x_i``, seeded ``y_0 = x_0``) as a BLOCKED
+    scan: inside each ``chunk``-row block the recursion unrolls to one
+    vectorized weighted cumsum (``(1-a)^j`` stays ≥ ~1e-128 at
+    chunk=64, far from underflow); only the per-block carry crosses
+    blocks, so Python-level work is O(n/chunk + n_segments), not O(n).
+
+    DETERMINISM NOTE: the blocked unroll rounds differently from the
+    naive per-row loop (different op order) — the operator's exactness
+    contract is "bit-identical to THIS blocked arithmetic replayed
+    serially" (the q95 fixture-oracle pattern), with agreement to the
+    naive recursion at ~1e-12.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    n = len(values)
+    out = np.empty(n, np.float64)
+    if n == 0:
+        return out
+    v = values.astype(np.float64, copy=False)
+    om = 1.0 - alpha
+    w = om ** np.arange(chunk)            # (1-a)^j, j in block
+    wc = om ** np.arange(1, chunk + 1)    # carry decay per in-block pos
+    starts = np.flatnonzero(seg_start)
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        carry = v[s]                      # y_0 = x_0 seed
+        out[s] = carry
+        i = s + 1
+        while i < e:
+            j = min(i + chunk, e)
+            L = j - i
+            x = v[i:j]
+            # y_{i+t} = (1-a)^{t+1}·carry + a·(1-a)^t·cumsum(x/ (1-a)^t')
+            acc = np.cumsum(x / w[:L]) * w[:L] * alpha
+            block = acc + wc[:L] * carry
+            out[i:j] = block
+            carry = block[-1]
+            i = j
+    return out

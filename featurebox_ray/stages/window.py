@@ -312,3 +312,33 @@ def hopping_window_stats(ds, *, key_col: str, ts_col: str, value_col: str,
     return partitioned_map(partials, combine, key=key_col,
                            sort_keys=[key_col, "w_start"],
                            num_partitions=num_partitions, strategy="tasks")
+
+
+def add_ewm(ds, *, key_col: str, ts_col: str, value_col: str,
+            alpha: float, order_col: str, out_col: str = "ewm",
+            num_partitions: int = 16):
+    """Per-key exponential moving average over time order (pandas
+    ``groupby().ewm(alpha, adjust=False).mean()`` semantics) — one keyed
+    exchange, then the blocked scan of
+    :func:`featurebox_ray.functions.segments.ewm_mean` per sorted
+    partition (vectorized inner blocks, O(rows/64 + keys) Python).
+
+    Deterministic given a unique ``(key, ts, order_col)``; exactness
+    contract is bit-identity with the same blocked arithmetic replayed
+    serially (fixture-oracle pattern, q95).
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        codes = _codes(t[key_col])
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        v = (t[value_col].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        _, _, is_start = seg.segment_ids(codes)
+        return t.append_column(
+            out_col, pa.array(seg.ewm_mean(v, alpha, is_start)))
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -270,3 +270,43 @@ def test_window_stats_null_ts_and_null_key():
                                width_s=2.0, hop_s=1.0).to_pandas()
     assert hop["n_events"].sum() == 4 * 2
     assert hop[hop["k"].isna()]["n_events"].sum() == 4
+
+
+def test_add_ewm_matches_pandas_and_partition_invariant():
+    import pandas as pd
+
+    from featurebox_ray.functions.segments import ewm_mean
+    from featurebox_ray.stages.window import add_ewm
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["a", "b", "c"], size=n),
+        "ts": rng.integers(0, 10**9, size=n),
+        "v": rng.normal(size=n),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df,
+                                                  preserve_index=False))
+    a = (add_ewm(ds.repartition(3), key_col="k", ts_col="ts",
+                 value_col="v", alpha=0.3, order_col="id",
+                 num_partitions=2)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    b = (add_ewm(ds.repartition(8), key_col="k", ts_col="ts",
+                 value_col="v", alpha=0.3, order_col="id",
+                 num_partitions=5)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    assert (a["ewm"].to_numpy() == b["ewm"].to_numpy()).all()  # bit-exact
+
+    # pandas groupby-ewm agreement (different op order: ~1e-12)
+    sdf = df.sort_values(["k", "ts", "id"], kind="stable")
+    want = (sdf.groupby("k")["v"]
+            .transform(lambda s: s.ewm(alpha=0.3, adjust=False).mean()))
+    sdf = sdf.assign(want=want).sort_values("id").reset_index(drop=True)
+    assert np.allclose(a["ewm"].to_numpy(), sdf["want"].to_numpy(),
+                       rtol=0, atol=1e-10)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewm_mean(np.ones(3), 0.0, np.array([True, False, False]))
