@@ -401,7 +401,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q93_json_extract": _json_extract_q,
         "q94_canon_dedup": _canon_dedup_q,
         "q95_ewm": _ewm_q,
+        "q96_running_total": _running_total_q,
     }
+
+
+def _running_total_q(sf_dir: str):
+    """q96: running revenue per customer (cumulative int64 cents over
+    (o_orderdate, o_orderkey) order) — one keyed exchange, segment-
+    masked np.cumsum; int sums are order-independent-exact so the SQL
+    window replays bit-identically."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.window import add_running_totals
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+
+    def scale(b: pa.Table) -> pa.Table:
+        p = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return (b.select(["o_orderkey", "o_custkey", "o_orderdate"])
+                .append_column("price_c", pa.array(p)))
+
+    orders = orders.map_batches(scale, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = add_running_totals(orders, key_col="o_custkey",
+                             ts_col="o_orderdate",
+                             int_value_col="price_c",
+                             order_col="o_orderkey",
+                             out_col="running_c", num_partitions=8)
+    return out.select_columns(["o_orderkey", "o_custkey", "running_c"])
 
 
 def _ewm_q(sf_dir: str):
@@ -3127,6 +3160,17 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # running total: int64 cents window sum, exact both sides
+        "q96_running_total": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                        AS BIGINT) AS running_c
+            FROM orders
         """,
         # ewm: blocked-scan arithmetic replayed serially -> bit-exact
         "q95_ewm": f"""

@@ -342,3 +342,39 @@ def add_ewm(ds, *, key_col: str, ts_col: str, value_col: str,
                            sort_keys=[key_col, ts_col, order_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def add_running_totals(ds, *, key_col: str, ts_col: str,
+                       int_value_col: str, order_col: str,
+                       out_col: str = "running_sum",
+                       num_partitions: int = 16):
+    """Per-key running total over time order — SQL
+    ``SUM(v) OVER (PARTITION BY k ORDER BY ts, o ROWS UNBOUNDED
+    PRECEDING)`` for an INTEGER value column (pass money pre-scaled to
+    cents), so the cumulative sums are int64-exact and replay in SQL
+    bit-identically regardless of how either side accumulates.
+
+    One keyed exchange; per sorted partition a segment-masked
+    ``np.cumsum`` (the running total resets at each key boundary by
+    subtracting the segment-start prefix — pure vector math, no Python
+    per row).
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        codes = _codes(t[key_col])
+        v = (t[int_value_col].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        seg_start, _, is_start = seg.segment_ids(codes)
+        cs = np.cumsum(v)
+        # prefix before each segment start, broadcast to its rows
+        starts = np.flatnonzero(is_start)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        seg_id = np.cumsum(is_start) - 1
+        return t.append_column(out_col, pa.array(cs - base[seg_id]))
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -310,3 +310,36 @@ def test_add_ewm_matches_pandas_and_partition_invariant():
 
     with pytest.raises(ValueError, match="alpha"):
         ewm_mean(np.ones(3), 0.0, np.array([True, False, False]))
+
+
+def test_running_totals_matches_duckdb():
+    import duckdb
+    import pandas as pd
+
+    from featurebox_ray.stages.window import add_running_totals
+
+    rng = np.random.default_rng(37)
+    n = 1500
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 20, size=n).astype(np.int64),
+        "ts": rng.integers(0, 10**6, size=n).astype(np.int64),
+        "v": rng.integers(-50, 500, size=n).astype(np.int64),
+    })
+    for parts, nparts in ((3, 2), (9, 6)):
+        got = (add_running_totals(
+            ray.data.from_arrow(pa.Table.from_pandas(
+                df, preserve_index=False)).repartition(parts),
+            key_col="k", ts_col="ts", int_value_col="v",
+            order_col="id", num_partitions=nparts)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+        con = duckdb.connect()
+        want = con.execute("""
+            SELECT id, sum(v) OVER (PARTITION BY k ORDER BY ts, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS rs
+            FROM df ORDER BY id
+        """).df()
+        con.close()
+        assert (got["running_sum"].to_numpy(np.int64)
+                == want["rs"].to_numpy(np.int64)).all()
