@@ -3187,14 +3187,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, norm_text FROM n
-            QUALIFY row_number() OVER (PARTITION BY norm_text
+            QUALIFY norm_text IS NULL
+                 OR row_number() OVER (PARTITION BY norm_text
                                        ORDER BY doc_id) = 1
         """,
         # json extract: same RE2 both sides; NULLIF models Arrow's
         # null-on-no-match where DuckDB returns ''
         "q93_json_extract": r"""
             SELECT event_id,
-                   CAST(NULLIF(regexp_extract(
+                   TRY_CAST(NULLIF(regexp_extract(
                             props, '"k"\s*:\s*(-?\d+(?:\.\d+)?)', 1),
                         '') AS BIGINT) AS prop_k
             FROM events

@@ -418,15 +418,19 @@ def next_occurrence_index(
     return np.where(nxt < seg_end, nxt, -1)
 
 
-def ewm_mean(values: np.ndarray, alpha: float, seg_start: np.ndarray,
+def ewm_mean(values: np.ndarray, alpha: float, is_seg_start: np.ndarray,
              chunk: int = 64) -> np.ndarray:
     """Per-segment exponential moving average (pandas
     ``ewm(alpha=..., adjust=False).mean()`` recursion
     ``y_i = (1-a)·y_{i-1} + a·x_i``, seeded ``y_0 = x_0``) as a BLOCKED
-    scan: inside each ``chunk``-row block the recursion unrolls to one
-    vectorized weighted cumsum (``(1-a)^j`` stays ≥ ~1e-128 at
-    chunk=64, far from underflow); only the per-block carry crosses
-    blocks, so Python-level work is O(n/chunk + n_segments), not O(n).
+    scan: inside each block the recursion unrolls to one vectorized
+    weighted cumsum; only the per-block carry crosses blocks, so
+    Python-level work is O(n/chunk + n_segments), not O(n).
+
+    The block length adapts to ``alpha`` so the in-block weights
+    ``(1-a)^j`` stay ≥ 1e-100 (no underflow, and ``x/w`` cannot
+    overflow for |x| ≤ ~1e200); ``alpha=1`` short-circuits to the
+    identity (y_i = x_i).
 
     DETERMINISM NOTE: the blocked unroll rounds differently from the
     naive per-row loop (different op order) — the operator's exactness
@@ -434,6 +438,8 @@ def ewm_mean(values: np.ndarray, alpha: float, seg_start: np.ndarray,
     serially" (the q95 fixture-oracle pattern), with agreement to the
     naive recursion at ~1e-12.
     """
+    import math
+
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1]")
     n = len(values)
@@ -441,10 +447,17 @@ def ewm_mean(values: np.ndarray, alpha: float, seg_start: np.ndarray,
     if n == 0:
         return out
     v = values.astype(np.float64, copy=False)
+    if alpha == 1.0:
+        out[:] = v
+        return out
     om = 1.0 - alpha
+    # largest block with (1-a)^L >= 1e-100 (ewm weights near 1 cap at
+    # the requested chunk)
+    chunk = max(1, min(chunk, int(-100.0 / math.log10(om))
+                       if om < 1.0 else chunk))
     w = om ** np.arange(chunk)            # (1-a)^j, j in block
     wc = om ** np.arange(1, chunk + 1)    # carry decay per in-block pos
-    starts = np.flatnonzero(seg_start)
+    starts = np.flatnonzero(is_seg_start)
     ends = np.append(starts[1:], n)
     for s, e in zip(starts, ends):
         carry = v[s]                      # y_0 = x_0 seed

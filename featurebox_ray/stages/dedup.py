@@ -282,7 +282,12 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     each DISTINCT value once via its dictionary-encoded crc32 bucketer),
     then resolve each partition with an Arrow-native sort +
     first-of-run filter over the raw text — exact (no hash-collision
-    risk), no pandas round trip, no per-row Python."""
+    risk), no pandas round trip, no per-row Python.
+
+    NULL text rows are ALL KEPT (missing text is not a duplicate of
+    other missing text — the dictionary encodes each null row as its
+    own run); a SQL replay needs ``text IS NULL OR row_number() = 1``
+    (the q94 oracle shape), not a bare QUALIFY."""
 
     def first_per_text(t: pa.Table) -> pa.Table:
         # whole partition sorted by (text, id): equal texts are

@@ -82,6 +82,14 @@ def extract_json_fields(ds, *, json_col: str, fields: dict):
             m = pc.extract_regex(col, pat)  # struct<v> or null
             vals = pc.struct_field(m, "v")
             if typ == "int":
+                # a fractional value ("k": 1.25) matched the number
+                # pattern; an int cast would CRASH the task — null it
+                # out instead ("non-matching values yield NULL", and
+                # SQL TRY_CAST does the same)
+                integral = pc.match_substring_regex(
+                    pc.fill_null(vals, ""), r"^-?\d+$")
+                vals = pc.if_else(integral, vals,
+                                  pa.nulls(len(col), pa.string()))
                 vals = pc.cast(vals, pa.int64())
             elif typ == "float":
                 vals = pc.cast(vals, pa.float64())

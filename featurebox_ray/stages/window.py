@@ -325,15 +325,23 @@ def add_ewm(ds, *, key_col: str, ts_col: str, value_col: str,
 
     Deterministic given a unique ``(key, ts, order_col)``; exactness
     contract is bit-identity with the same blocked arithmetic replayed
-    serially (fixture-oracle pattern, q95).
+    serially (fixture-oracle pattern, q95).  NULL keys form ONE group
+    (SQL ``PARTITION BY``); the value column must be finite and
+    non-null (a NaN would silently poison the rest of its key's
+    series, so the kernel raises instead — fill or filter first).
     """
 
     def kernel(t: pa.Table) -> pa.Table:
-        codes = _codes(t[key_col])
-        if t.num_rows == 0:
+        if t.num_rows == 0 or key_col not in t.column_names:
             return t.append_column(out_col, pa.array([], pa.float64()))
+        codes, _ = _key_codes_dic(t[key_col])
         v = (t[value_col].combine_chunks()
              .to_numpy(zero_copy_only=False).astype(np.float64))
+        if not np.isfinite(v).all():
+            raise ValueError(
+                f"add_ewm requires finite non-null {value_col!r} values "
+                "(a NaN poisons the rest of its key's series); fill or "
+                "filter first")
         _, _, is_start = seg.segment_ids(codes)
         return t.append_column(
             out_col, pa.array(seg.ewm_mean(v, alpha, is_start)))
@@ -357,22 +365,25 @@ def add_running_totals(ds, *, key_col: str, ts_col: str,
     One keyed exchange; per sorted partition a segment-masked
     ``np.cumsum`` (the running total resets at each key boundary by
     subtracting the segment-start prefix — pure vector math, no Python
-    per row).
+    per row).  NULL keys form ONE group (SQL ``PARTITION BY``); NULL
+    values contribute 0 and the total keeps running (replay with
+    ``sum(coalesce(v, 0)) OVER ...``) — int64 end to end, never a
+    float round trip.
     """
 
     def kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+        if t.num_rows == 0 or key_col not in t.column_names:
             return t.append_column(out_col, pa.array([], pa.int64()))
-        codes = _codes(t[key_col])
-        v = (t[int_value_col].combine_chunks().cast(pa.int64())
-             .to_numpy(zero_copy_only=False))
-        seg_start, _, is_start = seg.segment_ids(codes)
+        codes, _ = _key_codes_dic(t[key_col])
+        v = pc.fill_null(
+            t[int_value_col].combine_chunks().cast(pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        seg_start, _, _ = seg.segment_ids(codes)
         cs = np.cumsum(v)
-        # prefix before each segment start, broadcast to its rows
-        starts = np.flatnonzero(is_start)
-        base = np.where(starts > 0, cs[starts - 1], 0)
-        seg_id = np.cumsum(is_start) - 1
-        return t.append_column(out_col, pa.array(cs - base[seg_id]))
+        # prefix before each row's segment start (seg_start is per-row)
+        base = np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)],
+                        0)
+        return t.append_column(out_col, pa.array(cs - base))
 
     return partitioned_map(ds, kernel, key=key_col,
                            sort_keys=[key_col, ts_col, order_col],

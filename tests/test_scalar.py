@@ -24,3 +24,16 @@ def test_extract_json_fields_types_and_nulls():
     with pytest.raises(ValueError, match="unsupported type"):
         extract_json_fields(ray.data.from_arrow(t), json_col="props",
                             fields={"x": ("k", "bool")})
+
+
+def test_extract_json_int_fractional_yields_null_not_crash():
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "props": pa.array(['{"k": 1.25}', '{"k": 7}', '{"k": -0}']),
+    })
+    got = (extract_json_fields(ray.data.from_arrow(t),
+                               json_col="props",
+                               fields={"k": ("k", "int")})
+           .to_pandas().sort_values("id"))
+    assert got["k"].isna().tolist() == [True, False, False]
+    assert got["k"].tolist()[1] == 7 and got["k"].tolist()[2] == 0

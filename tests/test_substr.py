@@ -180,3 +180,14 @@ def test_normalize_text_and_canon_dedup():
                         num_partitions=3).to_pandas())
     # min-id representative per canonical form survives
     assert sorted(kept["doc_id"]) == [1, 4, 5]
+
+
+def test_exact_dedup_keeps_all_null_texts():
+    from featurebox_ray.stages.dedup import exact_dedup
+
+    rows = [(1, "same text"), (2, "same text"), (3, None), (4, None),
+            (5, None)]
+    kept = exact_dedup(_ds(rows, 2), text_col="text", id_col="doc_id",
+                       num_partitions=3).to_pandas()
+    # one survivor per real text; ALL null-text rows kept
+    assert sorted(kept["doc_id"]) == [1, 3, 4, 5]

@@ -343,3 +343,74 @@ def test_running_totals_matches_duckdb():
         con.close()
         assert (got["running_sum"].to_numpy(np.int64)
                 == want["rs"].to_numpy(np.int64)).all()
+
+
+def test_ewm_alpha_edges_and_null_key_group():
+    import pandas as pd
+    import pytest
+
+    from featurebox_ray.functions.segments import ewm_mean
+    from featurebox_ray.stages.window import add_ewm
+
+    # alpha=1 is the identity; near-1 alphas must not underflow to NaN
+    v = np.arange(200, dtype=np.float64)
+    st = np.zeros(200, bool)
+    st[0] = True
+    assert (ewm_mean(v, 1.0, st) == v).all()
+    near = ewm_mean(v, 0.9999995, st)
+    assert np.isfinite(near).all()
+    assert np.allclose(near, v, atol=1e-3)  # ~identity at alpha≈1
+
+    # NULL keys form ONE group (not one segment per row)
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "k": pd.array([None, None, None, 1, 1, 1], dtype="Int64"),
+        "ts": np.arange(6, dtype=np.int64),
+        "v": np.array([1.0, 2.0, 3.0, 1.0, 2.0, 3.0]),
+    })
+    got = (add_ewm(ray.data.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(3),
+        key_col="k", ts_col="ts", value_col="v", alpha=0.5,
+        order_col="id", num_partitions=2)
+        .to_pandas().sort_values("id").reset_index(drop=True))
+    # null-key group accumulates across its rows: 1, 1.5, 2.25
+    assert got["ewm"].tolist()[:3] == [1.0, 1.5, 2.25]
+    assert got["ewm"].tolist()[3:] == [1.0, 1.5, 2.25]
+
+    # non-finite values raise instead of silently poisoning
+    bad = df.assign(v=[1.0, None, 3.0, 1.0, 2.0, 3.0])
+    with pytest.raises(Exception, match="finite"):
+        (add_ewm(ray.data.from_arrow(pa.Table.from_pandas(
+            bad, preserve_index=False)), key_col="k", ts_col="ts",
+            value_col="v", alpha=0.5, order_col="id").to_pandas())
+
+
+def test_running_totals_null_values_and_keys():
+    import duckdb
+    import pandas as pd
+
+    from featurebox_ray.stages.window import add_running_totals
+
+    df = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "k": pd.array([1, 1, None, None, 2, 2, 1, None], dtype="Int64"),
+        "ts": np.arange(8, dtype=np.int64),
+        "v": pd.array([5, None, 7, 2, None, 3, 10, None],
+                      dtype="Int64"),
+    })
+    got = (add_running_totals(ray.data.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(3),
+        key_col="k", ts_col="ts", int_value_col="v", order_col="id",
+        num_partitions=2)
+        .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.execute("""
+        SELECT id, sum(coalesce(v, 0)) OVER (PARTITION BY k
+               ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS rs
+        FROM df ORDER BY id
+    """).df()
+    con.close()
+    assert (got["running_sum"].to_numpy(np.int64)
+            == want["rs"].to_numpy(np.int64)).all()
+    assert got["running_sum"].dtype == np.int64  # never a float trip
