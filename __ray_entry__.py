@@ -402,7 +402,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q94_canon_dedup": _canon_dedup_q,
         "q95_ewm": _ewm_q,
         "q96_running_total": _running_total_q,
+        "q97_profile": _profile_q,
     }
+
+
+def _profile_q(sf_dir: str):
+    """q97: dataset profiler — per-column rows/nulls/EXACT distinct/
+    min/max in one pass; the exact-NDV exchange moves distinct
+    (col, val) pairs (never rows), then cols×partitions partial rows.
+    Values profile through their VARCHAR cast (bytewise min/max,
+    shortest-roundtrip float formatting — parity with DuckDB checked
+    across SFs)."""
+    import ray
+
+    from featurebox_ray.stages.profile import profile_columns
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"])
+    return profile_columns(ev, cols=["event_id", "user_id",
+                                     "event_type", "value"],
+                           num_partitions=8)
 
 
 def _running_total_q(sf_dir: str):
@@ -3160,6 +3180,36 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # profiler: exact NDV + bytewise VARCHAR min/max per column
+        "q97_profile": """
+            SELECT 'event_id' AS col, count(*) AS n_rows,
+                   count(*) - count(event_id) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   min(CAST(event_id AS VARCHAR)) AS min_val,
+                   max(CAST(event_id AS VARCHAR)) AS max_val
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id),
+                   min(CAST(user_id AS VARCHAR)),
+                   max(CAST(user_id AS VARCHAR))
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   count(DISTINCT event_type),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            -- Arrow's shortest-roundtrip float formatting renders
+            -- integral doubles without the trailing .0 DuckDB prints
+            SELECT 'value', count(*), count(*) - count(value),
+                   count(DISTINCT value),
+                   min(regexp_replace(CAST(value AS VARCHAR),
+                                      '\.0$', '')),
+                   max(regexp_replace(CAST(value AS VARCHAR),
+                                      '\.0$', ''))
+            FROM events
         """,
         # running total: int64 cents window sum, exact both sides
         "q96_running_total": """

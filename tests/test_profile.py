@@ -1,0 +1,66 @@
+"""Dataset profiler (stages/profile.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from featurebox_ray.stages.profile import profile_columns
+
+
+def _ds(df, parts):
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(parts)
+
+
+def test_profile_matches_duckdb_fuzz():
+    import duckdb
+
+    rng = np.random.default_rng(131)
+    n = 2500
+    df = pd.DataFrame({
+        "i": pd.array(rng.choice([1, 2, 3, 500, None], size=n),
+                      dtype="Int64"),
+        "s": rng.choice(["aa", "b", "cc", "zz"], size=n),
+        "f": rng.choice([1.5, -2.25, 7.0, 0.125], size=n),
+    })
+    for parts, nparts in ((2, 3), (9, 5)):
+        got = (profile_columns(_ds(df, parts), cols=["i", "s", "f"],
+                               num_partitions=nparts)
+               .to_pandas().sort_values("col").reset_index(drop=True))
+        con = duckdb.connect()
+        want = con.execute(r"""
+            SELECT 'f' AS col, count(*) AS n_rows,
+                   count(*) - count(f) AS n_nulls,
+                   count(DISTINCT f) AS n_distinct,
+                   min(regexp_replace(CAST(f AS VARCHAR), '\.0$', ''))
+                       AS min_val,
+                   max(regexp_replace(CAST(f AS VARCHAR), '\.0$', ''))
+                       AS max_val
+            FROM df
+            UNION ALL
+            SELECT 'i', count(*), count(*) - count(i),
+                   count(DISTINCT i), min(CAST(i AS VARCHAR)),
+                   max(CAST(i AS VARCHAR))
+            FROM df
+            UNION ALL
+            SELECT 's', count(*), count(*) - count(s),
+                   count(DISTINCT s), min(s), max(s)
+            FROM df
+            ORDER BY col
+        """).df()
+        con.close()
+        for c in ["col", "min_val", "max_val"]:
+            assert got[c].tolist() == want[c].tolist(), (c, parts)
+        for c in ["n_rows", "n_nulls", "n_distinct"]:
+            assert (got[c].to_numpy(np.int64)
+                    == want[c].to_numpy(np.int64)).all(), (c, parts)
+
+
+def test_profile_all_null_column():
+    df = pd.DataFrame({"x": pd.array([None, None], dtype="Int64"),
+                       "y": [1.0, 2.0]})
+    got = (profile_columns(_ds(df, 2), cols=["x"], num_partitions=2)
+           .to_pandas().iloc[0])
+    assert (got["n_rows"], got["n_nulls"], got["n_distinct"]) == (2, 2, 0)
+    assert got["min_val"] is None and got["max_val"] is None
