@@ -403,7 +403,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q95_ewm": _ewm_q,
         "q96_running_total": _running_total_q,
         "q97_profile": _profile_q,
+        "q98_group_norm": _group_norm_q,
     }
+
+
+def _group_norm_q(sf_dir: str):
+    """q98: per-row share-of-group and group z-score — exact int64
+    (n, sum, sum²) per user via one tiny keyed exchange, broadcast once,
+    fact stream maps with a fixed float64 op order written identically
+    in SQL (bit-exact; single-row groups NULL z)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.normalize import add_group_norm_features
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+
+    def scale(b: pa.Table) -> pa.Table:
+        v = np.round(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return (b.select(["event_id", "user_id"])
+                .append_column("value_c", pa.array(v)))
+
+    ev = ev.map_batches(scale, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = add_group_norm_features(ev, key_col="user_id",
+                                  int_value_col="value_c",
+                                  share_col="share", z_col="zscore",
+                                  num_partitions=8)
+    return out.select_columns(["event_id", "share", "zscore"])
 
 
 def _profile_q(sf_dir: str):
@@ -3180,6 +3210,33 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # group norm: identical float64 op order from exact int sums
+        "q98_group_norm": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events
+            ), g AS (
+              SELECT user_id,
+                     CAST(count(value_c) AS BIGINT) AS n,
+                     CAST(sum(value_c) AS BIGINT) AS s,
+                     CAST(sum(value_c * value_c) AS BIGINT) AS s2
+              FROM e GROUP BY user_id
+            )
+            SELECT e.event_id,
+                   CAST(e.value_c AS DOUBLE) / CAST(g.s AS DOUBLE)
+                       AS share,
+                   CASE WHEN g.n > 1 THEN
+                     (CAST(e.value_c AS DOUBLE)
+                        - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                     / sqrt((CAST(g.s2 AS DOUBLE)
+                               - CAST(g.s AS DOUBLE)
+                                 * CAST(g.s AS DOUBLE)
+                                 / CAST(g.n AS DOUBLE))
+                            / (CAST(g.n AS DOUBLE) - 1.0))
+                   END AS zscore
+            FROM e JOIN g ON e.user_id IS NOT DISTINCT FROM g.user_id
         """,
         # profiler: exact NDV + bytewise VARCHAR min/max per column
         "q97_profile": """

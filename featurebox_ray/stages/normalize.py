@@ -25,6 +25,7 @@ from typing import List, Optional, Sequence, Union
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _scale(mean_val: float) -> float:
@@ -145,3 +146,137 @@ class MagnitudeNormalizer:
         scales = scales.astype(np.float32) / self.standard
         self.scale_c = scales.astype(np.float64)
         return consts / self.scale_c
+
+
+def add_group_norm_features(ds, *, key_col: str, int_value_col: str,
+                            share_col: str = "share",
+                            z_col: str = "zscore",
+                            num_partitions: int = 8):
+    """Per-row share-of-group and group z-score from EXACT integer
+    sufficient statistics — the per-key feature-normalization stage.
+
+    One tiny keyed exchange computes per-group ``(n, sum, sum²)`` as
+    int64 (pass a pre-scaled integer value column — money in cents — so
+    the sums are order-independent-exact; note ``sum(v²)`` bounds int64
+    up to ~|v|²·rows ≈ 9e18, shift/rescale first at extreme scale),
+    the group table broadcasts once via ``ray.put``, and the fact
+    stream maps with a FIXED float64 op order:
+
+    ``share = v / sum``;
+    ``z = (v - sum/n) / sqrt((sum² - sum·sum/n) / (n-1))`` —
+    written identically in SQL, both sides bit-exact.  Groups with one
+    row get NULL z (the sample variance is undefined); NULL values get
+    NULL share/z; NULL keys form one group.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = (b.filter(pc.is_valid(b[int_value_col]))
+             if b[int_value_col].null_count else b)
+        col = t[key_col].combine_chunks()
+        d = pc.dictionary_encode(col)
+        n_named = len(d.dictionary)
+        idx = d.indices
+        codes = (pc.fill_null(idx, n_named) if idx.null_count else idx
+                 ).to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = d.dictionary
+        if col.null_count:
+            dic = pa.concat_arrays([dic, pa.nulls(1, dic.type)])
+        v = (t[int_value_col].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"k": codes, "n": np.ones(len(v), np.int64),
+                           "s": v, "s2": v * v})
+        g = df.groupby("k", as_index=False).sum()
+        return pa.table({
+            key_col: dic.take(pa.array(g["k"].to_numpy(np.int64))),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64)),
+            "s2": pa.array(g["s2"].to_numpy(np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    stats = partitioned_map(partials, lambda t: _sum_groups(t, key_col),
+                            key=key_col, sort_keys=[key_col],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    blocks = [b for b in ray.get(materialized_block_refs(stats))
+              if b.num_rows > 0]
+    if blocks:
+        gt = pa.concat_tables(blocks, promote_options="default")
+    else:
+        gt = None
+    stats_ref = ray.put(gt)
+
+    def apply(b: pa.Table) -> pa.Table:
+        gt_ = ray.get(stats_ref)
+        n_rows = b.num_rows
+        if gt_ is None or n_rows == 0:
+            return (b.append_column(share_col,
+                                    pa.nulls(n_rows, pa.float64()))
+                    .append_column(z_col, pa.nulls(n_rows, pa.float64())))
+        # join via index_in on the (small, broadcast) group table;
+        # NULL keys matched through a sentinel slot
+        keys = b[key_col].combine_chunks()
+        gkeys = gt_[key_col].combine_chunks()
+        pos = pc.index_in(keys, value_set=gkeys)
+        null_slot = pc.index_in(
+            pa.array([None], gkeys.type), value_set=gkeys)[0]
+        if keys.null_count and null_slot.is_valid:
+            pos = pc.if_else(pc.is_valid(keys), pos, null_slot)
+        posn = pc.fill_null(pos, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = gt_["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = gt_["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = gt_["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vcol = b[int_value_col].combine_chunks().cast(pa.float64())
+        v = pc.fill_null(vcol, np.nan).to_numpy(zero_copy_only=False)
+        ok = posn >= 0
+        idx = np.where(ok, posn, 0)
+        gn, gs, gs2 = n[idx], s[idx], s2[idx]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = v / gs
+            mean = gs / gn
+            var = (gs2 - gs * gs / gn) / (gn - 1.0)
+            z = (v - mean) / np.sqrt(var)
+        share = np.where(ok, share, np.nan)
+        z = np.where(ok & (gn > 1.0), z, np.nan)
+        return (b.append_column(
+                    share_col, pa.array(share, pa.float64(),
+                                        mask=np.isnan(share)))
+                .append_column(
+                    z_col, pa.array(z, pa.float64(), mask=np.isnan(z))))
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _sum_groups(t: pa.Table, key_col: str) -> pa.Table:
+    """Sum (n, s, s2) partials per key (null-safe codes)."""
+    import pandas as pd
+
+    if t.num_rows == 0:
+        return t
+    col = t[key_col].combine_chunks()
+    d = pc.dictionary_encode(col)
+    n_named = len(d.dictionary)
+    idx = d.indices
+    codes = (pc.fill_null(idx, n_named) if idx.null_count else idx
+             ).to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = d.dictionary
+    if col.null_count:
+        dic = pa.concat_arrays([dic, pa.nulls(1, dic.type)])
+    df = pd.DataFrame({"k": codes})
+    for m in ("n", "s", "s2"):
+        df[m] = t[m].to_numpy(zero_copy_only=False)
+    g = df.groupby("k", as_index=False).sum()
+    return pa.table({
+        key_col: dic.take(pa.array(g["k"].to_numpy(np.int64))),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "s": pa.array(g["s"].to_numpy(np.int64)),
+        "s2": pa.array(g["s2"].to_numpy(np.int64)),
+    })

@@ -64,3 +64,56 @@ def test_profile_all_null_column():
            .to_pandas().iloc[0])
     assert (got["n_rows"], got["n_nulls"], got["n_distinct"]) == (2, 2, 0)
     assert got["min_val"] is None and got["max_val"] is None
+
+
+def test_group_norm_features_matches_duckdb():
+    import duckdb
+
+    from featurebox_ray.stages.normalize import add_group_norm_features
+
+    rng = np.random.default_rng(139)
+    n = 1200
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": pd.array(rng.choice([1, 2, 3, None], size=n),
+                      dtype="Int64"),
+        "v": pd.array(rng.integers(-100, 5000, size=n), dtype="Int64"),
+    })
+    # null values and a single-row group
+    df.loc[:4, "v"] = None
+    df = pd.concat([df, pd.DataFrame(
+        {"id": [n], "k": pd.array([77], dtype="Int64"),
+         "v": pd.array([42], dtype="Int64")})], ignore_index=True)
+    got = (add_group_norm_features(_ds(df, 5), key_col="k",
+                                   int_value_col="v",
+                                   num_partitions=3)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.execute("""
+        WITH g AS (
+          SELECT k, CAST(count(v) AS BIGINT) n,
+                 CAST(sum(v) AS BIGINT) s,
+                 CAST(sum(v*v) AS BIGINT) s2
+          FROM df GROUP BY k
+        )
+        SELECT df.id,
+               CAST(df.v AS DOUBLE) / CAST(g.s AS DOUBLE) AS share,
+               CASE WHEN g.n > 1 THEN
+                 (CAST(df.v AS DOUBLE)
+                    - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 / sqrt((CAST(g.s2 AS DOUBLE)
+                           - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+                             / CAST(g.n AS DOUBLE))
+                        / (CAST(g.n AS DOUBLE) - 1.0))
+               END AS zscore
+        FROM df JOIN g ON df.k IS NOT DISTINCT FROM g.k
+        ORDER BY df.id
+    """).df()
+    con.close()
+    for c in ("share", "zscore"):
+        a = got[c].to_numpy(np.float64)
+        b = want[c].to_numpy(np.float64)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    # single-row group: share 1.0, z NULL
+    last = got.iloc[-1]
+    assert last["share"] == 1.0 and pd.isna(last["zscore"])
