@@ -404,7 +404,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q96_running_total": _running_total_q,
         "q97_profile": _profile_q,
         "q98_group_norm": _group_norm_q,
+        "q99_group_topk": _group_topk_q,
     }
+
+
+def _group_topk_q(sf_dir: str):
+    """q99: top-3 event types per user with counts and ranks — the
+    generalized group mode (per-block dictionary-code partials, one
+    group-keyed exchange, vectorized pick), deterministic (cnt desc,
+    value asc) ranking = SQL QUALIFY row_number() <= 3."""
+    import ray
+
+    from featurebox_ray.stages.pivot import group_topk_values
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return group_topk_values(ev, group_col="user_id",
+                             value_col="event_type", k=3,
+                             num_partitions=8)
 
 
 def _group_norm_q(sf_dir: str):
@@ -3210,6 +3227,19 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # group top-k values: QUALIFY rn <= k, deterministic order
+        "q99_group_topk": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS cnt FROM events
+              WHERE event_type IS NOT NULL GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type, cnt,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY cnt DESC, event_type)
+                       AS rn
+            FROM c
+            QUALIFY rn <= 3
         """,
         # group norm: identical float64 op order from exact int sums
         "q98_group_norm": """

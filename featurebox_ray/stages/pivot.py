@@ -143,6 +143,39 @@ def pivot_agg(ds, *, group_col: str, cat_col: str,
                            num_partitions=num_partitions, strategy="tasks")
 
 
+def _codes_dic(col):
+    """Dictionary codes with a trailing null slot (keys/values never
+    round-trip through pandas)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(col)
+    n_named = len(d.dictionary)
+    idx = d.indices
+    codes = (pc.fill_null(idx, n_named) if idx.null_count else idx
+             ).to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = d.dictionary
+    if col.null_count:
+        dic = pa.concat_arrays([dic, pa.nulls(1, dic.type)])
+    return codes, dic
+
+
+def _gv_counts_partial(b, group_col, value_col):
+    """Per-block (group, value, cnt) partial counts over dictionary
+    codes; NULL values ride along (the final pick excludes them)."""
+    import pandas as pd
+
+    gc, gdic = _codes_dic(b[group_col])
+    vc, vdic = _codes_dic(b[value_col])
+    df = pd.DataFrame({"g": gc, "v": vc,
+                       "c": np.ones(b.num_rows, np.int64)})
+    agg = df.groupby(["g", "v"], as_index=False)["c"].sum()
+    return pa.table({
+        group_col: gdic.take(pa.array(agg["g"].to_numpy(np.int64))),
+        value_col: vdic.take(pa.array(agg["v"].to_numpy(np.int64))),
+        "cnt": pa.array(agg["c"].to_numpy(np.int64)),
+    })
+
+
 def group_mode(ds, *, group_col: str, value_col: str,
                num_partitions: int = 16):
     """Exact distributed MODE per group — the most frequent
@@ -167,33 +200,8 @@ def group_mode(ds, *, group_col: str, value_col: str,
 
     from .partition import partitioned_map
 
-    def codes_dic(col):
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        d = pc.dictionary_encode(col)
-        n_named = len(d.dictionary)
-        idx = d.indices
-        codes = (pc.fill_null(idx, n_named) if idx.null_count else idx
-                 ).to_numpy(zero_copy_only=False).astype(np.int64)
-        dic = d.dictionary
-        if col.null_count:
-            dic = pa.concat_arrays([dic, pa.nulls(1, dic.type)])
-        return codes, dic
-
     def partial(b: pa.Table) -> pa.Table:
-        # NULL values ride along (they keep all-NULL groups alive); the
-        # final pick excludes them from winning
-        t = b
-        gc, gdic = codes_dic(t[group_col])
-        vc, vdic = codes_dic(t[value_col])
-        df = pd.DataFrame({"g": gc, "v": vc,
-                           "c": np.ones(t.num_rows, np.int64)})
-        agg = df.groupby(["g", "v"], as_index=False)["c"].sum()
-        return pa.table({
-            group_col: gdic.take(pa.array(agg["g"].to_numpy(np.int64))),
-            value_col: vdic.take(pa.array(agg["v"].to_numpy(np.int64))),
-            "cnt": pa.array(agg["c"].to_numpy(np.int64)),
-        })
+        return _gv_counts_partial(b, group_col, value_col)
 
     def pick(t: pa.Table) -> pa.Table:
         out_schema = pa.schema([
@@ -202,8 +210,8 @@ def group_mode(ds, *, group_col: str, value_col: str,
             pa.field("mode_cnt", pa.int64())])
         if t.num_rows == 0:
             return out_schema.empty_table()
-        gc, gdic = codes_dic(t[group_col])
-        vc, vdic = codes_dic(t[value_col])
+        gc, gdic = _codes_dic(t[group_col])
+        vc, vdic = _codes_dic(t[value_col])
         df = pd.DataFrame({"g": gc, "v": vc,
                            "c": t["cnt"].to_numpy(zero_copy_only=False)})
         agg = df.groupby(["g", "v"], as_index=False)["c"].sum()
@@ -240,6 +248,78 @@ def group_mode(ds, *, group_col: str, value_col: str,
                 "mode_cnt": pa.array(np.zeros(len(only_null), np.int64)),
             }))
         return pa.concat_tables(parts)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return partitioned_map(partials, pick, key=group_col,
+                           sort_keys=[group_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+
+def group_topk_values(ds, *, group_col: str, value_col: str, k: int = 3,
+                      num_partitions: int = 16):
+    """Exact top-``k`` most frequent values per group (the generalized
+    :func:`group_mode`): ``(group_col, value_col, cnt:int64, rn:int64)``
+    with ``rn`` 1-based under the deterministic (count desc, value asc
+    bytewise) order — exactly SQL ``QUALIFY row_number() <= k``.
+
+    Same plan as group_mode (per-block dictionary-code partials, one
+    group-keyed exchange, vectorized per-partition pick); NULL values
+    are ignored (a group with fewer than ``k`` distinct non-null values
+    emits fewer rows; all-null groups emit nothing — unlike mode's
+    one-row-per-group contract, a top-k listing has no natural empty
+    row).
+    """
+    import pandas as pd
+
+    from .partition import partitioned_map
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _gv_counts_partial(b, group_col, value_col)
+
+    def pick(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(group_col, t.schema.field(group_col).type),
+            pa.field(value_col, t.schema.field(value_col).type),
+            pa.field("cnt", pa.int64()),
+            pa.field("rn", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        gc, gdic = _codes_dic(t[group_col])
+        vc, vdic = _codes_dic(t[value_col])
+        df = pd.DataFrame({"g": gc, "v": vc,
+                           "c": t["cnt"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby(["g", "v"], as_index=False)["c"].sum()
+        g = agg["g"].to_numpy(np.int64)
+        v = agg["v"].to_numpy(np.int64)
+        c = agg["c"].to_numpy(np.int64)
+        v_valid = pc.is_valid(vdic).to_numpy(zero_copy_only=False)
+        nn = np.flatnonzero(v_valid[v])
+        if not len(nn):
+            return out_schema.empty_table()
+        order_pos = pc.sort_indices(vdic).to_numpy(zero_copy_only=False)
+        vrank = np.empty(len(vdic), np.int64)
+        vrank[order_pos] = np.arange(len(vdic))
+        order = nn[np.lexsort((vrank[v[nn]], -c[nn], g[nn]))]
+        g_s = g[order]
+        first = np.empty(len(g_s), np.bool_)
+        first[0] = True
+        first[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        rn = np.arange(len(g_s)) - starts[run_id] + 1
+        keep = rn <= k
+        win = order[keep]
+        return pa.table({
+            group_col: gdic.take(pa.array(g[win])),
+            value_col: vdic.take(pa.array(v[win])),
+            "cnt": pa.array(c[win]),
+            "rn": pa.array(rn[keep]),
+        })
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)

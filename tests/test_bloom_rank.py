@@ -423,3 +423,45 @@ def test_group_mode_matches_duckdb_fuzz():
              .sort_values("g", na_position="last")
              .reset_index(drop=True))
     assert got.equals(again)
+
+
+def test_group_topk_values_matches_duckdb():
+    import duckdb
+
+    from featurebox_ray.stages.pivot import group_topk_values
+
+    rng = np.random.default_rng(149)
+    n = 2500
+    pdf = pd.DataFrame({
+        "g": pd.array(rng.choice([1, 2, 3, None], size=n), dtype="Int64"),
+        "v": rng.choice(["a", "bb", "c", "dd", "e", None], size=n),
+    })
+    for parts, nparts in ((4, 3), (9, 7)):
+        got = (group_topk_values(_ds(pdf, parts), group_col="g",
+                                 value_col="v", k=3,
+                                 num_partitions=nparts)
+               .to_pandas()
+               .sort_values(["g", "rn"], na_position="last")
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        want = con.execute("""
+            WITH c AS (SELECT g, v, count(*) AS cnt FROM pdf
+                       WHERE v IS NOT NULL GROUP BY g, v)
+            SELECT g, v, cnt,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY cnt DESC, v) AS rn
+            FROM c QUALIFY rn <= 3
+            ORDER BY g NULLS LAST, rn
+        """).df()
+        con.close()
+        assert len(got) == len(want)
+        assert got["v"].tolist() == want["v"].tolist()
+        for c in ("cnt", "rn"):
+            assert (got[c].to_numpy(np.int64)
+                    == want[c].to_numpy(np.int64)).all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        group_topk_values(_ds(pdf, 2), group_col="g", value_col="v",
+                          k=0)
