@@ -405,7 +405,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q97_profile": _profile_q,
         "q98_group_norm": _group_norm_q,
         "q99_group_topk": _group_topk_q,
+        "q100_event_chain": _event_chain_q,
     }
+
+
+def _event_chain_q(sf_dir: str):
+    """q100: per-user event-type chain — deterministic ordered
+    string_agg (the behavioral-sequence feature): one keyed exchange,
+    every group rendered in one vectorized cast→offsets→binary_join
+    pass (the q41 render shape, never a per-group UDF)."""
+    import ray
+
+    from featurebox_ray.stages.pivot import group_concat
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts",
+                                        "event_id"])
+    return group_concat(ev, group_col="user_id",
+                        value_col="event_type",
+                        order_cols=["ts", "event_id"], sep=",",
+                        out_col="chain", num_partitions=8)
 
 
 def _group_topk_q(sf_dir: str):
@@ -3227,6 +3246,13 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # event chain: ordered string_agg, deterministic tie order
+        "q100_event_chain": """
+            SELECT user_id,
+                   string_agg(event_type, ','
+                              ORDER BY ts, event_id) AS chain
+            FROM events GROUP BY user_id
         """,
         # group top-k values: QUALIFY rn <= k, deterministic order
         "q99_group_topk": """

@@ -327,3 +327,64 @@ def group_topk_values(ds, *, group_col: str, value_col: str, k: int = 3,
                            sort_keys=[group_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def group_concat(ds, *, group_col: str, value_col: str,
+                 order_cols: Sequence[str], sep: str = ",",
+                 out_col: str = "concat", num_partitions: int = 16):
+    """Deterministic ordered ``string_agg`` per group — the behavioral-
+    sequence feature (per-user event chain, per-conversation role
+    trail): SQL ``string_agg(v, sep ORDER BY order_cols)``.
+
+    One keyed exchange; the kernel renders every group of its sorted
+    partition in ONE vectorized pass (cast → filter nulls →
+    list-offsets → ``binary_join``, the q41 render shape — never a UDF
+    per group).  NULL values are skipped like SQL ``string_agg``;
+    groups whose values are all NULL emit a NULL concat (still one row
+    per group).  Output: ``(group_col, out_col:string)``.
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(group_col, t.schema.field(group_col).type)
+            if group_col in t.column_names
+            else pa.field(group_col, pa.string()),
+            pa.field(out_col, pa.string())])
+        if t.num_rows == 0 or group_col not in t.column_names:
+            return out_schema.empty_table()
+        codes, _ = _codes_dic(t[group_col])
+        piece = t[value_col].combine_chunks().cast(pa.string())
+        valid = pc.is_valid(piece).to_numpy(zero_copy_only=False)
+        n = len(codes)
+        first = np.empty(n, np.bool_)
+        first[0] = True
+        first[1:] = codes[1:] != codes[:-1]
+        run_id = np.cumsum(first) - 1
+        n_groups = int(run_id[-1]) + 1
+        # offsets over the VALID pieces only (string_agg skips NULLs)
+        vcounts = np.bincount(run_id[valid], minlength=n_groups)
+        offsets = np.concatenate([[0], np.cumsum(vcounts)]).astype(
+            np.int64)
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pc.cast(piece.filter(pa.array(valid)),
+                        pa.large_string())),
+            pa.scalar(sep, pa.large_string()))
+        # all-null groups -> NULL, not "" (SQL string_agg semantics)
+        joined = pc.if_else(
+            pa.array(vcounts > 0), joined,
+            pa.nulls(n_groups, pa.large_string()))
+        starts = np.flatnonzero(first)
+        return pa.table({
+            group_col: t[group_col].combine_chunks().take(
+                pa.array(starts, pa.int64())),
+            out_col: pc.cast(joined, pa.string()),
+        })
+
+    from .partition import partitioned_map
+
+    return partitioned_map(ds, kernel, key=group_col,
+                           sort_keys=[group_col] + list(order_cols),
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -465,3 +465,38 @@ def test_group_topk_values_matches_duckdb():
     with pytest.raises(ValueError, match="positive"):
         group_topk_values(_ds(pdf, 2), group_col="g", value_col="v",
                           k=0)
+
+
+def test_group_concat_matches_duckdb():
+    import duckdb
+
+    from featurebox_ray.stages.pivot import group_concat
+
+    rng = np.random.default_rng(151)
+    n = 800
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": pd.array(rng.choice([1, 2, None], size=n), dtype="Int64"),
+        "v": rng.choice(["a", "b", "c", None], size=n),
+        "o": rng.permutation(n).astype(np.int64),
+    })
+    # one all-null-value group
+    pdf = pd.concat([pdf, pd.DataFrame(
+        {"id": [n, n + 1], "g": pd.array([9, 9], dtype="Int64"),
+         "v": [None, None], "o": [0, 1]})], ignore_index=True)
+    got = (group_concat(_ds(pdf, 5), group_col="g", value_col="v",
+                        order_cols=["o", "id"], sep="|",
+                        num_partitions=3)
+           .to_pandas().sort_values("g", na_position="last")
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.execute("""
+        SELECT g, string_agg(v, '|' ORDER BY o, id) AS concat
+        FROM pdf GROUP BY g ORDER BY g NULLS LAST
+    """).df()
+    con.close()
+    assert len(got) == len(want)
+    assert (got["concat"].fillna("~").tolist()
+            == want["concat"].fillna("~").tolist())
+    assert got.set_index("g").loc[9, "concat"] is None \
+        or pd.isna(got.set_index("g").loc[9, "concat"])
