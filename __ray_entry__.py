@@ -406,7 +406,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q98_group_norm": _group_norm_q,
         "q99_group_topk": _group_topk_q,
         "q100_event_chain": _event_chain_q,
+        "q101_hll_distinct": _hll_distinct_q,
     }
+
+
+def _hll_distinct_q(sf_dir: str):
+    """q101: HyperLogLog distinct-count sketch per event_type — the
+    fixed-memory complement to q48's KMV (registers merge by MAX, sketch
+    size is capped at m bytes per group regardless of cardinality).  The
+    harmonic sum is computed as an exact integer (sum of powers of two),
+    so the raw-HLL estimate is two IEEE ops from exact values and DuckDB
+    replays it bit-identically (register ranks via printf('%b') bit
+    lengths, the integer sum via <<)."""
+    import ray
+
+    from featurebox_ray.stages.sketch import hll_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return hll_distinct(ev, group_col="event_type", value_col="user_id",
+                        p=8)
 
 
 def _event_chain_q(sf_dir: str):
@@ -3246,6 +3265,42 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # HLL: identical md5 hashes, integer harmonic sum (powers of two
+        # via <<, order-independent), estimator = two IEEE ops — the
+        # DOUBLE casts are load-bearing (bare literals parse as DECIMAL)
+        "q101_hll_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                               AS UBIGINT) AS BIGINT) AS hv
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), rr AS (
+              SELECT event_type, hv >> 52 AS reg,
+                     hv & ((1::BIGINT << 52) - 1) AS rem
+              FROM h
+            ), mx AS (
+              SELECT event_type, reg,
+                     max(CASE WHEN rem = 0 THEN 53
+                              ELSE 52 - length(printf('%b', rem)) + 1
+                         END) AS m_j
+              FROM rr GROUP BY event_type, reg
+            )
+            SELECT event_type,
+                   CAST(256 - count(*) AS BIGINT) AS n_zero_regs,
+                   CAST(CAST(sum(1::BIGINT << (53 - m_j)) AS BIGINT)
+                        + (256 - count(*)) * (1::BIGINT << 53)
+                        AS BIGINT) AS s_int,
+                   (CAST(0.7213 AS DOUBLE)
+                    / (CAST(1 AS DOUBLE)
+                       + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+                   * (CAST(65536 AS DOUBLE)
+                      * CAST(9007199254740992 AS DOUBLE))
+                   / CAST(CAST(sum(1::BIGINT << (53 - m_j)) AS BIGINT)
+                          + (256 - count(*)) * (1::BIGINT << 53)
+                          AS DOUBLE) AS est_distinct
+            FROM mx GROUP BY event_type
         """,
         # event chain: ordered string_agg, deterministic tie order
         "q100_event_chain": """

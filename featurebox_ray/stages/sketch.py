@@ -105,6 +105,99 @@ def kmv_distinct(ds, *, group_col: str, value_col: str, k: int = 64):
         finalize, batch_format="pyarrow")
 
 
+def hll_distinct(ds, *, group_col: str, value_col: str, p: int = 8):
+    """HyperLogLog distinct-count sketch per group (Flajolet et al. 2007)
+    — the fixed-memory complement to :func:`kmv_distinct`: a group's whole
+    value set collapses into ``m = 2**p`` one-byte registers that merge by
+    elementwise MAX, so the shuffle moves O(blocks × groups × m) tiny
+    register rows regardless of cardinality and the sketch size never
+    grows past ``m`` (where KMV keeps ``k`` full hashes).
+
+    Exactness contract (what makes this value-hash-oracled rather than
+    "approximately right"): the raw HLL estimator
+    ``alpha_m * m^2 / sum_j 2^(-M_j)`` has an order-dependent float sum at
+    its core — instead the harmonic sum is computed as the EXACT integer
+    ``S = sum_j 2^(K - M_j)`` with ``K = w+1`` the maximum possible rank
+    (w = 60-p remainder bits), which is order-independent and fits int64
+    (``S <= m * 2^K = 2^(p+w+1) = 2^61``).  The estimate is then exactly
+    two IEEE ops from exact values: ``alpha_m * (m^2 * 2^K) / S`` —
+    DuckDB replays it bit-identically (register ranks via
+    ``length(printf('%b', rem))``, the integer sum via ``<<``).  The
+    standard small/large-range bias corrections use ``ln`` (libm ulps
+    differ across engines) and are deliberately omitted — this is the
+    RAW estimator on both sides, documented here.
+
+    Hashes are the module's 60-bit md5 prefixes (one md5 per distinct
+    value per batch — the documented replayable-hash trade; at 100 TB
+    swap ``_md5_60`` for a vectorized hash and drop the SQL oracle).
+
+    Returns one row per group: ``(group_col, n_zero_regs:int64,
+    s_int:int64, est_distinct:float64)``.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    w = 4 * HASH_HEX_DIGITS - p          # remainder bits (52 at p=8)
+    big_k = w + 1                        # max possible register rank
+
+    def partial(batch: pa.Table) -> pa.Table:
+        """per-block elementwise-max registers per group present."""
+        mask = pc.and_(pc.is_valid(batch[group_col]),
+                       pc.is_valid(batch[value_col]))
+        if not pc.all(mask).as_py():
+            batch = batch.filter(mask)
+        gtype = batch.schema.field(group_col).type
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        gd = pc.dictionary_encode(batch[group_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        uv, inv = np.unique(vals, return_inverse=True)
+        hv = _md5_60(uv)[inv]
+        reg = hv >> w
+        rem = hv & ((np.int64(1) << w) - 1)
+        # bit_length via frexp: rem < 2^52 is exactly representable in
+        # float64, so the returned exponent IS the bit length
+        bitlen = np.frexp(rem.astype(np.float64))[1].astype(np.int64)
+        rho = np.where(rem > 0, w - bitlen + 1, big_k).astype(np.int64)
+        n_groups = len(gd.dictionary)
+        regs = np.zeros((n_groups, m), np.int64)
+        np.maximum.at(regs, (codes, reg), rho)
+        gi, ri = np.nonzero(regs)
+        return pa.table({
+            group_col: gd.dictionary.take(pa.array(gi, pa.int64())),
+            "reg": pa.array(ri.astype(np.int64)),
+            "rho": pa.array(regs[gi, ri]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs,
+                      t["reg"].to_numpy(zero_copy_only=False),
+                      t["rho"].to_numpy(zero_copy_only=False))
+        hit = regs > 0
+        # Python-int sum: exact, order-independent (fits int64 anyway)
+        s_int = int(sum(1 << (big_k - int(r)) for r in regs[hit]))
+        s_int += int(m - hit.sum()) * (1 << big_k)
+        alpha = 0.7213 / (1.0 + 1.079 / float(m))
+        m2k = float(m * m) * float(1 << big_k)   # power of two: exact
+        est = alpha * m2k / float(s_int)
+        return pa.table({
+            group_col: t[group_col].slice(0, 1),
+            "n_zero_regs": pa.array([int(m - hit.sum())], pa.int64()),
+            "s_int": pa.array([s_int], pa.int64()),
+            "est_distinct": pa.array([est], pa.float64()),
+        })
+
+    return partials.groupby(group_col).map_groups(
+        finalize, batch_format="pyarrow")
+
+
 def cms_term_estimates(ds, *, text_col: str = "text", depth: int = 4,
                        width: int = 1024, query_k: int = 20,
                        id_col: str = "doc_id", num_partitions: int = 8):

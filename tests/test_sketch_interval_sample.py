@@ -77,6 +77,63 @@ def test_kmv_partition_invariance():
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
 
 
+# ---------------------------------------------------------------- HLL ----
+
+def _hll_replay(groups, values, p):
+    """Serial raw-HLL over (group, value) pairs."""
+    m, w = 1 << p, 60 - p
+    big_k = w + 1
+    byg = {}
+    for g, v in zip(groups, values):
+        byg.setdefault(g, set()).add(_md5_60(v))
+    out = {}
+    for g, hs in byg.items():
+        regs = [0] * m
+        for h in hs:
+            reg, rem = h >> w, h & ((1 << w) - 1)
+            rho = (w - rem.bit_length() + 1) if rem else big_k
+            regs[reg] = max(regs[reg], rho)
+        s = sum(1 << (big_k - r) for r in regs)
+        alpha = 0.7213 / (1.0 + 1.079 / float(m))
+        est = alpha * (float(m * m) * float(1 << big_k)) / float(s)
+        out[g] = (sum(1 for r in regs if r == 0), s, est)
+    return out
+
+
+def test_hll_matches_serial_replay_and_partition_invariant():
+    from featurebox_ray.stages.sketch import hll_distinct
+    rng = np.random.default_rng(11)
+    groups = rng.choice(["a", "b", "c"], 5000).tolist()
+    values = rng.integers(0, 2000, 5000).tolist()
+    t = pa.table({"g": pa.array(groups), "v": pa.array(values, pa.int64())})
+    expect = _hll_replay(groups, values, p=8)
+
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = hll_distinct(ds, group_col="g", value_col="v",
+                           p=8).to_pandas().set_index("g")
+        for g, (nz, s, est) in expect.items():
+            assert got.loc[g, "n_zero_regs"] == nz
+            assert got.loc[g, "s_int"] == s
+            assert got.loc[g, "est_distinct"] == est  # bit-exact
+
+    # raw-HLL accuracy sanity: within ~3 standard errors (1.04/sqrt(m))
+    exact = {g: len({v for gg, v in zip(groups, values) if gg == g})
+             for g in set(groups)}
+    for g in exact:
+        rel = abs(expect[g][2] - exact[g]) / exact[g]
+        assert rel < 3 * 1.04 / np.sqrt(256)
+
+
+def test_hll_guards():
+    from featurebox_ray.stages.sketch import hll_distinct
+    ds = ray.data.from_arrow(pa.table({"g": ["x"], "v": [1]}))
+    with pytest.raises(ValueError):
+        hll_distinct(ds, group_col="g", value_col="v", p=3)
+
+
 # ------------------------------------------------------- interval join ----
 
 def test_interval_join_matches_bruteforce():
