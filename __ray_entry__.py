@@ -407,7 +407,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q99_group_topk": _group_topk_q,
         "q100_event_chain": _event_chain_q,
         "q101_hll_distinct": _hll_distinct_q,
+        "q102_group_linfit": _group_linfit_q,
     }
+
+
+def _group_linfit_q(sf_dir: str):
+    """q102: per-user OLS spend trend (cents/day) — distributed
+    regr_slope/regr_intercept from integer-exact sufficient statistics:
+    per-block (n, Σx, Σy, Σxy, Σx²) partials over quantized int64 inputs
+    (x = days since epoch, y = cents), one group-keyed exchange, Python-int
+    combine, closed form as a fixed float64 op sequence.  The oracle
+    replays it with HUGEINT sums + explicit DOUBLE casts (NEVER
+    regr_slope — float accumulation is order-dependent)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.regress import group_linfit
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def quantize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.and_(pc.is_valid(b["value"]),
+                             pc.is_valid(b["ts"])))
+        ep = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = ep // 86_400_000_000            # days since epoch (floor)
+        y = np.round(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "x_day": pa.array(x),
+                         "y_cent": pa.array(y)})
+
+    ev = ev.map_batches(quantize, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return group_linfit(ev, key_col="user_id", x_col="x_day",
+                        y_col="y_cent")
 
 
 def _hll_distinct_q(sf_dir: str):
@@ -3265,6 +3302,40 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # group OLS: HUGEINT sufficient statistics, fixed float64 op
+        # sequence (2 casts + 1 div; intercept reuses the slope expr)
+        "q102_group_linfit": """
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(ts) // 86400000000 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+                    AND user_id IS NOT NULL
+            ), s AS (
+              SELECT user_id,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x * y) AS HUGEINT) AS sxy,
+                     CAST(sum(x * x) AS HUGEINT) AS sxx
+              FROM e GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE (CAST(sy AS DOUBLE)
+                              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                   END AS intercept
+            FROM s
         """,
         # HLL: identical md5 hashes, integer harmonic sum (powers of two
         # via <<, order-independent), estimator = two IEEE ops — the

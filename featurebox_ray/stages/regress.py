@@ -1,0 +1,106 @@
+"""Per-group OLS line fit (slope/intercept) from integer-exact
+sufficient statistics — the distributed `regr_slope`/`regr_intercept`
+analog, and the trend-feature counterpart to the exact group stats of
+``stages/normalize.py:add_group_norm_features``.
+
+Scale shape: each block reduces to one ``(group, n, Σx, Σy, Σxy, Σx²)``
+partial row per group present (``np.add.at`` over dictionary codes);
+ONE group-keyed exchange moves O(blocks × groups) partial rows, never
+data; the final combine accumulates partials as Python ints (no int64
+overflow at any scale) and performs the closed form.
+
+Exactness contract (why this is value-hash-oracled): inputs must be
+int64 columns (the caller quantizes — e.g. cents / days — exactly like
+the q01/q98 money pattern).  All sums are then exact integers, and the
+outputs are a FIXED float64 op sequence from exact ints:
+
+    den       = n·Σx² − Σx·Σx                  (exact int)
+    num       = n·Σxy − Σx·Σy                  (exact int)
+    slope     = double(num) / double(den)       (2 conversions + 1 div)
+    intercept = (double(Σy) − slope·double(Σx)) / double(n)
+
+which DuckDB replays bit-identically with HUGEINT arithmetic and
+explicit DOUBLE casts.  NEVER oracle this with ``regr_slope`` — its
+internal accumulation is floating-point and order-dependent.
+
+Degenerate groups (den == 0: fewer than two distinct x) emit NULL
+slope/intercept, matching SQL ``CASE WHEN den = 0 THEN NULL``.
+
+Reference analog: the reference fits lines via sklearn
+``LinearRegression`` inside selection drivers (selection/quickmethod.py
+"LR-L2" entries); this is that capability re-expressed as a distributed
+aggregate over grouped data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PARTIAL_COLS = ("n", "sx", "sy", "sxy", "sxx")
+
+
+def group_linfit(ds, *, key_col: str, x_col: str, y_col: str):
+    """OLS ``y = slope·x + intercept`` per ``key_col`` group.
+
+    ``x_col``/``y_col`` must be int64 (pre-quantized); rows with a NULL
+    key, x or y are dropped.  Returns one row per group:
+    ``(key_col, n:int64, slope:float64, intercept:float64)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for c in (x_col, y_col):
+            if batch.schema.field(c).type != pa.int64():
+                raise TypeError(f"{c} must be int64 (quantize first); "
+                                f"got {batch.schema.field(c).type}")
+        mask = pc.and_(pc.and_(pc.is_valid(batch[key_col]),
+                               pc.is_valid(batch[x_col])),
+                       pc.is_valid(batch[y_col]))
+        if not pc.all(mask).as_py():
+            batch = batch.filter(mask)
+        ktype = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             **{c: pa.array([], pa.int64())
+                                for c in _PARTIAL_COLS}})
+        gd = pc.dictionary_encode(batch[key_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        g = len(gd.dictionary)
+        sums = np.zeros((5, g), np.int64)
+        np.add.at(sums[0], codes, 1)
+        np.add.at(sums[1], codes, x)
+        np.add.at(sums[2], codes, y)
+        np.add.at(sums[3], codes, x * y)
+        np.add.at(sums[4], codes, x * x)
+        return pa.table({
+            key_col: gd.dictionary,
+            **{c: pa.array(sums[i]) for i, c in enumerate(_PARTIAL_COLS)},
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # Python ints: exact and unbounded regardless of scale
+        n, sx, sy, sxy, sxx = (
+            sum(t[c].to_pylist()) for c in _PARTIAL_COLS)
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope = intercept = None
+        else:
+            num = n * sxy - sx * sy
+            slope = float(num) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pa.table({
+            key_col: t[key_col].slice(0, 1),
+            "n": pa.array([n], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+            "intercept": pa.array([intercept], pa.float64()),
+        })
+
+    # the exchange moves O(blocks × groups) tiny partial rows
+    return partials.groupby(key_col).map_groups(
+        finalize, batch_format="pyarrow")

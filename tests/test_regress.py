@@ -1,0 +1,75 @@
+"""Per-group OLS line fit (stages/regress.py) vs numpy / serial replay."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from featurebox_ray.stages.regress import group_linfit
+
+
+def _serial(groups, xs, ys):
+    out = {}
+    for g in sorted(set(groups)):
+        x = [int(a) for a, gg in zip(xs, groups) if gg == g]
+        y = [int(b) for b, gg in zip(ys, groups) if gg == g]
+        n, sx, sy = len(x), sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        den = n * sxx - sx * sx
+        if den == 0:
+            out[g] = (n, None, None)
+        else:
+            slope = float(n * sxy - sx * sy) / float(den)
+            out[g] = (n, slope, (float(sy) - slope * float(sx)) / float(n))
+    return out
+
+
+def test_group_linfit_matches_replay_and_numpy():
+    rng = np.random.default_rng(5)
+    groups = rng.choice(["a", "b", "c"], 400).tolist()
+    xs = rng.integers(0, 1000, 400).astype(np.int64)
+    ys = (3 * xs + rng.integers(-50, 50, 400)).astype(np.int64)
+    t = pa.table({"g": pa.array(groups), "x": pa.array(xs),
+                  "y": pa.array(ys)})
+    expect = _serial(groups, xs, ys)
+
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = group_linfit(ds, key_col="g", x_col="x",
+                           y_col="y").to_pandas().set_index("g")
+        for g, (n, slope, intercept) in expect.items():
+            assert got.loc[g, "n"] == n
+            assert got.loc[g, "slope"] == slope          # bit-exact
+            assert got.loc[g, "intercept"] == intercept  # bit-exact
+            # sanity vs numpy polyfit (approximate)
+            m = [i for i, gg in enumerate(groups) if gg == g]
+            coef = np.polyfit(xs[m].astype(float), ys[m].astype(float), 1)
+            assert abs(coef[0] - slope) < 1e-6
+            assert abs(coef[1] - intercept) < 1e-3
+
+
+def test_group_linfit_degenerate_and_nulls():
+    t = pa.table({
+        "g": pa.array(["one", "one", "flat", "flat", None, "one"]),
+        "x": pa.array([5, 5, 1, 2, 3, None], pa.int64()),
+        "y": pa.array([10, 20, 7, None, 9, 11], pa.int64()),
+    })
+    got = group_linfit(ray.data.from_arrow(t), key_col="g", x_col="x",
+                       y_col="y").to_pandas().set_index("g")
+    # "one": both valid rows share x=5 -> den == 0 -> NULL fit
+    assert got.loc["one", "n"] == 2
+    assert np.isnan(got.loc["one", "slope"])
+    # "flat": one valid row (null y dropped) -> den == 0
+    assert got.loc["flat", "n"] == 1
+    assert np.isnan(got.loc["flat", "intercept"])
+    assert set(got.index) == {"one", "flat"}  # null key dropped
+
+
+def test_group_linfit_type_guard():
+    t = pa.table({"g": ["a"], "x": pa.array([1.5]), "y": pa.array([2])})
+    with pytest.raises(Exception, match="int64"):
+        group_linfit(ray.data.from_arrow(t), key_col="g", x_col="x",
+                     y_col="y").to_pandas()
