@@ -408,7 +408,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q100_event_chain": _event_chain_q,
         "q101_hll_distinct": _hll_distinct_q,
         "q102_group_linfit": _group_linfit_q,
+        "q103_unpivot": _unpivot_q,
     }
+
+
+def _unpivot_q(sf_dir: str):
+    """q103: UNPIVOT/melt — lineitem measure columns to long form, one
+    row per (line, measure).  Pure streaming flat map (zero-copy column
+    selections, constant-factor row expansion, no exchange); values pass
+    through unchanged so the UNION ALL oracle hashes exactly."""
+    import ray
+
+    from featurebox_ray.stages.pivot import unpivot
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(li, id_cols=["l_orderkey", "l_linenumber"],
+                   value_cols=["l_quantity", "l_extendedprice",
+                               "l_discount", "l_tax"],
+                   var_col="measure", value_col="value")
 
 
 def _group_linfit_q(sf_dir: str):
@@ -3302,6 +3322,21 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # unpivot: literal UNION ALL of per-column selections
+        "q103_unpivot": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_tax', l_tax FROM lineitem
         """,
         # group OLS: HUGEINT sufficient statistics, fixed float64 op
         # sequence (2 casts + 1 div; intercept reuses the slope expr)

@@ -388,3 +388,36 @@ def group_concat(ds, *, group_col: str, value_col: str,
                            sort_keys=[group_col] + list(order_cols),
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def unpivot(ds, *, id_cols: Sequence[str], value_cols: Sequence[str],
+            var_col: str = "variable", value_col: str = "value"):
+    """Melt (UNPIVOT): widen-inverse — one output row per (input row ×
+    value column), ``var_col`` carrying the source column name.
+
+    Pure streaming flat map: each batch emits ``len(value_cols)``
+    zero-copy column selections concatenated (id columns are reused by
+    slice, no per-row Python, no exchange, no driver state) — at 100 TB
+    this is a constant-factor row expansion that pipelines through the
+    executor like any other map.
+
+    All ``value_cols`` are cast to float64 (the engine's numeric
+    interchange type); NULL values are preserved.  SQL replay is the
+    literal ``UNION ALL`` of per-column selections.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        parts = []
+        ids = b.select(id_cols)
+        for c in value_cols:
+            parts.append(ids.append_column(
+                var_col, pa.array([c] * b.num_rows, pa.string())
+            ).append_column(
+                value_col, b[c].combine_chunks().cast(pa.float64())))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

@@ -500,3 +500,31 @@ def test_group_concat_matches_duckdb():
             == want["concat"].fillna("~").tolist())
     assert got.set_index("g").loc[9, "concat"] is None \
         or pd.isna(got.set_index("g").loc[9, "concat"])
+
+
+# -------------------------------------------------------------- unpivot ----
+
+def test_unpivot_matches_pandas_melt():
+    import pandas as pd
+
+    from featurebox_ray.stages.pivot import unpivot
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array([1.5, None, 3.0]),
+        "b": pa.array([10, 20, 30], pa.int64()),
+    })
+    got = (unpivot(ray.data.from_arrow(t).repartition(2),
+                   id_cols=["id"], value_cols=["a", "b"])
+           .to_pandas().sort_values(["id", "variable"])
+           .reset_index(drop=True))
+    want = (t.to_pandas().melt(id_vars=["id"], value_vars=["a", "b"])
+            .astype({"value": "float64"})
+            .sort_values(["id", "variable"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_unpivot_empty_value_cols_raises():
+    from featurebox_ray.stages.pivot import unpivot
+    ds = ray.data.from_arrow(pa.table({"id": [1]}))
+    with pytest.raises(ValueError):
+        unpivot(ds, id_cols=["id"], value_cols=[])
