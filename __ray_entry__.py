@@ -409,7 +409,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q101_hll_distinct": _hll_distinct_q,
         "q102_group_linfit": _group_linfit_q,
         "q103_unpivot": _unpivot_q,
+        "q104_asof_nearest": _asof_nearest_q,
     }
+
+
+def _asof_nearest_q(sf_dir: str):
+    """q104: nearest-direction as-of join — each click matched to the
+    closest purchase of the same user by |ts gap| (pandas merge_asof
+    direction='nearest'; equal distances resolve backward).  One fused
+    merge pass computes both segmented scans; the oracle composes two
+    DuckDB ASOF joins with tie-deduped right sides and an exact integer
+    gap compare."""
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.asof import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    left = (ev.filter(expr="event_type == 'click'")
+            .select_columns(["event_id", "user_id", "ts"]))
+    right = (ev.filter(expr="event_type == 'purchase'")
+             .map_batches(lambda b: b.filter(pc.is_valid(b["value"]))
+                          .select(["user_id", "ts", "value"])
+                          .rename_columns(["user_id", "ts", "near_value"]),
+                          batch_format="pyarrow", zero_copy_batch=True))
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    right_cols=["near_value"], direction="nearest",
+                    num_partitions=8, order_col="event_id")
+    return out.select_columns(["event_id", "user_id", "ts", "near_value"])
 
 
 def _unpivot_q(sf_dir: str):
@@ -3322,6 +3351,49 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # nearest as-of: two ASOF joins over tie-deduped right sides,
+        # exact integer gap compare, ties -> backward
+        "q104_asof_nearest": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ), r AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL
+            ), rb AS (
+              SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY value DESC) AS rn
+                FROM r) WHERE rn = 1
+            ), rf AS (
+              SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY value ASC) AS rn
+                FROM r) WHERE rn = 1
+            ), b AS (
+              SELECT l.event_id, rb.ts AS bts, rb.value AS bval
+              FROM l ASOF LEFT JOIN rb
+              ON l.user_id = rb.user_id AND rb.ts <= l.ts
+            ), f AS (
+              SELECT l.event_id, rf.ts AS fts, rf.value AS fval
+              FROM l ASOF LEFT JOIN rf
+              ON l.user_id = rf.user_id AND rf.ts >= l.ts
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   CASE
+                     WHEN bts IS NULL AND fts IS NULL THEN NULL
+                     WHEN bts IS NULL THEN fval
+                     WHEN fts IS NULL THEN bval
+                     WHEN epoch_us(l.ts) - epoch_us(bts)
+                          <= epoch_us(fts) - epoch_us(l.ts) THEN bval
+                     ELSE fval
+                   END AS near_value
+            FROM l
+            JOIN b USING (event_id)
+            JOIN f USING (event_id)
         """,
         # unpivot: literal UNION ALL of per-column selections
         "q103_unpivot": """

@@ -68,12 +68,24 @@ def asof_join(
     right rows share (key, ts), backward picks the one sorting LAST by
     ``right_cols``, forward the one sorting FIRST (both deterministic).
 
+    ``direction="nearest"`` matches the right row with the smallest
+    ``|right.ts - left.ts|``; equal distances resolve to the BACKWARD
+    candidate (deterministic, mirrors the point-in-time preference).
+    At tied right (key, ts) the backward candidate is the row sorting
+    LAST by ``right_cols`` and the forward candidate the row sorting
+    FIRST — exactly the backward/forward rules composed.  ``strict``
+    is meaningless for nearest and rejected.
+
     ``tolerance_s`` (pandas ``merge_asof(tolerance=)`` semantics): a
     match further than this many seconds from the left row is treated
     as no match (right cols null) — the staleness bound for
-    point-in-time feature backfill."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    point-in-time feature backfill.  For nearest the bound applies to
+    the absolute gap."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest" and strict:
+        raise ValueError("strict is not defined for direction='nearest'")
     tol_us = None
     if tolerance_s is not None:
         tol_us = int(round(tolerance_s * 1_000_000))
@@ -91,8 +103,10 @@ def asof_join(
         raise ValueError(f"right_cols {overlap} collide with left columns")
 
     left_tag = 1
-    if direction == "backward":
-        # right rows at equal ts sort BEFORE left (match) unless strict
+    if direction in ("backward", "nearest"):
+        # right rows at equal ts sort BEFORE left (match) unless strict;
+        # nearest uses the backward layout — an equal-ts right row is a
+        # gap-0 backward candidate, which always wins the gap compare
         right_tag = 2 if strict else 0
     else:
         # forward: right rows at equal ts sort AFTER left (match) unless
@@ -138,12 +152,25 @@ def asof_join(
         left_mask = side == left_tag
         if direction == "backward":
             match = seg.last_occurrence_index(is_right, seg_start)
-        else:
+        elif direction == "forward":
             n = len(codes)
             starts_idx = np.flatnonzero(is_start)
             ends = np.append(starts_idx[1:], n)
             seg_id = np.cumsum(is_start) - 1
             match = seg.next_occurrence_index(is_right, ends[seg_id])
+        else:  # nearest: both scans, smaller |gap| wins, tie -> backward
+            n = len(codes)
+            starts_idx = np.flatnonzero(is_start)
+            ends = np.append(starts_idx[1:], n)
+            seg_id = np.cumsum(is_start) - 1
+            mb = seg.last_occurrence_index(is_right, seg_start)
+            mf = seg.next_occurrence_index(is_right, ends[seg_id])
+            ts_i = (table[ts_col].combine_chunks().cast(pa.int64())
+                    .to_numpy(zero_copy_only=False))
+            big = np.iinfo(np.int64).max // 2
+            gb = np.where(mb >= 0, ts_i - ts_i[np.where(mb >= 0, mb, 0)], big)
+            gf = np.where(mf >= 0, ts_i[np.where(mf >= 0, mf, 0)] - ts_i, big)
+            match = np.where(gb <= gf, mb, mf)
         left_pos = np.flatnonzero(left_mask)
         src = match[left_pos]  # right row index per left row, -1 = none
         if tol_us is not None:

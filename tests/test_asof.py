@@ -184,3 +184,68 @@ def test_asof_tolerance_matches_pandas(tiny_dir):
     with pytest.raises(ValueError, match="non-negative"):
         asof_join(lds, rds, key="conv_id", ts_col="ts",
                   right_cols=["f_score"], tolerance_s=-1.0)
+
+
+def test_nearest_asof_matches_pandas():
+    rng = np.random.default_rng(17)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame({
+        "k": rng.integers(0, 8, n_l),
+        "ts": rng.integers(0, 10_000, n_l).astype(np.int64),
+        "row": np.arange(n_l, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r),
+        "ts": rng.integers(0, 10_000, n_r).astype(np.int64),
+        "val": rng.normal(size=n_r),
+    })
+    # dedupe right (k, ts) so pandas tie semantics within equal ts don't
+    # enter the comparison (engine rule is documented separately)
+    right = right.groupby(["k", "ts"], as_index=False).first()
+
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(5)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+    got = (asof_join(lds, rds, key="k", ts_col="ts", right_cols=["val"],
+                     direction="nearest", num_partitions=6,
+                     order_col="row")
+           .to_pandas().sort_values("row").reset_index(drop=True))
+
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="nearest",
+    ).sort_values("row").reset_index(drop=True)
+    assert np.allclose(got["val"].to_numpy(np.float64),
+                       want["val"].to_numpy(np.float64), equal_nan=True)
+
+
+def test_nearest_asof_tie_prefers_backward_and_guards():
+    left = pd.DataFrame({"k": [1], "ts": np.array([10], np.int64),
+                         "row": np.array([0], np.int64)})
+    right = pd.DataFrame({"k": [1, 1], "ts": np.array([5, 15], np.int64),
+                          "val": ["back", "fwd"]})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right))
+    got = asof_join(lds, rds, key="k", ts_col="ts", right_cols=["val"],
+                    direction="nearest", num_partitions=2).to_pandas()
+    assert got["val"].iloc[0] == "back"
+
+    with pytest.raises(ValueError, match="strict"):
+        asof_join(lds, rds, key="k", ts_col="ts", right_cols=["val"],
+                  direction="nearest", strict=True)
+
+
+def test_nearest_asof_tolerance_bounds_abs_gap():
+    left = pd.DataFrame({"k": [1, 1], "ts": np.array([10, 100], np.int64),
+                         "row": np.array([0, 1], np.int64)})
+    right = pd.DataFrame({"k": [1], "ts": np.array([12], np.int64),
+                          "val": np.array([7.0])})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right))
+    # plain int64 ts follows the repo's microseconds convention
+    got = (asof_join(lds, rds, key="k", ts_col="ts", right_cols=["val"],
+                     direction="nearest", tolerance_s=5e-6,
+                     num_partitions=2)
+           .to_pandas().sort_values("row"))
+    assert got["val"].iloc[0] == 7.0      # |gap| = 2 <= 5
+    assert np.isnan(got["val"].iloc[1])   # |gap| = 88 > 5
