@@ -410,7 +410,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q102_group_linfit": _group_linfit_q,
         "q103_unpivot": _unpivot_q,
         "q104_asof_nearest": _asof_nearest_q,
+        "q105_rolling_median": _rolling_median_q,
     }
+
+
+def _rolling_median_q(sf_dir: str):
+    """q105: trailing 5-row rolling median of event value per user —
+    exact quantile_disc element pick over a sliding_window_view with
+    segment-boundary masking (one keyed exchange, n×w bounded window
+    matrix, no per-row Python).  Element pick = bit-exact SQL replay."""
+    import ray
+
+    from featurebox_ray.stages.window import add_rolling_quantile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    out = add_rolling_quantile(ev, key_col="user_id", ts_col="ts",
+                               value_col="value", order_col="event_id",
+                               window_rows=5, q=0.5,
+                               out_col="roll_med", num_partitions=8)
+    return out.select_columns(["event_id", "roll_med"])
 
 
 def _asof_nearest_q(sf_dir: str):
@@ -3351,6 +3371,17 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # rolling median: windowed quantile_disc (exact element pick);
+        # the CAST on q is load-bearing (bare literal parses DECIMAL)
+        "q105_rolling_median": """
+            SELECT event_id,
+                   quantile_disc(value, CAST(0.5 AS DOUBLE))
+                     OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                     AS roll_med
+            FROM events
         """,
         # nearest as-of: two ASOF joins over tie-deduped right sides,
         # exact integer gap compare, ties -> backward

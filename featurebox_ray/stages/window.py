@@ -389,3 +389,59 @@ def add_running_totals(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, ts_col, order_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def add_rolling_quantile(ds, *, key_col: str, ts_col: str,
+                         value_col: str, order_col: str,
+                         window_rows: int, q: float = 0.5,
+                         out_col: str = "roll_q",
+                         num_partitions: int = 16):
+    """Per-key trailing rolling quantile over the last ``window_rows``
+    rows — SQL ``quantile_disc(v, q) OVER (PARTITION BY k ORDER BY ts, o
+    ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)``.
+
+    One keyed exchange; per sorted partition the windows materialize as
+    ONE ``sliding_window_view`` over a NaN-padded copy (n × w, bounded
+    by the window width — size ``window_rows`` stays a small constant at
+    any data scale), cross-key leakage is masked by the per-row segment
+    start, and the pick is the exact quantile_disc element at sorted
+    index ``max(ceil(q·n)-1, 0)`` per row (NULL values ignored like the
+    SQL aggregate; all-null windows emit NULL) — an element pick, so
+    float64 results value-hash bit-exactly against DuckDB.
+
+    NaN *values* (as opposed to NULLs) are not supported — DuckDB
+    treats NaN as an ordinary large value while numpy sorting here
+    conflates it with the NULL padding.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    w = int(window_rows)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        codes, _ = _key_codes_dic(t[key_col])
+        v = (t[value_col].combine_chunks().cast(pa.float64())
+             .to_numpy(zero_copy_only=False))
+        n = len(v)
+        seg_start, _, _ = seg.segment_ids(codes)
+        pad = np.concatenate([np.full(w - 1, np.nan), v])
+        sw = np.lib.stride_tricks.sliding_window_view(pad, w).copy()
+        abs_idx = (np.arange(n)[:, None] - (w - 1)
+                   + np.arange(w)[None, :])
+        sw[abs_idx < seg_start[:, None]] = np.nan
+        nv = np.sum(~np.isnan(sw), axis=1)
+        ws = np.sort(sw, axis=1)                    # NaN sorts last
+        # DuckDB quantile_disc rank, q*n in float64 (quantile.py:_rank)
+        rank = np.maximum(
+            np.ceil(q * nv.astype(np.float64)).astype(np.int64) - 1, 0)
+        out = ws[np.arange(n), np.minimum(rank, w - 1)]
+        return t.append_column(
+            out_col, pa.array(out, pa.float64(), mask=(nv == 0)))
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -414,3 +414,55 @@ def test_running_totals_null_values_and_keys():
     assert (got["running_sum"].to_numpy(np.int64)
             == want["rs"].to_numpy(np.int64)).all()
     assert got["running_sum"].dtype == np.int64  # never a float trip
+
+
+def test_rolling_quantile_matches_duckdb_and_partition_invariant():
+    import duckdb
+
+    from featurebox_ray.stages.window import add_rolling_quantile
+
+    rng = np.random.default_rng(23)
+    n = 600
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 9, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 5000, n), pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.1
+                       else float(rng.normal()) for _ in range(n)],
+                      pa.float64()),
+    })
+    want = duckdb.sql("""
+        SELECT o, quantile_disc(v, CAST(0.3 AS DOUBLE))
+                 OVER (PARTITION BY k ORDER BY ts, o
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rq
+        FROM t ORDER BY o
+    """).fetchdf()
+
+    prev = None
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (add_rolling_quantile(ds, key_col="k", ts_col="ts",
+                                    value_col="v", order_col="o",
+                                    window_rows=7, q=0.3,
+                                    out_col="rq", num_partitions=4)
+               .to_pandas().sort_values("o").reset_index(drop=True))
+        gv = got["rq"].to_numpy(np.float64)
+        assert np.array_equal(gv, want["rq"].to_numpy(np.float64),
+                              equal_nan=True)
+        if prev is not None:
+            assert np.array_equal(prev, gv, equal_nan=True)
+        prev = gv
+
+
+def test_rolling_quantile_guards():
+    from featurebox_ray.stages.window import add_rolling_quantile
+    ds = ray.data.from_arrow(pa.table({"k": [1], "ts": [1], "o": [1],
+                                       "v": [1.0]}))
+    with pytest.raises(ValueError, match="window_rows"):
+        add_rolling_quantile(ds, key_col="k", ts_col="ts", value_col="v",
+                             order_col="o", window_rows=0)
+    with pytest.raises(ValueError, match="q must"):
+        add_rolling_quantile(ds, key_col="k", ts_col="ts", value_col="v",
+                             order_col="o", window_rows=3, q=1.5)
