@@ -411,7 +411,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q103_unpivot": _unpivot_q,
         "q104_asof_nearest": _asof_nearest_q,
         "q105_rolling_median": _rolling_median_q,
+        "q106_transitions": _transitions_q,
     }
+
+
+def _transitions_q(sf_dir: str):
+    """q106: global event-type transition matrix (behavioral Markov
+    bigrams) — per-user consecutive pairs via one keyed exchange +
+    shifted compare, ≤|types|² partials per partition, tiny second
+    exchange; p = two exact-int casts + one IEEE division (bit-exact
+    SQL replay via lead() + window sum)."""
+    import ray
+
+    from featurebox_ray.stages.transitions import event_transition_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return event_transition_counts(ev, key_col="user_id", ts_col="ts",
+                                   order_col="event_id",
+                                   type_col="event_type",
+                                   num_partitions=8)
 
 
 def _rolling_median_q(sf_dir: str):
@@ -3371,6 +3391,27 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # transitions: lead() bigrams, exact-int casts + one division
+        "q106_transitions": """
+            WITH s AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         AS to_type
+              FROM events
+            ), c AS (
+              SELECT from_type, to_type,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM s
+              WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+              GROUP BY from_type, to_type
+            )
+            SELECT from_type, to_type, cnt,
+                   CAST(cnt AS DOUBLE)
+                   / CAST(sum(cnt) OVER (PARTITION BY from_type)
+                          AS DOUBLE) AS p
+            FROM c
         """,
         # rolling median: windowed quantile_disc (exact element pick);
         # the CAST on q is load-bearing (bare literal parses DECIMAL)
