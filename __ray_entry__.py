@@ -412,7 +412,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q104_asof_nearest": _asof_nearest_q,
         "q105_rolling_median": _rolling_median_q,
         "q106_transitions": _transitions_q,
+        "q107_editdist_join": _editdist_join_q,
     }
+
+
+def _editdist_join_q(sf_dir: str):
+    """q107: edit-distance similarity join — all doc pairs whose 48-char
+    text prefixes are within Levenshtein distance 2, via the PassJoin
+    pigeonhole partition scheme (EXACT recall, no LSH probability) +
+    batch-vectorized DP verification.  The oracle is the all-pairs
+    levenshtein join (integer distances, value-hash exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.editdist import edit_distance_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def prefix(b: pa.Table) -> pa.Table:
+        s = pc.utf8_slice_codeunits(
+            pc.fill_null(b["text"].combine_chunks(), ""), 0, 48)
+        return pa.table({"doc_id": b["doc_id"], "s": s})
+
+    pref = docs.map_batches(prefix, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return edit_distance_join(pref, id_col="doc_id", str_col="s", d=2,
+                              max_len=64, num_partitions=8)
 
 
 def _transitions_q(sf_dir: str):
@@ -3391,6 +3418,21 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # edit-distance join: all-pairs levenshtein (exact integers);
+        # the length-difference filter only prunes (ed >= len diff)
+        "q107_editdist_join": """
+            WITH p AS (
+              SELECT doc_id, substr(coalesce(text, ''), 1, 48) AS s
+              FROM documents
+              WHERE length(substr(coalesce(text, ''), 1, 48)) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM p a JOIN p b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.s) - length(b.s)) <= 2
+             AND levenshtein(a.s, b.s) <= 2
         """,
         # transitions: lead() bigrams, exact-int casts + one division
         "q106_transitions": """

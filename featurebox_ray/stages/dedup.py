@@ -186,6 +186,9 @@ def _bucketed_distinct(ds, key_cols: List[str], hash_cols: List[str],
             "__b", pa.array((h % np.uint64(P)).astype(np.int32)))
 
     def distinct(group: pa.Table) -> pa.Table:
+        if "__b" not in group.column_names:
+            # zero-column empty bundle from an all-empty upstream
+            return group
         df = group.to_pandas()
         if sort_col is not None:
             df = df.sort_values(sort_col, kind="stable")

@@ -180,6 +180,9 @@ def with_partition_col(
 
 def sort_table(table: pa.Table, sort_keys: Sequence[str]) -> pa.Table:
     """Stable sort of an Arrow table by the given columns (ascending)."""
+    if not sort_keys:
+        # zero-column empty bundles filter every key out; nothing to sort
+        return table
     idx = pc.sort_indices(
         table, sort_keys=[(k, "ascending") for k in sort_keys]
     )
