@@ -413,7 +413,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q105_rolling_median": _rolling_median_q,
         "q106_transitions": _transitions_q,
         "q107_editdist_join": _editdist_join_q,
+        "q108_jsonl_roundtrip": _jsonl_roundtrip_q,
     }
+
+
+def _jsonl_roundtrip_q(sf_dir: str):
+    """q108: JSONL sink + source round trip — events (ints pre-quantized
+    to cents, floats never touch JSON) stream to newline-delimited JSON
+    shards, read back with ray.data.read_json, and aggregate; the oracle
+    recomputes the same aggregate from the parquet view, so the hash
+    match proves the round trip is value-exact.  Exercises the engine's
+    multi-format Catalog surface (parquet/csv/jsonl)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.sources.io import write_table
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id",
+                                        "event_type", "value"])
+
+    def quantize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False), nan=0.0) * 100.0
+        ).astype(np.int64)
+        cents = pa.array(cents, pa.int64(),
+                         mask=np.asarray(pc.is_null(v)))
+        return (b.select(["event_id", "user_id", "event_type"])
+                .append_column("value_c", cents))
+
+    out_dir = f"/tmp/fbr_jsonl_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    write_table(ev.map_batches(quantize, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                out_dir, fmt="jsonl")
+
+    back = ray.data.read_json(out_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        gd = pc.dictionary_encode(b["event_type"].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["event_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = pc.fill_null(b["value_c"].combine_chunks()
+                             .cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False)
+        g = len(gd.dictionary)
+        n = np.zeros(g, np.int64)
+        np.add.at(n, codes, 1)
+        s1 = np.zeros(g, np.int64)
+        np.add.at(s1, codes, ids)
+        s2 = np.zeros(g, np.int64)
+        np.add.at(s2, codes, cents)
+        return pa.table({"event_type": gd.dictionary,
+                         "n": pa.array(n), "id_sum": pa.array(s1),
+                         "cent_sum": pa.array(s2)})
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"].slice(0, 1),
+            "n": pa.array([int(sum(t["n"].to_pylist()))], pa.int64()),
+            "id_sum": pa.array([int(sum(t["id_sum"].to_pylist()))],
+                               pa.int64()),
+            "cent_sum": pa.array([int(sum(t["cent_sum"].to_pylist()))],
+                                 pa.int64()),
+        })
+
+    partials = back.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    return partials.groupby("event_type").map_groups(
+        combine, batch_format="pyarrow")
 
 
 def _editdist_join_q(sf_dir: str):
@@ -3418,6 +3495,16 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # jsonl round trip: the oracle recomputes from parquet — a hash
+        # match proves the JSON sink/source preserved every value
+        "q108_jsonl_roundtrip": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS id_sum,
+                   CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT),
+                                     0)) AS BIGINT) AS cent_sum
+            FROM events GROUP BY event_type
         """,
         # edit-distance join: all-pairs levenshtein (exact integers);
         # the length-difference filter only prunes (ed >= len diff)

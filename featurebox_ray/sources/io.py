@@ -18,6 +18,8 @@ from typing import List, Optional
 _READERS = {
     ".parquet": "read_parquet",
     ".csv": "read_csv",
+    ".jsonl": "read_json",
+    ".json": "read_json",
 }
 
 
@@ -45,6 +47,15 @@ class Catalog:
 
         path = self._tables[name]
         if os.path.isdir(path):
+            # directory of shard fragments: sniff the fragment format
+            # (write_json/write_csv also emit one shard per block)
+            exts = {os.path.splitext(f)[1] for f in os.listdir(path)}
+            if exts & {".json", ".jsonl"}:
+                ds = ray.data.read_json(path, **kw)
+                return ds.select_columns(columns) if columns else ds
+            if exts == {".csv"}:
+                ds = ray.data.read_csv(path, **kw)
+                return ds.select_columns(columns) if columns else ds
             return ray.data.read_parquet(path, columns=columns, **kw)
         ext = os.path.splitext(path)[1]
         reader = getattr(ray.data, _READERS[ext])
@@ -108,5 +119,10 @@ def write_table(ds, path: str, *, fmt: str = "parquet") -> None:
         ds.write_parquet(path)
     elif fmt == "csv":
         ds.write_csv(path)
+    elif fmt in ("json", "jsonl"):
+        # newline-delimited JSON, one shard file per block (like the
+        # parquet writer); ints/strings round-trip exactly — floats
+        # should be pre-quantized by the caller (the q01 cents pattern)
+        ds.write_json(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")

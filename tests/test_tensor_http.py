@@ -180,3 +180,41 @@ def test_rotate_slice_fuzz_matches_naive(d0, d1, d2, axis, theta, cu, cv,
         return
     got = rotate_slice(vol, theta, axis=axis, axis_site=site)
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_catalog_jsonl_roundtrip(tmp_path):
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.sources.io import Catalog, write_table
+
+    t = pa.table({"id": pa.array([3, 1, 2], pa.int64()),
+                  "name": pa.array(["c", "a", None]),
+                  "cents": pa.array([100, None, -250], pa.int64())})
+    d = tmp_path / "js"
+    d.mkdir()
+    write_table(ray.data.from_arrow(t), str(d / "things.jsonl"),
+                fmt="jsonl")
+    # Catalog discovers the .jsonl file written as a directory of shards
+    cat = Catalog(str(d))
+    assert "things.jsonl" in str(cat._tables.get("things", "")) or \
+        "things" in cat.tables
+    back = (cat.read("things").to_pandas()
+            .sort_values("id").reset_index(drop=True))
+    want = (t.to_pandas().sort_values("id").reset_index(drop=True))
+    assert back["id"].tolist() == want["id"].tolist()
+    assert back["cents"].fillna(-1).tolist() == \
+        want["cents"].fillna(-1).tolist()
+    assert back["name"].fillna("").tolist() == \
+        want["name"].fillna("").tolist()
+
+
+def test_write_table_unknown_format():
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from featurebox_ray.sources.io import write_table
+    with pytest.raises(ValueError, match="unsupported"):
+        write_table(ray.data.from_arrow(pa.table({"a": [1]})), "/tmp/x",
+                    fmt="xlsx")
