@@ -414,7 +414,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q106_transitions": _transitions_q,
         "q107_editdist_join": _editdist_join_q,
         "q108_jsonl_roundtrip": _jsonl_roundtrip_q,
+        "q109_robust_zscore": _robust_zscore_q,
+        "q110_group_corr": _group_corr_q,
     }
+
+
+def _group_corr_q(sf_dir: str):
+    """q110: per-event-type Pearson correlation between event hour
+    (epoch hours) and spend (cents) — integer-exact sufficient
+    statistics; r = one division by a product of two correctly-rounded
+    IEEE sqrts, so the HUGEINT SQL replay is bit-exact (never corr() —
+    float accumulation order differs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.regress import group_corr
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def quantize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.and_(pc.is_valid(b["value"]),
+                             pc.is_valid(b["ts"])))
+        ep = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = ep // 3_600_000_000           # hours since epoch (floor)
+        y = np.round(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "x_hr": pa.array(x), "y_cent": pa.array(y)})
+
+    ev = ev.map_batches(quantize, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return group_corr(ev, key_col="event_type", x_col="x_hr",
+                      y_col="y_cent")
+
+
+def _robust_zscore_q(sf_dir: str):
+    """q109: per-row robust z-score (v - median) / MAD per user — the
+    outlier-resistant normalization next to q98's mean/std z-score.
+    Two vectorized quantile_disc element picks per group + two IEEE ops,
+    replayed bit-exactly by quantile_disc CTEs in SQL."""
+    import ray
+
+    from featurebox_ray.stages.normalize import add_robust_zscore
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    out = add_robust_zscore(ev, key_col="user_id", value_col="value",
+                            out_col="robust_z", num_partitions=8)
+    return out.select_columns(["event_id", "robust_z"])
 
 
 def _jsonl_roundtrip_q(sf_dir: str):
@@ -3495,6 +3546,61 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # group corr: HUGEINT sufficient stats; sqrt is correctly
+        # rounded IEEE, so the op sequence replays bit-exactly
+        "q110_group_corr": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 3600000000 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+                    AND event_type IS NOT NULL
+            ), s AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x * y) AS HUGEINT) AS sxy,
+                     CAST(sum(x * x) AS HUGEINT) AS sxx,
+                     CAST(sum(y * y) AS HUGEINT) AS syy
+              FROM e GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx = 0
+                             OR n * syy - sy * sy = 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS r
+            FROM s
+        """,
+        # robust z: two quantile_disc element picks + two IEEE ops;
+        # IS NOT DISTINCT FROM keeps a NULL key group joinable
+        "q109_robust_zscore": """
+            WITH g AS (
+              SELECT user_id,
+                     quantile_disc(value, CAST(0.5 AS DOUBLE)) AS med
+              FROM events GROUP BY user_id
+            ), d AS (
+              SELECT e.event_id, e.user_id, e.value, g.med,
+                     abs(e.value - g.med) AS adev
+              FROM events e JOIN g
+                ON e.user_id IS NOT DISTINCT FROM g.user_id
+            ), g2 AS (
+              SELECT user_id,
+                     quantile_disc(adev, CAST(0.5 AS DOUBLE)) AS mad
+              FROM d GROUP BY user_id
+            )
+            SELECT d.event_id,
+                   CASE WHEN d.value IS NULL OR g2.mad IS NULL
+                             OR g2.mad = 0 THEN NULL
+                        ELSE (d.value - d.med) / g2.mad
+                   END AS robust_z
+            FROM d JOIN g2
+              ON d.user_id IS NOT DISTINCT FROM g2.user_id
         """,
         # jsonl round trip: the oracle recomputes from parquet — a hash
         # match proves the JSON sink/source preserved every value

@@ -280,3 +280,71 @@ def _sum_groups(t: pa.Table, key_col: str) -> pa.Table:
         "s": pa.array(g["s"].to_numpy(np.int64)),
         "s2": pa.array(g["s2"].to_numpy(np.int64)),
     })
+
+
+def add_robust_zscore(ds, *, key_col: str, value_col: str,
+                      out_col: str = "robust_z",
+                      num_partitions: int = 16):
+    """Per-row robust z-score ``(v - median) / MAD`` with per-group
+    median and MAD (median absolute deviation) — the outlier-resistant
+    sibling of :func:`add_group_norm_features`'s mean/std z-score.
+
+    One keyed exchange co-locates each group; the kernel makes two
+    vectorized quantile_disc element picks per group segment (one
+    lexsort each, the q51 rank convention ``max(ceil(0.5·n)-1, 0)``) and
+    the score is two IEEE ops (``(v - med) / mad``), so results replay
+    bit-exactly in SQL (``quantile_disc`` CTEs + ``abs`` + one
+    division).  NULL values are ignored in both picks and score NULL;
+    groups with ``MAD == 0`` (more than half the values identical) or no
+    valid values score NULL; NULL keys form one group.
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        from .window import _key_codes_dic
+        codes, _ = _key_codes_dic(t[key_col])
+        v = (t[value_col].combine_chunks().cast(pa.float64())
+             .to_numpy(zero_copy_only=False))
+        from ..functions import segments as seg
+        seg_start, _, is_start = seg.segment_ids(codes)
+        n = len(v)
+        starts = np.flatnonzero(is_start)
+        ends = np.append(starts[1:], n)
+
+        def _group_disc(vals):
+            """quantile_disc(0.5) element per segment of ``vals`` (NaN
+            ignored), returned per-row-aligned; NaN when no valid."""
+            order = np.lexsort((vals, codes))
+            sv = vals[order]
+            # valid counts per segment (NaN sort last within segment)
+            valid = ~np.isnan(vals)
+            nv = np.add.reduceat(valid.astype(np.int64), starts)
+            nv[ends - starts == 0] = 0
+            pick = np.full(len(starts), np.nan)
+            has = nv > 0
+            if has.any():
+                # vectorized _rank(0.5, n): max(ceil(q·n)-1, 0), float64
+                ranks = np.maximum(
+                    np.ceil(0.5 * nv[has].astype(np.float64))
+                    .astype(np.int64) - 1, 0)
+                pick[has] = sv[starts[has] + ranks]
+            # broadcast per segment to rows
+            seg_id = np.cumsum(is_start) - 1
+            return pick[seg_id]
+
+        med = _group_disc(v)
+        adev = np.abs(v - med)
+        mad = _group_disc(adev)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - med) / mad
+        bad = np.isnan(v) | np.isnan(mad) | (mad == 0.0)
+        return t.append_column(
+            out_col, pa.array(np.where(bad, 0.0, z), pa.float64(),
+                              mask=bad))
+
+    from .partition import partitioned_map
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

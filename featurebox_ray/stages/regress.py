@@ -104,3 +104,75 @@ def group_linfit(ds, *, key_col: str, x_col: str, y_col: str):
     # the exchange moves O(blocks × groups) tiny partial rows
     return partials.groupby(key_col).map_groups(
         finalize, batch_format="pyarrow")
+
+
+def group_corr(ds, *, key_col: str, x_col: str, y_col: str):
+    """Pearson correlation of two pre-quantized int64 columns per group.
+
+    Same exchange shape as :func:`group_linfit` with a sixth partial
+    (Σy²); the final value is a FIXED float64 op sequence from exact
+    ints — ``r = double(n·Σxy − ΣxΣy) / sqrt(double(n·Σx²−Σx²ᵗ) *
+    double(n·Σy²−Σy²ᵗ))`` — and IEEE sqrt is correctly rounded, so SQL
+    replays it bit-identically (NEVER oracle with ``corr()``: its
+    internal accumulation is floating-point and order-dependent).
+
+    Groups where either side is constant (zero variance) emit NULL.
+    Returns ``(key_col, n:int64, r:float64)``.
+    """
+    cols = ("n", "sx", "sy", "sxy", "sxx", "syy")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for c in (x_col, y_col):
+            if batch.schema.field(c).type != pa.int64():
+                raise TypeError(f"{c} must be int64 (quantize first); "
+                                f"got {batch.schema.field(c).type}")
+        mask = pc.and_(pc.and_(pc.is_valid(batch[key_col]),
+                               pc.is_valid(batch[x_col])),
+                       pc.is_valid(batch[y_col]))
+        if not pc.all(mask).as_py():
+            batch = batch.filter(mask)
+        ktype = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        gd = pc.dictionary_encode(batch[key_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        g = len(gd.dictionary)
+        sums = np.zeros((6, g), np.int64)
+        np.add.at(sums[0], codes, 1)
+        np.add.at(sums[1], codes, x)
+        np.add.at(sums[2], codes, y)
+        np.add.at(sums[3], codes, x * y)
+        np.add.at(sums[4], codes, x * x)
+        np.add.at(sums[5], codes, y * y)
+        return pa.table({
+            key_col: gd.dictionary,
+            **{c: pa.array(sums[i]) for i, c in enumerate(cols)},
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import math
+
+        n, sx, sy, sxy, sxx, syy = (
+            sum(t[c].to_pylist()) for c in cols)
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 == 0 or d2 == 0:
+            r = None
+        else:
+            r = float(n * sxy - sx * sy) / math.sqrt(
+                float(d1) * float(d2))
+        return pa.table({
+            key_col: t[key_col].slice(0, 1),
+            "n": pa.array([n], pa.int64()),
+            "r": pa.array([r], pa.float64()),
+        })
+
+    return partials.groupby(key_col).map_groups(
+        finalize, batch_format="pyarrow")

@@ -117,3 +117,61 @@ def test_group_norm_features_matches_duckdb():
     # single-row group: share 1.0, z NULL
     last = got.iloc[-1]
     assert last["share"] == 1.0 and pd.isna(last["zscore"])
+
+
+def test_robust_zscore_matches_duckdb():
+    import duckdb
+
+    from featurebox_ray.stages.normalize import add_robust_zscore
+
+    rng = np.random.default_rng(13)
+    n = 500
+    t = pa.table({
+        "k": pa.array([None if rng.random() < 0.05
+                       else int(rng.integers(0, 8))
+                       for _ in range(n)], pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.1
+                       else float(rng.normal() * 10)
+                       for _ in range(n)], pa.float64()),
+    })
+    want = duckdb.sql("""
+        WITH g AS (
+          SELECT k, quantile_disc(v, CAST(0.5 AS DOUBLE)) AS med
+          FROM t GROUP BY k
+        ), d AS (
+          SELECT t.id, t.k, t.v, g.med, abs(t.v - g.med) AS adev
+          FROM t JOIN g ON t.k IS NOT DISTINCT FROM g.k
+        ), g2 AS (
+          SELECT k, quantile_disc(adev, CAST(0.5 AS DOUBLE)) AS mad
+          FROM d GROUP BY k
+        )
+        SELECT d.id, CASE WHEN d.v IS NULL OR g2.mad IS NULL
+                               OR g2.mad = 0 THEN NULL
+                          ELSE (d.v - d.med) / g2.mad END AS z
+        FROM d JOIN g2 ON d.k IS NOT DISTINCT FROM g2.k
+        ORDER BY d.id
+    """).fetchdf()
+
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (add_robust_zscore(ds, key_col="k", value_col="v",
+                                 out_col="z", num_partitions=3)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert np.array_equal(got["z"].to_numpy(np.float64),
+                              want["z"].to_numpy(np.float64),
+                              equal_nan=True)
+
+
+def test_robust_zscore_mad_zero_group():
+    from featurebox_ray.stages.normalize import add_robust_zscore
+    # >half identical values -> MAD 0 -> NULL scores
+    t = pa.table({"k": pa.array(["a"] * 5),
+                  "id": pa.array(range(5), pa.int64()),
+                  "v": pa.array([3.0, 3.0, 3.0, 5.0, 9.0])})
+    got = add_robust_zscore(ray.data.from_arrow(t), key_col="k",
+                            value_col="v", out_col="z",
+                            num_partitions=2).to_pandas()
+    assert got["z"].isna().all()

@@ -73,3 +73,39 @@ def test_group_linfit_type_guard():
     with pytest.raises(Exception, match="int64"):
         group_linfit(ray.data.from_arrow(t), key_col="g", x_col="x",
                      y_col="y").to_pandas()
+
+
+def test_group_corr_matches_replay_and_numpy():
+    import math
+
+    from featurebox_ray.stages.regress import group_corr
+    rng = np.random.default_rng(9)
+    groups = rng.choice(["a", "b"], 300).tolist()
+    xs = rng.integers(0, 500, 300).astype(np.int64)
+    ys = (2 * xs + rng.integers(0, 200, 300)).astype(np.int64)
+    t = pa.table({"g": pa.array(groups), "x": pa.array(xs),
+                  "y": pa.array(ys)})
+    got = (group_corr(ray.data.from_arrow(t).repartition(5), key_col="g",
+                      x_col="x", y_col="y")
+           .to_pandas().set_index("g"))
+    for g in ("a", "b"):
+        m = [i for i, gg in enumerate(groups) if gg == g]
+        n = len(m)
+        sx, sy = int(xs[m].sum()), int(ys[m].sum())
+        sxy = int((xs[m] * ys[m]).sum())
+        sxx, syy = int((xs[m] ** 2).sum()), int((ys[m] ** 2).sum())
+        want = float(n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+        assert got.loc[g, "r"] == want  # bit-exact
+        ref = np.corrcoef(xs[m].astype(float), ys[m].astype(float))[0, 1]
+        assert abs(got.loc[g, "r"] - ref) < 1e-10
+
+
+def test_group_corr_constant_side_null():
+    from featurebox_ray.stages.regress import group_corr
+    t = pa.table({"g": pa.array(["c"] * 4),
+                  "x": pa.array([7, 7, 7, 7], pa.int64()),
+                  "y": pa.array([1, 2, 3, 4], pa.int64())})
+    got = group_corr(ray.data.from_arrow(t), key_col="g", x_col="x",
+                     y_col="y").to_pandas()
+    assert np.isnan(got["r"].iloc[0])
