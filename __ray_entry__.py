@@ -416,7 +416,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q108_jsonl_roundtrip": _jsonl_roundtrip_q,
         "q109_robust_zscore": _robust_zscore_q,
         "q110_group_corr": _group_corr_q,
+        "q111_centered_window": _centered_window_q,
     }
+
+
+def _centered_window_q(sf_dir: str):
+    """q111: centered ±3-row window sum/count of spend (cents) per user
+    — ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING via one segment-masked
+    prefix sum per partition; int64-exact, bit-exact SQL window replay."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.window import add_centered_window_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+
+    def scale(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False), nan=0.0) * 100.0
+        ).astype(np.int64)
+        cents = pa.array(cents, pa.int64(),
+                         mask=np.asarray(pc.is_null(v)))
+        return (b.select(["event_id", "user_id", "ts"])
+                .append_column("value_c", cents))
+
+    ev = ev.map_batches(scale, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = add_centered_window_sum(ev, key_col="user_id", ts_col="ts",
+                                  int_value_col="value_c",
+                                  order_col="event_id", before=3,
+                                  after=3, num_partitions=8)
+    return out.select_columns(["event_id", "win_sum", "win_n"])
 
 
 def _group_corr_q(sf_dir: str):
@@ -3546,6 +3581,17 @@ def oracle_sql() -> dict[str, str]:
         "q57_kmeans": f"""
             SELECT cluster, n, id_sum, xx_sum, s0, s1, s2
             FROM read_parquet('{_ORACLE_DIR}/kmeans_stats.parquet')
+        """,
+        # centered window: int64 window sums, count excludes NULLs
+        "q111_centered_window": """
+            SELECT event_id,
+                   CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT),
+                                     0))
+                          OVER w AS BIGINT) AS win_sum,
+                   CAST(count(value) OVER w AS BIGINT) AS win_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         """,
         # group corr: HUGEINT sufficient stats; sqrt is correctly
         # rounded IEEE, so the op sequence replays bit-exactly

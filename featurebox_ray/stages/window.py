@@ -445,3 +445,53 @@ def add_rolling_quantile(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, ts_col, order_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def add_centered_window_sum(ds, *, key_col: str, ts_col: str,
+                            int_value_col: str, order_col: str,
+                            before: int, after: int,
+                            sum_col: str = "win_sum",
+                            n_col: str = "win_n",
+                            num_partitions: int = 16):
+    """Per-key CENTERED window aggregate — SQL ``... OVER (PARTITION BY k
+    ORDER BY ts, o ROWS BETWEEN before PRECEDING AND after FOLLOWING)``,
+    the smoothing complement to the trailing windows of
+    ``add_window_features``.
+
+    One keyed exchange; per sorted partition ONE segment-masked prefix
+    sum serves every row: ``win_sum[i] = cs[hi] - cs[lo-1]`` with the
+    window clamped to the row's segment — pure vector math.  The value
+    column must be int64 (pre-scaled — the q96 running-total contract),
+    so sums are exact and the SQL replay value-hashes bit-identically;
+    NULL values count 0 toward the sum and are excluded from ``win_n``
+    (replay with ``sum(coalesce(v,0))`` + ``count(v)``).
+    """
+    if before < 0 or after < 0:
+        raise ValueError("before/after must be >= 0")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return (t.append_column(sum_col, pa.array([], pa.int64()))
+                    .append_column(n_col, pa.array([], pa.int64())))
+        codes, _ = _key_codes_dic(t[key_col])
+        vcol = t[int_value_col].combine_chunks().cast(pa.int64())
+        v = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        seg_start, _, is_start = seg.segment_ids(codes)
+        n = len(v)
+        starts = np.flatnonzero(is_start)
+        ends = np.append(starts[1:], n)
+        seg_id = np.cumsum(is_start) - 1
+        seg_end = ends[seg_id]                     # exclusive
+        i = np.arange(n)
+        lo = np.maximum(i - before, seg_start)
+        hi = np.minimum(i + after, seg_end - 1)    # inclusive
+        cs = np.concatenate([[0], np.cumsum(v)])
+        cn = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        return (t.append_column(sum_col, pa.array(cs[hi + 1] - cs[lo]))
+                .append_column(n_col, pa.array(cn[hi + 1] - cn[lo])))
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

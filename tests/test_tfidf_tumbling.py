@@ -466,3 +466,44 @@ def test_rolling_quantile_guards():
     with pytest.raises(ValueError, match="q must"):
         add_rolling_quantile(ds, key_col="k", ts_col="ts", value_col="v",
                              order_col="o", window_rows=3, q=1.5)
+
+
+def test_centered_window_sum_matches_duckdb():
+    import duckdb
+
+    from featurebox_ray.stages.window import add_centered_window_sum
+
+    rng = np.random.default_rng(29)
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 7, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 3000, n), pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.1
+                       else int(rng.integers(-50, 50))
+                       for _ in range(n)], pa.int64()),
+    })
+    want = duckdb.sql("""
+        SELECT o, CAST(sum(coalesce(v, 0)) OVER w AS BIGINT) AS s,
+               CAST(count(v) OVER w AS BIGINT) AS c
+        FROM t
+        WINDOW w AS (PARTITION BY k ORDER BY ts, o
+                     ROWS BETWEEN 2 PRECEDING AND 4 FOLLOWING)
+        ORDER BY o
+    """).fetchdf()
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (add_centered_window_sum(ds, key_col="k", ts_col="ts",
+                                       int_value_col="v", order_col="o",
+                                       before=2, after=4,
+                                       num_partitions=3)
+               .to_pandas().sort_values("o").reset_index(drop=True))
+        assert got["win_sum"].tolist() == want["s"].tolist()
+        assert got["win_n"].tolist() == want["c"].tolist()
+
+    with pytest.raises(ValueError, match="before/after"):
+        add_centered_window_sum(ray.data.from_arrow(t), key_col="k",
+                                ts_col="ts", int_value_col="v",
+                                order_col="o", before=-1, after=2)
