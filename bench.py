@@ -172,6 +172,11 @@ QUERY_NAMES = [
     # corpus familiarity, hopping windows, global row_number
     "q84_dup_spans", "q85_global_rank", "q86_corpus_freq",
     "q87_hopping_window",
+    # session-7 additions: HLL registers, int-exact group OLS/corr,
+    # nearest as-of (dual segmented scan), rolling median (sliding
+    # window), transition bigrams, PassJoin edit-distance join
+    "q101_hll_distinct", "q102_group_linfit", "q104_asof_nearest",
+    "q105_rolling_median", "q106_transitions", "q107_editdist_join",
 ]
 
 
