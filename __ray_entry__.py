@@ -417,7 +417,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q109_robust_zscore": _robust_zscore_q,
         "q110_group_corr": _group_corr_q,
         "q111_centered_window": _centered_window_q,
+        "q112_lm_perplexity": _lm_perplexity_q,
     }
+
+
+def _lm_perplexity_q(sf_dir: str):
+    """q112: bigram-LM perplexity quality scoring (the KenLM-shaped
+    CCNet filter, Wenzek et al. 2020) — exact top-V vocabulary + one
+    pair-keyed exchange of int64 bigram partials, model broadcast once,
+    per-doc log2-prob reduced with a positionally-invariant reduceat
+    (stages/lm.py).  Fixture oracle: _oracle_replays.replay_bigram_lm
+    recomputes serially from Counters with the same documented
+    reduction — BIT-EXACT, no rounding."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_bigram_lm
+    from featurebox_ray.stages.lm import bigram_lm_perplexity
+
+    TOP_V, ADD_K = 256, 0.5
+
+    # ---- serial replay fixture -----------------------------------------
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rep = replay_bigram_lm(
+        t["doc_id"].to_pylist(), t["text"].to_pylist(),
+        top_v=TOP_V, add_k=ADD_K)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(rep["doc_id"], pa.int64()),
+            "n_bigrams": pa.array(rep["n_bigrams"], pa.int64()),
+            "logprob": pa.array(rep["logprob"], pa.float64()),
+            # pandas may coerce the replay's None to NaN; the engine
+            # emits NULL for 0-bigram docs, so map both back to NULL
+            "ppl": pa.array([None if v is None or v != v else float(v)
+                             for v in rep["ppl"]], pa.float64()),
+        }), f"{_ORACLE_DIR}/lm_ppl.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/lm_ppl.parquet.tmp",
+               f"{_ORACLE_DIR}/lm_ppl.parquet")
+
+    # ---- distributed engine run ----------------------------------------
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=8)
+    return bigram_lm_perplexity(docs, top_v=TOP_V, add_k=ADD_K,
+                                num_partitions=8)
 
 
 def _centered_window_q(sf_dir: str):
@@ -3920,6 +3968,12 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # bigram-LM perplexity: serial Counter replay with the same
+        # positionally-invariant reduceat reduction -> bit-exact
+        "q112_lm_perplexity": f"""
+            SELECT doc_id, n_bigrams, logprob, ppl
+            FROM read_parquet('{_ORACLE_DIR}/lm_ppl.parquet')
         """,
         # ewm: blocked-scan arithmetic replayed serially -> bit-exact
         "q95_ewm": f"""

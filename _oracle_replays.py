@@ -568,3 +568,44 @@ def replay_bpe_merges(texts: Sequence[str], num_merges: int):
 
     return pd.DataFrame(out, columns=["merge_rank", "left", "right",
                                       "pair_count"])
+
+
+def replay_bigram_lm(ids: Sequence[int], texts: Sequence[str], *,
+                     top_v: int, add_k: float):
+    """Serial bigram-LM perplexity replay (q112): Counter vocabulary and
+    bigram/context counts, per-document scoring with the documented
+    reduction op (np.add.reduceat over the doc's own log2-probability
+    slice — positionally invariant, so engine and replay are bit-exact;
+    see stages/lm.py docstring).  No engine kernels are imported."""
+    from collections import Counter
+
+    tok = {i: (t or "").split() for i, t in zip(ids, texts)}
+    counts: Counter = Counter(w for ws in tok.values() for w in ws)
+    vocab = sorted(counts, key=lambda w: (-counts[w], w))[:top_v]
+    slot = {w: i for i, w in enumerate(sorted(vocab))}
+    unk = len(vocab)
+    n_slots = unk + 1
+    bi: Counter = Counter()
+    for ws in tok.values():
+        ss = [slot.get(w, unk) for w in ws]
+        for u, v in zip(ss, ss[1:]):
+            bi[(u, v)] += 1
+    ctx: Counter = Counter()
+    for (u, _), c in bi.items():
+        ctx[u] += c
+    rows = []
+    for i in ids:
+        ss = [slot.get(w, unk) for w in tok[i]]
+        nb = max(len(ss) - 1, 0)
+        ps = np.array([
+            (np.float64(bi.get((u, v), 0)) + add_k) /
+            (np.float64(ctx.get(u, 0)) + add_k * n_slots)
+            for u, v in zip(ss, ss[1:])], np.float64)
+        lp = (np.add.reduceat(np.log2(ps), [0])[0] if nb
+              else np.float64(0.0))
+        ppl = float(np.exp2(-(lp / nb))) if nb else None
+        rows.append((i, nb, float(lp), ppl))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "logprob",
+                                       "ppl"])
