@@ -418,7 +418,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q110_group_corr": _group_corr_q,
         "q111_centered_window": _centered_window_q,
         "q112_lm_perplexity": _lm_perplexity_q,
+        "q113_bucketed_interval": _bucketed_interval_q,
     }
+
+
+def _bucketed_interval_q(sf_dir: str):
+    """q113: large-large interval join — every event matched to the
+    co-occurrence windows [ts, ts + 1..4 min) opened by anchor events
+    (event_id % 23 == 0).  Neither side broadcasts: facts ride to their
+    15-minute time bucket, intervals replicate to overlapped buckets
+    with bounds CLAMPED to the bucket (which makes one global sorted
+    searchsorted walk per partition exact — no per-bucket loop, no
+    cross-bucket duplicates), one bucket-keyed task exchange
+    (stages/interval.py:bucketed_interval_join)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.interval import bucketed_interval_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(eid % 23 == 0)
+        b = b.take(pa.array(sel, pa.int64()))
+        ts_i = (b["ts"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        hi = ts_i + (1 + eid[sel] % 4) * 60_000_000
+        return pa.table({"anchor_id": b["event_id"],
+                         "lo": pa.array(ts_i, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    iv_schema = pa.schema([("anchor_id", pa.int64()),
+                           ("lo", pa.int64()), ("hi", pa.int64())])
+    return bucketed_interval_join(
+        ev, iv, ts_col="ts", fact_cols=["event_id"],
+        interval_cols=["anchor_id"], bucket_width_s=900,
+        num_partitions=8, interval_schema=iv_schema)
 
 
 def _lm_perplexity_q(sf_dir: str):
@@ -3968,6 +4010,18 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # large-large interval join: plain non-equi join, exact rows
+        "q113_bucketed_interval": """
+            WITH iv AS (
+              SELECT event_id AS anchor_id, ts AS lo,
+                     ts + (1 + event_id % 4) * INTERVAL 1 MINUTE AS hi
+              FROM events
+              WHERE event_id % 23 = 0 AND ts IS NOT NULL
+            )
+            SELECT e.event_id, iv.anchor_id
+            FROM events e JOIN iv
+              ON e.ts >= iv.lo AND e.ts < iv.hi
         """,
         # bigram-LM perplexity: serial Counter replay with the same
         # positionally-invariant reduceat reduction -> bit-exact

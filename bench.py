@@ -177,6 +177,9 @@ QUERY_NAMES = [
     # window), transition bigrams, PassJoin edit-distance join
     "q101_hll_distinct", "q102_group_linfit", "q104_asof_nearest",
     "q105_rolling_median", "q106_transitions", "q107_editdist_join",
+    # session-8 additions: large-large bucketed interval join (q112's
+    # LM replay is fixture-inline like q46, so it stays out)
+    "q113_bucketed_interval",
 ]
 
 

@@ -136,3 +136,160 @@ def top_k_per_group(ds, *, group_col: str, order_col: str, tie_col: str,
             [(c, src.field(c).type if src is not None else pa.null())
              for c in keep_cols]).empty_table()
     return pa.concat_tables(blocks, promote_options="default")
+
+
+def bucketed_interval_join(
+    facts,
+    intervals,
+    *,
+    ts_col: str = "ts",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    fact_cols: Sequence[str],
+    interval_cols: Sequence[str],
+    bucket_width_s: int = 900,
+    num_partitions: int = 16,
+    max_replication: int = 64,
+    fact_schema=None,
+    interval_schema=None,
+):
+    """Large-large interval (range) join — neither side broadcasts.
+
+    Inner-joins fact rows to every interval with ``lo <= ts < hi`` when
+    BOTH sides are big (the scale path past
+    :func:`broadcast_interval_join`).  Physical plan: time is cut into
+    fixed buckets of ``bucket_width_s``; each fact rides to its one
+    bucket, each interval replicates to every bucket it overlaps with
+    its bounds CLAMPED to that bucket — clamping makes the bucket
+    restriction implicit in the values (a clamped interval can only
+    cover timestamps inside its own bucket), so one global sorted
+    searchsorted walk per partition is correct with no per-bucket loop
+    and no cross-bucket duplicates (each true (fact, interval) match
+    meets exactly once, in the fact's bucket).  Both tagged streams ride
+    ONE bucket-keyed task exchange.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    interval width should be ≤ a few buckets — an interval spanning more
+    than ``max_replication`` buckets raises (raise ``bucket_width_s`` or
+    split pathological intervals upstream; replication factor = spans/W,
+    and a whole-corpus interval would otherwise fan out to every
+    partition).  Bucket skew mirrors the hash-partition story: buckets
+    hash across ``num_partitions``, a single hot bucket bounds a
+    partition (salt upstream if one 15-minute window holds the corpus).
+
+    ``bucket_width_s`` is in seconds for timestamp columns, native units
+    for plain ints.  ``fact_cols`` / ``interval_cols`` are the payload
+    projections (must be disjoint).  NULL ``ts``/``lo``/``hi`` rows drop
+    (SQL range predicates on NULL are false); ``hi <= lo`` intervals
+    match nothing.  ``fact_schema``/``interval_schema``: pass when a
+    side ends in expensive lazy stages — defaulting to ``.schema()`` on
+    a mapped dataset executes one block (the bench.py probe hazard).
+
+    Reference analog: none (the reference joins on equality/as-of keys
+    only); beyond-reference alongside the as-of and bloom joins.
+    """
+    from .partition import partitioned_map
+
+    dup = set(fact_cols) & set(interval_cols)
+    if dup:
+        raise ValueError(f"fact_cols and interval_cols overlap: {dup}")
+    if fact_schema is None:
+        fact_schema = facts.schema()
+    if interval_schema is None:
+        interval_schema = intervals.schema()
+    fact_schema = getattr(fact_schema, "base_schema", fact_schema)
+    interval_schema = getattr(interval_schema, "base_schema",
+                              interval_schema)
+    f_types = {c: fact_schema.field(c).type for c in fact_cols}
+    i_types = {c: interval_schema.field(c).type for c in interval_cols}
+    ts_type = fact_schema.field(ts_col).type
+    width = (int(bucket_width_s) * 1_000_000
+             if pa.types.is_timestamp(ts_type) else int(bucket_width_s))
+
+    def fact_emit(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        ts = _as_int64(b[ts_col])
+        cols = {"__b": pa.array(ts // width, pa.int64()),
+                "__ts": pa.array(ts, pa.int64()),
+                "__lo": pa.nulls(b.num_rows, pa.int64()),
+                "__hi": pa.nulls(b.num_rows, pa.int64())}
+        for c in fact_cols:
+            cols[c] = b[c]
+        for c, t in i_types.items():
+            cols[c] = pa.nulls(b.num_rows, t)
+        return pa.table(cols)
+
+    def interval_emit(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[lo_col]),
+                             pc.is_valid(b[hi_col])))
+        lo = _as_int64(b[lo_col])
+        hi = _as_int64(b[hi_col])
+        keep = hi > lo
+        b, lo, hi = (b.filter(pa.array(keep)), lo[keep], hi[keep])
+        b0 = lo // width
+        b1 = (hi - 1) // width
+        span = b1 - b0 + 1
+        if len(span) and int(span.max()) > max_replication:
+            raise ValueError(
+                f"an interval spans {int(span.max())} buckets "
+                f"(> max_replication={max_replication}); raise "
+                "bucket_width_s or split wide intervals upstream")
+        rep = np.repeat(np.arange(b.num_rows), span)
+        cum = np.concatenate([[0], np.cumsum(span)])
+        off = np.arange(int(span.sum())) - cum[rep]
+        bb = b0[rep] + off
+        lo_c = np.maximum(lo[rep], bb * width)
+        hi_c = np.minimum(hi[rep], (bb + 1) * width)
+        rep_idx = pa.array(rep, pa.int64())
+        cols = {"__b": pa.array(bb, pa.int64()),
+                "__ts": pa.nulls(len(bb), pa.int64()),
+                "__lo": pa.array(lo_c, pa.int64()),
+                "__hi": pa.array(hi_c, pa.int64())}
+        for c, t in f_types.items():
+            cols[c] = pa.nulls(len(bb), t)
+        for c in interval_cols:
+            cols[c] = b[c].take(rep_idx)
+        return pa.table(cols)
+
+    out_fields = ([(c, f_types[c]) for c in fact_cols]
+                  + [(c, i_types[c]) for c in interval_cols])
+    out_empty = pa.schema(out_fields).empty_table()
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__ts" not in t.column_names:
+            return out_empty
+        is_f = pc.is_valid(t["__ts"])
+        f = t.filter(is_f)
+        iv = t.filter(pc.invert(is_f))
+        if f.num_rows == 0 or iv.num_rows == 0:
+            return out_empty
+        ts = f["__ts"].to_numpy(zero_copy_only=False)
+        lo = iv["__lo"].to_numpy(zero_copy_only=False)
+        hi = iv["__hi"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lo, kind="stable")
+        lo_s, hi_s = lo[order], hi[order]
+        maxw = int((hi_s - lo_s).max())
+        left = np.searchsorted(lo_s, ts - maxw, side="left")
+        right = np.searchsorted(lo_s, ts, side="right")
+        counts = right - left
+        fr = np.repeat(np.arange(len(ts)), counts)
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        cand = (np.arange(int(counts.sum())) - cum[fr]) + left[fr]
+        ok = hi_s[cand] > ts[fr]
+        fr, cand = fr[ok], cand[ok]
+        f_idx = pa.array(fr, pa.int64())
+        i_idx = pa.array(order[cand], pa.int64())
+        cols = {c: f[c].take(f_idx) for c in fact_cols}
+        for c in interval_cols:
+            cols[c] = iv[c].take(i_idx)
+        return pa.table(cols) if fr.size else out_empty
+
+    unioned = (facts.map_batches(fact_emit, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .union(intervals.map_batches(interval_emit,
+                                            batch_format="pyarrow",
+                                            zero_copy_batch=True)))
+    return partitioned_map(unioned, kernel, key="__b",
+                           sort_keys=["__b"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
