@@ -419,7 +419,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q111_centered_window": _centered_window_q,
         "q112_lm_perplexity": _lm_perplexity_q,
         "q113_bucketed_interval": _bucketed_interval_q,
+        "q114_funnel": _funnel_q,
     }
+
+
+def _funnel_q(sf_dir: str):
+    """q114: funnel-conversion features — per user: first 'view', the
+    first 'purchase' within 6 h of it, in-window purchase count, gap.
+    One user-keyed exchange + vectorized masked-reduceat segment pass
+    (stages/funnel.py); all outputs int64 ts/counts so the SQL replay
+    is exact by construction."""
+    import ray
+
+    from featurebox_ray.stages.funnel import funnel_features
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return funnel_features(ev, step_a="view", step_b="purchase",
+                           horizon_s=21600, num_partitions=8)
 
 
 def _bucketed_interval_q(sf_dir: str):
@@ -4010,6 +4027,23 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # funnel conversion: int64 ts/count outputs, exact join replay
+        "q114_funnel": """
+            WITH a AS (
+              SELECT user_id, min(ts) AS first_a FROM events
+              WHERE event_type = 'view' AND ts IS NOT NULL
+              GROUP BY user_id
+            )
+            SELECT a.user_id, a.first_a,
+                   min(e.ts) AS conv_ts,
+                   CAST(count(e.ts) AS BIGINT) AS n_b_window,
+                   epoch_us(min(e.ts)) - epoch_us(a.first_a) AS gap_us
+            FROM a LEFT JOIN events e
+              ON e.user_id = a.user_id AND e.event_type = 'purchase'
+             AND e.ts >= a.first_a
+             AND e.ts <= a.first_a + INTERVAL 21600 SECOND
+            GROUP BY a.user_id, a.first_a
         """,
         # large-large interval join: plain non-equi join, exact rows
         "q113_bucketed_interval": """

@@ -1,0 +1,139 @@
+"""Funnel-conversion features — per key: first occurrence of step A,
+whether (and when) step B followed within a horizon, and how many B
+events fell inside the window.  The classic behavioral
+feature-engineering shape ("did the user purchase within 6 h of their
+first view?") that the transition bigrams (stages/transitions.py) and
+session stats don't express: it anchors on the FIRST A and scans a
+bounded horizon after it.
+
+Physical plan: one key-keyed task exchange (the same
+partition-and-sort contract as every window stage), then a fully
+vectorized per-partition pass — segment boundaries by key, first-A via
+``np.minimum.reduceat`` over position-masked indices, in-window B
+count/min-ts via masked ``reduceat`` — no per-key Python.
+
+Exactness: all outputs are int64 timestamps/counts (order-independent
+under any partitioning) so the SQL replay is exact by construction.
+NULL ``ts`` rows never match (SQL comparison semantics); NULL keys form
+one group (engine groups them; the oracle mirrors with
+``IS NOT DISTINCT FROM`` if needed — the q113 events table has none).
+
+Reference analog: none (beyond-reference behavioral operator alongside
+transitions and session stats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def funnel_features(ds, *, key_col: str = "user_id",
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    step_a: str, step_b: str, horizon_s: int,
+                    num_partitions: int = 16):
+    """Per ``key_col`` with at least one A event: ``(key, first_a,
+    conv_ts, n_b_window:int64, gap_us:int64)``.
+
+    ``first_a`` = min ts of ``step_a`` rows; ``conv_ts`` = min ts of
+    ``step_b`` rows with ``first_a <= ts <= first_a + horizon`` (NULL
+    when none, as is ``gap_us``); ``n_b_window`` counts them.  Keys with
+    no A emit nothing (SQL inner-group semantics).  ``horizon_s`` is in
+    seconds for timestamp columns, native units for plain ints, and
+    ``gap_us`` is likewise us / native units (the asof_join tolerance
+    convention).
+    """
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        # SQL range predicates on NULL ts are false -> drop early; only
+        # A/B rows matter, so the exchange moves a fraction of events
+        b = b.filter(pc.and_(
+            pc.is_valid(b[ts_col]),
+            pc.is_in(b[type_col], value_set=pa.array([step_a, step_b]))))
+        ts = b[ts_col].combine_chunks()
+        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
+                else ts)
+        return pa.table({
+            key_col: b[key_col],
+            "__ts": ts_i,
+            "__is_a": pc.equal(b[type_col], step_a),
+        })
+
+    ts_type = None
+
+    def _restore(arr: np.ndarray, mask: np.ndarray):
+        out = pa.array(arr, pa.int64(), mask=mask)
+        return out.cast(ts_type) if ts_type is not None else out
+
+    horizon_us = int(horizon_s)  # scaled to us below for timestamp cols
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: t[key_col].slice(0, 0),
+            "first_a": _restore(np.empty(0, np.int64),
+                                np.empty(0, bool)),
+            "conv_ts": _restore(np.empty(0, np.int64),
+                                np.empty(0, bool)),
+            "n_b_window": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        # partitioned_map delivers the partition sorted by (key, ts)
+        keys = t[key_col].combine_chunks()
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        is_a = t["__is_a"].to_numpy(zero_copy_only=False).astype(bool)
+        enc = pc.dictionary_encode(keys)
+        # NULL keys are one SQL group: fill their (null) codes with -1 —
+        # nulls sort contiguously, so the segment stays intact
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]]))
+        seg = np.cumsum(np.concatenate(
+            [[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        big = np.iinfo(np.int64).max
+        # first A per segment: rows are ts-sorted, so min masked ts = ts
+        # of the first A row
+        a_ts = np.minimum.reduceat(np.where(is_a, ts, big), starts)
+        has_a = a_ts != big
+        a_per_row = a_ts[seg]
+        in_win = (~is_a) & (ts >= a_per_row) & (
+            ts <= a_per_row + horizon_us) & has_a[seg]
+        n_b = np.add.reduceat(in_win.astype(np.int64), starts)
+        conv = np.minimum.reduceat(np.where(in_win, ts, big), starts)
+        has_b = conv != big
+        out_sel = np.flatnonzero(has_a)
+        if len(out_sel) == 0:
+            return empty
+        key_rows = pa.array(starts[out_sel], pa.int64())
+        gap = conv - a_ts
+        return pa.table({
+            key_col: keys.take(key_rows),
+            "first_a": _restore(a_ts[out_sel],
+                                np.zeros(len(out_sel), bool)),
+            "conv_ts": _restore(
+                np.where(has_b, conv, 0)[out_sel], ~has_b[out_sel]),
+            "n_b_window": pa.array(n_b[out_sel]),
+            "gap_us": pa.array(np.where(has_b, gap, 0)[out_sel],
+                               pa.int64(), mask=~has_b[out_sel]),
+        })
+
+    # probe the ts type from the caller-visible schema (metadata-cheap on
+    # parquet reads; callers with lazy chains pass pre-projected inputs)
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    if pa.types.is_timestamp(base.field(ts_col).type):
+        ts_type = base.field(ts_col).type
+        # seconds for timestamps, native units for plain ints (the
+        # asof_join tolerance convention)
+        horizon_us = int(horizon_s) * 1_000_000
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
