@@ -420,7 +420,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q112_lm_perplexity": _lm_perplexity_q,
         "q113_bucketed_interval": _bucketed_interval_q,
         "q114_funnel": _funnel_q,
+        "q115_group_moments": _group_moments_q,
     }
+
+
+def _group_moments_q(sf_dir: str):
+    """q115: per-event-type distribution-shape features (mean, population
+    variance, skewness, excess kurtosis) from integer-exact sufficient
+    statistics — int64 partials, one group-keyed exchange, Python-int
+    combine, FIXED float64 op sequence (stages/regress.py:group_moments);
+    HUGEINT SQL replay is bit-exact (never skewness()/kurtosis())."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import group_moments
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        # tie-free cents (money is exact 2-dec), then integer-divide to
+        # whole units so the Σy⁴ block partial stays inside int64
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        y = pa.array(cents // 100, pa.int64(),
+                     mask=np.asarray(pc.is_null(v)))
+        return pa.table({"event_type": b["event_type"], "y": y})
+
+    q = ev.map_batches(quant, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    return group_moments(q, key_col="event_type", y_col="y")
 
 
 def _funnel_q(sf_dir: str):
@@ -4027,6 +4059,41 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # group moments: HUGEINT central sums + explicit DOUBLE casts
+        # replay the engine's fixed op sequence bit-exactly
+        "q115_group_moments": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) // 100 AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), s AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(y) AS HUGEINT) AS s1,
+                     CAST(sum(y*y) AS HUGEINT) AS s2,
+                     CAST(sum(y*y*y) AS HUGEINT) AS s3,
+                     CAST(sum(y*y*y*y) AS HUGEINT) AS s4
+              FROM e GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   CAST(n*s2 - s1*s1 AS DOUBLE)
+                     / CAST(n*n AS DOUBLE) AS var_pop,
+                   CASE WHEN n*s2 - s1*s1 = 0 THEN NULL ELSE
+                     CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE)
+                     / (CAST(n*s2 - s1*s1 AS DOUBLE)
+                        * sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)))
+                   END AS skew,
+                   CASE WHEN n*s2 - s1*s1 = 0 THEN NULL ELSE
+                     CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2
+                          - 3*s1*s1*s1*s1 AS DOUBLE)
+                     / (CAST(n*s2 - s1*s1 AS DOUBLE)
+                        * CAST(n*s2 - s1*s1 AS DOUBLE)) - 3.0
+                   END AS kurt_excess
+            FROM s
         """,
         # funnel conversion: int64 ts/count outputs, exact join replay
         "q114_funnel": """

@@ -176,3 +176,99 @@ def group_corr(ds, *, key_col: str, x_col: str, y_col: str):
 
     return partials.groupby(key_col).map_groups(
         finalize, batch_format="pyarrow")
+
+
+def group_moments(ds, *, key_col: str, y_col: str):
+    """Exact per-group mean / population variance / skewness / excess
+    kurtosis from integer sufficient statistics — the distribution-shape
+    feature family next to :func:`group_linfit`/:func:`group_corr`.
+
+    Same exchange shape: per-block ``(group, n, Σy, Σy², Σy³, Σy⁴)``
+    int64 partials (``np.add.at`` over dictionary codes), ONE
+    group-keyed exchange of O(blocks × groups) rows, Python-int combine.
+    The outputs are a FIXED float64 op sequence from exact ints, written
+    identically in SQL (HUGEINT central sums + explicit DOUBLE casts —
+    NEVER ``skewness()``/``kurtosis()``, whose accumulation is
+    floating-point, order-dependent AND sample-corrected):
+
+        M2   = n·Σy² − Σy²ᵗ                       (exact int, = n²·m2)
+        A3   = n²·Σy³ − 3n·Σy·Σy² + 2·Σy³ᵗ        (exact int, = n³·m3·n⁻¹·n⁴ form)
+        A4   = n³·Σy⁴ − 4n²·Σy·Σy³ + 6n·Σy²ᵗ·Σy² − 3·Σy⁴ᵗ
+        mean = double(Σy) / double(n)
+        var  = double(M2) / double(n·n)
+        skew = double(A3) / (double(M2) · sqrt(double(M2)))
+        kurt = double(A4) / (double(M2) · double(M2)) − 3.0
+
+    (sqrt is correctly rounded IEEE; no ``pow``.)  Zero-variance groups
+    emit NULL skew/kurt; rows with NULL key or y drop.
+
+    ``y_col`` must be pre-quantized int64.  Block-partial overflow guard:
+    ``max|y|⁴ × block_rows`` must fit int64 — the partial raises with
+    quantize-coarser guidance otherwise (the final combine is unbounded
+    Python ints, so only the per-block bound matters).
+    """
+    cols = ("n", "s1", "s2", "s3", "s4")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.schema.field(y_col).type != pa.int64():
+            raise TypeError(f"{y_col} must be int64 (quantize first); "
+                            f"got {batch.schema.field(y_col).type}")
+        mask = pc.and_(pc.is_valid(batch[key_col]),
+                       pc.is_valid(batch[y_col]))
+        if not pc.all(mask).as_py():
+            batch = batch.filter(mask)
+        ktype = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        gd = pc.dictionary_encode(batch[key_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        m = int(np.abs(y).max())
+        if m and m ** 4 * len(y) >= 2 ** 63:
+            raise ValueError(
+                f"max|y|={m} with {len(y)} rows overflows the int64 "
+                "block partial for Σy⁴ — quantize y more coarsely")
+        g = len(gd.dictionary)
+        y2 = y * y
+        sums = np.zeros((5, g), np.int64)
+        np.add.at(sums[0], codes, 1)
+        np.add.at(sums[1], codes, y)
+        np.add.at(sums[2], codes, y2)
+        np.add.at(sums[3], codes, y2 * y)
+        np.add.at(sums[4], codes, y2 * y2)
+        return pa.table({
+            key_col: gd.dictionary,
+            **{c: pa.array(sums[i]) for i, c in enumerate(cols)},
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import math
+
+        n, s1, s2, s3, s4 = (sum(t[c].to_pylist()) for c in cols)
+        mean = float(s1) / float(n)
+        m2 = n * s2 - s1 * s1
+        var = float(m2) / float(n * n)
+        if m2 == 0:
+            skew = kurt = None
+        else:
+            a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+            a4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+                  + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+            skew = float(a3) / (float(m2) * math.sqrt(float(m2)))
+            kurt = float(a4) / (float(m2) * float(m2)) - 3.0
+        return pa.table({
+            key_col: t[key_col].slice(0, 1),
+            "n": pa.array([n], pa.int64()),
+            "mean": pa.array([mean], pa.float64()),
+            "var_pop": pa.array([var], pa.float64()),
+            "skew": pa.array([skew], pa.float64()),
+            "kurt_excess": pa.array([kurt], pa.float64()),
+        })
+
+    return partials.groupby(key_col).map_groups(
+        finalize, batch_format="pyarrow")

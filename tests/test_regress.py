@@ -109,3 +109,100 @@ def test_group_corr_constant_side_null():
     got = group_corr(ray.data.from_arrow(t), key_col="g", x_col="x",
                      y_col="y").to_pandas()
     assert np.isnan(got["r"].iloc[0])
+
+
+def test_group_moments_serial_replay_bitexact():
+    import math
+
+    from featurebox_ray.stages.regress import group_moments
+
+    rng = np.random.default_rng(13)
+    n = 500
+    t = pa.table({
+        "g": pa.array([None if i % 41 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(0, 6, n))], pa.int64()),
+        "y": pa.array([None if i % 37 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(-50, 400, n))], pa.int64()),
+    })
+    for parts in (1, 4, 9):
+        got = (group_moments(ray.data.from_arrow(t).repartition(parts),
+                             key_col="g", y_col="y")
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        # serial replay with the same fixed op order
+        import collections
+        acc = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+        gs = t["g"].to_pylist()
+        ys = t["y"].to_pylist()
+        for g, y in zip(gs, ys):
+            if g is None or y is None:
+                continue
+            a = acc[g]
+            a[0] += 1
+            a[1] += y
+            a[2] += y * y
+            a[3] += y ** 3
+            a[4] += y ** 4
+        assert len(got) == len(acc)
+        for _, r in got.iterrows():
+            cnt, s1, s2, s3, s4 = acc[r["g"]]
+            assert r["n"] == cnt
+            assert r["mean"] == float(s1) / float(cnt)
+            m2 = cnt * s2 - s1 * s1
+            assert r["var_pop"] == float(m2) / float(cnt * cnt)
+            if m2 == 0:
+                assert np.isnan(r["skew"])
+            else:
+                a3 = cnt * cnt * s3 - 3 * cnt * s1 * s2 + 2 * s1 ** 3
+                a4 = (cnt ** 3 * s4 - 4 * cnt * cnt * s1 * s3
+                      + 6 * cnt * s1 * s1 * s2 - 3 * s1 ** 4)
+                assert r["skew"] == float(a3) / (float(m2)
+                                                 * math.sqrt(float(m2)))
+                assert r["kurt_excess"] == (float(a4)
+                                            / (float(m2) * float(m2))
+                                            - 3.0)
+
+
+def test_group_moments_sanity_vs_scipy_free_formulas():
+    from featurebox_ray.stages.regress import group_moments
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 1000, 2000)
+    t = pa.table({"g": pa.array(np.zeros(len(y), np.int64)),
+                  "y": pa.array(y.astype(np.int64))})
+    got = group_moments(ray.data.from_arrow(t).repartition(5),
+                        key_col="g", y_col="y").to_pandas().iloc[0]
+    yf = y.astype(np.float64)
+    mu = yf.mean()
+    m2 = ((yf - mu) ** 2).mean()
+    m3 = ((yf - mu) ** 3).mean()
+    m4 = ((yf - mu) ** 4).mean()
+    assert abs(got["mean"] - mu) < 1e-9
+    assert abs(got["var_pop"] - m2) < 1e-6
+    assert abs(got["skew"] - m3 / m2 ** 1.5) < 1e-9
+    assert abs(got["kurt_excess"] - (m4 / m2 ** 2 - 3)) < 1e-9
+
+
+def test_group_moments_guards():
+    import pytest
+
+    from featurebox_ray.stages.regress import group_moments
+
+    # zero-variance group -> NULL skew/kurt
+    t = pa.table({"g": pa.array([1, 1, 2], pa.int64()),
+                  "y": pa.array([5, 5, 7], pa.int64())})
+    got = (group_moments(ray.data.from_arrow(t), key_col="g", y_col="y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert np.isnan(got["skew"]).all()
+    assert got["var_pop"].tolist() == [0.0, 0.0]
+    # overflow guard
+    big = pa.table({"g": pa.array([1, 1], pa.int64()),
+                    "y": pa.array([60_000, 60_001], pa.int64())})
+    with pytest.raises(Exception, match="quantize"):
+        group_moments(ray.data.from_arrow(big), key_col="g",
+                      y_col="y").to_pandas()
+    # dtype guard
+    f = pa.table({"g": pa.array([1], pa.int64()),
+                  "y": pa.array([1.5], pa.float64())})
+    with pytest.raises(Exception, match="int64"):
+        group_moments(ray.data.from_arrow(f), key_col="g",
+                      y_col="y").to_pandas()
