@@ -66,3 +66,28 @@ def test_connected_components_empty_pairs_identity():
         ray.data.from_arrow(pairs), ray.data.from_arrow(corpus)
     ).to_pandas()
     assert out["component"].tolist() == [7, 8]
+
+
+def test_catalog_csv_roundtrip(tmp_path):
+    import os
+
+    from featurebox_ray.sources.io import Catalog, write_table
+
+    t = pa.table({
+        "k": pa.array([3, 1, 2, 5, 4], pa.int64()),
+        "name": pa.array(["a", "b", "c", "d", "e"]),
+        "cents": pa.array([100, -250, 0, 99, 12345], pa.int64()),
+    })
+    d = str(tmp_path / "csv_rt")
+    os.makedirs(d)
+    write_table(ray.data.from_arrow(t).repartition(2),
+                os.path.join(d, "facts"), fmt="csv")
+    cat = Catalog(d)
+    assert "facts" in cat.tables
+    back = cat.read("facts").to_pandas().sort_values("k")
+    orig = t.to_pandas().sort_values("k")
+    for c in t.column_names:
+        assert back[c].tolist() == orig[c].tolist()
+    # column projection through the sniffing reader
+    proj = cat.read("facts", columns=["k"]).to_pandas()
+    assert sorted(proj.columns) == ["k"] and len(proj) == 5
