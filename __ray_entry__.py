@@ -421,7 +421,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q113_bucketed_interval": _bucketed_interval_q,
         "q114_funnel": _funnel_q,
         "q115_group_moments": _group_moments_q,
+        "q116_centroid_distance": _centroid_distance_q,
     }
+
+
+def _centroid_distance_q(sf_dir: str):
+    """q116: per-label centroid-distance cohesion features — int64
+    sufficient-statistic partials, tiny driver combine, stats broadcast
+    once, streaming integer score pass (stages/cohesion.py); half-UP
+    floor quantization + HUGEINT SQL arithmetic make the replay
+    bit-exact (np.round/SQL round would tie-break differently)."""
+    import ray
+
+    from featurebox_ray.stages.cohesion import group_centroid_distance
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"],
+                                override_num_blocks=8)
+    return group_centroid_distance(emb, quant_bits=8)
 
 
 def _group_moments_q(sf_dir: str):
@@ -4059,6 +4076,29 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # centroid distance: half-up floor quantization (IEEE-exact both
+        # sides) + HUGEINT integer distance -> bit-exact
+        "q116_centroid_distance": """
+            WITH x AS (
+              SELECT vec_id, label, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 256
+                                + 0.5) AS HUGEINT) AS xq
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) AS r(i)
+              WHERE label IS NOT NULL AND embedding IS NOT NULL
+            ), s AS (
+              SELECT label, i, sum(xq) AS sd, count(*) AS n
+              FROM x GROUP BY label, i
+            )
+            SELECT x.vec_id, x.label,
+                   CAST(any_value(s.n) AS BIGINT) AS n,
+                   CAST(sum((s.n * x.xq - s.sd) * (s.n * x.xq - s.sd))
+                        AS DOUBLE)
+                     / CAST(any_value(s.n * s.n) AS DOUBLE)
+                     / 65536.0 AS dist2
+            FROM x JOIN s ON x.label = s.label AND x.i = s.i
+            GROUP BY x.vec_id, x.label
         """,
         # group moments: HUGEINT central sums + explicit DOUBLE casts
         # replay the engine's fixed op sequence bit-exactly

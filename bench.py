@@ -179,7 +179,7 @@ QUERY_NAMES = [
     "q105_rolling_median", "q106_transitions", "q107_editdist_join",
     # session-8 additions: large-large bucketed interval join (q112's
     # LM replay is fixture-inline like q46, so it stays out)
-    "q113_bucketed_interval", "q114_funnel",
+    "q113_bucketed_interval", "q114_funnel", "q116_centroid_distance",
 ]
 
 

@@ -1,0 +1,148 @@
+"""Per-group centroid-distance features over an embedding column —
+"how far is each vector from its own group's centroid", the cluster-
+cohesion / within-class-outlier signal used to rank candidates for
+relabeling, prune mislabeled training rows, or pre-filter semantic
+dedup (a vector far from every centroid is nobody's near-duplicate).
+
+Physical plan (two passes, no vector shuffle): per-block int64 partial
+sums per group (count + per-dim Σxq via ``np.add.at``), a tiny driver
+combine over O(blocks × groups × dims) cells (groups are label-sized),
+stats broadcast once via ``ray.put``, then a streaming score pass.
+
+Exactness contract (full SQL oracle, no fixture): vectors quantize
+half-UP via ``floor(x · 2^qb + 0.5)`` — floor/multiply/add are all
+correctly-rounded IEEE ops, so DuckDB's ``floor(CAST(v AS DOUBLE) *
+2^qb + 0.5)`` produces the identical integer (never ``round``:
+np.round is half-even, SQL round is half-away, and float32 grids DO
+land on ties).  The squared distance to the centroid is then computed
+entirely in integers::
+
+    ss     = Σ_d (n·xq_d − s_d)²          (exact int64, guarded)
+    dist2  = double(ss) / double(n·n) / double(2^{2·qb})
+
+— two IEEE divisions from exactly-converted ints (``ss < 2^53``
+enforced), replayed bit-identically by HUGEINT SQL.  NULL group rows
+drop; NULL vectors drop.
+
+Scale notes: the exchange moves only sufficient-statistic cells; the
+score pass is one broadcast read + one vectorized matmul-free integer
+pass per block.  Guard raises with quantize-coarser guidance when
+``dims · max|n·xq − s|²`` approaches 2^53.
+
+Reference analog: none (beyond-reference embedding-table operator
+alongside kmeans/PCA/semdedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def quantize_half_up(x: np.ndarray, quant_bits: int) -> np.ndarray:
+    """``floor(x · 2^qb + 0.5)`` as int64 — every step is a correctly
+    rounded IEEE op, so SQL replays the identical integer grid."""
+    s = float(1 << quant_bits)
+    return np.floor(x.astype(np.float64) * s + 0.5).astype(np.int64)
+
+
+def _batch_mat(batch: pa.Table, vec_col: str, quant_bits: int):
+    arr = batch[vec_col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    dims = len(flat) // n if n else 0
+    return quantize_half_up(flat.reshape(n, dims), quant_bits), dims
+
+
+def group_centroid_distance(ds, *, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            group_col: str = "label",
+                            quant_bits: int = 8):
+    """Per row: ``(id_col, group_col, n:int64, dist2:float64)`` — the
+    squared euclidean distance from the (quantized) vector to its
+    group's exact centroid.  Rows with NULL group or NULL vector drop.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_col]),
+                                     pc.is_valid(batch[vec_col])))
+        gtype = batch.schema.field(group_col).type
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.int64()))})
+        xq, dims = _batch_mat(batch, vec_col, quant_bits)
+        gd = pc.dictionary_encode(batch[group_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        g = len(gd.dictionary)
+        cnt = np.bincount(codes, minlength=g).astype(np.int64)
+        s = np.zeros((g, dims), np.int64)
+        np.add.at(s, codes, xq)
+        return pa.table({
+            group_col: gd.dictionary,
+            "n": pa.array(cnt),
+            "s": pa.array(list(s), pa.list_(pa.int64())),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    blocks = [b for b in ray.get(materialized_block_refs(partials))
+              if b.num_rows > 0]
+    stats: dict = {}
+    for b in blocks:
+        gs = b[group_col].to_pylist()
+        ns = b["n"].to_pylist()
+        ss = b["s"].to_pylist()
+        for gval, nv, sv in zip(gs, ns, ss):
+            cur = stats.get(gval)
+            if cur is None:
+                stats[gval] = [nv, np.asarray(sv, np.int64).copy()]
+            else:
+                cur[0] += nv
+                cur[1] += np.asarray(sv, np.int64)
+    # dense lookup arrays keyed by group value
+    gvals = sorted(stats)
+    n_arr = np.array([stats[g][0] for g in gvals], np.int64)
+    s_mat = (np.stack([stats[g][1] for g in gvals])
+             if gvals else np.zeros((0, 0), np.int64))
+    stats_ref = ray.put((gvals, n_arr, s_mat))
+    scale = float(1 << (2 * quant_bits))
+
+    def score(batch: pa.Table) -> pa.Table:
+        gvals_, n_, s_ = ray.get(stats_ref)
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_col]),
+                                     pc.is_valid(batch[vec_col])))
+        out_empty = pa.table({
+            id_col: batch[id_col].slice(0, 0),
+            group_col: batch[group_col].slice(0, 0),
+            "n": pa.array([], pa.int64()),
+            "dist2": pa.array([], pa.float64())})
+        if batch.num_rows == 0 or not gvals_:
+            return out_empty
+        xq, dims = _batch_mat(batch, vec_col, quant_bits)
+        pos = pc.index_in(batch[group_col].combine_chunks(),
+                          value_set=pa.array(gvals_)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_row = n_[pos]
+        diff = xq * n_row[:, None] - s_[pos]
+        m = int(np.abs(diff).max()) if diff.size else 0
+        if m and dims * m * m >= 2 ** 53:
+            raise ValueError(
+                f"dims·max|n·xq−s|² = {dims * m * m} ≥ 2^53 — lower "
+                "quant_bits so distances stay exactly representable")
+        ss = np.sum(diff * diff, axis=1)
+        dist2 = (ss.astype(np.float64)
+                 / (n_row * n_row).astype(np.float64) / scale)
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: batch[group_col],
+            "n": pa.array(n_row),
+            "dist2": pa.array(dist2),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
