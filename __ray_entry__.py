@@ -422,7 +422,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q114_funnel": _funnel_q,
         "q115_group_moments": _group_moments_q,
         "q116_centroid_distance": _centroid_distance_q,
+        "q117_script_profile": _script_profile_q,
     }
+
+
+def _script_profile_q(sf_dir: str):
+    """q117: Unicode-script / character-class profile per document —
+    exact RE2 class counts (Arrow and DuckDB are both RE2, so every
+    count replays exactly), disjoint-class sc_other subtraction, one
+    IEEE-division latin ratio (stages/text.py:script_profile_fn).
+    Stateless vectorized map, zero per-row Python."""
+    import ray
+
+    from featurebox_ray.stages.text import script_profile_fn
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return docs.map_batches(script_profile_fn, batch_format="pyarrow",
+                            zero_copy_batch=True).drop_columns(["text"])
 
 
 def _centroid_distance_q(sf_dir: str):
@@ -4076,6 +4093,31 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # script profile: identical RE2 class counts both sides
+        "q117_script_profile": r"""
+            SELECT doc_id, length(text) AS sc_n_chars,
+                   len(regexp_extract_all(text, '\p{Latin}'))
+                       AS sc_latin,
+                   len(regexp_extract_all(text, '\p{Cyrillic}'))
+                       AS sc_cyrillic,
+                   len(regexp_extract_all(text, '\p{Han}')) AS sc_han,
+                   len(regexp_extract_all(text, '\p{Arabic}'))
+                       AS sc_arabic,
+                   len(regexp_extract_all(text, '[0-9]')) AS sc_digit,
+                   len(regexp_extract_all(text, '\s')) AS sc_space,
+                   length(text)
+                     - len(regexp_extract_all(text, '\p{Latin}'))
+                     - len(regexp_extract_all(text, '\p{Cyrillic}'))
+                     - len(regexp_extract_all(text, '\p{Han}'))
+                     - len(regexp_extract_all(text, '\p{Arabic}'))
+                     - len(regexp_extract_all(text, '[0-9]'))
+                     - len(regexp_extract_all(text, '\s')) AS sc_other,
+                   CASE WHEN length(text) > 0 THEN
+                     CAST(len(regexp_extract_all(text, '\p{Latin}'))
+                          AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                   END AS sc_latin_ratio
+            FROM documents
         """,
         # centroid distance: half-up floor quantization (IEEE-exact both
         # sides) + HUGEINT integer distance -> bit-exact

@@ -198,3 +198,57 @@ def normalize_text(ds, *, text_col: str = "text",
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+_SCRIPT_PATTERNS = (
+    ("latin", r"\p{Latin}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("han", r"\p{Han}"),
+    ("arabic", r"\p{Arabic}"),
+    ("digit", r"[0-9]"),
+    ("space", r"\s"),
+)
+
+
+def script_profile_fn(batch: pa.Table, *, text_col: str = "text"
+                      ) -> pa.Table:
+    """Unicode-script / character-class profile — the script-filtering
+    signal of corpus cleaning (keep Latin-dominant docs for an English
+    corpus, route Han-dominant docs to the zh pipeline), complementary
+    to the stopword language-ID of :class:`TextFeaturizer`.
+
+    Appends exact int64 counts per script class (one Arrow RE2
+    ``count_substring_regex`` pass each — both Arrow and DuckDB are RE2,
+    so ``len(regexp_extract_all(text, pat))`` replays every count
+    exactly), ``sc_other`` = chars in none of the classes (scripts,
+    digits and whitespace are disjoint, so the subtraction is exact),
+    and ``sc_latin_ratio`` = one IEEE division (NULL for empty/null
+    text, like every count on null text).
+
+    Stateless and vectorized — zero per-row Python; use directly in
+    ``map_batches(script_profile_fn, batch_format="pyarrow")``.
+    """
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    null_mask = np.asarray(pc.is_null(texts))
+    n_chars = pc.utf8_length(texts).cast(pa.int64())
+    out = batch.append_column("sc_n_chars", n_chars)
+    nc = np.where(null_mask, 0,
+                  pc.fill_null(n_chars, 0).to_numpy(zero_copy_only=False))
+    total = np.zeros(len(nc), np.int64)
+    counts = {}
+    for name, pat in _SCRIPT_PATTERNS:
+        c = pc.count_substring_regex(texts, pat).cast(pa.int64())
+        counts[name] = c
+        total += np.where(
+            null_mask, 0,
+            pc.fill_null(c, 0).to_numpy(zero_copy_only=False))
+        out = out.append_column(f"sc_{name}", c)
+    other = pa.array(nc - total, pa.int64(), mask=null_mask)
+    out = out.append_column("sc_other", other)
+    lat = pc.fill_null(counts["latin"], 0).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    ratio = pa.array(lat / np.maximum(nc, 1), pa.float64(),
+                     mask=null_mask | (nc == 0))
+    return out.append_column("sc_latin_ratio", ratio)

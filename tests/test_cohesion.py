@@ -109,3 +109,43 @@ def test_cohesion_guard():
     with pytest.raises(Exception, match="quant_bits"):
         group_centroid_distance(ray.data.from_arrow(t),
                                 quant_bits=30).to_pandas()
+
+
+def test_script_profile_matches_duckdb():
+    from featurebox_ray.stages.text import script_profile_fn
+
+    texts = ["Hello мир 世界 123  ", "¡Hola! عالم", "", None,
+             "abcЖ漢5 \tx", "ONLY LATIN words", "٠١٢ نص عربي"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = (ray.data.from_arrow(t).repartition(3)
+           .map_batches(script_profile_fn, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("d", t)
+    want = con.execute(r"""
+        SELECT doc_id, length(text) AS sc_n_chars,
+               len(regexp_extract_all(text, '\p{Latin}')) AS sc_latin,
+               len(regexp_extract_all(text, '\p{Cyrillic}')) AS sc_cyrillic,
+               len(regexp_extract_all(text, '\p{Han}')) AS sc_han,
+               len(regexp_extract_all(text, '\p{Arabic}')) AS sc_arabic,
+               len(regexp_extract_all(text, '[0-9]')) AS sc_digit,
+               len(regexp_extract_all(text, '\s')) AS sc_space,
+               length(text)
+                 - len(regexp_extract_all(text, '\p{Latin}'))
+                 - len(regexp_extract_all(text, '\p{Cyrillic}'))
+                 - len(regexp_extract_all(text, '\p{Han}'))
+                 - len(regexp_extract_all(text, '\p{Arabic}'))
+                 - len(regexp_extract_all(text, '[0-9]'))
+                 - len(regexp_extract_all(text, '\s')) AS sc_other,
+               CASE WHEN length(text) > 0 THEN
+                 CAST(len(regexp_extract_all(text, '\p{Latin}'))
+                      AS DOUBLE) / CAST(length(text) AS DOUBLE)
+               END AS sc_latin_ratio
+        FROM d ORDER BY doc_id
+    """).fetch_arrow_table()
+    for c in want.column_names:
+        g = got[c].tolist()
+        w = want[c].to_pylist()
+        g = [None if isinstance(v, float) and v != v else v for v in g]
+        assert g == w, (c, g, w)
