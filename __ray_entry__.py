@@ -423,7 +423,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q115_group_moments": _group_moments_q,
         "q116_centroid_distance": _centroid_distance_q,
         "q117_script_profile": _script_profile_q,
+        "q118_windowed_distinct": _windowed_distinct_q,
     }
+
+
+def _windowed_distinct_q(sf_dir: str):
+    """q118: exact distinct users per (event_type, day) — the exact-NDV
+    exchange (distinct tuples ride the shuffle, never rows) with one
+    count_distinct kernel per co-located group
+    (stages/profile.py:group_count_distinct); the exact counterpart of
+    the HLL/KMV sketches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.profile import group_count_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "user_id"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].combine_chunks().cast(pa.int64()),
+                        86_400_000_000)
+        return pa.table({"event_type": b["event_type"], "day": day,
+                         "user_id": b["user_id"]})
+
+    return group_count_distinct(
+        ev.map_batches(add_day, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["event_type", "day"], value_col="user_id",
+        num_partitions=8)
 
 
 def _script_profile_q(sf_dir: str):
@@ -4093,6 +4122,14 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # windowed exact distinct: plain count(DISTINCT), exact ints
+        "q118_windowed_distinct": """
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events
+            GROUP BY event_type, day
         """,
         # script profile: identical RE2 class counts both sides
         "q117_script_profile": r"""

@@ -142,3 +142,44 @@ def profile_columns(ds, *, cols: Sequence[str], num_partitions: int = 8):
     return partitioned_map(staged, final, key="col",
                            sort_keys=["col"], num_partitions=1,
                            strategy="tasks")
+
+
+def group_count_distinct(ds, *, group_cols: Sequence[str],
+                         value_col: str, num_partitions: int = 8):
+    """Exact ``count(DISTINCT value)`` per group — the windowed-distinct
+    primitive (distinct users per (event_type, day)) that sketches
+    (``hll_distinct``/``kmv``) approximate, as the exact path.
+
+    Classic exact-NDV shape: each block collapses to its DISTINCT
+    ``(group..., value)`` tuples (one vectorized ``pa.Table.group_by``
+    — the shuffle moves distinct tuples, never rows), ONE keyed exchange
+    co-locates groups by ``group_cols[0]`` (all finer group columns ride
+    along, so every group is complete wherever its prefix lands — the
+    documented co-location assumption; a skewed prefix bounds one
+    partition, mirror of the hash-partition story), and the kernel runs
+    one ``count_distinct`` aggregate per group.
+
+    NULL values are ignored (SQL ``count(DISTINCT v)``); NULL group
+    keys form one group (SQL ``GROUP BY``).  Returns ``(group_cols...,
+    n_distinct:int64)``.
+    """
+    from .partition import partitioned_map
+
+    cols = list(group_cols) + [value_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.select(cols).group_by(cols).aggregate([])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out = (t.group_by(list(group_cols))
+               .aggregate([(value_col, "count_distinct")]))
+        cd = out[f"{value_col}_count_distinct"].cast(pa.int64())
+        return (out.drop_columns([f"{value_col}_count_distinct"])
+                .append_column("n_distinct", cd))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return partitioned_map(partials, kernel, key=group_cols[0],
+                           sort_keys=list(group_cols),
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -175,3 +175,36 @@ def test_robust_zscore_mad_zero_group():
                             value_col="v", out_col="z",
                             num_partitions=2).to_pandas()
     assert got["z"].isna().all()
+
+
+def test_group_count_distinct_duckdb_fuzz():
+    import duckdb
+
+    from featurebox_ray.stages.profile import group_count_distinct
+
+    rng = np.random.default_rng(23)
+    n = 600
+    t = pa.table({
+        "g1": pa.array([None if i % 37 == 0 else f"t{v}" for i, v in
+                        enumerate(rng.integers(0, 4, n))], pa.string()),
+        "g2": pa.array([None if i % 41 == 0 else int(v) for i, v in
+                        enumerate(rng.integers(0, 5, n))], pa.int64()),
+        "v": pa.array([None if i % 13 == 0 else int(x) for i, x in
+                       enumerate(rng.integers(0, 30, n))], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT g1, g2, count(DISTINCT v) AS n_distinct
+        FROM t GROUP BY g1, g2 ORDER BY g1 NULLS FIRST, g2 NULLS FIRST
+    """).fetch_arrow_table()
+    for parts, np_ in ((1, 2), (5, 3), (9, 7)):
+        got = (group_count_distinct(
+            ray.data.from_arrow(t).repartition(parts),
+            group_cols=["g1", "g2"], value_col="v",
+            num_partitions=np_).to_pandas()
+            .sort_values(["g1", "g2"], na_position="first")
+            .reset_index(drop=True))
+        assert len(got) == want.num_rows
+        assert got["n_distinct"].tolist() == (
+            want["n_distinct"].to_pylist()), (parts, np_)
