@@ -424,7 +424,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q116_centroid_distance": _centroid_distance_q,
         "q117_script_profile": _script_profile_q,
         "q118_windowed_distinct": _windowed_distinct_q,
+        "q119_top_bigrams": _top_bigrams_q,
     }
+
+
+def _top_bigrams_q(sf_dir: str):
+    """q119: exact global top-20 adjacent word bigrams — collocation /
+    boilerplate mining on the exact heavy-hitters plan (per-block
+    vectorized binary_join partials, one term-keyed exchange,
+    local-then-global top-k; stages/tfidf.py:top_bigrams).  Deterministic
+    (count desc, bigram asc) LIMIT boundary, exact SQL replay."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import top_bigrams
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return top_bigrams(docs, k=20, num_partitions=8)
 
 
 def _windowed_distinct_q(sf_dir: str):
@@ -4122,6 +4138,17 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # top bigrams: same list_slice gram convention as q26/q84
+        "q119_top_bigrams": r"""
+            WITH base AS (SELECT regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            bg AS (SELECT array_to_string(list_slice(t, i, i + 1), ' ')
+                       AS bigram
+                   FROM base, LATERAL unnest(range(1, len(t))) AS u(i)
+                   WHERE len(t) >= 2)
+            SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM bg
+            GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20
         """,
         # windowed exact distinct: plain count(DISTINCT), exact ints
         "q118_windowed_distinct": """

@@ -180,7 +180,7 @@ QUERY_NAMES = [
     # session-8 additions: large-large bucketed interval join (q112's
     # LM replay is fixture-inline like q46, so it stays out)
     "q113_bucketed_interval", "q114_funnel", "q116_centroid_distance",
-    "q117_script_profile", "q118_windowed_distinct",
+    "q117_script_profile", "q118_windowed_distinct", "q119_top_bigrams",
 ]
 
 

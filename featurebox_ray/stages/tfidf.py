@@ -214,6 +214,19 @@ def top_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({"term": dct.dictionary,
                          "cnt": pa.array(counts.astype(np.int64))})
 
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return _exact_topk_exchange(partials, k=k,
+                                num_partitions=num_partitions)
+
+
+def _exact_topk_exchange(partials, *, k: int, num_partitions: int):
+    """Shared tail of the exact heavy-hitters plan: sum ``(term, cnt)``
+    partials per term on one keyed exchange, partition-local top-k
+    (sound post-summation), one final global pick under the
+    deterministic ``(count desc, term asc)`` order."""
+    from .partition import partitioned_map
+
     def sum_local_topk(t: pa.Table) -> pa.Table:
         dct = pc.dictionary_encode(t["term"].combine_chunks())
         sums = np.zeros(len(dct.dictionary), np.int64)
@@ -231,8 +244,6 @@ def top_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "cnt": pa.array(sums[order]),
         })
 
-    partials = ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=None)
     local = partitioned_map(partials, sum_local_topk, key="term",
                             sort_keys=["term"],
                             num_partitions=num_partitions,
@@ -251,6 +262,55 @@ def top_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return partitioned_map(local, global_topk, key="term",
                            sort_keys=["term"], num_partitions=1,
                            strategy="tasks")
+
+
+def top_bigrams(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 20, num_partitions: int = 8):
+    """Exact global top-k adjacent word bigrams — corpus collocation
+    analysis (boilerplate detection, common-phrase mining) on the same
+    exact heavy-hitters plan as :func:`top_terms`: per-block partial
+    ``(bigram, cnt)`` rows (vectorized: adjacency mask over the token
+    offsets + one ``binary_join_element_wise``), one term-keyed exchange,
+    local-then-global top-k under ``(count desc, bigram asc)``.
+
+    Returns ``(bigram:string, cnt:int64)``.  The bigram string is the
+    two tokens joined by a single space — exactly SQL's
+    ``array_to_string(list_slice(tokens, i, i+1), ' ')``, so the oracle
+    replays it 1:1 (the q26/q84 gram convention).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        counts = np.diff(off)
+        row_ids = np.repeat(np.arange(len(counts)), counts)
+        adj = row_ids[1:] == row_ids[:-1]
+        if not np.any(adj):
+            return empty
+        sel = np.flatnonzero(adj)
+        a = flat.take(pa.array(sel, pa.int64()))
+        b = flat.take(pa.array(sel + 1, pa.int64()))
+        grams = pc.binary_join_element_wise(a, b, " ")
+        dct = pc.dictionary_encode(grams)
+        cnt = np.bincount(dct.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(dct.dictionary))
+        return pa.table({"term": dct.dictionary.cast(pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    out = _exact_topk_exchange(partials, k=k,
+                               num_partitions=num_partitions)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["bigram", "cnt"])
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def corpus_freq_score(ds, *, id_col: str = "doc_id",

@@ -507,3 +507,44 @@ def test_centered_window_sum_matches_duckdb():
         add_centered_window_sum(ray.data.from_arrow(t), key_col="k",
                                 ts_col="ts", int_value_col="v",
                                 order_col="o", before=-1, after=2)
+
+
+def test_top_bigrams_counter_replay_and_duckdb():
+    import collections
+
+    import duckdb
+
+    from featurebox_ray.stages.tfidf import top_bigrams
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 15))))
+             for _ in range(60)] + ["", None, "solo"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    # serial Counter replay
+    c = collections.Counter()
+    for x in texts:
+        ws = (x or "").split()
+        c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for parts in (1, 5):
+        got = (top_bigrams(ray.data.from_arrow(t).repartition(parts),
+                           k=10, num_partitions=3)
+               .to_pandas())
+        assert list(map(tuple, got[["bigram", "cnt"]].to_records(
+            index=False))) == want, parts
+    # DuckDB replay of the same list_slice/array_to_string convention
+    con = duckdb.connect()
+    con.register("documents", t)
+    w2 = con.execute(r"""
+        WITH base AS (SELECT regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        bg AS (SELECT array_to_string(list_slice(t, i, i + 1), ' ')
+                   AS bigram
+               FROM base, LATERAL unnest(range(1, len(t))) AS u(i)
+               WHERE len(t) >= 2)
+        SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM bg
+        GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 10
+    """).fetchall()
+    assert w2 == want
