@@ -521,12 +521,14 @@ def _group_moments_q(sf_dir: str):
 
     def quant(b: pa.Table) -> pa.Table:
         # tie-free cents (money is exact 2-dec), then integer-divide to
-        # whole units so the Σy⁴ block partial stays inside int64
+        # whole units so the Σy⁴ block partial stays inside int64.
+        # TRUNCATE toward zero like DuckDB's `//` — numpy's floor
+        # division diverges on negative cents
         v = b["value"].combine_chunks()
         cents = np.round(np.nan_to_num(
             v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
-        y = pa.array(cents // 100, pa.int64(),
-                     mask=np.asarray(pc.is_null(v)))
+        units = np.where(cents >= 0, cents // 100, -((-cents) // 100))
+        y = pa.array(units, pa.int64(), mask=np.asarray(pc.is_null(v)))
         return pa.table({"event_type": b["event_type"], "y": y})
 
     q = ev.map_batches(quant, batch_format="pyarrow",

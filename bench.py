@@ -177,10 +177,11 @@ QUERY_NAMES = [
     # window), transition bigrams, PassJoin edit-distance join
     "q101_hll_distinct", "q102_group_linfit", "q104_asof_nearest",
     "q105_rolling_median", "q106_transitions", "q107_editdist_join",
-    # session-8 additions: large-large bucketed interval join (q112's
-    # LM replay is fixture-inline like q46, so it stays out)
-    "q113_bucketed_interval", "q114_funnel", "q116_centroid_distance",
-    "q117_script_profile", "q118_windowed_distinct", "q119_top_bigrams",
+    # session-8 additions (q112's LM replay is fixture-inline like q46,
+    # so it stays out; everything else below is engine-only)
+    "q113_bucketed_interval", "q114_funnel", "q115_group_moments",
+    "q116_centroid_distance", "q117_script_profile",
+    "q118_windowed_distinct", "q119_top_bigrams",
 ]
 
 

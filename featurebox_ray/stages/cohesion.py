@@ -49,8 +49,16 @@ def quantize_half_up(x: np.ndarray, quant_bits: int) -> np.ndarray:
 
 def _batch_mat(batch: pa.Table, vec_col: str, quant_bits: int):
     arr = batch[vec_col].combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False)
     n = len(arr)
+    if n:
+        # ragged lists whose total length divides evenly would silently
+        # reshape into misaligned rows — validate uniformity up front
+        mm = pc.min_max(pc.list_value_length(arr))
+        if mm["min"].as_py() != mm["max"].as_py():
+            raise ValueError(
+                f"{vec_col} lists are ragged ({mm['min']}..{mm['max']} "
+                "elements) — fixed-dimension embeddings required")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
     dims = len(flat) // n if n else 0
     return quantize_half_up(flat.reshape(n, dims), quant_bits), dims
 
@@ -124,6 +132,10 @@ def group_centroid_distance(ds, *, vec_col: str = "embedding",
         if batch.num_rows == 0 or not gvals_:
             return out_empty
         xq, dims = _batch_mat(batch, vec_col, quant_bits)
+        if s_.size and dims != s_.shape[1]:
+            raise ValueError(
+                f"embedding dims differ across blocks: {dims} here vs "
+                f"{s_.shape[1]} in the fitted stats")
         pos = pc.index_in(batch[group_col].combine_chunks(),
                           value_set=pa.array(gvals_)).to_numpy(
             zero_copy_only=False).astype(np.int64)

@@ -110,6 +110,17 @@ def _batch_token_hashes(texts: "pa.ChunkedArray | pa.Array"
     return lut[idx], off
 
 
+def adjacent_token_indices(counts: np.ndarray) -> np.ndarray:
+    """Flat-token indices ``i`` where tokens ``i`` and ``i+1`` belong to
+    the same row (adjacent within-document pairs) — ``counts`` is the
+    per-row token count (``np.diff(off)``).  Shared by the bigram-LM
+    (stages/lm.py) and top-bigrams (stages/tfidf.py) emitters."""
+    if counts.sum() < 2:
+        return np.empty(0, np.int64)
+    row_ids = np.repeat(np.arange(len(counts)), counts)
+    return np.flatnonzero(row_ids[1:] == row_ids[:-1])
+
+
 _GRAM_A = np.uint64(1_000_003)
 _GRAM_B = np.uint64(999_999_937)
 

@@ -40,9 +40,15 @@ def funnel_features(ds, *, key_col: str = "user_id",
     ``step_b`` rows with ``first_a <= ts <= first_a + horizon`` (NULL
     when none, as is ``gap_us``); ``n_b_window`` counts them.  Keys with
     no A emit nothing (SQL inner-group semantics).  ``horizon_s`` is in
-    seconds for timestamp columns, native units for plain ints, and
-    ``gap_us`` is likewise us / native units (the asof_join tolerance
-    convention).
+    seconds, scaled by the timestamp column's NATIVE Arrow unit
+    (s/ms/us/ns); plain int64 ts columns follow the repo's
+    int64-microseconds convention — exactly asof_join's tolerance
+    scaling.  ``gap_us`` is in the ts column's native unit.
+
+    ``step_a == step_b`` is allowed (repeat-event funnel): the anchor
+    row itself satisfies ``ts >= first_a`` and counts as an in-window B
+    — pass a later-typed step or filter upstream for strictly-after
+    semantics.
     """
     from .partition import partitioned_map
 
@@ -59,6 +65,8 @@ def funnel_features(ds, *, key_col: str = "user_id",
             key_col: b[key_col],
             "__ts": ts_i,
             "__is_a": pc.equal(b[type_col], step_a),
+            # carried separately: with step_a == step_b a row is BOTH
+            "__is_b": pc.equal(b[type_col], step_b),
         })
 
     ts_type = None
@@ -67,7 +75,7 @@ def funnel_features(ds, *, key_col: str = "user_id",
         out = pa.array(arr, pa.int64(), mask=mask)
         return out.cast(ts_type) if ts_type is not None else out
 
-    horizon_us = int(horizon_s)  # scaled to us below for timestamp cols
+    horizon_native = None  # set from the ts column's unit below
 
     def kernel(t: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -85,6 +93,7 @@ def funnel_features(ds, *, key_col: str = "user_id",
         keys = t[key_col].combine_chunks()
         ts = t["__ts"].to_numpy(zero_copy_only=False)
         is_a = t["__is_a"].to_numpy(zero_copy_only=False).astype(bool)
+        is_b = t["__is_b"].to_numpy(zero_copy_only=False).astype(bool)
         enc = pc.dictionary_encode(keys)
         # NULL keys are one SQL group: fill their (null) codes with -1 —
         # nulls sort contiguously, so the segment stays intact
@@ -100,8 +109,8 @@ def funnel_features(ds, *, key_col: str = "user_id",
         a_ts = np.minimum.reduceat(np.where(is_a, ts, big), starts)
         has_a = a_ts != big
         a_per_row = a_ts[seg]
-        in_win = (~is_a) & (ts >= a_per_row) & (
-            ts <= a_per_row + horizon_us) & has_a[seg]
+        in_win = is_b & (ts >= a_per_row) & (
+            ts <= a_per_row + horizon_native) & has_a[seg]
         n_b = np.add.reduceat(in_win.astype(np.int64), starts)
         conv = np.minimum.reduceat(np.where(in_win, ts, big), starts)
         has_b = conv != big
@@ -125,11 +134,15 @@ def funnel_features(ds, *, key_col: str = "user_id",
     # parquet reads; callers with lazy chains pass pre-projected inputs)
     schema = ds.schema()
     base = getattr(schema, "base_schema", schema)
-    if pa.types.is_timestamp(base.field(ts_col).type):
-        ts_type = base.field(ts_col).type
-        # seconds for timestamps, native units for plain ints (the
-        # asof_join tolerance convention)
-        horizon_us = int(horizon_s) * 1_000_000
+    tt = base.field(ts_col).type
+    if pa.types.is_timestamp(tt):
+        ts_type = tt
+    # horizon in the ts column's NATIVE unit; plain ints follow the
+    # repo's int64-microseconds convention (asof_join tolerance scaling)
+    unit = tt.unit if pa.types.is_timestamp(tt) else "us"
+    horizon_native = int(round(
+        float(horizon_s)
+        * {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]))
 
     prepped = ds.map_batches(prep, batch_format="pyarrow",
                              zero_copy_batch=True)

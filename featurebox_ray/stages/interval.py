@@ -203,8 +203,24 @@ def bucketed_interval_join(
     f_types = {c: fact_schema.field(c).type for c in fact_cols}
     i_types = {c: interval_schema.field(c).type for c in interval_cols}
     ts_type = fact_schema.field(ts_col).type
-    width = (int(bucket_width_s) * 1_000_000
-             if pa.types.is_timestamp(ts_type) else int(bucket_width_s))
+    if pa.types.is_timestamp(ts_type):
+        # bucket width in the ts column's NATIVE unit (s/ms/us/ns); the
+        # bound columns must agree — _as_int64 preserves native units,
+        # so a unit mismatch would silently misalign the comparison
+        unit = ts_type.unit
+        width = int(bucket_width_s) * {"s": 1, "ms": 10**3,
+                                       "us": 10**6, "ns": 10**9}[unit]
+        for c in (lo_col, hi_col):
+            bt = interval_schema.field(c).type
+            if pa.types.is_timestamp(bt) and bt.unit != unit:
+                raise ValueError(
+                    f"{c} is timestamp[{bt.unit}] but {ts_col} is "
+                    f"timestamp[{unit}] — cast the bounds to the fact "
+                    "ts unit first")
+    else:
+        # plain int64 ts: width is in the column's own (native) units —
+        # it is a plan parameter only, results never depend on it
+        width = int(bucket_width_s)
 
     def fact_emit(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_valid(b[ts_col]))

@@ -51,7 +51,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import split_tokens
+from .dedup import adjacent_token_indices, split_tokens
 from .tfidf import top_terms
 
 
@@ -75,9 +75,8 @@ def _doc_bigrams(slots: np.ndarray, counts: np.ndarray,
     n_bi = np.maximum(counts - 1, 0)
     if len(slots) == 0:
         return np.empty(0, np.int64), n_bi
-    row_ids = np.repeat(np.arange(len(counts)), counts)
-    adj = row_ids[1:] == row_ids[:-1]
-    pair = slots[:-1][adj] * n_slots + slots[1:][adj]
+    sel = adjacent_token_indices(counts)
+    pair = slots[sel] * n_slots + slots[sel + 1]
     return pair, n_bi
 
 

@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import split_tokens
+from .dedup import adjacent_token_indices, split_tokens
 
 
 def _doc_term_tf(batch: pa.Table, id_col: str, text_col: str):
@@ -287,11 +287,9 @@ def top_bigrams(ds, *, id_col: str = "doc_id", text_col: str = "text",
         if len(flat) < 2:
             return empty
         counts = np.diff(off)
-        row_ids = np.repeat(np.arange(len(counts)), counts)
-        adj = row_ids[1:] == row_ids[:-1]
-        if not np.any(adj):
+        sel = adjacent_token_indices(counts)
+        if len(sel) == 0:
             return empty
-        sel = np.flatnonzero(adj)
         a = flat.take(pa.array(sel, pa.int64()))
         b = flat.take(pa.array(sel + 1, pa.int64()))
         grams = pc.binary_join_element_wise(a, b, " ")

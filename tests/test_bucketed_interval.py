@@ -118,3 +118,37 @@ def test_bucketed_interval_timestamp_units_and_overlap_error():
             ray.data.from_arrow(f), ray.data.from_arrow(iv), ts_col="ts",
             fact_cols=["fact_id"], interval_cols=["fact_id"],
             num_partitions=2)
+
+
+def test_bucketed_interval_ns_unit_scaling_and_mismatch():
+    # review fix: bucket width scales by the ts column's native unit;
+    # mismatched bound units raise instead of silently misaligning
+    base = 1_700_000_000_000_000_000  # ns
+    f = pa.table({
+        "fact_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([base + 60_000_000_000,        # +1 min
+                        base + 600_000_000_000],      # +10 min
+                       pa.timestamp("ns")),
+    })
+    iv = pa.table({
+        "iv_id": pa.array([7], pa.int64()),
+        "lo": pa.array([base], pa.timestamp("ns")),
+        "hi": pa.array([base + 240_000_000_000], pa.timestamp("ns")),
+    })
+    got = bucketed_interval_join(
+        ray.data.from_arrow(f), ray.data.from_arrow(iv), ts_col="ts",
+        fact_cols=["fact_id"], interval_cols=["iv_id"],
+        bucket_width_s=900, num_partitions=2,
+        max_replication=4).to_pandas()  # 4-min interval, 15-min buckets
+    assert got["fact_id"].tolist() == [1]
+    iv_us = pa.table({
+        "iv_id": pa.array([7], pa.int64()),
+        "lo": pa.array([base // 1000], pa.timestamp("us")),
+        "hi": pa.array([(base + 240_000_000_000) // 1000],
+                       pa.timestamp("us")),
+    })
+    with pytest.raises(ValueError, match="unit"):
+        bucketed_interval_join(
+            ray.data.from_arrow(f), ray.data.from_arrow(iv_us),
+            ts_col="ts", fact_cols=["fact_id"], interval_cols=["iv_id"],
+            num_partitions=2)

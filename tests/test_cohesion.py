@@ -149,3 +149,16 @@ def test_script_profile_matches_duckdb():
         w = want[c].to_pylist()
         g = [None if isinstance(v, float) and v != v else v for v in g]
         assert g == w, (c, g, w)
+
+
+def test_cohesion_ragged_embeddings_raise():
+    # review fix: ragged lists whose total divides evenly must not
+    # silently reshape into garbage distances
+    t = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2], [0.1, 0.2, 0.3, 0.4]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0], pa.int32()),
+    })
+    with pytest.raises(Exception, match="ragged"):
+        group_centroid_distance(ray.data.from_arrow(t)).to_pandas()

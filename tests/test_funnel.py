@@ -97,3 +97,40 @@ def test_funnel_hand_case():
     r2 = got2[got2["user_id"] == 2].iloc[0]
     # user 2's purchase precedes their first view -> no conversion
     assert r2["n_b_window"] == 0 and np.isnan(r2["gap_us"])
+
+
+def test_funnel_ns_timestamp_unit_scaling():
+    # review fix: horizon must scale by the column's NATIVE unit
+    base = 1_700_000_000_000_000_000  # ns
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([base, base + 3_600_000_000_000],  # +1h in ns
+                       pa.timestamp("ns")),
+        "event_type": pa.array(["view", "purchase"]),
+    })
+    got = (funnel_features(ray.data.from_arrow(t), step_a="view",
+                           step_b="purchase", horizon_s=7200,
+                           num_partitions=1).to_pandas())
+    assert got.iloc[0]["n_b_window"] == 1          # 1h < 2h horizon
+    assert got.iloc[0]["gap_us"] == 3_600_000_000_000  # native ns gap
+    tight = (funnel_features(ray.data.from_arrow(t), step_a="view",
+                             step_b="purchase", horizon_s=1800,
+                             num_partitions=1).to_pandas())
+    assert tight.iloc[0]["n_b_window"] == 0
+
+
+def test_funnel_same_step_repeat_event():
+    # review fix: step_a == step_b (repeat-purchase funnel) — the anchor
+    # row itself satisfies ts >= first_a and counts
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([100, 200, 50], pa.int64()),
+        "event_type": pa.array(["purchase", "purchase", "purchase"]),
+    })
+    got = (funnel_features(ray.data.from_arrow(t), step_a="purchase",
+                           step_b="purchase", horizon_s=1,
+                           num_partitions=2)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # horizon 1s = 1e6 native units covers both of user 1's purchases
+    assert got["n_b_window"].tolist() == [2, 1]
+    assert got.iloc[0]["conv_ts"] == 100  # anchor itself
