@@ -425,7 +425,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q117_script_profile": _script_profile_q,
         "q118_windowed_distinct": _windowed_distinct_q,
         "q119_top_bigrams": _top_bigrams_q,
+        "q120_snapshot_diff": _snapshot_diff_q,
     }
+
+
+def _snapshot_diff_q(sf_dir: str):
+    """q120: snapshot diff (added/removed/changed) between the documents
+    table and a deterministically perturbed next version — one id-keyed
+    tagged-union exchange, vectorized run classification, delta-sized
+    output, IS NOT DISTINCT FROM equality (stages/diff.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.diff import snapshot_diff
+
+    old = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+    new_base = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    def perturb(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 17 != 0
+        kept = b.filter(pa.array(keep))
+        kid = kept["doc_id"].to_numpy(zero_copy_only=False)
+        changed = pa.array(kid % 13 == 0)
+        txt = pc.if_else(
+            changed,
+            pc.binary_join_element_wise(
+                pa.array(["CHANGED"] * kept.num_rows),
+                pc.fill_null(kept["text"].combine_chunks(), ""), " "),
+            kept["text"].combine_chunks())
+        out = pa.table({"doc_id": kept["doc_id"], "text": txt})
+        add_ids = ids[ids % 19 == 0] + 1_000_000
+        if len(add_ids):
+            added = pa.table({
+                "doc_id": pa.array(add_ids, pa.int64()),
+                "text": pa.array([f"added doc {i}" for i in add_ids],
+                                 pa.string())})
+            out = pa.concat_tables([out, added])
+        return out
+
+    new = new_base.map_batches(perturb, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return snapshot_diff(old, new, id_col="doc_id", cmp_cols=["text"],
+                         num_partitions=8)
 
 
 def _top_bigrams_q(sf_dir: str):
@@ -4140,6 +4186,31 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # snapshot diff: FULL JOIN + IS DISTINCT FROM, exact rows
+        "q120_snapshot_diff": """
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN
+                       'CHANGED ' || coalesce(text, '')
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     'added doc ' || CAST(doc_id + 1000000 AS VARCHAR)
+                         AS text
+              FROM documents WHERE doc_id % 19 = 0
+            )
+            SELECT * FROM (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.text IS DISTINCT FROM n.text
+                              THEN 'changed'
+                     END AS status
+              FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+            ) WHERE status IS NOT NULL
         """,
         # top bigrams: same list_slice gram convention as q26/q84
         "q119_top_bigrams": r"""

@@ -181,7 +181,7 @@ QUERY_NAMES = [
     # so it stays out; everything else below is engine-only)
     "q113_bucketed_interval", "q114_funnel", "q115_group_moments",
     "q116_centroid_distance", "q117_script_profile",
-    "q118_windowed_distinct", "q119_top_bigrams",
+    "q118_windowed_distinct", "q119_top_bigrams", "q120_snapshot_diff",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Snapshot diff — compare two versions of a keyed table and emit
+``added`` / ``removed`` / ``changed`` rows.  The incremental-processing
+primitive of a 100-TB pipeline: diff yesterday's corpus against
+today's, reprocess only the delta, audit an upstream refresh.
+
+Physical plan: both sides stream through a tag column into ONE
+id-keyed task exchange (the established tagged-union shape — no join
+operator, no schema probe); the kernel walks id runs vectorized
+(sorted by (id, tag), runs are length 1 or 2) and classifies each id
+with pure array compares.  Unchanged ids emit nothing, so the output
+is delta-sized.
+
+Equality is SQL ``IS NOT DISTINCT FROM`` per compare column (NULL ==
+NULL is unchanged), which DuckDB replays 1:1 in a FULL OUTER JOIN.
+
+Contract: ``id_col`` is unique within each side — a duplicated id
+raises (the diff of multisets is ambiguous; dedupe upstream with
+``exact_dedup``).  NULL ids group like SQL ``USING`` would not —
+they're rejected for the same ambiguity reason.
+
+Reference analog: none (beyond-reference ops primitive alongside
+checkpoint/resume in ``state/checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def snapshot_diff(old_ds, new_ds, *, id_col: str,
+                  cmp_cols: Sequence[str], num_partitions: int = 16):
+    """Diff two keyed datasets → ``(id_col, status:string)`` with status
+    in {'added', 'removed', 'changed'}; unchanged ids emit nothing."""
+    from .partition import partitioned_map
+
+    cols = [id_col] + list(cmp_cols)
+
+    def tag(which: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if b[id_col].null_count:
+                raise ValueError(
+                    f"NULL {id_col} in snapshot side {which} — diff "
+                    "requires non-null unique ids")
+            return b.select(cols).append_column(
+                "__side", pa.array(np.full(b.num_rows, which, np.int8)))
+        return fn
+
+    unioned = (old_ds.map_batches(tag(0), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+               .union(new_ds.map_batches(tag(1), batch_format="pyarrow",
+                                         zero_copy_batch=True)))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: t[id_col].slice(0, 0),
+                          "status": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        # partitioned_map delivers the partition sorted by (id, side)
+        ids = t[id_col].combine_chunks()
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(ids)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(codes)]]))
+        if int(lens.max()) > 2 or np.any(
+                (lens == 2) & (side[starts] == side[
+                    np.minimum(starts + 1, len(side) - 1)])):
+            raise ValueError(
+                f"duplicate {id_col} within one snapshot side — ids "
+                "must be unique per side (exact_dedup upstream)")
+        only = lens == 1
+        status = np.empty(len(starts), object)
+        status[only & (side[starts] == 0)] = "removed"
+        status[only & (side[starts] == 1)] = "added"
+        both = np.flatnonzero(~only)
+        if len(both):
+            o_idx = pa.array(starts[both], pa.int64())
+            n_idx = pa.array(starts[both] + 1, pa.int64())
+            same = np.ones(len(both), bool)
+            for c in cmp_cols:
+                col = t[c].combine_chunks()
+                a, b = col.take(o_idx), col.take(n_idx)
+                # IS NOT DISTINCT FROM: equal, or both NULL
+                eq = pc.fill_null(pc.equal(a, b), False)
+                both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+                same &= np.asarray(pc.or_(eq, both_null))
+            status[both] = np.where(same, None, "changed")
+        keep = np.flatnonzero(status != None)  # noqa: E711
+        if len(keep) == 0:
+            return empty
+        return pa.table({
+            id_col: ids.take(pa.array(starts[keep], pa.int64())),
+            "status": pa.array([status[i] for i in keep], pa.string()),
+        })
+
+    return partitioned_map(unioned, kernel, key=id_col,
+                           sort_keys=[id_col, "__side"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
