@@ -426,7 +426,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q118_windowed_distinct": _windowed_distinct_q,
         "q119_top_bigrams": _top_bigrams_q,
         "q120_snapshot_diff": _snapshot_diff_q,
+        "q121_retention": _retention_q,
     }
+
+
+def _retention_q(sf_dir: str):
+    """q121: weekly retention cohort matrix — one user-keyed exchange
+    (cohort + distinct activity periods per user segment, vectorized),
+    then a tiny (cohort, offset) partial-count sum
+    (stages/retention.py); all-int64, exact SQL replay."""
+    import ray
+
+    from featurebox_ray.stages.retention import retention_cohorts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return retention_cohorts(ev, period="week", num_partitions=8)
 
 
 def _snapshot_diff_q(sf_dir: str):
@@ -4186,6 +4201,20 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # retention cohorts: all-int64 period math, exact counts
+        "q121_retention": """
+            WITH a AS (SELECT user_id,
+                              epoch_us(ts) // 604800000000 AS per
+                       FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT user_id, min(per) AS cohort FROM a
+                  GROUP BY user_id),
+            d AS (SELECT DISTINCT a.user_id, c.cohort,
+                         a.per - c.cohort AS off
+                  FROM a JOIN c USING (user_id))
+            SELECT cohort, off AS "offset",
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d GROUP BY cohort, off
         """,
         # snapshot diff: FULL JOIN + IS DISTINCT FROM, exact rows
         "q120_snapshot_diff": """

@@ -1,0 +1,126 @@
+"""Retention cohort matrix — the classic product-analytics aggregate:
+bucket every user by their FIRST activity period (the cohort), then
+count how many of each cohort's users were active 0, 1, 2, … periods
+later.  Output is the (cohort, offset) → active-user-count long table
+that retention heatmaps draw.
+
+Physical plan: ONE user-keyed exchange (first activity and all
+activity periods of a user are needed together — same co-location
+contract as every window stage); the kernel walks user segments
+vectorized (cohort = segment-min period via ``np.minimum.reduceat``,
+distinct (user, period) pairs via a sorted run mask) and emits one row
+per distinct (user, period) — already user-deduplicated, so the second
+exchange is a plain int64 partial-count sum per (cohort, offset), the
+cheapest aggregate shape in the repo.
+
+Everything is int64 (epoch-period buckets, counts) — exact under any
+partitioning; the SQL replay is exact by construction.
+
+NULL ts rows drop (they are in no period); NULL keys form one user
+(SQL GROUP BY semantics — mirror with IS NOT DISTINCT FROM if the key
+can be NULL).
+
+Reference analog: none (beyond-reference behavioral aggregate next to
+funnel_features and session stats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PERIOD_US = {"day": 86_400_000_000, "week": 604_800_000_000}
+
+
+def retention_cohorts(ds, *, key_col: str = "user_id",
+                      ts_col: str = "ts", period: str = "week",
+                      num_partitions: int = 16):
+    """Long-form retention matrix: ``(cohort:int64, offset:int64,
+    n_users:int64)`` — cohort = the user's first activity period
+    (``epoch_us // period_us``), offset = activity period − cohort,
+    n_users = distinct users of that cohort active at that offset.
+    """
+    from .partition import partitioned_map
+
+    if period not in _PERIOD_US:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_US)}")
+    width = _PERIOD_US[period]
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        ts = b[ts_col].combine_chunks()
+        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
+                else ts)
+        per = pc.divide(ts_i, width)
+        return pa.table({key_col: b[key_col], "__per": per})
+
+    def per_user(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort": pa.array([], pa.int64()),
+                          "offset": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        keys = t[key_col].combine_chunks()
+        per = t["__per"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        # sort within the partition by (user, period) so distinct
+        # (user, period) pairs are run starts
+        order = np.lexsort((per, codes))
+        c_s, p_s = codes[order], per[order]
+        new_pair = np.concatenate(
+            [[True], (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1])])
+        new_user = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        u_starts = np.flatnonzero(new_user)
+        cohort_per_user = np.minimum.reduceat(p_s, u_starts)
+        user_run = np.cumsum(new_user) - 1
+        sel = np.flatnonzero(new_pair)
+        cohort = cohort_per_user[user_run[sel]]
+        offset = p_s[sel] - cohort
+        # partial counts per (cohort, offset) — one row per distinct
+        # (user, period), so summing counts users exactly once
+        pair = cohort * (offset.max() + 1 if len(offset) else 1) + offset
+        u, inv = np.unique(pair, return_inverse=True)
+        cnt = np.bincount(inv)
+        # recover (cohort, offset) for the unique pairs
+        first = np.zeros(len(u), np.int64)
+        first[inv] = np.arange(len(inv))
+        return pa.table({
+            "cohort": pa.array(cohort[first], pa.int64()),
+            "offset": pa.array(offset[first], pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    partials = partitioned_map(prepped, per_user, key=key_col,
+                               sort_keys=[key_col, "__per"],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        co = t["cohort"].to_numpy(zero_copy_only=False)
+        of = t["offset"].to_numpy(zero_copy_only=False)
+        cn = t["cnt"].to_numpy(zero_copy_only=False)
+        key = co * (of.max() + 1) + of
+        u, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(u), np.int64)
+        np.add.at(sums, inv, cn)
+        first = np.zeros(len(u), np.int64)
+        first[inv] = np.arange(len(inv))
+        return pa.table({
+            "cohort": pa.array(co[first], pa.int64()),
+            "offset": pa.array(of[first], pa.int64()),
+            "n_users": pa.array(sums),
+        })
+
+    return partitioned_map(partials, combine, key="cohort",
+                           sort_keys=["cohort", "offset"],
+                           num_partitions=min(num_partitions, 8),
+                           strategy="tasks")
