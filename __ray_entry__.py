@@ -427,7 +427,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q119_top_bigrams": _top_bigrams_q,
         "q120_snapshot_diff": _snapshot_diff_q,
         "q121_retention": _retention_q,
+        "q122_group_auc": _group_auc_q,
     }
+
+
+def _group_auc_q(sf_dir: str):
+    """q122: exact per-cohort ROC AUC (does spend predict purchase?) —
+    Mann-Whitney with tie-averaged ranks as exact integers (2·min_rank
+    + ties − 1), one keyed exchange, one IEEE division
+    (stages/regress.py:group_auc); rank()/count() window SQL replay is
+    bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import group_auc
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type",
+                                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks()
+        grp = pa.array(
+            uid.to_numpy(zero_copy_only=False) % 8, pa.int64(),
+            mask=np.asarray(pc.is_null(uid)))
+        y = pc.if_else(pc.is_valid(b["event_type"]),
+                       pc.equal(b["event_type"], "purchase"),
+                       pa.nulls(b.num_rows, pa.bool_())).cast(pa.int64())
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        s = pa.array(cents, pa.int64(), mask=np.asarray(pc.is_null(v)))
+        return pa.table({"grp": grp, "y": y, "s": s})
+
+    return group_auc(ev.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     key_col="grp", label_col="y", score_col="s",
+                     num_partitions=8)
 
 
 def _retention_q(sf_dir: str):
@@ -4201,6 +4239,34 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # group AUC: integer tie-averaged ranks + HUGEINT sums
+        "q122_group_auc": """
+            WITH e AS (
+              SELECT user_id % 8 AS grp,
+                     CAST(event_type = 'purchase' AS BIGINT) AS y,
+                     CAST(round(value * 100) AS BIGINT) AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                    AND value IS NOT NULL
+            ),
+            r AS (SELECT grp, y,
+                         2 * rank() OVER (PARTITION BY grp ORDER BY s)
+                           + count(*) OVER (PARTITION BY grp, s) - 1
+                             AS two_r
+                  FROM e),
+            a AS (SELECT grp, CAST(sum(y) AS HUGEINT) AS npos,
+                         CAST(count(*) - sum(y) AS HUGEINT) AS nneg,
+                         CAST(sum(CASE WHEN y = 1 THEN two_r ELSE 0 END)
+                              AS HUGEINT) AS s2
+                  FROM r GROUP BY grp)
+            SELECT grp, CAST(npos AS BIGINT) AS n_pos,
+                   CAST(nneg AS BIGINT) AS n_neg,
+                   CASE WHEN npos = 0 OR nneg = 0 THEN NULL ELSE
+                     CAST(s2 - npos * (npos + 1) AS DOUBLE)
+                       / CAST(2 * npos * nneg AS DOUBLE)
+                   END AS auc
+            FROM a
         """,
         # retention cohorts: all-int64 period math, exact counts
         "q121_retention": """

@@ -272,3 +272,96 @@ def group_moments(ds, *, key_col: str, y_col: str):
 
     return partials.groupby(key_col).map_groups(
         finalize, batch_format="pyarrow")
+
+
+def group_auc(ds, *, key_col: str, label_col: str, score_col: str,
+              num_partitions: int = 16):
+    """Exact per-group ROC AUC (Mann-Whitney U with tie-averaged ranks)
+    — the model-eval primitive next to :func:`group_moments`.
+
+    Exactness: with ``score_col`` pre-quantized int64 and ``label_col``
+    int64 ∈ {0,1}, twice the tie-averaged rank of a row is the exact
+    integer ``2·min_rank + tie_count − 1``, so
+
+        AUC = (Σ_{y=1} 2r − n₊(n₊+1)) / (2·n₊·n₋)
+
+    is ONE IEEE division of exact integers — SQL replays it
+    bit-identically with ``rank()``/``count(*)`` windows and HUGEINT
+    sums (NEVER a float ranking).
+
+    One key-keyed exchange; the kernel ranks each group segment with
+    one lexsort + tie-run masks (no per-group Python).  Rows with NULL
+    key, label or score drop; single-class groups (n₊ or n₋ = 0) emit
+    NULL.  Returns ``(key_col, n_pos:int64, n_neg:int64, auc:float64)``.
+    """
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        for c, t in ((label_col, pa.int64()), (score_col, pa.int64())):
+            if b.schema.field(c).type != t:
+                raise TypeError(f"{c} must be int64; got "
+                                f"{b.schema.field(c).type}")
+        mask = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[label_col])),
+                       pc.is_valid(b[score_col]))
+        if not pc.all(mask).as_py():
+            b = b.filter(mask)
+        return b.select([key_col, label_col, score_col])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type if t.num_rows else None
+        empty = pa.table({
+            key_col: (t[key_col].slice(0, 0) if t.num_rows
+                      else pa.array([], ktype or pa.int64())),
+            "n_pos": pa.array([], pa.int64()),
+            "n_neg": pa.array([], pa.int64()),
+            "auc": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        keys = t[key_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        y = t[label_col].to_numpy(zero_copy_only=False)
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, codes))
+        c_s, y_s, s_s = codes[order], y[order], s[order]
+        g_start = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        seg = np.cumsum(g_start) - 1
+        g_first = np.flatnonzero(g_start)
+        # tie runs within (group, score)
+        run_start = np.concatenate(
+            [[True], (c_s[1:] != c_s[:-1]) | (s_s[1:] != s_s[:-1])])
+        run_id = np.cumsum(run_start) - 1
+        run_first = np.flatnonzero(run_start)
+        run_len = np.diff(np.concatenate([run_first, [len(c_s)]]))
+        # min rank of a run = its first position within the group + 1
+        pos_in_grp = np.arange(len(c_s)) - g_first[seg]
+        min_rank = pos_in_grp[run_first] + 1
+        two_r = (2 * min_rank + run_len - 1)[run_id]  # per row, exact
+        n_grp = len(g_first)
+        npos = np.zeros(n_grp, np.int64)
+        np.add.at(npos, seg, y_s)
+        ntot = np.bincount(seg, minlength=n_grp).astype(np.int64)
+        nneg = ntot - npos
+        sum2 = np.zeros(n_grp, np.int64)
+        np.add.at(sum2, seg, np.where(y_s == 1, two_r, 0))
+        ok = (npos > 0) & (nneg > 0)
+        num = (sum2 - npos * (npos + 1)).astype(np.float64)
+        den = (2 * npos * nneg).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            auc = num / den
+        return pa.table({
+            key_col: keys.take(pa.array(order[g_first], pa.int64())),
+            "n_pos": pa.array(npos),
+            "n_neg": pa.array(nneg),
+            "auc": pa.array(np.where(ok, auc, 0.0), pa.float64(),
+                            mask=~ok),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, score_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -206,3 +206,90 @@ def test_group_moments_guards():
     with pytest.raises(Exception, match="int64"):
         group_moments(ray.data.from_arrow(f), key_col="g",
                       y_col="y").to_pandas()
+
+
+def test_group_auc_duckdb_and_pairwise_replay():
+    import duckdb
+
+    from featurebox_ray.stages.regress import group_auc
+
+    rng = np.random.default_rng(47)
+    n = 400
+    t = pa.table({
+        "g": pa.array([None if i % 37 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(0, 5, n))], pa.int64()),
+        "y": pa.array([None if i % 41 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(0, 2, n))], pa.int64()),
+        # small score range -> heavy ties
+        "s": pa.array([None if i % 43 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(0, 12, n))], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        WITH e AS (SELECT g, y, s FROM t
+                   WHERE g IS NOT NULL AND y IS NOT NULL
+                     AND s IS NOT NULL),
+        r AS (SELECT g, y,
+                     2 * rank() OVER (PARTITION BY g ORDER BY s)
+                       + count(*) OVER (PARTITION BY g, s) - 1 AS two_r
+              FROM e),
+        a AS (SELECT g, CAST(sum(y) AS HUGEINT) AS npos,
+                     CAST(count(*) - sum(y) AS HUGEINT) AS nneg,
+                     CAST(sum(CASE WHEN y = 1 THEN two_r ELSE 0 END)
+                          AS HUGEINT) AS s2
+              FROM r GROUP BY g)
+        SELECT g, CAST(npos AS BIGINT) AS n_pos,
+               CAST(nneg AS BIGINT) AS n_neg,
+               CASE WHEN npos = 0 OR nneg = 0 THEN NULL ELSE
+                 CAST(s2 - npos * (npos + 1) AS DOUBLE)
+                   / CAST(2 * npos * nneg AS DOUBLE)
+               END AS auc
+        FROM a ORDER BY g
+    """).fetch_arrow_table()
+    for parts, np_ in ((1, 2), (4, 3), (9, 7)):
+        got = (group_auc(ray.data.from_arrow(t).repartition(parts),
+                         key_col="g", label_col="y", score_col="s",
+                         num_partitions=np_)
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        assert got["g"].tolist() == want["g"].to_pylist()
+        for c in ("n_pos", "n_neg", "auc"):
+            gv = [None if isinstance(v, float) and v != v else v
+                  for v in got[c].tolist()]
+            assert gv == want[c].to_pylist(), (c, parts, np_)
+    # independent pairwise replay: AUC = P(s_pos > s_neg) + 0.5 P(=)
+    gs, ys, ss = (t["g"].to_pylist(), t["y"].to_pylist(),
+                  t["s"].to_pylist())
+    rows = [(g, y, s) for g, y, s in zip(gs, ys, ss)
+            if g is not None and y is not None and s is not None]
+    for _, r in (group_auc(ray.data.from_arrow(t), key_col="g",
+                           label_col="y", score_col="s")
+                 .to_pandas().iterrows()):
+        pos = [s for g, y, s in rows if g == r["g"] and y == 1]
+        neg = [s for g, y, s in rows if g == r["g"] and y == 0]
+        if not pos or not neg:
+            assert np.isnan(r["auc"])
+            continue
+        wins = sum((p > q) + 0.5 * (p == q) for p in pos for q in neg)
+        assert abs(r["auc"] - wins / (len(pos) * len(neg))) < 1e-12
+
+
+def test_group_auc_guards():
+    import pytest
+
+    from featurebox_ray.stages.regress import group_auc
+
+    perfect = pa.table({
+        "g": pa.array([0] * 6, pa.int64()),
+        "y": pa.array([0, 0, 0, 1, 1, 1], pa.int64()),
+        "s": pa.array([1, 2, 3, 10, 11, 12], pa.int64()),
+    })
+    got = group_auc(ray.data.from_arrow(perfect), key_col="g",
+                    label_col="y", score_col="s").to_pandas()
+    assert got["auc"].tolist() == [1.0]
+    f = pa.table({"g": pa.array([0], pa.int64()),
+                  "y": pa.array([1], pa.int64()),
+                  "s": pa.array([0.5], pa.float64())})
+    with pytest.raises(Exception, match="int64"):
+        group_auc(ray.data.from_arrow(f), key_col="g", label_col="y",
+                  score_col="s").to_pandas()
