@@ -428,7 +428,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q120_snapshot_diff": _snapshot_diff_q,
         "q121_retention": _retention_q,
         "q122_group_auc": _group_auc_q,
+        "q123_lift_table": _lift_table_q,
     }
+
+
+def _lift_table_q(sf_dir: str):
+    """q123: decile lift/gains table — rank every event by spend
+    (desc, id-tiebroken), cut into 10 global deciles, count positives
+    (purchases) and sum spend per decile.  A composition of existing
+    primitives: rank.global_row_number (range sort + content-ordered
+    block offsets) → streaming decile partials → tiny int64 group sum.
+    All-integer outputs, exact SQL window replay."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.rank import global_row_number
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b["value"]),
+                                     pc.is_valid(b["event_type"])),
+                             pc.is_valid(b["event_id"])))
+        v = b["value"].combine_chunks()
+        cents = np.round(
+            v.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"],
+            "s": pa.array(cents, pa.int64()),
+            "y": pc.equal(b["event_type"], "purchase").cast(pa.int64()),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    n_total = prepped.count()
+    ranked = global_row_number(prepped, order_cols=["s", "event_id"],
+                               rank_col="rn", descending=True)
+
+    def decile_partial(b: pa.Table) -> pa.Table:
+        rn = b["rn"].to_numpy(zero_copy_only=False)
+        dec = (rn - 1) * 10 // n_total
+        y = b["y"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(dec, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        npos = np.zeros(len(u), np.int64)
+        np.add.at(npos, inv, y)
+        ssum = np.zeros(len(u), np.int64)
+        np.add.at(ssum, inv, s)
+        return pa.table({"decile": pa.array(u, pa.int64()),
+                         "n": pa.array(n), "n_pos": pa.array(npos),
+                         "sum_s": pa.array(ssum)})
+
+    partials = ranked.map_batches(decile_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "decile": t["decile"].slice(0, 1),
+            "n": pa.array([sum(t["n"].to_pylist())], pa.int64()),
+            "n_pos": pa.array([sum(t["n_pos"].to_pylist())], pa.int64()),
+            "sum_s": pa.array([sum(t["sum_s"].to_pylist())], pa.int64()),
+        })
+
+    return partials.groupby("decile").map_groups(
+        combine, batch_format="pyarrow")
 
 
 def _group_auc_q(sf_dir: str):
@@ -4239,6 +4307,27 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # lift table: integer decile math over a unique-key window
+        "q123_lift_table": """
+            WITH e AS (
+              SELECT event_id,
+                     CAST(round(value * 100) AS BIGINT) AS s,
+                     CAST(event_type = 'purchase' AS BIGINT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+                    AND event_id IS NOT NULL
+            ),
+            r AS (SELECT *,
+                         row_number() OVER (ORDER BY s DESC,
+                                            event_id DESC) AS rn,
+                         count(*) OVER () AS nt
+                  FROM e)
+            SELECT (rn - 1) * 10 // nt AS decile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(s) AS BIGINT) AS sum_s
+            FROM r GROUP BY decile
         """,
         # group AUC: integer tie-averaged ranks + HUGEINT sums
         "q122_group_auc": """

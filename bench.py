@@ -182,7 +182,7 @@ QUERY_NAMES = [
     "q113_bucketed_interval", "q114_funnel", "q115_group_moments",
     "q116_centroid_distance", "q117_script_profile",
     "q118_windowed_distinct", "q119_top_bigrams", "q120_snapshot_diff",
-    "q121_retention", "q122_group_auc",
+    "q121_retention", "q122_group_auc", "q123_lift_table",
 ]
 
 
