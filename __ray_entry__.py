@@ -429,7 +429,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q121_retention": _retention_q,
         "q122_group_auc": _group_auc_q,
         "q123_lift_table": _lift_table_q,
+        "q124_weighted_stats": _weighted_stats_q,
     }
+
+
+def _weighted_stats_q(sf_dir: str):
+    """q124: per-event-type importance-weighted mean/variance of spend
+    (cents) under deterministic weights — int64 (n, Σw, Σwy, Σwy²)
+    partials, one exchange, Python-int combine, fixed float64 op
+    sequence (stages/regress.py:group_weighted_stats); HUGEINT SQL
+    replay is bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import group_weighted_stats
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        y = pa.array(cents, pa.int64(), mask=np.asarray(pc.is_null(v)))
+        eid = b["event_id"].combine_chunks()
+        w = pa.array(
+            1 + eid.to_numpy(zero_copy_only=False) % 5, pa.int64(),
+            mask=np.asarray(pc.is_null(eid)))
+        return pa.table({"event_type": b["event_type"], "y": y, "w": w})
+
+    return group_weighted_stats(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="event_type", y_col="y", w_col="w")
 
 
 def _lift_table_q(sf_dir: str):
@@ -4307,6 +4342,32 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # weighted stats: HUGEINT weighted sums, fixed op sequence
+        "q124_weighted_stats": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS y,
+                     1 + event_id % 5 AS w
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+                    AND event_id IS NOT NULL
+            ),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(w) AS HUGEINT) AS sw,
+                         CAST(sum(w * y) AS HUGEINT) AS swy,
+                         CAST(sum(w * y * y) AS HUGEINT) AS swyy
+                  FROM e GROUP BY event_type)
+            SELECT event_type, n, CAST(sw AS BIGINT) AS sum_w,
+                   CASE WHEN sw = 0 THEN NULL ELSE
+                     CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE)
+                   END AS wmean,
+                   CASE WHEN sw = 0 THEN NULL ELSE
+                     CAST(sw * swyy - swy * swy AS DOUBLE)
+                       / CAST(sw * sw AS DOUBLE)
+                   END AS wvar
+            FROM s
         """,
         # lift table: integer decile math over a unique-key window
         "q123_lift_table": """

@@ -365,3 +365,82 @@ def group_auc(ds, *, key_col: str, label_col: str, score_col: str,
                            sort_keys=[key_col, score_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def group_weighted_stats(ds, *, key_col: str, y_col: str, w_col: str):
+    """Exact per-group weighted mean / population variance
+    (frequency-weight semantics) — the importance-weighted corpus
+    aggregate next to :func:`group_moments`.
+
+    Same exchange shape: per-block ``(group, n, Σw, Σwy, Σwy²)`` int64
+    partials, one group-keyed exchange, Python-int combine; outputs are
+    a FIXED float64 op sequence from exact ints, replayed bit-exactly
+    by HUGEINT SQL:
+
+        wmean = double(Σwy) / double(Σw)
+        wvar  = double(Σw·Σwy² − Σwy·Σwy) / double(Σw·Σw)
+
+    Groups with ``Σw == 0`` (or only dropped rows) emit NULL stats.
+    ``y_col``/``w_col`` must be pre-quantized int64; rows with NULL
+    key, y or w drop.  Block-partial overflow guard:
+    ``max|w|·max|y|²·rows`` must fit int64.
+    """
+    cols = ("n", "sw", "swy", "swyy")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for c in (y_col, w_col):
+            if batch.schema.field(c).type != pa.int64():
+                raise TypeError(f"{c} must be int64 (quantize first); "
+                                f"got {batch.schema.field(c).type}")
+        mask = pc.and_(pc.and_(pc.is_valid(batch[key_col]),
+                               pc.is_valid(batch[y_col])),
+                       pc.is_valid(batch[w_col]))
+        if not pc.all(mask).as_py():
+            batch = batch.filter(mask)
+        ktype = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        gd = pc.dictionary_encode(batch[key_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        w = batch[w_col].to_numpy(zero_copy_only=False)
+        my = int(np.abs(y).max()) if len(y) else 0
+        mw = int(np.abs(w).max()) if len(w) else 0
+        if my and mw and mw * my * my * len(y) >= 2 ** 63:
+            raise ValueError(
+                f"max|w|·max|y|²·rows = {mw * my * my * len(y)} "
+                "overflows the int64 block partial — quantize y/w "
+                "more coarsely")
+        g = len(gd.dictionary)
+        sums = np.zeros((4, g), np.int64)
+        np.add.at(sums[0], codes, 1)
+        np.add.at(sums[1], codes, w)
+        np.add.at(sums[2], codes, w * y)
+        np.add.at(sums[3], codes, w * y * y)
+        return pa.table({
+            key_col: gd.dictionary,
+            **{c: pa.array(sums[i]) for i, c in enumerate(cols)},
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n, sw, swy, swyy = (sum(t[c].to_pylist()) for c in cols)
+        if sw == 0:
+            wmean = wvar = None
+        else:
+            wmean = float(swy) / float(sw)
+            wvar = float(sw * swyy - swy * swy) / float(sw * sw)
+        return pa.table({
+            key_col: t[key_col].slice(0, 1),
+            "n": pa.array([n], pa.int64()),
+            "sum_w": pa.array([sw], pa.int64()),
+            "wmean": pa.array([wmean], pa.float64()),
+            "wvar": pa.array([wvar], pa.float64()),
+        })
+
+    return partials.groupby(key_col).map_groups(
+        finalize, batch_format="pyarrow")

@@ -293,3 +293,61 @@ def test_group_auc_guards():
     with pytest.raises(Exception, match="int64"):
         group_auc(ray.data.from_arrow(f), key_col="g", label_col="y",
                   score_col="s").to_pandas()
+
+
+def test_group_weighted_stats_duckdb_and_replay():
+    import duckdb
+
+    from featurebox_ray.stages.regress import group_weighted_stats
+
+    rng = np.random.default_rng(53)
+    n = 400
+    t = pa.table({
+        "g": pa.array([None if i % 31 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(0, 5, n))], pa.int64()),
+        "y": pa.array([None if i % 37 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(-200, 300, n))],
+                      pa.int64()),
+        # includes zero weights; one group gets only zero weights below
+        "w": pa.array([0 if v == 9 else int(v) for v in
+                       rng.integers(0, 10, n)], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        WITH e AS (SELECT g, y, w FROM t
+                   WHERE g IS NOT NULL AND y IS NOT NULL
+                     AND w IS NOT NULL),
+        s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(w) AS HUGEINT) AS sw,
+                     CAST(sum(w * y) AS HUGEINT) AS swy,
+                     CAST(sum(w * y * y) AS HUGEINT) AS swyy
+              FROM e GROUP BY g)
+        SELECT g, n, CAST(sw AS BIGINT) AS sum_w,
+               CASE WHEN sw = 0 THEN NULL ELSE
+                 CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) END AS wmean,
+               CASE WHEN sw = 0 THEN NULL ELSE
+                 CAST(sw * swyy - swy * swy AS DOUBLE)
+                   / CAST(sw * sw AS DOUBLE) END AS wvar
+        FROM s ORDER BY g
+    """).fetch_arrow_table()
+    for parts in (1, 4, 9):
+        got = (group_weighted_stats(
+            ray.data.from_arrow(t).repartition(parts),
+            key_col="g", y_col="y", w_col="w")
+            .to_pandas().sort_values("g").reset_index(drop=True))
+        assert got["g"].tolist() == want["g"].to_pylist()
+        for c in ("n", "sum_w", "wmean", "wvar"):
+            gv = [None if isinstance(v, float) and v != v else v
+                  for v in got[c].tolist()]
+            assert gv == want[c].to_pylist(), (c, parts)
+    # frequency-weight sanity: integer weights == row replication
+    rep_y = [y for y, w, g in zip(t["y"].to_pylist(),
+                                  t["w"].to_pylist(),
+                                  t["g"].to_pylist())
+             if g == 2 and y is not None for _ in range(w)]
+    row = (group_weighted_stats(ray.data.from_arrow(t), key_col="g",
+                                y_col="y", w_col="w").to_pandas())
+    r2 = row[row["g"] == 2].iloc[0]
+    assert abs(r2["wmean"] - np.mean(rep_y)) < 1e-9
+    assert abs(r2["wvar"] - np.var(rep_y)) < 1e-6
