@@ -430,7 +430,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q122_group_auc": _group_auc_q,
         "q123_lift_table": _lift_table_q,
         "q124_weighted_stats": _weighted_stats_q,
+        "q125_throttle": _throttle_q,
     }
+
+
+def _throttle_q(sf_dir: str):
+    """q125: chained min-interval throttle (true debounce) — per user,
+    keep the first event then the next ≥10 min after the LAST KEPT one
+    (stages/sample.py:throttle_min_interval).  Inherently sequential
+    state no SQL window expresses (lag measures the previous RAW row);
+    the oracle is a serial greedy replay fixture.  The engine kernel
+    jumps with one scalar searchsorted per KEPT row (output-sized)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.sample import throttle_min_interval
+
+    GAP_S_ = 600
+
+    # ---- serial greedy replay fixture -----------------------------------
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id"])
+    rows = sorted(
+        (u, s, i) for u, s, i in zip(
+            t["user_id"].to_pylist(),
+            t["ts"].cast(pa.int64()).to_pylist(),
+            t["event_id"].to_pylist())
+        if s is not None and u is not None)
+    kept, last = [], {}
+    for u, s, i in rows:
+        if u not in last or s >= last[u] + GAP_S_ * 1_000_000:
+            kept.append((u, i, s))
+            last[u] = s
+    # null-key rows form one group in the engine; events has none, but
+    # mirror the engine by running them through the same chain
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    rep = pa.table({
+        "user_id": pa.array([r[0] for r in kept], pa.int64()),
+        "event_id": pa.array([r[1] for r in kept], pa.int64()),
+        "ts": pa.array([r[2] for r in kept],
+                       pa.int64()).cast(pa.timestamp("us")),
+    })
+    pq.write_table(rep, f"{_ORACLE_DIR}/throttle.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/throttle.parquet.tmp",
+               f"{_ORACLE_DIR}/throttle.parquet")
+
+    # ---- distributed engine run ------------------------------------------
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    return throttle_min_interval(ev, key_col="user_id", ts_col="ts",
+                                 min_gap=GAP_S_, id_col="event_id",
+                                 num_partitions=8)
 
 
 def _weighted_stats_q(sf_dir: str):
@@ -4342,6 +4395,11 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # throttle: serial greedy replay (chained state is not SQL)
+        "q125_throttle": f"""
+            SELECT user_id, event_id, ts
+            FROM read_parquet('{_ORACLE_DIR}/throttle.parquet')
         """,
         # weighted stats: HUGEINT weighted sums, fixed op sequence
         "q124_weighted_stats": """

@@ -295,3 +295,84 @@ def add_split_column(ds, *, key_col: str, splits, out_col: str = "split"):
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def throttle_min_interval(ds, *, key_col: str, ts_col: str,
+                          min_gap: int, id_col: str,
+                          num_partitions: int = 16):
+    """Chained min-interval throttle (true debounce): per key, keep the
+    first event, then the next event at least ``min_gap`` after the
+    LAST KEPT one, and so on — the standard log/telemetry downsampler.
+
+    This is inherently sequential state (each keep depends on the
+    previous keep), which no SQL window expresses (a lag-based filter
+    measures the gap to the previous RAW row, not the previous kept
+    one) — so the oracle is a serial replay fixture, and the engine
+    kernel walks the greedy chain with one scalar ``searchsorted`` jump
+    per KEPT row: cost is O(kept · log n) per segment, output-sized,
+    never a per-input-row Python loop (for dense logs kept ≪ rows).
+
+    One key-keyed exchange (rows sorted by (key, ts, id) — the id
+    tie-break makes the chain deterministic under ts ties).  NULL ts
+    rows drop; ``min_gap`` is in the ts column's native unit for plain
+    ints, seconds for timestamps (asof convention).  Returns the kept
+    rows' ``(key_col, id_col, ts_col)``.
+    """
+    import pyarrow.compute as pc
+
+    from .partition import partitioned_map
+
+    if int(min_gap) <= 0:
+        raise ValueError("min_gap must be positive (a zero gap keeps "
+                         "every row and stalls the greedy jump)")
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    tt = base.field(ts_col).type
+    unit = tt.unit if pa.types.is_timestamp(tt) else None
+    gap_native = (int(min_gap) * {"s": 1, "ms": 10**3, "us": 10**6,
+                                  "ns": 10**9}[unit]
+                  if unit else int(min_gap))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        ts = b[ts_col].combine_chunks()
+        ts_i = ts.cast(pa.int64()) if unit else ts
+        return pa.table({key_col: b[key_col], "__ts": ts_i,
+                         id_col: b[id_col]})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: t[key_col].slice(0, 0),
+                          id_col: t[id_col].slice(0, 0),
+                          ts_col: t["__ts"].slice(0, 0).cast(tt)})
+        if t.num_rows == 0:
+            return empty
+        keys = t[key_col].combine_chunks()
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        seg_start = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]]))
+        seg_end = np.concatenate([seg_start[1:], [len(codes)]])
+        kept: list = []
+        for s0, s1 in zip(seg_start.tolist(), seg_end.tolist()):
+            cur = s0
+            while cur < s1:
+                kept.append(cur)
+                # first index with ts >= ts[cur] + gap (the greedy jump)
+                cur = s0 + int(np.searchsorted(
+                    ts[s0:s1], ts[cur] + gap_native, side="left"))
+        idx = pa.array(np.asarray(kept, np.int64))
+        out_ts = pa.array(ts[np.asarray(kept, np.int64)], pa.int64())
+        return pa.table({
+            key_col: keys.take(idx),
+            id_col: t[id_col].combine_chunks().take(idx),
+            ts_col: out_ts.cast(tt) if unit else out_ts,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts", id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -675,3 +675,67 @@ def test_quantile_bin_matches_pandas_and_handles_nulls():
         counts = np.bincount(want, minlength=4)
         assert counts.min() >= len(rows) // 8
     assert got[got.v.isna()]["q_bucket"].isna().all()
+
+
+def test_throttle_min_interval_serial_replay():
+    import pytest
+
+    from featurebox_ray.stages.sample import throttle_min_interval
+
+    rng = np.random.default_rng(59)
+    n = 400
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 15, n), pa.int64()),
+        "ts": pa.array([None if i % 37 == 0 else int(v) for i, v in
+                        enumerate(rng.integers(0, 3000, n))], pa.int64()),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+    })
+
+    def replay(gap):
+        rows = sorted(
+            ((u, s, i) for u, s, i in zip(t["user_id"].to_pylist(),
+                                          t["ts"].to_pylist(),
+                                          t["event_id"].to_pylist())
+             if s is not None))
+        kept, last = [], {}
+        for u, s, i in rows:
+            if u not in last or s >= last[u] + gap:
+                kept.append(i)
+                last[u] = s
+        return sorted(kept)
+
+    for gap in (50, 500, 10_000):
+        want = replay(gap)
+        for parts in (1, 4, 9):
+            got = (throttle_min_interval(
+                ray.data.from_arrow(t).repartition(parts),
+                key_col="user_id", ts_col="ts", min_gap=gap,
+                id_col="event_id", num_partitions=3).to_pandas())
+            assert sorted(got["event_id"].tolist()) == want, (gap, parts)
+    # huge gap -> exactly one kept row per key with >= 1 valid ts
+    big = (throttle_min_interval(ray.data.from_arrow(t),
+                                 key_col="user_id", ts_col="ts",
+                                 min_gap=10_000, id_col="event_id")
+           .to_pandas())
+    assert len(big) == big["user_id"].nunique()
+    with pytest.raises(ValueError, match="positive"):
+        throttle_min_interval(ray.data.from_arrow(t), key_col="user_id",
+                              ts_col="ts", min_gap=0, id_col="event_id")
+
+
+def test_throttle_chained_not_lag_semantics():
+    from featurebox_ray.stages.sample import throttle_min_interval
+
+    # events at 0, 60, 120 with gap 100: chained debounce keeps 0 and
+    # 120 (120 - 0 >= 100); a lag-based filter would keep only 0
+    # (every raw gap is 60 < 100) — this distinguishes the semantics
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([0, 60, 120], pa.int64()),
+        "event_id": pa.array([10, 11, 12], pa.int64()),
+    })
+    got = (throttle_min_interval(ray.data.from_arrow(t),
+                                 key_col="user_id", ts_col="ts",
+                                 min_gap=100, id_col="event_id")
+           .to_pandas())
+    assert sorted(got["event_id"].tolist()) == [10, 12]
