@@ -431,7 +431,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_lift_table": _lift_table_q,
         "q124_weighted_stats": _weighted_stats_q,
         "q125_throttle": _throttle_q,
+        "q126_cusum": _cusum_q,
     }
+
+
+def _cusum_q(sf_dir: str):
+    """q126: per-user one-sided CUSUM drift statistic over spend
+    (cents, drift allowance 250.00) — the sequential-looking recurrence
+    s_t = max(0, s_{t-1} + v − k) collapsed to a segment cumsum + a
+    grouped running min (stages/window.py:add_cusum); int64-exact, SQL
+    replays it with two window aggregates bit-identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.window import add_cusum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        vc = pa.array(cents, pa.int64(), mask=np.asarray(pc.is_null(v)))
+        return (b.select(["event_id", "user_id", "ts"])
+                .append_column("value_c", vc))
+
+    out = add_cusum(ev.map_batches(quant, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                    key_col="user_id", ts_col="ts",
+                    int_value_col="value_c", order_col="event_id",
+                    drift_k=25000, num_partitions=8)
+    return out.select_columns(["event_id", "cusum"])
 
 
 def _throttle_q(sf_dir: str):
@@ -4395,6 +4429,21 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # cusum: prefix-form window replay, int64-exact
+        "q126_cusum": """
+            SELECT event_id,
+                   CAST(P - LEAST(0, min(P) OVER w2) AS BIGINT) AS cusum
+            FROM (
+              SELECT event_id, user_id, ts,
+                     sum(coalesce(CAST(round(value * 100) AS BIGINT),
+                                  0) - 25000) OVER w AS P
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)
         """,
         # throttle: serial greedy replay (chained state is not SQL)
         "q125_throttle": f"""

@@ -495,3 +495,54 @@ def add_centered_window_sum(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, ts_col, order_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def add_cusum(ds, *, key_col: str, ts_col: str, int_value_col: str,
+              order_col: str, drift_k: int,
+              out_col: str = "cusum", num_partitions: int = 16):
+    """Per-key one-sided CUSUM drift statistic — the streaming
+    change-point / anomaly signal: ``s_t = max(0, s_{t-1} + v_t − k)``
+    grows when values persistently exceed the drift allowance ``k`` and
+    resets when they fall back.
+
+    The recurrence LOOKS sequential but collapses to pure vector math
+    via its prefix form: with ``P_t = Σ_{j≤t}(v_j − k)`` (and virtual
+    ``P₋₁ = 0``), ``s_t = P_t − min(0, min_{j≤t} P_j)`` — a
+    segment-masked cumsum plus a grouped running min, both int64-exact
+    (pass money pre-scaled to cents), so SQL replays it bit-identically
+    with two window aggregates and a ``LEAST(0, …)``:
+
+        P = sum(coalesce(v,0) − k) OVER (PARTITION BY key
+                ORDER BY ts, o ROWS UNBOUNDED PRECEDING)
+        cusum = P − LEAST(0, min(P) OVER (same window))
+
+    NULL keys form ONE group; NULL values contribute 0 (the statistic
+    keeps running).  One keyed exchange, O(n) per partition.
+
+    Reference analog: none (beyond-reference monitoring primitive next
+    to add_running_totals / add_ewm).
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        codes, _ = _key_codes_dic(t[key_col])
+        v = pc.fill_null(
+            t[int_value_col].combine_chunks().cast(pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        seg_start, row_in_seg, _ = seg.segment_ids(codes)
+        cs = np.cumsum(v - int(drift_k))
+        base = np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)],
+                        0)
+        p = cs - base  # segment-relative inclusive prefix, exact int64
+        import pandas as pd
+
+        g = np.cumsum(row_in_seg == 0) - 1
+        run_min = pd.Series(p).groupby(g).cummin().to_numpy()
+        cusum = p - np.minimum(0, run_min)
+        return t.append_column(out_col, pa.array(cusum, pa.int64()))
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

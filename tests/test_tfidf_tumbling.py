@@ -548,3 +548,63 @@ def test_top_bigrams_counter_replay_and_duckdb():
         GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 10
     """).fetchall()
     assert w2 == want
+
+
+def test_cusum_duckdb_and_recurrence():
+    import duckdb
+
+    from featurebox_ray.stages.window import add_cusum
+
+    rng = np.random.default_rng(61)
+    n = 300
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array([None if i % 41 == 0 else int(v) for i, v in
+                             enumerate(rng.integers(0, 8, n))],
+                            pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "v": pa.array([None if i % 37 == 0 else int(x) for i, x in
+                       enumerate(rng.integers(-20, 40, n))], pa.int64()),
+    })
+    K = 7
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(f"""
+        SELECT event_id,
+               P - LEAST(0, min(P) OVER w2) AS cusum
+        FROM (
+          SELECT event_id, user_id, ts,
+                 sum(coalesce(v, 0) - {K}) OVER w AS P
+          FROM t
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+        ORDER BY event_id
+    """).fetch_arrow_table()
+    for parts, np_ in ((1, 2), (5, 3), (9, 7)):
+        got = (add_cusum(ray.data.from_arrow(t).repartition(parts),
+                         key_col="user_id", ts_col="ts",
+                         int_value_col="v", order_col="event_id",
+                         drift_k=K, num_partitions=np_)
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        assert got["cusum"].tolist() == want["cusum"].to_pylist(), (
+            parts, np_)
+    # direct recurrence replay: s_t = max(0, s_{t-1} + v - k)
+    rows = sorted(
+        ((u if u is not None else -1, s, i, 0 if x is None else x)
+         for u, s, i, x in zip(t["user_id"].to_pylist(),
+                               t["ts"].to_pylist(),
+                               t["event_id"].to_pylist(),
+                               t["v"].to_pylist())))
+    state, expect = {}, {}
+    for u, s, i, x in rows:
+        state[u] = max(0, state.get(u, 0) + x - K)
+        expect[i] = state[u]
+    got = (add_cusum(ray.data.from_arrow(t), key_col="user_id",
+                     ts_col="ts", int_value_col="v",
+                     order_col="event_id", drift_k=K).to_pandas())
+    for _, r in got.iterrows():
+        assert r["cusum"] == expect[r["event_id"]]
