@@ -432,7 +432,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q124_weighted_stats": _weighted_stats_q,
         "q125_throttle": _throttle_q,
         "q126_cusum": _cusum_q,
+        "q127_semantic_decontam": _semantic_decontam_q,
     }
+
+
+def _semantic_decontam_q(sf_dir: str):
+    """q127: semantic decontamination — every corpus vector whose
+    quantized integer dot product with a benchmark vector (vec_id % 50
+    == 0, the small broadcast side) clears a threshold
+    (stages/ann.py:threshold_similarity_join).  Half-up floor
+    quantization + exact int64 dot products; HUGEINT SQL replay is
+    bit-exact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.ann import threshold_similarity_join
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    sel = np.flatnonzero(ids % 50 == 0)
+    flat = qt["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    dims = len(flat) // len(ids)
+    Q = flat.reshape(len(ids), dims)[sel].astype(np.float64)
+
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"],
+                                   override_num_blocks=8)
+    return threshold_similarity_join(
+        corpus, Q, threshold_num=30000, quant_bits=8,
+        query_ids=ids[sel].astype(np.int64))
 
 
 def _cusum_q(sf_dir: str):
@@ -4429,6 +4460,24 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # semantic decontam: exact integer dot products, HUGEINT sums
+        "q127_semantic_decontam": """
+            WITH c AS (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 256
+                                + 0.5) AS BIGINT) AS xq
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) r(i)
+            ), q AS (
+              SELECT vec_id AS query_id, i, xq AS yq
+              FROM c WHERE vec_id % 50 = 0
+            ), d AS (
+              SELECT q.query_id, c.vec_id,
+                     CAST(sum(c.xq * q.yq) AS BIGINT) AS dot
+              FROM c JOIN q USING (i) GROUP BY q.query_id, c.vec_id
+            )
+            SELECT query_id, vec_id, dot FROM d WHERE dot >= 30000
         """,
         # cusum: prefix-form window replay, int64-exact
         "q126_cusum": """

@@ -256,3 +256,79 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return local.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
+
+
+def threshold_similarity_join(ds, queries: np.ndarray, *,
+                              threshold_num: int,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              quant_bits: int = 8,
+                              query_ids: "np.ndarray | None" = None):
+    """Integer-exact threshold similarity join — every (query, corpus)
+    pair whose QUANTIZED dot product clears a threshold.  The semantic
+    decontamination shape: the benchmark/test set is the small side
+    (broadcast once via ``ray.put``), the training corpus streams, and
+    any training doc too similar to a test doc is flagged.
+
+    Exactness (full SQL oracle, no fixture): both sides quantize
+    half-UP (``floor(x·2^qb + 0.5)`` — the cohesion.py convention, IEEE
+    -exact in SQL), the score is the raw int64 dot product of quantized
+    vectors (exact, guarded < 2^63), and the join keeps
+    ``dot >= threshold_num`` where ``threshold_num`` is the caller's
+    integer threshold in quantized units (for cosine-like semantics
+    pre-normalize the vectors upstream and pass
+    ``round(t · 2^(2·qb))``).
+
+    Unlike :func:`brute_force_topk` (per-query k best), this emits ALL
+    pairs above the bar — the right contract for contamination, where
+    "how many" is unknown.  Per batch: one integer matmul + one mask;
+    no shuffle of the corpus.  Returns ``(query_id, id_col,
+    dot:int64)``.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    from .cohesion import quantize_half_up
+
+    Q = quantize_half_up(np.asarray(queries, np.float64), quant_bits)
+    if query_ids is None:
+        query_ids = np.arange(len(Q), dtype=np.int64)
+    qids = np.asarray(query_ids, np.int64)
+    q_ref = ray.put((Q, qids))
+    thr = int(threshold_num)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        Q_, qids_ = ray.get(q_ref)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "dot": pa.array([], pa.int64())})
+        batch = batch.filter(pc.is_valid(batch[vec_col]))
+        if batch.num_rows == 0 or len(Q_) == 0:
+            return empty
+        arr = batch[vec_col].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dims = len(flat) // len(arr)
+        if Q_.shape[1] != dims:
+            raise ValueError(f"query dims {Q_.shape[1]} != corpus "
+                             f"dims {dims}")
+        V = quantize_half_up(flat.reshape(len(arr), dims), quant_bits)
+        mq = int(np.abs(Q_).max()) if Q_.size else 0
+        mv = int(np.abs(V).max()) if V.size else 0
+        if mq and mv and mq * mv * dims >= 2 ** 63:
+            raise ValueError("quantized dot product may overflow "
+                             "int64 — lower quant_bits")
+        dots = V @ Q_.T  # (n, q) int64 exact
+        rows, qs = np.nonzero(dots >= thr)
+        if len(rows) == 0:
+            return empty
+        ids = batch[id_col].combine_chunks().take(
+            pa.array(rows, pa.int64()))
+        return pa.table({
+            "query_id": pa.array(qids_[qs]),
+            id_col: ids,
+            "dot": pa.array(dots[rows, qs]),
+        })
+
+    return ds.map_batches(join_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -373,3 +373,59 @@ def test_multimodal_resize_and_frame_sampling():
     pay = t["payload"][0].as_py()
     fi = one["frame_idx"].iloc[0]
     assert one["payload"].iloc[0] == pay[fi * 100:(fi + 1) * 100]
+
+
+def test_threshold_similarity_join_duckdb_exact():
+    import duckdb
+
+    from featurebox_ray.stages.ann import threshold_similarity_join
+
+    rng = np.random.default_rng(67)
+    n, dims = 150, 8
+    vecs = (rng.random((n, dims), dtype=np.float32) - 0.5)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    # query side: every 30th vector (the small "test set")
+    q_idx = np.arange(0, n, 30)
+    Q = vecs[q_idx].astype(np.float64)
+    THR = 2000  # quantized-units threshold
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    con.register("qs", pa.table({
+        "query_id": pa.array(q_idx.astype(np.int64)),
+        "qv": pa.array([v.tolist() for v in Q], pa.list_(pa.float64())),
+    }))
+    want = con.execute(f"""
+        WITH c AS (
+          SELECT vec_id, i,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 256 + 0.5)
+                      AS BIGINT) AS xq
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
+        ), q AS (
+          SELECT query_id, i,
+                 CAST(floor(qv[i] * 256 + 0.5) AS BIGINT) AS yq
+          FROM qs, unnest(range(1, len(qv) + 1)) r(i)
+        ), d AS (
+          SELECT q.query_id, c.vec_id,
+                 CAST(sum(c.xq * q.yq) AS BIGINT) AS dot
+          FROM c JOIN q USING (i) GROUP BY q.query_id, c.vec_id
+        )
+        SELECT * FROM d WHERE dot >= {THR}
+        ORDER BY query_id, vec_id
+    """).fetch_arrow_table()
+    assert want.num_rows > 0  # self-pairs at least clear the bar
+    for parts in (1, 5):
+        got = (threshold_similarity_join(
+            ray.data.from_arrow(t).repartition(parts), Q,
+            threshold_num=THR, quant_bits=8,
+            query_ids=q_idx.astype(np.int64))
+            .to_pandas().sort_values(["query_id", "vec_id"])
+            .reset_index(drop=True))
+        for c in ("query_id", "vec_id", "dot"):
+            assert got[c].tolist() == want[c].to_pylist(), (c, parts)
+    # each query's self pair must be present (dot with itself is max)
+    got_pairs = set(zip(got["query_id"], got["vec_id"]))
+    assert all((int(i), int(i)) in got_pairs for i in q_idx)
