@@ -519,19 +519,23 @@ def _throttle_q(sf_dir: str):
     # ---- serial greedy replay fixture -----------------------------------
     t = pq.read_table(f"{sf_dir}/events.parquet",
                       columns=["user_id", "ts", "event_id"])
+    # the engine keeps NULL keys as ONE group; this serial replay does
+    # not model that, so fail loudly if the data ever gains one rather
+    # than silently diverging from the engine
+    if t["user_id"].null_count:
+        raise AssertionError("q125 fixture assumes non-null user_id; "
+                             "extend the replay for null-key grouping")
     rows = sorted(
         (u, s, i) for u, s, i in zip(
             t["user_id"].to_pylist(),
             t["ts"].cast(pa.int64()).to_pylist(),
             t["event_id"].to_pylist())
-        if s is not None and u is not None)
+        if s is not None)
     kept, last = [], {}
     for u, s, i in rows:
         if u not in last or s >= last[u] + GAP_S_ * 1_000_000:
             kept.append((u, i, s))
             last[u] = s
-    # null-key rows form one group in the engine; events has none, but
-    # mirror the engine by running them through the same chain
     os.makedirs(_ORACLE_DIR, exist_ok=True)
     rep = pa.table({
         "user_id": pa.array([r[0] for r in kept], pa.int64()),
@@ -618,9 +622,12 @@ def _lift_table_q(sf_dir: str):
 
     prepped = ev.map_batches(prep, batch_format="pyarrow",
                              zero_copy_batch=True)
-    n_total = prepped.count()
     ranked = global_row_number(prepped, order_cols=["s", "event_id"],
                                rank_col="rn", descending=True)
+    # the ranked dataset is already materialized by the rank's task
+    # stage — counting IT is metadata-cheap, where prepped.count()
+    # would re-execute the whole read+prep chain a second time
+    n_total = ranked.count()
 
     def decile_partial(b: pa.Table) -> pa.Table:
         rn = b["rn"].to_numpy(zero_copy_only=False)

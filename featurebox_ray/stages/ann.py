@@ -289,7 +289,7 @@ def threshold_similarity_join(ds, queries: np.ndarray, *,
 
     import pyarrow.compute as pc
 
-    from .cohesion import quantize_half_up
+    from .cohesion import _batch_mat, quantize_half_up
 
     Q = quantize_half_up(np.asarray(queries, np.float64), quant_bits)
     if query_ids is None:
@@ -306,13 +306,12 @@ def threshold_similarity_join(ds, queries: np.ndarray, *,
         batch = batch.filter(pc.is_valid(batch[vec_col]))
         if batch.num_rows == 0 or len(Q_) == 0:
             return empty
-        arr = batch[vec_col].combine_chunks()
-        flat = arr.flatten().to_numpy(zero_copy_only=False)
-        dims = len(flat) // len(arr)
+        # cohesion._batch_mat validates uniform list lengths — a ragged
+        # batch must raise, never silently reshape into misaligned rows
+        V, dims = _batch_mat(batch, vec_col, quant_bits)
         if Q_.shape[1] != dims:
             raise ValueError(f"query dims {Q_.shape[1]} != corpus "
                              f"dims {dims}")
-        V = quantize_half_up(flat.reshape(len(arr), dims), quant_bits)
         mq = int(np.abs(Q_).max()) if Q_.size else 0
         mv = int(np.abs(V).max()) if V.size else 0
         if mq and mv and mq * mv * dims >= 2 ** 63:

@@ -54,10 +54,15 @@ def snapshot_diff(old_ds, new_ds, *, id_col: str,
                .union(new_ds.map_batches(tag(1), batch_format="pyarrow",
                                          zero_copy_batch=True)))
 
+    # id type captured once from the input schema so empty partitions
+    # (including Ray's zero-column empty bundles) emit a typed block
+    base = old_ds.schema()
+    base = getattr(base, "base_schema", base)
+    empty = pa.table({id_col: pa.array([], base.field(id_col).type),
+                      "status": pa.array([], pa.string())})
+
     def kernel(t: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: t[id_col].slice(0, 0),
-                          "status": pa.array([], pa.string())})
-        if t.num_rows == 0:
+        if t.num_rows == 0 or id_col not in t.column_names:
             return empty
         # partitioned_map delivers the partition sorted by (id, side)
         ids = t[id_col].combine_chunks()
@@ -86,10 +91,18 @@ def snapshot_diff(old_ds, new_ds, *, id_col: str,
             for c in cmp_cols:
                 col = t[c].combine_chunks()
                 a, b = col.take(o_idx), col.take(n_idx)
-                # IS NOT DISTINCT FROM: equal, or both NULL
+                # IS NOT DISTINCT FROM: equal, or both NULL — and for
+                # floating columns both-NaN counts as equal too (SQL
+                # NaN IS NOT DISTINCT FROM NaN is true; Arrow pc.equal
+                # says NaN != NaN)
                 eq = pc.fill_null(pc.equal(a, b), False)
                 both_null = pc.and_(pc.is_null(a), pc.is_null(b))
-                same &= np.asarray(pc.or_(eq, both_null))
+                same_c = pc.or_(eq, both_null)
+                if pa.types.is_floating(col.type):
+                    both_nan = pc.and_(pc.fill_null(pc.is_nan(a), False),
+                                       pc.fill_null(pc.is_nan(b), False))
+                    same_c = pc.or_(same_c, both_nan)
+                same &= np.asarray(same_c)
             status[both] = np.where(same, None, "changed")
         keep = np.flatnonzero(status != None)  # noqa: E711
         if len(keep) == 0:

@@ -77,9 +77,13 @@ def funnel_features(ds, *, key_col: str = "user_id",
 
     horizon_native = None  # set from the ts column's unit below
 
+    key_type = None  # set from the input schema below
+
     def kernel(t: pa.Table) -> pa.Table:
+        # typed empty from the input schema: empty partitions (incl.
+        # Ray's zero-column empty bundles) emit the same block schema
         empty = pa.table({
-            key_col: t[key_col].slice(0, 0),
+            key_col: pa.array([], key_type),
             "first_a": _restore(np.empty(0, np.int64),
                                 np.empty(0, bool)),
             "conv_ts": _restore(np.empty(0, np.int64),
@@ -87,7 +91,7 @@ def funnel_features(ds, *, key_col: str = "user_id",
             "n_b_window": pa.array([], pa.int64()),
             "gap_us": pa.array([], pa.int64()),
         })
-        if t.num_rows == 0:
+        if t.num_rows == 0 or key_col not in t.column_names:
             return empty
         # partitioned_map delivers the partition sorted by (key, ts)
         keys = t[key_col].combine_chunks()
@@ -134,6 +138,7 @@ def funnel_features(ds, *, key_col: str = "user_id",
     # parquet reads; callers with lazy chains pass pre-projected inputs)
     schema = ds.schema()
     base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
     tt = base.field(ts_col).type
     if pa.types.is_timestamp(tt):
         ts_type = tt

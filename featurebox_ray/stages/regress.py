@@ -296,6 +296,13 @@ def group_auc(ds, *, key_col: str, label_col: str, score_col: str,
     """
     from .partition import partitioned_map
 
+    # key type captured once from the input schema so empty partitions
+    # (including Ray's zero-column empty bundles) emit the SAME block
+    # schema as non-empty ones — never a hardcoded int64
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    ktype = base.field(key_col).type
+
     def prep(b: pa.Table) -> pa.Table:
         for c, t in ((label_col, pa.int64()), (score_col, pa.int64())):
             if b.schema.field(c).type != t:
@@ -308,24 +315,25 @@ def group_auc(ds, *, key_col: str, label_col: str, score_col: str,
             b = b.filter(mask)
         return b.select([key_col, label_col, score_col])
 
+    empty = pa.table({
+        key_col: pa.array([], ktype),
+        "n_pos": pa.array([], pa.int64()),
+        "n_neg": pa.array([], pa.int64()),
+        "auc": pa.array([], pa.float64())})
+
     def kernel(t: pa.Table) -> pa.Table:
-        ktype = t.schema.field(key_col).type if t.num_rows else None
-        empty = pa.table({
-            key_col: (t[key_col].slice(0, 0) if t.num_rows
-                      else pa.array([], ktype or pa.int64())),
-            "n_pos": pa.array([], pa.int64()),
-            "n_neg": pa.array([], pa.int64()),
-            "auc": pa.array([], pa.float64())})
-        if t.num_rows == 0:
+        if t.num_rows == 0 or key_col not in t.column_names:
             return empty
         keys = t[key_col].combine_chunks()
         enc = pc.dictionary_encode(keys)
         codes = (pc.fill_null(enc.indices, -1)
                  .to_numpy(zero_copy_only=False).astype(np.int64))
-        y = t[label_col].to_numpy(zero_copy_only=False)
-        s = t[score_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((s, codes))
-        c_s, y_s, s_s = codes[order], y[order], s[order]
+        # partitioned_map delivered the partition sorted by
+        # (key, score) — group runs are contiguous and internally
+        # score-ordered, so no re-sort is needed
+        c_s = codes
+        y_s = t[label_col].to_numpy(zero_copy_only=False)
+        s_s = t[score_col].to_numpy(zero_copy_only=False)
         g_start = np.concatenate([[True], c_s[1:] != c_s[:-1]])
         seg = np.cumsum(g_start) - 1
         g_first = np.flatnonzero(g_start)
@@ -352,7 +360,7 @@ def group_auc(ds, *, key_col: str, label_col: str, score_col: str,
         with np.errstate(divide="ignore", invalid="ignore"):
             auc = num / den
         return pa.table({
-            key_col: keys.take(pa.array(order[g_first], pa.int64())),
+            key_col: keys.take(pa.array(g_first, pa.int64())),
             "n_pos": pa.array(npos),
             "n_neg": pa.array(nneg),
             "auc": pa.array(np.where(ok, auc, 0.0), pa.float64(),

@@ -59,17 +59,16 @@ def retention_cohorts(ds, *, key_col: str = "user_id",
         empty = pa.table({"cohort": pa.array([], pa.int64()),
                           "offset": pa.array([], pa.int64()),
                           "cnt": pa.array([], pa.int64())})
-        if t.num_rows == 0:
+        if t.num_rows == 0 or key_col not in t.column_names:
             return empty
         keys = t[key_col].combine_chunks()
         per = t["__per"].to_numpy(zero_copy_only=False)
         enc = pc.dictionary_encode(keys)
         codes = (pc.fill_null(enc.indices, -1)
                  .to_numpy(zero_copy_only=False).astype(np.int64))
-        # sort within the partition by (user, period) so distinct
-        # (user, period) pairs are run starts
-        order = np.lexsort((per, codes))
-        c_s, p_s = codes[order], per[order]
+        # partitioned_map delivered the partition sorted by
+        # (user, period): distinct (user, period) pairs are run starts
+        c_s, p_s = codes, per
         new_pair = np.concatenate(
             [[True], (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1])])
         new_user = np.concatenate([[True], c_s[1:] != c_s[:-1]])
@@ -101,7 +100,7 @@ def retention_cohorts(ds, *, key_col: str = "user_id",
                                strategy="tasks")
 
     def combine(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+        if t.num_rows == 0 or "cohort" not in t.column_names:
             return pa.table({"cohort": pa.array([], pa.int64()),
                              "offset": pa.array([], pa.int64()),
                              "n_users": pa.array([], pa.int64())})

@@ -340,11 +340,14 @@ def throttle_min_interval(ds, *, key_col: str, ts_col: str,
         return pa.table({key_col: b[key_col], "__ts": ts_i,
                          id_col: b[id_col]})
 
+    # typed empty from the input schema: empty partitions (including
+    # Ray's zero-column empty bundles) must emit the same block schema
+    empty = pa.table({key_col: pa.array([], base.field(key_col).type),
+                      id_col: pa.array([], base.field(id_col).type),
+                      ts_col: pa.array([], tt)})
+
     def kernel(t: pa.Table) -> pa.Table:
-        empty = pa.table({key_col: t[key_col].slice(0, 0),
-                          id_col: t[id_col].slice(0, 0),
-                          ts_col: t["__ts"].slice(0, 0).cast(tt)})
-        if t.num_rows == 0:
+        if t.num_rows == 0 or key_col not in t.column_names:
             return empty
         keys = t[key_col].combine_chunks()
         ts = t["__ts"].to_numpy(zero_copy_only=False)
