@@ -433,7 +433,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q125_throttle": _throttle_q,
         "q126_cusum": _cusum_q,
         "q127_semantic_decontam": _semantic_decontam_q,
+        "q128_session_cooccurrence": _session_cooccurrence_q,
     }
+
+
+def _session_cooccurrence_q(sf_dir: str):
+    """q128: within-session event-type co-occurrence pairs (30-min gap
+    sessions, the q06 rule) — one user-keyed exchange sessionizes and
+    expands each session's sorted distinct-type set to unordered pairs,
+    a tiny second exchange sums counts
+    (stages/transitions.py:session_cooccurrence); exact int64."""
+    import ray
+
+    from featurebox_ray.stages.transitions import session_cooccurrence
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    return session_cooccurrence(ev, key_col="user_id", ts_col="ts",
+                                type_col="event_type",
+                                order_col="event_id", gap_s=GAP_S,
+                                num_partitions=8)
 
 
 def _semantic_decontam_q(sf_dir: str):
@@ -4467,6 +4487,31 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # session co-occurrence: q06 session rule + distinct self-join
+        "q128_session_cooccurrence": f"""
+            WITH d AS (
+              SELECT event_id, user_id, ts, event_type,
+                     epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                         AS gap
+              FROM events WHERE ts IS NOT NULL),
+            s AS (
+              SELECT user_id, event_type,
+                     SUM(CASE WHEN gap IS NULL OR gap > {GAP_S}
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM d),
+            dt AS (SELECT DISTINCT user_id, session_id, event_type
+                   FROM s WHERE event_type IS NOT NULL)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM dt a JOIN dt b
+              ON a.user_id = b.user_id
+             AND a.session_id = b.session_id
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         # semantic decontam: exact integer dot products, HUGEINT sums
         "q127_semantic_decontam": """

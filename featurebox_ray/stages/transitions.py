@@ -100,3 +100,136 @@ def event_transition_counts(ds, *, key_col: str, ts_col: str,
     # second exchange: O(partitions × |types|²) partial rows
     return partials.groupby("from_type").map_groups(
         finalize, batch_format="pyarrow")
+
+
+def session_cooccurrence(ds, *, key_col: str, ts_col: str,
+                         type_col: str, order_col: str,
+                         gap_s: float = 1800.0,
+                         num_partitions: int = 16):
+    """Within-session event-type co-occurrence pairs — for every
+    session (gap-based, same rule as the sessionizer: a new session
+    starts when the gap to the previous event exceeds ``gap_s``), the
+    set of DISTINCT types present, expanded to unordered pairs
+    ``type_a < type_b`` (bytewise) and counted globally.  The
+    co-usage-mining feature ("which tools appear together in a
+    session") that transitions (adjacent bigrams) can't see.
+
+    ONE key-keyed exchange: the kernel sessionizes its segments
+    vectorized (gap compare + cumsum), collapses to distinct
+    (session, type) pairs via ``np.unique``, expands each session's
+    sorted distinct-type run to pairs with a repeat/arange gather
+    (Σ k(k−1)/2 rows, k = distinct types per session — tiny), and
+    emits per-partition partial counts.  A second tiny exchange sums
+    them.  Sessions are computed over ALL valid-ts rows; NULL types
+    drop only at the distinct-type step (SQL parity: sessionize first,
+    filter in the distinct CTE).  Exact int64 counts.
+
+    Reference analog: none (beyond-reference behavioral operator next
+    to event_transition_counts and funnel_features).
+    """
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    tt = base.field(ts_col).type
+    unit = tt.unit if pa.types.is_timestamp(tt) else "us"
+    gap_native = int(round(float(gap_s) * {"s": 1, "ms": 10**3,
+                                           "us": 10**6,
+                                           "ns": 10**9}[unit]))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        ts = b[ts_col].combine_chunks()
+        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
+                else ts)
+        return pa.table({key_col: b[key_col], "__ts": ts_i,
+                         type_col: b[type_col],
+                         order_col: b[order_col]})
+
+    pair_empty = pa.table({"type_a": pa.array([], pa.string()),
+                           "type_b": pa.array([], pa.string()),
+                           "cnt": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return pair_empty
+        keys = t[key_col].combine_chunks()
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        new_seg = np.concatenate([[True], codes[1:] != codes[:-1]])
+        gap = np.empty(len(ts), np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_sess = new_seg | (gap > gap_native)
+        sess = np.cumsum(new_sess) - 1  # partition-global session id
+        # distinct (session, bytewise-rank-of-type) pairs
+        types = t[type_col].combine_chunks()
+        typed = np.asarray(pc.is_valid(types))
+        tenc = pc.dictionary_encode(types.filter(pa.array(typed)))
+        if len(tenc) == 0:
+            return pair_empty
+        tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # bytewise rank so pair order matches SQL type_a < type_b
+        tr = pc.sort_indices(tenc.dictionary)
+        inv = np.empty(len(tenc.dictionary), np.int64)
+        inv[tr.to_numpy(zero_copy_only=False)] = np.arange(
+            len(tenc.dictionary))
+        nt = len(tenc.dictionary)
+        combo = sess[typed] * nt + inv[tcodes]
+        u = np.unique(combo)
+        u_sess, u_rank = u // nt, u % nt
+        # expand each session's sorted distinct-rank run to pairs
+        run_start = np.concatenate([[True], u_sess[1:] != u_sess[:-1]])
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.concatenate([starts, [len(u)]]))
+        run_id = np.cumsum(run_start) - 1
+        pos = np.arange(len(u)) - starts[run_id]
+        later = (lens[run_id] - pos - 1)  # pairs this element anchors
+        a_idx = np.repeat(np.arange(len(u)), later)
+        cum = np.concatenate([[0], np.cumsum(later)])
+        b_idx = a_idx + (np.arange(int(later.sum())) - cum[a_idx]) + 1
+        if len(a_idx) == 0:
+            return pair_empty
+        # counts per (rank_a, rank_b)
+        pk = u_rank[a_idx] * nt + u_rank[b_idx]
+        pu, pinv = np.unique(pk, return_inverse=True)
+        cnt = np.bincount(pinv).astype(np.int64)
+        dict_sorted = tenc.dictionary.take(tr)  # rank -> type string
+        return pa.table({
+            "type_a": dict_sorted.take(pa.array(pu // nt, pa.int64())),
+            "type_b": dict_sorted.take(pa.array(pu % nt, pa.int64())),
+            "cnt": pa.array(cnt),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "type_a" not in t.column_names:
+            return pair_empty
+        joined = pc.binary_join_element_wise(
+            t["type_a"].combine_chunks().cast(pa.string()),
+            t["type_b"].combine_chunks().cast(pa.string()), "\x1f")
+        d = pc.dictionary_encode(joined)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(d.dictionary), np.int64)
+        np.add.at(sums, idx, t["cnt"].to_numpy(zero_copy_only=False))
+        first = np.zeros(len(d.dictionary), np.int64)
+        first[idx] = np.arange(len(idx))
+        sel = pa.array(first, pa.int64())
+        return pa.table({
+            "type_a": t["type_a"].combine_chunks().take(sel),
+            "type_b": t["type_b"].combine_chunks().take(sel),
+            "cnt": pa.array(sums),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    partials = partitioned_map(prepped, kernel, key=key_col,
+                               sort_keys=[key_col, "__ts", order_col],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+    return partitioned_map(partials, combine, key="type_a",
+                           sort_keys=["type_a", "type_b"],
+                           num_partitions=min(num_partitions, 4),
+                           strategy="tasks")
