@@ -155,3 +155,52 @@ def broadcast_join(left_ds, right_table, *, on: str,
         Joiner, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+def auto_join(left_ds, right_ds, *, on: str,
+              right_on: Optional[str] = None, how: str = "inner",
+              broadcast_threshold_rows: int = 1_000_000,
+              num_partitions: int = 32):
+    """Strategy-dispatching equi-join (the AQE-style broadcast
+    decision): if the right side is small enough, run the shuffle-free
+    :func:`broadcast_join`; otherwise the co-partitioned task-exchange
+    :func:`hash_join`.
+
+    The size probe is ``right_ds.count()`` — metadata-cheap on parquet
+    reads and materialized datasets; pass a pre-counted threshold
+    decision (call the target join directly) when the right side ends
+    in expensive lazy stages (the ``.schema()``/``.count()`` execution
+    hazard documented in bench.py).
+
+    ``how`` other than ``inner``/``left`` always takes the hash-join
+    path (the broadcast join is left-outer by construction: probe rows
+    with no match get nulls — for ``inner`` the null matches are
+    filtered after the probe).
+    """
+    import pyarrow.compute as pc
+
+    n_right = right_ds.count()
+    if how in ("inner", "left") and n_right <= broadcast_threshold_rows:
+        key = right_on or on
+        if how == "left":
+            return broadcast_join(left_ds, right_ds, on=on,
+                                  right_on=key)
+        # inner: the broadcast probe is left-outer by construction, so
+        # attach an explicit match indicator to the right side (never
+        # infer matches from a value column — right values can be NULL
+        # on legitimately matched rows) and filter on it
+        def tag(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__m", pa.array(np.ones(b.num_rows, np.int8)))
+
+        tagged = right_ds.map_batches(tag, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        out = broadcast_join(left_ds, tagged, on=on, right_on=key)
+
+        def drop_unmatched(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_valid(b["__m"])).drop_columns(["__m"])
+
+        return out.map_batches(drop_unmatched, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return hash_join(left_ds, right_ds, on=on, right_on=right_on,
+                     how=how, num_partitions=num_partitions)

@@ -52,3 +52,43 @@ def test_tasks_strategy_partition_count_invariance(tiny_dir):
                                 strategy="tasks"))
     for c in ("session_id", "roll5_mean_text_len", "win_t3600s_sum_text_len"):
         assert np.allclose(a[c].astype(float), b[c].astype(float), equal_nan=True), c
+
+
+def test_auto_join_dispatch_and_equivalence():
+    import duckdb
+    import pyarrow as pa
+
+    from featurebox_ray.stages.join import auto_join
+
+    rng = np.random.default_rng(73)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 40, 300), pa.int64()),
+        "lv": pa.array(np.arange(300), pa.int64()),
+    })
+    # right side with duplicate keys, a NULL value on a matched key,
+    # and keys absent from the left
+    right = pa.table({
+        "k": pa.array([0, 0, 1, 2, 99], pa.int64()),
+        "rv": pa.array([10, 11, None, 12, 13], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how in ("inner", "left"):
+        want = con.execute(f"""
+            SELECT l.k, l.lv, r.rv FROM l {how.upper()} JOIN r USING (k)
+            ORDER BY lv, rv NULLS FIRST
+        """).fetch_arrow_table()
+        for thresh in (10, 0):  # 10 -> broadcast path, 0 -> hash path
+            got = (auto_join(ray.data.from_arrow(left).repartition(3),
+                             ray.data.from_arrow(right), on="k",
+                             how=how, broadcast_threshold_rows=thresh,
+                             num_partitions=4)
+                   .to_pandas()
+                   .sort_values(["lv", "rv"], na_position="first")
+                   .reset_index(drop=True))
+            assert len(got) == want.num_rows, (how, thresh)
+            for c in ("k", "lv", "rv"):
+                gv = [None if isinstance(v, float) and v != v else int(v)
+                      for v in got[c].tolist()]
+                assert gv == want[c].to_pylist(), (c, how, thresh)
