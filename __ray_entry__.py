@@ -434,7 +434,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q126_cusum": _cusum_q,
         "q127_semantic_decontam": _semantic_decontam_q,
         "q128_session_cooccurrence": _session_cooccurrence_q,
+        "q129_session_journeys": _session_journeys_q,
     }
+
+
+def _session_journeys_q(sf_dir: str):
+    """q129: top-15 most common session type-sequences ("user
+    journeys") — one user-keyed exchange sessionizes (q06 rule) and
+    renders each session's ordered type chain with one list-offsets +
+    binary_join pass, then the exact heavy-hitters exchange picks the
+    global top-k (stages/transitions.py:top_session_journeys)."""
+    import ray
+
+    from featurebox_ray.stages.transitions import top_session_journeys
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    return top_session_journeys(ev, key_col="user_id", ts_col="ts",
+                                type_col="event_type",
+                                order_col="event_id", gap_s=GAP_S,
+                                k=15, num_partitions=8)
 
 
 def _session_cooccurrence_q(sf_dir: str):
@@ -4487,6 +4507,29 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # session journeys: q06 session rule + ordered string_agg
+        "q129_session_journeys": f"""
+            WITH d AS (
+              SELECT event_id, user_id, ts, event_type,
+                     epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                         AS gap
+              FROM events WHERE ts IS NOT NULL),
+            s AS (
+              SELECT user_id, event_type, ts, event_id,
+                     SUM(CASE WHEN gap IS NULL OR gap > {GAP_S}
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM d),
+            c AS (SELECT user_id, session_id,
+                         string_agg(event_type, '>'
+                                    ORDER BY ts, event_id) AS journey
+                  FROM s GROUP BY user_id, session_id)
+            SELECT journey, CAST(count(*) AS BIGINT) AS cnt FROM c
+            WHERE journey IS NOT NULL
+            GROUP BY journey ORDER BY cnt DESC, journey ASC LIMIT 15
         """,
         # session co-occurrence: q06 session rule + distinct self-join
         "q128_session_cooccurrence": f"""

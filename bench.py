@@ -184,7 +184,7 @@ QUERY_NAMES = [
     "q118_windowed_distinct", "q119_top_bigrams", "q120_snapshot_diff",
     "q121_retention", "q122_group_auc", "q123_lift_table",
     "q124_weighted_stats", "q126_cusum", "q127_semantic_decontam",
-    "q128_session_cooccurrence",
+    "q128_session_cooccurrence", "q129_session_journeys",
 ]
 
 

@@ -233,3 +233,96 @@ def session_cooccurrence(ds, *, key_col: str, ts_col: str,
                            sort_keys=["type_a", "type_b"],
                            num_partitions=min(num_partitions, 4),
                            strategy="tasks")
+
+
+def top_session_journeys(ds, *, key_col: str, ts_col: str,
+                         type_col: str, order_col: str,
+                         gap_s: float = 1800.0, k: int = 15,
+                         sep: str = ">", num_partitions: int = 16):
+    """Top-k most common session type-SEQUENCES ("user journeys") —
+    each session renders to its ordered event-type chain (duplicates
+    kept, NULL types skipped like SQL ``string_agg``; all-null sessions
+    drop), then the exact heavy-hitters plan picks the k most frequent
+    chains globally under ``(count desc, journey asc)``.
+
+    ONE user-keyed exchange does sessionize + render: the per-partition
+    kernel computes session boundaries vectorized (q128's gap rule),
+    builds each session's chain with ONE list-offsets +
+    ``binary_join`` pass (the q41/q100 render shape — never a per-group
+    UDF), and emits per-partition ``(journey, cnt)`` partials straight
+    into :func:`~featurebox_ray.stages.tfidf._exact_topk_exchange`.
+
+    Returns ``(journey:string, cnt:int64)``.
+    """
+    from .partition import partitioned_map
+    from .tfidf import _exact_topk_exchange
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    tt = base.field(ts_col).type
+    unit = tt.unit if pa.types.is_timestamp(tt) else "us"
+    gap_native = int(round(float(gap_s) * {"s": 1, "ms": 10**3,
+                                           "us": 10**6,
+                                           "ns": 10**9}[unit]))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        ts = b[ts_col].combine_chunks()
+        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
+                else ts)
+        return pa.table({key_col: b[key_col], "__ts": ts_i,
+                         type_col: b[type_col],
+                         order_col: b[order_col]})
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        new_seg = np.concatenate([[True], codes[1:] != codes[:-1]])
+        gap = np.empty(len(ts), np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        sess = np.cumsum(new_seg | (gap > gap_native)) - 1
+        types = t[type_col].combine_chunks()
+        typed = np.asarray(pc.is_valid(types))
+        if not typed.any():
+            return empty
+        # typed rows grouped by session in ts order (already sorted);
+        # chain = list-offsets over the typed type strings + one join
+        t_types = types.filter(pa.array(typed)).cast(pa.large_string())
+        t_sess = sess[typed]
+        counts = np.bincount(t_sess - t_sess.min(),
+                             minlength=0)
+        counts = counts[counts > 0]  # sessions with >= 1 typed event
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(
+            np.int64)
+        chains = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, t_types),
+            pa.scalar(sep, pa.large_string()))
+        d = pc.dictionary_encode(chains)
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary))
+        return pa.table({"term": d.dictionary.cast(pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    partials = partitioned_map(prepped, kernel, key=key_col,
+                               sort_keys=[key_col, "__ts", order_col],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+    out = _exact_topk_exchange(partials, k=k,
+                               num_partitions=min(num_partitions, 4))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["journey", "cnt"])
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)

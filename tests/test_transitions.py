@@ -143,3 +143,57 @@ def test_session_cooccurrence_hand_case():
            .to_pandas().sort_values(["type_a", "type_b"])
            .reset_index(drop=True))
     assert got.values.tolist() == [["a", "b", 1], ["b", "c", 1]]
+
+
+def test_top_session_journeys_duckdb_fuzz():
+    import duckdb
+
+    from featurebox_ray.stages.transitions import top_session_journeys
+
+    rng = np.random.default_rng(79)
+    n = 500
+    types = np.array(["view", "click", "purchase"])
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "ts": pa.array([None if i % 43 == 0 else int(v) for i, v in
+                        enumerate(rng.integers(0, 200_000, n)
+                                  * 1_000_000)],
+                       pa.timestamp("us")),
+        "event_type": pa.array(
+            [None if i % 37 == 0 else types[v] for i, v in
+             enumerate(rng.integers(0, 3, n))], pa.string()),
+    })
+    GAP, K = 1800, 12
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute(f"""
+        WITH d AS (
+          SELECT event_id, user_id, ts, event_type,
+                 epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)) AS gap
+          FROM events WHERE ts IS NOT NULL),
+        s AS (
+          SELECT user_id, event_type, ts, event_id,
+                 SUM(CASE WHEN gap IS NULL OR gap > {GAP}
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM d),
+        c AS (SELECT user_id, session_id,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS journey
+              FROM s GROUP BY user_id, session_id)
+        SELECT journey, CAST(count(*) AS BIGINT) AS cnt FROM c
+        WHERE journey IS NOT NULL
+        GROUP BY journey ORDER BY cnt DESC, journey ASC LIMIT {K}
+    """).fetch_arrow_table()
+    for parts, np_ in ((1, 2), (5, 3), (9, 7)):
+        got = (top_session_journeys(
+            ray.data.from_arrow(t).repartition(parts),
+            key_col="user_id", ts_col="ts", type_col="event_type",
+            order_col="event_id", gap_s=GAP, k=K,
+            num_partitions=np_).to_pandas())
+        assert got["journey"].tolist() == want["journey"].to_pylist(), (
+            parts, np_)
+        assert got["cnt"].tolist() == want["cnt"].to_pylist()
