@@ -435,7 +435,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q127_semantic_decontam": _semantic_decontam_q,
         "q128_session_cooccurrence": _session_cooccurrence_q,
         "q129_session_journeys": _session_journeys_q,
+        "q130_time_weighted_avg": _time_weighted_avg_q,
     }
+
+
+def _time_weighted_avg_q(sf_dir: str):
+    """q130: per-user time-weighted average spend (cents held until the
+    next event) — telescoping-bounded exact int64 numerator (|Σ v·gap|
+    ≤ max|v|·span, guarded), one keyed exchange, one IEEE division
+    (stages/window.py:time_weighted_avg); lead() window SQL replay is
+    bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.window import time_weighted_avg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        vc = pa.array(cents, pa.int64(), mask=np.asarray(pc.is_null(v)))
+        return (b.select(["event_id", "user_id", "ts"])
+                .append_column("value_c", vc))
+
+    return time_weighted_avg(
+        ev.map_batches(quant, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="user_id", ts_col="ts", int_value_col="value_c",
+        order_col="event_id", num_partitions=8)
 
 
 def _session_journeys_q(sf_dir: str):
@@ -4507,6 +4540,28 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # time-weighted average: lead() window, exact int numerator
+        "q130_time_weighted_avg": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            g AS (SELECT user_id, v, ts,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+                  FROM e),
+            a AS (SELECT user_id,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(max(ts) - min(ts) AS BIGINT) AS span,
+                         CAST(sum(v * (nxt - ts)) AS BIGINT) AS num
+                  FROM g GROUP BY user_id)
+            SELECT user_id, n, span,
+                   CASE WHEN span > 0 THEN
+                     CAST(num AS DOUBLE) / CAST(span AS DOUBLE)
+                   END AS twa
+            FROM a
         """,
         # session journeys: q06 session rule + ordered string_agg
         "q129_session_journeys": f"""

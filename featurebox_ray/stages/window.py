@@ -546,3 +546,82 @@ def add_cusum(ds, *, key_col: str, ts_col: str, int_value_col: str,
                            sort_keys=[key_col, ts_col, order_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def time_weighted_avg(ds, *, key_col: str, ts_col: str,
+                      int_value_col: str, order_col: str,
+                      num_partitions: int = 16):
+    """Per-key time-weighted average — the telemetry aggregate for
+    irregularly-sampled step signals (a value holds until the next
+    observation): ``twa = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (tₙ − t₀)`` over the key's
+    observations in time order.
+
+    Exactness: with ``int_value_col`` pre-quantized int64, the
+    numerator is int64-exact and CANNOT overflow regardless of row
+    count — the gaps telescope, so ``|Σ v·gap| ≤ max|v| · span``
+    (guarded < 2^63).  The result is one IEEE division of exact ints;
+    SQL replays it with a ``lead()`` window bit-identically.
+
+    One keyed exchange, one vectorized diff/product/reduceat pass per
+    partition.  Rows with NULL ts or value drop (SQL parity: the lead
+    window runs over the filtered set); keys with < 2 surviving rows
+    emit NULL twa.  Returns ``(key_col, n:int64, span:int64,
+    twa:float64)`` with span in native ts units.
+    """
+
+    # typed empty from the input schema (zero-column empty bundles must
+    # emit the same block schema as data partitions)
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    empty = pa.table({
+        key_col: pa.array([], base.field(key_col).type),
+        "n": pa.array([], pa.int64()),
+        "span": pa.array([], pa.int64()),
+        "twa": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes, _ = _key_codes_dic(keys)
+        ts = (t[ts_col].combine_chunks().cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        v = t[int_value_col].to_numpy(zero_copy_only=False)
+        seg_start, _, is_start = seg.segment_ids(codes)
+        starts = np.flatnonzero(is_start)
+        ends = np.concatenate([starts[1:], [len(codes)]])
+        span = ts[ends - 1] - ts[starts]
+        m = int(np.abs(v).max()) if len(v) else 0
+        if m and int(span.max(initial=0)) * m >= 2 ** 63:
+            raise ValueError(
+                "max|v| · key time-span overflows int64 — quantize the "
+                "value more coarsely")
+        gap = np.empty(len(ts), np.int64)
+        gap[:-1] = ts[1:] - ts[:-1]
+        gap[-1] = 0
+        # last row of each segment holds no interval
+        gap[ends - 1] = 0
+        contrib = v * gap
+        num = np.add.reduceat(contrib, starts)
+        n = (ends - starts).astype(np.int64)
+        ok = span > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            twa = num.astype(np.float64) / span.astype(np.float64)
+        return pa.table({
+            key_col: keys.take(pa.array(starts, pa.int64())),
+            "n": pa.array(n),
+            "span": pa.array(span.astype(np.int64)),
+            "twa": pa.array(np.where(ok, twa, 0.0), pa.float64(),
+                            mask=~ok),
+        })
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(pc.is_valid(b[ts_col]),
+                                pc.is_valid(b[int_value_col])))
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

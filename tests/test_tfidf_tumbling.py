@@ -608,3 +608,63 @@ def test_cusum_duckdb_and_recurrence():
                      order_col="event_id", drift_k=K).to_pandas())
     for _, r in got.iterrows():
         assert r["cusum"] == expect[r["event_id"]]
+
+
+def test_time_weighted_avg_duckdb_and_replay():
+    import duckdb
+
+    from featurebox_ray.stages.window import time_weighted_avg
+
+    rng = np.random.default_rng(83)
+    n = 300
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 10, n), pa.int64()),
+        "ts": pa.array([None if i % 41 == 0 else int(v) for i, v in
+                        enumerate(np.sort(rng.integers(0, 10**9, n)))],
+                       pa.timestamp("us")),
+        "v": pa.array([None if i % 37 == 0 else int(x) for i, x in
+                       enumerate(rng.integers(-500, 2000, n))],
+                      pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts, v
+                   FROM t WHERE ts IS NOT NULL AND v IS NOT NULL),
+        g AS (SELECT user_id, v, ts,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+              FROM e),
+        a AS (SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(max(ts) - min(ts) AS BIGINT) AS span,
+                     CAST(sum(v * (nxt - ts)) AS BIGINT) AS num
+              FROM g GROUP BY user_id)
+        SELECT user_id, n, span,
+               CASE WHEN span > 0 THEN
+                 CAST(num AS DOUBLE) / CAST(span AS DOUBLE) END AS twa
+        FROM a ORDER BY user_id
+    """).fetch_arrow_table()
+    for parts, np_ in ((1, 2), (5, 3), (9, 7)):
+        got = (time_weighted_avg(
+            ray.data.from_arrow(t).repartition(parts),
+            key_col="user_id", ts_col="ts", int_value_col="v",
+            order_col="event_id", num_partitions=np_)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+        assert got["user_id"].tolist() == want["user_id"].to_pylist()
+        for c in ("n", "span", "twa"):
+            gv = [None if isinstance(x, float) and x != x else x
+                  for x in got[c].tolist()]
+            assert gv == want[c].to_pylist(), (c, parts, np_)
+    # hand case: value 10 held for 3 units then 20 for 1 unit
+    h = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([0, 3, 4], pa.int64()),
+        "v": pa.array([10, 20, 999], pa.int64()),
+    })
+    got = time_weighted_avg(ray.data.from_arrow(h), key_col="user_id",
+                            ts_col="ts", int_value_col="v",
+                            order_col="event_id").to_pandas()
+    assert got.iloc[0]["twa"] == (10 * 3 + 20 * 1) / 4.0
