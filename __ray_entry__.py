@@ -436,7 +436,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q128_session_cooccurrence": _session_cooccurrence_q,
         "q129_session_journeys": _session_journeys_q,
         "q130_time_weighted_avg": _time_weighted_avg_q,
+        "q131_mmr_select": _mmr_select_q,
     }
+
+
+def _mmr_select_q(sf_dir: str):
+    """q131: MMR diverse top-10 — relevance via one streaming integer
+    matmul (query broadcast once, per-block partial top-pool carrying
+    quantized vectors), driver-side integer greedy over the tiny pool
+    (stages/ann.py:mmr_select).  Greedy selection is recursive (not
+    SQL); the fixture replays the identical integer arithmetic
+    serially — bit-exact."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_mmr
+    from featurebox_ray.stages.ann import mmr_select
+
+    K, POOL, LAM, DEN, QB = 10, 64, 5, 10, 8
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    dims = len(flat) // len(ids)
+    V = flat.reshape(len(ids), dims).astype(np.float64)
+    # query = the vector with the smallest id (deterministic)
+    Q = V[np.argmin(ids)]
+
+    # ---- serial replay fixture -----------------------------------------
+    rep = replay_mmr(V, ids, Q, k=K, pool_m=POOL, lambda_num=LAM,
+                     lambda_den=DEN, quant_bits=QB)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "rank": pa.array(rep["rank"], pa.int64()),
+        "vec_id": pa.array(rep["vec_id"], pa.int64()),
+        "rel": pa.array(rep["rel"], pa.int64()),
+        "score": pa.array(rep["score"], pa.int64()),
+    }), f"{_ORACLE_DIR}/mmr.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/mmr.parquet.tmp",
+               f"{_ORACLE_DIR}/mmr.parquet")
+
+    # ---- distributed engine run ----------------------------------------
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"],
+                                   override_num_blocks=8)
+    return mmr_select(corpus, Q, k=K, pool_m=POOL, lambda_num=LAM,
+                      lambda_den=DEN, quant_bits=QB)
 
 
 def _time_weighted_avg_q(sf_dir: str):
@@ -4540,6 +4591,11 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # MMR: serial integer-greedy replay (recursive, not SQL)
+        "q131_mmr_select": f"""
+            SELECT rank, vec_id, rel, score
+            FROM read_parquet('{_ORACLE_DIR}/mmr.parquet')
         """,
         # time-weighted average: lead() window, exact int numerator
         "q130_time_weighted_avg": """

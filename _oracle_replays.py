@@ -609,3 +609,36 @@ def replay_bigram_lm(ids: Sequence[int], texts: Sequence[str], *,
 
     return pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "logprob",
                                        "ppl"])
+
+
+def replay_mmr(vecs: np.ndarray, ids: np.ndarray, query: np.ndarray, *,
+               k: int, pool_m: int, lambda_num: int, lambda_den: int,
+               quant_bits: int):
+    """Serial MMR replay (q131): half-up quantization, integer
+    relevance, top-pool cut, greedy with integer scores and
+    (score desc, id asc) tie-break among available items — the exact
+    arithmetic contract of stages/ann.py:mmr_select, recomputed without
+    the engine's streaming pool stage."""
+    s = float(1 << quant_bits)
+    V = np.floor(np.asarray(vecs, np.float64) * s + 0.5).astype(np.int64)
+    Q = np.floor(np.asarray(query, np.float64) * s + 0.5).astype(np.int64)
+    ids = np.asarray(ids, np.int64)
+    rel = V @ Q
+    order = np.lexsort((ids, -rel))[:pool_m]
+    ids, rel, V = ids[order], rel[order], V[order]
+    sims = V @ V.T
+    lam, lam_c = lambda_num, lambda_den - lambda_num
+    picked, avail = [], np.ones(len(ids), bool)
+    maxsim = np.full(len(ids), np.iinfo(np.int64).min)
+    for r in range(min(k, len(ids))):
+        score = lam * rel if r == 0 else lam * rel - lam_c * maxsim
+        cand = np.flatnonzero(avail)
+        best = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        picked.append((r, int(ids[best]), int(rel[best]),
+                       int(score[best])))
+        avail[best] = False
+        maxsim = np.maximum(maxsim, sims[:, best])
+    import pandas as pd
+
+    return pd.DataFrame(picked, columns=["rank", "vec_id", "rel",
+                                         "score"])

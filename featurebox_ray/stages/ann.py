@@ -331,3 +331,105 @@ def threshold_similarity_join(ds, queries: np.ndarray, *,
 
     return ds.map_batches(join_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def mmr_select(ds, query: np.ndarray, *, k: int = 10,
+               pool_m: int = 64, lambda_num: int = 7,
+               lambda_den: int = 10, quant_bits: int = 8,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Maximal-marginal-relevance diverse top-k — pick ``k`` vectors
+    that are RELEVANT to ``query`` but mutually DIVERSE (the eval-set /
+    demonstration-selection primitive):
+
+        pick argmax  λ·rel(x) − (1−λ)·max_{s∈selected} sim(x, s)
+
+    Distributed shape: relevance is one streaming integer-matmul pass
+    (query broadcast once) with per-batch partial top-``pool_m``
+    carrying the quantized vectors; the global pool (``pool_m`` ×
+    dims int64 cells — tiny) reduces on the driver, and the greedy
+    loop runs there over the pool's exact integer dot products.
+
+    Exactness: λ = ``lambda_num / lambda_den`` stays INTEGER —
+    ``score = lambda_num·rel − (lambda_den − lambda_num)·maxsim`` —
+    so every comparison is exact int64 and the greedy order is a pure
+    function of the data with (score desc, id asc) tie-break; a serial
+    replay reproduces it bit-exactly (greedy selection is recursive —
+    not SQL-expressible; q131 uses a replay fixture).
+
+    Returns a driver-side ``pa.Table`` ``(rank:int64, id, rel:int64,
+    score:int64)`` of the k selections in pick order.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    from .cohesion import _batch_mat, quantize_half_up
+
+    Qv = quantize_half_up(np.asarray(query, np.float64).reshape(1, -1),
+                          quant_bits)[0]
+    q_ref = ray.put(Qv)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Q_ = ray.get(q_ref)
+        batch = batch.filter(pc.is_valid(batch[vec_col]))
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "rel": pa.array([], pa.int64()),
+                          "vq": pa.array([], pa.list_(pa.int64()))})
+        if batch.num_rows == 0:
+            return empty
+        V, dims = _batch_mat(batch, vec_col, quant_bits)
+        if dims != len(Q_):
+            raise ValueError(f"query dims {len(Q_)} != corpus {dims}")
+        rel = V @ Q_
+        ids = (batch[id_col].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        order = np.lexsort((ids, -rel))[:pool_m]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "rel": pa.array(rel[order]),
+            "vq": pa.array(list(V[order]), pa.list_(pa.int64())),
+        })
+
+    pool_parts = ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    from .partition import materialized_block_refs
+
+    blocks = [b for b in ray.get(materialized_block_refs(pool_parts))
+              if b.num_rows > 0]
+    out_empty = pa.table({"rank": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "rel": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+    if not blocks:
+        return out_empty
+    pool = pa.concat_tables(blocks, promote_options="default")
+    ids = pool[id_col].to_numpy(zero_copy_only=False)
+    rel = pool["rel"].to_numpy(zero_copy_only=False)
+    V = np.stack([np.asarray(v, np.int64)
+                  for v in pool["vq"].to_pylist()])
+    order = np.lexsort((ids, -rel))[:pool_m]
+    ids, rel, V = ids[order], rel[order], V[order]
+    lam, lam_c = int(lambda_num), int(lambda_den) - int(lambda_num)
+    sims = V @ V.T  # exact int64 pool similarities (pool is tiny)
+    picked: list = []
+    maxsim = np.full(len(ids), np.iinfo(np.int64).min)
+    avail = np.ones(len(ids), bool)
+    for r in range(min(k, len(ids))):
+        if r == 0:
+            score = lam * rel
+        else:
+            score = lam * rel - lam_c * maxsim
+        # argmax among AVAILABLE items with (score desc, id asc)
+        # tie-break — never negate a sentinel (−INT64_MIN wraps)
+        cand = np.flatnonzero(avail)
+        best = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        picked.append((r, int(ids[best]), int(rel[best]),
+                       int(score[best])))
+        avail[best] = False
+        maxsim = np.maximum(maxsim, sims[:, best])
+    return pa.table({
+        "rank": pa.array([p[0] for p in picked], pa.int64()),
+        id_col: pa.array([p[1] for p in picked], pa.int64()),
+        "rel": pa.array([p[2] for p in picked], pa.int64()),
+        "score": pa.array([p[3] for p in picked], pa.int64()),
+    })

@@ -429,3 +429,69 @@ def test_threshold_similarity_join_duckdb_exact():
     # each query's self pair must be present (dot with itself is max)
     got_pairs = set(zip(got["query_id"], got["vec_id"]))
     assert all((int(i), int(i)) in got_pairs for i in q_idx)
+
+
+def _mmr_replay(vecs, ids, Q, k, pool_m, lam, lam_den, qb):
+    from featurebox_ray.stages.cohesion import quantize_half_up
+
+    V = quantize_half_up(np.asarray(vecs, np.float64), qb)
+    Qv = quantize_half_up(np.asarray(Q, np.float64).reshape(1, -1),
+                          qb)[0]
+    rel = V @ Qv
+    order = np.lexsort((ids, -rel))[:pool_m]
+    ids, rel, V = ids[order], rel[order], V[order]
+    sims = V @ V.T
+    lam_c = lam_den - lam
+    picked, avail = [], np.ones(len(ids), bool)
+    maxsim = np.full(len(ids), np.iinfo(np.int64).min)
+    for r in range(min(k, len(ids))):
+        score = lam * rel if r == 0 else lam * rel - lam_c * maxsim
+        cand = np.flatnonzero(avail)
+        best = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        picked.append((r, int(ids[best]), int(rel[best]),
+                       int(score[best])))
+        avail[best] = False
+        maxsim = np.maximum(maxsim, sims[:, best])
+    return picked
+
+
+def test_mmr_select_replay_and_diversity():
+    from featurebox_ray.stages.ann import mmr_select
+
+    rng = np.random.default_rng(89)
+    n, dims = 200, 12
+    # two tight clusters + noise: plain top-k would pick one cluster,
+    # MMR must mix
+    base = rng.random((n, dims), dtype=np.float64) * 0.1
+    base[:80] += np.array([1.0] + [0.0] * (dims - 1)) * 0.8
+    base[80:160] += np.array([0.7, 0.7] + [0.0] * (dims - 2)) * 0.8
+    ids = np.arange(n, dtype=np.int64)
+    Q = np.array([1.0, 0.6] + [0.0] * (dims - 2))
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([v.tolist() for v in base],
+                              pa.list_(pa.float32())),
+    })
+    # pool must be wide enough to contain BOTH clusters (the more
+    # relevant cluster alone fills a 32-pool)
+    want = _mmr_replay(base.astype(np.float32), ids, Q, k=8,
+                       pool_m=120, lam=5, lam_den=10, qb=8)
+    for parts in (1, 4, 9):
+        got = mmr_select(ray.data.from_arrow(t).repartition(parts), Q,
+                         k=8, pool_m=120, lambda_num=5, lambda_den=10,
+                         quant_bits=8)
+        rows = list(zip(got["rank"].to_pylist(),
+                        got["vec_id"].to_pylist(),
+                        got["rel"].to_pylist(),
+                        got["score"].to_pylist()))
+        assert rows == want, parts
+    # diversity: the MMR pick must span both clusters
+    pick_ids = [p[1] for p in want]
+    assert any(i < 80 for i in pick_ids)
+    assert any(80 <= i < 160 for i in pick_ids)
+    # lambda=den -> pure relevance = plain integer top-k
+    pure = mmr_select(ray.data.from_arrow(t), Q, k=8, pool_m=120,
+                      lambda_num=10, lambda_den=10, quant_bits=8)
+    rel_order = _mmr_replay(base.astype(np.float32), ids, Q, k=8,
+                            pool_m=120, lam=10, lam_den=10, qb=8)
+    assert pure["vec_id"].to_pylist() == [p[1] for p in rel_order]
