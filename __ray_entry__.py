@@ -437,7 +437,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q129_session_journeys": _session_journeys_q,
         "q130_time_weighted_avg": _time_weighted_avg_q,
         "q131_mmr_select": _mmr_select_q,
+        "q132_group_spearman": _group_spearman_q,
     }
+
+
+def _group_spearman_q(sf_dir: str):
+    """q132: per-event-type Spearman rank correlation between time of
+    day (epoch hour-of-day) and spend (cents) — tie-averaged ranks as
+    exact integers (the q122 2·min_rank + ties − 1 trick on BOTH
+    columns), vectorized rank stats, one keyed exchange
+    (stages/regress.py:group_spearman); rank()/count() window SQL
+    replay is bit-exact (never a float ranking)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import group_spearman
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks()
+        ts_i = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hod = pa.array((ts_i // 3_600_000_000) % 24, pa.int64(),
+                       mask=np.asarray(pc.is_null(ts)))
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        y = pa.array(cents, pa.int64(), mask=np.asarray(pc.is_null(v)))
+        return pa.table({"event_type": b["event_type"], "x": hod,
+                         "y": y})
+
+    return group_spearman(ev.map_batches(prep, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          key_col="event_type", x_col="x", y_col="y",
+                          num_partitions=8)
 
 
 def _mmr_select_q(sf_dir: str):
@@ -4591,6 +4627,43 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # spearman: integer tie-averaged ranks on both columns
+        "q132_group_spearman": """
+            WITH e AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000) % 24 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                    AND value IS NOT NULL
+            ),
+            r AS (SELECT event_type,
+                         2 * rank() OVER (PARTITION BY event_type
+                                          ORDER BY x)
+                           + count(*) OVER (PARTITION BY event_type, x)
+                           - 1 AS a,
+                         2 * rank() OVER (PARTITION BY event_type
+                                          ORDER BY y)
+                           + count(*) OVER (PARTITION BY event_type, y)
+                           - 1 AS b
+                  FROM e),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(a) AS HUGEINT) AS sa,
+                         CAST(sum(b) AS HUGEINT) AS sb,
+                         CAST(sum(a * b) AS HUGEINT) AS sab,
+                         CAST(sum(a * a) AS HUGEINT) AS saa,
+                         CAST(sum(b * b) AS HUGEINT) AS sbb
+                  FROM r GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * saa - sa * sa = 0
+                          OR n * sbb - sb * sb = 0 THEN NULL ELSE
+                     CAST(n * sab - sa * sb AS DOUBLE)
+                     / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                        * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                   END AS rho
+            FROM s
         """,
         # MMR: serial integer-greedy replay (recursive, not SQL)
         "q131_mmr_select": f"""

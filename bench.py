@@ -185,7 +185,7 @@ QUERY_NAMES = [
     "q121_retention", "q122_group_auc", "q123_lift_table",
     "q124_weighted_stats", "q126_cusum", "q127_semantic_decontam",
     "q128_session_cooccurrence", "q129_session_journeys",
-    "q130_time_weighted_avg",
+    "q130_time_weighted_avg", "q132_group_spearman",
 ]
 
 

@@ -452,3 +452,126 @@ def group_weighted_stats(ds, *, key_col: str, y_col: str, w_col: str):
 
     return partials.groupby(key_col).map_groups(
         finalize, batch_format="pyarrow")
+
+
+def group_spearman(ds, *, key_col: str, x_col: str, y_col: str,
+                   num_partitions: int = 16):
+    """Exact per-group Spearman rank correlation — Pearson over
+    tie-averaged ranks, with the ranks kept INTEGER (twice the
+    tie-averaged rank is ``2·min_rank + tie_count − 1``, the
+    :func:`group_auc` trick applied to both columns), so the sufficient
+    statistics are exact ints and
+
+        ρ = (n·Σab − Σa·Σb) / (√(n·Σa² − Σa²ᵗ) · √(n·Σb² − Σb²ᵗ))
+
+    is a fixed float64 op sequence that SQL replays bit-identically
+    with two ``rank()``/``count(*)`` windows and HUGEINT sums (NEVER a
+    float ranking, NEVER ``corr()``).
+
+    One keyed exchange (sorted by ``(key, x)`` — y-ranks need one
+    in-kernel lexsort); Python-int combine per group (no overflow at
+    any scale).  Rows with NULL key/x/y drop; groups with zero
+    variance on either side (all-tied) emit NULL.  Returns
+    ``(key_col, n:int64, rho:float64)``.
+    """
+    from .partition import partitioned_map
+
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        for c in (x_col, y_col):
+            if b.schema.field(c).type != pa.int64():
+                raise TypeError(f"{c} must be int64 (quantize first); "
+                                f"got {b.schema.field(c).type}")
+        mask = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[x_col])),
+                       pc.is_valid(b[y_col]))
+        if not pc.all(mask).as_py():
+            b = b.filter(mask)
+        return b.select([key_col, x_col, y_col])
+
+    empty = pa.table({key_col: pa.array([], ktype),
+                      "n": pa.array([], pa.int64()),
+                      "rho": pa.array([], pa.float64())})
+
+    def _two_r(codes: np.ndarray, v: np.ndarray,
+               g_first: np.ndarray, seg: np.ndarray) -> np.ndarray:
+        """Twice the tie-averaged within-group rank of v, for rows
+        already sorted by (group, v)."""
+        run_start = np.concatenate(
+            [[True], (codes[1:] != codes[:-1]) | (v[1:] != v[:-1])])
+        run_id = np.cumsum(run_start) - 1
+        run_first = np.flatnonzero(run_start)
+        run_len = np.diff(np.concatenate([run_first, [len(v)]]))
+        pos_in_grp = np.arange(len(v)) - g_first[seg]
+        min_rank = pos_in_grp[run_first] + 1
+        return (2 * min_rank + run_len - 1)[run_id]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import math
+
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        g_start = np.concatenate([[True], codes[1:] != codes[:-1]])
+        seg = np.cumsum(g_start) - 1
+        g_first = np.flatnonzero(g_start)
+        # x-ranks: rows arrive sorted by (key, x) from the exchange
+        a = _two_r(codes, x, g_first, seg)
+        # y-ranks: one lexsort into (key, y) order, rank, scatter back
+        oy = np.lexsort((y, codes))
+        b_sorted = _two_r(codes[oy], y[oy], g_first, seg)
+        b = np.empty(len(y), np.int64)
+        b[oy] = b_sorted
+        # vectorized int64 sufficient stats; 2r ≤ 2n so every cell is
+        # bounded by 4n³ — guarded so the math stays exact
+        npg = len(g_first)
+        n_arr = np.bincount(seg, minlength=npg).astype(np.int64)
+        nmax = int(n_arr.max())
+        if 4 * nmax ** 3 >= 2 ** 63:
+            raise ValueError(
+                f"a group of {nmax} rows overflows the int64 rank "
+                "sufficient statistics — pre-aggregate or salt")
+        sa = np.zeros(npg, np.int64)
+        sb = np.zeros(npg, np.int64)
+        sab = np.zeros(npg, np.int64)
+        saa = np.zeros(npg, np.int64)
+        sbb = np.zeros(npg, np.int64)
+        np.add.at(sa, seg, a)
+        np.add.at(sb, seg, b)
+        np.add.at(sab, seg, a * b)
+        np.add.at(saa, seg, a * a)
+        np.add.at(sbb, seg, b * b)
+        # d1/d2 exceed int64 at large n: compute in Python ints per
+        # group (group-COUNT loop, never per row)
+        rho = np.full(npg, np.nan)
+        ok = np.zeros(npg, bool)
+        for gi in range(npg):
+            n_, sa_, sb_ = int(n_arr[gi]), int(sa[gi]), int(sb[gi])
+            d1 = n_ * int(saa[gi]) - sa_ * sa_
+            d2 = n_ * int(sbb[gi]) - sb_ * sb_
+            if d1 and d2:
+                ok[gi] = True
+                rho[gi] = (float(n_ * int(sab[gi]) - sa_ * sb_)
+                           / (math.sqrt(float(d1))
+                              * math.sqrt(float(d2))))
+        return pa.table({
+            key_col: keys.take(pa.array(g_first, pa.int64())),
+            "n": pa.array(n_arr),
+            "rho": pa.array(np.where(ok, rho, 0.0), pa.float64(),
+                            mask=~ok),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, x_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -351,3 +351,68 @@ def test_group_weighted_stats_duckdb_and_replay():
     r2 = row[row["g"] == 2].iloc[0]
     assert abs(r2["wmean"] - np.mean(rep_y)) < 1e-9
     assert abs(r2["wvar"] - np.var(rep_y)) < 1e-6
+
+
+def test_group_spearman_duckdb_and_scipy_free_replay():
+    import duckdb
+
+    from featurebox_ray.stages.regress import group_spearman
+
+    rng = np.random.default_rng(97)
+    n = 400
+    t = pa.table({
+        "g": pa.array([None if i % 41 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(0, 5, n))], pa.int64()),
+        # small ranges -> heavy ties in both columns
+        "x": pa.array([None if i % 37 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(0, 15, n))], pa.int64()),
+        "y": pa.array([None if i % 43 == 0 else int(v) for i, v in
+                       enumerate(rng.integers(0, 10, n))], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        WITH e AS (SELECT g, x, y FROM t
+                   WHERE g IS NOT NULL AND x IS NOT NULL
+                     AND y IS NOT NULL),
+        r AS (SELECT g,
+                     2 * rank() OVER (PARTITION BY g ORDER BY x)
+                       + count(*) OVER (PARTITION BY g, x) - 1 AS a,
+                     2 * rank() OVER (PARTITION BY g ORDER BY y)
+                       + count(*) OVER (PARTITION BY g, y) - 1 AS b
+              FROM e),
+        s AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(a) AS HUGEINT) AS sa,
+                     CAST(sum(b) AS HUGEINT) AS sb,
+                     CAST(sum(a * b) AS HUGEINT) AS sab,
+                     CAST(sum(a * a) AS HUGEINT) AS saa,
+                     CAST(sum(b * b) AS HUGEINT) AS sbb
+              FROM r GROUP BY g)
+        SELECT g, CAST(n AS BIGINT) AS n,
+               CASE WHEN n * saa - sa * sa = 0
+                      OR n * sbb - sb * sb = 0 THEN NULL ELSE
+                 CAST(n * sab - sa * sb AS DOUBLE)
+                 / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+               END AS rho
+        FROM s ORDER BY g
+    """).fetch_arrow_table()
+    for parts, np_ in ((1, 2), (4, 3), (9, 7)):
+        got = (group_spearman(ray.data.from_arrow(t).repartition(parts),
+                              key_col="g", x_col="x", y_col="y",
+                              num_partitions=np_)
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        assert got["g"].tolist() == want["g"].to_pylist()
+        assert got["n"].tolist() == want["n"].to_pylist()
+        gv = [None if isinstance(v, float) and v != v else v
+              for v in got["rho"].tolist()]
+        assert gv == want["rho"].to_pylist(), (parts, np_)
+    # monotone-transform invariance: rho(x, x^3-ish order) == 1
+    mono = pa.table({
+        "g": pa.array([0] * 50, pa.int64()),
+        "x": pa.array(np.arange(50, dtype=np.int64)),
+        "y": pa.array((np.arange(50, dtype=np.int64) ** 3)),
+    })
+    got = group_spearman(ray.data.from_arrow(mono), key_col="g",
+                         x_col="x", y_col="y").to_pandas()
+    assert abs(got["rho"].iloc[0] - 1.0) < 1e-12
