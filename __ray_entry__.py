@@ -461,7 +461,12 @@ def _group_spearman_q(sf_dir: str):
     def prep(b: pa.Table) -> pa.Table:
         ts = b["ts"].combine_chunks()
         ts_i = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        hod = pa.array((ts_i // 3_600_000_000) % 24, pa.int64(),
+        # DuckDB // truncates toward zero and % keeps the sign; numpy
+        # floors — match explicitly so pre-epoch timestamps agree
+        h = np.where(ts_i >= 0, ts_i // 3_600_000_000,
+                     -((-ts_i) // 3_600_000_000))
+        hod_v = np.where(h >= 0, h % 24, -((-h) % 24))
+        hod = pa.array(hod_v, pa.int64(),
                        mask=np.asarray(pc.is_null(ts)))
         v = b["value"].combine_chunks()
         cents = np.round(np.nan_to_num(

@@ -179,6 +179,9 @@ def auto_join(left_ds, right_ds, *, on: str,
     """
     import pyarrow.compute as pc
 
+    # materialize once: the count probe would otherwise execute the
+    # right lineage and the chosen join path would re-execute it all
+    right_ds = right_ds.materialize()
     n_right = right_ds.count()
     if how in ("inner", "left") and n_right <= broadcast_threshold_rows:
         key = right_on or on

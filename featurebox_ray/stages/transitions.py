@@ -102,6 +102,49 @@ def event_transition_counts(ds, *, key_col: str, ts_col: str,
         finalize, batch_format="pyarrow")
 
 
+def _gap_native(ds, ts_col: str, gap_s: float) -> int:
+    """Session gap in the ts column's NATIVE unit (the shared rule of
+    session_cooccurrence / top_session_journeys — q06 semantics)."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    tt = base.field(ts_col).type
+    unit = tt.unit if pa.types.is_timestamp(tt) else "us"
+    return int(round(float(gap_s) * {"s": 1, "ms": 10**3,
+                                     "us": 10**6, "ns": 10**9}[unit]))
+
+
+def _session_prep(key_col: str, ts_col: str, carry_cols):
+    """Shared prep: drop NULL-ts rows, ts to int64, project."""
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        ts = b[ts_col].combine_chunks()
+        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
+                else ts)
+        cols = {key_col: b[key_col], "__ts": ts_i}
+        for c in carry_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+    return prep
+
+
+def _session_ids(t: pa.Table, key_col: str,
+                 gap_native: int) -> np.ndarray:
+    """Partition-global session ordinals for a partition sorted by
+    (key, ts): a session starts at each key boundary and whenever the
+    gap to the previous row exceeds ``gap_native`` (q06 rule; NULL
+    keys form one group)."""
+    keys = t[key_col].combine_chunks()
+    ts = t["__ts"].to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(keys)
+    codes = (pc.fill_null(enc.indices, -1)
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+    new_seg = np.concatenate([[True], codes[1:] != codes[:-1]])
+    gap = np.empty(len(ts), np.int64)
+    gap[0] = 0
+    gap[1:] = ts[1:] - ts[:-1]
+    return np.cumsum(new_seg | (gap > gap_native)) - 1
+
+
 def session_cooccurrence(ds, *, key_col: str, ts_col: str,
                          type_col: str, order_col: str,
                          gap_s: float = 1800.0,
@@ -129,22 +172,8 @@ def session_cooccurrence(ds, *, key_col: str, ts_col: str,
     """
     from .partition import partitioned_map
 
-    schema = ds.schema()
-    base = getattr(schema, "base_schema", schema)
-    tt = base.field(ts_col).type
-    unit = tt.unit if pa.types.is_timestamp(tt) else "us"
-    gap_native = int(round(float(gap_s) * {"s": 1, "ms": 10**3,
-                                           "us": 10**6,
-                                           "ns": 10**9}[unit]))
-
-    def prep(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b[ts_col]))
-        ts = b[ts_col].combine_chunks()
-        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
-                else ts)
-        return pa.table({key_col: b[key_col], "__ts": ts_i,
-                         type_col: b[type_col],
-                         order_col: b[order_col]})
+    gap_native = _gap_native(ds, ts_col, gap_s)
+    prep = _session_prep(key_col, ts_col, [type_col, order_col])
 
     pair_empty = pa.table({"type_a": pa.array([], pa.string()),
                            "type_b": pa.array([], pa.string()),
@@ -153,17 +182,7 @@ def session_cooccurrence(ds, *, key_col: str, ts_col: str,
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or key_col not in t.column_names:
             return pair_empty
-        keys = t[key_col].combine_chunks()
-        ts = t["__ts"].to_numpy(zero_copy_only=False)
-        enc = pc.dictionary_encode(keys)
-        codes = (pc.fill_null(enc.indices, -1)
-                 .to_numpy(zero_copy_only=False).astype(np.int64))
-        new_seg = np.concatenate([[True], codes[1:] != codes[:-1]])
-        gap = np.empty(len(ts), np.int64)
-        gap[0] = 0
-        gap[1:] = ts[1:] - ts[:-1]
-        new_sess = new_seg | (gap > gap_native)
-        sess = np.cumsum(new_sess) - 1  # partition-global session id
+        sess = _session_ids(t, key_col, gap_native)
         # distinct (session, bytewise-rank-of-type) pairs
         types = t[type_col].combine_chunks()
         typed = np.asarray(pc.is_valid(types))
@@ -207,21 +226,13 @@ def session_cooccurrence(ds, *, key_col: str, ts_col: str,
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "type_a" not in t.column_names:
             return pair_empty
-        joined = pc.binary_join_element_wise(
-            t["type_a"].combine_chunks().cast(pa.string()),
-            t["type_b"].combine_chunks().cast(pa.string()), "\x1f")
-        d = pc.dictionary_encode(joined)
-        idx = d.indices.to_numpy(zero_copy_only=False)
-        sums = np.zeros(len(d.dictionary), np.int64)
-        np.add.at(sums, idx, t["cnt"].to_numpy(zero_copy_only=False))
-        first = np.zeros(len(d.dictionary), np.int64)
-        first[idx] = np.arange(len(idx))
-        sel = pa.array(first, pa.int64())
-        return pa.table({
-            "type_a": t["type_a"].combine_chunks().take(sel),
-            "type_b": t["type_b"].combine_chunks().take(sel),
-            "cnt": pa.array(sums),
-        })
+        # two-column Arrow group_by: collision-free (a joined-string
+        # key would merge distinct pairs whose types contain the
+        # separator byte)
+        out = (t.group_by(["type_a", "type_b"])
+               .aggregate([("cnt", "sum")]))
+        return (out.drop_columns(["cnt_sum"])
+                .append_column("cnt", out["cnt_sum"].cast(pa.int64())))
 
     prepped = ds.map_batches(prep, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -257,22 +268,8 @@ def top_session_journeys(ds, *, key_col: str, ts_col: str,
     from .partition import partitioned_map
     from .tfidf import _exact_topk_exchange
 
-    schema = ds.schema()
-    base = getattr(schema, "base_schema", schema)
-    tt = base.field(ts_col).type
-    unit = tt.unit if pa.types.is_timestamp(tt) else "us"
-    gap_native = int(round(float(gap_s) * {"s": 1, "ms": 10**3,
-                                           "us": 10**6,
-                                           "ns": 10**9}[unit]))
-
-    def prep(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b[ts_col]))
-        ts = b[ts_col].combine_chunks()
-        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
-                else ts)
-        return pa.table({key_col: b[key_col], "__ts": ts_i,
-                         type_col: b[type_col],
-                         order_col: b[order_col]})
+    gap_native = _gap_native(ds, ts_col, gap_s)
+    prep = _session_prep(key_col, ts_col, [type_col, order_col])
 
     empty = pa.table({"term": pa.array([], pa.string()),
                       "cnt": pa.array([], pa.int64())})
@@ -280,16 +277,7 @@ def top_session_journeys(ds, *, key_col: str, ts_col: str,
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or key_col not in t.column_names:
             return empty
-        keys = t[key_col].combine_chunks()
-        ts = t["__ts"].to_numpy(zero_copy_only=False)
-        enc = pc.dictionary_encode(keys)
-        codes = (pc.fill_null(enc.indices, -1)
-                 .to_numpy(zero_copy_only=False).astype(np.int64))
-        new_seg = np.concatenate([[True], codes[1:] != codes[:-1]])
-        gap = np.empty(len(ts), np.int64)
-        gap[0] = 0
-        gap[1:] = ts[1:] - ts[:-1]
-        sess = np.cumsum(new_seg | (gap > gap_native)) - 1
+        sess = _session_ids(t, key_col, gap_native)
         types = t[type_col].combine_chunks()
         typed = np.asarray(pc.is_valid(types))
         if not typed.any():

@@ -616,6 +616,11 @@ def time_weighted_avg(ds, *, key_col: str, ts_col: str,
         })
 
     def prep(b: pa.Table) -> pa.Table:
+        if b.schema.field(int_value_col).type != pa.int64():
+            raise TypeError(
+                f"{int_value_col} must be int64 (quantize first) — the "
+                "exactness contract is integer arithmetic; got "
+                f"{b.schema.field(int_value_col).type}")
         return b.filter(pc.and_(pc.is_valid(b[ts_col]),
                                 pc.is_valid(b[int_value_col])))
 
