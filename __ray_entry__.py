@@ -438,7 +438,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q130_time_weighted_avg": _time_weighted_avg_q,
         "q131_mmr_select": _mmr_select_q,
         "q132_group_spearman": _group_spearman_q,
+        "q133_category_drift": _category_drift_q,
     }
+
+
+def _category_drift_q(sf_dir: str):
+    """q133: categorical distribution drift of document `source`
+    between the corpus and its next version (doc_id % 17 != 0, the
+    q120 retention rule) — one value-keyed exchange of per-block count
+    partials, tiny driver totals, exact counts + one IEEE division per
+    share (stages/diff.py:category_drift)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.diff import category_drift
+
+    old = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source"])
+    new = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source"])
+
+    import numpy as np
+    import pyarrow as pa
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 17 != 0))
+
+    new = new.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return category_drift(old, new, col="source", num_partitions=4)
 
 
 def _group_spearman_q(sf_dir: str):
@@ -4632,6 +4661,28 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # category drift: exact counts + one division per share
+        "q133_category_drift": """
+            WITH o AS (SELECT source FROM documents),
+            n AS (SELECT source FROM documents WHERE doc_id % 17 <> 0),
+            oc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_old
+                   FROM o GROUP BY source),
+            nc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_new
+                   FROM n GROUP BY source),
+            j AS (SELECT coalesce(oc.source, nc.source) AS source,
+                         coalesce(n_old, 0) AS n_old,
+                         coalesce(n_new, 0) AS n_new
+                  FROM oc FULL JOIN nc
+                    ON oc.source IS NOT DISTINCT FROM nc.source)
+            SELECT source, n_old, n_new,
+                   CAST(n_old AS DOUBLE)
+                     / (SELECT CAST(count(*) AS DOUBLE) FROM o)
+                       AS share_old,
+                   CAST(n_new AS DOUBLE)
+                     / (SELECT CAST(count(*) AS DOUBLE) FROM n)
+                       AS share_new
+            FROM j
         """,
         # spearman: integer tie-averaged ranks on both columns
         "q132_group_spearman": """

@@ -116,3 +116,116 @@ def snapshot_diff(old_ds, new_ds, *, id_col: str,
                            sort_keys=[id_col, "__side"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def category_drift(old_ds, new_ds, *, col: str,
+                   num_partitions: int = 8):
+    """Categorical distribution drift between two snapshots — per
+    distinct value of ``col``: old count, new count, and each side's
+    exact share (the monitoring table behind data-drift alerts; the
+    distribution complement of :func:`snapshot_diff`'s row-level
+    delta).
+
+    Both sides stream through per-block ``(value, side, partial
+    count)`` rows into ONE value-keyed exchange (the shuffle moves
+    O(blocks × categories) tiny rows); grand totals are a tiny driver
+    reduce over the already-materialized per-category counts.  Counts
+    are exact ints and each share is one IEEE division, so SQL replays
+    everything bit-exactly.
+
+    NULL category values form their own row (SQL ``GROUP BY``).
+    Returns ``(col, n_old:int64, n_new:int64, share_old:float64,
+    share_new:float64)`` — shares are NULL when that side is empty.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def partial(which: int):
+        def fn(b: pa.Table) -> pa.Table:
+            vals = b[col].combine_chunks().cast(pa.string())
+            enc = pc.dictionary_encode(vals)
+            idx = pc.fill_null(enc.indices, -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nulls = int((idx < 0).sum())
+            cnt = np.bincount(idx[idx >= 0],
+                              minlength=len(enc.dictionary)
+                              ).astype(np.int64)
+            out_vals = enc.dictionary.cast(pa.string())
+            out_cnt = cnt
+            if nulls:
+                out_vals = pa.concat_arrays(
+                    [out_vals, pa.array([None], pa.string())])
+                out_cnt = np.concatenate([cnt, [nulls]])
+            n = len(out_cnt)
+            return pa.table({
+                col: out_vals,
+                "side": pa.array(np.full(n, which, np.int8)),
+                "cnt": pa.array(out_cnt),
+            })
+        return fn
+
+    unioned = (old_ds.map_batches(partial(0), batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  batch_size=None)
+               .union(new_ds.map_batches(partial(1),
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         batch_size=None)))
+
+    def combine(t: pa.Table) -> pa.Table:
+        empty = pa.table({col: pa.array([], pa.string()),
+                          "n_old": pa.array([], pa.int64()),
+                          "n_new": pa.array([], pa.int64())})
+        if t.num_rows == 0 or col not in t.column_names:
+            return empty
+        vals = t[col].combine_chunks()
+        enc = pc.dictionary_encode(vals)
+        g = len(enc.dictionary)
+        # NULL category -> the extra slot g
+        idx = pc.fill_null(enc.indices, g).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        has_null = bool((idx == g).any())
+        width = g + (1 if has_null else 0)
+        sums = np.zeros((2, width), np.int64)
+        np.add.at(sums[0], idx[side == 0], cnt[side == 0])
+        np.add.at(sums[1], idx[side == 1], cnt[side == 1])
+        out_vals = enc.dictionary.cast(pa.string())
+        if has_null:
+            out_vals = pa.concat_arrays(
+                [out_vals, pa.array([None], pa.string())])
+        return pa.table({col: out_vals,
+                         "n_old": pa.array(sums[0]),
+                         "n_new": pa.array(sums[1])})
+
+    counted = partitioned_map(unioned, combine, key=col,
+                              sort_keys=[col],
+                              num_partitions=num_partitions,
+                              strategy="tasks")
+    refs = materialized_block_refs(counted)
+    blocks = [b for b in ray.get(refs) if b.num_rows > 0]
+    tot_old = sum(int(x) for b in blocks
+                  for x in b["n_old"].to_pylist())
+    tot_new = sum(int(x) for b in blocks
+                  for x in b["n_new"].to_pylist())
+
+    def shares(b: pa.Table) -> pa.Table:
+        no = b["n_old"].to_numpy(zero_copy_only=False)
+        nn = b["n_new"].to_numpy(zero_copy_only=False)
+        kw = {}
+        for name, arr, tot in (("share_old", no, tot_old),
+                               ("share_new", nn, tot_new)):
+            if tot:
+                kw[name] = pa.array(arr.astype(np.float64)
+                                    / float(tot))
+            else:
+                kw[name] = pa.nulls(b.num_rows, pa.float64())
+        out = b
+        for name in ("share_old", "share_new"):
+            out = out.append_column(name, kw[name])
+        return out
+
+    return ray.data.from_arrow_refs(refs).map_batches(
+        shares, batch_format="pyarrow", zero_copy_batch=True)

@@ -97,3 +97,49 @@ def test_snapshot_diff_identical_sides_empty():
     got = snapshot_diff(ray.data.from_arrow(t), ray.data.from_arrow(t),
                         id_col="doc_id", cmp_cols=["text"])
     assert got.count() == 0
+
+
+def test_category_drift_duckdb_fuzz():
+    from featurebox_ray.stages.diff import category_drift
+
+    rng = np.random.default_rng(101)
+    cats = np.array(["en", "de", "fr", "es"])
+    old = pa.table({"lang": pa.array(
+        [None if i % 19 == 0 else cats[v] for i, v in
+         enumerate(rng.integers(0, 4, 300))], pa.string())})
+    new = pa.table({"lang": pa.array(
+        [None if i % 23 == 0 else cats[v] for i, v in
+         enumerate(rng.integers(0, 3, 200))], pa.string())})  # no 'es'
+    con = duckdb.connect()
+    con.register("o", old)
+    con.register("n", new)
+    want = con.execute("""
+        WITH oc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_old
+                    FROM o GROUP BY lang),
+        nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_new
+               FROM n GROUP BY lang),
+        j AS (SELECT coalesce(oc.lang, nc.lang) AS lang,
+                     coalesce(n_old, 0) AS n_old,
+                     coalesce(n_new, 0) AS n_new
+              FROM oc FULL JOIN nc ON oc.lang IS NOT DISTINCT FROM
+                                      nc.lang)
+        SELECT lang, n_old, n_new,
+               CAST(n_old AS DOUBLE)
+                 / (SELECT CAST(count(*) AS DOUBLE) FROM o)
+                   AS share_old,
+               CAST(n_new AS DOUBLE)
+                 / (SELECT CAST(count(*) AS DOUBLE) FROM n)
+                   AS share_new
+        FROM j ORDER BY lang NULLS FIRST
+    """).fetch_arrow_table()
+    for po, pn, parts in ((1, 1, 2), (4, 3, 5)):
+        got = (category_drift(ray.data.from_arrow(old).repartition(po),
+                              ray.data.from_arrow(new).repartition(pn),
+                              col="lang", num_partitions=parts)
+               .to_pandas().sort_values("lang", na_position="first")
+               .reset_index(drop=True))
+        assert len(got) == want.num_rows
+        for c in ("n_old", "n_new", "share_old", "share_new"):
+            gv = [None if isinstance(v, float) and v != v else v
+                  for v in got[c].tolist()]
+            assert gv == want[c].to_pylist(), (c, po, pn, parts)
