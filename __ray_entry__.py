@@ -439,7 +439,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q131_mmr_select": _mmr_select_q,
         "q132_group_spearman": _group_spearman_q,
         "q133_category_drift": _category_drift_q,
+        "q134_incremental_neardup": _incremental_neardup_q,
     }
+
+
+def _incremental_neardup_q(sf_dir: str):
+    """q134: incremental near-dup — which NEW docs (odd doc_id) near-
+    duplicate the EXISTING corpus (even doc_id).  Same MinHash+LSH plan
+    and recall contract as q22, with the candidate-pair predicate
+    dropping same-side pairs BEFORE the verification exchange
+    (stages/dedup.py:incremental_neardup); the oracle is the q22
+    all-pairs exact-Jaccard restricted to cross-side pairs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.dedup import incremental_neardup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def even(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 2 == 0))
+
+    def odd(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 2 == 1))
+
+    old = docs.map_batches(even, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    new = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]
+                                ).map_batches(odd,
+                                              batch_format="pyarrow",
+                                              zero_copy_batch=True)
+    return incremental_neardup(old, new,
+                               side_fn=lambda a: a % 2 == 1,
+                               jaccard_threshold=0.8)
 
 
 def _category_drift_q(sf_dir: str):
@@ -4661,6 +4700,36 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # incremental near-dup: q22's all-pairs oracle, cross-side only
+        "q134_incremental_neardup": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] AS s
+              FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh
+                    GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+              FROM sh a JOIN sh b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT CAST(ia AS BIGINT) AS id_a,
+                   CAST(ib AS BIGINT) AS id_b,
+                   round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6)
+                       AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = ia
+            JOIN cnt cb ON cb.doc_id = ib
+            WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.8
+              AND (ia % 2) <> (ib % 2)
         """,
         # category drift: exact counts + one division per share
         "q133_category_drift": """

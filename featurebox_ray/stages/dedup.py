@@ -465,6 +465,7 @@ def minhash_lsh_dedup(
     bucket_cap: int = 2000,
     verify_cap: Optional[int] = None,
     round_nd: Optional[int] = 6,
+    pair_filter=None,
 ):
     """Near-duplicate pairs via MinHash+LSH, verified with EXACT shingle
     Jaccard.
@@ -577,6 +578,13 @@ def minhash_lsh_dedup(
     pairs = _bucketed_pair_search(
         exploded, id_col=id_col, pair_fn=pairs_in_bucket,
         empty_table=empty, bucket_cap=bucket_cap, cap_msg="minhash bucket")
+    if pair_filter is not None:
+        # candidate-pair predicate applied BEFORE the (expensive)
+        # verification exchange — e.g. incremental_neardup keeps only
+        # cross-corpus pairs so verification never touches
+        # within-corpus candidates
+        pairs = pairs.map_batches(pair_filter, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     return verify_jaccard_pairs(
         pairs, ds, text_col=text_col, id_col=id_col,
         shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
@@ -1298,3 +1306,38 @@ def _embedding_neardup_semijoin(ds, batch_signs, *, vec_col: str,
         payload_type=pa.list_(pa.float64()),
         pair_scorer=lambda va, vb: float(va @ vb),
         out_col="cosine", threshold=threshold, round_nd=round_nd)
+
+
+def incremental_neardup(old_ds, new_ds, *, text_col: str = "text",
+                        id_col: str = "doc_id", side_fn=None,
+                        **lsh_kwargs):
+    """Incremental near-duplicate detection — which NEW documents
+    near-duplicate the EXISTING corpus (the daily-ingest dedup shape:
+    yesterday's corpus is clean; only cross-corpus pairs matter).
+
+    Runs the standard MinHash+LSH plan (:func:`minhash_lsh_dedup`) over
+    the UNION of both sides, with a candidate-pair predicate that drops
+    same-side pairs BEFORE the verification exchange — verification
+    cost scales with cross pairs only, and within-corpus duplicates
+    (already handled in a previous run) never ship shingles.
+
+    ``side_fn(ids: np.ndarray) -> bool ndarray`` maps a document id to
+    its side (True = new); ids must be disjoint across sides (offset
+    upstream if needed).  Returns the verified cross pairs
+    ``(id_a, id_b, jaccard)`` with the same recall contract as
+    :func:`minhash_lsh_dedup`.
+    """
+    if side_fn is None:
+        raise ValueError("side_fn is required (ids must encode the "
+                         "side; offset new ids upstream if necessary)")
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        a = side_fn(t["id_a"].to_numpy(zero_copy_only=False))
+        b = side_fn(t["id_b"].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(a != b))
+
+    unioned = old_ds.union(new_ds)
+    return minhash_lsh_dedup(unioned, text_col=text_col, id_col=id_col,
+                             pair_filter=cross_only, **lsh_kwargs)

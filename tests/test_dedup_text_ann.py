@@ -495,3 +495,37 @@ def test_mmr_select_replay_and_diversity():
     rel_order = _mmr_replay(base.astype(np.float32), ids, Q, k=8,
                             pool_m=120, lam=10, lam_den=10, qb=8)
     assert pure["vec_id"].to_pylist() == [p[1] for p in rel_order]
+
+
+def test_incremental_neardup_cross_only():
+    import duckdb
+
+    from featurebox_ray.stages.dedup import (incremental_neardup,
+                                             minhash_lsh_dedup)
+
+    # reuse the planted-dup corpus: split by id parity; cross pairs =
+    # full self-join pairs restricted to odd-even
+    import pyarrow.parquet as pq
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+    old = docs.filter(pa.array(ids % 2 == 0))
+    new = docs.filter(pa.array(ids % 2 == 1))
+    got = (incremental_neardup(
+        ray.data.from_arrow(old).repartition(3),
+        ray.data.from_arrow(new).repartition(2),
+        side_fn=lambda a: a % 2 == 1, jaccard_threshold=0.8)
+        .to_pandas().sort_values(["id_a", "id_b"])
+        .reset_index(drop=True))
+    # every pair is cross-side
+    assert ((got["id_a"] % 2) != (got["id_b"] % 2)).all()
+    # equals the full self-join restricted to cross pairs
+    full = (minhash_lsh_dedup(
+        ray.data.from_arrow(docs).repartition(4),
+        jaccard_threshold=0.8).to_pandas())
+    want = (full[(full["id_a"] % 2) != (full["id_b"] % 2)]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert got["id_a"].tolist() == want["id_a"].tolist()
+    assert got["id_b"].tolist() == want["id_b"].tolist()
+    assert got["jaccard"].tolist() == want["jaccard"].tolist()
+    assert len(got) > 0  # the planted families straddle parities
