@@ -440,7 +440,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q132_group_spearman": _group_spearman_q,
         "q133_category_drift": _category_drift_q,
         "q134_incremental_neardup": _incremental_neardup_q,
+        "q135_drawdown": _drawdown_q,
     }
+
+
+def _drawdown_q(sf_dir: str):
+    """q135: per-user running maximum drawdown of net spend (cents,
+    signed by event type: purchases add, errors subtract) — the CUSUM
+    prefix trick with a running MAX (stages/window.py:add_drawdown);
+    int64-exact, two-window SQL replay."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.window import add_drawdown
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        sign = np.where(np.asarray(
+            pc.fill_null(pc.equal(b["event_type"], "error"), False)),
+            -1, 1)
+        vc = pa.array(cents * sign, pa.int64(),
+                      mask=np.asarray(pc.is_null(v)))
+        return (b.select(["event_id", "user_id", "ts"])
+                .append_column("net_c", vc))
+
+    out = add_drawdown(ev.map_batches(quant, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       key_col="user_id", ts_col="ts",
+                       int_value_col="net_c", order_col="event_id",
+                       num_partitions=8)
+    return out.select_columns(["event_id", "drawdown"])
 
 
 def _incremental_neardup_q(sf_dir: str):
@@ -4700,6 +4737,24 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # drawdown: running-max window, int64-exact
+        "q135_drawdown": """
+            SELECT event_id,
+                   CAST(GREATEST(0, max(P) OVER w2) - P AS BIGINT)
+                       AS drawdown
+            FROM (
+              SELECT event_id, user_id, ts,
+                     sum(coalesce(
+                       CAST(round(value * 100) AS BIGINT)
+                         * CASE WHEN event_type = 'error'
+                                THEN -1 ELSE 1 END, 0)) OVER w AS P
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)
         """,
         # incremental near-dup: q22's all-pairs oracle, cross-side only
         "q134_incremental_neardup": """

@@ -186,7 +186,7 @@ QUERY_NAMES = [
     "q124_weighted_stats", "q126_cusum", "q127_semantic_decontam",
     "q128_session_cooccurrence", "q129_session_journeys",
     "q130_time_weighted_avg", "q132_group_spearman",
-    "q133_category_drift", "q134_incremental_neardup",
+    "q133_category_drift", "q134_incremental_neardup", "q135_drawdown",
 ]
 
 

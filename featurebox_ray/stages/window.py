@@ -630,3 +630,48 @@ def time_weighted_avg(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, ts_col, order_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def add_drawdown(ds, *, key_col: str, ts_col: str, int_value_col: str,
+                 order_col: str, out_col: str = "drawdown",
+                 num_partitions: int = 16):
+    """Per-key running maximum drawdown of a cumulative series — the
+    peak-to-trough monitoring twin of :func:`add_cusum`: with
+    ``P_t = Σ_{j≤t} v_j`` (the running total), ``drawdown_t =
+    max(0, max_{j≤t} P_j) − P_t`` measures how far the series has
+    fallen from its best point so far (0 at fresh highs; the virtual
+    ``P₋₁ = 0`` start counts as a peak, mirroring CUSUM's floor).
+
+    Same collapse as CUSUM: one segment-masked cumsum + one grouped
+    running MAX, int64-exact end to end; SQL replays it with::
+
+        P = sum(coalesce(v,0)) OVER (PARTITION BY key
+                ORDER BY ts, o ROWS UNBOUNDED PRECEDING)
+        drawdown = GREATEST(0, max(P) OVER (same)) − P
+
+    NULL keys one group; NULL values contribute 0.
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        codes, _ = _key_codes_dic(t[key_col])
+        v = pc.fill_null(
+            t[int_value_col].combine_chunks().cast(pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        seg_start, row_in_seg, _ = seg.segment_ids(codes)
+        cs = np.cumsum(v)
+        base = np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)],
+                        0)
+        p = cs - base
+        import pandas as pd
+
+        g = np.cumsum(row_in_seg == 0) - 1
+        run_max = pd.Series(p).groupby(g).cummax().to_numpy()
+        dd = np.maximum(0, run_max) - p
+        return t.append_column(out_col, pa.array(dd, pa.int64()))
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

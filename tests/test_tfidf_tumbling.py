@@ -668,3 +668,63 @@ def test_time_weighted_avg_duckdb_and_replay():
                             ts_col="ts", int_value_col="v",
                             order_col="event_id").to_pandas()
     assert got.iloc[0]["twa"] == (10 * 3 + 20 * 1) / 4.0
+
+
+def test_drawdown_duckdb_and_recurrence():
+    import duckdb
+
+    from featurebox_ray.stages.window import add_drawdown
+
+    rng = np.random.default_rng(103)
+    n = 300
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array([None if i % 41 == 0 else int(v) for i, v in
+                             enumerate(rng.integers(0, 8, n))],
+                            pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "v": pa.array([None if i % 37 == 0 else int(x) for i, x in
+                       enumerate(rng.integers(-30, 35, n))], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT event_id,
+               CAST(GREATEST(0, max(P) OVER w2) - P AS BIGINT)
+                   AS drawdown
+        FROM (
+          SELECT event_id, user_id, ts,
+                 sum(coalesce(v, 0)) OVER w AS P
+          FROM t
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+        ORDER BY event_id
+    """).fetch_arrow_table()
+    for parts, np_ in ((1, 2), (5, 3), (9, 7)):
+        got = (add_drawdown(ray.data.from_arrow(t).repartition(parts),
+                            key_col="user_id", ts_col="ts",
+                            int_value_col="v", order_col="event_id",
+                            num_partitions=np_)
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        assert got["drawdown"].tolist() == want["drawdown"].to_pylist()
+    # direct recurrence: dd = max(peak, 0) - P with peak = running max
+    rows = sorted(
+        ((u if u is not None else -1, s, i, 0 if x is None else x)
+         for u, s, i, x in zip(t["user_id"].to_pylist(),
+                               t["ts"].to_pylist(),
+                               t["event_id"].to_pylist(),
+                               t["v"].to_pylist())))
+    tot, peak, expect = {}, {}, {}
+    for u, s, i, x in rows:
+        tot[u] = tot.get(u, 0) + x
+        peak[u] = max(peak.get(u, 0), tot[u])
+        expect[i] = max(peak[u], 0) - tot[u]
+    got = (add_drawdown(ray.data.from_arrow(t), key_col="user_id",
+                        ts_col="ts", int_value_col="v",
+                        order_col="event_id").to_pandas())
+    for _, r in got.iterrows():
+        assert r["drawdown"] == expect[r["event_id"]]
