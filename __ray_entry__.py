@@ -441,7 +441,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q133_category_drift": _category_drift_q,
         "q134_incremental_neardup": _incremental_neardup_q,
         "q135_drawdown": _drawdown_q,
+        "q136_target_encode": _target_encode_q,
     }
+
+
+def _target_encode_q(sf_dir: str):
+    """q136: leakage-safe K-fold target encoding of supplier id by
+    line price (cents) — per-block (cat, fold) int64 partials, ONE
+    category-keyed exchange, fold = knuth_hash(l_orderkey) % 5
+    (stages/encode.py:oof_target_encode); HUGEINT SQL replay is
+    bit-exact (double(int)/double(int)).  Reference analog: sklearn
+    cross_val fold exclusion (selection/quickmethod.py:310) as a
+    feature stage."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.encode import oof_target_encode
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey",
+                                        "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["l_extendedprice"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        t = pa.array(cents, pa.int64(), mask=np.asarray(pc.is_null(v)))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "t": t})
+
+    return oof_target_encode(
+        li.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        cat_col="l_suppkey", fold_key_col="l_orderkey",
+        target_col="t", n_folds=5)
 
 
 def _drawdown_q(sf_dir: str):
@@ -4737,6 +4772,32 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # OOF target encoding: HUGEINT cell sums, one exact division
+        "q136_target_encode": """
+            WITH f AS (
+              SELECT l_suppkey,
+                     CAST(((CAST(l_orderkey AS HUGEINT) % 4294967296)
+                           * 2654435761) % 4294967296 % 5
+                          AS BIGINT) AS fold,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS t
+              FROM lineitem
+              WHERE l_suppkey IS NOT NULL AND l_orderkey IS NOT NULL
+                    AND l_extendedprice IS NOT NULL
+            ),
+            agg AS (SELECT l_suppkey, fold,
+                           CAST(count(*) AS HUGEINT) AS c,
+                           CAST(sum(t) AS HUGEINT) AS s
+                    FROM f GROUP BY 1, 2),
+            tot AS (SELECT l_suppkey, sum(c) AS tc, sum(s) AS ts
+                    FROM agg GROUP BY 1)
+            SELECT a.l_suppkey, a.fold,
+                   CAST(t.tc - a.c AS BIGINT) AS n_excl,
+                   CASE WHEN t.tc = a.c THEN NULL
+                        ELSE CAST(t.ts - a.s AS DOUBLE)
+                             / CAST(t.tc - a.c AS DOUBLE)
+                   END AS enc
+            FROM agg a JOIN tot t USING (l_suppkey)
         """,
         # drawdown: running-max window, int64-exact
         "q135_drawdown": """

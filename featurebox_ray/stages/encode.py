@@ -1,0 +1,124 @@
+"""Leakage-safe (out-of-fold) target encoding — the distributed analog
+of the classic K-fold mean-target encoder used to turn a categorical
+column into a numeric feature without contaminating each row with its
+own target.
+
+For every (category, fold) cell the encoding is the target mean over
+all OTHER folds of the same category:
+
+    enc(cat, f) = (S_cat − s_{cat,f}) / (C_cat − c_{cat,f})
+
+Scale shape: each block reduces to one ``(cat, fold, c, s)`` int64
+partial row per cell present (``np.add.at`` over a dense
+``code·K + fold`` index — same shape as ``regress.group_linfit``); ONE
+category-keyed exchange moves O(blocks × cells) partial rows, never
+data; the combine accumulates Python ints (unbounded, exact) and emits
+one row per PRESENT cell.  Applying the encoding to rows is then a
+broadcast lookup (``stages/lookup.py`` / ``join.broadcast_join``) — the
+encoder table is tiny (|categories| × K).
+
+Exactness contract: the target must be a pre-quantized int64 column
+(cents / days — the q01/q98 money pattern); the fold is the engine's
+ONE key hash (``sample.knuth_hash`` mod K) so DuckDB replays it in
+HUGEINT; the encoding is then ``double(int) / double(int)`` — two
+conversions + one division, bit-exact in SQL as
+``CAST(S−s AS DOUBLE) / CAST(C−c AS DOUBLE)``.
+
+Categories entirely inside one fold (C == c) emit NULL (SQL ``CASE
+WHEN``); rows with NULL category / fold key / target are dropped.
+
+Reference analog: the reference's selection drivers score folds via
+sklearn ``cross_val_score`` (selection/quickmethod.py:310 dispatch);
+this re-expresses the fold-exclusion sufficient-statistics trick as a
+distributed aggregate usable as a feature stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from featurebox_ray.stages.sample import knuth_hash
+
+
+def oof_target_encode(ds, *, cat_col: str, fold_key_col: str,
+                      target_col: str, n_folds: int = 5):
+    """Out-of-fold target-encoding table.
+
+    ``target_col`` must be int64 (quantize first); ``fold_key_col`` a
+    non-negative integer id (fold = knuth_hash(id) % n_folds).  Returns
+    one row per present (category, fold) cell:
+    ``(cat_col, fold:int64, n_excl:int64, enc:float64)``.
+    """
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.schema.field(target_col).type != pa.int64():
+            raise TypeError(
+                f"{target_col} must be int64 (quantize first); got "
+                f"{batch.schema.field(target_col).type}")
+        mask = pc.and_(pc.and_(pc.is_valid(batch[cat_col]),
+                               pc.is_valid(batch[fold_key_col])),
+                       pc.is_valid(batch[target_col]))
+        if not pc.all(mask).as_py():
+            batch = batch.filter(mask)
+        ktype = batch.schema.field(cat_col).type
+        if batch.num_rows == 0:
+            return pa.table({cat_col: pa.array([], ktype),
+                             "fold": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        gd = pc.dictionary_encode(batch[cat_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch[fold_key_col].to_numpy(zero_copy_only=False)
+        fold = (knuth_hash(key, op="oof_target_encode")
+                % np.uint64(n_folds)).astype(np.int64)
+        t = batch[target_col].to_numpy(zero_copy_only=False)
+        g = len(gd.dictionary)
+        idx = codes * n_folds + fold
+        c = np.zeros(g * n_folds, np.int64)
+        s = np.zeros(g * n_folds, np.int64)
+        np.add.at(c, idx, 1)
+        np.add.at(s, idx, t)
+        present = np.flatnonzero(c)
+        return pa.table({
+            cat_col: gd.dictionary.take(pa.array(present // n_folds)),
+            "fold": pa.array(present % n_folds, pa.int64()),
+            "c": pa.array(c[present]),
+            "s": pa.array(s[present]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        folds = t["fold"].to_numpy(zero_copy_only=False)
+        cs = t["c"].to_pylist()
+        ss = t["s"].to_pylist()
+        # Python-int cell sums (exact, unbounded)
+        cell_c: dict[int, int] = {}
+        cell_s: dict[int, int] = {}
+        for f, ci, si in zip(folds.tolist(), cs, ss):
+            cell_c[f] = cell_c.get(f, 0) + ci
+            cell_s[f] = cell_s.get(f, 0) + si
+        tot_c = sum(cell_c.values())
+        tot_s = sum(cell_s.values())
+        out_f = sorted(cell_c)
+        enc = [None if tot_c == cell_c[f]
+               else float(tot_s - cell_s[f]) / float(tot_c - cell_c[f])
+               for f in out_f]
+        k = len(out_f)
+        return pa.table({
+            cat_col: pa.array([t[cat_col][0].as_py()] * k,
+                              t.schema.field(cat_col).type),
+            "fold": pa.array(out_f, pa.int64()),
+            "n_excl": pa.array([tot_c - cell_c[f] for f in out_f],
+                               pa.int64()),
+            "enc": pa.array(enc, pa.float64()),
+        })
+
+    # the exchange moves O(blocks × categories × folds) partial rows
+    return partials.groupby(cat_col).map_groups(
+        finalize, batch_format="pyarrow")
