@@ -442,7 +442,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q134_incremental_neardup": _incremental_neardup_q,
         "q135_drawdown": _drawdown_q,
         "q136_target_encode": _target_encode_q,
+        "q137_snm_neardup": _snm_neardup_q,
     }
+
+
+def _snm_neardup_q(sf_dir: str):
+    """q137: sorted-neighborhood near-dup — length-ordered global rank
+    (rank.global_row_number), rank-band bucket exchange, exact
+    distinct-token Jaccard within a 10-wide window (stages/snm.py);
+    integer cross-multiply threshold, DuckDB window + self-join replay
+    is bit-exact."""
+    import ray
+
+    from featurebox_ray.stages.snm import snm_neardup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "n_chars"])
+    return snm_neardup(docs, id_col="doc_id", text_col="text",
+                       sort_cols=["n_chars"], window=10, tau100=60)
 
 
 def _target_encode_q(sf_dir: str):
@@ -4772,6 +4789,37 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # SNM near-dup: rank window + exact token-set Jaccard
+        "q137_snm_neardup": """
+            WITH r AS (
+              SELECT doc_id, text,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+              FROM documents
+              WHERE len(regexp_extract_all(text, '\\S+')) > 0
+            ),
+            p AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 10
+            ),
+            tk AS (
+              SELECT DISTINCT doc_id, u.t
+              FROM documents,
+                   LATERAL unnest(regexp_extract_all(text, '\\S+')) u(t)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+            i AS (
+              SELECT p.ia, p.ib, count(*) AS ni
+              FROM p JOIN tk a ON a.doc_id = p.ia
+                     JOIN tk b ON b.doc_id = p.ib AND b.t = a.t
+              GROUP BY 1, 2
+            )
+            SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+                   CAST(ni AS DOUBLE)
+                     / CAST(ca.n + cb.n - ni AS DOUBLE) AS jaccard
+            FROM i JOIN cnt ca ON ca.doc_id = ia
+                   JOIN cnt cb ON cb.doc_id = ib
+            WHERE 100 * ni >= 60 * (ca.n + cb.n - ni)
         """,
         # OOF target encoding: HUGEINT cell sums, one exact division
         "q136_target_encode": """
