@@ -443,7 +443,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q135_drawdown": _drawdown_q,
         "q136_target_encode": _target_encode_q,
         "q137_snm_neardup": _snm_neardup_q,
+        "q138_group_gini": _group_gini_q,
     }
+
+
+def _group_gini_q(sf_dir: str):
+    """q138: per-user Gini diversity of the event-type mix —
+    distinct-tuple count partials, ONE user-keyed exchange, reduceat
+    kernel (stages/profile.py:group_gini); the rational-arithmetic
+    stand-in for entropy, HUGEINT SQL replay bit-exact."""
+    import ray
+
+    from featurebox_ray.stages.profile import group_gini
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return group_gini(ev, group_col="user_id", value_col="event_type")
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -4789,6 +4804,22 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW)
                         AS BIGINT) AS running_c
             FROM orders
+        """,
+        # Gini diversity: HUGEINT count sums, one exact division
+        "q138_group_gini": """
+            WITH c AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT user_id, CAST(sum(c) AS HUGEINT) AS n,
+                     CAST(sum(c * c) AS HUGEINT) AS s2
+              FROM c GROUP BY 1
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   CAST(n * n - s2 AS DOUBLE)
+                     / CAST(n * n AS DOUBLE) AS gini
+            FROM g
         """,
         # SNM near-dup: rank window + exact token-set Jaccard
         "q137_snm_neardup": """

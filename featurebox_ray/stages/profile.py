@@ -183,3 +183,76 @@ def group_count_distinct(ds, *, group_cols: Sequence[str],
                            sort_keys=list(group_cols),
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def group_gini(ds, *, group_col: str, value_col: str,
+               num_partitions: int = 8):
+    """Per-group Gini diversity of a categorical column —
+    ``1 − Σ_v (c_v/n)²`` — the integer-exact concentration/diversity
+    profile (how varied is each user's event mix), the rational-number
+    stand-in for Shannon entropy (whose ``log`` has no bit-exact SQL
+    replay; Gini is pure integer arithmetic + ONE division).
+
+    Same exchange shape as :func:`group_count_distinct`: each block
+    collapses to ``(group, value, c)`` count partials (the shuffle moves
+    distinct tuples, never rows), ONE group-keyed exchange, and a
+    vectorized kernel merges partials and computes per-group
+    ``n = Σc`` and ``s2 = Σc²`` with ``np.add.reduceat`` over the
+    sorted runs.
+
+    Exactness contract: ``gini = double(n² − s2) / double(n²)`` — two
+    conversions + one division from exact ints; DuckDB replays with
+    HUGEINT sums.  Groups with ``n ≥ 3 037 000 499`` (n² would exceed
+    int64) raise — at that skew, shard the hot group first (salting,
+    ``stages/salt.py``).  NULL values form one category and NULL group
+    keys one group (SQL ``GROUP BY`` semantics).
+
+    Returns ``(group_col, n:int64, gini:float64)``.
+    """
+    from .partition import partitioned_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = (b.select([group_col, value_col])
+               .group_by([group_col, value_col])
+               .aggregate([([], "count_all")]))
+        return out.rename_columns([group_col, value_col, "c"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "n": pa.array([], pa.int64()),
+                             "gini": pa.array([], pa.float64())})
+        m = (t.group_by([group_col, value_col])
+             .aggregate([("c", "sum")]))
+        m = m.sort_by([(group_col, "ascending")])
+        c = m["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = m[group_col]
+        # run starts of the sorted group column (null-safe equality)
+        eq = pc.equal(g.slice(1), g.slice(0, len(g) - 1))
+        same = np.asarray(pc.fill_null(eq, False))
+        if len(g) > 1:
+            both_null = (np.asarray(pc.is_null(g.slice(1)))
+                         & np.asarray(pc.is_null(g.slice(0, len(g) - 1))))
+            same |= both_null
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+        n = np.add.reduceat(c, starts)
+        if n.size and int(n.max()) >= 3_037_000_499:
+            raise OverflowError(
+                "group_gini: a group exceeds 3.03e9 rows; n**2 would "
+                "overflow int64 — salt the hot group first")
+        s2 = np.add.reduceat(c * c, starts)
+        nn = n * n
+        gini = (nn - s2).astype(np.float64) / nn.astype(np.float64)
+        return pa.table({
+            group_col: g.take(pa.array(starts)),
+            "n": pa.array(n, pa.int64()),
+            "gini": pa.array(gini, pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return partitioned_map(partials, kernel, key=group_col,
+                           sort_keys=[group_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
