@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q136_target_encode": _target_encode_q,
         "q137_snm_neardup": _snm_neardup_q,
         "q138_group_gini": _group_gini_q,
+        "q139_line_dedup": _line_dedup_q,
     }
 
 
@@ -459,6 +460,37 @@ def _group_gini_q(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type"])
     return group_gini(ev, group_col="user_id", value_col="event_type")
+
+
+def _line_dedup_q(sf_dir: str):
+    """q139: corpus line-level boilerplate removal (the CCNet/Dolma
+    paragraph-dedup recipe, stages/lines.py): documents split into
+    lines (here: a 5-word RE2 rewrite inserts the separators — Arrow
+    and DuckDB are both RE2, so the derived corpus is identical), lines
+    occurring in >= 2 distinct docs dropped, docs reassembled in order
+    with one vectorized binary_join pass per partition.  Two keyed
+    exchanges (line-keyed distinct-doc count, doc-keyed render), corpus
+    scanned once."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.lines import remove_duplicate_lines
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        lt = pc.replace_substring_regex(
+            b["text"].combine_chunks(),
+            pattern=r"((?:\S+ ){4}\S+) ", replacement="\\1\n")
+        return pa.table({"doc_id": b["doc_id"], "text": lt})
+
+    lined = docs.map_batches(to_lines, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return remove_duplicate_lines(lined, id_col="doc_id",
+                                  text_col="text", min_docs=2,
+                                  num_partitions=16)
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -4806,6 +4838,35 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # line-level boilerplate removal: identical RE2 line derivation,
+        # count(DISTINCT doc) per line, ordered string_agg reassembly
+        "q139_line_dedup": r"""
+            WITH lined AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                    '\1' || chr(10), 'g') AS lt
+              FROM documents WHERE text IS NOT NULL
+            ), sp AS (
+              SELECT doc_id, string_split(lt, chr(10)) AS ls FROM lined
+            ), parts AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) AS pos
+              FROM sp
+            ), freq AS (
+              SELECT line, count(DISTINCT doc_id) AS dc
+              FROM parts GROUP BY line
+            ), kept AS (
+              SELECT p.doc_id, p.pos, p.line
+              FROM parts p JOIN freq f USING (line) WHERE f.dc < 2
+            )
+            SELECT s.doc_id,
+                   string_agg(k.line, chr(10) ORDER BY k.pos)
+                     AS clean_text,
+                   CAST(len(s.ls) AS BIGINT) AS n_lines,
+                   CAST(count(k.line) AS BIGINT) AS n_kept
+            FROM sp s LEFT JOIN kept k USING (doc_id)
+            GROUP BY s.doc_id, s.ls
+        """,
         "q138_group_gini": """
             WITH c AS (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
