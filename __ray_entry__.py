@@ -445,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q137_snm_neardup": _snm_neardup_q,
         "q138_group_gini": _group_gini_q,
         "q139_line_dedup": _line_dedup_q,
+        "q140_forward_fill": _forward_fill_q,
+        "q141_rolling_distinct": _rolling_distinct_q,
     }
 
 
@@ -491,6 +493,73 @@ def _line_dedup_q(sf_dir: str):
     return remove_duplicate_lines(lined, id_col="doc_id",
                                   text_col="text", min_docs=2,
                                   num_partitions=16)
+
+
+def _forward_fill_q(sf_dir: str):
+    """q140: per-user forward fill (LOCF imputation,
+    stages/window.py:add_forward_fill) — a numeric and a string signal
+    are deterministically gapped (value NULL on clicks, props NULL on
+    views), then each NULL takes the latest preceding non-NULL of its
+    user under (ts, event_id) order: one keyed exchange, one
+    maximum.accumulate over last-valid indices per column, a single
+    take per column (values pass through untouched, so the SQL
+    last_value IGNORE NULLS replay is bit-exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.window import add_forward_fill
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"])
+
+    def mask(b: pa.Table) -> pa.Table:
+        et = b["event_type"].combine_chunks()
+        n = b.num_rows
+        return pa.table({
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "user_id": b["user_id"],
+            "v_gap": pc.if_else(pc.equal(et, "click"),
+                                pa.nulls(n, pa.float64()),
+                                b["value"].combine_chunks()),
+            "p_gap": pc.if_else(pc.equal(et, "view"),
+                                pa.nulls(n, pa.string()),
+                                b["props"].combine_chunks()),
+        })
+
+    masked = ev.map_batches(mask, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = add_forward_fill(masked, key_col="user_id", ts_col="ts",
+                           order_col="event_id",
+                           value_cols=["v_gap", "p_gap"],
+                           num_partitions=16)
+    return out.select_columns(
+        ["event_id", "user_id", "v_gap_ffill", "p_gap_ffill"])
+
+
+def _rolling_distinct_q(sf_dir: str):
+    """q141: trailing distinct event types per user
+    (stages/window.py:add_rolling_distinct) — behavioral-diversity
+    feature.  O(n) per partition via the next-occurrence interval
+    trick (one lexsort + one difference-array cumsum serves every
+    row), never O(n·window); exact int64, SQL count(DISTINCT) OVER
+    replay."""
+    import ray
+
+    from featurebox_ray.stages.window import add_rolling_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    out = add_rolling_distinct(ev, key_col="user_id", ts_col="ts",
+                               order_col="event_id",
+                               value_col="event_type", window=7,
+                               num_partitions=16)
+    return out.select_columns(["event_id", "user_id",
+                               "rolling_distinct"])
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -4838,6 +4907,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # trailing distinct count: exact ints, DISTINCT window replay
+        "q141_rolling_distinct": """
+            SELECT event_id, user_id,
+                   CAST(count(DISTINCT event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS rolling_distinct
+            FROM events
+        """,
+        # LOCF forward fill: values pass through untouched, so the
+        # window replay is bit-exact for doubles and strings alike
+        "q140_forward_fill": """
+            WITH m AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_type = 'click' THEN NULL
+                          ELSE value END AS v_gap,
+                     CASE WHEN event_type = 'view' THEN NULL
+                          ELSE props END AS p_gap
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   last_value(v_gap IGNORE NULLS) OVER w AS v_gap_ffill,
+                   last_value(p_gap IGNORE NULLS) OVER w AS p_gap_ffill
+            FROM m
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        """,
         # line-level boilerplate removal: identical RE2 line derivation,
         # count(DISTINCT doc) per line, ordered string_agg reassembly
         "q139_line_dedup": r"""

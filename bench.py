@@ -188,7 +188,7 @@ QUERY_NAMES = [
     "q130_time_weighted_avg", "q132_group_spearman",
     "q133_category_drift", "q134_incremental_neardup", "q135_drawdown",
     "q136_target_encode", "q137_snm_neardup", "q138_group_gini",
-    "q139_line_dedup",
+    "q139_line_dedup", "q140_forward_fill", "q141_rolling_distinct",
 ]
 
 

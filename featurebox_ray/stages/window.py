@@ -391,6 +391,110 @@ def add_running_totals(ds, *, key_col: str, ts_col: str,
                            strategy="tasks")
 
 
+def add_forward_fill(ds, *, key_col: str, ts_col: str, order_col: str,
+                     value_cols: Sequence[str],
+                     suffix: str = "_ffill", num_partitions: int = 16):
+    """Per-key forward fill (LOCF imputation) — SQL
+    ``last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY ts, o
+    ROWS UNBOUNDED PRECEDING)``: each NULL takes the latest preceding
+    non-NULL value of its key; rows before the first valid value stay
+    NULL.  The slowly-changing-signal imputer next to the as-of join
+    (same cursor semantics, but within one table).
+
+    One keyed exchange; per sorted partition ONE ``maximum.accumulate``
+    over last-valid row indices per column, reset at key boundaries by
+    comparing against the row's segment start (pure vector math — no
+    scan state, no per-row Python).  Values are gathered with a single
+    ``take``, so any Arrow type forward-fills exactly (ints stay ints,
+    strings move as offsets); NULL keys form ONE group like SQL
+    ``PARTITION BY``.
+    """
+    value_cols = list(value_cols)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            for c in value_cols:
+                typ = (t.schema.field(c).type
+                       if c in t.column_names else pa.float64())
+                t = t.append_column(c + suffix, pa.array([], typ))
+            return t
+        codes, _ = _key_codes_dic(t[key_col])
+        seg_start, _, _ = seg.segment_ids(codes)
+        n = len(codes)
+        pos = np.arange(n, dtype=np.int64)
+        for c in value_cols:
+            col = t[c].combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            carrier = np.where(valid, pos, np.int64(-1))
+            last_valid = np.maximum.accumulate(carrier)
+            # a carried index from BEFORE this key's segment is void
+            has = last_valid >= seg_start
+            filled = col.take(pa.array(
+                np.where(has, last_valid, 0), pa.int64()))
+            filled = pc.if_else(pa.array(has), filled,
+                                pa.nulls(n, col.type))
+            t = t.append_column(c + suffix, filled)
+        return t
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+
+def add_rolling_distinct(ds, *, key_col: str, ts_col: str,
+                         order_col: str, value_col: str, window: int,
+                         out_col: str = "rolling_distinct",
+                         num_partitions: int = 16):
+    """Per-key trailing distinct count — SQL ``count(DISTINCT v) OVER
+    (PARTITION BY k ORDER BY ts, o ROWS window-1 PRECEDING)``: how many
+    distinct values appeared in the last ``window`` rows of this key
+    (distinct tools per recent turns, distinct pages per recent clicks).
+
+    O(n) per partition, NOT O(n·window): a row j's value is the
+    window-representative exactly for windows ending at
+    ``i in [j, min(next_occurrence(j)-1, j+window-1, segment_end)]``
+    (it counts while no LATER copy has entered), so each row contributes
+    one interval to a difference array and the per-row distinct counts
+    are one cumsum.  ``next_occurrence`` comes from a single lexsort by
+    (key, value, position).  NULL values never count (SQL COUNT
+    semantics); NULL keys form ONE group.  Exact int64.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        codes, _ = _key_codes_dic(t[key_col])
+        seg_start, _, is_start = seg.segment_ids(codes)
+        n = len(codes)
+        run_id = np.cumsum(is_start) - 1
+        starts = np.flatnonzero(is_start)
+        seg_end = np.append(starts[1:] - 1, n - 1)[run_id]
+        col = t[value_col].combine_chunks()
+        vcodes, _ = _key_codes_dic(col)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        # next occurrence of (key, value) after each row, else n
+        order = np.lexsort((pos, vcodes, codes))
+        nxt = np.full(n, n, dtype=np.int64)
+        same = (codes[order[1:]] == codes[order[:-1]]) & (
+            vcodes[order[1:]] == vcodes[order[:-1]])
+        nxt[order[:-1][same]] = order[1:][same]
+        hi = np.minimum(np.minimum(nxt - 1, pos + window - 1), seg_end)
+        diff = np.zeros(n + 1, np.int64)
+        np.add.at(diff, pos[valid], 1)
+        np.add.at(diff, hi[valid] + 1, -1)
+        return t.append_column(
+            out_col, pa.array(np.cumsum(diff[:-1]), pa.int64()))
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+
 def add_rolling_quantile(ds, *, key_col: str, ts_col: str,
                          value_col: str, order_col: str,
                          window_rows: int, q: float = 0.5,
