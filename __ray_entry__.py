@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q139_line_dedup": _line_dedup_q,
         "q140_forward_fill": _forward_fill_q,
         "q141_rolling_distinct": _rolling_distinct_q,
+        "q142_collocation_pmi": _collocation_pmi_q,
     }
 
 
@@ -560,6 +561,22 @@ def _rolling_distinct_q(sf_dir: str):
                                num_partitions=16)
     return out.select_columns(["event_id", "user_id",
                                "rolling_distinct"])
+
+
+def _collocation_pmi_q(sf_dir: str):
+    """q142: top-k collocations by rational PMI (c_xy·N / (c_x·c_y), the
+    PMI argument before the monotone log — same ranking, bit-exact SQL
+    replay): one corpus scan emits tagged unigram+bigram partials, one
+    term-keyed exchange each, min_count-pruned unigram table broadcast
+    once, score = ONE IEEE division of exact int64 products
+    (stages/tfidf.py:collocation_pmi)."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import collocation_pmi
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return collocation_pmi(docs, min_count=5, k=25, num_partitions=8)
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -4907,6 +4924,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # rational PMI: exact int products, one IEEE division each side
+        "q142_collocation_pmi": r"""
+            WITH tok AS (
+              SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS t
+              FROM documents
+            ), uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+            ), big AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM tok WHERE len(t) >= 2)
+            ), bic AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+              FROM big GROUP BY w1, w2
+            ), tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM bic)
+            SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+                   CAST(b.c_xy * t.n AS DOUBLE)
+                     / CAST(u1.c * u2.c AS DOUBLE) AS pmi_score
+            FROM bic b
+            CROSS JOIN tot t
+            JOIN uni u1 ON b.w1 = u1.w
+            JOIN uni u2 ON b.w2 = u2.w
+            WHERE b.c_xy >= 5
+            ORDER BY pmi_score DESC, b.w1, b.w2
+            LIMIT 25
+        """,
         # trailing distinct count: exact ints, DISTINCT window replay
         "q141_rolling_distinct": """
             SELECT event_id, user_id,

@@ -390,3 +390,184 @@ def corpus_freq_score(ds, *, id_col: str = "doc_id",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def collocation_pmi(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    min_count: int = 5, k: int = 20,
+                    num_partitions: int = 8):
+    """Top-k collocations by pointwise-mutual-information-style
+    association — phrase mining / tokenizer-merge candidates.  The
+    score is kept RATIONAL (``c_xy·N / (c_x·c_y)``, the PMI argument
+    before the log — log is monotone, so the ranking is identical and
+    the score replays in SQL bit-exactly, the q53 no-``ln`` trick).
+
+    One corpus scan emits tagged per-block partials (unigram counts +
+    adjacent-bigram counts, the q119 gram convention ``w1 ' ' w2``
+    split into two columns); the emit is materialized once and
+    branched.  Unigram totals ride one term-keyed exchange and the
+    table PRUNED to ``c_x >= min_count`` broadcasts via ``ray.put``
+    (sound: a candidate bigram with ``c_xy >= min_count`` implies both
+    words have ``c_x >= c_xy >= min_count``).  Bigram totals ride one
+    w1-keyed exchange; the scoring kernel filters ``c_xy >= min_count``,
+    attaches ``c_x``/``c_y`` with ``pc.index_in`` lookups and computes
+    the score as ONE IEEE division of exact int64 products (overflow
+    guarded — at web scale raise ``min_count`` or pre-shard by corpus).
+
+    Returns the global top-``k`` under ``(score desc, w1 asc, w2 asc)``:
+    ``(w1, w2, c_xy:int64, c_x:int64, c_y:int64, pmi_score:float64)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        dct = pc.dictionary_encode(flat)
+        ucnt = np.bincount(dct.indices.to_numpy(zero_copy_only=False),
+                           minlength=len(dct.dictionary))
+        uni = pa.table({
+            "w1": dct.dictionary.cast(pa.string()),
+            "w2": pa.nulls(len(dct.dictionary), pa.string()),
+            "cnt": pa.array(ucnt.astype(np.int64))})
+        counts = np.diff(off)
+        sel = adjacent_token_indices(counts)
+        if len(sel) == 0:
+            return uni
+        a = flat.take(pa.array(sel, pa.int64()))
+        b = flat.take(pa.array(sel + 1, pa.int64()))
+        # collision-free two-column combine: join with a space (tokens
+        # are whitespace-split, so ' ' can never occur inside a token)
+        grams = pc.binary_join_element_wise(a, b, " ")
+        gdct = pc.dictionary_encode(grams)
+        gcnt = np.bincount(gdct.indices.to_numpy(zero_copy_only=False),
+                           minlength=len(gdct.dictionary))
+        gs = pc.split_pattern(gdct.dictionary.cast(pa.string()), " ")
+        goff = np.asarray(gs.offsets)
+        gflat = gs.values
+        bi = pa.table({
+            "w1": gflat.take(pa.array(goff[:-1], pa.int64())),
+            "w2": gflat.take(pa.array(goff[1:] - 1, pa.int64())),
+            "cnt": pa.array(gcnt.astype(np.int64))})
+        return pa.concat_tables([uni, bi])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    refs = materialized_block_refs(partials)
+
+    def uni_branch(t: pa.Table) -> pa.Table:
+        m = pc.is_null(t["w2"])
+        return t.filter(m).select(["w1", "cnt"])
+
+    def bi_branch(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["w2"]))
+
+    def sum_by_key(cols):
+        def combine(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or cols[0] not in t.column_names:
+                return pa.schema(
+                    [(c, pa.string()) for c in cols] +
+                    [("cnt", pa.int64())]).empty_table()
+            key = (t[cols[0]].combine_chunks() if len(cols) == 1 else
+                   pc.binary_join_element_wise(
+                       t[cols[0]].combine_chunks(),
+                       t[cols[1]].combine_chunks(), " "))
+            dct = pc.dictionary_encode(key)
+            sums = np.zeros(len(dct.dictionary), np.int64)
+            np.add.at(sums, dct.indices.to_numpy(zero_copy_only=False),
+                      t["cnt"].to_numpy(zero_copy_only=False))
+            firsts = np.full(len(dct.dictionary), -1, np.int64)
+            idxs = dct.indices.to_numpy(zero_copy_only=False)
+            firsts[idxs[::-1]] = np.arange(len(idxs) - 1, -1, -1)
+            out = {c: t[c].combine_chunks().take(
+                pa.array(firsts, pa.int64())) for c in cols}
+            out["cnt"] = pa.array(sums)
+            return pa.table(out)
+        return combine
+
+    uni_ds = ray.data.from_arrow_refs(list(refs)).map_batches(
+        uni_branch, batch_format="pyarrow", zero_copy_batch=True)
+    bi_ds = ray.data.from_arrow_refs(list(refs)).map_batches(
+        bi_branch, batch_format="pyarrow", zero_copy_batch=True)
+
+    uni_tot = partitioned_map(uni_ds, sum_by_key(["w1"]), key="w1",
+                              sort_keys=["w1"],
+                              num_partitions=num_partitions,
+                              strategy="tasks")
+    bi_tot = partitioned_map(bi_ds, sum_by_key(["w1", "w2"]), key="w1",
+                             sort_keys=["w1", "w2"],
+                             num_partitions=num_partitions,
+                             strategy="tasks")
+
+    out_schema = pa.schema([
+        ("w1", pa.string()), ("w2", pa.string()), ("c_xy", pa.int64()),
+        ("c_x", pa.int64()), ("c_y", pa.int64()),
+        ("pmi_score", pa.float64())])
+
+    # unigram table: prune to c_x >= min_count, broadcast once
+    ublocks = [b for b in ray.get(materialized_block_refs(uni_tot))
+               if b.num_rows > 0]
+    if not ublocks:
+        return ray.data.from_arrow(out_schema.empty_table())
+    utab = pa.concat_tables(ublocks, promote_options="default")
+    utab = utab.filter(pc.greater_equal(utab["cnt"], min_count))
+    utab = utab.take(pc.sort_indices(utab["w1"]))
+    uterms = utab["w1"].combine_chunks()
+    ucnts = utab["cnt"].to_numpy(zero_copy_only=False)
+    uni_ref = ray.put((uterms, ucnts))
+
+    # N = total adjacent-bigram occurrences (tiny exact reduce)
+    bi_refs = materialized_block_refs(bi_tot)
+
+    @ray.remote
+    def _sum_n(*blocks):
+        return int(sum(
+            int(pc.sum(b["cnt"]).as_py() or 0) for b in blocks
+            if "cnt" in b.column_names))
+
+    n_total = ray.get(_sum_n.remote(*bi_refs))
+    if n_total == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w1" not in t.column_names:
+            return out_schema.empty_table()
+        t = t.filter(pc.greater_equal(t["cnt"], min_count))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        uterms_, ucnts_ = ray.get(uni_ref)
+        p1 = pc.index_in(t["w1"], value_set=uterms_).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        p2 = pc.index_in(t["w2"], value_set=uterms_).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # c_xy >= min_count implies both words survived the prune
+        c_xy = t["cnt"].to_numpy(zero_copy_only=False)
+        c_x = ucnts_[p1]
+        c_y = ucnts_[p2]
+        if int(c_xy.max()) * n_total >= 2 ** 63 or \
+                int(c_x.max()) * int(c_y.max()) >= 2 ** 63:
+            raise OverflowError(
+                "PMI integer products exceed int64 — raise min_count "
+                "or score per corpus shard")
+        num = c_xy.astype(np.int64) * np.int64(n_total)
+        den = c_x * c_y
+        return pa.table({
+            "w1": t["w1"], "w2": t["w2"],
+            "c_xy": pa.array(c_xy.astype(np.int64)),
+            "c_x": pa.array(c_x.astype(np.int64)),
+            "c_y": pa.array(c_y.astype(np.int64)),
+            "pmi_score": pa.array(num.astype(np.float64) /
+                                  den.astype(np.float64))})
+
+    scored = ray.data.from_arrow_refs(list(bi_refs)).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["pmi_score", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)
