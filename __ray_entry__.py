@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q140_forward_fill": _forward_fill_q,
         "q141_rolling_distinct": _rolling_distinct_q,
         "q142_collocation_pmi": _collocation_pmi_q,
+        "q143_ab_test": _ab_test_q,
     }
 
 
@@ -577,6 +578,41 @@ def _collocation_pmi_q(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return collocation_pmi(docs, min_count=5, k=25, num_partitions=8)
+
+
+def _ab_test_q(sf_dir: str):
+    """q143: per-event-type Welch two-sample t statistic (A/B-test
+    eval, stages/regress.py:group_ab_test) — users hash-split into
+    arms by parity, spend compared in exact int64 cents: per-block
+    (n, Σy, Σy²)-per-side partials, one group-keyed exchange,
+    Python-int combine, fixed float64 op sequence (HUGEINT SQL
+    replay bit-exact; degenerate arms NULL out on both sides)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import group_ab_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b["value"]),
+                                     pc.is_valid(b["user_id"])),
+                             pc.is_valid(b["event_type"])))
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        y = np.round(b["value"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "side": pa.array(u % 2, pa.int64()),
+                         "y": pa.array(y)})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return group_ab_test(prepped, key_col="event_type", side_col="side",
+                         treat_value=0, y_col="y")
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -4924,6 +4960,47 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # Welch t-test: HUGEINT sums, fixed float op sequence each side
+        "q143_ab_test": """
+            WITH e AS (
+              SELECT event_type, user_id % 2 AS side,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
+                    AND event_type IS NOT NULL
+            ), s AS (
+              SELECT event_type,
+                CAST(count(*) FILTER (WHERE side = 0) AS HUGEINT) AS na,
+                CAST(sum(y)   FILTER (WHERE side = 0) AS HUGEINT) AS sa,
+                CAST(sum(y*y) FILTER (WHERE side = 0) AS HUGEINT) AS saa,
+                CAST(count(*) FILTER (WHERE side <> 0) AS HUGEINT) AS nb,
+                CAST(sum(y)   FILTER (WHERE side <> 0) AS HUGEINT) AS sb,
+                CAST(sum(y*y) FILTER (WHERE side <> 0) AS HUGEINT) AS sbb
+              FROM e GROUP BY event_type
+            ), f AS (
+              SELECT event_type, na, nb,
+                CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+                CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+                CAST(na * saa - sa * sa AS DOUBLE)
+                  / CAST(na * (na - 1) AS DOUBLE)
+                  / CAST(na AS DOUBLE) AS u_a,
+                CAST(nb * sbb - sb * sb AS DOUBLE)
+                  / CAST(nb * (nb - 1) AS DOUBLE)
+                  / CAST(nb AS DOUBLE) AS u_b
+              FROM s
+            )
+            SELECT event_type,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   mean_a, mean_b,
+                   CASE WHEN na >= 2 AND nb >= 2 THEN
+                     (mean_a - mean_b) / sqrt(u_a + u_b) END AS t_stat,
+                   CASE WHEN na >= 2 AND nb >= 2 THEN
+                     ((u_a + u_b) * (u_a + u_b))
+                       / (u_a * u_a / CAST(na - 1 AS DOUBLE)
+                          + u_b * u_b / CAST(nb - 1 AS DOUBLE))
+                   END AS df
+            FROM f
+        """,
         # rational PMI: exact int products, one IEEE division each side
         "q142_collocation_pmi": r"""
             WITH tok AS (

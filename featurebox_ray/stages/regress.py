@@ -575,3 +575,99 @@ def group_spearman(ds, *, key_col: str, x_col: str, y_col: str,
                            sort_keys=[key_col, x_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def group_ab_test(ds, *, key_col: str, side_col: str, treat_value,
+                  y_col: str):
+    """Exact per-group Welch two-sample t statistic — the experiment-
+    eval (A/B-test) aggregate: for each key, compare ``y`` between the
+    treatment side (``side_col == treat_value``) and everything else.
+
+    Same plan as :func:`group_weighted_stats`: per-block int64
+    ``(group, n/Σy/Σy² per side)`` partials, one group-keyed exchange,
+    Python-int combine (no overflow at any scale), then a FIXED float64
+    op sequence from exact ints:
+
+        mean_s = double(Σy_s) / double(n_s)
+        var_s  = double(n_s·Σy²_s − Σy_s²) / double(n_s·(n_s−1))
+        se2    = var_a/n_a + var_b/n_b          (two terms, fixed order)
+        t      = (mean_a − mean_b) / sqrt(se2)
+        df     = se2² / (u_a²/(n_a−1) + u_b²/(n_b−1)),  u_s = var_s/n_s
+
+    so the HUGEINT SQL replay is bit-exact (sqrt is correctly rounded;
+    division by zero yields NULL on both sides — groups with a
+    degenerate side, n_s < 2 or zero pooled variance, emit NULL
+    t/df).  ``y_col`` must be pre-quantized int64; rows with NULL
+    key, side or y drop.  Returns ``(key_col, n_a, n_b, mean_a,
+    mean_b, t_stat, df)``.
+    """
+    cols = ("na", "sa", "saa", "nb", "sb", "sbb")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.schema.field(y_col).type != pa.int64():
+            raise TypeError(f"{y_col} must be int64 (quantize first); "
+                            f"got {batch.schema.field(y_col).type}")
+        mask = pc.and_(pc.and_(pc.is_valid(batch[key_col]),
+                               pc.is_valid(batch[y_col])),
+                       pc.is_valid(batch[side_col]))
+        if not pc.all(mask).as_py():
+            batch = batch.filter(mask)
+        ktype = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        gd = pc.dictionary_encode(batch[key_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        my = int(np.abs(y).max()) if len(y) else 0
+        if my and my * my * len(y) >= 2 ** 63:
+            raise ValueError(
+                f"max|y|²·rows = {my * my * len(y)} overflows the "
+                "int64 block partial — quantize y more coarsely")
+        is_a = pc.equal(batch[side_col].combine_chunks(),
+                        treat_value).to_numpy(zero_copy_only=False)
+        g = len(gd.dictionary)
+        sums = np.zeros((6, g), np.int64)
+        for off, m in ((0, is_a), (3, ~is_a)):
+            np.add.at(sums[off], codes[m], 1)
+            np.add.at(sums[off + 1], codes[m], y[m])
+            np.add.at(sums[off + 2], codes[m], y[m] * y[m])
+        return pa.table({
+            key_col: gd.dictionary,
+            **{c: pa.array(sums[i]) for i, c in enumerate(cols)},
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        na, sa, saa, nb, sb, sbb = (sum(t[c].to_pylist()) for c in cols)
+        mean_a = float(sa) / float(na) if na else None
+        mean_b = float(sb) / float(nb) if nb else None
+        t_stat = df = None
+        if na >= 2 and nb >= 2:
+            var_a = float(na * saa - sa * sa) / float(na * (na - 1))
+            var_b = float(nb * sbb - sb * sb) / float(nb * (nb - 1))
+            u_a = var_a / float(na)
+            u_b = var_b / float(nb)
+            se2 = u_a + u_b
+            if se2 != 0.0:
+                from math import sqrt
+
+                t_stat = (mean_a - mean_b) / sqrt(se2)
+                dden = (u_a * u_a / float(na - 1)
+                        + u_b * u_b / float(nb - 1))
+                df = (se2 * se2) / dden if dden != 0.0 else None
+        return pa.table({
+            key_col: t[key_col].slice(0, 1),
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "mean_a": pa.array([mean_a], pa.float64()),
+            "mean_b": pa.array([mean_b], pa.float64()),
+            "t_stat": pa.array([t_stat], pa.float64()),
+            "df": pa.array([df], pa.float64()),
+        })
+
+    return partials.groupby(key_col).map_groups(
+        finalize, batch_format="pyarrow")
