@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q141_rolling_distinct": _rolling_distinct_q,
         "q142_collocation_pmi": _collocation_pmi_q,
         "q143_ab_test": _ab_test_q,
+        "q144_balance_corpus": _balance_corpus_q,
     }
 
 
@@ -613,6 +614,26 @@ def _ab_test_q(sf_dir: str):
                              zero_copy_batch=True)
     return group_ab_test(prepped, key_col="event_type", side_col="side",
                          treat_value=0, y_col="y")
+
+
+def _balance_corpus_q(sf_dir: str):
+    """q144: corpus rebalancing — cap every language at the SMALLEST
+    language's document count (equal-representation downsample), the
+    min discovered with one tiny column-pruned count pass and the cap
+    applied by the deterministic hash-order cap_per_group (pure
+    function of ids: stable across runs, partitionings and cluster
+    sizes — stages/sample.py)."""
+    import ray
+
+    from featurebox_ray.stages.sample import cap_per_group
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    counts = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang"]).groupby(
+        "lang").count().take_all()
+    m = min(int(r["count()"]) for r in counts)
+    return cap_per_group(docs, group_col="lang", id_col="doc_id", m=m)
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -4960,6 +4981,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # corpus rebalance: min group count + identical Knuth-hash order
+        "q144_balance_corpus": """
+            WITH c AS (SELECT lang, count(*) AS c
+                       FROM documents GROUP BY lang),
+                 mm AS (SELECT min(c) AS m FROM c)
+            SELECT doc_id, lang FROM documents, mm
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY ((CAST(doc_id AS HUGEINT) % 4294967296)
+                          * 2654435761) % 4294967296, doc_id) <= mm.m
+        """,
         # Welch t-test: HUGEINT sums, fixed float op sequence each side
         "q143_ab_test": """
             WITH e AS (

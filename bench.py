@@ -189,7 +189,7 @@ QUERY_NAMES = [
     "q133_category_drift", "q134_incremental_neardup", "q135_drawdown",
     "q136_target_encode", "q137_snm_neardup", "q138_group_gini",
     "q139_line_dedup", "q140_forward_fill", "q141_rolling_distinct",
-    "q142_collocation_pmi", "q143_ab_test",
+    "q142_collocation_pmi", "q143_ab_test", "q144_balance_corpus",
 ]
 
 
