@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q142_collocation_pmi": _collocation_pmi_q,
         "q143_ab_test": _ab_test_q,
         "q144_balance_corpus": _balance_corpus_q,
+        "q145_knn_join": _knn_join_q,
     }
 
 
@@ -634,6 +635,62 @@ def _balance_corpus_q(sf_dir: str):
         "lang").count().take_all()
     m = min(int(r["count()"]) for r in counts)
     return cap_per_group(docs, group_col="lang", id_col="doc_id", m=m)
+
+
+def _knn_join_q(sf_dir: str):
+    """q145: large-large kNN join (stages/knn.py) — embeddings split
+    into a query batch (odd ids) and a catalog (even ids), neither
+    side broadcast: deterministic first-C centroids, one bucket-keyed
+    exchange (right rows ship once, left ×n_probe), exact int64 dots,
+    candidate-sized merge exchange.  Pure function of the inputs, so
+    the serial replay fixture is bit-identical."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_knn_join
+    from featurebox_ray.stages.knn import knn_join
+
+    K, NC, NP, QB = 3, 8, 2, 10
+
+    # ---- serial replay fixture (independent recompute) -----------------
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    arr = t["embedding"].combine_chunks()
+    vecs = arr.flatten().to_numpy(zero_copy_only=False).reshape(
+        len(arr), -1)
+    odd = ids % 2 == 1
+    l_id, rk, r_id, dot = replay_knn_join(
+        ids[odd], vecs[odd], ids[~odd], vecs[~odd],
+        k=K, n_centroids=NC, n_probe=NP, quant_bits=QB)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "left_id": pa.array(l_id), "rank": pa.array(rk),
+        "right_id": pa.array(r_id), "dot": pa.array(dot),
+    }), f"{_ORACLE_DIR}/knn_join.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/knn_join.parquet.tmp",
+               f"{_ORACLE_DIR}/knn_join.parquet")
+
+    # ---- distributed engine run ----------------------------------------
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def _parity(want: int):
+        def fn(b: pa.Table) -> pa.Table:
+            m = (b["vec_id"].to_numpy(zero_copy_only=False) % 2) == want
+            return b.filter(pa.array(m))
+        return fn
+
+    left = emb.map_batches(_parity(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    right = emb.map_batches(_parity(0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return knn_join(left, right, k=K, n_centroids=NC, n_probe=NP,
+                    quant_bits=QB, num_partitions=8)
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -4981,6 +5038,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # kNN join serial-replay fixture: bit-exact integer arithmetic
+        "q145_knn_join": f"""
+            SELECT left_id, rank, right_id, dot
+            FROM read_parquet('{_ORACLE_DIR}/knn_join.parquet')
+        """,
         # corpus rebalance: min group count + identical Knuth-hash order
         "q144_balance_corpus": """
             WITH c AS (SELECT lang, count(*) AS c

@@ -642,3 +642,49 @@ def replay_mmr(vecs: np.ndarray, ids: np.ndarray, query: np.ndarray, *,
 
     return pd.DataFrame(picked, columns=["rank", "vec_id", "rel",
                                          "score"])
+
+
+def replay_knn_join(left_ids, left_vecs, right_ids, right_vecs, *,
+                    k: int, n_centroids: int, n_probe: int,
+                    quant_bits: int):
+    """Serial single-process replay of stages/knn.py:knn_join —
+    identical quantization, centroid choice, bucket assignment and
+    tie-breaks, zero distribution.  Returns (left_id, rank, right_id,
+    dot) numpy columns sorted by (left_id, rank)."""
+    import numpy as np
+
+    s = float(1 << quant_bits)
+
+    def q(x):
+        return np.floor(np.asarray(x, np.float64) * s + 0.5).astype(
+            np.int64)
+
+    r_order = np.argsort(np.asarray(right_ids), kind="stable")
+    rids = np.asarray(right_ids)[r_order]
+    Rq = q(np.asarray(right_vecs))[r_order]
+    Cq = Rq[:n_centroids]
+    lids = np.asarray(left_ids)
+    Lq = q(np.asarray(left_vecs))
+
+    def assign(Vq, np_):
+        c2 = np.einsum("ij,ij->i", Cq, Cq)
+        score = -2 * (Vq @ Cq.T) + c2[None, :]
+        return np.argsort(score, axis=1, kind="stable")[:, :np_]
+
+    rb = assign(Rq, 1)[:, 0]
+    lp = assign(Lq, n_probe)
+    out = []
+    for i in range(len(lids)):
+        cand = np.isin(rb, lp[i])
+        cr, cv = rids[cand], Rq[cand]
+        if not len(cr):
+            continue
+        dots = cv @ Lq[i]
+        o = np.lexsort((cr, -dots))[:k]
+        for rk, j in enumerate(o):
+            out.append((int(lids[i]), rk + 1, int(cr[j]), int(dots[j])))
+    out.sort()
+    import numpy as _np
+
+    a = _np.array(out, dtype=_np.int64).reshape(-1, 4)
+    return a[:, 0], a[:, 1], a[:, 2], a[:, 3]

@@ -1,0 +1,217 @@
+"""Large-large k-nearest-neighbor JOIN over embedding tables — neither
+side broadcasts (the scale path past ``ann.brute_topk``'s broadcast-
+query contract): link a new document batch to a catalog, build kNN
+graphs for semdedup-style clustering, dataset-to-dataset retrieval.
+
+IVF-bucketed, multi-probe:
+
+1. coarse centroids are the ``n_centroids`` smallest-id right rows
+   (the q25 ``centroid_init="first"`` determinism contract — zero
+   training, fully replayable), quantized and broadcast once;
+2. every right row rides to its ONE nearest-centroid bucket, every
+   left row to its ``n_probe`` nearest buckets (exact integer squared
+   distances over half-up-quantized vectors: ranking ties break to the
+   lower centroid index);
+3. ONE bucket-keyed exchange co-locates; per bucket an exact int64
+   matmul scores all (left, right) pairs and keeps each left row's
+   top-``k`` under ``(dot desc, right_id asc)``;
+4. a second, candidate-sized exchange keyed by left id merges the
+   per-bucket winners into the final global top-``k``.
+
+Recall is approximate (a true neighbor outside the probed buckets is
+missed — raise ``n_probe`` for recall, like any IVF index); the result
+is a PURE FUNCTION of the inputs and parameters (quantized integer
+arithmetic end to end, deterministic tie-breaks), so the serial numpy
+replay in ``_oracle_replays.replay_knn_join`` is bit-identical and the
+distributed run is partition-invariant.
+
+Shuffle volume: right rows ship once, left rows ×``n_probe``, then
+``left × k`` candidate triples.  Bucket skew follows the embedding
+distribution — with trained centroids pass them through the same
+quantizer and keep the "first" mode for replay tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .cohesion import _batch_mat
+
+SIDE_RIGHT, SIDE_LEFT = 0, 1
+
+
+def _assign(Vq: np.ndarray, Cq: np.ndarray, n_probe: int) -> np.ndarray:
+    """(n, n_probe) nearest-centroid indices by exact integer squared
+    distance, ties to the lower index.  |v|² is constant per row, so
+    the ranking score is ``−2·v·c + |c|²`` (exact int64)."""
+    if len(Vq) == 0:
+        return np.empty((0, n_probe), np.int64)
+    c2 = np.einsum("ij,ij->i", Cq, Cq)
+    score = -2 * (Vq @ Cq.T) + c2[None, :]
+    order = np.argsort(score, axis=1, kind="stable")
+    return order[:, :n_probe].astype(np.int64)
+
+
+def _guard_dot(maxl: int, maxr: int, dims: int):
+    if maxl and maxr and dims * maxl * maxr >= 2 ** 63:
+        raise OverflowError(
+            "integer dot products exceed int64 — lower quant_bits")
+
+
+def knn_join(left, right, *, k: int = 5, n_centroids: int = 8,
+             n_probe: int = 2, vec_col: str = "embedding",
+             left_id: str = "vec_id", right_id: str = "vec_id",
+             quant_bits: int = 10, num_partitions: int = 16):
+    """For each left row, the ``k`` nearest right rows by quantized
+    dot product (descending; cosine when inputs are pre-normalized).
+    Returns ``(left_id, rank:int64 1-based, right_id, dot:int64)``.
+    Left rows whose probed buckets hold no right rows emit nothing.
+
+    Centroid contract: the right side must contain ``n_centroids`` rows
+    with the globally smallest ids reachable via ``right_id <
+    4·n_centroids`` (dense-ish ids; pass a pre-filtered right side
+    otherwise).
+    """
+    import ray
+
+    from .partition import partitioned_map
+
+    if k < 1 or n_probe < 1 or n_centroids < 1:
+        raise ValueError("k, n_probe, n_centroids must be >= 1")
+    if n_probe > n_centroids:
+        raise ValueError("n_probe cannot exceed n_centroids")
+
+    rows = sorted(
+        right.filter(expr=f"{right_id} < {4 * n_centroids}").take(
+            4 * n_centroids),
+        key=lambda r: r[right_id])[:n_centroids]
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"centroid scan found only {len(rows)} right rows with "
+            f"{right_id} < {4 * n_centroids}; pass a denser right side "
+            "or fewer n_centroids")
+    from .cohesion import quantize_half_up
+
+    Cq = quantize_half_up(
+        np.stack([np.asarray(r[vec_col], np.float64) for r in rows]),
+        quant_bits)
+    cent_ref = ray.put(Cq)
+
+    def right_map(b: pa.Table) -> pa.Table:
+        Vq, _ = _batch_mat(b, vec_col, quant_bits)
+        buckets = _assign(Vq, ray.get(cent_ref), 1)[:, 0]
+        return pa.table({
+            "__bucket": pa.array(buckets),
+            "__side": pa.array(np.zeros(b.num_rows, np.int8)),
+            "rid": b[right_id].combine_chunks().cast(pa.int64()),
+            "lid": pa.nulls(b.num_rows, pa.int64()),
+            "vec": b[vec_col],
+        })
+
+    def left_map(b: pa.Table) -> pa.Table:
+        Vq, _ = _batch_mat(b, vec_col, quant_bits)
+        probes = _assign(Vq, ray.get(cent_ref), n_probe)
+        n = b.num_rows
+        rep = pa.array(np.repeat(np.arange(n), n_probe), pa.int64())
+        return pa.table({
+            "__bucket": pa.array(probes.ravel()),
+            "__side": pa.array(np.ones(n * n_probe, np.int8)),
+            "rid": pa.nulls(n * n_probe, pa.int64()),
+            "lid": b[left_id].combine_chunks().cast(
+                pa.int64()).take(rep),
+            "vec": b[vec_col].combine_chunks().take(rep),
+        })
+
+    r_tagged = right.map_batches(right_map, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    l_tagged = left.map_batches(left_map, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    tagged = r_tagged.union(l_tagged)
+
+    cand_schema = pa.schema([("lid", pa.int64()), ("rid", pa.int64()),
+                             ("dot", pa.int64())])
+
+    def bucket_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__bucket" not in t.column_names:
+            return cand_schema.empty_table()
+        bk = t["__bucket"].to_numpy(zero_copy_only=False)
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        Vq, dims = _batch_mat(t, "vec", quant_bits)
+        lids = t["lid"].to_numpy(zero_copy_only=False)
+        rids = t["rid"].to_numpy(zero_copy_only=False)
+        out_l, out_r, out_d = [], [], []
+        starts = np.flatnonzero(
+            np.concatenate([[True], bk[1:] != bk[:-1]]))
+        ends = np.append(starts[1:], len(bk))
+        for s, e in zip(starts, ends):
+            m_r = side[s:e] == SIDE_RIGHT
+            m_l = ~m_r
+            nr = int(m_r.sum())
+            nl = int(m_l.sum())
+            if nr == 0 or nl == 0:
+                continue
+            R = Vq[s:e][m_r]
+            L = Vq[s:e][m_l]
+            _guard_dot(int(np.abs(L).max()), int(np.abs(R).max()), dims)
+            dots = L @ R.T
+            # rows sorted by (side, id): R columns already ascend by
+            # rid, so a stable descending-dot argsort breaks ties to
+            # the smaller right id
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :k]
+            kk = order.shape[1]
+            out_l.append(np.repeat(
+                lids[s:e][m_l].astype(np.int64), kk))
+            out_r.append(rids[s:e][m_r].astype(np.int64)[order.ravel()])
+            out_d.append(np.take_along_axis(dots, order, 1).ravel())
+        if not out_l:
+            return cand_schema.empty_table()
+        return pa.table({"lid": pa.array(np.concatenate(out_l)),
+                         "rid": pa.array(np.concatenate(out_r)),
+                         "dot": pa.array(np.concatenate(out_d))})
+
+    cands = partitioned_map(tagged, bucket_kernel, key="__bucket",
+                            sort_keys=["__bucket", "__side", "rid",
+                                       "lid"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+
+    def add_negdot(t: pa.Table) -> pa.Table:
+        d = t["dot"].to_numpy(zero_copy_only=False)
+        return t.append_column("__negdot", pa.array(-d, pa.int64()))
+
+    prepped = cands.map_batches(add_negdot, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    out_schema = pa.schema([("left_id", pa.int64()),
+                            ("rank", pa.int64()),
+                            ("right_id", pa.int64()),
+                            ("dot", pa.int64())])
+
+    def merge_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lid" not in t.column_names:
+            return out_schema.empty_table()
+        lid = t["lid"].to_numpy(zero_copy_only=False)
+        rid = t["rid"].to_numpy(zero_copy_only=False)
+        dot = t["dot"].to_numpy(zero_copy_only=False)
+        n = len(lid)
+        first = np.concatenate([[True], lid[1:] != lid[:-1]])
+        # a right row reachable through two probed buckets would
+        # duplicate; buckets partition right rows (n_probe=1 on the
+        # right side), so (lid, rid) pairs are unique by construction
+        seg_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0))
+        rank = np.arange(n) - seg_start
+        keep = rank < k
+        return pa.table({
+            "left_id": pa.array(lid[keep]),
+            "rank": pa.array(rank[keep] + 1),
+            "right_id": pa.array(rid[keep]),
+            "dot": pa.array(dot[keep]),
+        })
+
+    return partitioned_map(prepped, merge_kernel, key="lid",
+                           sort_keys=["lid", "__negdot", "rid"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
