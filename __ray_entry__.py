@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q143_ab_test": _ab_test_q,
         "q144_balance_corpus": _balance_corpus_q,
         "q145_knn_join": _knn_join_q,
+        "q146_keep_best_dedup": _keep_best_dedup_q,
     }
 
 
@@ -691,6 +692,25 @@ def _knn_join_q(sf_dir: str):
                             zero_copy_batch=True)
     return knn_join(left, right, k=K, n_centroids=NC, n_probe=NP,
                     quant_bits=QB, num_partitions=8)
+
+
+def _keep_best_dedup_q(sf_dir: str):
+    """q146: canonical dedup keeping the BEST duplicate — normalize
+    (q94 recipe) then keep the LONGEST raw text per canonical form
+    (max n_chars, ties min doc_id): the curation keep rule
+    (stages/dedup.py:keep_best_dedup — one text-keyed exchange, sort +
+    first-of-run, descending score as a negated sort column)."""
+    import ray
+
+    from featurebox_ray.stages.dedup import keep_best_dedup
+    from featurebox_ray.stages.text import normalize_text
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "n_chars"])
+    canon = normalize_text(docs, text_col="text", out_col="norm_text")
+    out = keep_best_dedup(canon, text_col="norm_text", id_col="doc_id",
+                          score_col="n_chars", num_partitions=8)
+    return out.select_columns(["doc_id", "norm_text", "n_chars"])
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -5038,6 +5058,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # keep-best dedup: max score, ties min id, NULLs last
+        "q146_keep_best_dedup": r"""
+            WITH n AS (
+              SELECT doc_id, n_chars,
+                     trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                         AS norm_text
+              FROM documents
+            )
+            SELECT doc_id, norm_text, n_chars FROM n
+            QUALIFY norm_text IS NULL
+                 OR row_number() OVER (
+                        PARTITION BY norm_text
+                        ORDER BY n_chars DESC NULLS LAST, doc_id) = 1
+        """,
         # kNN join serial-replay fixture: bit-exact integer arithmetic
         "q145_knn_join": f"""
             SELECT left_id, rank, right_id, dot

@@ -325,6 +325,49 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            strategy="tasks")
 
 
+def keep_best_dedup(ds, *, text_col: str = "text",
+                    id_col: str = "doc_id", score_col: str,
+                    num_partitions: int = 32):
+    """Exact dedup keeping the BEST row per ``text_col`` value — max
+    ``score_col``, ties to min ``id_col`` (the curation keep rule:
+    among canonically-identical docs keep the longest / highest-quality
+    one, instead of :func:`exact_dedup`'s min-id pick).
+
+    Same plan as :func:`exact_dedup` (partition on the text value, one
+    sort + first-of-run filter per partition); the descending score
+    rides as a negated sort column.  NULL scores lose to any scored
+    duplicate (SQL ``ORDER BY score DESC NULLS LAST``); NULL text rows
+    are all kept.
+    """
+    from .partition import partitioned_map
+
+    neg = "__negscore"
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b[score_col].combine_chunks()
+        return b.append_column(neg, pc.negate(v))
+
+    def best_per_text(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return t
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        codes = pc.dictionary_encode(texts).indices.to_numpy(
+            zero_copy_only=False)
+        first = np.ones(len(codes), bool)
+        # NaN != NaN keeps every null-text row (its own run)
+        first[1:] = codes[1:] != codes[:-1]
+        return t.filter(pa.array(first)).drop_columns([neg])
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, best_per_text, key=text_col,
+                           sort_keys=[text_col, neg, id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------
