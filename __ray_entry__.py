@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q144_balance_corpus": _balance_corpus_q,
         "q145_knn_join": _knn_join_q,
         "q146_keep_best_dedup": _keep_best_dedup_q,
+        "q147_latest_event": _latest_event_q,
     }
 
 
@@ -711,6 +712,21 @@ def _keep_best_dedup_q(sf_dir: str):
     out = keep_best_dedup(canon, text_col="norm_text", id_col="doc_id",
                           score_col="n_chars", num_partitions=8)
     return out.select_columns(["doc_id", "norm_text", "n_chars"])
+
+
+def _latest_event_q(sf_dir: str):
+    """q147: latest full event per user (argmax with payload,
+    stages/rank.py:last_row_per_key) — one keyed exchange, last-of-run
+    mask per sorted partition; every column rides along untouched so
+    doubles and strings replay bit-exactly."""
+    import ray
+
+    from featurebox_ray.stages.rank import last_row_per_key
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return last_row_per_key(ev, key_col="user_id",
+                            order_cols=["ts", "event_id"],
+                            num_partitions=16)
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -5058,6 +5074,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # latest row per key: payload passes through untouched
+        "q147_latest_event": """
+            SELECT * FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1
+        """,
         # keep-best dedup: max score, ties min id, NULLs last
         "q146_keep_best_dedup": r"""
             WITH n AS (

@@ -247,3 +247,36 @@ def global_row_number(ds, *, order_cols, rank_col: str = "g_rank",
                 pa.field(rank_col, pa.int64())).empty_table())
         return sd  # schema unknown (fully schemaless empty dataset)
     return ray.data.from_arrow_refs(out_refs)
+
+
+def last_row_per_key(ds, *, key_col: str, order_cols,
+                     num_partitions: int = 16):
+    """Latest full row per key — ``argmax`` with payload (the
+    current-state snapshot: latest event per user, newest version per
+    document).  Keeps, for each key, the row that sorts LAST under
+    ascending ``order_cols`` (max order tuple; every remaining column
+    rides along untouched).  SQL: ``QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY o1 DESC, o2 DESC, ...) = 1`` — note the
+    ascending-sort-last-of-run pick means NULL order values sort AT END
+    ascending, i.e. a NULL-ordered row WINS over any valued row
+    (replay with ``DESC NULLS FIRST`` if the key has null order rows).
+
+    One keyed exchange; per partition a last-of-run mask over the key
+    codes (one vectorized compare — no per-group work).
+    """
+    from .partition import partitioned_map
+
+    order_cols = list(order_cols)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return t
+        codes = _group_codes(t[key_col])
+        last = np.ones(len(codes), bool)
+        last[:-1] = codes[1:] != codes[:-1]
+        return t.filter(pa.array(last))
+
+    return partitioned_map(ds, kernel, key=key_col,
+                           sort_keys=[key_col] + order_cols,
+                           num_partitions=num_partitions,
+                           strategy="tasks")

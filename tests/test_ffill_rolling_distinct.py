@@ -113,3 +113,31 @@ def test_rolling_distinct_window_guard():
         add_rolling_distinct(ray.data.from_arrow(t), key_col="k",
                              ts_col="ts", order_col="o", value_col="s",
                              window=0)
+
+
+def test_last_row_per_key_duckdb_parity():
+    from featurebox_ray.stages.rank import last_row_per_key
+
+    t = _fuzz_table(101, n=500)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.sql("""
+        SELECT * FROM t
+        QUALIFY row_number() OVER (
+            PARTITION BY k ORDER BY ts DESC, o DESC) = 1
+        ORDER BY o
+    """).df().reset_index(drop=True)
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (last_row_per_key(ds, key_col="k",
+                                order_cols=["ts", "o"],
+                                num_partitions=4)
+               .to_pandas().sort_values("o").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
