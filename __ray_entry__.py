@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q145_knn_join": _knn_join_q,
         "q146_keep_best_dedup": _keep_best_dedup_q,
         "q147_latest_event": _latest_event_q,
+        "q148_vocab_overlap": _vocab_overlap_q,
     }
 
 
@@ -727,6 +728,23 @@ def _latest_event_q(sf_dir: str):
     return last_row_per_key(ev, key_col="user_id",
                             order_cols=["ts", "event_id"],
                             num_partitions=16)
+
+
+def _vocab_overlap_q(sf_dir: str):
+    """q148: pairwise vocabulary Jaccard between sources — the corpus-
+    similarity matrix (stages/tfidf.py:vocab_overlap): blocks collapse
+    to distinct (token, source) pairs, one token-keyed exchange
+    finishes the dedup and expands sorted group runs to pairs (q128
+    gather), tiny partial combine; Jaccard = one IEEE division of
+    exact int64 counts."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import vocab_overlap
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+    return vocab_overlap(docs, group_col="source", text_col="text",
+                         num_partitions=8)
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -5074,6 +5092,30 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # vocabulary overlap: exact distinct-token Jaccard per pair
+        "q148_vocab_overlap": r"""
+            WITH raw AS (
+              SELECT source AS g,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents WHERE source IS NOT NULL
+            ), tok AS (SELECT DISTINCT g, w FROM raw),
+            sizes AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY g
+            ), inter AS (
+              SELECT a.g AS grp_a, b.g AS grp_b,
+                     CAST(count(*) AS BIGINT) AS i
+              FROM tok a JOIN tok b ON a.w = b.w AND a.g < b.g
+              GROUP BY a.g, b.g
+            )
+            SELECT grp_a, grp_b, i AS inter, sa.c AS n_a, sb.c AS n_b,
+                   CAST(i AS DOUBLE)
+                     / CAST(sa.c + sb.c - i AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON grp_a = sa.g
+            JOIN sizes sb ON grp_b = sb.g
+        """,
         # latest row per key: payload passes through untouched
         "q147_latest_event": """
             SELECT * FROM events

@@ -571,3 +571,150 @@ def collocation_pmi(ds, *, id_col: str = "doc_id", text_col: str = "text",
         score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.sort(["pmi_score", "w1", "w2"],
                        descending=[True, False, False]).limit(k)
+
+
+def vocab_overlap(ds, *, group_col: str, text_col: str = "text",
+                  num_partitions: int = 8):
+    """Pairwise vocabulary overlap between groups — the corpus-
+    similarity matrix (which sources/languages share wording): for
+    every group pair, the number of distinct tokens both use and the
+    Jaccard of their distinct-token vocabularies.
+
+    One streaming pass collapses each block to distinct ``(token,
+    group)`` pairs (two dictionary encodes + one ``np.unique`` — the
+    shuffle moves distinct pairs, never tokens); ONE token-keyed
+    exchange finishes the cross-block dedup and expands each token's
+    sorted distinct-group run to unordered pairs with the repeat/arange
+    gather (the q128 shape; ``grp_a < grp_b`` bytewise matches SQL);
+    per-partition partial pair counts plus per-group distinct-token
+    size partials ride back as one tiny table (≤ partitions·|G|²
+    rows) combined in a single task.  Jaccard = ONE IEEE division of
+    exact int64 counts (bit-exact in SQL).  NULL groups and NULL texts
+    drop.  Returns ``(grp_a, grp_b, inter:int64, n_a:int64, n_b:int64,
+    jaccard:float64)`` for pairs with ``inter >= 1``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    row_schema = pa.schema([("w", pa.string()), ("g", pa.string())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g_col = batch[group_col].combine_chunks().cast(pa.string())
+        valid = np.asarray(pc.is_valid(g_col))
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        if len(flat) == 0:
+            return row_schema.empty_table()
+        counts = np.diff(off)
+        g_rep = g_col.take(pa.array(
+            np.repeat(np.arange(len(counts)), counts), pa.int64()))
+        keep = np.repeat(valid, counts)
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            g_rep = g_rep.filter(pa.array(keep))
+        if len(flat) == 0:
+            return row_schema.empty_table()
+        wenc = pc.dictionary_encode(flat)
+        genc = pc.dictionary_encode(g_rep)
+        ng = len(genc.dictionary)
+        combo = (wenc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64) * ng
+            + genc.indices.to_numpy(zero_copy_only=False))
+        u = np.unique(combo)
+        return pa.table({
+            "w": wenc.dictionary.take(pa.array(u // ng, pa.int64())
+                                      ).cast(pa.string()),
+            "g": genc.dictionary.take(pa.array(u % ng, pa.int64())
+                                      ).cast(pa.string()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+    part_schema = pa.schema([("g_a", pa.string()),
+                             ("g_b", pa.string()),
+                             ("cnt", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w" not in t.column_names:
+            return part_schema.empty_table()
+        wv = t["w"].combine_chunks()
+        gv = t["g"].combine_chunks()
+        wenc = pc.dictionary_encode(wv)
+        genc = pc.dictionary_encode(gv)
+        wc = wenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gc = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # cross-block dedup: rows sorted by (w, g) -> adjacent compare
+        first = np.concatenate(
+            [[True], (wc[1:] != wc[:-1]) | (gc[1:] != gc[:-1])])
+        wc, gc = wc[first], gc[first]
+        ng = len(genc.dictionary)
+        # per-group distinct-token sizes (partial)
+        sizes = np.bincount(gc, minlength=ng).astype(np.int64)
+        size_tab = pa.table({
+            "g_a": genc.dictionary.cast(pa.string()),
+            "g_b": pa.nulls(ng, pa.string()),
+            "cnt": pa.array(sizes)})
+        # expand each token run (groups ascend bytewise: sorted by g)
+        run_start = np.concatenate([[True], wc[1:] != wc[:-1]])
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.concatenate([starts, [len(wc)]]))
+        run_id = np.cumsum(run_start) - 1
+        pos = np.arange(len(wc)) - starts[run_id]
+        later = lens[run_id] - pos - 1
+        total = int(later.sum())
+        if total == 0:
+            return size_tab
+        a_idx = np.repeat(np.arange(len(wc)), later)
+        cum = np.concatenate([[0], np.cumsum(later)])
+        b_idx = a_idx + (np.arange(total) - cum[a_idx]) + 1
+        pk = gc[a_idx] * ng + gc[b_idx]
+        pu, pinv = np.unique(pk, return_inverse=True)
+        cnt = np.bincount(pinv).astype(np.int64)
+        pair_tab = pa.table({
+            "g_a": genc.dictionary.take(
+                pa.array(pu // ng, pa.int64())).cast(pa.string()),
+            "g_b": genc.dictionary.take(
+                pa.array(pu % ng, pa.int64())).cast(pa.string()),
+            "cnt": pa.array(cnt)})
+        return pa.concat_tables([size_tab, pair_tab])
+
+    partials = partitioned_map(rows, kernel, key="w",
+                               sort_keys=["w", "g"],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+    blocks = [b for b in ray.get(materialized_block_refs(partials))
+              if b.num_rows > 0]
+    out_schema = pa.schema([
+        ("grp_a", pa.string()), ("grp_b", pa.string()),
+        ("inter", pa.int64()), ("n_a", pa.int64()),
+        ("n_b", pa.int64()), ("jaccard", pa.float64())])
+    if not blocks:
+        return ray.data.from_arrow(out_schema.empty_table())
+    t = pa.concat_tables(blocks, promote_options="default")
+    is_size = np.asarray(pc.is_null(t["g_b"]))
+    sizes: dict = {}
+    ga = t["g_a"].to_pylist()
+    gb = t["g_b"].to_pylist()
+    cn = t["cnt"].to_pylist()
+    pairs: dict = {}
+    for a, b, c, s in zip(ga, gb, cn, is_size):
+        if s:
+            sizes[a] = sizes.get(a, 0) + c
+        else:
+            pairs[(a, b)] = pairs.get((a, b), 0) + c
+    keys = sorted(pairs)
+    inter = [pairs[k] for k in keys]
+    n_a = [sizes[k[0]] for k in keys]
+    n_b = [sizes[k[1]] for k in keys]
+    jac = [float(i) / float(na + nb - i)
+           for i, na, nb in zip(inter, n_a, n_b)]
+    return ray.data.from_arrow(pa.table({
+        "grp_a": pa.array([k[0] for k in keys], pa.string()),
+        "grp_b": pa.array([k[1] for k in keys], pa.string()),
+        "inter": pa.array(inter, pa.int64()),
+        "n_a": pa.array(n_a, pa.int64()),
+        "n_b": pa.array(n_b, pa.int64()),
+        "jaccard": pa.array(jac, pa.float64()),
+    }))

@@ -1,0 +1,79 @@
+"""Pairwise vocabulary Jaccard (stages/tfidf.py:vocab_overlap) vs a
+DuckDB replay."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from featurebox_ray.stages.tfidf import vocab_overlap
+
+ORACLE = r"""
+    WITH raw AS (
+      SELECT g, unnest(regexp_extract_all(coalesce(text, ''),
+                                          '\S+')) AS w
+      FROM docs WHERE g IS NOT NULL
+    ), tok AS (SELECT DISTINCT g, w FROM raw),
+    sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY g),
+    inter AS (
+      SELECT a.g AS grp_a, b.g AS grp_b, CAST(count(*) AS BIGINT) AS i
+      FROM tok a JOIN tok b ON a.w = b.w AND a.g < b.g
+      GROUP BY a.g, b.g
+    )
+    SELECT grp_a, grp_b, i AS inter, sa.c AS n_a, sb.c AS n_b,
+           CAST(i AS DOUBLE) / CAST(sa.c + sb.c - i AS DOUBLE)
+             AS jaccard
+    FROM inter JOIN sizes sa ON grp_a = sa.g
+    JOIN sizes sb ON grp_b = sb.g
+    ORDER BY grp_a, grp_b
+"""
+
+
+def test_vocab_overlap_duckdb_fuzz_partition_invariant():
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    groups = ["en", "fr", "de", None]
+    docs, gs = [], []
+    for _ in range(150):
+        n = int(rng.integers(0, 12))
+        docs.append(" ".join(rng.choice(vocab, n)) if n else
+                    (None if rng.random() < 0.5 else ""))
+        gs.append(str(rng.choice(groups[:3]))
+                  if rng.random() > 0.05 else None)
+    pdf = pd.DataFrame({"g": gs, "text": docs})
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    exp = con.sql(ORACLE).df().reset_index(drop=True)
+    t = pa.table({"g": pa.array(gs, pa.string()),
+                  "text": pa.array(docs, pa.string())})
+    prev = None
+    for parts in (1, 4, 9):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (vocab_overlap(ds, group_col="g", text_col="text",
+                             num_partitions=5)
+               .to_pandas().sort_values(["grp_a", "grp_b"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+
+
+def test_vocab_overlap_hand_case():
+    t = pa.table({
+        "g": pa.array(["a", "a", "b", "c"], pa.string()),
+        "text": pa.array(["x y z", "y q", "y z", "only"], pa.string()),
+    })
+    got = (vocab_overlap(ray.data.from_arrow(t), group_col="g")
+           .to_pandas().sort_values(["grp_a", "grp_b"])
+           .reset_index(drop=True))
+    # a={x,y,z,q}, b={y,z}, c={only}: a∩b={y,z} -> 2/(4+2-2)=0.5
+    assert got.grp_a.tolist() == ["a"]
+    assert got.grp_b.tolist() == ["b"]
+    assert got.inter.item() == 2
+    assert got.jaccard.item() == 0.5
