@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q146_keep_best_dedup": _keep_best_dedup_q,
         "q147_latest_event": _latest_event_q,
         "q148_vocab_overlap": _vocab_overlap_q,
+        "q149_diversified_topk": _diversified_topk_q,
     }
 
 
@@ -745,6 +746,24 @@ def _vocab_overlap_q(sf_dir: str):
                                  columns=["source", "text"])
     return vocab_overlap(docs, group_col="source", text_col="text",
                          num_partitions=8)
+
+
+def _diversified_topk_q(sf_dir: str):
+    """q149: diversified global top-k — the 20 longest documents with
+    at most 3 per source (stages/rank.py:diversified_topk): streaming
+    per-block per-group top-m partials, one tiny group-keyed exchange,
+    final sort.limit over groups×m survivors; ties to the smaller id
+    everywhere so the LIMIT boundary is deterministic."""
+    import ray
+
+    from featurebox_ray.stages.rank import diversified_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source",
+                                          "n_chars"])
+    return diversified_topk(docs, group_col="source", id_col="doc_id",
+                            score_col="n_chars", m=3, k=20,
+                            num_partitions=8)
 
 
 def _snm_neardup_q(sf_dir: str):
@@ -5092,6 +5111,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # Gini diversity: HUGEINT count sums, one exact division
+        # diversified top-k: per-group quota then global limit
+        "q149_diversified_topk": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars FROM documents
+              QUALIFY row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) <= 3
+            )
+            SELECT source, doc_id, n_chars FROM r
+            ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
         # vocabulary overlap: exact distinct-token Jaccard per pair
         "q148_vocab_overlap": r"""
             WITH raw AS (

@@ -191,6 +191,7 @@ QUERY_NAMES = [
     "q139_line_dedup", "q140_forward_fill", "q141_rolling_distinct",
     "q142_collocation_pmi", "q143_ab_test", "q144_balance_corpus",
     "q146_keep_best_dedup", "q147_latest_event", "q148_vocab_overlap",
+    "q149_diversified_topk",
 ]
 
 

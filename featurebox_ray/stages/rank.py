@@ -280,3 +280,63 @@ def last_row_per_key(ds, *, key_col: str, order_cols,
                            sort_keys=[key_col] + order_cols,
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def diversified_topk(ds, *, group_col: str, id_col: str,
+                     score_col: str, m: int, k: int,
+                     num_partitions: int = 16):
+    """Global top-``k`` rows by ``score_col`` descending with AT MOST
+    ``m`` rows per group — the diversified ranking (report the best
+    documents but never let one source/domain flood the list; the
+    eval-set sampling rule "top quality, quota per domain").
+
+    Streaming per-block per-group top-``m`` partials (sound: a row
+    outside its group's block top-m cannot be in the group's global
+    top-m), ONE tiny group-keyed exchange re-ranks (the exchange moves
+    ``blocks × groups × m`` rows, never data), then a final
+    ``sort.limit(k)`` over ``groups × m`` survivors.  Ties break to the
+    smaller id everywhere; NULL scores sort last (DuckDB ``DESC``
+    default).  Returns ``(group_col, id_col, score_col)``.
+    """
+    from .partition import partitioned_map, sort_table
+
+    if m < 1 or k < 1:
+        raise ValueError("m and k must be >= 1")
+    neg = "__negscore"
+
+    def topm(t: pa.Table) -> pa.Table:
+        codes = _group_codes(t[group_col])
+        n = len(codes)
+        first = np.concatenate([[True], codes[1:] != codes[:-1]])
+        seg_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0))
+        rank = np.arange(n) - seg_start
+        return t.filter(pa.array(rank < m))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = [group_col, id_col, score_col]
+        b = b.select(cols)
+        b = b.append_column(neg, pc.negate(
+            b[score_col].combine_chunks()))
+        return topm(sort_table(b, [group_col, neg, id_col]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group_col not in t.column_names:
+            return t
+        return topm(t)
+
+    survivors = partitioned_map(partials, kernel, key=group_col,
+                                sort_keys=[group_col, neg, id_col],
+                                num_partitions=num_partitions,
+                                strategy="tasks")
+
+    def drop_neg(t: pa.Table) -> pa.Table:
+        return (t.drop_columns([neg]) if neg in t.column_names else t)
+
+    return (survivors.sort([neg, id_col])
+            .limit(k)
+            .map_batches(drop_neg, batch_format="pyarrow",
+                         zero_copy_batch=True))

@@ -77,3 +77,46 @@ def test_vocab_overlap_hand_case():
     assert got.grp_b.tolist() == ["b"]
     assert got.inter.item() == 2
     assert got.jaccard.item() == 0.5
+
+
+def test_diversified_topk_duckdb_fuzz():
+    from featurebox_ray.stages.rank import diversified_topk
+
+    rng = np.random.default_rng(29)
+    n = 600
+    t = pa.table({
+        "g": pa.array([f"s{rng.integers(0, 12)}" for _ in range(n)],
+                      pa.string()),
+        "id": pa.array(range(n), pa.int64()),
+        # heavy score ties exercise the id tie-break at every boundary
+        "score": pa.array(rng.integers(0, 25, n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.sql("""
+        WITH r AS (
+          SELECT g, id, score FROM t
+          QUALIFY row_number() OVER (
+              PARTITION BY g ORDER BY score DESC, id) <= 4
+        )
+        SELECT g, id, score FROM r
+        ORDER BY score DESC, id LIMIT 25
+    """).df().reset_index(drop=True)
+    prev = None
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (diversified_topk(ds, group_col="g", id_col="id",
+                                score_col="score", m=4, k=25,
+                                num_partitions=4)
+               .to_pandas().sort_values(["score", "id"],
+                                        ascending=[False, True])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+        # quota respected
+        assert got.groupby("g").size().max() <= 4
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
