@@ -455,7 +455,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q147_latest_event": _latest_event_q,
         "q148_vocab_overlap": _vocab_overlap_q,
         "q149_diversified_topk": _diversified_topk_q,
+        "q150_temperature_mix": _temperature_mix_q,
     }
+
+
+def _temperature_mix_q(sf_dir: str):
+    """q150: temperature-scaled corpus rebalancing
+    (stages/sample.py:temperature_rebalance) — per-source keep rate
+    min(1, (n_min/n_src)^0.5), the XLM-R-style share∝p^α mixing rule:
+    one tiny count aggregate + one shuffle-free Knuth-hash filter;
+    alpha=0.5 is a chain of IEEE sqrt so the threshold arithmetic is
+    bit-identical to the DuckDB replay."""
+    import ray
+
+    from featurebox_ray.stages.sample import temperature_rebalance
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "lang"])
+    return temperature_rebalance(docs, group_col="source",
+                                 key_col="doc_id", alpha=0.5)
 
 
 def _group_gini_q(sf_dir: str):
@@ -5121,6 +5139,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # temperature mix: floor(min(1,sqrt(nmin/n))*2^32) thresholds,
+        # identical Knuth hash — every float op is IEEE-exact both sides
+        "q150_temperature_mix": """
+            WITH c AS (SELECT source, count(*) AS n
+                       FROM documents GROUP BY source),
+                 mm AS (SELECT min(n) AS nmin FROM c),
+                 t AS (SELECT source,
+                         CAST(floor(least(
+                             1.0, sqrt(CAST(nmin AS DOUBLE)
+                                       / CAST(n AS DOUBLE)))
+                             * 4294967296.0) AS HUGEINT) AS thr
+                       FROM c, mm)
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d JOIN t USING (source)
+            WHERE ((CAST(d.doc_id AS HUGEINT) % 4294967296)
+                   * 2654435761) % 4294967296 < t.thr
         """,
         # vocabulary overlap: exact distinct-token Jaccard per pair
         "q148_vocab_overlap": r"""

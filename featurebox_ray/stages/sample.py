@@ -246,6 +246,92 @@ def weighted_sample_k(ds, *, key_col: str, weight_col: str, k: int):
                            strategy="tasks")
 
 
+def temperature_thresholds(counts: dict, alpha: float) -> dict:
+    """Per-group keep thresholds for :func:`temperature_rebalance`.
+
+    ``p_g = min(1, (n_min / n_g) ** alpha)`` — the multilingual-training
+    mixing rule (sampling share ∝ size^alpha): alpha=1 equalizes groups
+    in expectation, alpha=0.5 square-root smooths (the common default),
+    alpha→0 keeps the natural mix.  The integer threshold is
+    ``floor(p_g * 2^32)``.
+
+    SQL-exactness contract: for alpha in {1, 0.5, 0.25} the power is
+    computed as a chain of IEEE ``sqrt`` (correctly rounded, so DuckDB's
+    ``sqrt`` reproduces it bit-for-bit; alpha=0.25 is DEFINED as
+    ``sqrt(sqrt(r))`` on both sides); any other alpha uses libm ``pow``
+    and is replay-oracle territory, not SQL.  The ratio itself is one
+    int64→double conversion per side + one division — exact-rounded in
+    both engines.
+    """
+    if not counts:
+        return {}
+    if min(counts.values()) <= 0:
+        raise ValueError("group counts must be positive")
+    n_min = min(counts.values())
+    out = {}
+    for g, n in counts.items():
+        r = np.float64(n_min) / np.float64(n)
+        if alpha == 1.0:
+            p = r
+        elif alpha == 0.5:
+            p = np.sqrt(r)
+        elif alpha == 0.25:
+            p = np.sqrt(np.sqrt(r))
+        else:
+            p = r ** np.float64(alpha)
+        out[g] = int(np.floor(min(np.float64(1.0), p) * MOD))
+    return out
+
+
+def temperature_rebalance(ds, *, group_col: str, key_col: str,
+                          alpha: float = 0.5):
+    """Temperature-scaled corpus rebalancing — the standard LLM
+    data-mixing downsample (keep probability ``min(1, (n_min/n_g)^α)``
+    per group, so over-represented sources shrink toward the smallest
+    one as α→1 while α→0 keeps the natural mix).
+
+    Two passes, both streaming: one column-pruned count aggregate over
+    ``group_col`` (tiny — group cardinality rows reach the driver),
+    then ONE shuffle-free hash filter (:func:`knuth_hash` of
+    ``key_col`` against the group's broadcast threshold).  Deterministic
+    across runs, partitionings and cluster sizes; all rows of one key
+    within a group keep or drop together.  At 100 TB the count pass is
+    a combiner aggregate (bytes moved = groups × blocks) and the filter
+    is free.  Null group or key rows are dropped (documented; the SQL
+    replay's JOIN does the same).
+
+    Reference analog: none — this is the Section-3.5-of-XLM-R style
+    sampling rule (share ∝ p^α) every multi-source training pipeline
+    needs; see :func:`temperature_thresholds` for the SQL-exactness
+    contract.
+    """
+    counts = {}
+    for row in ds.groupby(group_col).count().take_all():
+        g = row[group_col]
+        if g is not None:
+            counts[g] = counts.get(g, 0) + int(row["count()"])
+    thresholds = temperature_thresholds(counts, alpha)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        for c in (key_col, group_col):
+            col = batch[c]
+            if col.null_count:
+                batch = batch.filter(pc.is_valid(col))
+        if batch.num_rows == 0:
+            return batch
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = knuth_hash(k, op=f"temperature_rebalance({key_col})")
+        gd = pc.dictionary_encode(batch[group_col].combine_chunks())
+        per_code = np.array([thresholds.get(v, 0)
+                             for v in gd.dictionary.to_pylist()], np.uint64)
+        thr = per_code[gd.indices.to_numpy(zero_copy_only=False)
+                       .astype(np.int64)]
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(filt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def add_split_column(ds, *, key_col: str, splits, out_col: str = "split"):
     """Leakage-safe multi-way split: every row gets a split label decided
     by its KEY's multiplicative hash, so all rows sharing a key (user,

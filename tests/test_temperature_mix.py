@@ -1,0 +1,86 @@
+"""Temperature-scaled corpus rebalancing
+(stages/sample.py:temperature_rebalance) vs a DuckDB replay of the
+identical threshold arithmetic, plus threshold-math unit checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from featurebox_ray.stages.sample import (MOD, temperature_rebalance,
+                                          temperature_thresholds)
+
+ORACLE = """
+    WITH c AS (SELECT g, count(*) AS n FROM t
+               WHERE g IS NOT NULL AND id IS NOT NULL GROUP BY g),
+         mm AS (SELECT min(n) AS nmin FROM c),
+         thr AS (SELECT g,
+                   CAST(floor(least(1.0, sqrt(CAST(nmin AS DOUBLE)
+                                              / CAST(n AS DOUBLE)))
+                        * 4294967296.0) AS HUGEINT) AS thr
+                 FROM c, mm)
+    SELECT t.id, t.g FROM t JOIN thr USING (g)
+    WHERE ((CAST(t.id AS HUGEINT) % 4294967296) * 2654435761)
+          % 4294967296 < thr.thr
+    ORDER BY t.id
+"""
+
+
+def test_temperature_thresholds_math():
+    # alpha=1 equalizes in expectation: smallest group keeps all
+    thr = temperature_thresholds({"a": 100, "b": 400}, 1.0)
+    assert thr["a"] == MOD
+    assert thr["b"] == int(np.floor(np.float64(0.25) * MOD))
+    # alpha=0.5: sqrt smoothing
+    thr = temperature_thresholds({"a": 100, "b": 400}, 0.5)
+    assert thr["b"] == int(np.floor(np.sqrt(np.float64(0.25)) * MOD))
+    # alpha=0.25 is DEFINED as sqrt(sqrt(r))
+    thr = temperature_thresholds({"a": 100, "b": 400}, 0.25)
+    assert thr["b"] == int(np.floor(np.sqrt(np.sqrt(np.float64(0.25)))
+                                    * MOD))
+    # alpha->0 keeps everything
+    thr = temperature_thresholds({"a": 1, "b": 10**9}, 0.0)
+    assert all(v == MOD for v in thr.values())
+
+
+def test_temperature_rebalance_duckdb_fuzz_partition_invariant():
+    rng = np.random.default_rng(31)
+    sizes = {"en": 900, "fr": 200, "de": 60, "sw": 25}
+    gs, ids = [], []
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            gs.append(g)
+            ids.append(i)
+            i += 1
+    # a few null groups / null ids must drop on both sides
+    gs += [None, "en"]
+    ids += [i, None]
+    order = rng.permutation(len(gs))
+    gs = [gs[j] for j in order]
+    ids = [ids[j] for j in order]
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "g": pa.array(gs, pa.string())})
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.sql(ORACLE).df().reset_index(drop=True)
+    prev = None
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (temperature_rebalance(ds, group_col="g", key_col="id",
+                                     alpha=0.5)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+    # the smallest group survives intact (threshold = 2^32 keeps all)
+    assert (got.g == "sw").sum() == sizes["sw"]
+    # the largest shrinks toward sqrt(nmin/n) of itself
+    frac = (got.g == "en").sum() / sizes["en"]
+    expect = np.sqrt(sizes["sw"] / sizes["en"])
+    assert abs(frac - expect) < 0.1
