@@ -456,7 +456,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q148_vocab_overlap": _vocab_overlap_q,
         "q149_diversified_topk": _diversified_topk_q,
         "q150_temperature_mix": _temperature_mix_q,
+        "q151_ecdf_encode": _ecdf_encode_q,
     }
+
+
+def _ecdf_encode_q(sf_dir: str):
+    """q151: reference-distribution ECDF / percentile encoding
+    (stages/encode.py:ecdf_encode) — events in the later half of the
+    time range are scored against the earlier half's per-type value
+    distribution (train-time calibration / drift feature): one tiny
+    min/max aggregate picks the integer-us midpoint, the reference
+    half reduces to per-type sorted arrays built once per actor, the
+    query half streams through one searchsorted per batch.  Exact
+    int counts; pct = one double division."""
+    import ray
+
+    from featurebox_ray.stages.encode import ecdf_encode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"])
+    import datetime as _dt
+
+    lohi = ev.aggregate(ray.data.aggregate.Min("ts"),
+                        ray.data.aggregate.Max("ts"))
+
+    def _us(v) -> int:
+        if hasattr(v, "value"):           # pandas Timestamp (ns)
+            return int(v.value) // 1000
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+
+    lo, hi = _us(lohi["min(ts)"]), _us(lohi["max(ts)"])
+    mid = lo + (hi - lo) // 2
+
+    import pyarrow.compute as pc
+
+    def ts_us(b):
+        return pc.cast(b["ts"].combine_chunks(), "int64")
+
+    ref = ev.map_batches(
+        lambda b: b.filter(pc.and_(pc.is_valid(b["ts"]),
+                                   pc.less_equal(ts_us(b), mid))),
+        batch_format="pyarrow", zero_copy_batch=True).select_columns(
+        ["event_type", "value"])
+    qry = ev.map_batches(
+        lambda b: b.filter(pc.and_(pc.is_valid(b["ts"]),
+                                   pc.greater(ts_us(b), mid))),
+        batch_format="pyarrow", zero_copy_batch=True).select_columns(
+        ["event_id", "event_type", "value"])
+    return ecdf_encode(qry, ref, group_col="event_type",
+                       value_col="value")
 
 
 def _temperature_mix_q(sf_dir: str):
@@ -5139,6 +5189,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # ECDF encode: strict-< counts via the tagged-union window sum
+        # (refs tag 1, queries tag 0, ORDER BY value,tag puts equal-value
+        # refs AFTER the query row); pct = one double/double division
+        "q151_ecdf_encode": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS lo,
+                              max(epoch_us(ts)) AS hi
+                       FROM events WHERE ts IS NOT NULL),
+            m AS (SELECT lo + (hi - lo) // 2 AS mid FROM b),
+            ref AS (SELECT event_type, value FROM events, m
+                    WHERE ts IS NOT NULL AND epoch_us(ts) <= mid
+                      AND event_type IS NOT NULL AND value IS NOT NULL
+                      AND isfinite(value)),
+            qry AS (SELECT event_id, event_type, value FROM events, m
+                    WHERE ts IS NOT NULL AND epoch_us(ts) > mid
+                      AND event_type IS NOT NULL AND value IS NOT NULL
+                      AND isfinite(value)),
+            u AS (
+              SELECT event_type, value, 1 AS tag,
+                     CAST(NULL AS BIGINT) AS event_id FROM ref
+              UNION ALL
+              SELECT event_type, value, 0, event_id FROM qry
+            ),
+            w AS (
+              SELECT event_id, event_type, value, tag,
+                     sum(tag) OVER (PARTITION BY event_type
+                                    ORDER BY value, tag
+                                    ROWS UNBOUNDED PRECEDING) - tag
+                       AS below,
+                     sum(tag) OVER (PARTITION BY event_type) AS n_all
+              FROM u
+            )
+            SELECT event_id, event_type, value,
+                   CAST(below AS BIGINT) AS cnt_below,
+                   CAST(n_all AS BIGINT) AS n_ref,
+                   CASE WHEN n_all = 0 THEN NULL
+                        ELSE CAST(below AS DOUBLE)
+                             / CAST(n_all AS DOUBLE) END AS pct
+            FROM w WHERE tag = 0
         """,
         # temperature mix: floor(min(1,sqrt(nmin/n))*2^32) thresholds,
         # identical Knuth hash — every float op is IEEE-exact both sides

@@ -122,3 +122,110 @@ def oof_target_encode(ds, *, cat_col: str, fold_key_col: str,
     # the exchange moves O(blocks × categories × folds) partial rows
     return partials.groupby(cat_col).map_groups(
         finalize, batch_format="pyarrow")
+
+
+def ecdf_encode(query_ds, ref_table, *, group_col: str, value_col: str,
+                cnt_col: str = "cnt_below", n_col: str = "n_ref",
+                pct_col: str = "pct", concurrency=(1, 8)):
+    """Reference-distribution ECDF / percentile encoding — calibrate
+    each row's value against a REFERENCE table's per-group empirical
+    distribution (the train-time-distribution score calibration /
+    drift-feature primitive): ``cnt_below = #{ref rows of the same
+    group with value < x}``, ``pct = cnt_below / n_ref``.
+
+    Shuffle-free on the query stream: the reference reduces to one
+    sorted float64 array per group, built ONCE per actor from the
+    reference's materialized block refs (only refs travel through the
+    driver — the broadcast_join pattern); each batch then runs one
+    vectorized ``searchsorted`` per group present.  Groups with no
+    reference rows emit ``n_ref = 0`` and a NULL ``pct``.
+
+    Exactness contract: ``cnt_below``/``n_ref`` are exact ints;
+    ``pct`` is one ``double(int)/double(int)`` division — bit-exact in
+    SQL.  The strict ``<`` count replays order-independently via the
+    tagged-union window trick (tag refs 1, queries 0, running
+    ``sum(tag)`` over ``ORDER BY value, tag``).  Non-finite or NULL
+    values/groups are dropped on BOTH sides (NaN totally orders
+    differently in numpy vs SQL; ``isfinite`` filters mirror it).
+
+    At 100 TB the per-group reference arrays must fit a worker's heap
+    (they are value-only, one float per ref row); past that, aggregate
+    the reference into the q61 dyadic-histogram sketch and encode
+    against bin edges instead.
+
+    Reference analog: ``MagnitudeTransformer``'s fit-then-apply shape
+    (symbol/preprocess.py:25-170) generalized from column means to the
+    full per-group ECDF.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    if isinstance(ref_table, pa.Table):
+        refs = [ray.put(ref_table)]
+    else:
+        refs = materialized_block_refs(ref_table)
+
+    class Encoder:
+        def __init__(self):
+            blocks = [b for b in ray.get(list(refs))
+                      if isinstance(b, pa.Table) and b.num_rows]
+            self.sorted_vals: dict = {}
+            if blocks:
+                rt = pa.concat_tables(
+                    [b.select([group_col, value_col]) for b in blocks],
+                    promote_options="default")
+                g = rt[group_col].combine_chunks()
+                v = rt[value_col].combine_chunks()
+                keep = pc.and_(pc.and_(pc.is_valid(g), pc.is_valid(v)),
+                               pc.is_finite(v))
+                rt = rt.filter(keep)
+                gd = pc.dictionary_encode(rt[group_col].combine_chunks())
+                codes = gd.indices.to_numpy(zero_copy_only=False)
+                vals = (rt[value_col].combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64))
+                order = np.lexsort((vals, codes))
+                c_s, v_s = codes[order], vals[order]
+                for i, gval in enumerate(gd.dictionary.to_pylist()):
+                    # dictionary code i's run (codes are sorted, one run)
+                    pos = np.searchsorted(c_s, i, side="left")
+                    end = np.searchsorted(c_s, i, side="right")
+                    self.sorted_vals[gval] = v_s[pos:end]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = batch[group_col]
+            v = batch[value_col]
+            keep = pc.and_(pc.and_(pc.is_valid(g), pc.is_valid(v)),
+                           pc.is_finite(v))
+            if not pc.all(keep).as_py():
+                batch = batch.filter(keep)
+            if batch.num_rows == 0:
+                return batch.append_column(
+                    cnt_col, pa.array([], pa.int64())).append_column(
+                    n_col, pa.array([], pa.int64())).append_column(
+                    pct_col, pa.array([], pa.float64()))
+            gd = pc.dictionary_encode(batch[group_col].combine_chunks())
+            codes = gd.indices.to_numpy(zero_copy_only=False)
+            vals = (batch[value_col].combine_chunks()
+                    .to_numpy(zero_copy_only=False).astype(np.float64))
+            cnt = np.zeros(len(vals), np.int64)
+            n_ref = np.zeros(len(vals), np.int64)
+            for i, gval in enumerate(gd.dictionary.to_pylist()):
+                mask = codes == i
+                arr = self.sorted_vals.get(gval)
+                if arr is None or arr.size == 0:
+                    continue
+                cnt[mask] = np.searchsorted(arr, vals[mask], side="left")
+                n_ref[mask] = arr.size
+            pct = cnt.astype(np.float64) / np.maximum(
+                n_ref, 1).astype(np.float64)
+            return (batch
+                    .append_column(cnt_col, pa.array(cnt, pa.int64()))
+                    .append_column(n_col, pa.array(n_ref, pa.int64()))
+                    .append_column(pct_col, pa.array(
+                        pct, pa.float64(), mask=n_ref == 0)))
+
+    return query_ds.map_batches(Encoder, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=concurrency)
