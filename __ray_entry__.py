@@ -457,7 +457,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q149_diversified_topk": _diversified_topk_q,
         "q150_temperature_mix": _temperature_mix_q,
         "q151_ecdf_encode": _ecdf_encode_q,
+        "q152_skipgram_pairs": _skipgram_pairs_q,
     }
+
+
+def _skipgram_pairs_q(sf_dir: str):
+    """q152: top-k skip-gram co-occurrence pairs within a ±3 window
+    (stages/tfidf.py:skipgram_pairs) — the word2vec/PMI context-window
+    statistic as one vectorized per-distance pair emit + the shared
+    exact heavy-hitters exchange; the shuffle moves distinct pairs per
+    block, never tokens."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import skipgram_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=32)
+    return skipgram_pairs(docs, window=3, k=25, num_partitions=8)
 
 
 def _ecdf_encode_q(sf_dir: str):
@@ -5189,6 +5206,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # skip-gram pairs: position self-join over unnested tokens,
+        # distance 1..3, same (cnt desc, pair asc) boundary
+        "q152_skipgram_pairs": r"""
+            WITH base AS (SELECT doc_id,
+                                 regexp_extract_all(coalesce(text, ''),
+                                                    '\S+') AS t
+                          FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS w,
+                           generate_subscripts(t, 1) AS i
+                    FROM base),
+            pr AS (SELECT a.w || ' ' || b.w AS pair
+                   FROM tok a JOIN tok b
+                     ON a.doc_id = b.doc_id
+                    AND b.i > a.i AND b.i <= a.i + 3)
+            SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr
+            GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 25
         """,
         # ECDF encode: strict-< counts via the tagged-union window sum
         # (refs tag 1, queries tag 0, ORDER BY value,tag puts equal-value

@@ -311,6 +311,73 @@ def top_bigrams(ds, *, id_col: str = "doc_id", text_col: str = "text",
                            zero_copy_batch=True)
 
 
+def skipgram_pairs(ds, *, id_col: str = "doc_id",
+                   text_col: str = "text", window: int = 3,
+                   k: int = 20, num_partitions: int = 8):
+    """Exact global top-k skip-gram co-occurrence pairs — ordered token
+    pairs ``(a, b)`` where ``b`` follows ``a`` within ``window``
+    positions in the same document, counted corpus-wide (the word2vec /
+    PMI context-window statistic, generalizing :func:`top_bigrams` from
+    distance 1 to distance ≤ ``window``).
+
+    Per-block kernel stays fully vectorized: one pass per distance
+    ``d ∈ [1, window]`` selects flat-token indices whose ``i`` and
+    ``i+d`` share a row (the :func:`adjacent_token_indices` mask
+    generalized), all distances concatenate into ONE dictionary-encode
+    + bincount; then the shared exact heavy-hitters tail (one term-keyed
+    exchange, local-then-global top-k under ``(count desc, pair asc)``).
+    Bytes shuffled = distinct pairs per block, never tokens.
+
+    Returns ``(pair:string, cnt:int64)`` with the two tokens joined by
+    one space — SQL replays via a position self-join on the unnested
+    token list (``b.i > a.i AND b.i <= a.i + window``).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        n = len(flat)
+        if n < 2:
+            return empty
+        counts = np.diff(off)
+        row_ids = np.repeat(np.arange(len(counts)), counts)
+        firsts, seconds = [], []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            sel = np.flatnonzero(row_ids[d:] == row_ids[:-d])
+            if len(sel):
+                firsts.append(sel)
+                seconds.append(sel + d)
+        if not firsts:
+            return empty
+        ia = np.concatenate(firsts)
+        ib = np.concatenate(seconds)
+        a = flat.take(pa.array(ia, pa.int64()))
+        b = flat.take(pa.array(ib, pa.int64()))
+        grams = pc.binary_join_element_wise(a, b, " ")
+        dct = pc.dictionary_encode(grams)
+        cnt = np.bincount(dct.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(dct.dictionary))
+        return pa.table({"term": dct.dictionary.cast(pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    out = _exact_topk_exchange(partials, k=k,
+                               num_partitions=num_partitions)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["pair", "cnt"])
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def corpus_freq_score(ds, *, id_col: str = "doc_id",
                       text_col: str = "text", top_v: int = 512,
                       num_partitions: int = 8):

@@ -84,3 +84,61 @@ def test_temperature_rebalance_duckdb_fuzz_partition_invariant():
     frac = (got.g == "en").sum() / sizes["en"]
     expect = np.sqrt(sizes["sw"] / sizes["en"])
     assert abs(frac - expect) < 0.1
+
+
+SKIPGRAM_ORACLE = r"""
+    WITH base AS (SELECT id, regexp_extract_all(coalesce(text, ''),
+                                                '\S+') AS t
+                  FROM docs),
+    tok AS (SELECT id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+            FROM base),
+    pr AS (SELECT a.w || ' ' || b.w AS pair
+           FROM tok a JOIN tok b
+             ON a.id = b.id AND b.i > a.i AND b.i <= a.i + 2)
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr
+    GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 15
+"""
+
+
+def test_skipgram_pairs_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.tfidf import skipgram_pairs
+
+    rng = np.random.default_rng(59)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for _ in range(200):
+        n = int(rng.integers(0, 9))
+        docs.append(" ".join(rng.choice(vocab, n)) if n else
+                    (None if rng.random() < 0.5 else ""))
+    pdf = pd.DataFrame({"id": range(len(docs)), "text": docs})
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    exp = con.sql(SKIPGRAM_ORACLE).df().reset_index(drop=True)
+    t = pa.table({"id": pa.array(pdf.id, pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (skipgram_pairs(ds, id_col="id", window=2, k=15,
+                              num_partitions=4)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+
+
+def test_skipgram_window1_equals_bigrams():
+    from featurebox_ray.stages.tfidf import skipgram_pairs, top_bigrams
+
+    t = pa.table({"id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b a b c", "b c"], pa.string())})
+    sg = (skipgram_pairs(ray.data.from_arrow(t), id_col="id", window=1,
+                         k=10, num_partitions=2).to_pandas())
+    bg = (top_bigrams(ray.data.from_arrow(t), id_col="id", k=10,
+                      num_partitions=2).to_pandas())
+    assert sg.pair.tolist() == bg.bigram.tolist()
+    assert sg.cnt.tolist() == bg.cnt.tolist()
