@@ -458,7 +458,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q150_temperature_mix": _temperature_mix_q,
         "q151_ecdf_encode": _ecdf_encode_q,
         "q152_skipgram_pairs": _skipgram_pairs_q,
+        "q153_naive_bayes": _naive_bayes_q,
     }
+
+
+def _naive_bayes_q(sf_dir: str):
+    """q153: multinomial Naive Bayes language classifier (stages/nb.py)
+    — the fastText-shaped corpus labeler: exact top-V vocab, ONE
+    cell-keyed exchange of (slot·n_classes+class, cnt) int64 partials,
+    model broadcast once, per-doc reduceat scoring + prior add +
+    first-max argmax.  Fixture oracle:
+    _oracle_replays.replay_multinomial_nb recomputes serially from
+    Counters with the same documented reduction — BIT-EXACT."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_multinomial_nb
+    from featurebox_ray.stages.nb import multinomial_nb_predict
+
+    TOP_V, ADD_K = 256, 1.0
+
+    # ---- serial replay fixture -----------------------------------------
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    rep = replay_multinomial_nb(
+        t["doc_id"].to_pylist(), t["text"].to_pylist(),
+        t["lang"].to_pylist(), top_v=TOP_V, add_k=ADD_K)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(rep["doc_id"], pa.int64()),
+            "n_tokens": pa.array(rep["n_tokens"], pa.int64()),
+            "pred": pa.array(rep["pred"], pa.string()),
+            "logprob": pa.array(rep["logprob"], pa.float64()),
+        }), f"{_ORACLE_DIR}/naive_bayes.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/naive_bayes.parquet.tmp",
+               f"{_ORACLE_DIR}/naive_bayes.parquet")
+
+    # ---- distributed engine run ----------------------------------------
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"],
+                                 override_num_blocks=32)
+    return multinomial_nb_predict(docs, top_v=TOP_V, add_k=ADD_K)
 
 
 def _skipgram_pairs_q(sf_dir: str):
@@ -5206,6 +5250,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # Naive Bayes: serial-replay fixture, bit-exact float contract
+        "q153_naive_bayes": f"""
+            SELECT doc_id, n_tokens, pred, logprob
+            FROM read_parquet('{_ORACLE_DIR}/naive_bayes.parquet')
         """,
         # skip-gram pairs: position self-join over unnested tokens,
         # distance 1..3, same (cnt desc, pair asc) boundary

@@ -688,3 +688,55 @@ def replay_knn_join(left_ids, left_vecs, right_ids, right_vecs, *,
 
     a = _np.array(out, dtype=_np.int64).reshape(-1, 4)
     return a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+
+
+def replay_multinomial_nb(ids: Sequence[int], texts: Sequence[str],
+                          labels: Sequence, *, top_v: int,
+                          add_k: float):
+    """Serial multinomial-NB replay (q153): Counter vocabulary, dense
+    (slot, class) counts, per-document scoring with the documented
+    reduction (np.add.reduceat over the doc's log2-likelihood slice +
+    one prior add + argmax with first-max tie-break) — the exact
+    arithmetic contract of stages/nb.py, recomputed without any engine
+    kernel imports."""
+    from collections import Counter
+
+    tok = {i: (t or "").split() for i, t in zip(ids, texts)}
+    counts: Counter = Counter(w for ws in tok.values() for w in ws)
+    vocab = sorted(counts, key=lambda w: (-counts[w], w))[:top_v]
+    slot = {w: i for i, w in enumerate(sorted(vocab))}
+    unk = len(vocab)
+    n_slots = unk + 1
+    lab = {i: v for i, v in zip(ids, labels)}
+    classes = sorted({v for v in labels if v is not None})
+    cidx = {c: j for j, c in enumerate(classes)}
+    n_classes = len(classes)
+    cm = np.zeros((n_slots, n_classes), np.int64)
+    class_docs = np.zeros(n_classes, np.int64)
+    for i in ids:
+        if lab[i] is None:
+            continue
+        j = cidx[lab[i]]
+        class_docs[j] += 1
+        for w in tok[i]:
+            cm[slot.get(w, unk), j] += 1
+    totals = cm.sum(axis=0)
+    log_prior = np.log2(class_docs.astype(np.float64)
+                        / np.float64(int(class_docs.sum())))
+    rows = []
+    for i in ids:
+        ss = np.array([slot.get(w, unk) for w in tok[i]], np.int64)
+        scores = np.empty(n_classes, np.float64)
+        for j in range(n_classes):
+            num = cm[ss, j].astype(np.float64) + add_k
+            den = totals[j].astype(np.float64) + add_k * n_slots
+            lp = np.log2(num / den)
+            s = (np.add.reduceat(lp, [0])[0] if len(ss)
+                 else np.float64(0.0))
+            scores[j] = s + log_prior[j]
+        best = int(np.argmax(scores))
+        rows.append((i, len(ss), classes[best], float(scores[best])))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "pred",
+                                       "logprob"])
