@@ -459,7 +459,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q151_ecdf_encode": _ecdf_encode_q,
         "q152_skipgram_pairs": _skipgram_pairs_q,
         "q153_naive_bayes": _naive_bayes_q,
+        "q154_isotonic": _isotonic_q,
     }
+
+
+def _isotonic_q(sf_dir: str):
+    """q154: isotonic (PAV) calibration of P(lang='en') as a monotone
+    function of document length (stages/isotonic.py) — exact int64
+    (x, n, sum_y) sufficient statistics on one x-keyed exchange,
+    pool-adjacent-violators on the driver with integer cross-mult mean
+    comparisons; the only float is one division per pooled block.
+    Fixture oracle: _oracle_replays.replay_isotonic (independent
+    Fraction-based PAV), bit-exact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_isotonic
+    from featurebox_ray.stages.isotonic import isotonic_fit
+
+    X_SCALE, Y_SCALE = 0.01, 1.0   # length in hundreds; y already 0/1
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["n_chars", "lang"])
+    # NULL lang counts as non-en on BOTH sides (engine fill_null(''))
+    ys = [float(v == "en") for v in t["lang"].to_pylist()]
+    rep = replay_isotonic(
+        [float(v) for v in t["n_chars"].to_pylist()], ys,
+        x_scale=X_SCALE, y_scale=Y_SCALE)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "x": pa.array(rep["x"], pa.int64()),
+            "n": pa.array(rep["n"], pa.int64()),
+            "sum_y": pa.array(rep["sum_y"], pa.int64()),
+            "pool": pa.array(rep["pool"], pa.int64()),
+            "fitted": pa.array(rep["fitted"], pa.float64()),
+        }), f"{_ORACLE_DIR}/isotonic.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/isotonic.parquet.tmp",
+               f"{_ORACLE_DIR}/isotonic.parquet")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["n_chars", "lang"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": b["n_chars"],
+            "y": pc.cast(pc.equal(pc.fill_null(b["lang"], ""), "en"),
+                         pa.float64()),
+        })
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return isotonic_fit(prepped, x_col="x", y_col="y",
+                        x_scale=X_SCALE, y_scale=Y_SCALE)
 
 
 def _naive_bayes_q(sf_dir: str):
@@ -5250,6 +5306,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # isotonic PAV: integer-exact pooling, replay fixture
+        "q154_isotonic": f"""
+            SELECT x, n, sum_y, pool, fitted
+            FROM read_parquet('{_ORACLE_DIR}/isotonic.parquet')
         """,
         # Naive Bayes: serial-replay fixture, bit-exact float contract
         "q153_naive_bayes": f"""

@@ -740,3 +740,51 @@ def replay_multinomial_nb(ids: Sequence[int], texts: Sequence[str],
 
     return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "pred",
                                        "logprob"])
+
+
+def replay_isotonic(xs: Sequence[float], ys: Sequence[float], *,
+                    x_scale: float, y_scale: float,
+                    increasing: bool = True):
+    """Serial isotonic-fit replay (q154): quantize, aggregate to
+    distinct-x sufficient statistics, pool-adjacent-violators with
+    Fraction-exact mean comparisons, one final double division per
+    pooled block — the exact arithmetic contract of
+    stages/isotonic.py, implemented independently (Fractions here,
+    integer cross-multiplication there)."""
+    from fractions import Fraction
+
+    agg: dict = {}
+    for x, y in zip(xs, ys):
+        if x is None or y is None:
+            continue
+        xq = int(np.round(np.float64(x) * x_scale))
+        yq = int(np.round(np.float64(y) * y_scale))
+        n, s = agg.get(xq, (0, 0))
+        agg[xq] = (n + 1, s + yq)
+    order = sorted(agg)
+    if not increasing:
+        order = order[::-1]
+    blocks = []  # [first_pos, n, s]
+    for i, xq in enumerate(order):
+        n, s = agg[xq]
+        blocks.append([i, n, s])
+        while (len(blocks) >= 2 and
+               Fraction(blocks[-2][2], blocks[-2][1])
+               > Fraction(blocks[-1][2], blocks[-1][1])):
+            b = blocks.pop()
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    rows = []
+    for j, (start, n, s) in enumerate(blocks):
+        end = blocks[j + 1][0] if j + 1 < len(blocks) else len(order)
+        for pos in range(start, end):
+            xq = order[pos]
+            rows.append((xq, agg[xq][0], agg[xq][1], j,
+                         float(np.float64(s) / np.float64(n))))
+    if not increasing:
+        m = len(blocks) - 1
+        rows = [(x, n, s, m - p, f) for x, n, s, p, f in rows][::-1]
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["x", "n", "sum_y", "pool",
+                                       "fitted"])
