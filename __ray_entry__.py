@@ -460,7 +460,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q152_skipgram_pairs": _skipgram_pairs_q,
         "q153_naive_bayes": _naive_bayes_q,
         "q154_isotonic": _isotonic_q,
+        "q155_ngram_novelty": _ngram_novelty_q,
     }
+
+
+def _ngram_novelty_q(sf_dir: str):
+    """q155: per-document n-gram novelty (stages/substr.py:
+    ngram_novelty) — fraction of a doc's distinct word 3-grams first
+    seen (min doc_id) in that doc; two pre-aggregated keyed exchanges
+    (gram-keyed first-of-run + doc-keyed partial sum with zero-gram
+    markers).  md5 gram keys ⇒ the SQL oracle groups by the gram
+    string directly."""
+    import ray
+
+    from featurebox_ray.stages.substr import ngram_novelty
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=32)
+    return ngram_novelty(docs, k=3, num_partitions=8)
 
 
 def _isotonic_q(sf_dir: str):
@@ -5306,6 +5324,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # n-gram novelty: md5 equality classes == string equality, so
+        # the oracle groups by the gram string; one double division
+        "q155_ngram_novelty": r"""
+            WITH base AS (SELECT doc_id,
+                                 regexp_extract_all(coalesce(text, ''),
+                                                    '\S+') AS t
+                          FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(t, i, i + 2), ' ')
+                           AS gram
+                  FROM base, LATERAL unnest(range(1, len(t) - 1))
+                       AS u(i)
+                  WHERE len(t) >= 3),
+            m AS (SELECT gram, min(doc_id) AS first_doc
+                  FROM g GROUP BY gram),
+            s AS (SELECT g.doc_id,
+                         CAST(count(*) AS BIGINT) AS n_grams,
+                         CAST(count(*) FILTER (
+                             WHERE g.doc_id = m.first_doc) AS BIGINT)
+                           AS n_novel
+                  FROM g JOIN m USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_grams, 0) AS n_grams,
+                   coalesce(s.n_novel, 0) AS n_novel,
+                   CASE WHEN s.n_grams IS NULL THEN NULL
+                        ELSE CAST(s.n_novel AS DOUBLE)
+                             / CAST(s.n_grams AS DOUBLE) END AS novelty
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # isotonic PAV: integer-exact pooling, replay fixture
         "q154_isotonic": f"""

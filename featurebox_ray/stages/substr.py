@@ -45,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["dup_spans", "dup_token_stats"]
+__all__ = ["dup_spans", "dup_token_stats", "ngram_novelty"]
 
 
 def _gram_emit_md5(batch: pa.Table, id_col: str, text_col: str,
@@ -324,5 +324,112 @@ def dup_token_stats(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return partitioned_map(tagged, stats_kernel, key=id_col,
                            sort_keys=[id_col, "pos"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+
+def ngram_novelty(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3, num_partitions: int = 16,
+                  hash_mode: str = "md5"):
+    """Per-document n-gram novelty — the fraction of a document's
+    DISTINCT word ``k``-grams whose corpus-wide first occurrence (by
+    min ``id_col``) is this document (novelty 1.0 = all-new content,
+    0.0 = everything seen in an earlier doc; the incremental-ingest
+    "how much new text does this shard add" signal, a per-doc
+    refinement of exact/near dedup).
+
+    Two keyed exchanges, both pre-aggregated: (1) per-block DISTINCT
+    ``(gram key, doc)`` pairs (a doc is one row, so block-local
+    distinct is global) ride a gram-keyed exchange whose kernel marks
+    ``doc == first doc of the gram run`` and collapses straight to
+    per-doc ``(n, novel)`` partials — the second shuffle moves
+    O(partitions × docs) partial rows, never grams; (2) a doc-keyed
+    exchange sums partials with zero-gram marker rows (tagged union)
+    so short docs emit ``n_grams=0, novelty=NULL``.
+
+    Gram keys follow the :func:`dup_spans` convention: ``md5`` mode is
+    SQL-replayable (its equality classes ARE string equality, so the
+    oracle can group by the gram string directly); ``poly`` is the
+    vectorized 100-TB path, identical barring ~2^-64 collisions.
+    Returns ``(id_col, n_grams:int64, n_novel:int64,
+    novelty:float64)``; novelty = one double/double division.
+    """
+    from .partition import partitioned_map
+
+    emit = _check_hash_mode(hash_mode)
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        g = emit(batch, id_col, text_col, k)
+        gh = g["gh"].to_numpy(zero_copy_only=False)
+        gh2 = g["gh2"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, gh2, gh))
+        gh, gh2, ids = gh[order], gh2[order], ids[order]
+        first = np.concatenate([[True], (gh[1:] != gh[:-1])
+                                | (gh2[1:] != gh2[:-1])
+                                | (ids[1:] != ids[:-1])])
+        return pa.table({"gh": pa.array(gh[first]),
+                         "gh2": pa.array(gh2[first]),
+                         id_col: pa.array(ids[first], pa.int64())})
+
+    def gram_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "gh" not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "novel": pa.array([], pa.int64())})
+        gh = t["gh"].to_numpy(zero_copy_only=False)
+        gh2 = t["gh2"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        run_start = np.concatenate([[True], (gh[1:] != gh[:-1])
+                                    | (gh2[1:] != gh2[:-1])])
+        # rows are sorted by (gh, gh2, doc): the run head IS min doc
+        first_doc = ids[np.maximum.accumulate(
+            np.where(run_start, np.arange(len(ids)), 0))]
+        novel = (ids == first_doc).astype(np.int64)
+        u, inv = np.unique(ids, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        nv = np.zeros(len(u), np.int64)
+        np.add.at(nv, inv, novel)
+        return pa.table({id_col: pa.array(u, pa.int64()),
+                         "n": pa.array(n), "novel": pa.array(nv)})
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    partials = partitioned_map(pairs, gram_kernel, key="gh",
+                               sort_keys=["gh", "gh2", id_col],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+
+    def markers(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        z = pa.array(np.zeros(batch.num_rows, np.int64))
+        return pa.table({id_col: ids, "n": z, "novel": z})
+
+    marks = ds.map_batches(markers, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_novel": pa.array([], pa.int64()),
+                             "novelty": pa.array([], pa.float64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ids, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        nv = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, t["n"].to_numpy(zero_copy_only=False))
+        np.add.at(nv, inv, t["novel"].to_numpy(zero_copy_only=False))
+        novelty = nv.astype(np.float64) / np.maximum(n, 1).astype(
+            np.float64)
+        return pa.table({id_col: pa.array(u, pa.int64()),
+                         "n_grams": pa.array(n),
+                         "n_novel": pa.array(nv),
+                         "novelty": pa.array(novelty, pa.float64(),
+                                             mask=n == 0)})
+
+    unioned = partials.union(marks)
+    return partitioned_map(unioned, combine, key=id_col,
+                           sort_keys=[id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
