@@ -461,7 +461,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q153_naive_bayes": _naive_bayes_q,
         "q154_isotonic": _isotonic_q,
         "q155_ngram_novelty": _ngram_novelty_q,
+        "q156_gopher_rules": _gopher_rules_q,
     }
+
+
+def _gopher_rules_q(sf_dir: str):
+    """q156: Gopher/C4 quality-rule filter (stages/text.py:
+    gopher_quality_fn) — word/char/symbol/bullet/stopword/alpha rules
+    with every ratio threshold compared as cross-multiplied integers
+    (exact keep decision, zero float thresholds); one stateless
+    vectorized Arrow-RE2 pass."""
+    import functools
+
+    import ray
+
+    from featurebox_ray.stages.text import gopher_quality_fn
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=32)
+    fn = functools.partial(gopher_quality_fn, min_words=5,
+                           min_stop_hits=0)
+    out = docs.map_batches(fn, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return out.drop_columns(["text"])
 
 
 def _ngram_novelty_q(sf_dir: str):
@@ -5324,6 +5347,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # Gopher rules: RE2 counts + integer cross-mult thresholds
+        "q156_gopher_rules": r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS tx,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS t,
+                     string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                len(t) AS gq_n_words,
+                coalesce(length(array_to_string(t, '')), 0)
+                  AS gq_word_chars,
+                len(regexp_extract_all(tx, '#')) AS gq_n_hash,
+                len(regexp_extract_all(tx, '\.\.\.')) AS gq_n_ellipsis,
+                len(ls) AS gq_n_lines,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '^\s*[-*•]'))) AS gq_n_bullet_lines,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '\.\.\.\s*$'))) AS gq_n_ellipsis_lines,
+                len(list_filter(t, x -> x IN ('the','be','to','of',
+                    'and','that','have','with'))) AS gq_n_stop,
+                len(list_filter(t, x -> regexp_matches(
+                    x, '[A-Za-z]'))) AS gq_n_alpha_words
+              FROM base)
+            SELECT doc_id, gq_n_words, gq_word_chars,
+                   CASE WHEN gq_n_words = 0 THEN NULL
+                        ELSE CAST(gq_word_chars AS DOUBLE)
+                             / CAST(gq_n_words AS DOUBLE)
+                   END AS gq_mean_word_len,
+                   gq_n_hash, gq_n_ellipsis, gq_n_lines,
+                   gq_n_bullet_lines, gq_n_ellipsis_lines, gq_n_stop,
+                   gq_n_alpha_words,
+                   (gq_n_words >= 5 AND gq_n_words <= 100000
+                    AND 3 * gq_n_words <= gq_word_chars
+                    AND gq_word_chars <= 10 * gq_n_words
+                    AND 10 * (gq_n_hash + gq_n_ellipsis) < gq_n_words
+                    AND 10 * gq_n_bullet_lines < 9 * gq_n_lines
+                    AND 10 * gq_n_ellipsis_lines < 3 * gq_n_lines
+                    AND 10 * gq_n_alpha_words >= 8 * gq_n_words
+                    AND gq_n_stop >= 0) AS gq_keep
+            FROM s
         """,
         # n-gram novelty: md5 equality classes == string equality, so
         # the oracle groups by the gram string; one double division

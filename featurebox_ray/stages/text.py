@@ -252,3 +252,103 @@ def script_profile_fn(batch: pa.Table, *, text_col: str = "text"
     ratio = pa.array(lat / np.maximum(nc, 1), pa.float64(),
                      mask=null_mask | (nc == 0))
     return out.append_column("sc_latin_ratio", ratio)
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality_fn(batch: pa.Table, *, text_col: str = "text",
+                      min_words: int = 50, max_words: int = 100000,
+                      min_stop_hits: int = 2) -> pa.Table:
+    """Gopher/C4-style document quality rules (Rae et al. 2021 §A1.1)
+    as one stateless vectorized pass — the standard pre-training
+    corpus filter: word-count bounds, mean-word-length band, symbol
+    and bullet/ellipsis ratios, alphabetic-word fraction, stopword
+    presence.
+
+    Every RATIO rule compares as cross-multiplied INTEGERS
+    (``10·symbols < words`` instead of ``symbols/words < 0.1``) so the
+    keep decision is exact and the whole operator replays in SQL with
+    zero float thresholds; the only float emitted is the descriptive
+    ``gq_mean_word_len`` (one double/double division, NULL for empty
+    docs).  All counts are Arrow RE2 kernels / token reductions — both
+    Arrow and DuckDB are RE2, so ``len(regexp_extract_all(...))`` and
+    ``list_filter(... regexp_matches ...)`` replay each count exactly
+    (the q117 contract).  NULL text behaves as empty (all counts 0,
+    keep false).
+
+    Appended columns (prefix ``gq_``): n_words, word_chars,
+    mean_word_len, n_hash, n_ellipsis, n_lines, n_bullet_lines,
+    n_ellipsis_lines, n_stop, n_alpha_words, keep.
+
+    Keep rule: ``min_words ≤ words ≤ max_words`` AND ``3 ≤ mean word
+    len ≤ 10`` (as ``3·words ≤ chars ≤ 10·words``) AND
+    ``10·(#hash + #ellipsis) < words`` AND ``10·bullet_lines <
+    9·lines`` AND ``10·ellipsis_lines < 3·lines`` AND
+    ``10·alpha_words ≥ 8·words`` AND ``stop_hits ≥ min_stop_hits``.
+    """
+    from .dedup import split_tokens
+
+    texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+    flat, off = split_tokens(texts)
+    n_words = np.diff(off).astype(np.int64)
+    if len(flat):
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        stop_hit = pc.is_in(
+            flat, value_set=pa.array(GOPHER_STOPWORDS)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        alpha_hit = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    else:
+        tok_len = stop_hit = alpha_hit = np.empty(0, np.int64)
+    word_chars = _row_sums(tok_len.astype(np.int64), off)
+    n_stop = _row_sums(stop_hit, off)
+    n_alpha = _row_sums(alpha_hit, off)
+    n_hash = pc.count_substring_regex(texts, "#").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_ell = pc.count_substring_regex(texts, r"\.\.\.").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lines = pc.split_pattern(texts, "\n")
+    n_lines = pc.list_value_length(lines).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lflat = pc.list_flatten(lines)
+    loff = np.zeros(len(n_lines) + 1, np.int64)
+    np.cumsum(n_lines, out=loff[1:])
+    if len(lflat):
+        bullet = pc.match_substring_regex(
+            lflat, r"^\s*[-*•]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ell_line = pc.match_substring_regex(
+            lflat, r"\.\.\.\s*$").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    else:
+        bullet = ell_line = np.empty(0, np.int64)
+    n_bullet = _row_sums(bullet, loff)
+    n_ell_lines = _row_sums(ell_line, loff)
+
+    mean_wl = word_chars.astype(np.float64) / np.maximum(
+        n_words, 1).astype(np.float64)
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+            & (10 * (n_hash + n_ell) < n_words)
+            & (10 * n_bullet < 9 * n_lines)
+            & (10 * n_ell_lines < 3 * n_lines)
+            & (10 * n_alpha >= 8 * n_words)
+            & (n_stop >= min_stop_hits))
+    out = batch
+    for name, arr in (
+            ("gq_n_words", pa.array(n_words)),
+            ("gq_word_chars", pa.array(word_chars)),
+            ("gq_mean_word_len", pa.array(mean_wl, pa.float64(),
+                                          mask=n_words == 0)),
+            ("gq_n_hash", pa.array(n_hash)),
+            ("gq_n_ellipsis", pa.array(n_ell)),
+            ("gq_n_lines", pa.array(n_lines)),
+            ("gq_n_bullet_lines", pa.array(n_bullet)),
+            ("gq_n_ellipsis_lines", pa.array(n_ell_lines)),
+            ("gq_n_stop", pa.array(n_stop)),
+            ("gq_n_alpha_words", pa.array(n_alpha)),
+            ("gq_keep", pa.array(keep))):
+        out = out.append_column(name, arr)
+    return out
