@@ -462,7 +462,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q154_isotonic": _isotonic_q,
         "q155_ngram_novelty": _ngram_novelty_q,
         "q156_gopher_rules": _gopher_rules_q,
+        "q157_budget_select": _budget_select_q,
     }
+
+
+def _budget_select_q(sf_dir: str):
+    """q157: token-budget corpus selection (stages/rank.py:
+    budget_select) — docs ranked (n_chars desc, doc_id asc), kept
+    while the exact int64 running token total stays ≤ 20000 (the
+    'best docs up to a token budget' curation cut); one range sort +
+    metadata-sized block offsets, blocks past the budget never
+    touched."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.rank import budget_select
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        tok = pc.count_substring_regex(
+            pc.fill_null(b["text"].combine_chunks(), ""), r"\S+")
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_chars": b["n_chars"],
+                         "tok": pc.cast(tok, pa.int64())})
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    # sort desc on (n_chars, doc_id): negate the id to keep doc_id ASC
+    # as the tie-break under one descending flag
+    keyed = prepped.map_batches(
+        lambda b: b.append_column(
+            "neg_id", pc.negate(b["doc_id"].combine_chunks())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = budget_select(keyed, order_cols=["n_chars", "neg_id"],
+                        cost_col="tok", budget=20000, descending=True)
+    return out.drop_columns(["neg_id"])
 
 
 def _gopher_rules_q(sf_dir: str):
@@ -5347,6 +5384,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # budget select: exact int64 window running total, prefix cut
+        "q157_budget_select": r"""
+            WITH t AS (SELECT doc_id, n_chars,
+                              len(regexp_extract_all(
+                                  coalesce(text, ''), '\S+')) AS tok
+                       FROM documents),
+            c AS (SELECT doc_id, n_chars, tok,
+                         sum(tok) OVER (ORDER BY n_chars DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                           AS cum
+                  FROM t)
+            SELECT doc_id, n_chars, tok,
+                   CAST(cum AS BIGINT) AS cum_cost
+            FROM c WHERE cum <= 20000
         """,
         # Gopher rules: RE2 counts + integer cross-mult thresholds
         "q156_gopher_rules": r"""

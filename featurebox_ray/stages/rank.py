@@ -340,3 +340,82 @@ def diversified_topk(ds, *, group_col: str, id_col: str,
             .limit(k)
             .map_batches(drop_neg, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+def budget_select(ds, *, order_cols, cost_col: str, budget: int,
+                  cum_col: str = "cum_cost", descending: bool = True):
+    """Greedy budgeted corpus selection — keep the best-ranked rows
+    (by ``order_cols``) whose RUNNING cost total stays within
+    ``budget`` (the "select the highest-quality documents up to a
+    token budget" primitive of training-data curation; also the exact
+    top-cost-prefix cut for curriculum subsets).
+
+    Same metadata-sized plan as :func:`global_row_number`: one range
+    sort (the unavoidable all-to-all for a global order), then each
+    sorted block contributes ``(first key, rows, cost sum)`` to the
+    driver, which orders blocks by CONTENT (never arrival order),
+    prefix-sums block costs as Python ints (exact at any corpus size),
+    and schedules one tiny task per block that cumsums internally,
+    adds its offset and filters ``cum ≤ budget``.  Blocks entirely
+    past the budget are dropped without being touched.
+
+    ``order_cols`` must be unique as a tuple and null-free; ``cost_col``
+    must be non-negative int64 (validated per block).  Emits the input
+    columns + ``cum_col`` (int64 running total including the row
+    itself) — SQL replays as ``sum(cost) OVER (ORDER BY ...) <=
+    budget``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    cols = list(order_cols)
+    sd = ds.sort(cols, descending=descending)
+    refs = materialized_block_refs(sd)
+
+    @ray.remote
+    def blk_meta(blk: pa.Table):
+        if blk.num_rows == 0:
+            return None
+        cost = blk[cost_col].to_numpy(zero_copy_only=False)
+        if cost.min() < 0:
+            raise ValueError("budget_select: negative cost")
+        return (tuple(blk.column(c)[0].as_py() for c in cols),
+                blk.num_rows, int(cost.sum()))
+
+    @ray.remote
+    def cut(blk: pa.Table, off: int) -> pa.Table:
+        cost = blk[cost_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cum = np.cumsum(cost) + off
+        out = blk.append_column(cum_col, pa.array(cum))
+        return out.filter(pa.array(cum <= budget))
+
+    def robust_key(key_tuple):
+        out = []
+        for e in key_tuple:
+            if e is None:
+                out.append((2, 0.0))
+            elif isinstance(e, float) and e != e:
+                out.append((1, 0.0))
+            else:
+                out.append((0, e))
+        return tuple(out)
+
+    metas = ray.get([blk_meta.remote(r) for r in refs])
+    live = [(m[0], m[1], m[2], r)
+            for m, r in zip(metas, refs) if m is not None]
+    live.sort(key=lambda x: robust_key(x[0]), reverse=descending)
+    out_refs, off = [], 0
+    for _, _n, csum, r in live:
+        if off <= budget:          # block may still contribute rows
+            out_refs.append(cut.remote(r, off))
+        off += csum
+    if not out_refs:
+        schema = sd.schema()
+        base = getattr(schema, "base_schema", schema)
+        if isinstance(base, pa.Schema):
+            return ray.data.from_arrow(base.append(
+                pa.field(cum_col, pa.int64())).empty_table())
+        return sd
+    return ray.data.from_arrow_refs(out_refs)
