@@ -463,7 +463,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q155_ngram_novelty": _ngram_novelty_q,
         "q156_gopher_rules": _gopher_rules_q,
         "q157_budget_select": _budget_select_q,
+        "q158_collapse_rare": _collapse_rare_q,
     }
+
+
+def _collapse_rare_q(sf_dir: str):
+    """q158: rare-category collapsing (stages/encode.py:collapse_rare)
+    — events bucketed to a heavy-tailed decile category
+    (floor(value·10), exact both engines), every category with corpus
+    count < 25 recoded to '__other__': one combiner count pass +
+    broadcast kept-set + shuffle-free recode."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.encode import collapse_rare
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks()
+        ok = pc.and_(pc.is_valid(v), pc.is_finite(v))
+        iv = pc.cast(pc.floor(pc.multiply(
+            pc.if_else(ok, v, pa.scalar(0.0)), 10.0)), pa.int64())
+        cat = pc.if_else(ok, pc.cast(iv, pa.string()),
+                         pa.scalar(None, pa.string()))
+        return pa.table({"event_id": b["event_id"], "cat": cat})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return collapse_rare(prepped, col="cat", min_count=25)
 
 
 def _budget_select_q(sf_dir: str):
@@ -5384,6 +5414,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # rare-category collapse: count CTE + CASE, exact
+        "q158_collapse_rare": """
+            WITH e AS (
+              SELECT event_id,
+                     CASE WHEN value IS NOT NULL AND isfinite(value)
+                          THEN CAST(CAST(floor(value * 10) AS BIGINT)
+                                    AS VARCHAR) END AS cat
+              FROM events),
+            c AS (SELECT cat, count(*) AS n FROM e
+                  WHERE cat IS NOT NULL GROUP BY cat)
+            SELECT e.event_id, e.cat,
+                   CASE WHEN e.cat IS NULL THEN NULL
+                        WHEN c.n >= 25 THEN e.cat
+                        ELSE '__other__' END AS cat_rc
+            FROM e LEFT JOIN c USING (cat)
         """,
         # budget select: exact int64 window running total, prefix cut
         "q157_budget_select": r"""

@@ -229,3 +229,60 @@ def ecdf_encode(query_ds, ref_table, *, group_col: str, value_col: str,
     return query_ds.map_batches(Encoder, batch_format="pyarrow",
                                 zero_copy_batch=True,
                                 concurrency=concurrency)
+
+
+def collapse_rare(ds, *, col: str, min_count: int,
+                  other: str = "__other__", out_col: str = None):
+    """Rare-category collapsing — recode every category whose corpus
+    count is below ``min_count`` to one ``other`` sentinel (the
+    standard high-cardinality-categorical preprocessing step before
+    encoders/models; also the long-tail guard for pivot/one-hot).
+
+    One null-safe combiner count pass (per-block ``value_counts``
+    partials, classes × blocks bytes to the driver — no all-to-all),
+    then the kept-category set broadcasts via ``ray.put`` and the
+    stream recodes with one dictionary-decode + ``is_in`` per batch
+    (shuffle-free).  NULL categories stay NULL.  SQL replays as a
+    LEFT JOIN to the count CTE + CASE.
+
+    At extreme category cardinality the kept set is what survives
+    ``min_count`` — by construction ≤ corpus_rows / min_count entries,
+    so the broadcast is bounded by the threshold itself.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    out_col = out_col or f"{col}_rc"
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].combine_chunks()
+        v = v.filter(pc.is_valid(v))
+        vc = v.value_counts()
+        if len(vc) == 0:
+            return pa.table({"v": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"v": vc.field("values").cast(pa.string()),
+                         "cnt": vc.field("counts")})
+
+    counts: dict = {}
+    cds = ds.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    for b in ray.get(materialized_block_refs(cds)):
+        for vv, cv in zip(b["v"].to_pylist(), b["cnt"].to_pylist()):
+            counts[vv] = counts.get(vv, 0) + int(cv)
+    keep = pa.array(sorted(v for v, n in counts.items()
+                           if n >= min_count), pa.string())
+    keep_ref = ray.put(keep)
+
+    def recode(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        v = batch[col].combine_chunks().cast(pa.string())
+        hit = pc.is_in(v, value_set=ks)
+        rec = pc.if_else(hit, v, pa.scalar(other, pa.string()))
+        rec = pc.if_else(pc.is_valid(v), rec,
+                         pa.scalar(None, pa.string()))
+        return batch.append_column(out_col, rec)
+
+    return ds.map_batches(recode, batch_format="pyarrow",
+                          zero_copy_batch=True)
