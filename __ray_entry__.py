@@ -464,7 +464,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q156_gopher_rules": _gopher_rules_q,
         "q157_budget_select": _budget_select_q,
         "q158_collapse_rare": _collapse_rare_q,
+        "q159_busy_overlap": _busy_overlap_q,
     }
+
+
+def _busy_overlap_q(sf_dir: str):
+    """q159: per-user session time inside the corpus's 5 busiest hours
+    (stages/interval.py:busy_window_overlap) — global hour-bucket
+    counts as combiner partials, top-5 broadcast as ints, one
+    user-keyed exchange sessionizing (q06 gap rule) + vectorized
+    clip-sum; all int64 us, exact."""
+    import ray
+
+    from featurebox_ray.stages.interval import busy_window_overlap
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return busy_window_overlap(ev, key_col="user_id", ts_col="ts",
+                               id_col="event_id", gap_s=1800.0,
+                               width_s=3600.0, top_k=5,
+                               num_partitions=16)
 
 
 def _collapse_rare_q(sf_dir: str):
@@ -5414,6 +5433,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # busy-window overlap: sessionize CTE + top-5 hour CROSS JOIN,
+        # greatest/least clip, all BIGINT microseconds
+        "q159_busy_overlap": """
+            WITH e_all AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t
+              FROM events WHERE ts IS NOT NULL),
+            e AS (
+              SELECT * FROM e_all WHERE user_id IS NOT NULL),
+            d AS (
+              SELECT user_id, event_id, t,
+                     t - lag(t) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id) AS gap
+              FROM e),
+            s AS (
+              SELECT user_id, t,
+                     SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d),
+            sess AS (
+              SELECT user_id, min(t) AS st, max(t) AS en
+              FROM s GROUP BY user_id, sid),
+            h AS (
+              SELECT t // 3600000000 AS hr, count(*) AS n
+              FROM e_all GROUP BY hr
+              ORDER BY n DESC, hr ASC LIMIT 5),
+            ov AS (
+              SELECT sess.user_id,
+                     greatest(0, least(sess.en,
+                                       (h.hr + 1) * 3600000000)
+                                 - greatest(sess.st,
+                                            h.hr * 3600000000)) AS o
+              FROM sess CROSS JOIN h)
+            SELECT user_id, CAST(sum(o) AS BIGINT) AS overlap_us
+            FROM ov GROUP BY user_id
         """,
         # rare-category collapse: count CTE + CASE, exact
         "q158_collapse_rare": """
