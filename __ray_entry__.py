@@ -465,7 +465,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q157_budget_select": _budget_select_q,
         "q158_collapse_rare": _collapse_rare_q,
         "q159_busy_overlap": _busy_overlap_q,
+        "q160_calibration": _calibration_q,
     }
+
+
+def _calibration_q(sf_dir: str):
+    """q160: calibration / reliability table (stages/regress.py:
+    calibration_bins) — pseudo-probability pred = (epoch_us % 1e6)/1e6
+    vs label = (event_type = 'click'); half-up 2^10 quantized partials,
+    driver combine (bins ≤ 10 — no shuffle), every float op one
+    IEEE-exact division/subtract/abs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import calibration_bins
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = b["ts"].combine_chunks()
+        ok = pc.is_valid(ts)
+        t_us = pc.cast(pc.if_else(ok, ts, pa.scalar(0, ts.type)),
+                       pa.int64())
+        tv = t_us.to_numpy(zero_copy_only=False)
+        pred = (tv % 1000000).astype(np.float64) / 1000000.0
+        lab = pc.cast(pc.equal(pc.fill_null(b["event_type"], ""),
+                               "click"), pa.int64())
+        return pa.table({
+            "pred": pa.array(pred, pa.float64(),
+                             mask=~ok.to_numpy(zero_copy_only=False)),
+            "label": lab,
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return calibration_bins(prepped, pred_col="pred",
+                            label_col="label", n_bins=10,
+                            quant_bits=10)
 
 
 def _busy_overlap_q(sf_dir: str):
@@ -5433,6 +5473,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # calibration bins: half-up 2^10 quantizer, IEEE-exact ratios
+        "q160_calibration": """
+            WITH e AS (
+              SELECT (epoch_us(ts) % 1000000)
+                       / CAST(1000000 AS DOUBLE) AS pred,
+                     CAST(coalesce(event_type, '') = 'click'
+                          AS BIGINT) AS label
+              FROM events WHERE ts IS NOT NULL),
+            q AS (
+              SELECT CAST(least(floor(pred * 10), 9) AS BIGINT)
+                       AS bin,
+                     CAST(floor(pred * 1024 + 0.5) AS BIGINT) AS pq,
+                     label
+              FROM e WHERE pred >= 0 AND pred <= 1),
+            s AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(pq) AS BIGINT) AS sum_pred_q,
+                     CAST(sum(label) AS BIGINT) AS sum_label
+              FROM q GROUP BY bin)
+            SELECT bin, n, sum_pred_q, sum_label,
+                   CAST(sum_pred_q AS DOUBLE) / CAST(n AS DOUBLE)
+                     / 1024.0 AS avg_pred,
+                   CAST(sum_label AS DOUBLE) / CAST(n AS DOUBLE)
+                     AS avg_label,
+                   abs(CAST(sum_pred_q AS DOUBLE) / CAST(n AS DOUBLE)
+                       / 1024.0
+                       - CAST(sum_label AS DOUBLE) / CAST(n AS DOUBLE))
+                     AS gap
+            FROM s
         """,
         # busy-window overlap: sessionize CTE + top-5 hour CROSS JOIN,
         # greatest/least clip, all BIGINT microseconds

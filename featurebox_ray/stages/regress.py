@@ -671,3 +671,82 @@ def group_ab_test(ds, *, key_col: str, side_col: str, treat_value,
 
     return partials.groupby(key_col).map_groups(
         finalize, batch_format="pyarrow")
+
+
+def calibration_bins(ds, *, pred_col: str, label_col: str,
+                     n_bins: int = 10, quant_bits: int = 10):
+    """Reliability / calibration table — bin predictions in [0, 1]
+    into ``n_bins`` equal-width buckets and compare each bucket's mean
+    prediction to its empirical label rate (the ECE inputs; the
+    model-monitoring sibling of the q123 lift table).
+
+    Exactness: predictions quantize half-up to a 2^``quant_bits`` grid
+    (``floor(p·2^qb + 0.5)`` — the q116 cross-engine-safe quantizer);
+    the bin is ``min(floor(p·n_bins), n_bins−1)`` (floor exact);
+    per-bin ``(n, Σpred_q, Σy)`` are int64 combiner partials summed on
+    the driver as Python ints (bins ≤ n_bins — no shuffle at all).
+    ``avg_pred = double(Σpq)/double(n)/2^qb`` (second division by a
+    power of two — exact), ``avg_label = double(Σy)/double(n)``,
+    ``gap = abs(avg_pred − avg_label)`` — every float op is one
+    correctly-rounded IEEE op, so SQL replays bit-for-bit.
+
+    Rows with NULL pred/label or pred outside [0, 1] drop (documented;
+    mirror the filter in SQL).  Labels must be 0/1 int64.  Emits one
+    row per NON-EMPTY bin: ``(bin:int64, n:int64, sum_pred_q:int64,
+    sum_label:int64, avg_pred:float64, avg_label:float64,
+    gap:float64)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    scale = float(1 << quant_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p_col, y_col = batch[pred_col], batch[label_col]
+        keep = pc.and_(pc.is_valid(p_col), pc.is_valid(y_col))
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
+        p = batch[pred_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = batch[label_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ok = (p >= 0.0) & (p <= 1.0)
+        p, y = p[ok], y[ok]
+        pq = np.floor(p * scale + 0.5).astype(np.int64)
+        b = np.minimum(np.floor(p * n_bins), n_bins - 1).astype(
+            np.int64)
+        n = np.zeros(n_bins, np.int64)
+        sp = np.zeros(n_bins, np.int64)
+        sy = np.zeros(n_bins, np.int64)
+        np.add.at(n, b, 1)
+        np.add.at(sp, b, pq)
+        np.add.at(sy, b, y)
+        present = np.flatnonzero(n)
+        return pa.table({"bin": pa.array(present),
+                         "n": pa.array(n[present]),
+                         "sp": pa.array(sp[present]),
+                         "sy": pa.array(sy[present])})
+
+    agg: dict = {}
+    pds = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    for blk in ray.get(materialized_block_refs(pds)):
+        for bb, nn, ss, yy in zip(blk["bin"].to_pylist(),
+                                  blk["n"].to_pylist(),
+                                  blk["sp"].to_pylist(),
+                                  blk["sy"].to_pylist()):
+            n0, s0, y0 = agg.get(bb, (0, 0, 0))
+            agg[bb] = (n0 + nn, s0 + ss, y0 + yy)
+    bins = sorted(agg)
+    n = np.array([agg[b][0] for b in bins], np.int64)
+    sp = np.array([agg[b][1] for b in bins], np.int64)
+    sy = np.array([agg[b][2] for b in bins], np.int64)
+    avg_p = sp.astype(np.float64) / n.astype(np.float64) / scale
+    avg_y = sy.astype(np.float64) / n.astype(np.float64)
+    return pa.table({
+        "bin": pa.array(bins, pa.int64()), "n": pa.array(n),
+        "sum_pred_q": pa.array(sp), "sum_label": pa.array(sy),
+        "avg_pred": pa.array(avg_p), "avg_label": pa.array(avg_y),
+        "gap": pa.array(np.abs(avg_p - avg_y)),
+    })
