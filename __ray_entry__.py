@@ -466,7 +466,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q158_collapse_rare": _collapse_rare_q,
         "q159_busy_overlap": _busy_overlap_q,
         "q160_calibration": _calibration_q,
+        "q161_resample": _resample_q,
     }
+
+
+def _resample_q(sf_dir: str):
+    """q161: per-user linear-interpolation resampling of event values
+    onto a 6-hour grid (stages/window.py:resample_linear) — distinct-ts
+    last-write-wins collapse, one key-keyed exchange, searchsorted
+    neighbors, fixed-order IEEE lerp (bit-exact vs the SQL grid-join
+    replay)."""
+    import ray
+
+    from featurebox_ray.stages.window import resample_linear
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return resample_linear(ev, key_col="user_id", ts_col="ts",
+                           id_col="event_id", value_col="value",
+                           step=21_600_000_000, num_partitions=16)
 
 
 def _calibration_q(sf_dir: str):
@@ -5473,6 +5492,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # resample: grid CTE + neighbor joins + identical IEEE lerp
+        "q161_resample": """
+            WITH d0 AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t, value
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+            d AS (
+              SELECT user_id, t, value FROM d0
+              QUALIFY row_number() OVER (
+                  PARTITION BY user_id, t
+                  ORDER BY event_id DESC) = 1),
+            b AS (SELECT user_id, min(t) AS lo, max(t) AS hi
+                  FROM d GROUP BY user_id),
+            grid AS (
+              SELECT user_id,
+                     unnest(range(((lo + 21600000000 - 1)
+                                   // 21600000000) * 21600000000,
+                                  (hi // 21600000000) * 21600000000
+                                    + 1,
+                                  21600000000)) AS g
+              FROM b),
+            p AS (SELECT grid.user_id, grid.g, max(d.t) AS t0
+                  FROM grid JOIN d ON d.user_id = grid.user_id
+                                  AND d.t <= grid.g
+                  GROUP BY 1, 2),
+            nx AS (SELECT grid.user_id, grid.g, min(d.t) AS t1
+                   FROM grid JOIN d ON d.user_id = grid.user_id
+                                   AND d.t > grid.g
+                   GROUP BY 1, 2),
+            j AS (SELECT p.user_id, p.g, p.t0, v0.value AS v0,
+                         nx.t1, v1.value AS v1
+                  FROM p
+                  JOIN d v0 ON v0.user_id = p.user_id
+                           AND v0.t = p.t0
+                  LEFT JOIN nx ON nx.user_id = p.user_id
+                              AND nx.g = p.g
+                  LEFT JOIN d v1 ON v1.user_id = nx.user_id
+                                AND v1.t = nx.t1)
+            SELECT user_id, g,
+                   CASE WHEN t0 = g THEN v0
+                        ELSE v0 + (v1 - v0)
+                             * (CAST(g - t0 AS DOUBLE)
+                                / CAST(t1 - t0 AS DOUBLE)) END
+                     AS value
+            FROM j
         """,
         # calibration bins: half-up 2^10 quantizer, IEEE-exact ratios
         "q160_calibration": """

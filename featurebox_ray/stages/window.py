@@ -779,3 +779,113 @@ def add_drawdown(ds, *, key_col: str, ts_col: str, int_value_col: str,
                            sort_keys=[key_col, ts_col, order_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def resample_linear(ds, *, key_col: str, ts_col: str, id_col: str,
+                    value_col: str, step: int,
+                    num_partitions: int = 16):
+    """Per-key linear-interpolation resampling onto a regular time
+    grid — the irregular-series → fixed-rate conversion every
+    time-series feature pipeline needs (align sensors/metrics before
+    windowed aggregates or model input packing).
+
+    Grid: for each key, points ``g = ceil(min_ts/step)·step …
+    floor(max_ts/step)·step`` (only inside the key's own span — no
+    extrapolation, output size bounded by span/step per key).  Value
+    at ``g``: the key's events collapse to one value per DISTINCT ts
+    (last-write-wins by ``id_col`` — makes interpolation unambiguous
+    under ts ties), then ``v0 + (v1−v0)·((g−t0)/(t1−t0))`` between the
+    neighbors ``t0 ≤ g < t1``; an exact grid hit returns ``v0``
+    directly.  Every float op is one correctly-rounded IEEE op in a
+    fixed order, so the SQL replay (grid CTE + neighbor joins + the
+    same expression) is bit-exact.  ``step`` is in the ts column's
+    native unit for plain ints, microseconds for timestamps.
+
+    ONE key-keyed exchange; the kernel is one ``searchsorted`` per
+    grid batch per key segment.  Rows with NULL key/ts/value drop.
+    Emits ``(key_col, g:int64, value:float64)``.
+
+    Reference analog: none (the reference has no time axis); this is
+    the distributed sibling of pandas ``resample().interpolate()``.
+    """
+    from .partition import partitioned_map
+
+    if int(step) <= 0:
+        raise ValueError("step must be positive")
+    step = int(step)
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+    tt = base.field(ts_col).type
+    is_ts = pa.types.is_timestamp(tt)
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[key_col])
+        for c in (ts_col, value_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        return pa.table({
+            key_col: b[key_col],
+            "__ts": ts.cast(pa.int64()) if is_ts else ts,
+            id_col: b[id_col],
+            "__v": pc.cast(b[value_col].combine_chunks(),
+                           pa.float64()),
+        })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "g": pa.array([], pa.int64()),
+                          "value": pa.array([], pa.float64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        v = t["__v"].to_numpy(zero_copy_only=False)
+        # last-write-wins per (key, ts): rows sorted by (key, ts, id),
+        # keep the LAST of each run
+        last = np.concatenate([(codes[:-1] != codes[1:])
+                               | (ts[:-1] != ts[1:]), [True]])
+        codes, ts, v = codes[last], ts[last], v[last]
+        seg_start = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]]))
+        seg_end = np.concatenate([seg_start[1:], [len(codes)]])
+        out_k, out_g, out_v = [], [], []
+        for s0, s1 in zip(seg_start.tolist(), seg_end.tolist()):
+            lo, hi = int(ts[s0]), int(ts[s1 - 1])
+            g0 = -((-lo) // step) * step           # ceil to grid
+            g1 = (hi // step) * step               # floor to grid
+            if g1 < g0:
+                continue
+            g = np.arange(g0, g1 + 1, step, dtype=np.int64)
+            seg_ts, seg_v = ts[s0:s1], v[s0:s1]
+            i0 = np.searchsorted(seg_ts, g, side="right") - 1
+            t0, v0 = seg_ts[i0], seg_v[i0]
+            hit = t0 == g
+            i1 = np.minimum(i0 + 1, len(seg_ts) - 1)
+            t1, v1 = seg_ts[i1], seg_v[i1]
+            den = np.where(t1 > t0, t1 - t0, 1)
+            frac = (g - t0).astype(np.float64) / den.astype(np.float64)
+            val = np.where(hit, v0, v0 + (v1 - v0) * frac)
+            out_k.append(np.full(len(g), codes[s0], np.int64))
+            out_g.append(g)
+            out_v.append(val)
+        if not out_k:
+            return empty
+        kcodes = np.concatenate(out_k)
+        return pa.table({
+            key_col: enc.dictionary.take(pa.array(kcodes, pa.int64())),
+            "g": pa.array(np.concatenate(out_g)),
+            "value": pa.array(np.concatenate(out_v), pa.float64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts", id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
