@@ -467,7 +467,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q159_busy_overlap": _busy_overlap_q,
         "q160_calibration": _calibration_q,
         "q161_resample": _resample_q,
+        "q162_weighted_quantiles": _weighted_quantiles_q,
     }
+
+
+def _weighted_quantiles_q(sf_dir: str):
+    """q162: per-flag quantity-weighted price median/p90
+    (stages/quantile.py:weighted_group_quantiles) — exact rational
+    crossing test cumw·den ≥ num·W in int64 (no float in the
+    decision); one group-keyed exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.quantile import weighted_group_quantiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        w = np.round(b["l_quantity"].to_numpy(
+            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "v": b["l_extendedprice"],
+                         "w": pa.array(w)})
+
+    prepped = li.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return weighted_group_quantiles(
+        prepped, group_col="l_returnflag", value_col="v",
+        weight_col="w", qs=[(1, 2), (9, 10)], num_partitions=8)
 
 
 def _resample_q(sf_dir: str):
@@ -5492,6 +5522,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # weighted quantiles: RANGE-frame window sum (peers included),
+        # integer cross-mult crossing, min(v) FILTER pick
+        "q162_weighted_quantiles": """
+            WITH t AS (
+              SELECT l_returnflag, l_extendedprice AS v,
+                     CAST(round(l_quantity) AS BIGINT) AS w
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            c AS (
+              SELECT l_returnflag, v,
+                     sum(w) OVER (PARTITION BY l_returnflag
+                                  ORDER BY v) AS cum,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS tw
+              FROM t)
+            SELECT l_returnflag, CAST(min(tw) AS BIGINT) AS tot_w,
+                   min(v) FILTER (WHERE cum * 2 >= tw) AS wq1_2,
+                   min(v) FILTER (WHERE cum * 10 >= 9 * tw) AS wq9_10
+            FROM c GROUP BY l_returnflag
         """,
         # resample: grid CTE + neighbor joins + identical IEEE lerp
         "q161_resample": """

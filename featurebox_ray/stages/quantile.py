@@ -265,3 +265,102 @@ def histogram_quantiles(
     return partitioned_map(partials, combine, key=group_col,
                            sort_keys=[group_col, "bin"],
                            num_partitions=num_partitions, strategy="tasks")
+
+
+def weighted_group_quantiles(ds, *, group_col: str, value_col: str,
+                             weight_col: str, qs: Sequence[tuple],
+                             names: Sequence[str] | None = None,
+                             num_partitions: int = 16):
+    """Per-group WEIGHTED discrete quantiles — the smallest value whose
+    cumulative weight (peers included) reaches ``q`` of the group's
+    total weight (importance-weighted medians/percentiles: row weights
+    from dedup multiplicity, sampling correction, token counts).
+
+    Each ``q`` is an exact rational ``(num, den)`` and the crossing
+    test is pure int64 cross-multiplication ``cumw·den ≥ num·W`` — no
+    float ever enters the decision, so the SQL replay (default-frame
+    RANGE window sum, which includes value peers, + ``min(v)`` filter)
+    matches exactly.  Weights must be positive int64; NULL
+    value/weight rows are ignored; groups with no valid rows emit NULL
+    quantiles (NULL groups form a group, SQL semantics).  One
+    group-keyed exchange, one lexsort kernel.
+    """
+    from .partition import partitioned_map
+
+    qs = [(int(n), int(d)) for n, d in qs]
+    if any(n < 0 or d <= 0 or n > d for n, d in qs):
+        raise ValueError("each q must be a rational in [0, 1]")
+    names = list(names) if names is not None else [
+        f"wq{n}_{d}" for n, d in qs]
+    if len(names) != len(qs):
+        raise ValueError("names and qs must have equal length")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        g_arr = t[group_col].combine_chunks()
+        gd = pc.dictionary_encode(g_arr)
+        n_named = len(gd.dictionary)
+        has_null_group = g_arr.null_count > 0
+        n_groups = n_named + (1 if has_null_group else 0)
+        idx = gd.indices
+        codes = (pc.fill_null(idx, n_named) if idx.null_count
+                 else idx).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        wts = t[weight_col].to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(vals)
+        if np.issubdtype(wts.dtype, np.floating):
+            valid &= ~np.isnan(wts)
+            wts = np.where(valid, wts, 0).astype(np.int64)
+        else:
+            wts = wts.astype(np.int64)
+        if wts[valid].size and wts[valid].min() <= 0:
+            raise ValueError("weights must be positive")
+        order = np.lexsort((vals, ~valid, codes))
+        c_s, v_s = codes[order], vals[order]
+        w_s = np.where(valid, wts, 0)[order]
+        starts = np.searchsorted(c_s, np.arange(n_groups), side="left")
+        ends = np.searchsorted(c_s, np.arange(n_groups), side="right")
+        cumw = np.cumsum(w_s)
+        base = np.concatenate([[0], cumw])[starts]
+        totw = np.zeros(n_groups, np.int64)
+        np.add.at(totw, codes[valid], wts[valid])
+        # run-inclusive cumulative weight: peers of the same value all
+        # carry the run-END cumulative (RANGE-frame semantics)
+        run_end_cum = np.empty(len(v_s), np.int64)
+        if len(v_s):
+            # each row takes the cumulative weight of the LAST row of
+            # its (group, value) run
+            last_of_run = np.concatenate(
+                [(c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1]),
+                 [True]])
+            run_id = np.cumsum(np.concatenate(
+                [[True], last_of_run[:-1]])) - 1
+            run_end_idx = np.flatnonzero(last_of_run)
+            run_end_cum = cumw[run_end_idx][run_id]
+        cols = {nm: np.full(n_groups, np.nan) for nm in names}
+        nonempty = totw > 0
+        for (num, den), nm in zip(qs, names):
+            # first row whose run-inclusive cumw crosses q·W
+            thr_ok = (run_end_cum - base[c_s]) * den >= num * totw[c_s]
+            # within each group segment, the first crossing index
+            for g in np.flatnonzero(nonempty):
+                s0, s1 = starts[g], ends[g]
+                seg = np.flatnonzero(thr_ok[s0:s1])
+                if len(seg):
+                    cols[nm][g] = v_s[s0 + seg[0]]
+        group_out = gd.dictionary
+        if has_null_group:
+            group_out = pa.concat_arrays(
+                [group_out, pa.nulls(1, group_out.type)])
+        res = {group_col: group_out,
+               "tot_w": pa.array(totw, pa.int64())}
+        for nm in names:
+            v = cols[nm]
+            res[nm] = pa.array(v, pa.float64(), mask=np.isnan(v))
+        return pa.table(res)
+
+    return partitioned_map(ds, kernel, key=group_col,
+                           sort_keys=[group_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
