@@ -468,7 +468,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q160_calibration": _calibration_q,
         "q161_resample": _resample_q,
         "q162_weighted_quantiles": _weighted_quantiles_q,
+        "q163_trimmed_mean": _trimmed_mean_q,
     }
+
+
+def _trimmed_mean_q(sf_dir: str):
+    """q163: per-flag 10%-trimmed mean price (stages/quantile.py:
+    group_trimmed_mean) — cents-quantized int64 values, exact
+    ⌊n/10⌋-per-side trim via prefix sums, one double division; one
+    group-keyed exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.quantile import group_trimmed_mean
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100).astype(
+            np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "v": pa.array(v)})
+
+    prepped = li.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return group_trimmed_mean(prepped, group_col="l_returnflag",
+                              value_col="v", trim_num=1, trim_den=10,
+                              num_partitions=8)
 
 
 def _weighted_quantiles_q(sf_dir: str):
@@ -5522,6 +5552,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # trimmed mean: row_number trim window, exact int sums
+        "q163_trimmed_mean": """
+            WITH t AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            r AS (
+              SELECT l_returnflag, v,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM t),
+            k AS (SELECT l_returnflag, v, rn, n, n // 10 AS kk FROM r)
+            SELECT l_returnflag,
+                   CAST(min(n) AS BIGINT) AS n_vals,
+                   CAST(count(*) FILTER (WHERE rn > kk
+                                           AND rn <= n - kk)
+                        AS BIGINT) AS n_kept,
+                   CAST(sum(v) FILTER (WHERE rn > kk
+                                         AND rn <= n - kk)
+                        AS BIGINT) AS sum_kept,
+                   CAST(sum(v) FILTER (WHERE rn > kk
+                                         AND rn <= n - kk) AS DOUBLE)
+                     / CAST(count(*) FILTER (WHERE rn > kk
+                                               AND rn <= n - kk)
+                            AS DOUBLE) AS trimmed_mean
+            FROM k GROUP BY l_returnflag
         """,
         # weighted quantiles: RANGE-frame window sum (peers included),
         # integer cross-mult crossing, min(v) FILTER pick

@@ -93,3 +93,72 @@ def test_weighted_quantiles_guards():
         weighted_group_quantiles(
             ray.data.from_arrow(t), group_col="g", value_col="v",
             weight_col="w", qs=[(3, 2)])
+
+
+TRIM_ORACLE = """
+    WITH t AS (SELECT g, v FROM raw WHERE v IS NOT NULL),
+    r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+                   AS rn,
+                 count(*) OVER (PARTITION BY g) AS n FROM t),
+    k AS (SELECT g, v, rn, n, (n * 1) // 4 AS kk FROM r)
+    SELECT g, CAST(min(n) AS BIGINT) AS n_vals,
+           CAST(coalesce(count(*) FILTER (WHERE rn > kk
+                                            AND rn <= n - kk), 0)
+                AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(v) FILTER (WHERE rn > kk
+                                          AND rn <= n - kk), 0)
+                AS BIGINT) AS sum_kept,
+           CAST(sum(v) FILTER (WHERE rn > kk AND rn <= n - kk)
+                AS DOUBLE)
+             / CAST(count(*) FILTER (WHERE rn > kk AND rn <= n - kk)
+                    AS DOUBLE) AS trimmed_mean
+    FROM k GROUP BY g ORDER BY g NULLS LAST
+"""
+
+
+def test_trimmed_mean_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.quantile import group_trimmed_mean
+
+    rng = np.random.default_rng(107)
+    n = 700
+    g = [None if rng.random() < 0.03 else f"g{rng.integers(0, 10)}"
+         for _ in range(n)]
+    v = rng.integers(-100, 100, n).astype(object)
+    for i in rng.choice(n, 12, replace=False):
+        v[i] = None
+    pdf = pd.DataFrame({"g": g, "v": pd.array([x for x in v],
+                                              dtype="Int64")})
+    con = duckdb.connect()
+    con.register("raw", pdf)
+    exp = con.sql(TRIM_ORACLE).df().reset_index(drop=True)
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "v": pa.array(pd.array([x for x in v],
+                                         dtype="Int64"))})
+    prev = None
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (group_trimmed_mean(ds, group_col="g", value_col="v",
+                                  trim_num=1, trim_den=4,
+                                  num_partitions=3)
+               .to_pandas().sort_values("g", na_position="last")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp, check_exact=True)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+
+
+def test_trimmed_mean_hand_case():
+    from featurebox_ray.stages.quantile import group_trimmed_mean
+
+    # 1/4 trim on [0, 1, 2, 3, 100] -> k=1, keep [1, 2, 3] -> 2.0
+    t = pa.table({"g": pa.array(["a"] * 5, pa.string()),
+                  "v": pa.array([100, 0, 2, 1, 3], pa.int64())})
+    got = group_trimmed_mean(ray.data.from_arrow(t), group_col="g",
+                             value_col="v", trim_num=1,
+                             trim_den=4).to_pandas()
+    assert got.n_kept.tolist() == [3]
+    assert got.trimmed_mean.tolist() == [2.0]
