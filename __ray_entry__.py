@@ -469,7 +469,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q161_resample": _resample_q,
         "q162_weighted_quantiles": _weighted_quantiles_q,
         "q163_trimmed_mean": _trimmed_mean_q,
+        "q164_hard_negatives": _hard_negatives_q,
     }
+
+
+def _hard_negatives_q(sf_dir: str):
+    """q164: hard-negative mining (stages/ann.py:hard_negatives) —
+    for every embedding, the most-similar vector with a DIFFERENT
+    label (contrastive-pair miner): catalog built once per actor from
+    materialized refs, one exact int64 matmul per batch with
+    same-label/self masking, (dot desc, id asc) argmax."""
+    import ray
+
+    from featurebox_ray.stages.ann import hard_negatives
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        override_num_blocks=8)
+    return hard_negatives(emb, quant_bits=8)
 
 
 def _trimmed_mean_q(sf_dir: str):
@@ -5552,6 +5570,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # hard negatives: unnest self-join exact int dots + QUALIFY
+        "q164_hard_negatives": """
+            WITH c AS (
+              SELECT vec_id, label, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 256
+                                + 0.5) AS BIGINT) AS xq
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) r(i)
+              WHERE label IS NOT NULL AND embedding IS NOT NULL
+            ), d AS (
+              SELECT a.vec_id AS vec_id, a.label AS label,
+                     b.vec_id AS neg_id, b.label AS neg_label,
+                     CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+              FROM c a JOIN c b
+                ON a.i = b.i AND a.label <> b.label
+               AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT vec_id, CAST(label AS BIGINT) AS label, neg_id,
+                   CAST(neg_label AS BIGINT) AS neg_label, dot
+            FROM d
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dot DESC, neg_id) = 1
         """,
         # trimmed mean: row_number trim window, exact int sums
         "q163_trimmed_mean": """

@@ -192,6 +192,13 @@ QUERY_NAMES = [
     "q142_collocation_pmi", "q143_ab_test", "q144_balance_corpus",
     "q146_keep_best_dedup", "q147_latest_event", "q148_vocab_overlap",
     "q149_diversified_topk",
+    # session-9 additions (q153/q154 replay fixtures are inline like
+    # q46; q145's fixture likewise stays out)
+    "q150_temperature_mix", "q151_ecdf_encode", "q152_skipgram_pairs",
+    "q155_ngram_novelty", "q156_gopher_rules", "q157_budget_select",
+    "q158_collapse_rare", "q159_busy_overlap", "q160_calibration",
+    "q161_resample", "q162_weighted_quantiles", "q163_trimmed_mean",
+    "q164_hard_negatives",
 ]
 
 

@@ -433,3 +433,114 @@ def mmr_select(ds, query: np.ndarray, *, k: int = 10,
         "rel": pa.array([p[2] for p in picked], pa.int64()),
         "score": pa.array([p[3] for p in picked], pa.int64()),
     })
+
+
+def hard_negatives(ds, catalog=None, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id", label_col: str = "label",
+                   quant_bits: int = 8, concurrency=(1, 8)):
+    """Hard-negative mining — for every vector, the single most-similar
+    vector carrying a DIFFERENT label (the contrastive-training /
+    metric-learning pair miner; also the confusable-class probe).
+
+    The catalog (``catalog`` Dataset or ``ds`` itself) reduces to one
+    quantized int matrix + ids + labels built ONCE per actor from
+    materialized block refs; the query stream runs one integer matmul
+    per batch with same-label and self columns masked, then an argmax
+    with the deterministic ``(dot desc, id asc)`` tie-break.  All
+    arithmetic is the half-up-quantized exact int64 dot of
+    :func:`threshold_similarity_join`, so a full SQL oracle replays it
+    (unnest self-join + QUALIFY row_number).
+
+    Rows with NULL vector/label drop from BOTH roles; a query row with
+    no different-label counterpart emits nothing.  Returns
+    ``(id_col, label, neg_id:int64, neg_label, dot:int64)``.
+
+    Scale: the catalog must fit a worker's heap (ids+labels+V int64 —
+    ~0.5 GiB per 1M×64-d); past that, run the label-blind
+    ``knn.knn_join`` and post-filter label mismatches from its k
+    candidates (recall trades like any IVF).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .cohesion import quantize_half_up
+    from .partition import materialized_block_refs
+
+    src = catalog if catalog is not None else ds
+    refs = materialized_block_refs(src)
+
+    class Miner:
+        def __init__(self):
+            blocks = [b for b in ray.get(list(refs))
+                      if isinstance(b, pa.Table) and b.num_rows]
+            ids, labs, vecs = [], [], []
+            for b in blocks:
+                keep = pc.and_(pc.is_valid(b[vec_col]),
+                               pc.is_valid(b[label_col]))
+                b = b.filter(keep)
+                if b.num_rows == 0:
+                    continue
+                ids.append(b[id_col].to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+                labs.append(b[label_col].to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+                flat = (b[vec_col].combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False))
+                vecs.append(flat.reshape(b.num_rows, -1))
+            if ids:
+                self.ids = np.concatenate(ids)
+                self.labs = np.concatenate(labs)
+                V = np.concatenate(vecs, axis=0).astype(np.float64)
+                self.V = quantize_half_up(V, quant_bits)
+                # deterministic catalog order for the argmax tie-break
+                order = np.argsort(self.ids, kind="stable")
+                self.ids = self.ids[order]
+                self.labs = self.labs[order]
+                self.V = self.V[order]
+            else:
+                self.ids = np.empty(0, np.int64)
+                self.labs = np.empty(0, np.int64)
+                self.V = np.empty((0, 1), np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({id_col: pa.array([], pa.int64()),
+                              "label": pa.array([], pa.int64()),
+                              "neg_id": pa.array([], pa.int64()),
+                              "neg_label": pa.array([], pa.int64()),
+                              "dot": pa.array([], pa.int64())})
+            keep = pc.and_(pc.is_valid(batch[vec_col]),
+                           pc.is_valid(batch[label_col]))
+            if not pc.all(keep).as_py():
+                batch = batch.filter(keep)
+            if batch.num_rows == 0 or len(self.ids) == 0:
+                return empty
+            qids = batch[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            qlabs = batch[label_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = (batch[vec_col].combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False))
+            X = quantize_half_up(
+                flat.reshape(batch.num_rows, -1).astype(np.float64),
+                quant_bits)
+            dots = X @ self.V.T                       # exact int64
+            bad = ((qlabs[:, None] == self.labs[None, :])
+                   | (qids[:, None] == self.ids[None, :]))
+            NEG = np.iinfo(np.int64).min
+            masked = np.where(bad, NEG, dots)
+            # argmax with (dot desc, id asc): catalog is id-sorted, so
+            # np.argmax's first-max IS the smallest id among ties
+            best = np.argmax(masked, axis=1)
+            ok = masked[np.arange(len(best)), best] != NEG
+            best = best[ok]
+            return pa.table({
+                id_col: pa.array(qids[ok]),
+                "label": pa.array(qlabs[ok]),
+                "neg_id": pa.array(self.ids[best]),
+                "neg_label": pa.array(self.labs[best]),
+                "dot": pa.array(dots[ok, best]),
+            })
+
+    return ds.map_batches(Miner, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          concurrency=concurrency)
