@@ -470,7 +470,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q162_weighted_quantiles": _weighted_quantiles_q,
         "q163_trimmed_mean": _trimmed_mean_q,
         "q164_hard_negatives": _hard_negatives_q,
+        "q165_crosstab_chi2": _crosstab_chi2_q,
     }
+
+
+def _crosstab_chi2_q(sf_dir: str):
+    """q165: chi-square cross-tab of documents (source × lang)
+    (stages/regress.py:crosstab_chi2) — combiner count pass,
+    unbounded-int margins, exact diff² and two correctly-rounded
+    divisions per cell."""
+    import ray
+
+    from featurebox_ray.stages.regress import crosstab_chi2
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+    return crosstab_chi2(docs, row_col="source", col_col="lang")
 
 
 def _hard_negatives_q(sf_dir: str):
@@ -5570,6 +5585,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # chi-square crosstab: HUGEINT margins, same casts as engine
+        "q165_crosstab_chi2": """
+            WITH o AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+              GROUP BY 1, 2),
+            t AS (
+              SELECT source, lang, o,
+                     sum(o) OVER (PARTITION BY source) AS r,
+                     sum(o) OVER (PARTITION BY lang) AS c,
+                     sum(o) OVER () AS n
+              FROM o)
+            SELECT source, lang, o AS observed,
+                   CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)
+                     AS expected,
+                   CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+                     / CAST(n * r * c AS DOUBLE) AS contrib
+            FROM t
         """,
         # hard negatives: unnest self-join exact int dots + QUALIFY
         "q164_hard_negatives": """

@@ -198,7 +198,7 @@ QUERY_NAMES = [
     "q155_ngram_novelty", "q156_gopher_rules", "q157_budget_select",
     "q158_collapse_rare", "q159_busy_overlap", "q160_calibration",
     "q161_resample", "q162_weighted_quantiles", "q163_trimmed_mean",
-    "q164_hard_negatives",
+    "q164_hard_negatives", "q165_crosstab_chi2",
 ]
 
 

@@ -750,3 +750,83 @@ def calibration_bins(ds, *, pred_col: str, label_col: str,
         "avg_pred": pa.array(avg_p), "avg_label": pa.array(avg_y),
         "gap": pa.array(np.abs(avg_p - avg_y)),
     })
+
+
+def crosstab_chi2(ds, *, row_col: str, col_col: str):
+    """Chi-square cross-tabulation — observed vs expected counts for
+    every (row, col) category pair (the categorical-independence /
+    distribution-association probe: is `source` independent of
+    `lang`?).  Per-cell output lets the caller sum contributions into
+    the chi² statistic in any deterministic order.
+
+    One combiner count pass (per-block (row, col) partials to the
+    driver — cells are |rows|×|cols|, no shuffle); margins and the
+    test arithmetic run in unbounded Python ints: ``diff = O·N −
+    R·C`` and ``diff²`` are EXACT integers, and the two emitted
+    floats (``expected = double(R·C)/double(N)``, ``contrib =
+    double(diff²)/double(N·R·C)``) are single correctly-rounded
+    divisions — SQL (HUGEINT window sums, same casts) replays them
+    bit-for-bit.  NULL categories drop on both sides.
+
+    Emits one row per OBSERVED cell: ``(row_col, col_col,
+    observed:int64, expected:float64, contrib:float64)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch[row_col]),
+                       pc.is_valid(batch[col_col]))
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({
+                "r": pa.array([], pa.string()),
+                "c": pa.array([], pa.string()),
+                "o": pa.array([], pa.int64())})
+        t = pa.table({"r": batch[row_col].combine_chunks()
+                      .cast(pa.string()),
+                      "c": batch[col_col].combine_chunks()
+                      .cast(pa.string())})
+        g = t.group_by(["r", "c"]).aggregate([([], "count_all")])
+        return pa.table({"r": g["r"], "c": g["c"],
+                         "o": g["count_all"].cast(pa.int64())})
+
+    cells: dict = {}
+    pds = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    for blk in ray.get(materialized_block_refs(pds)):
+        for rv, cv, ov in zip(blk["r"].to_pylist(),
+                              blk["c"].to_pylist(),
+                              blk["o"].to_pylist()):
+            cells[(rv, cv)] = cells.get((rv, cv), 0) + int(ov)
+    if not cells:
+        return pa.table({row_col: pa.array([], pa.string()),
+                         col_col: pa.array([], pa.string()),
+                         "observed": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.float64()),
+                         "contrib": pa.array([], pa.float64())})
+    rtot: dict = {}
+    ctot: dict = {}
+    n = 0
+    for (rv, cv), o in cells.items():
+        rtot[rv] = rtot.get(rv, 0) + o
+        ctot[cv] = ctot.get(cv, 0) + o
+        n += o
+    keys = sorted(cells)
+    obs, exp, contrib = [], [], []
+    for rv, cv in keys:
+        o, r, c = cells[(rv, cv)], rtot[rv], ctot[cv]
+        obs.append(o)
+        exp.append(float(np.float64(r * c) / np.float64(n)))
+        diff = o * n - r * c
+        contrib.append(float(np.float64(diff * diff)
+                             / np.float64(n * r * c)))
+    return pa.table({
+        row_col: pa.array([k[0] for k in keys], pa.string()),
+        col_col: pa.array([k[1] for k in keys], pa.string()),
+        "observed": pa.array(obs, pa.int64()),
+        "expected": pa.array(exp, pa.float64()),
+        "contrib": pa.array(contrib, pa.float64()),
+    })
