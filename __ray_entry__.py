@@ -471,7 +471,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q163_trimmed_mean": _trimmed_mean_q,
         "q164_hard_negatives": _hard_negatives_q,
         "q165_crosstab_chi2": _crosstab_chi2_q,
+        "q166_stratified_folds": _stratified_folds_q,
     }
+
+
+def _stratified_folds_q(sf_dir: str):
+    """q166: exact stratified 5-fold assignment per source
+    (stages/sample.py:stratified_folds) — fold sizes within every
+    group differ by ≤1 (rank-mod-K over the deterministic Knuth-hash
+    order); one group-keyed exchange."""
+    import ray
+
+    from featurebox_ray.stages.sample import stratified_folds
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return stratified_folds(docs, group_col="source",
+                            key_col="doc_id", n_folds=5,
+                            num_partitions=8)
 
 
 def _crosstab_chi2_q(sf_dir: str):
@@ -5585,6 +5602,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # stratified folds: rank-mod-K over the identical Knuth order
+        "q166_stratified_folds": """
+            SELECT source, doc_id,
+                   CAST((row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ((CAST(doc_id AS HUGEINT) % 4294967296)
+                                 * 2654435761) % 4294967296, doc_id)
+                       - 1) % 5 AS BIGINT) AS fold
+            FROM documents WHERE doc_id IS NOT NULL
         """,
         # chi-square crosstab: HUGEINT margins, same casts as engine
         "q165_crosstab_chi2": """

@@ -465,3 +465,65 @@ def throttle_min_interval(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, "__ts", id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def stratified_folds(ds, *, group_col: str, key_col: str, n_folds: int,
+                     out_col: str = "fold", num_partitions: int = 16):
+    """EXACT stratified K-fold assignment — within every group, fold
+    sizes differ by at most one row (vs :func:`add_split_column`'s
+    independent-hash split, whose per-group proportions carry binomial
+    noise).  The assignment is still a pure function of the data:
+    rows rank within their group by ``(knuth_hash(key), key)`` (a
+    deterministic pseudo-random order) and ``fold = rank % K``.
+
+    ONE group-keyed exchange; the kernel is a run-relative arange.
+    Use for evaluation protocols that need exact per-stratum balance
+    (per-language eval splits, per-source CV).  Note the trade vs the
+    hash split: adding/removing ANY row of a group can renumber that
+    group's folds (ranks shift), while the hash split is per-row
+    stable — pick by whether balance or incremental stability matters.
+    NULL groups form a group; NULL keys drop.
+
+    SQL replay: ``(row_number() OVER (PARTITION BY g ORDER BY
+    knuth_hash_expr, key) - 1) % K``.
+    """
+    from .partition import partitioned_map
+
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        h = knuth_hash(k, op=f"stratified_folds({key_col})")
+        return pa.table({group_col: batch[group_col],
+                         "__h": pa.array(h.astype(np.int64)),
+                         key_col: batch[key_col]})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group_col not in t.column_names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             key_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        g = t[group_col].combine_chunks()
+        enc = pc.dictionary_encode(g)
+        codes = (pc.fill_null(enc.indices, len(enc.dictionary))
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        starts = np.flatnonzero(np.concatenate(
+            [[True], codes[1:] != codes[:-1]]))
+        run_id = np.cumsum(np.concatenate(
+            [[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        rank = np.arange(len(codes)) - starts[run_id]
+        return pa.table({group_col: g,
+                         key_col: t[key_col],
+                         out_col: pa.array(rank % n_folds)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=group_col,
+                           sort_keys=[group_col, "__h", key_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

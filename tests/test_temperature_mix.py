@@ -142,3 +142,47 @@ def test_skipgram_window1_equals_bigrams():
                       num_partitions=2).to_pandas())
     assert sg.pair.tolist() == bg.bigram.tolist()
     assert sg.cnt.tolist() == bg.cnt.tolist()
+
+
+FOLDS_ORACLE = """
+    SELECT g, id,
+           CAST((row_number() OVER (
+               PARTITION BY g
+               ORDER BY ((CAST(id AS HUGEINT) % 4294967296)
+                         * 2654435761) % 4294967296, id) - 1) % 4
+                AS BIGINT) AS fold
+    FROM t WHERE id IS NOT NULL ORDER BY id
+"""
+
+
+def test_stratified_folds_duckdb_fuzz_exact_balance():
+    from featurebox_ray.stages.sample import stratified_folds
+
+    rng = np.random.default_rng(127)
+    n = 500
+    gs = [None if rng.random() < 0.03 else f"g{rng.integers(0, 7)}"
+          for _ in range(n)]
+    ids = list(range(n))
+    ids[5] = None
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "g": pa.array(gs, pa.string())})
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.sql(FOLDS_ORACLE).df().reset_index(drop=True)
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (stratified_folds(ds, group_col="g", key_col="id",
+                                n_folds=4, num_partitions=3)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+    # EXACT balance: within every group fold sizes differ by <= 1
+    for _, grp in got.groupby("g", dropna=False):
+        sizes = grp.fold.value_counts()
+        assert sizes.max() - sizes.min() <= 1
