@@ -472,7 +472,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q164_hard_negatives": _hard_negatives_q,
         "q165_crosstab_chi2": _crosstab_chi2_q,
         "q166_stratified_folds": _stratified_folds_q,
+        "q167_rolling_slope": _rolling_slope_q,
     }
+
+
+def _rolling_slope_q(sf_dir: str):
+    """q167: per-user trailing-10-row value trend (stages/window.py:
+    rolling_slope) — exact int64 prefix-sum sufficient statistics
+    (Σy, Σj·y; Σx/Σx² closed-form in m), ONE division; single-row
+    windows NULL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.window import rolling_slope
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_valid(b["value"])
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        y = np.round(b["value"].to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100).astype(
+            np.int64)
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"], "ts": b["ts"],
+                         "y": pa.array(y)})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return rolling_slope(prepped, key_col="user_id", ts_col="ts",
+                         id_col="event_id", value_col="y", k=10,
+                         num_partitions=16)
 
 
 def _stratified_folds_q(sf_dir: str):
@@ -5602,6 +5638,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # rolling slope: HUGEINT window sums + identical final division
+        "q167_rolling_slope": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+            r AS (
+              SELECT event_id, user_id, y,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1
+                       AS j
+              FROM e),
+            s AS (
+              SELECT event_id,
+                     count(*) OVER wk AS m,
+                     sum(y) OVER wk AS sy,
+                     sum(j * y) OVER wk AS sjy,
+                     min(j) OVER wk AS j0
+              FROM r
+              WINDOW wk AS (PARTITION BY user_id ORDER BY j
+                            ROWS BETWEEN 9 PRECEDING
+                                     AND CURRENT ROW)),
+            f AS (
+              SELECT event_id, m, sy,
+                     sjy - j0 * sy AS sxy,
+                     m * (m - 1) // 2 AS sx,
+                     (m - 1) * m * (2 * m - 1) // 6 AS sxx
+              FROM s)
+            SELECT event_id,
+                   CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(m * sxy - sx * sy AS DOUBLE)
+                             / CAST(m * sxx - sx * sx AS DOUBLE) END
+                     AS roll_slope
+            FROM f
         """,
         # stratified folds: rank-mod-K over the identical Knuth order
         "q166_stratified_folds": """

@@ -199,7 +199,7 @@ QUERY_NAMES = [
     "q158_collapse_rare", "q159_busy_overlap", "q160_calibration",
     "q161_resample", "q162_weighted_quantiles", "q163_trimmed_mean",
     "q164_hard_negatives", "q165_crosstab_chi2",
-    "q166_stratified_folds",
+    "q166_stratified_folds", "q167_rolling_slope",
 ]
 
 

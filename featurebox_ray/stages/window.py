@@ -889,3 +889,87 @@ def resample_linear(ds, *, key_col: str, ts_col: str, id_col: str,
                            sort_keys=[key_col, "__ts", id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def rolling_slope(ds, *, key_col: str, ts_col: str, id_col: str,
+                  value_col: str, k: int, out_col: str = "roll_slope",
+                  num_partitions: int = 16):
+    """Per-key trailing-``k``-row least-squares TREND — the slope of
+    ``value`` against the within-window row position (0..m−1), the
+    standard "is this metric rising or falling" feature that a plain
+    rolling mean cannot express.
+
+    Exactness: ``value_col`` must be int64 (quantize first); every
+    sufficient statistic is an exact int64 prefix-sum difference
+    (Σy, Σj·y with j the within-segment row index; Σx and Σx² are
+    closed-form integers of the window length m), the slope is ONE
+    ``double(num)/double(den)`` division with ``num = m·Sxy − Sx·Sy``
+    and ``den = m·Sxx − Sx²``; single-row windows (den = 0) emit
+    NULL.  SQL replays with HUGEINT window sums and the identical
+    final division.
+
+    ONE key-keyed exchange sorted ``(key, ts, id)``; NULL key/ts/value
+    rows drop (windows are over the REMAINING rows — mirror the filter
+    in SQL).  Emits ``(id_col, out_col:float64)``.
+    """
+    from .partition import partitioned_map
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[key_col])
+        for c in (ts_col, value_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.schema.field(value_col).type != pa.int64():
+            raise TypeError(f"{value_col} must be int64 (quantize "
+                            "first)")
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({key_col: b[key_col], "__ts": ts,
+                         id_col: b[id_col], "__y": b[value_col]})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          out_col: pa.array([], pa.float64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        codes = pc.dictionary_encode(
+            t[key_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["__y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        seg_start = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]]))
+        run_id = np.cumsum(np.concatenate(
+            [[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        j = np.arange(n) - seg_start[run_id]          # within-segment
+        cy = np.concatenate([[0], np.cumsum(y)])
+        cjy = np.concatenate([[0], np.cumsum(j * y)])
+        start = np.maximum(j - k + 1, 0) + seg_start[run_id]
+        i_abs = np.arange(n)
+        m = i_abs - start + 1
+        sy = cy[i_abs + 1] - cy[start]
+        sjy = cjy[i_abs + 1] - cjy[start]
+        j0 = j - m + 1                                 # first j in win
+        sxy = sjy - j0 * sy
+        sx = m * (m - 1) // 2
+        sxx = (m - 1) * m * (2 * m - 1) // 6
+        num = m * sxy - sx * sy
+        den = m * sxx - sx * sx
+        slope = num.astype(np.float64) / np.where(
+            den > 0, den, 1).astype(np.float64)
+        return pa.table({
+            id_col: t[id_col],
+            out_col: pa.array(slope, pa.float64(), mask=den == 0),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts", id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
