@@ -473,7 +473,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q165_crosstab_chi2": _crosstab_chi2_q,
         "q166_stratified_folds": _stratified_folds_q,
         "q167_rolling_slope": _rolling_slope_q,
+        "q168_curate_corpus": _curate_corpus_q,
     }
+
+
+def _curate_corpus_q(sf_dir: str):
+    """q168: composed corpus-curation pipeline (pipelines/cleaning.py:
+    curate_corpus) — Gopher rules → temperature rebalance (α=0.5) →
+    token-budget selection, every stage integer/IEEE-exact so the
+    WHOLE chain replays as one SQL query of chained CTEs."""
+    import ray
+
+    from featurebox_ray.pipelines.cleaning import curate_corpus
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"],
+        override_num_blocks=16)
+    return curate_corpus(docs, min_words=5, min_stop_hits=0,
+                         alpha=0.5, token_budget=10000)
 
 
 def _rolling_slope_q(sf_dir: str):
@@ -5638,6 +5656,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # curation chain: gopher keep -> sqrt thresholds -> budget cut,
+        # one chained-CTE replay of the whole pipeline
+        "q168_curate_corpus": r"""
+            WITH base AS (
+              SELECT doc_id, source, coalesce(text, '') AS tx,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS t,
+                     string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM documents),
+            st AS (
+              SELECT doc_id, source,
+                len(t) AS w,
+                coalesce(length(array_to_string(t, '')), 0) AS wc,
+                len(regexp_extract_all(tx, '#')) AS nh,
+                len(regexp_extract_all(tx, '\.\.\.')) AS ne,
+                len(ls) AS nl,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '^\s*[-*•]'))) AS nb,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '\.\.\.\s*$'))) AS nel,
+                len(list_filter(t, x -> regexp_matches(
+                    x, '[A-Za-z]'))) AS na
+              FROM base),
+            kept AS (
+              SELECT doc_id, source, w AS gq_n_words FROM st
+              WHERE w >= 5 AND w <= 100000
+                AND 3 * w <= wc AND wc <= 10 * w
+                AND 10 * (nh + ne) < w
+                AND 10 * nb < 9 * nl AND 10 * nel < 3 * nl
+                AND 10 * na >= 8 * w),
+            c AS (SELECT source, count(*) AS n FROM kept
+                  GROUP BY source),
+            mm AS (SELECT min(n) AS nmin FROM c),
+            thr AS (SELECT source,
+                      CAST(floor(least(1.0,
+                          sqrt(CAST(nmin AS DOUBLE)
+                               / CAST(n AS DOUBLE)))
+                          * 4294967296.0) AS HUGEINT) AS thr
+                    FROM c, mm),
+            mixed AS (
+              SELECT k.doc_id, k.source, k.gq_n_words
+              FROM kept k JOIN thr USING (source)
+              WHERE ((CAST(k.doc_id AS HUGEINT) % 4294967296)
+                     * 2654435761) % 4294967296 < thr.thr),
+            cum AS (
+              SELECT doc_id, source, gq_n_words,
+                     sum(gq_n_words) OVER (
+                         ORDER BY gq_n_words DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM mixed)
+            SELECT doc_id, source, gq_n_words,
+                   CAST(cum AS BIGINT) AS cum_cost
+            FROM cum WHERE cum <= 10000
         """,
         # rolling slope: HUGEINT window sums + identical final division
         "q167_rolling_slope": """

@@ -73,3 +73,56 @@ def clean_corpus(docs, bench, *, id_col: str = "doc_id",
 
     return surv.map_batches(score_and_filter, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size)
+
+
+def curate_corpus(docs, *, id_col: str = "doc_id",
+                  text_col: str = "text", group_col: str = "source",
+                  min_words: int = 5, min_stop_hits: int = 0,
+                  alpha: float = 0.5, token_budget: int = 10000):
+    """End-to-end corpus curation chain — the standard pre-training
+    data recipe composed from the engine's exact primitives, each
+    stage streaming into the next:
+
+    1. **quality filter** — Gopher/C4 rules
+       (:func:`~featurebox_ray.stages.text.gopher_quality_fn`,
+       integer-exact thresholds), keep-only;
+    2. **temperature rebalance** — share ∝ p^α downsample by
+       ``group_col`` over the SURVIVORS
+       (:func:`~featurebox_ray.stages.sample.temperature_rebalance`,
+       α as an IEEE sqrt chain);
+    3. **budget selection** — best docs by ``(n_words desc, id asc)``
+       under a global token budget
+       (:func:`~featurebox_ray.stages.rank.budget_select`, exact
+       running totals).
+
+    Every decision is integer/IEEE-exact, so the WHOLE chain replays
+    as one SQL query of chained CTEs (q168).  Returns the selected
+    rows ``(id_col, group_col, gq_n_words, cum_cost)``.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+
+    from ..stages.rank import budget_select
+    from ..stages.sample import temperature_rebalance
+    from ..stages.text import gopher_quality_fn
+
+    fn = functools.partial(gopher_quality_fn, text_col=text_col,
+                           min_words=min_words,
+                           min_stop_hits=min_stop_hits)
+    scored = docs.map_batches(fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    kept = scored.map_batches(
+        lambda b: b.filter(b["gq_keep"].combine_chunks())
+        .select([id_col, group_col, "gq_n_words"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    mixed = temperature_rebalance(kept, group_col=group_col,
+                                  key_col=id_col, alpha=alpha)
+    keyed = mixed.map_batches(
+        lambda b: b.append_column(
+            "__neg_id", pc.negate(b[id_col].combine_chunks())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = budget_select(keyed, order_cols=["gq_n_words", "__neg_id"],
+                        cost_col="gq_n_words", budget=token_budget,
+                        descending=True)
+    return out.drop_columns(["__neg_id"])
