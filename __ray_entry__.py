@@ -474,7 +474,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q166_stratified_folds": _stratified_folds_q,
         "q167_rolling_slope": _rolling_slope_q,
         "q168_curate_corpus": _curate_corpus_q,
+        "q169_ridge_fit": _ridge_fit_q,
     }
+
+
+def _ridge_fit_q(sf_dir: str):
+    """q169: distributed ridge regression of label on embedding
+    (stages/regress.py:fit_ridge) — exact int64 XᵀX/Xᵀy partials on
+    one cell-keyed exchange (d²-sized shuffle), driver solve; the
+    fixture replays the identical arithmetic serially (bit-exact
+    because the reconstructed float matrices are identical)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_ridge
+    from featurebox_ray.stages.regress import fit_ridge
+
+    QB, YS, LN, LD = 10, 1, 1, 10
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    X = flat.reshape(t.num_rows, -1)
+    y = t["label"].to_numpy(zero_copy_only=False)
+    rep = replay_ridge(X, y, quant_bits=QB, y_scale=YS, lam_num=LN,
+                       lam_den=LD)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({"j": pa.array(rep["j"], pa.int64()),
+                             "coef": pa.array(rep["coef"],
+                                              pa.float64())}),
+                   f"{_ORACLE_DIR}/ridge.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/ridge.parquet.tmp",
+               f"{_ORACLE_DIR}/ridge.parquet")
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding", "label"],
+                                override_num_blocks=8)
+    return fit_ridge(emb, lam_num=LN, lam_den=LD, quant_bits=QB,
+                     y_scale=YS)
 
 
 def _curate_corpus_q(sf_dir: str):
@@ -5656,6 +5697,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # ridge: serial-replay fixture (identical reconstructed floats)
+        "q169_ridge_fit": f"""
+            SELECT j, coef
+            FROM read_parquet('{_ORACLE_DIR}/ridge.parquet')
         """,
         # curation chain: gopher keep -> sqrt thresholds -> budget cut,
         # one chained-CTE replay of the whole pipeline

@@ -788,3 +788,25 @@ def replay_isotonic(xs: Sequence[float], ys: Sequence[float], *,
 
     return pd.DataFrame(rows, columns=["x", "n", "sum_y", "pool",
                                        "fitted"])
+
+
+def replay_ridge(vecs: np.ndarray, ys: np.ndarray, *, quant_bits: int,
+                 y_scale: int, lam_num: int, lam_den: int):
+    """Serial ridge replay (q169): whole-matrix integer sufficient
+    statistics + the engine's shared ridge_solve float path — the
+    int64 partial sums are order-independent, so this is bit-exact
+    under any partitioning."""
+    from featurebox_ray.stages.regress import ridge_solve
+
+    x = np.asarray(vecs, np.float64)
+    qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
+    ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
+    qa = np.concatenate([qi, ones], axis=1)
+    yq = np.round(np.asarray(ys, np.float64) * y_scale).astype(
+        np.int64)
+    coef = ridge_solve(qa.T @ qa, qa.T @ yq, len(qa), quant_bits,
+                       y_scale, lam_num, lam_den)
+    import pandas as pd
+
+    return pd.DataFrame({"j": np.arange(qa.shape[1], dtype=np.int64),
+                         "coef": coef})

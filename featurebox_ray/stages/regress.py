@@ -830,3 +830,108 @@ def crosstab_chi2(ds, *, row_col: str, col_col: str):
         "expected": pa.array(exp, pa.float64()),
         "contrib": pa.array(contrib, pa.float64()),
     })
+
+
+def fit_ridge(ds, *, vec_col: str = "embedding", y_col: str = "label",
+              lam_num: int = 1, lam_den: int = 1, quant_bits: int = 10,
+              y_scale: int = 1, num_partitions: int = 4) -> pa.Table:
+    """Distributed ridge regression — closed-form fit of
+    ``y ~ [X, 1]`` from EXACT integer sufficient statistics (the q92
+    PCA pattern extended with the cross-moment vector): the 100-TB
+    linear-model trainer (one corpus pass, d²-sized shuffle, driver
+    solve).
+
+    Per block, vectors quantize to ``round(x·2^qb)`` and targets to
+    ``round(y·y_scale)``; the int64 partials ``XᵀX, Xᵀy, Σy, n`` (with
+    the augmented all-ones intercept column) merge by addition on ONE
+    cell-keyed exchange — order-independent-exact, so the float
+    matrices reconstructed on the driver are IDENTICAL to a serial
+    replay and ``np.linalg.solve`` returns bit-identical
+    coefficients.  λ (an exact rational ``lam_num/lam_den``) applies
+    to the non-intercept diagonal.
+
+    Returns a small ``pa.Table`` ``(j:int64, coef:float64)`` with
+    ``j = d`` the intercept.  No SQL oracle (the solve); the q169
+    fixture replays the identical arithmetic serially.
+
+    Reference analog: the reference's Ridge zoo entry
+    (selection/quickmethod.py dict_method 'Ridge-em') fits in-memory
+    via sklearn; this is its distributed sufficient-statistics
+    counterpart, like `selection/models.py` is the in-memory one.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[vec_col]), pc.is_valid(b[y_col]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        arr = b[vec_col].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        x = flat.reshape(len(arr), -1).astype(np.float64)
+        qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
+        ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
+        qa = np.concatenate([qi, ones], axis=1)
+        yq = np.round(b[y_col].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * y_scale).astype(np.int64)
+        d1 = qa.shape[1]
+        g = qa.T @ qa
+        xty = qa.T @ yq
+        cells = np.concatenate([
+            np.arange(d1 * d1, dtype=np.int64),
+            d1 * d1 + np.arange(d1, dtype=np.int64),
+            [d1 * d1 + d1]])
+        vals = np.concatenate([g.ravel(), xty, [len(qa)]])
+        return pa.table({"cell": pa.array(cells),
+                         "val": pa.array(vals)})
+
+    def combine(t: pa.Table) -> pa.Table:
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        vals = t["val"].to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(cells, return_inverse=True)
+        sums = np.zeros(len(uc), np.int64)
+        np.add.at(sums, inv, vals)
+        return pa.table({"cell": pa.array(uc), "val": pa.array(sums)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    stats = partitioned_map(partials, combine, key="cell",
+                            sort_keys=["cell"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    blocks = [b for b in ray.get(materialized_block_refs(stats))
+              if b.num_rows > 0]
+    if not blocks:
+        raise ValueError("fit_ridge: empty input")
+    st = pa.concat_tables(blocks)
+    cells = st["cell"].to_numpy(zero_copy_only=False)
+    vals = st["val"].to_numpy(zero_copy_only=False)
+    total = int(cells.max()) + 1
+    flat = np.zeros(total, np.int64)
+    flat[cells] = vals
+    d1 = int(round((-1 + np.sqrt(1 + 4 * (total - 1))) / 2))
+    coef = ridge_solve(flat[:d1 * d1].reshape(d1, d1),
+                       flat[d1 * d1:d1 * d1 + d1], int(flat[-1]),
+                       quant_bits, y_scale, lam_num, lam_den)
+    return pa.table({"j": pa.array(np.arange(d1, dtype=np.int64)),
+                     "coef": pa.array(coef, pa.float64())})
+
+
+def ridge_solve(g_int: np.ndarray, xty_int: np.ndarray, n: int,
+                quant_bits: int, y_scale: int, lam_num: int,
+                lam_den: int) -> np.ndarray:
+    """The ONE float path of :func:`fit_ridge`, shared with the serial
+    replay so both sides execute the identical op sequence."""
+    s2 = float(1 << (2 * quant_bits))
+    sy = float((1 << quant_bits) * y_scale)
+    G = g_int.astype(np.float64) / s2
+    b = xty_int.astype(np.float64) / sy
+    lam = (np.float64(lam_num) / np.float64(lam_den)) * np.float64(n)
+    A = G.copy()
+    idx = np.arange(len(G) - 1)          # regularize all but intercept
+    A[idx, idx] += lam
+    return np.linalg.solve(A, b)
