@@ -475,7 +475,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q167_rolling_slope": _rolling_slope_q,
         "q168_curate_corpus": _curate_corpus_q,
         "q169_ridge_fit": _ridge_fit_q,
+        "q170_burstiness": _burstiness_q,
     }
+
+
+def _burstiness_q(sf_dir: str):
+    """q170: per-user inter-arrival burstiness B = (σ−μ)/(σ+μ)
+    (stages/window.py:group_burstiness) — exact int gap sums (Σg² via
+    a vectorized split-word decomposition, no int64 overflow, no
+    per-gap Python), one fixed IEEE float sequence; keys with <2 gaps
+    NULL."""
+    import ray
+
+    from featurebox_ray.stages.window import group_burstiness
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return group_burstiness(ev, key_col="user_id", ts_col="ts",
+                            id_col="event_id", num_partitions=16)
 
 
 def _ridge_fit_q(sf_dir: str):
@@ -5697,6 +5714,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # burstiness: explicit HUGEINT sums (never stddev_samp), same
+        # float op order as the engine
+        "q170_burstiness": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            g AS (
+              SELECT user_id,
+                     t - lag(t) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id) AS gap
+              FROM e),
+            s AS (
+              SELECT user_id,
+                     CAST(count(gap) AS BIGINT) AS n_gaps,
+                     CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap,
+                     CAST(coalesce(sum(CAST(gap AS HUGEINT) * gap), 0)
+                          AS DOUBLE) AS sum_gap2
+              FROM g GROUP BY user_id),
+            f AS (
+              SELECT *, CASE WHEN n_gaps = 0 THEN NULL
+                        ELSE CAST(sum_gap AS DOUBLE)
+                             / CAST(n_gaps AS DOUBLE) END AS mu
+              FROM s),
+            v AS (
+              SELECT *, CASE WHEN n_gaps < 2 THEN NULL
+                        ELSE sqrt((sum_gap2
+                                   - CAST(sum_gap AS DOUBLE) * mu)
+                                  / CAST(n_gaps - 1 AS DOUBLE)) END
+                     AS sd
+              FROM f)
+            SELECT user_id, n_gaps, sum_gap, sum_gap2,
+                   (sd - mu) / NULLIF(sd + mu, 0) AS burstiness
+            FROM v
         """,
         # ridge: serial-replay fixture (identical reconstructed floats)
         "q169_ridge_fit": f"""

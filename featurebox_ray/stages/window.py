@@ -973,3 +973,105 @@ def rolling_slope(ds, *, key_col: str, ts_col: str, id_col: str,
                            sort_keys=[key_col, "__ts", id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def group_burstiness(ds, *, key_col: str, ts_col: str, id_col: str,
+                     num_partitions: int = 16):
+    """Per-key inter-arrival burstiness — Goh & Barabási's
+    ``B = (σ − μ) / (σ + μ)`` over the gaps between consecutive
+    events (B → −1 periodic, 0 Poisson, → 1 bursty): the behavioral
+    regularity feature for users/sessions/tools.
+
+    Exactness: gaps are int64 (native ts unit); per key the kernel
+    keeps ``n, Σg, Σg²`` as unbounded Python ints, then runs ONE fixed
+    float sequence — ``μ = double(Σg)/double(n)``, sample variance
+    ``(double(Σg²) − double(Σg)·μ) / double(n−1)``, ``σ = sqrt``,
+    ``B = (σ−μ)/(σ+μ)`` — each step a correctly-rounded IEEE op, so
+    the SQL replay (explicit sums, NEVER stddev_samp — Welford order
+    differs) matches bit-for-bit.  Keys with < 3 events (< 2 gaps)
+    emit NULL B; one key-keyed exchange sorted ``(key, ts, id)``.
+
+    Emits ``(key_col, n_gaps:int64, sum_gap:int64, sum_gap2:float64*,
+    burstiness:float64)`` — ``sum_gap2`` is emitted as float64 of the
+    exact int (it can exceed int64 in SQL HUGEINT; the conversion is
+    the same rounding both sides).
+    """
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[ts_col]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({key_col: b[key_col], "__ts": ts,
+                         id_col: b[id_col]})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "sum_gap": pa.array([], pa.int64()),
+                          "sum_gap2": pa.array([], pa.float64()),
+                          "burstiness": pa.array([], pa.float64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        same = np.concatenate([[False], codes[1:] == codes[:-1]])
+        gaps = np.diff(ts, prepend=ts[:1])[same]
+        gcodes = codes[same]
+        n_keys = int(codes.max()) + 1
+        # Σg² exceeds int64 for large native-unit gaps: split each gap
+        # g = q·2^21 + r and accumulate Σq², Σq·r, Σr² in int64 (all
+        # bounded), recombining as unbounded Python ints — vectorized,
+        # exact, no per-gap Python
+        SPLIT = np.int64(1 << 21)
+        q, r = gaps // SPLIT, gaps % SPLIT
+        n_g = np.zeros(n_keys, np.int64)
+        s_g = np.zeros(n_keys, np.int64)
+        sqq = np.zeros(n_keys, np.int64)
+        sqr = np.zeros(n_keys, np.int64)
+        srr = np.zeros(n_keys, np.int64)
+        np.add.at(n_g, gcodes, 1)
+        np.add.at(s_g, gcodes, gaps)
+        np.add.at(sqq, gcodes, q * q)
+        np.add.at(sqr, gcodes, q * r)
+        np.add.at(srr, gcodes, r * r)
+        first_rows = np.searchsorted(codes, np.arange(n_keys))
+        s_g2, bb = [], []
+        for i in range(n_keys):
+            sg2 = ((int(sqq[i]) << 42) + (int(sqr[i]) << 22)
+                   + int(srr[i]))
+            s_g2.append(float(np.float64(sg2)))
+            n, sg = int(n_g[i]), int(s_g[i])
+            if n < 2:
+                bb.append(None)
+                continue
+            mu = np.float64(sg) / np.float64(n)
+            var = ((np.float64(sg2) - np.float64(sg) * mu)
+                   / np.float64(n - 1))
+            sd = np.sqrt(var)
+            denom = sd + mu
+            bb.append(float((sd - mu) / denom) if denom != 0
+                      else None)
+        return pa.table({
+            key_col: keys.take(pa.array(first_rows, pa.int64())),
+            "n_gaps": pa.array(n_g, pa.int64()),
+            "sum_gap": pa.array(s_g, pa.int64()),
+            "sum_gap2": pa.array(s_g2, pa.float64()),
+            "burstiness": pa.array(bb, pa.float64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts", id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

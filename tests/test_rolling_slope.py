@@ -76,3 +76,74 @@ def test_rolling_slope_exact_trend():
            .to_pandas().sort_values("id"))
     assert pd.isna(got.roll_slope.iloc[0])      # single-row window
     assert (got.roll_slope.iloc[1:] == 7.0).all()
+
+
+BURST_ORACLE = """
+    WITH g AS (
+      SELECT k, t - lag(t) OVER (PARTITION BY k ORDER BY t, id) AS gap
+      FROM ev WHERE k IS NOT NULL AND t IS NOT NULL),
+    s AS (SELECT k, CAST(count(gap) AS BIGINT) AS n_gaps,
+                 CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap,
+                 CAST(coalesce(sum(CAST(gap AS HUGEINT) * gap), 0)
+                      AS DOUBLE) AS sum_gap2
+          FROM g GROUP BY k),
+    f AS (SELECT *, CASE WHEN n_gaps = 0 THEN NULL
+                    ELSE CAST(sum_gap AS DOUBLE)
+                         / CAST(n_gaps AS DOUBLE) END AS mu FROM s),
+    v AS (SELECT *, CASE WHEN n_gaps < 2 THEN NULL
+                    ELSE sqrt((sum_gap2 - CAST(sum_gap AS DOUBLE) * mu)
+                              / CAST(n_gaps - 1 AS DOUBLE)) END AS sd
+          FROM f)
+    SELECT k, n_gaps, sum_gap, sum_gap2,
+           (sd - mu) / NULLIF(sd + mu, 0) AS burstiness
+    FROM v ORDER BY k
+"""
+
+
+def test_burstiness_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.window import group_burstiness
+
+    rng = np.random.default_rng(151)
+    n = 1000
+    # HUGE native-unit gaps force the split-word Σg² path past 2^63
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "k": rng.integers(0, 40, n),
+        "t": rng.integers(0, 4 * 10**12, n),
+    })
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    exp = con.sql(BURST_ORACLE).df().reset_index(drop=True)
+    t = pa.table({c: pa.array(pdf[c], pa.int64()) for c in pdf})
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (group_burstiness(ds, key_col="k", ts_col="t",
+                                id_col="id", num_partitions=4)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp, check_exact=True)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+
+
+def test_burstiness_regimes():
+    from featurebox_ray.stages.window import group_burstiness
+
+    # periodic key (constant gaps) -> sd = 0 -> B = -1
+    # bursty key (tiny gaps + one huge gap) -> B near +1
+    ids = list(range(12))
+    ks = [1] * 6 + [2] * 6
+    ts = [0, 10, 20, 30, 40, 50] + [0, 1, 2, 3, 4, 1000000]
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "k": pa.array(ks, pa.int64()),
+                  "t": pa.array(ts, pa.int64())})
+    got = (group_burstiness(ray.data.from_arrow(t), key_col="k",
+                            ts_col="t", id_col="id", num_partitions=2)
+           .to_pandas().sort_values("k"))
+    assert got.burstiness.tolist()[0] == -1.0
+    # 5 gaps [1,1,1,1,~1e6]: sample σ≈447k, μ=200k -> B ≈ 0.38 > 0
+    assert got.burstiness.tolist()[1] > 0.3
