@@ -476,7 +476,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q168_curate_corpus": _curate_corpus_q,
         "q169_ridge_fit": _ridge_fit_q,
         "q170_burstiness": _burstiness_q,
+        "q171_concurrency": _concurrency_q,
     }
+
+
+def _concurrency_q(sf_dir: str):
+    """q171: concurrent-session profile per hour
+    (stages/interval.py:session_concurrency) — sessionize + bounded
+    window expansion collapsed to partials before one tiny
+    window-keyed exchange; exact int counts."""
+    import ray
+
+    from featurebox_ray.stages.interval import session_concurrency
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return session_concurrency(ev, key_col="user_id", ts_col="ts",
+                               id_col="event_id", gap_s=1800.0,
+                               width_s=3600.0, num_partitions=16)
 
 
 def _burstiness_q(sf_dir: str):
@@ -5714,6 +5731,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # concurrency: sessionize CTE + generate_series expansion
+        "q171_concurrency": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            d AS (
+              SELECT user_id, event_id, t,
+                     t - lag(t) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id) AS gap
+              FROM e),
+            s AS (
+              SELECT user_id, t,
+                     SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d),
+            sess AS (SELECT user_id, sid, min(t) AS st, max(t) AS en
+                     FROM s GROUP BY user_id, sid),
+            w AS (SELECT unnest(range(st // 3600000000,
+                                      en // 3600000000 + 1))
+                    AS "window"
+                  FROM sess)
+            SELECT "window", CAST(count(*) AS BIGINT) AS n_active
+            FROM w GROUP BY "window"
         """,
         # burstiness: explicit HUGEINT sums (never stddev_samp), same
         # float op order as the engine

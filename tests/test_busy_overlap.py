@@ -84,3 +84,68 @@ def test_busy_overlap_hand_case():
                                top_k=1, num_partitions=2)
            .to_pandas())
     assert got.overlap_us.tolist() == [5]
+
+
+CONC_ORACLE = """
+    WITH d AS (
+      SELECT u, id, t,
+             t - lag(t) OVER (PARTITION BY u ORDER BY t, id) AS gap
+      FROM ev WHERE t IS NOT NULL AND u IS NOT NULL),
+    s AS (SELECT u, t,
+                 SUM(CASE WHEN gap IS NULL OR gap > {gap} THEN 1
+                          ELSE 0 END)
+                   OVER (PARTITION BY u ORDER BY t, id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d),
+    sess AS (SELECT u, sid, min(t) AS st, max(t) AS en
+             FROM s GROUP BY u, sid),
+    w AS (SELECT unnest(range(st // {w}, en // {w} + 1)) AS "window"
+          FROM sess)
+    SELECT "window", CAST(count(*) AS BIGINT) AS n_active
+    FROM w GROUP BY "window" ORDER BY "window"
+"""
+
+
+def test_session_concurrency_duckdb_fuzz():
+    from featurebox_ray.stages.interval import session_concurrency
+
+    rng = np.random.default_rng(157)
+    n, gap, w = 900, 300, 500
+    pdf = pd.DataFrame({"id": np.arange(n),
+                        "u": rng.integers(0, 15, n),
+                        "t": rng.integers(0, 20000, n)})
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    exp = con.sql(CONC_ORACLE.format(gap=gap, w=w)).df().reset_index(
+        drop=True)
+    t = pa.table({c: pa.array(pdf[c], pa.int64()) for c in pdf})
+    prev = None
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (session_concurrency(ds, key_col="u", ts_col="t",
+                                   id_col="id", gap_s=gap / 1e6,
+                                   width_s=w / 1e6, num_partitions=4)
+               .to_pandas().sort_values("window")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+
+
+def test_session_concurrency_span_guard():
+    import pytest
+
+    from featurebox_ray.stages.interval import session_concurrency
+
+    t = pa.table({"id": pa.array([0, 1], pa.int64()),
+                  "u": pa.array([1, 1], pa.int64()),
+                  "t": pa.array([0, 10**9], pa.int64())})
+    with pytest.raises(Exception, match="max_buckets_per_session"):
+        session_concurrency(ray.data.from_arrow(t), key_col="u",
+                            ts_col="t", id_col="id",
+                            gap_s=10**10 / 1e6, width_s=1 / 1e6,
+                            max_buckets_per_session=10).to_pandas()
