@@ -477,7 +477,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q169_ridge_fit": _ridge_fit_q,
         "q170_burstiness": _burstiness_q,
         "q171_concurrency": _concurrency_q,
+        "q172_rising_terms": _rising_terms_q,
     }
+
+
+def _rising_terms_q(sf_dir: str):
+    """q172: rising-term corpus drift (stages/tfidf.py:rising_terms) —
+    late-vs-early halves by doc_id midpoint, add-one-smoothed DOUBLE
+    ratio ranking identical on both engines; one term-keyed exchange +
+    local/global top-k."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import rising_terms
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+    agg = ids.aggregate(ray.data.aggregate.Min("doc_id"),
+                        ray.data.aggregate.Max("doc_id"))
+    mid = (int(agg["min(doc_id)"]) + int(agg["max(doc_id)"])) // 2
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=32)
+    return rising_terms(docs, split_id=mid, k=25, num_partitions=8)
 
 
 def _concurrency_q(sf_dir: str):
@@ -5731,6 +5752,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # rising terms: FILTER counts per half + double-ratio ranking
+        "q172_rising_terms": r"""
+            WITH b AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid
+                       FROM documents),
+            tok AS (
+              SELECT CASE WHEN doc_id <= mid THEN 0 ELSE 1 END AS side,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents, b WHERE doc_id IS NOT NULL),
+            c AS (
+              SELECT w AS term,
+                     CAST(count(*) FILTER (WHERE side = 0) AS BIGINT)
+                       AS early,
+                     CAST(count(*) FILTER (WHERE side = 1) AS BIGINT)
+                       AS late
+              FROM tok GROUP BY w)
+            SELECT term, early, late,
+                   CAST(late + 1 AS DOUBLE)
+                     / CAST(early + 1 AS DOUBLE) AS rise
+            FROM c ORDER BY rise DESC, term ASC LIMIT 25
         """,
         # concurrency: sessionize CTE + generate_series expansion
         "q171_concurrency": """

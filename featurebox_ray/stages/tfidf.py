@@ -785,3 +785,93 @@ def vocab_overlap(ds, *, group_col: str, text_col: str = "text",
         "n_b": pa.array(n_b, pa.int64()),
         "jaccard": pa.array(jac, pa.float64()),
     }))
+
+
+def rising_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 split_id: int, k: int = 20, num_partitions: int = 8):
+    """Rising-term detection — rank terms by how much more frequent
+    they are in the LATE half of the corpus (``id > split_id``) than
+    the early half, by the add-one-smoothed ratio
+    ``(late+1)/(early+1)`` (corpus drift monitoring: new jargon,
+    emerging topics, contamination bursts; the term-level sibling of
+    the q133 categorical drift monitor).
+
+    Per-block partials count each term per side in one dictionary
+    encode + bincount over ``2·code+side``; ONE term-keyed exchange
+    sums, then local-then-global top-k.  The ranking key is the
+    DOUBLE ratio on both engines (one division of exact ints each —
+    identical doubles, ``(ratio desc, term asc)`` ties) so the LIMIT
+    boundary replays exactly.  NULL ids drop; NULL text = no tokens.
+
+    Returns ``(term, early:int64, late:int64, rise:float64)``.
+    """
+    from .partition import partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_col = batch[id_col]
+        if ids_col.null_count:
+            batch = batch.filter(pc.is_valid(ids_col))
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "early": pa.array([], pa.int64()),
+                          "late": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        side = np.repeat((ids > split_id).astype(np.int64),
+                         np.diff(off))
+        dct = pc.dictionary_encode(flat)
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cnt = np.bincount(2 * codes + side,
+                          minlength=2 * len(dct.dictionary))
+        early = cnt[0::2].astype(np.int64)
+        late = cnt[1::2].astype(np.int64)
+        return pa.table({"term": dct.dictionary.cast(pa.string()),
+                         "early": pa.array(early),
+                         "late": pa.array(late)})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        dct = pc.dictionary_encode(t["term"].combine_chunks())
+        g = len(dct.dictionary)
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        early = np.zeros(g, np.int64)
+        late = np.zeros(g, np.int64)
+        np.add.at(early, codes,
+                  t["early"].to_numpy(zero_copy_only=False))
+        np.add.at(late, codes,
+                  t["late"].to_numpy(zero_copy_only=False))
+        rise = (late + 1).astype(np.float64) / (early + 1).astype(
+            np.float64)
+        term_rank = pc.sort_indices(dct.dictionary)
+        inv = np.empty(g, np.int64)
+        inv[term_rank.to_numpy(zero_copy_only=False)] = np.arange(g)
+        order = np.lexsort((inv, -rise))[:k]
+        return pa.table({
+            "term": dct.dictionary.take(pa.array(order, pa.int64())),
+            "early": pa.array(early[order]),
+            "late": pa.array(late[order]),
+            "rise": pa.array(rise[order], pa.float64()),
+        })
+
+    def global_topk(t: pa.Table) -> pa.Table:
+        rise = t["rise"].to_numpy(zero_copy_only=False)
+        term_rank = pc.sort_indices(t["term"].combine_chunks())
+        inv = np.empty(t.num_rows, np.int64)
+        inv[term_rank.to_numpy(zero_copy_only=False)] = np.arange(
+            t.num_rows)
+        order = np.lexsort((inv, -rise))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    local = partitioned_map(partials, local_topk, key="term",
+                            sort_keys=["term"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    return partitioned_map(local, global_topk, key="term",
+                           sort_keys=["term"], num_partitions=1,
+                           strategy="tasks")

@@ -186,3 +186,59 @@ def test_stratified_folds_duckdb_fuzz_exact_balance():
     for _, grp in got.groupby("g", dropna=False):
         sizes = grp.fold.value_counts()
         assert sizes.max() - sizes.min() <= 1
+
+
+RISING_ORACLE = r"""
+    WITH tok AS (
+      SELECT CASE WHEN id <= {mid} THEN 0 ELSE 1 END AS side,
+             unnest(regexp_extract_all(coalesce(text, ''),
+                                       '\S+')) AS w
+      FROM docs WHERE id IS NOT NULL),
+    c AS (SELECT w AS term,
+                 CAST(count(*) FILTER (WHERE side = 0) AS BIGINT)
+                   AS early,
+                 CAST(count(*) FILTER (WHERE side = 1) AS BIGINT)
+                   AS late
+          FROM tok GROUP BY w)
+    SELECT term, early, late,
+           CAST(late + 1 AS DOUBLE) / CAST(early + 1 AS DOUBLE)
+             AS rise
+    FROM c ORDER BY rise DESC, term ASC LIMIT 12
+"""
+
+
+def test_rising_terms_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.tfidf import rising_terms
+
+    rng = np.random.default_rng(163)
+    old_vocab = [f"o{i}" for i in range(10)]
+    new_vocab = [f"n{i}" for i in range(6)]
+    docs = []
+    n = 300
+    for i in range(n):
+        pool = old_vocab if i < n // 2 else old_vocab + new_vocab * 3
+        k = int(rng.integers(0, 8))
+        docs.append(" ".join(rng.choice(pool, k)) if k else None)
+    pdf = pd.DataFrame({"id": range(n), "text": docs})
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    mid = (0 + n - 1) // 2
+    exp = con.sql(RISING_ORACLE.format(mid=mid)).df().reset_index(
+        drop=True)
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (rising_terms(ds, id_col="id", split_id=mid, k=12,
+                            num_partitions=4)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+    # planted new-vocabulary terms dominate the rising list
+    assert all(term.startswith("n") for term in got.term.head(6))
