@@ -478,7 +478,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q170_burstiness": _burstiness_q,
         "q171_concurrency": _concurrency_q,
         "q172_rising_terms": _rising_terms_q,
+        "q173_k_anonymity": _k_anonymity_q,
     }
+
+
+def _k_anonymity_q(sf_dir: str):
+    """q173: k-anonymity audit over (source, lang, length-bucket)
+    quasi-identifiers (stages/profile.py:k_anonymity) — per-block
+    combo partials, one combo-keyed exchange, exact counts + below-k
+    flag."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.profile import k_anonymity
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        lb = pc.divide(b["n_chars"].combine_chunks(), 500)
+        return pa.table({"source": b["source"], "lang": b["lang"],
+                         "len_bucket": pc.cast(lb, pa.int64())})
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return k_anonymity(prepped, cols=["source", "lang", "len_bucket"],
+                       k=5, num_partitions=8)
 
 
 def _rising_terms_q(sf_dir: str):
@@ -5752,6 +5779,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # k-anonymity: plain GROUP BY, exact counts + threshold flag
+        "q173_k_anonymity": """
+            WITH q AS (SELECT source, lang, n_chars // 500
+                         AS len_bucket
+                       FROM documents)
+            SELECT source, lang, len_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   count(*) < 5 AS below_k
+            FROM q GROUP BY 1, 2, 3
         """,
         # rising terms: FILTER counts per half + double-ratio ranking
         "q172_rising_terms": r"""

@@ -256,3 +256,49 @@ def group_gini(ds, *, group_col: str, value_col: str,
                            sort_keys=[group_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def k_anonymity(ds, *, cols, k: int, num_partitions: int = 16):
+    """k-anonymity audit — every quasi-identifier combination observed
+    in the data with its row count and a ``below_k`` flag (the privacy
+    gate before releasing a dataset: combos with fewer than ``k`` rows
+    re-identify individuals; the caller suppresses or generalizes
+    them).
+
+    Per-block combos collapse to ``(combo, cnt)`` partials via one
+    multi-column Arrow group_by; ONE combo-keyed exchange finishes the
+    sums (bytes = distinct combos × blocks, never rows).  NULL values
+    are a category of their own (SQL GROUP BY semantics — the oracle
+    groups identically).  Exact int64 counts.
+
+    Emits one row per distinct combo: ``(*cols, n:int64,
+    below_k:bool)``.
+    """
+    cols = list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(cols).group_by(cols).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(cols + ["cnt"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cnt" not in t.column_names:
+            out = {c: pa.array([], pa.string()) for c in cols}
+            out["n"] = pa.array([], pa.int64())
+            out["below_k"] = pa.array([], pa.bool_())
+            return pa.table(out)
+        g = t.group_by(cols).aggregate([("cnt", "sum")])
+        n = g["cnt_sum"].cast(pa.int64())
+        out = {c: g[c] for c in cols}
+        out["n"] = n
+        out["below_k"] = pc.less(n, k)
+        return pa.table(out)
+
+    from .partition import partitioned_map
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return partitioned_map(partials, combine, key=cols[0],
+                           sort_keys=cols,
+                           num_partitions=num_partitions,
+                           strategy="tasks")
