@@ -479,7 +479,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q171_concurrency": _concurrency_q,
         "q172_rising_terms": _rising_terms_q,
         "q173_k_anonymity": _k_anonymity_q,
+        "q174_label_prototypes": _label_prototypes_q,
     }
+
+
+def _label_prototypes_q(sf_dir: str):
+    """q174: per-label mean embeddings (stages/cohesion.py:
+    label_prototypes) — half-up quantized int64 (Σxq, n) cell partials
+    on one keyed exchange; mean = two exact divisions (second by a
+    power of two)."""
+    import ray
+
+    from featurebox_ray.stages.cohesion import label_prototypes
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding", "label"],
+                                override_num_blocks=8)
+    return label_prototypes(emb, quant_bits=8, num_partitions=8)
 
 
 def _k_anonymity_q(sf_dir: str):
@@ -5779,6 +5795,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # label prototypes: unnest + quantized sums, exact divisions
+        "q174_label_prototypes": """
+            WITH c AS (
+              SELECT label, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 256
+                                + 0.5) AS BIGINT) AS xq
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) r(i)
+              WHERE label IS NOT NULL AND embedding IS NOT NULL)
+            SELECT CAST(label AS BIGINT) AS label, i AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xq) AS BIGINT) AS sum_q,
+                   CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / 256.0 AS mean
+            FROM c GROUP BY label, i
         """,
         # k-anonymity: plain GROUP BY, exact counts + threshold flag
         "q173_k_anonymity": """

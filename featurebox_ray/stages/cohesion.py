@@ -158,3 +158,90 @@ def group_centroid_distance(ds, *, vec_col: str = "embedding",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def label_prototypes(ds, *, vec_col: str = "embedding",
+                     label_col: str = "label", quant_bits: int = 8,
+                     num_partitions: int = 8):
+    """Per-label mean embedding (class prototypes) — the
+    prototype-network / nearest-class-mean primitive (label vectors
+    for zero-shot routing, per-class drift baselines, hard-negative
+    catalogs).
+
+    Vectors quantize half-up to ``2^quant_bits`` so per-block
+    ``(label·d + dim, Σxq, n)`` partials are int64-exact and merge by
+    addition on ONE cell-keyed exchange (bytes = labels × dims ×
+    blocks); the mean is ``double(Σxq)/double(n)/2^qb`` — two
+    divisions, the second by a power of two (exact), so the SQL
+    unnest replay matches bit-for-bit.  NULL vector/label rows drop;
+    ragged embeddings raise.
+
+    Emits one row per (label, dim): ``(label:int64, dim:int64
+    [1-based, matching SQL subscripts], n:int64, sum_q:int64,
+    mean:float64)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[vec_col]),
+                       pc.is_valid(b[label_col]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        Q, _dims = _batch_mat(b, vec_col, quant_bits)
+        labs = b[label_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = Q.shape[1]
+        u, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(u), d), np.int64)
+        np.add.at(sums, inv, Q)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        cells = (u[:, None] * d + np.arange(d)[None, :]).ravel()
+        return pa.table({
+            "cell": pa.array(cells),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cell" not in t.column_names:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64()),
+                             "mean": pa.array([], pa.float64())})
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(cells, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        n = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, t["s"].to_numpy(zero_copy_only=False))
+        np.add.at(n, inv, t["n"].to_numpy(zero_copy_only=False))
+        mean = (s.astype(np.float64) / n.astype(np.float64)
+                / float(1 << quant_bits))
+        # cells decode with the GLOBAL dim count, shipped via closure
+        return pa.table({
+            "label": pa.array(u // _dims_holder[0], pa.int64()),
+            "dim": pa.array(u % _dims_holder[0] + 1, pa.int64()),
+            "n": pa.array(n), "sum_q": pa.array(s),
+            "mean": pa.array(mean, pa.float64()),
+        })
+
+    # probe the dimensionality from one local row (never .schema() on a
+    # lazy mapped dataset; the vec length is data, not schema, anyway)
+    first = ds.limit(1).take_all()
+    if not first:
+        raise ValueError("label_prototypes: empty input")
+    _dims_holder = [len(first[0][vec_col])]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return partitioned_map(partials, combine, key="cell",
+                           sort_keys=["cell"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -102,3 +102,62 @@ def test_hard_negatives_cross_catalog():
                          ray.data.from_arrow(cat)).to_pandas()
     # only the different-label catalog row qualifies
     assert got.neg_id.tolist() == [11]
+
+
+PROTO_ORACLE = """
+    WITH c AS (
+      SELECT lab, i,
+             CAST(floor(CAST(v[i] AS DOUBLE) * 256 + 0.5) AS BIGINT)
+               AS xq
+      FROM t, unnest(range(1, len(v) + 1)) r(i)
+      WHERE lab IS NOT NULL AND v IS NOT NULL)
+    SELECT CAST(lab AS BIGINT) AS label, i AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xq) AS BIGINT) AS sum_q,
+           CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 256.0
+             AS mean
+    FROM c GROUP BY lab, i ORDER BY label, dim
+"""
+
+
+def test_label_prototypes_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.cohesion import label_prototypes
+
+    vecs, labs = _emb_table(seed=173, n=200, d=5)
+    n = len(vecs)
+    pdf = pd.DataFrame({"lab": pd.array(labs, dtype="Int64"),
+                        "v": [list(map(float, r)) for r in vecs]})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.sql(PROTO_ORACLE).df().reset_index(drop=True)
+    t = pa.table({
+        "label": pa.array(pd.array(labs, dtype="Int64")),
+        "embedding": pa.array([list(map(float, r)) for r in vecs],
+                              pa.list_(pa.float32())),
+    })
+    prev = None
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (label_prototypes(ds, quant_bits=8, num_partitions=3)
+               .to_pandas().sort_values(["label", "dim"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp, check_exact=True)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+
+
+def test_label_prototypes_hand_case():
+    from featurebox_ray.stages.cohesion import label_prototypes
+
+    t = pa.table({"label": pa.array([0, 0, 1], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 1.0],
+                                         [2.0, 2.0]],
+                                        pa.list_(pa.float32()))})
+    got = (label_prototypes(ray.data.from_arrow(t), quant_bits=8)
+           .to_pandas().sort_values(["label", "dim"]))
+    assert got["mean"].tolist() == [0.5, 0.5, 2.0, 2.0]
+    assert got.n.tolist() == [2, 2, 1, 1]
