@@ -480,7 +480,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q172_rising_terms": _rising_terms_q,
         "q173_k_anonymity": _k_anonymity_q,
         "q174_label_prototypes": _label_prototypes_q,
+        "q175_wilson_rates": _wilson_rates_q,
     }
+
+
+def _wilson_rates_q(sf_dir: str):
+    """q175: per-event-type success rate with the Wilson lower bound
+    (stages/regress.py:wilson_rates) — success = value > 0; exact
+    (n, k) combiner partials, one fixed IEEE expression."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import wilson_rates
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks()
+        ok = pc.is_valid(v)
+        succ = pc.if_else(ok, pc.cast(pc.greater(
+            pc.fill_null(v, 0.0), 0.0), pa.int64()),
+            pa.scalar(None, pa.int64()))
+        return pa.table({"event_type": b["event_type"],
+                         "success": succ})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return wilson_rates(prepped, key_col="event_type",
+                        success_col="success")
 
 
 def _label_prototypes_q(sf_dir: str):
@@ -5795,6 +5824,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # Wilson rates: identical fixed IEEE expression both sides
+        "q175_wilson_rates": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(value > 0 AS BIGINT) AS success
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(success) AS BIGINT) AS k
+                  FROM e GROUP BY event_type),
+            f AS (SELECT *,
+                         CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                           AS phat,
+                         1.96 * 1.96 AS z2,
+                         CAST(n AS DOUBLE) AS nf
+                  FROM s)
+            SELECT event_type, n, k, phat AS rate,
+                   (phat + z2 / (2.0 * nf)
+                    - 1.96 * sqrt((phat * (1.0 - phat)
+                                   + z2 / (4.0 * nf)) / nf))
+                     / (1.0 + z2 / nf) AS wilson_lb
+            FROM f
         """,
         # label prototypes: unnest + quantized sums, exact divisions
         "q174_label_prototypes": """

@@ -935,3 +935,80 @@ def ridge_solve(g_int: np.ndarray, xty_int: np.ndarray, n: int,
     idx = np.arange(len(G) - 1)          # regularize all but intercept
     A[idx, idx] += lam
     return np.linalg.solve(A, b)
+
+
+def wilson_rates(ds, *, key_col: str, success_col: str,
+                 z: float = 1.96, num_partitions: int = 8):
+    """Per-key success rate with the Wilson-score LOWER bound — the
+    "rank by confidence-adjusted rate" primitive (small-sample keys
+    stop outranking well-measured ones; the standard fix for sorting
+    by raw conversion/success rates).
+
+    ``success_col`` must be 0/1 int64.  Per-key ``(n, k)`` are exact
+    int64 combiner partials on one key-keyed exchange; the bound is
+    ONE fixed sequence of correctly-rounded IEEE ops —
+
+        p̂ = k/n;  a = z²/(2n);  b = z·sqrt((p̂·(1−p̂) + z²/(4n))/n)
+        lb = (p̂ + a − b) / (1 + z²/n)
+
+    written identically in SQL (same literal z parses to the same
+    double), so the replay is bit-exact.  Keys with n = 0 cannot occur
+    (a key exists only via rows); NULL keys/successes drop.
+
+    Emits ``(key_col, n:int64, k:int64, rate:float64,
+    wilson_lb:float64)``.
+    """
+    from .partition import partitioned_map
+
+    z = np.float64(z)
+    z2 = z * z
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch[key_col]),
+                       pc.is_valid(batch[success_col]))
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
+        ktype = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "n": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64())})
+        gd = pc.dictionary_encode(batch[key_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = batch[success_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = len(gd.dictionary)
+        n = np.bincount(codes, minlength=g).astype(np.int64)
+        k = np.zeros(g, np.int64)
+        np.add.at(k, codes, s)
+        return pa.table({key_col: gd.dictionary,
+                         "n": pa.array(n), "k": pa.array(k)})
+
+    def combine(t: pa.Table) -> pa.Table:
+        gd = pc.dictionary_encode(t[key_col].combine_chunks())
+        g = len(gd.dictionary)
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = np.zeros(g, np.int64)
+        k = np.zeros(g, np.int64)
+        np.add.at(n, codes, t["n"].to_numpy(zero_copy_only=False))
+        np.add.at(k, codes, t["k"].to_numpy(zero_copy_only=False))
+        nf = n.astype(np.float64)
+        kf = k.astype(np.float64)
+        phat = kf / nf
+        a = z2 / (2.0 * nf)
+        b = z * np.sqrt((phat * (1.0 - phat) + z2 / (4.0 * nf)) / nf)
+        lb = (phat + a - b) / (1.0 + z2 / nf)
+        return pa.table({
+            key_col: gd.dictionary, "n": pa.array(n),
+            "k": pa.array(k), "rate": pa.array(phat, pa.float64()),
+            "wilson_lb": pa.array(lb, pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return partitioned_map(partials, combine, key=key_col,
+                           sort_keys=[key_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
