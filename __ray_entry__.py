@@ -481,7 +481,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q173_k_anonymity": _k_anonymity_q,
         "q174_label_prototypes": _label_prototypes_q,
         "q175_wilson_rates": _wilson_rates_q,
+        "q176_lexical_diversity": _lexical_diversity_q,
     }
+
+
+def _lexical_diversity_q(sf_dir: str):
+    """q176: per-doc inverse-Simpson lexical diversity (stages/text.py:
+    lexical_diversity_fn) — rational-exact type-token measure (no
+    logs), one stateless vectorized pass."""
+    import functools
+
+    import ray
+
+    from featurebox_ray.stages.text import lexical_diversity_fn
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=32)
+    fn = functools.partial(lexical_diversity_fn)
+    return docs.map_batches(fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def _wilson_rates_q(sf_dir: str):
@@ -5824,6 +5843,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # lexical diversity: N²/Σn² rational-exact, unnest replay
+        "q176_lexical_diversity": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents),
+            c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n_i
+                  FROM tok GROUP BY doc_id, w),
+            s AS (SELECT doc_id,
+                         CAST(sum(n_i) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(sum(n_i * n_i) AS BIGINT) AS sum_sq
+                  FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.n_types, 0) AS n_types,
+                   coalesce(s.sum_sq, 0) AS sum_sq,
+                   CASE WHEN s.n_tokens IS NULL THEN NULL
+                        ELSE CAST(s.n_tokens AS DOUBLE)
+                             * CAST(s.n_tokens AS DOUBLE)
+                             / CAST(s.sum_sq AS DOUBLE) END
+                     AS simpson_d
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # Wilson rates: identical fixed IEEE expression both sides
         "q175_wilson_rates": """

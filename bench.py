@@ -201,7 +201,7 @@ QUERY_NAMES = [
     "q164_hard_negatives", "q165_crosstab_chi2",
     "q166_stratified_folds", "q167_rolling_slope",
     "q168_curate_corpus", "q170_burstiness", "q171_concurrency", "q172_rising_terms", "q173_k_anonymity", "q174_label_prototypes",
-    "q175_wilson_rates",
+    "q175_wilson_rates", "q176_lexical_diversity",
 ]
 
 

@@ -352,3 +352,50 @@ def gopher_quality_fn(batch: pa.Table, *, text_col: str = "text",
             ("gq_keep", pa.array(keep))):
         out = out.append_column(name, arr)
     return out
+
+
+def lexical_diversity_fn(batch: pa.Table, *, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Per-document lexical diversity via the INVERSE SIMPSON index
+    ``D = N² / Σ n_i²`` (N tokens, n_i per-type counts) — the
+    rational-exact alternative to entropy-based type-token measures
+    (no logarithm, so the whole statistic replays in SQL): D = 1 for
+    a one-word loop, D = #types when all tokens are distinct; low D
+    flags repetitive/boilerplate text (a Gopher-adjacent quality
+    signal, the per-doc sibling of the q138 group Gini).
+
+    One stateless vectorized pass: tokenize, lexsort (row, token),
+    run lengths give ``n_i``; ``Σn_i²`` and ``N²`` are exact int64;
+    ``D`` is one double/double division.  Zero-token docs emit NULL
+    D.  Emits ``(id_col, n_tokens:int64, n_types:int64,
+    sum_sq:int64, simpson_d:float64)``.
+    """
+    from .dedup import split_tokens
+
+    texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+    flat, off = split_tokens(texts)
+    n_rows = batch.num_rows
+    n_tok = np.diff(off).astype(np.int64)
+    n_types = np.zeros(n_rows, np.int64)
+    sum_sq = np.zeros(n_rows, np.int64)
+    if len(flat):
+        row_ids = np.repeat(np.arange(n_rows), n_tok)
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, row_ids))
+        r_s, c_s = row_ids[order], codes[order]
+        new_run = np.ones(len(r_s), bool)
+        new_run[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(new_run)
+        runs = np.diff(np.concatenate([starts, [len(r_s)]]))
+        np.add.at(n_types, r_s[starts], 1)
+        np.add.at(sum_sq, r_s[starts], runs * runs)
+    d = (n_tok.astype(np.float64) * n_tok.astype(np.float64)
+         / np.maximum(sum_sq, 1).astype(np.float64))
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(n_tok),
+        "n_types": pa.array(n_types),
+        "sum_sq": pa.array(sum_sq),
+        "simpson_d": pa.array(d, pa.float64(), mask=n_tok == 0),
+    })

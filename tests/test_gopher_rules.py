@@ -100,3 +100,58 @@ def test_gopher_rules_duckdb_fuzz_partition_invariant():
             .map_batches(fn, batch_format="pyarrow")
             .to_pandas())
     assert bool(kept.gq_keep.item())
+
+
+DIV_ORACLE = r"""
+    WITH tok AS (
+      SELECT id, unnest(regexp_extract_all(coalesce(text, ''),
+                                           '\S+')) AS w
+      FROM docs),
+    c AS (SELECT id, w, CAST(count(*) AS BIGINT) AS n_i
+          FROM tok GROUP BY id, w),
+    s AS (SELECT id, CAST(sum(n_i) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(n_i * n_i) AS BIGINT) AS sum_sq
+          FROM c GROUP BY id)
+    SELECT d.id, coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.n_types, 0) AS n_types,
+           coalesce(s.sum_sq, 0) AS sum_sq,
+           CASE WHEN s.n_tokens IS NULL THEN NULL
+                ELSE CAST(s.n_tokens AS DOUBLE)
+                     * CAST(s.n_tokens AS DOUBLE)
+                     / CAST(s.sum_sq AS DOUBLE) END AS simpson_d
+    FROM docs d LEFT JOIN s USING (id) ORDER BY d.id
+"""
+
+
+def test_lexical_diversity_duckdb_fuzz():
+    from featurebox_ray.stages.text import lexical_diversity_fn
+
+    rng = np.random.default_rng(181)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = []
+    for _ in range(200):
+        k = int(rng.integers(0, 15))
+        docs.append(" ".join(rng.choice(vocab, k)) if k else
+                    (None if rng.random() < 0.5 else ""))
+    pdf = pd.DataFrame({"id": range(len(docs)), "text": docs})
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    exp = con.sql(DIV_ORACLE).df().reset_index(drop=True)
+    t = pa.table({"id": pa.array(pdf.id, pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    fn = functools.partial(lexical_diversity_fn, id_col="id")
+    got = (ray.data.from_arrow(t).repartition(5)
+           .map_batches(fn, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                  exp, check_exact=True)
+    # extremes: all-same-word doc -> D = 1; all-distinct -> D = N
+    one = pa.table({"id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a a a a", "a b c d"],
+                                     pa.string())})
+    g2 = (ray.data.from_arrow(one)
+          .map_batches(fn, batch_format="pyarrow").to_pandas()
+          .sort_values("id"))
+    assert g2.simpson_d.tolist() == [1.0, 4.0]
