@@ -482,7 +482,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q174_label_prototypes": _label_prototypes_q,
         "q175_wilson_rates": _wilson_rates_q,
         "q176_lexical_diversity": _lexical_diversity_q,
+        "q177_group_top_terms": _group_top_terms_q,
     }
+
+
+def _group_top_terms_q(sf_dir: str):
+    """q177: per-source top terms (stages/tfidf.py:
+    top_terms_per_group) — grouped heavy hitters: composite
+    (group·V+term) partial counts, one group-keyed exchange, per-group
+    (cnt desc, term asc) top-k."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import top_terms_per_group
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"],
+                                 override_num_blocks=32)
+    return top_terms_per_group(docs, group_col="source", k=5,
+                               num_partitions=8)
 
 
 def _lexical_diversity_q(sf_dir: str):
@@ -5843,6 +5860,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # group top terms: GROUP BY + QUALIFY per-group rank
+        "q177_group_top_terms": r"""
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents),
+            c AS (SELECT source, w AS term,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM tok GROUP BY source, w)
+            SELECT source, term, cnt FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY cnt DESC, term ASC) <= 5
         """,
         # lexical diversity: N²/Σn² rational-exact, unnest replay
         "q176_lexical_diversity": r"""

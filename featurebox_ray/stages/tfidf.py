@@ -875,3 +875,111 @@ def rising_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return partitioned_map(local, global_topk, key="term",
                            sort_keys=["term"], num_partitions=1,
                            strategy="tasks")
+
+
+def top_terms_per_group(ds, *, group_col: str, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        num_partitions: int = 8):
+    """Exact per-group heavy hitters — the ``k`` most frequent terms
+    WITHIN each group (per-source boilerplate discovery, per-language
+    stopword induction; the grouped sibling of :func:`top_terms`).
+
+    Per-block ``(group, term, cnt)`` partials (one dictionary encode
+    over ``group·V + term`` composite codes); ONE group-keyed exchange
+    co-locates each group's partials so the kernel can finish the sums
+    and cut the per-group top-k under the deterministic
+    ``(count desc, term asc)`` boundary.  Bytes shuffled = distinct
+    (group, term) pairs per block.  NULL groups form a group; NULL
+    text = no tokens.
+
+    Returns ``(group_col, term, cnt:int64)``, ≤ k rows per group.
+    """
+    from .partition import partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        gtype = batch.schema.field(group_col).type
+        empty = pa.table({group_col: pa.array([], gtype),
+                          "term": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        g_arr = batch[group_col].combine_chunks()
+        gd = pc.dictionary_encode(g_arr)
+        n_named = len(gd.dictionary)
+        gi = gd.indices
+        gcodes = (pc.fill_null(gi, n_named) if gi.null_count
+                  else gi).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        rep_g = np.repeat(gcodes, np.diff(off))
+        td = pc.dictionary_encode(flat)
+        tcodes = td.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v = len(td.dictionary)
+        comp = rep_g * v + tcodes
+        u, cnt = np.unique(comp, return_counts=True)
+        g_out = u // v
+        gdict = gd.dictionary
+        if gi.null_count:
+            gdict = pa.concat_arrays([gdict.combine_chunks()
+                                      if isinstance(gdict,
+                                                    pa.ChunkedArray)
+                                      else gdict,
+                                      pa.nulls(1, gdict.type)])
+        return pa.table({
+            group_col: gdict.take(pa.array(g_out, pa.int64())),
+            "term": td.dictionary.take(
+                pa.array(u % v, pa.int64())).cast(pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        g_arr = t[group_col].combine_chunks()
+        gd = pc.dictionary_encode(g_arr)
+        n_named = len(gd.dictionary)
+        gi = gd.indices
+        gcodes = (pc.fill_null(gi, n_named) if gi.null_count
+                  else gi).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        td = pc.dictionary_encode(t["term"].combine_chunks())
+        tcodes = td.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v = len(td.dictionary)
+        comp = gcodes * v + tcodes
+        u, inv = np.unique(comp, return_inverse=True)
+        sums = np.zeros(len(u), np.int64)
+        np.add.at(sums, inv, t["cnt"].to_numpy(zero_copy_only=False))
+        # per-group top-k by (cnt desc, term asc): term rank bytewise
+        term_rank = pc.sort_indices(td.dictionary)
+        tinv = np.empty(v, np.int64)
+        tinv[term_rank.to_numpy(zero_copy_only=False)] = np.arange(v)
+        gk = u // v
+        order = np.lexsort((tinv[u % v], -sums, gk))
+        gk_s = gk[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], gk_s[1:] != gk_s[:-1]]))
+        run_id = np.cumsum(np.concatenate(
+            [[0], (gk_s[1:] != gk_s[:-1]).astype(np.int64)]))
+        rank = np.arange(len(gk_s)) - starts[run_id]
+        sel = order[rank < k]
+        gdict = gd.dictionary
+        if gi.null_count:
+            gdict = pa.concat_arrays([gdict, pa.nulls(1, gdict.type)])
+        return pa.table({
+            group_col: gdict.take(pa.array(gk[sel], pa.int64())),
+            "term": td.dictionary.take(
+                pa.array((u % v)[sel], pa.int64())).cast(pa.string()),
+            "cnt": pa.array(sums[sel]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return partitioned_map(partials, kernel, key=group_col,
+                           sort_keys=[group_col, "term"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

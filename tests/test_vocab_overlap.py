@@ -120,3 +120,55 @@ def test_diversified_topk_duckdb_fuzz():
         if prev is not None:
             assert got.equals(prev)
         prev = got
+
+
+GROUP_TOP_ORACLE = r"""
+    WITH tok AS (
+      SELECT g, unnest(regexp_extract_all(coalesce(text, ''),
+                                          '\S+')) AS w
+      FROM docs),
+    c AS (SELECT g, w AS term, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY g, w)
+    SELECT g, term, cnt FROM c
+    QUALIFY row_number() OVER (PARTITION BY g
+                               ORDER BY cnt DESC, term ASC) <= 3
+    ORDER BY g NULLS LAST, cnt DESC, term
+"""
+
+
+def test_top_terms_per_group_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.tfidf import top_terms_per_group
+
+    rng = np.random.default_rng(191)
+    vocab = [f"w{i}" for i in range(10)]
+    gs, docs = [], []
+    for _ in range(250):
+        gs.append(None if rng.random() < 0.05
+                  else f"g{rng.integers(0, 5)}")
+        k = int(rng.integers(0, 9))
+        docs.append(" ".join(rng.choice(vocab, k)) if k else None)
+    pdf = pd.DataFrame({"g": gs, "text": docs})
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    exp = con.sql(GROUP_TOP_ORACLE).df().reset_index(drop=True)
+    t = pa.table({"g": pa.array(gs, pa.string()),
+                  "id": pa.array(range(len(gs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (top_terms_per_group(ds, group_col="g", id_col="id",
+                                   k=3, num_partitions=4)
+               .to_pandas()
+               .sort_values(["g", "cnt", "term"],
+                            ascending=[True, False, True],
+                            na_position="last")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+    assert got.groupby("g").size().max() <= 3
