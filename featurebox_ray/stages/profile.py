@@ -275,6 +275,12 @@ def k_anonymity(ds, *, cols, k: int, num_partitions: int = 16):
     below_k:bool)``.
     """
     cols = list(cols)
+    # typed empty from the OUTER input schema: empty exchange
+    # partitions (zero-column bundles) must emit the same block schema
+    # as non-empty ones — string defaults would clash with int QIs
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    col_types = {c: base.field(c).type for c in cols}
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.select(cols).group_by(cols).aggregate(
@@ -283,7 +289,7 @@ def k_anonymity(ds, *, cols, k: int, num_partitions: int = 16):
 
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "cnt" not in t.column_names:
-            out = {c: pa.array([], pa.string()) for c in cols}
+            out = {c: pa.array([], col_types[c]) for c in cols}
             out["n"] = pa.array([], pa.int64())
             out["below_k"] = pa.array([], pa.bool_())
             return pa.table(out)

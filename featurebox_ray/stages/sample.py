@@ -491,6 +491,10 @@ def stratified_folds(ds, *, group_col: str, key_col: str, n_folds: int,
 
     if n_folds < 2:
         raise ValueError("n_folds must be >= 2")
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    gtype = base.field(group_col).type
+    ktype = base.field(key_col).type
 
     def prep(batch: pa.Table) -> pa.Table:
         col = batch[key_col]
@@ -505,8 +509,8 @@ def stratified_folds(ds, *, group_col: str, key_col: str, n_folds: int,
 
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or group_col not in t.column_names:
-            return pa.table({group_col: pa.array([], pa.string()),
-                             key_col: pa.array([], pa.int64()),
+            return pa.table({group_col: pa.array([], gtype),
+                             key_col: pa.array([], ktype),
                              out_col: pa.array([], pa.int64())})
         g = t[group_col].combine_chunks()
         enc = pc.dictionary_encode(g)
