@@ -483,7 +483,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q175_wilson_rates": _wilson_rates_q,
         "q176_lexical_diversity": _lexical_diversity_q,
         "q177_group_top_terms": _group_top_terms_q,
+        "q178_compression_ratio": _compression_ratio_q,
     }
+
+
+def _compression_ratio_q(sf_dir: str):
+    """q178: per-doc zlib compression ratio (stages/text.py:
+    compression_ratio_fn) — the Gopher redundancy signal; one
+    deterministic C zlib call per doc.  Fixture oracle: identical
+    zlib calls replayed serially."""
+    import os
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.text import compression_ratio_fn
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for i, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if v is None:
+            rows.append((i, None, None, None))
+            continue
+        b = v.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        rows.append((i, len(b), c,
+                     float(np.float64(c) / np.float64(len(b)))
+                     if len(b) else None))
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "raw_len": pa.array([r[1] for r in rows], pa.int64()),
+            "comp_len": pa.array([r[2] for r in rows], pa.int64()),
+            "ratio": pa.array([r[3] for r in rows], pa.float64()),
+        }), f"{_ORACLE_DIR}/comp_ratio.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/comp_ratio.parquet.tmp",
+               f"{_ORACLE_DIR}/comp_ratio.parquet")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=32)
+    return docs.map_batches(compression_ratio_fn,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def _group_top_terms_q(sf_dir: str):
@@ -5860,6 +5907,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # compression ratio: identical-zlib replay fixture
+        "q178_compression_ratio": f"""
+            SELECT doc_id, raw_len, comp_len, ratio
+            FROM read_parquet('{_ORACLE_DIR}/comp_ratio.parquet')
         """,
         # group top terms: GROUP BY + QUALIFY per-group rank
         "q177_group_top_terms": r"""

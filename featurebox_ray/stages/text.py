@@ -399,3 +399,43 @@ def lexical_diversity_fn(batch: pa.Table, *, text_col: str = "text",
         "sum_sq": pa.array(sum_sq),
         "simpson_d": pa.array(d, pa.float64(), mask=n_tok == 0),
     })
+
+
+def compression_ratio_fn(batch: pa.Table, *, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         level: int = 6) -> pa.Table:
+    """Per-document zlib compression ratio — the Gopher/Dolma
+    redundancy signal (highly compressible ⇒ repetitive/boilerplate;
+    near-1 ratios ⇒ high-entropy noise): ``ratio =
+    compressed_bytes / raw_bytes`` (one exact int division).
+
+    One C ``zlib.compress`` call per DOCUMENT (not per token — the
+    honest per-row cost class of the documented md5 loops; zlib output
+    is deterministic for a fixed level and the bundled library, which
+    the q178 fixture replays with the identical call).  NULL text
+    emits NULL columns; empty text has ``raw_len = 0`` and NULL ratio.
+
+    Emits ``(id_col, raw_len:int64, comp_len:int64, ratio:float64)``.
+    """
+    import zlib
+
+    texts = batch[text_col].combine_chunks()
+    raw, comp, ratio = [], [], []
+    for v in texts.to_pylist():
+        if v is None:
+            raw.append(None)
+            comp.append(None)
+            ratio.append(None)
+            continue
+        b = v.encode("utf-8")
+        c = len(zlib.compress(b, level))
+        raw.append(len(b))
+        comp.append(c)
+        ratio.append(float(np.float64(c) / np.float64(len(b)))
+                     if len(b) else None)
+    return pa.table({
+        id_col: batch[id_col],
+        "raw_len": pa.array(raw, pa.int64()),
+        "comp_len": pa.array(comp, pa.int64()),
+        "ratio": pa.array(ratio, pa.float64()),
+    })

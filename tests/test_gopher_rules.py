@@ -155,3 +155,28 @@ def test_lexical_diversity_duckdb_fuzz():
           .map_batches(fn, batch_format="pyarrow").to_pandas()
           .sort_values("id"))
     assert g2.simpson_d.tolist() == [1.0, 4.0]
+
+
+def test_compression_ratio_properties():
+    from featurebox_ray.stages.text import compression_ratio_fn
+
+    t = pa.table({
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a" * 2000,                # ultra-repetitive
+                          "".join(chr(33 + (i * 17) % 90)
+                                  for i in range(2000)),  # high entropy
+                          "", None], pa.string()),
+    })
+    fn = functools.partial(compression_ratio_fn, id_col="id")
+    got = (ray.data.from_arrow(t).repartition(2)
+           .map_batches(fn, batch_format="pyarrow")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # repetitive text compresses far better than pseudo-random text
+    assert got.ratio[0] < 0.05 < got.ratio[1]
+    assert got.raw_len[2] == 0 and pd.isna(got.ratio[2])
+    assert pd.isna(got.raw_len[3])
+    # deterministic across runs / partitionings
+    again = (ray.data.from_arrow(t)
+             .map_batches(fn, batch_format="pyarrow")
+             .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
