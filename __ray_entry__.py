@@ -553,8 +553,6 @@ def _lexical_diversity_q(sf_dir: str):
     """q176: per-doc inverse-Simpson lexical diversity (stages/text.py:
     lexical_diversity_fn) — rational-exact type-token measure (no
     logs), one stateless vectorized pass."""
-    import functools
-
     import ray
 
     from featurebox_ray.stages.text import lexical_diversity_fn
@@ -562,8 +560,8 @@ def _lexical_diversity_q(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"],
                                  override_num_blocks=32)
-    fn = functools.partial(lexical_diversity_fn)
-    return docs.map_batches(fn, batch_format="pyarrow",
+    return docs.map_batches(lexical_diversity_fn,
+                            batch_format="pyarrow",
                             zero_copy_batch=True)
 
 
@@ -582,7 +580,9 @@ def _wilson_rates_q(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         v = b["value"].combine_chunks()
-        ok = pc.is_valid(v)
+        # isfinite on BOTH sides: numpy NaN>0 is False while DuckDB
+        # orders NaN above everything (the q151/q158 lesson)
+        ok = pc.and_(pc.is_valid(v), pc.is_finite(v))
         succ = pc.if_else(ok, pc.cast(pc.greater(
             pc.fill_null(v, 0.0), 0.0), pa.int64()),
             pa.scalar(None, pa.int64()))
@@ -5959,7 +5959,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type,
                      CAST(value > 0 AS BIGINT) AS success
               FROM events
-              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+                AND isfinite(value)),
             s AS (SELECT event_type,
                          CAST(count(*) AS BIGINT) AS n,
                          CAST(sum(success) AS BIGINT) AS k
@@ -6120,6 +6121,7 @@ def oracle_sql() -> dict[str, str]:
                 AND 10 * nb < 9 * nl AND 10 * nel < 3 * nl
                 AND 10 * na >= 8 * w),
             c AS (SELECT source, count(*) AS n FROM kept
+                  WHERE source IS NOT NULL AND doc_id IS NOT NULL
                   GROUP BY source),
             mm AS (SELECT min(n) AS nmin FROM c),
             thr AS (SELECT source,
@@ -6567,7 +6569,10 @@ def oracle_sql() -> dict[str, str]:
         # identical Knuth hash — every float op is IEEE-exact both sides
         "q150_temperature_mix": """
             WITH c AS (SELECT source, count(*) AS n
-                       FROM documents GROUP BY source),
+                       FROM documents
+                       WHERE source IS NOT NULL
+                         AND doc_id IS NOT NULL
+                       GROUP BY source),
                  mm AS (SELECT min(n) AS nmin FROM c),
                  t AS (SELECT source,
                          CAST(floor(least(

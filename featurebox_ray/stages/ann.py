@@ -463,7 +463,7 @@ def hard_negatives(ds, catalog=None, *, vec_col: str = "embedding",
     import pyarrow.compute as pc
     import ray
 
-    from .cohesion import quantize_half_up
+    from .cohesion import _batch_mat
     from .partition import materialized_block_refs
 
     src = catalog if catalog is not None else ds
@@ -484,14 +484,12 @@ def hard_negatives(ds, catalog=None, *, vec_col: str = "embedding",
                            .astype(np.int64))
                 labs.append(b[label_col].to_numpy(zero_copy_only=False)
                             .astype(np.int64))
-                flat = (b[vec_col].combine_chunks().flatten()
-                        .to_numpy(zero_copy_only=False))
-                vecs.append(flat.reshape(b.num_rows, -1))
+                Q, _d = _batch_mat(b, vec_col, quant_bits)
+                vecs.append(Q)
             if ids:
                 self.ids = np.concatenate(ids)
                 self.labs = np.concatenate(labs)
-                V = np.concatenate(vecs, axis=0).astype(np.float64)
-                self.V = quantize_half_up(V, quant_bits)
+                self.V = np.concatenate(vecs, axis=0)
                 # deterministic catalog order for the argmax tie-break
                 order = np.argsort(self.ids, kind="stable")
                 self.ids = self.ids[order]
@@ -518,11 +516,7 @@ def hard_negatives(ds, catalog=None, *, vec_col: str = "embedding",
                 zero_copy_only=False).astype(np.int64)
             qlabs = batch[label_col].to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            flat = (batch[vec_col].combine_chunks().flatten()
-                    .to_numpy(zero_copy_only=False))
-            X = quantize_half_up(
-                flat.reshape(batch.num_rows, -1).astype(np.float64),
-                quant_bits)
+            X, _d = _batch_mat(batch, vec_col, quant_bits)
             dots = X @ self.V.T                       # exact int64
             bad = ((qlabs[:, None] == self.labs[None, :])
                    | (qids[:, None] == self.ids[None, :]))

@@ -194,7 +194,11 @@ def label_prototypes(ds, *, vec_col: str = "embedding",
                           "n": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        Q, _dims = _batch_mat(b, vec_col, quant_bits)
+        Q, d_block = _batch_mat(b, vec_col, quant_bits)
+        if d_block != _dims_holder[0]:
+            raise ValueError(
+                f"label_prototypes: block dimensionality {d_block} != "
+                f"probed {_dims_holder[0]} — mixed-width embeddings")
         labs = b[label_col].to_numpy(zero_copy_only=False).astype(
             np.int64)
         d = Q.shape[1]
@@ -232,12 +236,18 @@ def label_prototypes(ds, *, vec_col: str = "embedding",
             "mean": pa.array(mean, pa.float64()),
         })
 
-    # probe the dimensionality from one local row (never .schema() on a
-    # lazy mapped dataset; the vec length is data, not schema, anyway)
-    first = ds.limit(1).take_all()
-    if not first:
-        raise ValueError("label_prototypes: empty input")
-    _dims_holder = [len(first[0][vec_col])]
+    # probe the dimensionality from the first NON-NULL vector among a
+    # small local prefix (never .schema() on a lazy mapped dataset; the
+    # vec length is data, not schema); every partial then validates its
+    # own block against it, so mixed widths raise instead of silently
+    # decoding to wrong (label, dim) cells
+    probe_rows = ds.limit(64).take_all()
+    dims = next((len(r[vec_col]) for r in probe_rows
+                 if r.get(vec_col) is not None), None)
+    if dims is None:
+        raise ValueError("label_prototypes: no non-null vector in the "
+                         "first 64 rows — cannot probe dimensionality")
+    _dims_holder = [dims]
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)

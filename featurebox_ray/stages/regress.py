@@ -871,6 +871,13 @@ def fit_ridge(ds, *, vec_col: str = "embedding", y_col: str = "label",
             return pa.table({"cell": pa.array([], pa.int64()),
                              "val": pa.array([], pa.int64())})
         arr = b[vec_col].combine_chunks()
+        # ragged lists whose total length divides evenly would silently
+        # reshape into misaligned rows (the cohesion._batch_mat hazard)
+        mm = pc.min_max(pc.list_value_length(arr))
+        if mm["min"].as_py() != mm["max"].as_py():
+            raise ValueError(
+                f"fit_ridge: {vec_col} lists are ragged "
+                f"({mm['min']}..{mm['max']} elements)")
         flat = arr.flatten().to_numpy(zero_copy_only=False)
         x = flat.reshape(len(arr), -1).astype(np.float64)
         qi = np.round(x * float(1 << quant_bits)).astype(np.int64)

@@ -305,11 +305,33 @@ def temperature_rebalance(ds, *, group_col: str, key_col: str,
     needs; see :func:`temperature_thresholds` for the SQL-exactness
     contract.
     """
-    counts = {}
-    for row in ds.groupby(group_col).count().take_all():
-        g = row[group_col]
-        if g is not None:
-            counts[g] = counts.get(g, 0) + int(row["count()"])
+    import ray
+
+    from .partition import materialized_block_refs
+
+    # count EXACTLY the rows the filter can keep (non-null group AND
+    # key) — counting null-key rows would shift every threshold away
+    # from the SQL replay; per-block value_counts partials are also
+    # null-safe where Ray's groupby is not
+    def count_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch[group_col]),
+                       pc.is_valid(batch[key_col]))
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
+        gtype = batch.schema.field(group_col).type
+        vc = batch[group_col].combine_chunks().value_counts()
+        if len(vc) == 0:
+            return pa.table({"g": pa.array([], gtype),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"g": vc.field("values"),
+                         "cnt": vc.field("counts")})
+
+    counts: dict = {}
+    cds = ds.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    for b in ray.get(materialized_block_refs(cds)):
+        for gv, cv in zip(b["g"].to_pylist(), b["cnt"].to_pylist()):
+            counts[gv] = counts.get(gv, 0) + int(cv)
     thresholds = temperature_thresholds(counts, alpha)
 
     def filt(batch: pa.Table) -> pa.Table:

@@ -363,6 +363,10 @@ def ngram_novelty(ds, *, id_col: str = "doc_id", text_col: str = "text",
         gh = g["gh"].to_numpy(zero_copy_only=False)
         gh2 = g["gh2"].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False)
+        if len(gh) == 0:    # a block of only short/NULL docs
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "gh2": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
         order = np.lexsort((ids, gh2, gh))
         gh, gh2, ids = gh[order], gh2[order], ids[order]
         first = np.concatenate([[True], (gh[1:] != gh[:-1])

@@ -896,6 +896,10 @@ def top_terms_per_group(ds, *, group_col: str, id_col: str = "doc_id",
     """
     from .partition import partitioned_map
 
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    out_gtype = base.field(group_col).type
+
     def partial(batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(batch[text_col].combine_chunks(), "")
         flat, off = split_tokens(texts)
@@ -936,7 +940,7 @@ def top_terms_per_group(ds, *, group_col: str, id_col: str = "doc_id",
 
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "term" not in t.column_names:
-            return pa.table({group_col: pa.array([], pa.string()),
+            return pa.table({group_col: pa.array([], out_gtype),
                              "term": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
         g_arr = t[group_col].combine_chunks()
