@@ -484,7 +484,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q176_lexical_diversity": _lexical_diversity_q,
         "q177_group_top_terms": _group_top_terms_q,
         "q178_compression_ratio": _compression_ratio_q,
+        "q179_ks_drift": _ks_drift_q,
     }
+
+
+def _ks_drift_q(sf_dir: str):
+    """q179: per-event-type two-sample KS drift between the early and
+    late halves of the time range (stages/regress.py:group_ks_drift)
+    — run-end cumulative counts, exact int64 cross-multiplied
+    maximand, one division."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import group_ks_drift
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"])
+    lohi = ev.aggregate(ray.data.aggregate.Min("ts"),
+                        ray.data.aggregate.Max("ts"))
+
+    def _us(v) -> int:
+        if hasattr(v, "value"):
+            return int(v.value) // 1000
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+
+    lo, hi = _us(lohi["min(ts)"]), _us(lohi["max(ts)"])
+    mid = lo + (hi - lo) // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks()
+        ok = pc.is_valid(ts)
+        t_us = pc.cast(pc.if_else(ok, ts, pa.scalar(0, ts.type)),
+                       pa.int64())
+        side = pc.if_else(ok, pc.cast(pc.greater(t_us, mid),
+                                      pa.int64()),
+                          pa.scalar(None, pa.int64()))
+        return pa.table({"event_type": b["event_type"],
+                         "side": side, "value": b["value"]})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return group_ks_drift(prepped, key_col="event_type",
+                          side_col="side", value_col="value",
+                          num_partitions=8)
 
 
 def _compression_ratio_q(sf_dir: str):
@@ -5907,6 +5954,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # KS drift: RANGE-frame window sums (run-end cum counts),
+        # exact int maximand, one division
+        "q179_ks_drift": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS lo,
+                              max(epoch_us(ts)) AS hi
+                       FROM events WHERE ts IS NOT NULL),
+            m AS (SELECT lo + (hi - lo) // 2 AS mid FROM b),
+            e AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) > mid AS BIGINT) AS side,
+                     value
+              FROM events, m
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL AND isfinite(value)),
+            c AS (
+              SELECT event_type, value,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS bb
+              FROM e GROUP BY event_type, value),
+            w AS (
+              SELECT event_type, value,
+                     sum(a) OVER (PARTITION BY event_type
+                                  ORDER BY value) AS ca,
+                     sum(bb) OVER (PARTITION BY event_type
+                                   ORDER BY value) AS cb,
+                     sum(a) OVER (PARTITION BY event_type) AS na,
+                     sum(bb) OVER (PARTITION BY event_type) AS nb
+              FROM c)
+            SELECT event_type,
+                   CAST(min(na) AS BIGINT) AS n0,
+                   CAST(min(nb) AS BIGINT) AS n1,
+                   CAST(max(abs(ca * nb - cb * na)) AS BIGINT)
+                     AS d_num,
+                   CASE WHEN min(na) = 0 OR min(nb) = 0 THEN NULL
+                        ELSE CAST(max(abs(ca * nb - cb * na))
+                                  AS DOUBLE)
+                             / CAST(min(na) * min(nb) AS DOUBLE) END
+                     AS ks_d
+            FROM w GROUP BY event_type
         """,
         # compression ratio: identical-zlib replay fixture
         "q178_compression_ratio": f"""

@@ -177,8 +177,12 @@ def ecdf_encode(query_ds, ref_table, *, group_col: str, value_col: str,
                     promote_options="default")
                 g = rt[group_col].combine_chunks()
                 v = rt[value_col].combine_chunks()
-                keep = pc.and_(pc.and_(pc.is_valid(g), pc.is_valid(v)),
-                               pc.is_finite(v))
+                # non-Kleene and_: null values make keep NULL, and
+                # Table.filter drops nulls — safe here, but normalize
+                # anyway so the mask is a plain boolean
+                keep = pc.fill_null(
+                    pc.and_(pc.and_(pc.is_valid(g), pc.is_valid(v)),
+                            pc.is_finite(v)), False)
                 rt = rt.filter(keep)
                 gd = pc.dictionary_encode(rt[group_col].combine_chunks())
                 codes = gd.indices.to_numpy(zero_copy_only=False)
@@ -196,8 +200,12 @@ def ecdf_encode(query_ds, ref_table, *, group_col: str, value_col: str,
         def __call__(self, batch: pa.Table) -> pa.Table:
             g = batch[group_col]
             v = batch[value_col]
-            keep = pc.and_(pc.and_(pc.is_valid(g), pc.is_valid(v)),
-                           pc.is_finite(v))
+            # fill_null BEFORE pc.all (non-Kleene and_ + null-ignoring
+            # all would otherwise skip the filter on all-true-or-null
+            # masks and let null-value rows through)
+            keep = pc.fill_null(
+                pc.and_(pc.and_(pc.is_valid(g), pc.is_valid(v)),
+                        pc.is_finite(v)), False)
             if not pc.all(keep).as_py():
                 batch = batch.filter(keep)
             if batch.num_rows == 0:

@@ -1019,3 +1019,104 @@ def wilson_rates(ds, *, key_col: str, success_col: str,
                            sort_keys=[key_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def group_ks_drift(ds, *, key_col: str, side_col: str,
+                   value_col: str, num_partitions: int = 16):
+    """Per-key two-sample Kolmogorov–Smirnov statistic between the
+    ``side = 0`` and ``side = 1`` samples of ``value_col`` — the
+    distribution-level drift test (early-vs-late, control-vs-treatment)
+    that catches shape changes the mean/share monitors (q133, q143)
+    miss.
+
+    Exactness: with ties, ``D = max over distinct v of
+    |F0(v) − F1(v)|`` evaluated at run-END cumulative counts; the
+    maximand cross-multiplies to EXACT int64 ``|c0·n1 − c1·n0|`` (no
+    float in the argmax), and ``ks_d`` is one double/double division
+    of the exact maximum.  SQL replays with RANGE-frame window sums
+    (run-end semantics) + the identical division.  Keys missing one
+    side emit NULL ``ks_d``; NULL/non-finite values drop (mirror
+    in SQL).
+
+    ONE key-keyed exchange sorted ``(key, value)``.  Emits
+    ``(key_col, n0:int64, n1:int64, d_num:int64, ks_d:float64)``.
+    """
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        # fill_null BEFORE pc.all: Arrow's and_ is non-Kleene (false
+        # AND null = null) and pc.all IGNORES nulls, so an all-true-or-
+        # null mask would silently skip the filter and let NaN/null
+        # rows through
+        keep = pc.fill_null(
+            pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                            pc.is_valid(b[side_col])),
+                    pc.and_(pc.is_valid(b[value_col]),
+                            pc.is_finite(b[value_col]))), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        return pa.table({key_col: b[key_col],
+                         "__v": pc.cast(b[value_col].combine_chunks(),
+                                        pa.float64()),
+                         "__s": pc.cast(b[side_col].combine_chunks(),
+                                        pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "n0": pa.array([], pa.int64()),
+                          "n1": pa.array([], pa.int64()),
+                          "d_num": pa.array([], pa.int64()),
+                          "ks_d": pa.array([], pa.float64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t["__v"].to_numpy(zero_copy_only=False)
+        s = t["__s"].to_numpy(zero_copy_only=False)
+        a = (s == 0).astype(np.int64)
+        b_ = 1 - a
+        # rows sorted by (key, value): run-end cumulative counts per
+        # key segment at each distinct value
+        seg_start = np.flatnonzero(np.concatenate(
+            [[True], codes[1:] != codes[:-1]]))
+        run_id = np.cumsum(np.concatenate(
+            [[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        ca = np.cumsum(a)
+        cb = np.cumsum(b_)
+        base_a = np.concatenate([[0], ca])[seg_start]
+        base_b = np.concatenate([[0], cb])[seg_start]
+        ca_seg = ca - base_a[run_id]
+        cb_seg = cb - base_b[run_id]
+        last_of_run = np.concatenate(
+            [(codes[1:] != codes[:-1]) | (v[1:] != v[:-1]), [True]])
+        n_keys = int(codes.max()) + 1
+        n0 = np.zeros(n_keys, np.int64)
+        n1 = np.zeros(n_keys, np.int64)
+        np.add.at(n0, codes, a)
+        np.add.at(n1, codes, b_)
+        diff = np.abs(ca_seg * n1[codes] - cb_seg * n0[codes])
+        dmax = np.zeros(n_keys, np.int64)
+        sel = np.flatnonzero(last_of_run)
+        np.maximum.at(dmax, codes[sel], diff[sel])
+        both = (n0 > 0) & (n1 > 0)
+        ks = dmax.astype(np.float64) / np.maximum(
+            n0 * n1, 1).astype(np.float64)
+        first_rows = np.searchsorted(codes, np.arange(n_keys))
+        return pa.table({
+            key_col: keys.take(pa.array(first_rows, pa.int64())),
+            "n0": pa.array(n0), "n1": pa.array(n1),
+            "d_num": pa.array(dmax),
+            "ks_d": pa.array(ks, pa.float64(), mask=~both),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__v"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

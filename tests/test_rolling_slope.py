@@ -147,3 +147,82 @@ def test_burstiness_regimes():
     assert got.burstiness.tolist()[0] == -1.0
     # 5 gaps [1,1,1,1,~1e6]: sample σ≈447k, μ=200k -> B ≈ 0.38 > 0
     assert got.burstiness.tolist()[1] > 0.3
+
+
+KS_ORACLE = """
+    WITH e AS (SELECT k, s, v FROM t
+               WHERE k IS NOT NULL AND s IS NOT NULL
+                 AND v IS NOT NULL AND isfinite(v)),
+    c AS (SELECT k, v,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS bb
+          FROM e GROUP BY k, v),
+    w AS (SELECT k, v,
+                 sum(a) OVER (PARTITION BY k ORDER BY v) AS ca,
+                 sum(bb) OVER (PARTITION BY k ORDER BY v) AS cb,
+                 sum(a) OVER (PARTITION BY k) AS na,
+                 sum(bb) OVER (PARTITION BY k) AS nb
+          FROM c)
+    SELECT k, CAST(min(na) AS BIGINT) AS n0,
+           CAST(min(nb) AS BIGINT) AS n1,
+           CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+           CASE WHEN min(na) = 0 OR min(nb) = 0 THEN NULL
+                ELSE CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+                     / CAST(min(na) * min(nb) AS DOUBLE) END AS ks_d
+    FROM w GROUP BY k ORDER BY k
+"""
+
+
+def test_ks_drift_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.regress import group_ks_drift
+
+    rng = np.random.default_rng(193)
+    n = 1200
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 10, n),
+        "s": rng.integers(0, 2, n),
+        # coarse values force heavy ties (run-end semantics)
+        "v": np.round(rng.normal(0, 2, n), 0),
+    })
+    # one key exists only on side 0 -> NULL ks_d
+    pdf.loc[pdf.k == 9, "s"] = 0
+    pdf.loc[rng.choice(n, 10, replace=False), "v"] = np.nan
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.sql(KS_ORACLE).df().reset_index(drop=True)
+    t = pa.table({"k": pa.array(pdf.k, pa.int64()),
+                  "s": pa.array(pdf.s, pa.int64()),
+                  "v": pa.array(pdf.v, pa.float64(),
+                                from_pandas=True)})
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (group_ks_drift(ds, key_col="k", side_col="s",
+                              value_col="v", num_partitions=4)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp, check_exact=True)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+    assert pd.isna(got.loc[got.k == 9, "ks_d"]).all()
+
+
+def test_ks_drift_regimes():
+    from featurebox_ray.stages.regress import group_ks_drift
+
+    # identical samples -> D = 0; disjoint supports -> D = 1
+    k = [1] * 8 + [2] * 8
+    s = ([0, 1] * 4) + [0] * 4 + [1] * 4
+    v = [5.0, 5.0, 7.0, 7.0, 5.0, 5.0, 7.0, 7.0,
+         1.0, 2.0, 3.0, 4.0, 10.0, 11.0, 12.0, 13.0]
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "s": pa.array(s, pa.int64()),
+                  "v": pa.array(v, pa.float64())})
+    got = (group_ks_drift(ray.data.from_arrow(t), key_col="k",
+                          side_col="s", value_col="v",
+                          num_partitions=2)
+           .to_pandas().sort_values("k"))
+    assert got.ks_d.tolist() == [0.0, 1.0]
