@@ -485,7 +485,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q177_group_top_terms": _group_top_terms_q,
         "q178_compression_ratio": _compression_ratio_q,
         "q179_ks_drift": _ks_drift_q,
+        "q180_rfm_segments": _rfm_segments_q,
     }
+
+
+def _rfm_segments_q(sf_dir: str):
+    """q180: RFM behavioral segmentation (pipelines/events_features.py:
+    rfm_segments) — one user-keyed combiner exchange, exact int64
+    (last_ts, n, cents), three ANSI NTILE(5) passes with deterministic
+    tie-breaks."""
+    import ray
+
+    from featurebox_ray.pipelines.events_features import rfm_segments
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    return rfm_segments(ev, n_tiles=5, num_partitions=16)
 
 
 def _ks_drift_q(sf_dir: str):
@@ -5954,6 +5969,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # RFM: exact aggregates + ANSI NTILE with explicit tie-breaks
+        "q180_rfm_segments": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS cents
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            u AS (SELECT user_id, max(t) AS last,
+                         CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(sum(cents) AS BIGINT) AS cents
+                  FROM e GROUP BY user_id),
+            m AS (SELECT max(last) AS mx FROM u),
+            f AS (SELECT user_id, mx - last AS r_us, n_events, cents
+                  FROM u, m),
+            t AS (SELECT *,
+                    CAST(ntile(5) OVER (ORDER BY r_us, user_id)
+                         AS BIGINT) AS r_tile,
+                    CAST(ntile(5) OVER (ORDER BY n_events DESC,
+                                        user_id) AS BIGINT) AS f_tile,
+                    CAST(ntile(5) OVER (ORDER BY cents DESC, user_id)
+                         AS BIGINT) AS m_tile
+                  FROM f)
+            SELECT user_id, r_us, n_events, cents, r_tile, f_tile,
+                   m_tile,
+                   100 * r_tile + 10 * f_tile + m_tile AS segment
+            FROM t
         """,
         # KS drift: RANGE-frame window sums (run-end cum counts),
         # exact int maximand, one division

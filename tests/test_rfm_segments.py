@@ -1,0 +1,72 @@
+"""RFM segmentation (pipelines/events_features.py:rfm_segments) vs a
+DuckDB NTILE replay."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from featurebox_ray.pipelines.events_features import rfm_segments
+
+ORACLE = """
+    WITH e AS (SELECT u, t,
+                      CAST(round(coalesce(v, 0) * 100) AS BIGINT)
+                        AS cents
+               FROM ev WHERE u IS NOT NULL AND t IS NOT NULL),
+    us AS (SELECT u, max(t) AS last, CAST(count(*) AS BIGINT)
+               AS n_events,
+                  CAST(sum(cents) AS BIGINT) AS cents
+           FROM e GROUP BY u),
+    m AS (SELECT max(last) AS mx FROM us),
+    f AS (SELECT u, mx - last AS r_us, n_events, cents FROM us, m),
+    t AS (SELECT *,
+            CAST(ntile(4) OVER (ORDER BY r_us, u) AS BIGINT)
+              AS r_tile,
+            CAST(ntile(4) OVER (ORDER BY n_events DESC, u) AS BIGINT)
+              AS f_tile,
+            CAST(ntile(4) OVER (ORDER BY cents DESC, u) AS BIGINT)
+              AS m_tile
+          FROM f)
+    SELECT u, r_us, n_events, cents, r_tile, f_tile, m_tile,
+           100 * r_tile + 10 * f_tile + m_tile AS segment
+    FROM t ORDER BY u
+"""
+
+
+def test_rfm_duckdb_fuzz_partition_invariant():
+    rng = np.random.default_rng(197)
+    n = 1100
+    pdf = pd.DataFrame({
+        "u": rng.integers(0, 37, n).astype(float),
+        "t": rng.integers(0, 10**6, n).astype(float),
+        "v": np.round(rng.uniform(0, 50, n), 2),
+    })
+    pdf.loc[rng.choice(n, 8, replace=False), "u"] = np.nan
+    pdf.loc[rng.choice(n, 8, replace=False), "t"] = np.nan
+    pdf.loc[rng.choice(n, 8, replace=False), "v"] = np.nan
+    con = duckdb.connect()
+    con.register("ev", pdf.astype({"u": "Int64", "t": "Int64"}))
+    exp = con.sql(ORACLE).df().reset_index(drop=True)
+    t = pa.table({"u": pa.array(pd.array(pdf.u, dtype="Int64")),
+                  "t": pa.array(pd.array(pdf.t, dtype="Int64")),
+                  "v": pa.array(pdf.v, pa.float64(),
+                                from_pandas=True)})
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (rfm_segments(ds, user_col="u", ts_col="t",
+                            value_col="v", n_tiles=4,
+                            num_partitions=4)
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp, check_exact=True)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+    # tiles are 1..4 and roughly balanced (ANSI sizing: diff <= 1)
+    for c in ("r_tile", "f_tile", "m_tile"):
+        sizes = got[c].value_counts()
+        assert sizes.max() - sizes.min() <= 1
