@@ -486,7 +486,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q178_compression_ratio": _compression_ratio_q,
         "q179_ks_drift": _ks_drift_q,
         "q180_rfm_segments": _rfm_segments_q,
+        "q181_cohort_value": _cohort_value_q,
     }
+
+
+def _cohort_value_q(sf_dir: str):
+    """q181: weekly cohort value (LTV) curve (stages/retention.py:
+    cohort_value_curve) — exact int64 cents per (cohort, offset) on
+    the retention two-exchange shape."""
+    import ray
+
+    from featurebox_ray.stages.retention import cohort_value_curve
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    return cohort_value_curve(ev, period="week", num_partitions=16)
 
 
 def _rfm_segments_q(sf_dir: str):
@@ -5969,6 +5983,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # cohort value: first-period join + exact cent sums
+        "q181_cohort_value": """
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(ts) // 604800000000 AS per,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS cents
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            c AS (SELECT user_id, min(per) AS cohort
+                  FROM e GROUP BY user_id)
+            SELECT c.cohort, e.per - c.cohort AS "offset",
+                   CAST(sum(e.cents) AS BIGINT) AS cents
+            FROM e JOIN c USING (user_id)
+            GROUP BY c.cohort, e.per - c.cohort
         """,
         # RFM: exact aggregates + ANSI NTILE with explicit tie-breaks
         "q180_rfm_segments": """

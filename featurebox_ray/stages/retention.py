@@ -123,3 +123,99 @@ def retention_cohorts(ds, *, key_col: str = "user_id",
                            sort_keys=["cohort", "offset"],
                            num_partitions=min(num_partitions, 8),
                            strategy="tasks")
+
+
+def cohort_value_curve(ds, *, key_col: str = "user_id",
+                       ts_col: str = "ts", value_col: str = "value",
+                       period: str = "week",
+                       num_partitions: int = 16):
+    """Cohort VALUE curve (LTV buildup) — the revenue companion of
+    :func:`retention_cohorts`: for every (cohort, offset) cell, the
+    exact total of ``value_col`` (quantized to cents) generated by the
+    cohort's users that many periods after their first activity.
+
+    Same two-exchange shape: the user-keyed kernel derives each user's
+    cohort (first period — rows arrive sorted by (user, period)) and
+    collapses to per-partition ``(cohort, offset, cents)`` int64
+    partials (composite ``cohort·2^20 + offset`` codes — offsets
+    beyond 2^20 periods raise); the second tiny exchange finishes the
+    sums.  NULL key/ts rows drop; NULL value counts 0 (mirrors SQL
+    ``coalesce``).  Emits ``(cohort:int64, offset:int64,
+    cents:int64)``.
+    """
+    from .partition import partitioned_map
+
+    if period not in _PERIOD_US:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_US)}")
+    width = _PERIOD_US[period]
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[ts_col]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
+                else ts)
+        per = pc.divide(ts_i, width)
+        cents = np.round(pc.fill_null(
+            b[value_col].combine_chunks(), 0.0).to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100).astype(
+            np.int64)
+        return pa.table({key_col: b[key_col], "__per": per,
+                         "__c": pa.array(cents)})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort": pa.array([], pa.int64()),
+                          "offset": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        codes = pc.dictionary_encode(
+            t[key_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        per = t["__per"].to_numpy(zero_copy_only=False)
+        cents = t["__c"].to_numpy(zero_copy_only=False)
+        seg_start = np.flatnonzero(np.concatenate(
+            [[True], codes[1:] != codes[:-1]]))
+        run_id = np.cumsum(np.concatenate(
+            [[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        cohort = per[seg_start][run_id]   # sorted by (user, per)
+        offset = per - cohort
+        if offset.size and int(offset.max()) >= (1 << 20):
+            raise ValueError("cohort_value_curve: offset exceeds 2^20 "
+                             "periods — widen the period")
+        comp = cohort * (1 << 20) + offset
+        u, inv = np.unique(comp, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"cohort": pa.array(u >> 20, pa.int64()),
+                         "offset": pa.array(u & ((1 << 20) - 1),
+                                            pa.int64()),
+                         "cents": pa.array(s)})
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cohort" not in t.column_names:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "offset": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        comp = (t["cohort"].to_numpy(zero_copy_only=False)
+                * (1 << 20)
+                + t["offset"].to_numpy(zero_copy_only=False))
+        u, inv = np.unique(comp, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, t["cents"].to_numpy(zero_copy_only=False))
+        return pa.table({"cohort": pa.array(u >> 20, pa.int64()),
+                         "offset": pa.array(u & ((1 << 20) - 1),
+                                            pa.int64()),
+                         "cents": pa.array(s)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    partials = partitioned_map(prepped, kernel, key=key_col,
+                               sort_keys=[key_col, "__per"],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+    return partitioned_map(partials, combine, key="cohort",
+                           sort_keys=["cohort", "offset"],
+                           num_partitions=max(num_partitions // 4, 1),
+                           strategy="tasks")

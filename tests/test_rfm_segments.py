@@ -70,3 +70,56 @@ def test_rfm_duckdb_fuzz_partition_invariant():
     for c in ("r_tile", "f_tile", "m_tile"):
         sizes = got[c].value_counts()
         assert sizes.max() - sizes.min() <= 1
+
+
+COHORT_ORACLE = """
+    WITH e AS (SELECT u, t // {w} AS per,
+                      CAST(round(coalesce(v, 0) * 100) AS BIGINT)
+                        AS cents
+               FROM ev WHERE u IS NOT NULL AND t IS NOT NULL),
+    c AS (SELECT u, min(per) AS cohort FROM e GROUP BY u)
+    SELECT c.cohort, e.per - c.cohort AS "offset",
+           CAST(sum(e.cents) AS BIGINT) AS cents
+    FROM e JOIN c USING (u)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def test_cohort_value_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.retention import _PERIOD_US
+    from featurebox_ray.stages.retention import cohort_value_curve
+
+    rng = np.random.default_rng(199)
+    n = 900
+    w = _PERIOD_US["day"]
+    pdf = pd.DataFrame({
+        "u": rng.integers(0, 30, n).astype(float),
+        "t": (rng.integers(0, 30, n) * w
+              + rng.integers(0, w, n)).astype(float),
+        "v": np.round(rng.uniform(0, 20, n), 2),
+    })
+    pdf.loc[rng.choice(n, 6, replace=False), "u"] = np.nan
+    pdf.loc[rng.choice(n, 6, replace=False), "v"] = np.nan
+    con = duckdb.connect()
+    con.register("ev", pdf.astype({"u": "Int64", "t": "Int64"}))
+    exp = con.sql(COHORT_ORACLE.format(w=w)).df().reset_index(
+        drop=True)
+    t = pa.table({"u": pa.array(pd.array(pdf.u, dtype="Int64")),
+                  "t": pa.array(pd.array(pdf.t, dtype="Int64")),
+                  "v": pa.array(pdf.v, pa.float64(),
+                                from_pandas=True)})
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (cohort_value_curve(ds, key_col="u", ts_col="t",
+                                  value_col="v", period="day",
+                                  num_partitions=4)
+               .to_pandas().sort_values(["cohort", "offset"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp, check_exact=True)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
