@@ -487,7 +487,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q179_ks_drift": _ks_drift_q,
         "q180_rfm_segments": _rfm_segments_q,
         "q181_cohort_value": _cohort_value_q,
+        "q182_longest_streak": _longest_streak_q,
     }
+
+
+def _longest_streak_q(sf_dir: str):
+    """q182: per-user longest consecutive-day activity streak
+    (stages/retention.py:longest_streak) — gaps-and-islands maximum,
+    one key-keyed exchange, exact run-length ints."""
+    import ray
+
+    from featurebox_ray.stages.retention import longest_streak
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return longest_streak(ev, period="day", num_partitions=16)
 
 
 def _cohort_value_q(sf_dir: str):
@@ -5983,6 +5997,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # longest streak: period − row_number island grouping
+        "q182_longest_streak": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS per
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            i AS (
+              SELECT user_id, per,
+                     per - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY per) AS isl
+              FROM p),
+            r AS (SELECT user_id, isl,
+                         CAST(count(*) AS BIGINT) AS run_len
+                  FROM i GROUP BY user_id, isl)
+            SELECT user_id,
+                   CAST(sum(run_len) AS BIGINT) AS n_periods,
+                   CAST(max(run_len) AS BIGINT) AS longest
+            FROM r GROUP BY user_id
         """,
         # cohort value: first-period join + exact cent sums
         "q181_cohort_value": """

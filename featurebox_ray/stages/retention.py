@@ -219,3 +219,79 @@ def cohort_value_curve(ds, *, key_col: str = "user_id",
                            sort_keys=["cohort", "offset"],
                            num_partitions=max(num_partitions // 4, 1),
                            strategy="tasks")
+
+
+def longest_streak(ds, *, key_col: str = "user_id",
+                   ts_col: str = "ts", period: str = "day",
+                   num_partitions: int = 16):
+    """Per-key longest streak of CONSECUTIVE active periods — the
+    engagement/habit feature (max run of days with ≥1 event), the
+    gaps-and-islands maximum at corpus scale.
+
+    ONE key-keyed exchange sorted ``(key, period)``; the kernel
+    dedupes each key's periods (runs of equal values), marks
+    consecutive steps (``diff == 1``) and takes the longest run —
+    all vectorized run-length math, exact ints.  SQL replays with
+    the classic ``period − row_number()`` island grouping.  NULL
+    key/ts rows drop.  Emits ``(key_col, n_periods:int64,
+    longest:int64)``.
+    """
+    from .partition import partitioned_map
+
+    if period not in _PERIOD_US:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_US)}")
+    width = _PERIOD_US[period]
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[ts_col]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
+                else ts)
+        return pa.table({key_col: b[key_col],
+                         "__per": pc.divide(ts_i, width)})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "n_periods": pa.array([], pa.int64()),
+                          "longest": pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        per = t["__per"].to_numpy(zero_copy_only=False)
+        # distinct (key, period): rows sorted by (key, per)
+        first = np.concatenate([[True], (codes[1:] != codes[:-1])
+                                | (per[1:] != per[:-1])])
+        codes, per = codes[first], per[first]
+        key_rows = np.flatnonzero(first)
+        n_keys = int(codes.max()) + 1
+        n_per = np.bincount(codes, minlength=n_keys).astype(np.int64)
+        # island id: a new island starts at a key change or a gap > 1
+        new_island = np.concatenate(
+            [[True], (codes[1:] != codes[:-1])
+             | (per[1:] != per[:-1] + 1)])
+        isl = np.cumsum(new_island) - 1
+        isl_len = np.bincount(isl).astype(np.int64)
+        isl_key = codes[np.flatnonzero(new_island)]
+        longest = np.zeros(n_keys, np.int64)
+        np.maximum.at(longest, isl_key, isl_len)
+        first_rows = np.searchsorted(codes, np.arange(n_keys))
+        return pa.table({
+            key_col: keys.take(pa.array(key_rows[first_rows],
+                                        pa.int64())),
+            "n_periods": pa.array(n_per),
+            "longest": pa.array(longest),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__per"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -123,3 +123,76 @@ def test_cohort_value_duckdb_fuzz_partition_invariant():
         if prev is not None:
             assert got.equals(prev)
         prev = got
+
+
+STREAK_ORACLE = """
+    WITH p AS (SELECT DISTINCT u, t // {w} AS per FROM ev
+               WHERE u IS NOT NULL AND t IS NOT NULL),
+    i AS (SELECT u, per,
+                 per - row_number() OVER (PARTITION BY u
+                                          ORDER BY per) AS isl
+          FROM p),
+    r AS (SELECT u, isl, CAST(count(*) AS BIGINT) AS run_len
+          FROM i GROUP BY u, isl)
+    SELECT u, CAST(sum(run_len) AS BIGINT) AS n_periods,
+           CAST(max(run_len) AS BIGINT) AS longest
+    FROM r GROUP BY u ORDER BY u
+"""
+
+
+def test_longest_streak_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.retention import longest_streak
+
+    rng = np.random.default_rng(211)
+    n, w = 1000, 100
+    pdf = pd.DataFrame({
+        "u": rng.integers(0, 25, n).astype(float),
+        "t": (rng.integers(0, 40, n) * w
+              + rng.integers(0, w, n)).astype(float),
+    })
+    pdf.loc[rng.choice(n, 8, replace=False), "u"] = np.nan
+    pdf.loc[rng.choice(n, 8, replace=False), "t"] = np.nan
+    con = duckdb.connect()
+    con.register("ev", pdf.astype({"u": "Int64", "t": "Int64"}))
+    exp = con.sql(STREAK_ORACLE.format(w=w)).df().reset_index(
+        drop=True)
+    t = pa.table({"u": pa.array(pd.array(pdf.u, dtype="Int64")),
+                  "t": pa.array(pd.array(pdf.t, dtype="Int64"))})
+    import featurebox_ray.stages.retention as rt
+
+    rt._PERIOD_US["__test"] = w
+    try:
+        prev = None
+        for parts in (1, 6):
+            ds = ray.data.from_arrow(t)
+            if parts > 1:
+                ds = ds.repartition(parts)
+            got = (longest_streak(ds, key_col="u", ts_col="t",
+                                  period="__test", num_partitions=4)
+                   .to_pandas().sort_values("u")
+                   .reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                got.astype(exp.dtypes.to_dict()), exp,
+                check_exact=True)
+            if prev is not None:
+                assert got.equals(prev)
+            prev = got
+    finally:
+        del rt._PERIOD_US["__test"]
+
+
+def test_longest_streak_hand_case():
+    from featurebox_ray.stages.retention import longest_streak
+
+    # user 1 active days 0,1,2, 5,6 -> longest 3; user 2 one day
+    t = pa.table({"u": pa.array([1, 1, 1, 1, 1, 1, 2], pa.int64()),
+                  "t": pa.array([0, 10, 86400_000_000,
+                                 2 * 86400_000_000,
+                                 5 * 86400_000_000,
+                                 6 * 86400_000_000,
+                                 0], pa.int64())})
+    got = (longest_streak(ray.data.from_arrow(t), key_col="u",
+                          ts_col="t", period="day", num_partitions=2)
+           .to_pandas().sort_values("u"))
+    assert got.longest.tolist() == [3, 1]
+    assert got.n_periods.tolist() == [5, 1]
