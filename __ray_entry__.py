@@ -488,7 +488,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q180_rfm_segments": _rfm_segments_q,
         "q181_cohort_value": _cohort_value_q,
         "q182_longest_streak": _longest_streak_q,
+        "q183_order_violations": _order_violations_q,
     }
+
+
+def _order_violations_q(sf_dir: str):
+    """q183: per-user timestamp-monotonicity audit (stages/profile.py:
+    order_violations) — walking events in event_id order, count ts
+    going backwards; one key-keyed exchange, exact counts + one
+    division."""
+    import ray
+
+    from featurebox_ray.stages.profile import order_violations
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+    return order_violations(ev, key_col="user_id", seq_col="event_id",
+                            ts_col="ts", num_partitions=16)
 
 
 def _longest_streak_q(sf_dir: str):
@@ -5997,6 +6013,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, n_chars FROM r
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        # order violations: lag over seq order, exact counts
+        "q183_order_violations": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                AND ts IS NOT NULL),
+            d AS (
+              SELECT user_id, t,
+                     lag(t) OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS pt
+              FROM e)
+            SELECT user_id,
+                   CAST(count(pt) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(CASE WHEN t < pt THEN 1
+                                          ELSE 0 END), 0) AS BIGINT)
+                     AS n_violations,
+                   CASE WHEN count(pt) = 0 THEN NULL
+                        ELSE CAST(coalesce(sum(CASE WHEN t < pt
+                                                    THEN 1 ELSE 0
+                                               END), 0) AS DOUBLE)
+                             / CAST(count(pt) AS DOUBLE) END
+                     AS violation_rate
+            FROM d GROUP BY user_id
         """,
         # longest streak: period − row_number island grouping
         "q182_longest_streak": """

@@ -203,7 +203,7 @@ QUERY_NAMES = [
     "q168_curate_corpus", "q170_burstiness", "q171_concurrency", "q172_rising_terms", "q173_k_anonymity", "q174_label_prototypes",
     "q175_wilson_rates", "q176_lexical_diversity",
     "q177_group_top_terms", "q179_ks_drift", "q180_rfm_segments",
-    "q181_cohort_value", "q182_longest_streak",
+    "q181_cohort_value", "q182_longest_streak", "q183_order_violations",
 ]
 
 

@@ -308,3 +308,72 @@ def k_anonymity(ds, *, cols, k: int, num_partitions: int = 16):
                            sort_keys=cols,
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def order_violations(ds, *, key_col: str, seq_col: str, ts_col: str,
+                     num_partitions: int = 16):
+    """Per-key timestamp-monotonicity audit — walking each key's rows
+    in ``seq_col`` order (the ingest/sequence id), count adjacent
+    steps whose ``ts_col`` goes BACKWARDS (the classic pipeline-QA
+    signal: clock skew, late arrivals, shuffled ingestion).
+
+    ONE key-keyed exchange sorted ``(key, seq)``; the kernel is one
+    vectorized adjacent compare with run masks; exact int counts +
+    one division for the rate (NULL when a key has no adjacent
+    pairs).  Rows with NULL key/seq/ts drop.  Emits ``(key_col,
+    n_pairs:int64, n_violations:int64, violation_rate:float64)``.
+    """
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[seq_col])),
+                       pc.is_valid(b[ts_col]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({key_col: b[key_col], "__seq": b[seq_col],
+                         "__ts": ts})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "n_violations": pa.array([], pa.int64()),
+                          "violation_rate": pa.array([],
+                                                     pa.float64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        same = np.concatenate([[False], codes[1:] == codes[:-1]])
+        back = np.concatenate([[False], ts[1:] < ts[:-1]]) & same
+        n_keys = int(codes.max()) + 1
+        pairs = np.bincount(codes[same], minlength=n_keys).astype(
+            np.int64)
+        viol = np.bincount(codes[back], minlength=n_keys).astype(
+            np.int64)
+        rate = viol.astype(np.float64) / np.maximum(pairs, 1).astype(
+            np.float64)
+        first_rows = np.searchsorted(codes, np.arange(n_keys))
+        return pa.table({
+            key_col: keys.take(pa.array(first_rows, pa.int64())),
+            "n_pairs": pa.array(pairs),
+            "n_violations": pa.array(viol),
+            "violation_rate": pa.array(rate, pa.float64(),
+                                       mask=pairs == 0),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__seq"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -55,3 +55,58 @@ def test_k_anonymity_hand_case():
            .to_pandas().sort_values("a").reset_index(drop=True))
     assert got.n.tolist() == [3, 1]
     assert got.below_k.tolist() == [False, True]
+
+
+OV_ORACLE = """
+    WITH d AS (
+      SELECT u, t, lag(t) OVER (PARTITION BY u ORDER BY sq) AS pt
+      FROM ev WHERE u IS NOT NULL AND sq IS NOT NULL
+        AND t IS NOT NULL)
+    SELECT u, CAST(count(pt) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN t < pt THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violations,
+           CASE WHEN count(pt) = 0 THEN NULL
+                ELSE CAST(coalesce(sum(CASE WHEN t < pt THEN 1
+                                            ELSE 0 END), 0) AS DOUBLE)
+                     / CAST(count(pt) AS DOUBLE) END
+             AS violation_rate
+    FROM d GROUP BY u ORDER BY u
+"""
+
+
+def test_order_violations_duckdb_fuzz_partition_invariant():
+    from featurebox_ray.stages.profile import order_violations
+
+    rng = np.random.default_rng(223)
+    n = 900
+    pdf = pd.DataFrame({
+        "u": rng.integers(0, 20, n).astype(float),
+        "sq": np.arange(n).astype(float),
+        # mostly increasing with planted regressions
+        "t": (np.arange(n) * 10
+              + rng.integers(-40, 5, n)).astype(float),
+    })
+    pdf.loc[rng.choice(n, 7, replace=False), "u"] = np.nan
+    pdf.loc[rng.choice(n, 7, replace=False), "t"] = np.nan
+    con = duckdb.connect()
+    con.register("ev", pdf.astype({"u": "Int64", "sq": "Int64",
+                                   "t": "Int64"}))
+    exp = con.sql(OV_ORACLE).df().reset_index(drop=True)
+    t = pa.table({"u": pa.array(pd.array(pdf.u, dtype="Int64")),
+                  "sq": pa.array(pd.array(pdf.sq, dtype="Int64")),
+                  "t": pa.array(pd.array(pdf.t, dtype="Int64"))})
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (order_violations(ds, key_col="u", seq_col="sq",
+                                ts_col="t", num_partitions=4)
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()),
+                                      exp, check_exact=True)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+    # planted regressions exist in the fuzz corpus
+    assert got.n_violations.sum() > 0
