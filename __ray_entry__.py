@@ -489,7 +489,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q181_cohort_value": _cohort_value_q,
         "q182_longest_streak": _longest_streak_q,
         "q183_order_violations": _order_violations_q,
+        "q184_cdc_compact": _cdc_compact_q,
     }
+
+
+def _cdc_compact_q(sf_dir: str):
+    """q184: CDC changelog compaction (stages/cdc.py:cdc_compact) —
+    base snapshot = customer balances in exact cents, changelog =
+    events as ordered upserts (value → cents) with 'error' rows as
+    deletes, keyed on user_id*13 so the log exercises updates,
+    inserts (keys past the customer range) and deletes; one
+    tagged-union keyed exchange, latest-per-key by (ts, event_id)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import numpy as np
+    import ray
+
+    from featurebox_ray.stages.cdc import cdc_compact
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def prep_base(b: pa.Table) -> pa.Table:
+        cents = np.round(b["c_acctbal"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"key": b["c_custkey"], "name": b["c_name"],
+                         "cents": pa.array(cents)})
+
+    base = base.map_batches(prep_base, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    log = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def prep_log(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b["user_id"]),
+                               pc.is_valid(b["ts"])),
+                       pc.is_valid(b["event_id"]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        cents = np.round(pc.fill_null(
+            b["value"].combine_chunks(), 0.0).to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100).astype(
+            np.int64)
+        return pa.table({
+            "key": pc.multiply(b["user_id"], 13),
+            "t": b["ts"].combine_chunks().cast(pa.int64()),
+            "event_id": b["event_id"],
+            "cents": pa.array(cents),
+            "is_del": pc.fill_null(
+                pc.equal(b["event_type"], "error"), False)})
+
+    log = log.map_batches(prep_log, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return cdc_compact(base, log, key_col="key",
+                       order_cols=["t", "event_id"], value_col="cents",
+                       delete_col="is_del", payload_cols=["name"],
+                       num_partitions=16)
 
 
 def _order_violations_q(sf_dir: str):
@@ -6015,6 +6073,34 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         # order violations: lag over seq order, exact counts
+        # CDC compaction: latest-per-key changelog merge over the base
+        "q184_cdc_compact": """
+            WITH log AS (
+              SELECT user_id * 13 AS key, epoch_us(ts) AS t, event_id,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS cents,
+                     coalesce(event_type = 'error', FALSE) AS is_del
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL),
+            last AS (
+              SELECT key, cents, is_del FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY key ORDER BY t DESC, event_id DESC) AS rn
+                FROM log) WHERE rn = 1),
+            base AS (
+              SELECT c_custkey AS key, c_name AS name,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer)
+            SELECT coalesce(b.key, l.key) AS key, b.name AS name,
+                   CASE WHEN l.key IS NOT NULL THEN l.cents
+                        ELSE b.cents END AS cents,
+                   CASE WHEN l.key IS NULL THEN 'keep'
+                        WHEN b.key IS NULL THEN 'insert'
+                        ELSE 'update' END AS op
+            FROM base b FULL JOIN last l ON b.key = l.key
+            WHERE NOT (l.key IS NOT NULL AND l.is_del)
+        """,
         "q183_order_violations": """
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) AS t

@@ -204,6 +204,8 @@ QUERY_NAMES = [
     "q175_wilson_rates", "q176_lexical_diversity",
     "q177_group_top_terms", "q179_ks_drift", "q180_rfm_segments",
     "q181_cohort_value", "q182_longest_streak", "q183_order_violations",
+    # session-10 additions
+    "q184_cdc_compact",
 ]
 
 
