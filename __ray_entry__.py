@@ -490,7 +490,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q182_longest_streak": _longest_streak_q,
         "q183_order_violations": _order_violations_q,
         "q184_cdc_compact": _cdc_compact_q,
+        "q185_zorder_layout": _zorder_layout_q,
     }
+
+
+def _zorder_layout_q(sf_dir: str):
+    """q185: Z-order layout rank (stages/zorder.py:zorder_layout) —
+    orders quantized on (o_custkey, o_orderdate-in-days) to 16-bit
+    levels, Morton-interleaved, exact global rank via the
+    metadata-only range-sort offsets; all arithmetic integer-exact in
+    SQL.  The µs timestamp pre-scales to days so range x 2^16 stays
+    inside int64 (the engine's overflow guard rejects raw µs)."""
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.zorder import zorder_layout
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        days = pc.divide(b["o_orderdate"].combine_chunks().cast(
+            pa.int64()), 86400000000)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "o_days": days})
+
+    orders = orders.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return zorder_layout(orders, x_col="o_custkey", y_col="o_days",
+                         tie_cols=["o_orderkey"], bits=16,
+                         num_partitions=16)
 
 
 def _cdc_compact_q(sf_dir: str):
@@ -5071,6 +5104,7 @@ def _quantile_bin_q(sf_dir: str):
 
 def oracle_sql() -> dict[str, str]:
     from featurebox_ray.stages.text import _LANG_STOPWORDS
+    from featurebox_ray.stages.zorder import morton_sql_expr
 
     def _inlist(ws):
         return ", ".join(f"'{w}'" for w in ws)
@@ -6073,6 +6107,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         # order violations: lag over seq order, exact counts
+        # Z-order: same quantize + Morton interleave in BIGINT math
+        "q185_zorder_layout": f"""
+            WITH b AS (
+              SELECT o_orderkey, o_custkey AS x,
+                     epoch_us(o_orderdate) // 86400000000 AS y
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+            mm AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                          min(y) AS ylo, max(y) AS yhi FROM b),
+            q AS (
+              SELECT o_orderkey,
+                     CASE WHEN xhi = xlo THEN 0
+                          ELSE ((x - xlo) * 65535) // (xhi - xlo)
+                     END AS qx,
+                     CASE WHEN yhi = ylo THEN 0
+                          ELSE ((y - ylo) * 65535) // (yhi - ylo)
+                     END AS qy
+              FROM b, mm),
+            z AS (SELECT o_orderkey,
+                         {morton_sql_expr('qx', 'qy', 16)} AS zval
+                  FROM q)
+            SELECT o_orderkey, zval,
+                   CAST(row_number() OVER (ORDER BY zval, o_orderkey)
+                        AS BIGINT) AS zrank
+            FROM z
+        """,
         # CDC compaction: latest-per-key changelog merge over the base
         "q184_cdc_compact": """
             WITH log AS (
