@@ -491,7 +491,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q183_order_violations": _order_violations_q,
         "q184_cdc_compact": _cdc_compact_q,
         "q185_zorder_layout": _zorder_layout_q,
+        "q186_theil_sen": _theil_sen_q,
     }
+
+
+def _theil_sen_q(sf_dir: str):
+    """q186: per-user Theil–Sen robust value trend (stages/regress.py:
+    group_theil_sen) — median of pairwise slopes over (epoch_us,
+    value), one keyed exchange, vectorized triangular pair decode;
+    every slope and the discrete-median pick replay bit-exactly."""
+    import ray
+
+    from featurebox_ray.stages.regress import group_theil_sen
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    return group_theil_sen(ev, key_col="user_id", x_col="ts",
+                           y_col="value", max_group=2048,
+                           num_partitions=16)
 
 
 def _zorder_layout_q(sf_dir: str):
@@ -6107,6 +6124,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         # order violations: lag over seq order, exact counts
+        # Theil-Sen: pairwise-slope median, discrete-quantile element
+        "q186_theil_sen": """
+            WITH e AS (
+              SELECT user_id AS key, epoch_us(ts) AS x, value AS y
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL AND isfinite(value)),
+            g AS (SELECT key, CAST(count(*) AS BIGINT) AS n_points
+                  FROM e GROUP BY key HAVING count(*) <= 2048),
+            p AS (SELECT a.key AS key, (b.y - a.y) / (b.x - a.x) AS s
+                  FROM e a JOIN e b
+                    ON a.key = b.key AND b.x > a.x),
+            m AS (SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+                         quantile_disc(s, CAST(0.5 AS DOUBLE)) AS slope
+                  FROM p GROUP BY key)
+            SELECT g.key AS user_id, g.n_points,
+                   coalesce(m.n_pairs, 0) AS n_pairs, m.slope AS slope
+            FROM g LEFT JOIN m ON g.key = m.key
+        """,
         # Z-order: same quantize + Morton interleave in BIGINT math
         "q185_zorder_layout": f"""
             WITH b AS (

@@ -205,7 +205,7 @@ QUERY_NAMES = [
     "q177_group_top_terms", "q179_ks_drift", "q180_rfm_segments",
     "q181_cohort_value", "q182_longest_streak", "q183_order_violations",
     # session-10 additions
-    "q184_cdc_compact", "q185_zorder_layout",
+    "q184_cdc_compact", "q185_zorder_layout", "q186_theil_sen",
 ]
 
 

@@ -1120,3 +1120,119 @@ def group_ks_drift(ds, *, key_col: str, side_col: str,
                            sort_keys=[key_col, "__v"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def group_theil_sen(ds, *, key_col: str, x_col: str, y_col: str,
+                    max_group: int = 2048, num_partitions: int = 16):
+    """Per-key Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes ``(y_j − y_i)/(x_j − x_i)`` over pairs with ``x_j > x_i``
+    (equal-x pairs contribute no slope).  Up to 29.3% outlier-corrupted
+    points cannot move the estimate — the robust alternative to
+    ``group_linfit`` for drift/trend features over noisy telemetry.
+
+    Shape: one key-keyed exchange; the kernel enumerates each key's
+    pair triangle fully vectorized (per-segment triangular index
+    decode, no Python loop) and picks the per-key median by one lexsort
+    — O(P log P) in the partition's pair count.  Pairs are O(n²) per
+    key, so keys with more than ``max_group`` points are DROPPED from
+    the output (logged skip, mirrored by the oracle's HAVING — the q42
+    bounded-group convention); keys with fewer than 2 distinct-x points
+    emit ``n_pairs=0, slope=NULL``.
+
+    Exactness: every slope is one float64 subtraction pair + one
+    division, identical in SQL; the median is the quantile_disc
+    ELEMENT at rank ``max(ceil(n/2)−1, 0)`` (DuckDB's discrete
+    quantile), so no averaging ever happens — the value replays
+    bit-exactly.  Non-finite ``y`` rows are filtered on both sides.
+
+    Reference analog: none (robust statistics are absent from the
+    reference); the distributed analog of scipy's ``theilslopes`` as a
+    grouped feature.
+    """
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        y = b[y_col].combine_chunks()
+        if not pa.types.is_floating(y.type):
+            y = y.cast(pa.float64())
+        keep = pc.and_(pc.is_valid(b[key_col]),
+                       pc.fill_null(pc.is_finite(y), False))
+        x = b[x_col].combine_chunks()
+        if pa.types.is_timestamp(x.type):
+            x = x.cast(pa.int64())
+        keep = pc.fill_null(pc.and_(keep, pc.is_valid(x)), False)
+        t = pa.table({key_col: b[key_col], "__x": x,
+                      "__y": y.cast(pa.float64())})
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        return t
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    key_type = ds.schema()
+    key_type = getattr(key_type, "base_schema", key_type).field(
+        key_col).type
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "n_points": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "slope": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        x = t["__x"].to_numpy(zero_copy_only=False)
+        y = t["__y"].to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(codes)]]))
+        keep_seg = lens <= max_group
+        n_skip = int((~keep_seg).sum())
+        if n_skip:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "group_theil_sen: skipped %d keys with > %d points",
+                n_skip, max_group)
+        sl, ss = lens[keep_seg], starts[keep_seg]
+        # per-segment triangular pair enumeration, fully vectorized:
+        # each segment of length L contributes i=0..L-2 blocks of
+        # (L-1-i) j-values
+        n_i = np.maximum(sl - 1, 0)
+        total_i = int(n_i.sum())
+        seg_of_i = np.repeat(np.arange(len(sl)), n_i)
+        i_local = (np.arange(total_i)
+                   - np.repeat(np.cumsum(n_i) - n_i, n_i))
+        cnt = sl[seg_of_i] - 1 - i_local          # pairs per i-block
+        i_glob = np.repeat(ss[seg_of_i] + i_local, cnt)
+        blk_off = np.cumsum(cnt) - cnt
+        total_p = int(cnt.sum())
+        j_glob = (np.arange(total_p) - np.repeat(blk_off, cnt)
+                  + i_glob + 1)
+        gid = np.repeat(seg_of_i, cnt)
+        dx = x[j_glob] - x[i_glob]
+        m = dx > 0
+        gid, dx = gid[m], dx[m]
+        slopes = (y[j_glob[m]] - y[i_glob[m]]) / dx
+        n_pairs = np.bincount(gid, minlength=len(sl)).astype(np.int64)
+        g_start = np.cumsum(n_pairs) - n_pairs
+        rank = np.maximum(np.ceil(n_pairs / 2).astype(np.int64) - 1, 0)
+        has = n_pairs > 0
+        slope = np.full(len(sl), np.nan)
+        if len(slopes):
+            slope[has] = slopes[np.lexsort((slopes, gid))][
+                (g_start + rank)[has]]
+        return pa.table({
+            key_col: keys.take(pa.array(ss, pa.int64())),
+            "n_points": pa.array(sl.astype(np.int64)),
+            "n_pairs": pa.array(n_pairs),
+            "slope": pa.array(slope, pa.float64(), mask=~has),
+        })
+
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__x"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
