@@ -492,7 +492,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q184_cdc_compact": _cdc_compact_q,
         "q185_zorder_layout": _zorder_layout_q,
         "q186_theil_sen": _theil_sen_q,
+        "q187_pagerank": _pagerank_q,
     }
+
+
+def _pagerank_q(sf_dir: str):
+    """q187: fixed-point PageRank (stages/graph.py:pagerank) over the
+    part↔supplier co-purchase graph (distinct lineitem pairs, both
+    directions).  Three iterations, ranks int64 in 2^-40 units, every
+    update (3S)//20 + (17·Σ(r//outdeg))//20 — pure integer arithmetic,
+    order-free, replayed by three chained SQL iterations."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.graph import pagerank
+    from featurebox_ray.stages.partition import partitioned_map
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        u = np.unique(p * (1 << 32) + s)
+        return pa.table({"__c": pa.array(u, pa.int64())})
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def edge_kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "__c" not in t.column_names:
+            return empty
+        c = np.unique(t["__c"].to_numpy(zero_copy_only=False))
+        p, s = c >> 32, c & ((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([2 * p, 2 * s + 1]),
+                            pa.int64()),
+            "dst": pa.array(np.concatenate([2 * s + 1, 2 * p]),
+                            pa.int64())})
+
+    edges = partitioned_map(pairs, edge_kernel, key="__c",
+                            sort_keys=["__c"], num_partitions=16,
+                            strategy="tasks")
+    ranks = pagerank(edges, iters=3, scale_bits=40, num_partitions=16)
+
+    def present(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        kind = np.where(node % 2 == 0, "part", "supplier")
+        return pa.table({"kind": pa.array(kind, pa.string()),
+                         "key": pa.array(node // 2, pa.int64()),
+                         "rank": b["rank"]})
+
+    return ranks.map_batches(present, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def _theil_sen_q(sf_dir: str):
@@ -5179,7 +5234,46 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
           FROM d)
     """
+
+    # q187: three unrolled fixed-point PageRank iterations (all BIGINT/
+    # HUGEINT integer arithmetic — bit-exact vs the engine's int64 path)
+    _PR_S = 1 << 40
+    _PR_T = (3 * _PR_S) // 20
+    _pr_iters = []
+    for _i in range(1, 4):
+        _prev = f"r{_i - 1}"
+        _pr_iters.append(f"""
+        c{_i} AS (
+          SELECT e.dst AS node, sum(r.r // d.outdeg) AS s
+          FROM pr_edges e
+          JOIN pr_deg d ON e.src = d.src
+          JOIN {_prev} r ON r.node = e.src
+          GROUP BY e.dst),
+        r{_i} AS (
+          SELECT {_prev}.node,
+                 CAST({_PR_T} + (17 * coalesce(c{_i}.s, 0)) // 20
+                      AS BIGINT) AS r
+          FROM {_prev} LEFT JOIN c{_i} ON {_prev}.node = c{_i}.node)""")
+    q187 = f"""
+        WITH pr_pairs AS (
+          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+          WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        pr_edges AS (
+          SELECT p * 2 AS src, s * 2 + 1 AS dst FROM pr_pairs
+          UNION ALL
+          SELECT s * 2 + 1 AS src, p * 2 AS dst FROM pr_pairs),
+        pr_deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM pr_edges GROUP BY src),
+        r0 AS (SELECT src AS node, CAST({_PR_S} AS BIGINT) AS r
+               FROM pr_deg),{','.join(_pr_iters)}
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+                 AS kind,
+               node // 2 AS key, r AS rank
+        FROM r3
+    """
+
     return {
+        "q187_pagerank": q187,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) AS sum_qty,
