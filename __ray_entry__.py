@@ -493,7 +493,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q185_zorder_layout": _zorder_layout_q,
         "q186_theil_sen": _theil_sen_q,
         "q187_pagerank": _pagerank_q,
+        "q188_attribution": _attribution_q,
     }
+
+
+def _attribution_q(sf_dir: str):
+    """q188: linear multi-touch attribution (stages/attribution.py) —
+    each positive-value purchase splits its cents across the touches
+    in the preceding 7 days via largest-remainder integer division;
+    one user-keyed exchange + driver combine of per-type partials."""
+    import ray
+
+    from featurebox_ray.stages.attribution import linear_attribution
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+    return linear_attribution(ev, key_col="user_id", ts_col="ts",
+                              seq_col="event_id", type_col="event_type",
+                              value_col="value", conv_type="purchase",
+                              horizon=7 * 86400000000,
+                              num_partitions=16)
 
 
 def _pagerank_q(sf_dir: str):
@@ -6218,6 +6238,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         # order violations: lag over seq order, exact counts
+        # attribution: largest-remainder integer credit split
+        "q188_attribution": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS cents
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL AND event_type IS NOT NULL),
+            conv AS (SELECT * FROM e
+                     WHERE event_type = 'purchase' AND cents > 0),
+            touch AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+            pairs AS (
+              SELECT c.cents, t.event_type,
+                     row_number() OVER (
+                       PARTITION BY c.user_id, c.event_id
+                       ORDER BY t.t, t.event_id) AS rn,
+                     count(*) OVER (
+                       PARTITION BY c.user_id, c.event_id) AS n
+              FROM conv c JOIN touch t ON t.user_id = c.user_id
+               AND t.t >= c.t - 604800000000 AND t.t < c.t)
+            SELECT event_type,
+                   CAST(sum(cents // n
+                            + CASE WHEN rn <= cents % n THEN 1
+                                   ELSE 0 END) AS BIGINT)
+                     AS credit_cents,
+                   CAST(count(*) AS BIGINT) AS n_touches
+            FROM pairs GROUP BY event_type
+        """,
         # Theil-Sen: pairwise-slope median, discrete-quantile element
         "q186_theil_sen": """
             WITH e AS (
