@@ -494,7 +494,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q186_theil_sen": _theil_sen_q,
         "q187_pagerank": _pagerank_q,
         "q188_attribution": _attribution_q,
+        "q189_scd2_intervals": _scd2_q,
     }
+
+
+def _scd2_q(sf_dir: str):
+    """q189: SCD-2 validity intervals (stages/scd.py:scd2_intervals)
+    — per-user event_type state runs → [valid_from, valid_to) rows;
+    one keyed exchange, vectorized run-length pass, gaps-and-islands
+    SQL replay."""
+    import ray
+
+    from featurebox_ray.stages.scd import scd2_intervals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return scd2_intervals(ev, key_col="user_id", ts_col="ts",
+                          seq_col="event_id", state_col="event_type",
+                          num_partitions=16)
 
 
 def _attribution_q(sf_dir: str):
@@ -6238,6 +6256,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         # order violations: lag over seq order, exact counts
+        # SCD2: gaps-and-islands state runs with lead() valid_to
+        "q189_scd2_intervals": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id,
+                     event_type AS st
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL AND event_type IS NOT NULL),
+            m AS (
+              SELECT *, CASE WHEN lag(st) OVER (
+                          PARTITION BY user_id ORDER BY t, event_id)
+                          IS DISTINCT FROM st THEN 1 ELSE 0 END AS chg
+              FROM e),
+            g AS (
+              SELECT *, sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM m),
+            r AS (SELECT user_id, st AS state, min(t) AS valid_from,
+                         CAST(count(*) AS BIGINT) AS n_rows, run
+                  FROM g GROUP BY user_id, st, run)
+            SELECT user_id, state, valid_from,
+                   lead(valid_from) OVER (
+                     PARTITION BY user_id ORDER BY run) AS valid_to,
+                   n_rows
+            FROM r
+        """,
         # attribution: largest-remainder integer credit split
         "q188_attribution": """
             WITH e AS (

@@ -206,7 +206,7 @@ QUERY_NAMES = [
     "q181_cohort_value", "q182_longest_streak", "q183_order_violations",
     # session-10 additions
     "q184_cdc_compact", "q185_zorder_layout", "q186_theil_sen",
-    "q187_pagerank", "q188_attribution",
+    "q187_pagerank", "q188_attribution", "q189_scd2_intervals",
 ]
 
 
