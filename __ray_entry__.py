@@ -495,7 +495,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q187_pagerank": _pagerank_q,
         "q188_attribution": _attribution_q,
         "q189_scd2_intervals": _scd2_q,
+        "q190_pq_codes": _pq_codes_q,
     }
+
+
+def _pq_codes_q(sf_dir: str):
+    """q190: product-quantization encoding (stages/pq.py:pq_encode) —
+    4 subspaces x 16 centroids (k lowest-id vectors, half-up 2^10
+    grid), integer squared distances, first-min ties; stateless
+    map_batches encode, codebook broadcast via closure."""
+    import ray
+
+    from featurebox_ray.stages.pq import pq_encode
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return pq_encode(emb, vec_col="embedding", id_col="vec_id",
+                     m=4, k=16, quant_bits=10)
 
 
 def _scd2_q(sf_dir: str):
@@ -6256,6 +6272,49 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         # order violations: lag over seq order, exact counts
+        # PQ codes: integer subspace distances, row_number argmin
+        "q190_pq_codes": """
+            WITH v AS (
+              SELECT vec_id, i - 1 AS pos,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024
+                                + 0.5) AS BIGINT) AS xq
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) r(i)
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+            cb AS (
+              SELECT vec_id AS cvid,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS cid
+              FROM (SELECT vec_id FROM embeddings
+                    WHERE vec_id IS NOT NULL
+                      AND embedding IS NOT NULL
+                    ORDER BY vec_id LIMIT 16)),
+            cq AS (SELECT cb.cid, v.pos, v.xq
+                   FROM cb JOIN v ON v.vec_id = cb.cvid),
+            d AS (SELECT v.vec_id, v.pos // 16 AS sub, cq.cid,
+                         sum((v.xq - cq.xq) * (v.xq - cq.xq)) AS dist
+                  FROM v JOIN cq ON v.pos = cq.pos
+                  GROUP BY 1, 2, 3),
+            a AS (SELECT vec_id, sub, cid FROM (
+                    SELECT *, row_number() OVER (
+                      PARTITION BY vec_id, sub
+                      ORDER BY dist, cid) AS rn FROM d)
+                  WHERE rn = 1)
+            SELECT vec_id,
+                   CAST(max(CASE WHEN sub = 0 THEN cid END) AS BIGINT)
+                     AS c0,
+                   CAST(max(CASE WHEN sub = 1 THEN cid END) AS BIGINT)
+                     AS c1,
+                   CAST(max(CASE WHEN sub = 2 THEN cid END) AS BIGINT)
+                     AS c2,
+                   CAST(max(CASE WHEN sub = 3 THEN cid END) AS BIGINT)
+                     AS c3,
+                   CAST(max(CASE WHEN sub = 0 THEN cid END)
+                        + 16 * max(CASE WHEN sub = 1 THEN cid END)
+                        + 256 * max(CASE WHEN sub = 2 THEN cid END)
+                        + 4096 * max(CASE WHEN sub = 3 THEN cid END)
+                        AS BIGINT) AS pq_code
+            FROM a GROUP BY vec_id
+        """,
         # SCD2: gaps-and-islands state runs with lead() valid_to
         "q189_scd2_intervals": """
             WITH e AS (
