@@ -496,7 +496,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q188_attribution": _attribution_q,
         "q189_scd2_intervals": _scd2_q,
         "q190_pq_codes": _pq_codes_q,
+        "q191_funnel_path": _funnel_path_q,
     }
+
+
+def _funnel_path_q(sf_dir: str):
+    """q191: 3-step sequential funnel view→click→purchase within 3
+    days (stages/funnel.py:funnel_path) — greedy earliest chain, one
+    keyed exchange, one masked reduceat per step; int64-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.funnel import funnel_path
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+
+    def drop_null_keys(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b["user_id"])
+        return b.filter(keep) if not pc.all(keep).as_py() else b
+
+    ev = ev.map_batches(drop_null_keys, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return funnel_path(ev, key_col="user_id", ts_col="ts",
+                       type_col="event_type",
+                       steps=["view", "click", "purchase"],
+                       horizon_s=3 * 86400, num_partitions=16)
 
 
 def _pq_codes_q(sf_dir: str):
@@ -6272,6 +6299,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         # order violations: lag over seq order, exact counts
+        # k-step funnel: chained greedy-earliest min() CTEs
+        "q191_funnel_path": """
+            WITH e AS (SELECT user_id, ts, event_type AS ty
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                   WHERE ty = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE e.ty = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 3 DAY
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM e JOIN s1 USING (user_id)
+                          JOIN s2 USING (user_id)
+                   WHERE e.ty = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s1.t1 + INTERVAL 3 DAY
+                   GROUP BY e.user_id)
+            SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+                   CAST(1 + CASE WHEN s2.user_id IS NOT NULL
+                                 THEN 1 ELSE 0 END
+                          + CASE WHEN s3.user_id IS NOT NULL
+                                 THEN 1 ELSE 0 END AS BIGINT)
+                     AS steps_completed
+            FROM s1 LEFT JOIN s2 USING (user_id)
+                    LEFT JOIN s3 USING (user_id)
+        """,
         # PQ codes: integer subspace distances, row_number argmin
         "q190_pq_codes": """
             WITH v AS (

@@ -155,3 +155,107 @@ def funnel_features(ds, *, key_col: str = "user_id",
                            sort_keys=[key_col, "__ts"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def funnel_path(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type", steps, horizon_s: int,
+                num_partitions: int = 16):
+    """K-step sequential funnel — the greedy earliest completion chain:
+    ``t₁`` = first occurrence of ``steps[0]``; ``tᵢ`` = first
+    ``steps[i]`` event STRICTLY after ``tᵢ₋₁`` and within
+    ``horizon_s`` of ``t₁``.  Emits one row per key with at least one
+    step-1 event: ``(key, t1..tk, steps_completed:int64)`` — the
+    multi-step extension of :func:`funnel_features` (same exchange, the
+    kernel runs one masked ``reduceat`` pass per step instead of one).
+
+    Greedy-earliest is the standard funnel semantics (each step
+    anchors on the earliest possible predecessor, so a completed chain
+    is found iff one exists within the horizon).  All outputs are
+    int64 native-unit timestamps — exact under any partitioning, and
+    the SQL replay is k chained ``min() ... WHERE ts > prev`` CTEs.
+    """
+    from .partition import partitioned_map
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel_path: need at least 2 steps")
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.is_valid(b[ts_col]),
+            pc.is_in(b[type_col], value_set=pa.array(steps))))
+        ts = b[ts_col].combine_chunks()
+        ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
+                else ts)
+        cols = {key_col: b[key_col], "__ts": ts_i}
+        for i, s in enumerate(steps):
+            cols[f"__is{i}"] = pc.equal(b[type_col], s)
+        return pa.table(cols)
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+    tt = base.field(ts_col).type
+    ts_type = tt if pa.types.is_timestamp(tt) else None
+    unit = tt.unit if pa.types.is_timestamp(tt) else "us"
+    horizon_native = int(round(
+        float(horizon_s)
+        * {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]))
+
+    def _restore(arr: np.ndarray, mask: np.ndarray):
+        out = pa.array(arr, pa.int64(), mask=mask)
+        return out.cast(ts_type) if ts_type is not None else out
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty_cols = {key_col: pa.array([], key_type)}
+        for i in range(len(steps)):
+            empty_cols[f"t{i + 1}"] = _restore(np.empty(0, np.int64),
+                                               np.empty(0, bool))
+        empty_cols["steps_completed"] = pa.array([], pa.int64())
+        empty = pa.table(empty_cols)
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]]))
+        seg = np.cumsum(np.concatenate(
+            [[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        big = np.iinfo(np.int64).max
+        masks = [t[f"__is{i}"].to_numpy(
+            zero_copy_only=False).astype(bool)
+            for i in range(len(steps))]
+        t_step = []
+        t1 = np.minimum.reduceat(np.where(masks[0], ts, big), starts)
+        t_step.append(t1)
+        deadline = np.where(t1 == big, big, t1 + horizon_native)
+        prev = t1
+        for i in range(1, len(steps)):
+            ok = (masks[i] & (prev[seg] != big) & (ts > prev[seg])
+                  & (ts <= deadline[seg]))
+            ti = np.minimum.reduceat(np.where(ok, ts, big), starts)
+            t_step.append(ti)
+            prev = ti
+        has1 = t1 != big
+        sel = np.flatnonzero(has1)
+        if len(sel) == 0:
+            return empty
+        out = {key_col: keys.take(pa.array(starts[sel], pa.int64()))}
+        done = np.zeros(len(starts), np.int64)
+        for i, ti in enumerate(t_step):
+            hit = ti != big
+            done += hit.astype(np.int64)
+            out[f"t{i + 1}"] = _restore(np.where(hit, ti, 0)[sel],
+                                        ~hit[sel])
+        out["steps_completed"] = pa.array(done[sel])
+        return pa.table(out)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
