@@ -497,7 +497,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q189_scd2_intervals": _scd2_q,
         "q190_pq_codes": _pq_codes_q,
         "q191_funnel_path": _funnel_path_q,
+        "q192_novelty_curve": _novelty_curve_q,
     }
+
+
+def _novelty_curve_q(sf_dir: str):
+    """q192: corpus marginal-novelty curve (stages/tfidf.py:
+    novelty_curve) — per doc-id bucket, how many vocabulary terms
+    first appear there + running total; term-keyed min exchange,
+    driver combines tiny bucket partials."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import novelty_curve
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return novelty_curve(docs, id_col="doc_id", text_col="text",
+                         bucket_size=2, num_partitions=8)
 
 
 def _funnel_path_q(sf_dir: str):
@@ -6299,6 +6315,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         # order violations: lag over seq order, exact counts
+        # novelty curve: first-seen bucket per term + running total
+        "q192_novelty_curve": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS term
+              FROM documents WHERE doc_id IS NOT NULL),
+            f AS (SELECT term, min(doc_id) AS first_doc
+                  FROM t GROUP BY term),
+            b AS (SELECT first_doc // 2 AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_new_terms
+                  FROM f GROUP BY 1)
+            SELECT bucket, n_new_terms,
+                   CAST(sum(n_new_terms) OVER (
+                     ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cum_new_terms
+            FROM b
+        """,
         # k-step funnel: chained greedy-earliest min() CTEs
         "q191_funnel_path": """
             WITH e AS (SELECT user_id, ts, event_type AS ty

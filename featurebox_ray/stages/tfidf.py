@@ -987,3 +987,84 @@ def top_terms_per_group(ds, *, group_col: str, id_col: str = "doc_id",
                            sort_keys=[group_col, "term"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def novelty_curve(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  bucket_size: int = 250, num_partitions: int = 8):
+    """Marginal-novelty curve — how much NEW vocabulary each successive
+    slice of the corpus contributes: every term maps to the doc bucket
+    (``doc_id // bucket_size``) where it first appears, and the curve
+    is the per-bucket count of first appearances plus its running
+    total.  The diminishing-returns diagnostic behind data-acquisition
+    decisions ("does the next 10 TB still add vocabulary?").
+
+    Plan: per-block ``(term, min_doc)`` partials (tokenize once,
+    vectorized per-term min over dictionary codes), ONE term-keyed
+    exchange takes the global min per term and collapses to
+    ``(bucket, count)`` partials, and the driver merges ≤ buckets ×
+    partitions tiny rows (Python-int sums) and prefix-sums the curve —
+    the shuffle moves distinct terms, never tokens.
+
+    Returns a pa.Table ``(bucket:int64, n_new_terms:int64,
+    cum_new_terms:int64)``; NULL ``id_col`` rows drop.
+    """
+    import ray
+
+    from .dedup import split_tokens
+    from .partition import materialized_block_refs, partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "md": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        keep = pc.is_valid(batch[id_col])
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
+        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        if len(flat) == 0:
+            return empty
+        docs = batch[id_col].to_numpy(zero_copy_only=False)
+        row_ids = np.repeat(np.arange(batch.num_rows), np.diff(off))
+        dct = pc.dictionary_encode(flat)
+        codes = dct.indices.to_numpy(zero_copy_only=False)
+        md = np.full(len(dct.dictionary), np.iinfo(np.int64).max)
+        np.minimum.at(md, codes, docs[row_ids])
+        return pa.table({"term": dct.dictionary.cast(pa.string()),
+                         "md": pa.array(md, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def bucket_kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return empty
+        dct = pc.dictionary_encode(t["term"].combine_chunks())
+        codes = dct.indices.to_numpy(zero_copy_only=False)
+        md = np.full(len(dct.dictionary), np.iinfo(np.int64).max)
+        np.minimum.at(md, codes,
+                      t["md"].to_numpy(zero_copy_only=False))
+        b = md // bucket_size
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    bparts = partitioned_map(partials, bucket_kernel, key="term",
+                             sort_keys=["term"],
+                             num_partitions=num_partitions,
+                             strategy="tasks")
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(bparts)):
+        for bb, cc in zip(blk["bucket"].to_pylist(),
+                          blk["cnt"].to_pylist()):
+            agg[bb] = agg.get(bb, 0) + cc
+    buckets = sorted(agg)
+    counts = [agg[b] for b in buckets]
+    cum = np.cumsum(counts).astype(np.int64) if buckets else \
+        np.empty(0, np.int64)
+    return pa.table({"bucket": pa.array(buckets, pa.int64()),
+                     "n_new_terms": pa.array(counts, pa.int64()),
+                     "cum_new_terms": pa.array(cum)})
