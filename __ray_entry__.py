@@ -498,7 +498,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q190_pq_codes": _pq_codes_q,
         "q191_funnel_path": _funnel_path_q,
         "q192_novelty_curve": _novelty_curve_q,
+        "q193_soundex_block": _soundex_q,
     }
+
+
+def _soundex_q(sf_dir: str):
+    """q193: phonetic blocking keys (stages/phonetic.py) — simplified
+    Soundex over part names as pure RE2 substitution chains (Arrow and
+    DuckDB run the same regex program); map-only, no shuffle."""
+    import ray
+
+    from featurebox_ray.stages.phonetic import add_soundex_key
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_name"])
+    return add_soundex_key(part, name_col="p_name").select_columns(
+        ["p_partkey", "soundex"])
 
 
 def _novelty_curve_q(sf_dir: str):
@@ -5369,7 +5384,34 @@ def oracle_sql() -> dict[str, str]:
         FROM r3
     """
 
+    # q193: the engine's Soundex is an RE2 substitution chain — build
+    # the identical chain in SQL from the same class table
+    from featurebox_ray.stages.phonetic import _CLASSES as _SDX
+
+    _sdx_expr = "nm"
+    for _pat, _rep in _SDX:
+        _sdx_expr = (f"regexp_replace({_sdx_expr}, '{_pat}', "
+                     f"'{_rep}', 'g')")
+    for _d in "0123456":
+        _sdx_expr = (f"regexp_replace({_sdx_expr}, '{_d}+', "
+                     f"'{_d}', 'g')")
+    q193 = f"""
+        WITH s AS (
+          SELECT p_partkey,
+                 upper(regexp_replace(coalesce(p_name, ''),
+                                      '[^A-Za-z]', '', 'g')) AS nm
+          FROM part),
+        m AS (SELECT p_partkey, nm, {_sdx_expr} AS code FROM s)
+        SELECT p_partkey,
+               CASE WHEN nm = '' THEN NULL
+                    ELSE substr(nm, 1, 1)
+                         || substr(replace(substr(code, 2), '0', '')
+                                   || '000', 1, 3) END AS soundex
+        FROM m
+    """
+
     return {
+        "q193_soundex_block": q193,
         "q187_pagerank": q187,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -208,6 +208,7 @@ QUERY_NAMES = [
     "q184_cdc_compact", "q185_zorder_layout", "q186_theil_sen",
     "q187_pagerank", "q188_attribution", "q189_scd2_intervals",
     "q190_pq_codes", "q191_funnel_path", "q192_novelty_curve",
+    "q193_soundex_block",
 ]
 
 
