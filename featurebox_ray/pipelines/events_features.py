@@ -166,8 +166,11 @@ def rfm_segments(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                                sort_keys=[user_col],
                                num_partitions=num_partitions,
                                strategy="tasks")
-    blocks = [b for b in ray.get(materialized_block_refs(per_user))
-              if b.num_rows > 0]
+    refs = materialized_block_refs(per_user)
+    # reuse the materialized blocks for the final pass — consuming the
+    # lazy per_user twice would re-run the whole combiner exchange
+    per_user = ray.data.from_arrow_refs(list(refs))
+    blocks = [b for b in ray.get(refs) if b.num_rows > 0]
     if not blocks:
         raise ValueError("rfm_segments: no valid rows")
     max_ts = max(int(b["last"].to_numpy(zero_copy_only=False).max())
