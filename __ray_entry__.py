@@ -499,7 +499,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q191_funnel_path": _funnel_path_q,
         "q192_novelty_curve": _novelty_curve_q,
         "q193_soundex_block": _soundex_q,
+        "q194_context_trim": _context_trim_q,
+        "q195_feature_hash": _feature_hash_q,
+        "q196_seasonal_peak": _seasonal_peak_q,
+        "q197_lag_autocov": _lag_autocov_q,
     }
+
+
+def _context_trim_q(sf_dir: str):
+    """q194: token-budget context-window trim (stages/context.py) —
+    per event, how many immediately preceding same-user events fit in
+    a 25-token budget (greedy suffix of history) + the exact kept
+    total; one keyed exchange, one global searchsorted kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.context import context_trim
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts",
+                                        "props"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        return b.append_column("n_tok", pc.cast(
+            pc.utf8_length(pc.fill_null(b["props"], "")), pa.int64()))
+
+    ev = ev.map_batches(tok, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return context_trim(ev, key_col="user_id", ts_col="ts",
+                        seq_col="event_id", tokens_col="n_tok",
+                        budget=25, num_partitions=16)
+
+
+def _feature_hash_q(sf_dir: str):
+    """q195: hashing-trick vectorizer (stages/encode.py:
+    hashing_vectorizer) — signed 64-dim md5 feature hashing of
+    document tokens, sparse (doc_id, dim, weight) output; map-only,
+    no vocabulary, no shuffle."""
+    import ray
+
+    from featurebox_ray.stages.encode import hashing_vectorizer
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return hashing_vectorizer(docs, id_col="doc_id", text_col="text",
+                              n_dims=64)
+
+
+def _seasonal_peak_q(sf_dir: str):
+    """q196: hour-of-day seasonal profile + peak election
+    (stages/seasonal.py) — phase-folded (ts//1h)%24 cents profile per
+    event type, peak bin by one IEEE mean division with lowest-bin
+    ties; block partials + one tiny group exchange."""
+    import ray
+
+    from featurebox_ray.stages.seasonal import seasonal_peak
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    return seasonal_peak(ev, group_col="event_type", ts_col="ts",
+                         value_col="value", bin_width_s=3600,
+                         n_bins=24, num_partitions=4)
+
+
+def _lag_autocov_q(sf_dir: str):
+    """q197: per-user lag-2 autocovariance sufficient statistics
+    (stages/window.py:lag_autocov) — integer-exact Σx·x₊₂ / head /
+    tail / total sums over the (ts, event_id)-ordered cents series;
+    one keyed exchange, shifted-product kernel."""
+    import ray
+
+    from featurebox_ray.stages.window import lag_autocov
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts",
+                                        "value"])
+    return lag_autocov(ev, key_col="user_id", ts_col="ts",
+                       seq_col="event_id", value_col="value", lag=2,
+                       num_partitions=16)
 
 
 def _soundex_q(sf_dir: str):
@@ -5411,6 +5489,117 @@ def oracle_sql() -> dict[str, str]:
     """
 
     return {
+        # context trim: exclusive prefix E per user; j = strict-< rank
+        # of E−B via the q151 tagged-union window; kept total by one
+        # equi-join on (user, rn = j+1)
+        "q194_context_trim": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     CAST(length(coalesce(props, '')) AS BIGINT) AS tok
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL),
+            p AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id) AS rn,
+                     CAST(sum(tok) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                          - tok AS BIGINT) AS e
+              FROM e),
+            u AS (
+              SELECT user_id, e AS val, 1 AS tag,
+                     CAST(NULL AS BIGINT) AS rn,
+                     CAST(NULL AS BIGINT) AS e2,
+                     CAST(NULL AS BIGINT) AS event_id
+              FROM p
+              UNION ALL
+              SELECT user_id, e - 25 AS val, 0 AS tag, rn, e, event_id
+              FROM p),
+            c AS (
+              SELECT user_id, rn, e2, event_id, tag,
+                     CAST(sum(tag) OVER (PARTITION BY user_id
+                                         ORDER BY val, tag
+                                         ROWS UNBOUNDED PRECEDING)
+                          - tag AS BIGINT) AS nless
+              FROM u),
+            q AS (SELECT user_id, rn, e2 AS e, event_id, nless
+                  FROM c WHERE tag = 0)
+            SELECT q.user_id, q.event_id,
+                   CAST(q.rn - 1 - q.nless AS BIGINT) AS n_ctx,
+                   CAST(q.e - pj.e AS BIGINT) AS ctx_tokens
+            FROM q JOIN p pj ON pj.user_id = q.user_id
+                            AND pj.rn = q.nless + 1
+        """,
+        # feature hashing: 60-bit md5 prefix per token (the q48/q88
+        # hex-cast trick), dim = h % 64, sign from the next bit
+        "q195_feature_hash": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS term
+              FROM documents WHERE doc_id IS NOT NULL),
+            h AS (SELECT doc_id,
+                         CAST('0x' || substr(md5(term), 1, 15)
+                              AS UBIGINT) AS hv
+                  FROM t),
+            s AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS dim,
+                         CASE WHEN (hv // 64) % 2 = 0 THEN 1
+                              ELSE -1 END AS sgn
+                  FROM h)
+            SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS weight
+            FROM s GROUP BY doc_id, dim
+            HAVING sum(sgn) <> 0
+        """,
+        # seasonal peak: exact int (n, cents) per (type, hour-phase),
+        # peak by ONE double division with lowest-bin tie-break
+        "q196_seasonal_peak": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS cents
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            b AS (SELECT event_type,
+                         (t // 3600000000) % 24 AS bin,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS cents
+                  FROM e GROUP BY 1, 2),
+            r AS (SELECT *,
+                         row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY CAST(cents AS DOUBLE)
+                                    / CAST(n AS DOUBLE) DESC, bin)
+                           AS rk
+                  FROM b)
+            SELECT event_type, bin, n, cents, rk = 1 AS is_peak FROM r
+        """,
+        # lag-2 autocovariance sufficient stats: all-integer sums over
+        # the (ts, event_id)-ordered per-user cents series
+        "q197_lag_autocov": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS x
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL),
+            p AS (SELECT user_id, x,
+                         lead(x, 2) OVER (PARTITION BY user_id
+                                          ORDER BY t, event_id) AS xl
+                  FROM e)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(xl) AS BIGINT) AS m,
+                   CAST(coalesce(sum(x * xl), 0) AS BIGINT) AS spp,
+                   CAST(coalesce(sum(CASE WHEN xl IS NOT NULL
+                                          THEN x END), 0) AS BIGINT)
+                     AS sh,
+                   CAST(coalesce(sum(xl), 0) AS BIGINT) AS st,
+                   CAST(sum(x) AS BIGINT) AS sx
+            FROM p GROUP BY user_id
+        """,
         "q193_soundex_block": q193,
         "q187_pagerank": q187,
         "q01_pricing_summary": """

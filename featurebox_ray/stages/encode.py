@@ -294,3 +294,60 @@ def collapse_rare(ds, *, col: str, min_count: int,
 
     return ds.map_batches(recode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def hashing_vectorizer(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text", n_dims: int = 64):
+    """Hashing-trick (feature-hashing) vectorizer — sklearn's
+    ``HashingVectorizer`` re-expressed as a sparse Ray map: every
+    whitespace token hashes to one of ``n_dims`` buckets with a ±1
+    sign bit, and each document emits its NON-ZERO ``(id, dim,
+    weight)`` rows.  The fixed-width, vocabulary-free encoding that
+    makes streaming model training possible at 100 TB (no vocab
+    broadcast, no OOV, map-only — NO shuffle at all).
+
+    Hash = the engine's 60-bit md5 prefix (``sketch._md5_60`` — one
+    md5 per DISTINCT token per block via dictionary-encode):
+    ``dim = h % n_dims``, ``sign = +1 if (h // n_dims) % 2 == 0``.
+    md5 keeps the whole thing SQL-replayable (the q48/q88 hex-cast
+    trick); sums are exact int64.  NULL ids drop, NULL text counts
+    as empty.
+    """
+    from .dedup import split_tokens
+    from .sketch import _md5_60
+
+    def encode(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "weight": pa.array([], pa.int64())})
+        keep = pc.is_valid(b[id_col])
+        if not pc.all(pc.fill_null(keep, False)).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
+            return empty
+        texts = pc.fill_null(b[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        if len(flat) == 0:
+            return empty
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        row_ids = np.repeat(np.arange(b.num_rows), np.diff(off))
+        dct = pc.dictionary_encode(flat)
+        codes = dct.indices.to_numpy(zero_copy_only=False)
+        h = _md5_60(dct.dictionary.to_pylist())
+        dim = (h % n_dims).astype(np.int64)
+        sign = np.where((h // n_dims) % 2 == 0, 1, -1).astype(np.int64)
+        # sparse accumulation (no rows x n_dims buffer — n_dims may be 2^20)
+        cell = row_ids * n_dims + dim[codes]
+        ucell, inv = np.unique(cell, return_inverse=True)
+        w = np.zeros(len(ucell), np.int64)
+        np.add.at(w, inv, sign[codes])
+        nz = np.flatnonzero(w)
+        return pa.table({
+            id_col: pa.array(ids[ucell[nz] // n_dims], pa.int64()),
+            "dim": pa.array((ucell[nz] % n_dims).astype(np.int64)),
+            "weight": pa.array(w[nz]),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)

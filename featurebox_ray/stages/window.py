@@ -1075,3 +1075,104 @@ def group_burstiness(ds, *, key_col: str, ts_col: str, id_col: str,
                            sort_keys=[key_col, "__ts", id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def lag_autocov(ds, *, key_col: str, ts_col: str, seq_col: str,
+                value_col: str, lag: int = 1,
+                num_partitions: int = 16):
+    """Per-key lag-k autocovariance SUFFICIENT STATISTICS — the
+    periodicity / self-similarity signal over a per-key series,
+    emitted as exact integers so the result is order-independent and
+    SQL-replayable with zero float ops:
+
+    ``(key, n, m, spp, sh, st, sx)`` where over the ``(ts, seq)``-
+    ordered cents series ``x``: ``m = max(n - lag, 0)`` pairs,
+    ``spp = Σ x_i·x_{i+lag}``, ``sh = Σ first-m x``, ``st = Σ last-m
+    x``, ``sx = Σ x``.  The autocorrelation itself is one float
+    expression of these ints (``(m·spp − sh·st) / ...``) computed by
+    the consumer; keeping the operator integer-only sidesteps every
+    cross-engine float hazard (the q115/q130 convention).
+
+    One key-keyed exchange; the kernel is one shifted elementwise
+    product + three ``reduceat``-style segment sums — no per-row
+    Python.  Per-block overflow guard: ``max|x|² × rows`` must stay
+    below 2^63.  NULL key/ts/seq rows drop; NULL values count 0.
+    """
+    from .partition import partitioned_map
+
+    if lag < 1:
+        raise ValueError("lag_autocov: lag must be >= 1")
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.is_valid(b[seq_col]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        cents = np.round(pc.fill_null(
+            b[value_col].combine_chunks(), 0.0).to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100).astype(
+            np.int64)
+        return pa.table({key_col: b[key_col], "__t": ts,
+                         "__s": b[seq_col], "__x": pa.array(cents)})
+
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "n": pa.array([], pa.int64()),
+                      "m": pa.array([], pa.int64()),
+                      "spp": pa.array([], pa.int64()),
+                      "sh": pa.array([], pa.int64()),
+                      "st": pa.array([], pa.int64()),
+                      "sx": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        x = t["__x"].to_numpy(zero_copy_only=False)
+        if len(x) and int(np.abs(x).max()) ** 2 * len(x) >= (1 << 63):
+            raise ValueError("lag_autocov: cents magnitude overflows "
+                             "the int64 product sum — rescale upstream")
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(codes)]]))
+        run_id = np.cumsum(new_run.astype(np.int64)) - 1
+        # pair (i, i+lag) is valid when both rows share a segment
+        prod = np.zeros(len(x), np.int64)
+        same = np.zeros(len(x), bool)
+        if len(x) > lag:
+            same[:-lag] = run_id[lag:] == run_id[:-lag]
+            prod[:-lag] = x[:-lag] * x[lag:]
+        head = np.where(same, x, 0)
+        tail = np.zeros(len(x), np.int64)
+        if len(x) > lag:
+            tail[lag:] = np.where(same[:-lag], x[lag:], 0)
+        cum = lambda a: np.concatenate([[0], np.cumsum(a)])
+        cp, chd, ctl = (cum(np.where(same, prod, 0)), cum(head),
+                        cum(tail))
+        ends = np.concatenate([starts[1:], [len(codes)]])
+        return pa.table({
+            key_col: keys.take(pa.array(starts, pa.int64())),
+            "n": pa.array(lens.astype(np.int64)),
+            "m": pa.array(np.maximum(lens - lag, 0).astype(np.int64)),
+            "spp": pa.array(cp[ends] - cp[starts]),
+            "sh": pa.array(chd[ends] - chd[starts]),
+            "st": pa.array(ctl[ends] - ctl[starts]),
+            "sx": pa.array(cum(x)[ends] - cum(x)[starts]),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__t", "__s"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -1,0 +1,183 @@
+"""Session-11 operators: context_trim, hashing_vectorizer,
+seasonal_peak, lag_autocov — serial replays + edge cases the gate
+can't see (parallelism invariance, budget 0, sign cancellation,
+tie-break, short segments)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from featurebox_ray.stages.context import context_trim
+from featurebox_ray.stages.encode import hashing_vectorizer
+from featurebox_ray.stages.seasonal import seasonal_peak
+from featurebox_ray.stages.window import lag_autocov
+
+
+def _events_tbl(n=800, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(rng.integers(1_700_000_000_000_000,
+                                    1_700_000_500_000_000, n),
+                       pa.int64()).cast(pa.timestamp("us")),
+        "tok": pa.array(rng.integers(0, 9, n), pa.int64()),
+        "value": pa.array(np.round(rng.uniform(0, 40, n), 2)),
+    })
+
+
+def _serial_trim(tbl, budget):
+    import pandas as pd
+
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    out = {}
+    for _, g in df.groupby("user_id"):
+        toks = g["tok"].to_numpy()
+        for i, (eid) in enumerate(g["event_id"].to_numpy()):
+            total = 0
+            n_ctx = 0
+            for j in range(i - 1, -1, -1):
+                if total + toks[j] > budget:
+                    break
+                total += toks[j]
+                n_ctx += 1
+            out[int(eid)] = (n_ctx, total)
+    return out
+
+
+def test_context_trim_serial_and_partition_invariance():
+    tbl = _events_tbl()
+    want = _serial_trim(tbl, budget=12)
+    outs = []
+    for parts in (1, 7):
+        res = context_trim(ray.data.from_arrow(tbl), key_col="user_id",
+                           ts_col="ts", seq_col="event_id",
+                           tokens_col="tok", budget=12,
+                           num_partitions=parts).take_all()
+        got = {r["event_id"]: (r["n_ctx"], r["ctx_tokens"])
+               for r in res}
+        assert got == want
+        outs.append(sorted(got.items()))
+    assert outs[0] == outs[1]
+
+
+def test_context_trim_budget_zero_and_negative_tokens():
+    tbl = _events_tbl(60)
+    res = context_trim(ray.data.from_arrow(tbl), key_col="user_id",
+                       ts_col="ts", seq_col="event_id",
+                       tokens_col="tok", budget=0).take_all()
+    # budget 0 keeps only zero-token context rows
+    want = _serial_trim(tbl, budget=0)
+    assert {r["event_id"]: (r["n_ctx"], r["ctx_tokens"])
+            for r in res} == want
+    bad = tbl.set_column(3, "tok",
+                         pa.array([-1] * 60, pa.int64()))
+    with pytest.raises(Exception, match="negative token"):
+        context_trim(ray.data.from_arrow(bad), key_col="user_id",
+                     ts_col="ts", seq_col="event_id",
+                     tokens_col="tok", budget=5).take_all()
+
+
+def test_hashing_vectorizer_matches_serial_md5():
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, None], pa.int64()),
+        "text": pa.array(["a b a c", "x y z x", None, "drop me"]),
+    })
+    res = hashing_vectorizer(ray.data.from_arrow(docs),
+                             id_col="doc_id", text_col="text",
+                             n_dims=8).take_all()
+    got = {(r["doc_id"], r["dim"]): r["weight"] for r in res}
+    want: dict = {}
+    for did, text in ((1, "a b a c"), (2, "x y z x")):
+        for term in text.split():
+            h = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+            k = (did, h % 8)
+            want[k] = want.get(k, 0) + (1 if (h // 8) % 2 == 0 else -1)
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+
+
+def test_hashing_vectorizer_sign_cancellation():
+    # two tokens engineered to share a dim with opposite signs: find
+    # them by brute force over a small alphabet
+    import itertools
+
+    pairs = {}
+    hit = None
+    for s in ("".join(p) for p in itertools.product("abcdef", repeat=3)):
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        key = h % 4
+        sgn = 1 if (h // 4) % 2 == 0 else -1
+        if (key, -sgn) in pairs:
+            hit = (pairs[(key, -sgn)], s)
+            break
+        pairs[(key, sgn)] = s
+    assert hit is not None
+    docs = pa.table({"doc_id": pa.array([7], pa.int64()),
+                     "text": pa.array([f"{hit[0]} {hit[1]}"])})
+    res = hashing_vectorizer(ray.data.from_arrow(docs),
+                             id_col="doc_id", text_col="text",
+                             n_dims=4).take_all()
+    assert res == []  # weights cancelled -> no rows
+
+
+def test_seasonal_peak_tie_breaks_to_lowest_bin():
+    # two bins with identical (n, cents) -> peak must be the lower bin
+    hour = 3_600_000_000
+    ts = pa.array([2 * hour + 5, 9 * hour + 5, 11 * hour],
+                  pa.int64()).cast(pa.timestamp("us"))
+    tbl = pa.table({"event_type": pa.array(["a", "a", "a"]),
+                    "ts": ts,
+                    "value": pa.array([5.0, 5.0, 1.0])})
+    res = seasonal_peak(ray.data.from_arrow(tbl),
+                        group_col="event_type", ts_col="ts",
+                        value_col="value").take_all()
+    peak = [r for r in res if r["is_peak"]]
+    assert len(peak) == 1 and peak[0]["bin"] == 2
+    assert sorted(r["bin"] for r in res) == [2, 9, 11]
+
+
+def test_seasonal_peak_negative_ts_raises():
+    tbl = pa.table({"event_type": pa.array(["a"]),
+                    "ts": pa.array([-5], pa.int64()).cast(
+                        pa.timestamp("us")),
+                    "value": pa.array([1.0])})
+    with pytest.raises(Exception, match="negative timestamps"):
+        seasonal_peak(ray.data.from_arrow(tbl),
+                      group_col="event_type", ts_col="ts",
+                      value_col="value").take_all()
+
+
+def test_lag_autocov_serial_replay():
+    tbl = _events_tbl(500, seed=9)
+    lag = 3
+    res = lag_autocov(ray.data.from_arrow(tbl), key_col="user_id",
+                      ts_col="ts", seq_col="event_id",
+                      value_col="value", lag=lag,
+                      num_partitions=5).take_all()
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    for r in res:
+        g = df[df["user_id"] == r["user_id"]]
+        x = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        m = max(len(x) - lag, 0)
+        assert r["n"] == len(x) and r["m"] == m
+        assert r["spp"] == int((x[:m] * x[lag:]).sum()) if m else \
+            r["spp"] == 0
+        assert r["sh"] == int(x[:m].sum())
+        assert r["st"] == int(x[lag:].sum()) if m else r["st"] == 0
+        assert r["sx"] == int(x.sum())
+    # a key shorter than the lag emits zeros
+    short = pa.table({"user_id": pa.array([99, 99], pa.int64()),
+                      "event_id": pa.array([0, 1], pa.int64()),
+                      "ts": pa.array([1, 2], pa.int64()).cast(
+                          pa.timestamp("us")),
+                      "value": pa.array([1.0, 2.0])})
+    out = lag_autocov(ray.data.from_arrow(short), key_col="user_id",
+                      ts_col="ts", seq_col="event_id",
+                      value_col="value", lag=5).take_all()
+    assert out[0]["m"] == 0 and out[0]["spp"] == 0
+    assert out[0]["sh"] == 0 and out[0]["st"] == 0
+    assert out[0]["sx"] == 300
