@@ -503,6 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q195_feature_hash": _feature_hash_q,
         "q196_seasonal_peak": _seasonal_peak_q,
         "q197_lag_autocov": _lag_autocov_q,
+        "q198_containment_join": _containment_q,
+        "q199_benford_digits": _benford_q,
     }
 
 
@@ -578,6 +580,52 @@ def _lag_autocov_q(sf_dir: str):
     return lag_autocov(ev, key_col="user_id", ts_col="ts",
                        seq_col="event_id", value_col="value", lag=2,
                        num_partitions=16)
+
+
+def _containment_q(sf_dir: str):
+    """q198: set-containment similarity join (stages/containment.py)
+    — inverted-index large×large join: query docs (doc_id % 31 == 0)
+    vs the rest, containment = |A∩B|/|A| ≥ 0.6 over tokens with
+    corpus df ≤ 1000; two keyed exchanges, integer cross-mult filter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.containment import containment_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def side(is_query: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            m = pa.array(ids % 31 == 0)
+            return b.filter(m if is_query else pc.invert(m))
+
+        return docs.map_batches(fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    return containment_join(side(True), side(False), id_col="doc_id",
+                            text_col="text", threshold=0.6,
+                            max_df=1000, num_partitions=8)
+
+
+def _benford_q(sf_dir: str):
+    """q199: Benford first-digit audit (stages/profile.py:
+    benford_digits) — per event type, count/share of each first
+    significant cents digit; integer power-of-ten searchsorted, block
+    partials + one tiny exchange."""
+    import ray
+
+    from featurebox_ray.stages.profile import benford_digits
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return benford_digits(ev, group_col="event_type",
+                          value_col="value", num_partitions=4)
 
 
 def _soundex_q(sf_dir: str):
@@ -5574,6 +5622,56 @@ def oracle_sql() -> dict[str, str]:
                            AS rk
                   FROM b)
             SELECT event_type, bin, n, cents, rk = 1 AS is_peak FROM r
+        """,
+        # containment join: distinct-token inverted index, corpus-df
+        # stopword cap, integer cross-mult threshold
+        "q198_containment_join": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS token
+              FROM documents WHERE doc_id IS NOT NULL),
+            q AS (SELECT doc_id AS qid, token FROM toks
+                  WHERE doc_id % 31 = 0),
+            c AS (SELECT doc_id AS cid, token FROM toks
+                  WHERE doc_id % 31 <> 0),
+            df AS (SELECT token, count(*) AS df FROM c GROUP BY token),
+            qk AS (SELECT qid, q.token FROM q
+                   LEFT JOIN df ON q.token = df.token
+                   WHERE coalesce(df.df, 0) <= 1000),
+            ck AS (SELECT cid, c.token FROM c
+                   JOIN df ON c.token = df.token
+                   WHERE df.df <= 1000),
+            ql AS (SELECT qid, CAST(count(*) AS BIGINT) AS qlen
+                   FROM qk GROUP BY qid),
+            i AS (SELECT qid, cid, CAST(count(*) AS BIGINT) AS inter
+                  FROM qk JOIN ck USING (token) GROUP BY qid, cid)
+            SELECT i.qid, i.cid, i.inter, ql.qlen,
+                   CAST(i.inter AS DOUBLE) / CAST(ql.qlen AS DOUBLE)
+                     AS containment
+            FROM i JOIN ql ON i.qid = ql.qid
+            WHERE i.inter * 5 >= 3 * ql.qlen
+        """,
+        # Benford: first digit of the exact integer cents (int print),
+        # share = one double division
+        "q199_benford_digits": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+                AND isfinite(value) AND round(value * 100) > 0),
+            d AS (SELECT event_type,
+                         CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+                  FROM d GROUP BY event_type)
+            SELECT d.event_type, d.digit, d.n,
+                   CAST(d.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                     AS share
+            FROM d JOIN t ON d.event_type = t.event_type
         """,
         # lag-2 autocovariance sufficient stats: all-integer sums over
         # the (ts, event_id)-ordered per-user cents series

@@ -181,3 +181,49 @@ def test_lag_autocov_serial_replay():
     assert out[0]["m"] == 0 and out[0]["spp"] == 0
     assert out[0]["sh"] == 0 and out[0]["st"] == 0
     assert out[0]["sx"] == 300
+
+
+def test_containment_join_semantics():
+    from featurebox_ray.stages.containment import containment_join
+
+    q = pa.table({"doc_id": pa.array([0, 31], pa.int64()),
+                  "text": pa.array(["alpha beta gamma", "zeta eta"])})
+    c = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(
+                      ["alpha beta gamma delta more words here",
+                       "alpha only here", "zeta eta theta"])})
+    res = containment_join(ray.data.from_arrow(q),
+                           ray.data.from_arrow(c), threshold=0.5,
+                           max_df=64, num_partitions=4).take_all()
+    got = {(r["qid"], r["cid"]): (r["inter"], r["qlen"])
+           for r in res}
+    # (0,2) shares 1/3 < 0.5 -> excluded
+    assert got == {(0, 1): (3, 3), (31, 3): (2, 2)}
+    # stopword cap: with max_df=0 every token drops -> no rows at all
+    none = containment_join(ray.data.from_arrow(q),
+                            ray.data.from_arrow(c), threshold=0.5,
+                            max_df=0, num_partitions=4).take_all()
+    assert none == []
+    # duplicate tokens in a doc count once (distinct postings)
+    q2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["alpha alpha beta"])})
+    r2 = containment_join(ray.data.from_arrow(q2),
+                          ray.data.from_arrow(c), threshold=0.5,
+                          max_df=64, num_partitions=3).take_all()
+    assert {(r["qid"], r["cid"]): (r["inter"], r["qlen"])
+            for r in r2} == {(0, 1): (2, 2), (0, 2): (1, 2)}
+
+
+def test_benford_digits_exact_counts():
+    from featurebox_ray.stages.profile import benford_digits
+
+    vals = [0.01, 0.19, 1.0, 12.34, 95.0, 950.01, 0.0, -3.0,
+            float("nan"), None]
+    # cents: 1, 19, 100, 1234, 9500, 95001; 0/-300/nan/null drop
+    tbl = pa.table({"g": pa.array(["a"] * len(vals)),
+                    "value": pa.array(vals, pa.float64())})
+    res = benford_digits(ray.data.from_arrow(tbl), group_col="g",
+                         value_col="value").take_all()
+    got = {r["digit"]: r["n"] for r in res}
+    assert got == {1: 4, 9: 2}
+    assert all(abs(r["share"] - r["n"] / 6) < 1e-15 for r in res)
