@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q197_lag_autocov": _lag_autocov_q,
         "q198_containment_join": _containment_q,
         "q199_benford_digits": _benford_q,
+        "q200_triangle_census": _triangle_census_q,
     }
 
 
@@ -626,6 +627,49 @@ def _benford_q(sf_dir: str):
                                columns=["event_type", "value"])
     return benford_digits(ev, group_col="event_type",
                           value_col="value", num_partitions=4)
+
+
+def _triangle_census_q(sf_dir: str):
+    """q200: triangle census of the embedding similarity graph
+    (stages/graph.py:triangle_count) — edges where the quantized
+    integer dot (2^10 half-up grid, the q116 quantizer) clears
+    330000; exact wedge-closure count over two keyed exchanges; the
+    at-scale edge builder is the LSH path (q24), the gate substrate
+    broadcasts the quantized matrix once (q20/q127 shape)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.cohesion import _batch_mat
+    from featurebox_ray.stages.graph import triangle_count
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    Q, _dim = _batch_mat(qt, "embedding", 10)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qref = ray.put((Q, qids))
+
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"],
+                                   override_num_blocks=8)
+
+    def edges(b: pa.Table) -> pa.Table:
+        Qm, qi = ray.get(qref)
+        xq, _d = _batch_mat(b, "embedding", 10)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        dots = xq @ Qm.T
+        hit = (dots >= 330000) & (ids[:, None] < qi[None, :])
+        r, c = np.nonzero(hit)
+        return pa.table({"src": pa.array(ids[r], pa.int64()),
+                         "dst": pa.array(qi[c], pa.int64())})
+
+    e = corpus.map_batches(edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return triangle_count(e, num_partitions=8)
 
 
 def _soundex_q(sf_dir: str):
@@ -5622,6 +5666,34 @@ def oracle_sql() -> dict[str, str]:
                            AS rk
                   FROM b)
             SELECT event_type, bin, n, cents, rk = 1 AS is_peak FROM r
+        """,
+        # triangle census: exact int dots build the edge set, then the
+        # a<b<c three-way self-join counts triangles
+        "q200_triangle_census": """
+            WITH c AS (
+              SELECT vec_id,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024
+                                + 0.5) AS BIGINT) AS xq, i
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) r(i)
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+            d AS (SELECT a.vec_id AS x, b.vec_id AS y,
+                         CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+                  FROM c a JOIN c b
+                    ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+            e AS (SELECT x, y FROM d WHERE dot >= 330000),
+            deg AS (SELECT m, CAST(count(*) AS BIGINT) AS dg
+                    FROM (SELECT x AS m FROM e
+                          UNION ALL SELECT y FROM e)
+                    GROUP BY m),
+            tri AS (SELECT count(*) AS t
+                    FROM e e1 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+                    JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y)
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT coalesce(sum(dg * (dg - 1) // 2), 0)
+                         FROM deg) AS BIGINT) AS n_wedges,
+                   CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
         """,
         # containment join: distinct-token inverted index, corpus-df
         # stopword cap, integer cross-mult threshold

@@ -211,3 +211,162 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
 
     return ranks.map_batches(rename, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def triangle_count(edges_ds, *, src_col: str = "src",
+                   dst_col: str = "dst", max_degree: int = 4096,
+                   num_partitions: int = 16) -> pa.Table:
+    """Exact global triangle census over an undirected edge list —
+    the graph-clustering diagnostic (how cliquish is a similarity /
+    co-occurrence graph) behind community pruning of near-duplicate
+    clusters.  Returns ONE row ``(n_edges, n_wedges,
+    n_triangles)``, all exact int64.
+
+    Plan — the classic two-round wedge check, all keyed exchanges:
+
+    1. edges normalize to ``(min, max)`` (self-loops and NULLs drop)
+       and post BOTH directions; exchange 1 keyed on the center node
+       dedups multi-edges per run and enumerates each center's
+       neighbor-pair WEDGES fully vectorized (triangular index
+       decode).  Nodes with degree > ``max_degree`` RAISE — the
+       degree-orientation variant is the documented scale upgrade for
+       power-law graphs.
+    2. exchange 2 keyed on the wedge endpoints co-locates wedges with
+       the (deduped) edge rows; a wedge whose endpoints are an edge
+       closes a triangle.  Every triangle closes exactly 3 wedges, so
+       ``n_triangles = matches // 3``.
+
+    The driver merges one tiny partial row per partition (Python-int
+    sums).  SQL replay: the ``a<b<c`` three-way self-join.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[src_col]),
+                                    pc.is_valid(b[dst_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        s = b[src_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = b[dst_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = s != d  # drop self-loops
+        s, d = s[m], d[m]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        # both directions: (center, neighbor)
+        return pa.table({
+            "__m": pa.array(np.concatenate([lo, hi]), pa.int64()),
+            "__n": pa.array(np.concatenate([hi, lo]), pa.int64())})
+
+    posted = edges_ds.map_batches(prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    mid_empty = pa.table({"x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64()),
+                          "tag": pa.array([], pa.int8())})
+
+    def wedge_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__m" not in t.column_names:
+            return mid_empty
+        m = t["__m"].to_numpy(zero_copy_only=False)
+        n = t["__n"].to_numpy(zero_copy_only=False)
+        # dedup multi-edges: distinct (m, n) — rows sorted by (m, n)
+        first = np.concatenate([[True], (m[1:] != m[:-1])
+                                | (n[1:] != n[:-1])])
+        m, n = m[first], n[first]
+        new_run = np.concatenate([[True], m[1:] != m[:-1]])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(m)]]))
+        if len(lens) and int(lens.max()) > max_degree:
+            raise ValueError("triangle_count: node degree "
+                             f"{int(lens.max())} > max_degree — use a "
+                             "degree-oriented variant for this graph")
+        # edge rows (tag 0): each undirected edge once (m < n)
+        e_mask = m < n
+        parts_x = [m[e_mask]]
+        parts_y = [n[e_mask]]
+        parts_c = [np.ones(int(e_mask.sum()), np.int64)]
+        parts_t = [np.zeros(int(e_mask.sum()), np.int8)]
+        # wedges: per center, all sorted-neighbor pairs (x < y)
+        n_i = np.maximum(lens - 1, 0)
+        total_i = int(n_i.sum())
+        if total_i:
+            seg_of_i = np.repeat(np.arange(len(lens)), n_i)
+            i_local = (np.arange(total_i)
+                       - np.repeat(np.cumsum(n_i) - n_i, n_i))
+            cnt = lens[seg_of_i] - 1 - i_local
+            i_glob = np.repeat(starts[seg_of_i] + i_local, cnt)
+            blk_off = np.cumsum(cnt) - cnt
+            total_p = int(cnt.sum())
+            j_glob = (np.arange(total_p) - np.repeat(blk_off, cnt)
+                      + i_glob + 1)
+            # neighbors are sorted within a run, so x < y already
+            wx, wy = n[i_glob], n[j_glob]
+            order = np.lexsort((wy, wx))
+            wx, wy = wx[order], wy[order]
+            wf = np.concatenate([[True], (wx[1:] != wx[:-1])
+                                 | (wy[1:] != wy[:-1])])
+            st = np.flatnonzero(wf)
+            wc = np.diff(np.concatenate([st, [len(wx)]]))
+            parts_x.append(wx[st])
+            parts_y.append(wy[st])
+            parts_c.append(wc.astype(np.int64))
+            parts_t.append(np.ones(len(st), np.int8))
+        return pa.table({
+            "x": pa.array(np.concatenate(parts_x), pa.int64()),
+            "y": pa.array(np.concatenate(parts_y), pa.int64()),
+            "cnt": pa.array(np.concatenate(parts_c)),
+            "tag": pa.array(np.concatenate(parts_t))})
+
+    mid = partitioned_map(posted, wedge_kernel, key="__m",
+                          sort_keys=["__m", "__n"],
+                          num_partitions=num_partitions,
+                          strategy="tasks")
+
+    out_empty = pa.table({"n_edges": pa.array([], pa.int64()),
+                          "n_wedges": pa.array([], pa.int64()),
+                          "matches": pa.array([], pa.int64())})
+
+    def close_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return out_empty
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        new_run = np.concatenate([[True], (x[1:] != x[:-1])
+                                  | (y[1:] != y[:-1])])
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run.astype(np.int64)) - 1
+        is_edge = tag == 0
+        has_edge = np.zeros(len(starts), bool)
+        has_edge[run_id[is_edge]] = True
+        wedge_cnt = np.where(tag == 1, cnt, 0)
+        per_run_w = np.add.reduceat(wedge_cnt, starts)
+        n_edges = int(is_edge.sum())
+        n_wedges = int(wedge_cnt.sum())
+        matches = int(per_run_w[has_edge].sum())
+        return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                         "n_wedges": pa.array([n_wedges], pa.int64()),
+                         "matches": pa.array([matches], pa.int64())})
+
+    partials = partitioned_map(mid, close_kernel, key="x",
+                               sort_keys=["x", "y", "tag"],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+    e = w = mt = 0
+    for blk in ray.get(materialized_block_refs(partials)):
+        for r in range(blk.num_rows):
+            e += blk["n_edges"][r].as_py()
+            w += blk["n_wedges"][r].as_py()
+            mt += blk["matches"][r].as_py()
+    if mt % 3:
+        raise AssertionError("triangle_count: wedge-closure total not "
+                             "divisible by 3 — duplicate edges "
+                             "survived dedup")
+    return pa.table({"n_edges": pa.array([e], pa.int64()),
+                     "n_wedges": pa.array([w], pa.int64()),
+                     "n_triangles": pa.array([mt // 3], pa.int64())})

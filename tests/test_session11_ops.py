@@ -227,3 +227,28 @@ def test_benford_digits_exact_counts():
     got = {r["digit"]: r["n"] for r in res}
     assert got == {1: 4, 9: 2}
     assert all(abs(r["share"] - r["n"] / 6) < 1e-15 for r in res)
+
+
+def test_triangle_count_known_graph():
+    from featurebox_ray.stages.graph import triangle_count
+
+    # K4 minus one edge: edges of {0,1,2,3} without (2,3):
+    # triangles {0,1,2} and {0,1,3} = 2; wedges = sum C(deg,2)
+    # degs: 0->3, 1->3, 2->2, 3->2 -> 3+3+1+1 = 8
+    src = [0, 0, 0, 1, 1,  1, 3, 0]   # includes a reversed dup (1,0),
+    dst = [1, 2, 3, 2, 3,  0, 3, 0]   # a self loop (3,3), dup (0,0)?
+    e = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    res = triangle_count(ray.data.from_arrow(e), num_partitions=3)
+    r = res.to_pylist()[0]
+    assert r == {"n_edges": 5, "n_wedges": 8, "n_triangles": 2}
+
+
+def test_triangle_count_max_degree_raises():
+    from featurebox_ray.stages.graph import triangle_count
+
+    star = pa.table({"src": pa.array([0] * 10, pa.int64()),
+                     "dst": pa.array(list(range(1, 11)), pa.int64())})
+    with pytest.raises(Exception, match="max_degree"):
+        triangle_count(ray.data.from_arrow(star), max_degree=5,
+                       num_partitions=2)
