@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q198_containment_join": _containment_q,
         "q199_benford_digits": _benford_q,
         "q200_triangle_census": _triangle_census_q,
+        "q201_rolling_rank": _rolling_rank_q,
     }
 
 
@@ -670,6 +671,23 @@ def _triangle_census_q(sf_dir: str):
     e = corpus.map_batches(edges, batch_format="pyarrow",
                            zero_copy_batch=True)
     return triangle_count(e, num_partitions=8)
+
+
+def _rolling_rank_q(sf_dir: str):
+    """q201: trailing-window rolling rank (stages/window.py:
+    rolling_rank) — per event, how many of the previous 10 same-user
+    events had strictly smaller value + the window size; bounded
+    span-walk kernel, raw IEEE compares, SQL bounded self-join."""
+    import ray
+
+    from featurebox_ray.stages.window import rolling_rank
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts",
+                                        "value"])
+    return rolling_rank(ev, key_col="user_id", ts_col="ts",
+                        seq_col="event_id", value_col="value", k=10,
+                        num_partitions=16)
 
 
 def _soundex_q(sf_dir: str):
@@ -5666,6 +5684,35 @@ def oracle_sql() -> dict[str, str]:
                            AS rk
                   FROM b)
             SELECT event_type, bin, n, cents, rk = 1 AS is_peak FROM r
+        """,
+        # rolling rank: bounded rn BETWEEN rn-k AND rn-1 self-join,
+        # strict IEEE < counts, one division
+        "q201_rolling_rank": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t, value
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL AND value IS NOT NULL
+                AND isfinite(value)),
+            p AS (SELECT user_id, event_id, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY t, event_id)
+                           AS rn
+                  FROM e),
+            j AS (SELECT a.user_id, a.event_id,
+                         CAST(count(b.rn) AS BIGINT) AS w,
+                         CAST(coalesce(sum(CASE WHEN b.value < a.value
+                                                THEN 1 END), 0)
+                              AS BIGINT) AS cnt_less
+                  FROM p a LEFT JOIN p b
+                    ON b.user_id = a.user_id
+                   AND b.rn BETWEEN a.rn - 10 AND a.rn - 1
+                  GROUP BY 1, 2)
+            SELECT user_id, event_id, w, cnt_less,
+                   CASE WHEN w = 0 THEN NULL
+                        ELSE CAST(cnt_less AS DOUBLE)
+                             / CAST(w AS DOUBLE) END AS pct
+            FROM j
         """,
         # triangle census: exact int dots build the edge set, then the
         # a<b<c three-way self-join counts triangles

@@ -1176,3 +1176,100 @@ def lag_autocov(ds, *, key_col: str, ts_col: str, seq_col: str,
                            sort_keys=[key_col, "__t", "__s"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def rolling_rank(ds, *, key_col: str, ts_col: str, seq_col: str,
+                 value_col: str, k: int = 10,
+                 num_partitions: int = 16):
+    """Trailing-window rank — for every row, how many of the previous
+    ``k`` same-key rows (in ``(ts, seq)`` order) have a STRICTLY
+    smaller value, plus the actual window size: the classic
+    "is the current observation high for its recent history" feature
+    (rolling percentile without interpolation).
+
+    Emits ``(key_col, seq_col, w:int64, cnt_less:int64,
+    pct:float64)`` with ``pct = cnt_less / w`` (NULL when the window
+    is empty).  Comparisons are raw IEEE ``<`` on the stored doubles —
+    identical in numpy and SQL, no quantization needed for counting —
+    and ``pct`` is one division, so everything replays bit-exactly
+    (the SQL side is a bounded ``rn BETWEEN rn-k AND rn-1``
+    self-join).  NULL key/ts/seq and NULL/non-finite values drop.
+
+    Kernel: bounded window expansion (≤ k gathered rows per row — the
+    q49/q171 span-walk convention), one vectorized compare, one
+    ``reduceat``.
+    """
+    from .partition import partitioned_map
+
+    if k < 1:
+        raise ValueError("rolling_rank: k must be >= 1")
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+    seq_type = base.field(seq_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks()
+        if not pa.types.is_floating(v.type):
+            v = v.cast(pa.float64())
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.and_(pc.is_valid(b[seq_col]),
+                               pc.fill_null(pc.is_finite(v), False)))
+        keep = pc.fill_null(keep, False)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = pa.table({key_col: b[key_col], "__t": ts,
+                      "__s": b[seq_col], "__v": v.cast(pa.float64())})
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        return t
+
+    empty = pa.table({key_col: pa.array([], key_type),
+                      seq_col: pa.array([], seq_type),
+                      "w": pa.array([], pa.int64()),
+                      "cnt_less": pa.array([], pa.int64()),
+                      "pct": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        v = t["__v"].to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        from ..functions.segments import segment_ids
+
+        seg_start, _ris, _is_start = segment_ids(codes)
+        idx = np.arange(len(codes))
+        lo = np.maximum(idx - k, seg_start)
+        spans = idx - lo
+        total = int(spans.sum())
+        w = spans.astype(np.int64)
+        less = np.zeros(len(codes), np.int64)
+        if total:
+            gid = np.repeat(idx, spans)
+            rows = (np.arange(total)
+                    - np.repeat(np.cumsum(spans) - spans, spans)
+                    + lo[gid])
+            hit = (v[rows] < v[gid]).astype(np.int64)
+            np.add.at(less, gid, hit)
+        pct = np.full(len(codes), np.nan)
+        nz = w > 0
+        pct[nz] = less[nz].astype(np.float64) / w[nz].astype(
+            np.float64)
+        return pa.table({
+            key_col: keys,
+            seq_col: t["__s"],
+            "w": pa.array(w),
+            "cnt_less": pa.array(less),
+            "pct": pa.array(pct, pa.float64(), mask=~nz)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__t", "__s"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -252,3 +252,27 @@ def test_triangle_count_max_degree_raises():
     with pytest.raises(Exception, match="max_degree"):
         triangle_count(ray.data.from_arrow(star), max_degree=5,
                        num_partitions=2)
+
+
+def test_rolling_rank_serial_replay():
+    from featurebox_ray.stages.window import rolling_rank
+
+    tbl = _events_tbl(400, seed=21)
+    k = 4
+    res = rolling_rank(ray.data.from_arrow(tbl), key_col="user_id",
+                       ts_col="ts", seq_col="event_id",
+                       value_col="value", k=k,
+                       num_partitions=6).take_all()
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for _, g in df.groupby("user_id"):
+        v = g["value"].to_numpy()
+        for i, eid in enumerate(g["event_id"].to_numpy()):
+            lo = max(0, i - k)
+            win = v[lo:i]
+            want[int(eid)] = (len(win), int((win < v[i]).sum()))
+    got = {r["event_id"]: (r["w"], r["cnt_less"]) for r in res}
+    assert got == want
+    first = [r for r in res if r["w"] == 0]
+    assert all(r["pct"] is None for r in first)
+    assert len(first) == df["user_id"].nunique()
