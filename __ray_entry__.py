@@ -507,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q199_benford_digits": _benford_q,
         "q200_triangle_census": _triangle_census_q,
         "q201_rolling_rank": _rolling_rank_q,
+        "q202_er_match": _er_match_q,
     }
 
 
@@ -688,6 +689,39 @@ def _rolling_rank_q(sf_dir: str):
     return rolling_rank(ev, key_col="user_id", ts_col="ts",
                         seq_col="event_id", value_col="value", k=10,
                         num_partitions=16)
+
+
+def _er_match_q(sf_dir: str):
+    """q202: blocked record-linkage scoring (stages/linkage.py) —
+    candidate part pairs blocked on the soundex of the last name word
+    (stages/phonetic.py), scored by integer agreement weights
+    (brand 3, type 2, size 2), kept at score >= 5; one block-keyed
+    exchange, vectorized triangular pair scoring."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.linkage import blocked_pair_score
+    from featurebox_ray.stages.phonetic import soundex_key
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_name",
+                                          "p_brand", "p_type",
+                                          "p_size"])
+
+    def blk(b: pa.Table) -> pa.Table:
+        last = pc.replace_substring_regex(
+            pc.fill_null(b["p_name"], ""), r"^.*\s", "")
+        return b.append_column("blk", soundex_key(last))
+
+    keyed = part.map_batches(blk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return blocked_pair_score(keyed, key_col="blk",
+                              id_col="p_partkey",
+                              fields={"p_brand": 3, "p_type": 2,
+                                      "p_size": 2},
+                              threshold=5, max_block=4096,
+                              num_partitions=8)
 
 
 def _soundex_q(sf_dir: str):
@@ -5598,6 +5632,39 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
 
+    # q202: soundex of the LAST name word blocks; integer agreement
+    # weights (brand 3, type 2, size 2), threshold 5
+    q202 = f"""
+        WITH s AS (
+          SELECT p_partkey, p_brand, p_type, p_size,
+                 upper(regexp_replace(
+                     regexp_replace(coalesce(p_name, ''), '^.*\\s', ''),
+                     '[^A-Za-z]', '', 'g')) AS nm
+          FROM part),
+        m AS (SELECT *, {_sdx_expr} AS code FROM s),
+        k AS (SELECT p_partkey, p_brand, p_type, p_size,
+                     CASE WHEN nm = '' THEN NULL
+                          ELSE substr(nm, 1, 1)
+                               || substr(replace(substr(code, 2),
+                                                 '0', '') || '000',
+                                         1, 3) END AS blk
+              FROM m),
+        kk AS (SELECT * FROM k WHERE blk IS NOT NULL),
+        ok AS (SELECT blk FROM kk GROUP BY blk
+               HAVING count(*) <= 4096),
+        p AS (SELECT kk.* FROM kk JOIN ok USING (blk)),
+        j AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                     CAST(CASE WHEN a.p_brand = b.p_brand
+                               THEN 3 ELSE 0 END
+                        + CASE WHEN a.p_type = b.p_type
+                               THEN 2 ELSE 0 END
+                        + CASE WHEN a.p_size = b.p_size
+                               THEN 2 ELSE 0 END AS BIGINT) AS score
+              FROM p a JOIN p b
+                ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        SELECT id_a, id_b, score FROM j WHERE score >= 5
+    """
+
     return {
         # context trim: exclusive prefix E per user; j = strict-< rank
         # of E−B via the q151 tagged-union window; kept total by one
@@ -5818,6 +5885,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY user_id
         """,
         "q193_soundex_block": q193,
+        "q202_er_match": q202,
         "q187_pagerank": q187,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

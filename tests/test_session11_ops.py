@@ -276,3 +276,37 @@ def test_rolling_rank_serial_replay():
     first = [r for r in res if r["w"] == 0]
     assert all(r["pct"] is None for r in first)
     assert len(first) == df["user_id"].nunique()
+
+
+def test_blocked_pair_score_semantics():
+    from featurebox_ray.stages.linkage import blocked_pair_score
+
+    tbl = pa.table({
+        "blk": pa.array(["x", "x", "x", "y", None]),
+        "rid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "brand": pa.array(["b1", "b1", "b2", "b1", "b1"]),
+        "size": pa.array([7, 7, 7, 7, None], pa.int64()),
+    })
+    res = blocked_pair_score(ray.data.from_arrow(tbl), key_col="blk",
+                             id_col="rid",
+                             fields={"brand": 3, "size": 2},
+                             threshold=2, num_partitions=3).take_all()
+    got = {(r["id_a"], r["id_b"]): r["score"] for r in res}
+    # (1,2): brand+size=5; (1,3)/(2,3): size only=2; cross-block and
+    # null-block rows never pair
+    assert got == {(1, 2): 5, (1, 3): 2, (2, 3): 2}
+    # max_block skip: block x has 3 rows -> cap 2 drops all its pairs
+    res2 = blocked_pair_score(ray.data.from_arrow(tbl), key_col="blk",
+                              id_col="rid",
+                              fields={"brand": 3, "size": 2},
+                              threshold=2, max_block=2,
+                              num_partitions=3).take_all()
+    assert res2 == []
+    # null field values never agree
+    tbl2 = pa.table({"blk": pa.array(["z", "z"]),
+                     "rid": pa.array([1, 2], pa.int64()),
+                     "brand": pa.array([None, None], pa.string())})
+    r3 = blocked_pair_score(ray.data.from_arrow(tbl2), key_col="blk",
+                            id_col="rid", fields={"brand": 1},
+                            threshold=1).take_all()
+    assert r3 == []
