@@ -508,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q200_triangle_census": _triangle_census_q,
         "q201_rolling_rank": _rolling_rank_q,
         "q202_er_match": _er_match_q,
+        "q203_rrf_fusion": _rrf_fusion_q,
+        "q204_table_checksum": _table_checksum_q,
     }
 
 
@@ -689,6 +691,80 @@ def _rolling_rank_q(sf_dir: str):
     return rolling_rank(ev, key_col="user_id", ts_col="ts",
                         seq_col="event_id", value_col="value", k=10,
                         num_partitions=16)
+
+
+def _rrf_fusion_q(sf_dir: str):
+    """q203: reciprocal-rank fusion (stages/rank.py:rrf_fuse) — three
+    exact global rankings of documents (chars, tokens, distinct
+    tokens; negated-signal ascending row_number) fused by
+    1/(60+r1)+1/(60+r2)+1/(60+r3) in fixed IEEE order; top 50."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.dedup import split_tokens
+    from featurebox_ray.stages.partition import materialized_block_refs
+    from featurebox_ray.stages.rank import global_row_number, rrf_fuse
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "n_chars"])
+
+    def sig(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b["doc_id"])
+        if not pc.all(pc.fill_null(keep, False)).as_py():
+            b = b.filter(keep)
+        texts = pc.fill_null(b["text"].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        n_tok = np.diff(off).astype(np.int64)
+        n_dis = np.zeros(b.num_rows, np.int64)
+        if len(flat):
+            codes = pc.dictionary_encode(flat).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            row_ids = np.repeat(np.arange(b.num_rows), np.diff(off))
+            v = int(codes.max()) + 1
+            pair = np.unique(row_ids * v + codes)
+            n_dis = np.bincount((pair // v).astype(np.int64),
+                                minlength=b.num_rows).astype(np.int64)
+        nc = pc.fill_null(b["n_chars"], 0).combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+            "__n1": pa.array(-nc), "__n2": pa.array(-n_tok),
+            "__n3": pa.array(-n_dis)})
+
+    sigs = docs.map_batches(sig, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    refs = materialized_block_refs(sigs)
+
+    ranks = []
+    for i in (1, 2, 3):
+        s = ray.data.from_arrow_refs(list(refs)).select_columns(
+            ["doc_id", f"__n{i}"])
+        ranks.append(global_row_number(
+            s, order_cols=[f"__n{i}", "doc_id"], rank_col=f"r{i}"))
+    fused = rrf_fuse(ranks, id_col="doc_id",
+                     rank_cols=["r1", "r2", "r3"], k=60,
+                     num_partitions=8)
+    return fused.sort(["rrf", "doc_id"],
+                      descending=[True, False]).limit(50)
+
+
+def _table_checksum_q(sf_dir: str):
+    """q204: order-invariant table checksum (stages/profile.py:
+    table_checksum) — 60-bit md5 row hashes (md5 once per distinct
+    row string), commutative int sum mod 2^61-1; per-block partials,
+    driver merges exact Python ints.  The queryable variant of the
+    checkpoint manifests' feature hashes."""
+    import ray
+
+    from featurebox_ray.stages.profile import table_checksum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id",
+                                        "event_type", "props"])
+    return table_checksum(ev, cols=["event_id", "user_id",
+                                    "event_type", "props"])
 
 
 def _er_match_q(sf_dir: str):
@@ -5886,6 +5962,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q193_soundex_block": q193,
         "q202_er_match": q202,
+        # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        "q204_table_checksum": """
+            WITH r AS (
+              SELECT CAST('0x' || substr(md5(
+                  coalesce(CAST(event_id AS VARCHAR), '') || '|' ||
+                  coalesce(CAST(user_id AS VARCHAR), '') || '|' ||
+                  coalesce(event_type, '') || '|' ||
+                  coalesce(props, '')), 1, 15) AS UBIGINT) AS hv
+              FROM events)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(hv) % 2305843009213693951 AS BIGINT)
+                     AS checksum
+            FROM r
+        """,
+        # RRF: three deterministic row_number rankings, fixed-order
+        # reciprocal sum, top 50
+        "q203_rrf_fusion": r"""
+            WITH s AS (
+              SELECT doc_id, coalesce(n_chars, 0) AS nc,
+                     CAST(length(regexp_extract_all(
+                         coalesce(text, ''), '\S+')) AS BIGINT)
+                       AS n_tok,
+                     CAST(length(list_distinct(regexp_extract_all(
+                         coalesce(text, ''), '\S+'))) AS BIGINT)
+                       AS n_dis
+              FROM documents WHERE doc_id IS NOT NULL),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY nc DESC, doc_id)
+                           AS r1,
+                         row_number() OVER (ORDER BY n_tok DESC,
+                                            doc_id) AS r2,
+                         row_number() OVER (ORDER BY n_dis DESC,
+                                            doc_id) AS r3
+                  FROM s)
+            SELECT doc_id, r1, r2, r3,
+                   1.0 / (60 + r1) + 1.0 / (60 + r2)
+                     + 1.0 / (60 + r3) AS rrf
+            FROM r ORDER BY rrf DESC, doc_id LIMIT 50
+        """,
         "q187_pagerank": q187,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -209,6 +209,11 @@ QUERY_NAMES = [
     "q187_pagerank", "q188_attribution", "q189_scd2_intervals",
     "q190_pq_codes", "q191_funnel_path", "q192_novelty_curve",
     "q193_soundex_block",
+    # session-11 additions
+    "q194_context_trim", "q195_feature_hash", "q196_seasonal_peak",
+    "q197_lag_autocov", "q198_containment_join", "q199_benford_digits",
+    "q200_triangle_census", "q201_rolling_rank", "q202_er_match",
+    "q203_rrf_fusion", "q204_table_checksum",
 ]
 
 

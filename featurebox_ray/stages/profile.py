@@ -483,3 +483,74 @@ def benford_digits(ds, *, group_col: str, value_col: str,
                            sort_keys=[group_col, "digit"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def table_checksum(ds, *, cols, sep: str = "|") -> "pa.Table":
+    """Order-invariant content checksum — ONE row ``(n_rows:int64,
+    checksum:int64)`` summarizing the exact content of the selected
+    columns: each row canonicalizes to ``str(v1)|str(v2)|…`` (NULL →
+    the empty string), hashes to the engine's 60-bit md5 prefix, and
+    the checksum is the plain int sum of all row hashes reduced into
+    int64 range (mod 2^61-1).  Addition commutes, so the result is
+    independent of partitioning, block order, and parallelism — the
+    cross-run reproducibility primitive behind checkpoint manifests
+    (``state/checkpoint.py`` records per-partition feature hashes;
+    this is the queryable whole-table variant).
+
+    Only int/string columns are accepted: float columns would need a
+    cross-engine text format (Arrow shortest-roundtrip vs SQL) — the
+    q97 profiler lesson — so they raise here.
+
+    Per-block partials (one int per block, md5 once per DISTINCT row
+    string via dictionary-encode), driver sums Python ints exactly.
+    SQL replay: ``sum(('0x' || substr(md5(...), 1, 15))::UBIGINT)``
+    over the same concatenation, mod the same prime.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+    from .sketch import _md5_60
+
+    cols = list(cols)
+    MOD = (1 << 61) - 1
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    for c in cols:
+        t = base.field(c).type
+        if not (pa.types.is_integer(t) or pa.types.is_string(t)
+                or pa.types.is_large_string(t)):
+            raise ValueError(f"table_checksum: column {c} has type {t}"
+                             " — only int/string columns checksum "
+                             "portably")
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "s": pa.array([0], pa.int64())})
+        parts = []
+        for c in cols:
+            col = b[c].combine_chunks()
+            if pa.types.is_integer(col.type):
+                col = col.cast(pa.string())
+            parts.append(pc.fill_null(col, ""))
+        joined = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, sep)
+        enc = pc.dictionary_encode(joined)
+        hv = _md5_60(enc.dictionary.to_pylist())
+        inv = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(inv, minlength=len(hv)).astype(object)
+        s = int(sum(int(h) * int(c) for h, c in zip(hv, cnt)))
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "s": pa.array([s % MOD], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    n = 0
+    s = 0
+    for blk in ray.get(materialized_block_refs(partials)):
+        for r in range(blk.num_rows):
+            n += blk["n"][r].as_py()
+            s += blk["s"][r].as_py()
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "checksum": pa.array([s % MOD], pa.int64())})

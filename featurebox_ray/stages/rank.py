@@ -419,3 +419,86 @@ def budget_select(ds, *, order_cols, cost_col: str, budget: int,
                 pa.field(cum_col, pa.int64())).empty_table())
         return sd
     return ray.data.from_arrow_refs(out_refs)
+
+
+def rrf_fuse(rank_dss, *, id_col: str, rank_cols, k: int = 60,
+             num_partitions: int = 8):
+    """Reciprocal-rank fusion — merge several independent rankings of
+    the same id universe into one consensus score:
+    ``rrf = Σ_i 1/(k + rank_i)`` (Cormack et al.'s parameter-light
+    rank aggregation; the standard way to fuse heterogeneous quality
+    signals — length, diversity, model score — into one curation
+    order).
+
+    ``rank_dss`` are Datasets each holding ``(id_col, rank_cols[i])``
+    with exact integer 1-based ranks (from
+    :func:`global_row_number`); every id must appear in EVERY ranking
+    (full rankings — missing ids raise).  The fusion is ONE id-keyed
+    exchange: the kernel pivots each id's rank rows and evaluates the
+    fixed left-associative float expression ``1/(k+r₁) + 1/(k+r₂) +
+    …`` — identical IEEE ops in SQL, so the scores (and any
+    downstream top-k cut on them) replay bit-exactly.
+
+    Returns ``(id_col, *rank_cols, rrf:float64)``.
+    """
+    rank_cols = list(rank_cols)
+    if len(rank_dss) != len(rank_cols):
+        raise ValueError("rrf_fuse: one rank column name per dataset")
+
+    from .partition import partitioned_map
+
+    tagged = None
+    for i, (ds, col) in enumerate(zip(rank_dss, rank_cols)):
+        def mk(i=i, col=col):
+            def fn(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    id_col: b[id_col],
+                    "__which": pa.array(
+                        np.full(b.num_rows, i, np.int64)),
+                    "__r": b[col].combine_chunks().cast(pa.int64())})
+
+            return fn
+
+        m = ds.map_batches(mk(), batch_format="pyarrow",
+                           zero_copy_batch=True)
+        tagged = m if tagged is None else tagged.union(m)
+
+    n = len(rank_cols)
+    empty_cols = {id_col: pa.array([], pa.int64())}
+    for c in rank_cols:
+        empty_cols[c] = pa.array([], pa.int64())
+    empty_cols["rrf"] = pa.array([], pa.float64())
+    empty = pa.table(empty_cols)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return empty
+        ids = t[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        which = t["__which"].to_numpy(zero_copy_only=False)
+        r = t["__r"].to_numpy(zero_copy_only=False)
+        new_run = np.concatenate([[True], ids[1:] != ids[:-1]])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(ids)]]))
+        if len(lens) and (lens != n).any():
+            raise ValueError("rrf_fuse: an id is missing from some "
+                             "ranking — full rankings required")
+        # rows per id are sorted by __which (the partition sort)
+        rm = r.reshape(-1, n) if len(ids) else r.reshape(0, n)
+        if len(lens) and not (which.reshape(-1, n)
+                              == np.arange(n)).all():
+            raise ValueError("rrf_fuse: duplicate ranking rows for an "
+                             "id")
+        rrf = np.zeros(len(starts), np.float64)
+        for i in range(n):  # fixed left-assoc order, matches SQL
+            rrf = rrf + 1.0 / (k + rm[:, i]).astype(np.float64)
+        cols = {id_col: pa.array(ids[starts], pa.int64())}
+        for i, c in enumerate(rank_cols):
+            cols[c] = pa.array(rm[:, i], pa.int64())
+        cols["rrf"] = pa.array(rrf, pa.float64())
+        return pa.table(cols)
+
+    return partitioned_map(tagged, kernel, key=id_col,
+                           sort_keys=[id_col, "__which"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

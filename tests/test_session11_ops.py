@@ -310,3 +310,46 @@ def test_blocked_pair_score_semantics():
                             id_col="rid", fields={"brand": 1},
                             threshold=1).take_all()
     assert r3 == []
+
+
+def test_rrf_fuse_full_ranking_contract():
+    from featurebox_ray.stages.rank import rrf_fuse
+
+    r1 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                   "ra": pa.array([1, 2, 3], pa.int64())})
+    r2 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                   "rb": pa.array([3, 1, 2], pa.int64())})
+    res = rrf_fuse([ray.data.from_arrow(r1), ray.data.from_arrow(r2)],
+                   id_col="id", rank_cols=["ra", "rb"], k=60,
+                   num_partitions=2).take_all()
+    got = {r["id"]: r["rrf"] for r in res}
+    assert got[1] == 1.0 / 61 + 1.0 / 63
+    assert got[2] == 1.0 / 62 + 1.0 / 61
+    # missing id in one ranking raises
+    r2_bad = pa.table({"id": pa.array([1, 2], pa.int64()),
+                       "rb": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="missing"):
+        rrf_fuse([ray.data.from_arrow(r1),
+                  ray.data.from_arrow(r2_bad)], id_col="id",
+                 rank_cols=["ra", "rb"]).take_all()
+
+
+def test_table_checksum_order_invariant_and_sensitive():
+    from featurebox_ray.stages.profile import table_checksum
+
+    t = pa.table({"a": pa.array([1, 2, 3, None], pa.int64()),
+                  "b": pa.array(["x", None, "z", "w"])})
+    c1 = table_checksum(ray.data.from_arrow(t), cols=["a", "b"])
+    # permuted rows + different partitioning -> identical checksum
+    perm = t.take(pa.array([3, 0, 2, 1], pa.int64()))
+    c2 = table_checksum(
+        ray.data.from_arrow(perm).repartition(3), cols=["a", "b"])
+    assert c1.to_pylist() == c2.to_pylist()
+    # a single changed value changes the checksum
+    t3 = t.set_column(0, "a", pa.array([1, 2, 4, None], pa.int64()))
+    c3 = table_checksum(ray.data.from_arrow(t3), cols=["a", "b"])
+    assert c3["checksum"][0].as_py() != c1["checksum"][0].as_py()
+    # float columns are rejected
+    tf = pa.table({"f": pa.array([1.0])})
+    with pytest.raises(Exception, match="portably"):
+        table_checksum(ray.data.from_arrow(tf), cols=["f"])
