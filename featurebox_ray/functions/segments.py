@@ -474,3 +474,46 @@ def ewm_mean(values: np.ndarray, alpha: float, is_seg_start: np.ndarray,
             carry = block[-1]
             i = j
     return out
+
+
+def cents_exact(arr, *, col: str = "value") -> np.ndarray:
+    """Quantize an Arrow float column to exact int64 cents: NULL → 0
+    (SQL ``coalesce``), then ``round(v * 100)``.  Non-finite values
+    RAISE — ``np.round(nan * 100).astype(int64)`` silently yields
+    INT64_MIN, and the DuckDB oracle's ``CAST(round(v*100) AS
+    BIGINT)`` errors on the same input, so failing loudly keeps the
+    engine and oracle in lockstep."""
+    import pyarrow.compute as pc
+
+    v = pc.fill_null(arr, 0.0)
+    x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+    if len(x) and not np.isfinite(x).all():
+        raise ValueError(f"cents_exact: non-finite values in {col} — "
+                         "filter or clean upstream")
+    return np.round(x * 100).astype(np.int64)
+
+
+def triangular_pairs(starts: np.ndarray, lens: np.ndarray):
+    """Vectorized within-segment pair-triangle enumeration: for each
+    segment (``starts[k]``, length ``lens[k]``) return global row
+    indices ``(i_glob, j_glob)`` covering every ordered pair
+    ``i < j`` inside the segment, plus ``seg_of_pair``.  The shared
+    index decode behind group_theil_sen / triangle wedges /
+    blocked_pair_score — ~O(total pairs) memory, no Python loop."""
+    n_i = np.maximum(lens - 1, 0)
+    total_i = int(n_i.sum())
+    if total_i == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    seg_of_i = np.repeat(np.arange(len(lens)), n_i)
+    i_local = (np.arange(total_i)
+               - np.repeat(np.cumsum(n_i) - n_i, n_i))
+    cnt = lens[seg_of_i] - 1 - i_local
+    i_glob = np.repeat(starts[seg_of_i] + i_local, cnt)
+    blk_off = np.cumsum(cnt) - cnt
+    total_p = int(cnt.sum())
+    j_glob = (np.arange(total_p) - np.repeat(blk_off, cnt)
+              + i_glob + 1)
+    seg_of_pair = np.repeat(seg_of_i, cnt)
+    return (i_glob.astype(np.int64), j_glob.astype(np.int64),
+            seg_of_pair.astype(np.int64))

@@ -131,10 +131,8 @@ def rfm_segments(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (b[ts_col].combine_chunks().cast(pa.int64())
               .to_numpy(zero_copy_only=False))
-        v = b[value_col].combine_chunks()
-        cents = np.round(pc.fill_null(v, 0.0).to_numpy(
-            zero_copy_only=False).astype(np.float64) * 100).astype(
-            np.int64)
+        cents = seg.cents_exact(b[value_col].combine_chunks(),
+                                col=value_col)
         g = len(gd.dictionary)
         last = np.full(g, np.iinfo(np.int64).min, np.int64)
         np.maximum.at(last, codes, ts)

@@ -58,10 +58,10 @@ def linear_attribution(ds, *, key_col: str, ts_col: str, seq_col: str,
         ts = b[ts_col].combine_chunks()
         if pa.types.is_timestamp(ts.type):
             ts = ts.cast(pa.int64())
-        cents = np.round(pc.fill_null(
-            b[value_col].combine_chunks(), 0.0).to_numpy(
-            zero_copy_only=False).astype(np.float64) * 100).astype(
-            np.int64)
+        from ..functions.segments import cents_exact
+
+        cents = cents_exact(b[value_col].combine_chunks(),
+                            col=value_col)
         return pa.table({key_col: b[key_col], "__t": ts,
                          "__s": b[seq_col], "__ty": b[type_col],
                          "__c": pa.array(cents)})

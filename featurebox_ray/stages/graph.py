@@ -291,18 +291,10 @@ def triangle_count(edges_ds, *, src_col: str = "src",
         parts_c = [np.ones(int(e_mask.sum()), np.int64)]
         parts_t = [np.zeros(int(e_mask.sum()), np.int8)]
         # wedges: per center, all sorted-neighbor pairs (x < y)
-        n_i = np.maximum(lens - 1, 0)
-        total_i = int(n_i.sum())
-        if total_i:
-            seg_of_i = np.repeat(np.arange(len(lens)), n_i)
-            i_local = (np.arange(total_i)
-                       - np.repeat(np.cumsum(n_i) - n_i, n_i))
-            cnt = lens[seg_of_i] - 1 - i_local
-            i_glob = np.repeat(starts[seg_of_i] + i_local, cnt)
-            blk_off = np.cumsum(cnt) - cnt
-            total_p = int(cnt.sum())
-            j_glob = (np.arange(total_p) - np.repeat(blk_off, cnt)
-                      + i_glob + 1)
+        from ..functions.segments import triangular_pairs
+
+        i_glob, j_glob, _seg = triangular_pairs(starts, lens)
+        if len(i_glob):
             # neighbors are sorted within a run, so x < y already
             wx, wy = n[i_glob], n[j_glob]
             order = np.lexsort((wy, wx))

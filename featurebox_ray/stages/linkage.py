@@ -78,22 +78,22 @@ def blocked_pair_score(ds, *, key_col: str, id_col: str,
                 "blocked_pair_score: skipped %d blocks with > %d rows",
                 n_skip, max_block)
         sl, ss = lens[keep_seg], starts[keep_seg]
-        n_i = np.maximum(sl - 1, 0)
-        total_i = int(n_i.sum())
-        if total_i == 0:
+        from ..functions.segments import triangular_pairs
+
+        i_glob, j_glob, _seg = triangular_pairs(ss, sl)
+        if len(i_glob) == 0:
             return empty
-        seg_of_i = np.repeat(np.arange(len(sl)), n_i)
-        i_local = (np.arange(total_i)
-                   - np.repeat(np.cumsum(n_i) - n_i, n_i))
-        cnt = sl[seg_of_i] - 1 - i_local
-        i_glob = np.repeat(ss[seg_of_i] + i_local, cnt)
-        blk_off = np.cumsum(cnt) - cnt
-        total_p = int(cnt.sum())
-        j_glob = (np.arange(total_p) - np.repeat(blk_off, cnt)
-                  + i_glob + 1)
+        # strict id inequality: duplicated ids inside a block must not
+        # self-pair (the oracle joins on id_a < id_b)
+        ids_all = t[id_col].combine_chunks()
+        ids_np = ids_all.to_numpy(zero_copy_only=False)
+        ne = ids_np[i_glob] != ids_np[j_glob]
+        i_glob, j_glob = i_glob[ne], j_glob[ne]
+        if len(i_glob) == 0:
+            return empty
         ia = pa.array(i_glob, pa.int64())
         ja = pa.array(j_glob, pa.int64())
-        score = np.zeros(total_p, np.int64)
+        score = np.zeros(len(i_glob), np.int64)
         for col, w in fields.items():
             a = t[col].combine_chunks()
             va, vb = a.take(ia), a.take(ja)
@@ -103,12 +103,11 @@ def blocked_pair_score(ds, *, key_col: str, id_col: str,
                 zero_copy_only=False)
             score += np.where(agree, int(w), 0)
         m = score >= threshold
-        ids = t[id_col].combine_chunks()
         # deterministic (id_a < id_b) orientation: rows are sorted by
         # (key, id) so i_glob's id is the smaller one
         return pa.table({
-            "id_a": ids.take(pa.array(i_glob[m], pa.int64())),
-            "id_b": ids.take(pa.array(j_glob[m], pa.int64())),
+            "id_a": ids_all.take(pa.array(i_glob[m], pa.int64())),
+            "id_b": ids_all.take(pa.array(j_glob[m], pa.int64())),
             "score": pa.array(score[m])})
 
     prepped = ds.map_batches(prep, batch_format="pyarrow",

@@ -1198,21 +1198,10 @@ def group_theil_sen(ds, *, key_col: str, x_col: str, y_col: str,
                 "group_theil_sen: skipped %d keys with > %d points",
                 n_skip, max_group)
         sl, ss = lens[keep_seg], starts[keep_seg]
-        # per-segment triangular pair enumeration, fully vectorized:
-        # each segment of length L contributes i=0..L-2 blocks of
-        # (L-1-i) j-values
-        n_i = np.maximum(sl - 1, 0)
-        total_i = int(n_i.sum())
-        seg_of_i = np.repeat(np.arange(len(sl)), n_i)
-        i_local = (np.arange(total_i)
-                   - np.repeat(np.cumsum(n_i) - n_i, n_i))
-        cnt = sl[seg_of_i] - 1 - i_local          # pairs per i-block
-        i_glob = np.repeat(ss[seg_of_i] + i_local, cnt)
-        blk_off = np.cumsum(cnt) - cnt
-        total_p = int(cnt.sum())
-        j_glob = (np.arange(total_p) - np.repeat(blk_off, cnt)
-                  + i_glob + 1)
-        gid = np.repeat(seg_of_i, cnt)
+        # per-segment triangular pair enumeration, fully vectorized
+        from ..functions.segments import triangular_pairs
+
+        i_glob, j_glob, gid = triangular_pairs(ss, sl)
         dx = x[j_glob] - x[i_glob]
         m = dx > 0
         gid, dx = gid[m], dx[m]

@@ -157,10 +157,10 @@ def cohort_value_curve(ds, *, key_col: str = "user_id",
         ts_i = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
                 else ts)
         per = pc.divide(ts_i, width)
-        cents = np.round(pc.fill_null(
-            b[value_col].combine_chunks(), 0.0).to_numpy(
-            zero_copy_only=False).astype(np.float64) * 100).astype(
-            np.int64)
+        from ..functions.segments import cents_exact
+
+        cents = cents_exact(b[value_col].combine_chunks(),
+                            col=value_col)
         return pa.table({key_col: b[key_col], "__per": per,
                          "__c": pa.array(cents)})
 

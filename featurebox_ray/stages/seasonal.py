@@ -62,10 +62,10 @@ def seasonal_peak(ds, *, group_col: str, ts_col: str, value_col: str,
             raise ValueError("seasonal_peak: negative timestamps — "
                              "trunc vs floor division would diverge")
         bins = (t // width) % n_bins
-        cents = np.round(pc.fill_null(
-            b[value_col].combine_chunks(), 0.0).to_numpy(
-            zero_copy_only=False).astype(np.float64) * 100).astype(
-            np.int64)
+        from ..functions.segments import cents_exact
+
+        cents = cents_exact(b[value_col].combine_chunks(),
+                            col=value_col)
         gd = pc.dictionary_encode(b[group_col].combine_chunks())
         codes = gd.indices.to_numpy(zero_copy_only=False).astype(
             np.int64)
