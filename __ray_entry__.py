@@ -510,7 +510,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q202_er_match": _er_match_q,
         "q203_rrf_fusion": _rrf_fusion_q,
         "q204_table_checksum": _table_checksum_q,
+        "q205_kappa_agreement": _kappa_q,
     }
+
+
+def _kappa_q(sf_dir: str):
+    """q205: labeler-agreement audit (stages/regress.py:cohen_kappa)
+    — two heuristic binary quality raters (n_chars >= 500; whitespace
+    tokens >= 80, both RE2-parity with DuckDB) scored per source;
+    exact int64 2x2 partials, driver combine, ONE division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import cohen_kappa
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "text", "n_chars"])
+
+    def raters(b: pa.Table) -> pa.Table:
+        a = pc.greater_equal(pc.fill_null(b["n_chars"], 0), 500)
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(b["text"], ""), r"\S+")
+        r = pc.greater_equal(n_tok, 80)
+        return pa.table({"source": b["source"],
+                         "a": a.cast(pa.int64()),
+                         "b": r.cast(pa.int64())})
+
+    rated = docs.map_batches(raters, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return cohen_kappa(rated, group_col="source", rater_a_col="a",
+                       rater_b_col="b")
 
 
 def _context_trim_q(sf_dir: str):
@@ -5963,6 +5994,38 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # kappa: exact int 2x2 margins, margin-form numerator /
+        # denominator, ONE HUGEINT->DOUBLE division each side
+        "q205_kappa_agreement": r"""
+            WITH f AS (
+              SELECT source,
+                     CASE WHEN coalesce(n_chars, 0) >= 500
+                          THEN 1 ELSE 0 END AS a,
+                     CASE WHEN length(regexp_extract_all(
+                              coalesce(text, ''), '\S+')) >= 80
+                          THEN 1 ELSE 0 END AS b
+              FROM documents WHERE source IS NOT NULL),
+            c AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0
+                           END) AS BIGINT) AS n11,
+                  CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0
+                           END) AS BIGINT) AS n10,
+                  CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0
+                           END) AS BIGINT) AS n01,
+                  CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0
+                           END) AS BIGINT) AS n00
+                  FROM f GROUP BY source)
+            SELECT source, n, n11, n10, n01, n00,
+                   CAST(n * (n11 + n00)
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n00 + n01) * (n00 + n10)) AS DOUBLE)
+                     / CAST(NULLIF(n * n
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n00 + n01) * (n00 + n10)), 0)
+                        AS DOUBLE) AS kappa
+            FROM c
+        """,
         "q204_table_checksum": """
             WITH r AS (
               SELECT CAST('0x' || substr(md5(

@@ -1225,3 +1225,108 @@ def group_theil_sen(ds, *, key_col: str, x_col: str, y_col: str,
                            sort_keys=[key_col, "__x"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def cohen_kappa(ds, *, group_col: str, rater_a_col: str,
+                rater_b_col: str):
+    """Cohen's kappa inter-rater agreement per group — the standard
+    labeling-QA audit for a training-data pipeline: given two binary
+    rater columns (heuristic quality flags, weak labelers, model vs
+    human), how much do they agree beyond chance?
+
+    Exactness: per group the 2x2 contingency ``(n11, n10, n01, n00)``
+    accumulates as int64 block partials (dense ``code*4 + cell``
+    bincount) and combines on the DRIVER as Python ints (groups are
+    few — no shuffle at all, the calibration_bins shape).  Kappa uses
+    the margin form::
+
+        kappa = (N*(n11+n00) - (r1*c1 + r0*c0)) / (N^2 - (r1*c1+r0*c0))
+
+    with ``r1 = n11+n10`` (rater-a positives), ``c1 = n11+n01`` —
+    ONE division of exact integers, so DuckDB replays it bit-for-bit
+    (HUGEINT products, CAST ... AS DOUBLE on each side).  Python-int
+    accumulation keeps ``N^2`` exact past 2^63 at 100 TB counts;
+    ``float()`` of an exact int is correctly rounded, matching SQL's
+    HUGEINT->DOUBLE cast.  Degenerate groups where chance agreement
+    is total (``N^2 == r1*c1 + r0*c0``, e.g. a rater is constant)
+    emit NULL kappa (SQL: NULLIF on the denominator).
+
+    Rows with a NULL group or NULL rater value drop (mirror in SQL).
+    Rater columns must be 0/1 integers (booleans cast upstream).
+    Reference analog: none; companion of ``crosstab_chi2`` /
+    ``calibration_bins`` in the model/label QA family.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def partial(b: pa.Table) -> pa.Table:
+        gtype = b.schema.field(group_col).type
+        empty = pa.table({group_col: pa.array([], gtype),
+                          "cell": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        keep = pc.and_(pc.is_valid(b[group_col]),
+                       pc.and_(pc.is_valid(b[rater_a_col]),
+                               pc.is_valid(b[rater_b_col])))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
+            return empty
+        a = b[rater_a_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        r = b[rater_b_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if ((a < 0) | (a > 1) | (r < 0) | (r > 1)).any():
+            raise ValueError("cohen_kappa: rater columns must be 0/1")
+        gd = pc.dictionary_encode(b[group_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # cell 0 = (1,1), 1 = (1,0), 2 = (0,1), 3 = (0,0)
+        cell = (1 - a) * 2 + (1 - r)
+        k = codes * 4 + cell
+        uk, inv = np.unique(k, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, 1)
+        return pa.table({
+            group_col: gd.dictionary.take(pa.array(uk // 4,
+                                                   pa.int64())),
+            "cell": pa.array((uk % 4).astype(np.int64)),
+            "n": pa.array(n)})
+
+    pds = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(pds)):
+        for g, c, nn in zip(blk[group_col].to_pylist(),
+                            blk["cell"].to_pylist(),
+                            blk["n"].to_pylist()):
+            cur = agg.setdefault(g, [0, 0, 0, 0])
+            cur[c] += nn
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    gtype = base.field(group_col).type
+    groups = sorted(agg)
+    n11 = [agg[g][0] for g in groups]
+    n10 = [agg[g][1] for g in groups]
+    n01 = [agg[g][2] for g in groups]
+    n00 = [agg[g][3] for g in groups]
+    kappa = []
+    for a11, a10, a01, a00 in zip(n11, n10, n01, n00):
+        n = a11 + a10 + a01 + a00          # Python ints: exact
+        chance = ((a11 + a10) * (a11 + a01)
+                  + (a00 + a01) * (a00 + a10))
+        den = n * n - chance
+        kappa.append(None if den == 0
+                     else float(n * (a11 + a00) - chance)
+                     / float(den))
+    return pa.table({
+        group_col: pa.array(groups, gtype),
+        "n": pa.array([a + b_ + c + d for a, b_, c, d
+                       in zip(n11, n10, n01, n00)], pa.int64()),
+        "n11": pa.array(n11, pa.int64()),
+        "n10": pa.array(n10, pa.int64()),
+        "n01": pa.array(n01, pa.int64()),
+        "n00": pa.array(n00, pa.int64()),
+        "kappa": pa.array(kappa, pa.float64())})
