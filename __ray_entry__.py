@@ -511,7 +511,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q203_rrf_fusion": _rrf_fusion_q,
         "q204_table_checksum": _table_checksum_q,
         "q205_kappa_agreement": _kappa_q,
+        "q206_association_rules": _assoc_rules_q,
     }
+
+
+def _assoc_rules_q(sf_dir: str):
+    """q206: market-basket association rules over user event-type
+    baskets (stages/rules.py:association_rules) — one basket-keyed
+    exchange of deduped (user, type) rows, tiny |types|^2 pair
+    partials combined on the driver; support/confidence/lift each ONE
+    division of exact integers."""
+    import ray
+
+    from featurebox_ray.stages.rules import association_rules
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return association_rules(ev, basket_col="user_id",
+                             item_col="event_type", min_count=5,
+                             num_partitions=16)
 
 
 def _kappa_q(sf_dir: str):
@@ -5994,6 +6012,37 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # association rules: distinct-basket self-join replay; every
+        # ratio is one division of exact integer counts
+        "q206_association_rules": """
+            WITH d AS (SELECT DISTINCT user_id AS bk,
+                              event_type AS i
+                       FROM events WHERE user_id IS NOT NULL
+                         AND event_type IS NOT NULL),
+            s AS (SELECT i, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY i),
+            nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nu
+                   FROM d),
+            p AS (SELECT x.i AS a, y.i AS b,
+                         CAST(count(*) AS BIGINT) AS n_ab
+                  FROM d x JOIN d y
+                    ON x.bk = y.bk AND x.i < y.i
+                  GROUP BY 1, 2),
+            pp AS (SELECT a AS ant, b AS cons, n_ab FROM p
+                   UNION ALL SELECT b, a, n_ab FROM p)
+            SELECT pp.ant, pp.cons, pp.n_ab, sa.n AS n_ant,
+                   sc.n AS n_cons, nb.nu AS n_baskets,
+                   CAST(pp.n_ab AS DOUBLE) / CAST(nb.nu AS DOUBLE)
+                     AS support,
+                   CAST(pp.n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE)
+                     AS confidence,
+                   CAST(pp.n_ab * nb.nu AS DOUBLE)
+                     / CAST(sa.n * sc.n AS DOUBLE) AS lift
+            FROM pp, nb
+            JOIN s sa ON pp.ant = sa.i
+            JOIN s sc ON pp.cons = sc.i
+            WHERE pp.n_ab >= 5
+        """,
         # kappa: exact int 2x2 margins, margin-form numerator /
         # denominator, ONE HUGEINT->DOUBLE division each side
         "q205_kappa_agreement": r"""
