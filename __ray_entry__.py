@@ -512,7 +512,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q204_table_checksum": _table_checksum_q,
         "q205_kappa_agreement": _kappa_q,
         "q206_association_rules": _assoc_rules_q,
+        "q207_prefix_dedup": _prefix_dedup_q,
     }
+
+
+def _prefix_dedup_q(sf_dir: str):
+    """q207: truncation-duplicate removal (stages/substr.py:
+    prefix_dedup) — documents unioned with 100-codepoint truncated
+    recrawl copies (id + 10^9); one range sort by (text, id), then a
+    single vectorized adjacent byte-compare per row with
+    content-ordered block boundaries.  Arrow utf8_slice_codeunits ==
+    SQL substr (both codepoint-based); byte-prefix == codepoint-prefix
+    on valid UTF-8."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.substr import prefix_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def with_truncated(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks()
+        ids = b["doc_id"].combine_chunks()
+        trunc = pc.utf8_slice_codeunits(txt, 0, 100)
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [ids, pc.add(ids, 1_000_000_000)]),
+            "text": pa.concat_arrays([txt, trunc])})
+
+    both = docs.map_batches(with_truncated, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return prefix_dedup(both, id_col="doc_id", text_col="text")
 
 
 def _assoc_rules_q(sf_dir: str):
@@ -6012,6 +6044,23 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # prefix dedup: lead/starts_with over the (text, id) order
+        # replays the adjacent-compare kept set exactly
+        "q207_prefix_dedup": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, substr(text, 1, 100)
+              FROM documents),
+            s AS (SELECT doc_id, text FROM u
+                  WHERE text IS NOT NULL),
+            l AS (SELECT doc_id, text,
+                         lead(text) OVER (ORDER BY text, doc_id)
+                           AS nxt
+                  FROM s)
+            SELECT doc_id FROM l
+            WHERE nxt IS NULL OR NOT starts_with(nxt, text)
+        """,
         # association rules: distinct-basket self-join replay; every
         # ratio is one division of exact integer counts
         "q206_association_rules": """

@@ -437,3 +437,112 @@ def ngram_novelty(ds, *, id_col: str = "doc_id", text_col: str = "text",
                            sort_keys=[id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def prefix_dedup(ds, *, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Prefix-duplicate removal — drop every document whose text is a
+    PROPER prefix of another document's text, and collapse exact-text
+    duplicates to one survivor (the max ``id_col``).  The classic
+    truncation-dup cleaner for web corpora: a crawler that cut a page
+    at 1 kB and a recrawl that got 10 kB produce a prefix pair; only
+    the longer one should train.
+
+    Algorithm: ONE distributed range sort by ``(text, id)`` (the only
+    all-to-all), then a single adjacent compare per row — in a
+    byte-lexicographic order, ``a`` is a prefix of ANY later string
+    iff it is a prefix of its IMMEDIATE successor (every string
+    between them starts with ``a``), so adjacency is sufficient.
+    Block boundaries: each sorted block contributes its first
+    ``(text)`` to the driver (ordered by CONTENT, the
+    global_row_number idiom — never bundle arrival order), and each
+    block's last row compares against the next live block's first
+    text.
+
+    The per-row compare is vectorized over the Arrow string buffers
+    (offset/byte arrays + ``np.minimum.reduceat`` over ragged
+    equal-byte segments) — no per-row Python, no fixed-width unicode
+    blow-up.  Codepoint vs byte prefix is equivalent on valid UTF-8
+    (a byte prefix that is itself a complete string ends on a
+    codepoint boundary), so DuckDB's ``starts_with`` over
+    ``lead(text) OVER (ORDER BY text, id)`` replays the kept set
+    exactly.  NULL-text rows drop (mirror in SQL).
+
+    Returns the kept ``(id)`` rows.  Reference analog: none —
+    companion of ``dup_spans`` / exact_dedup in the corpus-cleaning
+    family (SURVEY.md dedup suite).
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_valid(b[text_col]), False)
+        t = pa.table({id_col: b[id_col], text_col: b[text_col]})
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        return t
+
+    sd = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).sort(
+        [text_col, id_col])
+    refs = materialized_block_refs(sd)
+
+    @ray.remote
+    def blk_meta(blk: pa.Table):
+        if blk.num_rows == 0:
+            return None
+        return (blk.column(text_col)[0].as_py(),
+                blk.column(id_col)[0].as_py())
+
+    @ray.remote
+    def keep_non_prefix(blk: pa.Table, boundary) -> pa.Table:
+        ids = blk.column(id_col).combine_chunks()
+        texts = blk.column(text_col).combine_chunks().cast(
+            pa.large_string())
+        if boundary is not None:
+            texts = pa.concat_arrays(
+                [texts, pa.array([boundary], pa.large_string())])
+        offs = np.frombuffer(texts.buffers()[1], np.int64)[
+            texts.offset: texts.offset + len(texts) + 1]
+        vals = np.frombuffer(texts.buffers()[2], np.uint8)
+        lens = np.diff(offs)
+        n = blk.num_rows
+        # row i is a prefix of row i+1?
+        has_succ = np.arange(n) < (len(texts) - 1)
+        cand = has_succ & (lens[:n] <= np.append(
+            lens[1:], 0)[:n])
+        # zero-length texts are trivially prefixes of any successor
+        is_pref = np.zeros(n, bool)
+        ci = np.flatnonzero(cand)
+        if len(ci):
+            clen = lens[ci]
+            nz = ci[clen > 0]
+            is_pref[ci[clen == 0]] = True
+            if len(nz):
+                cnt = lens[nz]
+                base = np.repeat(offs[nz], cnt)
+                rel = (np.arange(int(cnt.sum()))
+                       - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                a = vals[base + rel]
+                b = vals[np.repeat(offs[nz + 1], cnt) + rel]
+                eq = (a == b).astype(np.int8)
+                segs = np.cumsum(cnt) - cnt
+                allq = np.minimum.reduceat(eq, segs)
+                is_pref[nz] = allq.astype(bool)
+        return pa.table({id_col: ids.filter(
+            pa.array(~is_pref))})
+
+    metas = ray.get([blk_meta.remote(r) for r in refs])
+    live = [(m, r) for m, r in zip(metas, refs) if m is not None]
+    live.sort(key=lambda x: x[0])
+    out_refs = []
+    for k, (_, r) in enumerate(live):
+        boundary = live[k + 1][0][0] if k + 1 < len(live) else None
+        out_refs.append(keep_non_prefix.remote(r, boundary))
+    if not out_refs:
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", schema)
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], base.field(id_col).type)}))
+    return ray.data.from_arrow_refs(out_refs)
