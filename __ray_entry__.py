@@ -513,7 +513,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q205_kappa_agreement": _kappa_q,
         "q206_association_rules": _assoc_rules_q,
         "q207_prefix_dedup": _prefix_dedup_q,
+        "q208_weighted_interleave": _interleave_q,
     }
+
+
+def _interleave_q(sf_dir: str):
+    """q208: deterministic corpus-mixing schedule (stages/sample.py:
+    weighted_interleave) — stride-scheduling positions rn/w per
+    source (w = length(source) %% 3 + 1), one source-keyed rank
+    exchange + the global_row_number range sort, first 500 rows of
+    the training order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.sample import weighted_interleave
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def with_weight(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lens = pc.utf8_length(pc.fill_null(b["source"], "")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "w", pa.array(lens % 3 + 1, pa.int64()))
+
+    wd = docs.map_batches(with_weight, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return weighted_interleave(wd, source_col="source",
+                               id_col="doc_id", weight_col="w",
+                               limit=500, num_partitions=16)
 
 
 def _prefix_dedup_q(sf_dir: str):
@@ -6044,6 +6075,28 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # weighted interleave: stride positions rn/w, one division
+        # of exact ints; ties break on (source, id)
+        "q208_weighted_interleave": """
+            WITH s AS (SELECT doc_id, source,
+                              length(source) % 3 + 1 AS w
+                       FROM documents
+                       WHERE doc_id IS NOT NULL
+                         AND source IS NOT NULL),
+            r AS (SELECT doc_id, source, w,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY doc_id) AS rn
+                  FROM s),
+            p AS (SELECT doc_id, source, rn,
+                         CAST(rn AS DOUBLE) / CAST(w AS DOUBLE)
+                           AS pos
+                  FROM r),
+            o AS (SELECT *, row_number()
+                    OVER (ORDER BY pos, source, doc_id) AS ord
+                  FROM p)
+            SELECT source, doc_id, rn, pos, ord
+            FROM o WHERE ord <= 500
+        """,
         # prefix dedup: lead/starts_with over the (text, id) order
         # replays the adjacent-compare kept set exactly
         "q207_prefix_dedup": """

@@ -553,3 +553,86 @@ def stratified_folds(ds, *, group_col: str, key_col: str, n_folds: int,
                            sort_keys=[group_col, "__h", key_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def weighted_interleave(ds, *, source_col: str, id_col: str,
+                        weight_col: str, limit: int,
+                        num_partitions: int = 32):
+    """Deterministic weighted interleave — the training-ORDER analog
+    of temperature_rebalance: emit the first ``limit`` rows of the
+    schedule that cycles sources proportionally to their integer
+    weights (weight 3 appears 3x as often as weight 1), with a fully
+    reproducible total order.
+
+    Each row's schedule position is ``pos = rn / w`` where ``rn`` is
+    the row's 1-based rank within its source (ordered by ``id_col``)
+    and ``w`` its source weight — the classic stride-scheduling /
+    weighted-fair-queueing virtual finish time.  ``pos`` is ONE IEEE
+    division of exact small integers, so DuckDB replays it
+    bit-for-bit; cross-source ties break on ``(source, id)``.
+
+    Stages: one source-keyed exchange for the per-source ranks (rank
+    runs are segment arithmetic, no Python loop), then the
+    global_row_number range sort over ``(pos, source, id)`` — block
+    metadata ordered by content — and a final ``ord <= limit`` mask.
+    Blocks past the horizon are filtered, never collected.
+
+    Rows with NULL source/id drop (mirror in SQL); weights must be
+    integers >= 1 (validated).  Output: ``(source, id, rn, pos,
+    ord)``.  Reference analog: none — the corpus-mixing scheduler the
+    q150/q168 cleaning pipelines feed into.
+    """
+    from .partition import partitioned_map
+    from .rank import global_row_number
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[source_col]),
+                       pc.is_valid(b[id_col]))
+        keep = pc.fill_null(keep, False)
+        t = pa.table({source_col: b[source_col], id_col: b[id_col],
+                      "__w": b[weight_col].cast(pa.int64())})
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        return t
+
+    def rank_kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({
+            source_col: pa.array([], t.schema.field(source_col).type),
+            id_col: pa.array([], t.schema.field(id_col).type),
+            "rn": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.float64())})
+        if n == 0:
+            return empty
+        w = t["__w"].to_numpy(zero_copy_only=False)
+        if (w < 1).any():
+            raise ValueError(
+                "weighted_interleave: weights must be >= 1")
+        codes = pc.dictionary_encode(
+            t[source_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]])
+        gstart = np.flatnonzero(new)[np.cumsum(new) - 1]
+        rn = np.arange(n, dtype=np.int64) - gstart + 1
+        pos = rn.astype(np.float64) / w.astype(np.float64)
+        return pa.table({source_col: t[source_col],
+                         id_col: t[id_col],
+                         "rn": pa.array(rn),
+                         "pos": pa.array(pos)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    ranked = partitioned_map(prepped, rank_kernel, key=source_col,
+                             sort_keys=[source_col, id_col],
+                             num_partitions=num_partitions,
+                             strategy="tasks")
+    ordered = global_row_number(
+        ranked, order_cols=["pos", source_col, id_col],
+        rank_col="ord")
+
+    def head(b: pa.Table) -> pa.Table:
+        m = pc.less_equal(b["ord"], limit)
+        return b.filter(m) if not pc.all(m).as_py() else b
+
+    return ordered.map_batches(head, batch_format="pyarrow",
+                               zero_copy_batch=True)
