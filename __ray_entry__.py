@@ -514,7 +514,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q206_association_rules": _assoc_rules_q,
         "q207_prefix_dedup": _prefix_dedup_q,
         "q208_weighted_interleave": _interleave_q,
+        "q209_silhouette": _silhouette_q,
     }
+
+
+def _silhouette_q(sf_dir: str):
+    """q209: simplified-silhouette label audit (stages/cohesion.py:
+    simplified_silhouette) — exact quantized-integer distances to
+    every label centroid from one sufficient-stats pass + broadcast;
+    sil = (b−a)/max(a,b) over identically-computed doubles."""
+    import ray
+
+    from featurebox_ray.stages.cohesion import simplified_silhouette
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"])
+    return simplified_silhouette(emb, vec_col="embedding",
+                                 id_col="vec_id", group_col="label",
+                                 quant_bits=8)
 
 
 def _interleave_q(sf_dir: str):
@@ -6075,6 +6093,43 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # silhouette: the q116 unnest replay extended to ALL
+        # centroids; b = min over identically-computed doubles
+        "q209_silhouette": """
+            WITH x AS (
+              SELECT vec_id, label, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 256
+                                + 0.5) AS HUGEINT) AS xq
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) AS r(i)
+              WHERE label IS NOT NULL AND embedding IS NOT NULL
+            ), s AS (
+              SELECT label AS clabel, i, sum(xq) AS sd,
+                     count(*) AS n
+              FROM x GROUP BY label, i
+            ), d AS (
+              SELECT x.vec_id, x.label, s.clabel,
+                     CAST(sum((s.n * x.xq - s.sd)
+                              * (s.n * x.xq - s.sd)) AS DOUBLE)
+                       / CAST(any_value(s.n * s.n) AS DOUBLE)
+                       / 65536.0 AS dist2,
+                     CAST(any_value(s.n) AS BIGINT) AS cn
+              FROM x JOIN s ON x.i = s.i
+              GROUP BY x.vec_id, x.label, s.clabel
+            ), ab AS (
+              SELECT vec_id, label,
+                     max(CASE WHEN clabel = label THEN dist2 END)
+                       AS a,
+                     max(CASE WHEN clabel = label THEN cn END) AS n,
+                     min(CASE WHEN clabel <> label THEN dist2 END)
+                       AS b
+              FROM d GROUP BY vec_id, label
+            )
+            SELECT vec_id, label, n, a, b,
+                   CASE WHEN greatest(a, b) = 0 THEN 0.0
+                        ELSE (b - a) / greatest(a, b) END AS sil
+            FROM ab
+        """,
         # weighted interleave: stride positions rn/w, one division
         # of exact ints; ties break on (source, id)
         "q208_weighted_interleave": """

@@ -63,14 +63,11 @@ def _batch_mat(batch: pa.Table, vec_col: str, quant_bits: int):
     return quantize_half_up(flat.reshape(n, dims), quant_bits), dims
 
 
-def group_centroid_distance(ds, *, vec_col: str = "embedding",
-                            id_col: str = "vec_id",
-                            group_col: str = "label",
-                            quant_bits: int = 8):
-    """Per row: ``(id_col, group_col, n:int64, dist2:float64)`` — the
-    squared euclidean distance from the (quantized) vector to its
-    group's exact centroid.  Rows with NULL group or NULL vector drop.
-    """
+def _collect_group_stats(ds, *, vec_col: str, group_col: str,
+                         quant_bits: int):
+    """Exact per-group quantized sufficient statistics: one
+    partial-sums pass + tiny driver combine; returns ``(gvals,
+    n_arr, s_mat)`` with groups sorted by value (deterministic)."""
     import ray
 
     from .partition import materialized_block_refs
@@ -117,6 +114,22 @@ def group_centroid_distance(ds, *, vec_col: str = "embedding",
     n_arr = np.array([stats[g][0] for g in gvals], np.int64)
     s_mat = (np.stack([stats[g][1] for g in gvals])
              if gvals else np.zeros((0, 0), np.int64))
+    return gvals, n_arr, s_mat
+
+
+def group_centroid_distance(ds, *, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            group_col: str = "label",
+                            quant_bits: int = 8):
+    """Per row: ``(id_col, group_col, n:int64, dist2:float64)`` — the
+    squared euclidean distance from the (quantized) vector to its
+    group's exact centroid.  Rows with NULL group or NULL vector drop.
+    """
+    import ray
+
+    gvals, n_arr, s_mat = _collect_group_stats(
+        ds, vec_col=vec_col, group_col=group_col,
+        quant_bits=quant_bits)
     stats_ref = ray.put((gvals, n_arr, s_mat))
     scale = float(1 << (2 * quant_bits))
 
@@ -255,3 +268,93 @@ def label_prototypes(ds, *, vec_col: str = "embedding",
                            sort_keys=["cell"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def simplified_silhouette(ds, *, vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          group_col: str = "label",
+                          quant_bits: int = 8):
+    """Simplified silhouette score per row — the cluster-quality /
+    label-audit signal: ``a`` = squared distance to the OWN group
+    centroid, ``b`` = min squared distance to any OTHER group's
+    centroid, ``sil = (b - a) / max(a, b)`` (0 when both are 0).
+    Rows near a foreign centroid (sil < 0) are relabel/mislabel
+    candidates; per-group mean sil ranks cluster coherence.
+
+    "Simplified" = centroid-based (Hruschka et al.), not the all-pairs
+    original — O(rows x groups) instead of O(rows^2), the standard
+    at-scale variant.  Uses squared distances (monotone in distance,
+    sqrt-free) so every quantity stays in the exact-int pipeline of
+    ``group_centroid_distance``: each ``d_h`` is
+    ``double(ss_h) / double(n_h^2) / 2^(2 qb)`` — two IEEE divisions
+    from exactly-represented integers, identical to the SQL replay.
+    ``b`` = min over identically-computed doubles, so any rational
+    tie collapses to the same value on both sides; no argmin column
+    is emitted (an argmin label could tie on equal doubles).
+
+    Requires >= 2 groups (raises otherwise).  NULL group/vector rows
+    drop.  Output: ``(id, group, n:int64, a, b, sil)``.
+
+    Reference analog: none — companion of group_centroid_distance /
+    label_prototypes in the embedding-QA family.
+    """
+    import ray
+
+    gvals, n_arr, s_mat = _collect_group_stats(
+        ds, vec_col=vec_col, group_col=group_col,
+        quant_bits=quant_bits)
+    if len(gvals) < 2:
+        raise ValueError("simplified_silhouette: needs >= 2 groups, "
+                         f"got {len(gvals)}")
+    stats_ref = ray.put((gvals, n_arr, s_mat))
+    scale = float(1 << (2 * quant_bits))
+
+    def score(batch: pa.Table) -> pa.Table:
+        gvals_, n_, s_ = ray.get(stats_ref)
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_col]),
+                                     pc.is_valid(batch[vec_col])))
+        out_empty = pa.table({
+            id_col: batch[id_col].slice(0, 0),
+            group_col: batch[group_col].slice(0, 0),
+            "n": pa.array([], pa.int64()),
+            "a": pa.array([], pa.float64()),
+            "b": pa.array([], pa.float64()),
+            "sil": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return out_empty
+        xq, dims = _batch_mat(batch, vec_col, quant_bits)
+        if s_.size and dims != s_.shape[1]:
+            raise ValueError(
+                f"embedding dims differ across blocks: {dims} here "
+                f"vs {s_.shape[1]} in the fitted stats")
+        pos = pc.index_in(batch[group_col].combine_chunks(),
+                          value_set=pa.array(gvals_)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = xq.shape[0]
+        k = len(gvals_)
+        d = np.empty((rows, k), np.float64)
+        for h in range(k):
+            diff = xq * int(n_[h]) - s_[h]
+            m = int(np.abs(diff).max()) if diff.size else 0
+            if m and dims * m * m >= 2 ** 53:
+                raise ValueError(
+                    f"dims·max|n·xq−s|² = {dims * m * m} ≥ 2^53 — "
+                    "lower quant_bits so distances stay exact")
+            ss = np.sum(diff * diff, axis=1)
+            d[:, h] = (ss.astype(np.float64)
+                       / float(int(n_[h]) * int(n_[h])) / scale)
+        a = d[np.arange(rows), pos]
+        d[np.arange(rows), pos] = np.inf
+        b = d.min(axis=1)
+        maxab = np.maximum(a, b)
+        sil = np.where(maxab == 0.0, 0.0,
+                       (b - a) / np.where(maxab == 0.0, 1.0, maxab))
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: batch[group_col],
+            "n": pa.array(n_[pos]),
+            "a": pa.array(a), "b": pa.array(b),
+            "sil": pa.array(sil)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
