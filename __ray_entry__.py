@@ -515,7 +515,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q207_prefix_dedup": _prefix_dedup_q,
         "q208_weighted_interleave": _interleave_q,
         "q209_silhouette": _silhouette_q,
+        "q210_k_center": _k_center_q,
     }
+
+
+def _k_center_q(sf_dir: str):
+    """q210: greedy k-center coreset selection (stages/cohesion.py:
+    k_center_select) — deterministic farthest-point diversity
+    sampling over exact quantized-int distances; k rounds of one tiny
+    task per block, vectors never reshuffle.  Fixture oracle: the
+    serial integer replay is bit-identical (pure int compares)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_k_center
+    from featurebox_ray.stages.cohesion import k_center_select
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    X = [v for v in t["embedding"].to_pylist()]
+    keep = [(i, v) for i, v in zip(ids, X)
+            if i is not None and v is not None]
+    import numpy as np
+
+    exp = replay_k_center(np.array([i for i, _ in keep], np.int64),
+                          np.array([v for _, v in keep], np.float64),
+                          k=16)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "sel_ord": pa.array([r for r, _, _ in exp], pa.int64()),
+        "vec_id": pa.array([i for _, i, _ in exp], pa.int64()),
+        "radius2": pa.array([d for _, _, d in exp], pa.int64()),
+    }), f"{_ORACLE_DIR}/k_center.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/k_center.parquet.tmp",
+               f"{_ORACLE_DIR}/k_center.parquet")
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"],
+                                override_num_blocks=8)
+    return k_center_select(emb, vec_col="embedding",
+                           id_col="vec_id", k=16)
 
 
 def _silhouette_q(sf_dir: str):
@@ -7561,6 +7604,10 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY event_type
         """,
         # compression ratio: identical-zlib replay fixture
+        "q210_k_center": f"""
+            SELECT sel_ord, vec_id, radius2
+            FROM read_parquet('{_ORACLE_DIR}/k_center.parquet')
+        """,
         "q178_compression_ratio": f"""
             SELECT doc_id, raw_len, comp_len, ratio
             FROM read_parquet('{_ORACLE_DIR}/comp_ratio.parquet')

@@ -810,3 +810,31 @@ def replay_ridge(vecs: np.ndarray, ys: np.ndarray, *, quant_bits: int,
 
     return pd.DataFrame({"j": np.arange(qa.shape[1], dtype=np.int64),
                          "coef": coef})
+
+
+def replay_k_center(ids, X, *, k: int, quant_bits: int = 8):
+    """Serial replay of stages/cohesion.py:k_center_select — same
+    half-up quantization, exact int64 distances, min-id seed,
+    farthest-point rounds with (max d2, min id) ties, early stop on
+    radius 0.  Bit-identical by construction (pure int compares)."""
+    import numpy as np
+
+    ids = np.asarray(ids, np.int64)
+    s = float(1 << quant_bits)
+    xq = np.floor(np.asarray(X, np.float64) * s + 0.5).astype(
+        np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, xq = ids[order], xq[order]
+    sel = [(0, int(ids[0]), None)]
+    c = xq[0]
+    mind = None
+    for rnd in range(1, k):
+        d2 = np.sum((xq - c) * (xq - c), axis=1)
+        mind = d2 if mind is None else np.minimum(mind, d2)
+        mx = int(mind.max())
+        if mx == 0:
+            break
+        j = int(np.flatnonzero(mind == mx)[0])  # ids sorted -> min id
+        sel.append((rnd, int(ids[j]), mx))
+        c = xq[j]
+    return sel

@@ -358,3 +358,112 @@ def simplified_silhouette(ds, *, vec_col: str = "embedding",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def k_center_select(ds, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", k: int = 8,
+                    quant_bits: int = 8):
+    """Greedy k-center (Gonzalez farthest-point) coreset selection —
+    pick ``k`` maximally-spread rows of an embedding table: the
+    diversity-sampling primitive for training-data curation (seed a
+    labeling batch, pick eval probes, initialize kmeans).  2-approx
+    of the optimal covering radius.
+
+    Fully deterministic and integer-exact: vectors quantize half-up
+    (the q116 grid) and every distance is an EXACT int64
+    ``Σ(xq−cq)²`` — argmax comparisons and ties (min id) never touch
+    floats, so a serial replay is bit-identical.  The first center is
+    the min id; each round selects the point farthest from its
+    nearest chosen center; ``radius2`` is that farthest quantized
+    squared distance (the covering radius before the pick), NULL for
+    the seed row.  Stops early once every remaining point coincides
+    with a center (radius2 == 0 would only repeat duplicates).
+
+    Scale shape: blocks prep once into (id, xq) tables held in the
+    object store; each of the ``k`` rounds runs ONE tiny task per
+    block that mins the stored per-row distance against the single
+    NEW center (vectors never reshuffle, driver sees only per-block
+    (max, argmax-id, argmax-vec) summaries).  O(k · blocks) tasks,
+    O(rows · dims) ints per block resident.
+
+    Reference analog: none — companion of kmeans/semdedup in the
+    embedding-curation family (the deterministic alternative to
+    kmeans++ seeding).
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    if k < 1:
+        raise ValueError("k_center_select: k must be >= 1")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[id_col]),
+                                     pc.is_valid(batch[vec_col])))
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "__xq": pa.array([],
+                                              pa.list_(pa.int64()))})
+        xq, dims = _batch_mat(batch, vec_col, quant_bits)
+        m = int(np.abs(xq).max()) if xq.size else 0
+        if m and dims * (2 * m) * (2 * m) >= 2 ** 63:
+            raise ValueError("k_center_select: quantized grid too "
+                             "fine for exact int64 distances — lower "
+                             "quant_bits")
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "__xq": pa.array(list(xq),
+                                          pa.list_(pa.int64()))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    refs = materialized_block_refs(prepped)
+
+    @ray.remote
+    def seed(blk: pa.Table):
+        if blk.num_rows == 0:
+            return None
+        ids = blk[id_col].to_numpy(zero_copy_only=False)
+        j = int(np.argmin(ids))
+        return (int(ids[j]), np.asarray(blk["__xq"][j].as_py(),
+                                        np.int64))
+
+    @ray.remote(num_returns=2)
+    def update(blk: pa.Table, mind, cq: np.ndarray):
+        if blk.num_rows == 0:
+            return np.zeros(0, np.int64), None
+        ids = blk[id_col].to_numpy(zero_copy_only=False)
+        arr = blk["__xq"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        xq = flat.reshape(blk.num_rows, len(cq))
+        diff = xq - cq
+        d2 = np.sum(diff * diff, axis=1)
+        nm = d2 if mind is None else np.minimum(mind, d2)
+        mx = int(nm.max())
+        cand = np.flatnonzero(nm == mx)
+        j = cand[int(np.argmin(ids[cand]))]
+        return nm, (mx, int(ids[j]), xq[j])
+
+    seeds = [s for s in ray.get([seed.remote(r) for r in refs])
+             if s is not None]
+    if not seeds:
+        return pa.table({"sel_ord": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "radius2": pa.array([], pa.int64())})
+    c_id, c_vec = min(seeds, key=lambda s: s[0])
+    sel = [(0, c_id, None)]
+    mind_refs = [None] * len(refs)
+    for rnd in range(1, k):
+        pairs = [update.remote(r, m, c_vec)
+                 for r, m in zip(refs, mind_refs)]
+        mind_refs = [p[0] for p in pairs]
+        bests = [b for b in ray.get([p[1] for p in pairs])
+                 if b is not None]
+        mx, bid, bvec = max(bests, key=lambda b: (b[0], -b[1]))
+        if mx == 0:
+            break  # every remaining point coincides with a center
+        sel.append((rnd, bid, mx))
+        c_id, c_vec = bid, bvec
+    return pa.table({
+        "sel_ord": pa.array([r for r, _, _ in sel], pa.int64()),
+        id_col: pa.array([i for _, i, _ in sel], pa.int64()),
+        "radius2": pa.array([d for _, _, d in sel], pa.int64())})
