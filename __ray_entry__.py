@@ -516,7 +516,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q208_weighted_interleave": _interleave_q,
         "q209_silhouette": _silhouette_q,
         "q210_k_center": _k_center_q,
+        "q211_changepoint": _changepoint_q,
     }
+
+
+def _changepoint_q(sf_dir: str):
+    """q211: per-user spend-level changepoint (stages/changepoint.py:
+    group_changepoint) — binary segmentation over the (ts, event_id)-
+    ordered cents series; float prune + exact Python-int
+    cross-mult argmax, ties to the smallest split.  Fixture oracle:
+    serial exact replay (pure int compares -> bit-identical)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_changepoint
+    from featurebox_ray.stages.changepoint import group_changepoint
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    ts_us = t["ts"].cast(pa.int64()).to_pylist()  # exact epoch-us
+    exp = replay_changepoint(t["user_id"].to_pylist(), ts_us,
+                             t["event_id"].to_pylist(),
+                             t["value"].to_pylist())
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in exp], pa.int64()),
+        "n": pa.array([r[1] for r in exp], pa.int64()),
+        "split_i": pa.array([r[2] for r in exp], pa.int64()),
+        "ts_split": pa.array([r[3] for r in exp], pa.int64()),
+        "gain_cents2": pa.array([r[4] for r in exp], pa.float64()),
+        "mean_l": pa.array([r[5] for r in exp], pa.float64()),
+        "mean_r": pa.array([r[6] for r in exp], pa.float64()),
+    }), f"{_ORACLE_DIR}/changepoint.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/changepoint.parquet.tmp",
+               f"{_ORACLE_DIR}/changepoint.parquet")
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    return group_changepoint(ev, key_col="user_id", ts_col="ts",
+                             seq_col="event_id", value_col="value",
+                             num_partitions=16)
 
 
 def _k_center_q(sf_dir: str):
@@ -7607,6 +7651,11 @@ def oracle_sql() -> dict[str, str]:
         "q210_k_center": f"""
             SELECT sel_ord, vec_id, radius2
             FROM read_parquet('{_ORACLE_DIR}/k_center.parquet')
+        """,
+        "q211_changepoint": f"""
+            SELECT user_id, n, split_i, ts_split, gain_cents2,
+                   mean_l, mean_r
+            FROM read_parquet('{_ORACLE_DIR}/changepoint.parquet')
         """,
         "q178_compression_ratio": f"""
             SELECT doc_id, raw_len, comp_len, ratio

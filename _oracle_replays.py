@@ -838,3 +838,53 @@ def replay_k_center(ids, X, *, k: int, quant_bits: int = 8):
         sel.append((rnd, int(ids[j]), mx))
         c = xq[j]
     return sel
+
+
+def replay_changepoint(keys, ts, seq, values, *, min_seg: int = 3,
+                       max_group: int = 4096):
+    """Serial replay of stages/changepoint.py:group_changepoint —
+    exact Python-int argmax of S1²(n−i)+S2²i over i·(n−i) for every
+    split (no float prune needed serially), ties to the smallest
+    split; identical float output expressions.  Returns rows
+    (key, n, split_i, ts_split, gain_cents2, mean_l, mean_r)."""
+    import math
+
+    import numpy as np
+
+    rows = [(k, t, s, v) for k, t, s, v in zip(keys, ts, seq, values)
+            if k is not None and t is not None and s is not None]
+    for _, _, _, v in rows:
+        if v is not None and not math.isfinite(v):
+            raise ValueError("non-finite value")
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    out = []
+    i0 = 0
+    while i0 < len(rows):
+        j = i0
+        while j < len(rows) and rows[j][0] == rows[i0][0]:
+            j += 1
+        grp = rows[i0:j]
+        i0 = j
+        n = len(grp)
+        if n < 2 * min_seg or n > max_group:
+            continue
+        y = [int(np.round(np.float64(0.0 if v is None else v) * 100))
+             for _, _, _, v in grp]
+        S1, acc = [], 0
+        for v in y:
+            acc += v
+            S1.append(acc)
+        S = acc
+        best = None
+        for i in range(min_seg, n - min_seg + 1):
+            a = S1[i - 1]
+            b = S - a
+            f = a * a * (n - i) + b * b * i
+            den = i * (n - i)
+            if best is None or f * best[2] > best[1] * den:
+                best = (i, f, den, a, b)
+        i, f, den, a, b = best
+        gain = float(f * n - S * S * den) / float(n * den)
+        out.append((grp[0][0], n, i, int(grp[i - 1][1]), gain,
+                    float(a) / float(i), float(b) / float(n - i)))
+    return out
