@@ -517,7 +517,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q209_silhouette": _silhouette_q,
         "q210_k_center": _k_center_q,
         "q211_changepoint": _changepoint_q,
+        "q212_vocab_coverage": _vocab_coverage_q,
     }
+
+
+def _vocab_coverage_q(sf_dir: str):
+    """q212: Good-Turing / Chao1 vocabulary-coverage audit per source
+    (stages/tfidf.py:vocab_coverage) — one term-keyed exchange of
+    (source, term, cnt) partials, per-group sufficient stats combined
+    on the driver; unseen_mass and chao1 are single divisions of
+    exact integer counts."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import vocab_coverage
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"],
+                                 override_num_blocks=16)
+    return vocab_coverage(docs, group_col="source", text_col="text",
+                          num_partitions=16)
 
 
 def _changepoint_q(sf_dir: str):
@@ -6180,6 +6198,34 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # vocab coverage: exact term counts; unseen/chao1 are single
+        # divisions of exact ints (+ one addition for chao1)
+        "q212_vocab_coverage": r"""
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS term
+              FROM documents WHERE source IS NOT NULL),
+            tc AS (SELECT source, term,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY 1, 2),
+            agg AS (SELECT source,
+                           CAST(count(*) AS BIGINT) AS vocab,
+                           CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0
+                                    END) AS BIGINT) AS hapax,
+                           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0
+                                    END) AS BIGINT) AS dis
+                    FROM tc GROUP BY source)
+            SELECT source, n_tokens, vocab, hapax, dis,
+                   CAST(hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     AS unseen_mass,
+                   CASE WHEN dis > 0 THEN CAST(vocab AS DOUBLE)
+                          + CAST(hapax * hapax AS DOUBLE)
+                            / CAST(2 * dis AS DOUBLE)
+                        ELSE NULL END AS chao1
+            FROM agg
+        """,
         # silhouette: the q116 unnest replay extended to ALL
         # centroids; b = min over identically-computed doubles
         "q209_silhouette": """

@@ -1068,3 +1068,148 @@ def novelty_curve(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return pa.table({"bucket": pa.array(buckets, pa.int64()),
                      "n_new_terms": pa.array(counts, pa.int64()),
                      "cum_new_terms": pa.array(cum)})
+
+
+def vocab_coverage(ds, *, group_col: str = "source",
+                   text_col: str = "text",
+                   num_partitions: int = 32):
+    """Vocabulary-coverage audit per group — Good-Turing unseen mass
+    and the Chao1 richness estimator: "how much of this source's
+    vocabulary have we actually seen?"  The corpus-completeness
+    signal for deciding whether a source needs more crawling before
+    its token statistics stabilize.
+
+    Per group: ``n_tokens``, ``vocab`` (distinct terms), ``hapax``
+    (terms seen once), ``dis`` (seen twice),
+    ``unseen_mass = hapax / n_tokens`` (Good-Turing: probability the
+    next token is a NEW type) and
+    ``chao1 = vocab + hapax^2 / (2*dis)`` (NULL when ``dis`` = 0).
+    Counts are exact int64; each ratio is ONE division (plus one
+    addition for chao1) of exactly-represented integers — DuckDB
+    replays bit-for-bit.
+
+    Plan: per-block ``(group, term, cnt)`` partials (the top_terms
+    shape), ONE term-keyed exchange — a (term, group) pair's total
+    lives wholly in its term partition, so the kernel collapses runs
+    and emits per-group ``(vocab, hapax, dis, n)`` partials, combined
+    on the driver (groups are few).  Tokenization is
+    ``dedup.split_tokens`` (Python str.split semantics == the RE2
+    ``\\S+`` the oracle uses).  NULL group rows drop; NULL text is no
+    tokens.
+
+    Reference analog: none — companion of top_terms / corpus_freq in
+    the corpus-statistics family.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        gtype = b.schema.field(group_col).type
+        empty = pa.table({group_col: pa.array([], gtype),
+                          "term": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        keep = pc.fill_null(pc.is_valid(b[group_col]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
+            return empty
+        texts = pc.fill_null(b[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        if len(flat) == 0:
+            return empty
+        row_of = np.repeat(np.arange(b.num_rows), np.diff(off))
+        gd = pc.dictionary_encode(b[group_col].combine_chunks())
+        gcodes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[row_of]
+        td = pc.dictionary_encode(flat)
+        tcodes = td.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cell = gcodes * len(td.dictionary) + tcodes
+        uc, inv = np.unique(cell, return_inverse=True)
+        n = np.zeros(len(uc), np.int64)
+        np.add.at(n, inv, 1)
+        return pa.table({
+            group_col: gd.dictionary.take(
+                pa.array(uc // len(td.dictionary), pa.int64())),
+            "term": td.dictionary.take(
+                pa.array(uc % len(td.dictionary), pa.int64())),
+            "cnt": pa.array(n)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type
+        empty = pa.table({group_col: pa.array([], gtype),
+                          "v": pa.array([], pa.int64()),
+                          "n1": pa.array([], pa.int64()),
+                          "n2": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # sorted by (term, group): collapse (term, group) runs
+        tc = pc.dictionary_encode(t["term"].combine_chunks())
+        tcodes = tc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        gc = pc.dictionary_encode(t[group_col].combine_chunks())
+        gcodes = gc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], (tcodes[1:] != tcodes[:-1])
+                              | (gcodes[1:] != gcodes[:-1])])
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(cnt, starts)
+        g_run = gcodes[starts]
+        ng = len(gc.dictionary)
+        v = np.bincount(g_run, minlength=ng).astype(np.int64)
+        n1 = np.bincount(g_run[tot == 1], minlength=ng).astype(
+            np.int64)
+        n2 = np.bincount(g_run[tot == 2], minlength=ng).astype(
+            np.int64)
+        ntok = np.zeros(ng, np.int64)
+        np.add.at(ntok, g_run, tot)
+        present = np.flatnonzero(v)
+        return pa.table({
+            group_col: gc.dictionary.take(
+                pa.array(present, pa.int64())),
+            "v": pa.array(v[present]), "n1": pa.array(n1[present]),
+            "n2": pa.array(n2[present]),
+            "n": pa.array(ntok[present])})
+
+    per_part = partitioned_map(partials, kernel, key="term",
+                               sort_keys=["term", group_col],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(per_part)):
+        for g, v, n1, n2, n in zip(blk[group_col].to_pylist(),
+                                   blk["v"].to_pylist(),
+                                   blk["n1"].to_pylist(),
+                                   blk["n2"].to_pylist(),
+                                   blk["n"].to_pylist()):
+            cur = agg.setdefault(g, [0, 0, 0, 0])
+            cur[0] += v
+            cur[1] += n1
+            cur[2] += n2
+            cur[3] += n
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    gtype = base.field(group_col).type
+    groups = sorted(agg)
+    vocab = [agg[g][0] for g in groups]
+    hapax = [agg[g][1] for g in groups]
+    dis = [agg[g][2] for g in groups]
+    ntok = [agg[g][3] for g in groups]
+    unseen = [float(h) / float(n) for h, n in zip(hapax, ntok)]
+    chao1 = [None if d == 0
+             else float(v) + float(h * h) / float(2 * d)
+             for v, h, d in zip(vocab, hapax, dis)]
+    return pa.table({
+        group_col: pa.array(groups, gtype),
+        "n_tokens": pa.array(ntok, pa.int64()),
+        "vocab": pa.array(vocab, pa.int64()),
+        "hapax": pa.array(hapax, pa.int64()),
+        "dis": pa.array(dis, pa.int64()),
+        "unseen_mass": pa.array(unseen, pa.float64()),
+        "chao1": pa.array(chao1, pa.float64())})
