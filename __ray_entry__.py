@@ -518,7 +518,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q210_k_center": _k_center_q,
         "q211_changepoint": _changepoint_q,
         "q212_vocab_coverage": _vocab_coverage_q,
+        "q213_loo_encode": _loo_encode_q,
     }
+
+
+def _loo_encode_q(sf_dir: str):
+    """q213: leave-one-out target encoding of event_type by spend
+    (stages/encode.py:loo_target_encode) — one category-keyed
+    exchange, run sums broadcast back by segment arithmetic;
+    loo = ONE division of exact int64 cents."""
+    import ray
+
+    from featurebox_ray.stages.encode import loo_target_encode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+    return loo_target_encode(ev, id_col="event_id",
+                             cat_col="event_type",
+                             value_col="value", num_partitions=16)
 
 
 def _vocab_coverage_q(sf_dir: str):
@@ -6198,6 +6216,25 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # LOO target encode: (S-y)/(C-1), one division of exact ints
+        "q213_loo_encode": """
+            WITH e AS (
+              SELECT event_id, event_type,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS y
+              FROM events
+              WHERE event_id IS NOT NULL
+                AND event_type IS NOT NULL),
+            s AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS sg,
+                         CAST(count(*) AS BIGINT) AS cg
+                  FROM e GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN s.cg > 1
+                        THEN CAST(s.sg - e.y AS DOUBLE)
+                             / CAST(s.cg - 1 AS DOUBLE)
+                        ELSE NULL END AS loo_cents
+            FROM e JOIN s USING (event_type)
+        """,
         # vocab coverage: exact term counts; unseen/chao1 are single
         # divisions of exact ints (+ one addition for chao1)
         "q212_vocab_coverage": r"""

@@ -351,3 +351,82 @@ def hashing_vectorizer(ds, *, id_col: str = "doc_id",
 
     return ds.map_batches(encode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def loo_target_encode(ds, *, id_col: str, cat_col: str,
+                      value_col: str, num_partitions: int = 32):
+    """Leave-one-out target encoding — the row-granular sibling of
+    ``oof_target_encode``: each row's category is encoded as the mean
+    target over EVERY OTHER row of that category,
+
+        loo(i) = (S_cat − y_i) / (C_cat − 1),
+
+    NULL when the row is its category's only member.  Sharper than
+    K-fold when categories are small; the standard alternative in
+    gradient-boosting feature prep.
+
+    Exactness: the target quantizes to int64 cents
+    (``cents_exact`` — NULL coalesces to 0, non-finite raises); per-
+    category sums are exact int64; the encoding is ONE IEEE division
+    ``double(S−y) / double(C−1)`` — DuckDB replays it bit-for-bit.
+
+    Plan: ONE category-keyed exchange; run sums broadcast back to
+    rows by segment arithmetic inside the partition kernel — no
+    second pass, no driver state (works at any category cardinality,
+    unlike a broadcast-stats variant).  NULL id/category rows drop
+    (mirror in SQL).  Output: ``(id, cat, loo_cents)``.
+    """
+    from ..functions.segments import cents_exact
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[id_col]),
+                       pc.is_valid(b[cat_col]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        cents = cents_exact(b[value_col].combine_chunks(),
+                            col=value_col)
+        return pa.table({id_col: b[id_col], cat_col: b[cat_col],
+                         "__y": pa.array(cents)})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(cat_col).type
+        ityp = t.schema.field(id_col).type
+        empty = pa.table({id_col: pa.array([], ityp),
+                          cat_col: pa.array([], ktype),
+                          "loo_cents": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        codes = pc.dictionary_encode(
+            t[cat_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["__y"].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(codes)))
+        if float(np.abs(y).astype(np.float64).sum()) >= 2.0 ** 62:
+            raise ValueError("loo_target_encode: Σ|cents| risks "
+                             "int64 overflow")
+        seg = np.cumsum(new) - 1
+        sums = np.add.reduceat(y, starts)
+        s_row = sums[seg]
+        c_row = lens[seg]
+        loo = np.where(
+            c_row > 1,
+            (s_row - y).astype(np.float64)
+            / np.maximum(c_row - 1, 1).astype(np.float64),
+            np.nan)
+        la = pa.array(loo, pa.float64())
+        if (c_row == 1).any():
+            la = pc.if_else(pa.array(c_row > 1), la,
+                            pa.scalar(None, pa.float64()))
+        return pa.table({id_col: t[id_col], cat_col: t[cat_col],
+                         "loo_cents": la})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=cat_col,
+                           sort_keys=[cat_col, id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
