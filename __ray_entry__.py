@@ -519,7 +519,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q211_changepoint": _changepoint_q,
         "q212_vocab_coverage": _vocab_coverage_q,
         "q213_loo_encode": _loo_encode_q,
+        "q214_mann_whitney": _mann_whitney_q,
     }
+
+
+def _mann_whitney_q(sf_dir: str):
+    """q214: Mann-Whitney U shift test per event type (stages/
+    regress.py:mann_whitney) — sides = user_id parity; doubled
+    tie-averaged integer ranks (the q122 trick), tie-corrected
+    normal z from exact ints; one group-keyed exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.regress import mann_whitney
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"])
+
+    def side(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.fill_null(pc.is_valid(b["user_id"]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"],
+                         "a": pa.array(u % 2, pa.int64()),
+                         "value": b["value"]})
+
+    sided = ev.map_batches(side, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return mann_whitney(sided, group_col="event_type", side_col="a",
+                        value_col="value", num_partitions=8)
 
 
 def _loo_encode_q(sf_dir: str):
@@ -6216,6 +6249,52 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # Mann-Whitney: doubled tie-averaged ranks; z from exact
+        # HUGEINT products (cast, divide, sqrt, divide)
+        "q214_mann_whitney": """
+            WITH e AS (
+              SELECT event_type AS g, user_id % 2 AS a,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS y
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND value IS NOT NULL),
+            r AS (SELECT g, a, y,
+                         rank() OVER (PARTITION BY g ORDER BY y)
+                           AS rk,
+                         count(*) OVER (PARTITION BY g, y) AS tcnt
+                  FROM e),
+            tg AS (SELECT g, CAST(sum(c * c * c - c) AS HUGEINT)
+                            AS tt
+                   FROM (SELECT g, y, CAST(count(*) AS HUGEINT)
+                                AS c
+                         FROM e GROUP BY g, y) GROUP BY g),
+            s AS (SELECT g,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(a) AS HUGEINT) AS n1,
+                         CAST(sum(CASE WHEN a = 1
+                                  THEN 2 * rk + tcnt - 1 ELSE 0
+                                  END) AS HUGEINT) AS two_r1
+                  FROM r GROUP BY g)
+            SELECT s.g AS event_type,
+                   CAST(s.n1 AS BIGINT) AS n1,
+                   CAST(s.n - s.n1 AS BIGINT) AS n2,
+                   CAST(s.two_r1 - s.n1 * (s.n1 + 1) AS BIGINT)
+                     AS u2,
+                   CASE WHEN s.n1 = 0 OR s.n = s.n1 OR s.n < 2
+                          OR s.n1 * (s.n - s.n1)
+                             * (s.n * s.n * s.n - s.n - tg.tt) = 0
+                        THEN NULL
+                        ELSE CAST(s.two_r1 - s.n1 * (s.n1 + 1)
+                                  - s.n1 * (s.n - s.n1) AS DOUBLE)
+                             / sqrt(CAST(s.n1 * (s.n - s.n1)
+                                    * (s.n * s.n * s.n - s.n
+                                       - tg.tt) AS DOUBLE)
+                                    / CAST(3 * s.n * (s.n - 1)
+                                           AS DOUBLE))
+                   END AS z
+            FROM s JOIN tg ON s.g = tg.g
+        """,
         # LOO target encode: (S-y)/(C-1), one division of exact ints
         "q213_loo_encode": """
             WITH e AS (

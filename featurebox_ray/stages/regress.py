@@ -1330,3 +1330,124 @@ def cohen_kappa(ds, *, group_col: str, rater_a_col: str,
         "n01": pa.array(n01, pa.int64()),
         "n00": pa.array(n00, pa.int64()),
         "kappa": pa.array(kappa, pa.float64())})
+
+
+def mann_whitney(ds, *, group_col: str, side_col: str,
+                 value_col: str, num_partitions: int = 32):
+    """Mann-Whitney U (Wilcoxon rank-sum) test per group — the
+    nonparametric A/B shift test the q143 rate test can't provide:
+    does side A's value DISTRIBUTION sit above side B's?  Robust to
+    heavy tails, the standard guardrail-metric test.
+
+    ``side_col`` must be an int64 0/1 indicator (1 = treatment side
+    A).  Values quantize to int64 cents (tie classes = exact integer
+    equality); rows with NULL group/side/value drop.
+
+    Exactness: within each group the tie-averaged rank of a run of
+    ``t`` equal values starting at 1-based ``minrank`` is
+    ``(2·minrank + t − 1)/2`` — kept DOUBLED so everything stays in
+    integers (the q122 AUC trick): ``u2 = 2·U1 = Σ_A (2·minrank +
+    t − 1) − n1·(n1+1)``.  With the tie term ``T = Σ(t³−t)`` the
+    normal-approximation z-score is
+
+        z = double(u2 − n1·n2)
+            / sqrt(double(n1·n2·(n³−n−T)) / double(3·n·(n−1)))
+
+    — two exact-int casts, one division, one sqrt, one division, all
+    correctly-rounded IEEE ops, so DuckDB (HUGEINT products) replays
+    bit-for-bit.  Degenerate groups (a side empty, n < 2, or all
+    values tied) emit NULL z.  Integer accumulation is Python-int on
+    the per-group summaries (exact past 2^63 at 100 TB counts).
+
+    ONE group-keyed exchange; ranks/ties are run-length arithmetic.
+    Output: ``(group, n1, n2, u2, z)``.  Reference analog: none —
+    companion of group_auc / ab_test / ks_drift.
+    """
+    from ..functions.segments import cents_exact
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[group_col]),
+                               pc.is_valid(b[side_col])),
+                       pc.is_valid(b[value_col]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        cents = cents_exact(b[value_col].combine_chunks(),
+                            col=value_col)
+        g = b[side_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if ((g < 0) | (g > 1)).any():
+            raise ValueError("mann_whitney: side_col must be 0/1")
+        return pa.table({group_col: b[group_col],
+                         "__y": pa.array(cents),
+                         "__a": pa.array(g)})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(group_col).type
+        empty = pa.table({group_col: pa.array([], ktype),
+                          "n1": pa.array([], pa.int64()),
+                          "n2": pa.array([], pa.int64()),
+                          "u2": pa.array([], pa.int64()),
+                          "z": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        keys = t[group_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["__y"].to_numpy(zero_copy_only=False)
+        a = t["__a"].to_numpy(zero_copy_only=False)
+        gnew = np.concatenate([[True], codes[1:] != codes[:-1]])
+        gstarts = np.flatnonzero(gnew)
+        glens = np.diff(np.append(gstarts, len(codes)))
+        # tie runs of equal cents within a group (rows sorted by
+        # (group, y))
+        rnew = gnew | np.concatenate([[True], y[1:] != y[:-1]])
+        rstarts = np.flatnonzero(rnew)
+        rlens = np.diff(np.append(rstarts, len(codes)))
+        r_seg = (np.cumsum(gnew) - 1)[rstarts]       # group of run
+        # 1-based minrank of each run within its group
+        minrank = rstarts - gstarts[r_seg] + 1
+        # A-count per run
+        ca = np.add.reduceat(a, rstarts)
+        # per-group reductions over runs
+        gfirst = np.concatenate([[True], r_seg[1:] != r_seg[:-1]])
+        gr_starts = np.flatnonzero(gfirst)
+        two_r1 = np.add.reduceat(
+            ca * (2 * minrank + rlens - 1), gr_starts)
+        n1 = np.add.reduceat(ca, gr_starts)
+        # exact Python-int finish per group (few groups; runs are
+        # contiguous per group so each T is one slice sum)
+        rows_n1, rows_n2, rows_u2, rows_z = [], [], [], []
+        run_bounds = np.append(gr_starts, len(rlens))
+        for gi in range(len(gstarts)):
+            n = int(glens[gi])
+            n1i = int(n1[gi])
+            n2i = n - n1i
+            T = sum(int(l) ** 3 - int(l) for l in
+                    rlens[run_bounds[gi]:run_bounds[gi + 1]])
+            u2 = int(two_r1[gi]) - n1i * (n1i + 1)
+            rows_n1.append(n1i)
+            rows_n2.append(n2i)
+            rows_u2.append(u2)
+            num = n1i * n2i * (n ** 3 - n - T)
+            den = 3 * n * (n - 1) if n > 1 else 0
+            if n1i == 0 or n2i == 0 or den == 0 or num == 0:
+                rows_z.append(None)
+            else:
+                rows_z.append(
+                    float(u2 - n1i * n2i)
+                    / float(np.sqrt(float(num) / float(den))))
+        return pa.table({
+            group_col: keys.take(pa.array(gstarts, pa.int64())),
+            "n1": pa.array(rows_n1, pa.int64()),
+            "n2": pa.array(rows_n2, pa.int64()),
+            "u2": pa.array(rows_u2, pa.int64()),
+            "z": pa.array(rows_z, pa.float64())})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=group_col,
+                           sort_keys=[group_col, "__y"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
