@@ -520,7 +520,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q212_vocab_coverage": _vocab_coverage_q,
         "q213_loo_encode": _loo_encode_q,
         "q214_mann_whitney": _mann_whitney_q,
+        "q215_kaplan_meier": _kaplan_meier_q,
     }
+
+
+def _kaplan_meier_q(sf_dir: str):
+    """q215: right-censored Kaplan-Meier user survival per birth
+    cohort (stages/retention.py:kaplan_meier) — one user-keyed
+    exchange of per-block (min, max) partials, censor cutoff from
+    the same partials, tiny (cohort, dur) cells; survival kept as an
+    exact rational, ONE float division emitted.  Fixture oracle:
+    serial replay (identical int arithmetic)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_kaplan_meier
+    from featurebox_ray.stages.retention import kaplan_meier
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    exp = replay_kaplan_meier(t["user_id"].to_pylist(),
+                              t["ts"].cast(pa.int64()).to_pylist(),
+                              t["event_id"].to_pylist(),
+                              t["event_type"].to_pylist(),
+                              censor_window_us=43_200_000_000)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "cohort": pa.array([r[0] for r in exp], pa.string()),
+        "dur_days": pa.array([r[1] for r in exp], pa.int64()),
+        "at_risk": pa.array([r[2] for r in exp], pa.int64()),
+        "deaths": pa.array([r[3] for r in exp], pa.int64()),
+        "censored": pa.array([r[4] for r in exp], pa.int64()),
+        "surv": pa.array([r[5] for r in exp], pa.float64()),
+    }), f"{_ORACLE_DIR}/kaplan_meier.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/kaplan_meier.parquet.tmp",
+               f"{_ORACLE_DIR}/kaplan_meier.parquet")
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return kaplan_meier(ev, censor_window_us=43_200_000_000,
+                        num_partitions=16)
 
 
 def _mann_whitney_q(sf_dir: str):
@@ -7818,6 +7862,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, split_i, ts_split, gain_cents2,
                    mean_l, mean_r
             FROM read_parquet('{_ORACLE_DIR}/changepoint.parquet')
+        """,
+        "q215_kaplan_meier": f"""
+            SELECT cohort, dur_days, at_risk, deaths, censored, surv
+            FROM read_parquet('{_ORACLE_DIR}/kaplan_meier.parquet')
         """,
         "q178_compression_ratio": f"""
             SELECT doc_id, raw_len, comp_len, ratio

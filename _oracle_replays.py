@@ -888,3 +888,49 @@ def replay_changepoint(keys, ts, seq, values, *, min_seg: int = 3,
         out.append((grp[0][0], n, i, int(grp[i - 1][1]), gain,
                     float(a) / float(i), float(b) / float(n - i)))
     return out
+
+
+def replay_kaplan_meier(users, ts, seq, types, *,
+                        censor_window_us: int = 7 * 86_400_000_000):
+    """Serial replay of stages/retention.py:kaplan_meier — identical
+    birth/death extraction, censor cutoff, exact rational survival
+    product and float conversion."""
+    rows = [(u, t, s, ty) for u, t, s, ty
+            in zip(users, ts, seq, types)
+            if u is not None and t is not None and s is not None
+            and ty is not None]
+    if not rows:
+        return []
+    per_user: dict = {}
+    for u, t, s, ty in rows:
+        cur = per_user.get(u)
+        if cur is None:
+            per_user[u] = [t, s, ty, t]
+        else:
+            if (t, s) < (cur[0], cur[1]):
+                cur[0], cur[1], cur[2] = t, s, ty
+            if t > cur[3]:
+                cur[3] = t
+    global_mx = max(v[3] for v in per_user.values())
+    cutoff = global_mx - censor_window_us
+    agg: dict = {}
+    for mn, _, ty, mx in per_user.values():
+        d = (mx - mn) // 86_400_000_000
+        cur = agg.setdefault((ty, d), [0, 0])
+        cur[1 if mx >= cutoff else 0] += 1
+    out = []
+    for ty in sorted({k[0] for k in agg}):
+        durs = sorted(d for (t2, d) in agg if t2 == ty)
+        total = sum(sum(agg[(ty, d)]) for d in durs)
+        gone = 0
+        num, den = 1, 1
+        for d in durs:
+            deaths, cens = agg[(ty, d)]
+            at_risk = total - gone
+            if deaths > 0:
+                num *= at_risk - deaths
+                den *= at_risk
+                out.append((ty, d, at_risk, deaths, cens,
+                            float(num) / float(den)))
+            gone += deaths + cens
+    return out

@@ -295,3 +295,204 @@ def longest_streak(ds, *, key_col: str = "user_id",
                            sort_keys=[key_col, "__per"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def kaplan_meier(ds, *, user_col: str = "user_id",
+                 ts_col: str = "ts", seq_col: str = "event_id",
+                 type_col: str = "event_type",
+                 censor_window_us: int = 7 * 86_400_000_000,
+                 num_partitions: int = 32):
+    """Kaplan-Meier survival curve per cohort — "how long do users
+    stay active?" with RIGHT-CENSORING done properly: a user whose
+    last event falls within ``censor_window_us`` of the corpus'
+    maximum timestamp is still alive (censored), not churned — the
+    naive lifetime histogram this replaces is biased low.
+
+    Per user: birth = first event (min ``(ts, seq)``), death/censor =
+    last event; duration = whole days (``floor((mx−mn)/86400e6)``,
+    exact int); cohort = the event type at birth.  Per cohort the KM
+    estimator at each distinct DEATH duration t::
+
+        at_risk(t) = #users with dur >= t  (censored leave after t)
+        surv(t)    = Π_{t' <= t} (1 − d_{t'} / at_risk(t'))
+
+    kept as an EXACT rational (Python-int numerator/denominator
+    product, never reduced); the emitted ``surv`` is
+    ``float(num) / float(den)`` — one correctly-rounded division of
+    two correctly-rounded int conversions, so the serial replay is
+    bit-identical.
+
+    Plan: ONE user-keyed exchange merges per-block (user, min, max)
+    partials (blocks pre-reduce, the exchange moves one row per
+    user per block); the kernel emits tiny (cohort, dur, deaths,
+    censored) cells, combined on the driver (cells are
+    cohorts × horizon-days).  The global max ts rides the same
+    partials.  NULL user/ts/seq/type rows drop.
+
+    Output: one row per (cohort, death duration):
+    ``(cohort, dur_days, at_risk, deaths, censored, surv)``.
+    Reference analog: none — companion of retention_cohorts/q121 in
+    the retention family.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(b[user_col]), pc.is_valid(b[ts_col])),
+            pc.and_(pc.is_valid(b[seq_col]), pc.is_valid(b[type_col])))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        utype = b.schema.field(user_col).type
+        ttype = b.schema.field(type_col).type
+        if b.num_rows == 0:
+            return pa.table({user_col: pa.array([], utype),
+                             "__mn": pa.array([], pa.int64()),
+                             "__sq": pa.array([], pa.int64()),
+                             "__ty": pa.array([], ttype),
+                             "__mx": pa.array([], pa.int64())})
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = np.asarray(ts.to_numpy(zero_copy_only=False))
+        sq = b[seq_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        gd = pc.dictionary_encode(b[user_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.lexsort((sq, t, codes))
+        codes_s = codes[order]
+        first = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        fidx = order[np.flatnonzero(first)]
+        g = len(gd.dictionary)
+        mx = np.full(g, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, codes, t)
+        urows = codes_s[np.flatnonzero(first)]
+        return pa.table({
+            user_col: gd.dictionary.take(pa.array(urows, pa.int64())),
+            "__mn": pa.array(t[fidx]),
+            "__sq": pa.array(sq[fidx]),
+            "__ty": pc.take(b[type_col].combine_chunks(),
+                            pa.array(fidx, pa.int64())),
+            "__mx": pa.array(mx[urows])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def merge_users(t: pa.Table) -> pa.Table:
+        ttype = t.schema.field("__ty").type
+        empty = pa.table({"__ty": pa.array([], ttype),
+                          "__dur": pa.array([], pa.int64()),
+                          "__mx": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # sorted by (user, __mn, __sq): first row per user is the
+        # exact global birth
+        codes = pc.dictionary_encode(
+            t[user_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        first = np.concatenate([[True], codes[1:] != codes[:-1]])
+        fidx = np.flatnonzero(first)
+        mn = t["__mn"].to_numpy(zero_copy_only=False)[fidx]
+        mxall = t["__mx"].to_numpy(zero_copy_only=False)
+        g = len(fidx)
+        seg = np.cumsum(first) - 1
+        mx = np.full(g, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, seg, mxall)
+        dur = (mx - mn) // 86_400_000_000
+        return pa.table({
+            "__ty": pc.take(t["__ty"].combine_chunks(),
+                            pa.array(fidx, pa.int64())),
+            "__dur": pa.array(dur.astype(np.int64)),
+            "__mx": pa.array(mx)})
+
+    prefs = materialized_block_refs(partials)
+
+    @ray.remote
+    def blk_max(b: pa.Table):
+        return (int(pc.max(b["__mx"]).as_py())
+                if b.num_rows else None)
+
+    maxes = [m for m in ray.get([blk_max.remote(r) for r in prefs])
+             if m is not None]
+    if not maxes:
+        return pa.table({
+            "cohort": pa.array([], pa.string()),
+            "dur_days": pa.array([], pa.int64()),
+            "at_risk": pa.array([], pa.int64()),
+            "deaths": pa.array([], pa.int64()),
+            "censored": pa.array([], pa.int64()),
+            "surv": pa.array([], pa.float64())})
+    global_mx = max(maxes)
+    cutoff = global_mx - censor_window_us
+
+    def cells_kernel(t: pa.Table) -> pa.Table:
+        u = merge_users(t)
+        ttype = u.schema.field("__ty").type
+        empty = pa.table({"__ty": pa.array([], ttype),
+                          "__dur": pa.array([], pa.int64()),
+                          "deaths": pa.array([], pa.int64()),
+                          "cens": pa.array([], pa.int64())})
+        if u.num_rows == 0:
+            return empty
+        td = pc.dictionary_encode(u["__ty"].combine_chunks())
+        tc = td.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dur = u["__dur"].to_numpy(zero_copy_only=False)
+        is_cens = (u["__mx"].to_numpy(zero_copy_only=False)
+                   >= cutoff).astype(np.int64)
+        cell = (tc * (int(dur.max()) + 1) + dur) * 2 + is_cens
+        uc, inv = np.unique(cell, return_inverse=True)
+        n = np.zeros(len(uc), np.int64)
+        np.add.at(n, inv, 1)
+        c_flag = uc % 2
+        rest = uc // 2
+        w = int(dur.max()) + 1
+        return pa.table({
+            "__ty": td.dictionary.take(pa.array(rest // w,
+                                                pa.int64())),
+            "__dur": pa.array((rest % w).astype(np.int64)),
+            "deaths": pa.array(np.where(c_flag == 0, n, 0)),
+            "cens": pa.array(np.where(c_flag == 1, n, 0))})
+
+    users = partitioned_map(ray.data.from_arrow_refs(prefs),
+                            cells_kernel, key=user_col,
+                            sort_keys=[user_col, "__mn", "__sq"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(users)):
+        for ty, d, de, ce in zip(blk["__ty"].to_pylist(),
+                                 blk["__dur"].to_pylist(),
+                                 blk["deaths"].to_pylist(),
+                                 blk["cens"].to_pylist()):
+            cur = agg.setdefault((ty, d), [0, 0])
+            cur[0] += de
+            cur[1] += ce
+    out = []
+    for ty in sorted({k[0] for k in agg}):
+        durs = sorted(d for (t2, d) in agg if t2 == ty)
+        total = sum(agg[(ty, d)][0] + agg[(ty, d)][1] for d in durs)
+        gone = 0
+        num, den = 1, 1
+        for d in durs:
+            deaths, cens = agg[(ty, d)]
+            at_risk = total - gone
+            if deaths > 0:
+                num *= at_risk - deaths
+                den *= at_risk
+                out.append((ty, d, at_risk, deaths, cens,
+                            float(num) / float(den)))
+            gone += deaths + cens
+    ttype = pa.string()
+    if out:
+        ttype = pa.array([out[0][0]]).type
+    return pa.table({
+        "cohort": pa.array([r[0] for r in out], ttype),
+        "dur_days": pa.array([r[1] for r in out], pa.int64()),
+        "at_risk": pa.array([r[2] for r in out], pa.int64()),
+        "deaths": pa.array([r[3] for r in out], pa.int64()),
+        "censored": pa.array([r[4] for r in out], pa.int64()),
+        "surv": pa.array([r[5] for r in out], pa.float64())})
