@@ -6525,16 +6525,31 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS kappa
             FROM c
         """,
+        # checksum: INJECTIVE n / v<len>:<text> field encoding (a
+        # value shifting across a column boundary, or NULL vs '',
+        # can no longer collide); coalesce guards the empty table
         "q204_table_checksum": """
             WITH r AS (
               SELECT CAST('0x' || substr(md5(
-                  coalesce(CAST(event_id AS VARCHAR), '') || '|' ||
-                  coalesce(CAST(user_id AS VARCHAR), '') || '|' ||
-                  coalesce(event_type, '') || '|' ||
-                  coalesce(props, '')), 1, 15) AS UBIGINT) AS hv
+                  CASE WHEN event_id IS NULL THEN 'n'
+                       ELSE 'v' || length(CAST(event_id AS VARCHAR))
+                            || ':' || CAST(event_id AS VARCHAR)
+                  END || '|' ||
+                  CASE WHEN user_id IS NULL THEN 'n'
+                       ELSE 'v' || length(CAST(user_id AS VARCHAR))
+                            || ':' || CAST(user_id AS VARCHAR)
+                  END || '|' ||
+                  CASE WHEN event_type IS NULL THEN 'n'
+                       ELSE 'v' || length(event_type) || ':'
+                            || event_type
+                  END || '|' ||
+                  CASE WHEN props IS NULL THEN 'n'
+                       ELSE 'v' || length(props) || ':' || props
+                  END), 1, 15) AS UBIGINT) AS hv
               FROM events)
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                   CAST(sum(hv) % 2305843009213693951 AS BIGINT)
+                   CAST(coalesce(sum(hv), 0)
+                        % 2305843009213693951 AS BIGINT)
                      AS checksum
             FROM r
         """,

@@ -214,6 +214,12 @@ QUERY_NAMES = [
     "q197_lag_autocov", "q198_containment_join", "q199_benford_digits",
     "q200_triangle_census", "q201_rolling_rank", "q202_er_match",
     "q203_rrf_fusion", "q204_table_checksum",
+    # session-12 additions (fixture-inline q210/q211/q215 stay out:
+    # their callables recompute the serial replay on every run)
+    "q205_kappa_agreement", "q206_association_rules",
+    "q207_prefix_dedup", "q208_weighted_interleave",
+    "q209_silhouette", "q212_vocab_coverage", "q213_loo_encode",
+    "q214_mann_whitney",
 ]
 
 

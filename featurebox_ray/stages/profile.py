@@ -488,10 +488,14 @@ def benford_digits(ds, *, group_col: str, value_col: str,
 def table_checksum(ds, *, cols, sep: str = "|") -> "pa.Table":
     """Order-invariant content checksum — ONE row ``(n_rows:int64,
     checksum:int64)`` summarizing the exact content of the selected
-    columns: each row canonicalizes to ``str(v1)|str(v2)|…`` (NULL →
-    the empty string), hashes to the engine's 60-bit md5 prefix, and
-    the checksum is the plain int sum of all row hashes reduced into
-    int64 range (mod 2^61-1).  Addition commutes, so the result is
+    columns: each row canonicalizes INJECTIVELY — every field encodes
+    as ``n`` when NULL else ``v<len>:<text>`` (codepoint length), and
+    fields join with ``sep`` — so a value shifting across a column
+    boundary, or NULL vs empty string, can never collide (a bare
+    ``a|b , c`` vs ``a , b|c`` collision would verify a corrupted
+    table as unchanged).  Each canonical row hashes to the engine's
+    60-bit md5 prefix and the checksum is the plain int sum of row
+    hashes reduced mod 2^61-1.  Addition commutes, so the result is
     independent of partitioning, block order, and parallelism — the
     cross-run reproducibility primitive behind checkpoint manifests
     (``state/checkpoint.py`` records per-partition feature hashes;
@@ -533,13 +537,21 @@ def table_checksum(ds, *, cols, sep: str = "|") -> "pa.Table":
             col = b[c].combine_chunks()
             if pa.types.is_integer(col.type):
                 col = col.cast(pa.string())
-            parts.append(pc.fill_null(col, ""))
+            # injective field encoding: n | v<len>:<text>
+            ln = pc.utf8_length(col).cast(pa.string())
+            tagged = pc.binary_join_element_wise(
+                pc.binary_join_element_wise(
+                    pa.array(["v"] * len(col), pa.string()),
+                    pc.fill_null(ln, ""), ""),
+                pc.fill_null(col, ""), ":")
+            parts.append(pc.if_else(pc.is_valid(col), tagged,
+                                    pa.scalar("n", pa.string())))
         joined = parts[0] if len(parts) == 1 else \
             pc.binary_join_element_wise(*parts, sep)
         enc = pc.dictionary_encode(joined)
         hv = _md5_60(enc.dictionary.to_pylist())
         inv = enc.indices.to_numpy(zero_copy_only=False)
-        cnt = np.bincount(inv, minlength=len(hv)).astype(object)
+        cnt = np.bincount(inv, minlength=len(hv))
         s = int(sum(int(h) * int(c) for h, c in zip(hv, cnt)))
         return pa.table({"n": pa.array([b.num_rows], pa.int64()),
                          "s": pa.array([s % MOD], pa.int64())})

@@ -464,7 +464,12 @@ def rrf_fuse(rank_dss, *, id_col: str, rank_cols, k: int = 60,
         tagged = m if tagged is None else tagged.union(m)
 
     n = len(rank_cols)
-    empty_cols = {id_col: pa.array([], pa.int64())}
+    # id stays its input type (string ids are the canonical RRF use
+    # case); the schema here is already materialized upstream
+    schema0 = rank_dss[0].schema()
+    base0 = getattr(schema0, "base_schema", schema0)
+    id_type = base0.field(id_col).type
+    empty_cols = {id_col: pa.array([], id_type)}
     for c in rank_cols:
         empty_cols[c] = pa.array([], pa.int64())
     empty_cols["rrf"] = pa.array([], pa.float64())
@@ -473,18 +478,22 @@ def rrf_fuse(rank_dss, *, id_col: str, rank_cols, k: int = 60,
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or id_col not in t.column_names:
             return empty
-        ids = t[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+        id_arr = t[id_col].combine_chunks()
+        codes = pc.dictionary_encode(id_arr).indices.to_numpy(
             zero_copy_only=False)
         which = t["__which"].to_numpy(zero_copy_only=False)
         r = t["__r"].to_numpy(zero_copy_only=False)
-        new_run = np.concatenate([[True], ids[1:] != ids[:-1]])
+        new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
         starts = np.flatnonzero(new_run)
-        lens = np.diff(np.concatenate([starts, [len(ids)]]))
-        if len(lens) and (lens != n).any():
+        lens = np.diff(np.concatenate([starts, [len(codes)]]))
+        if len(lens) and (lens > n).any():
+            raise ValueError("rrf_fuse: duplicate ranking rows for "
+                             "an id")
+        if len(lens) and (lens < n).any():
             raise ValueError("rrf_fuse: an id is missing from some "
                              "ranking — full rankings required")
         # rows per id are sorted by __which (the partition sort)
-        rm = r.reshape(-1, n) if len(ids) else r.reshape(0, n)
+        rm = r.reshape(-1, n)
         if len(lens) and not (which.reshape(-1, n)
                               == np.arange(n)).all():
             raise ValueError("rrf_fuse: duplicate ranking rows for an "
@@ -492,7 +501,7 @@ def rrf_fuse(rank_dss, *, id_col: str, rank_cols, k: int = 60,
         rrf = np.zeros(len(starts), np.float64)
         for i in range(n):  # fixed left-assoc order, matches SQL
             rrf = rrf + 1.0 / (k + rm[:, i]).astype(np.float64)
-        cols = {id_col: pa.array(ids[starts], pa.int64())}
+        cols = {id_col: id_arr.take(pa.array(starts, pa.int64()))}
         for i, c in enumerate(rank_cols):
             cols[c] = pa.array(rm[:, i], pa.int64())
         cols["rrf"] = pa.array(rrf, pa.float64())

@@ -353,3 +353,35 @@ def test_table_checksum_order_invariant_and_sensitive():
     tf = pa.table({"f": pa.array([1.0])})
     with pytest.raises(Exception, match="portably"):
         table_checksum(ray.data.from_arrow(tf), cols=["f"])
+
+
+def test_table_checksum_injective_boundaries():
+    from featurebox_ray.stages.profile import table_checksum
+
+    # cross-boundary shift: ("a|b", "c") vs ("a", "b|c") must differ
+    t1 = pa.table({"a": ["a|b"], "b": ["c"]})
+    t2 = pa.table({"a": ["a"], "b": ["b|c"]})
+    c1 = table_checksum(ray.data.from_arrow(t1), cols=["a", "b"])
+    c2 = table_checksum(ray.data.from_arrow(t2), cols=["a", "b"])
+    assert c1["checksum"][0].as_py() != c2["checksum"][0].as_py()
+    # NULL vs empty string must differ
+    t3 = pa.table({"a": pa.array([None], pa.string()), "b": ["c"]})
+    t4 = pa.table({"a": pa.array([""], pa.string()), "b": ["c"]})
+    c3 = table_checksum(ray.data.from_arrow(t3), cols=["a", "b"])
+    c4 = table_checksum(ray.data.from_arrow(t4), cols=["a", "b"])
+    assert c3["checksum"][0].as_py() != c4["checksum"][0].as_py()
+
+
+def test_rrf_fuse_string_ids():
+    from featurebox_ray.stages.rank import rrf_fuse
+
+    r1 = pa.table({"id": ["x", "y", "z"],
+                   "ra": pa.array([1, 2, 3], pa.int64())})
+    r2 = pa.table({"id": ["z", "x", "y"],
+                   "rb": pa.array([1, 2, 3], pa.int64())})
+    got = (rrf_fuse([ray.data.from_arrow(r1),
+                     ray.data.from_arrow(r2)], id_col="id",
+                    rank_cols=["ra", "rb"], k=60)
+           .to_pandas().set_index("id"))
+    assert got.loc["x", "rrf"] == 1.0 / 61 + 1.0 / 62
+    assert got.loc["z", "rrf"] == 1.0 / 63 + 1.0 / 61
