@@ -521,7 +521,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q213_loo_encode": _loo_encode_q,
         "q214_mann_whitney": _mann_whitney_q,
         "q215_kaplan_meier": _kaplan_meier_q,
+        "q216_cross_source": _cross_source_q,
     }
+
+
+def _cross_source_q(sf_dir: str):
+    """q216: cross-source shared 8-gram contamination matrix
+    (stages/substr.py:cross_source_grams) — locally-deduped
+    (gram-md5, source) rows, ONE gram-keyed exchange, pair expansion
+    via triangular_pairs, driver combine over <= |sources|^2
+    cells."""
+    import ray
+
+    from featurebox_ray.stages.substr import cross_source_grams
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"],
+                                 override_num_blocks=16)
+    return cross_source_grams(docs, group_col="source",
+                              text_col="text", k=8,
+                              num_partitions=16)
 
 
 def _kaplan_meier_q(sf_dir: str):
@@ -6293,6 +6312,29 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # cross-source grams: group the gram STRINGS directly (md5
+        # halves have identical equality classes — q84/q155)
+        "q216_cross_source": r"""
+            WITH tok AS (
+              SELECT source,
+                     regexp_extract_all(coalesce(text, ''), '\S+')
+                       AS t
+              FROM documents WHERE source IS NOT NULL),
+            gr AS (
+              SELECT source,
+                     array_to_string(t[pos : pos + 7], ' ') AS gram
+              FROM (SELECT source, t,
+                           unnest(generate_series(1, len(t) - 7))
+                             AS pos
+                    FROM tok WHERE len(t) >= 8)),
+            d AS (SELECT DISTINCT source, gram FROM gr),
+            p AS (SELECT a.source AS src_a, b.source AS src_b
+                  FROM d a JOIN d b
+                    ON a.gram = b.gram AND a.source < b.source)
+            SELECT src_a, src_b,
+                   CAST(count(*) AS BIGINT) AS shared_grams
+            FROM p GROUP BY 1, 2
+        """,
         # Mann-Whitney: doubled tie-averaged ranks; z from exact
         # HUGEINT products (cast, divide, sqrt, divide)
         "q214_mann_whitney": """

@@ -45,7 +45,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["dup_spans", "dup_token_stats", "ngram_novelty"]
+__all__ = ["dup_spans", "dup_token_stats", "ngram_novelty",
+           "prefix_dedup", "cross_source_grams"]
 
 
 def _gram_emit_md5(batch: pa.Table, id_col: str, text_col: str,
@@ -546,3 +547,115 @@ def prefix_dedup(ds, *, id_col: str = "doc_id",
         return ray.data.from_arrow(pa.table(
             {id_col: pa.array([], base.field(id_col).type)}))
     return ray.data.from_arrow_refs(out_refs)
+
+
+def cross_source_grams(ds, *, group_col: str = "source",
+                       text_col: str = "text", k: int = 8,
+                       num_partitions: int = 32):
+    """Cross-source contamination matrix — for every pair of sources,
+    how many DISTINCT word ``k``-grams they share.  The corpus-QA
+    screen for mirror sites, syndicated boilerplate, and benchmark
+    leakage BETWEEN collections (q84's dup_spans finds the spans; this
+    aggregates "who copies whom" at the source level).
+
+    One row per unordered source pair (lexicographic ``src_a <
+    src_b``): ``shared_grams`` = exact count of distinct k-grams
+    present in both.  Counts are exact int64 — DuckDB replays by
+    grouping the gram STRINGS directly (md5 halves have identical
+    equality classes, the q84/q155 pattern).
+
+    Plan: per block, (gram-md5-halves, source) rows LOCALLY deduped
+    (Arrow group_by) so the exchange ships each (gram, source) once
+    per block; ONE gram-keyed exchange; inside a partition each
+    gram's distinct sources expand to pairs via ``triangular_pairs``
+    (sources per gram <= |sources|, tiny); per-partition (src_a,
+    src_b, n) partials combine on the driver (<= |sources|^2 cells).
+    The md5-per-gram Python loop is the documented replayable-hash
+    cost (the q84 md5 mode); use hash_mode='poly' economics only if a
+    profile ever shows it hot.
+
+    Reference analog: none — companion of vocab_overlap (q148) /
+    dup_spans (q84) in the corpus-QA family.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def emit(b: pa.Table) -> pa.Table:
+        gtype = b.schema.field(group_col).type
+        empty = pa.table({"gh": pa.array([], pa.int64()),
+                          "gh2": pa.array([], pa.int64()),
+                          group_col: pa.array([], gtype)})
+        keep = pc.fill_null(pc.is_valid(b[group_col]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
+            return empty
+        g = _gram_emit_md5(b, group_col, text_col, k)
+        if g.num_rows == 0:
+            return empty
+        return pa.table({
+            "gh": g["gh"], "gh2": g["gh2"],
+            group_col: g[group_col],
+        }).group_by(["gh", "gh2", group_col]).aggregate([])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type
+        empty = pa.table({"src_a": pa.array([], gtype),
+                          "src_b": pa.array([], gtype),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        gh = t["gh"].to_numpy(zero_copy_only=False)
+        gh2 = t["gh2"].to_numpy(zero_copy_only=False)
+        sd = pc.dictionary_encode(t[group_col].combine_chunks())
+        sc = sd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # cross-block dedup of (gram, source) triples (sorted)
+        first = np.concatenate(
+            [[True], (gh[1:] != gh[:-1]) | (gh2[1:] != gh2[:-1])
+             | (sc[1:] != sc[:-1])])
+        gh, gh2, sc = gh[first], gh2[first], sc[first]
+        gnew = np.concatenate(
+            [[True], (gh[1:] != gh[:-1]) | (gh2[1:] != gh2[:-1])])
+        starts = np.flatnonzero(gnew)
+        lens = np.diff(np.append(starts, len(gh)))
+        from ..functions.segments import triangular_pairs
+
+        ig, jg, _ = triangular_pairs(starts.astype(np.int64),
+                                     lens.astype(np.int64))
+        if len(ig) == 0:
+            return empty
+        ns = len(sd.dictionary)
+        cell = sc[ig] * ns + sc[jg]
+        uc, inv = np.unique(cell, return_inverse=True)
+        n = np.zeros(len(uc), np.int64)
+        np.add.at(n, inv, 1)
+        return pa.table({
+            "src_a": sd.dictionary.take(pa.array(uc // ns,
+                                                 pa.int64())),
+            "src_b": sd.dictionary.take(pa.array(uc % ns,
+                                                 pa.int64())),
+            "n": pa.array(n)})
+
+    partials = ds.map_batches(emit, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    cells = partitioned_map(partials, kernel, key="gh",
+                            sort_keys=["gh", "gh2", group_col],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(cells)):
+        for a, b_, nn in zip(blk["src_a"].to_pylist(),
+                             blk["src_b"].to_pylist(),
+                             blk["n"].to_pylist()):
+            agg[(a, b_)] = agg.get((a, b_), 0) + nn
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    gtype = base.field(group_col).type
+    pairs = sorted(agg)
+    return pa.table({
+        "src_a": pa.array([p[0] for p in pairs], gtype),
+        "src_b": pa.array([p[1] for p in pairs], gtype),
+        "shared_grams": pa.array([agg[p] for p in pairs],
+                                 pa.int64())})
