@@ -522,7 +522,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q214_mann_whitney": _mann_whitney_q,
         "q215_kaplan_meier": _kaplan_meier_q,
         "q216_cross_source": _cross_source_q,
+        "q217_split_audit": _split_audit_q,
     }
+
+
+def _split_audit_q(sf_dir: str):
+    """q217: temporal train/test split leakage audit (stages/
+    profile.py:temporal_split_audit) — 80/20 cut at
+    min + (max−min)·4//5 epoch-us, exact side/user counts, one
+    user-keyed distinct exchange; leak_share = ONE division."""
+    import ray
+
+    from featurebox_ray.stages.profile import temporal_split_audit
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return temporal_split_audit(ev, user_col="user_id", ts_col="ts",
+                                num_partitions=16)
 
 
 def _cross_source_q(sf_dir: str):
@@ -6312,6 +6328,39 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # split audit: BIGINT epoch-us so // is integer floor (the
+        # DOUBLE // pitfall); leak_share one division
+        "q217_split_audit": """
+            WITH e AS (
+              SELECT user_id AS u, epoch_us(ts) AS t FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            b AS (SELECT min(t) AS mn, max(t) AS mx FROM e),
+            c AS (SELECT mn + (mx - mn) * 4 // 5 AS cut FROM b),
+            s AS (SELECT u, CASE WHEN t >= (SELECT cut FROM c)
+                                 THEN 1 ELSE 0 END AS side FROM e),
+            r AS (SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS rows_train,
+                         CAST(sum(side) AS BIGINT) AS rows_test
+                  FROM s),
+            u AS (SELECT u AS uid,
+                         max(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                           AS htr,
+                         max(side) AS hte
+                  FROM s GROUP BY u),
+            k AS (SELECT CAST(sum(htr) AS BIGINT) AS users_train,
+                         CAST(sum(hte) AS BIGINT) AS users_test,
+                         CAST(sum(CASE WHEN htr = 1 AND hte = 1
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                           AS users_both
+                  FROM u)
+            SELECT c.cut AS cut_ts, r.rows_train, r.rows_test,
+                   k.users_train, k.users_test, k.users_both,
+                   CASE WHEN k.users_test = 0 THEN NULL
+                        ELSE CAST(k.users_both AS DOUBLE)
+                             / CAST(k.users_test AS DOUBLE) END
+                     AS leak_share
+            FROM c, r, k
+        """,
         # cross-source grams: group the gram STRINGS directly (md5
         # halves have identical equality classes — q84/q155)
         "q216_cross_source": r"""

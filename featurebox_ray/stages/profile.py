@@ -566,3 +566,132 @@ def table_checksum(ds, *, cols, sep: str = "|") -> "pa.Table":
             s += blk["s"][r].as_py()
     return pa.table({"n_rows": pa.array([n], pa.int64()),
                      "checksum": pa.array([s % MOD], pa.int64())})
+
+
+def temporal_split_audit(ds, *, user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         train_frac_num: int = 4,
+                         train_frac_den: int = 5,
+                         num_partitions: int = 32):
+    """Temporal train/test split audit — the leakage screen every
+    time-split training pipeline needs: cut the corpus at
+    ``min_ts + (max_ts − min_ts) · num // den`` (exact integer
+    arithmetic; trunc == floor on the non-negative span) and report
+    how many ENTITIES appear on BOTH sides.  A high ``leak_share``
+    means per-user state (target encodings, embeddings, histories)
+    computed on train silently memorizes test users.
+
+    One row: ``(cut_ts, rows_train, rows_test, users_train,
+    users_test, users_both, leak_share)`` — all counts exact int64;
+    ``leak_share = users_both / users_test`` is ONE division (NULL
+    when the test side is empty).
+
+    Plan: per-block partials give (min, max, side-row-counts) AND the
+    locally-deduped (user, side) pairs in one pass over materialized
+    block refs (consumed once — a lazy Dataset consumed twice
+    re-executes); the cut needs the global span first, so sides are
+    resolved in a second tiny task round over the SAME refs; distinct
+    users then reduce on ONE user-keyed exchange.  NULL user/ts rows
+    drop (mirror in SQL).
+
+    Reference analog: none — companion of stratified_folds (q166) /
+    group_split (q79) in the split-hygiene family.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[user_col]),
+                       pc.is_valid(b[ts_col]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({user_col: b[user_col], "__t": ts})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    refs = materialized_block_refs(prepped)
+
+    @ray.remote
+    def span(blk: pa.Table):
+        if blk.num_rows == 0:
+            return None
+        mm = pc.min_max(blk["__t"])
+        return (mm["min"].as_py(), mm["max"].as_py())
+
+    spans = [s for s in ray.get([span.remote(r) for r in refs])
+             if s is not None]
+    empty = pa.table({
+        "cut_ts": pa.array([], pa.int64()),
+        "rows_train": pa.array([], pa.int64()),
+        "rows_test": pa.array([], pa.int64()),
+        "users_train": pa.array([], pa.int64()),
+        "users_test": pa.array([], pa.int64()),
+        "users_both": pa.array([], pa.int64()),
+        "leak_share": pa.array([], pa.float64())})
+    if not spans:
+        return empty
+    mn = min(s[0] for s in spans)
+    mx = max(s[1] for s in spans)
+    cut = mn + (mx - mn) * train_frac_num // train_frac_den
+
+    @ray.remote
+    def sides(blk: pa.Table):
+        t = blk["__t"].to_numpy(zero_copy_only=False)
+        side = (t >= cut).astype(np.int64)
+        rows_tr = int((side == 0).sum())
+        dedup = pa.table({user_col: blk[user_col],
+                          "__s": pa.array(side)}).group_by(
+            [user_col, "__s"]).aggregate([])
+        return rows_tr, blk.num_rows - rows_tr, dedup
+
+    trips = ray.get([sides.remote(r) for r in refs])
+    rows_train = sum(t[0] for t in trips)
+    rows_test = sum(t[1] for t in trips)
+    pairs = ray.data.from_arrow([t[2] for t in trips])
+
+    def user_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"tr": pa.array([0], pa.int64()),
+                             "te": pa.array([0], pa.int64()),
+                             "bo": pa.array([0], pa.int64())})
+        codes = pc.dictionary_encode(
+            t[user_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = t["__s"].to_numpy(zero_copy_only=False)
+        g = int(codes.max()) + 1
+        has_tr = np.zeros(g, bool)
+        has_te = np.zeros(g, bool)
+        has_tr[codes[s == 0]] = True
+        has_te[codes[s == 1]] = True
+        return pa.table({
+            "tr": pa.array([int(has_tr.sum())], pa.int64()),
+            "te": pa.array([int(has_te.sum())], pa.int64()),
+            "bo": pa.array([int((has_tr & has_te).sum())],
+                           pa.int64())})
+
+    counted = partitioned_map(pairs, user_kernel, key=user_col,
+                              sort_keys=[user_col, "__s"],
+                              num_partitions=num_partitions,
+                              strategy="tasks")
+    u_tr = u_te = u_bo = 0
+    for blk in ray.get(materialized_block_refs(counted)):
+        for a, b_, c in zip(blk["tr"].to_pylist(),
+                            blk["te"].to_pylist(),
+                            blk["bo"].to_pylist()):
+            u_tr += a
+            u_te += b_
+            u_bo += c
+    leak = None if u_te == 0 else float(u_bo) / float(u_te)
+    return pa.table({
+        "cut_ts": pa.array([cut], pa.int64()),
+        "rows_train": pa.array([rows_train], pa.int64()),
+        "rows_test": pa.array([rows_test], pa.int64()),
+        "users_train": pa.array([u_tr], pa.int64()),
+        "users_test": pa.array([u_te], pa.int64()),
+        "users_both": pa.array([u_bo], pa.int64()),
+        "leak_share": pa.array([leak], pa.float64())})
