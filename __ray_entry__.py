@@ -523,7 +523,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q215_kaplan_meier": _kaplan_meier_q,
         "q216_cross_source": _cross_source_q,
         "q217_split_audit": _split_audit_q,
+        "q218_set_cover": _set_cover_q,
     }
+
+
+def _set_cover_q(sf_dir: str):
+    """q218: greedy max-coverage corpus selection (stages/tfidf.py:
+    set_cover_select) — k=16 rounds of one task per block against
+    the broadcast covered-set; BIGRAM coverage units (the synthetic
+    corpus has a 31-word unigram vocab — unigram cover is vacuous);
+    exact integer gains, (gain desc, id asc) ties.  Fixture oracle:
+    serial replay is bit-identical."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_set_cover
+    from featurebox_ray.stages.tfidf import set_cover_select
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    exp = replay_set_cover(t["doc_id"].to_pylist(),
+                           t["text"].to_pylist(), k=16, ngram=2)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "sel_ord": pa.array([r[0] for r in exp], pa.int64()),
+        "doc_id": pa.array([r[1] for r in exp], pa.int64()),
+        "gain": pa.array([r[2] for r in exp], pa.int64()),
+        "covered_total": pa.array([r[3] for r in exp], pa.int64()),
+    }), f"{_ORACLE_DIR}/set_cover.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/set_cover.parquet.tmp",
+               f"{_ORACLE_DIR}/set_cover.parquet")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=16)
+    return set_cover_select(docs, k=16, ngram=2)
 
 
 def _split_audit_q(sf_dir: str):
@@ -7972,6 +8009,10 @@ def oracle_sql() -> dict[str, str]:
         "q215_kaplan_meier": f"""
             SELECT cohort, dur_days, at_risk, deaths, censored, surv
             FROM read_parquet('{_ORACLE_DIR}/kaplan_meier.parquet')
+        """,
+        "q218_set_cover": f"""
+            SELECT sel_ord, doc_id, gain, covered_total
+            FROM read_parquet('{_ORACLE_DIR}/set_cover.parquet')
         """,
         "q178_compression_ratio": f"""
             SELECT doc_id, raw_len, comp_len, ratio

@@ -934,3 +934,36 @@ def replay_kaplan_meier(users, ts, seq, types, *,
                             float(num) / float(den)))
             gone += deaths + cens
     return out
+
+
+def replay_set_cover(ids, texts, *, k: int, ngram: int = 1):
+    """Serial replay of stages/tfidf.py:set_cover_select — identical
+    md5-60 term hashing, greedy max-gain with (gain desc, id asc)
+    ties, early stop on gain 0."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+    docs = []
+    for i, txt in zip(ids, texts):
+        if i is None:
+            continue
+        toks = ("" if txt is None else txt).split()
+        if ngram == 2:
+            toks = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        docs.append((int(i), {h60(t) for t in toks}))
+    docs.sort(key=lambda d: d[0])
+    covered: set = set()
+    out = []
+    for rnd in range(k):
+        best = None
+        for i, terms in docs:
+            g = len(terms - covered)
+            if best is None or g > best[0]:
+                best = (g, i, terms)
+        if best is None or best[0] == 0:
+            break
+        covered |= best[2]
+        out.append((rnd, best[1], best[0], len(covered)))
+    return out

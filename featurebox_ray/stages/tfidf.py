@@ -1213,3 +1213,138 @@ def vocab_coverage(ds, *, group_col: str = "source",
         "dis": pa.array(dis, pa.int64()),
         "unseen_mass": pa.array(unseen, pa.float64()),
         "chao1": pa.array(chao1, pa.float64())})
+
+
+def set_cover_select(ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 16,
+                     ngram: int = 1):
+    """Greedy maximum-coverage corpus selection — pick ``k``
+    documents that together cover the most distinct vocabulary, each
+    round taking the doc with the largest count of terms NOT yet
+    covered (the classic (1−1/e)-approximate submodular greedy; the
+    lexical-diversity counterpart of k_center_select's geometric
+    spread).  Standard for seeding a tokenizer-training or
+    human-review subset.
+
+    Deterministic and hash-exact: terms map to the engine's 60-bit
+    md5 prefix (one md5 per distinct term per block — the documented
+    replayable-hash cost); every gain is an exact integer; ties break
+    to the smallest id; selection stops early when the best marginal
+    gain is 0.  A serial replay is bit-identical (pure int compares).
+
+    Scale shape: blocks prep ONCE into (id, sorted unique term-hash
+    list) tables held in the object store; each round broadcasts the
+    covered-set array (``ray.put``) and runs one task per block that
+    computes per-doc uncovered counts via a sorted ``np.isin`` —
+    vectors never reshuffle, the driver sees per-block (gain, id,
+    winner-terms) summaries.  O(k · blocks) tasks.  The covered set
+    grows to the UNION of selected docs' vocabularies (bounded by k ·
+    max-doc-vocab, driver-resident — fine for the k's this is for).
+
+    Output: ``(sel_ord, id, gain, covered_total)``.  Reference
+    analog: none — companion of k_center_select / budget_select in
+    the curation family.
+    """
+    import ray
+
+    from .dedup import adjacent_token_indices
+    from .partition import materialized_block_refs
+    from .sketch import _md5_60
+
+    if k < 1:
+        raise ValueError("set_cover_select: k must be >= 1")
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_valid(b[id_col]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "__th": pa.array([],
+                                           pa.list_(pa.int64()))})
+        if b.num_rows == 0:
+            return empty
+        texts = pc.fill_null(b[text_col].combine_chunks(), "")
+        flat, off = split_tokens(texts)
+        counts = np.diff(off)
+        if ngram == 2:
+            # coverage unit = space-joined within-doc bigrams (tiny
+            # unigram vocabularies make unigram cover vacuous)
+            ai = adjacent_token_indices(counts)
+            if len(ai) == 0:
+                return empty
+            flat = pc.binary_join_element_wise(
+                flat.take(pa.array(ai, pa.int64())),
+                flat.take(pa.array(ai + 1, pa.int64())), " ")
+            row_all = np.repeat(np.arange(b.num_rows), counts)
+            row_of = row_all[ai]
+        elif ngram == 1:
+            row_of = np.repeat(np.arange(b.num_rows), counts)
+        else:
+            raise ValueError("set_cover_select: ngram must be 1 or 2")
+        td = pc.dictionary_encode(flat)
+        hv = _md5_60(td.dictionary.to_pylist())
+        th = hv[td.indices.to_numpy(zero_copy_only=False)] \
+            if len(flat) else np.zeros(0, np.int64)
+        # per-doc sorted unique hashes
+        order = np.lexsort((th, row_of))
+        r_s, t_s = row_of[order], th[order]
+        keep2 = np.concatenate(
+            [[True], (r_s[1:] != r_s[:-1]) | (t_s[1:] != t_s[:-1])])
+        r_s, t_s = r_s[keep2], t_s[keep2]
+        lens = np.bincount(r_s, minlength=b.num_rows)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(t_s, pa.int64()))
+        return pa.table({id_col: b[id_col].combine_chunks().cast(
+            pa.int64()), "__th": lists})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    refs = materialized_block_refs(prepped)
+
+    @ray.remote
+    def best(blk: pa.Table, cov_ref):
+        if blk.num_rows == 0:
+            return None
+        cov = cov_ref
+        ids = blk[id_col].to_numpy(zero_copy_only=False)
+        arr = blk["__th"].combine_chunks()
+        # rebase offsets/values (a sliced array may not start at 0)
+        offs = np.asarray(arr.offsets, np.int64)
+        flat = arr.values.slice(
+            offs[0], offs[-1] - offs[0]).to_numpy(
+            zero_copy_only=False)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        uncovered = (~np.isin(flat, cov)).astype(np.int64)
+        gains = np.add.reduceat(
+            uncovered, offs[:-1].clip(0, max(len(flat) - 1, 0))) \
+            if len(flat) else np.zeros(len(ids), np.int64)
+        gains = np.where(lens == 0, 0, gains)
+        mx = int(gains.max()) if len(gains) else 0
+        cand = np.flatnonzero(gains == mx)
+        j = cand[int(np.argmin(ids[cand]))]
+        lo, hi = int(offs[j]), int(offs[j + 1])
+        terms = flat[lo:hi]
+        return (mx, int(ids[j]),
+                terms[~np.isin(terms, cov)])
+
+    covered = np.zeros(0, np.int64)
+    out = []
+    for rnd in range(k):
+        cov_ref = ray.put(covered)
+        bests = [b for b in
+                 ray.get([best.remote(r, cov_ref) for r in refs])
+                 if b is not None]
+        if not bests:
+            break
+        mx, bid, terms = max(bests, key=lambda b: (b[0], -b[1]))
+        if mx == 0:
+            break
+        covered = np.union1d(covered, terms)
+        out.append((rnd, bid, mx, len(covered)))
+    return pa.table({
+        "sel_ord": pa.array([r[0] for r in out], pa.int64()),
+        id_col: pa.array([r[1] for r in out], pa.int64()),
+        "gain": pa.array([r[2] for r in out], pa.int64()),
+        "covered_total": pa.array([r[3] for r in out], pa.int64())})
