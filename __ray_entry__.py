@@ -524,7 +524,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q216_cross_source": _cross_source_q,
         "q217_split_audit": _split_audit_q,
         "q218_set_cover": _set_cover_q,
+        "q219_prep_corpus": _prep_corpus_q,
     }
+
+
+def _prep_corpus_q(sf_dir: str):
+    """q219: COMPOSED corpus-prep pipeline (pipelines/cleaning.py:
+    prep_corpus) — prefix_dedup → bloom semi join → Gopher rules →
+    weighted interleave; the composition itself is value-checked as
+    one chained-CTE SQL replay (the q168 convention)."""
+    import ray
+
+    from featurebox_ray.pipelines.cleaning import prep_corpus
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"],
+        override_num_blocks=16)
+    return prep_corpus(docs, limit=300, num_partitions=16)
 
 
 def _set_cover_q(sf_dir: str):
@@ -6365,6 +6382,66 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # composed corpus prep: dedup -> gopher -> interleave as one
+        # chained-CTE replay (each stage also oracled alone:
+        # q207/q156/q208)
+        "q219_prep_corpus": r"""
+            WITH l AS (
+              SELECT doc_id, text,
+                     lead(text) OVER (ORDER BY text, doc_id) AS nxt
+              FROM documents WHERE text IS NOT NULL),
+            keep_ids AS (
+              SELECT doc_id FROM l
+              WHERE nxt IS NULL OR NOT starts_with(nxt, text)),
+            dd AS (SELECT d.doc_id, d.text, d.source
+                   FROM documents d JOIN keep_ids USING (doc_id)),
+            base AS (
+              SELECT doc_id, source, coalesce(text, '') AS tx,
+                     regexp_extract_all(coalesce(text, ''), '\S+')
+                       AS t,
+                     string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM dd),
+            s AS (
+              SELECT doc_id, source,
+                len(t) AS w_, coalesce(length(array_to_string(
+                    t, '')), 0) AS wc,
+                len(regexp_extract_all(tx, '#')) AS nh,
+                len(regexp_extract_all(tx, '\.\.\.')) AS ne,
+                len(ls) AS nl,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '^\s*[-*•]'))) AS nb,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '\.\.\.\s*$'))) AS nel,
+                len(list_filter(t, x -> x IN ('the','be','to','of',
+                    'and','that','have','with'))) AS nst,
+                len(list_filter(t, x -> regexp_matches(
+                    x, '[A-Za-z]'))) AS na
+              FROM base),
+            kept AS (
+              SELECT doc_id, source FROM s
+              WHERE w_ >= 5 AND w_ <= 100000
+                AND 3 * w_ <= wc AND wc <= 10 * w_
+                AND 10 * (nh + ne) < w_
+                AND 10 * nb < 9 * nl AND 10 * nel < 3 * nl
+                AND 10 * na >= 8 * w_ AND nst >= 0),
+            w AS (SELECT doc_id, source,
+                         length(source) % 3 + 1 AS w
+                  FROM kept WHERE doc_id IS NOT NULL
+                    AND source IS NOT NULL),
+            r AS (SELECT doc_id, source, w,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY doc_id) AS rn
+                  FROM w),
+            p AS (SELECT doc_id, source, rn,
+                         CAST(rn AS DOUBLE) / CAST(w AS DOUBLE)
+                           AS pos
+                  FROM r),
+            o AS (SELECT *, row_number()
+                    OVER (ORDER BY pos, source, doc_id) AS ord
+                  FROM p)
+            SELECT source, doc_id, rn, pos, ord
+            FROM o WHERE ord <= 300
+        """,
         # split audit: BIGINT epoch-us so // is integer floor (the
         # DOUBLE // pitfall); leak_share one division
         "q217_split_audit": """

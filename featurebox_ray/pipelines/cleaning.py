@@ -126,3 +126,66 @@ def curate_corpus(docs, *, id_col: str = "doc_id",
                         cost_col="gq_n_words", budget=token_budget,
                         descending=True)
     return out.drop_columns(["__neg_id"])
+
+
+def prep_corpus(docs, *, id_col: str = "doc_id",
+                text_col: str = "text", group_col: str = "source",
+                limit: int = 300, num_partitions: int = 16):
+    """End-to-end training-corpus prep: prefix-duplicate removal →
+    Gopher quality rules → deterministic weighted interleave — the
+    three-stage path a crawl shard takes from raw parquet to a
+    reproducible training order.  Sibling of ``curate_corpus`` (which
+    mixes by temperature + token budget); this one dedups structurally
+    and schedules by source stride.
+
+    Stages (each independently oracled as q207/q156/q208; the
+    composition is checked end-to-end as ONE chained-CTE SQL replay —
+    the q168 convention):
+
+    1. ``prefix_dedup`` on (id, text) — drop truncation dups and
+       exact-dup texts (max id survives);
+    2. ``bloom_semi_join`` back to the full rows (exact semi join;
+       kept-id side streams, no driver set);
+    3. ``gopher_quality_fn(min_words=5, min_stop_hits=0)`` — keep
+       only rows passing the integer-exact quality rules;
+    4. ``weighted_interleave`` with ``w = len(source) % 3 + 1`` —
+       first ``limit`` rows of the stride schedule.
+
+    Output: ``(source, id, rn, pos, ord)`` with ``ord <= limit``.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+
+    from ..stages.bloom import bloom_semi_join
+    from ..stages.sample import weighted_interleave
+    from ..stages.substr import prefix_dedup
+    from ..stages.text import gopher_quality_fn
+
+    kept_ids = prefix_dedup(
+        docs.map_batches(lambda b: b.select([id_col, text_col]),
+                         batch_format="pyarrow",
+                         zero_copy_batch=True),
+        id_col=id_col, text_col=text_col)
+    deduped = bloom_semi_join(docs, kept_ids, on=id_col,
+                              num_partitions=num_partitions)
+    fn = functools.partial(gopher_quality_fn, text_col=text_col,
+                           min_words=5, min_stop_hits=0)
+    scored = deduped.map_batches(fn, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def keep_weight(b: pa.Table) -> pa.Table:
+        b = b.filter(b["gq_keep"].combine_chunks())
+        lens = pc.utf8_length(pc.fill_null(
+            b[group_col], "")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            group_col: b[group_col], id_col: b[id_col],
+            "__w": pa.array(lens % 3 + 1, pa.int64())})
+
+    kept = scored.map_batches(keep_weight, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return weighted_interleave(kept, source_col=group_col,
+                               id_col=id_col, weight_col="__w",
+                               limit=limit,
+                               num_partitions=num_partitions)
