@@ -525,7 +525,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q217_split_audit": _split_audit_q,
         "q218_set_cover": _set_cover_q,
         "q219_prep_corpus": _prep_corpus_q,
+        "q220_pareto_front": _pareto_q,
     }
+
+
+def _pareto_q(sf_dir: str):
+    """q220: per-type Pareto frontier of (spend cents, recency)
+    (stages/rank.py:pareto_front) — non-dominated rows under
+    maximize-both; ONE group-keyed exchange, run arithmetic + grouped
+    suffix cummax, pure integer domination."""
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.rank import pareto_front
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "event_id", "value", "ts"])
+
+    def quantize(b: pa.Table) -> pa.Table:
+        from featurebox_ray.functions.segments import cents_exact
+
+        ts = b["ts"].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "xc": pa.array(cents_exact(b["value"].combine_chunks(),
+                                       col="value")),
+            "yt": ts})
+
+    q = ev.map_batches(quantize, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    return pareto_front(q, group_col="event_type",
+                        id_col="event_id", x_col="xc", y_col="yt",
+                        num_partitions=8)
 
 
 def _prep_corpus_q(sf_dir: str):
@@ -6382,6 +6417,23 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # pareto: NOT EXISTS anti-join on pure integer domination
+        "q220_pareto_front": """
+            WITH e AS (
+              SELECT event_type, event_id,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS xc,
+                     epoch_us(ts) AS yt
+              FROM events
+              WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+                AND ts IS NOT NULL)
+            SELECT event_type, event_id, xc, yt FROM e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e o
+              WHERE o.event_type = e.event_type
+                AND o.xc >= e.xc AND o.yt >= e.yt
+                AND (o.xc > e.xc OR o.yt > e.yt))
+        """,
         # composed corpus prep: dedup -> gopher -> interleave as one
         # chained-CTE replay (each stage also oracled alone:
         # q207/q156/q208)

@@ -511,3 +511,84 @@ def rrf_fuse(rank_dss, *, id_col: str, rank_cols, k: int = 60,
                            sort_keys=[id_col, "__which"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def pareto_front(ds, *, group_col: str, id_col: str, x_col: str,
+                 y_col: str, num_partitions: int = 32):
+    """2-D Pareto frontier per group — keep each group's
+    non-dominated rows under "maximize both x and y": a row is
+    dominated iff another row of the group is >= on both coordinates
+    and strictly better on at least one.  The multi-objective
+    shortlist primitive (best spend × recency, quality × length,
+    score × diversity) behind the selection drivers' Pareto logic
+    (selection/search.py EGO), exposed as a standalone relational
+    operator.
+
+    ``x_col``/``y_col`` must be pre-quantized INTEGER columns (cents /
+    epoch-us — the house exactness contract), so domination is pure
+    int comparison and DuckDB's NOT EXISTS anti-join replays the kept
+    multiset exactly.  Duplicate points are all kept (neither strictly
+    improves the other).  NULL group/id/x/y rows drop.
+
+    ONE group-keyed exchange; inside a partition the frontier is run
+    arithmetic: sort by (group, x, y), per distinct-x run take the
+    run max of y, suffix-max those run maxima, and a row survives iff
+    no strictly-greater-x run reaches its y AND it is its own x-run's
+    maximum (ties of the max all survive).  No per-row Python.
+
+    Output: ``(group, id, x, y)`` kept rows.
+    """
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(b[group_col]),
+                    pc.is_valid(b[id_col])),
+            pc.and_(pc.is_valid(b[x_col]), pc.is_valid(b[y_col])))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        for c in (x_col, y_col):
+            if not pa.types.is_integer(b.schema.field(c).type):
+                raise ValueError(f"pareto_front: {c} must be an "
+                                 "integer column (quantize upstream)")
+        return b.select([group_col, id_col, x_col, y_col])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        codes = pc.dictionary_encode(
+            t[group_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        gnew = np.concatenate([[True], codes[1:] != codes[:-1]])
+        rnew = gnew | np.concatenate([[True], x[1:] != x[:-1]])
+        rstarts = np.flatnonzero(rnew)
+        rlens = np.diff(np.append(rstarts, len(x)))
+        r_of = np.repeat(np.arange(len(rstarts)), rlens)
+        # per x-run max of y (rows sorted by (g, x, y): run max =
+        # last row of the run)
+        run_max = y[rstarts + rlens - 1]
+        g_of_run = (np.cumsum(gnew) - 1)[rstarts]
+        # grouped SUFFIX max of run_max (pandas int64 cummax on the
+        # reversed runs — exact, vectorized in C, the _seg_cummax
+        # precedent)
+        import pandas as pd
+
+        incl = pd.Series(run_max[::-1]).groupby(
+            g_of_run[::-1]).cummax().to_numpy()[::-1]
+        # sfx[i] = max run_max of runs STRICTLY AFTER i, same group
+        nxt = np.concatenate([incl[1:], [np.iinfo(np.int64).min]])
+        same_g_next = np.concatenate([g_of_run[1:] == g_of_run[:-1],
+                                      [False]])
+        sfx = np.where(same_g_next, nxt, np.iinfo(np.int64).min)
+        dominated = (sfx[r_of] >= y) | (run_max[r_of] > y)
+        return t.filter(pa.array(~dominated))
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=group_col,
+                           sort_keys=[group_col, x_col, y_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
