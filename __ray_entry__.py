@@ -526,7 +526,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q218_set_cover": _set_cover_q,
         "q219_prep_corpus": _prep_corpus_q,
         "q220_pareto_front": _pareto_q,
+        "q221_quota_allocate": _quota_q,
     }
+
+
+def _quota_q(sf_dir: str):
+    """q221: Hamilton largest-remainder labeling-budget allocation
+    across sources (stages/sample.py:quota_allocate) — integer floor
+    shares + remainder-ranked top-up, never over/under-allocates;
+    per-block count partials, driver combine."""
+    import ray
+
+    from featurebox_ray.stages.sample import quota_allocate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source"])
+    return quota_allocate(docs, group_col="source", total=1000)
 
 
 def _pareto_q(sf_dir: str):
@@ -6417,6 +6432,31 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # quota: floor shares + remainder-ranked top-up, all integer
+        "q221_quota_allocate": """
+            WITH c AS (SELECT source AS g,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents WHERE source IS NOT NULL
+                       GROUP BY source),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+            b AS (SELECT g, n, n * 1000 // tot.nn AS base,
+                         n * 1000 % tot.nn AS rem
+                  FROM c, tot),
+            l AS (SELECT CAST(1000 - sum(base) OVER () AS BIGINT)
+                           AS leftover,
+                         row_number() OVER (ORDER BY rem DESC, g)
+                           AS rk,
+                         g, n, base
+                  FROM b)
+            SELECT g AS source, n AS n_rows,
+                   CAST(base AS BIGINT) AS base,
+                   CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS extra,
+                   CAST(base + CASE WHEN rk <= leftover
+                               THEN 1 ELSE 0 END AS BIGINT)
+                     AS quota
+            FROM l
+        """,
         # pareto: NOT EXISTS anti-join on pure integer domination
         "q220_pareto_front": """
             WITH e AS (

@@ -636,3 +636,72 @@ def weighted_interleave(ds, *, source_col: str, id_col: str,
 
     return ordered.map_batches(head, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def quota_allocate(ds, *, group_col: str, total: int,
+                   min_per_group: int = 0):
+    """Largest-remainder (Hamilton) quota allocation — split a
+    sampling/labeling budget of ``total`` slots across groups
+    proportionally to their row counts, exactly: each group gets
+    ``floor(cnt·total/N)`` plus one extra for the ``total − Σfloor``
+    largest remainders (ties by group value ascending).  The quota
+    designer that feeds stratified samplers; never over- or
+    under-allocates and has no float in the decision path.
+
+    Exactness: counts are exact int64; base shares and remainders are
+    integer ``//`` and ``%`` of Python ints; the top-up rank is a
+    deterministic sort on ``(remainder desc, group asc)`` — DuckDB
+    replays it with a window ``row_number``.  ``min_per_group`` lifts
+    every group to a floor AFTER the Hamilton pass (documented:
+    the lift can overshoot ``total``; mirror in SQL if used).
+
+    Per-block count partials + driver combine (groups few).  NULL
+    group rows drop.  Output: ``(group, n_rows, base, extra,
+    quota)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def partial(b: pa.Table) -> pa.Table:
+        gtype = b.schema.field(group_col).type
+        keep = pc.fill_null(pc.is_valid(b[group_col]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "n": pa.array([], pa.int64())})
+        gd = pc.dictionary_encode(b[group_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(gd.dictionary))
+        return pa.table({group_col: gd.dictionary,
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    pds = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(pds)):
+        for g, n in zip(blk[group_col].to_pylist(),
+                        blk["n"].to_pylist()):
+            agg[g] = agg.get(g, 0) + n
+    schema = ds.schema()
+    base_s = getattr(schema, "base_schema", schema)
+    gtype = base_s.field(group_col).type
+    groups = sorted(agg)
+    N = sum(agg.values())
+    base = {g: agg[g] * total // N for g in groups} if N else {}
+    leftover = total - sum(base.values())
+    rem_rank = sorted(groups,
+                      key=lambda g: (-(agg[g] * total % N), g)) \
+        if N else []
+    extra = {g: 0 for g in groups}
+    for g in rem_rank[:leftover]:
+        extra[g] = 1
+    quota = {g: max(base[g] + extra[g], min_per_group)
+             for g in groups}
+    return pa.table({
+        group_col: pa.array(groups, gtype),
+        "n_rows": pa.array([agg[g] for g in groups], pa.int64()),
+        "base": pa.array([base[g] for g in groups], pa.int64()),
+        "extra": pa.array([extra[g] for g in groups], pa.int64()),
+        "quota": pa.array([quota[g] for g in groups], pa.int64())})
