@@ -527,7 +527,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q219_prep_corpus": _prep_corpus_q,
         "q220_pareto_front": _pareto_q,
         "q221_quota_allocate": _quota_q,
+        "q222_did_estimate": _did_q,
     }
+
+
+def _did_q(sf_dir: str):
+    """q222: difference-in-differences per event type (stages/
+    regress.py:did_estimate) — user-parity sides, 80/20 temporal cut
+    (q217 convention), four exact int64 cell means, fixed-order
+    subtraction."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import did_estimate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "ts", "value"])
+
+    def side(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_valid(b["user_id"]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"],
+                         "a": pa.array(u % 2, pa.int64()),
+                         "ts": b["ts"], "value": b["value"]})
+
+    sided = ev.map_batches(side, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return did_estimate(sided, group_col="event_type", side_col="a",
+                        ts_col="ts", value_col="value")
 
 
 def _quota_q(sf_dir: str):
@@ -6432,6 +6464,54 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # DiD: four exact cell means, fixed-order subtraction
+        "q222_did_estimate": """
+            WITH e AS (
+              SELECT event_type AS g, user_id % 2 AS a,
+                     epoch_us(ts) AS t,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS y
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND ts IS NOT NULL),
+            b AS (SELECT min(t) AS mn, max(t) AS mx FROM e),
+            c AS (SELECT mn + (mx - mn) * 4 // 5 AS cut FROM b),
+            s AS (SELECT g, a, CASE WHEN t >= (SELECT cut FROM c)
+                                    THEN 1 ELSE 0 END AS post, y
+                  FROM e),
+            m AS (SELECT g,
+                    CAST(sum(CASE WHEN a=1 AND post=0 THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_t_pre,
+                    CAST(sum(CASE WHEN a=1 AND post=1 THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_t_post,
+                    CAST(sum(CASE WHEN a=0 AND post=0 THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_c_pre,
+                    CAST(sum(CASE WHEN a=0 AND post=1 THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_c_post,
+                    CAST(sum(CASE WHEN a=1 AND post=0 THEN y END)
+                         AS BIGINT) AS s_t_pre,
+                    CAST(sum(CASE WHEN a=1 AND post=1 THEN y END)
+                         AS BIGINT) AS s_t_post,
+                    CAST(sum(CASE WHEN a=0 AND post=0 THEN y END)
+                         AS BIGINT) AS s_c_pre,
+                    CAST(sum(CASE WHEN a=0 AND post=1 THEN y END)
+                         AS BIGINT) AS s_c_post
+                  FROM s GROUP BY g)
+            SELECT g AS event_type, n_t_pre, n_t_post, n_c_pre,
+                   n_c_post,
+                   CASE WHEN n_t_pre = 0 OR n_t_post = 0
+                          OR n_c_pre = 0 OR n_c_post = 0 THEN NULL
+                        ELSE (CAST(s_t_post AS DOUBLE)
+                                / CAST(n_t_post AS DOUBLE)
+                              - CAST(s_t_pre AS DOUBLE)
+                                / CAST(n_t_pre AS DOUBLE))
+                             - (CAST(s_c_post AS DOUBLE)
+                                  / CAST(n_c_post AS DOUBLE)
+                                - CAST(s_c_pre AS DOUBLE)
+                                  / CAST(n_c_pre AS DOUBLE))
+                   END AS did
+            FROM m
+        """,
         # quota: floor shares + remainder-ranked top-up, all integer
         "q221_quota_allocate": """
             WITH c AS (SELECT source AS g,

@@ -1451,3 +1451,130 @@ def mann_whitney(ds, *, group_col: str, side_col: str,
                            sort_keys=[group_col, "__y"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def did_estimate(ds, *, group_col: str, side_col: str, ts_col: str,
+                 value_col: str, cut_num: int = 4, cut_den: int = 5):
+    """Difference-in-differences estimator per group — the standard
+    quasi-experimental read of a launch: how much more did the
+    treatment side's mean value move across the cut time than the
+    control side's?
+
+        did = (m_t_post − m_t_pre) − (m_c_post − m_c_pre)
+
+    The cut is ``min_ts + (max_ts − min_ts) · num // den`` (exact
+    integer arithmetic, the q217 split convention).  Values quantize
+    to int64 cents; each mean is ONE division of exact ints, and the
+    three subtractions run in a fixed order — DuckDB replays the
+    double bit-for-bit.  NULL when any of the four cells is empty.
+
+    Plan: one tiny span pre-pass over materialized block refs, then
+    per-block dense ``code·4 + (side·2 + period)`` int64 partials,
+    driver combine (groups few).  ``side_col`` must be 0/1 (1 =
+    treatment); NULL group/side/ts rows drop.
+
+    Output: ``(group, n_t_pre, n_t_post, n_c_pre, n_c_post, did)``.
+    Reference analog: none — companion of ab_test/mann_whitney in the
+    experimentation family.
+    """
+    import ray
+
+    from ..functions.segments import cents_exact
+    from .partition import materialized_block_refs
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[group_col]),
+                               pc.is_valid(b[side_col])),
+                       pc.is_valid(b[ts_col]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        a = b[side_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if ((a < 0) | (a > 1)).any():
+            raise ValueError("did_estimate: side_col must be 0/1")
+        cents = cents_exact(b[value_col].combine_chunks(),
+                            col=value_col)
+        return pa.table({group_col: b[group_col], "__t": ts,
+                         "__a": pa.array(a),
+                         "__y": pa.array(cents)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    refs = materialized_block_refs(prepped)
+
+    @ray.remote
+    def span(blk: pa.Table):
+        if blk.num_rows == 0:
+            return None
+        mm = pc.min_max(blk["__t"])
+        return (mm["min"].as_py(), mm["max"].as_py())
+
+    spans = [s for s in ray.get([span.remote(r) for r in refs])
+             if s is not None]
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    gtype = base.field(group_col).type
+    empty = pa.table({group_col: pa.array([], gtype),
+                      "n_t_pre": pa.array([], pa.int64()),
+                      "n_t_post": pa.array([], pa.int64()),
+                      "n_c_pre": pa.array([], pa.int64()),
+                      "n_c_post": pa.array([], pa.int64()),
+                      "did": pa.array([], pa.float64())})
+    if not spans:
+        return empty
+    mn = min(s[0] for s in spans)
+    mx = max(s[1] for s in spans)
+    cut = mn + (mx - mn) * cut_num // cut_den
+
+    @ray.remote
+    def cells(blk: pa.Table):
+        if blk.num_rows == 0:
+            return None
+        gd = pc.dictionary_encode(blk[group_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        t = blk["__t"].to_numpy(zero_copy_only=False)
+        a = blk["__a"].to_numpy(zero_copy_only=False)
+        y = blk["__y"].to_numpy(zero_copy_only=False)
+        cell = codes * 4 + a * 2 + (t >= cut).astype(np.int64)
+        g4 = len(gd.dictionary) * 4
+        n = np.bincount(cell, minlength=g4).astype(np.int64)
+        s = np.zeros(g4, np.int64)
+        np.add.at(s, cell, y)
+        return gd.dictionary.to_pylist(), n, s
+
+    agg: dict = {}
+    for res in ray.get([cells.remote(r) for r in refs]):
+        if res is None:
+            continue
+        gvals, n, s = res
+        for gi, g in enumerate(gvals):
+            cur = agg.setdefault(g, [[0, 0] for _ in range(4)])
+            for c in range(4):
+                cur[c][0] += int(n[gi * 4 + c])
+                cur[c][1] += int(s[gi * 4 + c])
+    groups = sorted(agg)
+    cols = {0: [], 1: [], 2: [], 3: []}
+    dids = []
+    for g in groups:
+        cs = agg[g]
+        # cell order: side*2 + post -> 0=c_pre 1=c_post 2=t_pre
+        # 3=t_post
+        for c in range(4):
+            cols[c].append(cs[c][0])
+        if any(cs[c][0] == 0 for c in range(4)):
+            dids.append(None)
+        else:
+            m = [float(cs[c][1]) / float(cs[c][0]) for c in range(4)]
+            dids.append((m[3] - m[2]) - (m[1] - m[0]))
+    return pa.table({
+        group_col: pa.array(groups, gtype),
+        "n_t_pre": pa.array(cols[2], pa.int64()),
+        "n_t_post": pa.array(cols[3], pa.int64()),
+        "n_c_pre": pa.array(cols[0], pa.int64()),
+        "n_c_post": pa.array(cols[1], pa.int64()),
+        "did": pa.array(dids, pa.float64())})
