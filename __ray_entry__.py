@@ -528,7 +528,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q220_pareto_front": _pareto_q,
         "q221_quota_allocate": _quota_q,
         "q222_did_estimate": _did_q,
+        "q223_shapley": _shapley_q,
     }
+
+
+def _shapley_q(sf_dir: str):
+    """q223: Shapley channel attribution (stages/attribution.py:
+    shapley_attribution) — conversion = lexicographically last event
+    type, channels = the rest; exact-set coalition values as
+    rationals, one user-keyed exchange + 2^k driver cells.  Fixture
+    oracle: serial exact-rational replay (bit-identical)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_shapley
+    from featurebox_ray.stages.attribution import shapley_attribution
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type"])
+    exp = replay_shapley(t["user_id"].to_pylist(),
+                         t["event_type"].to_pylist())
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "channel": pa.array([r[0] for r in exp], pa.string()),
+        "n_users_with": pa.array([r[1] for r in exp], pa.int64()),
+        "shapley": pa.array([r[2] for r in exp], pa.float64()),
+    }), f"{_ORACLE_DIR}/shapley.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/shapley.parquet.tmp",
+               f"{_ORACLE_DIR}/shapley.parquet")
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return shapley_attribution(ev, key_col="user_id",
+                               type_col="event_type",
+                               num_partitions=16)
 
 
 def _did_q(sf_dir: str):
@@ -8262,6 +8298,10 @@ def oracle_sql() -> dict[str, str]:
         "q218_set_cover": f"""
             SELECT sel_ord, doc_id, gain, covered_total
             FROM read_parquet('{_ORACLE_DIR}/set_cover.parquet')
+        """,
+        "q223_shapley": f"""
+            SELECT channel, n_users_with, shapley
+            FROM read_parquet('{_ORACLE_DIR}/shapley.parquet')
         """,
         "q178_compression_ratio": f"""
             SELECT doc_id, raw_len, comp_len, ratio

@@ -967,3 +967,57 @@ def replay_set_cover(ids, texts, *, k: int, ngram: int = 1):
         covered |= best[2]
         out.append((rnd, best[1], best[0], len(covered)))
     return out
+
+
+def replay_shapley(users, types, *, conversion_type=None):
+    """Serial replay of stages/attribution.py:shapley_attribution —
+    identical channel universe, exact-set coalition values as
+    Fractions, factorial weights, one float division per channel."""
+    from fractions import Fraction
+    from math import factorial
+
+    rows = [(u, t) for u, t in zip(users, types)
+            if u is not None and t is not None]
+    all_types = sorted({t for _, t in rows})
+    if not all_types:
+        return []
+    conv = (conversion_type if conversion_type is not None
+            else all_types[-1])
+    channels = [t for t in all_types if t != conv]
+    k = len(channels)
+    bit_of = {t: i for i, t in enumerate(channels)}
+    per_user: dict = {}
+    for u, t in rows:
+        m, c = per_user.get(u, (0, False))
+        if t == conv:
+            c = True
+        else:
+            m |= 1 << bit_of[t]
+        per_user[u] = (m, c)
+    n_sub = [0] * (1 << k)
+    c_sub = [0] * (1 << k)
+    for m, c in per_user.values():
+        if m == 0:
+            continue
+        n_sub[m] += 1
+        if c:
+            c_sub[m] += 1
+
+    def v(S):
+        return (Fraction(c_sub[S], n_sub[S]) if n_sub[S]
+                else Fraction(0))
+
+    fk = factorial(k)
+    out = []
+    for i, ch in enumerate(channels):
+        acc = Fraction(0)
+        for S in range(1 << k):
+            if S & (1 << i):
+                continue
+            sz = bin(S).count("1")
+            w = Fraction(factorial(sz) * factorial(k - 1 - sz), fk)
+            acc += w * (v(S | (1 << i)) - v(S))
+        nw = sum(n_sub[S] for S in range(1 << k) if S & (1 << i))
+        out.append((ch, nw,
+                    float(acc.numerator) / float(acc.denominator)))
+    return out

@@ -159,3 +159,147 @@ def linear_attribution(ds, *, key_col: str, ts_col: str, seq_col: str,
         "credit_cents": pa.array([agg[t][0] for t in types], pa.int64()),
         "n_touches": pa.array([agg[t][1] for t in types], pa.int64()),
     })
+
+
+def shapley_attribution(ds, *, key_col: str, type_col: str,
+                        conversion_type: str | None = None,
+                        num_partitions: int = 32,
+                        max_channels: int = 20):
+    """Shapley-value channel attribution (Zhao et al. 2018's
+    simplified game) — the order-free credit split linear_attribution
+    can't provide: each channel's credit is its average marginal
+    contribution to the observed conversion rate across all channel
+    coalitions,
+
+        phi_i = Σ_{S ⊆ U\\{i}} |S|!·(k−1−|S|)!/k! · (v(S∪{i}) − v(S))
+
+    with ``v(S) = converted(S) / users(S)`` over users whose EXACT
+    distinct-channel set is ``S`` (unobserved subsets contribute 0,
+    ``v(∅) = 0``).  ``conversion_type`` defaults to the
+    lexicographically LAST event type (documented synthetic-schema
+    convention); the remaining types are the channels; users with an
+    empty channel set drop.
+
+    Exactness: per-subset (users, conversions) are exact int64 cell
+    counts; every v and factorial weight is a Python ``Fraction``;
+    the emitted ``shapley`` is ONE float division of the exact
+    rational — a serial replay is bit-identical.
+
+    Plan: a tiny distinct-type pre-pass fixes the channel universe;
+    ONE user-keyed exchange reduces each user to ``(bitmask,
+    converted)``; per-partition dense bitmask-cell partials (≤ 2^k·2
+    ints) combine on the driver, where the 2^k Shapley sum runs in
+    exact rationals.  Raises when channels > ``max_channels`` (2^k
+    driver cells).
+
+    Output: ``(channel, n_users_with, shapley)``.  Reference analog:
+    none — companion of linear_attribution (q188).
+    """
+    from fractions import Fraction
+    from math import factorial
+
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def types_partial(b: pa.Table) -> pa.Table:
+        col = b[type_col]
+        keep = pc.fill_null(pc.is_valid(col), False)
+        t = pa.table({type_col: col})
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        return t.group_by([type_col]).aggregate([])
+
+    tp = ds.map_batches(types_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    all_types: set = set()
+    for blk in ray.get(materialized_block_refs(tp)):
+        all_types.update(blk[type_col].to_pylist())
+    all_types = sorted(all_types)
+    if not all_types:
+        return pa.table({"channel": pa.array([], pa.string()),
+                         "n_users_with": pa.array([], pa.int64()),
+                         "shapley": pa.array([], pa.float64())})
+    conv = (conversion_type if conversion_type is not None
+            else all_types[-1])
+    channels = [t for t in all_types if t != conv]
+    k = len(channels)
+    if k > max_channels:
+        raise ValueError(f"shapley_attribution: {k} channels > "
+                         f"max_channels={max_channels} (2^k driver "
+                         "cells)")
+    bit_of = {t: i for i, t in enumerate(channels)}
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[key_col]),
+                       pc.is_valid(b[type_col]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        return pa.table({key_col: b[key_col],
+                         type_col: b[type_col]}).group_by(
+            [key_col, type_col]).aggregate([])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        codes = pc.dictionary_encode(
+            t[key_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tv = t[type_col].to_pylist()
+        bits = np.array([bit_of.get(x, -1) for x in tv], np.int64)
+        is_conv = np.array([x == conv for x in tv], bool)
+        g = int(codes.max()) + 1
+        mask = np.zeros(g, np.int64)
+        np.bitwise_or.at(mask, codes[bits >= 0],
+                         np.int64(1) << bits[bits >= 0])
+        converted = np.zeros(g, bool)
+        converted[codes[is_conv]] = True
+        keepu = mask > 0               # empty channel set drops
+        cell = mask[keepu] * 2 + converted[keepu].astype(np.int64)
+        uc, inv = np.unique(cell, return_inverse=True)
+        n = np.zeros(len(uc), np.int64)
+        np.add.at(n, inv, 1)
+        return pa.table({"cell": pa.array(uc), "n": pa.array(n)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    cells = partitioned_map(prepped, kernel, key=key_col,
+                            sort_keys=[key_col, type_col],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    users = np.zeros(1 << k, dtype=object)
+    convs = np.zeros(1 << k, dtype=object)
+    for blk in ray.get(materialized_block_refs(cells)):
+        for c, n in zip(blk["cell"].to_pylist(),
+                        blk["n"].to_pylist()):
+            users[c // 2] += n
+            if c % 2:
+                convs[c // 2] += n
+
+    def v(S: int) -> Fraction:
+        return (Fraction(int(convs[S]), int(users[S]))
+                if users[S] else Fraction(0))
+
+    fk = factorial(k)
+    phi = []
+    for i in range(k):
+        acc = Fraction(0)
+        for S in range(1 << k):
+            if S & (1 << i):
+                continue
+            size = bin(S).count("1")
+            w = Fraction(factorial(size) * factorial(k - 1 - size),
+                         fk)
+            acc += w * (v(S | (1 << i)) - v(S))
+        phi.append(acc)
+    n_with = [int(sum(users[S] for S in range(1 << k)
+                      if S & (1 << i))) for i in range(k)]
+    return pa.table({
+        "channel": pa.array(channels, pa.string()),
+        "n_users_with": pa.array(n_with, pa.int64()),
+        "shapley": pa.array(
+            [float(p.numerator) / float(p.denominator)
+             for p in phi], pa.float64())})
