@@ -529,7 +529,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q221_quota_allocate": _quota_q,
         "q222_did_estimate": _did_q,
         "q223_shapley": _shapley_q,
+        "q224_kmv_setops": _kmv_setops_q,
     }
+
+
+def _kmv_setops_q(sf_dir: str):
+    """q224: KMV sketch set algebra (stages/sketch.py:kmv_set_ops) —
+    distinct-user union/intersection estimates between the first and
+    last event types from two mergeable k-min sketches; the q48
+    md5-prefix contract makes the whole decision SQL-replayable."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.sketch import kmv_set_ops
+
+    types = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_type"])["event_type"]
+    u = pc.unique(types.combine_chunks()).drop_null().to_pylist()
+    a, b = min(u), max(u)
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return kmv_set_ops(ev, group_col="event_type",
+                       value_col="user_id", group_a=a, group_b=b,
+                       k=64)
 
 
 def _shapley_q(sf_dir: str):
@@ -6500,6 +6523,60 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # KMV set ops: q48 md5-prefix sketches; union = k-min of the
+        # two sketches' union; jaccard/intersection one div + one mul
+        "q224_kmv_setops": """
+            WITH ab AS (SELECT min(event_type) AS ga,
+                               max(event_type) AS gb
+                        FROM events WHERE event_type IS NOT NULL),
+            h AS (
+              SELECT DISTINCT event_type AS g,
+                     CAST(CAST('0x' || substr(md5(CAST(user_id
+                          AS VARCHAR)), 1, 15) AS UBIGINT)
+                          AS BIGINT) AS hv
+              FROM events, ab
+              WHERE event_type IN (ab.ga, ab.gb)
+                AND user_id IS NOT NULL),
+            sa AS (SELECT hv FROM h, ab WHERE g = ab.ga
+                   ORDER BY hv LIMIT 64),
+            sb AS (SELECT hv FROM h, ab WHERE g = ab.gb
+                   ORDER BY hv LIMIT 64),
+            su AS (SELECT DISTINCT hv FROM (SELECT hv FROM sa
+                                            UNION SELECT hv FROM sb)
+                   ORDER BY hv LIMIT 64),
+            stats AS (
+              SELECT (SELECT count(*) FROM sa) AS ka,
+                     (SELECT max(hv) FROM sa) AS kth_a,
+                     (SELECT count(*) FROM sb) AS kb,
+                     (SELECT max(hv) FROM sb) AS kth_b,
+                     (SELECT count(*) FROM su) AS ku,
+                     (SELECT max(hv) FROM su) AS kth_u,
+                     (SELECT count(*) FROM su
+                      WHERE hv IN (SELECT hv FROM sa)
+                        AND hv IN (SELECT hv FROM sb)) AS nboth)
+            SELECT ab.ga AS group_a, ab.gb AS group_b,
+                   CAST(ka AS BIGINT) AS k_used_a,
+                   CAST(kb AS BIGINT) AS k_used_b,
+                   CAST(ku AS BIGINT) AS k_used_union,
+                   CASE WHEN ka < 64 THEN CAST(ka AS DOUBLE)
+                        ELSE 63.0 * 1152921504606846976.0
+                             / CAST(kth_a AS DOUBLE) END AS est_a,
+                   CASE WHEN kb < 64 THEN CAST(kb AS DOUBLE)
+                        ELSE 63.0 * 1152921504606846976.0
+                             / CAST(kth_b AS DOUBLE) END AS est_b,
+                   CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+                        ELSE 63.0 * 1152921504606846976.0
+                             / CAST(kth_u AS DOUBLE) END
+                     AS est_union,
+                   CAST(nboth AS DOUBLE) / CAST(ku AS DOUBLE)
+                     AS jaccard_k,
+                   (CAST(nboth AS DOUBLE) / CAST(ku AS DOUBLE))
+                     * (CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+                             ELSE 63.0 * 1152921504606846976.0
+                                  / CAST(kth_u AS DOUBLE) END)
+                     AS est_intersection
+            FROM stats, ab
+        """,
         # DiD: four exact cell means, fixed-order subtraction
         "q222_did_estimate": """
             WITH e AS (

@@ -219,7 +219,9 @@ QUERY_NAMES = [
     "q205_kappa_agreement", "q206_association_rules",
     "q207_prefix_dedup", "q208_weighted_interleave",
     "q209_silhouette", "q212_vocab_coverage", "q213_loo_encode",
-    "q214_mann_whitney",
+    "q214_mann_whitney", "q216_cross_source", "q217_split_audit",
+    "q219_prep_corpus", "q220_pareto_front", "q221_quota_allocate",
+    "q222_did_estimate",
 ]
 
 

@@ -293,3 +293,81 @@ def cms_term_estimates(ds, *, text_col: str = "text", depth: int = 4,
         "exact_cnt": tt["cnt"].cast(pa.int64()),
         "cms_est": pa.array(ests, pa.int64()),
     }))
+
+
+def kmv_set_ops(ds, *, group_col: str, value_col: str,
+                group_a, group_b, k: int = 64):
+    """KMV sketch SET ALGEBRA between two groups — estimate the
+    distinct-value counts of A, B, A∪B and A∩B from two k-minimum-
+    value sketches without ever co-locating the raw values: the
+    sketch-merge capability that makes KMV preferable to exact NDV at
+    100 TB (the union sketch is the k smallest of the two sketches'
+    union; the Jaccard estimate is the fraction of the union's k-min
+    that belongs to BOTH sketches; ``est_intersection = jaccard ·
+    est_union``).
+
+    Deterministic and SQL-replayable end-to-end (the q48 contract):
+    values hash via the 60-bit md5 prefix; every estimate is the
+    standard ``(k−1)·2^60 / kth`` expression (exact count when the
+    sketch is unsaturated), and jaccard/intersection are one division
+    and one multiplication of exactly-represented values.
+
+    Per-block ≤k-min partials per group (the kmv_distinct shape)
+    combine on the driver — O(blocks · 2k) ints, no shuffle at all.
+    Rows outside {group_a, group_b} or with NULL group/value drop.
+
+    Output: ONE row ``(group_a, group_b, k_used_a, k_used_b,
+    k_used_union, est_a, est_b, est_union, jaccard_k,
+    est_intersection)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b[group_col],
+                     value_set=pa.array([group_a, group_b]))
+        b = b.filter(pc.fill_null(m, False))
+        return _partial_kernel(b, group_col, value_col, k)
+
+    pds = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    hv_a, hv_b = [], []
+    for blk in ray.get(materialized_block_refs(pds)):
+        gs = blk[group_col].to_pylist()
+        hs = blk["hv"].to_pylist()
+        for g, h in zip(gs, hs):
+            (hv_a if g == group_a else hv_b).append(h)
+
+    def sketch(hvs):
+        u = np.unique(np.asarray(hvs, np.int64))
+        return u[:k]
+
+    def est(sk):
+        ku = len(sk)
+        if ku == 0:
+            return 0, None, 0.0
+        kth = int(sk[-1])
+        e = (float(ku) if ku < k
+             else (k - 1) * HASH_SPAN / float(kth))
+        return ku, kth, e
+
+    sa, sb = sketch(hv_a), sketch(hv_b)
+    su = np.unique(np.concatenate([sa, sb]))[:k]
+    ku_a, _, est_a = est(sa)
+    ku_b, _, est_b = est(sb)
+    ku_u, _, est_u = est(su)
+    both = int((np.isin(su, sa) & np.isin(su, sb)).sum())
+    jac = float(both) / float(ku_u) if ku_u else None
+    est_i = jac * est_u if jac is not None else None
+    return pa.table({
+        "group_a": pa.array([group_a]),
+        "group_b": pa.array([group_b]),
+        "k_used_a": pa.array([ku_a], pa.int64()),
+        "k_used_b": pa.array([ku_b], pa.int64()),
+        "k_used_union": pa.array([ku_u], pa.int64()),
+        "est_a": pa.array([est_a], pa.float64()),
+        "est_b": pa.array([est_b], pa.float64()),
+        "est_union": pa.array([est_u], pa.float64()),
+        "jaccard_k": pa.array([jac], pa.float64()),
+        "est_intersection": pa.array([est_i], pa.float64())})
