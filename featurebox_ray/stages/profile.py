@@ -535,14 +535,13 @@ def table_checksum(ds, *, cols, sep: str = "|") -> "pa.Table":
         parts = []
         for c in cols:
             col = b[c].combine_chunks()
-            if pa.types.is_integer(col.type):
-                col = col.cast(pa.string())
+            if not pa.types.is_string(col.type):
+                col = col.cast(pa.string())  # int + large_string
             # injective field encoding: n | v<len>:<text>
             ln = pc.utf8_length(col).cast(pa.string())
             tagged = pc.binary_join_element_wise(
                 pc.binary_join_element_wise(
-                    pa.array(["v"] * len(col), pa.string()),
-                    pc.fill_null(ln, ""), ""),
+                    "v", pc.fill_null(ln, ""), ""),
                 pc.fill_null(col, ""), ":")
             parts.append(pc.if_else(pc.is_valid(col), tagged,
                                     pa.scalar("n", pa.string())))

@@ -465,8 +465,12 @@ def rrf_fuse(rank_dss, *, id_col: str, rank_cols, k: int = 60,
 
     n = len(rank_cols)
     # id stays its input type (string ids are the canonical RRF use
-    # case); the schema here is already materialized upstream
-    schema0 = rank_dss[0].schema()
+    # case).  Prefer the no-execution schema probe: global_row_number
+    # outputs (the documented producers) carry it for free; only a
+    # fully lazy input pays a one-block fetch here.
+    schema0 = rank_dss[0].schema(fetch_if_missing=False)
+    if schema0 is None:
+        schema0 = rank_dss[0].schema()
     base0 = getattr(schema0, "base_schema", schema0)
     id_type = base0.field(id_col).type
     empty_cols = {id_col: pa.array([], id_type)}

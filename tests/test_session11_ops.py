@@ -385,3 +385,17 @@ def test_rrf_fuse_string_ids():
            .to_pandas().set_index("id"))
     assert got.loc["x", "rrf"] == 1.0 / 61 + 1.0 / 62
     assert got.loc["z", "rrf"] == 1.0 / 63 + 1.0 / 61
+
+
+def test_table_checksum_large_string():
+    from featurebox_ray.stages.profile import table_checksum
+
+    t = pa.table({"a": pa.array(["x", None, "y|z"],
+                                pa.large_string()),
+                  "b": pa.array([1, 2, None], pa.int64())})
+    c1 = table_checksum(ray.data.from_arrow(t), cols=["a", "b"])
+    t2 = pa.table({"a": pa.array(["x", None, "y|z"], pa.string()),
+                   "b": pa.array([1, 2, None], pa.int64())})
+    c2 = table_checksum(ray.data.from_arrow(t2), cols=["a", "b"])
+    # large_string and string encode identically
+    assert c1.to_pylist() == c2.to_pylist()
