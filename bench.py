@@ -221,7 +221,7 @@ QUERY_NAMES = [
     "q209_silhouette", "q212_vocab_coverage", "q213_loo_encode",
     "q214_mann_whitney", "q216_cross_source", "q217_split_audit",
     "q219_prep_corpus", "q220_pareto_front", "q221_quota_allocate",
-    "q222_did_estimate",
+    "q222_did_estimate", "q224_kmv_setops",
 ]
 
 

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["linear_attribution"]
+__all__ = ["linear_attribution", "shapley_attribution"]
 
 
 def linear_attribution(ds, *, key_col: str, ts_col: str, seq_col: str,
@@ -187,10 +187,11 @@ def shapley_attribution(ds, *, key_col: str, type_col: str,
 
     Plan: a tiny distinct-type pre-pass fixes the channel universe;
     ONE user-keyed exchange reduces each user to ``(bitmask,
-    converted)``; per-partition dense bitmask-cell partials (≤ 2^k·2
-    ints) combine on the driver, where the 2^k Shapley sum runs in
-    exact rationals.  Raises when channels > ``max_channels`` (2^k
-    driver cells).
+    converted)``; per-partition dense bitmask-cell partials combine
+    on the driver, where the Shapley sum iterates OBSERVED subsets
+    only (unobserved coalitions have v = 0) — O(k · observed)
+    exact-rational ops.  Raises when channels > ``max_channels``
+    (bounds the per-partition cell table).
 
     Output: ``(channel, n_users_with, shapley)``.  Reference analog:
     none — companion of linear_attribution (q188).
@@ -270,33 +271,33 @@ def shapley_attribution(ds, *, key_col: str, type_col: str,
                             sort_keys=[key_col, type_col],
                             num_partitions=num_partitions,
                             strategy="tasks")
-    users = np.zeros(1 << k, dtype=object)
-    convs = np.zeros(1 << k, dtype=object)
+    users: dict = {}
+    convs: dict = {}
     for blk in ray.get(materialized_block_refs(cells)):
         for c, n in zip(blk["cell"].to_pylist(),
                         blk["n"].to_pylist()):
-            users[c // 2] += n
+            users[c // 2] = users.get(c // 2, 0) + n
             if c % 2:
-                convs[c // 2] += n
+                convs[c // 2] = convs.get(c // 2, 0) + n
 
-    def v(S: int) -> Fraction:
-        return (Fraction(int(convs[S]), int(users[S]))
-                if users[S] else Fraction(0))
-
+    # iterate OBSERVED subsets only (unobserved have v = 0): each
+    # observed T contributes +w(|T|-1)·v(T) to every i in T and
+    # −w(|T|)·v(T) to every i outside — O(k · observed) exact-
+    # rational ops instead of k·2^k
     fk = factorial(k)
-    phi = []
-    for i in range(k):
-        acc = Fraction(0)
-        for S in range(1 << k):
+    w_of = [Fraction(factorial(s) * factorial(k - 1 - s), fk)
+            for s in range(k)]
+    phi = [Fraction(0)] * k
+    n_with = [0] * k
+    for S, nS in users.items():
+        vS = Fraction(convs.get(S, 0), nS)
+        size = bin(S).count("1")
+        for i in range(k):
             if S & (1 << i):
-                continue
-            size = bin(S).count("1")
-            w = Fraction(factorial(size) * factorial(k - 1 - size),
-                         fk)
-            acc += w * (v(S | (1 << i)) - v(S))
-        phi.append(acc)
-    n_with = [int(sum(users[S] for S in range(1 << k)
-                      if S & (1 << i))) for i in range(k)]
+                phi[i] += w_of[size - 1] * vS
+                n_with[i] += nS
+            else:
+                phi[i] -= w_of[size] * vS
     return pa.table({
         "channel": pa.array(channels, pa.string()),
         "n_users_with": pa.array(n_with, pa.int64()),

@@ -426,3 +426,30 @@ def key_histogram(ds, key: str, top: int = 20):
     agg = ds.groupby(key).aggregate(Count())
     return (agg.sort(["count()", key], descending=[True, False])
             .limit(top).to_pandas())
+
+
+def global_span_cut(refs, *, col: str, num: int, den: int):
+    """Global (min, max, cut) of an int64 column over materialized
+    block refs — ``cut = min + (max − min) · num // den`` (exact
+    Python-int arithmetic; trunc == floor on the non-negative span).
+    The q217/q222 temporal-split convention, shared so a
+    timestamp-unit fix can never drift between operators.  Returns
+    ``None`` when every block is empty."""
+    import ray
+
+    @ray.remote
+    def span(blk):
+        import pyarrow.compute as _pc
+
+        if blk.num_rows == 0:
+            return None
+        mm = _pc.min_max(blk[col])
+        return (mm["min"].as_py(), mm["max"].as_py())
+
+    spans = [s for s in ray.get([span.remote(r) for r in refs])
+             if s is not None]
+    if not spans:
+        return None
+    mn = min(s[0] for s in spans)
+    mx = max(s[1] for s in spans)
+    return mn, mx, mn + (mx - mn) * num // den

@@ -598,7 +598,8 @@ def temporal_split_audit(ds, *, user_col: str = "user_id",
     """
     import ray
 
-    from .partition import materialized_block_refs, partitioned_map
+    from .partition import (global_span_cut,
+                            materialized_block_refs, partitioned_map)
 
     def prep(b: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(b[user_col]),
@@ -614,16 +615,9 @@ def temporal_split_audit(ds, *, user_col: str = "user_id",
     prepped = ds.map_batches(prep, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=None)
     refs = materialized_block_refs(prepped)
-
-    @ray.remote
-    def span(blk: pa.Table):
-        if blk.num_rows == 0:
-            return None
-        mm = pc.min_max(blk["__t"])
-        return (mm["min"].as_py(), mm["max"].as_py())
-
-    spans = [s for s in ray.get([span.remote(r) for r in refs])
-             if s is not None]
+    span_cut = global_span_cut(refs, col="__t",
+                               num=train_frac_num,
+                               den=train_frac_den)
     empty = pa.table({
         "cut_ts": pa.array([], pa.int64()),
         "rows_train": pa.array([], pa.int64()),
@@ -632,11 +626,9 @@ def temporal_split_audit(ds, *, user_col: str = "user_id",
         "users_test": pa.array([], pa.int64()),
         "users_both": pa.array([], pa.int64()),
         "leak_share": pa.array([], pa.float64())})
-    if not spans:
+    if span_cut is None:
         return empty
-    mn = min(s[0] for s in spans)
-    mx = max(s[1] for s in spans)
-    cut = mn + (mx - mn) * train_frac_num // train_frac_den
+    _, _, cut = span_cut
 
     @ray.remote
     def sides(blk: pa.Table):

@@ -553,9 +553,14 @@ def pareto_front(ds, *, group_col: str, id_col: str, x_col: str,
         if not pc.all(keep).as_py():
             b = b.filter(keep)
         for c in (x_col, y_col):
-            if not pa.types.is_integer(b.schema.field(c).type):
-                raise ValueError(f"pareto_front: {c} must be an "
-                                 "integer column (quantize upstream)")
+            ct = b.schema.field(c).type
+            # SIGNED ints only: a uint64 column would promote the
+            # sentinel-concatenated suffix-max to float64 and break
+            # the pure-int domination contract above 2^53
+            if not pa.types.is_signed_integer(ct):
+                raise ValueError(f"pareto_front: {c} must be a "
+                                 "signed integer column (quantize "
+                                 "upstream)")
         return b.select([group_col, id_col, x_col, y_col])
 
     def kernel(t: pa.Table) -> pa.Table:

@@ -1480,7 +1480,7 @@ def did_estimate(ds, *, group_col: str, side_col: str, ts_col: str,
     import ray
 
     from ..functions.segments import cents_exact
-    from .partition import materialized_block_refs
+    from .partition import global_span_cut, materialized_block_refs
 
     def prep(b: pa.Table) -> pa.Table:
         keep = pc.and_(pc.and_(pc.is_valid(b[group_col]),
@@ -1505,16 +1505,8 @@ def did_estimate(ds, *, group_col: str, side_col: str, ts_col: str,
     prepped = ds.map_batches(prep, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=None)
     refs = materialized_block_refs(prepped)
-
-    @ray.remote
-    def span(blk: pa.Table):
-        if blk.num_rows == 0:
-            return None
-        mm = pc.min_max(blk["__t"])
-        return (mm["min"].as_py(), mm["max"].as_py())
-
-    spans = [s for s in ray.get([span.remote(r) for r in refs])
-             if s is not None]
+    span_cut = global_span_cut(refs, col="__t", num=cut_num,
+                               den=cut_den)
     schema = ds.schema()
     base = getattr(schema, "base_schema", schema)
     gtype = base.field(group_col).type
@@ -1524,11 +1516,9 @@ def did_estimate(ds, *, group_col: str, side_col: str, ts_col: str,
                       "n_c_pre": pa.array([], pa.int64()),
                       "n_c_post": pa.array([], pa.int64()),
                       "did": pa.array([], pa.float64())})
-    if not spans:
+    if span_cut is None:
         return empty
-    mn = min(s[0] for s in spans)
-    mx = max(s[1] for s in spans)
-    cut = mn + (mx - mn) * cut_num // cut_den
+    _, _, cut = span_cut
 
     @ray.remote
     def cells(blk: pa.Table):

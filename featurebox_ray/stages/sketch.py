@@ -324,6 +324,10 @@ def kmv_set_ops(ds, *, group_col: str, value_col: str,
 
     from .partition import materialized_block_refs
 
+    if group_a == group_b:
+        raise ValueError("kmv_set_ops: group_a == group_b — the "
+                         "routing would leave B's sketch empty")
+
     def partial(b: pa.Table) -> pa.Table:
         m = pc.is_in(b[group_col],
                      value_set=pa.array([group_a, group_b]))

@@ -1281,10 +1281,17 @@ def set_cover_select(ds, *, id_col: str = "doc_id",
             row_of = np.repeat(np.arange(b.num_rows), counts)
         else:
             raise ValueError("set_cover_select: ngram must be 1 or 2")
+        if len(flat) == 0:
+            # all docs in the block tokenized to nothing: emit the
+            # ids with empty term lists (zero gain everywhere)
+            return pa.table({
+                id_col: b[id_col].combine_chunks().cast(pa.int64()),
+                "__th": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(b.num_rows + 1, np.int32)),
+                    pa.array([], pa.int64()))})
         td = pc.dictionary_encode(flat)
         hv = _md5_60(td.dictionary.to_pylist())
-        th = hv[td.indices.to_numpy(zero_copy_only=False)] \
-            if len(flat) else np.zeros(0, np.int64)
+        th = hv[td.indices.to_numpy(zero_copy_only=False)]
         # per-doc sorted unique hashes
         order = np.lexsort((th, row_of))
         r_s, t_s = row_of[order], th[order]
@@ -1317,10 +1324,13 @@ def set_cover_select(ds, *, id_col: str = "doc_id",
         offs = offs - offs[0]
         lens = np.diff(offs)
         uncovered = (~np.isin(flat, cov)).astype(np.int64)
-        gains = np.add.reduceat(
-            uncovered, offs[:-1].clip(0, max(len(flat) - 1, 0))) \
-            if len(flat) else np.zeros(len(ids), np.int64)
-        gains = np.where(lens == 0, 0, gains)
+        # reduceat only over NON-EMPTY segments: a clipped-offsets
+        # call would shorten the last non-empty doc's segment when
+        # zero-token docs trail it in the block
+        gains = np.zeros(len(ids), np.int64)
+        nz = np.flatnonzero(lens > 0)
+        if len(nz):
+            gains[nz] = np.add.reduceat(uncovered, offs[:-1][nz])
         mx = int(gains.max()) if len(gains) else 0
         cand = np.flatnonzero(gains == mx)
         j = cand[int(np.argmin(ids[cand]))]

@@ -72,3 +72,24 @@ def test_set_cover_bigram_mode_matches_replay():
                            k=6, ngram=2).to_pandas()
     assert _rows(got) == exp
     assert len(exp) > 1  # bigram space is actually rich enough
+
+
+def test_set_cover_trailing_empty_and_all_empty_blocks():
+    # trailing empty doc in the same block must not shorten the last
+    # non-empty doc's gain segment (the clipped-reduceat bug)
+    t = pa.table({"doc_id": [1, 2], "text": ["a b", ""]})
+    got = set_cover_select(ray.data.from_arrow(t), k=3).to_pandas()
+    assert _rows(got) == [(0, 1, 2, 2)]
+    # a block of ONLY empty/whitespace/NULL texts must not crash
+    t2 = pa.table({"doc_id": [1, 2, 3],
+                   "text": ["", "   ", None]})
+    got2 = set_cover_select(ray.data.from_arrow(t2), k=3).to_pandas()
+    assert len(got2) == 0
+    # mixed: empty-only block + real block (repartition forces it)
+    t3 = pa.table({"doc_id": [1, 2, 3, 4],
+                   "text": ["", None, "x y", "y z"]})
+    got3 = set_cover_select(
+        ray.data.from_arrow(t3).repartition(4), k=3).to_pandas()
+    exp = replay_set_cover([1, 2, 3, 4], ["", None, "x y", "y z"],
+                           k=3)
+    assert _rows(got3) == exp
