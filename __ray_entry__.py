@@ -530,7 +530,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q222_did_estimate": _did_q,
         "q223_shapley": _shapley_q,
         "q224_kmv_setops": _kmv_setops_q,
+        "q225_fk_audit": _fk_audit_q,
     }
+
+
+def _fk_audit_q(sf_dir: str):
+    """q225: referential-integrity audit over the relational tables
+    (stages/profile.py:fk_audit) — exact bloom-anti orphan counts for
+    lineitem->orders and orders->customer; orphan_share one
+    division."""
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.profile import fk_audit
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey"])
+    od2 = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+    a = fk_audit(li, od, child_key="l_orderkey",
+                 parent_key="o_orderkey",
+                 relation="lineitem->orders", num_partitions=8)
+    b = fk_audit(od2, cu, child_key="o_custkey",
+                 parent_key="c_custkey",
+                 relation="orders->customer", num_partitions=8)
+    return pa.concat_tables([a, b])
 
 
 def _kmv_setops_q(sf_dir: str):
@@ -6523,6 +6551,32 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # FK audit: NOT EXISTS orphan counts, one division
+        "q225_fk_audit": """
+            WITH a AS (
+              SELECT 'lineitem->orders' AS relation,
+                     CAST(count(*) AS BIGINT) AS n_child,
+                     CAST(sum(CASE WHEN NOT EXISTS (
+                         SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+              FROM lineitem l),
+            b AS (
+              SELECT 'orders->customer' AS relation,
+                     CAST(count(*) AS BIGINT) AS n_child,
+                     CAST(sum(CASE WHEN NOT EXISTS (
+                         SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+              FROM orders o),
+            u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+            SELECT relation, n_child, n_orphans,
+                   CASE WHEN n_child = 0 THEN NULL
+                        ELSE CAST(n_orphans AS DOUBLE)
+                             / CAST(n_child AS DOUBLE) END
+                     AS orphan_share
+            FROM u
+        """,
         # KMV set ops: q48 md5-prefix sketches; union = k-min of the
         # two sketches' union; jaccard/intersection one div + one mul
         "q224_kmv_setops": """

@@ -686,3 +686,35 @@ def temporal_split_audit(ds, *, user_col: str = "user_id",
         "users_test": pa.array([u_te], pa.int64()),
         "users_both": pa.array([u_bo], pa.int64()),
         "leak_share": pa.array([leak], pa.float64())})
+
+
+def fk_audit(child_ds, parent_ds, *, child_key: str,
+             parent_key: str, relation: str,
+             num_partitions: int = 32):
+    """Referential-integrity audit — ONE row ``(relation,
+    n_child:int64, n_orphans:int64, orphan_share:float64)`` counting
+    child rows whose key has no parent (including NULL-key children,
+    matching SQL ``NOT EXISTS``).  The first data-contract check a
+    warehouse load runs; a nonzero share on a supposedly-enforced FK
+    means the upstream extract is broken.
+
+    The orphan scan is :func:`featurebox_ray.stages.bloom.
+    bloom_anti_join` — the bloom pre-filter streams definite-misses
+    (and NULL keys) straight through, so the verify exchange moves
+    only possible-matches; counts are exact (the bloom stage
+    verifies).  ``orphan_share`` is ONE division of exact int64
+    counts.
+    """
+    from .bloom import bloom_anti_join
+
+    orphans = bloom_anti_join(child_ds, parent_ds, on=child_key,
+                              right_on=parent_key,
+                              num_partitions=num_partitions)
+    n_child = child_ds.count()
+    n_orph = orphans.count()
+    share = (float(n_orph) / float(n_child)) if n_child else None
+    return pa.table({
+        "relation": pa.array([relation], pa.string()),
+        "n_child": pa.array([n_child], pa.int64()),
+        "n_orphans": pa.array([n_orph], pa.int64()),
+        "orphan_share": pa.array([share], pa.float64())})
