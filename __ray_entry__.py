@@ -531,7 +531,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q223_shapley": _shapley_q,
         "q224_kmv_setops": _kmv_setops_q,
         "q225_fk_audit": _fk_audit_q,
+        "q226_quota_sample": _quota_sample_q,
     }
+
+
+def _quota_sample_q(sf_dir: str):
+    """q226: stratified FIXED-SIZE sample of documents by source
+    (stages/sample.py:quota_sample) — Hamilton quotas + per-group
+    Knuth-hash rank; exactly 300 rows, fully integer decision
+    path."""
+    import ray
+
+    from featurebox_ray.stages.sample import quota_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "doc_id"])
+    return quota_sample(docs, group_col="source", key_col="doc_id",
+                        total=300, num_partitions=8)
 
 
 def _fk_audit_q(sf_dir: str):
@@ -6551,6 +6567,39 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # quota sample: q221 quotas + q50 Knuth-hash window rank
+        "q226_quota_sample": """
+            WITH e AS (SELECT source AS g, doc_id AS k
+                       FROM documents
+                       WHERE source IS NOT NULL
+                         AND doc_id IS NOT NULL),
+            c AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e
+                  GROUP BY g),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+            b AS (SELECT g, n, n * 300 // tot.nn AS base,
+                         n * 300 % tot.nn AS rem
+                  FROM c, tot),
+            l AS (SELECT CAST(300 - sum(base) OVER () AS BIGINT)
+                           AS leftover,
+                         row_number() OVER (ORDER BY rem DESC, g)
+                           AS rk,
+                         g, base
+                  FROM b),
+            q AS (SELECT g, base + CASE WHEN rk <= leftover
+                                   THEN 1 ELSE 0 END AS quota
+                  FROM l),
+            h AS (SELECT g, k,
+                         ((CAST(k AS HUGEINT) % 4294967296)
+                          * 2654435761) % 4294967296 AS hv
+                  FROM e),
+            r AS (SELECT g, k,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY hv, k) AS rn
+                  FROM h)
+            SELECT r.g AS source, r.k AS doc_id
+            FROM r JOIN q USING (g)
+            WHERE r.rn <= q.quota
+        """,
         # FK audit: NOT EXISTS orphan counts, one division
         "q225_fk_audit": """
             WITH a AS (

@@ -705,3 +705,66 @@ def quota_allocate(ds, *, group_col: str, total: int,
         "base": pa.array([base[g] for g in groups], pa.int64()),
         "extra": pa.array([extra[g] for g in groups], pa.int64()),
         "quota": pa.array([quota[g] for g in groups], pa.int64())})
+
+
+def quota_sample(ds, *, group_col: str, key_col: str, total: int,
+                 num_partitions: int = 32):
+    """Stratified FIXED-SIZE sample — exactly ``total`` rows,
+    allocated across groups by :func:`quota_allocate` (Hamilton
+    largest-remainder) and drawn within each group as the
+    ``quota[g]`` smallest rows under the engine's ONE Knuth key hash
+    (``(key, id)`` order) — the deterministic "give me exactly N
+    labeled examples, proportionally stratified" primitive that
+    hash_sample (rate-based) and stratified_sample (per-group rate)
+    can't provide.
+
+    Fully integer decision path: quotas are exact (q221), the
+    per-group rank is a sort on ``(hash, key)`` — SQL replays with a
+    window ``row_number``.  NULL group/key rows drop; keys must be
+    non-negative ints (the knuth_hash contract).  When a group has
+    fewer rows than its quota the group under-fills (documented —
+    the output can then be < total; SQL mirrors naturally).
+
+    Plan: the quota pass is per-block count partials + driver
+    combine; the draw is ONE group-keyed exchange with the tiny
+    quota dict in the kernel closure.  Output: ``(group, key)``.
+    """
+    quotas = quota_allocate(ds, group_col=group_col, total=total)
+    qmap = {g: q for g, q in zip(quotas[group_col].to_pylist(),
+                                 quotas["quota"].to_pylist())}
+
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[group_col]),
+                       pc.is_valid(b[key_col]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        h = knuth_hash(np.asarray(k, np.int64), op="quota_sample")
+        return pa.table({group_col: b[group_col],
+                         key_col: b[key_col],
+                         "__h": pa.array(h.astype(np.int64))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([group_col, key_col])
+        gd = pc.dictionary_encode(t[group_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]])
+        gstart = np.flatnonzero(new)[np.cumsum(new) - 1]
+        rn = np.arange(len(codes), dtype=np.int64) - gstart + 1
+        # quota per dictionary value (tiny), broadcast by codes
+        qd = np.array([qmap.get(v, 0)
+                       for v in gd.dictionary.to_pylist()], np.int64)
+        return t.filter(pa.array(rn <= qd[codes])).select(
+            [group_col, key_col])
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=group_col,
+                           sort_keys=[group_col, "__h", key_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
