@@ -532,7 +532,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q224_kmv_setops": _kmv_setops_q,
         "q225_fk_audit": _fk_audit_q,
         "q226_quota_sample": _quota_sample_q,
+        "q227_encoding_audit": _encoding_audit_q,
     }
+
+
+def _encoding_audit_q(sf_dir: str):
+    """q227: mojibake/encoding-artifact audit per source (stages/
+    text.py:encoding_audit) — U+FFFD, Latin-1 lead-byte artifacts and
+    stray C0 controls counted with Arrow RE2 (DuckDB RE2 parity);
+    per-block partials, driver combine."""
+    import ray
+
+    from featurebox_ray.stages.text import encoding_audit
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"],
+                                 override_num_blocks=16)
+    return encoding_audit(docs, group_col="source", text_col="text")
 
 
 def _quota_sample_q(sf_dir: str):
@@ -6567,6 +6583,32 @@ def oracle_sql() -> dict[str, str]:
         "q193_soundex_block": q193,
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
+        # encoding audit: RE2 artifact counts both sides
+        "q227_encoding_audit": r"""
+            WITH e AS (SELECT source, coalesce(text, '') AS tx
+                       FROM documents WHERE source IS NOT NULL),
+            s AS (SELECT source,
+                         len(regexp_extract_all(tx, '\x{FFFD}'))
+                           AS r,
+                         len(regexp_extract_all(tx, '[ÃÂ]')) AS m,
+                         len(regexp_extract_all(tx,
+                             '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS c
+                  FROM e),
+            a AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(CASE WHEN r + m + c > 0 THEN 1
+                                  ELSE 0 END) AS BIGINT)
+                           AS n_flagged,
+                         CAST(sum(r) AS BIGINT) AS n_replacement,
+                         CAST(sum(m) AS BIGINT) AS n_mojibake,
+                         CAST(sum(c) AS BIGINT) AS n_control
+                  FROM s GROUP BY source)
+            SELECT source, n_docs, n_flagged, n_replacement,
+                   n_mojibake, n_control,
+                   CAST(n_flagged AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE) AS flagged_share
+            FROM a
+        """,
         # quota sample: q221 quotas + q50 Knuth-hash window rank
         "q226_quota_sample": """
             WITH e AS (SELECT source AS g, doc_id AS k

@@ -439,3 +439,93 @@ def compression_ratio_fn(batch: pa.Table, *, text_col: str = "text",
         "comp_len": pa.array(comp, pa.int64()),
         "ratio": pa.array(ratio, pa.float64()),
     })
+
+
+def encoding_audit(ds, *, group_col: str = "source",
+                   text_col: str = "text"):
+    """Encoding-artifact (mojibake) audit per group — the corpus
+    screen for broken ingestion: counts of U+FFFD replacement
+    characters, the classic UTF-8-read-as-Latin-1 artifacts
+    ('Ã'/'Â' lead bytes), and stray C0 control characters
+    (excluding tab/newline/carriage-return).  A nonzero flagged share
+    means a decode step upstream is mangling bytes.
+
+    Per group: ``(n_docs, n_flagged, n_replacement, n_mojibake,
+    n_control, flagged_share)`` — counts exact int64 (Arrow RE2
+    kernels; DuckDB's regexp_extract_all is RE2 too, the q117
+    parity), ``flagged_share`` ONE division.  NULL group rows drop;
+    NULL text counts as a clean doc.
+
+    Per-block dense partials + driver combine (groups few) — no
+    shuffle.  Reference analog: none — companion of script_profile /
+    gopher rules in the text-QA family.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def partial(b: pa.Table) -> pa.Table:
+        gtype = b.schema.field(group_col).type
+        keep = pc.fill_null(pc.is_valid(b[group_col]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        empty = pa.table({group_col: pa.array([], gtype),
+                          "d": pa.array([], pa.int64()),
+                          "f": pa.array([], pa.int64()),
+                          "r": pa.array([], pa.int64()),
+                          "m": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        txt = pc.fill_null(b[text_col].combine_chunks(), "")
+        rep = pc.count_substring(txt, "�").cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        moj = pc.count_substring_regex(txt, "[ÃÂ]").cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        ctl = pc.count_substring_regex(
+            txt, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        flagged = ((rep + moj + ctl) > 0).astype(np.int64)
+        gd = pc.dictionary_encode(b[group_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = len(gd.dictionary)
+        out = {}
+        for name, arr in (("d", np.ones(len(codes), np.int64)),
+                          ("f", flagged), ("r", rep), ("m", moj),
+                          ("c", ctl)):
+            acc = np.zeros(g, np.int64)
+            np.add.at(acc, codes, arr)
+            out[name] = acc
+        return pa.table({group_col: gd.dictionary,
+                         **{k: pa.array(v) for k, v in out.items()}})
+
+    pds = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(pds)):
+        for row in zip(blk[group_col].to_pylist(),
+                       blk["d"].to_pylist(), blk["f"].to_pylist(),
+                       blk["r"].to_pylist(), blk["m"].to_pylist(),
+                       blk["c"].to_pylist()):
+            cur = agg.setdefault(row[0], [0, 0, 0, 0, 0])
+            for i in range(5):
+                cur[i] += row[i + 1]
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    gtype = base.field(group_col).type
+    groups = sorted(agg)
+    return pa.table({
+        group_col: pa.array(groups, gtype),
+        "n_docs": pa.array([agg[g][0] for g in groups], pa.int64()),
+        "n_flagged": pa.array([agg[g][1] for g in groups],
+                              pa.int64()),
+        "n_replacement": pa.array([agg[g][2] for g in groups],
+                                  pa.int64()),
+        "n_mojibake": pa.array([agg[g][3] for g in groups],
+                               pa.int64()),
+        "n_control": pa.array([agg[g][4] for g in groups],
+                              pa.int64()),
+        "flagged_share": pa.array(
+            [float(agg[g][1]) / float(agg[g][0]) for g in groups],
+            pa.float64())})
