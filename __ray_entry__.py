@@ -533,7 +533,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q225_fk_audit": _fk_audit_q,
         "q226_quota_sample": _quota_sample_q,
         "q227_encoding_audit": _encoding_audit_q,
+        "q228_chi2_keyness": _chi2_keyness_q,
     }
+
+
+def _chi2_keyness_q(sf_dir: str):
+    """q228: per-source chi-square term keyness (stages/tfidf.py:
+    chi2_keyness) — top-15 over-represented terms per source; exact
+    integer contingency, chi2 as a fixed <2^53 double op sequence
+    (DuckDB HUGEINT→DOUBLE is not correctly rounded — measured — so
+    the single-division form is avoided); one term-keyed exchange,
+    driver merges ≤ partitions×groups×k rows."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import chi2_keyness
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"],
+                                 override_num_blocks=16)
+    return chi2_keyness(docs, group_col="source", text_col="text",
+                        k=15, min_count=5, num_partitions=8)
 
 
 def _encoding_audit_q(sf_dir: str):
@@ -6584,6 +6603,45 @@ def oracle_sql() -> dict[str, str]:
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
         # encoding audit: RE2 artifact counts both sides
+        # chi2 keyness: every integer factor < 2^53 so BIGINT→DOUBLE
+        # casts are exact; op order mirrors the engine's
+        # ((inner/AB)·inner/ab(N−ab))·N sequence left-to-right
+        "q228_chi2_keyness": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS term
+              FROM documents WHERE source IS NOT NULL),
+            st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS a
+                   FROM toks GROUP BY 1, 2),
+            tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS ab
+                   FROM st GROUP BY term),
+            sg AS (SELECT source, CAST(sum(a) AS BIGINT) AS asum
+                   FROM st GROUP BY source),
+            nn AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM st),
+            sc AS (SELECT st.source, st.term, st.a,
+                          (CAST(st.a * (nn.n - sg.asum)
+                                - (tt.ab - st.a) * sg.asum AS DOUBLE)
+                           / CAST(sg.asum * (nn.n - sg.asum)
+                                  AS DOUBLE)
+                           * CAST(st.a * (nn.n - sg.asum)
+                                  - (tt.ab - st.a) * sg.asum
+                                  AS DOUBLE)
+                           / CAST(tt.ab * (nn.n - tt.ab) AS DOUBLE))
+                          * CAST(nn.n AS DOUBLE) AS chi2
+                   FROM st
+                   JOIN tt USING (term)
+                   JOIN sg USING (source)
+                   CROSS JOIN nn
+                   WHERE st.a >= 5
+                     AND st.a * nn.n > tt.ab * sg.asum),
+            r AS (SELECT source, term, a AS cnt, chi2,
+                         row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY chi2 DESC, term ASC) AS rk
+                  FROM sc)
+            SELECT source, term, cnt, chi2 FROM r WHERE rk <= 15
+        """,
         "q227_encoding_audit": r"""
             WITH e AS (SELECT source, coalesce(text, '') AS tx
                        FROM documents WHERE source IS NOT NULL),

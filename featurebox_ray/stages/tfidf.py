@@ -877,6 +877,50 @@ def rising_terms(ds, *, id_col: str = "doc_id", text_col: str = "text",
                            strategy="tasks")
 
 
+def _group_term_counts(batch: pa.Table, group_col: str,
+                       text_col: str) -> pa.Table:
+    """Per-batch ``(group, term, cnt:int64)`` partials — one dictionary
+    encode over ``group·V + term`` composite codes, no Python loop.
+    NULL groups form a group; NULL text contributes no tokens.  Shared
+    by :func:`top_terms_per_group` and :func:`chi2_keyness`."""
+    texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+    flat, off = split_tokens(texts)
+    gtype = batch.schema.field(group_col).type
+    empty = pa.table({group_col: pa.array([], gtype),
+                      "term": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if len(flat) == 0:
+        return empty
+    g_arr = batch[group_col].combine_chunks()
+    gd = pc.dictionary_encode(g_arr)
+    n_named = len(gd.dictionary)
+    gi = gd.indices
+    gcodes = (pc.fill_null(gi, n_named) if gi.null_count
+              else gi).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    rep_g = np.repeat(gcodes, np.diff(off))
+    td = pc.dictionary_encode(flat)
+    tcodes = td.indices.to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    v = len(td.dictionary)
+    comp = rep_g * v + tcodes
+    u, cnt = np.unique(comp, return_counts=True)
+    g_out = u // v
+    gdict = gd.dictionary
+    if gi.null_count:
+        gdict = pa.concat_arrays([gdict.combine_chunks()
+                                  if isinstance(gdict,
+                                                pa.ChunkedArray)
+                                  else gdict,
+                                  pa.nulls(1, gdict.type)])
+    return pa.table({
+        group_col: gdict.take(pa.array(g_out, pa.int64())),
+        "term": td.dictionary.take(
+            pa.array(u % v, pa.int64())).cast(pa.string()),
+        "cnt": pa.array(cnt.astype(np.int64)),
+    })
+
+
 def top_terms_per_group(ds, *, group_col: str, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 5,
                         num_partitions: int = 8):
@@ -901,42 +945,7 @@ def top_terms_per_group(ds, *, group_col: str, id_col: str = "doc_id",
     out_gtype = base.field(group_col).type
 
     def partial(batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(batch[text_col].combine_chunks(), "")
-        flat, off = split_tokens(texts)
-        gtype = batch.schema.field(group_col).type
-        empty = pa.table({group_col: pa.array([], gtype),
-                          "term": pa.array([], pa.string()),
-                          "cnt": pa.array([], pa.int64())})
-        if len(flat) == 0:
-            return empty
-        g_arr = batch[group_col].combine_chunks()
-        gd = pc.dictionary_encode(g_arr)
-        n_named = len(gd.dictionary)
-        gi = gd.indices
-        gcodes = (pc.fill_null(gi, n_named) if gi.null_count
-                  else gi).to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        rep_g = np.repeat(gcodes, np.diff(off))
-        td = pc.dictionary_encode(flat)
-        tcodes = td.indices.to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        v = len(td.dictionary)
-        comp = rep_g * v + tcodes
-        u, cnt = np.unique(comp, return_counts=True)
-        g_out = u // v
-        gdict = gd.dictionary
-        if gi.null_count:
-            gdict = pa.concat_arrays([gdict.combine_chunks()
-                                      if isinstance(gdict,
-                                                    pa.ChunkedArray)
-                                      else gdict,
-                                      pa.nulls(1, gdict.type)])
-        return pa.table({
-            group_col: gdict.take(pa.array(g_out, pa.int64())),
-            "term": td.dictionary.take(
-                pa.array(u % v, pa.int64())).cast(pa.string()),
-            "cnt": pa.array(cnt.astype(np.int64)),
-        })
+        return _group_term_counts(batch, group_col, text_col)
 
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "term" not in t.column_names:
@@ -987,6 +996,194 @@ def top_terms_per_group(ds, *, group_col: str, id_col: str = "doc_id",
                            sort_keys=[group_col, "term"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def chi2_keyness(ds, *, group_col: str = "source",
+                 text_col: str = "text", k: int = 15,
+                 min_count: int = 5, num_partitions: int = 8):
+    """Per-group keyword extraction by chi-square keyness — for each
+    group (source / language / label), the ``k`` terms most
+    OVER-represented in that group relative to the rest of the corpus
+    (the corpus-linguistics "keyness" statistic; the per-source
+    boilerplate / topic-signature discovery step of a corpus audit).
+
+    For term t in group s, the 2×2 contingency is (a = t-in-s tokens,
+    b = t-elsewhere, A−a = other-in-s, B−b = other-elsewhere) and
+
+        chi2 = N·(aB − bA)² / (ab·(N−ab)·A·B),   ab = a+b, N = A+B
+
+    Kept terms need ``a ≥ min_count`` and strict over-representation
+    ``a·N > ab·A`` (the signed direction — chi2 alone is symmetric).
+
+    Exactness: every integer factor is bounded by ``(N/2)² < 2^53``
+    (guarded — raises when N ≥ 94,906,265 tokens; at that scale swap
+    the SQL replay for a Python-int fixture), so ``aB−bA``, ``A·B``
+    and ``ab·(N−ab)`` are all exactly-representable doubles and the
+    FIXED op sequence
+
+        chi2 = ((d(aB−bA)/d(A·B))·d(aB−bA)/d(ab·(N−ab)))·d(N)
+
+    replays bit-for-bit in DuckDB (BIGINT→DOUBLE below 2^53 is exact;
+    HUGEINT→DOUBLE is NOT correctly rounded — measured ~1% of casts —
+    which is why the single-division N·(aB−bA)²/den form is avoided).
+
+    Plan: per-block ``(group, term, cnt)`` partials (shared
+    ``_group_term_counts``), materialized ONCE and consumed twice —
+    a driver-tiny per-group token-total pass (≤ blocks × groups
+    rows), then ONE term-keyed exchange where each term's global
+    count completes and the pruned candidates (a ≥ min_count) score
+    via exact Python ints; local top-k per group per partition is
+    sound because a (group, term) score is final inside its term
+    partition.  Driver merges ≤ partitions×groups×k rows.  NULL
+    groups drop (filter upstream to keep them).
+
+    Returns a pa.Table ``(group_col, term, cnt, chi2)`` sorted by
+    (group, chi2 desc, term asc), ≤ k rows per group.  Reference
+    analog: none — beyond-reference corpus-audit operator alongside
+    top_terms_per_group / vocab_coverage.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_valid(batch[group_col]), False)
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
+        return _group_term_counts(batch, group_col, text_col)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    refs = materialized_block_refs(partials)
+
+    # pass 1 (driver-tiny): per-group token totals A_s and N
+    def block_totals(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "term" not in b.column_names:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "tot": pa.array([], pa.int64())})
+        agg = b.group_by(group_col).aggregate([("cnt", "sum")])
+        return pa.table({"g": agg[group_col].cast(pa.string()),
+                         "tot": agg["cnt_sum"]})
+
+    totals: dict[str, int] = {}
+    tot_blocks = ray.data.from_arrow_refs(refs).map_batches(
+        block_totals, batch_format="pyarrow",
+        zero_copy_batch=True).take_all()
+    for r in tot_blocks:
+        totals[r["g"]] = totals.get(r["g"], 0) + int(r["tot"])
+    n_total = sum(totals.values())
+    if n_total >= 94_906_265:  # sqrt(2^53): A·B could pass 2^53
+        raise ValueError("chi2_keyness: corpus too large for the "
+                         "exact-double decomposition — use a "
+                         "Python-int fixture replay at this scale")
+    totals_ref = ray.put(totals)
+
+    gtype = pa.string() if not refs else None  # resolved in kernel
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty_g = (t.schema.field(group_col).type
+                   if "term" in t.column_names else pa.string())
+        empty = pa.table({group_col: pa.array([], empty_g),
+                          "term": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "chi2": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return empty
+        tots = ray.get(totals_ref)
+        n_tok = sum(tots.values())
+        td = pc.dictionary_encode(t["term"].combine_chunks())
+        tcodes = td.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g_arr = t[group_col].combine_chunks()
+        gd = pc.dictionary_encode(g_arr)
+        gcodes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v = len(gd.dictionary)
+        comp = tcodes * v + gcodes
+        u, inv = np.unique(comp, return_inverse=True)
+        a = np.zeros(len(u), np.int64)
+        np.add.at(a, inv, t["cnt"].to_numpy(zero_copy_only=False))
+        ut = u // v
+        # per-term global count ab (term runs contiguous in u)
+        tstart = np.flatnonzero(np.concatenate(
+            [[True], ut[1:] != ut[:-1]]))
+        ab_run = np.add.reduceat(a, tstart)
+        ab = np.repeat(ab_run, np.diff(np.append(tstart, len(u))))
+        A_by_code = np.array(
+            [int(tots.get(gd.dictionary[i].as_py(), 0))
+             for i in range(v)], np.int64)
+        A = A_by_code[u % v]
+        # prune, then exact Python-int scoring on survivors only
+        cand = np.flatnonzero(a >= min_count)
+        rows_g, rows_t, rows_a, rows_chi = [], [], [], []
+        for i in cand:
+            ai, abi, Ai = int(a[i]), int(ab[i]), int(A[i])
+            bi, Bi = abi - ai, n_tok - Ai
+            if ai * n_tok <= abi * Ai:  # not over-represented
+                continue
+            inner = ai * Bi - bi * Ai
+            chi2 = ((float(inner) / float(Ai * Bi)) * float(inner)
+                    / float(abi * (n_tok - abi))) * float(n_tok)
+            rows_g.append(int(u[i] % v))
+            rows_t.append(int(ut[i]))
+            rows_a.append(ai)
+            rows_chi.append(chi2)
+        if not rows_g:
+            return empty
+        # local top-k per group: (chi2 desc, term asc) — term order
+        # is bytewise over the partition dictionary
+        term_rank = pc.sort_indices(td.dictionary)
+        tinv = np.empty(len(td.dictionary), np.int64)
+        tinv[term_rank.to_numpy(zero_copy_only=False)] = np.arange(
+            len(td.dictionary))
+        gk = np.array(rows_g, np.int64)
+        chi = np.array(rows_chi, np.float64)
+        tk = np.array(rows_t, np.int64)
+        order = np.lexsort((tinv[tk], -chi, gk))
+        gk_s = gk[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], gk_s[1:] != gk_s[:-1]]))
+        run_id = np.cumsum(np.concatenate(
+            [[0], (gk_s[1:] != gk_s[:-1]).astype(np.int64)]))
+        rank = np.arange(len(gk_s)) - starts[run_id]
+        sel = order[rank < k]
+        return pa.table({
+            group_col: gd.dictionary.take(pa.array(gk[sel])),
+            "term": td.dictionary.take(
+                pa.array(tk[sel])).cast(pa.string()),
+            "cnt": pa.array(np.array(rows_a, np.int64)[sel]),
+            "chi2": pa.array(chi[sel])})
+
+    scored = partitioned_map(
+        ray.data.from_arrow_refs(refs), kernel, key="term",
+        sort_keys=["term", group_col],
+        num_partitions=num_partitions, strategy="tasks")
+
+    # driver merge: ≤ partitions × groups × k rows
+    blocks = [b for b in ray.get(materialized_block_refs(scored))
+              if b.num_rows and "term" in b.column_names]
+    if not blocks:
+        return pa.table({group_col: pa.array([], gtype or pa.string()),
+                         "term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "chi2": pa.array([], pa.float64())})
+    allt = pa.concat_tables(blocks).combine_chunks()
+    gd = pc.dictionary_encode(allt[group_col].combine_chunks())
+    gcodes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    term_rank = pc.sort_indices(allt["term"])
+    tinv = np.empty(allt.num_rows, np.int64)
+    tinv[term_rank.to_numpy(zero_copy_only=False)] = np.arange(
+        allt.num_rows)
+    chi = allt["chi2"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((tinv, -chi, gcodes))
+    gk_s = gcodes[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], gk_s[1:] != gk_s[:-1]]))
+    run_id = np.cumsum(np.concatenate(
+        [[0], (gk_s[1:] != gk_s[:-1]).astype(np.int64)]))
+    rank = np.arange(len(gk_s)) - starts[run_id]
+    sel = order[rank < k]
+    return allt.take(pa.array(sel, pa.int64()))
 
 
 def novelty_curve(ds, *, id_col: str = "doc_id", text_col: str = "text",
