@@ -534,7 +534,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q226_quota_sample": _quota_sample_q,
         "q227_encoding_audit": _encoding_audit_q,
         "q228_chi2_keyness": _chi2_keyness_q,
+        "q229_kendall_tau": _kendall_tau_q,
     }
+
+
+def _kendall_tau_q(sf_dir: str):
+    """q229: per-user Kendall tau-b between time and spend (stages/
+    regress.py:kendall_tau) — exact integer concordant/discordant/
+    tie pair counts (cents tie classes), tau = double(cd)/
+    sqrt(double((n0−n1)(n0−n2))) with the product < 2^53 (exact
+    BIGINT→DOUBLE both sides); one user-keyed exchange, vectorized
+    pair-triangle kernel; the DuckDB oracle is the all-pairs
+    self-join."""
+    import ray
+
+    from featurebox_ray.stages.regress import kendall_tau
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"])
+    return kendall_tau(ev, key_col="user_id", x_col="ts",
+                       y_col="value", num_partitions=16)
 
 
 def _chi2_keyness_q(sf_dir: str):
@@ -6603,6 +6623,41 @@ def oracle_sql() -> dict[str, str]:
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
         # encoding audit: RE2 artifact counts both sides
+        # Kendall tau-b: all-pairs self-join, exact int pair counts;
+        # (n0-n1)(n0-n2) < 2^53 so the casts are exact both sides
+        "q229_kendall_tau": """
+            WITH e AS (
+              SELECT user_id AS u, event_id AS id, epoch_us(ts) AS t,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS y
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+            p AS (SELECT a.u AS u,
+                         CASE WHEN a.t = b.t THEN 0
+                              WHEN (a.t < b.t AND a.y < b.y)
+                                OR (a.t > b.t AND a.y > b.y) THEN 1
+                              WHEN a.y = b.y THEN 0
+                              ELSE -1 END AS s,
+                         CASE WHEN a.t = b.t THEN 1 ELSE 0 END AS tx,
+                         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+                  FROM e a JOIN e b ON a.u = b.u AND a.id < b.id),
+            g AS (SELECT u, CAST(count(*) AS BIGINT) AS n0,
+                         CAST(sum(s) AS BIGINT) AS cd,
+                         CAST(sum(tx) AS BIGINT) AS n1,
+                         CAST(sum(ty) AS BIGINT) AS n2
+                  FROM p GROUP BY u),
+            c AS (SELECT u, CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY u HAVING count(*) <= 8192)
+            SELECT c.u AS user_id, c.n, g.cd,
+                   CASE WHEN (g.n0 - g.n1) * (g.n0 - g.n2) = 0
+                        THEN NULL
+                        ELSE CAST(g.cd AS DOUBLE)
+                             / sqrt(CAST((g.n0 - g.n1)
+                                         * (g.n0 - g.n2) AS DOUBLE))
+                   END AS tau
+            FROM c JOIN g ON c.u = g.u
+        """,
         # chi2 keyness: every integer factor < 2^53 so BIGINT→DOUBLE
         # casts are exact; op order mirrors the engine's
         # ((inner/AB)·inner/ab(N−ab))·N sequence left-to-right

@@ -1227,6 +1227,124 @@ def group_theil_sen(ds, *, key_col: str, x_col: str, y_col: str,
                            strategy="tasks")
 
 
+def kendall_tau(ds, *, key_col: str, x_col: str, y_col: str,
+                max_group: int = 8192, num_partitions: int = 16):
+    """Per-key Kendall tau-b rank correlation between ``x`` (usually
+    time) and ``y`` (usually a metric) — the tie-corrected concordance
+    trend test: the ordinal companion of :func:`group_theil_sen`
+    (which estimates slope MAGNITUDE; tau measures monotone
+    DIRECTION strength, robust to any monotone transform of either
+    axis).
+
+        tau_b = (C − D) / sqrt((n0 − n1)·(n0 − n2))
+
+    with C/D concordant/discordant pairs, ``n0 = n(n−1)/2``, ``n1`` /
+    ``n2`` the x- / y-tied pair counts (both-tied pairs count in
+    each, the standard tau-b convention).
+
+    Exactness: ``y`` quantizes to int64 cents (exact tie classes);
+    timestamps cast to int64 native units; C−D, n1, n2 are exact
+    integer pair counts, and with the ``max_group`` cap the
+    denominator product is ≤ (max_group²/2)² < 2^53, so
+    ``double(cd)/sqrt(double((n0−n1)(n0−n2)))`` is a fixed
+    correctly-rounded op sequence DuckDB replays bit-exactly (the
+    all-pairs self-join oracle).  Degenerate keys (all x tied or all
+    y tied) emit NULL tau; single-row keys emit nothing (the SQL
+    pair join has no row to aggregate).
+
+    Shape: ONE key-keyed exchange; the kernel enumerates pair
+    triangles fully vectorized (shared ``triangular_pairs`` decode).
+    Keys with more than ``max_group`` rows are dropped with a logged
+    warning (the q42/theil_sen bounded-group convention; the
+    documented scale path for mega-keys is O(n log n) merge-sort
+    inversion counting — not needed at current group sizes).
+
+    Returns ``(key_col, n:int64, cd:int64, tau:float64)``.
+    Reference analog: none — companion of group_spearman (which
+    ranks globally per group; tau-b is the pair-concordance view).
+    """
+    from ..functions.segments import cents_exact, triangular_pairs
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b[x_col].combine_chunks()
+        if pa.types.is_timestamp(x.type):
+            x = x.cast(pa.int64())
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(x)),
+                       pc.is_valid(b[y_col]))
+        keep = pc.fill_null(keep, False)
+        t = pa.table({key_col: b[key_col], "__x": x,
+                      "__v": b[y_col]})
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        cents = cents_exact(t["__v"].combine_chunks(), col=y_col)
+        return pa.table({key_col: t[key_col], "__x": t["__x"],
+                         "__y": pa.array(cents)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    key_type = ds.schema()
+    key_type = getattr(key_type, "base_schema", key_type).field(
+        key_col).type
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "n": pa.array([], pa.int64()),
+                      "cd": pa.array([], pa.int64()),
+                      "tau": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        x = t["__x"].to_numpy(zero_copy_only=False)
+        y = t["__y"].to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(codes)]]))
+        keep_seg = (lens <= max_group) & (lens >= 2)
+        n_skip = int((lens > max_group).sum())
+        if n_skip:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "kendall_tau: skipped %d keys with > %d points",
+                n_skip, max_group)
+        sl, ss = lens[keep_seg], starts[keep_seg]
+        if len(sl) == 0:
+            return empty
+        i_glob, j_glob, gid = triangular_pairs(ss, sl)
+        # rows sorted by (key, __x): x[i] <= x[j] within a pair
+        x_tie = x[i_glob] == x[j_glob]
+        dy = np.sign(y[j_glob] - y[i_glob]).astype(np.int64)
+        s = np.where(x_tie, 0, dy)
+        nseg = len(sl)
+        cd = np.bincount(gid, weights=s, minlength=nseg).astype(
+            np.int64)
+        n1 = np.bincount(gid, weights=x_tie, minlength=nseg).astype(
+            np.int64)
+        n2 = np.bincount(gid, weights=(dy == 0),
+                         minlength=nseg).astype(np.int64)
+        n0 = sl * (sl - 1) // 2
+        den = (n0 - n1) * (n0 - n2)  # <= (max_group^2/2)^2 < 2^53
+        has = den > 0
+        tau = np.full(nseg, np.nan)
+        tau[has] = cd[has].astype(np.float64) / np.sqrt(
+            den[has].astype(np.float64))
+        return pa.table({
+            key_col: keys.take(pa.array(ss, pa.int64())),
+            "n": pa.array(sl.astype(np.int64)),
+            "cd": pa.array(cd),
+            "tau": pa.array(tau, pa.float64(), mask=~has)})
+
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__x"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+
 def cohen_kappa(ds, *, group_col: str, rater_a_col: str,
                 rater_b_col: str):
     """Cohen's kappa inter-rater agreement per group — the standard
