@@ -535,7 +535,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q227_encoding_audit": _encoding_audit_q,
         "q228_chi2_keyness": _chi2_keyness_q,
         "q229_kendall_tau": _kendall_tau_q,
+        "q230_sax_symbols": _sax_q,
     }
+
+
+def _sax_q(sf_dir: str):
+    """q230: PAA+SAX symbolic encoding of per-user spend series
+    (stages/window.py:sax_encode) — 8-event windows, exact int64
+    window sums, global quartile breakpoints via the q51 exact
+    quantile_disc selection, strict-compare symbols 0-3; one
+    user-keyed exchange + a tiny quantile exchange, sums
+    materialized once for both consumers."""
+    import ray
+
+    from featurebox_ray.stages.window import sax_encode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    return sax_encode(ev, key_col="user_id", ts_col="ts",
+                      order_col="event_id", value_col="value",
+                      window=8, num_partitions=16)
 
 
 def _kendall_tau_q(sf_dir: str):
@@ -6623,6 +6643,40 @@ def oracle_sql() -> dict[str, str]:
         "q202_er_match": q202,
         # checksum: same md5-prefix row hash, commutative HUGEINT sum
         # encoding audit: RE2 artifact counts both sides
+        # SAX: row_number windows, int64 sums, quantile_disc
+        # breakpoints (q51 rank parity), strict-compare symbols
+        "q230_sax_symbols": """
+            WITH e AS (
+              SELECT user_id AS u, epoch_us(ts) AS t, event_id AS id,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS y
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL AND value IS NOT NULL),
+            r AS (SELECT u, y,
+                         row_number() OVER (PARTITION BY u
+                                            ORDER BY t, id) - 1
+                           AS rn,
+                         count(*) OVER (PARTITION BY u) AS n
+                  FROM e),
+            w AS (SELECT u, rn // 8 AS win_idx,
+                         CAST(sum(y) AS BIGINT) AS wsum
+                  FROM r WHERE rn // 8 < n // 8
+                  GROUP BY u, rn // 8),
+            b AS (SELECT quantile_disc(wsum, CAST(0.25 AS DOUBLE))
+                           AS b1,
+                         quantile_disc(wsum, CAST(0.5 AS DOUBLE))
+                           AS b2,
+                         quantile_disc(wsum, CAST(0.75 AS DOUBLE))
+                           AS b3
+                  FROM w)
+            SELECT u AS user_id, win_idx, wsum,
+                   CAST(CASE WHEN wsum > b.b1 THEN 1 ELSE 0 END
+                        + CASE WHEN wsum > b.b2 THEN 1 ELSE 0 END
+                        + CASE WHEN wsum > b.b3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS symbol
+            FROM w, b
+        """,
         # Kendall tau-b: all-pairs self-join, exact int pair counts;
         # (n0-n1)(n0-n2) < 2^53 so the casts are exact both sides
         "q229_kendall_tau": """

@@ -1271,3 +1271,142 @@ def rolling_rank(ds, *, key_col: str, ts_col: str, seq_col: str,
                            sort_keys=[key_col, "__t", "__s"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def sax_encode(ds, *, key_col: str, ts_col: str, order_col: str,
+               value_col: str, window: int = 8,
+               num_partitions: int = 16):
+    """PAA + SAX-style symbolic encoding of per-key event series —
+    each key's (ts, order)-ordered values collapse into
+    non-overlapping windows of ``window`` consecutive events
+    (Piecewise Aggregate Approximation), and every window maps to a
+    symbol 0–3 by which global quartile of the window sums it falls
+    in (the Symbolic Aggregate approXimation alphabet, with
+    data-driven breakpoints instead of the classic z-normal grid —
+    no mean/std float chain, so everything stays exact).  The
+    downstream consumers are motif mining / series hashing /
+    coarse-grained drift audits over telemetry.
+
+    Exactness: values quantize to int64 cents; a window SUM (not
+    mean — same ordering, no division) is an exact int64;
+    breakpoints are exact quantile_disc ELEMENTS of the window sums
+    (the q51 distributed selection, rank ``max(ceil(q·n)−1, 0)``);
+    the symbol is ``(s>b1)+(s>b2)+(s>b3)`` with STRICT integer
+    compares.  Nothing floats except the breakpoint columns'
+    representation (< 2^53, exact both sides).
+
+    Shape: ONE key-keyed exchange builds window sums (rows filtered
+    to FULL windows, one reduceat per partition); the sums
+    materialize once and are consumed twice — the exact-quantile
+    exchange (tiny) and the final symbol map (breakpoints broadcast
+    as three scalars).  Keys with fewer than ``window`` events emit
+    nothing.
+
+    Returns ``(key_col, win_idx:int64, wsum:int64, symbol:int64)``.
+    Reference analog: none — beyond-reference time-series operator
+    alongside resample_linear / hopping_window_stats.
+    """
+    import ray
+
+    from ..functions.segments import cents_exact
+    from .partition import materialized_block_refs
+    from .quantile import group_quantiles
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(t)),
+                       pc.and_(pc.is_valid(b[order_col]),
+                               pc.is_valid(b[value_col])))
+        keep = pc.fill_null(keep, False)
+        out = pa.table({key_col: b[key_col], "__t": t,
+                        "__o": b[order_col], "__v": b[value_col]})
+        if not pc.all(keep).as_py():
+            out = out.filter(keep)
+        cents = cents_exact(out["__v"].combine_chunks(),
+                            col=value_col)
+        return pa.table({key_col: out[key_col], "__t": out["__t"],
+                         "__o": out["__o"], "__y": pa.array(cents)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    key_type = ds.schema()
+    key_type = getattr(key_type, "base_schema", key_type).field(
+        key_col).type
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "win_idx": pa.array([], pa.int64()),
+                      "wsum": pa.array([], pa.int64())})
+
+    def win_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        y = t["__y"].to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(codes)]]))
+        seg_id = np.cumsum(new_run.astype(np.int64)) - 1
+        rn = np.arange(len(codes)) - starts[seg_id]
+        wi = rn // window
+        full = wi < (lens // window)[seg_id]
+        if not full.any():
+            return empty
+        rows = np.flatnonzero(full)
+        # kept rows per key are consecutive multiples of `window`
+        wpos = np.flatnonzero(rn[rows] % window == 0)
+        wstarts = rows[wpos]
+        sums = np.add.reduceat(y[rows], wpos)
+        return pa.table({
+            key_col: keys.take(pa.array(wstarts, pa.int64())),
+            "win_idx": pa.array(wi[wstarts], pa.int64()),
+            "wsum": pa.array(sums.astype(np.int64))})
+
+    wins = partitioned_map(prepped, win_kernel, key=key_col,
+                           sort_keys=[key_col, "__t", "__o"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+    refs = materialized_block_refs(wins)
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "wsum" not in b.column_names:
+            return pa.table({"__g": pa.array([], pa.int64()),
+                             "wsum": pa.array([], pa.int64())})
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int64)),
+            "wsum": b["wsum"]})
+
+    qt = (ray.data.from_arrow_refs(refs)
+          .map_batches(tag, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    qrow = group_quantiles(qt, group_col="__g", value_col="wsum",
+                           qs=[0.25, 0.5, 0.75],
+                           names=["b1", "b2", "b3"],
+                           num_partitions=4).take_all()
+    if not qrow:  # no full windows anywhere
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], key_type),
+            "win_idx": pa.array([], pa.int64()),
+            "wsum": pa.array([], pa.int64()),
+            "symbol": pa.array([], pa.int64())}))
+    b1, b2, b3 = (qrow[0]["b1"], qrow[0]["b2"], qrow[0]["b3"])
+
+    def symbolize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "wsum" not in b.column_names:
+            return pa.table({key_col: pa.array([], key_type),
+                             "win_idx": pa.array([], pa.int64()),
+                             "wsum": pa.array([], pa.int64()),
+                             "symbol": pa.array([], pa.int64())})
+        s = b["wsum"].to_numpy(zero_copy_only=False).astype(
+            np.float64)  # exact: |wsum| < 2^53
+        sym = ((s > b1).astype(np.int64) + (s > b2).astype(np.int64)
+               + (s > b3).astype(np.int64))
+        return b.append_column("symbol", pa.array(sym))
+
+    return (ray.data.from_arrow_refs(refs)
+            .map_batches(symbolize, batch_format="pyarrow",
+                         zero_copy_batch=True))
