@@ -536,7 +536,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q228_chi2_keyness": _chi2_keyness_q,
         "q229_kendall_tau": _kendall_tau_q,
         "q230_sax_symbols": _sax_q,
+        "q231_churn_profile": _churn_profile_q,
     }
+
+
+def _churn_profile_q(sf_dir: str):
+    """q231: consecutive-record edit-distance churn profile per source
+    (stages/editdist.py:consecutive_editdist) — every doc paired with
+    its doc_id successor inside its source, exact batch-vectorized
+    Levenshtein DP (DuckDB ``levenshtein`` parity on the ASCII corpus;
+    non-ASCII and >4096-byte rows excluded by contract, mirrored in
+    the oracle); ONE source-keyed exchange, one O(max_len) vectorized
+    DP over all pairs of a partition."""
+    import ray
+
+    from featurebox_ray.stages.editdist import consecutive_editdist
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "doc_id", "text"],
+        override_num_blocks=16)
+    return consecutive_editdist(docs, key_col="source",
+                                order_col="doc_id", text_col="text",
+                                num_partitions=8)
 
 
 def _sax_q(sf_dir: str):
@@ -6676,6 +6698,29 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN wsum > b.b3 THEN 1 ELSE 0 END
                         AS BIGINT) AS symbol
             FROM w, b
+        """,
+        # churn profile: lead() pairing among kept rows; DuckDB
+        # levenshtein == the engine's byte DP on the ASCII corpus
+        # (non-ASCII rows excluded by contract both sides)
+        "q231_churn_profile": """
+            WITH d AS (
+              SELECT source, doc_id, text,
+                     CAST(strlen(text) AS BIGINT) AS bl
+              FROM documents
+              WHERE source IS NOT NULL AND text IS NOT NULL
+                AND doc_id IS NOT NULL
+                AND strlen(text) = length(text)
+                AND strlen(text) <= 4096),
+            p AS (SELECT source, doc_id AS id_a,
+                         lead(doc_id) OVER w AS id_b,
+                         text AS ta, lead(text) OVER w AS tb,
+                         bl AS len_a, lead(bl) OVER w AS len_b
+                  FROM d
+                  WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+            SELECT source, id_a, id_b,
+                   CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+                   len_a, len_b
+            FROM p WHERE id_b IS NOT NULL
         """,
         # Kendall tau-b: all-pairs self-join, exact int pair counts;
         # (n0-n1)(n0-n2) < 2^53 so the casts are exact both sides

@@ -222,6 +222,11 @@ QUERY_NAMES = [
     "q214_mann_whitney", "q216_cross_source", "q217_split_audit",
     "q219_prep_corpus", "q220_pareto_front", "q221_quota_allocate",
     "q222_did_estimate", "q224_kmv_setops",
+    # session-13 additions (fixture-inline q218/q223 stay out)
+    "q225_fk_audit", "q226_quota_sample", "q227_encoding_audit",
+    "q228_chi2_keyness", "q229_kendall_tau", "q230_sax_symbols",
+    # session-14 additions
+    "q231_churn_profile",
 ]
 
 

@@ -287,3 +287,111 @@ def edit_distance_join(ds, *, id_col: str, str_col: str, d: int = 2,
 
     return cand.map_batches(verify, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def consecutive_editdist(ds, *, key_col: str, order_col: str,
+                         text_col: str, ratio_den=None,
+                         max_len: int = 4096,
+                         num_partitions: int = 16):
+    """CONSECUTIVE-record edit-distance profile — for each key (source,
+    conversation, crawl host), pair every record with its successor in
+    ``order_col`` order and emit the exact Levenshtein distance; with
+    ``ratio_den`` set, keep only pairs whose distance is at most
+    ``max(len_a, len_b) / ratio_den`` (integer comparison
+    ``ratio_den * lev <= max(len_a, len_b)``, no float ratio).  The
+    retry-turn / re-crawl-snapshot detector: near-identical successive
+    texts are retries or boilerplate re-captures that inflate corpus
+    weight without adding signal; the unfiltered profile is the
+    corpus-churn audit (how much does each source's stream mutate
+    record-to-record).
+
+    Exactness: distances come from :func:`batch_levenshtein` (exact
+    unit-cost DP, byte alphabet).  ASCII contract: rows whose UTF-8
+    byte length differs from their codepoint length are EXCLUDED
+    before pairing (bytes != codepoints would diverge from DuckDB's
+    codepoint-counting ``levenshtein``); rows longer than ``max_len``
+    bytes are likewise excluded (DP cost bound) — both filters are
+    part of the operator contract and must be mirrored in any oracle
+    (pairing is "consecutive among the kept rows").
+
+    Shape: ONE key-keyed exchange (``partitioned_map`` sorted by
+    (key, order)); the kernel pairs adjacent rows per key run and,
+    when flagging, applies the length-difference prefilter
+    (``lev >= |len_a - len_b|``, so ``ratio_den * |len_a - len_b| >
+    max_len_pair`` can never pass — pure pruning, result-invariant)
+    before the batch DP.  Linear in rows; DP cost bounded by
+    ``max_len``.
+
+    Returns ``(key_col, id_a, id_b, lev:int64, len_a:int64,
+    len_b:int64)`` with ``id_* = order_col`` values.  Reference
+    analog: none (corpus-audit extension; the dedup family's
+    consecutive-pair specialization).
+    """
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        txt = b[text_col].combine_chunks()
+        blen = pc.binary_length(txt)
+        keep = pc.and_(pc.is_valid(b[key_col]), pc.is_valid(txt))
+        keep = pc.and_(keep, pc.is_valid(b[order_col]))
+        keep = pc.and_(keep, pc.equal(blen, pc.utf8_length(txt)))
+        keep = pc.and_(keep, pc.less_equal(blen, max_len))
+        keep = pc.fill_null(keep, False)
+        t = pa.table({key_col: b[key_col], "__id": b[order_col],
+                      "__txt": txt,
+                      "__len": blen.cast(pa.int64())})
+        return t.filter(keep)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    key_type = ds.schema()
+    key_type = getattr(key_type, "base_schema", key_type).field(
+        key_col).type
+    empty = pa.table({
+        key_col: pa.array([], key_type),
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "lev": pa.array([], pa.int64()),
+        "len_a": pa.array([], pa.int64()),
+        "len_b": pa.array([], pa.int64()),
+    })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        same = pc.equal(keys.slice(0, len(keys) - 1),
+                        keys.slice(1)).to_numpy(zero_copy_only=False)
+        i = np.flatnonzero(same)          # pair (i, i+1) within a key
+        if len(i) == 0:
+            return empty
+        lens = t["__len"].to_numpy(zero_copy_only=False)
+        if ratio_den is not None:
+            la, lb = lens[i], lens[i + 1]
+            # prefilter: lev >= |la - lb|, so a pair failing on the
+            # length difference alone can never be flagged
+            cand = ratio_den * np.abs(la - lb) <= np.maximum(la, lb)
+            i = i[cand]
+            if len(i) == 0:
+                return empty
+        txt = t["__txt"].combine_chunks()
+        lev = batch_levenshtein(txt.take(pa.array(i)),
+                                txt.take(pa.array(i + 1)))
+        if ratio_den is not None:
+            keep = (ratio_den * lev
+                    <= np.maximum(lens[i], lens[i + 1]))
+            i, lev = i[keep], lev[keep]
+        ids = t["__id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: keys.take(pa.array(i)),
+            "id_a": pa.array(ids[i].astype(np.int64)),
+            "id_b": pa.array(ids[i + 1].astype(np.int64)),
+            "lev": pa.array(lev.astype(np.int64)),
+            "len_a": pa.array(lens[i].astype(np.int64)),
+            "len_b": pa.array(lens[i + 1].astype(np.int64)),
+        })
+
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__id"],
+                           num_partitions=num_partitions)
