@@ -537,7 +537,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q229_kendall_tau": _kendall_tau_q,
         "q230_sax_symbols": _sax_q,
         "q231_churn_profile": _churn_profile_q,
+        "q232_quantile_normalize": _quantile_normalize_q,
     }
+
+
+def _quantile_normalize_q(sf_dir: str):
+    """q232: cross-source quantile normalization of document lengths
+    (stages/encode.py:quantile_normalize) — every doc's n_chars mapped
+    onto the pooled length distribution at its within-source rank;
+    pure integer rank arithmetic + positional gather (bit-exact SQL
+    window replay); pooled histogram reduced from per-block partials
+    and broadcast once, ONE source-keyed exchange."""
+    import ray
+
+    from featurebox_ray.stages.encode import quantile_normalize
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+        override_num_blocks=16)
+    return quantile_normalize(docs, id_col="doc_id",
+                              group_col="source",
+                              value_col="n_chars", num_partitions=8)
 
 
 def _churn_profile_q(sf_dir: str):
@@ -6721,6 +6742,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
                    len_a, len_b
             FROM p WHERE id_b IS NOT NULL
+        """,
+        # quantile normalize: within-source row_number + pooled
+        # row_number join; the rank product in HUGEINT, integer //
+        "q232_quantile_normalize": """
+            WITH d AS (
+              SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE doc_id IS NOT NULL AND source IS NOT NULL
+                AND n_chars IS NOT NULL),
+            r AS (SELECT doc_id, source, v,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY v, doc_id) AS r,
+                         count(*) OVER (PARTITION BY source) AS ns
+                  FROM d),
+            p AS (SELECT v AS pv,
+                         row_number() OVER (ORDER BY v) - 1 AS pos
+                  FROM d),
+            n AS (SELECT count(*) AS nn FROM d)
+            SELECT r.doc_id, r.source, r.v AS value, p.pv AS qnorm
+            FROM r, n
+            JOIN p ON p.pos = CASE WHEN r.ns > 1
+                  THEN CAST(((CAST(r.r AS HUGEINT) - 1) * (n.nn - 1))
+                            // (r.ns - 1) AS BIGINT)
+                  ELSE (n.nn - 1) // 2 END
         """,
         # Kendall tau-b: all-pairs self-join, exact int pair counts;
         # (n0-n1)(n0-n2) < 2^53 so the casts are exact both sides

@@ -226,7 +226,7 @@ QUERY_NAMES = [
     "q225_fk_audit", "q226_quota_sample", "q227_encoding_audit",
     "q228_chi2_keyness", "q229_kendall_tau", "q230_sax_symbols",
     # session-14 additions
-    "q231_churn_profile",
+    "q231_churn_profile", "q232_quantile_normalize",
 ]
 
 

@@ -430,3 +430,131 @@ def loo_target_encode(ds, *, id_col: str, cat_col: str,
                            sort_keys=[cat_col, id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def quantile_normalize(ds, *, id_col: str, group_col: str,
+                       value_col: str, num_partitions: int = 8,
+                       max_distinct: int = 1 << 22):
+    """Cross-group QUANTILE NORMALIZATION — map every row's value onto
+    the POOLED (all-groups) distribution at the same within-group
+    rank, the classic batch-effect / cross-source calibration step
+    (microarray quantile normalization, per-source length rebalance):
+    after the transform every group has (up to rank granularity) the
+    pooled value distribution, so downstream thresholds tuned on one
+    source transfer to all.
+
+        r      = row_number within group, ordered by (value, id)
+        idx    = ((r-1) * (N-1)) // (n_g - 1)     [n_g = 1 -> (N-1)//2]
+        qnorm  = pooled_sorted_values[idx]
+
+    Exactness: values must be INTEGER-VALUED (lengths, counts, cents);
+    ranks, ``idx`` and the positional gather are pure integer
+    arithmetic — no interpolation, no floats — so a windowed SQL
+    replay (row_number + pooled row_number join, HUGEINT product) is
+    bit-exact.  Ties order by ``id_col``; pooled positions depend only
+    on the value (equal values are interchangeable), so the pooled
+    side needs no tie column.
+
+    Scale shape: the pooled distribution travels as a VALUE HISTOGRAM
+    (distinct value -> count), reduced from per-block partials — the
+    exchange moves O(blocks × distinct) int64 partial rows, never
+    data, then the merged histogram (cumcounts + values, guarded by
+    ``max_distinct``) broadcasts via ``ray.put`` into ONE group-keyed
+    exchange that computes ranks by run arithmetic and gathers
+    ``qnorm`` with one ``searchsorted`` per partition.  Bounded
+    distinct values is the operator's documented contract (lengths /
+    quantized metrics — NOT arbitrary doubles).
+
+    int64 bound: the rank product ``(r-1)*(N-1)`` must stay < 2^63;
+    the kernel raises if ``N`` exceeds 3e9 rows (at which point rank
+    granularity beyond float precision is meaningless — downsample the
+    pooled histogram first).
+
+    Returns ``(id_col, group_col, value:int64, qnorm:int64)``.
+    Reference analog: none (corpus-calibration extension; the pooled
+    companion of MagnitudeTransformer's per-column scaling,
+    stages/normalize.py).
+    """
+    import ray
+
+    from .partition import partitioned_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].combine_chunks()
+        keep = pc.and_(pc.and_(pc.is_valid(t[id_col]),
+                               pc.is_valid(t[group_col])),
+                       pc.is_valid(v))
+        keep = pc.fill_null(keep, False)
+        vals = pa.table({"v": v}).filter(keep)["v"].cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).to_pandas()
+    hist = parts.groupby("v", sort=True)["c"].sum()
+    pooled_vals = hist.index.to_numpy(dtype=np.int64)
+    if len(pooled_vals) > max_distinct:
+        raise ValueError(
+            f"quantile_normalize: {len(pooled_vals)} distinct values "
+            f"exceed max_distinct={max_distinct}; quantize first")
+    pooled_cum = hist.to_numpy(dtype=np.int64).cumsum()
+    n_total = int(pooled_cum[-1]) if len(pooled_cum) else 0
+    if n_total >= 3_000_000_000:
+        raise ValueError("quantile_normalize: N >= 3e9 breaks the "
+                         "int64 rank product; downsample the pooled "
+                         "histogram first")
+    pooled_ref = ray.put((pooled_vals, pooled_cum, n_total))
+
+    gtype = ds.schema()
+    gtype = getattr(gtype, "base_schema", gtype).field(group_col).type
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      group_col: pa.array([], gtype),
+                      "value": pa.array([], pa.int64()),
+                      "qnorm": pa.array([], pa.int64())})
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks()
+        keep = pc.and_(pc.and_(pc.is_valid(b[id_col]),
+                               pc.is_valid(b[group_col])),
+                       pc.is_valid(v))
+        keep = pc.fill_null(keep, False)
+        t = pa.table({id_col: b[id_col], group_col: b[group_col],
+                      "__v": v.cast(pa.int64())})
+        return t.filter(keep)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group_col not in t.column_names:
+            return empty
+        vals_s, cum_s, n_all = ray.get(pooled_ref)
+        if n_all == 0:
+            return empty
+        keys = t[group_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(codes)))
+        seg = np.cumsum(new) - 1
+        r0 = np.arange(len(codes), dtype=np.int64) - starts[seg]
+        n_g = lens[seg]
+        idx = np.where(
+            n_g > 1,
+            (r0 * (n_all - 1)) // np.maximum(n_g - 1, 1),
+            (n_all - 1) // 2)
+        qn = vals_s[np.searchsorted(cum_s, idx, side="right")]
+        return pa.table({
+            id_col: t[id_col].combine_chunks().cast(pa.int64()),
+            group_col: keys,
+            "value": t["__v"],
+            "qnorm": pa.array(qn.astype(np.int64)),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=group_col,
+                           sort_keys=[group_col, "__v", id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
