@@ -538,7 +538,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q230_sax_symbols": _sax_q,
         "q231_churn_profile": _churn_profile_q,
         "q232_quantile_normalize": _quantile_normalize_q,
+        "q233_kn_bigram": _kn_bigram_q,
     }
+
+
+def _kn_bigram_q(sf_dir: str):
+    """q233: per-source interpolated Kneser-Ney bigram table
+    (stages/lm.py:kn_bigram_topk) — d=3/4 clears denominators so
+    p = ((4c−3)·T + 3·F·B)/(4·tot·T) is ONE exact-int division both
+    sides (guarded < 2^53); per-block Arrow group_by partials, ONE
+    source-keyed exchange derives tot/F/B/T by run-length; top-15
+    per source with total (p desc, w1, w2) tie-break."""
+    import ray
+
+    from featurebox_ray.stages.lm import kn_bigram_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"],
+                                 override_num_blocks=16)
+    return kn_bigram_topk(docs, group_col="source", text_col="text",
+                          k=15, num_partitions=8)
 
 
 def _quantile_normalize_q(sf_dir: str):
@@ -6742,6 +6761,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
                    len_a, len_b
             FROM p WHERE id_b IS NOT NULL
+        """,
+        # Kneser-Ney: d=3/4 clears denominators; p = one division of
+        # exact sub-2^53 ints; (p desc, w1, w2) row_number tie-break
+        "q233_kn_bigram": r"""
+            WITH base AS (
+              SELECT source,
+                     regexp_extract_all(coalesce(text, ''), '\S+')
+                       AS t
+              FROM documents
+              WHERE source IS NOT NULL AND text IS NOT NULL),
+            bg AS (SELECT source, t[i] AS w1, t[i + 1] AS w2
+                   FROM base,
+                        LATERAL unnest(range(1, len(t))) AS u(i)
+                   WHERE len(t) >= 2),
+            c AS (SELECT source, w1, w2,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM bg GROUP BY 1, 2, 3),
+            g AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+                         CAST(count(*) AS BIGINT) AS ntypes
+                  FROM c GROUP BY source),
+            f AS (SELECT source, w1, CAST(count(*) AS BIGINT) AS fc
+                  FROM c GROUP BY source, w1),
+            b AS (SELECT source, w2, CAST(count(*) AS BIGINT) AS bc
+                  FROM c GROUP BY source, w2),
+            s AS (SELECT c.source, c.w1, c.w2, c.c,
+                         CAST((4 * c.c - 3) * g.ntypes
+                              + 3 * f.fc * b.bc AS DOUBLE)
+                         / CAST(4 * g.tot * g.ntypes AS DOUBLE)
+                           AS kn_p
+                  FROM c
+                  JOIN g USING (source)
+                  JOIN f ON f.source = c.source AND f.w1 = c.w1
+                  JOIN b ON b.source = c.source AND b.w2 = c.w2),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY kn_p DESC,
+                                                     w1, w2) AS rn
+                  FROM s)
+            SELECT source, w1, w2, c, kn_p FROM r WHERE rn <= 15
         """,
         # quantile normalize: within-source row_number + pooled
         # row_number join; the rank product in HUGEINT, integer //

@@ -209,3 +209,154 @@ def bigram_lm_perplexity(ds, *, id_col: str = "doc_id",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def kn_bigram_topk(ds, *, group_col: str = "source",
+                   text_col: str = "text", k: int = 15,
+                   num_partitions: int = 8):
+    """Per-group interpolated KNESER-NEY bigram table (top-``k`` rows)
+    — the standard smoothed n-gram estimate (Kneser & Ney 1995; Chen &
+    Goodman 1998) with absolute discount fixed at ``d = 3/4``:
+
+        p(w2|w1) = (c - d)/tot(w1) + (d·F(w1)/tot(w1)) · B(w2)/T
+
+    where ``c`` is the bigram count, ``tot(w1)`` the left-context
+    total, ``F(w1)`` the distinct-continuation count, ``B(w2)`` the
+    distinct-history count (the continuation unigram) and ``T`` the
+    group's distinct-bigram-type count.  The continuation term is what
+    distinguishes KN from add-k (``fit_bigram_lm``): a word seen in
+    many CONTEXTS gets backoff mass, a frequent-but-fixed collocate
+    does not — the right statistic for corpus-mixing decisions.
+
+    Exactness: with ``d = 3/4`` every quantity clears denominators —
+
+        p = ((4c − 3)·T + 3·F·B) / (4·tot·T)
+
+    — two exact int64 products (guarded: raises when ``4·tot·T ≥
+    2^53``; numerator ≤ denominator since p ≤ 1), ONE int→double cast
+    pair and ONE division, so DuckDB replays bit-for-bit.  Tie-break
+    ``(p desc, w1 asc, w2 asc)`` is total both sides.
+
+    Shape: per-block ``(group, w1, w2, cnt)`` partials (Arrow C++
+    tokenizer + group_by; the shuffle moves O(blocks × distinct
+    bigrams) partial rows, never tokens); ONE group-keyed exchange
+    merges counts and derives tot/F/B/T with run-length arithmetic —
+    a group's distinct bigrams must fit its partition (bounded-vocab
+    contract: this is a SMOOTHING TABLE for quality filtering, not an
+    open-vocab LM; prune the vocabulary upstream for web-scale text).
+
+    Returns ``(group_col, w1, w2, c:int64, kn_p:float64)``, ≤ k rows
+    per group, sorted (group, p desc, w1, w2).  Reference analog: none
+    (corpus-quality extension next to bigram_lm_perplexity).
+    """
+    from .dedup import split_tokens
+    from .partition import partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.fill_null(pc.is_valid(batch[group_col]),
+                                    False),
+                       pc.fill_null(pc.is_valid(batch[text_col]),
+                                    False))
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
+        flat, off = split_tokens(batch[text_col])
+        if len(flat) == 0:
+            return pa.table({group_col: batch[group_col].slice(0, 0),
+                             "w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        row_ids = np.repeat(np.arange(batch.num_rows), np.diff(off))
+        i = np.flatnonzero(row_ids[1:] == row_ids[:-1])
+        g = batch[group_col].combine_chunks().take(
+            pa.array(row_ids[i], pa.int64()))
+        t = pa.table({group_col: g,
+                      "w1": flat.take(pa.array(i, pa.int64())),
+                      "w2": flat.take(pa.array(i + 1, pa.int64()))})
+        agg = t.group_by([group_col, "w1", "w2"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns([group_col, "w1", "w2", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    gtype = ds.schema()
+    gtype = getattr(gtype, "base_schema", gtype).field(group_col).type
+    empty = pa.table({group_col: pa.array([], gtype),
+                      "w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "c": pa.array([], pa.int64()),
+                      "kn_p": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w1" not in t.column_names:
+            return empty
+        # merge duplicate (g, w1, w2) partial rows: input sorted
+        garr = t[group_col].combine_chunks()
+        gdict = pc.dictionary_encode(garr)
+        w1dict = pc.dictionary_encode(t["w1"].combine_chunks())
+        w2dict = pc.dictionary_encode(t["w2"].combine_chunks())
+        gc = gdict.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w1c = w1dict.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w2c = w2dict.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(gc), bool)
+        new[1:] = ((gc[1:] != gc[:-1]) | (w1c[1:] != w1c[:-1])
+                   | (w2c[1:] != w2c[:-1]))
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        c = np.zeros(len(starts), np.int64)
+        np.add.at(c, seg, cnt)
+        gs, w1s, w2s = gc[starts], w1c[starts], w2c[starts]
+        # per-group totals / type counts
+        g_new = np.ones(len(gs), bool)
+        g_new[1:] = gs[1:] != gs[:-1]
+        g_seg = np.cumsum(g_new) - 1
+        tot = np.zeros(int(g_seg[-1]) + 1, np.int64)
+        np.add.at(tot, g_seg, c)
+        types = np.bincount(g_seg).astype(np.int64)
+        den = 4 * tot * types
+        if den.size and int(den.max()) >= 2 ** 53:
+            raise ValueError("kn_bigram_topk: 4*tot*types >= 2^53 "
+                             "breaks the exact-double contract; "
+                             "prune the vocabulary")
+        # F(g, w1): rows are sorted by (g, w1, w2) -> run-length on w1
+        f_new = g_new | np.concatenate([[True], w1s[1:] != w1s[:-1]])
+        f_seg = np.cumsum(f_new) - 1
+        f_cnt = np.bincount(f_seg).astype(np.int64)
+        F = f_cnt[f_seg]
+        # B(g, w2): unique over composite (g, w2)
+        comp = gs * (w2s.max() + 1 if len(w2s) else 1) + w2s
+        _, inv, b_cnt = np.unique(comp, return_inverse=True,
+                                  return_counts=True)
+        B = b_cnt[inv].astype(np.int64)
+        num = (4 * c - 3) * types[g_seg] + 3 * F * B
+        p = num.astype(np.float64) / den[g_seg].astype(np.float64)
+        # top-k per group by (p desc, w1 asc, w2 asc): rows are table-
+        # sorted by (g, w1, w2) strings, so position IS the (w1, w2)
+        # ascending tie-break (dictionary codes are first-appearance
+        # order, not lexicographic — do not sort on them)
+        order = np.lexsort((np.arange(len(gs)), -p, gs))
+        gs_o = gs[order]
+        gg_new = np.ones(len(gs_o), bool)
+        gg_new[1:] = gs_o[1:] != gs_o[:-1]
+        rank = np.arange(len(gs_o)) - np.flatnonzero(gg_new)[
+            np.cumsum(gg_new) - 1]
+        pick = order[rank < k]
+        return pa.table({
+            group_col: gdict.dictionary.take(
+                pa.array(gs[pick], pa.int64())),
+            "w1": w1dict.dictionary.take(
+                pa.array(w1s[pick], pa.int64())),
+            "w2": w2dict.dictionary.take(
+                pa.array(w2s[pick], pa.int64())),
+            "c": pa.array(c[pick]),
+            "kn_p": pa.array(p[pick]),
+        })
+
+    return partitioned_map(partials, kernel, key=group_col,
+                           sort_keys=[group_col, "w1", "w2"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
