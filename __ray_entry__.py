@@ -539,7 +539,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q231_churn_profile": _churn_profile_q,
         "q232_quantile_normalize": _quantile_normalize_q,
         "q233_kn_bigram": _kn_bigram_q,
+        "q234_assortativity": _assortativity_q,
     }
+
+
+def _assortativity_q(sf_dir: str):
+    """q234: degree assortativity of the hourly user co-occurrence
+    graph (stages/graph.py:window_cooccurrence_edges +
+    degree_assortativity) — distinct user pairs sharing a 1h tumbling
+    window; exact int64 sufficient statistics (M, Σjk, Σ(j+k),
+    Σ(j²+k²)) each guarded < 2^53, r from the fixed double op
+    sequence (q228 convention); two keyed exchanges build the edge
+    set, degrees broadcast once."""
+    import ray
+
+    from featurebox_ray.stages.graph import (degree_assortativity,
+                                             window_cooccurrence_edges)
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"],
+                               override_num_blocks=16)
+    edges = window_cooccurrence_edges(ev, ts_col="ts",
+                                      actor_col="user_id",
+                                      width_us=3_600_000_000,
+                                      num_partitions=8)
+    return degree_assortativity(edges)
 
 
 def _kn_bigram_q(sf_dir: str):
@@ -6761,6 +6785,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
                    len_a, len_b
             FROM p WHERE id_b IS NOT NULL
+        """,
+        # assortativity: distinct hourly co-occurrence pairs; exact
+        # BIGINT sufficient stats; r = the same fixed double sequence
+        # (products may pass 2^53 but IEEE mult of identical operands
+        # is deterministic — q228 convention)
+        "q234_assortativity": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 3600000000 AS b,
+                     user_id AS u
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY 1, 2),
+            w AS (SELECT b FROM e GROUP BY b
+                  HAVING count(*) <= 4096),
+            p AS (SELECT DISTINCT a.u AS ua, c.u AS ub
+                  FROM e a
+                  JOIN e c ON a.b = c.b AND a.u < c.u
+                  JOIN w ON w.b = a.b),
+            d AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+                  FROM (SELECT ua AS u FROM p
+                        UNION ALL SELECT ub FROM p)
+                  GROUP BY u),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                         CAST(sum(da.deg * db.deg) AS BIGINT) AS sjk,
+                         CAST(sum(da.deg + db.deg) AS BIGINT) AS sj,
+                         CAST(sum(da.deg * da.deg
+                                  + db.deg * db.deg) AS BIGINT) AS sq
+                  FROM p
+                  JOIN d da ON da.u = p.ua
+                  JOIN d db ON db.u = p.ub)
+            SELECT m, sjk, sj, sq,
+                   CASE WHEN CAST(2 * m AS DOUBLE) * CAST(sq AS DOUBLE)
+                             - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                             = 0 THEN NULL
+                        ELSE (CAST(4 * m AS DOUBLE)
+                              * CAST(sjk AS DOUBLE)
+                              - CAST(sj AS DOUBLE)
+                                * CAST(sj AS DOUBLE))
+                             / (CAST(2 * m AS DOUBLE)
+                                * CAST(sq AS DOUBLE)
+                                - CAST(sj AS DOUBLE)
+                                  * CAST(sj AS DOUBLE))
+                   END AS r
+            FROM s
         """,
         # Kneser-Ney: d=3/4 clears denominators; p = one division of
         # exact sub-2^53 ints; (p desc, w1, w2) row_number tie-break

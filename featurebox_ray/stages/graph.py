@@ -362,3 +362,184 @@ def triangle_count(edges_ds, *, src_col: str = "src",
     return pa.table({"n_edges": pa.array([e], pa.int64()),
                      "n_wedges": pa.array([w], pa.int64()),
                      "n_triangles": pa.array([mt // 3], pa.int64())})
+
+
+def window_cooccurrence_edges(ds, *, ts_col: str, actor_col: str,
+                              width_us: int = 3_600_000_000,
+                              max_actors: int = 4096,
+                              num_partitions: int = 16):
+    """Distinct UNDIRECTED actor pairs co-occurring inside the same
+    tumbling time window — the standard interaction-graph builder
+    (who was active alongside whom): bucket = ``epoch_us // width``,
+    pairs = per-bucket distinct-actor triangles, edges = pairs
+    deduplicated across buckets.
+
+    Shape: per-block distinct ``(bucket, actor)`` partials (Arrow
+    group_by — the shuffle moves one row per distinct pair per block);
+    exchange 1 (bucket-keyed) merges and emits each bucket's
+    ``triangular_pairs``; buckets with more than ``max_actors``
+    distinct actors are SKIPPED with a logged warning (O(n²) pair
+    guard — mirror with ``HAVING count(*) <= max_actors`` in any
+    oracle); exchange 2 (src-keyed) deduplicates pairs across buckets
+    by sorted-run arithmetic.  Returns ``(src:int64, dst:int64)`` with
+    ``src < dst``, one row per distinct edge.
+    """
+    from ..functions.segments import triangular_pairs
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        keep = pc.and_(pc.fill_null(pc.is_valid(ts), False),
+                       pc.fill_null(pc.is_valid(b[actor_col]), False))
+        t = pa.table({"b": pc.divide(ts, width_us),
+                      "u": b[actor_col].combine_chunks().cast(
+                          pa.int64())}).filter(keep)
+        return t.group_by(["b", "u"]).aggregate([])
+
+    distinct_bu = ds.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 batch_size=None)
+
+    empty_e = pa.table({"src": pa.array([], pa.int64()),
+                        "dst": pa.array([], pa.int64())})
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "b" not in t.column_names:
+            return empty_e
+        b = t["b"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(b), bool)
+        new[1:] = (b[1:] != b[:-1]) | (u[1:] != u[:-1])
+        b, u = b[new], u[new]           # merge cross-block duplicates
+        g_new = np.ones(len(b), bool)
+        g_new[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(g_new)
+        lens = np.diff(np.append(starts, len(b)))
+        keep_seg = lens <= max_actors
+        n_skip = int((~keep_seg).sum())
+        if n_skip:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "window_cooccurrence_edges: skipped %d windows with "
+                "> %d actors", n_skip, max_actors)
+        sl, ss = lens[keep_seg], starts[keep_seg]
+        sl, ss = sl[sl >= 2], ss[sl >= 2]
+        if len(sl) == 0:
+            return empty_e
+        i, j, _gid = triangular_pairs(ss, sl)
+        return pa.table({"src": pa.array(u[i]),
+                         "dst": pa.array(u[j])})
+
+    pairs = partitioned_map(distinct_bu, pair_kernel, key="b",
+                            sort_keys=["b", "u"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+
+    def dedup_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return empty_e
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(s), bool)
+        new[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        return pa.table({"src": pa.array(s[new]),
+                         "dst": pa.array(d[new])})
+
+    return partitioned_map(pairs, dedup_kernel, key="src",
+                           sort_keys=["src", "dst"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+
+def degree_assortativity(edges_ds):
+    """Newman degree assortativity of an undirected simple graph given
+    as distinct ``(src, dst)`` edge rows — the mixing-pattern audit
+    (do high-degree actors attach to high-degree actors?):
+
+        r = [4M·Σjk − (Σ(j+k))²] / [2M·Σ(j²+k²) − (Σ(j+k))²]
+
+    over edges with endpoint degrees (j, k) — the Pearson correlation
+    of degrees across edge endpoints (both orientations), cleared of
+    the 1/2M factors.
+
+    Exactness: M and the three degree sums are exact int64 totals
+    (per-block partials, Python-int driver combine, each guarded
+    < 2^53 so int→double casts are exact); ``r`` is the FIXED
+    correctly-rounded sequence ``(d(4M)·d(Σjk) − d(Σj+k)·d(Σj+k)) /
+    (d(2M)·d(Σq) − d(Σj+k)·d(Σj+k))`` — products may exceed 2^53 but
+    IEEE multiply/subtract of identical operands is deterministic, so
+    SQL replays it bit-for-bit (the q228 chi2 convention).  A zero
+    denominator (regular graph) yields NULL.
+
+    Scale shape: the degree table (one row per node) reduces from
+    per-block partials and broadcasts once via ``ray.put`` — nodes ≪
+    edges is the documented contract; the edge scan is one streaming
+    pass emitting ONE partial row per block.
+
+    Returns one row ``(m:int64, sjk:int64, sj:int64, sq:int64,
+    r:float64)``.  Reference analog: none (graph-audit extension next
+    to pagerank / triangle_count).
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    refs = materialized_block_refs(edges_ds)
+    edges = ray.data.from_arrow_refs(refs)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        u = np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False)])
+        uniq, cnt = np.unique(u, return_counts=True)
+        return pa.table({"u": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    dp = edges.map_batches(deg_partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).to_pandas()
+    if len(dp) == 0:
+        return pa.table({"m": pa.array([0], pa.int64()),
+                         "sjk": pa.array([0], pa.int64()),
+                         "sj": pa.array([0], pa.int64()),
+                         "sq": pa.array([0], pa.int64()),
+                         "r": pa.array([None], pa.float64())})
+    deg = dp.groupby("u", sort=True)["c"].sum()
+    deg_ref = ray.put((deg.index.to_numpy(dtype=np.int64),
+                       deg.to_numpy(dtype=np.int64)))
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        uids, degs = ray.get(deg_ref)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        j = degs[np.searchsorted(uids, s)]
+        k = degs[np.searchsorted(uids, d)]
+        return pa.table({
+            "m": pa.array([len(s)], pa.int64()),
+            "sjk": pa.array([int((j * k).sum())], pa.int64()),
+            "sj": pa.array([int((j + k).sum())], pa.int64()),
+            "sq": pa.array([int((j * j + k * k).sum())], pa.int64()),
+        })
+
+    sp = edges.map_batches(sum_partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).to_pandas()
+    m = int(sp["m"].sum())
+    sjk, sj, sq = (int(sp[c].sum()) for c in ("sjk", "sj", "sq"))
+    for name, v in (("4*m", 4 * m), ("sjk", sjk), ("sj", sj),
+                    ("sq", sq)):
+        if v >= 2 ** 53:
+            raise ValueError(
+                f"degree_assortativity: {name} >= 2^53 breaks the "
+                "exact int->double contract")
+    num = float(4 * m) * float(sjk) - float(sj) * float(sj)
+    den = float(2 * m) * float(sq) - float(sj) * float(sj)
+    r = None if den == 0.0 else num / den
+    return pa.table({"m": pa.array([m], pa.int64()),
+                     "sjk": pa.array([sjk], pa.int64()),
+                     "sj": pa.array([sj], pa.int64()),
+                     "sq": pa.array([sq], pa.int64()),
+                     "r": pa.array([r], pa.float64())})
