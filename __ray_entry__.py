@@ -540,7 +540,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q232_quantile_normalize": _quantile_normalize_q,
         "q233_kn_bigram": _kn_bigram_q,
         "q234_assortativity": _assortativity_q,
+        "q235_bm25": _bm25_q,
     }
+
+
+def _bm25_q(sf_dir: str):
+    """q235: BM25 scoring of a fixed 3-term query over documents
+    (stages/tfidf.py:bm25_topk) — k1=6/5, b=3/4 multiplied through by
+    10S clear every denominator; raw-odds idf (no ln, q53
+    convention); two streaming passes, driver-tiny global combine +
+    per-block local top-k merge, NO exchange."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import bm25_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=16)
+    return bm25_topk(docs, id_col="doc_id", text_col="text",
+                     query_terms=["table", "query", "spark"], k=10)
 
 
 def _assortativity_q(sf_dir: str):
@@ -6785,6 +6803,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
                    len_a, len_b
             FROM p WHERE id_b IS NOT NULL
+        """,
+        # BM25: k1=6/5 b=3/4 cleared by 10S; raw-odds idf (no ln);
+        # (A/B)*(C/D) in the engine's exact op order
+        "q235_bm25": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+')
+                       AS t
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl
+                   FROM d),
+            g AS (SELECT CAST(sum(dl) AS BIGINT) AS s,
+                         CAST(count(*) AS BIGINT) AS c FROM dl),
+            q(term) AS (VALUES ('query'), ('spark'), ('table')),
+            tf AS (SELECT d.doc_id, x AS term,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM d, LATERAL unnest(t) AS u(x)
+                   JOIN q ON q.term = x
+                   GROUP BY d.doc_id, x),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            s AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+                         (CAST(2 * g.c - 2 * df.df + 1 AS DOUBLE)
+                          / CAST(2 * df.df + 1 AS DOUBLE))
+                         * (CAST(22 * g.s * tf.tf AS DOUBLE)
+                            / CAST(10 * g.s * tf.tf + 3 * g.s
+                                   + 9 * g.c * dl.dl AS DOUBLE))
+                           AS score
+                  FROM tf
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  JOIN df ON df.term = tf.term, g),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY term
+                                            ORDER BY score DESC,
+                                                     doc_id) AS rn
+                  FROM s)
+            SELECT term, doc_id, tf, dl, score FROM r WHERE rn <= 10
         """,
         # assortativity: distinct hourly co-occurrence pairs; exact
         # BIGINT sufficient stats; r = the same fixed double sequence

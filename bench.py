@@ -227,7 +227,7 @@ QUERY_NAMES = [
     "q228_chi2_keyness", "q229_kendall_tau", "q230_sax_symbols",
     # session-14 additions
     "q231_churn_profile", "q232_quantile_normalize",
-    "q233_kn_bigram", "q234_assortativity",
+    "q233_kn_bigram", "q234_assortativity", "q235_bm25",
 ]
 
 

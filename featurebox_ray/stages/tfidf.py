@@ -1555,3 +1555,136 @@ def set_cover_select(ds, *, id_col: str = "doc_id",
         id_col: pa.array([r[1] for r in out], pa.int64()),
         "gain": pa.array([r[2] for r in out], pa.int64()),
         "covered_total": pa.array([r[3] for r in out], pa.int64())})
+
+
+def bm25_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
+              query_terms: "list[str]" = None, k: int = 10):
+    """BM25 retrieval scoring against a fixed query-term set — the
+    standard lexical ranking function (Robertson & Walker 1994) with
+    the canonical parameters ``k1 = 1.2``, ``b = 0.75``:
+
+        score(d, t) = idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+    IDF here is the RAW odds ratio ``(N − df + ½)/(df + ½)`` — BM25's
+    ``ln`` is a monotone transform that never changes the ranking, and
+    dropping it keeps every quantity an exact integer ratio (the q53
+    tf·(N/df) convention: libm ``ln`` ulps differ across engines).
+
+    Exactness: with k1 = 6/5 and b = 3/4, multiplying through by
+    ``10·S`` (S = Σ dl, the corpus token count) clears every
+    denominator:
+
+        score = ((2N−2df+1)/(2df+1)) · (22·S·tf)/(10·S·tf + 3·S + 9·N·dl)
+
+    — four exact int64 operands (guarded < 2^53), TWO divisions and
+    ONE multiply in a fixed order, bit-exact in SQL.  Ties break
+    (score desc, doc_id asc) — total both sides.
+
+    Plan: pass 1 streams per-block partials (Σdl, doc count, per-term
+    df) — a driver-tiny combine (blocks × (2 + |terms|) rows); pass 2
+    re-tokenizes, scores docs containing a query term, and emits a
+    per-block local top-k per term (sound: scores are final once the
+    globals broadcast), driver-merged to the global top-k — blocks ×
+    terms × k tiny rows, no exchange at all.
+
+    Returns ``(term, doc_id, tf:int64, dl:int64, score:float64)``, ≤ k
+    rows per query term, sorted (term, score desc, doc_id).
+    Reference analog: none (retrieval-scoring extension next to
+    tfidf_topk / inverted_index).
+    """
+    import ray
+
+    from .dedup import split_tokens
+
+    if not query_terms:
+        raise ValueError("bm25_topk requires query_terms")
+    qterms = sorted(set(query_terms))
+    qarr = pa.array(qterms, pa.string())
+
+    def prep(b: pa.Table):
+        keep = pc.and_(pc.fill_null(pc.is_valid(b[id_col]), False),
+                       pc.fill_null(pc.is_valid(b[text_col]), False))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        flat, off = split_tokens(b[text_col])
+        dl = np.diff(off).astype(np.int64)
+        # tf per (row, query-term): index_in against the query set
+        slot = pc.index_in(flat, value_set=qarr)
+        sl = slot.to_numpy(zero_copy_only=False)
+        row_ids = np.repeat(np.arange(b.num_rows), dl)
+        hit = ~np.isnan(sl) if sl.dtype.kind == "f" else sl >= 0
+        tf = np.zeros((b.num_rows, len(qterms)), np.int64)
+        if hit.any():
+            np.add.at(tf, (row_ids[hit],
+                           sl[hit].astype(np.int64)), 1)
+        return b, dl, tf
+
+    def partial(b: pa.Table) -> pa.Table:
+        b, dl, tf = prep(b)
+        df = (tf > 0).sum(axis=0).astype(np.int64)
+        return pa.table({
+            "s": pa.array([int(dl.sum())], pa.int64()),
+            "c": pa.array([len(dl)], pa.int64()),
+            **{f"df{i}": pa.array([int(df[i])], pa.int64())
+               for i in range(len(qterms))},
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).to_pandas()
+    S = int(parts["s"].sum())
+    C = int(parts["c"].sum())
+    DF = [int(parts[f"df{i}"].sum()) for i in range(len(qterms))]
+    if 22 * S * max(C, 1) >= 2 ** 53:
+        raise ValueError("bm25_topk: 22*S*tf risks leaving the exact "
+                         "int->double range; shard the corpus")
+    glob_ref = ray.put((S, C, DF))
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      id_col: pa.array([], pa.int64()),
+                      "tf": pa.array([], pa.int64()),
+                      "dl": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+
+    def score_block(b: pa.Table) -> pa.Table:
+        S, C, DF = ray.get(glob_ref)
+        b, dl, tf = prep(b)
+        if b.num_rows == 0 or S == 0:
+            return empty
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        out = []
+        for i, term in enumerate(qterms):
+            rows = np.flatnonzero(tf[:, i])
+            if len(rows) == 0:
+                continue
+            tfi = tf[rows, i]
+            dli = dl[rows]
+            idf = (float(2 * C - 2 * DF[i] + 1)
+                   / float(2 * DF[i] + 1))
+            num = (22 * S * tfi).astype(np.float64)
+            den = (10 * S * tfi + 3 * S
+                   + 9 * C * dli).astype(np.float64)
+            score = idf * (num / den)
+            order = np.lexsort((ids[rows], -score))[:k]
+            pick = rows[order]
+            out.append(pa.table({
+                "term": pa.array([term] * len(pick), pa.string()),
+                id_col: pa.array(ids[pick]),
+                "tf": pa.array(tf[pick, i]),
+                "dl": pa.array(dl[pick]),
+                "score": pa.array(score[order]),
+            }))
+        return pa.concat_tables(out) if out else empty
+
+    local = ds.map_batches(score_block, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).to_pandas()
+    if len(local) == 0:
+        return empty
+    local = local.sort_values(
+        ["term", "score", id_col],
+        ascending=[True, False, True]).groupby(
+        "term", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(local, preserve_index=False).cast(
+        empty.schema)
