@@ -541,7 +541,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q233_kn_bigram": _kn_bigram_q,
         "q234_assortativity": _assortativity_q,
         "q235_bm25": _bm25_q,
+        "q236_jenks_breaks": _jenks_q,
     }
+
+
+def _jenks_q(sf_dir: str):
+    """q236: per-source optimal 1-D length classes (stages/binning.py:
+    jenks_breaks) — Fisher DP maximizing Σ S1²/W, float prune +
+    exact-Fraction refine (q211 convention), ties to smallest split.
+    Fixture oracle: serial FULL-Fraction DP replay
+    (_oracle_replays.replay_jenks) — both land on the exact optimum,
+    bit-identical outputs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_jenks
+    from featurebox_ray.stages.binning import jenks_breaks
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["source", "n_chars"])
+    exp = replay_jenks(t["source"].to_pylist(),
+                       t["n_chars"].to_pylist(), k=4)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "source": pa.array([r[0] for r in exp], pa.string()),
+        "cls": pa.array([r[1] for r in exp], pa.int64()),
+        "lo": pa.array([r[2] for r in exp], pa.int64()),
+        "hi": pa.array([r[3] for r in exp], pa.int64()),
+        "n_rows": pa.array([r[4] for r in exp], pa.int64()),
+        "mean": pa.array([r[5] for r in exp], pa.float64()),
+        "within_ss": pa.array([r[6] for r in exp], pa.float64()),
+    }), f"{_ORACLE_DIR}/jenks.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/jenks.parquet.tmp",
+               f"{_ORACLE_DIR}/jenks.parquet")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"],
+                                 override_num_blocks=16)
+    return jenks_breaks(docs, group_col="source",
+                        value_col="n_chars", k=4, num_partitions=8)
 
 
 def _bm25_q(sf_dir: str):
@@ -8951,6 +8992,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, split_i, ts_split, gain_cents2,
                    mean_l, mean_r
             FROM read_parquet('{_ORACLE_DIR}/changepoint.parquet')
+        """,
+        "q236_jenks_breaks": f"""
+            SELECT source, cls, lo, hi, n_rows, mean, within_ss
+            FROM read_parquet('{_ORACLE_DIR}/jenks.parquet')
         """,
         "q215_kaplan_meier": f"""
             SELECT cohort, dur_days, at_risk, deaths, censored, surv

@@ -1021,3 +1021,67 @@ def replay_shapley(users, types, *, conversion_type=None):
         out.append((ch, nw,
                     float(acc.numerator) / float(acc.denominator)))
     return out
+
+
+def replay_jenks(groups, values, *, k: int = 4):
+    """Serial replay of stages/binning.py:jenks_breaks — FULL exact
+    Fraction DP (no float prune at all; the engine prunes on float64
+    then refines near-ties exactly, so both land on the same exact
+    optimum), ties to the smallest split index.  Returns rows
+    (group, cls, lo, hi, n_rows, mean, within_ss)."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    per = defaultdict(Counter)
+    for g, v in zip(groups, values):
+        if g is None or v is None:
+            continue
+        per[g][int(v)] += 1
+
+    out = []
+    for g in sorted(per):
+        items = sorted(per[g].items())
+        vals = [v for v, _ in items]
+        wts = [w for _, w in items]
+        n = len(vals)
+        kk = min(k, n)
+        cw = [0]
+        cs = [0]
+        cq = [0]
+        for v, w in items:
+            cw.append(cw[-1] + w)
+            cs.append(cs[-1] + w * v)
+            cq.append(cq[-1] + w * v * v)
+
+        def F(a, b):
+            s = cs[b + 1] - cs[a]
+            return Fraction(s * s, cw[b + 1] - cw[a])
+
+        D = [[None] * n for _ in range(kk)]
+        back = [[0] * n for _ in range(kk)]
+        for j in range(n):
+            D[0][j] = F(0, j)
+        for c in range(1, kk):
+            for j in range(c, n):
+                best, bm = None, None
+                for m in range(c, j + 1):
+                    cand = D[c - 1][m - 1] + F(m, j)
+                    if best is None or cand > best:
+                        best, bm = cand, m
+                D[c][j] = best
+                back[c][j] = bm
+        bounds = []
+        j = n - 1
+        for c in range(kk - 1, 0, -1):
+            m = back[c][j]
+            bounds.append((m, j))
+            j = m - 1
+        bounds.append((0, j))
+        for ci, (a, b) in enumerate(bounds[::-1]):
+            W = cw[b + 1] - cw[a]
+            S1 = cs[b + 1] - cs[a]
+            S2 = cq[b + 1] - cq[a]
+            out.append((g, ci, vals[a], vals[b], W,
+                        float(S1) / float(W),
+                        float(S2) - float(S1) * float(S1) / float(W)))
+    return out
