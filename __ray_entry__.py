@@ -542,7 +542,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q234_assortativity": _assortativity_q,
         "q235_bm25": _bm25_q,
         "q236_jenks_breaks": _jenks_q,
+        "q237_wasserstein_drift": _wasserstein_q,
     }
+
+
+def _wasserstein_q(sf_dir: str):
+    """q237: per-source W1 (earth-mover) drift of the document-length
+    distribution vs the pooled rest (stages/diff.py:wasserstein_drift)
+    — exact int64 cross-multiplied CDF gaps × value gaps summed over
+    the merged support, one correctly-rounded cast+division; per-block
+    histogram partials, driver-tiny combine, NO shuffle.  SQL replays
+    with HUGEINT window sums + the identical CAST/division."""
+    import ray
+
+    from featurebox_ray.stages.diff import wasserstein_drift
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"],
+                                 override_num_blocks=16)
+    return wasserstein_drift(docs, group_col="source",
+                             value_col="n_chars")
 
 
 def _jenks_q(sf_dir: str):
@@ -6844,6 +6863,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
                    len_a, len_b
             FROM p WHERE id_b IS NOT NULL
+        """,
+        # W1 drift: exact int |c_g*n_rest - c_rest*n_g| * gap summed
+        # (HUGEINT), one CAST/division; lead() gap on the merged
+        # support per source
+        "q237_wasserstein_drift": """
+            WITH d AS (
+              SELECT source, n_chars AS v FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+            src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+                    FROM d GROUP BY source),
+            vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c_tot
+                     FROM d GROUP BY v),
+            sv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+                   FROM d GROUP BY source, v),
+            pv AS (SELECT s.source, vv.v, vv.c_tot,
+                          coalesce(sv.c, 0) AS c_s
+                   FROM src s CROSS JOIN vals vv
+                   LEFT JOIN sv ON sv.source = s.source
+                                AND sv.v = vv.v),
+            cum AS (SELECT source, v,
+                           sum(c_s) OVER w AS cum_s,
+                           sum(c_tot) OVER w AS cum_t,
+                           lead(v) OVER w AS v_next
+                    FROM pv
+                    WINDOW w AS (PARTITION BY source ORDER BY v)),
+            agg AS (SELECT c.source,
+                           sum(CASE WHEN c.v_next IS NULL THEN 0
+                               ELSE abs(c.cum_s * (t.n - s.n_g)
+                                        - (c.cum_t - c.cum_s)
+                                          * s.n_g)
+                                    * (c.v_next - c.v) END) AS num
+                    FROM cum c
+                    JOIN src s ON s.source = c.source, tot t
+                    GROUP BY c.source)
+            SELECT s.source, s.n_g, (t.n - s.n_g) AS n_rest,
+                   CAST(a.num AS DOUBLE) AS w1_num,
+                   CASE WHEN t.n - s.n_g = 0 THEN NULL
+                        ELSE CAST(a.num AS DOUBLE)
+                             / CAST(s.n_g * (t.n - s.n_g)
+                                    AS DOUBLE) END AS w1
+            FROM src s JOIN agg a ON a.source = s.source, tot t
         """,
         # BM25: k1=6/5 b=3/4 cleared by 10S; raw-odds idf (no ln);
         # (A/B)*(C/D) in the engine's exact op order

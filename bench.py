@@ -228,6 +228,8 @@ QUERY_NAMES = [
     # session-14 additions
     "q231_churn_profile", "q232_quantile_normalize",
     "q233_kn_bigram", "q234_assortativity", "q235_bm25",
+    # session-15 additions
+    "q237_wasserstein_drift",
 ]
 
 
