@@ -543,7 +543,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q235_bm25": _bm25_q,
         "q236_jenks_breaks": _jenks_q,
         "q237_wasserstein_drift": _wasserstein_q,
+        "q238_haar_energy": _haar_q,
     }
+
+
+def _haar_q(sf_dir: str):
+    """q238: per-user Haar wavelet energy by level over the
+    time-ordered cents series (stages/wavelet.py:haar_energy) —
+    detail D = S_left − S_right per complete 2^j bucket, energy =
+    ΣD²/2^j (exact dyadic); one user-keyed exchange.  SQL replays
+    via sign-by-bit bucket sums + HUGEINT sum(d*d) + the identical
+    CAST + power-of-two division."""
+    import ray
+
+    from featurebox_ray.stages.wavelet import haar_energy
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"],
+                               override_num_blocks=16)
+    return haar_energy(ev, key_col="user_id", ts_col="ts",
+                       order_col="event_id", value_col="value",
+                       max_level=3, num_partitions=8)
 
 
 def _wasserstein_q(sf_dir: str):
@@ -6905,6 +6926,39 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # Haar energy: sign by bit j-1 of the per-user rank, complete
+        # buckets only (m = 2^level), HUGEINT sum(d*d), one CAST +
+        # exact power-of-two division
+        "q238_haar_energy": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS c,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1
+                       AS rn
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            lev(level) AS (VALUES (1), (2), (3)),
+            b AS (SELECT user_id, level,
+                         rn // (1 << level) AS bucket,
+                         sum(CASE WHEN (rn // (1 << (level - 1)))
+                                       % 2 = 0
+                                  THEN c ELSE -c END) AS d,
+                         count(*) AS m
+                  FROM e CROSS JOIN lev
+                  GROUP BY user_id, level, rn // (1 << level)),
+            g AS (SELECT user_id, level,
+                         CAST(count(*) AS BIGINT) AS n_buckets,
+                         sum(d * d) AS num
+                  FROM b WHERE m = (1 << level)
+                  GROUP BY user_id, level)
+            SELECT user_id, CAST(level AS BIGINT) AS level, n_buckets,
+                   CAST(num AS DOUBLE) AS energy_num,
+                   CAST(num AS DOUBLE)
+                   / CAST((1 << level) AS DOUBLE) AS energy_c2
+            FROM g
         """,
         # BM25: k1=6/5 b=3/4 cleared by 10S; raw-odds idf (no ln);
         # (A/B)*(C/D) in the engine's exact op order
