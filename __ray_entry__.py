@@ -544,7 +544,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q236_jenks_breaks": _jenks_q,
         "q237_wasserstein_drift": _wasserstein_q,
         "q238_haar_energy": _haar_q,
+        "q239_k_core": _k_core_q,
     }
+
+
+def _k_core_q(sf_dir: str):
+    """q239: core-number decomposition of the hourly user
+    co-occurrence graph (stages/graph.py:k_core) — h-index fixed
+    point over two tagged-union exchanges per round, all-int, order-
+    independent invariant.  Fixture oracle: INDEPENDENT serial replay
+    (_oracle_replays.replay_k_core — dict/set edge build +
+    Batagelj–Zaveršnik bucket peeling)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_k_core
+    from featurebox_ray.stages.graph import (k_core,
+                                             window_cooccurrence_edges)
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["ts", "user_id"])
+    ts_us = pa.compute.cast(t["ts"].combine_chunks(),
+                            pa.int64()).to_pylist()
+    exp = replay_k_core(ts_us, t["user_id"].to_pylist())
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "node": pa.array([r[0] for r in exp], pa.int64()),
+        "degree": pa.array([r[1] for r in exp], pa.int64()),
+        "core": pa.array([r[2] for r in exp], pa.int64()),
+    }), f"{_ORACLE_DIR}/k_core.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/k_core.parquet.tmp",
+               f"{_ORACLE_DIR}/k_core.parquet")
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"],
+                               override_num_blocks=16)
+    edges = window_cooccurrence_edges(ev, ts_col="ts",
+                                      actor_col="user_id",
+                                      num_partitions=8)
+    return k_core(edges, num_partitions=8)
 
 
 def _haar_q(sf_dir: str):
@@ -9111,6 +9152,10 @@ def oracle_sql() -> dict[str, str]:
         "q236_jenks_breaks": f"""
             SELECT source, cls, lo, hi, n_rows, mean, within_ss
             FROM read_parquet('{_ORACLE_DIR}/jenks.parquet')
+        """,
+        "q239_k_core": f"""
+            SELECT node, degree, core
+            FROM read_parquet('{_ORACLE_DIR}/k_core.parquet')
         """,
         "q215_kaplan_meier": f"""
             SELECT cohort, dur_days, at_risk, deaths, censored, surv

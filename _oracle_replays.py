@@ -1085,3 +1085,45 @@ def replay_jenks(groups, values, *, k: int = 4):
                         float(S1) / float(W),
                         float(S2) - float(S1) * float(S1) / float(W)))
     return out
+
+
+def replay_k_core(ts_us, users, *, width_us: int = 3_600_000_000,
+                  max_actors: int = 4096):
+    """Serial replay of stages/graph.py:k_core over the hourly
+    co-occurrence graph — INDEPENDENT algorithm: edges from plain
+    dict/set walks, core numbers by Batagelj–Zaveršnik bucket PEELING
+    (the engine iterates the h-index fixed point; both provably land
+    on the same order-independent invariant).  Returns rows
+    (node, degree, core) sorted by node."""
+    from collections import defaultdict
+
+    windows = defaultdict(set)
+    for t, u in zip(ts_us, users):
+        if t is None or u is None:
+            continue
+        windows[t // width_us].add(u)
+    adj = defaultdict(set)
+    for _, actors in sorted(windows.items()):
+        if len(actors) > max_actors or len(actors) < 2:
+            continue
+        sa = sorted(actors)
+        for i in range(len(sa)):
+            for j in range(i + 1, len(sa)):
+                adj[sa[i]].add(sa[j])
+                adj[sa[j]].add(sa[i])
+
+    deg = {u: len(vs) for u, vs in adj.items()}
+    core = dict(deg)
+    # bucket peeling: repeatedly remove a minimum-degree node
+    alive = set(adj)
+    cur = {u: len(vs) for u, vs in adj.items()}
+    k = 0
+    while alive:
+        u = min(alive, key=lambda x: (cur[x], x))
+        k = max(k, cur[u])
+        core[u] = k
+        alive.remove(u)
+        for v in adj[u]:
+            if v in alive and cur[v] > cur[u]:
+                cur[v] -= 1
+    return sorted((u, deg[u], core[u]) for u in adj)
