@@ -545,7 +545,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q237_wasserstein_drift": _wasserstein_q,
         "q238_haar_energy": _haar_q,
         "q239_k_core": _k_core_q,
+        "q240_bfs_hops": _bfs_q,
     }
+
+
+def _bfs_q(sf_dir: str):
+    """q240: multi-source BFS hop distance from seed users
+    (user_id % 17 == 0) over the hourly co-occurrence graph
+    (stages/graph.py:bfs_hops) — frontier-bounded min-fold rounds on
+    the k_core exchange skeleton, all-int, capped at 4 hops.  SQL
+    replays with a recursive CTE (UNION-dedup on (node, d)) +
+    min(d) per node."""
+    import ray
+
+    from featurebox_ray.stages.graph import (bfs_hops,
+                                             window_cooccurrence_edges)
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"],
+                               override_num_blocks=16)
+    edges = window_cooccurrence_edges(ev, ts_col="ts",
+                                      actor_col="user_id",
+                                      num_partitions=8)
+    return bfs_hops(edges, seed_mod=17, max_hops=4,
+                    num_partitions=8)
 
 
 def _k_core_q(sf_dir: str):
@@ -6967,6 +6990,34 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # BFS hops: recursive CTE, UNION dedups (node, d); min per
+        # node; same q234 edge-build CTE + symmetrize
+        "q240_bfs_hops": """
+            WITH RECURSIVE e AS (
+              SELECT epoch_us(ts) // 3600000000 AS b,
+                     user_id AS u
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY 1, 2),
+            w AS (SELECT b FROM e GROUP BY b
+                  HAVING count(*) <= 4096),
+            p AS (SELECT DISTINCT a.u AS ua, c.u AS ub
+                  FROM e a
+                  JOIN e c ON a.b = c.b AND a.u < c.u
+                  JOIN w ON w.b = a.b),
+            sym AS (SELECT ua AS a, ub AS v FROM p
+                    UNION ALL SELECT ub, ua FROM p),
+            nodes AS (SELECT DISTINCT a AS u FROM sym),
+            bfs(node, d) AS (
+              SELECT u, CAST(0 AS BIGINT) FROM nodes
+              WHERE u % 17 = 0
+              UNION
+              SELECT s.v, b.d + 1
+              FROM bfs b JOIN sym s ON s.a = b.node
+              WHERE b.d < 4)
+            SELECT node, CAST(min(d) AS BIGINT) AS hops
+            FROM bfs GROUP BY node
         """,
         # Haar energy: sign by bit j-1 of the per-user rank, complete
         # buckets only (m = 2^level), HUGEINT sum(d*d), one CAST +

@@ -229,7 +229,7 @@ QUERY_NAMES = [
     "q231_churn_profile", "q232_quantile_normalize",
     "q233_kn_bigram", "q234_assortativity", "q235_bm25",
     # session-15 additions
-    "q237_wasserstein_drift", "q238_haar_energy",
+    "q237_wasserstein_drift", "q238_haar_energy", "q240_bfs_hops",
 ]
 
 

@@ -765,3 +765,197 @@ def k_core(edges_ds, *, max_iters: int = 64, num_partitions: int = 16):
 
     return ray.data.from_arrow_refs(list(value_refs)).map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bfs_hops(edges_ds, *, seed_mod: int = 17, max_hops: int = 6,
+             num_partitions: int = 16):
+    """Multi-source breadth-first hop distance over an undirected
+    simple graph given as distinct ``(src, dst)`` edge rows: every
+    node whose id satisfies ``node % seed_mod == 0`` is a seed at
+    distance 0, and each other node gets the MINIMUM hop count to any
+    seed, capped at ``max_hops`` (unreached nodes emit no row) — the
+    landmark-distance / influence-radius feature (how far is each
+    actor from the moderated/flagged set?).
+
+    Shape: frontier iteration on the k_core exchange skeleton — per
+    round, ONLY nodes whose distance improved last round send
+    ``dist+1`` to their neighbors (exchange 1, keyed by owner), and
+    recipients fold ``min(old, min(incoming))`` (exchange 2, keyed by
+    recipient).  Message volume is frontier-bounded (Σ over rounds =
+    one relaxation per directed edge in the worst case), rounds ≤
+    ``max_hops``.  All-int arithmetic; min-fold is order-independent,
+    so the result is exact and partition-invariant.
+
+    SQL replays with a recursive CTE (``UNION`` dedup on (node, d),
+    ``WHERE d < max_hops``) + ``min(d)`` per node.
+
+    Returns ``(node:int64, hops:int64)`` for reached nodes.
+    Reference analog: none (graph suite extension).
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    UNSET = np.int64(2**62)
+
+    def symm(b: pa.Table) -> pa.Table:
+        if b["src"].null_count or b["dst"].null_count:
+            raise ValueError("bfs_hops: NULL node ids in the edge "
+                             "list")
+        s = b["src"].combine_chunks().cast(pa.int64())
+        d = b["dst"].combine_chunks().cast(pa.int64())
+        return pa.table({"__k": pa.concat_arrays([s, d]),
+                         "to": pa.concat_arrays([d, s])})
+
+    half_edges = edges_ds.map_batches(symm, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    edge_refs = list(materialized_block_refs(half_edges))
+    out_empty = pa.table({"node": pa.array([], pa.int64()),
+                          "hops": pa.array([], pa.int64())})
+    if not edge_refs or ray.data.from_arrow_refs(
+            list(edge_refs)).count() == 0:
+        return out_empty
+
+    def edges_dataset():
+        return ray.data.from_arrow_refs(list(edge_refs))
+
+    val_empty = pa.table({"__k": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64()),
+                          "changed": pa.array([], pa.int64())})
+
+    def init_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__k" not in t.column_names:
+            return val_empty
+        n = t["__k"].to_numpy(zero_copy_only=False)
+        new_run = np.concatenate([[True], n[1:] != n[:-1]])
+        nodes = n[np.flatnonzero(new_run)]
+        is_seed = (nodes % seed_mod) == 0
+        d = np.where(is_seed, np.int64(0), UNSET)
+        return pa.table({"__k": pa.array(nodes),
+                         "d": pa.array(d),
+                         "changed": pa.array(
+                             is_seed.astype(np.int64))})
+
+    values = partitioned_map(edges_dataset(), init_kernel, key="__k",
+                             sort_keys=["__k", "to"],
+                             num_partitions=num_partitions,
+                             strategy="tasks")
+    value_refs = list(materialized_block_refs(values))
+    frontier = int(ray.data.from_arrow_refs(list(value_refs))
+                   .sum("changed") or 0)
+
+    def tag_vals(b: pa.Table) -> pa.Table:
+        return pa.table({"__k": b["__k"],
+                         "__tag": pa.array(
+                             np.zeros(b.num_rows, np.int8)),
+                         "to": pa.array(
+                             np.zeros(b.num_rows, np.int64)),
+                         "d": b["d"], "changed": b["changed"]})
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"__k": b["__k"],
+                         "__tag": pa.array(np.ones(n, np.int8)),
+                         "to": b["to"],
+                         "d": pa.array(np.zeros(n, np.int64)),
+                         "changed": pa.array(
+                             np.zeros(n, np.int64))})
+
+    msg_empty = pa.table({"__k": pa.array([], pa.int64()),
+                          "__tag": pa.array([], pa.int8()),
+                          "nd": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64()),
+                          "changed": pa.array([], pa.int64())})
+
+    def route_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__k" not in t.column_names:
+            return msg_empty
+        n = t["__k"].to_numpy(zero_copy_only=False)
+        tag = t["__tag"].to_numpy(zero_copy_only=False)
+        new_run = np.concatenate([[True], n[1:] != n[:-1]])
+        run_id = np.cumsum(new_run.astype(np.int64)) - 1
+        starts = np.flatnonzero(new_run)
+        if (tag[starts] != 0).any():
+            raise ValueError("bfs_hops: node missing a value row")
+        d_all = t["d"].to_numpy(zero_copy_only=False)
+        ch_all = t["changed"].to_numpy(zero_copy_only=False)
+        d_owner = d_all[starts]
+        ch_owner = ch_all[starts]
+        is_edge = tag == 1
+        rid = run_id[is_edge]
+        # frontier-only, capped expansion
+        send = (ch_owner[rid] == 1) & (d_owner[rid] < max_hops)
+        to = t["to"].to_numpy(zero_copy_only=False)[is_edge][send]
+        nd = d_owner[rid][send] + 1
+        own = pa.table({"__k": pa.array(n[starts]),
+                        "__tag": pa.array(
+                            np.zeros(len(starts), np.int8)),
+                        "nd": pa.array(np.zeros(len(starts),
+                                               np.int64)),
+                        "d": pa.array(d_owner),
+                        "changed": pa.array(
+                            np.zeros(len(starts), np.int64))})
+        msgs = pa.table({"__k": pa.array(to.astype(np.int64)),
+                         "__tag": pa.array(
+                             np.ones(len(to), np.int8)),
+                         "nd": pa.array(nd.astype(np.int64)),
+                         "d": pa.array(np.zeros(len(to), np.int64)),
+                         "changed": pa.array(
+                             np.zeros(len(to), np.int64))})
+        return pa.concat_tables([own, msgs])
+
+    def relax_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__k" not in t.column_names:
+            return val_empty
+        n = t["__k"].to_numpy(zero_copy_only=False)
+        tag = t["__tag"].to_numpy(zero_copy_only=False)
+        nd = t["nd"].to_numpy(zero_copy_only=False)
+        new_run = np.concatenate([[True], n[1:] != n[:-1]])
+        run_id = np.cumsum(new_run.astype(np.int64)) - 1
+        starts = np.flatnonzero(new_run)
+        if (tag[starts] != 0).any():
+            raise ValueError("bfs_hops: message run missing its "
+                             "state row")
+        d_old = t["d"].to_numpy(zero_copy_only=False)[starts]
+        is_msg = tag == 1
+        best = np.full(len(starts), UNSET)
+        np.minimum.at(best, run_id[is_msg], nd[is_msg])
+        d_new = np.minimum(d_old, best)
+        return pa.table({"__k": pa.array(n[starts]),
+                         "d": pa.array(d_new),
+                         "changed": pa.array(
+                             (d_new < d_old).astype(np.int64))})
+
+    rounds = 0
+    while frontier and rounds < max_hops:
+        vals_ds = ray.data.from_arrow_refs(list(value_refs))
+        unioned = (vals_ds.map_batches(tag_vals,
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
+                   .union(edges_dataset().map_batches(
+                       tag_edges, batch_format="pyarrow",
+                       zero_copy_batch=True)))
+        msgs = partitioned_map(unioned, route_kernel, key="__k",
+                               sort_keys=["__k", "__tag"],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+        nxt = partitioned_map(msgs, relax_kernel, key="__k",
+                              sort_keys=["__k", "__tag"],
+                              num_partitions=num_partitions,
+                              strategy="tasks")
+        value_refs = list(materialized_block_refs(nxt))
+        frontier = int(ray.data.from_arrow_refs(list(value_refs))
+                       .sum("changed") or 0)
+        rounds += 1
+
+    def finalize(b: pa.Table) -> pa.Table:
+        d = b["d"].to_numpy(zero_copy_only=False)
+        keep = d != UNSET
+        return pa.table({
+            "node": pa.array(
+                b["__k"].to_numpy(zero_copy_only=False)[keep]
+                .astype(np.int64)),
+            "hops": pa.array(d[keep].astype(np.int64))})
+
+    return ray.data.from_arrow_refs(list(value_refs)).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True)
