@@ -546,7 +546,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q238_haar_energy": _haar_q,
         "q239_k_core": _k_core_q,
         "q240_bfs_hops": _bfs_q,
+        "q241_mahalanobis": _mahalanobis_q,
     }
+
+
+def _mahalanobis_q(sf_dir: str):
+    """q241: per-label Mahalanobis outlier distances over embeddings
+    (stages/cohesion.py:mahalanobis_outliers) — int64 sufficient
+    stats, driver eigh whitening, integer projections, fixed-order
+    d2 chain.  Fixture oracle: serial replay
+    (_oracle_replays.replay_mahalanobis), bit-identical — shared
+    mahalanobis_params, integer matmuls, elementwise float chain."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_mahalanobis
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    exp = replay_mahalanobis(t["vec_id"].to_pylist(),
+                             t["label"].to_pylist(),
+                             t["embedding"].to_pylist())
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in exp], pa.int64()),
+        "label": pa.array([r[1] for r in exp], pa.int64()),
+        "maha2": pa.array([r[2] for r in exp], pa.float64()),
+    }), f"{_ORACLE_DIR}/mahalanobis.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/mahalanobis.parquet.tmp",
+               f"{_ORACLE_DIR}/mahalanobis.parquet")
+
+    from featurebox_ray.stages.cohesion import mahalanobis_outliers
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label",
+                                         "embedding"],
+                                override_num_blocks=8)
+    return mahalanobis_outliers(emb)
 
 
 def _bfs_q(sf_dir: str):
@@ -9207,6 +9246,10 @@ def oracle_sql() -> dict[str, str]:
         "q239_k_core": f"""
             SELECT node, degree, core
             FROM read_parquet('{_ORACLE_DIR}/k_core.parquet')
+        """,
+        "q241_mahalanobis": f"""
+            SELECT vec_id, label, maha2
+            FROM read_parquet('{_ORACLE_DIR}/mahalanobis.parquet')
         """,
         "q215_kaplan_meier": f"""
             SELECT cohort, dur_days, at_risk, deaths, censored, surv

@@ -1127,3 +1127,49 @@ def replay_k_core(ts_us, users, *, width_us: int = 3_600_000_000,
             if v in alive and cur[v] > cur[u]:
                 cur[v] -= 1
     return sorted((u, deg[u], core[u]) for u in adj)
+
+
+def replay_mahalanobis(ids, labels, vecs, *, quant_bits: int = 10,
+                       proj_bits: int = 20, eps: float = 1e-9):
+    """Serial replay of stages/cohesion.py:mahalanobis_outliers —
+    identical arithmetic (int sufficient stats -> shared
+    mahalanobis_params -> integer projection -> fixed-order d2
+    chain), zero distribution.  Bit-identical by construction.
+    Returns rows (vec_id, label, maha2) for non-null rows."""
+    import numpy as np
+
+    from featurebox_ray.stages.cohesion import (mahalanobis_params,
+                                                quantize_half_up)
+
+    rows = [(i, l, v) for i, l, v in zip(ids, labels, vecs)
+            if l is not None and v is not None]
+    if not rows:
+        return []
+    X = np.asarray([v for _, _, v in rows], np.float64)
+    xq = quantize_half_up(X, quant_bits)
+    lab = np.asarray([l for _, l, _ in rows], np.int64)
+    dims = X.shape[1]
+    stats = {}
+    for lv in np.unique(lab):
+        rows_l = xq[lab == lv]
+        stats[int(lv)] = [int(rows_l.shape[0]),
+                          rows_l.sum(axis=0).astype(np.int64),
+                          (rows_l.T @ rows_l).reshape(-1)
+                          .astype(np.int64)]
+    params = mahalanobis_params(stats, dims, quant_bits=quant_bits,
+                                proj_bits=proj_bits, eps=eps)
+    scale = float(1 << (quant_bits + proj_bits))
+    out = []
+    d2_all = np.empty(len(rows), np.float64)
+    for lv in np.unique(lab):
+        vq, offsets, lam = params[int(lv)]
+        sel = lab == lv
+        si = xq[sel] @ vq
+        d2 = np.zeros(int(sel.sum()), np.float64)
+        for c in range(vq.shape[1]):
+            sc = si[:, c].astype(np.float64) / scale - offsets[c]
+            d2 = d2 + (sc * sc) / lam[c]
+        d2_all[sel] = d2
+    for (i, l, _), d2 in zip(rows, d2_all):
+        out.append((i, int(l), float(d2)))
+    return out

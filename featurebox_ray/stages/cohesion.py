@@ -467,3 +467,164 @@ def k_center_select(ds, *, vec_col: str = "embedding",
         "sel_ord": pa.array([r for r, _, _ in sel], pa.int64()),
         id_col: pa.array([i for _, i, _ in sel], pa.int64()),
         "radius2": pa.array([d for _, _, d in sel], pa.int64())})
+
+
+def mahalanobis_outliers(ds, *, vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         label_col: str = "label",
+                         quant_bits: int = 10, proj_bits: int = 20,
+                         eps: float = 1e-9):
+    """Per-label Mahalanobis outlier distances over an embedding
+    column — for each row, the squared Mahalanobis distance to its
+    OWN label's distribution (covariance-aware: a point 2σ along a
+    high-variance direction scores low, 2σ along a tight direction
+    scores high), the multivariate upgrade of ``robust_zscore`` and
+    the label-noise / mislabeled-sample audit for training corpora.
+
+    Exactness (the q92 PCA recipe, per label): vectors quantize
+    half-up to ``2^quant_bits``; per-label ``(n, Σq, ΣqqT)`` are
+    INT64-exact partials (driver-tiny combine, one row per label per
+    block); the covariance is reconstructed in identical float64 ops
+    both sides, whitened by a driver-side ``eigh`` (deterministic on
+    identical input); per-row projections are INTEGER matmuls against
+    ``round(V·2^proj_bits)`` so every score is exact-int/2^k − offset;
+    ``maha² = Σ_c score_c²/max(λ_c, eps)`` accumulates in FIXED
+    component order with elementwise ops — the whole chain is
+    shape-independent and replays bit-identically (fixture oracle).
+
+    Overflow contract: ``d · max|q| · 2^proj_bits < 2^63`` (raises);
+    Gram cells stay int64 to ~3e13 rows at ``quant_bits=10``, |x|≤1.
+
+    Returns ``(id_col, label (int64), maha2:float64)``; NULL
+    label/vector rows drop.  Reference analog: none (multivariate
+    outlier audit next to group_centroid_distance / PCA).
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[label_col]),
+                                     pc.is_valid(batch[vec_col])))
+        if batch.num_rows == 0:
+            return pa.table({
+                "lab": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64())),
+                "g": pa.array([], pa.list_(pa.int64()))})
+        xq, dims = _batch_mat(batch, vec_col, quant_bits)
+        lab = batch[label_col].combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        k = len(uniq)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        s = np.zeros((k, dims), np.int64)
+        np.add.at(s, inv, xq)
+        gram = np.zeros((k, dims * dims), np.int64)
+        for i, _u in enumerate(uniq):
+            rows = xq[inv == i]
+            gram[i] = (rows.T @ rows).reshape(-1)
+        return pa.table({
+            "lab": pa.array(uniq),
+            "n": pa.array(cnt),
+            "s": pa.array(list(s), pa.list_(pa.int64())),
+            "g": pa.array(list(gram), pa.list_(pa.int64()))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    stats: dict = {}
+    dims = 0
+    for b in ray.get(materialized_block_refs(partials)):
+        if b.num_rows == 0:
+            continue
+        for lv, nv, sv, gv in zip(b["lab"].to_pylist(),
+                                  b["n"].to_pylist(),
+                                  b["s"].to_pylist(),
+                                  b["g"].to_pylist()):
+            sv = np.asarray(sv, np.int64)
+            gv = np.asarray(gv, np.int64)
+            dims = len(sv)
+            cur = stats.get(lv)
+            if cur is None:
+                stats[lv] = [nv, sv.copy(), gv.copy()]
+            else:
+                cur[0] += nv
+                cur[1] += sv
+                cur[2] += gv
+    if not stats:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64()),
+                         "maha2": pa.array([], pa.float64())})
+
+    params = mahalanobis_params(stats, dims,
+                                quant_bits=quant_bits,
+                                proj_bits=proj_bits, eps=eps)
+    params_ref = ray.put(params)
+
+    scale = float(1 << (quant_bits + proj_bits))
+
+    def score(batch: pa.Table) -> pa.Table:
+        p = ray.get(params_ref)
+        batch = batch.filter(pc.and_(pc.is_valid(batch[label_col]),
+                                     pc.is_valid(batch[vec_col])))
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "maha2": pa.array([], pa.float64())})
+        xq, d_blk = _batch_mat(batch, vec_col, quant_bits)
+        mq = int(np.abs(xq).max()) if len(xq) else 0
+        if mq and d_blk * mq > (2**63 - 1) >> proj_bits:
+            raise ValueError("mahalanobis_outliers int64 projection "
+                             "guard exceeded; lower proj_bits")
+        lab = batch[label_col].combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        out_d2 = np.empty(len(lab), np.float64)
+        for lv in np.unique(lab):
+            prm = p.get(int(lv))
+            if prm is None:
+                raise ValueError(f"mahalanobis_outliers: label {lv} "
+                                 "missing from the fitted stats")
+            vq, offsets, lam = prm
+            sel = lab == lv
+            si = xq[sel] @ vq
+            d2 = np.zeros(int(sel.sum()), np.float64)
+            for c in range(vq.shape[1]):
+                sc = si[:, c].astype(np.float64) / scale - offsets[c]
+                d2 = d2 + (sc * sc) / lam[c]
+            out_d2[sel] = d2
+        return pa.table({id_col: pa.array(ids),
+                         "label": pa.array(lab),
+                         "maha2": pa.array(out_d2)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def mahalanobis_params(stats: dict, dims: int, *, quant_bits: int,
+                       proj_bits: int, eps: float):
+    """The ONE authoritative per-label whitening-parameter
+    derivation (shared by the distributed scorer, the fixture replay
+    and the tests — the bit-identical claim rests on there being a
+    single copy): covariance from exact int sufficient stats via a
+    fixed float64 op sequence, driver eigh, integer-rounded
+    components, Python-int exact offsets."""
+    out = {}
+    for lv in sorted(stats):
+        n, S, G = stats[lv]
+        mean = S.astype(np.float64) / (float(n)
+                                       * float(1 << quant_bits))
+        e2 = (G.reshape(dims, dims).astype(np.float64)
+              / (float(n) * float(1 << (2 * quant_bits))))
+        cov = e2 - np.outer(mean, mean)
+        lam, V = np.linalg.eigh(cov)
+        lam = np.maximum(lam, eps)
+        vq = np.round(V * float(1 << proj_bits)).astype(np.int64)
+        denom = float(n) * float(1 << (quant_bits + proj_bits))
+        offsets = np.array([
+            float(sum(int(a) * int(b) for a, b in zip(S, vq[:, c])))
+            / denom
+            for c in range(dims)])
+        out[int(lv)] = (vq, offsets, lam)
+    return out
