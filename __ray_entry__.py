@@ -547,7 +547,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q239_k_core": _k_core_q,
         "q240_bfs_hops": _bfs_q,
         "q241_mahalanobis": _mahalanobis_q,
+        "q242_ridge_influence": _ridge_influence_q,
     }
+
+
+def _ridge_influence_q(sf_dir: str):
+    """q242: leave-one-shard-out ridge influence (stages/regress.py:
+    ridge_influence) — per-shard integer XᵀX/Xᵀy partials, exact
+    total−group subtraction, shared ridge_solve per complement;
+    shard = vec_id % 7.  Fixture oracle: serial replay
+    (_oracle_replays.replay_ridge_influence), bit-identical."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_ridge_influence
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    grp = [None if i is None else i % 7
+           for i in t["vec_id"].to_pylist()]
+    exp = replay_ridge_influence(t["embedding"].to_pylist(),
+                                 t["label"].to_pylist(), grp)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "grp": pa.array([r[0] for r in exp], pa.int64()),
+        "j": pa.array([r[1] for r in exp], pa.int64()),
+        "coef_loo": pa.array([r[2] for r in exp], pa.float64()),
+        "delta": pa.array([r[3] for r in exp], pa.float64()),
+    }), f"{_ORACLE_DIR}/ridge_influence.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/ridge_influence.parquet.tmp",
+               f"{_ORACLE_DIR}/ridge_influence.parquet")
+
+    from featurebox_ray.stages.regress import ridge_influence
+
+    def add_grp(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "grp", pa.array((ids % 7).astype(np.int64)))
+
+    emb = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label",
+                                          "embedding"],
+                                 override_num_blocks=8)
+           .map_batches(add_grp, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    return ridge_influence(emb, group_col="grp", y_col="label")
 
 
 def _mahalanobis_q(sf_dir: str):
@@ -9250,6 +9299,10 @@ def oracle_sql() -> dict[str, str]:
         "q241_mahalanobis": f"""
             SELECT vec_id, label, maha2
             FROM read_parquet('{_ORACLE_DIR}/mahalanobis.parquet')
+        """,
+        "q242_ridge_influence": f"""
+            SELECT grp, j, coef_loo, delta
+            FROM read_parquet('{_ORACLE_DIR}/ridge_influence.parquet')
         """,
         "q215_kaplan_meier": f"""
             SELECT cohort, dur_days, at_risk, deaths, censored, surv

@@ -1173,3 +1173,50 @@ def replay_mahalanobis(ids, labels, vecs, *, quant_bits: int = 10,
     for (i, l, _), d2 in zip(rows, d2_all):
         out.append((i, int(l), float(d2)))
     return out
+
+
+def replay_ridge_influence(vecs, ys, groups, *, quant_bits: int = 10,
+                           y_scale: int = 1, lam_num: int = 1,
+                           lam_den: int = 1):
+    """Serial replay of stages/regress.py:ridge_influence — whole-
+    matrix integer sufficient statistics per group, integer
+    total − group subtraction, the shared ridge_solve float path.
+    Bit-exact under any partitioning (q169 contract).  Returns rows
+    (grp, j, coef_loo, delta)."""
+    import numpy as np
+
+    from featurebox_ray.stages.regress import ridge_solve
+
+    rows = [(v, y, g) for v, y, g in zip(vecs, ys, groups)
+            if v is not None and y is not None and g is not None]
+    if not rows:
+        return []
+    x = np.asarray([v for v, _, _ in rows], np.float64)
+    qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
+    ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
+    qa = np.concatenate([qi, ones], axis=1)
+    yq = np.round(np.asarray([y for _, y, _ in rows], np.float64)
+                  * y_scale).astype(np.int64)
+    gv = np.asarray([g for _, _, g in rows], np.int64)
+    d1 = qa.shape[1]
+    stats = {}
+    for g in np.unique(gv):
+        sel = gv == g
+        q = qa[sel]
+        stats[int(g)] = (q.T @ q, q.T @ yq[sel], int(sel.sum()))
+    G_tot = sum(s[0] for s in stats.values())
+    b_tot = sum(s[1] for s in stats.values())
+    n_tot = sum(s[2] for s in stats.values())
+    coef_full = ridge_solve(G_tot, b_tot, n_tot, quant_bits, y_scale,
+                            lam_num, lam_den)
+    out = []
+    for g in sorted(stats):
+        Gg, bg, ng = stats[g]
+        if n_tot - ng == 0:
+            continue
+        coef = ridge_solve(G_tot - Gg, b_tot - bg, n_tot - ng,
+                           quant_bits, y_scale, lam_num, lam_den)
+        delta = coef - coef_full
+        for j in range(d1):
+            out.append((g, j, float(coef[j]), float(delta[j])))
+    return out

@@ -1686,3 +1686,166 @@ def did_estimate(ds, *, group_col: str, side_col: str, ts_col: str,
         "n_c_pre": pa.array(cols[0], pa.int64()),
         "n_c_post": pa.array(cols[1], pa.int64()),
         "did": pa.array(dids, pa.float64())})
+
+
+def ridge_influence(ds, *, vec_col: str = "embedding",
+                    y_col: str = "label", group_col: str = "grp",
+                    lam_num: int = 1, lam_den: int = 1,
+                    quant_bits: int = 10, y_scale: int = 1,
+                    num_partitions: int = 4) -> pa.Table:
+    """Leave-one-group-out ridge influence — data VALUATION for a
+    training corpus: for every group (source, shard, annotator
+    batch), the exact closed-form model that would result from
+    DROPPING that group, and how far each coefficient moves.  Groups
+    whose removal swings the model are the high-leverage (or
+    corrupting) slices; near-zero deltas mark redundant data.  One
+    corpus pass answers all groups at once — no retraining loop.
+
+    Exactness: per-group integer sufficient statistics ``(XᵀX_g,
+    Xᵀy_g, n_g)`` (the fit_ridge partials keyed by group) merge on
+    ONE group-keyed exchange; the driver forms ``total − group`` by
+    INTEGER subtraction (exact), so every leave-one-out system is the
+    bit-identical matrix a from-scratch fit on the complement would
+    build, and the shared :func:`ridge_solve` float path returns
+    bit-identical coefficients (q169 contract).  Fixture-replay
+    oracle; no SQL (the solve).
+
+    The driver holds groups × (d+1)² int64 cells — the documented
+    driver-tiny bound (pre-bucket sources if you have millions).
+    Groups covering the ENTIRE corpus (complement empty) emit no
+    rows; NULL group/vec/y rows drop.
+
+    Returns ``(group_col, j:int64, coef_loo:float64,
+    delta:float64)`` with ``j = d`` the intercept and ``delta =
+    coef_loo − coef_full``.
+
+    Reference analog: none (the reference scores feature subsets, not
+    data slices); the closed-form sibling of influence-function data
+    valuation, exact for ridge.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[vec_col]),
+                               pc.is_valid(b[y_col])),
+                       pc.is_valid(b[group_col]))
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        empty = pa.table({"g": pa.array([], pa.int64()),
+                          "cell": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        arr = b[vec_col].combine_chunks()
+        mm = pc.min_max(pc.list_value_length(arr))
+        if mm["min"].as_py() != mm["max"].as_py():
+            raise ValueError(
+                f"ridge_influence: {vec_col} lists are ragged "
+                f"({mm['min']}..{mm['max']} elements)")
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        x = flat.reshape(len(arr), -1).astype(np.float64)
+        qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
+        ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
+        qa = np.concatenate([qi, ones], axis=1)
+        yq = np.round(b[y_col].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * y_scale).astype(np.int64)
+        gv = b[group_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d1 = qa.shape[1]
+        cells_tmpl = np.concatenate([
+            np.arange(d1 * d1, dtype=np.int64),
+            d1 * d1 + np.arange(d1, dtype=np.int64),
+            [d1 * d1 + d1]])
+        gs, cs, vs = [], [], []
+        for g in np.unique(gv):
+            sel = gv == g
+            q = qa[sel]
+            gm = q.T @ q
+            xty = q.T @ yq[sel]
+            vals = np.concatenate([gm.ravel(), xty,
+                                   [int(sel.sum())]])
+            gs.append(np.full(len(cells_tmpl), g, np.int64))
+            cs.append(cells_tmpl)
+            vs.append(vals)
+        return pa.table({"g": pa.array(np.concatenate(gs)),
+                         "cell": pa.array(np.concatenate(cs)),
+                         "val": pa.array(np.concatenate(vs))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        g = t["g"].to_numpy(zero_copy_only=False)
+        c = t["cell"].to_numpy(zero_copy_only=False)
+        v = t["val"].to_numpy(zero_copy_only=False)
+        # sorted (g, cell): run-length sum
+        new = np.concatenate([[True], (g[1:] != g[:-1])
+                              | (c[1:] != c[:-1])])
+        starts = np.flatnonzero(new)
+        rid = np.cumsum(new.astype(np.int64)) - 1
+        sums = np.zeros(len(starts), np.int64)
+        np.add.at(sums, rid, v)
+        return pa.table({"g": pa.array(g[starts]),
+                         "cell": pa.array(c[starts]),
+                         "val": pa.array(sums)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    stats = partitioned_map(partials, combine, key="g",
+                            sort_keys=["g", "cell"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    per_group: dict = {}
+    for b in ray.get(materialized_block_refs(stats)):
+        if b.num_rows == 0:
+            continue
+        for gv, cv, vv in zip(b["g"].to_pylist(),
+                              b["cell"].to_pylist(),
+                              b["val"].to_pylist()):
+            per_group.setdefault(gv, {})[cv] = (
+                per_group.get(gv, {}).get(cv, 0) + vv)
+    empty = pa.table({group_col: pa.array([], pa.int64()),
+                      "j": pa.array([], pa.int64()),
+                      "coef_loo": pa.array([], pa.float64()),
+                      "delta": pa.array([], pa.float64())})
+    if not per_group:
+        return empty
+
+    total_cells = max(max(d) for d in per_group.values()) + 1
+    d1 = int(round((-1 + np.sqrt(1 + 4 * (total_cells - 1))) / 2))
+
+    def dense(cells: dict) -> np.ndarray:
+        flat = np.zeros(total_cells, np.int64)
+        for cc, vv in cells.items():
+            flat[cc] = vv
+        return flat
+
+    mats = {g: dense(cells) for g, cells in per_group.items()}
+    total = np.zeros(total_cells, np.int64)
+    for m in mats.values():
+        total += m
+    n_total = int(total[-1])
+    coef_full = ridge_solve(total[:d1 * d1].reshape(d1, d1),
+                            total[d1 * d1:d1 * d1 + d1], n_total,
+                            quant_bits, y_scale, lam_num, lam_den)
+    out_g, out_j, out_c, out_d = [], [], [], []
+    for g in sorted(mats):
+        rest = total - mats[g]
+        n_rest = int(rest[-1])
+        if n_rest == 0:
+            continue
+        coef = ridge_solve(rest[:d1 * d1].reshape(d1, d1),
+                           rest[d1 * d1:d1 * d1 + d1], n_rest,
+                           quant_bits, y_scale, lam_num, lam_den)
+        delta = coef - coef_full
+        out_g.extend([g] * d1)
+        out_j.extend(range(d1))
+        out_c.extend(coef.tolist())
+        out_d.extend(delta.tolist())
+    return pa.table({group_col: pa.array(out_g, pa.int64()),
+                     "j": pa.array(out_j, pa.int64()),
+                     "coef_loo": pa.array(out_c, pa.float64()),
+                     "delta": pa.array(out_d, pa.float64())})
