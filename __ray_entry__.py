@@ -548,7 +548,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q240_bfs_hops": _bfs_q,
         "q241_mahalanobis": _mahalanobis_q,
         "q242_ridge_influence": _ridge_influence_q,
+        "q243_mutual_nn": _mutual_nn_q,
     }
+
+
+def _mutual_nn_q(sf_dir: str):
+    """q243: reciprocal-best-match pairs over embeddings
+    (stages/knn.py:mutual_nn_pairs) — exact int64 dots, (dot desc,
+    id asc) NN per row, mutuality via a lo-keyed run-length check.
+    SQL replays with the q164 unnest self-join + QUALIFY + a
+    reciprocal self-join of the NN table."""
+    import ray
+
+    from featurebox_ray.stages.knn import mutual_nn_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"],
+                                override_num_blocks=8)
+    return mutual_nn_pairs(emb, num_partitions=8)
 
 
 def _ridge_influence_q(sf_dir: str):
@@ -7078,6 +7095,33 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # mutual NN: q164 integer-dot unnest self-join + QUALIFY NN,
+        # then the reciprocal self-join keeps (a,b) iff NN(a)=b AND
+        # NN(b)=a
+        "q243_mutual_nn": """
+            WITH c AS (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 256
+                                + 0.5) AS BIGINT) AS xq
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) r(i)
+              WHERE embedding IS NOT NULL
+            ), d AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+              FROM c a JOIN c b
+                ON a.i = b.i AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2
+            ), nn AS (
+              SELECT ia, ib, dot FROM d
+              QUALIFY row_number() OVER (PARTITION BY ia
+                                         ORDER BY dot DESC, ib) = 1
+            )
+            SELECT n1.ia AS id_a, n1.ib AS id_b, n1.dot
+            FROM nn n1 JOIN nn n2
+              ON n1.ib = n2.ia AND n2.ib = n1.ia
+            WHERE n1.ia < n1.ib
         """,
         # BFS hops: recursive CTE, UNION dedups (node, d); min per
         # node; same q234 edge-build CTE + symmetrize

@@ -215,3 +215,115 @@ def knn_join(left, right, *, k: int = 5, n_centroids: int = 8,
                            sort_keys=["lid", "__negdot", "rid"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def mutual_nn_pairs(ds, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", quant_bits: int = 8,
+                    num_partitions: int = 8, concurrency=(1, 8)):
+    """Mutual nearest-neighbor pairs — ``(a, b)`` where b is a's
+    single most-similar vector AND a is b's: the reciprocal-best-match
+    criterion that cuts hub-dominated false matches in entity
+    alignment / bilingual lexicon induction / near-dup seeding (a hub
+    that is everyone's NN almost never has them as ITS NN).
+
+    Exactness: the half-up-quantized exact int64 dot everywhere
+    (hard_negatives convention); each row's NN uses the deterministic
+    ``(dot desc, id asc)`` tie-break over an id-sorted broadcast
+    catalog; mutuality is a set intersection of exact (lo, hi) rows —
+    a full SQL oracle replays it (unnest self-join + QUALIFY +
+    reciprocal self-join).
+
+    Shape: catalog built once per actor from materialized refs (heap
+    bound documented in :func:`hard_negatives`), one integer matmul
+    per batch; the n NN rows then ride ONE lo-keyed exchange where a
+    run of length 2 marks a mutual pair.  NULL-vector rows drop.
+
+    Returns ``(id_a:int64, id_b:int64, dot:int64)`` with
+    ``id_a < id_b``.  Reference analog: none (retrieval-quality
+    extension of knn_join / hard_negatives).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .cohesion import _batch_mat
+    from .partition import materialized_block_refs, partitioned_map
+
+    refs = materialized_block_refs(ds)
+
+    class NN:
+        def __init__(self):
+            ids, vecs = [], []
+            for b in ray.get(list(refs)):
+                if not isinstance(b, pa.Table) or b.num_rows == 0:
+                    continue
+                b = b.filter(pc.is_valid(b[vec_col]))
+                if b.num_rows == 0:
+                    continue
+                ids.append(b[id_col].to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+                Q, _d = _batch_mat(b, vec_col, quant_bits)
+                vecs.append(Q)
+            if ids:
+                self.ids = np.concatenate(ids)
+                self.V = np.concatenate(vecs, axis=0)
+                order = np.argsort(self.ids, kind="stable")
+                self.ids = self.ids[order]
+                self.V = self.V[order]
+                _guard_dot(int(np.abs(self.V).max(initial=0)),
+                           int(np.abs(self.V).max(initial=0)),
+                           self.V.shape[1])
+            else:
+                self.ids = np.empty(0, np.int64)
+                self.V = np.empty((0, 1), np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"lo": pa.array([], pa.int64()),
+                              "hi": pa.array([], pa.int64()),
+                              "dot": pa.array([], pa.int64())})
+            batch = batch.filter(pc.is_valid(batch[vec_col]))
+            if batch.num_rows == 0 or len(self.ids) < 2:
+                return empty
+            qids = batch[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            X, _d = _batch_mat(batch, vec_col, quant_bits)
+            dots = X @ self.V.T
+            NEG = np.iinfo(np.int64).min
+            self_mask = qids[:, None] == self.ids[None, :]
+            masked = np.where(self_mask, NEG, dots)
+            best = np.argmax(masked, axis=1)
+            ok = masked[np.arange(len(best)), best] != NEG
+            a = qids[ok]
+            bid = self.ids[best[ok]]
+            d = masked[np.flatnonzero(ok), best[ok]]
+            return pa.table({
+                "lo": pa.array(np.minimum(a, bid)),
+                "hi": pa.array(np.maximum(a, bid)),
+                "dot": pa.array(d)})
+
+    nn = ds.map_batches(NN, batch_format="pyarrow",
+                        zero_copy_batch=True,
+                        concurrency=concurrency)
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "dot": pa.array([], pa.int64())})
+
+    def mutual_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lo" not in t.column_names:
+            return empty
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        d = t["dot"].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], (lo[1:] != lo[:-1])
+                              | (hi[1:] != hi[:-1])])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(lo)))
+        sel = starts[lens == 2]
+        return pa.table({"id_a": pa.array(lo[sel]),
+                         "id_b": pa.array(hi[sel]),
+                         "dot": pa.array(d[sel])})
+
+    return partitioned_map(nn, mutual_kernel, key="lo",
+                           sort_keys=["lo", "hi"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
