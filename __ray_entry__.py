@@ -549,7 +549,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q241_mahalanobis": _mahalanobis_q,
         "q242_ridge_influence": _ridge_influence_q,
         "q243_mutual_nn": _mutual_nn_q,
+        "q244_randomization_test": _randomization_q,
     }
+
+
+def _randomization_q(sf_dir: str):
+    """q244: per-event-type approximate randomization test of the
+    user-parity mean gap (stages/regress.py:randomization_test) —
+    64 deterministic Knuth-bit pseudo-permutations, every rational
+    comparison cross-multiplied to exact ints (Python ints; HUGEINT
+    in SQL), p = (n_ge+1)/65."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.regress import randomization_test
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.compute.is_valid(b["user_id"]))
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "obs_side", pa.array((u % 2).astype(np.int64)))
+
+    ev = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "user_id",
+                                         "event_type", "value"],
+                                override_num_blocks=16)
+          .map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return randomization_test(ev, key_col="event_type",
+                              id_col="event_id",
+                              side_col="obs_side",
+                              value_col="value", n_perms=64)
 
 
 def _mutual_nn_q(sf_dir: str):
@@ -7095,6 +7126,56 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # randomization test: Knuth bit-16 per (event_id*64+r);
+        # HUGEINT cross-multiplied rational compares; empty perm side
+        # counts as >= (mirrors the engine)
+        "q244_randomization_test": """
+            WITH e AS (
+              SELECT event_type, event_id,
+                     user_id % 2 AS obs_side,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+              WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+                AND user_id IS NOT NULL AND value IS NOT NULL),
+            obs AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(c) AS BIGINT) AS s,
+                           CAST(sum(obs_side) AS BIGINT) AS n1,
+                           CAST(sum(obs_side * c) AS BIGINT) AS s1
+                    FROM e GROUP BY event_type),
+            ps AS (SELECT event_type, r,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(c) AS BIGINT) AS s,
+                          CAST(sum(pb) AS BIGINT) AS n1,
+                          CAST(sum(pb * c) AS BIGINT) AS s1
+                   FROM (SELECT event_type, c, r,
+                                ((((event_id * 64 + r)
+                                   % 4294967296) * 2654435761)
+                                 % 4294967296 // 65536) % 2 AS pb
+                         FROM e CROSS JOIN range(64) t(r))
+                   GROUP BY event_type, r),
+            cnt AS (SELECT p.event_type,
+                           CAST(sum(CASE
+                             WHEN (p.n - p.n1) * p.n1 = 0 THEN 1
+                             WHEN abs((p.s - p.s1) * p.n1
+                                      - p.s1 * (p.n - p.n1))
+                                  * ((o.n - o.n1) * o.n1)
+                                  >= abs((o.s - o.s1) * o.n1
+                                         - o.s1 * (o.n - o.n1))
+                                     * ((p.n - p.n1) * p.n1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+                    FROM ps p JOIN obs o USING (event_type)
+                    GROUP BY p.event_type)
+            SELECT o.event_type, o.n, o.n1 AS n1_obs,
+                   CAST(abs((o.s - o.s1) * o.n1
+                            - o.s1 * (o.n - o.n1)) AS DOUBLE)
+                     AS obs_num,
+                   c.n_ge,
+                   CASE WHEN (o.n - o.n1) * o.n1 = 0 THEN NULL
+                        ELSE CAST(c.n_ge + 1 AS DOUBLE)
+                             / CAST(65 AS DOUBLE) END AS p_value
+            FROM obs o JOIN cnt c USING (event_type)
         """,
         # mutual NN: q164 integer-dot unnest self-join + QUALIFY NN,
         # then the reciprocal self-join keeps (a,b) iff NN(a)=b AND

@@ -230,7 +230,7 @@ QUERY_NAMES = [
     "q233_kn_bigram", "q234_assortativity", "q235_bm25",
     # session-15 additions
     "q237_wasserstein_drift", "q238_haar_energy", "q240_bfs_hops",
-    "q243_mutual_nn",
+    "q243_mutual_nn", "q244_randomization_test",
 ]
 
 

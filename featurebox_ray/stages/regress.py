@@ -1849,3 +1849,138 @@ def ridge_influence(ds, *, vec_col: str = "embedding",
                      "j": pa.array(out_j, pa.int64()),
                      "coef_loo": pa.array(out_c, pa.float64()),
                      "delta": pa.array(out_d, pa.float64())})
+
+
+def randomization_test(ds, *, key_col: str, id_col: str,
+                       side_col: str, value_col: str,
+                       n_perms: int = 64, num_partitions: int = 8):
+    """Per-key approximate randomization test — a distribution-free
+    p-value for "do the two sides differ in mean?", the inference
+    companion of the parametric q143 A/B z-test and q214 rank test:
+    the observed |mean gap| is compared against ``n_perms``
+    DETERMINISTIC pseudo-reassignments of rows to sides (Knuth-hash
+    bit per (row id, perm) — binomial reassignment, the standard
+    approximate-randomization variant; documented, mirrored in SQL).
+
+    Exactness: values quantize to cents; per (key, perm) partials
+    ``(n1, Σ1)`` plus per-key totals are exact int64 (driver-tiny
+    combine, no shuffle); every comparison of rational statistics
+    cross-multiplies to EXACT integers (Python ints — products reach
+    |S|·n·n², far past int64), so the permutation count replays
+    bit-for-bit in HUGEINT SQL.  ``p = (n_ge + 1)/(n_perms + 1)`` is
+    one division (add-one estimator).  Perms that land a side empty
+    count as ≥ (conservative; mirrored).  Observed side from
+    ``side_col`` (0/1); NULL key/id/side/value rows drop; non-finite
+    values raise (cents_exact contract).
+
+    Emits ``(key_col, n:int64, n1_obs:int64, obs_num:float64 — the
+    exact |S0·n1 − S1·n0| cast, n_ge:int64, p_value:float64)``;
+    single-side keys emit NULL p.  Reference analog: none
+    (inference-audit family q143/q165/q179/q214).
+    """
+    import ray
+
+    from ..functions.segments import cents_exact
+    from .partition import materialized_block_refs
+    from .sample import knuth_hash
+
+    R = n_perms
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                            pc.is_valid(b[id_col])),
+                    pc.and_(pc.is_valid(b[side_col]),
+                            pc.is_valid(b[value_col]))), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        empty = pa.table({"k": pa.array([], pa.string()),
+                          "cell": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        c = cents_exact(b[value_col].combine_chunks(), col=value_col)
+        side = pc.cast(b[side_col].combine_chunks(),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keys = b[key_col].combine_chunks().cast(pa.string())
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # (n, R) permutation side bits — bit 16 of the Knuth hash
+        # (bit 0 is input parity: the multiplier is odd)
+        h = knuth_hash(eid[:, None] * R + np.arange(R, dtype=np.int64),
+                       op="randomization_test")
+        pbit = ((h >> np.uint64(16)) & np.uint64(1)).astype(np.int64)
+        ks, cells, vals = [], [], []
+        for kcode in np.unique(codes):
+            sel = codes == kcode
+            cs, ss = c[sel], side[sel]
+            pb = pbit[sel]
+            n1r = pb.sum(axis=0)
+            s1r = (pb * cs[:, None]).sum(axis=0)
+            kv = [int(sel.sum()), int(cs.sum()), int(ss.sum()),
+                  int((ss * cs).sum())]
+            cell_ids = np.concatenate([
+                np.arange(4, dtype=np.int64),
+                4 + np.arange(R, dtype=np.int64),
+                4 + R + np.arange(R, dtype=np.int64)])
+            v = np.concatenate([np.asarray(kv, np.int64), n1r, s1r])
+            name = enc.dictionary[int(kcode)].as_py()
+            ks.extend([name] * len(cell_ids))
+            cells.append(cell_ids)
+            vals.append(v)
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "cell": pa.array(np.concatenate(cells)),
+                         "val": pa.array(np.concatenate(vals))})
+
+    pds = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    agg: dict = {}
+    for b in ray.get(materialized_block_refs(pds)):
+        if b.num_rows == 0:
+            continue
+        for k, cell, v in zip(b["k"].to_pylist(),
+                              b["cell"].to_pylist(),
+                              b["val"].to_pylist()):
+            cur = agg.setdefault(k, {})
+            cur[cell] = cur.get(cell, 0) + v
+
+    out_k, out_n, out_n1, out_obs, out_ge, out_p = ([], [], [], [],
+                                                    [], [])
+    for k in sorted(agg):
+        cells = agg[k]
+        n = cells.get(0, 0)
+        s = cells.get(1, 0)
+        n1 = cells.get(2, 0)
+        s1 = cells.get(3, 0)
+        n0 = n - n1
+        s0 = s - s1
+        obs_num = abs(s0 * n1 - s1 * n0)
+        obs_den = n0 * n1
+        n_ge = 0
+        for r in range(R):
+            n1r = cells.get(4 + r, 0)
+            s1r = cells.get(4 + R + r, 0)
+            n0r = n - n1r
+            s0r = s - s1r
+            den_r = n0r * n1r
+            if den_r == 0:
+                n_ge += 1
+            elif abs(s0r * n1r - s1r * n0r) * obs_den \
+                    >= obs_num * den_r:
+                n_ge += 1
+        out_k.append(k)
+        out_n.append(n)
+        out_n1.append(n1)
+        out_obs.append(float(obs_num))
+        out_ge.append(n_ge)
+        out_p.append(float(n_ge + 1) / float(R + 1)
+                     if obs_den else None)
+    return pa.table({key_col: pa.array(out_k, pa.string()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "n1_obs": pa.array(out_n1, pa.int64()),
+                     "obs_num": pa.array(out_obs, pa.float64()),
+                     "n_ge": pa.array(out_ge, pa.int64()),
+                     "p_value": pa.array(out_p, pa.float64())})
