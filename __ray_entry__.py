@@ -550,7 +550,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q242_ridge_influence": _ridge_influence_q,
         "q243_mutual_nn": _mutual_nn_q,
         "q244_randomization_test": _randomization_q,
+        "q245_dbscan": _dbscan_q,
     }
+
+
+def _dbscan_q(sf_dir: str):
+    """q245: integer-exact DBSCAN over embeddings
+    (stages/dbscan.py:dbscan_embed) — neighbor = quantized dot ≥
+    20000, core = ≥4 neighbors, clusters = min-core-id components,
+    border = min neighbor label, noise = NULL.  Fixture oracle:
+    INDEPENDENT serial replay (_oracle_replays.replay_dbscan —
+    O(n²) BFS expansion)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_dbscan
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    exp = replay_dbscan(t["vec_id"].to_pylist(),
+                        t["embedding"].to_pylist(),
+                        threshold_num=20000, min_pts=4)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in exp], pa.int64()),
+        "cluster": pa.array([r[1] for r in exp], pa.int64()),
+        "is_core": pa.array([r[2] for r in exp], pa.int64()),
+    }), f"{_ORACLE_DIR}/dbscan.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/dbscan.parquet.tmp",
+               f"{_ORACLE_DIR}/dbscan.parquet")
+
+    from featurebox_ray.stages.dbscan import dbscan_embed
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"],
+                                override_num_blocks=8)
+    return dbscan_embed(emb, threshold_num=20000, min_pts=4,
+                        num_partitions=8)
 
 
 def _randomization_q(sf_dir: str):
@@ -9428,6 +9467,10 @@ def oracle_sql() -> dict[str, str]:
         "q242_ridge_influence": f"""
             SELECT grp, j, coef_loo, delta
             FROM read_parquet('{_ORACLE_DIR}/ridge_influence.parquet')
+        """,
+        "q245_dbscan": f"""
+            SELECT vec_id, cluster, is_core
+            FROM read_parquet('{_ORACLE_DIR}/dbscan.parquet')
         """,
         "q215_kaplan_meier": f"""
             SELECT cohort, dur_days, at_risk, deaths, censored, surv

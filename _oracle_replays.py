@@ -1220,3 +1220,66 @@ def replay_ridge_influence(vecs, ys, groups, *, quant_bits: int = 10,
         for j in range(d1):
             out.append((g, j, float(coef[j]), float(delta[j])))
     return out
+
+
+def replay_dbscan(ids, vecs, *, threshold_num: int, min_pts: int = 4,
+                  quant_bits: int = 8):
+    """Serial replay of stages/dbscan.py:dbscan_embed — INDEPENDENT
+    classic algorithm: O(n²) neighbor lists, BFS component expansion
+    over core points, then labels canonicalized to the MIN core id
+    per component; border rows take the min label among their core
+    neighbors; noise rows get None.  Returns rows
+    (id, cluster_or_None, is_core) sorted by id."""
+    from collections import deque
+
+    import numpy as np
+
+    rows = [(i, v) for i, v in zip(ids, vecs) if v is not None]
+    if not rows:
+        return []
+    rid = np.asarray([i for i, _ in rows], np.int64)
+    X = np.asarray([v for _, v in rows], np.float64)
+    Q = np.floor(X * float(1 << quant_bits) + 0.5).astype(np.int64)
+    n = len(rid)
+    dots = Q @ Q.T
+    nbr = dots >= int(threshold_num)
+    np.fill_diagonal(nbr, False)
+    # also mask duplicate-id self pairs (ids unique in practice)
+    deg = nbr.sum(axis=1)
+    is_core = deg >= min_pts
+    # BFS over core-core adjacency
+    comp = {}
+    for s in range(n):
+        if not is_core[s] or s in comp:
+            continue
+        q = deque([s])
+        comp[s] = s
+        members = [s]
+        while q:
+            u = q.popleft()
+            for v in np.flatnonzero(nbr[u] & is_core):
+                if v not in comp:
+                    comp[v] = s
+                    members.append(v)
+                    q.append(v)
+    # canonical min core ID per component
+    by_comp = {}
+    for v, c in comp.items():
+        by_comp.setdefault(c, []).append(v)
+    lab = {}
+    for c, vs in by_comp.items():
+        m = int(min(rid[v] for v in vs))
+        for v in vs:
+            lab[v] = m
+    out = []
+    for i in range(n):
+        if is_core[i]:
+            out.append((int(rid[i]), lab[i], 1))
+        else:
+            core_nbrs = np.flatnonzero(nbr[i] & is_core)
+            if len(core_nbrs):
+                out.append((int(rid[i]),
+                            min(lab[v] for v in core_nbrs), 0))
+            else:
+                out.append((int(rid[i]), None, 0))
+    return sorted(out, key=lambda r: r[0])
