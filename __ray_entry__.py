@@ -7197,12 +7197,16 @@ def oracle_sql() -> dict[str, str]:
             cnt AS (SELECT p.event_type,
                            CAST(sum(CASE
                              WHEN (p.n - p.n1) * p.n1 = 0 THEN 1
-                             WHEN abs((p.s - p.s1) * p.n1
-                                      - p.s1 * (p.n - p.n1))
-                                  * ((o.n - o.n1) * o.n1)
-                                  >= abs((o.s - o.s1) * o.n1
-                                         - o.s1 * (o.n - o.n1))
-                                     * ((p.n - p.n1) * p.n1)
+                             WHEN CAST(abs((p.s - p.s1) * p.n1
+                                           - p.s1 * (p.n - p.n1))
+                                       AS HUGEINT)
+                                  * CAST((o.n - o.n1) * o.n1
+                                         AS HUGEINT)
+                                  >= CAST(abs((o.s - o.s1) * o.n1
+                                              - o.s1 * (o.n - o.n1))
+                                          AS HUGEINT)
+                                     * CAST((p.n - p.n1) * p.n1
+                                            AS HUGEINT)
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
                     FROM ps p JOIN obs o USING (event_type)
                     GROUP BY p.event_type)

@@ -1112,9 +1112,16 @@ def replay_k_core(ts_us, users, *, width_us: int = 3_600_000_000,
                 adj[sa[i]].add(sa[j])
                 adj[sa[j]].add(sa[i])
 
+    deg, core = peel_core_numbers(adj)
+    return sorted((u, deg[u], core[u]) for u in adj)
+
+
+def peel_core_numbers(adj):
+    """Batagelj–Zaveršnik bucket peeling over an adjacency dict —
+    shared by replay_k_core and the k_core unit tests (one copy of
+    the peeling tie-break).  Returns ``(deg, core)`` dicts."""
     deg = {u: len(vs) for u, vs in adj.items()}
     core = dict(deg)
-    # bucket peeling: repeatedly remove a minimum-degree node
     alive = set(adj)
     cur = {u: len(vs) for u, vs in adj.items()}
     k = 0
@@ -1126,7 +1133,7 @@ def replay_k_core(ts_us, users, *, width_us: int = 3_600_000_000,
         for v in adj[u]:
             if v in alive and cur[v] > cur[u]:
                 cur[v] -= 1
-    return sorted((u, deg[u], core[u]) for u in adj)
+    return deg, core
 
 
 def replay_mahalanobis(ids, labels, vecs, *, quant_bits: int = 10,

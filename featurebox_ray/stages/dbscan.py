@@ -244,9 +244,17 @@ def dbscan_embed(ds, *, vec_col: str = "embedding",
             "is_core": pa.array(np.zeros(len(nz_ids), np.int64))})
         return pa.concat_tables([btab, ntab])
 
+    def drop_core_edges(b: pa.Table) -> pa.Table:
+        # core-core rows were already consumed by the union-find —
+        # shipping them through the border exchange would be pure
+        # shuffle waste (they dominate on dense data)
+        return b.filter(pc.not_equal(b["kind"], 0))
+
     non_core = partitioned_map(
-        ray.data.from_arrow_refs(edge_refs), border_kernel,
-        key="lo", sort_keys=["lo", "hi"],
+        ray.data.from_arrow_refs(edge_refs).map_batches(
+            drop_core_edges, batch_format="pyarrow",
+            zero_copy_batch=True),
+        border_kernel, key="lo", sort_keys=["lo", "hi"],
         num_partitions=num_partitions, strategy="tasks")
 
     return ray.data.from_arrow(core_table).union(non_core)

@@ -545,7 +545,8 @@ def degree_assortativity(edges_ds):
                      "r": pa.array([r], pa.float64())})
 
 
-def k_core(edges_ds, *, max_iters: int = 64, num_partitions: int = 16):
+def k_core(edges_ds, *, max_iters: int = 1024,
+           num_partitions: int = 16):
     """Core-number (k-core) decomposition of an undirected simple
     graph given as distinct ``(src, dst)`` edge rows with ``src <
     dst`` — per node, the largest k such that the node survives in
@@ -568,10 +569,12 @@ def k_core(edges_ds, *, max_iters: int = 64, num_partitions: int = 16):
     c onto its outgoing half-edges, (2) key = recipient computes the
     per-node h-index over gathered neighbor values (one descending
     sort + rank compare per partition).  Each iteration ships O(2E)
-    int64 rows; iterations to convergence are bounded by the graph's
-    degeneracy ordering depth (single digits on social-shaped
-    graphs).  Raises if ``max_iters`` is hit with changes pending.
-    All-int arithmetic — no float anywhere.
+    int64 rows; rounds to convergence are bounded by the longest
+    strictly-decreasing h-index chain — single digits on social-shaped
+    graphs, but Θ(path length) on chain-shaped peripheries (a 130-node
+    path needs 65 rounds), hence the generous ``max_iters`` runaway
+    cap.  Raises (naming the fix) if the cap is hit with changes
+    pending.  All-int arithmetic — no float anywhere.
 
     Returns ``(node:int64, degree:int64, core:int64)``.
     Reference analog: none (graph suite extension alongside
@@ -756,8 +759,10 @@ def k_core(edges_ds, *, max_iters: int = 64, num_partitions: int = 16):
                       .sum("changed") or 0)
         it += 1
     if changed:
-        raise RuntimeError(f"k_core: not converged after "
-                           f"{max_iters} iterations")
+        raise RuntimeError(
+            f"k_core: not converged after {max_iters} rounds — a "
+            "chain-shaped graph needs ~diameter/2 rounds; raise "
+            "max_iters")
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["__k"], "degree": b["deg"],

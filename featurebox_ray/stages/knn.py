@@ -248,7 +248,10 @@ def mutual_nn_pairs(ds, *, vec_col: str = "embedding",
     from .cohesion import _batch_mat
     from .partition import materialized_block_refs, partitioned_map
 
-    refs = materialized_block_refs(ds)
+    # materialize once: the catalog AND the query pass both read these
+    # refs — ds.map_batches on the lazy input would re-execute its
+    # whole upstream plan a second time
+    refs = list(materialized_block_refs(ds))
 
     class NN:
         def __init__(self):
@@ -300,9 +303,9 @@ def mutual_nn_pairs(ds, *, vec_col: str = "embedding",
                 "hi": pa.array(np.maximum(a, bid)),
                 "dot": pa.array(d)})
 
-    nn = ds.map_batches(NN, batch_format="pyarrow",
-                        zero_copy_batch=True,
-                        concurrency=concurrency)
+    nn = ray.data.from_arrow_refs(list(refs)).map_batches(
+        NN, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
 
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),

@@ -832,6 +832,29 @@ def crosstab_chi2(ds, *, row_col: str, col_col: str):
     })
 
 
+def _ridge_rows(b: "pa.Table", vec_col: str, y_col: str,
+                quant_bits: int, y_scale: int):
+    """The ONE row-quantization step of the ridge family (fit_ridge /
+    ridge_influence share it so the 'q169 contract' — identical
+    integer sufficient statistics — cannot drift): ragged-list guard,
+    half-even round-quantize, intercept column augment, target
+    quantize.  Returns ``(qa, yq)``."""
+    arr = b[vec_col].combine_chunks()
+    mm = pc.min_max(pc.list_value_length(arr))
+    if mm["min"].as_py() != mm["max"].as_py():
+        raise ValueError(
+            f"ridge: {vec_col} lists are ragged "
+            f"({mm['min']}..{mm['max']} elements)")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    x = flat.reshape(len(arr), -1).astype(np.float64)
+    qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
+    ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
+    qa = np.concatenate([qi, ones], axis=1)
+    yq = np.round(b[y_col].to_numpy(zero_copy_only=False)
+                  .astype(np.float64) * y_scale).astype(np.int64)
+    return qa, yq
+
+
 def fit_ridge(ds, *, vec_col: str = "embedding", y_col: str = "label",
               lam_num: int = 1, lam_den: int = 1, quant_bits: int = 10,
               y_scale: int = 1, num_partitions: int = 4) -> pa.Table:
@@ -870,21 +893,7 @@ def fit_ridge(ds, *, vec_col: str = "embedding", y_col: str = "label",
         if b.num_rows == 0:
             return pa.table({"cell": pa.array([], pa.int64()),
                              "val": pa.array([], pa.int64())})
-        arr = b[vec_col].combine_chunks()
-        # ragged lists whose total length divides evenly would silently
-        # reshape into misaligned rows (the cohesion._batch_mat hazard)
-        mm = pc.min_max(pc.list_value_length(arr))
-        if mm["min"].as_py() != mm["max"].as_py():
-            raise ValueError(
-                f"fit_ridge: {vec_col} lists are ragged "
-                f"({mm['min']}..{mm['max']} elements)")
-        flat = arr.flatten().to_numpy(zero_copy_only=False)
-        x = flat.reshape(len(arr), -1).astype(np.float64)
-        qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
-        ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
-        qa = np.concatenate([qi, ones], axis=1)
-        yq = np.round(b[y_col].to_numpy(zero_copy_only=False)
-                      .astype(np.float64) * y_scale).astype(np.int64)
+        qa, yq = _ridge_rows(b, vec_col, y_col, quant_bits, y_scale)
         d1 = qa.shape[1]
         g = qa.T @ qa
         xty = qa.T @ yq
@@ -1738,19 +1747,7 @@ def ridge_influence(ds, *, vec_col: str = "embedding",
                           "val": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        arr = b[vec_col].combine_chunks()
-        mm = pc.min_max(pc.list_value_length(arr))
-        if mm["min"].as_py() != mm["max"].as_py():
-            raise ValueError(
-                f"ridge_influence: {vec_col} lists are ragged "
-                f"({mm['min']}..{mm['max']} elements)")
-        flat = arr.flatten().to_numpy(zero_copy_only=False)
-        x = flat.reshape(len(arr), -1).astype(np.float64)
-        qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
-        ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
-        qa = np.concatenate([qi, ones], axis=1)
-        yq = np.round(b[y_col].to_numpy(zero_copy_only=False)
-                      .astype(np.float64) * y_scale).astype(np.int64)
+        qa, yq = _ridge_rows(b, vec_col, y_col, quant_bits, y_scale)
         gv = b[group_col].combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         d1 = qa.shape[1]

@@ -23,22 +23,13 @@ def _run(edges: list[tuple[int, int]], parts: int = 1) -> pd.DataFrame:
 def _peel(edges: list[tuple[int, int]]) -> dict[int, int]:
     from collections import defaultdict
 
+    from _oracle_replays import peel_core_numbers
+
     adj = defaultdict(set)
     for a, b in edges:
         adj[a].add(b)
         adj[b].add(a)
-    cur = {u: len(v) for u, v in adj.items()}
-    core = {}
-    alive = set(adj)
-    k = 0
-    while alive:
-        u = min(alive, key=lambda x: (cur[x], x))
-        k = max(k, cur[u])
-        core[u] = k
-        alive.remove(u)
-        for v in adj[u]:
-            if v in alive and cur[v] > cur[u]:
-                cur[v] -= 1
+    _deg, core = peel_core_numbers(adj)
     return core
 
 
@@ -71,6 +62,16 @@ def test_fuzz_vs_peeling_partition_invariant():
         if prev is not None:
             pd.testing.assert_frame_equal(df, prev, check_exact=True)
         prev = df
+
+
+def test_chain_needs_many_rounds():
+    # a path's h-index fixed point takes ~len/2 rounds (the review
+    # case that used to hit max_iters=64 at 130 nodes) — prove the
+    # multi-round path converges and cores are all 1
+    edges = [(i, i + 1) for i in range(24)]
+    df = _run(edges)
+    assert set(df.core) == {1}
+    assert len(df) == 25
 
 
 def test_two_disjoint_triangles():
