@@ -551,7 +551,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q243_mutual_nn": _mutual_nn_q,
         "q244_randomization_test": _randomization_q,
         "q245_dbscan": _dbscan_q,
+        "q246_label_prop": _label_prop_q,
     }
+
+
+def _label_prop_q(sf_dir: str):
+    """q246: sticky label propagation over the embedding similarity
+    graph (stages/labelprop.py:label_propagation) — seeds = rows with
+    vec_id % 3 == 0 (others' labels hidden), dot ≥ 20000 neighbors,
+    5 frontier rounds, (count desc, label asc) majority.  Fixture
+    oracle: independent O(n²) serial replay."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_label_propagation
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    labs = [l if i is not None and i % 3 == 0 else None
+            for i, l in zip(ids, t["label"].to_pylist())]
+    exp = replay_label_propagation(ids, labs,
+                                   t["embedding"].to_pylist(),
+                                   threshold_num=20000, n_rounds=5)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in exp], pa.int64()),
+        "label_out": pa.array([r[1] for r in exp], pa.int64()),
+        "is_seed": pa.array([r[2] for r in exp], pa.int64()),
+        "round_labeled": pa.array([r[3] for r in exp], pa.int64()),
+    }), f"{_ORACLE_DIR}/label_prop.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/label_prop.parquet.tmp",
+               f"{_ORACLE_DIR}/label_prop.parquet")
+
+    from featurebox_ray.stages.labelprop import label_propagation
+
+    def hide(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids_ = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(ids_ % 3 == 0)
+        lab = pc.if_else(keep, pc.cast(b["label"].combine_chunks(),
+                                       pa.int64()),
+                         pa.nulls(b.num_rows, pa.int64()))
+        return pa.table({"vec_id": b["vec_id"], "label": lab,
+                         "embedding": b["embedding"]})
+
+    emb = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label",
+                                          "embedding"],
+                                 override_num_blocks=8)
+           .map_batches(hide, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    return label_propagation(emb, threshold_num=20000, n_rounds=5)
 
 
 def _dbscan_q(sf_dir: str):
@@ -9475,6 +9531,10 @@ def oracle_sql() -> dict[str, str]:
         "q245_dbscan": f"""
             SELECT vec_id, cluster, is_core
             FROM read_parquet('{_ORACLE_DIR}/dbscan.parquet')
+        """,
+        "q246_label_prop": f"""
+            SELECT vec_id, label_out, is_seed, round_labeled
+            FROM read_parquet('{_ORACLE_DIR}/label_prop.parquet')
         """,
         "q215_kaplan_meier": f"""
             SELECT cohort, dur_days, at_risk, deaths, censored, surv

@@ -1290,3 +1290,57 @@ def replay_dbscan(ids, vecs, *, threshold_num: int, min_pts: int = 4,
             else:
                 out.append((int(rid[i]), None, 0))
     return sorted(out, key=lambda r: r[0])
+
+
+def replay_label_propagation(ids, labels, vecs, *,
+                             threshold_num: int, n_rounds: int = 5,
+                             quant_bits: int = 8):
+    """Serial replay of stages/labelprop.py:label_propagation —
+    O(n²) neighbor matrix, sticky frontier rounds, per-row majority
+    with (count desc, label asc) ties.  Returns rows
+    (id, label_out_or_None, is_seed, round_labeled_or_None)."""
+    import numpy as np
+
+    rows = [(i, l, v) for i, l, v in zip(ids, labels, vecs)
+            if v is not None]
+    if not rows:
+        return []
+    rid = np.asarray([i for i, _, _ in rows], np.int64)
+    lab = np.asarray([-1 if l is None else int(l)
+                      for _, l, _ in rows], np.int64)
+    X = np.asarray([v for _, _, v in rows], np.float64)
+    Q = np.floor(X * float(1 << quant_bits) + 0.5).astype(np.int64)
+    nbr = (Q @ Q.T) >= int(threshold_num)
+    np.fill_diagonal(nbr, False)
+    # mask duplicate-id pairs like the engine (qids == catalog ids)
+    same = rid[:, None] == rid[None, :]
+    nbr &= ~same
+    is_seed = lab != -1
+    cur = lab.copy()
+    rounded = np.where(is_seed, 0, -1)
+    for rnd in range(1, n_rounds + 1):
+        new_lab = {}
+        for i in range(len(rid)):
+            if cur[i] != -1:
+                continue
+            votes = {}
+            for j in np.flatnonzero(nbr[i]):
+                if cur[j] != -1:
+                    votes[int(cur[j])] = votes.get(int(cur[j]),
+                                                   0) + 1
+            if votes:
+                new_lab[i] = min(votes,
+                                 key=lambda k: (-votes[k], k))
+        if not new_lab:
+            break
+        for i, l in new_lab.items():
+            cur[i] = l
+            rounded[i] = rnd
+    out = []
+    order = np.argsort(rid, kind="stable")
+    for i in order:
+        out.append((int(rid[i]),
+                    None if cur[i] == -1 else int(cur[i]),
+                    int(is_seed[i]),
+                    None if rounded[i] == -1 else int(rounded[i])))
+    return out
