@@ -552,7 +552,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q244_randomization_test": _randomization_q,
         "q245_dbscan": _dbscan_q,
         "q246_label_prop": _label_prop_q,
+        "q247_golden_records": _golden_q,
     }
+
+
+def _golden_q(sf_dir: str):
+    """q247: MDM golden-record election (stages/linkage.py:
+    golden_records) — q202's soundex-blocked matched pairs →
+    min-id components (driver union-find over matches) → per-field
+    mode with (count desc, value asc) ties over ONE entity-keyed
+    exchange; singletons elect themselves.  SQL replays the whole
+    chain (recursive-CTE closure + QUALIFY modes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.linkage import (blocked_pair_score,
+                                               golden_records)
+    from featurebox_ray.stages.phonetic import soundex_key
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_name",
+                                          "p_brand", "p_type",
+                                          "p_size"])
+
+    def blk(b: pa.Table) -> pa.Table:
+        last = pc.replace_substring_regex(
+            pc.fill_null(b["p_name"], ""), r"^.*\s", "")
+        return b.append_column("blk", soundex_key(last))
+
+    keyed = part.map_batches(blk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    pairs = blocked_pair_score(keyed, key_col="blk",
+                               id_col="p_partkey",
+                               fields={"p_brand": 3, "p_type": 2,
+                                       "p_size": 2}, threshold=5)
+    return golden_records(part, pairs, id_col="p_partkey",
+                          fields=["p_brand", "p_type", "p_size"])
 
 
 def _label_prop_q(sf_dir: str):
@@ -6900,7 +6936,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, score FROM j WHERE score >= 5
     """
 
+    # q247: golden records — q202's matched pairs, transitive closure
+    # via a recursive CTE (UNION dedup; components are tiny dup
+    # families), per-field QUALIFY mode with (count desc, value asc)
+    q247 = f"""
+        WITH RECURSIVE pr AS ({q202}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pr
+                UNION ALL SELECT id_b, id_a FROM pr),
+        mnodes AS (SELECT DISTINCT a AS n FROM sym),
+        clos(node, r) AS (
+          SELECT n, n FROM mnodes
+          UNION
+          SELECT s.b, c.r FROM clos c JOIN sym s ON s.a = c.node),
+        ent AS (SELECT node, CAST(min(r) AS BIGINT) AS entity
+                FROM clos GROUP BY node),
+        rec AS (SELECT coalesce(e.entity, p.p_partkey) AS entity,
+                       p.p_brand, p.p_type, p.p_size
+                FROM part p
+                LEFT JOIN ent e ON e.node = p.p_partkey),
+        nm AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_members
+               FROM rec GROUP BY entity),
+        wb AS (SELECT entity, p_brand AS v FROM rec
+               WHERE p_brand IS NOT NULL
+               GROUP BY entity, p_brand
+               QUALIFY row_number() OVER (
+                   PARTITION BY entity
+                   ORDER BY count(*) DESC, p_brand) = 1),
+        wt AS (SELECT entity, p_type AS v FROM rec
+               WHERE p_type IS NOT NULL
+               GROUP BY entity, p_type
+               QUALIFY row_number() OVER (
+                   PARTITION BY entity
+                   ORDER BY count(*) DESC, p_type) = 1),
+        ws AS (SELECT entity, p_size AS v FROM rec
+               WHERE p_size IS NOT NULL
+               GROUP BY entity, p_size
+               QUALIFY row_number() OVER (
+                   PARTITION BY entity
+                   ORDER BY count(*) DESC, p_size) = 1)
+        SELECT n.entity, n.n_members, wb.v AS p_brand,
+               wt.v AS p_type, ws.v AS p_size
+        FROM nm n
+        LEFT JOIN wb ON wb.entity = n.entity
+        LEFT JOIN wt ON wt.entity = n.entity
+        LEFT JOIN ws ON ws.entity = n.entity
+    """
+
     return {
+        "q247_golden_records": q247,
         # context trim: exclusive prefix E per user; j = strict-< rank
         # of E−B via the q151 tagged-union window; kept total by one
         # equi-join on (user, rn = j+1)

@@ -116,3 +116,129 @@ def blocked_pair_score(ds, *, key_col: str, id_col: str,
                            sort_keys=[key_col, id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def golden_records(ds, pairs_ds, *, id_col: str,
+                   fields: "list[str]", num_partitions: int = 16):
+    """Canonical-record election (the MDM "golden record" step): given
+    matched pairs (``blocked_pair_score`` output, or any (id_a, id_b)
+    match table), entities = connected components labeled by MIN
+    member id, and each entity's canonical value per field is the
+    MODE across its members, ties to the SMALLEST value (total order
+    via sorted-unique codes — lexicographic for strings).  Records in
+    no pair are singleton entities electing themselves.
+
+    Exactness: components are the order-independent min-label
+    invariant (driver union-find over the MATCHED pairs only — the
+    q76 bound: match volume ≪ corpus); votes are exact int counts
+    with a total tie-break, so the election is deterministic and
+    partition-invariant; the whole chain replays in SQL (transitive
+    closure via a recursive CTE + per-field QUALIFY mode).
+
+    Shape: the id→entity map broadcasts once (``ray.put`` sorted
+    arrays); every record routes ``(entity, fields…)`` through ONE
+    entity-keyed exchange; the kernel elects all fields per
+    entity-run fully vectorized (np.unique codes + (count desc, code
+    asc) first-of-run).  NULL ids drop; NULL field values are
+    excluded from that field's vote, and an entity whose members are
+    all NULL in a field elects NULL there.
+
+    Returns ``(entity:int64, n_members:int64, <field columns>)``.
+    Reference analog: none (completes the linkage family:
+    blocked_pair_score → components → election).
+    """
+    import ray
+
+    from .components import union_find_min_labels
+    from .partition import materialized_block_refs, partitioned_map
+
+    pa_, pb = [], []
+    for b in ray.get(materialized_block_refs(pairs_ds)):
+        if b.num_rows == 0:
+            continue
+        pa_.append(b["id_a"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+        pb.append(b["id_b"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+    if pa_:
+        labels = union_find_min_labels(np.concatenate(pa_),
+                                       np.concatenate(pb))
+        lab_ids = np.array(sorted(labels), np.int64)
+        lab_vals = np.array([labels[i] for i in lab_ids], np.int64)
+    else:
+        lab_ids = np.empty(0, np.int64)
+        lab_vals = np.empty(0, np.int64)
+    lab_ref = ray.put((lab_ids, lab_vals))
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ftypes = {f: base.field(f).type for f in fields}
+
+    def route(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[id_col]))
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        li, lv = ray.get(lab_ref)
+        ent = ids.copy()
+        if len(li):
+            pos = np.searchsorted(li, ids)
+            pos = np.clip(pos, 0, len(li) - 1)
+            hit = li[pos] == ids
+            ent[hit] = lv[pos[hit]]
+        cols = {"__e": pa.array(ent)}
+        for f in fields:
+            cols[f] = b[f].combine_chunks()
+        return pa.table(cols)
+
+    routed = ds.map_batches(route, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    empty_cols = {"entity": pa.array([], pa.int64()),
+                  "n_members": pa.array([], pa.int64())}
+    for f in fields:
+        empty_cols[f] = pa.array([], ftypes[f])
+    empty = pa.table(empty_cols)
+
+    def elect(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__e" not in t.column_names:
+            return empty
+        e = t["__e"].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], e[1:] != e[:-1]])
+        starts = np.flatnonzero(new)
+        rid = np.cumsum(new.astype(np.int64)) - 1
+        n_ent = len(starts)
+        lens = np.diff(np.append(starts, len(e)))
+        out = {"entity": pa.array(e[starts]),
+               "n_members": pa.array(lens.astype(np.int64))}
+        for f in fields:
+            arr = t[f].combine_chunks()
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            vals = arr.to_pylist()
+            vsel = np.flatnonzero(valid)
+            if len(vsel) == 0:
+                out[f] = pa.nulls(n_ent, ftypes[f])
+                continue
+            uq, codes = np.unique(
+                np.asarray([vals[i] for i in vsel]),
+                return_inverse=True)
+            er = rid[vsel]
+            o = np.lexsort((codes, er))
+            er_s, cd_s = er[o], codes[o]
+            nn = np.concatenate([[True], (er_s[1:] != er_s[:-1])
+                                 | (cd_s[1:] != cd_s[:-1])])
+            st = np.flatnonzero(nn)
+            cnt = np.diff(np.append(st, len(er_s)))
+            ge, gc = er_s[st], cd_s[st]
+            o2 = np.lexsort((gc, -cnt, ge))
+            ge2, gc2 = ge[o2], gc[o2]
+            first = np.concatenate([[True], ge2[1:] != ge2[:-1]])
+            win_e, win_c = ge2[first], gc2[first]
+            col = np.full(n_ent, None, object)
+            col[win_e] = uq[win_c]
+            out[f] = pa.array(col.tolist(), ftypes[f])
+        return pa.table(out)
+
+    return partitioned_map(routed, elect, key="__e",
+                           sort_keys=["__e"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
