@@ -553,7 +553,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q245_dbscan": _dbscan_q,
         "q246_label_prop": _label_prop_q,
         "q247_golden_records": _golden_q,
+        "q248_knn_eval": _knn_eval_q,
     }
+
+
+def _knn_eval_q(sf_dir: str):
+    """q248: leave-one-out 5-NN classification report over embeddings
+    (stages/knn.py:knn_classifier_eval) — exact int dots, boundary
+    ties filled in ascending id order, (count desc, label asc)
+    votes, per-class tp/fp/fn + one-division P/R/F1.  SQL replays
+    with the q164 unnest self-join + two QUALIFYs + identical
+    divisions."""
+    import ray
+
+    from featurebox_ray.stages.knn import knn_classifier_eval
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label",
+                                         "embedding"],
+                                override_num_blocks=8)
+    return knn_classifier_eval(emb, k=5)
 
 
 def _golden_q(sf_dir: str):
@@ -7304,6 +7323,72 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # LOO 5-NN report: q164 integer-dot self-join, QUALIFY top-5
+        # (dot desc, id asc), QUALIFY majority (count desc, label
+        # asc), exact int confusion sums, one-division metrics
+        "q248_knn_eval": """
+            WITH c AS (
+              SELECT vec_id, label, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 256
+                                + 0.5) AS BIGINT) AS xq
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) r(i)
+              WHERE label IS NOT NULL AND embedding IS NOT NULL
+            ), d AS (
+              SELECT a.vec_id AS ia, a.label AS la,
+                     b.vec_id AS ib, b.label AS lb,
+                     CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+              FROM c a JOIN c b
+                ON a.i = b.i AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2, 3, 4
+            ), nn AS (
+              SELECT ia, la, lb FROM d
+              QUALIFY row_number() OVER (PARTITION BY ia
+                                         ORDER BY dot DESC, ib)
+                      <= 5
+            ), v AS (
+              SELECT ia, any_value(la) AS la, lb,
+                     count(*) AS cnt
+              FROM nn GROUP BY ia, lb
+            ), pred AS (
+              SELECT ia, la, lb AS pred FROM v
+              QUALIFY row_number() OVER (PARTITION BY ia
+                                         ORDER BY cnt DESC, lb) = 1
+            ), cls AS (
+              SELECT DISTINCT CAST(label AS BIGINT) AS label
+              FROM embeddings WHERE label IS NOT NULL
+                AND embedding IS NOT NULL
+            ), tal AS (
+              SELECT cls.label,
+                     CAST(sum(CASE WHEN p.la = cls.label
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_true,
+                     CAST(sum(CASE WHEN p.la = cls.label
+                              AND p.pred = cls.label
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN p.la <> cls.label
+                              AND p.pred = cls.label
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN p.la = cls.label
+                              AND p.pred <> cls.label
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM cls CROSS JOIN pred p
+              GROUP BY cls.label
+            )
+            SELECT label, n_true, tp, fp, fn,
+                   CASE WHEN tp + fp = 0 THEN NULL
+                        ELSE CAST(tp AS DOUBLE)
+                             / CAST(tp + fp AS DOUBLE) END
+                     AS precision,
+                   CASE WHEN n_true = 0 THEN NULL
+                        ELSE CAST(tp AS DOUBLE)
+                             / CAST(n_true AS DOUBLE) END AS recall,
+                   CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                        ELSE CAST(2 * tp AS DOUBLE)
+                             / CAST(2 * tp + fp + fn AS DOUBLE) END
+                     AS f1
+            FROM tal
         """,
         # randomization test: Knuth bit-16 per (event_id*64+r);
         # HUGEINT cross-multiplied rational compares; empty perm side

@@ -330,3 +330,180 @@ def mutual_nn_pairs(ds, *, vec_col: str = "embedding",
                            sort_keys=["lo", "hi"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def knn_classifier_eval(ds, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        label_col: str = "label", k: int = 5,
+                        quant_bits: int = 8, concurrency=(1, 8)):
+    """Leave-one-out k-NN classification report — every row is
+    classified by the majority label of its k most-similar OTHER rows
+    (exact int dots, (dot desc, id asc) neighbor order, (count desc,
+    label asc) vote ties), and the per-class confusion tallies roll
+    up to precision / recall / F1.  The label-quality audit for an
+    embedding space: low LOO accuracy on a class = mislabeled or
+    unseparated data (the evaluation-side sibling of
+    ``hard_negatives``).
+
+    Exactness: neighbor sets and votes are all-integer and totally
+    tie-broken, per-class (tp, fp, fn) are exact int sums
+    (driver-tiny combine over per-block partials), and each metric is
+    ONE int/int division (``f1 = 2tp/(2tp+fp+fn)``) — a full SQL
+    oracle replays everything (unnest self-join + two QUALIFYs + the
+    identical divisions).
+
+    The id-sorted catalog broadcasts once per actor (hard_negatives
+    heap bound).  NULL vector/label rows drop from both roles.
+    Classes with no predictions emit NULL precision.  Returns
+    ``(label:int64, n_true:int64, tp:int64, fp:int64, fn:int64,
+    precision:float64, recall:float64, f1:float64)``.
+
+    Reference analog: the reference CVs sklearn classifiers over
+    feature matrices (selection/quickmethod.py); this is the
+    distributed LOO evaluation over row embeddings.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .cohesion import _batch_mat
+    from .partition import materialized_block_refs
+
+    refs = list(materialized_block_refs(ds))
+
+    class Vote:
+        def __init__(self):
+            ids, labs, vecs = [], [], []
+            for b in ray.get(list(refs)):
+                if not isinstance(b, pa.Table) or b.num_rows == 0:
+                    continue
+                b = b.filter(pc.and_(pc.is_valid(b[vec_col]),
+                                     pc.is_valid(b[label_col])))
+                if b.num_rows == 0:
+                    continue
+                ids.append(b[id_col].to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+                labs.append(b[label_col].to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+                Q, _d = _batch_mat(b, vec_col, quant_bits)
+                vecs.append(Q)
+            if ids:
+                self.ids = np.concatenate(ids)
+                self.labs = np.concatenate(labs)
+                self.V = np.concatenate(vecs, axis=0)
+                order = np.argsort(self.ids, kind="stable")
+                self.ids = self.ids[order]
+                self.labs = self.labs[order]
+                self.V = self.V[order]
+                m = int(np.abs(self.V).max(initial=0))
+                _guard_dot(m, m, self.V.shape[1])
+            else:
+                self.ids = np.empty(0, np.int64)
+                self.labs = np.empty(0, np.int64)
+                self.V = np.empty((0, 1), np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"lab": pa.array([], pa.int64()),
+                              "kind": pa.array([], pa.int8()),
+                              "cnt": pa.array([], pa.int64())})
+            batch = batch.filter(pc.and_(pc.is_valid(batch[vec_col]),
+                                         pc.is_valid(
+                                             batch[label_col])))
+            if batch.num_rows == 0 or len(self.ids) <= k:
+                return empty
+            qids = batch[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            qlabs = batch[label_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            X, _d = _batch_mat(batch, vec_col, quant_bits)
+            dots = X @ self.V.T
+            NEG = np.iinfo(np.int64).min
+            dots = np.where(qids[:, None] == self.ids[None, :],
+                            NEG, dots)
+            # exact (dot desc, id asc) top-k WITH boundary ties:
+            # all rows strictly above the kth dot value join, and
+            # ties AT the kth value fill the remaining slots in
+            # ascending id order (integer dots tie often — bare
+            # argpartition would pick an arbitrary tied subset and
+            # diverge from the SQL oracle)
+            m = dots.shape[1]
+            # kth-largest WITHOUT negation: -NEG wraps back to
+            # INT64_MIN (the q131 sentinel lesson) and would shift
+            # the boundary by one
+            thr = np.partition(dots, m - k, axis=1)[:, m - k]
+            greater = dots > thr[:, None]
+            equal = dots == thr[:, None]
+            need = k - greater.sum(axis=1)
+            big = np.iinfo(np.int64).max
+            eq_ids = np.where(equal, self.ids[None, :], big)
+            ranks = np.argsort(eq_ids, axis=1, kind="stable")
+            rank_of = np.empty_like(ranks)
+            rows = np.arange(len(qids))[:, None]
+            rank_of[rows, ranks] = np.arange(m)[None, :]
+            chosen = greater | (equal & (rank_of < need[:, None]))
+            # majority with (count desc, label asc): classes scanned
+            # ascending, argmax keeps the first (smallest) on ties
+            classes = np.unique(self.labs)
+            cnts = np.stack([
+                (chosen & (self.labs[None, :] == c)).sum(axis=1)
+                for c in classes], axis=1)
+            pred = classes[np.argmax(cnts, axis=1)]
+            # per-class partials: kind 0 = n_true, 1 = tp, 2 = fp,
+            # 3 = fn
+            labs_all = np.concatenate([qlabs, qlabs[pred == qlabs],
+                                       pred[pred != qlabs],
+                                       qlabs[pred != qlabs]])
+            kinds = np.concatenate([
+                np.zeros(len(qlabs), np.int8),
+                np.ones(int((pred == qlabs).sum()), np.int8),
+                np.full(int((pred != qlabs).sum()), 2, np.int8),
+                np.full(int((pred != qlabs).sum()), 3, np.int8)])
+            uq, inv = np.unique(
+                np.stack([labs_all, kinds.astype(np.int64)]),
+                axis=1, return_inverse=True)
+            sums = np.zeros(uq.shape[1], np.int64)
+            np.add.at(sums, inv, 1)
+            return pa.table({"lab": pa.array(uq[0]),
+                             "kind": pa.array(
+                                 uq[1].astype(np.int8)),
+                             "cnt": pa.array(sums)})
+
+    parts_ds = ray.data.from_arrow_refs(list(refs)).map_batches(
+        Vote, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+    agg: dict = {}
+    for b in ray.get(materialized_block_refs(parts_ds)):
+        if b.num_rows == 0:
+            continue
+        for lab, kind, cnt in zip(b["lab"].to_pylist(),
+                                  b["kind"].to_pylist(),
+                                  b["cnt"].to_pylist()):
+            key = (lab, kind)
+            agg[key] = agg.get(key, 0) + cnt
+    classes = sorted({lab for lab, _ in agg})
+    out = {"label": [], "n_true": [], "tp": [], "fp": [], "fn": [],
+           "precision": [], "recall": [], "f1": []}
+    for c in classes:
+        n_true = agg.get((c, 0), 0)
+        tp = agg.get((c, 1), 0)
+        fp = agg.get((c, 2), 0)
+        fn = agg.get((c, 3), 0)
+        out["label"].append(c)
+        out["n_true"].append(n_true)
+        out["tp"].append(tp)
+        out["fp"].append(fp)
+        out["fn"].append(fn)
+        out["precision"].append(float(tp) / float(tp + fp)
+                                if tp + fp else None)
+        out["recall"].append(float(tp) / float(n_true)
+                             if n_true else None)
+        out["f1"].append(float(2 * tp) / float(2 * tp + fp + fn)
+                         if 2 * tp + fp + fn else None)
+    return pa.table({
+        "label": pa.array(out["label"], pa.int64()),
+        "n_true": pa.array(out["n_true"], pa.int64()),
+        "tp": pa.array(out["tp"], pa.int64()),
+        "fp": pa.array(out["fp"], pa.int64()),
+        "fn": pa.array(out["fn"], pa.int64()),
+        "precision": pa.array(out["precision"], pa.float64()),
+        "recall": pa.array(out["recall"], pa.float64()),
+        "f1": pa.array(out["f1"], pa.float64())})
