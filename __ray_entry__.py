@@ -554,7 +554,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q246_label_prop": _label_prop_q,
         "q247_golden_records": _golden_q,
         "q248_knn_eval": _knn_eval_q,
+        "q249_hour_profile": _hour_profile_q,
     }
+
+
+def _hour_profile_q(sf_dir: str):
+    """q249: per-user hour-of-day phase conformity
+    (stages/seasonal.py:profile_similarity) — cos² between the
+    user's 24-bin histogram and the corpus histogram; exact int64
+    dot/u2/v2, final value = fixed (d·d)/(d·d) IEEE sequence (exact
+    both sides even past 2^53, q234 convention)."""
+    import ray
+
+    from featurebox_ray.stages.seasonal import profile_similarity
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"],
+                               override_num_blocks=16)
+    return profile_similarity(ev, key_col="user_id", ts_col="ts",
+                              num_partitions=8)
 
 
 def _knn_eval_q(sf_dir: str):
@@ -7323,6 +7341,31 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # hour-profile cos²: exact int histograms; the final ratio is
+        # the identical cast/mult/divide sequence both engines
+        "q249_hour_profile": """
+            WITH e AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 3600000000) % 24 AS b
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            g AS (SELECT b, CAST(count(*) AS BIGINT) AS gc
+                  FROM e GROUP BY b),
+            vv AS (SELECT CAST(sum(gc * gc) AS BIGINT) AS v2 FROM g),
+            u AS (SELECT user_id, b,
+                         CAST(count(*) AS BIGINT) AS uc
+                  FROM e GROUP BY user_id, b),
+            k AS (SELECT u.user_id,
+                         CAST(sum(u.uc) AS BIGINT) AS n,
+                         CAST(sum(u.uc * g.gc) AS BIGINT) AS dot,
+                         CAST(sum(u.uc * u.uc) AS BIGINT) AS u2
+                  FROM u JOIN g USING (b) GROUP BY u.user_id)
+            SELECT k.user_id, k.n, k.dot, k.u2,
+                   (CAST(k.dot AS DOUBLE) * CAST(k.dot AS DOUBLE))
+                   / (CAST(k.u2 AS DOUBLE)
+                      * CAST(vv.v2 AS DOUBLE)) AS cos2
+            FROM k, vv
         """,
         # LOO 5-NN report: q164 integer-dot self-join, QUALIFY top-5
         # (dot desc, id asc), QUALIFY majority (count desc, label

@@ -125,3 +125,156 @@ def seasonal_peak(ds, *, group_col: str, ts_col: str, value_col: str,
                            sort_keys=[group_col, "bin"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def profile_similarity(ds, *, key_col: str, ts_col: str,
+                       bin_width_s: int = 3600, n_bins: int = 24,
+                       num_partitions: int = 8):
+    """Per-key activity-phase conformity — the squared cosine between
+    each key's hour-of-day (or any ``bin = (ts//width) % n_bins``)
+    activity histogram and the CORPUS histogram: ~1 for users who
+    follow the global diurnal rhythm, small for off-phase actors
+    (bots on a fixed off-peak schedule, timezone outliers, scripted
+    traffic).  The phase-shape complement of ``seasonal_peak`` (which
+    finds WHERE the peak is) and ``group_burstiness`` (dispersion,
+    not phase).
+
+    Exactness: histograms are exact int64 counts; ``cos² =
+    dot²/(u2·v2)`` where ``dot = Σ_b u_b·g_b``, ``u2 = Σ u_b²``,
+    ``v2 = Σ g_b²`` are exact int64 sums (guarded — at corpus sizes
+    where ``max_cnt·total·n_bins`` nears 2^63, pre-bucket upstream),
+    and the final value is the FIXED sequence ``(d(dot)·d(dot)) /
+    (d(u2)·d(v2))`` — casts of exact ints then IEEE mult/divide,
+    bit-exact in SQL even though dot² itself passes 2^53 (q234
+    convention).
+
+    Shape: per-block ``(key, bin, cnt)`` partials ride ONE key-keyed
+    exchange; the 24-cell global histogram reduces from per-block
+    partials on the driver and broadcasts by closure.  Timestamps
+    must be non-negative epoch-us (trunc/floor agree — raises
+    otherwise, the seasonal_peak contract).
+
+    Emits ``(key_col, n:int64, dot:int64, u2:int64, cos2:float64)``.
+    Reference analog: none (behavioral-audit family).
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    width = int(bin_width_s) * 1_000_000
+
+    def bins_of(b: pa.Table):
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = ts.to_numpy(zero_copy_only=False)
+        if len(t) and t.min() < 0:
+            raise ValueError("profile_similarity: negative "
+                             "timestamps — trunc vs floor division "
+                             "would diverge")
+        return (t // width) % n_bins
+
+    def gpartial(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[key_col]),
+                                    pc.is_valid(b[ts_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        bins = bins_of(b)
+        cnt = np.bincount(bins, minlength=n_bins).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz])})
+
+    G = np.zeros(n_bins, np.int64)
+    for blk in ray.get(materialized_block_refs(
+            ds.map_batches(gpartial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if blk.num_rows:
+            G[blk["bin"].to_numpy(zero_copy_only=False)] += \
+                blk["cnt"].to_numpy(zero_copy_only=False)
+    total = int(G.sum())
+    # u2 terms are cnt² ≤ total²; dot terms ≤ total·max(G)
+    if total > 3_037_000_499 \
+            or (total and int(G.max())
+                > (2**63 - 1) // max(total, 1)):
+        raise ValueError("profile_similarity int64 guard exceeded; "
+                         "pre-bucket upstream")
+    v2 = int((G.astype(object) * G.astype(object)).sum())
+    if v2 > 2**63 - 1:
+        raise ValueError("profile_similarity v2 exceeds int64; "
+                         "pre-bucket upstream")
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[key_col]),
+                                    pc.is_valid(b[ts_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ktype = b.schema.field(key_col).type
+        if b.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "__b": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        bins = bins_of(b)
+        keys = b[key_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cell = codes * n_bins + bins
+        uc, inv = np.unique(cell, return_inverse=True)
+        cnt = np.zeros(len(uc), np.int64)
+        np.add.at(cnt, inv, 1)
+        return pa.table({
+            key_col: enc.dictionary.take(
+                pa.array(uc // n_bins, pa.int64())),
+            "__b": pa.array(uc % n_bins),
+            "cnt": pa.array(cnt)})
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+    empty = pa.table({key_col: pa.array([], ktype),
+                      "n": pa.array([], pa.int64()),
+                      "dot": pa.array([], pa.int64()),
+                      "u2": pa.array([], pa.int64()),
+                      "cos2": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bins = t["__b"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        # merge cross-block partials for the same (key, bin)
+        new = np.concatenate([[True], (codes[1:] != codes[:-1])
+                              | (bins[1:] != bins[:-1])])
+        starts = np.flatnonzero(new)
+        rid = np.cumsum(new.astype(np.int64)) - 1
+        mc = np.zeros(len(starts), np.int64)
+        np.add.at(mc, rid, cnt)
+        kc, kb = codes[starts], bins[starts]
+        n_keys = int(kc.max()) + 1 if len(kc) else 0
+        n = np.zeros(n_keys, np.int64)
+        dot = np.zeros(n_keys, np.int64)
+        u2 = np.zeros(n_keys, np.int64)
+        np.add.at(n, kc, mc)
+        np.add.at(dot, kc, mc * G[kb])
+        np.add.at(u2, kc, mc * mc)
+        first = np.searchsorted(kc, np.arange(n_keys))
+        cos2 = ((dot.astype(np.float64) * dot.astype(np.float64))
+                / (u2.astype(np.float64) * np.float64(v2)))
+        return pa.table({
+            key_col: keys.take(pa.array(starts[first], pa.int64())),
+            "n": pa.array(n), "dot": pa.array(dot),
+            "u2": pa.array(u2), "cos2": pa.array(cos2)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__b"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
