@@ -555,7 +555,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q247_golden_records": _golden_q,
         "q248_knn_eval": _knn_eval_q,
         "q249_hour_profile": _hour_profile_q,
+        "q250_asof_interpolate": _asof_interp_q,
     }
+
+
+def _asof_interp_q(sf_dir: str):
+    """q250: interpolating as-of join (stages/asof.py:
+    asof_interpolate) — per user, the 'purchase' value series
+    linearly interpolated at each 'click' timestamp (bracketing
+    rows, last-write-wins right dedup, fixed IEEE lerp); NULL
+    outside the right span.  SQL replays with two DuckDB ASOF
+    joins + the identical expression."""
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.asof import asof_interpolate
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type", "value"],
+                               override_num_blocks=16)
+    def only(kind):
+        def fn(b: "pa.Table") -> "pa.Table":
+            import pyarrow as pa
+
+            return b.filter(pc.fill_null(
+                pc.equal(b["event_type"], kind), False))
+        return fn
+
+    left = ev.map_batches(only("click"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = ev.map_batches(only("purchase"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    import pyarrow.parquet as _pq
+
+    return asof_interpolate(left, right, key="user_id",
+                            ts_col="ts", left_id="event_id",
+                            right_id="event_id",
+                            value_col="value", num_partitions=8,
+                            left_schema=_pq.read_schema(
+                                f"{sf_dir}/events.parquet"))
 
 
 def _hour_profile_q(sf_dir: str):
@@ -7341,6 +7380,39 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # interpolating as-of: right dedup by max_by(v, id) per ts,
+        # backward + forward ASOF joins, identical fixed lerp
+        "q250_asof_interpolate": """
+            WITH r0 AS (
+              SELECT user_id, ts, max_by(value, event_id) AS v
+              FROM events
+              WHERE event_type = 'purchase'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL
+              GROUP BY user_id, ts),
+            l AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'click'
+                    AND user_id IS NOT NULL AND ts IS NOT NULL),
+            p AS (SELECT l.user_id, l.ts, l.event_id,
+                         r.ts AS t0, r.v AS v0
+                  FROM l ASOF LEFT JOIN r0 r
+                    ON l.user_id = r.user_id AND l.ts >= r.ts),
+            n AS (SELECT l.user_id, l.event_id,
+                         r.ts AS t1, r.v AS v1
+                  FROM l ASOF LEFT JOIN r0 r
+                    ON l.user_id = r.user_id AND l.ts <= r.ts)
+            SELECT p.user_id, epoch_us(p.ts) AS ts, p.event_id,
+                   CASE WHEN p.t0 IS NULL OR n.t1 IS NULL THEN NULL
+                        WHEN p.t0 = p.ts THEN p.v0
+                        ELSE p.v0 + (n.v1 - p.v0)
+                             * (CAST(epoch_us(p.ts)
+                                     - epoch_us(p.t0) AS DOUBLE)
+                                / CAST(epoch_us(n.t1)
+                                       - epoch_us(p.t0) AS DOUBLE))
+                        END AS interp
+            FROM p JOIN n ON n.user_id = p.user_id
+                         AND n.event_id = p.event_id
         """,
         # hour-profile cos²: exact int histograms; the final ratio is
         # the identical cast/mult/divide sequence both engines

@@ -212,3 +212,154 @@ def asof_join(
         num_partitions=num_partitions,
         strategy=strategy,
     )
+
+
+def asof_interpolate(left, right, *, key: str, ts_col: str,
+                     left_id: str, right_id: str, value_col: str,
+                     out_col: str = "interp",
+                     num_partitions: int = 16, left_schema=None):
+    """Interpolating as-of join — for every left row, the LINEAR
+    interpolation of the right series at the left timestamp (between
+    the bracketing right rows of the same key), the middle ground
+    between backward as-of (:func:`asof_join`, stale value) and
+    nearest (q104): align a slowly-sampled metric onto event
+    timestamps without staircase bias.
+
+    Semantics: the right side first collapses to one value per
+    DISTINCT (key, ts) — last-write-wins by ``right_id`` (the
+    resample_linear convention that makes interpolation unambiguous
+    under ts ties); an exact ts hit returns that value; a left row
+    strictly inside a bracket gets ``v0 + (v1−v0)·((t−t0)/(t1−t0))``
+    in that FIXED correctly-rounded IEEE order (bit-exact in SQL); a
+    left row before the key's first or after its last right row — or
+    with no right rows at all — emits NULL.
+
+    ONE tagged-union key-keyed exchange sorted ``(key, ts, side,
+    right_id)`` with right rows leading each timestamp; the kernel is
+    one segmented searchsorted.  NULL key/ts (and right NULL value)
+    rows drop.  Emits the left ``(key, ts_col, left_id)`` plus
+    ``out_col`` (float64).
+
+    Reference analog: none (time-axis extension of the as-of family,
+    north-rule step 5).
+    """
+    # the flagship left_schema convention: .schema() on a lazy
+    # MAPPED dataset executes a full block just for column types —
+    # callers with mapped inputs pass the schema explicitly
+    schema = left_schema if left_schema is not None else left.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key).type
+    ttype = base.field(ts_col).type
+    is_ts = pa.types.is_timestamp(ttype)
+
+    def prep_left(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[key]),
+                                    pc.is_valid(b[ts_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        return pa.table({
+            key: b[key],
+            "__ts": ts.cast(pa.int64()) if is_ts else ts,
+            "__side": pa.array(np.ones(b.num_rows, np.int8)),
+            "__id": b[left_id].combine_chunks().cast(pa.int64()),
+            "__v": pa.nulls(b.num_rows, pa.float64())})
+
+    def prep_right(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[key])
+        for c in (ts_col, value_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        return pa.table({
+            key: b[key],
+            "__ts": ts.cast(pa.int64()) if is_ts else ts,
+            "__side": pa.array(np.zeros(b.num_rows, np.int8)),
+            "__id": b[right_id].combine_chunks().cast(pa.int64()),
+            "__v": pc.cast(b[value_col].combine_chunks(),
+                           pa.float64())})
+
+    unioned = (left.map_batches(prep_left, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(right.map_batches(prep_right,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+
+    empty = pa.table({key: pa.array([], ktype),
+                      ts_col: pa.array([], pa.int64()),
+                      left_id: pa.array([], pa.int64()),
+                      out_col: pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.column_names:
+            return empty
+        keys = t[key].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        rid = pc.fill_null(t["__id"].combine_chunks(), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = pc.fill_null(t["__v"].combine_chunks(),
+                         np.nan).to_numpy(zero_copy_only=False)
+        out_k, out_t, out_i, out_v = [], [], [], []
+        seg_start = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]]))
+        seg_end = np.append(seg_start[1:], len(codes))
+        for s0, s1 in zip(seg_start.tolist(), seg_end.tolist()):
+            sl = slice(s0, s1)
+            r = side[sl] == 0
+            lmask = ~r
+            if not lmask.any():
+                continue
+            lts = ts[sl][lmask]
+            lid = rid[sl][lmask]
+            rts_all = ts[sl][r]
+            rv_all = v[sl][r]
+            # last-write-wins per distinct right ts (sorted by
+            # (ts, id): keep the LAST of each ts run)
+            if len(rts_all):
+                lastw = np.concatenate(
+                    [rts_all[:-1] != rts_all[1:], [True]])
+                rts, rv = rts_all[lastw], rv_all[lastw]
+            else:
+                rts = np.empty(0, np.int64)
+                rv = np.empty(0, np.float64)
+            yv = np.full(len(lts), np.nan)
+            if len(rts):
+                i0 = np.searchsorted(rts, lts, side="right") - 1
+                inside = (i0 >= 0) & (lts <= rts[-1])
+                i0c = np.clip(i0, 0, len(rts) - 1)
+                t0, v0 = rts[i0c], rv[i0c]
+                hit = (t0 == lts) & inside
+                i1 = np.clip(i0c + 1, 0, len(rts) - 1)
+                t1, v1 = rts[i1], rv[i1]
+                den = np.where(t1 > t0, t1 - t0, 1)
+                frac = ((lts - t0).astype(np.float64)
+                        / den.astype(np.float64))
+                lerp = v0 + (v1 - v0) * frac
+                yv = np.where(hit, v0,
+                              np.where(inside & ~hit, lerp, np.nan))
+            out_k.append(np.full(len(lts), codes[s0], np.int64))
+            out_t.append(lts)
+            out_i.append(lid)
+            out_v.append(yv)
+        if not out_k:
+            return empty
+        kcodes = np.concatenate(out_k)
+        yall = np.concatenate(out_v)
+        return pa.table({
+            key: enc.dictionary.take(pa.array(kcodes, pa.int64())),
+            ts_col: pa.array(np.concatenate(out_t)),
+            left_id: pa.array(np.concatenate(out_i)),
+            out_col: pa.array(yall, pa.float64(),
+                              mask=np.isnan(yall))})
+
+    return partitioned_map(unioned, kernel, key=key,
+                           sort_keys=[key, "__ts", "__side",
+                                      "__id"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
