@@ -556,7 +556,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q248_knn_eval": _knn_eval_q,
         "q249_hour_profile": _hour_profile_q,
         "q250_asof_interpolate": _asof_interp_q,
+        "q251_weak_label": _weak_label_q,
+        "q252_ipc_roundtrip": _ipc_roundtrip_q,
     }
+
+
+def _ipc_roundtrip_q(sf_dir: str):
+    """q252: Arrow IPC sink/source round trip (sources/io.py:
+    write_ipc/read_ipc) — documents written as one Feather-V2 shard
+    per block, read back via read_binary_files + zero-copy decode,
+    verified by the q204 order-invariant checksum; the oracle
+    computes the same checksum straight off the parquet table, so
+    any corruption/row loss in the IPC path hash-mismatches."""
+    import os
+    import shutil
+
+    import ray
+
+    from featurebox_ray.sources.io import read_ipc, write_ipc
+    from featurebox_ray.stages.profile import table_checksum
+
+    out = f"/tmp/fbr_ipc_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text",
+                                          "source"],
+                                 override_num_blocks=8)
+    write_ipc(docs, out)
+    back = read_ipc(out)
+    return table_checksum(back, cols=["doc_id", "text", "source"])
+
+
+def _weak_label_q(sf_dir: str):
+    """q251: keyword-rule weak labeling (stages/text.py:
+    rule_label_fn) — three topic keyword sets scored by
+    word-boundary RE2 occurrence counts, argmax topic with (score
+    desc, topic asc) ties, NULL when nothing hits.  SQL replays via
+    len(regexp_extract_all) sums + a CASE argmax."""
+    import ray
+
+    from featurebox_ray.stages.text import rule_label_fn
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=16)
+    fn = rule_label_fn({
+        "exec": ["scan", "join", "hash"],
+        "plan": ["order", "sort", "merge"],
+        "stream": ["window", "batch", "stream"],
+    })
+    return docs.map_batches(fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def _asof_interp_q(sf_dir: str):
@@ -7380,6 +7430,66 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # IPC round trip: the q204 injective-encoding checksum
+        # computed straight off the source table — any IPC
+        # corruption or row loss mismatches
+        "q252_ipc_roundtrip": """
+            WITH r AS (
+              SELECT CAST('0x' || substr(md5(
+                  CASE WHEN doc_id IS NULL THEN 'n'
+                       ELSE 'v' || length(CAST(doc_id AS VARCHAR))
+                            || ':' || CAST(doc_id AS VARCHAR)
+                  END || '|' ||
+                  CASE WHEN text IS NULL THEN 'n'
+                       ELSE 'v' || length(text) || ':' || text
+                  END || '|' ||
+                  CASE WHEN source IS NULL THEN 'n'
+                       ELSE 'v' || length(source) || ':' || source
+                  END), 1, 15) AS UBIGINT) AS hv
+              FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(hv), 0)
+                        % 2305843009213693951 AS BIGINT)
+                     AS checksum
+            FROM r
+        """,
+        # weak labels: RE2 \b counts both engines; argmax = CASE
+        # chain scanning topics ascending (first max wins = engine's
+        # (score desc, topic asc))
+        "q251_weak_label": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(
+                              coalesce(text, ''), '\bscan\b'))
+                        + len(regexp_extract_all(
+                              coalesce(text, ''), '\bjoin\b'))
+                        + len(regexp_extract_all(
+                              coalesce(text, ''), '\bhash\b'))
+                          AS BIGINT) AS s_exec,
+                     CAST(len(regexp_extract_all(
+                              coalesce(text, ''), '\border\b'))
+                        + len(regexp_extract_all(
+                              coalesce(text, ''), '\bsort\b'))
+                        + len(regexp_extract_all(
+                              coalesce(text, ''), '\bmerge\b'))
+                          AS BIGINT) AS s_plan,
+                     CAST(len(regexp_extract_all(
+                              coalesce(text, ''), '\bwindow\b'))
+                        + len(regexp_extract_all(
+                              coalesce(text, ''), '\bbatch\b'))
+                        + len(regexp_extract_all(
+                              coalesce(text, ''), '\bstream\b'))
+                          AS BIGINT) AS s_stream
+              FROM documents)
+            SELECT doc_id, s_exec, s_plan, s_stream,
+                   CASE WHEN s_exec = 0 AND s_plan = 0
+                             AND s_stream = 0 THEN NULL
+                        WHEN s_exec >= s_plan
+                             AND s_exec >= s_stream THEN 'exec'
+                        WHEN s_plan >= s_stream THEN 'plan'
+                        ELSE 'stream' END AS topic
+            FROM s
         """,
         # interpolating as-of: right dedup by max_by(v, id) per ts,
         # backward + forward ASOF joins, identical fixed lerp

@@ -232,7 +232,7 @@ QUERY_NAMES = [
     "q237_wasserstein_drift", "q238_haar_energy", "q240_bfs_hops",
     "q243_mutual_nn", "q244_randomization_test",
     "q247_golden_records", "q248_knn_eval", "q249_hour_profile",
-    "q250_asof_interpolate",
+    "q250_asof_interpolate", "q251_weak_label", "q252_ipc_roundtrip",
 ]
 
 

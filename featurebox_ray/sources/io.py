@@ -124,5 +124,64 @@ def write_table(ds, path: str, *, fmt: str = "parquet") -> None:
         # parquet writer); ints/strings round-trip exactly — floats
         # should be pre-quantized by the caller (the q01 cents pattern)
         ds.write_json(path)
+    elif fmt in ("ipc", "arrow", "feather"):
+        write_ipc(ds, path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
+
+
+def write_ipc(ds, path: str) -> int:
+    """Arrow IPC (Feather V2) sink — one ``.arrow`` file per block,
+    the zero-copy interchange format for handing blocks to other
+    Arrow-native tools (polars, duckdb, pandas) without a parquet
+    decode.  Returns the total row count written (the write is
+    forced — Ray sinks are lazy until consumed).  Same
+    directory-of-shards layout as the parquet writer; clean the
+    directory first, shard names are content-addressed by block hash
+    so a re-run overwrites rather than appends."""
+    import hashlib
+
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def w(b: "pa.Table") -> "pa.Table":
+        if b.num_rows:
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_file(sink, b.schema) as wr:
+                wr.write_table(b)
+            buf = sink.getvalue()
+            name = hashlib.md5(buf).hexdigest()[:16]
+            tmp = f"{path}/block-{name}.arrow.tmp"
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, f"{path}/block-{name}.arrow")
+        return pa.table({"rows": pa.array([b.num_rows],
+                                          type=pa.int64())})
+
+    import pyarrow as pa
+
+    total = ds.map_batches(w, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).sum("rows")
+    return int(total or 0)
+
+
+def read_ipc(path: str):
+    """Arrow IPC source — reads a ``write_ipc`` directory back as a
+    Dataset, one block per shard file (``read_binary_files`` streams
+    the bytes; the IPC decode is zero-copy from the buffer)."""
+    import pyarrow as pa
+    import ray
+
+    def decode(b: "pa.Table") -> "pa.Table":
+        tables = []
+        for buf in b["bytes"].to_pylist():
+            with pa.ipc.open_file(pa.BufferReader(buf)) as rd:
+                tables.append(rd.read_all())
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="default")
+
+    return ray.data.read_binary_files(path).map_batches(
+        decode, batch_format="pyarrow")

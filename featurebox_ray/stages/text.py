@@ -529,3 +529,49 @@ def encoding_audit(ds, *, group_col: str = "source",
         "flagged_share": pa.array(
             [float(agg[g][1]) / float(agg[g][0]) for g in groups],
             pa.float64())})
+
+
+def rule_label_fn(topics: "dict[str, list[str]]",
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Keyword-rule weak labeler — score each document against named
+    topic keyword sets (occurrence counts under word-boundary RE2
+    regexes) and assign the argmax topic, ``(score desc, topic asc)``
+    ties, NULL when nothing matches: the deterministic first-pass
+    labeler that seeds label_propagation / classifier training
+    (Snorkel-style labeling functions, minus the learned combiner).
+
+    Stateless per-batch fn (per-worker regex cache unnecessary: RE2
+    compiles in the kernel call via Arrow) — counts are exact ints
+    and both Arrow and DuckDB are RE2, so
+    ``len(regexp_extract_all(text, '\\bkw\\b'))`` replays every score
+    bit-for-bit (the q117 convention).  Emits ``(id_col,
+    s_<topic>:int64 per topic, topic:string)``.
+
+    Reference analog: none (text-curation family next to
+    gopher_quality_fn / script_profile_fn).
+    """
+    names = sorted(topics)
+    pats = {n: [r"\b" + kw + r"\b" for kw in topics[n]]
+            for n in names}
+
+    def fn(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b[text_col].combine_chunks(), "")
+        n = len(txt)
+        scores = {}
+        for name in names:
+            tot = np.zeros(n, np.int64)
+            for p in pats[name]:
+                tot += pc.count_substring_regex(txt, p).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            scores[name] = tot
+        mat = np.stack([scores[n_] for n_ in names], axis=1)
+        win = np.argmax(mat, axis=1)
+        any_hit = mat.max(axis=1) > 0
+        lab = np.where(any_hit, np.asarray(names)[win], None)
+        out = {id_col: b[id_col]}
+        for name in names:
+            out[f"s_{name}"] = pa.array(scores[name])
+        out["topic"] = pa.array(lab.tolist(), pa.string())
+        return pa.table(out)
+
+    return fn
