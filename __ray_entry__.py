@@ -558,7 +558,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q250_asof_interpolate": _asof_interp_q,
         "q251_weak_label": _weak_label_q,
         "q252_ipc_roundtrip": _ipc_roundtrip_q,
+        "q253_mmd_drift": _mmd_q,
     }
+
+
+def _mmd_q(sf_dir: str):
+    """q253: pairwise quadratic-kernel MMD² between label groups
+    (stages/cohesion.py:mmd_drift) — Σ(xᵀy)² = Gram-trace identities
+    make the whole two-sample statistic a function of per-group int
+    sufficient statistics (G, s4, n): one pass, no pair enumeration.
+    SQL replays the traces via an unnest Gram build + (i,j) join +
+    the identical cast/divide/2·exy−exx−eyy sequence."""
+    import ray
+
+    from featurebox_ray.stages.cohesion import mmd_drift
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label",
+                                         "embedding"],
+                                override_num_blocks=8)
+    return mmd_drift(emb)
 
 
 def _ipc_roundtrip_q(sf_dir: str):
@@ -7430,6 +7449,52 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # MMD²: Gram cells via a per-row dim self-join; trace
+        # products in HUGEINT; identical division + left-assoc
+        # 2·exy − exx − eyy
+        "q253_mmd_drift": """
+            WITH c AS (
+              SELECT CAST(label AS BIGINT) AS g, vec_id, r.i,
+                     CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 256
+                                + 0.5) AS BIGINT) AS q
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) r(i)
+              WHERE label IS NOT NULL AND embedding IS NOT NULL),
+            gm AS (SELECT a.g, a.i, b.i AS j,
+                          CAST(sum(a.q * b.q) AS HUGEINT) AS v
+                   FROM c a JOIN c b ON a.g = b.g
+                                    AND a.vec_id = b.vec_id
+                   GROUP BY a.g, a.i, b.i),
+            rn AS (SELECT g, vec_id,
+                          CAST(sum(q * q) AS HUGEINT) AS rn2
+                   FROM c GROUP BY g, vec_id),
+            st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(rn2 * rn2) AS HUGEINT) AS s4
+                   FROM rn GROUP BY g),
+            tp AS (SELECT x.g AS ga, y.g AS gb,
+                          CAST(sum(x.v * y.v) AS HUGEINT) AS trp
+                   FROM gm x JOIN gm y ON x.i = y.i AND x.j = y.j
+                                      AND x.g <= y.g
+                   GROUP BY x.g, y.g),
+            w AS (SELECT st.g, st.n,
+                         CAST(t.trp - st.s4 AS DOUBLE)
+                         / CAST(st.n * (st.n - 1) AS DOUBLE)
+                           AS within
+                  FROM st JOIN tp t ON t.ga = st.g AND t.gb = st.g
+                  WHERE st.n >= 2)
+            SELECT t.ga AS g_a, t.gb AS g_b,
+                   wa.n AS n_a, wb.n AS n_b,
+                   CAST(t.trp AS DOUBLE)
+                   / CAST(wa.n * wb.n AS DOUBLE) AS exy,
+                   wa.within AS exx, wb.within AS eyy,
+                   2 * (CAST(t.trp AS DOUBLE)
+                        / CAST(wa.n * wb.n AS DOUBLE))
+                   - wa.within - wb.within AS mmd2
+            FROM tp t
+            JOIN w wa ON wa.g = t.ga
+            JOIN w wb ON wb.g = t.gb
+            WHERE t.ga < t.gb
         """,
         # IPC round trip: the q204 injective-encoding checksum
         # computed straight off the source table — any IPC

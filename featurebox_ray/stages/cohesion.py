@@ -628,3 +628,129 @@ def mahalanobis_params(stats: dict, dims: int, *, quant_bits: int,
             for c in range(dims)])
         out[int(lv)] = (vq, offsets, lam)
     return out
+
+
+def mmd_drift(ds, *, vec_col: str = "embedding",
+              group_col: str = "label", quant_bits: int = 8):
+    """Pairwise kernel two-sample test (MMD², quadratic kernel
+    ``k(x,y) = (xᵀy)²``) between every pair of groups — DO two
+    embedding slices come from the same distribution?  The
+    second-moment-sensitive drift test the centroid distance (mean
+    only) and W1 (scalar columns only) can't give: with the
+    quadratic kernel, ``MMD² = 2·E[k(x,y)] − E'[k(x,x')] −
+    E'[k(y,y')]`` reduces EXACTLY to Gram-matrix traces —
+
+        Σ_{i,i'} (x_iᵀx_{i'})² = tr(G_a²),   G_a = X_aᵀX_a
+        Σ_{i,j}  (x_iᵀy_j)²   = tr(G_a·G_b)
+
+    — so the whole statistic comes from per-group integer sufficient
+    statistics: quantized Grams ``G`` (d² int cells) and the
+    diagonal-correction ``s4 = Σ_i ||q_i||²²`` (unbiased within-group
+    expectations exclude i = i′).  One streaming pass, driver-tiny
+    combine, NO shuffle, NO pair enumeration.
+
+    Exactness: trace products are exact Python ints; each
+    expectation is ONE correctly-rounded cast+division
+    (``float(num)/float(den)``, HUGEINT in SQL), and ``mmd2 =
+    2·exy − exx − eyy`` evaluates in that fixed left-assoc IEEE
+    order — bit-exact both sides.  Guard: per-block ``s4`` partials
+    stay int64 for ``rows·(d·(2^qb·|x|max)²)² < 2^63``.
+
+    Emits one row per unordered pair ``(g_a < g_b)``: ``(g_a:int64,
+    g_b:int64, n_a, n_b, exy, exx, eyy, mmd2)``.  Groups with < 2
+    rows emit no pairs (unbiased denominators).  NULL group/vector
+    rows drop.  Reference analog: none (distribution-shift family:
+    q133/q179/q237).
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_col]),
+                                     pc.is_valid(batch[vec_col])))
+        empty = pa.table({"g": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s4": pa.array([], pa.int64()),
+                          "gram": pa.array([],
+                                           pa.list_(pa.int64()))})
+        if batch.num_rows == 0:
+            return empty
+        xq, dims = _batch_mat(batch, vec_col, quant_bits)
+        rn2 = (xq * xq).sum(axis=1)
+        mx = int(rn2.max(initial=0))
+        if mx and len(xq) > (2**63 - 1) // max(mx * mx, 1):
+            raise ValueError("mmd_drift int64 s4 guard exceeded; "
+                             "lower quant_bits")
+        g = batch[group_col].combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        uniq = np.unique(g)
+        out_g, out_n, out_s4, out_gram = [], [], [], []
+        for gv in uniq:
+            sel = g == gv
+            rows = xq[sel]
+            out_g.append(int(gv))
+            out_n.append(int(sel.sum()))
+            out_s4.append(int((rn2[sel] * rn2[sel]).sum()))
+            out_gram.append((rows.T @ rows).reshape(-1))
+        return pa.table({
+            "g": pa.array(out_g, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "s4": pa.array(out_s4, pa.int64()),
+            "gram": pa.array([list(x) for x in out_gram],
+                             pa.list_(pa.int64()))})
+
+    stats: dict = {}
+    for b in ray.get(materialized_block_refs(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if b.num_rows == 0:
+            continue
+        for gv, n, s4, gr in zip(b["g"].to_pylist(),
+                                 b["n"].to_pylist(),
+                                 b["s4"].to_pylist(),
+                                 b["gram"].to_pylist()):
+            cur = stats.get(gv)
+            gr = np.asarray(gr, np.int64)
+            if cur is None:
+                stats[gv] = [n, s4, gr.copy()]
+            else:
+                cur[0] += n
+                cur[1] += s4
+                cur[2] += gr
+
+    def tr_prod(a: np.ndarray, b: np.ndarray) -> int:
+        return sum(int(x) * int(y) for x, y in zip(a, b))
+
+    groups = sorted(g for g, v in stats.items() if v[0] >= 2)
+    cols = {k: [] for k in ("g_a", "g_b", "n_a", "n_b", "exy",
+                            "exx", "eyy", "mmd2")}
+    within = {}
+    for g in groups:
+        n, s4, gr = stats[g]
+        within[g] = np.float64(tr_prod(gr, gr) - s4) \
+            / np.float64(n * (n - 1))
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            na, _, gra = stats[ga]
+            nb, _, grb = stats[gb]
+            exy = np.float64(tr_prod(gra, grb)) / np.float64(na * nb)
+            exx, eyy = within[ga], within[gb]
+            mmd2 = np.float64(2.0) * exy - exx - eyy
+            cols["g_a"].append(ga)
+            cols["g_b"].append(gb)
+            cols["n_a"].append(na)
+            cols["n_b"].append(nb)
+            cols["exy"].append(float(exy))
+            cols["exx"].append(float(exx))
+            cols["eyy"].append(float(eyy))
+            cols["mmd2"].append(float(mmd2))
+    return pa.table({
+        "g_a": pa.array(cols["g_a"], pa.int64()),
+        "g_b": pa.array(cols["g_b"], pa.int64()),
+        "n_a": pa.array(cols["n_a"], pa.int64()),
+        "n_b": pa.array(cols["n_b"], pa.int64()),
+        "exy": pa.array(cols["exy"], pa.float64()),
+        "exx": pa.array(cols["exx"], pa.float64()),
+        "eyy": pa.array(cols["eyy"], pa.float64()),
+        "mmd2": pa.array(cols["mmd2"], pa.float64())})
