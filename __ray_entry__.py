@@ -559,7 +559,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q251_weak_label": _weak_label_q,
         "q252_ipc_roundtrip": _ipc_roundtrip_q,
         "q253_mmd_drift": _mmd_q,
+        "q254_logrank": _logrank_q,
     }
+
+
+def _logrank_q(sf_dir: str):
+    """q254: pairwise log-rank churn test between birth cohorts
+    (stages/retention.py:logrank_test) — shared _survival_cells with
+    q215 (12h censor window), exact-Fraction U/V over pooled death
+    times, z = u/sqrt(v).  Fixture oracle: independent serial replay
+    (_oracle_replays.replay_logrank), bit-identical."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_logrank
+    from featurebox_ray.stages.retention import logrank_test
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    exp = replay_logrank(t["user_id"].to_pylist(),
+                         t["ts"].cast(pa.int64()).to_pylist(),
+                         t["event_id"].to_pylist(),
+                         t["event_type"].to_pylist(),
+                         censor_window_us=43_200_000_000)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "cohort_a": pa.array([r[0] for r in exp], pa.string()),
+        "cohort_b": pa.array([r[1] for r in exp], pa.string()),
+        "n_a": pa.array([r[2] for r in exp], pa.int64()),
+        "n_b": pa.array([r[3] for r in exp], pa.int64()),
+        "u": pa.array([r[4] for r in exp], pa.float64()),
+        "v": pa.array([r[5] for r in exp], pa.float64()),
+        "z": pa.array([r[6] for r in exp], pa.float64()),
+    }), f"{_ORACLE_DIR}/logrank.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/logrank.parquet.tmp",
+               f"{_ORACLE_DIR}/logrank.parquet")
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return logrank_test(ev, censor_window_us=43_200_000_000,
+                        num_partitions=8)
 
 
 def _mmd_q(sf_dir: str):
@@ -9981,6 +10025,10 @@ def oracle_sql() -> dict[str, str]:
         "q241_mahalanobis": f"""
             SELECT vec_id, label, maha2
             FROM read_parquet('{_ORACLE_DIR}/mahalanobis.parquet')
+        """,
+        "q254_logrank": f"""
+            SELECT cohort_a, cohort_b, n_a, n_b, u, v, z
+            FROM read_parquet('{_ORACLE_DIR}/logrank.parquet')
         """,
         "q242_ridge_influence": f"""
             SELECT grp, j, coef_loo, delta

@@ -1344,3 +1344,68 @@ def replay_label_propagation(ids, labels, vecs, *,
                     int(is_seed[i]),
                     None if rounded[i] == -1 else int(rounded[i])))
     return out
+
+
+def replay_logrank(users, ts_us, seqs, types, *,
+                   censor_window_us: int = 7 * 86_400_000_000):
+    """Serial replay of stages/retention.py:logrank_test — per-user
+    lifetimes from plain dict walks (birth = min (ts, seq), cohort =
+    type at birth, censor = last event within the window of the
+    global max), exact-Fraction U/V, z = u / sqrt(v).  Returns rows
+    (cohort_a, cohort_b, n_a, n_b, u, v, z_or_None)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    per_user = {}
+    gmax = None
+    for u, t, q, ty in zip(users, ts_us, seqs, types):
+        if None in (u, t, q, ty):
+            continue
+        gmax = t if gmax is None else max(gmax, t)
+        cur = per_user.get(u)
+        if cur is None:
+            per_user[u] = [(t, q, ty), t]
+        else:
+            if (t, q) < (cur[0][0], cur[0][1]):
+                cur[0] = (t, q, ty)
+            cur[1] = max(cur[1], t)
+    if not per_user:
+        return []
+    cutoff = gmax - censor_window_us
+    cells = {}
+    for u, ((bt, _q, ty), mx) in per_user.items():
+        dur = (mx - bt) // 86_400_000_000
+        cens = 1 if mx >= cutoff else 0
+        c = cells.setdefault((ty, dur), [0, 0])
+        c[0 if not cens else 1] += 1
+    cohorts = sorted({k[0] for k in cells})
+    per = {c: {d: cells[(c2, d)] for (c2, d) in cells if c2 == c}
+           for c in cohorts}
+    totals = {c: sum(v[0] + v[1] for v in per[c].values())
+              for c in cohorts}
+    out = []
+    for i, ca in enumerate(cohorts):
+        for cb in cohorts[i + 1:]:
+            U = Fraction(0)
+            V = Fraction(0)
+            gone_a = gone_b = 0
+            for d in sorted(set(per[ca]) | set(per[cb])):
+                da, ca_c = per[ca].get(d, (0, 0))
+                db, cb_c = per[cb].get(d, (0, 0))
+                na = totals[ca] - gone_a
+                nb = totals[cb] - gone_b
+                n = na + nb
+                dt = da + db
+                if dt > 0 and n > 1:
+                    U += da - Fraction(dt * na, n)
+                    V += (Fraction(dt * na, n) * Fraction(nb, n)
+                          * Fraction(n - dt, n - 1))
+                gone_a += da + ca_c
+                gone_b += db + cb_c
+            u = float(U)
+            v = float(V)
+            z = u / np.sqrt(v) if v > 0 else None
+            out.append((ca, cb, totals[ca], totals[cb], u, v,
+                        None if z is None else float(z)))
+    return out

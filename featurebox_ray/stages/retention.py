@@ -297,11 +297,11 @@ def longest_streak(ds, *, key_col: str = "user_id",
                            strategy="tasks")
 
 
-def kaplan_meier(ds, *, user_col: str = "user_id",
-                 ts_col: str = "ts", seq_col: str = "event_id",
-                 type_col: str = "event_type",
-                 censor_window_us: int = 7 * 86_400_000_000,
-                 num_partitions: int = 32):
+def _survival_cells(ds, *, user_col: str = "user_id",
+                    ts_col: str = "ts", seq_col: str = "event_id",
+                    type_col: str = "event_type",
+                    censor_window_us: int = 7 * 86_400_000_000,
+                    num_partitions: int = 32):
     """Kaplan-Meier survival curve per cohort — "how long do users
     stay active?" with RIGHT-CENSORING done properly: a user whose
     last event falls within ``censor_window_us`` of the corpus'
@@ -418,13 +418,7 @@ def kaplan_meier(ds, *, user_col: str = "user_id",
     maxes = [m for m in ray.get([blk_max.remote(r) for r in prefs])
              if m is not None]
     if not maxes:
-        return pa.table({
-            "cohort": pa.array([], pa.string()),
-            "dur_days": pa.array([], pa.int64()),
-            "at_risk": pa.array([], pa.int64()),
-            "deaths": pa.array([], pa.int64()),
-            "censored": pa.array([], pa.int64()),
-            "surv": pa.array([], pa.float64())})
+        return {}
     global_mx = max(maxes)
     cutoff = global_mx - censor_window_us
 
@@ -471,6 +465,30 @@ def kaplan_meier(ds, *, user_col: str = "user_id",
             cur = agg.setdefault((ty, d), [0, 0])
             cur[0] += de
             cur[1] += ce
+    return agg
+
+
+def kaplan_meier(ds, *, user_col: str = "user_id",
+                    ts_col: str = "ts", seq_col: str = "event_id",
+                    type_col: str = "event_type",
+                    censor_window_us: int = 7 * 86_400_000_000,
+                    num_partitions: int = 32):
+    """KM estimator over :func:`_survival_cells` — see the helper for
+    the per-user lifetime derivation and exactness contract (this
+    split exists so :func:`logrank_test` shares ONE copy of the
+    censoring/cohort semantics)."""
+    agg = _survival_cells(ds, user_col=user_col, ts_col=ts_col,
+                          seq_col=seq_col, type_col=type_col,
+                          censor_window_us=censor_window_us,
+                          num_partitions=num_partitions)
+    if not agg:
+        return pa.table({
+            "cohort": pa.array([], pa.string()),
+            "dur_days": pa.array([], pa.int64()),
+            "at_risk": pa.array([], pa.int64()),
+            "deaths": pa.array([], pa.int64()),
+            "censored": pa.array([], pa.int64()),
+            "surv": pa.array([], pa.float64())})
     out = []
     for ty in sorted({k[0] for k in agg}):
         durs = sorted(d for (t2, d) in agg if t2 == ty)
@@ -496,3 +514,89 @@ def kaplan_meier(ds, *, user_col: str = "user_id",
         "deaths": pa.array([r[3] for r in out], pa.int64()),
         "censored": pa.array([r[4] for r in out], pa.int64()),
         "surv": pa.array([r[5] for r in out], pa.float64())})
+
+
+def logrank_test(ds, *, user_col: str = "user_id",
+                 ts_col: str = "ts", seq_col: str = "event_id",
+                 type_col: str = "event_type",
+                 censor_window_us: int = 7 * 86_400_000_000,
+                 num_partitions: int = 32):
+    """Pairwise log-rank test between birth cohorts — DO two cohorts
+    churn at the same rate, accounting for right-censoring?  The
+    inference companion of :func:`kaplan_meier` (which only draws the
+    curves): under H0 the observed deaths in cohort A at each pooled
+    death time follow the hypergeometric law, and
+
+        U = Σ_t (d_At − d_t·n_At/n_t)
+        V = Σ_t d_t·(n_At/n_t)·(n_Bt/n_t)·(n_t−d_t)/(n_t−1)
+        z = U / sqrt(V)
+
+    Exactness: both sums accumulate as EXACT ``Fraction``s over the
+    tiny (cohort, dur) cell table (shared :func:`_survival_cells` —
+    ONE copy of the censoring/cohort/duration semantics); the
+    emitted ``u``/``v`` are correctly-rounded floats of exact
+    rationals and ``z`` is one division + one IEEE sqrt — the serial
+    replay is bit-identical (fixture oracle; no SQL — the running
+    at-risk recursion and rational sums).
+
+    Emits one row per unordered cohort pair: ``(cohort_a, cohort_b,
+    n_a:int64, n_b:int64, u:float64, v:float64, z:float64 — NULL
+    when V = 0)``.  Reference analog: none (survival family).
+    """
+    from fractions import Fraction
+
+    agg = _survival_cells(ds, user_col=user_col, ts_col=ts_col,
+                          seq_col=seq_col, type_col=type_col,
+                          censor_window_us=censor_window_us,
+                          num_partitions=num_partitions)
+    empty = pa.table({"cohort_a": pa.array([], pa.string()),
+                      "cohort_b": pa.array([], pa.string()),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64()),
+                      "u": pa.array([], pa.float64()),
+                      "v": pa.array([], pa.float64()),
+                      "z": pa.array([], pa.float64())})
+    if not agg:
+        return empty
+    cohorts = sorted({k[0] for k in agg})
+    per = {c: {d: agg[(c2, d)] for (c2, d) in agg if c2 == c}
+           for c in cohorts}
+    totals = {c: sum(v[0] + v[1] for v in per[c].values())
+              for c in cohorts}
+    rows = []
+    for i, ca in enumerate(cohorts):
+        for cb in cohorts[i + 1:]:
+            U = Fraction(0)
+            V = Fraction(0)
+            gone_a = gone_b = 0
+            # walk ALL durations of either cohort in order so the
+            # at-risk counters stay exact
+            all_durs = sorted(set(per[ca]) | set(per[cb]))
+            for d in all_durs:
+                da, ca_cens = per[ca].get(d, (0, 0))
+                db, cb_cens = per[cb].get(d, (0, 0))
+                na = totals[ca] - gone_a
+                nb = totals[cb] - gone_b
+                n = na + nb
+                dt = da + db
+                if dt > 0 and n > 1:
+                    U += da - Fraction(dt * na, n)
+                    V += (Fraction(dt * na, n)
+                          * Fraction(nb, n)
+                          * Fraction(n - dt, n - 1))
+                gone_a += da + ca_cens
+                gone_b += db + cb_cens
+            u = float(U)
+            v = float(V)
+            z = u / np.sqrt(v) if v > 0 else None
+            rows.append((ca, cb, totals[ca], totals[cb], u, v,
+                         None if z is None else float(z)))
+    ttype = pa.array([rows[0][0]]).type if rows else pa.string()
+    return pa.table({
+        "cohort_a": pa.array([r[0] for r in rows], ttype),
+        "cohort_b": pa.array([r[1] for r in rows], ttype),
+        "n_a": pa.array([r[2] for r in rows], pa.int64()),
+        "n_b": pa.array([r[3] for r in rows], pa.int64()),
+        "u": pa.array([r[4] for r in rows], pa.float64()),
+        "v": pa.array([r[5] for r in rows], pa.float64()),
+        "z": pa.array([r[6] for r in rows], pa.float64())})
