@@ -560,7 +560,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q252_ipc_roundtrip": _ipc_roundtrip_q,
         "q253_mmd_drift": _mmd_q,
         "q254_logrank": _logrank_q,
+        "q255_readability": _readability_q,
+        "q256_gk_tau": _gk_tau_q,
     }
+
+
+def _gk_tau_q(sf_dir: str):
+    """q256: Goodman–Kruskal tau soft-FD profile
+    (stages/profile.py:gk_tau) — directed predictive strength for
+    three column pairs over derived categoricals (user bucket, value
+    sign); exact int contingency cells + exact-Fraction tau.
+    Fixture oracle: independent Counter/Fraction replay."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_gk_tau
+
+    PAIRS = [("user_bucket", "event_type"),
+             ("event_type", "val_sign"),
+             ("event_type", "user_bucket")]
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        ub = [None if x is None else str(int(x) % 5)
+              for x in tbl["user_id"].to_pylist()]
+        vs = [None if v is None
+              else ("pos" if v > 0 else ("neg" if v < 0
+                                         else "zero"))
+              for v in tbl["value"].to_pylist()]
+        return pa.table({
+            "event_type": tbl["event_type"],
+            "user_bucket": pa.array(ub, pa.string()),
+            "val_sign": pa.array(vs, pa.string())})
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type", "value"])
+    dt = derive(t)
+    exp = replay_gk_tau({c: dt[c].to_pylist()
+                         for c in dt.column_names}, PAIRS)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "x_col": pa.array([r[0] for r in exp], pa.string()),
+        "y_col": pa.array([r[1] for r in exp], pa.string()),
+        "n": pa.array([r[2] for r in exp], pa.int64()),
+        "tau": pa.array([r[3] for r in exp], pa.float64()),
+    }), f"{_ORACLE_DIR}/gk_tau.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/gk_tau.parquet.tmp",
+               f"{_ORACLE_DIR}/gk_tau.parquet")
+
+    from featurebox_ray.stages.profile import gk_tau
+
+    def derive_batch(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = b["user_id"].combine_chunks()
+        uvalid = pc.is_valid(u).to_numpy(zero_copy_only=False)
+        un = (pc.fill_null(u, 0).to_numpy(zero_copy_only=False)
+              .astype(np.int64) % 5)           # no pc.mod kernel
+        ub = pa.array(un.astype("U1"), pa.string(),
+                      mask=~uvalid)
+        v = b["value"].combine_chunks()
+        vvalid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        vn = pc.fill_null(v, 0.0).to_numpy(zero_copy_only=False)
+        sign = np.where(vn > 0, "pos",
+                        np.where(vn < 0, "neg", "zero"))
+        vs = pa.array(sign, pa.string(), mask=~vvalid)
+        return pa.table({"event_type": b["event_type"],
+                         "user_bucket": ub,
+                         "val_sign": vs})
+
+    ev = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "event_type",
+                                         "value"],
+                                override_num_blocks=16)
+          .map_batches(derive_batch, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return gk_tau(ev, PAIRS)
+
+
+def _readability_q(sf_dir: str):
+    """q255: Flesch readability (stages/text.py:readability_fn) —
+    RE2 word/sentence/vowel-group counts, fixed IEEE expression
+    (literals CAST AS DOUBLE — the q64 decimal-literal trap)."""
+    import ray
+
+    from featurebox_ray.stages.text import readability_fn
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=16)
+    return docs.map_batches(readability_fn(),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def _logrank_q(sf_dir: str):
@@ -7494,6 +7588,33 @@ def oracle_sql() -> dict[str, str]:
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
         """,
+        # readability: RE2 counts; literals CAST AS DOUBLE (bare
+        # parse as DECIMAL -> different double); GREATEST = np.maximum
+        "q255_readability": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(
+                              coalesce(text, ''), '\S+'))
+                          AS BIGINT) AS n_words,
+                     CAST(len(regexp_extract_all(
+                              coalesce(text, ''), '[.!?]+'))
+                          AS BIGINT) AS n_sents,
+                     CAST(len(regexp_extract_all(
+                              coalesce(text, ''),
+                              '[aeiouyAEIOUY]+')) AS BIGINT)
+                       AS n_syll
+              FROM documents)
+            SELECT doc_id, n_words, n_sents, n_syll,
+                   CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE)
+                     * (CAST(GREATEST(n_words, 1) AS DOUBLE)
+                        / CAST(GREATEST(n_sents, 1) AS DOUBLE))
+                   - CAST(84.6 AS DOUBLE)
+                     * (CAST(n_syll AS DOUBLE)
+                        / CAST(GREATEST(n_words, 1) AS DOUBLE))
+                     AS flesch
+            FROM c
+        """,
         # MMD²: Gram cells via a per-row dim self-join; trace
         # products in HUGEINT; identical division + left-assoc
         # 2·exy − exx − eyy
@@ -10029,6 +10150,10 @@ def oracle_sql() -> dict[str, str]:
         "q254_logrank": f"""
             SELECT cohort_a, cohort_b, n_a, n_b, u, v, z
             FROM read_parquet('{_ORACLE_DIR}/logrank.parquet')
+        """,
+        "q256_gk_tau": f"""
+            SELECT x_col, y_col, n, tau
+            FROM read_parquet('{_ORACLE_DIR}/gk_tau.parquet')
         """,
         "q242_ridge_influence": f"""
             SELECT grp, j, coef_loo, delta

@@ -1409,3 +1409,37 @@ def replay_logrank(users, ts_us, seqs, types, *,
             out.append((ca, cb, totals[ca], totals[cb], u, v,
                         None if z is None else float(z)))
     return out
+
+
+def replay_gk_tau(columns: dict, pairs):
+    """Serial replay of stages/profile.py:gk_tau — dict-of-Counter
+    contingency build + exact-Fraction tau.  ``columns`` maps column
+    name -> list of values (None allowed).  Returns rows
+    (x_col, y_col, n, tau_or_None)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    out = []
+    for xc, yc in pairs:
+        xs = ["\x00null" if v is None else str(v)
+              for v in columns[xc]]
+        ys = ["\x00null" if v is None else str(v)
+              for v in columns[yc]]
+        cells = Counter(zip(xs, ys))
+        n = sum(cells.values())
+        if n == 0:
+            out.append((xc, yc, 0, None))
+            continue
+        nx = Counter()
+        ny = Counter()
+        for (x, y), c in cells.items():
+            nx[x] += c
+            ny[y] += c
+        e_y = Fraction(sum(v * v for v in ny.values()), n)
+        e_xy = Fraction(0)
+        for (x, y), c in cells.items():
+            e_xy += Fraction(c * c, nx[x])
+        den = n - e_y
+        out.append((xc, yc, n,
+                    float((e_xy - e_y) / den) if den != 0 else None))
+    return out

@@ -718,3 +718,114 @@ def fk_audit(child_ds, parent_ds, *, child_key: str,
         "n_child": pa.array([n_child], pa.int64()),
         "n_orphans": pa.array([n_orph], pa.int64()),
         "orphan_share": pa.array([share], pa.float64())})
+
+
+def gk_tau(ds, pairs, *, num_partitions: int = 8):
+    """Goodman–Kruskal tau for directed column pairs — "how well does
+    X functionally determine Y?": the proportional reduction in
+    Gini-classification error of Y when X is known,
+
+        tau(X→Y) = (Σ_x Σ_y n_xy²/n_x − Σ_y n_y²/n)
+                   / (n − Σ_y n_y²/n)
+
+    ∈ [0, 1] with 1 = exact functional dependency — the
+    schema-discovery / soft-FD profiler next to the exact-NDV
+    profiler and k-anonymity audit (log-free, unlike Theil's U, so
+    it stays in EXACT arithmetic).
+
+    Exactness: contingency cells are exact int64 (per-block partials,
+    driver-tiny combine — categorical columns only, cells =
+    |X|·|Y|); tau accumulates as an exact ``Fraction`` and the
+    emitted value is its correctly-rounded float — the serial replay
+    (fixture oracle) is bit-identical.  NULL in X or Y forms its own
+    category (SQL GROUP BY semantics).  A constant Y (denominator 0)
+    emits NULL tau.
+
+    ``pairs`` is a list of ``(x_col, y_col)`` — one output row each:
+    ``(x_col:string, y_col:string, n:int64, tau:float64)``.
+    Reference analog: none (profiling family).
+    """
+    import ray
+    from fractions import Fraction
+
+    from .partition import materialized_block_refs
+
+    def partial(b: pa.Table) -> pa.Table:
+        out_p, out_x, out_y, out_c = [], [], [], []
+        for xi, (xc, yc) in enumerate(pairs):
+            xs = pc.fill_null(pc.cast(b[xc].combine_chunks(),
+                                      pa.string()), "\x00null")
+            ys = pc.fill_null(pc.cast(b[yc].combine_chunks(),
+                                      pa.string()), "\x00null")
+            ex = pc.dictionary_encode(xs)
+            ey = pc.dictionary_encode(ys)
+            cx = ex.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            cy = ey.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            ny = len(ey.dictionary)
+            cell = cx * ny + cy
+            uc, inv = np.unique(cell, return_inverse=True)
+            cnt = np.zeros(len(uc), np.int64)
+            np.add.at(cnt, inv, 1)
+            out_p.append(np.full(len(uc), xi, np.int64))
+            out_x.append(ex.dictionary.take(
+                pa.array(uc // ny, pa.int64())).cast(pa.string()))
+            out_y.append(ey.dictionary.take(
+                pa.array(uc % ny, pa.int64())).cast(pa.string()))
+            out_c.append(cnt)
+        return pa.table({
+            "p": pa.array(np.concatenate(out_p)
+                          if out_p else np.empty(0, np.int64)),
+            "x": (pa.concat_arrays([a.combine_chunks()
+                                    if isinstance(a, pa.ChunkedArray)
+                                    else a for a in out_x])
+                  if out_x else pa.array([], pa.string())),
+            "y": (pa.concat_arrays([a.combine_chunks()
+                                    if isinstance(a, pa.ChunkedArray)
+                                    else a for a in out_y])
+                  if out_y else pa.array([], pa.string())),
+            "cnt": pa.array(np.concatenate(out_c)
+                            if out_c else np.empty(0, np.int64))})
+
+    agg: dict = {}
+    for b in ray.get(materialized_block_refs(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if b.num_rows == 0:
+            continue
+        for p, x, y, c in zip(b["p"].to_pylist(),
+                              b["x"].to_pylist(),
+                              b["y"].to_pylist(),
+                              b["cnt"].to_pylist()):
+            key = (p, x, y)
+            agg[key] = agg.get(key, 0) + c
+
+    out = {"x_col": [], "y_col": [], "n": [], "tau": []}
+    for xi, (xc, yc) in enumerate(pairs):
+        cells = {(x, y): c for (p, x, y), c in agg.items()
+                 if p == xi}
+        n = sum(cells.values())
+        nx: dict = {}
+        ny_: dict = {}
+        for (x, y), c in cells.items():
+            nx[x] = nx.get(x, 0) + c
+            ny_[y] = ny_.get(y, 0) + c
+        out["x_col"].append(xc)
+        out["y_col"].append(yc)
+        out["n"].append(n)
+        if n == 0:
+            out["tau"].append(None)
+            continue
+        e_y = Fraction(sum(v * v for v in ny_.values()), n)
+        e_xy = Fraction(0)
+        for (x, y), c in cells.items():
+            e_xy += Fraction(c * c, nx[x])
+        den = n - e_y
+        out["tau"].append(float((e_xy - e_y) / den)
+                          if den != 0 else None)
+    return pa.table({
+        "x_col": pa.array(out["x_col"], pa.string()),
+        "y_col": pa.array(out["y_col"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "tau": pa.array(out["tau"], pa.float64())})

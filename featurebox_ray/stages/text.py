@@ -575,3 +575,46 @@ def rule_label_fn(topics: "dict[str, list[str]]",
         return pa.table(out)
 
     return fn
+
+
+def readability_fn(text_col: str = "text", id_col: str = "doc_id"):
+    """Flesch-style readability scoring — the classic named
+    quality/complexity signal next to the Gopher rules: words,
+    sentence breaks, and vowel-group "syllables" counted by RE2, and
+
+        flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+
+    with S and W floored at 1 (empty docs score the constant).
+    Counts are exact ints and the score is a FIXED sequence of
+    correctly-rounded IEEE ops whose literals parse to the same
+    doubles in SQL (the q175 Wilson convention) — bit-exact replay
+    via ``len(regexp_extract_all(...))`` + the identical expression.
+
+    Stateless batch fn.  Emits ``(id_col, n_words:int64,
+    n_sents:int64, n_syll:int64, flesch:float64)``.
+    Reference analog: none (text-curation family).
+    """
+    def fn(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b[text_col].combine_chunks(), "")
+
+        def cnt(pat):
+            return np.maximum(pc.count_substring_regex(
+                txt, pat).to_numpy(zero_copy_only=False)
+                .astype(np.int64), 0)
+
+        words = cnt(r"\S+")
+        sents = cnt(r"[.!?]+")
+        syll = cnt(r"[aeiouyAEIOUY]+")
+        w = np.maximum(words, 1).astype(np.float64)
+        s_ = np.maximum(sents, 1).astype(np.float64)
+        y = syll.astype(np.float64)
+        flesch = (np.float64(206.835)
+                  - np.float64(1.015) * (w / s_)
+                  - np.float64(84.6) * (y / w))
+        return pa.table({id_col: b[id_col],
+                         "n_words": pa.array(words),
+                         "n_sents": pa.array(sents),
+                         "n_syll": pa.array(syll),
+                         "flesch": pa.array(flesch, pa.float64())})
+
+    return fn
