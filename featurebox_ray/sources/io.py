@@ -137,9 +137,9 @@ def write_ipc(ds, path: str) -> int:
     decode.  Returns the total row count written (the write is
     forced — Ray sinks are lazy until consumed).  Same
     directory-of-shards layout as the parquet writer; clean the
-    directory first, shard names are content-addressed by block hash
-    so a re-run overwrites rather than appends."""
-    import hashlib
+    directory first — shard names are unique per write (uuid), so
+    stale shards from a prior run would otherwise accumulate."""
+    import uuid
 
     import pyarrow as pa
 
@@ -151,15 +151,13 @@ def write_ipc(ds, path: str) -> int:
             with pa.ipc.new_file(sink, b.schema) as wr:
                 wr.write_table(b)
             buf = sink.getvalue()
-            name = hashlib.md5(buf).hexdigest()[:16]
+            name = uuid.uuid4().hex[:16]
             tmp = f"{path}/block-{name}.arrow.tmp"
             with open(tmp, "wb") as f:
                 f.write(buf)
             os.replace(tmp, f"{path}/block-{name}.arrow")
         return pa.table({"rows": pa.array([b.num_rows],
                                           type=pa.int64())})
-
-    import pyarrow as pa
 
     total = ds.map_batches(w, batch_format="pyarrow",
                            zero_copy_batch=True,

@@ -253,8 +253,9 @@ def asof_interpolate(left, right, *, key: str, ts_col: str,
     is_ts = pa.types.is_timestamp(ttype)
 
     def prep_left(b: pa.Table) -> pa.Table:
-        keep = pc.fill_null(pc.and_(pc.is_valid(b[key]),
-                                    pc.is_valid(b[ts_col])), False)
+        keep = pc.fill_null(pc.and_(
+            pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts_col])),
+            pc.is_valid(b[left_id])), False)
         if not pc.all(keep).as_py():
             b = b.filter(keep)
         ts = b[ts_col].combine_chunks()
@@ -267,7 +268,7 @@ def asof_interpolate(left, right, *, key: str, ts_col: str,
 
     def prep_right(b: pa.Table) -> pa.Table:
         keep = pc.is_valid(b[key])
-        for c in (ts_col, value_col):
+        for c in (ts_col, value_col, right_id):
             keep = pc.and_(keep, pc.is_valid(b[c]))
         keep = pc.fill_null(keep, False)
         if not pc.all(keep).as_py():

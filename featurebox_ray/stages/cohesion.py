@@ -711,13 +711,16 @@ def mmd_drift(ds, *, vec_col: str = "embedding",
                                  b["s4"].to_pylist(),
                                  b["gram"].to_pylist()):
             cur = stats.get(gv)
-            gr = np.asarray(gr, np.int64)
+            # object dtype: cross-block Gram cells accumulate as
+            # Python ints — per-block partials are int64-guarded but
+            # their SUM is not
+            gr = np.asarray(gr, np.int64).astype(object)
             if cur is None:
-                stats[gv] = [n, s4, gr.copy()]
+                stats[gv] = [n, s4, gr]
             else:
                 cur[0] += n
                 cur[1] += s4
-                cur[2] += gr
+                cur[2] = cur[2] + gr
 
     def tr_prod(a: np.ndarray, b: np.ndarray) -> int:
         return sum(int(x) * int(y) for x, y in zip(a, b))

@@ -394,6 +394,11 @@ def knn_classifier_eval(ds, *, vec_col: str = "embedding",
                 self.ids = self.ids[order]
                 self.labs = self.labs[order]
                 self.V = self.V[order]
+                if len(self.ids) > 1 and bool(
+                        (self.ids[1:] == self.ids[:-1]).any()):
+                    raise ValueError(
+                        "knn_classifier_eval: duplicate ids — the "
+                        "LOO self-mask needs unique ids")
                 m = int(np.abs(self.V).max(initial=0))
                 _guard_dot(m, m, self.V.shape[1])
             else:

@@ -113,10 +113,16 @@ def label_propagation(ds, *, vec_col: str = "embedding",
             continue
         all_ids.append(b[id_col].to_numpy(zero_copy_only=False)
                        .astype(np.int64))
+        lab_col = b[label_col].combine_chunks().cast(pa.int64())
+        if lab_col.null_count < len(lab_col):
+            mn = pc.min(lab_col).as_py()
+            if mn is not None and mn < 0:
+                raise ValueError(
+                    "label_propagation: negative seed labels "
+                    "collide with the unlabeled sentinel")
         all_labs.append(
-            pc.fill_null(b[label_col].combine_chunks().cast(
-                pa.int64()), -1).to_numpy(zero_copy_only=False)
-            .astype(np.int64))
+            pc.fill_null(lab_col, -1).to_numpy(
+                zero_copy_only=False).astype(np.int64))
     if not all_ids:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "label_out": pa.array([], pa.int64()),
@@ -126,10 +132,6 @@ def label_propagation(ds, *, vec_col: str = "embedding",
     labs = np.concatenate(all_labs)
     order = np.argsort(ids, kind="stable")
     ids, labs = ids[order], labs[order]
-    if labs.size and labs[labs != -1].size \
-            and int(labs[labs != -1].min()) < 0:
-        raise ValueError("label_propagation: negative seed labels "
-                         "collide with the unlabeled sentinel")
     is_seed = labs != -1
     rounded = np.where(is_seed, np.int64(0), np.int64(-1))
     cur = labs.copy()

@@ -202,10 +202,8 @@ def profile_similarity(ds, *, key_col: str, ts_col: str,
                 > (2**63 - 1) // max(total, 1)):
         raise ValueError("profile_similarity int64 guard exceeded; "
                          "pre-bucket upstream")
-    v2 = int((G.astype(object) * G.astype(object)).sum())
-    if v2 > 2**63 - 1:
-        raise ValueError("profile_similarity v2 exceeds int64; "
-                         "pre-bucket upstream")
+    # v2 <= total² <= (3.037e9)² < 2^63 under the guard above
+    v2 = int((G * G).sum())
 
     def prep(b: pa.Table) -> pa.Table:
         keep = pc.fill_null(pc.and_(pc.is_valid(b[key_col]),

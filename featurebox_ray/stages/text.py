@@ -550,8 +550,11 @@ def rule_label_fn(topics: "dict[str, list[str]]",
     Reference analog: none (text-curation family next to
     gopher_quality_fn / script_profile_fn).
     """
+    import re as _re
+
     names = sorted(topics)
-    pats = {n: [r"\b" + kw + r"\b" for kw in topics[n]]
+    pats = {n: [r"\b" + _re.escape(kw) + r"\b"
+                for kw in topics[n]]
             for n in names}
 
     def fn(b: pa.Table) -> pa.Table:
