@@ -562,7 +562,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q254_logrank": _logrank_q,
         "q255_readability": _readability_q,
         "q256_gk_tau": _gk_tau_q,
+        "q257_decay_attribution": _decay_attr_q,
     }
+
+
+def _decay_attr_q(sf_dir: str):
+    """q257: time-decay multi-touch attribution
+    (stages/attribution.py:linear_attribution(time_decay=True)) —
+    1-day-half-life weights 2^(7−Δdays) are INTEGER powers of two,
+    split by the weighted largest-remainder method ((rem desc, touch
+    order) ties), credits reconcile to the cent.  SQL replays with
+    bit-shift weights + // / % + window ranks."""
+    import ray
+
+    from featurebox_ray.stages.attribution import linear_attribution
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+    return linear_attribution(ev, key_col="user_id", ts_col="ts",
+                              seq_col="event_id",
+                              type_col="event_type",
+                              value_col="value",
+                              conv_type="purchase",
+                              horizon=7 * 86400000000,
+                              time_decay=True, num_partitions=16)
 
 
 def _gk_tau_q(sf_dir: str):
@@ -7587,6 +7611,55 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # decay attribution: integer 2^(7-dd) weights via bit shift,
+        # weighted largest remainder, (rem desc, rn) leftover rank
+        "q257_decay_attribution": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id,
+                     event_type,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS cents
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL
+                AND event_type IS NOT NULL),
+            conv AS (SELECT * FROM e
+                     WHERE event_type = 'purchase' AND cents > 0),
+            touch AS (SELECT * FROM e
+                      WHERE event_type <> 'purchase'),
+            pairs AS (
+              SELECT c.user_id, c.event_id AS cid, c.cents,
+                     t.event_type,
+                     (CAST(1 AS BIGINT)
+                      << CAST(GREATEST(7 - (c.t - t.t)
+                                           // 86400000000, 0)
+                              AS BIGINT)) AS w,
+                     row_number() OVER (
+                       PARTITION BY c.user_id, c.event_id
+                       ORDER BY t.t, t.event_id) AS rn
+              FROM conv c JOIN touch t ON t.user_id = c.user_id
+               AND t.t >= c.t - 604800000000 AND t.t < c.t),
+            agg AS (SELECT *, sum(w) OVER (
+                        PARTITION BY user_id, cid) AS tw
+                    FROM pairs),
+            base AS (SELECT *, cents * w // tw AS b,
+                            cents * w % tw AS rem
+                     FROM agg),
+            lo AS (SELECT *,
+                          cents - sum(b) OVER (
+                              PARTITION BY user_id, cid)
+                            AS leftover,
+                          row_number() OVER (
+                              PARTITION BY user_id, cid
+                              ORDER BY rem DESC, rn) AS pr
+                   FROM base)
+            SELECT event_type,
+                   CAST(sum(b + CASE WHEN pr <= leftover THEN 1
+                                ELSE 0 END) AS BIGINT)
+                     AS credit_cents,
+                   CAST(count(*) AS BIGINT) AS n_touches
+            FROM lo GROUP BY event_type
         """,
         # readability: RE2 counts; literals CAST AS DOUBLE (bare
         # parse as DECIMAL -> different double); GREATEST = np.maximum

@@ -36,12 +36,22 @@ __all__ = ["linear_attribution", "shapley_attribution"]
 
 def linear_attribution(ds, *, key_col: str, ts_col: str, seq_col: str,
                        type_col: str, value_col: str, conv_type: str,
-                       horizon, num_partitions: int = 16,
+                       horizon, time_decay: bool = False,
+                       num_partitions: int = 16,
                        max_expansion: int = 50_000_000):
     """Returns ``(event_type, credit_cents:int64, n_touches:int64)`` —
-    the linearly attributed credit per touch type.  ``horizon`` follows
-    the asof native-unit convention (plain int = µs for timestamp[us]
-    inputs)."""
+    the attributed credit per touch type.  ``horizon`` follows the
+    asof native-unit convention (plain int = µs for timestamp[us]
+    inputs).
+
+    ``time_decay=True`` switches the split from equal shares to
+    1-day-half-life weights ``w = 2^(K−Δdays)`` (Δ = whole days
+    before the conversion, K = the horizon in days) — INTEGER powers
+    of two, so the proportional split stays exact via the
+    weighted largest-remainder method: ``base = c·w // W``, leftover
+    cents to the largest remainders, ``(rem desc, touch order)``
+    ties.  Credit totals still reconcile to the cent, and SQL
+    replays with ``//``/``%`` + a window rank."""
     import ray
 
     from .partition import materialized_block_refs, partitioned_map
@@ -128,8 +138,36 @@ def linear_attribution(ds, *, key_col: str, ts_col: str, seq_col: str,
         gid_t, rank_t, rows_t = gid[m], rank[m], rows[m]
         n = np.bincount(gid_t, minlength=len(conv)).astype(np.int64)
         cc = cents[conv]
-        credit = (cc[gid_t] // n[gid_t]
-                  + (rank_t <= cc[gid_t] % n[gid_t]))
+        if not time_decay:
+            credit = (cc[gid_t] // n[gid_t]
+                      + (rank_t <= cc[gid_t] % n[gid_t]))
+        else:
+            day = 86_400_000_000
+            K = int((h + day - 1) // day)
+            dd = (ts[conv][gid_t] - ts[rows_t]) // day
+            w = np.int64(1) << np.clip(K - dd, 0, K).astype(np.int64)
+            W = np.zeros(len(conv), np.int64)
+            np.add.at(W, gid_t, w)
+            cw = cc[gid_t]
+            mx = int(cw.max(initial=0))
+            if mx and int(w.max(initial=0)) > (2**63 - 1) // mx:
+                raise ValueError("linear_attribution time_decay "
+                                 "int64 guard exceeded — shrink the "
+                                 "horizon or values")
+            base = cw * w // W[gid_t]
+            rem = cw * w % W[gid_t]
+            spent = np.zeros(len(conv), np.int64)
+            np.add.at(spent, gid_t, base)
+            leftover = cc - spent
+            o = np.lexsort((rank_t, -rem, gid_t))
+            gs = gid_t[o]
+            pos_new = np.concatenate([[True], gs[1:] != gs[:-1]])
+            pstarts = np.flatnonzero(pos_new)
+            prid = np.cumsum(pos_new.astype(np.int64)) - 1
+            pos = np.arange(len(gs)) - pstarts[prid]
+            extra = np.zeros(len(gs), np.int64)
+            extra[o] = (pos < leftover[gs]).astype(np.int64)
+            credit = base + extra
         tcodes_arr = pc.dictionary_encode(ty.take(
             pa.array(rows_t, pa.int64())))
         tcodes = tcodes_arr.indices.to_numpy(zero_copy_only=False)
