@@ -563,7 +563,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q255_readability": _readability_q,
         "q256_gk_tau": _gk_tau_q,
         "q257_decay_attribution": _decay_attr_q,
+        "q258_bootstrap_ci": _bootstrap_ci_q,
     }
+
+
+def _bootstrap_ci_q(sf_dir: str):
+    """q258: deterministic half-sample CI for per-type mean value
+    (stages/regress.py:bootstrap_group_ci) — 32 Knuth-bit bags,
+    exact (n, Σcents) cells, one division per bag mean, dyadic
+    quantile_disc element picks (1/16, 15/16)."""
+    import ray
+
+    from featurebox_ray.stages.regress import bootstrap_group_ci
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"],
+                               override_num_blocks=16)
+    return bootstrap_group_ci(ev, key_col="event_type",
+                              id_col="event_id",
+                              value_col="value", n_bags=32)
 
 
 def _decay_attr_q(sf_dir: str):
@@ -7611,6 +7630,42 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s.n_g * (t.n - s.n_g)
                                     AS DOUBLE) END AS w1
             FROM src s JOIN agg a ON a.source = s.source, tot t
+        """,
+        # bootstrap CI: Knuth bit-16 bag membership (q244 hash),
+        # exact bag cells, one division per mean, dyadic
+        # quantile_disc picks
+        "q258_bootstrap_ci": """
+            WITH e AS (
+              SELECT event_type AS k, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+              WHERE event_type IS NOT NULL
+                AND event_id IS NOT NULL AND value IS NOT NULL),
+            f AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS s
+                  FROM e GROUP BY k),
+            bags AS (SELECT k, r, CAST(count(*) AS BIGINT) AS nb,
+                            CAST(sum(c) AS BIGINT) AS sb
+                     FROM e CROSS JOIN range(32) t(r)
+                     WHERE ((((event_id * 32 + r) % 4294967296)
+                             * 2654435761) % 4294967296
+                            // 65536) % 2 = 1
+                     GROUP BY k, r),
+            m AS (SELECT k, CAST(sb AS DOUBLE)
+                            / CAST(nb AS DOUBLE) AS mean_r
+                  FROM bags WHERE nb > 0),
+            ci AS (SELECT k, CAST(count(*) AS BIGINT) AS hit,
+                          quantile_disc(mean_r,
+                              CAST(0.0625 AS DOUBLE)) AS lo,
+                          quantile_disc(mean_r,
+                              CAST(0.9375 AS DOUBLE)) AS hi
+                   FROM m GROUP BY k)
+            SELECT f.k AS event_type, f.n,
+                   CAST(f.s AS DOUBLE) / CAST(f.n AS DOUBLE)
+                     AS mean,
+                   coalesce(ci.hit, 0) AS n_bags_hit,
+                   ci.lo AS ci_lo, ci.hi AS ci_hi
+            FROM f LEFT JOIN ci USING (k)
         """,
         # decay attribution: integer 2^(7-dd) weights via bit shift,
         # weighted largest remainder, (rem desc, rn) leftover rank

@@ -1981,3 +1981,139 @@ def randomization_test(ds, *, key_col: str, id_col: str,
                      "obs_num": pa.array(out_obs, pa.float64()),
                      "n_ge": pa.array(out_ge, pa.int64()),
                      "p_value": pa.array(out_p, pa.float64())})
+
+
+def bootstrap_group_ci(ds, *, key_col: str, id_col: str,
+                       value_col: str, n_bags: int = 32,
+                       q_lo_num: int = 1, q_hi_num: int = 15,
+                       q_den: int = 16):
+    """Per-key confidence interval for the mean via DETERMINISTIC
+    half-sample replicates — the error-bar companion every per-group
+    mean table lacks: ``n_bags`` pseudo-replicates per key (row r in
+    bag b iff bit 16 of ``knuth(id·n_bags + b)`` — the q244
+    convention), each contributing one exact mean, and the CI is the
+    DISCRETE quantile element of those means at DYADIC ranks
+    (default 1/16, 15/16 — dyadic so the rank arithmetic is exact in
+    both engines; the q51 ``max(ceil(q·n)−1, 0)`` convention).
+
+    Not a true bootstrap (bags are ~binomial half-samples, not
+    with-replacement resamples — the randomization-test caveat,
+    documented); the spread estimate behaves like a half-sample
+    jackknife, fine for "how stable is this mean" error bars.
+
+    Exactness: per (key, bag) ``(n, Σcents)`` are exact int64
+    partials (driver-tiny combine — keys × bags cells, NO shuffle);
+    each bag mean is ONE division; the quantile picks an ELEMENT
+    (never averages).  Empty bags simply contribute no replicate
+    (mirrored in SQL by grouping).  NULL key/id/value rows drop.
+
+    Emits ``(key_col, n:int64, mean:float64, n_bags_hit:int64,
+    ci_lo:float64, ci_hi:float64)``.
+    Reference analog: the reference bootstraps in-memory inside EGO
+    (`selection/search.py` Ego); this is the grouped streaming
+    counterpart.
+    """
+    import math
+
+    import ray
+
+    from .partition import materialized_block_refs
+    from .sample import knuth_hash
+
+    B = int(n_bags)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                            pc.is_valid(b[id_col])),
+                    pc.is_valid(b[value_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        empty = pa.table({"k": pa.array([], pa.string()),
+                          "bag": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        from ..functions.segments import cents_exact
+
+        c = cents_exact(b[value_col].combine_chunks(),
+                        col=value_col)
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keys = b[key_col].combine_chunks().cast(pa.string())
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        h = knuth_hash(ids[:, None] * B
+                       + np.arange(B, dtype=np.int64),
+                       op="bootstrap_group_ci")
+        inbag = ((h >> np.uint64(16)) & np.uint64(1)).astype(
+            np.int64)
+        ks, bag, n_, s_ = [], [], [], []
+        # bag -1 = the full-sample cell
+        for kcode in np.unique(codes):
+            sel = codes == kcode
+            name = enc.dictionary[int(kcode)].as_py()
+            cs = c[sel]
+            ib = inbag[sel]
+            nb = ib.sum(axis=0)
+            sb = (ib * cs[:, None]).sum(axis=0)
+            ks.extend([name] * (B + 1))
+            bag.append(np.concatenate([[-1],
+                                       np.arange(B,
+                                                 dtype=np.int64)]))
+            n_.append(np.concatenate([[int(sel.sum())], nb]))
+            s_.append(np.concatenate([[int(cs.sum())], sb]))
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "bag": pa.array(np.concatenate(bag)),
+                         "n": pa.array(np.concatenate(n_)
+                                       .astype(np.int64)),
+                         "s": pa.array(np.concatenate(s_)
+                                       .astype(np.int64))})
+
+    agg: dict = {}
+    for b in ray.get(materialized_block_refs(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if b.num_rows == 0:
+            continue
+        for k, bag, n, s in zip(b["k"].to_pylist(),
+                                b["bag"].to_pylist(),
+                                b["n"].to_pylist(),
+                                b["s"].to_pylist()):
+            cur = agg.setdefault((k, bag), [0, 0])
+            cur[0] += n
+            cur[1] += s
+
+    keys = sorted({k for k, _ in agg})
+    out = {c: [] for c in ("k", "n", "mean", "hit", "lo", "hi")}
+    for k in keys:
+        n_all, s_all = agg.get((k, -1), (0, 0))
+        means = []
+        for bg in range(B):
+            nb, sb = agg.get((k, bg), (0, 0))
+            if nb > 0:
+                means.append(float(sb) / float(nb))
+        means.sort()
+        out["k"].append(k)
+        out["n"].append(n_all)
+        out["mean"].append(float(s_all) / float(n_all)
+                           if n_all else None)
+        out["hit"].append(len(means))
+        if means:
+            m = len(means)
+            r_lo = max(math.ceil(q_lo_num * m / q_den) - 1, 0)
+            r_hi = max(math.ceil(q_hi_num * m / q_den) - 1, 0)
+            out["lo"].append(means[r_lo])
+            out["hi"].append(means[r_hi])
+        else:
+            out["lo"].append(None)
+            out["hi"].append(None)
+    return pa.table({
+        key_col: pa.array(out["k"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "mean": pa.array(out["mean"], pa.float64()),
+        "n_bags_hit": pa.array(out["hit"], pa.int64()),
+        "ci_lo": pa.array(out["lo"], pa.float64()),
+        "ci_hi": pa.array(out["hi"], pa.float64())})
