@@ -564,7 +564,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q256_gk_tau": _gk_tau_q,
         "q257_decay_attribution": _decay_attr_q,
         "q258_bootstrap_ci": _bootstrap_ci_q,
+        "q259_two_hop": _two_hop_q,
     }
+
+
+def _two_hop_q(sf_dir: str):
+    """q259: two-hop reach over the hourly co-occurrence graph
+    (stages/graph.py:two_hop_reach) — wedges at the mid node
+    (degree-capped, q234 hub rule), tagged-union dedup/subtract at
+    the source.  SQL replays with a DISTINCT wedge self-join + NOT
+    EXISTS anti-join."""
+    import ray
+
+    from featurebox_ray.stages.graph import (two_hop_reach,
+                                             window_cooccurrence_edges)
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"],
+                               override_num_blocks=16)
+    edges = window_cooccurrence_edges(ev, ts_col="ts",
+                                      actor_col="user_id",
+                                      num_partitions=8)
+    return two_hop_reach(edges, max_mid_degree=1024,
+                         num_partitions=8)
 
 
 def _bootstrap_ci_q(sf_dir: str):
@@ -8053,6 +8075,41 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # two-hop reach: DISTINCT wedge self-join through capped
+        # mids; NOT EXISTS subtracts direct edges
+        "q259_two_hop": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 3600000000 AS b,
+                     user_id AS u
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY 1, 2),
+            w AS (SELECT b FROM e GROUP BY b
+                  HAVING count(*) <= 4096),
+            p AS (SELECT DISTINCT a.u AS ua, c.u AS ub
+                  FROM e a
+                  JOIN e c ON a.b = c.b AND a.u < c.u
+                  JOIN w ON w.b = a.b),
+            sym AS (SELECT ua AS a, ub AS v FROM p
+                    UNION ALL SELECT ub, ua FROM p),
+            deg AS (SELECT a AS u, CAST(count(*) AS BIGINT) AS d
+                    FROM sym GROUP BY a),
+            okm AS (SELECT u FROM deg WHERE d <= 1024),
+            wedge AS (SELECT DISTINCT s1.v AS src, s2.v AS w
+                      FROM sym s1
+                      JOIN sym s2 ON s1.a = s2.a
+                                 AND s1.v <> s2.v
+                      JOIN okm ON okm.u = s1.a),
+            n2 AS (SELECT wd.src, CAST(count(*) AS BIGINT) AS n2
+                   FROM wedge wd
+                   WHERE NOT EXISTS (SELECT 1 FROM sym s
+                                     WHERE s.a = wd.src
+                                       AND s.v = wd.w)
+                   GROUP BY wd.src)
+            SELECT d.u AS node, d.d AS n1,
+                   coalesce(n2.n2, 0) AS n2
+            FROM deg d LEFT JOIN n2 ON n2.src = d.u
         """,
         # BFS hops: recursive CTE, UNION dedups (node, d); min per
         # node; same q234 edge-build CTE + symmetrize

@@ -964,3 +964,129 @@ def bfs_hops(edges_ds, *, seed_mod: int = 17, max_hops: int = 6,
 
     return ray.data.from_arrow_refs(list(value_refs)).map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def two_hop_reach(edges_ds, *, max_mid_degree: int = 1024,
+                  num_partitions: int = 16):
+    """Two-hop reach per node — ``n2 = |{w : dist(v, w) = 2}|``, the
+    friends-of-friends audience size that separates a hub-adjacent
+    node (small degree, huge reach) from an enclave node (same
+    degree, reach ≈ clique): the influence/visibility feature one
+    hop can't see.
+
+    Shape: wedges enumerate at their MID node (one node-keyed
+    exchange co-locates each node's neighbor run; ``triangular_pairs``
+    expands it — Σdeg² bounded by SKIPPING mids with degree >
+    ``max_mid_degree``, logged, mirrored by the oracle's HAVING — the
+    q234 hub cap); a second node-keyed exchange dedups wedge
+    endpoints per source and subtracts direct neighbors + self via a
+    tagged union (direct rows lead each run).  All set algebra on
+    sorted int runs — exact, partition-invariant, full SQL oracle
+    (DISTINCT wedge self-join + anti-join).
+
+    Returns ``(node:int64, n1:int64, n2:int64)`` for every node of
+    the edge list (n2 counts only paths through surviving mids).
+    Reference analog: none (graph suite).
+    """
+    import ray
+
+    from ..functions.segments import triangular_pairs
+    from .partition import materialized_block_refs, partitioned_map
+
+    def symm(b: pa.Table) -> pa.Table:
+        if b["src"].null_count or b["dst"].null_count:
+            raise ValueError("two_hop_reach: NULL node ids")
+        s = b["src"].combine_chunks().cast(pa.int64())
+        d = b["dst"].combine_chunks().cast(pa.int64())
+        return pa.table({"__k": pa.concat_arrays([s, d]),
+                         "to": pa.concat_arrays([d, s])})
+
+    half = edges_ds.map_batches(symm, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    half_refs = list(materialized_block_refs(half))
+
+    wedge_empty = pa.table({"__k": pa.array([], pa.int64()),
+                            "w": pa.array([], pa.int64()),
+                            "tag": pa.array([], pa.int8())})
+
+    def wedge_kernel(t: pa.Table) -> pa.Table:
+        # sorted (__k, to): one run per mid node
+        if t.num_rows == 0 or "__k" not in t.column_names:
+            return wedge_empty
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        to = t["to"].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(k)))
+        keep = lens <= max_mid_degree
+        n_skip = int((~keep).sum())
+        if n_skip:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "two_hop_reach: skipped %d mids with degree > %d",
+                n_skip, max_mid_degree)
+        ss, sl = starts[keep], lens[keep]
+        ss2, sl2 = ss[sl >= 2], sl[sl >= 2]
+        if len(ss2):
+            i, j, _g = triangular_pairs(ss2, sl2)
+            va, vb = to[i], to[j]
+            wedges = pa.table({
+                "__k": pa.array(np.concatenate([va, vb])),
+                "w": pa.array(np.concatenate([vb, va])),
+                "tag": pa.array(np.ones(2 * len(va), np.int8))})
+        else:
+            wedges = wedge_empty
+        # direct-neighbor rows ride along (tag 0) so the dedup
+        # kernel can subtract them without a broadcast
+        direct = pa.table({"__k": pa.array(k),
+                           "w": pa.array(to),
+                           "tag": pa.array(np.zeros(len(k),
+                                                    np.int8))})
+        return pa.concat_tables([direct, wedges])
+
+    wedges = partitioned_map(ray.data.from_arrow_refs(half_refs),
+                             wedge_kernel, key="__k",
+                             sort_keys=["__k", "to"],
+                             num_partitions=num_partitions,
+                             strategy="tasks")
+
+    out_empty = pa.table({"node": pa.array([], pa.int64()),
+                          "n1": pa.array([], pa.int64()),
+                          "n2": pa.array([], pa.int64())})
+
+    def count_kernel(t: pa.Table) -> pa.Table:
+        # sorted (__k, tag, w): per node, direct rows first then
+        # wedge rows
+        if t.num_rows == 0 or "__k" not in t.column_names:
+            return out_empty
+        k = t["__k"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k))
+        nodes, n1s, n2s = [], [], []
+        for s0, s1 in zip(starts.tolist(), ends.tolist()):
+            seg_tag = tag[s0:s1]
+            seg_w = w[s0:s1]
+            direct = np.unique(seg_w[seg_tag == 0])
+            cand = np.unique(seg_w[seg_tag == 1])
+            v = int(k[s0])
+            if len(cand):
+                mask = ~np.isin(cand, direct)
+                mask &= cand != v
+                n2 = int(mask.sum())
+            else:
+                n2 = 0
+            nodes.append(v)
+            n1s.append(len(direct))
+            n2s.append(n2)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "n1": pa.array(n1s, pa.int64()),
+                         "n2": pa.array(n2s, pa.int64())})
+
+    return partitioned_map(wedges, count_kernel, key="__k",
+                           sort_keys=["__k", "tag", "w"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
