@@ -565,7 +565,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q257_decay_attribution": _decay_attr_q,
         "q258_bootstrap_ci": _bootstrap_ci_q,
         "q259_two_hop": _two_hop_q,
+        "q260_scd2_apply": _scd2_apply_q,
     }
+
+
+def _scd2_apply_q(sf_dir: str):
+    """q260: SCD-2 MERGE (stages/scd.py:scd2_apply) — the dim built
+    from the first 20 days (q189 machinery), a full per-user
+    last-state snapshot from the remainder, applied at global_max+1:
+    unchanged opens pass, changed/deleted opens close, changed/new
+    keys open.  SQL replays the whole chain (gaps-and-islands dim +
+    QUALIFY snapshot + FULL-JOIN merge)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.scd import scd2_apply, scd2_intervals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+        override_num_blocks=16)
+    mn = ev.min("ts")
+    mx = ev.max("ts")
+    to_us = (lambda x: int(pa.scalar(x).cast(pa.int64()).as_py())
+             if not isinstance(x, int) else x)
+    t0 = to_us(mn) + 20 * 86_400_000_000
+    ts_snap = to_us(mx) + 1
+
+    def before(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64())
+        return b.filter(pc.fill_null(pc.less(ts, t0), False))
+
+    def after(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64())
+        return b.filter(pc.fill_null(
+            pc.greater_equal(ts, t0), False))
+
+    dim = scd2_intervals(
+        ev.map_batches(before, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="user_id", ts_col="ts", seq_col="event_id",
+        state_col="event_type", num_partitions=8)
+
+    from featurebox_ray.stages.rank import last_row_per_key
+
+    latest = last_row_per_key(
+        ev.map_batches(after, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        num_partitions=8)
+
+    def snap_cols(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "event_type"])
+
+    snap = latest.map_batches(snap_cols, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    import pyarrow as _pa
+
+    return scd2_apply(dim, snap, key_col="user_id",
+                      state_col="event_type", snap_ts=ts_snap,
+                      num_partitions=8, key_type=_pa.int64())
 
 
 def _two_hop_q(sf_dir: str):
@@ -8075,6 +8135,80 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # SCD2 MERGE: q189 gaps-and-islands dim on the first 20 days,
+        # QUALIFY last-state snapshot on the rest, FULL-JOIN merge at
+        # global_max+1
+        "q260_scd2_apply": """
+            WITH bounds AS (
+              SELECT min(epoch_us(ts)) AS mn,
+                     max(epoch_us(ts)) AS mx
+              FROM events WHERE ts IS NOT NULL),
+            par AS (SELECT mn + 20 * 86400000000 AS t0, mx + 1
+                      AS ts_snap FROM bounds),
+            e AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id,
+                     event_type AS st
+              FROM events, par
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL
+                AND event_type IS NOT NULL
+                AND epoch_us(ts) < par.t0),
+            m AS (
+              SELECT *, CASE WHEN lag(st) OVER (
+                          PARTITION BY user_id
+                          ORDER BY t, event_id)
+                          IS DISTINCT FROM st THEN 1 ELSE 0 END
+                     AS chg
+              FROM e),
+            g AS (
+              SELECT *, sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM m),
+            r AS (SELECT user_id, st AS state,
+                         min(t) AS valid_from,
+                         CAST(count(*) AS BIGINT) AS n_rows, run
+                  FROM g GROUP BY user_id, st, run),
+            dim AS (
+              SELECT user_id, state, valid_from,
+                     lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY run)
+                       AS valid_to,
+                     n_rows
+              FROM r),
+            snap AS (
+              SELECT user_id, st AS sstate FROM (
+                SELECT e2.user_id, e2.event_type AS st,
+                       row_number() OVER (
+                         PARTITION BY e2.user_id
+                         ORDER BY epoch_us(e2.ts) DESC,
+                                  e2.event_id DESC) AS rn
+                FROM events e2, par
+                WHERE e2.user_id IS NOT NULL
+                  AND e2.ts IS NOT NULL
+                  AND e2.event_id IS NOT NULL
+                  AND e2.event_type IS NOT NULL
+                  AND epoch_us(e2.ts) >= par.t0)
+              WHERE rn = 1),
+            hist AS (SELECT * FROM dim
+                     WHERE valid_to IS NOT NULL),
+            openr AS (SELECT * FROM dim WHERE valid_to IS NULL)
+            SELECT user_id, state, valid_from, valid_to, n_rows
+            FROM hist
+            UNION ALL
+            SELECT o.user_id, o.state, o.valid_from,
+                   CASE WHEN s.sstate IS NOT NULL
+                             AND s.sstate = o.state THEN NULL
+                        ELSE (SELECT ts_snap FROM par) END,
+                   o.n_rows
+            FROM openr o LEFT JOIN snap s USING (user_id)
+            UNION ALL
+            SELECT s.user_id, s.sstate,
+                   (SELECT ts_snap FROM par), NULL,
+                   CAST(0 AS BIGINT)
+            FROM snap s LEFT JOIN openr o USING (user_id)
+            WHERE o.user_id IS NULL OR o.state <> s.sstate
         """,
         # two-hop reach: DISTINCT wedge self-join through capped
         # mids; NOT EXISTS subtracts direct edges
