@@ -566,7 +566,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q258_bootstrap_ci": _bootstrap_ci_q,
         "q259_two_hop": _two_hop_q,
         "q260_scd2_apply": _scd2_apply_q,
+        "q261_seasonal_anomaly": _seasonal_anomaly_q,
     }
+
+
+def _seasonal_anomaly_q(sf_dir: str):
+    """q261: phase-aware robust anomaly flags
+    (stages/seasonal.py:seasonal_anomaly) — per hour-of-day bin
+    median/MAD as exact quantile_disc ELEMENTS, flag = |c − med| >
+    3·mad in pure integers."""
+    import ray
+
+    from featurebox_ray.stages.seasonal import seasonal_anomaly
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "value"],
+                               override_num_blocks=16)
+    return seasonal_anomaly(ev, ts_col="ts", id_col="event_id",
+                            value_col="value", k=3,
+                            num_partitions=8)
 
 
 def _scd2_apply_q(sf_dir: str):
@@ -8135,6 +8153,30 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # seasonal anomaly: quantile_disc median + MAD per bin,
+        # integer |c-med| > 3*mad flag; NULL value rows coalesce? no
+        # — NULL ts/id/value rows drop
+        "q261_seasonal_anomaly": """
+            WITH e AS (
+              SELECT event_id,
+                     (epoch_us(ts) // 3600000000) % 24 AS bin,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+              WHERE ts IS NOT NULL AND event_id IS NOT NULL
+                AND value IS NOT NULL),
+            med AS (SELECT bin, CAST(quantile_disc(c,
+                        CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
+                    FROM e GROUP BY bin),
+            d AS (SELECT e.event_id, e.bin, e.c, med.m,
+                         abs(e.c - med.m) AS dev
+                  FROM e JOIN med USING (bin)),
+            mad AS (SELECT bin, CAST(quantile_disc(dev,
+                        CAST(0.5 AS DOUBLE)) AS BIGINT) AS md
+                    FROM d GROUP BY bin)
+            SELECT d.event_id, d.bin, d.c AS cents, d.m AS med,
+                   mad.md AS mad, (d.dev > 3 * mad.md) AS is_anomaly
+            FROM d JOIN mad USING (bin)
         """,
         # SCD2 MERGE: q189 gaps-and-islands dim on the first 20 days,
         # QUALIFY last-state snapshot on the rest, FULL-JOIN merge at

@@ -276,3 +276,123 @@ def profile_similarity(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, "__b"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def seasonal_anomaly(ds, *, ts_col: str, id_col: str,
+                     value_col: str, bin_width_s: int = 3600,
+                     n_bins: int = 24, k: int = 3,
+                     num_partitions: int = 8):
+    """Phase-aware robust anomaly flags — a row is anomalous iff its
+    value sits more than ``k`` MADs from ITS PHASE BIN's median
+    (``bin = (ts//width) % n_bins``): the 3am spike that a global
+    robust z-score (q109) would miss because 3am is ALWAYS quiet, and
+    the lunchtime surge it would falsely flag.
+
+    Exactness: cents quantize exactly; per-bin median and MAD are
+    DISCRETE quantile ELEMENTS (the shared :func:`group_quantiles`
+    machinery — exact under any partitioning), so both are exact
+    int64 cents and the flag ``|c − med| > k·mad`` is a pure integer
+    comparison — the SQL replay (two quantile_disc CTEs + the same
+    compare) is exact by construction.
+
+    Shape: one prep map (id, bin, cents) materialized ONCE; two
+    group-quantile exchanges over ≤ ``n_bins`` groups (median, then
+    MAD of deviations); per-bin stats broadcast by closure for the
+    final flag map.  NULL ts/id/value rows drop; negative timestamps
+    raise (the seasonal_peak trunc/floor contract).
+
+    Emits ``(id_col, bin:int64, cents:int64, med:int64, mad:int64,
+    is_anomaly:bool)``.  Reference analog: none (anomaly family:
+    robust_zscore q109 / CUSUM q126 / changepoint q211).
+    """
+    import ray
+
+    from ..functions.segments import cents_exact
+    from .partition import materialized_block_refs
+    from .quantile import group_quantiles
+
+    width = int(bin_width_s) * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[ts_col])
+        for c in (id_col, value_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = ts.to_numpy(zero_copy_only=False)
+        if len(t) and t.min() < 0:
+            raise ValueError("seasonal_anomaly: negative "
+                             "timestamps — trunc vs floor division "
+                             "would diverge")
+        bins = (t // width) % n_bins
+        c = cents_exact(b[value_col].combine_chunks(),
+                        col=value_col)
+        return pa.table({
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            "bin": pa.array(bins.astype(np.int64)),
+            "c": pa.array(c)})
+
+    refs = list(materialized_block_refs(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True)))
+
+    def rows_ds():
+        return ray.data.from_arrow_refs(list(refs))
+
+    med_tbl = group_quantiles(rows_ds(), group_col="bin",
+                              value_col="c", qs=[0.5],
+                              names=["med"],
+                              num_partitions=num_partitions)
+    med = {}
+    for b in ray.get(materialized_block_refs(med_tbl)):
+        for bin_, m in zip(b["bin"].to_pylist(),
+                           b["med"].to_pylist()):
+            med[bin_] = int(m)
+    med_ref = ray.put(med)
+
+    def dev(b: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        bins = b["bin"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        meds = np.array([mm[int(x)] for x in np.unique(bins)],
+                        np.int64)
+        lut_keys = np.unique(bins)
+        pos = np.searchsorted(lut_keys, bins)
+        d = np.abs(c - meds[pos])
+        return pa.table({"bin": b["bin"], "d": pa.array(d)})
+
+    mad_tbl = group_quantiles(
+        rows_ds().map_batches(dev, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        group_col="bin", value_col="d", qs=[0.5], names=["mad"],
+        num_partitions=num_partitions)
+    mad = {}
+    for b in ray.get(materialized_block_refs(mad_tbl)):
+        for bin_, m in zip(b["bin"].to_pylist(),
+                           b["mad"].to_pylist()):
+            mad[bin_] = int(m)
+    stats_ref = ray.put((med, mad))
+
+    def flag(b: pa.Table) -> pa.Table:
+        mm, md = ray.get(stats_ref)
+        bins = b["bin"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        lut = np.unique(bins)
+        pos = np.searchsorted(lut, bins)
+        meds = np.array([mm[int(x)] for x in lut], np.int64)[pos]
+        mads = np.array([md[int(x)] for x in lut], np.int64)[pos]
+        d = np.abs(c - meds)
+        return pa.table({
+            id_col: b[id_col],
+            "bin": b["bin"],
+            "cents": b["c"],
+            "med": pa.array(meds),
+            "mad": pa.array(mads),
+            "is_anomaly": pa.array(d > k * mads)})
+
+    return rows_ds().map_batches(flag, batch_format="pyarrow",
+                                 zero_copy_batch=True)
