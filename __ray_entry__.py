@@ -567,7 +567,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q259_two_hop": _two_hop_q,
         "q260_scd2_apply": _scd2_apply_q,
         "q261_seasonal_anomaly": _seasonal_anomaly_q,
+        "q262_ts_collisions": _ts_collision_q,
     }
+
+
+def _ts_collision_q(sf_dir: str):
+    """q262: exact-timestamp collision audit per user
+    (stages/profile.py:ts_collision_audit) — same-instant burst
+    detection; exact run-length counts, GROUP BY/HAVING SQL
+    replay."""
+    import ray
+
+    from featurebox_ray.stages.profile import ts_collision_audit
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"],
+                               override_num_blocks=16)
+    return ts_collision_audit(ev, key_col="user_id", ts_col="ts",
+                              num_partitions=8)
 
 
 def _seasonal_anomaly_q(sf_dir: str):
@@ -8153,6 +8170,23 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # ts collisions: GROUP BY (user, ts) sizes; collided = size>1
+        "q262_ts_collisions": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            g AS (SELECT user_id, t,
+                         CAST(count(*) AS BIGINT) AS sz
+                  FROM e GROUP BY user_id, t)
+            SELECT user_id,
+                   CAST(sum(sz) AS BIGINT) AS n,
+                   CAST(coalesce(sum(CASE WHEN sz > 1 THEN sz END),
+                                 0) AS BIGINT) AS n_collided,
+                   CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_instants,
+                   CAST(max(sz) AS BIGINT) AS max_burst
+            FROM g GROUP BY user_id
         """,
         # seasonal anomaly: quantile_disc median + MAD per bin,
         # integer |c-med| > 3*mad flag; NULL value rows coalesce? no

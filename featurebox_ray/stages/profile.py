@@ -829,3 +829,80 @@ def gk_tau(ds, pairs, *, num_partitions: int = 8):
         "y_col": pa.array(out["y_col"], pa.string()),
         "n": pa.array(out["n"], pa.int64()),
         "tau": pa.array(out["tau"], pa.float64())})
+
+
+def ts_collision_audit(ds, *, key_col: str, ts_col: str,
+                       num_partitions: int = 8):
+    """Exact-timestamp collision audit per key — how many of a key's
+    events share an IDENTICAL timestamp with another of its events,
+    and the largest same-instant burst: scripted/bot traffic fires
+    batches in the same microsecond; organic activity almost never
+    does.  The point-mass complement of ``group_burstiness``
+    (dispersion) and ``profile_similarity`` (phase).
+
+    Exact int counts over ONE key-keyed exchange (run lengths per
+    (key, ts) after the partition sort); SQL replays with a GROUP BY
+    + HAVING.  NULL key/ts rows drop.
+
+    Emits ``(key_col, n:int64, n_collided:int64 — rows in >1-sized
+    ts groups, n_instants:int64 — distinct collided instants,
+    max_burst:int64 — largest single-instant group, 1 if none)``.
+    Reference analog: none (behavioral-audit family).
+    """
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[key_col]),
+                                    pc.is_valid(b[ts_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({key_col: b[key_col], "__ts": ts})
+
+    empty = pa.table({key_col: pa.array([], ktype),
+                      "n": pa.array([], pa.int64()),
+                      "n_collided": pa.array([], pa.int64()),
+                      "n_instants": pa.array([], pa.int64()),
+                      "max_burst": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        new_pair = np.concatenate(
+            [[True], (codes[1:] != codes[:-1]) | (ts[1:] != ts[:-1])])
+        pstarts = np.flatnonzero(new_pair)
+        plens = np.diff(np.append(pstarts, len(ts)))
+        pk = codes[pstarts]
+        n_keys = int(codes.max()) + 1 if len(codes) else 0
+        n = np.bincount(codes, minlength=n_keys).astype(np.int64)
+        coll = plens > 1
+        n_coll = np.zeros(n_keys, np.int64)
+        np.add.at(n_coll, pk[coll], plens[coll])
+        n_inst = np.zeros(n_keys, np.int64)
+        np.add.at(n_inst, pk[coll], 1)
+        mx = np.ones(n_keys, np.int64)
+        np.maximum.at(mx, pk, plens)
+        first = np.searchsorted(codes, np.arange(n_keys))
+        return pa.table({
+            key_col: keys.take(pa.array(first, pa.int64())),
+            "n": pa.array(n),
+            "n_collided": pa.array(n_coll),
+            "n_instants": pa.array(n_inst),
+            "max_burst": pa.array(mx)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
