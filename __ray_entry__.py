@@ -568,7 +568,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q260_scd2_apply": _scd2_apply_q,
         "q261_seasonal_anomaly": _seasonal_anomaly_q,
         "q262_ts_collisions": _ts_collision_q,
+        "q263_eventually_follows": _eventually_q,
     }
+
+
+def _eventually_q(sf_dir: str):
+    """q263: eventually-follows support matrix
+    (stages/transitions.py:eventually_follows) — per ordered type
+    pair, users with some a strictly before some b (min_ts(a) <
+    max_ts(b)); exact int supports, per-(user,type) min/max CTE +
+    pair-join SQL replay."""
+    import ray
+
+    from featurebox_ray.stages.transitions import eventually_follows
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts",
+                                        "event_type"],
+                               override_num_blocks=16)
+    return eventually_follows(ev, key_col="user_id", ts_col="ts",
+                              type_col="event_type",
+                              num_partitions=8)
 
 
 def _ts_collision_q(sf_dir: str):
@@ -8170,6 +8190,24 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # eventually-follows: per-(user,type) min/max + pair join
+        "q263_eventually_follows": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t, event_type
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL),
+            mt AS (SELECT user_id, event_type,
+                          min(t) AS mn, max(t) AS mx
+                   FROM e GROUP BY 1, 2)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(sum(CASE WHEN a.mn < b.mx THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_keys,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM mt a JOIN mt b ON a.user_id = b.user_id
+                               AND a.event_type <> b.event_type
+            GROUP BY 1, 2
         """,
         # ts collisions: GROUP BY (user, ts) sizes; collided = size>1
         "q262_ts_collisions": """

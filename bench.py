@@ -236,6 +236,7 @@ QUERY_NAMES = [
     "q253_mmd_drift", "q255_readability", "q257_decay_attribution",
     "q258_bootstrap_ci", "q259_two_hop", "q260_scd2_apply",
     "q261_seasonal_anomaly", "q262_ts_collisions",
+    "q263_eventually_follows",
 ]
 
 

@@ -314,3 +314,125 @@ def top_session_journeys(ds, *, key_col: str, ts_col: str,
 
     return out.map_batches(rename, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def eventually_follows(ds, *, key_col: str, ts_col: str,
+                       type_col: str, num_partitions: int = 16):
+    """Eventually-follows support matrix — for every ordered type
+    pair (a, b): how many keys have SOME ``a`` strictly before some
+    ``b`` (``min_ts(a) < max_ts(b)`` per key)?  The process-mining
+    complement of the directly-follows transition matrix
+    (:func:`event_transition_counts`): "signup eventually precedes
+    purchase for N users" regardless of what happened in between.
+
+    Exact int counts: per (key, type) min/max timestamps reduce in
+    ONE key-keyed exchange; the kernel expands each key's tiny type
+    list to ordered pairs (vectorized repeat/tile over per-key type
+    runs) and sums (a, b) cells; the driver merges ≤ types² Python
+    ints.  SQL replays with a per-(key,type) min/max CTE + pair
+    join.  NULL key/ts/type rows drop.
+
+    Emits ``(type_a:string, type_b:string, n_keys:int64 — support,
+    n_both:int64 — keys having both types at all)``.
+    Reference analog: none (process-mining family next to
+    transitions / funnel / journeys).
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[key_col])
+        for c in (ts_col, type_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({key_col: b[key_col], "__ts": ts,
+                         "__ty": b[type_col].combine_chunks()
+                        .cast(pa.string())})
+
+    empty = pa.table({"type_a": pa.array([], pa.string()),
+                      "type_b": pa.array([], pa.string()),
+                      "n_keys": pa.array([], pa.int64()),
+                      "n_both": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        kc = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        te = pc.dictionary_encode(t["__ty"].combine_chunks())
+        tc = te.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        n_types = len(te.dictionary)
+        # (key, type) min/max via dense cells
+        cell = kc * n_types + tc
+        uc, inv = np.unique(cell, return_inverse=True)
+        mn = np.full(len(uc), np.iinfo(np.int64).max, np.int64)
+        mx = np.full(len(uc), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, inv, ts)
+        np.maximum.at(mx, inv, ts)
+        ku = uc // n_types
+        tu = uc % n_types
+        # per-key runs over the sorted uc (ascending -> grouped by
+        # key); expand to ordered pairs (a != b)
+        new = np.concatenate([[True], ku[1:] != ku[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ku)))
+        total = int((lens * (lens - 1)).sum())
+        sup = np.zeros((n_types, n_types), np.int64)
+        both = np.zeros((n_types, n_types), np.int64)
+        if total:
+            seg = np.repeat(np.arange(len(starts)), lens * (lens - 1))
+            off = np.arange(total) - np.repeat(
+                np.cumsum(lens * (lens - 1))
+                - lens * (lens - 1), lens * (lens - 1))
+            L = np.repeat(lens, lens * (lens - 1))
+            ai = off // (L - 1)
+            bi = off % (L - 1)
+            bi = bi + (bi >= ai)
+            ga = starts[seg] + ai
+            gb = starts[seg] + bi
+            a_t = tu[ga]
+            b_t = tu[gb]
+            follows = mn[ga] < mx[gb]
+            np.add.at(both, (a_t, b_t), 1)
+            np.add.at(sup, (a_t[follows], b_t[follows]), 1)
+        nz = np.nonzero(both)
+        return pa.table({
+            "type_a": te.dictionary.take(
+                pa.array(nz[0], pa.int64())).cast(pa.string()),
+            "type_b": te.dictionary.take(
+                pa.array(nz[1], pa.int64())).cast(pa.string()),
+            "n_keys": pa.array(sup[nz]),
+            "n_both": pa.array(both[nz])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    partials = partitioned_map(prepped, kernel, key=key_col,
+                               sort_keys=[key_col, "__ty", "__ts"],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+    agg: dict = {}
+    for b in ray.get(materialized_block_refs(partials)):
+        if b.num_rows == 0 or "type_a" not in b.column_names:
+            continue
+        for a, b2, s, n2 in zip(b["type_a"].to_pylist(),
+                                b["type_b"].to_pylist(),
+                                b["n_keys"].to_pylist(),
+                                b["n_both"].to_pylist()):
+            cur = agg.setdefault((a, b2), [0, 0])
+            cur[0] += s
+            cur[1] += n2
+    pairs = sorted(agg)
+    return pa.table({
+        "type_a": pa.array([p[0] for p in pairs], pa.string()),
+        "type_b": pa.array([p[1] for p in pairs], pa.string()),
+        "n_keys": pa.array([agg[p][0] for p in pairs], pa.int64()),
+        "n_both": pa.array([agg[p][1] for p in pairs], pa.int64())})

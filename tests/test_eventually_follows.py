@@ -1,0 +1,72 @@
+"""eventually_follows (stages/transitions.py) — hand-checked
+ordering semantics; serial replay fuzz; partition invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from featurebox_ray.stages.transitions import eventually_follows
+
+
+def _run(rows, parts=1) -> dict:
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "ty": pa.array([r[2] for r in rows], pa.string())})
+    ds = ray.data.from_arrow(t)
+    if parts > 1:
+        ds = ds.repartition(parts)
+    df = eventually_follows(ds, key_col="u", ts_col="ts",
+                            type_col="ty",
+                            num_partitions=4).to_pandas()
+    return {(r.type_a, r.type_b): (r.n_keys, r.n_both)
+            for r in df.itertuples()}
+
+
+def _serial(rows):
+    mt = {}
+    for u, t, ty in rows:
+        cur = mt.setdefault((u, ty), [t, t])
+        cur[0] = min(cur[0], t)
+        cur[1] = max(cur[1], t)
+    out = {}
+    users = {u for u, _, _ in rows}
+    types = {ty for _, _, ty in rows}
+    for a in types:
+        for b in types:
+            if a == b:
+                continue
+            sup = both = 0
+            for u in users:
+                if (u, a) in mt and (u, b) in mt:
+                    both += 1
+                    if mt[(u, a)][0] < mt[(u, b)][1]:
+                        sup += 1
+            if both:
+                out[(a, b)] = (sup, both)
+    return out
+
+
+def test_hand_semantics():
+    rows = [
+        (1, 10, "a"), (1, 20, "b"),          # a -> b yes, b -> a no
+        (2, 10, "b"), (2, 20, "a"), (2, 30, "b"),
+        # user 2: a<b (a@20 < b@30) AND b<a (b@10 < a@20)
+        (3, 10, "a"),                         # only a
+    ]
+    got = _run(rows)
+    assert got[("a", "b")] == (2, 2)
+    assert got[("b", "a")] == (1, 2)
+
+
+def test_fuzz_vs_serial_partition_invariant():
+    rng = np.random.default_rng(17)
+    rows = []
+    for _ in range(1200):
+        rows.append((int(rng.integers(15)),
+                     int(rng.integers(0, 1000)),
+                     f"t{rng.integers(5)}"))
+    exp = _serial(rows)
+    for parts in (1, 6):
+        assert _run(rows, parts) == exp
