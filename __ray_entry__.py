@@ -569,7 +569,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q261_seasonal_anomaly": _seasonal_anomaly_q,
         "q262_ts_collisions": _ts_collision_q,
         "q263_eventually_follows": _eventually_q,
+        "q264_next_latency": _next_latency_q,
+        "q265_weighted_jaccard": _weighted_jaccard_q,
     }
+
+
+def _weighted_jaccard_q(sf_dir: str):
+    """q265: pairwise weighted-Jaccard corpus similarity over token
+    bags (stages/tfidf.py:weighted_jaccard) — Σmin/Σmax of exact
+    token counts via one token-keyed exchange (Σmax from the totals
+    identity), one division per source pair."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import weighted_jaccard
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"],
+                                 override_num_blocks=16)
+    return weighted_jaccard(docs, group_col="source",
+                            text_col="text", num_partitions=8)
+
+
+def _next_latency_q(sf_dir: str):
+    """q264: per-user click→next-purchase latency profile
+    (stages/funnel.py:next_latency) — strict next-match searchsorted,
+    exact int latencies, per-user discrete-quantile median; SQL
+    replays with an ASOF join (a.t < b.t) + quantile_disc."""
+    import ray
+
+    from featurebox_ray.stages.funnel import next_latency
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"],
+                               override_num_blocks=16)
+    return next_latency(ev, key_col="user_id", ts_col="ts",
+                        seq_col="event_id", type_col="event_type",
+                        a_type="click", b_type="purchase",
+                        num_partitions=8)
 
 
 def _eventually_q(sf_dir: str):
@@ -8190,6 +8227,60 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # weighted Jaccard: LEAST over an inner join per shared
+        # token; max side via the totals identity
+        "q265_weighted_jaccard": r"""
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM documents
+              WHERE source IS NOT NULL AND text IS NOT NULL),
+            c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t
+                    FROM c GROUP BY source),
+            pm AS (SELECT a.source AS ga, b.source AS gb,
+                          CAST(sum(LEAST(a.n, b.n)) AS BIGINT)
+                            AS smin
+                   FROM c a JOIN c b ON a.w = b.w
+                                    AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT ta.source AS g_a, tb.source AS g_b,
+                   coalesce(pm.smin, 0) AS sum_min,
+                   ta.t + tb.t - coalesce(pm.smin, 0) AS sum_max,
+                   CAST(coalesce(pm.smin, 0) AS DOUBLE)
+                   / CAST(ta.t + tb.t - coalesce(pm.smin, 0)
+                          AS DOUBLE) AS wjac
+            FROM tot ta
+            JOIN tot tb ON ta.source < tb.source
+            LEFT JOIN pm ON pm.ga = ta.source
+                        AND pm.gb = tb.source
+        """,
+        # next latency: ASOF (a.t < b.t) picks the strict next b;
+        # per-user quantile_disc median of int latencies
+        "q264_next_latency": """
+            WITH a AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id
+              FROM events
+              WHERE event_type = 'click' AND user_id IS NOT NULL
+                AND ts IS NOT NULL AND event_id IS NOT NULL),
+            b AS (
+              SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE event_type = 'purchase'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL),
+            nx AS (SELECT a.user_id, a.t, a.event_id,
+                          b.t AS bt
+                   FROM a ASOF LEFT JOIN b
+                     ON a.user_id = b.user_id AND a.t < b.t)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_a,
+                   CAST(count(bt) AS BIGINT) AS n_matched,
+                   CAST(quantile_disc(bt - t,
+                        CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     AS med_latency
+            FROM nx GROUP BY user_id
         """,
         # eventually-follows: per-(user,type) min/max + pair join
         "q263_eventually_follows": """

@@ -236,7 +236,8 @@ QUERY_NAMES = [
     "q253_mmd_drift", "q255_readability", "q257_decay_attribution",
     "q258_bootstrap_ci", "q259_two_hop", "q260_scd2_apply",
     "q261_seasonal_anomaly", "q262_ts_collisions",
-    "q263_eventually_follows",
+    "q263_eventually_follows", "q264_next_latency",
+    "q265_weighted_jaccard",
 ]
 
 

@@ -259,3 +259,107 @@ def funnel_path(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                            sort_keys=[key_col, "__ts"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def next_latency(ds, *, key_col: str, ts_col: str, seq_col: str,
+                 type_col: str, a_type: str, b_type: str,
+                 num_partitions: int = 16):
+    """Per-key a→next-b latency profile — for EVERY ``a_type`` event,
+    the time to the NEXT strictly-later ``b_type`` event of the same
+    key, summarized per key as the exact median: the operational
+    "click→purchase latency" metric that :func:`funnel_features`
+    (first-A anchor only) doesn't give.
+
+    Exactness: latencies are int64 native-unit differences; the
+    per-key median is the DISCRETE quantile element (q51 rank
+    convention) over that key's matched latencies — all integers, so
+    the SQL replay (ASOF join ``a.t < b.t`` + quantile_disc) is exact
+    by construction.  Unmatched trailing ``a`` events count in
+    ``n_a`` but not the median; keys with no match emit NULL median.
+    Same-instant b events do NOT match (strict).  NULL
+    key/ts/seq/type rows drop.
+
+    ONE key-keyed exchange; the kernel is one searchsorted per key
+    segment.  Emits ``(key_col, n_a:int64, n_matched:int64,
+    med_latency:int64|NULL)``.
+    Reference analog: none (funnel family).
+    """
+    import math
+
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[key_col])
+        for c in (ts_col, seq_col, type_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        ty = b[type_col]
+        keep = pc.and_(keep, pc.or_(pc.equal(ty, a_type),
+                                    pc.equal(ty, b_type)))
+        keep = pc.fill_null(keep, False)
+        b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({
+            key_col: b[key_col], "__ts": ts,
+            "__s": b[seq_col].combine_chunks().cast(pa.int64()),
+            "__isa": pc.equal(b[type_col].combine_chunks(),
+                              a_type)})
+
+    empty = pa.table({key_col: pa.array([], ktype),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_matched": pa.array([], pa.int64()),
+                      "med_latency": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        isa = t["__isa"].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(codes))
+        out_k, out_na, out_nm, out_med = [], [], [], []
+        for s0, s1 in zip(starts.tolist(), ends.tolist()):
+            seg_ts = ts[s0:s1]
+            seg_a = isa[s0:s1]
+            at = seg_ts[seg_a]
+            bt = seg_ts[~seg_a]
+            if len(at) == 0:
+                continue
+            if len(bt):
+                idx = np.searchsorted(bt, at, side="right")
+                ok = idx < len(bt)
+                lat = bt[idx[ok]] - at[ok]
+            else:
+                lat = np.empty(0, np.int64)
+            out_k.append(s0)
+            out_na.append(len(at))
+            out_nm.append(len(lat))
+            if len(lat):
+                lat = np.sort(lat)
+                r = max(math.ceil(0.5 * len(lat)) - 1, 0)
+                out_med.append(int(lat[r]))
+            else:
+                out_med.append(None)
+        if not out_k:
+            return empty
+        return pa.table({
+            key_col: keys.take(pa.array(out_k, pa.int64())),
+            "n_a": pa.array(out_na, pa.int64()),
+            "n_matched": pa.array(out_nm, pa.int64()),
+            "med_latency": pa.array(out_med, pa.int64())})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts", "__s"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

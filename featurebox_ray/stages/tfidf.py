@@ -1688,3 +1688,190 @@ def bm25_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
         "term", sort=True).head(k).reset_index(drop=True)
     return pa.Table.from_pandas(local, preserve_index=False).cast(
         empty.schema)
+
+
+def weighted_jaccard(ds, *, group_col: str, text_col: str,
+                     num_partitions: int = 16):
+    """Pairwise WEIGHTED Jaccard similarity between groups' token
+    frequency BAGS — ``Σ_t min(c_a(t), c_b(t)) / Σ_t max(c_a(t),
+    c_b(t))`` over whitespace token counts: the multiset upgrade of
+    :func:`vocab_overlap`'s set Jaccard (a corpus that uses the same
+    vocabulary but in wildly different proportions scores high on
+    set overlap and low here — the histogram-shape corpus-similarity
+    audit).
+
+    Exactness: per-(token, group) counts are exact int64 (per-block
+    partials collapse blocks to distinct pairs); ONE token-keyed
+    exchange finishes the counts and emits per-pair ``(Σmin, Σmax)``
+    partials from each token run (absent group = 0, so max-side
+    contributions of solo tokens are counted via per-group totals:
+    Σmax = total_a + total_b − Σmin — the identity keeps the kernel
+    to present-pairs only); the driver merges pair partials + group
+    totals as Python ints and emits ONE division per pair.  SQL
+    replays with a FULL-JOIN-free GROUP BY (Σmin via LEAST on an
+    inner join; totals via plain sums).
+
+    NULL group/text rows drop.  Emits ``(g_a, g_b, sum_min:int64,
+    sum_max:int64, wjac:float64)`` for unordered pairs with
+    ``g_a < g_b``.  Reference analog: none (corpus-similarity
+    family: q148 / q216 / q253).
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[group_col]),
+                                    pc.is_valid(b[text_col])),
+                            False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        empty = pa.table({"g": pa.array([], pa.string()),
+                          "tok": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b[text_col].combine_chunks(), ""),
+            r"\s+")
+        g = b[group_col].combine_chunks().cast(pa.string())
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        gi = pc.dictionary_encode(g).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        grep = np.repeat(gi, lens)
+        te = pc.dictionary_encode(flat)
+        ti = te.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # drop empty-string tokens from split artifacts
+        tvals = te.dictionary.cast(pa.string())
+        is_empty = pc.equal(tvals, "").to_numpy(
+            zero_copy_only=False)
+        keep_tok = ~is_empty[ti]
+        grep, ti = grep[keep_tok], ti[keep_tok]
+        n_tok = len(te.dictionary)
+        cell = grep * n_tok + ti
+        uc, inv = np.unique(cell, return_inverse=True)
+        cnt = np.zeros(len(uc), np.int64)
+        np.add.at(cnt, inv, 1)
+        gd = pc.dictionary_encode(g).dictionary.cast(pa.string())
+        return pa.table({
+            "g": gd.take(pa.array(uc // n_tok, pa.int64())),
+            "tok": tvals.take(pa.array(uc % n_tok, pa.int64())),
+            "cnt": pa.array(cnt)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+
+    pair_empty = pa.table({"ga": pa.array([], pa.string()),
+                           "gb": pa.array([], pa.string()),
+                           "smin": pa.array([], pa.int64()),
+                           "tot_g": pa.array([], pa.string()),
+                           "tot": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pair_empty
+        from ..functions.segments import triangular_pairs
+
+        toks = t["tok"].combine_chunks()
+        tc = pc.dictionary_encode(toks).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ge = pc.dictionary_encode(t["g"].combine_chunks())
+        gc = ge.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        # merge cross-block (tok, g) duplicates (sorted by tok, g)
+        new_run = np.concatenate([[True], (tc[1:] != tc[:-1])
+                                  | (gc[1:] != gc[:-1])])
+        starts = np.flatnonzero(new_run)
+        rid = np.cumsum(new_run.astype(np.int64)) - 1
+        mc = np.zeros(len(starts), np.int64)
+        np.add.at(mc, rid, cnt)
+        mt, mg = tc[starts], gc[starts]
+        n_groups = len(ge.dictionary)
+        totals = np.zeros(n_groups, np.int64)
+        np.add.at(totals, mg, mc)
+        # per-token pair expansion (groups sorted within run)
+        tok_new = np.concatenate([[True], mt[1:] != mt[:-1]])
+        tstarts = np.flatnonzero(tok_new)
+        tlens = np.diff(np.append(tstarts, len(mt)))
+        ts2, tl2 = tstarts[tlens >= 2], tlens[tlens >= 2]
+        if len(ts2):
+            i, j, _g = triangular_pairs(ts2, tl2)
+            pa_g, pb_g = mg[i], mg[j]
+            pmin = np.minimum(mc[i], mc[j])
+            pair_cell = pa_g * n_groups + pb_g
+            up, inv = np.unique(pair_cell, return_inverse=True)
+            psum = np.zeros(len(up), np.int64)
+            np.add.at(psum, inv, pmin)
+            gas = ge.dictionary.take(
+                pa.array(up // n_groups, pa.int64())).cast(
+                pa.string())
+            gbs = ge.dictionary.take(
+                pa.array(up % n_groups, pa.int64())).cast(
+                pa.string())
+        else:
+            gas = pa.array([], pa.string())
+            gbs = pa.array([], pa.string())
+            psum = np.empty(0, np.int64)
+        n_p = len(psum)
+        gt = ge.dictionary.cast(pa.string())
+        n_t = n_groups
+        return pa.table({
+            "ga": pa.concat_arrays(
+                [gas if isinstance(gas, pa.Array)
+                 else gas.combine_chunks(),
+                 pa.nulls(n_t, pa.string())]),
+            "gb": pa.concat_arrays(
+                [gbs if isinstance(gbs, pa.Array)
+                 else gbs.combine_chunks(),
+                 pa.nulls(n_t, pa.string())]),
+            "smin": pa.array(np.concatenate(
+                [psum, np.zeros(n_t, np.int64)])),
+            "tot_g": pa.concat_arrays(
+                [pa.nulls(n_p, pa.string()),
+                 gt if isinstance(gt, pa.Array)
+                 else gt.combine_chunks()]),
+            "tot": pa.array(np.concatenate(
+                [np.zeros(n_p, np.int64), totals]))})
+
+    parts = partitioned_map(prepped, kernel, key="tok",
+                            sort_keys=["tok", "g"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    pair_min: dict = {}
+    group_tot: dict = {}
+    for b in ray.get(materialized_block_refs(parts)):
+        if b.num_rows == 0 or "ga" not in b.column_names:
+            continue
+        for ga, gb, sm, tg, tv in zip(b["ga"].to_pylist(),
+                                      b["gb"].to_pylist(),
+                                      b["smin"].to_pylist(),
+                                      b["tot_g"].to_pylist(),
+                                      b["tot"].to_pylist()):
+            if tg is not None:
+                group_tot[tg] = group_tot.get(tg, 0) + tv
+            else:
+                # dictionary CODE order inside a kernel is arbitrary,
+                # so a pair may arrive as (A,B) or (B,A) — normalize
+                key = (ga, gb) if ga < gb else (gb, ga)
+                pair_min[key] = pair_min.get(key, 0) + sm
+    out = {k: [] for k in ("ga", "gb", "smin", "smax", "wjac")}
+    groups = sorted(group_tot)
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            sm = pair_min.get((ga, gb), 0)
+            sx = group_tot[ga] + group_tot[gb] - sm
+            out["ga"].append(ga)
+            out["gb"].append(gb)
+            out["smin"].append(sm)
+            out["smax"].append(sx)
+            out["wjac"].append(float(sm) / float(sx) if sx else None)
+    return pa.table({
+        "g_a": pa.array(out["ga"], pa.string()),
+        "g_b": pa.array(out["gb"], pa.string()),
+        "sum_min": pa.array(out["smin"], pa.int64()),
+        "sum_max": pa.array(out["smax"], pa.int64()),
+        "wjac": pa.array(out["wjac"], pa.float64())})
