@@ -571,7 +571,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q263_eventually_follows": _eventually_q,
         "q264_next_latency": _next_latency_q,
         "q265_weighted_jaccard": _weighted_jaccard_q,
+        "q266_activation": _activation_q,
     }
+
+
+def _activation_q(sf_dir: str):
+    """q266: time-to-5th-event activation latency per user
+    (stages/retention.py:activation_latency) — exact int64 position
+    picks in (ts, event_id) order; row_number pivot SQL replay."""
+    import ray
+
+    from featurebox_ray.stages.retention import activation_latency
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts",
+                                        "event_id"],
+                               override_num_blocks=16)
+    return activation_latency(ev, key_col="user_id", ts_col="ts",
+                              seq_col="event_id", k=5,
+                              num_partitions=8)
 
 
 def _weighted_jaccard_q(sf_dir: str):
@@ -8227,6 +8245,27 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # activation: row_number pivot on rn in {1, 5}
+        "q266_activation": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                       AS rn
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN rn = 1 THEN t END)
+                        AS BIGINT) AS first_ts,
+                   CAST(min(CASE WHEN rn = 5 THEN t END)
+                        AS BIGINT) AS kth_ts,
+                   CAST(min(CASE WHEN rn = 5 THEN t END)
+                        - min(CASE WHEN rn = 1 THEN t END)
+                        AS BIGINT) AS activation_us
+            FROM e GROUP BY user_id
         """,
         # weighted Jaccard: LEAST over an inner join per shared
         # token; max side via the totals identity

@@ -600,3 +600,80 @@ def logrank_test(ds, *, user_col: str = "user_id",
         "u": pa.array([r[4] for r in rows], pa.float64()),
         "v": pa.array([r[5] for r in rows], pa.float64()),
         "z": pa.array([r[6] for r in rows], pa.float64())})
+
+
+def activation_latency(ds, *, key_col: str, ts_col: str,
+                       seq_col: str, k: int = 5,
+                       num_partitions: int = 16):
+    """Time-to-activation per key — microseconds from the FIRST event
+    to the ``k``-th event in ``(ts, seq)`` order (NULL when the key
+    never reaches ``k`` events): the classic product-led-growth
+    activation metric ("how fast do users reach 5 actions?"), the
+    front-end complement of the retention/KM family.
+
+    Exact int64 arithmetic over ONE key-keyed exchange (segment
+    element picks in the partition sort order — no quantiles, just
+    positions).  SQL replays with ``row_number()`` + a pivot on rn ∈
+    {1, k}.  NULL key/ts/seq rows drop.
+
+    Emits ``(key_col, n:int64, first_ts:int64, kth_ts:int64|NULL,
+    activation_us:int64|NULL)``.
+    Reference analog: none (retention family).
+    """
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[key_col])
+        for c in (ts_col, seq_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({key_col: b[key_col], "__ts": ts,
+                         "__s": b[seq_col].combine_chunks().cast(
+                             pa.int64())})
+
+    empty = pa.table({key_col: pa.array([], ktype),
+                      "n": pa.array([], pa.int64()),
+                      "first_ts": pa.array([], pa.int64()),
+                      "kth_ts": pa.array([], pa.int64()),
+                      "activation_us": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(codes)))
+        first = ts[starts]
+        has_k = lens >= k
+        kth = np.where(has_k,
+                       ts[np.minimum(starts + k - 1,
+                                     len(ts) - 1)],
+                       0)
+        act = np.where(has_k, kth - first, 0)
+        return pa.table({
+            key_col: keys.take(pa.array(starts, pa.int64())),
+            "n": pa.array(lens.astype(np.int64)),
+            "first_ts": pa.array(first),
+            "kth_ts": pa.array(kth, pa.int64(), mask=~has_k),
+            "activation_us": pa.array(act, pa.int64(),
+                                      mask=~has_k)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts", "__s"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
