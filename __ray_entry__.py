@@ -709,8 +709,10 @@ def _scd2_apply_q(sf_dir: str):
 
     def after(b: pa.Table) -> pa.Table:
         ts = b["ts"].combine_chunks().cast(pa.int64())
-        return b.filter(pc.fill_null(
-            pc.greater_equal(ts, t0), False))
+        keep = pc.and_(pc.greater_equal(ts, t0),
+                       pc.and_(pc.is_valid(b["event_id"]),
+                               pc.is_valid(b["event_type"])))
+        return b.filter(pc.fill_null(keep, False))
 
     dim = scd2_intervals(
         ev.map_batches(before, batch_format="pyarrow",
@@ -7839,7 +7841,8 @@ def oracle_sql() -> dict[str, str]:
             bags AS (SELECT k, r, CAST(count(*) AS BIGINT) AS nb,
                             CAST(sum(c) AS BIGINT) AS sb
                      FROM e CROSS JOIN range(32) t(r)
-                     WHERE ((((event_id * 32 + r) % 4294967296)
+                     WHERE ((CAST((event_id * 32 + r)
+                                   % 4294967296 AS HUGEINT)
                              * 2654435761) % 4294967296
                             // 65536) % 2 = 1
                      GROUP BY k, r),

@@ -144,6 +144,11 @@ def linear_attribution(ds, *, key_col: str, ts_col: str, seq_col: str,
         else:
             day = 86_400_000_000
             K = int((h + day - 1) // day)
+            if K > 62:
+                raise ValueError(
+                    "linear_attribution time_decay: horizon > 62 "
+                    "days would overflow the 2^(K-dd) int64 "
+                    "weights — shrink the horizon")
             dd = (ts[conv][gid_t] - ts[rows_t]) // day
             w = np.int64(1) << np.clip(K - dd, 0, K).astype(np.int64)
             W = np.zeros(len(conv), np.int64)

@@ -1015,6 +1015,12 @@ def two_hop_reach(edges_ds, *, max_mid_degree: int = 1024,
             return wedge_empty
         k = t["__k"].to_numpy(zero_copy_only=False)
         to = t["to"].to_numpy(zero_copy_only=False)
+        # dedup (mid, neighbor) first: duplicate/pre-symmetrized
+        # input edges would inflate the degree cap and skip mids the
+        # DISTINCT-based oracle keeps
+        uniq = np.concatenate([[True], (k[1:] != k[:-1])
+                               | (to[1:] != to[:-1])])
+        k, to = k[uniq], to[uniq]
         new = np.concatenate([[True], k[1:] != k[:-1]])
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(k)))

@@ -2050,27 +2050,27 @@ def bootstrap_group_ci(ds, *, key_col: str, id_col: str,
                        op="bootstrap_group_ci")
         inbag = ((h >> np.uint64(16)) & np.uint64(1)).astype(
             np.int64)
-        ks, bag, n_, s_ = [], [], [], []
-        # bag -1 = the full-sample cell
-        for kcode in np.unique(codes):
-            sel = codes == kcode
-            name = enc.dictionary[int(kcode)].as_py()
-            cs = c[sel]
-            ib = inbag[sel]
-            nb = ib.sum(axis=0)
-            sb = (ib * cs[:, None]).sum(axis=0)
-            ks.extend([name] * (B + 1))
-            bag.append(np.concatenate([[-1],
-                                       np.arange(B,
-                                                 dtype=np.int64)]))
-            n_.append(np.concatenate([[int(sel.sum())], nb]))
-            s_.append(np.concatenate([[int(cs.sum())], sb]))
-        return pa.table({"k": pa.array(ks, pa.string()),
-                         "bag": pa.array(np.concatenate(bag)),
-                         "n": pa.array(np.concatenate(n_)
-                                       .astype(np.int64)),
-                         "s": pa.array(np.concatenate(s_)
-                                       .astype(np.int64))})
+        # one np.add.at pass over dense (key, bag+1) cells — a
+        # per-key masked rescan would be O(rows × keys)
+        n_keys = len(enc.dictionary)
+        ncell = np.zeros((n_keys, B + 1), np.int64)
+        scell = np.zeros((n_keys, B + 1), np.int64)
+        np.add.at(ncell[:, 0], codes, 1)
+        np.add.at(scell[:, 0], codes, c)
+        rows_ = np.repeat(codes, B)
+        cols_ = np.tile(np.arange(1, B + 1, dtype=np.int64),
+                        len(codes))
+        np.add.at(ncell, (rows_, cols_), inbag.ravel())
+        np.add.at(scell, (rows_, cols_),
+                  (inbag * c[:, None]).ravel())
+        names = enc.dictionary.cast(pa.string())
+        ks = names.take(pa.array(
+            np.repeat(np.arange(n_keys), B + 1), pa.int64()))
+        bags = np.tile(np.arange(-1, B, dtype=np.int64), n_keys)
+        return pa.table({"k": ks.cast(pa.string()),
+                         "bag": pa.array(bags),
+                         "n": pa.array(ncell.ravel()),
+                         "s": pa.array(scell.ravel())})
 
     agg: dict = {}
     for b in ray.get(materialized_block_refs(

@@ -186,6 +186,10 @@ def scd2_apply(dim_ds, snap_ds, *, key_col: str, state_col: str,
         st_codes = pc.fill_null(st_enc.indices, -1).to_numpy(
             zero_copy_only=False).astype(np.int64)
         st_dict = st_enc.dictionary
+        if bool(((st_codes < 0) & (tag == 0)).any()):
+            raise ValueError("scd2_apply: NULL dim state — "
+                             "dimension states must be non-null "
+                             "(NULL snapshot states are deletes)")
         vf = t["vf"].to_numpy(zero_copy_only=False)
         vt = t["vt"].to_numpy(zero_copy_only=False)
         nr = t["nr"].to_numpy(zero_copy_only=False)

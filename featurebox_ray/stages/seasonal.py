@@ -358,9 +358,8 @@ def seasonal_anomaly(ds, *, ts_col: str, id_col: str,
         mm = ray.get(med_ref)
         bins = b["bin"].to_numpy(zero_copy_only=False)
         c = b["c"].to_numpy(zero_copy_only=False)
-        meds = np.array([mm[int(x)] for x in np.unique(bins)],
-                        np.int64)
         lut_keys = np.unique(bins)
+        meds = np.array([mm[int(x)] for x in lut_keys], np.int64)
         pos = np.searchsorted(lut_keys, bins)
         d = np.abs(c - meds[pos])
         return pa.table({"bin": b["bin"], "d": pa.array(d)})

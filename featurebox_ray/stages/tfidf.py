@@ -1738,7 +1738,8 @@ def weighted_jaccard(ds, *, group_col: str, text_col: str,
         lens = pc.list_value_length(toks).to_numpy(
             zero_copy_only=False)
         flat = pc.list_flatten(toks)
-        gi = pc.dictionary_encode(g).indices.to_numpy(
+        genc = pc.dictionary_encode(g)
+        gi = genc.indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         grep = np.repeat(gi, lens)
         te = pc.dictionary_encode(flat)
@@ -1755,7 +1756,7 @@ def weighted_jaccard(ds, *, group_col: str, text_col: str,
         uc, inv = np.unique(cell, return_inverse=True)
         cnt = np.zeros(len(uc), np.int64)
         np.add.at(cnt, inv, 1)
-        gd = pc.dictionary_encode(g).dictionary.cast(pa.string())
+        gd = genc.dictionary.cast(pa.string())
         return pa.table({
             "g": gd.take(pa.array(uc // n_tok, pa.int64())),
             "tok": tvals.take(pa.array(uc % n_tok, pa.int64())),
@@ -1821,19 +1822,13 @@ def weighted_jaccard(ds, *, group_col: str, text_col: str,
         n_t = n_groups
         return pa.table({
             "ga": pa.concat_arrays(
-                [gas if isinstance(gas, pa.Array)
-                 else gas.combine_chunks(),
-                 pa.nulls(n_t, pa.string())]),
+                [gas, pa.nulls(n_t, pa.string())]),
             "gb": pa.concat_arrays(
-                [gbs if isinstance(gbs, pa.Array)
-                 else gbs.combine_chunks(),
-                 pa.nulls(n_t, pa.string())]),
+                [gbs, pa.nulls(n_t, pa.string())]),
             "smin": pa.array(np.concatenate(
                 [psum, np.zeros(n_t, np.int64)])),
             "tot_g": pa.concat_arrays(
-                [pa.nulls(n_p, pa.string()),
-                 gt if isinstance(gt, pa.Array)
-                 else gt.combine_chunks()]),
+                [pa.nulls(n_p, pa.string()), gt]),
             "tot": pa.array(np.concatenate(
                 [np.zeros(n_p, np.int64), totals]))})
 

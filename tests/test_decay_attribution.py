@@ -95,3 +95,18 @@ def test_fuzz_vs_serial_partition_invariant():
     t = _table(rows)
     for parts in (1, 6):
         assert _run(t, parts) == exp
+
+
+def test_horizon_guard():
+    import pytest
+
+    rows = [(1, 0, "click", 0.0), (1, DAY, "buy", 1.0)]
+    t = _table(rows)
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="62"):
+        linear_attribution(
+            ds, key_col="user_id", ts_col="ts",
+            seq_col="event_id", type_col="event_type",
+            value_col="value", conv_type="buy",
+            horizon=70 * DAY, time_decay=True,
+            num_partitions=2).to_pandas()

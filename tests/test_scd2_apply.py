@@ -76,3 +76,15 @@ def test_guards():
     snap2 = _snap([(1, "a"), (1, "b")])
     with pytest.raises(Exception, match="duplicate snapshot"):
         _run(dim2, snap2)
+
+
+def test_null_dim_state_raises():
+    dim = pa.table({
+        "k": pa.array([1], pa.int64()),
+        "state": pa.array([None], pa.string()),
+        "valid_from": pa.array([0], pa.int64()),
+        "valid_to": pa.array([None], pa.int64()),
+        "n_rows": pa.array([1], pa.int64())})
+    snap = _snap([(1, "a")])
+    with pytest.raises(Exception, match="NULL dim state"):
+        _run(dim, snap)
