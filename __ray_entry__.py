@@ -572,7 +572,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q264_next_latency": _next_latency_q,
         "q265_weighted_jaccard": _weighted_jaccard_q,
         "q266_activation": _activation_q,
+        "q267_predictability": _predictability_q,
     }
+
+
+def _predictability_q(sf_dir: str):
+    """q267: per-user transition predictability (stages/
+    transitions.py:transition_predictability) — Simpson
+    concentration Σc²/(Σc)² of adjacent type pairs; exact int
+    sufficient stats + one division; lead()+GROUP BY SQL replay."""
+    import ray
+
+    from featurebox_ray.stages.transitions import (
+        transition_predictability)
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"],
+                               override_num_blocks=16)
+    return transition_predictability(ev, key_col="user_id",
+                                     ts_col="ts",
+                                     seq_col="event_id",
+                                     type_col="event_type",
+                                     num_partitions=8)
 
 
 def _activation_q(sf_dir: str):
@@ -8248,6 +8270,36 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # predictability: lead() pairs, Σc²/(Σc)² one division
+        "q267_predictability": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL
+                AND event_type IS NOT NULL),
+            c AS (SELECT user_id, event_type AS f, nxt,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM e WHERE nxt IS NOT NULL
+                  GROUP BY 1, 2, 3),
+            k AS (SELECT user_id,
+                         CAST(sum(c) AS BIGINT) AS n_trans,
+                         CAST(sum(c * c) AS BIGINT) AS sum_sq
+                  FROM c GROUP BY user_id),
+            u AS (SELECT DISTINCT user_id FROM e)
+            SELECT u.user_id,
+                   coalesce(k.n_trans, 0) AS n_trans,
+                   coalesce(k.sum_sq, 0) AS sum_sq,
+                   CASE WHEN k.n_trans IS NULL THEN NULL
+                        ELSE CAST(k.sum_sq AS DOUBLE)
+                             / (CAST(k.n_trans AS DOUBLE)
+                                * CAST(k.n_trans AS DOUBLE)) END
+                     AS predictability
+            FROM u LEFT JOIN k USING (user_id)
         """,
         # activation: row_number pivot on rn in {1, 5}
         "q266_activation": """

@@ -237,7 +237,7 @@ QUERY_NAMES = [
     "q258_bootstrap_ci", "q259_two_hop", "q260_scd2_apply",
     "q261_seasonal_anomaly", "q262_ts_collisions",
     "q263_eventually_follows", "q264_next_latency",
-    "q265_weighted_jaccard", "q266_activation",
+    "q265_weighted_jaccard", "q266_activation", "q267_predictability",
 ]
 
 

@@ -436,3 +436,113 @@ def eventually_follows(ds, *, key_col: str, ts_col: str,
         "type_b": pa.array([p[1] for p in pairs], pa.string()),
         "n_keys": pa.array([agg[p][0] for p in pairs], pa.int64()),
         "n_both": pa.array([agg[p][1] for p in pairs], pa.int64())})
+
+
+def transition_predictability(ds, *, key_col: str, ts_col: str,
+                              seq_col: str, type_col: str,
+                              num_partitions: int = 16):
+    """Per-key behavioral predictability — the Simpson concentration
+    of the key's OBSERVED type transitions: ``pred = Σ_ij c_ij² /
+    (Σ_ij c_ij)²`` over adjacent-event type pairs in ``(ts, seq)``
+    order (1 = the key always makes the same move, →0 = uniformly
+    unpredictable).  The per-key miniature of the global transition
+    matrix (:func:`event_transition_counts`), log-free (the q176
+    inverse-Simpson trick) so it stays exact.
+
+    Exact int64 pair counts in ONE key-keyed exchange (shifted
+    segment compare + dense pair cells); outputs the exact sufficient
+    statistics plus ONE IEEE division — SQL replays with lead() +
+    GROUP BY + the identical expression.  Keys with < 2 events emit
+    NULL.  NULL key/ts/seq/type rows drop.
+
+    Emits ``(key_col, n_trans:int64, sum_sq:int64,
+    predictability:float64)``.
+    Reference analog: none (behavioral family: transitions /
+    burstiness / phase conformity).
+    """
+    import ray
+
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[key_col])
+        for c in (ts_col, seq_col, type_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({key_col: b[key_col], "__ts": ts,
+                         "__s": b[seq_col].combine_chunks().cast(
+                             pa.int64()),
+                         "__ty": b[type_col].combine_chunks()
+                        .cast(pa.string())})
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+    empty = pa.table({key_col: pa.array([], ktype),
+                      "n_trans": pa.array([], pa.int64()),
+                      "sum_sq": pa.array([], pa.int64()),
+                      "predictability": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        te = pc.dictionary_encode(t["__ty"].combine_chunks())
+        tc = te.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n_types = len(te.dictionary)
+        same = np.concatenate([[False], codes[1:] == codes[:-1]])
+        frm = np.concatenate([[0], tc[:-1]])
+        pair = np.where(same, frm * n_types + tc, -1)
+        valid = same
+        # per-(key, pair) counts via lexsort runs
+        kk = codes[valid]
+        pp = pair[valid]
+        o = np.lexsort((pp, kk))
+        kk, pp = kk[o], pp[o]
+        if len(kk):
+            new = np.concatenate([[True], (kk[1:] != kk[:-1])
+                                  | (pp[1:] != pp[:-1])])
+            st = np.flatnonzero(new)
+            cnt = np.diff(np.append(st, len(kk)))
+            ck = kk[st]
+        else:
+            cnt = np.empty(0, np.int64)
+            ck = np.empty(0, np.int64)
+        # per-key Σc and Σc² (guard: Σc² ≤ (Σc)² < 2^63 needs
+        # n_trans per key < ~3e9 — raise far before)
+        n_keys = int(codes.max()) + 1 if len(codes) else 0
+        tot = np.zeros(n_keys, np.int64)
+        ssq = np.zeros(n_keys, np.int64)
+        np.add.at(tot, ck, cnt)
+        if len(tot) and int(tot.max()) > 3_000_000_000:
+            raise ValueError("transition_predictability int64 "
+                             "guard exceeded")
+        np.add.at(ssq, ck, cnt * cnt)
+        first = np.searchsorted(codes, np.arange(n_keys))
+        has = tot > 0
+        pred = np.where(has,
+                        ssq.astype(np.float64)
+                        / (tot.astype(np.float64)
+                           * tot.astype(np.float64)),
+                        np.nan)
+        return pa.table({
+            key_col: keys.take(pa.array(first, pa.int64())),
+            "n_trans": pa.array(tot),
+            "sum_sq": pa.array(ssq),
+            "predictability": pa.array(pred, pa.float64(),
+                                       mask=~has)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts", "__s"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

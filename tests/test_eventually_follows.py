@@ -70,3 +70,41 @@ def test_fuzz_vs_serial_partition_invariant():
     exp = _serial(rows)
     for parts in (1, 6):
         assert _run(rows, parts) == exp
+
+
+def test_transition_predictability():
+    from featurebox_ray.stages.transitions import (
+        transition_predictability)
+
+    rows = [(1, t, ty) for t, ty in
+            [(1, "a"), (2, "b"), (3, "a"), (4, "b"), (5, "a")]] \
+        + [(2, 1, "a"), (2, 2, "a"), (2, 3, "a")] \
+        + [(3, 1, "a")]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "eid": pa.array(list(range(len(rows))), pa.int64()),
+        "ty": pa.array([r[2] for r in rows], pa.string())})
+    prev = None
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        df = (transition_predictability(
+            ds, key_col="u", ts_col="ts", seq_col="eid",
+            type_col="ty", num_partitions=4)
+            .to_pandas().sort_values("u").reset_index(drop=True))
+        # user 1: transitions ab, ba, ab, ba -> counts {ab:2, ba:2}
+        # pred = (4+4)/16 = 0.5
+        r1 = df.iloc[0]
+        assert (r1.n_trans, r1.sum_sq,
+                r1.predictability) == (4, 8, 0.5)
+        # user 2: aa, aa -> pred = 4/4 = 1.0
+        r2 = df.iloc[1]
+        assert (r2.n_trans, r2.predictability) == (2, 1.0)
+        # user 3: single event -> NULL
+        r3 = df.iloc[2]
+        assert r3.n_trans == 0 and pd.isna(r3.predictability)
+        if prev is not None:
+            pd.testing.assert_frame_equal(df, prev, check_exact=True)
+        prev = df
