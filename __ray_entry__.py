@@ -573,7 +573,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q265_weighted_jaccard": _weighted_jaccard_q,
         "q266_activation": _activation_q,
         "q267_predictability": _predictability_q,
+        "q268_bot_scorecard": _bot_scorecard_q,
     }
+
+
+def _bot_scorecard_q(sf_dir: str):
+    """q268: COMPOSED behavioral-risk scorecard — phase conformity
+    (q249) ⋈ same-instant collisions (q262) ⋈ transition
+    predictability (q267) via two hash_joins, then integer flags
+    (off-phase cos2 < 1/2, max_burst ≥ 3, predictability ≥ 1/2) and
+    ``is_bot = flags ≥ 2``.  Every component is SQL-exact, so the
+    whole chain value-hashes against ONE chained-CTE replay — the
+    composition itself is checked (q168 convention)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.join import hash_join
+    from featurebox_ray.stages.profile import ts_collision_audit
+    from featurebox_ray.stages.seasonal import profile_similarity
+    from featurebox_ray.stages.transitions import (
+        transition_predictability)
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"],
+                               override_num_blocks=16)
+    phase = profile_similarity(ev, key_col="user_id", ts_col="ts",
+                               num_partitions=8)
+    coll = ts_collision_audit(ev, key_col="user_id", ts_col="ts",
+                              num_partitions=8)
+    pred = transition_predictability(ev, key_col="user_id",
+                                     ts_col="ts",
+                                     seq_col="event_id",
+                                     type_col="event_type",
+                                     num_partitions=8)
+    j1 = hash_join(phase, coll, on="user_id",
+                   left_cols=["user_id", "cos2"],
+                   right_cols=["max_burst"],
+                   num_partitions=8)
+    # materialize j1 once: hash_join probes left.schema(), which
+    # would re-execute the lazy first join for its second consumer
+    from featurebox_ray.stages.partition import (
+        materialized_block_refs)
+
+    j1m = ray.data.from_arrow_refs(
+        list(materialized_block_refs(j1)))
+    j2 = hash_join(j1m, pred, on="user_id",
+                   right_cols=["n_trans", "predictability"],
+                   num_partitions=8)
+
+    def score(b: pa.Table) -> pa.Table:
+        cos2 = b["cos2"].to_numpy(zero_copy_only=False)
+        burst = b["max_burst"].to_numpy(zero_copy_only=False)
+        pr = pa.compute.fill_null(
+            b["predictability"].combine_chunks(),
+            0.0).to_numpy(zero_copy_only=False)
+        flags = ((cos2 < 0.5).astype(np.int64)
+                 + (burst >= 3).astype(np.int64)
+                 + (pr >= 0.5).astype(np.int64))
+        return pa.table({
+            "user_id": b["user_id"],
+            "cos2": b["cos2"],
+            "max_burst": b["max_burst"],
+            "predictability": b["predictability"],
+            "risk_flags": pa.array(flags),
+            "is_bot": pa.array(flags >= 2)})
+
+    return j2.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def _predictability_q(sf_dir: str):
@@ -8270,6 +8338,79 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # bot scorecard: q249 + q262 + q267 CTEs joined, integer
+        # flags; 0.5 literals are exact dyadics
+        "q268_bot_scorecard": """
+            WITH eh AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 3600000000) % 24 AS b
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            g AS (SELECT b, CAST(count(*) AS BIGINT) AS gc
+                  FROM eh GROUP BY b),
+            vv AS (SELECT CAST(sum(gc * gc) AS BIGINT) AS v2
+                   FROM g),
+            uu AS (SELECT user_id, b,
+                          CAST(count(*) AS BIGINT) AS uc
+                   FROM eh GROUP BY user_id, b),
+            ph AS (SELECT uu.user_id,
+                          (CAST(sum(uu.uc * g.gc) AS DOUBLE)
+                           * CAST(sum(uu.uc * g.gc) AS DOUBLE))
+                          / (CAST(sum(uu.uc * uu.uc) AS DOUBLE)
+                             * CAST((SELECT v2 FROM vv)
+                                    AS DOUBLE)) AS cos2
+                   FROM uu JOIN g USING (b) GROUP BY uu.user_id),
+            ec AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            gc2 AS (SELECT user_id, t,
+                           CAST(count(*) AS BIGINT) AS sz
+                    FROM ec GROUP BY user_id, t),
+            col AS (SELECT user_id,
+                           CAST(max(sz) AS BIGINT) AS max_burst
+                    FROM gc2 GROUP BY user_id),
+            ep AS (SELECT user_id, event_type,
+                          lead(event_type) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+                   FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                     AND event_id IS NOT NULL
+                     AND event_type IS NOT NULL),
+            pc AS (SELECT user_id, event_type AS f, nxt,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM ep WHERE nxt IS NOT NULL
+                   GROUP BY 1, 2, 3),
+            pk AS (SELECT user_id,
+                          CAST(sum(c) AS BIGINT) AS n_trans,
+                          CAST(sum(c * c) AS BIGINT) AS sum_sq
+                   FROM pc GROUP BY user_id),
+            pu AS (SELECT DISTINCT user_id FROM ep),
+            pr AS (SELECT pu.user_id,
+                          CASE WHEN pk.n_trans IS NULL THEN NULL
+                               ELSE CAST(pk.sum_sq AS DOUBLE)
+                                    / (CAST(pk.n_trans AS DOUBLE)
+                                       * CAST(pk.n_trans
+                                              AS DOUBLE)) END
+                            AS predictability
+                   FROM pu LEFT JOIN pk USING (user_id))
+            SELECT p.user_id, p.cos2, c.max_burst,
+                   r.predictability,
+                   CAST((CASE WHEN p.cos2 < 0.5 THEN 1 ELSE 0 END)
+                      + (CASE WHEN c.max_burst >= 3 THEN 1
+                         ELSE 0 END)
+                      + (CASE WHEN coalesce(r.predictability, 0)
+                              >= 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS risk_flags,
+                   ((CASE WHEN p.cos2 < 0.5 THEN 1 ELSE 0 END)
+                    + (CASE WHEN c.max_burst >= 3 THEN 1
+                       ELSE 0 END)
+                    + (CASE WHEN coalesce(r.predictability, 0)
+                            >= 0.5 THEN 1 ELSE 0 END)) >= 2
+                     AS is_bot
+            FROM ph p
+            JOIN col c USING (user_id)
+            JOIN pr r USING (user_id)
         """,
         # predictability: lead() pairs, Σc²/(Σc)² one division
         "q267_predictability": """
