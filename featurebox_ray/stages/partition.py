@@ -453,3 +453,43 @@ def global_span_cut(refs, *, col: str, num: int, den: int):
     mn = min(s[0] for s in spans)
     mx = max(s[1] for s in spans)
     return mn, mx, mn + (mx - mn) * num // den
+
+
+def suggest_num_partitions(parquet_path, *,
+                           target_bytes: int = 256 * 2**20,
+                           min_partitions: int = 8,
+                           max_partitions: int = 65536) -> int:
+    """Metadata-only partition-count planner — pick the task-exchange
+    ``num_partitions`` from the input's UNCOMPRESSED byte size so
+    each gather task lands near ``target_bytes`` (default 256 MiB, a
+    comfortable worker-heap batch): the knob every partitioned_map
+    caller otherwise guesses.  Reads ONLY parquet footers (row-group
+    ``total_byte_size`` — no data I/O), so it is safe to call on a
+    100-TB directory from the driver.
+
+    Clamped to [min_partitions, max_partitions] and rounded UP so a
+    partition never exceeds the target on average.  Skew still needs
+    the salting/cap machinery — this sizes the AVERAGE only.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(parquet_path):
+        files = sorted(_glob.glob(
+            os.path.join(parquet_path, "**", "*.parquet"),
+            recursive=True))
+    else:
+        files = [parquet_path]
+    if not files:
+        raise ValueError(
+            f"suggest_num_partitions: no parquet under "
+            f"{parquet_path!r}")
+    total = 0
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            total += md.row_group(rg).total_byte_size
+    n = -(-total // int(target_bytes))          # ceil
+    return int(min(max(n, min_partitions), max_partitions))

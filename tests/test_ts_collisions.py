@@ -36,3 +36,28 @@ def test_burst_and_clean():
         if prev is not None:
             pd.testing.assert_frame_equal(df, prev, check_exact=True)
         prev = df
+
+
+def test_suggest_num_partitions(tmp_path):
+    import pyarrow.parquet as pq
+
+    from featurebox_ray.stages.partition import suggest_num_partitions
+
+    t = pa.table({"x": pa.array(np.arange(200_000, dtype=np.int64)),
+                  "s": pa.array(["pad" * 10] * 200_000)})
+    p = tmp_path / "d"
+    p.mkdir()
+    pq.write_table(t, str(p / "a.parquet"))
+    pq.write_table(t, str(p / "b.parquet"))
+    # tiny target -> scales with bytes; floor respected
+    small = suggest_num_partitions(str(p), target_bytes=1 << 20)
+    assert small >= 8
+    one = suggest_num_partitions(str(p / "a.parquet"),
+                                 target_bytes=1 << 20)
+    assert small > one or small == 8
+    cap = suggest_num_partitions(str(p), target_bytes=1,
+                                 max_partitions=64)
+    assert cap == 64
+    floor = suggest_num_partitions(str(p),
+                                   target_bytes=1 << 40)
+    assert floor == 8
