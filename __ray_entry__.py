@@ -574,7 +574,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q266_activation": _activation_q,
         "q267_predictability": _predictability_q,
         "q268_bot_scorecard": _bot_scorecard_q,
+        "q269_oscillation": _oscillation_q,
     }
+
+
+def _oscillation_q(sf_dir: str):
+    """q269: A-B-A-B oscillation audit per user
+    (stages/transitions.py:oscillation_audit) — longest alternating
+    type run (the stuck-agent/tool-loop signature); exact int run
+    arithmetic; two-lag + gaps-and-islands SQL replay."""
+    import ray
+
+    from featurebox_ray.stages.transitions import oscillation_audit
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"],
+                               override_num_blocks=16)
+    return oscillation_audit(ev, key_col="user_id", ts_col="ts",
+                             seq_col="event_id",
+                             type_col="event_type",
+                             num_partitions=8)
 
 
 def _bot_scorecard_q(sf_dir: str):
@@ -8338,6 +8358,43 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # oscillation: two lags + gaps-and-islands run lengths
+        "q269_oscillation": """
+            WITH e AS (
+              SELECT user_id, event_type AS ty,
+                     row_number() OVER w AS rn,
+                     lag(event_type, 1) OVER w AS t1,
+                     lag(event_type, 2) OVER w AS t2
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL
+                AND event_type IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id)),
+            f AS (SELECT *, CASE WHEN ty = t2 AND ty <> t1
+                            THEN 1 ELSE 0 END AS ok FROM e),
+            isl AS (SELECT *,
+                           rn - CAST(sum(ok) OVER (
+                               PARTITION BY user_id ORDER BY rn
+                               ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS grp
+                    FROM f),
+            runs AS (SELECT user_id, grp,
+                            CAST(count(*) AS BIGINT) AS L
+                     FROM isl WHERE ok = 1
+                     GROUP BY user_id, grp),
+            agg AS (SELECT user_id, max(L) AS ml,
+                           CAST(sum(L) AS BIGINT) AS osc
+                    FROM runs GROUP BY user_id),
+            u AS (SELECT user_id,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY user_id)
+            SELECT u.user_id, u.n,
+                   CAST(coalesce(agg.ml + 2, 0) AS BIGINT)
+                     AS longest_osc,
+                   coalesce(agg.osc, 0) AS n_osc_events
+            FROM u LEFT JOIN agg USING (user_id)
         """,
         # bot scorecard: q249 + q262 + q267 CTEs joined, integer
         # flags; 0.5 literals are exact dyadics

@@ -546,3 +546,95 @@ def transition_predictability(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, "__ts", "__s"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def oscillation_audit(ds, *, key_col: str, ts_col: str,
+                      seq_col: str, type_col: str,
+                      num_partitions: int = 16):
+    """Tool-loop / oscillation audit per key — the length of the
+    longest A-B-A-B… alternating run of types in ``(ts, seq)``
+    order: the stuck-agent signature (a tool call and its error
+    handler ping-ponging) that plain transition counts smear away.
+
+    A position extends a run when ``t_i == t_{i-2}`` and
+    ``t_i != t_{i-1}``; the run's LENGTH counts its events (so a
+    minimal detected loop A-B-A has length 3).  Keys with no such
+    position report 0.
+
+    Exact int run arithmetic over ONE key-keyed exchange (vectorized
+    consecutive-True run lengths per segment); SQL replays with two
+    lags + gaps-and-islands.  NULL key/ts/seq/type rows drop.
+
+    Emits ``(key_col, n:int64, longest_osc:int64,
+    n_osc_events:int64 — positions extending some run)``.
+    Reference analog: none (behavioral-audit family).
+    """
+    from .partition import partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[key_col])
+        for c in (ts_col, seq_col, type_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({key_col: b[key_col], "__ts": ts,
+                         "__s": b[seq_col].combine_chunks().cast(
+                             pa.int64()),
+                         "__ty": b[type_col].combine_chunks()
+                        .cast(pa.string())})
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ktype = base.field(key_col).type
+    empty = pa.table({key_col: pa.array([], ktype),
+                      "n": pa.array([], pa.int64()),
+                      "longest_osc": pa.array([], pa.int64()),
+                      "n_osc_events": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tc = pc.dictionary_encode(
+            t["__ty"].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        same_key1 = np.concatenate([[False],
+                                    codes[1:] == codes[:-1]])
+        same_key2 = np.concatenate([[False, False],
+                                    codes[2:] == codes[:-2]])
+        t1 = np.concatenate([[0], tc[:-1]])
+        t2 = np.concatenate([[0, 0], tc[:-2]])
+        ok = same_key1 & same_key2 & (tc == t2) & (tc != t1)
+        # consecutive-True run length ending at i (vectorized):
+        # cumsum minus its value at the last False
+        cs = np.cumsum(ok.astype(np.int64))
+        last_false = np.maximum.accumulate(
+            np.where(~ok, cs, 0))
+        runlen = np.where(ok, cs - last_false, 0)
+        n_keys = int(codes.max()) + 1 if n else 0
+        cnt = np.bincount(codes, minlength=n_keys).astype(np.int64)
+        longest = np.zeros(n_keys, np.int64)
+        np.maximum.at(longest, codes, runlen)
+        longest = np.where(longest > 0, longest + 2, 0)
+        osc = np.zeros(n_keys, np.int64)
+        np.add.at(osc, codes, ok.astype(np.int64))
+        first = np.searchsorted(codes, np.arange(n_keys))
+        return pa.table({
+            key_col: keys.take(pa.array(first, pa.int64())),
+            "n": pa.array(cnt),
+            "longest_osc": pa.array(longest),
+            "n_osc_events": pa.array(osc)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__ts", "__s"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -108,3 +108,39 @@ def test_transition_predictability():
         if prev is not None:
             pd.testing.assert_frame_equal(df, prev, check_exact=True)
         prev = df
+
+
+def test_oscillation_audit():
+    from featurebox_ray.stages.transitions import oscillation_audit
+
+    rows = [(1, t, ty) for t, ty in enumerate(
+        ["a", "b", "a", "b", "a", "c", "c", "d", "c"])] \
+        + [(2, 0, "x"), (2, 1, "x"), (2, 2, "x")] \
+        + [(3, 0, "q"), (3, 1, "r")]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "eid": pa.array(list(range(len(rows))), pa.int64()),
+        "ty": pa.array([r[2] for r in rows], pa.string())})
+    prev = None
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        df = (oscillation_audit(ds, key_col="u", ts_col="ts",
+                                seq_col="eid", type_col="ty",
+                                num_partitions=4)
+              .to_pandas().sort_values("u").reset_index(drop=True))
+        # user 1: a b a b a -> run len 5; later c d c -> 3;
+        # ok positions: idx 2,3,4 (ababa) and idx 8 (cdc) -> 4 total
+        r1 = df.iloc[0]
+        assert (r1.n, r1.longest_osc, r1.n_osc_events) == (9, 5, 4)
+        # user 2: x x x -> never alternates (ty == t1)
+        r2 = df.iloc[1]
+        assert (r2.longest_osc, r2.n_osc_events) == (0, 0)
+        # user 3: too short
+        r3 = df.iloc[2]
+        assert (r3.n, r3.longest_osc) == (2, 0)
+        if prev is not None:
+            pd.testing.assert_frame_equal(df, prev, check_exact=True)
+        prev = df
