@@ -575,7 +575,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q267_predictability": _predictability_q,
         "q268_bot_scorecard": _bot_scorecard_q,
         "q269_oscillation": _oscillation_q,
+        "q270_coactivity": _coactivity_q,
     }
+
+
+def _coactivity_q(sf_dir: str):
+    """q270: session-start coactivity (stages/transitions.py:
+    session_coactivity) — per user, how many OTHER users started a
+    session within ±5 min of each of theirs (gap rule 1800s);
+    coordination/raid signal.  Banded self-join SQL replay."""
+    import ray
+
+    from featurebox_ray.stages.transitions import session_coactivity
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"],
+                               override_num_blocks=16)
+    return session_coactivity(ev, key_col="user_id", ts_col="ts",
+                              gap_s=1800.0, window_s=300.0,
+                              min_others=3, num_partitions=8)
 
 
 def _oscillation_q(sf_dir: str):
@@ -8358,6 +8376,36 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # coactivity: lag-based starts + banded self-join
+        "q270_coactivity": """
+            WITH st AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS pt
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            ss AS (SELECT user_id, t FROM st
+                   WHERE pt IS NULL OR t - pt > 1800000000),
+            co AS (SELECT a.user_id, a.t,
+                          CAST(count(*) AS BIGINT) AS coact
+                   FROM ss a JOIN ss b
+                     ON b.t BETWEEN a.t - 300000000
+                                AND a.t + 300000000
+                    AND b.user_id <> a.user_id
+                   GROUP BY a.user_id, a.t),
+            per AS (SELECT s.user_id, s.t,
+                           coalesce(co.coact, 0) AS coact
+                    FROM ss s
+                    LEFT JOIN co ON co.user_id = s.user_id
+                                AND co.t = s.t)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(coact) AS BIGINT) AS max_coactive,
+                   CAST(sum(CASE WHEN coact >= 3 THEN 1
+                            ELSE 0 END) AS BIGINT)
+                     AS n_coordinated
+            FROM per GROUP BY user_id
         """,
         # oscillation: two lags + gaps-and-islands run lengths
         "q269_oscillation": """

@@ -638,3 +638,179 @@ def oscillation_audit(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, "__ts", "__s"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def session_coactivity(ds, *, key_col: str, ts_col: str,
+                       gap_s: float = 1800.0,
+                       window_s: float = 300.0,
+                       min_others: int = 3,
+                       num_partitions: int = 16):
+    """Coordinated-behavior audit — for every SESSION START (q06 gap
+    rule), how many OTHER keys also started a session within
+    ``±window_s``: organic users start independently; raids, bot
+    fleets and scripted cohorts start together.  Summarized per key:
+    session count, the max coactivity any of its starts saw, and how
+    many of its starts were "coordinated" (≥ ``min_others``).
+
+    Exact int counts, two exchanges: (1) the standard key-keyed
+    sessionizer emits start rows; (2) starts ride to time buckets of
+    width 2·window (anchors once, probes to bucket±1), and each
+    bucket's kernel counts in-range probes per anchor with TWO
+    searchsorted passes (all probes by ts; same-key probes by a
+    composite (key, rel-ts) key) — coactivity = total − same_key,
+    the anchor cancelling inside the same-key count.  SQL replays
+    with a lag-based start CTE + a banded self-join.
+
+    NULL key/ts rows drop.  Emits ``(key_col, n_sessions:int64,
+    max_coactive:int64, n_coordinated:int64)``.
+    Reference analog: none (abuse-audit family: ts_collision_audit /
+    profile_similarity / oscillation_audit).
+    """
+    import ray
+
+    from .partition import partitioned_map
+
+    gapn = _gap_native(ds, ts_col, gap_s)
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    tt = base.field(ts_col).type
+    unit = tt.unit if pa.types.is_timestamp(tt) else "us"
+    mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    W = int(round(float(window_s) * mult))
+    ktype = base.field(key_col).type
+
+    base_prep = _session_prep(key_col, ts_col, [])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # NULL keys drop (the banded self-join oracle can't treat a
+        # NULL group as an actor; _session_prep alone keeps them)
+        return base_prep(b.filter(pc.is_valid(b[key_col])))
+
+    start_empty = pa.table({key_col: pa.array([], ktype),
+                            "__ts": pa.array([], pa.int64())})
+
+    def start_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return start_empty
+        sid = _session_ids(t, key_col, gapn)
+        first = np.concatenate([[True], sid[1:] != sid[:-1]])
+        idx = np.flatnonzero(first)
+        return pa.table({
+            key_col: t[key_col].combine_chunks().take(
+                pa.array(idx, pa.int64())),
+            "__ts": pa.array(t["__ts"].to_numpy(
+                zero_copy_only=False)[idx])})
+
+    starts = partitioned_map(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        start_kernel, key=key_col, sort_keys=[key_col, "__ts"],
+        num_partitions=num_partitions, strategy="tasks")
+
+    BW = 2 * W if W > 0 else 1
+
+    def spread(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "__ts" not in b.column_names:
+            return pa.table({"__b": pa.array([], pa.int64()),
+                             "tag": pa.array([], pa.int8()),
+                             key_col: pa.array([], ktype),
+                             "__ts": pa.array([], pa.int64())})
+        ts = b["__ts"].to_numpy(zero_copy_only=False)
+        bk = ts // BW
+        n = b.num_rows
+        keys = b[key_col].combine_chunks()
+        rep = pa.array(np.repeat(np.arange(n), 3), pa.int64())
+        probes_b = np.stack([bk - 1, bk, bk + 1], axis=1).ravel()
+        anchor = pa.table({
+            "__b": pa.array(bk),
+            "tag": pa.array(np.zeros(n, np.int8)),
+            key_col: keys,
+            "__ts": pa.array(ts)})
+        probes = pa.table({
+            "__b": pa.array(probes_b),
+            "tag": pa.array(np.ones(3 * n, np.int8)),
+            key_col: keys.take(rep),
+            "__ts": pa.array(np.repeat(ts, 3))})
+        return pa.concat_tables([anchor, probes])
+
+    pair_empty = pa.table({key_col: pa.array([], ktype),
+                           "coact": pa.array([], pa.int64())})
+
+    def count_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tag" not in t.column_names:
+            return pair_empty
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        bk = t["__b"].to_numpy(zero_copy_only=False) \
+            if "__b" in t.column_names else None
+        if bk is None:
+            return pair_empty
+        keys = t[key_col].combine_chunks()
+        kc = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        a = tag == 0
+        if not a.any():
+            return pair_empty
+        # a hash partition holds MANY buckets — all searches run on
+        # composite (dense-bucket, rel-ts) keys so buckets never mix;
+        # probe replicas sit within one bucket width of their bucket,
+        # so rel = ts − bucket·BW + BW ∈ [0, 3·BW)
+        ub = np.unique(bk)
+        bidx = np.searchsorted(ub, bk)
+        rel = ts - bk * BW + BW
+        SPAN = 3 * BW + 2
+        nk = int(kc.max()) + 1
+        if len(ub) and int(len(ub)) * nk > (2**63 - 1) // SPAN:
+            raise ValueError("session_coactivity composite-key "
+                             "guard exceeded; raise num_partitions")
+        comp_p = np.sort(bidx[~a] * SPAN + rel[~a])
+        lo = bidx[a] * SPAN + (rel[a] - W)
+        hi = bidx[a] * SPAN + (rel[a] + W)
+        total = (np.searchsorted(comp_p, hi, side="right")
+                 - np.searchsorted(comp_p, lo, side="left"))
+        comp2_p = np.sort((bidx[~a] * nk + kc[~a]) * SPAN
+                          + rel[~a])
+        lo2 = (bidx[a] * nk + kc[a]) * SPAN + (rel[a] - W)
+        hi2 = (bidx[a] * nk + kc[a]) * SPAN + (rel[a] + W)
+        same = (np.searchsorted(comp2_p, hi2, side="right")
+                - np.searchsorted(comp2_p, lo2, side="left"))
+        coact = total - same
+        return pa.table({key_col: keys.take(
+            pa.array(np.flatnonzero(a), pa.int64())),
+            "coact": pa.array(coact)})
+
+    counts = partitioned_map(
+        starts.map_batches(spread, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        count_kernel, key="__b", sort_keys=["__b", "tag", "__ts"],
+        num_partitions=num_partitions, strategy="tasks")
+
+    empty = pa.table({key_col: pa.array([], ktype),
+                      "n_sessions": pa.array([], pa.int64()),
+                      "max_coactive": pa.array([], pa.int64()),
+                      "n_coordinated": pa.array([], pa.int64())})
+
+    def agg_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        kc = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        co = t["coact"].to_numpy(zero_copy_only=False)
+        n_keys = int(kc.max()) + 1 if len(kc) else 0
+        ns = np.bincount(kc, minlength=n_keys).astype(np.int64)
+        mx = np.zeros(n_keys, np.int64)
+        np.maximum.at(mx, kc, co)
+        nc = np.zeros(n_keys, np.int64)
+        np.add.at(nc, kc, (co >= min_others).astype(np.int64))
+        first = np.searchsorted(kc, np.arange(n_keys))
+        return pa.table({
+            key_col: keys.take(pa.array(first, pa.int64())),
+            "n_sessions": pa.array(ns),
+            "max_coactive": pa.array(mx),
+            "n_coordinated": pa.array(nc)})
+
+    return partitioned_map(counts, agg_kernel, key=key_col,
+                           sort_keys=[key_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
