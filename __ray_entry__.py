@@ -576,7 +576,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q268_bot_scorecard": _bot_scorecard_q,
         "q269_oscillation": _oscillation_q,
         "q270_coactivity": _coactivity_q,
+        "q271_doc_scorecard": _doc_scorecard_q,
     }
+
+
+def _doc_scorecard_q(sf_dir: str):
+    """q271: COMPOSED document-quality scorecard — Gopher rules
+    (q156) + Flesch readability (q255) + inverse-Simpson diversity
+    (q176) fused in ONE stateless map (same-row-order column merge,
+    no join); flags: gq_keep, 4·n_tokens ≥ sum_sq (effective vocab ≥
+    len/4, exact ints), flesch ≥ −300; keep = flags ≥ 2.  Chained
+    CTE oracle — the corpus-side sibling of the q268 bot
+    scorecard."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.text import (gopher_quality_fn,
+                                            lexical_diversity_fn,
+                                            readability_fn)
+
+    rfn = readability_fn()
+
+    def score(b: pa.Table) -> pa.Table:
+        g = gopher_quality_fn(b, text_col="text", min_words=5,
+                              min_stop_hits=0)
+        r = rfn(b)
+        d = lexical_diversity_fn(b)
+        keep_g = g["gq_keep"].to_numpy(zero_copy_only=False)
+        flesch = r["flesch"].to_numpy(zero_copy_only=False)
+        nt = d["n_tokens"].to_numpy(zero_copy_only=False)
+        ss = d["sum_sq"].to_numpy(zero_copy_only=False)
+        f1 = keep_g.astype(np.int64)
+        f2 = ((nt > 0) & (4 * nt >= ss)).astype(np.int64)
+        f3 = (flesch >= -300.0).astype(np.int64)
+        flags = f1 + f2 + f3
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "gq_keep": g["gq_keep"],
+            "flesch": r["flesch"],
+            "simpson_d": d["simpson_d"],
+            "quality_flags": pa.array(flags),
+            "keep": pa.array(flags >= 2)})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=16)
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def _coactivity_q(sf_dir: str):
@@ -8376,6 +8423,100 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # doc scorecard: q156 keep + q255 flesch + q176 diversity
+        # fused; exact-int diversity flag 4·n_tok >= sum_sq
+        "q271_doc_scorecard": r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS tx,
+                     regexp_extract_all(coalesce(text, ''), '\S+')
+                       AS t,
+                     string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                len(t) AS w,
+                coalesce(length(array_to_string(t, '')), 0) AS wc,
+                len(regexp_extract_all(tx, '#')) AS nh,
+                len(regexp_extract_all(tx, '\.\.\.')) AS ne,
+                len(ls) AS nl,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '^\s*[-*•]'))) AS nb,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '\.\.\.\s*$'))) AS nel,
+                len(list_filter(t, x -> regexp_matches(
+                    x, '[A-Za-z]'))) AS na
+              FROM base),
+            gk AS (SELECT doc_id,
+                          (w >= 5 AND w <= 100000
+                           AND 3 * w <= wc AND wc <= 10 * w
+                           AND 10 * (nh + ne) < w
+                           AND 10 * nb < 9 * nl
+                           AND 10 * nel < 3 * nl
+                           AND 10 * na >= 8 * w
+                           AND 0 >= 0) AS gq_keep,
+                          w AS n_words, wc, nl
+                   FROM s),
+            fl AS (SELECT doc_id,
+                          CAST(206.835 AS DOUBLE)
+                          - CAST(1.015 AS DOUBLE)
+                            * (CAST(GREATEST(len(
+                                  regexp_extract_all(
+                                      coalesce(text, ''), '\S+')),
+                                  1) AS DOUBLE)
+                               / CAST(GREATEST(len(
+                                  regexp_extract_all(
+                                      coalesce(text, ''),
+                                      '[.!?]+')), 1) AS DOUBLE))
+                          - CAST(84.6 AS DOUBLE)
+                            * (CAST(len(regexp_extract_all(
+                                  coalesce(text, ''),
+                                  '[aeiouyAEIOUY]+')) AS DOUBLE)
+                               / CAST(GREATEST(len(
+                                  regexp_extract_all(
+                                      coalesce(text, ''), '\S+')),
+                                  1) AS DOUBLE)) AS flesch
+                   FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS wtok
+              FROM documents),
+            cpt AS (SELECT doc_id, wtok,
+                           CAST(count(*) AS BIGINT) AS n_i
+                    FROM tok GROUP BY doc_id, wtok),
+            dv AS (SELECT d.doc_id,
+                          coalesce(x.n_tokens, 0) AS n_tokens,
+                          coalesce(x.sum_sq, 0) AS sum_sq,
+                          CASE WHEN x.n_tokens IS NULL THEN NULL
+                               ELSE CAST(x.n_tokens AS DOUBLE)
+                                    * CAST(x.n_tokens AS DOUBLE)
+                                    / CAST(x.sum_sq AS DOUBLE) END
+                            AS simpson_d
+                   FROM documents d
+                   LEFT JOIN (SELECT doc_id,
+                                     CAST(sum(n_i) AS BIGINT)
+                                       AS n_tokens,
+                                     CAST(sum(n_i * n_i) AS BIGINT)
+                                       AS sum_sq
+                              FROM cpt GROUP BY doc_id) x
+                     USING (doc_id))
+            SELECT g.doc_id, g.gq_keep, fl.flesch, dv.simpson_d,
+                   CAST((CASE WHEN g.gq_keep THEN 1 ELSE 0 END)
+                      + (CASE WHEN dv.n_tokens > 0
+                              AND 4 * dv.n_tokens >= dv.sum_sq
+                              THEN 1 ELSE 0 END)
+                      + (CASE WHEN fl.flesch >= -300 THEN 1
+                         ELSE 0 END) AS BIGINT) AS quality_flags,
+                   ((CASE WHEN g.gq_keep THEN 1 ELSE 0 END)
+                    + (CASE WHEN dv.n_tokens > 0
+                            AND 4 * dv.n_tokens >= dv.sum_sq
+                            THEN 1 ELSE 0 END)
+                    + (CASE WHEN fl.flesch >= -300 THEN 1
+                       ELSE 0 END)) >= 2 AS keep
+            FROM gk g
+            JOIN fl USING (doc_id)
+            JOIN dv USING (doc_id)
         """,
         # coactivity: lag-based starts + banded self-join
         "q270_coactivity": """

@@ -53,3 +53,33 @@ def test_rule_label_tie_min_topic():
     fn = rule_label_fn({"exec": ["scan"], "plan": ["sort"]})
     df = fn(t).to_pandas()
     assert df.topic.iloc[0] == "exec"  # tie -> first topic asc
+
+
+def test_doc_scorecard_flags():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    # run the composed scorecard on a tiny planted corpus by writing
+    # a parquet dir with the documents schema
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    good = ("the data " * 30 + ". " + "run scan sort merge join "
+            "table index query stream batch. ")
+    junk = "aaaaaaaaaaaaaaaaa " * 40  # one long token repeated
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([good, junk]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([len(good), len(junk)], pa.int64()),
+        }), f"{d}/documents.parquet")
+        df = (e.queries()["q271_doc_scorecard"](d).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert bool(df.iloc[0].keep) is True
+    assert bool(df.iloc[1].keep) is False
+    assert df.iloc[1].quality_flags < df.iloc[0].quality_flags
