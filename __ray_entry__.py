@@ -577,7 +577,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q269_oscillation": _oscillation_q,
         "q270_coactivity": _coactivity_q,
         "q271_doc_scorecard": _doc_scorecard_q,
+        "q272_csv_roundtrip": _csv_roundtrip_q,
     }
+
+
+def _csv_roundtrip_q(sf_dir: str):
+    """q272: CSV sink/source round trip (sources/io.py:write_table
+    fmt=csv + Catalog fragment-format sniffing) — documents'
+    int/categorical columns written as CSV shards, read back through
+    the Catalog, verified by the q204 order-invariant checksum
+    against the parquet truth (q108/q252 convention — completes the
+    parquet/JSONL/IPC/CSV sink-source matrix)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.sources.io import Catalog, write_table
+    from featurebox_ray.stages.profile import table_checksum
+
+    root = f"/tmp/fbr_csv_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source",
+                                          "n_chars"],
+                                 override_num_blocks=8)
+    write_table(docs, f"{root}/documents", fmt="csv")
+    back = Catalog(root).read("documents")
+    return table_checksum(back, cols=["doc_id", "source",
+                                      "n_chars"])
 
 
 def _doc_scorecard_q(sf_dir: str):
@@ -8423,6 +8453,28 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n1 JOIN nn n2
               ON n1.ib = n2.ia AND n2.ib = n1.ia
             WHERE n1.ia < n1.ib
+        """,
+        # CSV round trip: q204 checksum off the parquet truth
+        "q272_csv_roundtrip": """
+            WITH r AS (
+              SELECT CAST('0x' || substr(md5(
+                  CASE WHEN doc_id IS NULL THEN 'n'
+                       ELSE 'v' || length(CAST(doc_id AS VARCHAR))
+                            || ':' || CAST(doc_id AS VARCHAR)
+                  END || '|' ||
+                  CASE WHEN source IS NULL THEN 'n'
+                       ELSE 'v' || length(source) || ':' || source
+                  END || '|' ||
+                  CASE WHEN n_chars IS NULL THEN 'n'
+                       ELSE 'v' || length(CAST(n_chars AS VARCHAR))
+                            || ':' || CAST(n_chars AS VARCHAR)
+                  END), 1, 15) AS UBIGINT) AS hv
+              FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(hv), 0)
+                        % 2305843009213693951 AS BIGINT)
+                     AS checksum
+            FROM r
         """,
         # doc scorecard: q156 keep + q255 flesch + q176 diversity
         # fused; exact-int diversity flag 4·n_tok >= sum_sq

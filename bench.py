@@ -239,7 +239,7 @@ QUERY_NAMES = [
     "q263_eventually_follows", "q264_next_latency",
     "q265_weighted_jaccard", "q266_activation", "q267_predictability",
     "q268_bot_scorecard", "q269_oscillation", "q270_coactivity",
-    "q271_doc_scorecard",
+    "q271_doc_scorecard", "q272_csv_roundtrip",
 ]
 
 
