@@ -578,7 +578,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q270_coactivity": _coactivity_q,
         "q271_doc_scorecard": _doc_scorecard_q,
         "q272_csv_roundtrip": _csv_roundtrip_q,
+        "q273_ridge_eval": _ridge_eval_q,
     }
+
+
+def _ridge_eval_q(sf_dir: str):
+    """q273: distributed regression report (stages/regress.py:
+    ridge_eval) — exact-int ridge fit + quantized-coefficient
+    integer scoring, per-shard (vec_id % 7) n/mae/rmse/r2 from exact
+    moment sums (split-word Σe²).  Fixture oracle: serial replay,
+    bit-identical."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_ridge_eval
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    grp = [None if i is None else i % 7
+           for i in t["vec_id"].to_pylist()]
+    exp = replay_ridge_eval(t["embedding"].to_pylist(),
+                            t["label"].to_pylist(), grp)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "group": pa.array([r[0] for r in exp], pa.int64()),
+        "n": pa.array([r[1] for r in exp], pa.int64()),
+        "mae": pa.array([r[2] for r in exp], pa.float64()),
+        "rmse": pa.array([r[3] for r in exp], pa.float64()),
+        "r2": pa.array([r[4] for r in exp], pa.float64()),
+    }), f"{_ORACLE_DIR}/ridge_eval.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/ridge_eval.parquet.tmp",
+               f"{_ORACLE_DIR}/ridge_eval.parquet")
+
+    from featurebox_ray.stages.regress import ridge_eval
+
+    def add_grp(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "grp", pa.array((ids % 7).astype(np.int64)))
+
+    emb = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label",
+                                          "embedding"],
+                                 override_num_blocks=8)
+           .map_batches(add_grp, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    return ridge_eval(emb, y_col="label", group_col="grp")
 
 
 def _csv_roundtrip_q(sf_dir: str):
@@ -11219,6 +11268,10 @@ def oracle_sql() -> dict[str, str]:
         "q245_dbscan": f"""
             SELECT vec_id, cluster, is_core
             FROM read_parquet('{_ORACLE_DIR}/dbscan.parquet')
+        """,
+        "q273_ridge_eval": f"""
+            SELECT "group", n, mae, rmse, r2
+            FROM read_parquet('{_ORACLE_DIR}/ridge_eval.parquet')
         """,
         "q246_label_prop": f"""
             SELECT vec_id, label_out, is_seed, round_labeled

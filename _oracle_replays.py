@@ -1443,3 +1443,56 @@ def replay_gk_tau(columns: dict, pairs):
         out.append((xc, yc, n,
                     float((e_xy - e_y) / den) if den != 0 else None))
     return out
+
+
+def replay_ridge_eval(vecs, ys, groups=None, *, quant_bits: int = 10,
+                      y_scale: int = 1, lam_num: int = 1,
+                      lam_den: int = 1, coef_bits: int = 20):
+    """Serial replay of stages/regress.py:ridge_eval — same exact
+    integer fit (shared ridge_solve), quantized-coefficient integer
+    scoring, Python-int moment sums, identical metric expressions.
+    Bit-identical (q169 contract).  Returns rows
+    (group, n, mae, rmse, r2_or_None); group = -1 when groups is
+    None."""
+    import math
+
+    import numpy as np
+
+    from featurebox_ray.stages.regress import ridge_solve
+
+    if groups is None:
+        groups = [-1] * len(ys)
+    rows = [(v, y, g) for v, y, g in zip(vecs, ys, groups)
+            if v is not None and y is not None and g is not None]
+    if not rows:
+        return []
+    x = np.asarray([v for v, _, _ in rows], np.float64)
+    qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
+    ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
+    qa = np.concatenate([qi, ones], axis=1)
+    yq = np.round(np.asarray([y for _, y, _ in rows], np.float64)
+                  * y_scale).astype(np.int64)
+    coef = ridge_solve(qa.T @ qa, qa.T @ yq, len(qa), quant_bits,
+                       y_scale, lam_num, lam_den)
+    cq = np.round(coef * float(1 << coef_bits)).astype(np.int64)
+    S = 1 << (quant_bits + coef_bits)
+    pred_q = (qa @ cq) * y_scale
+    e = pred_q - yq * S
+    g = np.asarray([gg for _, _, gg in rows], np.int64)
+    out = []
+    denom = float(S) * float(y_scale)
+    for gv in sorted(set(int(v) for v in g)):
+        sel = g == gv
+        n = int(sel.sum())
+        sae = sum(int(abs(v)) for v in e[sel])
+        sse = sum(int(v) * int(v) for v in e[sel])
+        sy = sum(int(v) for v in yq[sel])
+        syy = sum(int(v) * int(v) for v in yq[sel])
+        mae = (float(sae) / float(n)) / denom
+        rmse = math.sqrt(float(sse) / float(n)) / denom
+        sst = n * syy - sy * sy
+        r2 = (1.0 - (float(sse) * float(n))
+              / (float(sst) * float(S) * float(S))
+              if sst > 0 else None)
+        out.append((gv, n, mae, rmse, r2))
+    return out

@@ -2117,3 +2117,157 @@ def bootstrap_group_ci(ds, *, key_col: str, id_col: str,
         "n_bags_hit": pa.array(out["hit"], pa.int64()),
         "ci_lo": pa.array(out["lo"], pa.float64()),
         "ci_hi": pa.array(out["hi"], pa.float64())})
+
+
+def ridge_eval(ds, *, vec_col: str = "embedding",
+               y_col: str = "label", group_col=None,
+               lam_num: int = 1, lam_den: int = 1,
+               quant_bits: int = 10, y_scale: int = 1,
+               coef_bits: int = 20, num_partitions: int = 4):
+    """Distributed regression evaluation report — fit the exact
+    closed-form ridge (:func:`fit_ridge` sufficient statistics) and
+    score every row, reporting per-group (or global) ``n, mae, rmse,
+    r2``: the missing third leg of the model suite (fit q169,
+    influence q242, now EVAL), and the template for evaluating ANY
+    linear scorer at corpus scale without a single float reduction.
+
+    Exactness: coefficients quantize to ``round(coef·2^coef_bits)``
+    INTEGERS, so every prediction is an exact integer dot
+    (``pred_q = qa·coef_q``, scale ``2^(quant_bits+coef_bits)``) and
+    every error a scaled exact integer; the per-group sums
+    ``(n, Σ|e|, Σe², Σy, Σy²)`` are int64/Python-int partials
+    (order-independent), and each metric is a fixed correctly-rounded
+    float expression of those exact sums.  The serial replay (fixture
+    oracle) is bit-identical end to end.
+
+    Overflow: Σe² partials accumulate as PYTHON ints in the driver
+    combine (per-block int64 partials are guarded: per-row ``|e| <
+    2^31`` scaled units raises — lower coef_bits for wild models).
+
+    Returns ``(group:int64 — -1 for the global row when group_col is
+    None, n:int64, mae:float64, rmse:float64, r2:float64 — NULL for
+    constant targets)``.
+    """
+    import math
+
+    import ray
+
+    from .partition import materialized_block_refs
+
+    coef_tbl = fit_ridge(ds, vec_col=vec_col, y_col=y_col,
+                         lam_num=lam_num, lam_den=lam_den,
+                         quant_bits=quant_bits, y_scale=y_scale,
+                         num_partitions=num_partitions)
+    coef = np.asarray(coef_tbl["coef"].to_pylist(), np.float64)
+    coef_q = np.round(coef * float(1 << coef_bits)).astype(np.int64)
+    coef_ref = ray.put(coef_q)
+    # scales: qa is in 2^quant_bits units, y in y_scale units;
+    # error_scaled = pred_q·y_scale − y_q·2^(qb+cb)·...  — express
+    # everything in the common grid 2^(qb+cb)·y_scale
+    S = (1 << (quant_bits + coef_bits))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[vec_col]), pc.is_valid(b[y_col]))
+        if group_col is not None:
+            keep = pc.and_(keep, pc.is_valid(b[group_col]))
+        keep = pc.fill_null(keep, False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        empty = pa.table({"g": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "sae": pa.array([], pa.int64()),
+                          "shh": pa.array([], pa.int64()),
+                          "shl": pa.array([], pa.int64()),
+                          "sll": pa.array([], pa.int64()),
+                          "sy": pa.array([], pa.int64()),
+                          "syy": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        qa, yq = _ridge_rows(b, vec_col, y_col, quant_bits, y_scale)
+        cq = ray.get(coef_ref)
+        # pred_q is S·(raw prediction); scale by y_scale so both
+        # sides sit on the common 1/(S·y_scale) grid
+        pred_q = (qa @ cq) * y_scale
+        e = pred_q - yq * S
+        ae = np.abs(e)
+        # Σe² via the q170 split-word trick: e = hi·2^21 + lo keeps
+        # every partial in int64 even though e² itself can pass 2^63
+        if len(ae) and (int(ae.max()) >= (1 << 42)
+                        or len(ae) >= (1 << 21)):
+            raise ValueError("ridge_eval split-word guard exceeded "
+                             "(|e| >= 2^42 scaled units or block > "
+                             "2^21 rows); lower coef_bits / "
+                             "batch size")
+        g = (b[group_col].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False)
+             if group_col is not None
+             else np.full(len(yq), -1, np.int64))
+        uniq, inv = np.unique(g, return_inverse=True)
+        k = len(uniq)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        sy = np.zeros(k, np.int64)
+        syy = np.zeros(k, np.int64)
+        np.add.at(sy, inv, yq)
+        np.add.at(syy, inv, yq * yq)
+        hi = ae >> 21
+        lo = ae & ((1 << 21) - 1)
+        sae = np.zeros(k, np.int64)
+        shh = np.zeros(k, np.int64)
+        shl = np.zeros(k, np.int64)
+        sll = np.zeros(k, np.int64)
+        np.add.at(sae, inv, ae)
+        np.add.at(shh, inv, hi * hi)
+        np.add.at(shl, inv, hi * lo)
+        np.add.at(sll, inv, lo * lo)
+        return pa.table({"g": pa.array(uniq),
+                         "n": pa.array(n),
+                         "sae": pa.array(sae),
+                         "shh": pa.array(shh),
+                         "shl": pa.array(shl),
+                         "sll": pa.array(sll),
+                         "sy": pa.array(sy),
+                         "syy": pa.array(syy)})
+
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if blk.num_rows == 0:
+            continue
+        for g, n, sae, shh, shl, sll, sy, syy in zip(
+                blk["g"].to_pylist(), blk["n"].to_pylist(),
+                blk["sae"].to_pylist(), blk["shh"].to_pylist(),
+                blk["shl"].to_pylist(), blk["sll"].to_pylist(),
+                blk["sy"].to_pylist(), blk["syy"].to_pylist()):
+            cur = agg.setdefault(g, [0, 0, 0, 0, 0])
+            cur[0] += n
+            cur[1] += sae
+            # recombine the split-word moments as Python ints
+            cur[2] += (shh << 42) + (shl << 22) + sll
+            cur[3] += sy
+            cur[4] += syy
+    out = {c: [] for c in ("g", "n", "mae", "rmse", "r2")}
+    denom = float(S) * float(y_scale)
+    for g in sorted(agg):
+        n, sae, sse, sy, syy = agg[g]
+        out["g"].append(g)
+        out["n"].append(n)
+        mae = (float(sae) / float(n)) / denom
+        rmse = math.sqrt(float(sse) / float(n)) / denom
+        sst = n * syy - sy * sy             # scaled by n·y_scale²
+        out["mae"].append(mae)
+        out["rmse"].append(rmse)
+        if sst > 0:
+            # r2 = 1 − SSE/SST with both in comparable units:
+            # SSE/(S²·y_scale²) vs SST/(n·y_scale²)
+            r2 = 1.0 - (float(sse) * float(n)) / (
+                float(sst) * float(S) * float(S))
+            out["r2"].append(r2)
+        else:
+            out["r2"].append(None)
+    return pa.table({
+        "group": pa.array(out["g"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "mae": pa.array(out["mae"], pa.float64()),
+        "rmse": pa.array(out["rmse"], pa.float64()),
+        "r2": pa.array(out["r2"], pa.float64())})
