@@ -579,7 +579,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q271_doc_scorecard": _doc_scorecard_q,
         "q272_csv_roundtrip": _csv_roundtrip_q,
         "q273_ridge_eval": _ridge_eval_q,
+        "q274_pr_sweep": _pr_sweep_q,
     }
+
+
+def _pr_sweep_q(sf_dir: str):
+    """q274: per-cohort best-F1 operating point (stages/regress.py:
+    pr_threshold_sweep) — sweep every observed spend level as a
+    'score >= t' purchase classifier, exact suffix confusion counts,
+    FIXED IEEE P/R/F1 from ints, argmax (f1 desc, threshold asc);
+    cumulative-window SQL replay is bit-exact.  Same (grp, y, cents)
+    mapping as q122 so AUC and the operating point describe the same
+    scorer."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.regress import pr_threshold_sweep
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type",
+                                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks()
+        grp = pa.array(
+            uid.to_numpy(zero_copy_only=False) % 8, pa.int64(),
+            mask=np.asarray(pc.is_null(uid)))
+        y = pc.if_else(pc.is_valid(b["event_type"]),
+                       pc.equal(b["event_type"], "purchase"),
+                       pa.nulls(b.num_rows, pa.bool_())).cast(pa.int64())
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        s = pa.array(cents, pa.int64(), mask=np.asarray(pc.is_null(v)))
+        return pa.table({"grp": grp, "y": y, "s": s})
+
+    return pr_threshold_sweep(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="grp", label_col="y", score_col="s")
 
 
 def _ridge_eval_q(sf_dir: str):
@@ -7758,6 +7798,43 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # best-F1 operating point: distinct-score spine, suffix
+        # cumulative counts (ORDER BY s DESC over one row per (grp,s)
+        # -> RANGE peers are self-only), FIXED IEEE P/R/F1 from ints,
+        # argmax (f1 DESC, threshold ASC) — bit-exact vs the engine
+        "q274_pr_sweep": """
+            WITH e AS (
+              SELECT user_id % 8 AS grp,
+                     CAST(event_type = 'purchase' AS BIGINT) AS y,
+                     CAST(round(value * 100) AS BIGINT) AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                    AND value IS NOT NULL
+            ),
+            g AS (SELECT grp, CAST(sum(y) AS BIGINT) AS npos
+                  FROM e GROUP BY grp),
+            t AS (SELECT grp, s,
+                         CAST(sum(sum(y)) OVER (
+                           PARTITION BY grp ORDER BY s DESC)
+                              AS BIGINT) AS tp,
+                         CAST(sum(count(*)) OVER (
+                           PARTITION BY grp ORDER BY s DESC)
+                              AS BIGINT) AS cnt_ge
+                  FROM e GROUP BY grp, s),
+            f AS (SELECT t.grp, t.s AS threshold, tp,
+                         cnt_ge - tp AS fp, g.npos - tp AS fn,
+                         CAST(tp AS DOUBLE) / CAST(cnt_ge AS DOUBLE)
+                             AS precision,
+                         CAST(tp AS DOUBLE) / CAST(g.npos AS DOUBLE)
+                             AS recall,
+                         CAST(2 * tp AS DOUBLE)
+                           / CAST(cnt_ge + g.npos AS DOUBLE) AS f1
+                  FROM t JOIN g USING (grp) WHERE g.npos > 0)
+            SELECT grp, threshold, tp, fp, fn, precision, recall, f1
+            FROM f
+            QUALIFY row_number() OVER (
+              PARTITION BY grp ORDER BY f1 DESC, threshold ASC) = 1
+        """,
         # context trim: exclusive prefix E per user; j = strict-< rank
         # of E−B via the q151 tagged-union window; kept total by one
         # equi-join on (user, rn = j+1)

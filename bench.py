@@ -240,6 +240,8 @@ QUERY_NAMES = [
     "q265_weighted_jaccard", "q266_activation", "q267_predictability",
     "q268_bot_scorecard", "q269_oscillation", "q270_coactivity",
     "q271_doc_scorecard", "q272_csv_roundtrip",
+    # session-16 additions
+    "q274_pr_sweep",
 ]
 
 

@@ -2271,3 +2271,130 @@ def ridge_eval(ds, *, vec_col: str = "embedding",
         "mae": pa.array(out["mae"], pa.float64()),
         "rmse": pa.array(out["rmse"], pa.float64()),
         "r2": pa.array(out["r2"], pa.float64())})
+
+
+def pr_threshold_sweep(ds, *, key_col: str, label_col: str,
+                       score_col: str, num_partitions: int = 16):
+    """Per-group best-F1 operating point — sweep every observed score
+    as a ``score >= t`` decision threshold and report the threshold
+    maximizing F1, with its exact confusion counts: the
+    classifier-calibration primitive next to :func:`group_auc` (AUC
+    ranks the scorer; this picks the cut you would deploy).
+
+    Exactness: with ``score_col`` pre-quantized int64 and ``label_col``
+    int64 ∈ {0,1}, every candidate's ``(tp, fp, fn)`` is an exact
+    suffix count, and precision/recall/F1 are FIXED one-division IEEE
+    expressions of those ints (``2·tp / (2·tp+fp+fn)`` etc.), so SQL
+    replays them bit-identically with cumulative windows over the
+    distinct-score spine.  The argmax is ``(f1 DESC, threshold ASC)``
+    — equal-double F1 ties resolve on the threshold both sides.
+
+    One key-keyed exchange (same shape as :func:`group_auc`); the
+    kernel does one pass of prefix sums + tie-run masks per partition,
+    no per-group Python.  Rows with NULL key/label/score drop; groups
+    with no positive rows emit nothing (every threshold has F1 = 0 —
+    there is no operating point to report).  Returns ``(key_col,
+    threshold:int64, tp:int64, fp:int64, fn:int64, precision:float64,
+    recall:float64, f1:float64)``.
+
+    Reference analog: the reference's classification scorers select
+    models by sklearn ``accuracy``/CV (selection/quickmethod.py
+    dict_method_clf); this is the corpus-scale operating-point sweep
+    those scorers assume has already happened upstream.
+    """
+    from .partition import partitioned_map
+
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        for c, t in ((label_col, pa.int64()), (score_col, pa.int64())):
+            if b.schema.field(c).type != t:
+                raise TypeError(f"{c} must be int64; got "
+                                f"{b.schema.field(c).type}")
+        mask = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[label_col])),
+                       pc.is_valid(b[score_col]))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        return b.select([key_col, label_col, score_col])
+
+    empty = pa.table({
+        key_col: pa.array([], ktype),
+        "threshold": pa.array([], pa.int64()),
+        "tp": pa.array([], pa.int64()),
+        "fp": pa.array([], pa.int64()),
+        "fn": pa.array([], pa.int64()),
+        "precision": pa.array([], pa.float64()),
+        "recall": pa.array([], pa.float64()),
+        "f1": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        # sorted by (key, score) asc — group runs contiguous,
+        # scores ascending within each group
+        y = t[label_col].to_numpy(zero_copy_only=False)
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        n = len(codes)
+        g_start = np.concatenate([[True], codes[1:] != codes[:-1]])
+        seg = np.cumsum(g_start) - 1
+        g_first = np.flatnonzero(g_start)
+        n_grp = len(g_first)
+        g_len = np.diff(np.concatenate([g_first, [n]]))
+        npos = np.zeros(n_grp, np.int64)
+        np.add.at(npos, seg, y)
+        # distinct-score runs within each group: each run's FIRST row
+        # position gives both suffix counts at threshold = that score
+        run_start = g_start | np.concatenate([[True], s[1:] != s[:-1]])
+        run_first = np.flatnonzero(run_start)
+        seg_r = seg[run_first]
+        # exclusive prefix of positives up to run_first, per group
+        excl = np.concatenate([[0], np.cumsum(y)])  # global exclusive
+        pos_lt = excl[run_first] - excl[g_first[seg_r]]
+        tp = npos[seg_r] - pos_lt
+        cnt_ge = (g_first[seg_r] + g_len[seg_r]) - run_first
+        fp = cnt_ge - tp
+        fn = npos[seg_r] - tp
+        thr = s[run_first]
+        # drop groups with no positives (F1 identically 0)
+        keep = npos[seg_r] > 0
+        if not keep.all():
+            tp, fp, fn, thr, seg_r = (a[keep] for a in
+                                      (tp, fp, fn, thr, seg_r))
+        if len(tp) == 0:
+            return empty
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prec = tp.astype(np.float64) / (tp + fp).astype(np.float64)
+            rec = tp.astype(np.float64) / (tp + fn).astype(np.float64)
+            f1 = (2.0 * tp).astype(np.float64) / (
+                2 * tp + fp + fn).astype(np.float64)
+        # per-group argmax: order by (seg, f1 desc, thr asc), first per
+        # seg — float negation is a sign flip, ordering parity is exact
+        order = np.lexsort((thr, -f1, seg_r))
+        first = np.concatenate(
+            [[True], seg_r[order][1:] != seg_r[order][:-1]])
+        pick = order[first]
+        return pa.table({
+            key_col: keys.take(pa.array(g_first[seg_r[pick]],
+                                        pa.int64())),
+            "threshold": pa.array(thr[pick], type=pa.int64()),
+            "tp": pa.array(tp[pick]),
+            "fp": pa.array(fp[pick]),
+            "fn": pa.array(fn[pick]),
+            "precision": pa.array(prec[pick], pa.float64()),
+            "recall": pa.array(rec[pick], pa.float64()),
+            "f1": pa.array(f1[pick], pa.float64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, score_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
