@@ -580,7 +580,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q272_csv_roundtrip": _csv_roundtrip_q,
         "q273_ridge_eval": _ridge_eval_q,
         "q274_pr_sweep": _pr_sweep_q,
+        "q275_watermark_lateness": _watermark_q,
     }
+
+
+def _watermark_q(sf_dir: str):
+    """q275: per-user out-of-order ingestion audit (stages/window.py:
+    watermark_lateness) — replay each user's events in arrival order
+    against an integer running event-time watermark; exact int64
+    lateness sums/max, one IEEE division for late_frac; ROWS-frame
+    window SQL replay is bit-exact.  The synthetic corpus's event_id
+    order equals ts order (zero lateness — degenerate), so arrival is
+    a deterministic local shuffle of it: each block of 4 global ids is
+    reversed (arr = (id//4)*4 + 3 − id%4, a bijection), which injects
+    genuine bounded out-of-orderness for the watermark to catch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.window import watermark_lateness
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def add_arrival(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = b["event_id"].combine_chunks()
+        ids = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        arr = (ids // 4) * 4 + 3 - (ids % 4)
+        return b.append_column(
+            "arrival", pa.array(arr.astype(np.int64), pa.int64(),
+                                mask=np.asarray(pc.is_null(col))))
+
+    ev = ev.map_batches(add_arrival, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return watermark_lateness(ev, key_col="user_id", ts_col="ts",
+                              arrival_col="arrival")
 
 
 def _pr_sweep_q(sf_dir: str):
@@ -7798,6 +7834,36 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # watermark audit: previous-rows running max (ROWS frame, not
+        # RANGE), exact int64 lateness, one division for late_frac
+        "q275_watermark_lateness": """
+            WITH e AS (
+              SELECT user_id,
+                     (event_id // 4) * 4 + 3 - (event_id % 4)
+                         AS arrival,
+                     CAST(epoch_us(ts) AS BIGINT) AS t
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                    AND ts IS NOT NULL
+            ),
+            w AS (SELECT user_id, t,
+                         max(t) OVER (
+                           PARTITION BY user_id ORDER BY arrival
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+                  FROM e)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN wm > t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late,
+                   CAST(coalesce(sum(CASE WHEN wm > t THEN wm - t END),
+                                 0) AS BIGINT) AS sum_late_us,
+                   CAST(coalesce(max(CASE WHEN wm > t THEN wm - t END),
+                                 0) AS BIGINT) AS max_late_us,
+                   CAST(sum(CASE WHEN wm > t THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS late_frac
+            FROM w GROUP BY user_id
+        """,
         # best-F1 operating point: distinct-score spine, suffix
         # cumulative counts (ORDER BY s DESC over one row per (grp,s)
         # -> RANGE peers are self-only), FIXED IEEE P/R/F1 from ints,

@@ -241,7 +241,7 @@ QUERY_NAMES = [
     "q268_bot_scorecard", "q269_oscillation", "q270_coactivity",
     "q271_doc_scorecard", "q272_csv_roundtrip",
     # session-16 additions
-    "q274_pr_sweep",
+    "q274_pr_sweep", "q275_watermark_lateness",
 ]
 
 

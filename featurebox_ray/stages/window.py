@@ -1410,3 +1410,90 @@ def sax_encode(ds, *, key_col: str, ts_col: str, order_col: str,
     return (ray.data.from_arrow_refs(refs)
             .map_batches(symbolize, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+def watermark_lateness(ds, *, key_col: str, ts_col: str,
+                       arrival_col: str, num_partitions: int = 16):
+    """Per-key out-of-order / late-event audit — replay each key's
+    stream in ARRIVAL order (``arrival_col``), hold a running
+    event-time watermark (max ``ts_col`` seen so far), and count rows
+    arriving with an event time strictly behind it: the health check a
+    streaming ingestion needs before trusting any windowed aggregate
+    (how much data is late, and by how far — i.e. what
+    allowed-lateness a real watermark would need).
+
+    Exactness: ``ts`` is cast to int64 microseconds, the watermark is
+    an integer running max, and every lateness is an exact int64
+    difference; ``late_frac`` is the single IEEE division.  SQL
+    replays bit-identically with ``max() OVER (... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    One key-keyed exchange; the kernel is one segmented running max
+    (C-speed cummax over contiguous key runs) + reduceat aggregates —
+    no per-row Python.  Rows with NULL key/ts/arrival drop.  A key's
+    first arrival is never late (no watermark yet).  Returns
+    ``(key_col, n:int64, n_late:int64, sum_late_us:int64,
+    max_late_us:int64 — 0 when nothing is late, late_frac:float64)``.
+
+    Scale note: same partitioned-map shape as :func:`add_drawdown`;
+    the output is one row per key, so the exchange moves data rows
+    once and emits a key-sized table.
+    """
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.is_valid(b[arrival_col]))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        return b.select([key_col, ts_col, arrival_col])
+
+    empty = pa.table({
+        key_col: pa.array([], ktype),
+        "n": pa.array([], pa.int64()),
+        "n_late": pa.array([], pa.int64()),
+        "sum_late_us": pa.array([], pa.int64()),
+        "max_late_us": pa.array([], pa.int64()),
+        "late_frac": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes, _ = _key_codes_dic(keys)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        seg_start, row_in_seg, is_start = seg.segment_ids(codes)
+        import pandas as pd
+
+        g = np.cumsum(is_start) - 1
+        run_max = pd.Series(ts).groupby(g).cummax().to_numpy()
+        # previous-row watermark: shift by one inside each segment
+        wm_prev = np.empty(len(ts), np.int64)
+        wm_prev[1:] = run_max[:-1]
+        wm_prev[is_start] = np.iinfo(np.int64).min  # first row: none
+        late = wm_prev > ts
+        lateness = np.where(late, wm_prev - ts, 0)
+        g_first = np.flatnonzero(is_start)
+        n = np.diff(np.concatenate([g_first, [len(ts)]]))
+        n_late = np.add.reduceat(late.astype(np.int64), g_first)
+        sum_late = np.add.reduceat(lateness, g_first)
+        max_late = np.maximum.reduceat(lateness, g_first)
+        frac = n_late.astype(np.float64) / n.astype(np.float64)
+        return pa.table({
+            key_col: keys.take(pa.array(g_first, pa.int64())),
+            "n": pa.array(n, type=pa.int64()),
+            "n_late": pa.array(n_late),
+            "sum_late_us": pa.array(sum_late, type=pa.int64()),
+            "max_late_us": pa.array(max_late, type=pa.int64()),
+            "late_frac": pa.array(frac, pa.float64())})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, arrival_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
