@@ -581,7 +581,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q273_ridge_eval": _ridge_eval_q,
         "q274_pr_sweep": _pr_sweep_q,
         "q275_watermark_lateness": _watermark_q,
+        "q276_grouped_ridge": _grouped_ridge_q,
     }
+
+
+def _grouped_ridge_q(sf_dir: str):
+    """q276: many-model training — one independent ridge fit per
+    cohort (vec_id % 5) in a single corpus pass (stages/regress.py:
+    grouped_ridge); exact int64 per-group XᵀX/Xᵀy partials on one
+    group-keyed exchange, shared ridge_solve per group.  Fixture
+    oracle: serial replay, bit-identical (q169 contract)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_grouped_ridge
+
+    QB, YS, LN, LD = 10, 1, 1, 10
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    grp = [None if i is None else i % 5
+           for i in t["vec_id"].to_pylist()]
+    rep = replay_grouped_ridge(t["embedding"].to_pylist(),
+                               t["label"].to_pylist(), grp,
+                               quant_bits=QB, y_scale=YS,
+                               lam_num=LN, lam_den=LD)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "group": pa.array([r[0] for r in rep], pa.int64()),
+        "j": pa.array([r[1] for r in rep], pa.int64()),
+        "coef": pa.array([r[2] for r in rep], pa.float64()),
+    }), f"{_ORACLE_DIR}/grouped_ridge.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/grouped_ridge.parquet.tmp",
+               f"{_ORACLE_DIR}/grouped_ridge.parquet")
+
+    from featurebox_ray.stages.regress import grouped_ridge
+
+    def add_grp(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = b["vec_id"].combine_chunks()
+        ids = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "grp", pa.array((ids % 5).astype(np.int64), pa.int64(),
+                            mask=np.asarray(pc.is_null(col))))
+
+    emb = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label",
+                                          "embedding"],
+                                 override_num_blocks=8)
+           .map_batches(add_grp, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    return grouped_ridge(emb, group_col="grp", lam_num=LN,
+                         lam_den=LD, quant_bits=QB, y_scale=YS)
 
 
 def _watermark_q(sf_dir: str):
@@ -11415,6 +11471,10 @@ def oracle_sql() -> dict[str, str]:
         "q273_ridge_eval": f"""
             SELECT "group", n, mae, rmse, r2
             FROM read_parquet('{_ORACLE_DIR}/ridge_eval.parquet')
+        """,
+        "q276_grouped_ridge": f"""
+            SELECT "group", j, coef
+            FROM read_parquet('{_ORACLE_DIR}/grouped_ridge.parquet')
         """,
         "q246_label_prop": f"""
             SELECT vec_id, label_out, is_seed, round_labeled

@@ -1496,3 +1496,37 @@ def replay_ridge_eval(vecs, ys, groups=None, *, quant_bits: int = 10,
               if sst > 0 else None)
         out.append((gv, n, mae, rmse, r2))
     return out
+
+
+def replay_grouped_ridge(vecs, ys, groups, *, quant_bits: int = 10,
+                         y_scale: int = 1, lam_num: int = 1,
+                         lam_den: int = 1):
+    """Serial replay of stages/regress.py:grouped_ridge — identical
+    quantization and per-group integer sufficient statistics, the
+    shared ridge_solve float path per group.  Bit-identical (q169
+    contract).  Returns rows (group, j, coef) sorted by (group, j)."""
+    import numpy as np
+
+    from featurebox_ray.stages.regress import ridge_solve
+
+    rows = [(v, y, g) for v, y, g in zip(vecs, ys, groups)
+            if v is not None and y is not None and g is not None]
+    if not rows:
+        return []
+    x = np.asarray([v for v, _, _ in rows], np.float64)
+    qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
+    ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
+    qa = np.concatenate([qi, ones], axis=1)
+    yq = np.round(np.asarray([y for _, y, _ in rows], np.float64)
+                  * y_scale).astype(np.int64)
+    g = np.asarray([gg for _, _, gg in rows], np.int64)
+    out = []
+    for gv in sorted(set(int(v) for v in g)):
+        sel = g == gv
+        sub = qa[sel]
+        coef = ridge_solve(sub.T @ sub, sub.T @ yq[sel],
+                           int(sel.sum()), quant_bits, y_scale,
+                           lam_num, lam_den)
+        for j, cf in enumerate(coef):
+            out.append((gv, j, float(cf)))
+    return out

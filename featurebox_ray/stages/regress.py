@@ -2398,3 +2398,123 @@ def pr_threshold_sweep(ds, *, key_col: str, label_col: str,
                            sort_keys=[key_col, score_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def grouped_ridge(ds, *, vec_col: str = "embedding",
+                  y_col: str = "label", group_col: str,
+                  lam_num: int = 1, lam_den: int = 1,
+                  quant_bits: int = 10, y_scale: int = 1,
+                  num_partitions: int = 4) -> pa.Table:
+    """Many-model training — one independent closed-form ridge fit PER
+    GROUP in a single corpus pass: the distributed "fit a model per
+    segment/tenant/cohort" primitive (the reference fits one sklearn
+    model per candidate subset inside its selection drivers; this is
+    the same fan-out turned inside-out, models keyed by a data column).
+
+    Same exactness contract as :func:`fit_ridge` (the q169 contract):
+    per block each group present reduces to int64 ``XᵀX, Xᵀy, n``
+    partials (shared :func:`_ridge_rows` quantization), the partials
+    merge by addition on ONE group-keyed exchange (d²·G rows move,
+    never data), and the driver reconstructs IDENTICAL float matrices
+    per group and runs the shared :func:`ridge_solve` — bit-identical
+    to a serial replay.
+
+    Groups must be non-negative int64 and BOUNDED (a model count, not
+    a data column: think ≤10⁴ models of d ≤ 10² dims — the driver
+    holds G·(d²+d+1) ints and performs G small solves).  Rows with
+    NULL vec/y/group drop; a group whose Gram is singular raises (as
+    fit_ridge does — λ>0 prevents it).  Returns ``(group:int64,
+    j:int64 — d is the intercept, coef:float64)`` sorted by
+    (group, j).
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    empty = pa.table({"g": pa.array([], pa.int64()),
+                      "cell": pa.array([], pa.int64()),
+                      "val": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[vec_col]),
+                               pc.is_valid(b[y_col])),
+                       pc.is_valid(b[group_col]))
+        if not pc.all(pc.fill_null(keep, False)).as_py():
+            b = b.filter(pc.fill_null(keep, False))
+        if b.num_rows == 0:
+            return empty
+        qa, yq = _ridge_rows(b, vec_col, y_col, quant_bits, y_scale)
+        g = (b[group_col].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        if len(g) and int(g.min()) < 0:
+            raise ValueError("grouped_ridge: negative group id")
+        order = np.argsort(g, kind="stable")
+        gs, qa, yq = g[order], qa[order], yq[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], gs[1:] != gs[:-1]]))
+        ends = np.concatenate([starts[1:], [len(gs)]])
+        d1 = qa.shape[1]
+        cells_idx = np.concatenate([
+            np.arange(d1 * d1, dtype=np.int64),
+            d1 * d1 + np.arange(d1, dtype=np.int64),
+            [d1 * d1 + d1]])
+        out_g, out_v = [], []
+        # Python loop over groups PRESENT in this block — bounded by
+        # the model count G, not by rows; each iteration is one
+        # vectorized matmul
+        for s, e in zip(starts, ends):
+            sub = qa[s:e]
+            out_g.append(np.full(len(cells_idx), gs[s], np.int64))
+            out_v.append(np.concatenate(
+                [(sub.T @ sub).ravel(), sub.T @ yq[s:e], [e - s]]))
+        return pa.table({
+            "g": pa.array(np.concatenate(out_g)),
+            "cell": pa.array(np.tile(cells_idx, len(starts))),
+            "val": pa.array(np.concatenate(out_v))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return empty
+        # sorted by (g, cell): (g, cell) runs are contiguous
+        g = t["g"].to_numpy(zero_copy_only=False)
+        c = t["cell"].to_numpy(zero_copy_only=False)
+        v = t["val"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(
+            [[True], (g[1:] != g[:-1]) | (c[1:] != c[:-1])])
+        rf = np.flatnonzero(first)
+        return pa.table({"g": pa.array(g[rf]),
+                         "cell": pa.array(c[rf]),
+                         "val": pa.array(np.add.reduceat(v, rf))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    stats = partitioned_map(partials, combine, key="g",
+                            sort_keys=["g", "cell"],
+                            num_partitions=num_partitions,
+                            strategy="tasks")
+    blocks = [b for b in ray.get(materialized_block_refs(stats))
+              if b.num_rows > 0]
+    if not blocks:
+        raise ValueError("grouped_ridge: empty input")
+    st = pa.concat_tables(blocks)
+    g = st["g"].to_numpy(zero_copy_only=False)
+    c = st["cell"].to_numpy(zero_copy_only=False)
+    v = st["val"].to_numpy(zero_copy_only=False)
+    out_g, out_j, out_coef = [], [], []
+    for gv in sorted(set(int(x) for x in g)):
+        sel = g == gv
+        cs, vs = c[sel], v[sel]
+        total = int(cs.max()) + 1
+        d1 = int(round((-1 + np.sqrt(1 + 4 * (total - 1))) / 2))
+        flat = np.zeros(total, np.int64)
+        flat[cs] = vs
+        coef = ridge_solve(flat[:d1 * d1].reshape(d1, d1),
+                           flat[d1 * d1:d1 * d1 + d1],
+                           int(flat[-1]), quant_bits, y_scale,
+                           lam_num, lam_den)
+        out_g.extend([gv] * d1)
+        out_j.extend(range(d1))
+        out_coef.extend(coef.tolist())
+    return pa.table({"group": pa.array(out_g, pa.int64()),
+                     "j": pa.array(out_j, pa.int64()),
+                     "coef": pa.array(out_coef, pa.float64())})
