@@ -582,7 +582,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q274_pr_sweep": _pr_sweep_q,
         "q275_watermark_lateness": _watermark_q,
         "q276_grouped_ridge": _grouped_ridge_q,
+        "q277_learning_curve": _learning_curve_q,
     }
+
+
+def _learning_curve_q(sf_dir: str):
+    """q277: distributed learning curve (stages/regress.py:
+    learning_curve) — Knuth-hash buckets, prefix-sum nested training
+    sets (all K ridge fits from ONE statistics pass), holdout scored
+    for all K models in one read via quantized-coefficient integer
+    scoring.  Fixture oracle: serial replay, bit-identical."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_learning_curve
+
+    KB, QB, LN, LD = 6, 10, 1, 10
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    rep = replay_learning_curve(t["embedding"].to_pylist(),
+                                t["label"].to_pylist(),
+                                t["vec_id"].to_pylist(),
+                                n_train_buckets=KB, quant_bits=QB,
+                                lam_num=LN, lam_den=LD)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "k": pa.array([r[0] for r in rep], pa.int64()),
+        "n_train": pa.array([r[1] for r in rep], pa.int64()),
+        "n_test": pa.array([r[2] for r in rep], pa.int64()),
+        "rmse": pa.array([r[3] for r in rep], pa.float64()),
+        "r2": pa.array([r[4] for r in rep], pa.float64()),
+    }), f"{_ORACLE_DIR}/learning_curve.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/learning_curve.parquet.tmp",
+               f"{_ORACLE_DIR}/learning_curve.parquet")
+
+    from featurebox_ray.stages.regress import learning_curve
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label",
+                                         "embedding"],
+                                override_num_blocks=8)
+    return learning_curve(emb, id_col="vec_id", n_train_buckets=KB,
+                          quant_bits=QB, lam_num=LN, lam_den=LD)
 
 
 def _grouped_ridge_q(sf_dir: str):
@@ -11475,6 +11520,10 @@ def oracle_sql() -> dict[str, str]:
         "q276_grouped_ridge": f"""
             SELECT "group", j, coef
             FROM read_parquet('{_ORACLE_DIR}/grouped_ridge.parquet')
+        """,
+        "q277_learning_curve": f"""
+            SELECT k, n_train, n_test, rmse, r2
+            FROM read_parquet('{_ORACLE_DIR}/learning_curve.parquet')
         """,
         "q246_label_prop": f"""
             SELECT vec_id, label_out, is_seed, round_labeled

@@ -1530,3 +1530,65 @@ def replay_grouped_ridge(vecs, ys, groups, *, quant_bits: int = 10,
         for j, cf in enumerate(coef):
             out.append((gv, j, float(cf)))
     return out
+
+
+def replay_learning_curve(vecs, ys, ids, *, n_train_buckets: int = 8,
+                          quant_bits: int = 10, y_scale: int = 1,
+                          lam_num: int = 1, lam_den: int = 1,
+                          coef_bits: int = 20):
+    """Serial replay of stages/regress.py:learning_curve — identical
+    Knuth bucketing, per-bucket integer sufficient statistics,
+    prefix-sum nested training sets, shared ridge_solve, quantized-
+    coefficient integer scoring on the holdout with Python-int moment
+    sums.  Bit-identical.  Returns rows
+    (k, n_train, n_test, rmse, r2_or_None)."""
+    import math
+
+    import numpy as np
+
+    from featurebox_ray.stages.regress import ridge_solve
+    from featurebox_ray.stages.sample import knuth_hash
+
+    K = int(n_train_buckets)
+    rows = [(v, y, i) for v, y, i in zip(vecs, ys, ids)
+            if v is not None and y is not None and i is not None]
+    x = np.asarray([v for v, _, _ in rows], np.float64)
+    qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
+    ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
+    qa = np.concatenate([qi, ones], axis=1)
+    yq = np.round(np.asarray([y for _, y, _ in rows], np.float64)
+                  * y_scale).astype(np.int64)
+    ids_a = np.asarray([i for _, _, i in rows], np.int64)
+    bk = (knuth_hash(ids_a) % (K + 1)).astype(np.int64)
+    d1 = qa.shape[1]
+    g_acc = np.zeros((d1, d1), np.int64)
+    b_acc = np.zeros(d1, np.int64)
+    n_acc = 0
+    hold = bk == K
+    qh, yh = qa[hold], yq[hold]
+    S = 1 << (quant_bits + coef_bits)
+    out = []
+    for k in range(1, K + 1):
+        sel = bk == (k - 1)
+        sub = qa[sel]
+        g_acc = g_acc + sub.T @ sub
+        b_acc = b_acc + sub.T @ yq[sel]
+        n_acc += int(sel.sum())
+        coef = ridge_solve(g_acc, b_acc, n_acc, quant_bits, y_scale,
+                           lam_num, lam_den)
+        cq = np.round(coef * float(1 << coef_bits)).astype(np.int64)
+        pred_q = (qh @ cq) * y_scale
+        e = pred_q - yh * S
+        n = len(yh)
+        sae = sum(int(abs(v)) for v in e)
+        sse = sum(int(v) * int(v) for v in e)
+        sy = sum(int(v) for v in yh)
+        syy = sum(int(v) * int(v) for v in yh)
+        denom = float(S) * float(y_scale)
+        rmse = math.sqrt(float(sse) / float(n)) / denom
+        sst = n * syy - sy * sy
+        r2 = (1.0 - (float(sse) * float(n))
+              / (float(sst) * float(S) * float(S))
+              if sst > 0 else None)
+        out.append((k, n_acc, n, rmse, r2))
+    return out

@@ -2427,6 +2427,37 @@ def grouped_ridge(ds, *, vec_col: str = "embedding",
     j:int64 — d is the intercept, coef:float64)`` sorted by
     (group, j).
     """
+    stats = _grouped_ridge_stats(ds, vec_col=vec_col, y_col=y_col,
+                                 group_col=group_col,
+                                 quant_bits=quant_bits,
+                                 y_scale=y_scale,
+                                 num_partitions=num_partitions,
+                                 op="grouped_ridge")
+    out_g, out_j, out_coef = [], [], []
+    for gv in sorted(stats):
+        flat = stats[gv]
+        d1 = int(round((-1 + np.sqrt(1 + 4 * (len(flat) - 1))) / 2))
+        coef = ridge_solve(flat[:d1 * d1].reshape(d1, d1),
+                           flat[d1 * d1:d1 * d1 + d1],
+                           int(flat[-1]), quant_bits, y_scale,
+                           lam_num, lam_den)
+        out_g.extend([gv] * d1)
+        out_j.extend(range(d1))
+        out_coef.extend(coef.tolist())
+    return pa.table({"group": pa.array(out_g, pa.int64()),
+                     "j": pa.array(out_j, pa.int64()),
+                     "coef": pa.array(out_coef, pa.float64())})
+
+
+def _grouped_ridge_stats(ds, *, vec_col: str, y_col: str,
+                         group_col: str, quant_bits: int,
+                         y_scale: int, num_partitions: int,
+                         op: str) -> dict:
+    """Shared sufficient-statistics pass of :func:`grouped_ridge` /
+    :func:`learning_curve`: per-group int64 ``[XᵀX.ravel(), Xᵀy, n]``
+    flats, merged on one group-keyed exchange.  Returns
+    ``{group: flat int64 array}`` (dense cells; every group's flat has
+    length d1²+d1+1)."""
     import ray
 
     from .partition import materialized_block_refs, partitioned_map
@@ -2447,7 +2478,7 @@ def grouped_ridge(ds, *, vec_col: str = "embedding",
         g = (b[group_col].combine_chunks().cast(pa.int64())
              .to_numpy(zero_copy_only=False))
         if len(g) and int(g.min()) < 0:
-            raise ValueError("grouped_ridge: negative group id")
+            raise ValueError(f"{op}: negative group id")
         order = np.argsort(g, kind="stable")
         gs, qa, yq = g[order], qa[order], yq[order]
         starts = np.flatnonzero(
@@ -2495,26 +2526,170 @@ def grouped_ridge(ds, *, vec_col: str = "embedding",
     blocks = [b for b in ray.get(materialized_block_refs(stats))
               if b.num_rows > 0]
     if not blocks:
-        raise ValueError("grouped_ridge: empty input")
+        raise ValueError(f"{op}: empty input")
     st = pa.concat_tables(blocks)
     g = st["g"].to_numpy(zero_copy_only=False)
     c = st["cell"].to_numpy(zero_copy_only=False)
     v = st["val"].to_numpy(zero_copy_only=False)
-    out_g, out_j, out_coef = [], [], []
+    out = {}
     for gv in sorted(set(int(x) for x in g)):
         sel = g == gv
         cs, vs = c[sel], v[sel]
-        total = int(cs.max()) + 1
-        d1 = int(round((-1 + np.sqrt(1 + 4 * (total - 1))) / 2))
-        flat = np.zeros(total, np.int64)
+        flat = np.zeros(int(cs.max()) + 1, np.int64)
         flat[cs] = vs
-        coef = ridge_solve(flat[:d1 * d1].reshape(d1, d1),
-                           flat[d1 * d1:d1 * d1 + d1],
-                           int(flat[-1]), quant_bits, y_scale,
-                           lam_num, lam_den)
-        out_g.extend([gv] * d1)
-        out_j.extend(range(d1))
-        out_coef.extend(coef.tolist())
-    return pa.table({"group": pa.array(out_g, pa.int64()),
-                     "j": pa.array(out_j, pa.int64()),
-                     "coef": pa.array(out_coef, pa.float64())})
+        out[gv] = flat
+    return out
+
+
+def learning_curve(ds, *, vec_col: str = "embedding",
+                   y_col: str = "label", id_col: str,
+                   n_train_buckets: int = 8, lam_num: int = 1,
+                   lam_den: int = 1, quant_bits: int = 10,
+                   y_scale: int = 1, coef_bits: int = 20,
+                   num_partitions: int = 4) -> pa.Table:
+    """Distributed learning curve — how does held-out error move as
+    training data grows?  The sample-efficiency probe every data
+    acquisition / curation decision rests on ("would 2× data help, or
+    is the model saturated?"), computed in TWO corpus passes total for
+    ALL curve points.
+
+    Rows split into ``n_train_buckets`` train buckets + 1 holdout by
+    the engine's Knuth hash of ``id_col``; pass 1 reduces each bucket
+    to exact int64 ridge sufficient statistics (shared
+    :func:`_grouped_ridge_stats`), the driver PREFIX-SUMS them (point
+    k trains on buckets 0..k−1 — nested training sets, as a learning
+    curve requires) and solves K models via the shared
+    :func:`ridge_solve`; pass 2 scores all K quantized-coefficient
+    models against the holdout in one read (one ``qa @ CQᵀ`` per
+    block), accumulating the q273 exact split-word moment sums per
+    model.
+
+    Exactness: identical contract to :func:`ridge_eval` — integer
+    statistics, Python-int driver combine, fixed float metric
+    expressions; the serial replay is bit-identical.
+
+    Returns ``(k:int64 — train buckets used, n_train:int64,
+    n_test:int64, rmse:float64, r2:float64 — NULL for a constant
+    holdout)``, one row per k = 1..n_train_buckets.
+    """
+    import math
+
+    import ray
+
+    from .partition import materialized_block_refs
+    from .sample import knuth_hash
+
+    K = int(n_train_buckets)
+    if K < 1:
+        raise ValueError("learning_curve: n_train_buckets < 1")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        col = b[id_col].combine_chunks()
+        ids = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        bk = (knuth_hash(ids.astype(np.int64), op="learning_curve")
+              % (K + 1)).astype(np.int64)
+        return b.append_column(
+            "__bucket", pa.array(bk, pa.int64(),
+                                 mask=np.asarray(pc.is_null(col))))
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    stats = _grouped_ridge_stats(withb, vec_col=vec_col, y_col=y_col,
+                                 group_col="__bucket",
+                                 quant_bits=quant_bits,
+                                 y_scale=y_scale,
+                                 num_partitions=num_partitions,
+                                 op="learning_curve")
+    width = max(len(f) for f in stats.values())
+    acc = np.zeros(width, np.int64)
+    d1 = int(round((-1 + np.sqrt(1 + 4 * (width - 1))) / 2))
+    coefs, n_train = [], []
+    for k in range(K):
+        if k in stats:
+            acc = acc + stats[k]
+        coefs.append(ridge_solve(acc[:d1 * d1].reshape(d1, d1),
+                                 acc[d1 * d1:d1 * d1 + d1],
+                                 int(acc[-1]), quant_bits, y_scale,
+                                 lam_num, lam_den))
+        n_train.append(int(acc[-1]))
+    CQ = np.stack([np.round(cf * float(1 << coef_bits))
+                   .astype(np.int64) for cf in coefs])
+    cq_ref = ray.put(CQ)
+    S = 1 << (quant_bits + coef_bits)
+
+    def eval_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], pa.int64()) for c in
+                          ("k", "n", "sae", "shh", "shl", "sll",
+                           "sy", "syy")})
+        keep = pc.and_(pc.and_(pc.is_valid(b[vec_col]),
+                               pc.is_valid(b[y_col])),
+                       pc.fill_null(pc.equal(b["__bucket"], K),
+                                    False))
+        if not pc.all(pc.fill_null(keep, False)).as_py():
+            b = b.filter(pc.fill_null(keep, False))
+        if b.num_rows == 0:
+            return empty
+        qa, yq = _ridge_rows(b, vec_col, y_col, quant_bits, y_scale)
+        cq = ray.get(cq_ref)
+        pred_q = (qa @ cq.T) * y_scale          # (n, K)
+        e = pred_q - (yq * S)[:, None]
+        ae = np.abs(e)
+        if ae.size and (int(ae.max()) >= (1 << 42)
+                        or len(ae) >= (1 << 21)):
+            raise ValueError("learning_curve split-word guard "
+                             "exceeded; lower coef_bits/batch size")
+        hi, lo = ae >> 21, ae & ((1 << 21) - 1)
+        n = len(yq)
+        return pa.table({
+            "k": pa.array(np.arange(1, cq.shape[0] + 1,
+                                    dtype=np.int64)),
+            "n": pa.array(np.full(cq.shape[0], n, np.int64)),
+            "sae": pa.array(ae.sum(axis=0).astype(np.int64)),
+            "shh": pa.array((hi * hi).sum(axis=0).astype(np.int64)),
+            "shl": pa.array((hi * lo).sum(axis=0).astype(np.int64)),
+            "sll": pa.array((lo * lo).sum(axis=0).astype(np.int64)),
+            "sy": pa.array(np.full(cq.shape[0], int(yq.sum()),
+                                   np.int64)),
+            "syy": pa.array(np.full(cq.shape[0],
+                                    int((yq * yq).sum()), np.int64)),
+        })
+
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(
+            withb.map_batches(eval_partial, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=None))):
+        if blk.num_rows == 0:
+            continue
+        for k, n, sae, shh, shl, sll, sy, syy in zip(
+                *(blk[c].to_pylist() for c in
+                  ("k", "n", "sae", "shh", "shl", "sll", "sy",
+                   "syy"))):
+            cur = agg.setdefault(k, [0, 0, 0, 0, 0])
+            cur[0] += n
+            cur[1] += sae
+            cur[2] += (shh << 42) + (shl << 22) + sll
+            cur[3] += sy
+            cur[4] += syy
+    out = {c: [] for c in ("k", "n_train", "n_test", "rmse", "r2")}
+    denom = float(S) * float(y_scale)
+    for k in range(1, K + 1):
+        n, sae, sse, sy, syy = agg.get(k, [0, 0, 0, 0, 0])
+        if n == 0:
+            raise ValueError("learning_curve: empty holdout bucket")
+        out["k"].append(k)
+        out["n_train"].append(n_train[k - 1])
+        out["n_test"].append(n)
+        out["rmse"].append(
+            math.sqrt(float(sse) / float(n)) / denom)
+        sst = n * syy - sy * sy
+        out["r2"].append(
+            1.0 - (float(sse) * float(n))
+            / (float(sst) * float(S) * float(S))
+            if sst > 0 else None)
+    return pa.table({
+        "k": pa.array(out["k"], pa.int64()),
+        "n_train": pa.array(out["n_train"], pa.int64()),
+        "n_test": pa.array(out["n_test"], pa.int64()),
+        "rmse": pa.array(out["rmse"], pa.float64()),
+        "r2": pa.array(out["r2"], pa.float64())})
