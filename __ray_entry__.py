@@ -583,7 +583,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q275_watermark_lateness": _watermark_q,
         "q276_grouped_ridge": _grouped_ridge_q,
         "q277_learning_curve": _learning_curve_q,
+        "q278_conformal": _conformal_q,
     }
+
+
+def _conformal_q(sf_dir: str):
+    """q278: split-conformal prediction intervals (stages/regress.py:
+    conformal_intervals) — Knuth train/cal/test split, exact integer
+    residuals, order-statistic conformal threshold, integer coverage
+    count; one IEEE division per reported float.  Fixture oracle:
+    serial replay, bit-identical."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_conformal
+
+    QB, LN, LD = 10, 1, 10
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    rep = replay_conformal(t["embedding"].to_pylist(),
+                           t["label"].to_pylist(),
+                           t["vec_id"].to_pylist(), quant_bits=QB,
+                           lam_num=LN, lam_den=LD)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    r = rep[0]
+    pq.write_table(pa.table({
+        "n_train": pa.array([r[0]], pa.int64()),
+        "n_cal": pa.array([r[1]], pa.int64()),
+        "n_test": pa.array([r[2]], pa.int64()),
+        "q_hat": pa.array([r[3]], pa.float64()),
+        "coverage": pa.array([r[4]], pa.float64()),
+        "target": pa.array([r[5]], pa.float64()),
+    }), f"{_ORACLE_DIR}/conformal.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/conformal.parquet.tmp",
+               f"{_ORACLE_DIR}/conformal.parquet")
+
+    from featurebox_ray.stages.regress import conformal_intervals
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label",
+                                         "embedding"],
+                                override_num_blocks=8)
+    return conformal_intervals(emb, id_col="vec_id", quant_bits=QB,
+                               lam_num=LN, lam_den=LD)
 
 
 def _learning_curve_q(sf_dir: str):
@@ -11524,6 +11570,10 @@ def oracle_sql() -> dict[str, str]:
         "q277_learning_curve": f"""
             SELECT k, n_train, n_test, rmse, r2
             FROM read_parquet('{_ORACLE_DIR}/learning_curve.parquet')
+        """,
+        "q278_conformal": f"""
+            SELECT n_train, n_cal, n_test, q_hat, coverage, target
+            FROM read_parquet('{_ORACLE_DIR}/conformal.parquet')
         """,
         "q246_label_prop": f"""
             SELECT vec_id, label_out, is_seed, round_labeled

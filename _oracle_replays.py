@@ -1592,3 +1592,49 @@ def replay_learning_curve(vecs, ys, ids, *, n_train_buckets: int = 8,
               if sst > 0 else None)
         out.append((k, n_acc, n, rmse, r2))
     return out
+
+
+def replay_conformal(vecs, ys, ids, *, alpha_num: int = 1,
+                     alpha_den: int = 10, n_buckets: int = 4,
+                     cal_bucket: int = 2, test_bucket: int = 3,
+                     quant_bits: int = 10, y_scale: int = 1,
+                     lam_num: int = 1, lam_den: int = 1,
+                     coef_bits: int = 20):
+    """Serial replay of stages/regress.py:conformal_intervals —
+    identical Knuth split, integer ridge fit on train, exact
+    order-statistic conformal threshold on calibration, integer
+    coverage count on test.  Bit-identical.  Returns one row
+    (n_train, n_cal, n_test, q_hat, coverage, target)."""
+    import numpy as np
+
+    from featurebox_ray.stages.regress import ridge_solve
+    from featurebox_ray.stages.sample import knuth_hash
+
+    rows = [(v, y, i) for v, y, i in zip(vecs, ys, ids)
+            if v is not None and y is not None and i is not None]
+    x = np.asarray([v for v, _, _ in rows], np.float64)
+    qi = np.round(x * float(1 << quant_bits)).astype(np.int64)
+    ones = np.full((len(qi), 1), 1 << quant_bits, np.int64)
+    qa = np.concatenate([qi, ones], axis=1)
+    yq = np.round(np.asarray([y for _, y, _ in rows], np.float64)
+                  * y_scale).astype(np.int64)
+    ids_a = np.asarray([i for _, _, i in rows], np.int64)
+    bk = (knuth_hash(ids_a) % n_buckets).astype(np.int64)
+    tr = (bk != cal_bucket) & (bk != test_bucket)
+    sub = qa[tr]
+    coef = ridge_solve(sub.T @ sub, sub.T @ yq[tr], int(tr.sum()),
+                       quant_bits, y_scale, lam_num, lam_den)
+    cq = np.round(coef * float(1 << coef_bits)).astype(np.int64)
+    S = 1 << (quant_bits + coef_bits)
+    ae = np.abs((qa @ cq) * y_scale - yq * S)
+    cal = np.sort(ae[bk == cal_bucket])
+    n_cal = len(cal)
+    idx = -((-(n_cal + 1) * (alpha_den - alpha_num)) // alpha_den)
+    q_int = int(cal[idx - 1])
+    te = ae[bk == test_bucket]
+    n_test = len(te)
+    cov = int((te <= q_int).sum())
+    denom = float(S) * float(y_scale)
+    return [(int(tr.sum()), n_cal, n_test, float(q_int) / denom,
+             float(cov) / float(n_test),
+             float(alpha_den - alpha_num) / float(alpha_den))]

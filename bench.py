@@ -242,7 +242,7 @@ QUERY_NAMES = [
     "q271_doc_scorecard", "q272_csv_roundtrip",
     # session-16 additions
     "q274_pr_sweep", "q275_watermark_lateness",
-    # q276/q277 are fixture-inline (serial ridge replays) - stay out
+    # q276/q277/q278 are fixture-inline (serial ridge replays) - stay out
 ]
 
 

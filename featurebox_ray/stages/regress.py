@@ -2693,3 +2693,189 @@ def learning_curve(ds, *, vec_col: str = "embedding",
         "n_test": pa.array(out["n_test"], pa.int64()),
         "rmse": pa.array(out["rmse"], pa.float64()),
         "r2": pa.array(out["r2"], pa.float64())})
+
+
+def conformal_intervals(ds, *, vec_col: str = "embedding",
+                        y_col: str = "label", id_col: str,
+                        alpha_num: int = 1, alpha_den: int = 10,
+                        n_buckets: int = 4, cal_bucket: int = 2,
+                        test_bucket: int = 3, lam_num: int = 1,
+                        lam_den: int = 1, quant_bits: int = 10,
+                        y_scale: int = 1, coef_bits: int = 20,
+                        num_partitions: int = 4) -> pa.Table:
+    """Split-conformal prediction intervals — fit on a train split,
+    take the conformal quantile of absolute residuals on a disjoint
+    calibration split, and report empirical coverage of ``pred ±
+    q_hat`` on a disjoint test split: the distribution-free
+    uncertainty wrapper for the ridge family (guaranteed ≥ 1−α
+    marginal coverage when the three splits are exchangeable).
+
+    Splits come from the engine's Knuth hash of ``id_col`` mod
+    ``n_buckets`` (``cal_bucket``/``test_bucket`` named, the rest
+    train).  Exactness: residuals are the q273 exact scaled integers
+    (quantized-coefficient scoring), the conformal threshold is the
+    ``ceil((n_cal+1)·(1−α))``-th smallest calibration |residual| — an
+    exact integer ORDER STATISTIC, selected from per-block
+    value-count partials — and coverage is an exact integer compare
+    ``|e| ≤ q_hat`` summed per block, one IEEE division at the end.
+    The serial replay is bit-identical.
+
+    Scale note: three passes (fit / calibrate / test-count).  The
+    calibration multiset lands on the driver as (value, count)
+    partials — size the calibration split to the statistical need
+    (10³–10⁵ rows, plenty for a quantile), not to a corpus fraction,
+    by raising ``n_buckets``.
+
+    Returns ONE row ``(n_train:int64, n_cal:int64, n_test:int64,
+    q_hat:float64 — threshold in y units, coverage:float64,
+    target:float64 = 1−α)``.  Raises on an empty split or when the
+    conformal index exceeds n_cal (α too small for the calibration
+    size — the interval would be infinite).
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+    from .sample import knuth_hash
+
+    B = int(n_buckets)
+    if not (0 <= cal_bucket < B and 0 <= test_bucket < B
+            and cal_bucket != test_bucket):
+        raise ValueError("conformal_intervals: bad bucket config")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        col = b[id_col].combine_chunks()
+        ids = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        bk = (knuth_hash(ids.astype(np.int64),
+                         op="conformal_intervals") % B).astype(
+            np.int64)
+        return b.append_column(
+            "__bucket", pa.array(bk, pa.int64(),
+                                 mask=np.asarray(pc.is_null(col))))
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def keep_bucket(pred):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.fill_null(pred(b["__bucket"]), False)
+            m = pc.and_(m, pc.and_(pc.is_valid(b[vec_col]),
+                                   pc.is_valid(b[y_col])))
+            return b.filter(pc.fill_null(m, False))
+        return f
+
+    train = withb.map_batches(
+        keep_bucket(lambda c: pc.and_(
+            pc.invert(pc.equal(c, cal_bucket)),
+            pc.invert(pc.equal(c, test_bucket)))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    coef_tbl = fit_ridge(train, vec_col=vec_col, y_col=y_col,
+                         lam_num=lam_num, lam_den=lam_den,
+                         quant_bits=quant_bits, y_scale=y_scale,
+                         num_partitions=num_partitions)
+    coef = np.asarray(coef_tbl["coef"].to_pylist(), np.float64)
+    cq = np.round(coef * float(1 << coef_bits)).astype(np.int64)
+    cq_ref = ray.put(cq)
+    S = 1 << (quant_bits + coef_bits)
+
+    def resid(b: pa.Table) -> np.ndarray:
+        qa, yq = _ridge_rows(b, vec_col, y_col, quant_bits, y_scale)
+        e = (qa @ ray.get(cq_ref)) * y_scale - yq * S
+        return np.abs(e)
+
+    def cal_partial(b: pa.Table) -> pa.Table:
+        # sentinel val=-1 rides the same partial table carrying this
+        # block's TRAIN row count (residuals are >= 0), so n_train
+        # needs no extra pass
+        valid = pc.and_(pc.is_valid(b[vec_col]),
+                        pc.is_valid(b[y_col]))
+        is_train = pc.and_(pc.and_(
+            pc.invert(pc.fill_null(
+                pc.equal(b["__bucket"], cal_bucket), True)),
+            pc.invert(pc.fill_null(
+                pc.equal(b["__bucket"], test_bucket), True))),
+            pc.is_valid(b["__bucket"]))
+        nt = int(pc.sum(pc.and_(pc.fill_null(valid, False),
+                                is_train)).as_py() or 0)
+        m = pc.fill_null(pc.and_(
+            pc.fill_null(pc.equal(b["__bucket"], cal_bucket), False),
+            valid), False)
+        b = b.filter(m)
+        if b.num_rows == 0:
+            u = np.empty(0, np.int64)
+            cts = np.empty(0, np.int64)
+        else:
+            u, cts = np.unique(resid(b), return_counts=True)
+        return pa.table({
+            "val": pa.array(np.concatenate(
+                [[-1], u.astype(np.int64)])),
+            "cnt": pa.array(np.concatenate(
+                [[nt], cts.astype(np.int64)]))})
+
+    agg: dict = {}
+    n_train = 0
+    for blk in ray.get(materialized_block_refs(
+            withb.map_batches(cal_partial, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=None))):
+        for vv, cc in zip(blk["val"].to_pylist(),
+                          blk["cnt"].to_pylist()):
+            if vv == -1:
+                n_train += cc
+            else:
+                agg[vv] = agg.get(vv, 0) + cc
+    n_cal = sum(agg.values())
+    if n_cal == 0:
+        raise ValueError("conformal_intervals: empty calibration "
+                         "split")
+    # conformal order statistic: ceil((n_cal+1)(1-alpha)) with the
+    # exact rational alpha = alpha_num/alpha_den
+    idx = -((-(n_cal + 1) * (alpha_den - alpha_num)) // alpha_den)
+    if idx > n_cal:
+        raise ValueError("conformal_intervals: alpha too small for "
+                         f"n_cal={n_cal} (infinite interval)")
+    run = 0
+    q_int = None
+    for vv in sorted(agg):
+        run += agg[vv]
+        if run >= idx:
+            q_int = vv
+            break
+    assert q_int is not None
+
+    def test_partial(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.and_(
+            pc.fill_null(pc.equal(b["__bucket"], test_bucket),
+                         False),
+            pc.and_(pc.is_valid(b[vec_col]), pc.is_valid(b[y_col]))),
+            False)
+        b = b.filter(m)
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "cov": pa.array([], pa.int64())})
+        ae = resid(b)
+        return pa.table({
+            "n": pa.array([len(ae)], pa.int64()),
+            "cov": pa.array([int((ae <= q_int).sum())], pa.int64())})
+
+    n_test = cov = 0
+    for blk in ray.get(materialized_block_refs(
+            withb.map_batches(test_partial, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=None))):
+        for n, c in zip(blk["n"].to_pylist(),
+                        blk["cov"].to_pylist()):
+            n_test += n
+            cov += c
+    if n_test == 0:
+        raise ValueError("conformal_intervals: empty test split")
+    denom = float(S) * float(y_scale)
+    return pa.table({
+        "n_train": pa.array([n_train], pa.int64()),
+        "n_cal": pa.array([n_cal], pa.int64()),
+        "n_test": pa.array([n_test], pa.int64()),
+        "q_hat": pa.array([float(q_int) / denom], pa.float64()),
+        "coverage": pa.array([float(cov) / float(n_test)],
+                             pa.float64()),
+        "target": pa.array(
+            [float(alpha_den - alpha_num) / float(alpha_den)],
+            pa.float64())})
