@@ -584,7 +584,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q276_grouped_ridge": _grouped_ridge_q,
         "q277_learning_curve": _learning_curve_q,
         "q278_conformal": _conformal_q,
+        "q279_bucketed_join": _bucketed_join_q,
     }
+
+
+def _bucketed_join_q(sf_dir: str):
+    """q279: storage-partitioned join (stages/bucketed.py) — orders
+    and customer written as co-bucketed Knuth-hash layouts (ONE keyed
+    exchange each, paid at write), then joined bucket-by-bucket with
+    ZERO shuffle: one Ray task per bucket reads only its own
+    fragments from both sides and hash-joins in-task.  Plain SQL
+    inner-join oracle."""
+    import os
+    import shutil
+
+    import ray
+
+    from featurebox_ray.stages.bucketed import (bucketed_join,
+                                                write_bucketed)
+
+    root = f"/tmp/fbr_bucketed_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        override_num_blocks=8)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        override_num_blocks=4)
+    write_bucketed(orders, f"{root}/orders", key="o_custkey",
+                   num_buckets=8)
+    write_bucketed(cust, f"{root}/customer", key="c_custkey",
+                   num_buckets=8)
+    return bucketed_join(
+        f"{root}/orders", f"{root}/customer",
+        left_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        right_cols=["c_nationkey"])
 
 
 def _conformal_q(sf_dir: str):
@@ -7981,6 +8017,12 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # bucketed join: layout is an engine artifact; the JOIN
+        # SEMANTICS are plain inner equi-join
+        "q279_bucketed_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
         # watermark audit: previous-rows running max (ROWS frame, not
         # RANGE), exact int64 lateness, one division for late_frac
         "q275_watermark_lateness": """
