@@ -585,7 +585,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q277_learning_curve": _learning_curve_q,
         "q278_conformal": _conformal_q,
         "q279_bucketed_join": _bucketed_join_q,
+        "q280_incremental_agg": _incremental_agg_q,
     }
+
+
+def _incremental_agg_q(sf_dir: str):
+    """q280: incremental aggregate refresh (stages/incremental.py) —
+    a per-(user, event_type) n/sum/min/max/avg view built from 2/3 of
+    events, PERSISTED, then refreshed with the remaining 1/3 as a
+    delta WITHOUT re-reading the base (union of the old state with
+    the delta's combiner-pushdown states, one keyed exchange).  The
+    maintenance invariant IS the oracle: the refreshed view must
+    bit-match the plain GROUP BY over base+delta together."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.sources.io import write_table
+    from featurebox_ray.stages.incremental import (finalize_agg,
+                                                   group_agg_state,
+                                                   refresh_agg_state)
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    KEYS = ["user_id", "event_type"]
+
+    def keep(want_delta):
+        def f(b):
+            import numpy as np
+            import pyarrow as pa
+
+            col = b["event_id"].combine_chunks()
+            ids = pc.fill_null(col, 1).to_numpy(zero_copy_only=False)
+            is_delta = (ids % 3) == 0
+            m = np.asarray(pc.is_valid(col)) & (
+                is_delta if want_delta else ~is_delta)
+            return b.filter(pa.array(m)).select(cols[1:])
+        return f
+
+    base = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=cols,
+                                  override_num_blocks=8)
+            .map_batches(keep(False), batch_format="pyarrow",
+                         zero_copy_batch=True))
+    delta = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=cols,
+                                   override_num_blocks=8)
+             .map_batches(keep(True), batch_format="pyarrow",
+                          zero_copy_batch=True))
+    root = f"/tmp/fbr_incr_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    st = group_agg_state(base, key_cols=KEYS, value_col="value")
+    write_table(st, f"{root}/state")
+    old = ray.data.read_parquet(f"{root}/state")
+    return finalize_agg(refresh_agg_state(old, delta, key_cols=KEYS,
+                                          value_col="value"))
 
 
 def _bucketed_join_q(sf_dir: str):
@@ -8017,6 +8073,27 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # incremental refresh: the maintenance invariant IS the
+        # oracle — refreshed view == GROUP BY from scratch; cents
+        # exact, avg one fixed IEEE expression
+        "q280_incremental_agg": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                         AS c
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                    AND event_id IS NOT NULL
+            )
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_c,
+                   CAST(min(c) AS BIGINT) AS min_c,
+                   CAST(max(c) AS BIGINT) AS max_c,
+                   CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / 100.0 AS avg
+            FROM e GROUP BY user_id, event_type
+        """,
         # bucketed join: layout is an engine artifact; the JOIN
         # SEMANTICS are plain inner equi-join
         "q279_bucketed_join": """

@@ -243,7 +243,7 @@ QUERY_NAMES = [
     # session-16 additions
     "q274_pr_sweep", "q275_watermark_lateness",
     # q276/q277/q278 are fixture-inline (serial ridge replays) - stay out
-    "q279_bucketed_join",
+    "q279_bucketed_join", "q280_incremental_agg",
 ]
 
 
