@@ -586,7 +586,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q278_conformal": _conformal_q,
         "q279_bucketed_join": _bucketed_join_q,
         "q280_incremental_agg": _incremental_agg_q,
+        "q281_global_quantile": _global_quantile_q,
     }
+
+
+def _global_quantile_q(sf_dir: str):
+    """q281: exact GLOBAL order statistics (stages/quantile.py:
+    global_quantile_element) — whole-corpus median and p90 of event
+    value cents as true data elements via iterative range-narrowing
+    counting passes (no shuffle, O(n_bins) driver state); DuckDB
+    quantile_disc replay is element-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.quantile import global_quantile_element
+
+    def prep(b: pa.Table) -> pa.Table:
+        col = b["value"].combine_chunks()
+        m = pc.fill_null(pc.and_(pc.is_valid(col),
+                                 pc.is_finite(col)), False)
+        v = col.filter(m).to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array(
+            np.round(v * 100).astype(np.int64))})
+
+    ev = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["value"],
+                                override_num_blocks=8)
+          .map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    out = {"pct": [], "n": [], "value_cents": []}
+    for pct, q in ((50, 0.5), (90, 0.9)):
+        r = global_quantile_element(ev, value_col="c", q=q,
+                                    n_bins=1024)
+        out["pct"].append(pct)
+        out["n"].append(r["n"])
+        out["value_cents"].append(r["value"])
+    return pa.table({
+        "pct": pa.array(out["pct"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "value_cents": pa.array(out["value_cents"], pa.int64())})
 
 
 def _incremental_agg_q(sf_dir: str):
@@ -8073,6 +8113,24 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # global order statistics: quantile_disc shares the engine's
+        # _disc_index convention, so the element matches exactly
+        "q281_global_quantile": """
+            WITH e AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+              WHERE value IS NOT NULL AND isfinite(value)
+            )
+            SELECT CAST(50 AS BIGINT) AS pct,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(quantile_disc(c, 0.5) AS BIGINT)
+                       AS value_cents
+            FROM e
+            UNION ALL
+            SELECT 90, CAST(count(*) AS BIGINT),
+                   CAST(quantile_disc(c, 0.9) AS BIGINT)
+            FROM e
+        """,
         # incremental refresh: the maintenance invariant IS the
         # oracle — refreshed view == GROUP BY from scratch; cents
         # exact, avg one fixed IEEE expression

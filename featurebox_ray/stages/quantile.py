@@ -443,3 +443,131 @@ def group_trimmed_mean(ds, *, group_col: str, value_col: str,
                            sort_keys=[group_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def global_quantile_element(ds, *, value_col: str, q: float,
+                            n_bins: int = 4096,
+                            max_passes: int = 12):
+    """Exact GLOBAL order statistic of an int64 column — the
+    whole-corpus median/p99 as a true data ELEMENT, computed by
+    iterative range-narrowing counting passes: no shuffle, no
+    materialization, never more than ``O(n_bins)`` ints on the
+    driver.
+
+    Pass 0 reduces to ``(n, min, max)``; each following pass counts
+    values into ``n_bins`` equal integer sub-ranges of the current
+    candidate range and the driver descends into the bin holding the
+    target rank (DuckDB's ``quantile_disc`` convention via the shared
+    :func:`_disc_index`).  The range shrinks ×``n_bins`` per pass, so
+    even a full int64 span resolves in ≤ 6 passes; cents-quantized
+    corpora resolve in 2.  Each pass re-executes the (lazy, pruned)
+    input — the trade is deliberate: passes over a streaming read
+    beat materializing or shuffling the column at 100 TB.
+
+    NULLs are ignored (SQL aggregate semantics); the column must be
+    int64 (callers quantize, the cents pattern).  Returns the exact
+    element as a Python int, plus ``(n, rank)`` for the caller's
+    report.  Raises on an empty column, a value span ≥ 2^62, or
+    non-convergence (cannot happen while n_bins ≥ 2).
+
+    Reference analog: ``PropertyStats.quantile`` over tiny arrays;
+    this is the same statistic when the "array" is a 100-TB column.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    empty0 = pa.table({"n": pa.array([], pa.int64()),
+                       "mn": pa.array([], pa.int64()),
+                       "mx": pa.array([], pa.int64())})
+
+    def stats0(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or value_col not in b.column_names:
+            return empty0
+        col = b[value_col].combine_chunks()
+        if col.type != pa.int64():
+            raise TypeError(f"global_quantile_element: {value_col} "
+                            f"must be int64; got {col.type}")
+        v = col.drop_null()
+        if len(v) == 0:
+            return empty0
+        mm = pc.min_max(v)
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "mn": pa.array([mm["min"].as_py()],
+                                        pa.int64()),
+                         "mx": pa.array([mm["max"].as_py()],
+                                        pa.int64())})
+
+    n = 0
+    lo = hi = None
+    for blk in ray.get(materialized_block_refs(
+            ds.map_batches(stats0, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if "n" not in blk.column_names:
+            continue          # empty pass-through bundle
+        for nn, mn, mx in zip(blk["n"].to_pylist(),
+                              blk["mn"].to_pylist(),
+                              blk["mx"].to_pylist()):
+            n += nn
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    if n == 0:
+        raise ValueError("global_quantile_element: empty column")
+    if hi - lo >= (1 << 62):
+        raise ValueError("global_quantile_element: value span >= "
+                         "2^62 — quantize to a narrower grid")
+    rank = _disc_index(q, n) + 1          # 1-based target rank
+    below = 0
+    for _ in range(max_passes):
+        if lo == hi:
+            break
+        span = hi - lo + 1
+        w = -(-span // n_bins)            # ceil
+        nb = -(-span // w)
+        clo, chi, cw = lo, hi, w          # freeze for the closure
+
+        def cpass(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or value_col not in b.column_names:
+                return pa.table({"bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            col = b[value_col].combine_chunks()
+            v = col.drop_null().to_numpy(zero_copy_only=False)
+            v = v[(v >= clo) & (v <= chi)]
+            if len(v) == 0:
+                return pa.table({"bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            bins = (v - clo) // cw
+            cnt = np.bincount(bins, minlength=nb)
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "bin": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+        counts = np.zeros(nb, dtype=object)
+        for blk in ray.get(materialized_block_refs(
+                ds.map_batches(cpass, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=None))):
+            if "bin" not in blk.column_names:
+                continue      # empty pass-through bundle
+            for bb, cc in zip(blk["bin"].to_pylist(),
+                              blk["cnt"].to_pylist()):
+                counts[bb] += cc
+        run = below
+        b_idx = None
+        for i in range(nb):
+            if run + counts[i] >= rank:
+                b_idx = i
+                break
+            run += counts[i]
+        if b_idx is None:
+            raise AssertionError(
+                "global_quantile_element: rank not reached — "
+                "input changed between passes?")
+        below = run
+        lo = clo + b_idx * w
+        hi = min(hi, clo + (b_idx + 1) * w - 1)
+    if lo != hi:
+        raise ValueError("global_quantile_element: did not converge "
+                         f"in {max_passes} passes")
+    return {"value": int(lo), "n": int(n), "rank": int(rank)}
