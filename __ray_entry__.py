@@ -587,7 +587,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q279_bucketed_join": _bucketed_join_q,
         "q280_incremental_agg": _incremental_agg_q,
         "q281_global_quantile": _global_quantile_q,
+        "q282_topk_two_pass": _topk_two_pass_q,
     }
+
+
+def _topk_two_pass_q(sf_dir: str):
+    """q282: shuffle-free exact heavy hitters (stages/tfidf.py:
+    topk_two_pass) — per-block truncated exact summaries with error
+    bounds, provably-superset candidate set, broadcast exact-count
+    verify pass; identical result and SQL oracle as the exchange-based
+    top_terms, zero exchange."""
+    import ray
+
+    from featurebox_ray.stages.tfidf import topk_two_pass
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"],
+                                 override_num_blocks=8)
+    return topk_two_pass(docs, k=25, summary_width=8192)
 
 
 def _global_quantile_q(sf_dir: str):
@@ -8113,6 +8130,17 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # two-pass heavy hitters: the ALGORITHM is shuffle-free; the
+        # RESULT is the plain exact top-k (q62 tokenization)
+        "q282_topk_two_pass": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY term
+            ORDER BY cnt DESC, term LIMIT 25
+        """,
         # global order statistics: quantile_disc shares the engine's
         # _disc_index convention, so the element matches exactly
         "q281_global_quantile": """

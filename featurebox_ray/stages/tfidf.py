@@ -1870,3 +1870,132 @@ def weighted_jaccard(ds, *, group_col: str, text_col: str,
         "sum_min": pa.array(out["smin"], pa.int64()),
         "sum_max": pa.array(out["smax"], pa.int64()),
         "wjac": pa.array(out["wjac"], pa.float64())})
+
+
+def topk_two_pass(ds, *, text_col: str = "text", k: int = 10,
+                  summary_width: int = 4096,
+                  max_candidates: int = 200_000):
+    """Exact global heavy hitters WITHOUT a shuffle — the two-pass
+    candidates-then-verify alternative to :func:`top_terms` for
+    clusters where even a tiny-row exchange is unwelcome (or the
+    vocabulary is too hot to hash-partition evenly).
+
+    Pass 1: each block reduces its tokens to EXACT local counts
+    truncated to the ``summary_width`` largest (count desc, term asc),
+    plus the block's largest DROPPED count ``u_b`` (its local error
+    bound — a Misra-Gries/Space-Saving-style summary, but with exact
+    kept counts).  The driver combines: for every surviving term,
+    ``LB = Σ kept counts`` and ``UB = LB + Σ u_b over the blocks that
+    did NOT keep it``; any term seen nowhere has ``UB = Σ u_b``.
+
+    Soundness gate: the k-th largest LB must exceed ``Σ u_b``
+    (otherwise an entirely-unseen term could still be top-k — the
+    operator RAISES and you widen the summary; with Zipfian corpora
+    the gate passes at modest widths).  The candidate set
+    ``{t : UB_t ≥ k-th LB}`` then provably contains the true top-k.
+
+    Pass 2: exact counts of the (broadcast) candidate set only —
+    ``is_in`` filter per block, driver sum — and the final pick by
+    the same deterministic ``(count desc, term asc)`` order as
+    :func:`top_terms`, so the result is IDENTICAL (and SQL-oracled
+    identically); only the communication shape differs: two streaming
+    map passes + driver-held summaries, zero exchange.
+
+    Counts are total occurrences (``top_terms(by="term_count")``
+    semantics).  Returns ``(term:string, cnt:int64)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return empty
+        flat, _ = split_tokens(b[text_col].combine_chunks())
+        if len(flat) == 0:
+            return empty
+        dct = pc.dictionary_encode(flat)
+        counts = np.bincount(
+            dct.indices.to_numpy(zero_copy_only=False),
+            minlength=len(dct.dictionary)).astype(np.int64)
+        t = pa.table({"term": dct.dictionary,
+                      "cnt": pa.array(counts)})
+        order = pc.sort_indices(t, sort_keys=[("cnt", "descending"),
+                                              ("term", "ascending")])
+        kept = t.take(order[:summary_width])
+        u_b = (int(t["cnt"].take(order[summary_width:][:1])[0].as_py())
+               if len(order) > summary_width else 0)
+        # sentinel term=NULL carries this block's error bound u_b
+        return pa.table({
+            "term": pa.concat_arrays(
+                [kept["term"].combine_chunks(),
+                 pa.nulls(1, pa.string())]),
+            "cnt": pa.concat_arrays(
+                [kept["cnt"].combine_chunks(),
+                 pa.array([u_b], pa.int64())])})
+
+    lb: dict = {}
+    su: dict = {}           # Σ u_b over blocks where the term was kept
+    u_total = 0
+    for blk in ray.get(materialized_block_refs(
+            ds.map_batches(summary, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if "term" not in blk.column_names or blk.num_rows == 0:
+            continue
+        terms = blk["term"].to_pylist()
+        cnts = blk["cnt"].to_pylist()
+        u_b = cnts[-1] if terms[-1] is None else 0
+        u_total += u_b
+        for t, c in zip(terms, cnts):
+            if t is None:
+                continue
+            lb[t] = lb.get(t, 0) + c
+            su[t] = su.get(t, 0) + u_b
+    if len(lb) < k:
+        raise ValueError(f"topk_two_pass: only {len(lb)} distinct "
+                         f"terms for k={k}")
+    kth_lb = sorted(lb.values(), reverse=True)[k - 1]
+    if kth_lb <= u_total:
+        raise ValueError(
+            f"topk_two_pass: k-th lower bound {kth_lb} <= total "
+            f"error bound {u_total}; raise summary_width")
+    cand = [t for t, v in lb.items()
+            if v + (u_total - su[t]) >= kth_lb]
+    if len(cand) > max_candidates:
+        raise ValueError(f"topk_two_pass: {len(cand)} candidates "
+                         "exceed max_candidates; raise summary_width")
+    cand_ref = ray.put(pa.array(sorted(cand), pa.string()))
+
+    def exact(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return empty
+        flat, _ = split_tokens(b[text_col].combine_chunks())
+        if len(flat) == 0:
+            return empty
+        flat = flat.filter(pc.is_in(flat, value_set=ray.get(cand_ref)))
+        if len(flat) == 0:
+            return empty
+        dct = pc.dictionary_encode(flat)
+        counts = np.bincount(
+            dct.indices.to_numpy(zero_copy_only=False),
+            minlength=len(dct.dictionary)).astype(np.int64)
+        return pa.table({"term": dct.dictionary,
+                         "cnt": pa.array(counts)})
+
+    tot: dict = {}
+    for blk in ray.get(materialized_block_refs(
+            ds.map_batches(exact, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if "term" not in blk.column_names:
+            continue
+        for t, c in zip(blk["term"].to_pylist(),
+                        blk["cnt"].to_pylist()):
+            tot[t] = tot.get(t, 0) + c
+    top = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({"term": pa.array([t for t, _ in top],
+                                      pa.string()),
+                     "cnt": pa.array([c for _, c in top],
+                                     pa.int64())})
