@@ -588,7 +588,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q280_incremental_agg": _incremental_agg_q,
         "q281_global_quantile": _global_quantile_q,
         "q282_topk_two_pass": _topk_two_pass_q,
+        "q283_validate": _validate_q,
     }
+
+
+def _validate_q(sf_dir: str):
+    """q283: declarative data-quality gate (stages/validate.py:
+    validate_constraints) — not_null/unique/range/in_set/regex rules
+    over documents, exact violation counts from per-block partials
+    (+ one keyed exchange for the uniqueness rule), one IEEE division
+    per rule; UNION-of-checks SQL replay is exact."""
+    import ray
+
+    from featurebox_ray.stages.validate import validate_constraints
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+        override_num_blocks=8)
+    return validate_constraints(docs, [
+        {"name": "r_doc_not_null", "kind": "not_null",
+         "col": "doc_id"},
+        {"name": "r_doc_unique", "kind": "unique", "col": "doc_id"},
+        {"name": "r_chars_range", "kind": "range", "col": "n_chars",
+         "lo": 100, "hi": 5000},
+        {"name": "r_lang_set", "kind": "in_set", "col": "lang",
+         "values": ["en", "de", "zh"]},
+        {"name": "r_source_regex", "kind": "regex", "col": "source",
+         "pattern": "^src[0-9]$"},
+    ])
 
 
 def _topk_two_pass_q(sf_dir: str):
@@ -8130,6 +8158,43 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # validation suite: UNION of independent exact checks; frac is
+        # one division per rule
+        "q283_validate": """
+            WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n
+                         FROM documents),
+            v AS (
+              SELECT 'r_chars_range' AS rule,
+                     CAST(count(*) FILTER (n_chars IS NOT NULL AND
+                          (n_chars < 100 OR n_chars > 5000))
+                          AS BIGINT) AS violations
+              FROM documents
+              UNION ALL
+              SELECT 'r_doc_not_null',
+                     CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'r_doc_unique',
+                     CAST(count(doc_id) - count(DISTINCT doc_id)
+                          AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'r_lang_set',
+                     CAST(count(*) FILTER (lang IS NOT NULL AND
+                          lang NOT IN ('en', 'de', 'zh')) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'r_source_regex',
+                     CAST(count(*) FILTER (source IS NOT NULL AND
+                          NOT regexp_matches(source, '^src[0-9]$'))
+                          AS BIGINT)
+              FROM documents
+            )
+            SELECT rule, tot.n, violations, violations = 0 AS ok,
+                   CAST(violations AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                       AS viol_frac
+            FROM v, tot ORDER BY rule
+        """,
         # two-pass heavy hitters: the ALGORITHM is shuffle-free; the
         # RESULT is the plain exact top-k (q62 tokenization)
         "q282_topk_two_pass": r"""
