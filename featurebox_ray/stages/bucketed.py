@@ -20,7 +20,8 @@ partitioned_map uses) with a parquet sink inside the kernel;
 join = B independent tasks, each bounded by its bucket's bytes (size
 ``num_buckets`` so a bucket pair fits a worker's heap).  Rows with a
 NULL key are DROPPED at write time (a null key can never match an
-equi-join; the spec file records the drop count for lineage).
+equi-join; the spec file records the KEPT row count so a lineage
+consumer can reconcile against the source count).
 
 Reference analog: none (the reference joins in-memory via pandas
 ``merge`` / index alignment, e.g. featurizers/base.py transform over
@@ -51,9 +52,16 @@ def write_bucketed(ds, path: str, *, key: str,
     """Write ``ds`` as a Knuth-hash-bucketed parquet layout under
     ``path``.  Returns the manifest (one row per written fragment:
     ``bucket, rows, file``).  The key must be a non-negative int64
-    column; NULL-key rows drop (counted in the spec file)."""
+    column; NULL-key rows drop (the spec records kept rows)."""
     B = int(num_buckets)
     os.makedirs(path, exist_ok=True)
+    if os.listdir(path):
+        # appending into an existing layout would silently duplicate
+        # every row in later bucketed_joins (uuid fragment names never
+        # collide) — a retried job must write to a fresh path or
+        # remove the old layout first
+        raise ValueError(f"write_bucketed: {path} is not empty — "
+                         "refusing to append to an existing layout")
 
     def add_bucket(b: pa.Table) -> pa.Table:
         col = b[key].combine_chunks()
@@ -144,6 +152,10 @@ def bucketed_join(left_path: str, right_path: str, *,
             f"{rs['num_buckets']}×{rs['hash']}) — rewrite one side")
     B = ls["num_buckets"]
     lkey, rkey = ls["key"], rs["key"]
+    # both sides auto-include their bucketing key: the join needs it,
+    # and the output always carries the (left-named) key column
+    l_read = (left_cols if left_cols is None
+              else list(dict.fromkeys([lkey] + left_cols)))
     r_read = (right_cols if right_cols is None
               else list(dict.fromkeys([rkey] + right_cols)))
 
@@ -159,7 +171,7 @@ def bucketed_join(left_path: str, right_path: str, *,
         return ([schema.field(c) for c in cols] if cols is not None
                 else list(schema))
 
-    lf = _proj(pq.read_schema(_any_fragment(left_path)), left_cols)
+    lf = _proj(pq.read_schema(_any_fragment(left_path)), l_read)
     rf = _proj(pq.read_schema(_any_fragment(right_path)), r_read)
     out_fields = lf + [f for f in rf if f.name != rkey]
     empty = pa.table({f.name: pa.array([], f.type)
@@ -176,7 +188,7 @@ def bucketed_join(left_path: str, right_path: str, *,
                   for fn in sorted(os.listdir(d))]
             return pa.concat_tables(ts) if ts else None
 
-        lt = load(left_path, left_cols)
+        lt = load(left_path, l_read)
         rt = load(right_path, r_read)
         if lt is None or rt is None or not lt.num_rows \
                 or not rt.num_rows:

@@ -447,7 +447,7 @@ def group_trimmed_mean(ds, *, group_col: str, value_col: str,
 
 def global_quantile_element(ds, *, value_col: str, q: float,
                             n_bins: int = 4096,
-                            max_passes: int = 12):
+                            max_passes: int | None = None):
     """Exact GLOBAL order statistic of an int64 column — the
     whole-corpus median/p99 as a true data ELEMENT, computed by
     iterative range-narrowing counting passes: no shuffle, no
@@ -467,8 +467,12 @@ def global_quantile_element(ds, *, value_col: str, q: float,
     NULLs are ignored (SQL aggregate semantics); the column must be
     int64 (callers quantize, the cents pattern).  Returns the exact
     element as a Python int, plus ``(n, rank)`` for the caller's
-    report.  Raises on an empty column, a value span ≥ 2^62, or
-    non-convergence (cannot happen while n_bins ≥ 2).
+    report.  Raises on an empty column or a value span ≥ 2^62.
+    ``max_passes`` defaults to exactly the pass count the span and
+    ``n_bins`` require (a range shrinks ×n_bins per pass), so with
+    the default the loop always converges; pass a smaller cap only
+    to bound worst-case latency, accepting a possible
+    non-convergence error.
 
     Reference analog: ``PropertyStats.quantile`` over tiny arrays;
     this is the same statistic when the "array" is a 100-TB column.
@@ -517,6 +521,12 @@ def global_quantile_element(ds, *, value_col: str, q: float,
         raise ValueError("global_quantile_element: value span >= "
                          "2^62 — quantize to a narrower grid")
     rank = _disc_index(q, n) + 1          # 1-based target rank
+    if max_passes is None:
+        # passes needed: span shrinks ×n_bins each round
+        max_passes, spn = 1, hi - lo + 1
+        while spn > n_bins:
+            spn = -(-spn // n_bins)
+            max_passes += 1
     below = 0
     for _ in range(max_passes):
         if lo == hi:

@@ -2577,24 +2577,22 @@ def learning_curve(ds, *, vec_col: str = "embedding",
     import ray
 
     from .partition import materialized_block_refs
-    from .sample import knuth_hash
+    from .sample import add_hash_bucket_col
 
     K = int(n_train_buckets)
     if K < 1:
         raise ValueError("learning_curve: n_train_buckets < 1")
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        col = b[id_col].combine_chunks()
-        ids = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
-        bk = (knuth_hash(ids.astype(np.int64), op="learning_curve")
-              % (K + 1)).astype(np.int64)
-        return b.append_column(
-            "__bucket", pa.array(bk, pa.int64(),
-                                 mask=np.asarray(pc.is_null(col))))
-
-    withb = ds.map_batches(add_bucket, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    stats = _grouped_ridge_stats(withb, vec_col=vec_col, y_col=y_col,
+    withb = add_hash_bucket_col(ds, id_col=id_col, modulus=K + 1,
+                                op="learning_curve")
+    # the holdout bucket's sufficient statistics are never consumed —
+    # keep its rows out of the d²-matmul stats pass entirely
+    train_only = withb.map_batches(
+        lambda b: b.filter(pc.fill_null(
+            pc.not_equal(b["__bucket"], K), False)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    stats = _grouped_ridge_stats(train_only, vec_col=vec_col,
+                                 y_col=y_col,
                                  group_col="__bucket",
                                  quant_bits=quant_bits,
                                  y_scale=y_scale,
@@ -2735,25 +2733,15 @@ def conformal_intervals(ds, *, vec_col: str = "embedding",
     import ray
 
     from .partition import materialized_block_refs
-    from .sample import knuth_hash
+    from .sample import add_hash_bucket_col
 
     B = int(n_buckets)
     if not (0 <= cal_bucket < B and 0 <= test_bucket < B
             and cal_bucket != test_bucket):
         raise ValueError("conformal_intervals: bad bucket config")
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        col = b[id_col].combine_chunks()
-        ids = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
-        bk = (knuth_hash(ids.astype(np.int64),
-                         op="conformal_intervals") % B).astype(
-            np.int64)
-        return b.append_column(
-            "__bucket", pa.array(bk, pa.int64(),
-                                 mask=np.asarray(pc.is_null(col))))
-
-    withb = ds.map_batches(add_bucket, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    withb = add_hash_bucket_col(ds, id_col=id_col, modulus=B,
+                                op="conformal_intervals")
 
     def keep_bucket(pred):
         def f(b: pa.Table) -> pa.Table:

@@ -49,6 +49,29 @@ def knuth_hash(k: np.ndarray, *, op: str = "knuth_hash") -> np.ndarray:
             * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
 
 
+def add_hash_bucket_col(ds, *, id_col: str, modulus: int,
+                        out_col: str = "__bucket",
+                        op: str = "add_hash_bucket_col"):
+    """Append ``out_col = knuth_hash(id_col) % modulus`` (int64; NULL
+    ids keep a NULL bucket) — the ONE bucketing map shared by every
+    hash-split consumer (learning_curve, conformal_intervals, ...), so
+    split semantics cannot drift between operators."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b[id_col].combine_chunks()
+        ids = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        bk = (knuth_hash(ids.astype(np.int64), op=op)
+              % modulus).astype(np.int64)
+        return b.append_column(
+            out_col, pa.array(bk, pa.int64(),
+                              mask=np.asarray(pc.is_null(col))))
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def hash_sample(ds, *, key_col: str, threshold: int):
     """Keep rows whose multiplicative key hash lands under ``threshold``
     (≈ ``threshold / 2**32`` of all distinct keys — all rows of one key

@@ -62,11 +62,10 @@ def validate_constraints(ds, rules: List[Dict],
     uniques = [r for r in rules if r["kind"] == "unique"]
 
     def partial(b: pa.Table) -> pa.Table:
-        out_r, out_n, out_v = [], [], []
+        out_r, out_v = [], []
         for r in simple:
             col = b[r["col"]].combine_chunks() if b.num_rows else None
-            n = b.num_rows
-            if n == 0:
+            if b.num_rows == 0:
                 v = 0
             elif r["kind"] == "not_null":
                 v = col.null_count
@@ -85,31 +84,25 @@ def validate_constraints(ds, rules: List[Dict],
                 v = int(pc.sum(pc.and_(pc.fill_null(bad, False),
                                        valid)).as_py() or 0)
             out_r.append(r["name"])
-            out_n.append(n)
             out_v.append(v)
-        # total row count rides every block once under a sentinel so
-        # unique rules (counted in their own exchange) still report n
+        # the total row count rides once per block under a sentinel
+        # rule (its "violations" slot), so every rule — including the
+        # uniqueness rules counted in their own exchange — reports n
         out_r.append("\x00total")
-        out_n.append(b.num_rows)
-        out_v.append(0)
+        out_v.append(b.num_rows)
         return pa.table({"rule": pa.array(out_r, pa.string()),
-                         "n": pa.array(out_n, pa.int64()),
                          "viol": pa.array(out_v, pa.int64())})
 
-    agg_n: dict = {}
     agg_v: dict = {}
     for blk in ray.get(materialized_block_refs(
             ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None))):
         if "rule" not in blk.column_names:
             continue
-        for rr, nn, vv in zip(blk["rule"].to_pylist(),
-                              blk["n"].to_pylist(),
-                              blk["viol"].to_pylist()):
-            agg_n[rr] = agg_n.get(rr, 0) + nn
+        for rr, vv in zip(blk["rule"].to_pylist(),
+                          blk["viol"].to_pylist()):
             agg_v[rr] = agg_v.get(rr, 0) + vv
-    total = agg_n.pop("\x00total", 0)
-    agg_v.pop("\x00total", None)
+    total = agg_v.pop("\x00total", 0)
 
     for r in uniques:
         col = r["col"]

@@ -1430,7 +1430,9 @@ def watermark_lateness(ds, *, key_col: str, ts_col: str,
 
     One key-keyed exchange; the kernel is one segmented running max
     (C-speed cummax over contiguous key runs) + reduceat aggregates —
-    no per-row Python.  Rows with NULL key/ts/arrival drop.  A key's
+    no per-row Python.  Rows with NULL key/ts/arrival drop; a
+    duplicate (key, arrival) pair RAISES (ties would make the
+    watermark order, and so n_late, depend on block order).  A key's
     first arrival is never late (no watermark yet).  Returns
     ``(key_col, n:int64, n_late:int64, sum_late_us:int64,
     max_late_us:int64 — 0 when nothing is late, late_frac:float64)``.
@@ -1466,6 +1468,17 @@ def watermark_lateness(ds, *, key_col: str, ts_col: str,
         codes, _ = _key_codes_dic(keys)
         ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
+        arr = t[arrival_col].combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        # arrival must be unique per key: with ties the watermark
+        # order (and therefore n_late) would depend on upstream block
+        # order — the q248 duplicate-id contract, enforced here
+        if len(arr) > 1:
+            dup = (codes[1:] == codes[:-1]) & (arr[1:] == arr[:-1])
+            if dup.any():
+                raise ValueError(
+                    "watermark_lateness: duplicate (key, arrival) "
+                    "pair — arrival order must be unique per key")
         seg_start, row_in_seg, is_start = seg.segment_ids(codes)
         import pandas as pd
 
