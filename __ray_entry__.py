@@ -589,7 +589,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q281_global_quantile": _global_quantile_q,
         "q282_topk_two_pass": _topk_two_pass_q,
         "q283_validate": _validate_q,
+        "q284_compaction": _compaction_q,
     }
+
+
+def _compaction_q(sf_dir: str):
+    """q284: small-file compaction (stages/compact.py) — events
+    shattered into 48 tiny fragments, re-planned from footer metadata
+    only (greedy first-fit by bytes), merged one-task-per-output-file,
+    then verified content-identical to the SOURCE table via the q204
+    order-invariant checksum (same columns, same oracle SQL)."""
+    import os
+    import shutil
+
+    import ray
+
+    from featurebox_ray.stages.compact import compact_fragments
+    from featurebox_ray.stages.profile import table_checksum
+
+    root = f"/tmp/fbr_compact_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cols = ["event_id", "user_id", "event_type", "props"]
+    (ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+     .repartition(48).write_parquet(f"{root}/shattered"))
+    compact_fragments(f"{root}/shattered", f"{root}/compacted",
+                      target_bytes=4 * 1024 * 1024)
+    n_out = len([f for f in os.listdir(f"{root}/compacted")
+                 if f.endswith(".parquet")])
+    n_in = len([f for f in os.listdir(f"{root}/shattered")
+                if f.endswith(".parquet")])
+    assert n_out < n_in, (n_out, n_in)
+    back = ray.data.read_parquet(f"{root}/compacted")
+    return table_checksum(back, cols=cols)
 
 
 def _validate_q(sf_dir: str):
@@ -10452,6 +10484,33 @@ def oracle_sql() -> dict[str, str]:
         # value shifting across a column boundary, or NULL vs '',
         # can no longer collide); coalesce guards the empty table
         "q204_table_checksum": """
+            WITH r AS (
+              SELECT CAST('0x' || substr(md5(
+                  CASE WHEN event_id IS NULL THEN 'n'
+                       ELSE 'v' || length(CAST(event_id AS VARCHAR))
+                            || ':' || CAST(event_id AS VARCHAR)
+                  END || '|' ||
+                  CASE WHEN user_id IS NULL THEN 'n'
+                       ELSE 'v' || length(CAST(user_id AS VARCHAR))
+                            || ':' || CAST(user_id AS VARCHAR)
+                  END || '|' ||
+                  CASE WHEN event_type IS NULL THEN 'n'
+                       ELSE 'v' || length(event_type) || ':'
+                            || event_type
+                  END || '|' ||
+                  CASE WHEN props IS NULL THEN 'n'
+                       ELSE 'v' || length(props) || ':' || props
+                  END), 1, 15) AS UBIGINT) AS hv
+              FROM events)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(hv), 0)
+                        % 2305843009213693951 AS BIGINT)
+                     AS checksum
+            FROM r
+        """,
+        # compaction invariance: same checksum SQL as q204 over the
+        # SOURCE events — compacted copy must match it exactly
+        "q284_compaction": """
             WITH r AS (
               SELECT CAST('0x' || substr(md5(
                   CASE WHEN event_id IS NULL THEN 'n'
