@@ -590,7 +590,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q282_topk_two_pass": _topk_two_pass_q,
         "q283_validate": _validate_q,
         "q284_compaction": _compaction_q,
+        "q285_schema_evolution": _schema_evolution_q,
     }
+
+
+def _schema_evolution_q(sf_dir: str):
+    """q285: schema-evolution read (sources/io.py:read_evolved) —
+    events split into two fragment generations (old: no value/props,
+    user_id narrowed to int32; new: no user_id), unioned under one
+    target schema with footer-only planning, per-group column-pruned
+    reads, safe-cast promotion and null-fill.  UNION-ALL SQL oracle
+    over the same deterministic split."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.sources.io import read_evolved
+
+    root = f"/tmp/fbr_evolve_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/t", exist_ok=True)
+    src = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "event_type",
+                                 "value", "props"])
+    ids = pc.fill_null(src["event_id"], 1)
+    even = pc.equal(pc.bit_wise_and(ids, 1), 0)
+    valid = pc.is_valid(src["event_id"])
+    old = src.filter(pc.and_(even, valid)).select(
+        ["event_id", "user_id", "event_type"])
+    old = old.set_column(1, "user_id",
+                         old["user_id"].cast(pa.int32()))
+    new = src.filter(pc.and_(pc.invert(even), valid)).select(
+        ["event_id", "event_type", "value", "props"])
+    # two generations, two fragments each
+    for i, half in enumerate(np.array_split(range(old.num_rows), 2)):
+        pq.write_table(old.slice(half[0], len(half)),
+                       f"{root}/t/old-{i}.parquet")
+    for i, half in enumerate(np.array_split(range(new.num_rows), 2)):
+        pq.write_table(new.slice(half[0], len(half)),
+                       f"{root}/t/new-{i}.parquet")
+    target = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("event_type", pa.string()), ("value", pa.float64()),
+        ("props", pa.string())])
+    return read_evolved(f"{root}/t", schema=target)
 
 
 def _compaction_q(sf_dir: str):
@@ -8190,6 +8238,20 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # schema evolution: UNION ALL over the same even/odd split,
+        # NULLs where a generation lacked the column
+        "q285_schema_evolution": """
+            SELECT event_id, user_id, event_type,
+                   CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS VARCHAR) AS props
+            FROM events
+            WHERE event_id IS NOT NULL AND event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, CAST(NULL AS BIGINT), event_type,
+                   value, props
+            FROM events
+            WHERE event_id IS NOT NULL AND event_id % 2 = 1
+        """,
         # validation suite: UNION of independent exact checks; frac is
         # one division per rule
         "q283_validate": """
