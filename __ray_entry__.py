@@ -591,7 +591,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q283_validate": _validate_q,
         "q284_compaction": _compaction_q,
         "q285_schema_evolution": _schema_evolution_q,
+        "q286_outlier_explain": _outlier_explain_q,
     }
+
+
+def _outlier_explain_q(sf_dir: str):
+    """q286: per-row outlier explanation (stages/cohesion.py:
+    outlier_explanation) — for every embedding, the dimension with the
+    largest corpus z-score: |n·q − S| / sqrt(n·Q − S²) from exact int
+    per-dim sufficient statistics, one IEEE division per (row, dim),
+    argmax (z desc, dim asc).  Unnest + GROUP BY SQL replay is
+    bit-exact."""
+    import ray
+
+    from featurebox_ray.stages.cohesion import outlier_explanation
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"],
+                                override_num_blocks=8)
+    return outlier_explanation(emb, quant_bits=10)
 
 
 def _schema_evolution_q(sf_dir: str):
@@ -8238,6 +8256,33 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # outlier explanation: q209 unnest/quantize idiom, z from
+        # exact ints in ONE division, argmax (z desc, dim asc)
+        "q286_outlier_explain": """
+            WITH x AS (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024
+                                + 0.5) AS BIGINT) AS qx
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) AS r(i)
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+            ), s AS (
+              SELECT i, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(qx) AS BIGINT) AS sv,
+                     CAST(sum(qx * qx) AS BIGINT) AS qv
+              FROM x GROUP BY i
+            ), z AS (
+              SELECT x.vec_id, x.i,
+                     CAST(abs(s.n * x.qx - s.sv) AS DOUBLE)
+                       / sqrt(CAST(s.n * s.qv - s.sv * s.sv
+                                   AS DOUBLE)) AS z
+              FROM x JOIN s ON x.i = s.i
+              WHERE s.n * s.qv - s.sv * s.sv > 0
+            )
+            SELECT vec_id, i AS dim, z FROM z
+            QUALIFY row_number() OVER (
+              PARTITION BY vec_id ORDER BY z DESC, i ASC) = 1
+        """,
         # schema evolution: UNION ALL over the same even/odd split,
         # NULLs where a generation lacked the column
         "q285_schema_evolution": """

@@ -757,3 +757,112 @@ def mmd_drift(ds, *, vec_col: str = "embedding",
         "exx": pa.array(cols["exx"], pa.float64()),
         "eyy": pa.array(cols["eyy"], pa.float64()),
         "mmd2": pa.array(cols["mmd2"], pa.float64())})
+
+
+def outlier_explanation(ds, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        quant_bits: int = 10):
+    """Per-row outlier EXPLANATION — for every vector, which dimension
+    deviates most from the corpus (its largest per-dim z-score), so an
+    anomaly flag comes with a "because feature j is 5σ off" statement
+    instead of a bare score: the interpretability companion of
+    :func:`mahalanobis_params` (whole-vector distance) and the robust-z
+    flags (per-scalar).
+
+    Exactness: vectors quantize half-up to ``2^quant_bits`` ints
+    (the q209 convention); per-dim ``n, S=Σq, Q=Σq²`` are exact int
+    partials (driver combine in Python ints), and
+
+        z_j = |n·q_j − S_j| / sqrt(n·Q_j − S_j²)
+
+    is ONE IEEE division of exact integers per (row, dim) — the
+    sqrt(n)-scaled z-score, monotone in the usual z, identical in SQL
+    with an unnest + GROUP BY replay.  The argmax is ``(z DESC,
+    dim ASC)``: equal doubles resolve on the dimension index both
+    sides.  Constant dimensions (zero variance) are excluded from the
+    argmax; a row drops only if EVERY dimension is constant.
+
+    Two streaming passes (stats, then explain); the stats broadcast is
+    3·d ints.  Rows with NULL id/vector drop.  Returns ``(id_col,
+    dim:int64 — 1-based, z:float64)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def stats(b: pa.Table) -> pa.Table:
+        empty = pa.table({"j": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "q": pa.array([], pa.int64())})
+        if b.num_rows == 0 or vec_col not in b.column_names:
+            return empty
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[id_col]),
+                                    pc.is_valid(b[vec_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
+            return empty
+        qm, d = _batch_mat(b, vec_col, quant_bits)
+        return pa.table({
+            "j": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "n": pa.array(np.full(d, len(qm), np.int64)),
+            "s": pa.array(qm.sum(axis=0).astype(np.int64)),
+            "q": pa.array((qm.astype(np.int64) ** 2).sum(axis=0)
+                          .astype(np.int64))})
+
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(
+            ds.map_batches(stats, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if "j" not in blk.column_names:
+            continue
+        for j, n, s, q in zip(blk["j"].to_pylist(),
+                              blk["n"].to_pylist(),
+                              blk["s"].to_pylist(),
+                              blk["q"].to_pylist()):
+            cur = agg.setdefault(j, [0, 0, 0])
+            cur[0] += n
+            cur[1] += s
+            cur[2] += q
+    if not agg:
+        raise ValueError("outlier_explanation: empty input")
+    d = max(agg)
+    n_tot = agg[1][0]
+    S = np.array([agg[j][1] for j in range(1, d + 1)], np.int64)
+    V = np.array([n_tot * agg[j][2] - agg[j][1] ** 2
+                  for j in range(1, d + 1)], np.int64)
+    ok_dim = V > 0
+    if not ok_dim.any():
+        raise ValueError("outlier_explanation: all dimensions "
+                         "constant")
+    S_ref = ray.put((n_tot, S, V, ok_dim))
+
+    def explain(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "z": pa.array([], pa.float64())})
+        if b.num_rows == 0 or vec_col not in b.column_names:
+            return empty
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[id_col]),
+                                    pc.is_valid(b[vec_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
+            return empty
+        n_t, Sv, Vv, okd = ray.get(S_ref)
+        qm, _ = _batch_mat(b, vec_col, quant_bits)
+        num = np.abs(n_t * qm.astype(np.int64) - Sv[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = num.astype(np.float64) / np.sqrt(
+                Vv.astype(np.float64))[None, :]
+        z[:, ~okd] = -np.inf       # constant dims never win
+        pick = np.argmax(z, axis=1)      # first max == (z desc, j asc)
+        return pa.table({
+            id_col: b[id_col],
+            "dim": pa.array((pick + 1).astype(np.int64)),
+            "z": pa.array(z[np.arange(len(pick)), pick],
+                          pa.float64())})
+
+    return ds.map_batches(explain, batch_format="pyarrow",
+                          zero_copy_batch=True)
