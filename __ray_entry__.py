@@ -592,7 +592,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q284_compaction": _compaction_q,
         "q285_schema_evolution": _schema_evolution_q,
         "q286_outlier_explain": _outlier_explain_q,
+        "q287_adaptive_sessionize": _adaptive_sessionize_q,
     }
+
+
+def _adaptive_sessionize_q(sf_dir: str):
+    """q287: adaptive sessionization (stages/window.py:
+    adaptive_sessionize) — per-user session breaks at gaps > 3× THAT
+    user's median inter-event gap (exact quantile_disc element),
+    integer gaps-and-islands; lag → per-key quantile_disc → islands
+    SQL replay is bit-exact."""
+    import ray
+
+    from featurebox_ray.stages.window import adaptive_sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+    return adaptive_sessionize(ev, key_col="user_id", ts_col="ts",
+                               order_col="event_id", k_num=3)
 
 
 def _outlier_explain_q(sf_dir: str):
@@ -8256,6 +8273,42 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # adaptive sessionize: lag gaps -> per-user quantile_disc
+        # median -> integer threshold islands, all exact
+        "q287_adaptive_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS t
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                    AND ts IS NOT NULL
+            ),
+            d AS (SELECT user_id, event_id, t,
+                         t - lag(t) OVER (
+                           PARTITION BY user_id
+                           ORDER BY t, event_id) AS delta
+                  FROM e),
+            m AS (SELECT user_id,
+                         CAST(quantile_disc(delta, 0.5) AS BIGINT)
+                             AS med
+                  FROM d WHERE delta IS NOT NULL GROUP BY user_id),
+            s AS (SELECT d.user_id, d.event_id, d.t,
+                         CASE WHEN d.delta IS NULL
+                                   OR d.delta > 3 * m.med
+                              THEN 1 ELSE 0 END AS brk
+                  FROM d LEFT JOIN m USING (user_id)),
+            i AS (SELECT user_id, t,
+                         CAST(sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS session_id
+                  FROM s)
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(t) AS BIGINT) AS start_us,
+                   CAST(max(t) AS BIGINT) AS end_us
+            FROM i GROUP BY user_id, session_id
+        """,
         # outlier explanation: q209 unnest/quantize idiom, z from
         # exact ints in ONE division, argmax (z desc, dim asc)
         "q286_outlier_explain": """

@@ -1510,3 +1510,106 @@ def watermark_lateness(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, arrival_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def adaptive_sessionize(ds, *, key_col: str, ts_col: str,
+                        order_col: str, k_num: int = 3,
+                        num_partitions: int = 16):
+    """Adaptive sessionization — split each key's event stream into
+    sessions at gaps larger than ``k_num × median inter-event gap`` OF
+    THAT KEY, instead of one global gap constant: a chatty agent's
+    2-minute silence ends its session while a daily-digest user's
+    doesn't, which is what fixed-gap sessionize (q06) gets wrong on
+    heterogeneous populations.
+
+    Exactness: gaps are exact int64 microseconds; the per-key median
+    is the ``quantile_disc`` ELEMENT of the key's gaps (shared
+    :func:`~featurebox_ray.stages.quantile._disc_index` convention),
+    the threshold compare ``gap > k_num·median`` is pure int64, and
+    the session id is an integer break cumsum — SQL replays the whole
+    thing (lag window → per-key quantile_disc → gaps-and-islands)
+    bit-exactly.  A key's first event always opens a session; a
+    single-event key is one session.
+
+    ONE key-keyed exchange; the kernel is a lexsort + segment gather
+    for the medians and reduceat for the session rollup — no per-key
+    Python.  Rows with NULL key/ts/order drop.  ``(key, ts, order)``
+    must be unique per row (order_col disambiguates ts ties).
+    Returns ``(key_col, session_id:int64 — 1-based per key,
+    n_events:int64, start_us:int64, end_us:int64)``.
+    """
+    from .quantile import _disc_index  # noqa: F401  (doc reference)
+
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    ktype = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.is_valid(b[order_col]))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        return b.select([key_col, ts_col, order_col])
+
+    empty = pa.table({
+        key_col: pa.array([], ktype),
+        "session_id": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+        "start_us": pa.array([], pa.int64()),
+        "end_us": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        codes, _ = _key_codes_dic(keys)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        seg_start, row_in_seg, is_start = seg.segment_ids(codes)
+        n = len(ts)
+        g = np.cumsum(is_start) - 1
+        delta = np.empty(n, np.int64)
+        delta[1:] = ts[1:] - ts[:-1]
+        delta[is_start] = -1                       # no gap (sentinel)
+        # per-key median gap: sort gap rows by (key, delta), pick the
+        # quantile_disc element per segment of gap rows
+        has_gap = ~is_start
+        gs, gd = g[has_gap], delta[has_gap]
+        n_seg = int(g[-1]) + 1 if n else 0
+        med = np.full(n_seg, -1, np.int64)         # -1: no gaps
+        if len(gd):
+            order = np.lexsort((gd, gs))
+            so_g, so_d = gs[order], gd[order]
+            first = np.concatenate([[True], so_g[1:] != so_g[:-1]])
+            starts = np.flatnonzero(first)
+            lens = np.diff(np.concatenate([starts, [len(so_g)]]))
+            # _disc_index(0.5, n): max(ceil(0.5 n) - 1, 0)
+            idx = np.maximum(
+                np.ceil(0.5 * lens.astype(np.float64))
+                .astype(np.int64) - 1, 0)
+            med[so_g[starts]] = so_d[starts + idx]
+        thr = np.where(med >= 0, k_num * med, np.int64(-1))
+        brk = is_start | ((delta >= 0) & (thr[g] >= 0)
+                          & (delta > thr[g]))
+        sid_glob = np.cumsum(brk)
+        sid = sid_glob - sid_glob[seg_start] + 1    # 1-based per key
+        # session rollup: (g, sid) runs are contiguous in row order
+        s_start = np.concatenate(
+            [[True], (g[1:] != g[:-1]) | (sid[1:] != sid[:-1])])
+        rf = np.flatnonzero(s_start)
+        lens_s = np.diff(np.concatenate([rf, [n]]))
+        return pa.table({
+            key_col: keys.take(pa.array(rf, pa.int64())),
+            "session_id": pa.array(sid[rf], type=pa.int64()),
+            "n_events": pa.array(lens_s.astype(np.int64)),
+            "start_us": pa.array(ts[rf], type=pa.int64()),
+            "end_us": pa.array(ts[rf + lens_s - 1], type=pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, ts_col, order_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
