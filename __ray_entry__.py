@@ -593,7 +593,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q285_schema_evolution": _schema_evolution_q,
         "q286_outlier_explain": _outlier_explain_q,
         "q287_adaptive_sessionize": _adaptive_sessionize_q,
+        "q288_qq_drift": _qq_drift_q,
     }
+
+
+def _qq_drift_q(sf_dir: str):
+    """q288: per-event-type QQ drift between user cohorts (stages/
+    diff.py:group_qq_drift) — max |decile element gap| between the
+    user_id%2 cohorts' spend distributions, exact quantile_disc
+    elements, integer max; quantile_disc + GREATEST SQL replay is
+    exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.diff import group_qq_drift
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id",
+                                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks()
+        side = pa.array(
+            pc.fill_null(uid, 0).to_numpy(zero_copy_only=False) % 2,
+            pa.int64(), mask=np.asarray(pc.is_null(uid)))
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        c = pa.array(cents, pa.int64(), mask=np.asarray(pc.is_null(v)))
+        return pa.table({"event_type": b["event_type"],
+                         "side": side, "c": c})
+
+    return group_qq_drift(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_col="event_type", side_col="side", value_col="c")
 
 
 def _adaptive_sessionize_q(sf_dir: str):
@@ -8273,6 +8309,37 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # QQ drift: exact decile elements per (type, cohort), integer
+        # max gap, inner join drops one-sided types
+        "q288_qq_drift": """
+            WITH e AS (
+              SELECT event_type, user_id % 2 AS side,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                    AND value IS NOT NULL
+            ),
+            q AS (SELECT event_type, side,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(quantile_disc(c, 0.1) AS BIGINT) AS d1,
+                         CAST(quantile_disc(c, 0.2) AS BIGINT) AS d2,
+                         CAST(quantile_disc(c, 0.3) AS BIGINT) AS d3,
+                         CAST(quantile_disc(c, 0.4) AS BIGINT) AS d4,
+                         CAST(quantile_disc(c, 0.5) AS BIGINT) AS d5,
+                         CAST(quantile_disc(c, 0.6) AS BIGINT) AS d6,
+                         CAST(quantile_disc(c, 0.7) AS BIGINT) AS d7,
+                         CAST(quantile_disc(c, 0.8) AS BIGINT) AS d8,
+                         CAST(quantile_disc(c, 0.9) AS BIGINT) AS d9
+                  FROM e GROUP BY event_type, side)
+            SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+                   greatest(abs(a.d1-b.d1), abs(a.d2-b.d2),
+                            abs(a.d3-b.d3), abs(a.d4-b.d4),
+                            abs(a.d5-b.d5), abs(a.d6-b.d6),
+                            abs(a.d7-b.d7), abs(a.d8-b.d8),
+                            abs(a.d9-b.d9)) AS qq_dist
+            FROM q a JOIN q b USING (event_type)
+            WHERE a.side = 0 AND b.side = 1
+        """,
         # adaptive sessionize: lag gaps -> per-user quantile_disc
         # median -> integer threshold islands, all exact
         "q287_adaptive_sessionize": """

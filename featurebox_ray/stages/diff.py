@@ -364,3 +364,101 @@ def wasserstein_drift(ds, *, group_col: str, value_col: str):
                      "n_rest": pa.array(out_nr, pa.int64()),
                      "w1_num": pa.array(out_num, pa.float64()),
                      "w1": pa.array(out_w1, pa.float64())})
+
+
+def group_qq_drift(ds, *, group_col: str, side_col: str,
+                   value_col: str, n_grid: int = 9,
+                   num_partitions: int = 16):
+    """Per-group quantile-quantile drift between two cohorts — the
+    max absolute gap between the two sides' quantile ELEMENTS over a
+    fixed grid (deciles by default): where KS (q179) measures drift
+    in PROBABILITY (max CDF gap) and W1 (q237) in average transport,
+    QQ reports it on the VALUE SCALE ("the p90 moved 40 cents"),
+    which is what a threshold owner actually acts on.
+
+    Exactness: values must be pre-quantized int64 (the cents
+    pattern); each grid point is the exact ``quantile_disc`` element
+    of its (group, side) slice (shared ``_disc_index`` convention),
+    and the drift is an integer ``max |a_q − b_q|`` — no float
+    arithmetic anywhere, so the quantile_disc + GREATEST SQL replay
+    is exact.  ``side_col`` must be int64 ∈ {0, 1}; groups missing a
+    side emit nothing (SQL inner join).  NULL group/side/value rows
+    drop.
+
+    ONE group-keyed exchange; the kernel sorts its partition once by
+    (group, side, value) and gathers all grid elements for every
+    (group, side) run in one vectorized pick.  Returns ``(group_col,
+    n_a:int64, n_b:int64, qq_dist:int64)``.
+    """
+    from .partition import partitioned_map
+    from .quantile import _disc_index  # noqa: F401 (convention ref)
+
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    gtype = base.field(group_col).type
+    grid = [(i + 1) / (n_grid + 1) for i in range(n_grid)]
+
+    def prep(b: pa.Table) -> pa.Table:
+        for c in (side_col, value_col):
+            if b.schema.field(c).type != pa.int64():
+                raise TypeError(f"group_qq_drift: {c} must be int64")
+        mask = pc.and_(pc.and_(pc.is_valid(b[group_col]),
+                               pc.is_valid(b[side_col])),
+                       pc.is_valid(b[value_col]))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        return b.select([group_col, side_col, value_col])
+
+    empty = pa.table({group_col: pa.array([], gtype),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64()),
+                      "qq_dist": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group_col not in t.column_names:
+            return empty
+        keys = t[group_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        side = t[side_col].to_numpy(zero_copy_only=False)
+        if len(side) and not np.isin(side, (0, 1)).all():
+            raise ValueError("group_qq_drift: side must be 0 or 1")
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        # sorted by (group, side, value): (group, side) runs are
+        # contiguous and internally value-sorted
+        run = np.concatenate(
+            [[True], (codes[1:] != codes[:-1])
+             | (side[1:] != side[:-1])])
+        rf = np.flatnonzero(run)
+        rl = np.diff(np.concatenate([rf, [len(codes)]]))
+        n_types = int(codes.max()) + 1 if len(codes) else 0
+        ne = np.zeros((n_types, 2), np.int64)
+        elems = np.zeros((n_types, 2, len(grid)), np.int64)
+        rc, rs = codes[rf], side[rf]
+        ne[rc, rs] = rl
+        for qi, q in enumerate(grid):
+            idx = np.maximum(
+                np.ceil(q * rl.astype(np.float64)).astype(np.int64)
+                - 1, 0)
+            elems[rc, rs, qi] = v[rf + idx]
+        both = (ne[:, 0] > 0) & (ne[:, 1] > 0)
+        if not both.any():
+            return empty
+        qq = np.abs(elems[:, 0, :] - elems[:, 1, :]).max(axis=1)
+        first_of_code = np.full(n_types, -1, np.int64)
+        first_of_code[rc[::-1]] = rf[::-1]      # earliest run per code
+        sel = np.flatnonzero(both)
+        return pa.table({
+            group_col: keys.take(pa.array(first_of_code[sel],
+                                          pa.int64())),
+            "n_a": pa.array(ne[sel, 0]),
+            "n_b": pa.array(ne[sel, 1]),
+            "qq_dist": pa.array(qq[sel], type=pa.int64())})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=group_col,
+                           sort_keys=[group_col, side_col, value_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
