@@ -594,7 +594,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q286_outlier_explain": _outlier_explain_q,
         "q287_adaptive_sessionize": _adaptive_sessionize_q,
         "q288_qq_drift": _qq_drift_q,
+        "q289_markov_attribution": _markov_attr_q,
     }
+
+
+def _markov_attr_q(sf_dir: str):
+    """q289: Markov removal-effect attribution (stages/attribution.py:
+    markov_attribution) — per-user journeys truncated at first
+    'purchase', exact integer transition counts on one keyed
+    exchange, tiny absorbing-chain solve + per-channel removal
+    effects on the driver.  Fixture oracle: serial replay sharing the
+    solve path, bit-identical."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_markov_attribution
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id",
+                               "event_type"])
+    rep = replay_markov_attribution(
+        t["user_id"].to_pylist(),
+        t["ts"].cast(pa.int64()).to_pylist(),
+        t["event_id"].to_pylist(), t["event_type"].to_pylist(),
+        conv_type="purchase")
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(pa.table({
+        "channel": pa.array([r[0] for r in rep], pa.string()),
+        "removal_effect": pa.array([r[1] for r in rep],
+                                   pa.float64()),
+        "share": pa.array([r[2] for r in rep], pa.float64()),
+    }), f"{_ORACLE_DIR}/markov_attr.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/markov_attr.parquet.tmp",
+               f"{_ORACLE_DIR}/markov_attr.parquet")
+
+    from featurebox_ray.stages.attribution import markov_attribution
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+    return markov_attribution(ev, key_col="user_id", ts_col="ts",
+                              order_col="event_id",
+                              type_col="event_type",
+                              conv_type="purchase")
 
 
 def _qq_drift_q(sf_dir: str):
@@ -12130,6 +12175,10 @@ def oracle_sql() -> dict[str, str]:
         "q278_conformal": f"""
             SELECT n_train, n_cal, n_test, q_hat, coverage, target
             FROM read_parquet('{_ORACLE_DIR}/conformal.parquet')
+        """,
+        "q289_markov_attribution": f"""
+            SELECT channel, removal_effect, share
+            FROM read_parquet('{_ORACLE_DIR}/markov_attr.parquet')
         """,
         "q246_label_prop": f"""
             SELECT vec_id, label_out, is_seed, round_labeled

@@ -1638,3 +1638,47 @@ def replay_conformal(vecs, ys, ids, *, alpha_num: int = 1,
     return [(int(tr.sum()), n_cal, n_test, float(q_int) / denom,
              float(cov) / float(n_test),
              float(alpha_den - alpha_num) / float(alpha_den))]
+
+
+def replay_markov_attribution(keys, tss, orders, types, *,
+                              conv_type: str):
+    """Serial replay of stages/attribution.py:markov_attribution —
+    per-key journeys rebuilt with plain Python, the identical exact
+    transition-count dict, the SHARED _markov_solve float path.
+    Bit-identical.  Returns rows (channel, removal_effect, share)."""
+    from featurebox_ray.stages.attribution import (CONV, NULLA, START,
+                                                   _markov_solve)
+
+    rows = [(k, t, o, ty) for k, t, o, ty in
+            zip(keys, tss, orders, types)
+            if k is not None and t is not None and o is not None
+            and ty is not None]
+    by_key: dict = {}
+    for k, t, o, ty in rows:
+        by_key.setdefault(k, []).append((t, o, ty))
+    counts: dict = {}
+
+    def add(f, t):
+        counts[(f, t)] = counts.get((f, t), 0) + 1
+
+    for k in by_key:
+        seq = [ty for _, _, ty in sorted(by_key[k])]
+        path = []
+        conv = False
+        for ty in seq:
+            if ty == conv_type:
+                conv = True
+                break
+            path.append(ty)
+        prev = START
+        for ty in path:
+            add(prev, ty)
+            prev = ty
+        if conv:
+            add(prev, CONV)
+        elif path:
+            add(prev, NULLA)
+    out = _markov_solve(counts)
+    return list(zip(out["channel"].to_pylist(),
+                    out["removal_effect"].to_pylist(),
+                    out["share"].to_pylist()))

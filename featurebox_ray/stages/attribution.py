@@ -347,3 +347,169 @@ def shapley_attribution(ds, *, key_col: str, type_col: str,
         "shapley": pa.array(
             [float(p.numerator) / float(p.denominator)
              for p in phi], pa.float64())})
+
+
+START, CONV, NULLA = "\x00start", "\x00conv", "\x00null"
+
+
+def markov_attribution(ds, *, key_col: str, ts_col: str,
+                       order_col: str, type_col: str,
+                       conv_type: str, num_partitions: int = 16):
+    """Markov removal-effect attribution — the fourth classic channel
+    model next to linear (q188), time-decay (q257) and Shapley
+    (q223): journeys become a first-order Markov chain (start →
+    channels → conversion/null absorbers), and a channel's credit is
+    how much the start→conversion probability DROPS when every
+    transition into that channel is redirected to the null absorber
+    (Anderl et al. 2016's removal effect).
+
+    Journey per key: events in (ts, order) order, truncated at the
+    FIRST ``conv_type`` event; the non-conv prefix is the channel
+    path, absorbed by conv (if reached) or null (journey ended
+    unconverted).  Transition counts are EXACT integers from one
+    key-keyed exchange (per-partition vectorized pair counting,
+    driver dict combine); the only float work is the tiny
+    (K+1)-state absorbing-chain solve on the driver, replayed
+    bit-identically by the serial fixture (identical count matrix →
+    identical ``np.linalg.solve`` sequence).
+
+    Returns ``(channel:string, removal_effect:float64,
+    share:float64)`` sorted by channel; ``share`` normalizes the
+    removal effects (NULL when all effects are 0).  Rows with NULL
+    key/ts/order/type drop.  Keys whose journey is empty contribute
+    nothing.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[key_col])
+        for c in (ts_col, order_col, type_col):
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        return b.select([key_col, ts_col, order_col, type_col])
+
+    empty = pa.table({"f": pa.array([], pa.string()),
+                      "t": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        kenc = pc.dictionary_encode(keys)
+        kc = (pc.fill_null(kenc.indices, -1)
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        tenc = pc.dictionary_encode(t[type_col].combine_chunks())
+        tdict = tenc.dictionary.to_pylist()
+        tc = tenc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        conv_code = tdict.index(conv_type) if conv_type in tdict \
+            else -99
+        is_start = np.concatenate([[True], kc[1:] != kc[:-1]])
+        is_conv = tc == conv_code
+        # exclusive per-segment prefix of conv counts: rows strictly
+        # before the first conv are channel events
+        cs = np.cumsum(is_conv)
+        seg_first = np.flatnonzero(is_start)
+        g = np.cumsum(is_start) - 1
+        excl = cs - is_conv - (cs - is_conv)[seg_first][g]
+        chan = ~is_conv & (excl == 0)
+        conv_present = np.zeros(len(seg_first), bool)
+        np.logical_or.at(conv_present, g, is_conv)
+        # channel-row incoming transitions: prev is channel or START
+        frm = np.where(is_start, np.int64(-1), np.concatenate(
+            [[np.int64(-1)], tc[:-1]]))
+        pf, pt = frm[chan], tc[chan]
+        # per-segment terminal: last channel row -> conv/null; empty
+        # channel prefix with conv -> start -> conv
+        n_chan = np.zeros(len(seg_first), np.int64)
+        np.add.at(n_chan, g, chan)
+        # last channel type per segment: rows are ordered and fancy
+        # assignment keeps the LAST duplicate index
+        last_type = np.full(len(seg_first), -1, np.int64)
+        idx_chan = np.flatnonzero(chan)
+        last_type[g[idx_chan]] = tc[idx_chan]
+        term_f = np.where(n_chan > 0, last_type, np.int64(-1))
+        term_t = np.where(conv_present, np.int64(-2), np.int64(-3))
+        keep_term = (n_chan > 0) | conv_present
+        # drop start->null of empty journeys with no conv and no
+        # channels (cannot happen: a segment has >= 1 row)
+        pf = np.concatenate([pf, term_f[keep_term]])
+        pt = np.concatenate([pt, term_t[keep_term]])
+        # count pairs on composite codes
+        K = len(tdict)
+        comp = (pf + 3) * (K + 3) + (pt + 3)
+        u, cnts = np.unique(comp, return_counts=True)
+        uf = u // (K + 3) - 3
+        ut = u % (K + 3) - 3
+        names = {-1: START, -2: CONV, -3: NULLA}
+
+        def nm(c):
+            return names.get(int(c), tdict[int(c)] if c >= 0 else "?")
+
+        return pa.table({
+            "f": pa.array([nm(c) for c in uf], pa.string()),
+            "t": pa.array([nm(c) for c in ut], pa.string()),
+            "cnt": pa.array(cnts.astype(np.int64))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    counts: dict = {}
+    for blk in ray.get(materialized_block_refs(
+            partitioned_map(prepped, kernel, key=key_col,
+                            sort_keys=[key_col, ts_col, order_col],
+                            num_partitions=num_partitions,
+                            strategy="tasks"))):
+        if "f" not in blk.column_names:
+            continue
+        for f, to, c in zip(blk["f"].to_pylist(),
+                            blk["t"].to_pylist(),
+                            blk["cnt"].to_pylist()):
+            counts[(f, to)] = counts.get((f, to), 0) + c
+    return _markov_solve(counts)
+
+
+def _markov_solve(counts: dict) -> pa.Table:
+    """Absorbing-chain solve + removal effects from exact transition
+    counts — the ONE float path, shared with the fixture replay."""
+    channels = sorted({s for pair in counts for s in pair
+                       if s not in (START, CONV, NULLA)})
+    states = [START] + channels            # transient states
+    sidx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    C = np.zeros((n, n + 2), np.float64)   # cols: transient + conv,null
+    for (f, t), c in counts.items():
+        if f not in sidx:
+            continue
+        j = sidx[t] if t in sidx else (n if t == CONV else n + 1)
+        C[sidx[f], j] += float(c)
+
+    def absorb_prob(redirect=None):
+        M = C.copy()
+        if redirect is not None:
+            j = sidx[redirect]
+            M[:, n + 1] += M[:, j]         # into-channel -> null
+            M[:, j] = 0.0
+            M[j, :] = 0.0
+        tot = M.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            P = M / tot[:, None]
+        P[tot == 0] = 0.0
+        Q, r = P[:, :n], P[:, n]
+        sol = np.linalg.solve(np.eye(n) - Q, r)
+        return float(sol[0])
+
+    p_base = absorb_prob()
+    eff = []
+    for ch in channels:
+        p_rm = absorb_prob(redirect=ch)
+        eff.append(1.0 - p_rm / p_base if p_base > 0 else 0.0)
+    tot = sum(eff)
+    share = [e / tot if tot > 0 else None for e in eff]
+    return pa.table({
+        "channel": pa.array(channels, pa.string()),
+        "removal_effect": pa.array(eff, pa.float64()),
+        "share": pa.array(share, pa.float64())})
