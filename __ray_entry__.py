@@ -595,7 +595,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q287_adaptive_sessionize": _adaptive_sessionize_q,
         "q288_qq_drift": _qq_drift_q,
         "q289_markov_attribution": _markov_attr_q,
+        "q290_gini": _gini_q,
     }
+
+
+def _gini_q(sf_dir: str):
+    """q290: per-source document-length concentration (stages/
+    profile.py:group_gini) — exact integer Lorenz sums, one IEEE
+    division; row_number()-window SQL replay is bit-exact."""
+    import ray
+
+    from featurebox_ray.stages.profile import group_gini
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"])
+    return group_gini(docs, group_col="source", value_col="n_chars")
 
 
 def _markov_attr_q(sf_dir: str):
@@ -8354,6 +8368,26 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # Gini: exact Lorenz numerator over ranked values, one division
+        "q290_gini": """
+            WITH d AS (
+              SELECT source, n_chars AS x FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            r AS (SELECT source, x,
+                         row_number() OVER (
+                           PARTITION BY source ORDER BY x) AS i,
+                         count(*) OVER (PARTITION BY source) AS n
+                  FROM d)
+            SELECT source, CAST(any_value(n) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CASE WHEN sum(x) = 0 THEN NULL ELSE
+                     CAST(sum((2 * i - n - 1) * x) AS DOUBLE)
+                       / (CAST(any_value(n) AS DOUBLE)
+                          * CAST(sum(x) AS DOUBLE))
+                   END AS gini
+            FROM r GROUP BY source
+        """,
         # QQ drift: exact decile elements per (type, cohort), integer
         # max gap, inner join drops one-sided types
         "q288_qq_drift": """

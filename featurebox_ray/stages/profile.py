@@ -906,3 +906,88 @@ def ts_collision_audit(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, "__ts"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def group_gini(ds, *, group_col: str, value_col: str,
+               num_partitions: int = 16):
+    """Per-group Gini coefficient — how concentrated a non-negative
+    quantity is within each group (0 = perfectly even, →1 = one row
+    holds everything): the inequality lens on corpus composition
+    (doc-length concentration per source, spend concentration per
+    cohort) that complements Simpson diversity (q176/q267 measure
+    CATEGORY concentration; Gini measures MASS concentration).
+
+        G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n · Σx)    (x sorted ascending)
+
+    Exactness: ``value_col`` must be non-negative int64 (callers
+    quantize); the Lorenz numerator and Σx are exact integers (ties
+    don't matter — the coefficient sum over a tie block depends only
+    on the index set), and G is ONE IEEE division — the
+    row_number()-window SQL replay is bit-exact.  Groups with
+    Σx = 0 emit NULL.  NULL group/value rows drop.
+
+    ONE group-keyed exchange; the kernel is a rank ramp + two
+    reduceats per partition.  Returns ``(group_col, n:int64,
+    sum_x:int64, gini:float64)``.
+    """
+    from .partition import partitioned_map
+
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    gtype = base.field(group_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.schema.field(value_col).type != pa.int64():
+            raise TypeError(f"group_gini: {value_col} must be int64")
+        mask = pc.and_(pc.is_valid(b[group_col]),
+                       pc.is_valid(b[value_col]))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        neg = pc.min_max(b[value_col])["min"]
+        if b.num_rows and neg.as_py() < 0:
+            raise ValueError("group_gini: negative values — Gini "
+                             "needs a non-negative quantity")
+        return b.select([group_col, value_col])
+
+    empty = pa.table({group_col: pa.array([], gtype),
+                      "n": pa.array([], pa.int64()),
+                      "sum_x": pa.array([], pa.int64()),
+                      "gini": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group_col not in t.column_names:
+            return empty
+        keys = t[group_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        x = t[value_col].to_numpy(zero_copy_only=False)
+        # sorted by (group, value): group runs contiguous, values asc
+        is_start = np.concatenate([[True], codes[1:] != codes[:-1]])
+        gf = np.flatnonzero(is_start)
+        n_g = np.diff(np.concatenate([gf, [len(codes)]]))
+        g = np.cumsum(is_start) - 1
+        i = np.arange(len(codes)) - gf[g] + 1          # 1-based rank
+        w = 2 * i - n_g[g] - 1
+        # |w·x| ≤ n·max_x per row; the per-group sum ≤ n²·max_x —
+        # int64-safe for n ≤ ~3e6 rows/group at cent scale; larger
+        # groups would need the q170 split-word trick
+        num = np.add.reduceat(w * x, gf)
+        sx = np.add.reduceat(x, gf)
+        ok = sx > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gini = num.astype(np.float64) / (
+                n_g.astype(np.float64) * sx.astype(np.float64))
+        return pa.table({
+            group_col: keys.take(pa.array(gf, pa.int64())),
+            "n": pa.array(n_g.astype(np.int64)),
+            "sum_x": pa.array(sx, type=pa.int64()),
+            "gini": pa.array(np.where(ok, gini, 0.0), pa.float64(),
+                             mask=~ok)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=group_col,
+                           sort_keys=[group_col, value_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
