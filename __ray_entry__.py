@@ -601,15 +601,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _gini_q(sf_dir: str):
     """q290: per-source document-length concentration (stages/
-    profile.py:group_gini) — exact integer Lorenz sums, one IEEE
-    division; row_number()-window SQL replay is bit-exact."""
+    profile.py:group_lorenz_gini) — exact integer Lorenz sums, one
+    IEEE division; row_number()-window SQL replay is bit-exact."""
     import ray
 
-    from featurebox_ray.stages.profile import group_gini
+    from featurebox_ray.stages.profile import group_lorenz_gini
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["source", "n_chars"])
-    return group_gini(docs, group_col="source", value_col="n_chars")
+    return group_lorenz_gini(docs, group_col="source",
+                             value_col="n_chars")
 
 
 def _markov_attr_q(sf_dir: str):

@@ -908,14 +908,16 @@ def ts_collision_audit(ds, *, key_col: str, ts_col: str,
                            strategy="tasks")
 
 
-def group_gini(ds, *, group_col: str, value_col: str,
-               num_partitions: int = 16):
-    """Per-group Gini coefficient — how concentrated a non-negative
+def group_lorenz_gini(ds, *, group_col: str, value_col: str,
+                      num_partitions: int = 16):
+    """Per-group Gini COEFFICIENT (Lorenz concentration) — how
+    concentrated a non-negative
     quantity is within each group (0 = perfectly even, →1 = one row
     holds everything): the inequality lens on corpus composition
     (doc-length concentration per source, spend concentration per
-    cohort) that complements Simpson diversity (q176/q267 measure
-    CATEGORY concentration; Gini measures MASS concentration).
+    cohort).  NOT the categorical Gini IMPURITY — that is
+    :func:`group_gini` above (q138); this one measures MASS
+    concentration over a numeric column.
 
         G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n · Σx)    (x sorted ascending)
 
@@ -938,15 +940,17 @@ def group_gini(ds, *, group_col: str, value_col: str,
 
     def prep(b: pa.Table) -> pa.Table:
         if b.schema.field(value_col).type != pa.int64():
-            raise TypeError(f"group_gini: {value_col} must be int64")
+            raise TypeError(
+                f"group_lorenz_gini: {value_col} must be int64")
         mask = pc.and_(pc.is_valid(b[group_col]),
                        pc.is_valid(b[value_col]))
         if not pc.all(pc.fill_null(mask, False)).as_py():
             b = b.filter(pc.fill_null(mask, False))
         neg = pc.min_max(b[value_col])["min"]
         if b.num_rows and neg.as_py() < 0:
-            raise ValueError("group_gini: negative values — Gini "
-                             "needs a non-negative quantity")
+            raise ValueError(
+                "group_lorenz_gini: negative values — Gini "
+                "needs a non-negative quantity")
         return b.select([group_col, value_col])
 
     empty = pa.table({group_col: pa.array([], gtype),
