@@ -596,7 +596,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q288_qq_drift": _qq_drift_q,
         "q289_markov_attribution": _markov_attr_q,
         "q290_gini": _gini_q,
+        "q291_range_pruned_read": _range_pruned_q,
     }
+
+
+def _range_pruned_q(sf_dir: str):
+    """q291: range-partitioned layout + pruned scan (stages/
+    bucketed.py:write_range_partitioned/read_range) — events laid out
+    in 8 equal epoch-us ranges (cuts from a streaming min/max pass),
+    then the middle half [mn+2w, mn+6w) read back touching ONLY the
+    overlapping partition dirs (spec-file pruning) + exact residual
+    filter.  WHERE-clause SQL oracle over the same integer cut
+    arithmetic."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.bucketed import (read_range,
+                                                write_range_partitioned)
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b["event_id"]), pc.is_valid(b["ts"]))
+        b = b.filter(pc.fill_null(m, False))
+        return pa.table({
+            "event_id": b["event_id"],
+            "t": b["ts"].combine_chunks().cast(pa.int64())})
+
+    ev = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "ts"])
+          .map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    # streaming min/max pass (the global_quantile stats0 shape)
+    mn = mx = None
+    for blk in ray.get(
+            __import__("featurebox_ray.stages.partition",
+                       fromlist=["materialized_block_refs"])
+            .materialized_block_refs(ev.map_batches(
+                lambda b: pa.table(
+                    {"mn": pa.array([pc.min(b["t"]).as_py()],
+                                    pa.int64()),
+                     "mx": pa.array([pc.max(b["t"]).as_py()],
+                                    pa.int64())})
+                if b.num_rows else
+                pa.table({"mn": pa.array([], pa.int64()),
+                          "mx": pa.array([], pa.int64())}),
+                batch_format="pyarrow", batch_size=None))):
+        if "mn" not in blk.column_names:
+            continue
+        for a, b_ in zip(blk["mn"].to_pylist(),
+                         blk["mx"].to_pylist()):
+            mn = a if mn is None else min(mn, a)
+            mx = b_ if mx is None else max(mx, b_)
+    w = (mx - mn + 8) // 8
+    cuts = [mn + i * w for i in range(9)]
+    root = f"/tmp/fbr_range_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_range_partitioned(ev, f"{root}/events", key="t",
+                            cuts=cuts)
+    return read_range(f"{root}/events", lo=mn + 2 * w,
+                      hi=mn + 6 * w, columns=["event_id", "t"])
 
 
 def _gini_q(sf_dir: str):
@@ -8369,6 +8431,21 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # range-pruned read: identical integer cut arithmetic; the
+        # layout/pruning is an engine artifact, semantics = WHERE
+        "q291_range_pruned_read": """
+            WITH m AS (
+              SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS mn,
+                     CAST(max(epoch_us(ts)) AS BIGINT) AS mx
+              FROM events
+              WHERE ts IS NOT NULL AND event_id IS NOT NULL
+            )
+            SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS t
+            FROM events, m
+            WHERE ts IS NOT NULL AND event_id IS NOT NULL
+              AND epoch_us(ts) >= mn + 2 * ((mx - mn + 8) // 8)
+              AND epoch_us(ts) <  mn + 6 * ((mx - mn + 8) // 8)
+        """,
         # Gini: exact Lorenz numerator over ranked values, one division
         "q290_gini": """
             WITH d AS (

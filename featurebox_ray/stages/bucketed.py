@@ -203,3 +203,129 @@ def bucketed_join(left_path: str, right_path: str, *,
     # blocks never pass through the driver
     return ray.data.from_arrow_refs(
         [join_bucket.remote(b) for b in range(B)])
+
+
+RANGE_SPEC = "_rangespec.json"
+
+
+def write_range_partitioned(ds, path: str, *, key: str,
+                            cuts: List[int]) -> pa.Table:
+    """Write ``ds`` range-partitioned on an int64 column: partition
+    ``i`` holds rows with ``cuts[i] <= key < cuts[i+1]`` (rows outside
+    ``[cuts[0], cuts[-1])`` RAISE — widen the cuts; NULL keys drop,
+    recorded semantics as :func:`write_bucketed`).  The range sibling
+    of the hash-bucketed layout: hash co-locates for JOINS, range
+    co-locates for TIME/KEY-RANGE SCANS, and a reader that wants
+    ``[lo, hi)`` touches only the overlapping partition directories —
+    partition pruning from the spec file alone, no footer reads.
+
+    Returns the fragment manifest ``(part, rows, file)``; writes
+    ``_rangespec.json`` with the key and cut vector.
+    """
+    cuts = [int(c) for c in cuts]
+    if sorted(cuts) != cuts or len(cuts) < 2:
+        raise ValueError("write_range_partitioned: cuts must be an "
+                         "ascending vector of >= 2 boundaries")
+    os.makedirs(path, exist_ok=True)
+    if os.listdir(path):
+        raise ValueError(f"write_range_partitioned: {path} is not "
+                         "empty — refusing to append")
+    lo, hi = cuts[0], cuts[-1]
+    cuts_arr = np.asarray(cuts, np.int64)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        col = b[key].combine_chunks()
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            b = b.filter(valid)
+            col = b[key].combine_chunks()
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(v) and (int(v.min()) < lo or int(v.max()) >= hi):
+            raise ValueError(
+                f"write_range_partitioned: value outside "
+                f"[{lo}, {hi}) — widen the cuts")
+        part = (np.searchsorted(cuts_arr, v, side="right") - 1)\
+            .astype(np.int64)
+        return b.append_column("__bucket", pa.array(part))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out_b, out_rows, out_file = [], [], []
+        if t.num_rows and "__bucket" in t.column_names:
+            bks = t["__bucket"].to_numpy(zero_copy_only=False)
+            order = np.argsort(bks, kind="stable")
+            ts = t.take(pa.array(order, pa.int64()))
+            bks = bks[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], bks[1:] != bks[:-1]]))
+            ends = np.concatenate([starts[1:], [len(bks)]])
+            for s, e in zip(starts, ends):
+                bv = int(bks[s])
+                sub = ts.slice(s, e - s).drop_columns(["__bucket"])
+                d = f"{path}/part={bv}"
+                os.makedirs(d, exist_ok=True)
+                fn = f"{d}/frag-{uuid.uuid4().hex}.parquet"
+                pq.write_table(sub, fn)
+                out_b.append(bv)
+                out_rows.append(e - s)
+                out_file.append(fn)
+        return pa.table({
+            "part": pa.array(out_b, pa.int64()),
+            "rows": pa.array(out_rows, pa.int64()),
+            "file": pa.array(out_file, pa.string())})
+
+    withp = ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    manifest = partitioned_map(withp, kernel, key="__bucket",
+                               sort_keys=["__bucket"],
+                               num_partitions=len(cuts) - 1,
+                               strategy="tasks",
+                               drop_part_col=False)
+    import ray
+
+    from .partition import materialized_block_refs
+
+    blocks = [b for b in ray.get(materialized_block_refs(manifest))
+              if b.num_rows > 0]
+    man = (pa.concat_tables(blocks) if blocks
+           else pa.table({"part": pa.array([], pa.int64()),
+                          "rows": pa.array([], pa.int64()),
+                          "file": pa.array([], pa.string())}))
+    with open(f"{path}/{RANGE_SPEC}", "w") as f:
+        json.dump({"key": key, "cuts": cuts,
+                   "rows": int(pc.sum(man["rows"]).as_py() or 0)}, f)
+    return man
+
+
+def read_range(path: str, *, lo: int, hi: int,
+               columns: Optional[List[str]] = None):
+    """Read ``[lo, hi)`` of the layout's key from a range-partitioned
+    layout — opens ONLY the partition directories whose range overlaps
+    (pruned from the spec's cut vector; no footers touched for skipped
+    partitions) and applies the exact residual filter inside the read
+    tasks.  Returns a ``ray.data.Dataset``."""
+    import ray
+
+    with open(f"{path}/{RANGE_SPEC}") as f:
+        spec = json.load(f)
+    cuts = spec["cuts"]
+    key = spec["key"]
+    parts = [i for i in range(len(cuts) - 1)
+             if cuts[i] < hi and cuts[i + 1] > lo]
+    dirs = [os.path.join(f"{path}/part={i}", fn)
+            for i in parts if os.path.isdir(f"{path}/part={i}")
+            for fn in sorted(os.listdir(f"{path}/part={i}"))]
+    if not dirs:
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([]) for c in (columns or [key])}))
+    read_cols = (list(dict.fromkeys([key] + columns))
+                 if columns is not None else None)
+    ds = ray.data.read_parquet(dirs, columns=read_cols)
+
+    def residual(b: pa.Table) -> pa.Table:
+        col = b[key].combine_chunks().cast(pa.int64())
+        m = pc.and_(pc.greater_equal(col, lo), pc.less(col, hi))
+        out = b.filter(pc.fill_null(m, False))
+        return out.select(columns) if columns is not None else out
+
+    return ds.map_batches(residual, batch_format="pyarrow",
+                          zero_copy_batch=True)
