@@ -597,7 +597,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q289_markov_attribution": _markov_attr_q,
         "q290_gini": _gini_q,
         "q291_range_pruned_read": _range_pruned_q,
+        "q292_embed_diversity": _embed_diversity_q,
     }
+
+
+def _embed_diversity_q(sf_dir: str):
+    """q292: per-label embedding diversity (stages/cohesion.py:
+    group_embedding_diversity) — mean pairwise squared distance via
+    the Gram identity 2nΣ|x|² − 2|Σx|² (NO pair enumeration), exact
+    int sufficient statistics, fixed two-division float; unnest +
+    HUGEINT SQL replay is bit-exact."""
+    import ray
+
+    from featurebox_ray.stages.cohesion import group_embedding_diversity
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"],
+                                override_num_blocks=8)
+    return group_embedding_diversity(emb, group_col="label",
+                                     quant_bits=10)
 
 
 def _range_pruned_q(sf_dir: str):
@@ -8431,6 +8449,35 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # embedding diversity: Gram identity from HUGEINT sums, two
+        # fixed divisions (q209 unnest/quantize idiom)
+        "q292_embed_diversity": """
+            WITH x AS (
+              SELECT label,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024
+                                + 0.5) AS BIGINT) AS qx, i
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) AS r(i)
+              WHERE label IS NOT NULL AND embedding IS NOT NULL
+            ),
+            t1 AS (SELECT label, CAST(sum(qx * qx) AS HUGEINT) AS t
+                   FROM x GROUP BY label),
+            t2 AS (SELECT label, i, CAST(sum(qx) AS HUGEINT) AS s
+                   FROM x GROUP BY label, i),
+            t3 AS (SELECT label, CAST(sum(s * s) AS HUGEINT) AS ss
+                   FROM t2 GROUP BY label),
+            c AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                  FROM embeddings
+                  WHERE label IS NOT NULL AND embedding IS NOT NULL
+                  GROUP BY label)
+            SELECT c.label, c.n,
+                   CASE WHEN c.n < 2 THEN NULL ELSE
+                     CAST(2 * c.n * t1.t - 2 * t3.ss AS DOUBLE)
+                       / CAST(c.n * (c.n - 1) AS DOUBLE)
+                       / 1048576.0
+                   END AS mean_d2
+            FROM c JOIN t1 USING (label) JOIN t3 USING (label)
+        """,
         # range-pruned read: identical integer cut arithmetic; the
         # layout/pruning is an engine artifact, semantics = WHERE
         "q291_range_pruned_read": """

@@ -866,3 +866,96 @@ def outlier_explanation(ds, *, vec_col: str = "embedding",
 
     return ds.map_batches(explain, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def group_embedding_diversity(ds, *, vec_col: str = "embedding",
+                              group_col: str = "label",
+                              quant_bits: int = 10):
+    """Per-group embedding diversity — the mean pairwise squared
+    distance within each group WITHOUT enumerating pairs, via the
+    Gram identity ``Σ_{i≠j}|x_i−x_j|² = 2n·Σ|x_i|² − 2|Σx_i|²``:
+    the data-mixing signal ("how redundant is this source?") that
+    SemDeDup-style curation thresholds on, computed from the same
+    O(d)-sized exact sufficient statistics as the centroid ops.
+
+    Exactness: vectors quantize half-up (q209 convention);
+    ``n, T = ΣΣq², S_d = Σq_d`` are exact integer partials combined
+    as Python ints; the result is the FIXED sequence
+    ``double(2nT − 2ΣS_d²) / double(n(n−1)) / 2^(2·quant_bits)`` —
+    bit-exact in SQL with HUGEINT sums and the same two divisions.
+    Groups with n < 2 emit NULL.  NULL group/vector rows drop.
+
+    One streaming pass; the shuffle is the per-block (group, n, T, S)
+    partial rows.  Returns ``(group_col, n:int64,
+    mean_d2:float64)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs
+
+    def partial(b: pa.Table) -> pa.Table:
+        gtype = (b.schema.field(group_col).type
+                 if group_col in b.column_names else pa.int64())
+        empty = pa.table({group_col: pa.array([], gtype),
+                          "n": pa.array([], pa.int64()),
+                          "t": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.list_(pa.int64()))})
+        if b.num_rows == 0 or vec_col not in b.column_names:
+            return empty
+        b = b.filter(pc.fill_null(
+            pc.and_(pc.is_valid(b[group_col]),
+                    pc.is_valid(b[vec_col])), False))
+        if b.num_rows == 0:
+            return empty
+        xq, dims = _batch_mat(b, vec_col, quant_bits)
+        xq = xq.astype(np.int64)
+        gd = pc.dictionary_encode(b[group_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = len(gd.dictionary)
+        cnt = np.bincount(codes, minlength=g).astype(np.int64)
+        tt = np.zeros(g, np.int64)
+        np.add.at(tt, codes, (xq * xq).sum(axis=1))
+        s = np.zeros((g, dims), np.int64)
+        np.add.at(s, codes, xq)
+        return pa.table({group_col: gd.dictionary,
+                         "n": pa.array(cnt),
+                         "t": pa.array(tt),
+                         "s": pa.array(list(s), pa.list_(pa.int64()))})
+
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if "n" not in blk.column_names:
+            continue
+        for gv, n, t, s in zip(blk[group_col].to_pylist(),
+                               blk["n"].to_pylist(),
+                               blk["t"].to_pylist(),
+                               blk["s"].to_pylist()):
+            cur = agg.get(gv)
+            if cur is None:
+                agg[gv] = [n, t, [int(x) for x in s]]
+            else:
+                cur[0] += n
+                cur[1] += t
+                cur[2] = [a + int(x) for a, x in zip(cur[2], s)]
+    if not agg:
+        raise ValueError("group_embedding_diversity: empty input")
+    gvals = sorted(agg)
+    ns, md = [], []
+    scale = float(1 << (2 * quant_bits))
+    for gv in gvals:
+        n, t, s = agg[gv]
+        ns.append(n)
+        if n < 2:
+            md.append(None)
+        else:
+            num = 2 * n * t - 2 * sum(x * x for x in s)
+            md.append(float(num) / float(n * (n - 1)) / scale)
+    gtype = (ds.schema().base_schema
+             if hasattr(ds.schema(), "base_schema")
+             else ds.schema()).field(group_col).type
+    return pa.table({group_col: pa.array(gvals, gtype),
+                     "n": pa.array(ns, pa.int64()),
+                     "mean_d2": pa.array(md, pa.float64())})
