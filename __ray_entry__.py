@@ -598,7 +598,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q290_gini": _gini_q,
         "q291_range_pruned_read": _range_pruned_q,
         "q292_embed_diversity": _embed_diversity_q,
+        "q293_l_diversity": _l_diversity_q,
     }
+
+
+def _l_diversity_q(sf_dir: str):
+    """q293: l-diversity audit (stages/profile.py:l_diversity_audit)
+    — (lang, 500-char length bucket) quasi groups × distinct sources;
+    exact sizes and distinct counts on one quasi-keyed exchange;
+    count(DISTINCT) SQL replay is exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.profile import l_diversity_audit
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "n_chars",
+                                          "source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].combine_chunks()
+        v = pc.fill_null(nc, 0).to_numpy(zero_copy_only=False)
+        bucket = pa.array((v // 500).astype(np.int64), pa.int64(),
+                          mask=np.asarray(pc.is_null(nc)))
+        return pa.table({"lang": b["lang"], "len_bucket": bucket,
+                         "source": b["source"]})
+
+    return l_diversity_audit(
+        docs.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        quasi_cols=["lang", "len_bucket"], sensitive_col="source",
+        l_threshold=3)
 
 
 def _embed_diversity_q(sf_dir: str):
@@ -8449,6 +8481,18 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # l-diversity: exact group sizes + count(DISTINCT sensitive)
+        "q293_l_diversity": """
+            SELECT lang, n_chars // 500 AS len_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT source) AS BIGINT)
+                       AS n_sensitive,
+                   count(DISTINCT source) >= 3 AS ok
+            FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                  AND source IS NOT NULL
+            GROUP BY lang, len_bucket
+        """,
         # embedding diversity: Gram identity from HUGEINT sums, two
         # fixed divisions (q209 unnest/quantize idiom)
         "q292_embed_diversity": """

@@ -995,3 +995,78 @@ def group_lorenz_gini(ds, *, group_col: str, value_col: str,
                            sort_keys=[group_col, value_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def l_diversity_audit(ds, *, quasi_cols, sensitive_col: str,
+                      l_threshold: int, num_partitions: int = 16):
+    """l-diversity audit — for every quasi-identifier group, how many
+    DISTINCT sensitive values it contains: the release-safety check
+    that closes k-anonymity's gap (``k_anonymity`` above guarantees
+    group SIZE; a size-50 group whose sensitive column is constant
+    still leaks — this catches it).
+
+    Exactness: group size and distinct-sensitive counts are exact
+    integers from one quasi-keyed exchange (first quasi column is the
+    partition key, so every quasi group co-locates); the kernel is a
+    single multi-column run scan — distinct sensitive values are
+    contiguous after the (quasi..., sensitive) sort.  NULL quasi or
+    sensitive rows drop (SQL ``count(DISTINCT)`` semantics under the
+    same WHERE).  Returns ``(quasi_cols..., n:int64,
+    n_sensitive:int64, ok:bool — n_sensitive >= l_threshold)``.
+    """
+    from .partition import partitioned_map
+
+    quasi_cols = list(quasi_cols)
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    qtypes = {c: base.field(c).type for c in quasi_cols}
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[sensitive_col])
+        for c in quasi_cols:
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        return b.select(quasi_cols + [sensitive_col])
+
+    empty_cols = {c: pa.array([], qtypes[c]) for c in quasi_cols}
+    empty_cols["n"] = pa.array([], pa.int64())
+    empty_cols["n_sensitive"] = pa.array([], pa.int64())
+    empty_cols["ok"] = pa.array([], pa.bool_())
+    empty = pa.table(empty_cols)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or quasi_cols[0] not in t.column_names:
+            return empty
+        n = t.num_rows
+        # run starts over the quasi tuple and over (quasi, sensitive)
+        q_start = np.zeros(n, bool)
+        q_start[0] = True
+        for c in quasi_cols:
+            enc = pc.dictionary_encode(t[c].combine_chunks())
+            codes = (pc.fill_null(enc.indices, -1)
+                     .to_numpy(zero_copy_only=False))
+            q_start[1:] |= codes[1:] != codes[:-1]
+        s_start = q_start.copy()
+        enc = pc.dictionary_encode(t[sensitive_col].combine_chunks())
+        sc = (pc.fill_null(enc.indices, -1)
+              .to_numpy(zero_copy_only=False))
+        s_start[1:] |= sc[1:] != sc[:-1]
+        qf = np.flatnonzero(q_start)
+        n_g = np.diff(np.concatenate([qf, [n]]))
+        g = np.cumsum(q_start) - 1
+        n_sens = np.zeros(len(qf), np.int64)
+        np.add.at(n_sens, g[s_start], 1)
+        cols = {c: t[c].combine_chunks().take(
+            pa.array(qf, pa.int64())) for c in quasi_cols}
+        cols["n"] = pa.array(n_g.astype(np.int64))
+        cols["n_sensitive"] = pa.array(n_sens)
+        cols["ok"] = pa.array(n_sens >= l_threshold)
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=quasi_cols[0],
+                           sort_keys=quasi_cols + [sensitive_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
