@@ -599,7 +599,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q291_range_pruned_read": _range_pruned_q,
         "q292_embed_diversity": _embed_diversity_q,
         "q293_l_diversity": _l_diversity_q,
+        "q294_mixed_language": _mixed_language_q,
     }
+
+
+def _mixed_language_q(sf_dir: str):
+    """q294: mixed-language audit (stages/text.py:mixed_language_fn)
+    — language-ID each half of every document's token list (q26
+    stopword-ratio contract), flag disagreeing halves; list_slice +
+    list_filter SQL replay is exact."""
+    import ray
+
+    from featurebox_ray.stages.text import mixed_language_fn
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=16)
+    return docs.map_batches(mixed_language_fn,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def _l_diversity_q(sf_dir: str):
@@ -8323,6 +8341,51 @@ def oracle_sql() -> dict[str, str]:
           coalesce(fp.fp, '') AS ta_fingerprint
         FROM r LEFT JOIN fp ON fp.doc_id = r.doc_id
     """
+    def _half_cols(lexpr, sfx):
+        return ",\n".join(
+            f"    CAST(len(list_filter({lexpr}, x -> lower(x) IN "
+            f"({_inlist(ws)}))) AS DOUBLE) / greatest(1, len({lexpr}))"
+            f" AS r_{lg}_{sfx}"
+            for lg, ws in _LANG_STOPWORDS.items())
+
+    def _pick(sfx):
+        return f"""CASE
+          WHEN greatest(r_en_{sfx}, r_de_{sfx}, r_fr_{sfx},
+                        r_es_{sfx}) <= 0.05 THEN 'und'
+          WHEN r_en_{sfx} >= r_de_{sfx} AND r_en_{sfx} >= r_fr_{sfx}
+               AND r_en_{sfx} >= r_es_{sfx} THEN 'en'
+          WHEN r_de_{sfx} >= r_fr_{sfx} AND r_de_{sfx} >= r_es_{sfx}
+               THEN 'de'
+          WHEN r_fr_{sfx} >= r_es_{sfx} THEN 'fr' ELSE 'es' END"""
+
+    q294 = f"""
+        WITH base AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ),
+        hh AS (
+          SELECT doc_id,
+                 list_slice(t, 1, len(t) // 2) AS th,
+                 list_slice(t, len(t) // 2 + 1, len(t)) AS tt
+          FROM base
+        ),
+        r AS (
+          SELECT doc_id,
+{_half_cols("th", "h")},
+{_half_cols("tt", "t")}
+          FROM hh
+        ),
+        p AS (
+          SELECT doc_id, {_pick("h")} AS lang_head,
+                 {_pick("t")} AS lang_tail
+          FROM r
+        )
+        SELECT doc_id, lang_head, lang_tail,
+               (lang_head <> lang_tail AND lang_head <> 'und'
+                AND lang_tail <> 'und') AS mixed
+        FROM p
+    """
     sess_cte = f"""
         WITH d AS (
           SELECT event_id, user_id, ts, value,
@@ -8538,6 +8601,7 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(ts) <  mn + 6 * ((mx - mn + 8) // 8)
         """,
         # Gini: exact Lorenz numerator over ranked values, one division
+        "q294_mixed_language": q294,
         "q290_gini": """
             WITH d AS (
               SELECT source, n_chars AS x FROM documents

@@ -621,3 +621,67 @@ def readability_fn(text_col: str = "text", id_col: str = "doc_id"):
                          "flesch": pa.array(flesch, pa.float64())})
 
     return fn
+
+
+def mixed_language_fn(batch: pa.Table, *, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Mixed-language document audit — language-ID the FIRST and
+    SECOND half of each document's token list independently (same
+    stopword-ratio heuristic and und-threshold as
+    :class:`TextFeaturizer`) and flag documents whose halves disagree:
+    the code-switching / concatenation-artifact detector a monolingual
+    training mix needs (a doc-level lang tag hides a pasted-in second
+    language; the halves expose it).
+
+    Stateless per-block map (per-worker cached value sets are
+    unnecessary — the stop sets are tiny tuples); exactness is the
+    q26 contract: hit counts are exact ints, each ratio is ONE
+    division by ``max(1, half_len)``, the argmax is first-max-wins in
+    the fixed en/de/fr/es order, threshold ``> 0.05`` — all replayed
+    by a list_slice + list_filter SQL.  Rows with NULL id or text
+    drop.  Returns ``(id_col, lang_head:string, lang_tail:string,
+    mixed:bool)``.
+    """
+    langs = list(_LANG_STOPWORDS)
+    keep = pc.fill_null(pc.and_(pc.is_valid(batch[id_col]),
+                                pc.is_valid(batch[text_col])), False)
+    if not pc.all(keep).as_py():
+        batch = batch.filter(keep)
+    n = batch.num_rows
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "lang_head": pa.array([], pa.string()),
+                      "lang_tail": pa.array([], pa.string()),
+                      "mixed": pa.array([], pa.bool_())})
+    if n == 0:
+        return empty
+    flat, off = split_tokens(batch[text_col].combine_chunks())
+    counts = np.diff(off)
+    h = off[:-1] + counts // 2
+    den_head = np.maximum(counts // 2, 1).astype(np.float64)
+    den_tail = np.maximum(counts - counts // 2, 1).astype(np.float64)
+    lower = pc.utf8_lower(flat) if len(flat) else flat
+    L = len(langs)
+    r_head = np.empty((L, n), np.float64)
+    r_tail = np.empty((L, n), np.float64)
+    for li, lg in enumerate(langs):
+        hits = (pc.is_in(lower, value_set=pa.array(
+            _LANG_STOPWORDS[lg])).to_numpy(zero_copy_only=False)
+            .astype(np.int64) if len(flat) else
+            np.empty(0, np.int64))
+        cs = np.concatenate([[0], np.cumsum(hits)])
+        r_head[li] = (cs[h] - cs[off[:-1]]) / den_head
+        r_tail[li] = (cs[off[1:]] - cs[h]) / den_tail
+
+    def pick(r):
+        best = np.argmax(r, axis=0)          # first max wins
+        score = r[best, np.arange(n)]
+        lang = np.asarray(langs, object)[best]
+        return np.where(score > 0.05, lang, "und")
+
+    lh, lt = pick(r_head), pick(r_tail)
+    mixed = (lh != lt) & (lh != "und") & (lt != "und")
+    return pa.table({
+        id_col: batch[id_col],
+        "lang_head": pa.array(list(lh), pa.string()),
+        "lang_tail": pa.array(list(lt), pa.string()),
+        "mixed": pa.array(mixed)})
