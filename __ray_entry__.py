@@ -600,7 +600,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q292_embed_diversity": _embed_diversity_q,
         "q293_l_diversity": _l_diversity_q,
         "q294_mixed_language": _mixed_language_q,
+        "q295_release_gate": _release_gate_q,
     }
+
+
+def _release_gate_q(sf_dir: str):
+    """q295: COMPOSED governance release gate (pipelines/
+    governance.py:release_gate) — the q283 constraint suite × q173
+    k-anonymity × q293 l-diversity over the (lang, 500-char bucket)
+    QI grid, summarized to three (check, units, violations, ok) rows;
+    the chained-CTE oracle replays the whole composition."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.pipelines.governance import release_gate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "source",
+                                          "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].combine_chunks()
+        v = pc.fill_null(nc, 0).to_numpy(zero_copy_only=False)
+        bucket = pa.array((v // 500).astype(np.int64), pa.int64(),
+                          mask=np.asarray(pc.is_null(nc)))
+        return b.append_column("len_bucket", bucket)
+
+    docs = docs.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return release_gate(
+        docs,
+        rules=[
+            {"name": "r_doc_not_null", "kind": "not_null",
+             "col": "doc_id"},
+            {"name": "r_doc_unique", "kind": "unique",
+             "col": "doc_id"},
+            {"name": "r_lang_set", "kind": "in_set", "col": "lang",
+             "values": ["en", "de", "zh"]},
+        ],
+        qi_cols=["lang", "len_bucket"], sensitive_col="source",
+        k=10, l_threshold=3)
 
 
 def _mixed_language_q(sf_dir: str):
@@ -8544,6 +8585,56 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # composed governance gate: three chained audit CTEs summed
+        # to (check, units, violations, ok)
+        "q295_release_gate": """
+            WITH v AS (
+              SELECT 3 AS n_units,
+                     CAST((count(*) FILTER (doc_id IS NULL) > 0)
+                          AS BIGINT)
+                     + CAST((count(doc_id) - count(DISTINCT doc_id)
+                             > 0) AS BIGINT)
+                     + CAST((count(*) FILTER (lang IS NOT NULL AND
+                             lang NOT IN ('en', 'de', 'zh')) > 0)
+                            AS BIGINT) AS n_violations
+              FROM documents
+            ),
+            grid AS (
+              SELECT lang, n_chars // 500 AS len_bucket,
+                     count(*) AS n,
+                     count(DISTINCT source) FILTER (
+                       source IS NOT NULL) AS n_sens
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY lang, len_bucket
+            ),
+            ka AS (SELECT count(*) AS n_units,
+                          count(*) FILTER (n < 10) AS n_violations
+                   FROM grid),
+            ld AS (
+              SELECT count(*) AS n_units,
+                     count(*) FILTER (n_sens < 3) AS n_violations
+              FROM (
+                SELECT lang, n_chars // 500 AS lb,
+                       count(DISTINCT source) AS n_sens
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                      AND source IS NOT NULL
+                GROUP BY lang, lb)
+            )
+            SELECT 'constraints' AS "check",
+                   CAST(n_units AS BIGINT) AS n_units,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   n_violations = 0 AS ok FROM v
+            UNION ALL
+            SELECT 'k_anonymity', CAST(n_units AS BIGINT),
+                   CAST(n_violations AS BIGINT),
+                   n_violations = 0 FROM ka
+            UNION ALL
+            SELECT 'l_diversity', CAST(n_units AS BIGINT),
+                   CAST(n_violations AS BIGINT),
+                   n_violations = 0 FROM ld
+        """,
         # l-diversity: exact group sizes + count(DISTINCT sensitive)
         "q293_l_diversity": """
             SELECT lang, n_chars // 500 AS len_bucket,
