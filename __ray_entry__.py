@@ -946,7 +946,7 @@ def _schema_evolution_q(sf_dir: str):
 def _compaction_q(sf_dir: str):
     """q284: small-file compaction (stages/compact.py) — events
     shattered into 48 tiny fragments, re-planned from footer metadata
-    only (greedy first-fit by bytes), merged one-task-per-output-file,
+    only (order-preserving next-fit by bytes), merged one-task-per-output-file,
     then verified content-identical to the SOURCE table via the q204
     order-invariant checksum (same columns, same oracle SQL)."""
     import os

@@ -38,19 +38,52 @@ def release_gate(docs_ds, *, rules, qi_cols, sensitive_col: str,
 
     # k-anonymity over the same NULL-free QI universe as l-diversity,
     # so the two grids line up in the composed oracle
-    ka = k_anonymity(docs_ds.map_batches(
-        _qi_nonnull, batch_format="pyarrow", zero_copy_batch=True),
-        cols=qi_cols, k=k,
-        num_partitions=num_partitions).to_pandas()
-    ld = l_diversity_audit(docs_ds, quasi_cols=qi_cols,
-                           sensitive_col=sensitive_col,
-                           l_threshold=l_threshold,
-                           num_partitions=num_partitions).to_pandas()
+    def _count_flags(ds, flag_col, bad_when):
+        """Distributive (n_units, n_violations) — the QI grid never
+        passes through the driver, only two ints per block."""
+        import ray
+
+        from ..stages.partition import materialized_block_refs
+
+        def part(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or flag_col not in b.column_names:
+                return pa.table({"n": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())})
+            flags = b[flag_col]
+            bad = flags if bad_when else pc.invert(flags)
+            return pa.table({
+                "n": pa.array([b.num_rows], pa.int64()),
+                "v": pa.array([int(pc.sum(pc.cast(
+                    bad, pa.int64())).as_py() or 0)], pa.int64())})
+
+        n = v = 0
+        for blk in ray.get(materialized_block_refs(
+                ds.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=None))):
+            if "n" not in blk.column_names:
+                continue
+            n += sum(blk["n"].to_pylist())
+            v += sum(blk["v"].to_pylist())
+        return n, v
+
+    ka_n, ka_v = _count_flags(
+        k_anonymity(docs_ds.map_batches(
+            _qi_nonnull, batch_format="pyarrow",
+            zero_copy_batch=True), cols=qi_cols, k=k,
+            num_partitions=num_partitions),
+        "below_k", bad_when=True)
+    ld_n, ld_v = _count_flags(
+        l_diversity_audit(docs_ds, quasi_cols=qi_cols,
+                          sensitive_col=sensitive_col,
+                          l_threshold=l_threshold,
+                          num_partitions=num_partitions),
+        "ok", bad_when=False)
     checks = ["constraints", "k_anonymity", "l_diversity"]
-    n_units = [vr.num_rows, len(ka), len(ld)]
+    n_units = [vr.num_rows, ka_n, ld_n]
     n_viol = [int(pc.sum(pc.cast(pc.invert(vr["ok"]),
                                  pa.int64())).as_py() or 0),
-              int(ka.below_k.sum()), int((~ld.ok).sum())]
+              ka_v, ld_v]
     return pa.table({
         "check": pa.array(checks, pa.string()),
         "n_units": pa.array(n_units, pa.int64()),

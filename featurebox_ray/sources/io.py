@@ -255,6 +255,10 @@ def read_evolved(path: str, *, schema: "pa.Schema",
             logging.getLogger(__name__).warning("%s — skipped", msg)
             continue
         have = [n for n in schema.names if n in fs.names]
+        # a group sharing NO target columns still contributes its ROW
+        # COUNT (all-null rows, union-by-name semantics) — read one
+        # narrow column for the count instead of the full width
+        read_cols = have if have else [fs.names[0]]
 
         def normalize(b: "pa.Table", _have=tuple(have)) -> "pa.Table":
             cols = {}
@@ -267,7 +271,7 @@ def read_evolved(path: str, *, schema: "pa.Schema",
             return pa.table(cols)
 
         parts.append(
-            ray.data.read_parquet(files, columns=have or None)
+            ray.data.read_parquet(files, columns=read_cols)
             .map_batches(normalize, batch_format="pyarrow",
                          zero_copy_batch=True))
     if not parts:

@@ -315,8 +315,20 @@ def read_range(path: str, *, lo: int, hi: int,
             for i in parts if os.path.isdir(f"{path}/part={i}")
             for fn in sorted(os.listdir(f"{path}/part={i}"))]
     if not dirs:
+        # typed empty from any fragment's footer (the layout's real
+        # schema), never null-typed columns
+        any_frag = None
+        for i in range(len(cuts) - 1):
+            d = f"{path}/part={i}"
+            if os.path.isdir(d) and os.listdir(d):
+                any_frag = os.path.join(d, sorted(os.listdir(d))[0])
+                break
+        if any_frag is None:
+            raise ValueError(f"read_range: no fragments under {path}")
+        schema = pq.read_schema(any_frag)
+        names = columns if columns is not None else schema.names
         return ray.data.from_arrow(pa.table(
-            {c: pa.array([]) for c in (columns or [key])}))
+            {c: pa.array([], schema.field(c).type) for c in names}))
     read_cols = (list(dict.fromkeys([key] + columns))
                  if columns is not None else None)
     ds = ray.data.read_parquet(dirs, columns=read_cols)

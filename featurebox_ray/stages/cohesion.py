@@ -830,12 +830,17 @@ def outlier_explanation(ds, *, vec_col: str = "embedding",
     d = max(agg)
     n_tot = agg[1][0]
     S = np.array([agg[j][1] for j in range(1, d + 1)], np.int64)
-    V = np.array([n_tot * agg[j][2] - agg[j][1] ** 2
-                  for j in range(1, d + 1)], np.int64)
-    ok_dim = V > 0
+    # V enters the z formula only as a double (sqrt operand), so keep
+    # the exact Python ints and convert directly — correctly-rounded
+    # like SQL's CAST(HUGEINT AS DOUBLE); forcing int64 would overflow
+    # past ~5M unit-scale vectors
+    V_int = [n_tot * agg[j][2] - agg[j][1] ** 2
+             for j in range(1, d + 1)]
+    ok_dim = np.array([v > 0 for v in V_int], bool)
     if not ok_dim.any():
         raise ValueError("outlier_explanation: all dimensions "
                          "constant")
+    V = np.array([float(v) for v in V_int], np.float64)
     S_ref = ray.put((n_tot, S, V, ok_dim))
 
     def explain(b: pa.Table) -> pa.Table:
@@ -854,8 +859,7 @@ def outlier_explanation(ds, *, vec_col: str = "embedding",
         qm, _ = _batch_mat(b, vec_col, quant_bits)
         num = np.abs(n_t * qm.astype(np.int64) - Sv[None, :])
         with np.errstate(divide="ignore", invalid="ignore"):
-            z = num.astype(np.float64) / np.sqrt(
-                Vv.astype(np.float64))[None, :]
+            z = num.astype(np.float64) / np.sqrt(Vv)[None, :]
         z[:, ~okd] = -np.inf       # constant dims never win
         pick = np.argmax(z, axis=1)      # first max == (z desc, j asc)
         return pa.table({
@@ -937,6 +941,12 @@ def group_embedding_diversity(ds, *, vec_col: str = "embedding",
             if cur is None:
                 agg[gv] = [n, t, [int(x) for x in s]]
             else:
+                if len(s) != len(cur[2]):
+                    raise ValueError(
+                        "group_embedding_diversity: embedding "
+                        f"dimensionality differs across blocks "
+                        f"({len(cur[2])} vs {len(s)}) for group "
+                        f"{gv!r}")
                 cur[0] += n
                 cur[1] += t
                 cur[2] = [a + int(x) for a, x in zip(cur[2], s)]

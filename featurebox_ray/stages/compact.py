@@ -5,10 +5,12 @@ into target-sized files, planned from FOOTER METADATA ONLY (no data
 read at plan time) and executed as one independent Ray task per output
 file.
 
-Plan: fragments in deterministic (sorted-name) order, greedy first-fit
-bin packing by on-disk bytes into ``target_bytes`` bins — a fragment
-larger than the target gets its own bin, order is preserved so
-time-ordered sinks stay roughly time-clustered.  Execute: each task
+Plan: fragments in deterministic (sorted-name) order, NEXT-FIT bin
+packing by on-disk bytes into ``target_bytes`` bins (only the current
+open bin is considered — deliberately, so the original fragment order
+is preserved and time-ordered sinks stay time-clustered; true
+first-fit would interleave).  A fragment larger than the target gets
+its own bin.  Execute: each task
 reads only its own input group, concatenates, writes ONE output file.
 Nothing is shuffled, nothing passes through the driver but the plan.
 
@@ -34,8 +36,9 @@ import pyarrow.parquet as pq
 def plan_compaction(path_in: str,
                     target_bytes: int = 128 * 1024 * 1024
                     ) -> List[List[str]]:
-    """Greedy first-fit groups of fragment paths (sorted-name order,
-    sizes from the filesystem — no footer or data reads)."""
+    """Next-fit groups of fragment paths (sorted-name order
+    preserved; sizes from the filesystem — no footer or data
+    reads)."""
     frags = sorted(
         f"{path_in}/{fn}" for fn in os.listdir(path_in)
         if fn.endswith(".parquet"))

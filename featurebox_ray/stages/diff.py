@@ -391,7 +391,7 @@ def group_qq_drift(ds, *, group_col: str, side_col: str,
     n_a:int64, n_b:int64, qq_dist:int64)``.
     """
     from .partition import partitioned_map
-    from .quantile import _disc_index  # noqa: F401 (convention ref)
+    from .quantile import _disc_index_vec
 
     base = ds.schema()
     base = getattr(base, "base_schema", base)
@@ -438,10 +438,7 @@ def group_qq_drift(ds, *, group_col: str, side_col: str,
         rc, rs = codes[rf], side[rf]
         ne[rc, rs] = rl
         for qi, q in enumerate(grid):
-            idx = np.maximum(
-                np.ceil(q * rl.astype(np.float64)).astype(np.int64)
-                - 1, 0)
-            elems[rc, rs, qi] = v[rf + idx]
+            elems[rc, rs, qi] = v[rf + _disc_index_vec(q, rl)]
         both = (ne[:, 0] > 0) & (ne[:, 1] > 0)
         if not both.any():
             return empty

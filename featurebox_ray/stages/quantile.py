@@ -39,6 +39,14 @@ def _disc_index(q: float, n: int) -> int:
     return max(int(math.ceil(q * float(n))) - 1, 0)
 
 
+def _disc_index_vec(q: float, lens: "np.ndarray") -> "np.ndarray":
+    """Vectorized :func:`_disc_index` over segment lengths — the ONE
+    source of the bit-exactness-critical quantile_disc convention for
+    kernels that pick elements per contiguous run."""
+    return np.maximum(
+        np.ceil(q * lens.astype(np.float64)).astype(np.int64) - 1, 0)
+
+
 def group_quantiles(
     ds,
     *,

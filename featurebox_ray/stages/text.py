@@ -648,7 +648,9 @@ def mixed_language_fn(batch: pa.Table, *, id_col: str = "doc_id",
     if not pc.all(keep).as_py():
         batch = batch.filter(keep)
     n = batch.num_rows
-    empty = pa.table({id_col: pa.array([], pa.int64()),
+    id_type = (batch.schema.field(id_col).type
+               if id_col in batch.column_names else pa.int64())
+    empty = pa.table({id_col: pa.array([], id_type),
                       "lang_head": pa.array([], pa.string()),
                       "lang_tail": pa.array([], pa.string()),
                       "mixed": pa.array([], pa.bool_())})

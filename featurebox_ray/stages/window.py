@@ -1538,7 +1538,7 @@ def adaptive_sessionize(ds, *, key_col: str, ts_col: str,
     Returns ``(key_col, session_id:int64 — 1-based per key,
     n_events:int64, start_us:int64, end_us:int64)``.
     """
-    from .quantile import _disc_index  # noqa: F401  (doc reference)
+    from .quantile import _disc_index_vec
 
     base = ds.schema()
     base = getattr(base, "base_schema", base)
@@ -1584,11 +1584,8 @@ def adaptive_sessionize(ds, *, key_col: str, ts_col: str,
             first = np.concatenate([[True], so_g[1:] != so_g[:-1]])
             starts = np.flatnonzero(first)
             lens = np.diff(np.concatenate([starts, [len(so_g)]]))
-            # _disc_index(0.5, n): max(ceil(0.5 n) - 1, 0)
-            idx = np.maximum(
-                np.ceil(0.5 * lens.astype(np.float64))
-                .astype(np.int64) - 1, 0)
-            med[so_g[starts]] = so_d[starts + idx]
+            med[so_g[starts]] = so_d[
+                starts + _disc_index_vec(0.5, lens)]
         thr = np.where(med >= 0, k_num * med, np.int64(-1))
         brk = is_start | ((delta >= 0) & (thr[g] >= 0)
                           & (delta > thr[g]))

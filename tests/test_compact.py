@@ -30,7 +30,7 @@ def test_plan_and_compact_content_invariant(tmp_path):
     _shatter(src)
     one = os.path.getsize(f"{src}/frag-000.parquet")
     plan = plan_compaction(src, target_bytes=3 * one + one // 2)
-    # greedy first-fit over equal sizes -> groups of 3 (last may be
+    # next-fit over equal sizes -> groups of 3 (last may be
     # short), deterministic order
     assert all(len(g) <= 3 for g in plan)
     assert sum(len(g) for g in plan) == 12
