@@ -601,7 +601,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q293_l_diversity": _l_diversity_q,
         "q294_mixed_language": _mixed_language_q,
         "q295_release_gate": _release_gate_q,
+        "q296_seasonal_backtest": _seasonal_backtest_q,
     }
+
+
+def _seasonal_backtest_q(sf_dir: str):
+    """q296: seasonal-naive forecast backtest (stages/seasonal.py:
+    seasonal_naive_backtest) — per-user MAE of the same-day-last-week
+    daily-count predictor over the corpus tail; exact sparse integer
+    errors (absent days are 0 both sides), one division; grid
+    LEFT-JOIN SQL replay is exact."""
+    import ray
+
+    from featurebox_ray.stages.seasonal import seasonal_naive_backtest
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return seasonal_naive_backtest(ev, key_col="user_id",
+                                   ts_col="ts", period_days=7)
 
 
 def _release_gate_q(sf_dir: str):
@@ -8585,6 +8602,36 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # seasonal-naive backtest: dense day grid x users, lag-7
+        # LEFT JOINs, exact |act - pred| sums
+        "q296_seasonal_backtest": """
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(ts) // 86400000000 AS d
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            c AS (SELECT user_id, d, CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY user_id, d),
+            r AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+            days AS (SELECT unnest(range(lo + 7, hi + 1)) AS d
+                     FROM r),
+            u AS (SELECT DISTINCT user_id FROM e),
+            g AS (SELECT u.user_id, days.d FROM u, days),
+            j AS (SELECT g.user_id, g.d,
+                         coalesce(a.n, 0) AS act,
+                         coalesce(p.n, 0) AS pred
+                  FROM g
+                  LEFT JOIN c a ON a.user_id = g.user_id
+                               AND a.d = g.d
+                  LEFT JOIN c p ON p.user_id = g.user_id
+                               AND p.d = g.d - 7)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(abs(act - pred)) AS BIGINT) AS sae,
+                   CAST(sum(abs(act - pred)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mae
+            FROM j GROUP BY user_id
+        """,
         # composed governance gate: three chained audit CTEs summed
         # to (check, units, violations, ok)
         "q295_release_gate": """

@@ -395,3 +395,136 @@ def seasonal_anomaly(ds, *, ts_col: str, id_col: str,
 
     return rows_ds().map_batches(flag, batch_format="pyarrow",
                                  zero_copy_batch=True)
+
+
+def seasonal_naive_backtest(ds, *, key_col: str, ts_col: str,
+                            period_days: int = 7,
+                            num_partitions: int = 16):
+    """Seasonal-naive forecast backtest — score the "same day last
+    week" predictor of per-key DAILY EVENT COUNTS over the corpus's
+    trailing window: the baseline every activity-forecasting model
+    must beat, and the cheapest way to measure how periodic each
+    key's behaviour is (MAE 0 = perfectly weekly).
+
+    Per key and day d in the GLOBAL range ``[lo+period, hi]`` (lo/hi
+    = corpus min/max day), the error is ``|c(d) − c(d−period)|`` with
+    absent days counting 0 on BOTH sides — so the scored day grid is
+    identical for every key and the denominator is the constant
+    ``hi − lo − period + 1``.  All counts/errors are exact ints; MAE
+    is ONE division.  The kernel touches only days where either term
+    is non-zero (sparse evaluation via two vectorized membership
+    probes on the partition's (key, day) spine — no dense grid, no
+    per-key Python); the LEFT-JOIN-over-a-grid SQL replays the same
+    numbers.
+
+    ONE key-keyed exchange (day range piggybacks as a broadcast from
+    a tiny pre-pass).  Rows with NULL key/ts drop; keys with zero
+    in-range error days still emit (sae=0 — genuinely perfect weeks
+    and empty tails look alike, as they do for the SQL grid).
+    Returns ``(key_col, n_days:int64, sae:int64, mae:float64)``.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    US_DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[ts_col]))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        t = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({key_col: b[key_col],
+                         "__day": pa.array(t // US_DAY)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    # tiny global pre-pass: corpus day range
+    lo = hi = None
+    for blk in ray.get(materialized_block_refs(prepped.map_batches(
+            lambda b: pa.table(
+                {"mn": pa.array([pc.min(b["__day"]).as_py()],
+                                pa.int64()),
+                 "mx": pa.array([pc.max(b["__day"]).as_py()],
+                                pa.int64())})
+            if b.num_rows else
+            pa.table({"mn": pa.array([], pa.int64()),
+                      "mx": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None))):
+        if "mn" not in blk.column_names:
+            continue
+        for a, b_ in zip(blk["mn"].to_pylist(),
+                         blk["mx"].to_pylist()):
+            if a is None:
+                continue
+            lo = a if lo is None else min(lo, a)
+            hi = b_ if hi is None else max(hi, b_)
+    if lo is None:
+        raise ValueError("seasonal_naive_backtest: empty input")
+    start = lo + period_days
+    n_days = hi - start + 1
+    if n_days <= 0:
+        raise ValueError("seasonal_naive_backtest: corpus shorter "
+                         f"than {period_days} days")
+
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    ktype = base.field(key_col).type
+    empty = pa.table({key_col: pa.array([], ktype),
+                      "n_days": pa.array([], pa.int64()),
+                      "sae": pa.array([], pa.int64()),
+                      "mae": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        day = t["__day"].to_numpy(zero_copy_only=False)
+        # sorted by (key, day): collapse to per-(key, day) counts
+        rstart = np.concatenate(
+            [[True], (codes[1:] != codes[:-1]) | (day[1:] != day[:-1])])
+        rf = np.flatnonzero(rstart)
+        cnt = np.diff(np.concatenate([rf, [len(day)]]))
+        kc, dd = codes[rf], day[rf]
+        # composite spine for membership probes (day range is tiny
+        # next to 2^63/key-count)
+        SPAN = (hi - lo) + period_days + 2
+        comp = kc * SPAN + (dd - lo)
+        # A: scored days where actual > 0 -> |c(d) - c(d-period)|
+        in_a = dd >= start
+        prev = np.searchsorted(comp, kc * SPAN + (dd - period_days - lo))
+        prev_ok = (prev < len(comp)) & (
+            comp[np.minimum(prev, len(comp) - 1)]
+            == kc * SPAN + (dd - period_days - lo))
+        c_prev = np.where(prev_ok, cnt[np.minimum(prev, len(comp) - 1)],
+                          0)
+        term_a = np.where(in_a, np.abs(cnt - c_prev), 0)
+        # B: scored days where actual = 0 but the lag had events
+        fwd_day = dd + period_days
+        in_b = fwd_day <= hi
+        nxt = np.searchsorted(comp, kc * SPAN + (fwd_day - lo))
+        nxt_present = (nxt < len(comp)) & (
+            comp[np.minimum(nxt, len(comp) - 1)]
+            == kc * SPAN + (fwd_day - lo))
+        term_b = np.where(in_b & ~nxt_present, cnt, 0)
+        n_keys = int(kc.max()) + 1 if len(kc) else 0
+        sae = np.zeros(n_keys, np.int64)
+        np.add.at(sae, kc, term_a + term_b)
+        first = np.concatenate([[True], kc[1:] != kc[:-1]])
+        kf = np.flatnonzero(first)
+        mae = sae.astype(np.float64) / float(n_days)
+        return pa.table({
+            key_col: keys.take(pa.array(rf[kf], pa.int64())),
+            "n_days": pa.array(np.full(n_keys, n_days, np.int64)),
+            "sae": pa.array(sae),
+            "mae": pa.array(mae, pa.float64())})
+
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__day"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
