@@ -602,7 +602,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q294_mixed_language": _mixed_language_q,
         "q295_release_gate": _release_gate_q,
         "q296_seasonal_backtest": _seasonal_backtest_q,
+        "q297_split_contamination": _split_contamination_q,
     }
+
+
+def _split_contamination_q(sf_dir: str):
+    """q297: COMPOSED semantic split-contamination report — Knuth
+    hash-split (test = bucket 3 of 4), test matrix broadcast once,
+    exact int dot threshold join (stages/ann.py:
+    threshold_similarity_join, q127 contract) against the TRAIN
+    split, leaky test ids reduced distributively; one summary row.
+    HUGEINT knuth + unnest-join SQL oracle replays the whole chain."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from featurebox_ray.stages.ann import threshold_similarity_join
+    from featurebox_ray.stages.partition import materialized_block_refs
+    from featurebox_ray.stages.sample import knuth_hash
+
+    THR, QB = 18000, 8
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    m = pc.and_(pc.is_valid(qt["vec_id"]),
+                pc.is_valid(qt["embedding"]))
+    qt = qt.filter(m)
+    ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    bk = knuth_hash(ids.astype(np.int64)) % 4
+    flat = qt["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    X = flat.reshape(len(ids), -1).astype(np.float64)
+    test_sel = np.flatnonzero(bk == 3)
+    n_test = len(test_sel)
+    n_train = len(ids) - n_test
+    Q = X[test_sel]
+    qids = ids[test_sel].astype(np.int64)
+
+    def keep_train(b: pa.Table) -> pa.Table:
+        col = b["vec_id"].combine_chunks()
+        v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        keep = (knuth_hash(v.astype(np.int64)) % 4 != 3) \
+            & np.asarray(pc.is_valid(col)) \
+            & np.asarray(pc.is_valid(b["embedding"]
+                                     .combine_chunks()))
+        return b.filter(pa.array(keep))
+
+    train = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"],
+                                   override_num_blocks=8)
+             .map_batches(keep_train, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    pairs = threshold_similarity_join(train, Q, threshold_num=THR,
+                                      quant_bits=QB, query_ids=qids)
+    # leaky test ids: per-block unique qids -> driver set (bounded by
+    # n_test, never the pair list)
+    leaky: set = set()
+    for blk in ray.get(materialized_block_refs(pairs.map_batches(
+            lambda b: (pa.table({"q": pc.unique(b["query_id"])})
+                       if b.num_rows and "query_id" in b.column_names
+                       else pa.table({"q": pa.array([], pa.int64())})),
+            batch_format="pyarrow", batch_size=None))):
+        if "q" in blk.column_names:
+            leaky.update(blk["q"].to_pylist())
+    return pa.table({
+        "n_train": pa.array([n_train], pa.int64()),
+        "n_test": pa.array([n_test], pa.int64()),
+        "n_leaky": pa.array([len(leaky)], pa.int64()),
+        "leak_frac": pa.array(
+            [float(len(leaky)) / float(n_test)], pa.float64())})
 
 
 def _seasonal_backtest_q(sf_dir: str):
@@ -8602,6 +8672,41 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # split contamination: HUGEINT knuth split + q127 dot idiom
+        "q297_split_contamination": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     CAST(((CAST(vec_id AS HUGEINT) % 4294967296)
+                           * 2654435761) % 4294967296 % 4 AS BIGINT)
+                         AS bk
+              FROM embeddings
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+            ),
+            c AS (
+              SELECT vec_id, bk, i,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 256
+                                + 0.5) AS BIGINT) AS xq
+              FROM b, unnest(range(1, len(embedding) + 1)) r(i)
+            ),
+            q AS (SELECT vec_id AS qid, i, xq FROM c WHERE bk = 3),
+            tr AS (SELECT vec_id, i, xq FROM c WHERE bk <> 3),
+            d AS (SELECT q.qid, tr.vec_id,
+                         CAST(sum(tr.xq * q.xq) AS BIGINT) AS dot
+                  FROM tr JOIN q USING (i)
+                  GROUP BY q.qid, tr.vec_id),
+            l AS (SELECT CAST(count(DISTINCT qid) AS BIGINT)
+                             AS n_leaky
+                  FROM d WHERE dot >= 18000),
+            n AS (SELECT CAST(count(*) FILTER (bk <> 3) AS BIGINT)
+                             AS n_train,
+                         CAST(count(*) FILTER (bk = 3) AS BIGINT)
+                             AS n_test
+                  FROM b)
+            SELECT n_train, n_test, n_leaky,
+                   CAST(n_leaky AS DOUBLE) / CAST(n_test AS DOUBLE)
+                       AS leak_frac
+            FROM n, l
+        """,
         # seasonal-naive backtest: dense day grid x users, lag-7
         # LEFT JOINs, exact |act - pred| sums
         "q296_seasonal_backtest": """
