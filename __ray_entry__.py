@@ -603,7 +603,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q295_release_gate": _release_gate_q,
         "q296_seasonal_backtest": _seasonal_backtest_q,
         "q297_split_contamination": _split_contamination_q,
+        "q298_new_vs_returning": _new_vs_returning_q,
     }
+
+
+def _new_vs_returning_q(sf_dir: str):
+    """q298: daily new-vs-returning users (stages/retention.py:
+    daily_new_vs_returning) — exact distinct-active and first-day
+    counts per UTC day from one user-keyed exchange; DISTINCT +
+    min-day-join SQL replay is exact."""
+    import ray
+
+    from featurebox_ray.stages.retention import daily_new_vs_returning
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return daily_new_vs_returning(ev, key_col="user_id", ts_col="ts")
 
 
 def _split_contamination_q(sf_dir: str):
@@ -8672,6 +8687,24 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # new-vs-returning: DISTINCT (user, day) spine + min-day join
+        "q298_new_vs_returning": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS d
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            ud AS (SELECT DISTINCT user_id, d FROM e),
+            m AS (SELECT user_id, min(d) AS md FROM ud
+                  GROUP BY user_id)
+            SELECT ud.d AS day, CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(sum(CASE WHEN m.md = ud.d THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN m.md = ud.d THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS new_frac
+            FROM ud JOIN m USING (user_id) GROUP BY ud.d
+        """,
         # split contamination: HUGEINT knuth split + q127 dot idiom
         "q297_split_contamination": """
             WITH b AS (

@@ -677,3 +677,88 @@ def activation_latency(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, "__ts", "__s"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def daily_new_vs_returning(ds, *, key_col: str, ts_col: str,
+                           num_partitions: int = 16):
+    """Daily new-vs-returning curve — for every UTC day, how many
+    distinct keys were active and how many were active for the FIRST
+    time: the growth-accounting decomposition (acquisition vs
+    retention) behind every DAU chart.
+
+    Exactness: days are exact ``epoch_us // 86400e6`` ints; per-key
+    first-day and per-day distinct-active counts are exact integers
+    from ONE key-keyed exchange (each key's whole history co-locates,
+    so "first day" is a segment min — no global ordering needed);
+    per-day partials combine on the driver (days are few);
+    ``new_frac`` is the one division.  NULL key/ts rows drop.
+    Returns ``(day:int64, n_active:int64, n_new:int64,
+    new_frac:float64)`` sorted by day.
+    """
+    import ray
+
+    from .partition import materialized_block_refs, partitioned_map
+
+    US_DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(b[key_col]),
+                       pc.is_valid(b[ts_col]))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        t = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({key_col: b[key_col],
+                         "__day": pa.array(t // US_DAY)})
+
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "act": pa.array([], pa.int64()),
+                      "new": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        day = t["__day"].to_numpy(zero_copy_only=False)
+        # sorted by (key, day): distinct (key, day) runs; a key's
+        # first run is its first-ever day
+        rstart = np.concatenate(
+            [[True], (codes[1:] != codes[:-1]) | (day[1:] != day[:-1])])
+        rf = np.flatnonzero(rstart)
+        kc, dd = codes[rf], day[rf]
+        kfirst = np.concatenate([[True], kc[1:] != kc[:-1]])
+        ud, inv = np.unique(dd, return_inverse=True)
+        act = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+        new = np.zeros(len(ud), np.int64)
+        np.add.at(new, inv, kfirst)
+        return pa.table({"day": pa.array(ud),
+                         "act": pa.array(act),
+                         "new": pa.array(new)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(
+            partitioned_map(prepped, kernel, key=key_col,
+                            sort_keys=[key_col, "__day"],
+                            num_partitions=num_partitions,
+                            strategy="tasks"))):
+        if "day" not in blk.column_names:
+            continue
+        for d, a, nn in zip(blk["day"].to_pylist(),
+                            blk["act"].to_pylist(),
+                            blk["new"].to_pylist()):
+            cur = agg.setdefault(d, [0, 0])
+            cur[0] += a
+            cur[1] += nn
+    days = sorted(agg)
+    return pa.table({
+        "day": pa.array(days, pa.int64()),
+        "n_active": pa.array([agg[d][0] for d in days], pa.int64()),
+        "n_new": pa.array([agg[d][1] for d in days], pa.int64()),
+        "new_frac": pa.array(
+            [float(agg[d][1]) / float(agg[d][0]) for d in days],
+            pa.float64())})
