@@ -604,7 +604,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q296_seasonal_backtest": _seasonal_backtest_q,
         "q297_split_contamination": _split_contamination_q,
         "q298_new_vs_returning": _new_vs_returning_q,
+        "q299_double_charge": _double_charge_q,
     }
+
+
+def _double_charge_q(sf_dir: str):
+    """q299: double-charge audit (stages/interval.py:
+    near_duplicate_events) — same user + same exact cents within 7
+    days of a previous occurrence; lag-window SQL replay is exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.interval import near_duplicate_events
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks()
+        cents = np.round(np.nan_to_num(
+            v.to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
+        c = pa.array(cents, pa.int64(),
+                     mask=np.asarray(pc.is_null(v)))
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"], "ts": b["ts"],
+                         "cents": c})
+
+    return near_duplicate_events(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="user_id", amount_col="cents", ts_col="ts",
+        id_col="event_id", window_us=604_800_000_000)
 
 
 def _new_vs_returning_q(sf_dir: str):
@@ -8687,6 +8720,25 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # double-charge: lag window over (user, cents), exact gaps
+        "q299_double_charge": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST(epoch_us(ts) AS BIGINT) AS t
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+                    AND ts IS NOT NULL AND event_id IS NOT NULL
+            ),
+            d AS (SELECT event_id, user_id, cents, t,
+                         t - lag(t) OVER (
+                           PARTITION BY user_id, cents
+                           ORDER BY t, event_id) AS gap
+                  FROM e)
+            SELECT event_id, user_id, cents, gap AS gap_us
+            FROM d
+            WHERE gap IS NOT NULL AND gap <= 604800000000
+        """,
         # new-vs-returning: DISTINCT (user, day) spine + min-day join
         "q298_new_vs_returning": """
             WITH e AS (

@@ -507,3 +507,85 @@ def session_concurrency(ds, *, key_col: str, ts_col: str, id_col: str,
                            sort_keys=["window"],
                            num_partitions=max(num_partitions // 4, 1),
                            strategy="tasks")
+
+
+def near_duplicate_events(ds, *, key_col: str, amount_col: str,
+                          ts_col: str, id_col: str,
+                          window_us: int, num_partitions: int = 16):
+    """Near-duplicate event audit — rows sharing (key, exact amount)
+    within ``window_us`` of a PREVIOUS such row: the double-charge /
+    double-fire detector (retried payment, duplicated webhook, replayed
+    message) that a raw exact-dedup misses because the duplicate has a
+    fresh id and a slightly later timestamp.
+
+    Exactness: amounts must be pre-quantized int64 (cents pattern);
+    sorted by (key, amount, ts, id), a row is flagged iff its
+    predecessor IN THE SAME (key, amount) run is within ``window_us``
+    — the lag-window SQL replays it bit-exactly (ties on ts break on
+    id both sides).  Emits ONLY flagged rows: ``(id_col, key_col,
+    amount_col, gap_us:int64 — distance to the predecessor)``.
+
+    ONE key-keyed exchange; the kernel is one shifted compare.  Rows
+    with NULL key/amount/ts/id drop.  Scale note: the flagged set is
+    anomaly-sized; nothing else leaves the exchange.
+    """
+    from .partition import partitioned_map
+
+    base = ds.schema()
+    base = getattr(base, "base_schema", base)
+    ktype = base.field(key_col).type
+    idtype = base.field(id_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.schema.field(amount_col).type != pa.int64():
+            raise TypeError(
+                f"near_duplicate_events: {amount_col} must be int64")
+        mask = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[amount_col])),
+                       pc.and_(pc.is_valid(b[ts_col]),
+                               pc.is_valid(b[id_col])))
+        if not pc.all(pc.fill_null(mask, False)).as_py():
+            b = b.filter(pc.fill_null(mask, False))
+        t = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        return pa.table({key_col: b[key_col],
+                         amount_col: b[amount_col],
+                         "__t": t, id_col: b[id_col]})
+
+    empty = pa.table({id_col: pa.array([], idtype),
+                      key_col: pa.array([], ktype),
+                      amount_col: pa.array([], pa.int64()),
+                      "gap_us": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        enc = pc.dictionary_encode(keys)
+        codes = (pc.fill_null(enc.indices, -1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        amt = t[amount_col].to_numpy(zero_copy_only=False)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        same = np.zeros(len(codes), bool)
+        same[1:] = (codes[1:] == codes[:-1]) & (amt[1:] == amt[:-1])
+        gap = np.empty(len(codes), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[0] = 0
+        flag = same & (gap <= window_us)
+        if not flag.any():
+            return empty
+        idx = pa.array(np.flatnonzero(flag), pa.int64())
+        return pa.table({
+            id_col: t[id_col].combine_chunks().take(idx),
+            key_col: keys.take(idx),
+            amount_col: pa.array(amt[flag], type=pa.int64()),
+            "gap_us": pa.array(gap[flag], type=pa.int64())})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, amount_col, "__t",
+                                      id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
