@@ -605,7 +605,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q297_split_contamination": _split_contamination_q,
         "q298_new_vs_returning": _new_vs_returning_q,
         "q299_double_charge": _double_charge_q,
+        "q300_corpus_factory": _corpus_factory_q,
     }
+
+
+def _corpus_factory_q(sf_dir: str):
+    """q300: COMPOSED corpus factory — the canonical training-data
+    prep chain in one value-oracled pipeline: exact dedup (q17 first-
+    per-text contract) → Gopher quality filter (q156 integer-rule
+    contract) → per-language rollup (exact doc/token counts, one
+    division).  The chained-CTE oracle replays every stage."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.dedup import exact_dedup
+    from featurebox_ray.stages.partition import materialized_block_refs
+    from featurebox_ray.stages.text import gopher_quality_fn
+
+    docs = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text", "lang"],
+                                  override_num_blocks=16)
+            .map_batches(lambda b: b.filter(pc.fill_null(pc.and_(
+                pc.is_valid(b["text"]), pc.is_valid(b["lang"])),
+                False)),
+                batch_format="pyarrow", zero_copy_batch=True))
+    dd = exact_dedup(docs, text_col="text", id_col="doc_id",
+                     num_partitions=16)
+    import functools
+
+    gq = dd.map_batches(functools.partial(gopher_quality_fn,
+                                          min_words=5,
+                                          min_stop_hits=0),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "gq_keep" not in b.column_names:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.int64())})
+        b = b.filter(pc.fill_null(b["gq_keep"], False))
+        enc = pc.dictionary_encode(b["lang"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w = b["gq_n_words"].to_numpy(zero_copy_only=False)
+        g = len(enc.dictionary)
+        n = np.bincount(codes, minlength=g).astype(np.int64)
+        tok = np.zeros(g, np.int64)
+        np.add.at(tok, codes, w)
+        return pa.table({"lang": enc.dictionary,
+                         "n": pa.array(n), "tok": pa.array(tok)})
+
+    agg: dict = {}
+    for blk in ray.get(materialized_block_refs(
+            gq.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))):
+        if "lang" not in blk.column_names:
+            continue
+        for lg, n, tk in zip(blk["lang"].to_pylist(),
+                             blk["n"].to_pylist(),
+                             blk["tok"].to_pylist()):
+            cur = agg.setdefault(lg, [0, 0])
+            cur[0] += n
+            cur[1] += tk
+    langs = sorted(agg)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array([agg[lg][0] for lg in langs], pa.int64()),
+        "n_tokens": pa.array([agg[lg][1] for lg in langs],
+                             pa.int64()),
+        "avg_tokens": pa.array(
+            [float(agg[lg][1]) / float(agg[lg][0]) for lg in langs],
+            pa.float64())})
 
 
 def _double_charge_q(sf_dir: str):
@@ -8720,6 +8792,52 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # corpus factory: dedup QUALIFY -> q156 gopher rule CTE ->
+        # per-lang exact rollup, one division
+        "q300_corpus_factory": r"""
+            WITH src AS (
+              SELECT doc_id, text, lang FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL
+            ),
+            dd AS (
+              SELECT doc_id, text, lang FROM src
+              QUALIFY row_number() OVER (
+                PARTITION BY text ORDER BY doc_id) = 1
+            ),
+            base AS (
+              SELECT lang, text AS tx,
+                     regexp_extract_all(text, '\S+') AS t,
+                     string_split(text, chr(10)) AS ls
+              FROM dd),
+            s AS (
+              SELECT lang,
+                len(t) AS w,
+                coalesce(length(array_to_string(t, '')), 0) AS wc,
+                len(regexp_extract_all(tx, '#')) AS nh,
+                len(regexp_extract_all(tx, '\.\.\.')) AS ne,
+                len(ls) AS nl,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '^\s*[-*•]'))) AS nb,
+                len(list_filter(ls, x -> regexp_matches(
+                    x, '\.\.\.\s*$'))) AS nel,
+                len(list_filter(t, x -> regexp_matches(
+                    x, '[A-Za-z]'))) AS na
+              FROM base),
+            kept AS (
+              SELECT lang, w FROM s
+              WHERE w >= 5 AND w <= 100000
+                AND 3 * w <= wc AND wc <= 10 * w
+                AND 10 * (nh + ne) < w
+                AND 10 * nb < 9 * nl
+                AND 10 * nel < 3 * nl
+                AND 10 * na >= 8 * w
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_tokens,
+                   CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avg_tokens
+            FROM kept GROUP BY lang
+        """,
         # double-charge: lag window over (user, cents), exact gaps
         "q299_double_charge": """
             WITH e AS (
