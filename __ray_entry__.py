@@ -606,7 +606,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q298_new_vs_returning": _new_vs_returning_q,
         "q299_double_charge": _double_charge_q,
         "q300_corpus_factory": _corpus_factory_q,
+        "q301_redaction_audit": _redaction_audit_q,
     }
+
+
+def _redaction_audit_q(sf_dir: str):
+    """q301: COMPOSED redaction completeness audit — run the q80 PII
+    scrub, then PROVE it on the scrubbed output: marker insertions
+    equal the original match count and ZERO residual matches remain.
+    One summary row, every count an exact Arrow-RE2 integer; the
+    regexp_replace SQL replay recomputes the same invariants."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.partition import materialized_block_refs
+    from featurebox_ray.stages.redact import pattern_redact
+
+    PAT = r"\b(spark|hash|join)\b"
+
+    docs = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"],
+                                  override_num_blocks=16)
+            .map_batches(lambda b: b.filter(
+                pc.fill_null(pc.is_valid(b["text"]), False)),
+                batch_format="pyarrow", zero_copy_batch=True))
+    red = pattern_redact(docs, pattern=PAT,
+                         replacement="[REDACTED]")
+
+    def audit(b: pa.Table) -> pa.Table:
+        cols = ("n_docs", "n_redacted_docs", "n_markers",
+                "n_residual")
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in cols})
+        txt = b["text"].combine_chunks()
+        markers = pc.count_substring(txt, "[REDACTED]").cast(
+            pa.int64())
+        residual = pc.count_substring_regex(txt, PAT).cast(pa.int64())
+        nred = b["n_redactions"].combine_chunks()
+        return pa.table({
+            "n_docs": pa.array([b.num_rows], pa.int64()),
+            "n_redacted_docs": pa.array(
+                [int(pc.sum(pc.cast(pc.greater(nred, 0),
+                                    pa.int64())).as_py() or 0)],
+                pa.int64()),
+            "n_markers": pa.array(
+                [int(pc.sum(markers).as_py() or 0)], pa.int64()),
+            "n_residual": pa.array(
+                [int(pc.sum(residual).as_py() or 0)], pa.int64())})
+
+    tot = [0, 0, 0, 0]
+    for blk in ray.get(materialized_block_refs(
+            red.map_batches(audit, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None))):
+        if "n_docs" not in blk.column_names:
+            continue
+        for i, c in enumerate(("n_docs", "n_redacted_docs",
+                               "n_markers", "n_residual")):
+            tot[i] += sum(blk[c].to_pylist())
+    return pa.table({
+        "n_docs": pa.array([tot[0]], pa.int64()),
+        "n_redacted_docs": pa.array([tot[1]], pa.int64()),
+        "n_markers": pa.array([tot[2]], pa.int64()),
+        "n_residual": pa.array([tot[3]], pa.int64())})
 
 
 def _corpus_factory_q(sf_dir: str):
@@ -8792,6 +8855,31 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # redaction audit: replay the scrub, count literal markers by
+        # length arithmetic, prove zero residual matches
+        "q301_redaction_audit": r"""
+            WITH src AS (
+              SELECT text FROM documents WHERE text IS NOT NULL
+            ),
+            r AS (
+              SELECT regexp_replace(text, '\b(spark|hash|join)\b',
+                                    '[REDACTED]', 'g') AS clean,
+                     len(regexp_extract_all(
+                         text, '\b(spark|hash|join)\b')) AS nred
+              FROM src
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (nred > 0) AS BIGINT)
+                       AS n_redacted_docs,
+                   CAST(coalesce(sum(
+                     (length(clean)
+                      - length(replace(clean, '[REDACTED]', '')))
+                     // 10), 0) AS BIGINT) AS n_markers,
+                   CAST(coalesce(sum(len(regexp_extract_all(
+                     clean, '\b(spark|hash|join)\b'))), 0) AS BIGINT)
+                       AS n_residual
+            FROM r
+        """,
         # corpus factory: dedup QUALIFY -> q156 gopher rule CTE ->
         # per-lang exact rollup, one division
         "q300_corpus_factory": r"""
