@@ -607,7 +607,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q299_double_charge": _double_charge_q,
         "q300_corpus_factory": _corpus_factory_q,
         "q301_redaction_audit": _redaction_audit_q,
+        "q302_skew_report": _skew_report_q,
     }
+
+
+def _skew_report_q(sf_dir: str):
+    """q302: shuffle-skew report (stages/partition.py:key_histogram —
+    the engine's own salting-decision probe surfaced as an audited
+    operator) — top-10 hottest user keys with exact counts and share
+    of all rows; GROUP BY + LIMIT SQL replay is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.partition import (key_histogram,
+                                                 materialized_block_refs)
+
+    ev = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id"])
+          .map_batches(lambda b: b.filter(
+              pc.fill_null(pc.is_valid(b["user_id"]), False)),
+              batch_format="pyarrow", zero_copy_batch=True))
+    total = 0
+    for blk in ray.get(materialized_block_refs(ev.map_batches(
+            lambda b: pa.table({"n": pa.array([b.num_rows],
+                                              pa.int64())}),
+            batch_format="pyarrow", batch_size=None))):
+        if "n" in blk.column_names:
+            total += sum(blk["n"].to_pylist())
+    top = key_histogram(ev, "user_id", top=10)
+    n = top["count()"].astype("int64")
+    return pa.table({
+        "user_id": pa.array(top["user_id"].astype("int64"),
+                            pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "share": pa.array([float(v) / float(total) for v in n],
+                          pa.float64())})
 
 
 def _redaction_audit_q(sf_dir: str):
@@ -8855,6 +8890,18 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # skew report: exact hottest-key counts + one division each
+        "q302_skew_report": """
+            WITH e AS (SELECT user_id FROM events
+                       WHERE user_id IS NOT NULL),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM e),
+            c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY user_id)
+            SELECT user_id, n,
+                   CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                       AS share
+            FROM c, t ORDER BY n DESC, user_id LIMIT 10
+        """,
         # redaction audit: replay the scrub, count literal markers by
         # length arithmetic, prove zero residual matches
         "q301_redaction_audit": r"""
