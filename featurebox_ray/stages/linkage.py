@@ -129,8 +129,10 @@ def golden_records(ds, pairs_ds, *, id_col: str,
     no pair are singleton entities electing themselves.
 
     Exactness: components are the order-independent min-label
-    invariant (driver union-find over the MATCHED pairs only — the
-    q76 bound: match volume ≪ corpus); votes are exact int counts
+    invariant (distributed min-label propagation over the matched
+    pairs — ``components.min_label_components``, so the pair set is
+    never concatenated on one worker; only the matched-node-sized
+    id→entity map is packed for broadcast); votes are exact int counts
     with a total tie-break, so the election is deterministic and
     partition-invariant; the whole chain replays in SQL (transitive
     closure via a recursive CTE + per-field QUALIFY mode).
@@ -149,26 +151,12 @@ def golden_records(ds, pairs_ds, *, id_col: str,
     """
     import ray
 
-    from .components import union_find_min_labels
-    from .partition import materialized_block_refs, partitioned_map
+    from .components import min_label_components, pack_label_map
+    from .partition import partitioned_map
 
-    pa_, pb = [], []
-    for b in ray.get(materialized_block_refs(pairs_ds)):
-        if b.num_rows == 0:
-            continue
-        pa_.append(b["id_a"].to_numpy(zero_copy_only=False)
-                   .astype(np.int64))
-        pb.append(b["id_b"].to_numpy(zero_copy_only=False)
-                  .astype(np.int64))
-    if pa_:
-        labels = union_find_min_labels(np.concatenate(pa_),
-                                       np.concatenate(pb))
-        lab_ids = np.array(sorted(labels), np.int64)
-        lab_vals = np.array([labels[i] for i in lab_ids], np.int64)
-    else:
-        lab_ids = np.empty(0, np.int64)
-        lab_vals = np.empty(0, np.int64)
-    lab_ref = ray.put((lab_ids, lab_vals))
+    lab_ref = pack_label_map(min_label_components(
+        pairs_ds, pair_cols=("id_a", "id_b"),
+        num_partitions=num_partitions))
 
     schema = ds.schema()
     base = getattr(schema, "base_schema", schema)

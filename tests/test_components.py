@@ -5,6 +5,7 @@ import pyarrow as pa
 import ray
 
 from featurebox_ray.stages.components import (connected_components,
+                                              min_label_components,
                                               union_find_min_labels)
 
 
@@ -66,6 +67,52 @@ def test_connected_components_empty_pairs_identity():
         ray.data.from_arrow(pairs), ray.data.from_arrow(corpus)
     ).to_pandas()
     assert out["component"].tolist() == [7, 8]
+
+
+def test_min_label_components_sharded_fuzz_vs_union_find():
+    """Partition-invariance: the pair set sharded across >= 8 blocks,
+    8-way exchange — labels must equal the serial union-find replay
+    (min-label invariant), with no task ever holding all pairs (the
+    algorithm is structurally shard-local; this pins the distributed
+    path end to end)."""
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n_edges = int(rng.integers(50, 220))
+        a = rng.integers(0, 120, n_edges).astype(np.int64)
+        b = rng.integers(0, 120, n_edges).astype(np.int64)
+        pairs = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+        ds = ray.data.from_arrow(pairs).repartition(9).materialize()
+        assert ds.num_blocks() >= 8
+        out = min_label_components(
+            ds, num_partitions=8).to_pandas()
+        got = dict(zip(out["node"], out["component"]))
+        want = union_find_min_labels(a, b)
+        assert got == want, trial
+
+
+def test_min_label_components_long_chain_converges_fast():
+    """A 300-node path has diameter 299: plain min propagation needs
+    ~300 rounds, the pointer-jumping super-rounds must land well under
+    the 64-round cap (O(log diameter))."""
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    pairs = pa.table({"id_a": pa.array(ids[:-1] + 1),
+                      "id_b": pa.array(ids[1:] + 1)})
+    out = min_label_components(
+        ray.data.from_arrow(pairs).repartition(8),
+        num_partitions=4, max_iters=64).to_pandas()
+    assert sorted(out["node"]) == list(range(1, n + 1))
+    assert set(out["component"]) == {1}
+
+
+def test_min_label_components_nulls_and_self_pairs():
+    pairs = pa.table({
+        "id_a": pa.array([1, None, 7, 7, 4], pa.int64()),
+        "id_b": pa.array([2, 3, None, 7, 5], pa.int64()),
+    })
+    out = min_label_components(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {1: 1, 2: 1, 7: 7, 4: 4, 5: 4}
 
 
 def test_catalog_csv_roundtrip(tmp_path):
