@@ -35,7 +35,8 @@ import numpy as np
 __all__ = [
     "minimum", "maximum", "prange", "mean", "inverse_mean", "avg_dev",
     "std_dev", "skewness", "kurtosis", "geom_std_dev", "mode", "holder_mean",
-    "quantile", "calc_stat", "STAT_NAMES",
+    "quantile", "sorted_", "flatten", "eigenvalues", "calc_stat",
+    "STAT_NAMES",
 ]
 
 
@@ -247,6 +248,11 @@ _DISPATCH = {
     "quantile": quantile,
     "sorted": sorted_,
     "flatten": flatten,
+    # reference calc_stat dispatches via getattr, so "eigenvalues" is
+    # name-reachable there too; its second positional arg is `symm`
+    # (calc_stat's weights slot — None ⇒ general eigvals, matching the
+    # reference's eigenvalues(data_lst, weights) call shape)
+    "eigenvalues": eigenvalues,
 }
 
 STAT_NAMES = tuple(_DISPATCH)

@@ -131,3 +131,31 @@ def test_calc_stat_dispatch(data):
     assert np.allclose(ps.calc_stat(X, "holder_mean::2"), ps.holder_mean(X, None, 2))
     assert np.allclose(ps.calc_stat(X, "quantile::0.25"), np.quantile(X, 0.25, axis=1))
     assert np.allclose(ps.calc_stat(X, "mean", W), ps.mean(X, W))
+
+
+def test_sorted_flatten_eigenvalues_reference_parity(data):
+    """Parity rows for the last three PropertyStats kernels
+    (extrastats.py:299-349): sorted = row-wise np.sort, flatten =
+    np.array(...).flatten(), eigenvalues = eigvals/eigvalsh with
+    optional sort."""
+    X, _W = data
+    assert np.array_equal(ps.sorted_(X), np.sort(X, axis=1))
+    # 1-D input promotes to one row, same as every other kernel
+    assert np.array_equal(ps.sorted_(X[0]), np.sort(X[0])[None, :])
+    assert np.array_equal(ps.flatten(X), X.flatten())
+    assert ps.flatten([[1, 2], [3, 4]]).tolist() == [1.0, 2.0, 3.0, 4.0]
+
+    rng = np.random.default_rng(5)
+    M = rng.normal(size=(6, 6))
+    S = M + M.T
+    # general matrix -> np.linalg.eigvals (possibly complex)
+    assert np.allclose(sorted(ps.eigenvalues(M).real),
+                       sorted(np.linalg.eigvals(M).real))
+    # symmetric path -> eigvalsh; sort flag orders ascending
+    es = ps.eigenvalues(S, symm=True, sort=True)
+    assert np.allclose(es, np.sort(np.linalg.eigvalsh(S)))
+    # name-dispatch parity with the reference's getattr calc_stat
+    assert np.array_equal(ps.calc_stat(X, "sorted"), np.sort(X, axis=1))
+    assert np.array_equal(ps.calc_stat(X, "flatten"), X.flatten())
+    assert np.allclose(sorted(ps.calc_stat(S, "eigenvalues").real),
+                       sorted(np.linalg.eigvals(S).real))
