@@ -502,33 +502,44 @@ def encoding_audit(ds, *, group_col: str = "source",
 
     pds = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=None)
-    agg: dict = {}
-    for blk in ray.get(materialized_block_refs(pds)):
-        for row in zip(blk[group_col].to_pylist(),
-                       blk["d"].to_pylist(), blk["f"].to_pylist(),
-                       blk["r"].to_pylist(), blk["m"].to_pylist(),
-                       blk["c"].to_pylist()):
-            cur = agg.setdefault(row[0], [0, 0, 0, 0, 0])
-            for i in range(5):
-                cur[i] += row[i + 1]
     schema = ds.schema()
     base = getattr(schema, "base_schema", schema)
     gtype = base.field(group_col).type
-    groups = sorted(agg)
+    tbls = [b for b in ray.get(materialized_block_refs(pds))
+            if b.num_rows and group_col in b.column_names]
+    if not tbls:
+        return pa.table({group_col: pa.array([], gtype),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_flagged": pa.array([], pa.int64()),
+                         "n_replacement": pa.array([], pa.int64()),
+                         "n_mojibake": pa.array([], pa.int64()),
+                         "n_control": pa.array([], pa.int64()),
+                         "flagged_share": pa.array([], pa.float64())})
+    # one Arrow group_by over the concatenated partials (the sibling
+    # combine pattern) — no per-row Python; group order matches the
+    # old sorted() combine (UTF-8 byte order == code-point order)
+    cat = pa.concat_tables(tbls, promote_options="default")
+    agg = (cat.group_by(group_col)
+           .aggregate([("d", "sum"), ("f", "sum"), ("r", "sum"),
+                       ("m", "sum"), ("c", "sum")]))
+    agg = agg.sort_by([(group_col, "ascending")])
+    d = agg["d_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    f = agg["f_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
-        group_col: pa.array(groups, gtype),
-        "n_docs": pa.array([agg[g][0] for g in groups], pa.int64()),
-        "n_flagged": pa.array([agg[g][1] for g in groups],
-                              pa.int64()),
-        "n_replacement": pa.array([agg[g][2] for g in groups],
-                                  pa.int64()),
-        "n_mojibake": pa.array([agg[g][3] for g in groups],
-                               pa.int64()),
-        "n_control": pa.array([agg[g][4] for g in groups],
-                              pa.int64()),
-        "flagged_share": pa.array(
-            [float(agg[g][1]) / float(agg[g][0]) for g in groups],
-            pa.float64())})
+        group_col: agg[group_col].combine_chunks().cast(gtype),
+        "n_docs": pa.array(d),
+        "n_flagged": pa.array(f),
+        "n_replacement": pa.array(
+            agg["r_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)),
+        "n_mojibake": pa.array(
+            agg["m_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)),
+        "n_control": pa.array(
+            agg["c_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)),
+        "flagged_share": pa.array(f.astype(np.float64)
+                                  / d.astype(np.float64))})
 
 
 def rule_label_fn(topics: "dict[str, list[str]]",
