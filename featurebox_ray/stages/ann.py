@@ -114,6 +114,7 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
              sample_size: int = 10000, seed: int = 11,
              centroid_init: str = "kmeans", sub_buckets: int = 4,
+             bucket_cap: int = 100_000,
              centroid_cache: Optional[str] = None):
     """IVF-style ANN: bucket corpus by nearest (cosine) centroid; each
     query scans only its ``nprobe`` closest buckets.  Approximate
@@ -128,10 +129,18 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
         — bucketing, probing, in-bucket exact search, global merge — is
         value-hash-checked; swap back to "kmeans" for quality.
 
-    ``sub_buckets``: each centroid's inverted list is split into
-    ``sub_buckets`` hash sub-partitions so one search task holds
-    ~1/(n_centroids·sub_buckets) of the corpus, not 1/n_centroids (the
-    global per-query top-k reduce merges sub-bucket results).
+    ``sub_buckets`` / ``bucket_cap``: each centroid's inverted list is
+    split into hash sub-partitions — at least ``sub_buckets`` of them,
+    and automatically MORE for hot centroids:
+    ``max(sub_buckets, ceil(centroid_rows / bucket_cap))``, sized from
+    exact per-centroid counts (per-block partials, driver combine over
+    n_centroids rows — no shuffle).  A skewed corpus where one
+    centroid attracts half the vectors therefore still yields
+    ~bucket_cap-row search tasks; the search kernel additionally
+    RAISES if a group exceeds ``2·bucket_cap`` (hash-variance margin)
+    rather than silently building an oversized in-task table.  The
+    global per-query top-k reduce merges sub-bucket results, so the
+    split count never changes the answer.
 
     ``centroid_cache``: path to persist trained kmeans centroids (atomic
     ``.npz`` holding the centroids plus a ``(n_centroids, seed,
@@ -201,20 +210,50 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
-                return (batch.append_column("__cent", pa.array([], pa.int32()))
-                        .append_column("__sub", pa.array([], pa.int32())))
+                return batch.append_column("__cent",
+                                           pa.array([], pa.int32()))
             V = _normalize(np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
             # argmax picks the FIRST max index on ties = lowest centroid id
             a = np.argmax(V @ self.C.T, axis=1).astype(np.int32)
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                sub = ((ids * np.uint64(0x9E3779B97F4A7C15))
-                       % np.uint64(sub_buckets)).astype(np.int32)
-            return (batch.append_column("__cent", pa.array(a))
-                    .append_column("__sub", pa.array(sub)))
+            return batch.append_column("__cent", pa.array(a))
 
-    assigned = ds.map_batches(Assign, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4))
+    with_cent = ds.map_batches(Assign, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               concurrency=(1, 4)).materialize()
+
+    # exact per-centroid counts (per-block partials; n_centroids ×
+    # n_blocks rows reach the driver) size each centroid's sub-split
+    def cent_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "__cent" not in b.column_names:
+            return pa.table({"cent": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        c = np.bincount(b["__cent"].to_numpy(zero_copy_only=False),
+                        minlength=n_centroids).astype(np.int64)
+        return pa.table({"cent": pa.array(
+            np.arange(n_centroids, dtype=np.int32)),
+            "n": pa.array(c)})
+
+    cdf = with_cent.map_batches(cent_counts, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                batch_size=None).to_pandas()
+    counts = np.zeros(n_centroids, np.int64)
+    np.add.at(counts, cdf["cent"].to_numpy(), cdf["n"].to_numpy())
+    sub_count = np.maximum(
+        max(int(sub_buckets), 1),
+        -(-counts // max(int(bucket_cap), 1))).astype(np.int64)
+
+    def add_sub(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "__cent" not in batch.column_names:
+            return batch.append_column("__sub", pa.array([], pa.int32()))
+        cent = batch["__cent"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            sub = ((ids * np.uint64(0x9E3779B97F4A7C15))
+                   % sub_count[cent].astype(np.uint64)).astype(np.int32)
+        return batch.append_column("__sub", pa.array(sub))
+
+    assigned = with_cent.map_batches(add_sub, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
     def search_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table({"query_id": pa.array([], pa.int32()),
@@ -222,6 +261,13 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
                           "cosine": pa.array([], pa.float64())})
         if group.num_rows == 0:
             return empty
+        if group.num_rows > 2 * bucket_cap:
+            raise ValueError(
+                f"ivf_topk: search bucket holds {group.num_rows} rows "
+                f"> 2×bucket_cap ({bucket_cap}) — the cap-driven "
+                "sub-split failed (duplicate ids hashing identically, "
+                "or counts/assignment drift); lower bucket_cap or "
+                "check id uniqueness")
         Qm, bq = ray.get(bq_ref)
         cent = int(group["__cent"][0].as_py())
         qids = bq.get(cent, [])

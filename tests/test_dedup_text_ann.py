@@ -529,3 +529,43 @@ def test_incremental_neardup_cross_only():
     assert got["id_b"].tolist() == want["id_b"].tolist()
     assert got["jaccard"].tolist() == want["jaccard"].tolist()
     assert len(got) > 0  # the planted families straddle parities
+
+
+def test_ivf_topk_hot_centroid_cap_split():
+    """Skewed corpus: one centroid attracts ~50% of all vectors.  With
+    bucket_cap far below that count, the cap-driven sub-split must
+    hold every search task under the in-kernel 2x-cap guard (the
+    kernel RAISES otherwise), and full-probe results must still equal
+    exact brute force — the split count never changes the answer."""
+    from featurebox_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(9)
+    dim, n = 8, 600
+    V = np.zeros((n, dim))
+    # ids 0-3 are the "first"-init centroids: unit axes
+    for i in range(4):
+        V[i, i] = 1.0
+    # half the corpus hugs centroid 0, the rest spreads over 1-3
+    hot = n // 2
+    V[4:4 + hot, 0] = 1.0
+    V[4:4 + hot] += rng.normal(0, 0.05, (hot, dim))
+    rest = np.arange(4 + hot, n)
+    V[rest, 1 + (rest % 3)] = 1.0
+    V[rest] += rng.normal(0, 0.05, (len(rest), dim))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(V), pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    Q = V[[10, 200, 580]]
+    # nprobe == n_centroids -> exact; cap 40 << 300 hot-centroid rows
+    approx = ivf_topk(ds, Q, k=7, n_centroids=4, nprobe=4,
+                      centroid_init="first", sub_buckets=1,
+                      bucket_cap=40).to_pandas()
+    exact = brute_force_topk(ds, Q, k=7).to_pandas()
+    for q in range(3):
+        a = approx[approx["query_id"] == q].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True])
+        e = exact[exact["query_id"] == q].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True])
+        assert a["vec_id"].tolist() == e["vec_id"].tolist(), q
