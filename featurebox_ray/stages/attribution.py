@@ -377,7 +377,8 @@ def markov_attribution(ds, *, key_col: str, ts_col: str,
     share:float64)`` sorted by channel; ``share`` normalizes the
     removal effects (NULL when all effects are 0).  Rows with NULL
     key/ts/order/type drop.  Keys whose journey is empty contribute
-    nothing.
+    nothing.  ``(key, ts, order)`` must be unique (raises otherwise —
+    a tie would leave journey order block-layout-dependent).
     """
     import ray
 
@@ -406,6 +407,22 @@ def markov_attribution(ds, *, key_col: str, ts_col: str,
         tdict = tenc.dictionary.to_pylist()
         tc = tenc.indices.to_numpy(zero_copy_only=False).astype(
             np.int64)
+        # (key, ts, order) must be unique (the q248/watermark
+        # contract): a tie would leave the journey's event order to
+        # block layout and silently diverge from any serial replay
+        ts_v = t[ts_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        od_v = t[order_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if len(kc) > 1:
+            dup = ((kc[1:] == kc[:-1]) & (ts_v[1:] == ts_v[:-1])
+                   & (od_v[1:] == od_v[:-1]))
+            if dup.any():
+                raise ValueError(
+                    "markov_attribution: duplicate (key, ts, order) "
+                    "rows — journey order would be block-layout-"
+                    "dependent; deduplicate or disambiguate "
+                    "order_col")
         conv_code = tdict.index(conv_type) if conv_type in tdict \
             else -99
         is_start = np.concatenate([[True], kc[1:] != kc[:-1]])

@@ -173,6 +173,16 @@ def bucketed_join(left_path: str, right_path: str, *,
 
     lf = _proj(pq.read_schema(_any_fragment(left_path)), l_read)
     rf = _proj(pq.read_schema(_any_fragment(right_path)), r_read)
+    # non-key column names must be disjoint: a clash would be
+    # silently dropped from the empty-bucket schema while Arrow's
+    # join errors/suffixes it on non-empty buckets — fail upfront
+    clash = ({f.name for f in lf} - {lkey}) \
+        & ({f.name for f in rf} - {rkey})
+    if clash:
+        raise ValueError(
+            f"bucketed_join: column name(s) {sorted(clash)} appear "
+            "on both sides — project or rename one side "
+            "(left_cols/right_cols)")
     out_fields = lf + [f for f in rf if f.name != rkey]
     empty = pa.table({f.name: pa.array([], f.type)
                       for f in out_fields})

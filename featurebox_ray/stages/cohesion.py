@@ -843,8 +843,14 @@ def outlier_explanation(ds, *, vec_col: str = "embedding",
     V = np.array([float(v) for v in V_int], np.float64)
     S_ref = ray.put((n_tot, S, V, ok_dim))
 
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    id_type = base.field(id_col).type
+
     def explain(b: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], pa.int64()),
+        # typed empty from the input schema (the e854ab8 convention):
+        # a hard-coded int64 would conflict with string doc ids
+        empty = pa.table({id_col: pa.array([], id_type),
                           "dim": pa.array([], pa.int64()),
                           "z": pa.array([], pa.float64())})
         if b.num_rows == 0 or vec_col not in b.column_names:

@@ -74,3 +74,17 @@ def test_bucketed_join_rejects_mismatched_layouts(tmp_path):
     with pytest.raises(ValueError, match="incompatible"):
         bucketed_join(lp, rp2, left_cols=["k", "v"],
                       right_cols=["w"])
+
+
+def test_bucketed_join_rejects_clashing_nonkey_columns(tmp_path):
+    left, right, lp, rp = _mk(tmp_path)
+    # right's payload renamed to collide with left's non-key column
+    rp3 = str(tmp_path / "right3")
+    rds = ray.data.read_parquet(f"{rp}/bucket=0") \
+        .map_batches(lambda b: b.rename_columns(
+            ["v" if c == "w" else c for c in b.column_names]),
+            batch_format="pyarrow")
+    write_bucketed(rds, rp3, key="rk", num_buckets=6)
+    with pytest.raises(ValueError, match="both sides"):
+        bucketed_join(lp, rp3, left_cols=["k", "v"],
+                      right_cols=["v"])

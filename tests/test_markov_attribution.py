@@ -3,6 +3,7 @@ markov_attribution) vs the serial replay; hand case with a known
 chain; partition invariance."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray
 
@@ -81,3 +82,17 @@ def test_markov_hand_case_single_channel():
     assert got.channel.tolist() == ["ad"]
     assert got.removal_effect.tolist() == [1.0]
     assert got.share.tolist() == [1.0]
+
+
+def test_markov_duplicate_key_ts_order_raises():
+    # a (key, ts, order) tie leaves journey order block-layout-
+    # dependent: the kernel must refuse (watermark/q248 contract)
+    t = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "t": pa.array([5, 5, 6], pa.int64()),
+        "o": pa.array([2, 2, 3], pa.int64()),
+        "ty": pa.array(["ad", "email", "purchase"], pa.string())})
+    with pytest.raises(Exception, match="duplicate \\(key, ts, order\\)"):
+        markov_attribution(ray.data.from_arrow(t), key_col="k",
+                           ts_col="t", order_col="o", type_col="ty",
+                           conv_type="purchase").to_pandas()
