@@ -310,8 +310,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q05_distinct_users": rel.distinct_users_per_type,
         "q15_group_stats": rel.group_stats_kernels,
         "q16_corr_matrix": rel.corr_matrix,
-        "q19_top_docs": rel.top_docs_by_len,
-        "q21_union": rel.union_all_keys,
         # transcript-engine operators over events
         "q06_sessionize": eq.sessionized,
         "q07_lag_delta": eq.lag_delta,
@@ -324,7 +322,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_broadcast_lookup": eq.event_type_lookup,
         # documents / embeddings operators
         "q31_turn_context": eq.turn_context,
-        "q32_usage_rate": eq.tool_usage_rate,
         "q17_exact_dedup": eq.exact_dedup_docs,
         "q18_token_counts": eq.token_counts,
         "q20_ann_topk": eq.ann_topk,
@@ -340,25 +337,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_ego_rank": _ego_rank,
         "q33_expression_feature": _expression_feature,
         "q34_group_select": _group_select,
-        "q35_skew_probe": _skew_probe,
         "q36_consensus_rank": _consensus_rank,
         "q37_bpe_tokens": _bpe_tokens,
         "q38_group_dispose": _group_dispose_feature,
         "q39_voronoi_neighbors": _voronoi_stats,
         "q40_multi_ego": _multi_ego_rank,
         "q41_composition_parse": _composition_parse,
-        "q42_radius_neighbors": _radius_neighbors,
         "q43_clf_select": _clf_select,
         "q44_grid_search": _grid_search_cv,
         "q45_ngram_jaccard": _ngram_jaccard,
-        "q46_rotate_slices": _rotate_slices_q,
         "q47_http_fetch": _http_fetch_q,
+        # 100-TB-family representatives promoted into the first-50
+        # prefix (the driver gate checks the first 50 queries() entries
+        # in insertion order — CORRECTNESS_r04 rule): tfidf exchange,
+        # exact-substring dup spans, global rank, edit-distance join,
+        # retention cohorts, pagerank
+        "q53_tfidf": _tfidf_q,
+        "q84_dup_spans": _dup_spans_q,
+        "q85_global_rank": _global_rank_q,
+        "q107_editdist_join": _editdist_join_q,
+        "q121_retention": _retention_q,
+        "q187_pagerank": _pagerank_q,
         "q48_kmv_distinct": _kmv_distinct_q,
         "q49_interval_join": _interval_join_q,
         "q50_hash_sample": _hash_sample_q,
+        # displaced from the checked prefix (families still anchored
+        # there: top-k by q03, windows by q08/q11, neighbors by q39,
+        # diagnostics by q302); all remain value-oracled below
+        "q19_top_docs": rel.top_docs_by_len,
+        "q21_union": rel.union_all_keys,
+        "q32_usage_rate": eq.tool_usage_rate,
+        "q35_skew_probe": _skew_probe,
+        "q42_radius_neighbors": _radius_neighbors,
+        "q46_rotate_slices": _rotate_slices_q,
         "q51_group_quantiles": _group_quantiles_q,
         "q52_tumbling_window": eq.tumbling_stats,
-        "q53_tfidf": _tfidf_q,
         "q54_batch_files": _batch_files_q,
         "q55_cap_per_group": _cap_per_group_q,
         "q56_asof_forward": eq.asof_next_event,
@@ -389,8 +402,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q81_full_join": _full_join_q,
         "q82_winsorize": _winsorize_q,
         "q83_cube": _cube_q,
-        "q84_dup_spans": _dup_spans_q,
-        "q85_global_rank": _global_rank_q,
         "q86_corpus_freq": _corpus_freq_q,
         "q87_hopping_window": _hopping_window_q,
         "q88_cms_counts": _cms_counts_q,
@@ -412,7 +423,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q104_asof_nearest": _asof_nearest_q,
         "q105_rolling_median": _rolling_median_q,
         "q106_transitions": _transitions_q,
-        "q107_editdist_join": _editdist_join_q,
         "q108_jsonl_roundtrip": _jsonl_roundtrip_q,
         "q109_robust_zscore": _robust_zscore_q,
         "q110_group_corr": _group_corr_q,
@@ -426,7 +436,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q118_windowed_distinct": _windowed_distinct_q,
         "q119_top_bigrams": _top_bigrams_q,
         "q120_snapshot_diff": _snapshot_diff_q,
-        "q121_retention": _retention_q,
         "q122_group_auc": _group_auc_q,
         "q123_lift_table": _lift_table_q,
         "q124_weighted_stats": _weighted_stats_q,
@@ -492,7 +501,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q184_cdc_compact": _cdc_compact_q,
         "q185_zorder_layout": _zorder_layout_q,
         "q186_theil_sen": _theil_sen_q,
-        "q187_pagerank": _pagerank_q,
         "q188_attribution": _attribution_q,
         "q189_scd2_intervals": _scd2_q,
         "q190_pq_codes": _pq_codes_q,
