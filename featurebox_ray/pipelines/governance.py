@@ -63,8 +63,8 @@ def release_gate(docs_ds, *, rules, qi_cols, sensitive_col: str,
                                batch_size=None))):
             if "n" not in blk.column_names:
                 continue
-            n += sum(blk["n"].to_pylist())
-            v += sum(blk["v"].to_pylist())
+            n += int(pc.sum(blk["n"]).as_py() or 0)
+            v += int(pc.sum(blk["v"]).as_py() or 0)
         return n, v
 
     ka_n, ka_v = _count_flags(

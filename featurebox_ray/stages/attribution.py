@@ -189,18 +189,22 @@ def linear_attribution(ds, *, key_col: str, ts_col: str, seq_col: str,
                                sort_keys=[key_col, "__t", "__s"],
                                num_partitions=num_partitions,
                                strategy="tasks")
-    agg: dict = {}
-    for blk in ray.get(materialized_block_refs(partials)):
-        for et, cr, tc in zip(blk["event_type"].to_pylist(),
-                              blk["credit"].to_pylist(),
-                              blk["touches"].to_pylist()):
-            c0, t0 = agg.get(et, (0, 0))
-            agg[et] = (c0 + cr, t0 + tc)
-    types = sorted(agg)
+    from .partition import sum_partials
+
+    comb = sum_partials(ray.get(materialized_block_refs(partials)),
+                        keys=["event_type"],
+                        vals=["credit", "touches"])
+    if comb is None:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "credit_cents": pa.array([], pa.int64()),
+            "n_touches": pa.array([], pa.int64())})
     return pa.table({
-        "event_type": pa.array(types, pa.string()),
-        "credit_cents": pa.array([agg[t][0] for t in types], pa.int64()),
-        "n_touches": pa.array([agg[t][1] for t in types], pa.int64()),
+        "event_type": comb["event_type"].combine_chunks().cast(
+            pa.string()),
+        "credit_cents": comb["credit"].combine_chunks().cast(
+            pa.int64()),
+        "n_touches": comb["touches"].combine_chunks().cast(pa.int64()),
     })
 
 
@@ -314,14 +318,27 @@ def shapley_attribution(ds, *, key_col: str, type_col: str,
                             sort_keys=[key_col, type_col],
                             num_partitions=num_partitions,
                             strategy="tasks")
+    from .partition import sum_partials
+
+    comb = sum_partials(ray.get(materialized_block_refs(cells)),
+                        keys=["cell"], vals=["n"])
     users: dict = {}
     convs: dict = {}
-    for blk in ray.get(materialized_block_refs(cells)):
-        for c, n in zip(blk["cell"].to_pylist(),
-                        blk["n"].to_pylist()):
-            users[c // 2] = users.get(c // 2, 0) + n
-            if c % 2:
-                convs[c // 2] = convs.get(c // 2, 0) + n
+    if comb is not None:
+        cell_np = comb["cell"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_np = comb["n"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uq, inv = np.unique(cell_np // 2, return_inverse=True)
+        tot = np.zeros(len(uq), np.int64)
+        np.add.at(tot, inv, n_np)
+        odd = cell_np % 2 == 1
+        ctot = np.zeros(len(uq), np.int64)
+        np.add.at(ctot, inv[odd], n_np[odd])
+        users = dict(zip(uq.tolist(), tot.tolist()))
+        # zero-conv subsets stay absent (downstream uses .get(S, 0))
+        convs = {int(u): int(c)
+                 for u, c in zip(uq.tolist(), ctot.tolist()) if c}
 
     # iterate OBSERVED subsets only (unobserved have v = 0): each
     # observed T contributes +w(|T|-1)·v(T) to every i in T and
@@ -474,18 +491,19 @@ def markov_attribution(ds, *, key_col: str, ts_col: str,
 
     prepped = ds.map_batches(prep, batch_format="pyarrow",
                              zero_copy_batch=True)
-    counts: dict = {}
-    for blk in ray.get(materialized_block_refs(
-            partitioned_map(prepped, kernel, key=key_col,
-                            sort_keys=[key_col, ts_col, order_col],
-                            num_partitions=num_partitions,
-                            strategy="tasks"))):
-        if "f" not in blk.column_names:
-            continue
-        for f, to, c in zip(blk["f"].to_pylist(),
-                            blk["t"].to_pylist(),
-                            blk["cnt"].to_pylist()):
-            counts[(f, to)] = counts.get((f, to), 0) + c
+    from .partition import sum_partials
+
+    comb = sum_partials(ray.get(materialized_block_refs(
+        partitioned_map(prepped, kernel, key=key_col,
+                        sort_keys=[key_col, ts_col, order_col],
+                        num_partitions=num_partitions,
+                        strategy="tasks"))),
+        keys=["f", "t"], vals=["cnt"])
+    counts = {} if comb is None else {
+        (f, to): int(c)
+        for f, to, c in zip(comb["f"].to_pylist(),
+                            comb["t"].to_pylist(),
+                            comb["cnt"].to_pylist())}
     return _markov_solve(counts)
 
 

@@ -206,10 +206,10 @@ def category_drift(old_ds, new_ds, *, col: str,
                               strategy="tasks")
     refs = materialized_block_refs(counted)
     blocks = [b for b in ray.get(refs) if b.num_rows > 0]
-    tot_old = sum(int(x) for b in blocks
-                  for x in b["n_old"].to_pylist())
-    tot_new = sum(int(x) for b in blocks
-                  for x in b["n_new"].to_pylist())
+    tot_old = sum(int(pc.sum(b["n_old"]).as_py() or 0)
+                  for b in blocks)
+    tot_new = sum(int(pc.sum(b["n_new"]).as_py() or 0)
+                  for b in blocks)
 
     def shares(b: pa.Table) -> pa.Table:
         no = b["n_old"].to_numpy(zero_copy_only=False)

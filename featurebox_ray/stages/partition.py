@@ -417,6 +417,29 @@ def _task_exchange_map(
     return ray.data.from_arrow_refs(gathers)
 
 
+def sum_partials(blocks, *, keys: Sequence[str],
+                 vals: Sequence[str]):
+    """Combine per-block integer partial tables with ONE Arrow
+    ``group_by(...).aggregate(sum)`` — the canonical driver combine
+    (no per-row Python): concat the non-empty blocks, sum ``vals``
+    per ``keys`` tuple, return a table with the ORIGINAL column
+    names sorted ascending by ``keys``.  Returns ``None`` when no
+    block carries the partial columns (all-empty upstream).  Arrow
+    int64 sums are exact; callers needing >2^63 accumulation must
+    keep their own split-word path."""
+    need = [*keys, *vals]
+    tbls = [b.select(need) for b in blocks
+            if b.num_rows and set(need) <= set(b.column_names)]
+    if not tbls:
+        return None
+    t = pa.concat_tables(tbls, promote_options="default")
+    agg = t.group_by(list(keys)).aggregate(
+        [(v, "sum") for v in vals])
+    out = pa.table({**{k: agg[k] for k in keys},
+                    **{v: agg[f"{v}_sum"] for v in vals}})
+    return out.sort_by([(k, "ascending") for k in keys])
+
+
 def key_histogram(ds, key: str, top: int = 20):
     """Small driver-side skew probe: rows per key, descending (for salting
     decisions).  Uses a distributed count aggregate, only ``top`` rows come

@@ -349,12 +349,15 @@ def temperature_rebalance(ds, *, group_col: str, key_col: str,
         return pa.table({"g": vc.field("values"),
                          "cnt": vc.field("counts")})
 
-    counts: dict = {}
+    from .partition import sum_partials
+
     cds = ds.map_batches(count_partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-    for b in ray.get(materialized_block_refs(cds)):
-        for gv, cv in zip(b["g"].to_pylist(), b["cnt"].to_pylist()):
-            counts[gv] = counts.get(gv, 0) + int(cv)
+    comb = sum_partials(ray.get(materialized_block_refs(cds)),
+                        keys=["g"], vals=["cnt"])
+    counts = {} if comb is None else dict(zip(
+        comb["g"].to_pylist(),
+        (int(c) for c in comb["cnt"].to_pylist())))
     thresholds = temperature_thresholds(counts, alpha)
 
     def filt(batch: pa.Table) -> pa.Table:
@@ -700,13 +703,15 @@ def quota_allocate(ds, *, group_col: str, total: int,
         return pa.table({group_col: gd.dictionary,
                          "n": pa.array(cnt.astype(np.int64))})
 
+    from .partition import sum_partials
+
     pds = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=None)
-    agg: dict = {}
-    for blk in ray.get(materialized_block_refs(pds)):
-        for g, n in zip(blk[group_col].to_pylist(),
-                        blk["n"].to_pylist()):
-            agg[g] = agg.get(g, 0) + n
+    comb = sum_partials(ray.get(materialized_block_refs(pds)),
+                        keys=[group_col], vals=["n"])
+    agg = {} if comb is None else dict(zip(
+        comb[group_col].to_pylist(),
+        (int(n) for n in comb["n"].to_pylist())))
     schema = ds.schema()
     base_s = getattr(schema, "base_schema", schema)
     gtype = base_s.field(group_col).type

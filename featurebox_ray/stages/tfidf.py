@@ -760,30 +760,33 @@ def vocab_overlap(ds, *, group_col: str, text_col: str = "text",
     if not blocks:
         return ray.data.from_arrow(out_schema.empty_table())
     t = pa.concat_tables(blocks, promote_options="default")
-    is_size = np.asarray(pc.is_null(t["g_b"]))
-    sizes: dict = {}
-    ga = t["g_a"].to_pylist()
-    gb = t["g_b"].to_pylist()
-    cn = t["cnt"].to_pylist()
-    pairs: dict = {}
-    for a, b, c, s in zip(ga, gb, cn, is_size):
-        if s:
-            sizes[a] = sizes.get(a, 0) + c
-        else:
-            pairs[(a, b)] = pairs.get((a, b), 0) + c
-    keys = sorted(pairs)
-    inter = [pairs[k] for k in keys]
-    n_a = [sizes[k[0]] for k in keys]
-    n_b = [sizes[k[1]] for k in keys]
-    jac = [float(i) / float(na + nb - i)
-           for i, na, nb in zip(inter, n_a, n_b)]
+    # size rows carry g_b = NULL; combine each side with one Arrow
+    # group_by sum (UTF-8 byte order == the old sorted() tuple order)
+    is_size = pc.is_null(t["g_b"])
+    st = (t.filter(is_size).group_by(["g_a"])
+          .aggregate([("cnt", "sum")]).sort_by([("g_a", "ascending")]))
+    pt = (t.filter(pc.invert(is_size)).group_by(["g_a", "g_b"])
+          .aggregate([("cnt", "sum")])
+          .sort_by([("g_a", "ascending"), ("g_b", "ascending")]))
+    if pt.num_rows == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    sg = st["g_a"].combine_chunks()
+    sn = st["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ia = pc.index_in(pt["g_a"], value_set=sg).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ib = pc.index_in(pt["g_b"], value_set=sg).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    inter = pt["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_a, n_b = sn[ia], sn[ib]
+    jac = inter.astype(np.float64) / (n_a + n_b - inter).astype(
+        np.float64)
     return ray.data.from_arrow(pa.table({
-        "grp_a": pa.array([k[0] for k in keys], pa.string()),
-        "grp_b": pa.array([k[1] for k in keys], pa.string()),
-        "inter": pa.array(inter, pa.int64()),
-        "n_a": pa.array(n_a, pa.int64()),
-        "n_b": pa.array(n_b, pa.int64()),
-        "jaccard": pa.array(jac, pa.float64()),
+        "grp_a": pt["g_a"].combine_chunks(),
+        "grp_b": pt["g_b"].combine_chunks(),
+        "inter": pa.array(inter),
+        "n_a": pa.array(n_a),
+        "n_b": pa.array(n_b),
+        "jaccard": pa.array(jac),
     }))
 
 
@@ -1253,18 +1256,19 @@ def novelty_curve(ds, *, id_col: str = "doc_id", text_col: str = "text",
                              sort_keys=["term"],
                              num_partitions=num_partitions,
                              strategy="tasks")
-    agg: dict = {}
-    for blk in ray.get(materialized_block_refs(bparts)):
-        for bb, cc in zip(blk["bucket"].to_pylist(),
-                          blk["cnt"].to_pylist()):
-            agg[bb] = agg.get(bb, 0) + cc
-    buckets = sorted(agg)
-    counts = [agg[b] for b in buckets]
-    cum = np.cumsum(counts).astype(np.int64) if buckets else \
-        np.empty(0, np.int64)
-    return pa.table({"bucket": pa.array(buckets, pa.int64()),
-                     "n_new_terms": pa.array(counts, pa.int64()),
-                     "cum_new_terms": pa.array(cum)})
+    from .partition import sum_partials
+
+    comb = sum_partials(ray.get(materialized_block_refs(bparts)),
+                        keys=["bucket"], vals=["cnt"])
+    if comb is None:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "n_new_terms": pa.array([], pa.int64()),
+                         "cum_new_terms": pa.array([], pa.int64())})
+    counts = comb["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "bucket": comb["bucket"].combine_chunks().cast(pa.int64()),
+        "n_new_terms": pa.array(counts),
+        "cum_new_terms": pa.array(np.cumsum(counts).astype(np.int64))})
 
 
 def vocab_coverage(ds, *, group_col: str = "source",
@@ -1378,32 +1382,33 @@ def vocab_coverage(ds, *, group_col: str = "source",
                                sort_keys=["term", group_col],
                                num_partitions=num_partitions,
                                strategy="tasks")
-    agg: dict = {}
-    for blk in ray.get(materialized_block_refs(per_part)):
-        for g, v, n1, n2, n in zip(blk[group_col].to_pylist(),
-                                   blk["v"].to_pylist(),
-                                   blk["n1"].to_pylist(),
-                                   blk["n2"].to_pylist(),
-                                   blk["n"].to_pylist()):
-            cur = agg.setdefault(g, [0, 0, 0, 0])
-            cur[0] += v
-            cur[1] += n1
-            cur[2] += n2
-            cur[3] += n
+    from .partition import sum_partials
+
     schema = ds.schema()
     base = getattr(schema, "base_schema", schema)
     gtype = base.field(group_col).type
-    groups = sorted(agg)
-    vocab = [agg[g][0] for g in groups]
-    hapax = [agg[g][1] for g in groups]
-    dis = [agg[g][2] for g in groups]
-    ntok = [agg[g][3] for g in groups]
+    comb = sum_partials(ray.get(materialized_block_refs(per_part)),
+                        keys=[group_col],
+                        vals=["v", "n1", "n2", "n"])
+    if comb is None:
+        return pa.table({
+            group_col: pa.array([], gtype),
+            "n_tokens": pa.array([], pa.int64()),
+            "vocab": pa.array([], pa.int64()),
+            "hapax": pa.array([], pa.int64()),
+            "dis": pa.array([], pa.int64()),
+            "unseen_mass": pa.array([], pa.float64()),
+            "chao1": pa.array([], pa.float64())})
+    vocab = [int(x) for x in comb["v"].to_pylist()]
+    hapax = [int(x) for x in comb["n1"].to_pylist()]
+    dis = [int(x) for x in comb["n2"].to_pylist()]
+    ntok = [int(x) for x in comb["n"].to_pylist()]
     unseen = [float(h) / float(n) for h, n in zip(hapax, ntok)]
     chao1 = [None if d == 0
              else float(v) + float(h * h) / float(2 * d)
              for v, h, d in zip(vocab, hapax, dis)]
     return pa.table({
-        group_col: pa.array(groups, gtype),
+        group_col: comb[group_col].combine_chunks().cast(gtype),
         "n_tokens": pa.array(ntok, pa.int64()),
         "vocab": pa.array(vocab, pa.int64()),
         "hapax": pa.array(hapax, pa.int64()),
