@@ -616,7 +616,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q300_corpus_factory": _corpus_factory_q,
         "q301_redaction_audit": _redaction_audit_q,
         "q302_skew_report": _skew_report_q,
+        "q303_components": _min_components_q,
+        "q304_salted_join": _salted_join_q,
     }
+
+
+def _min_components_q(sf_dir: str):
+    """q303: distributed connected components under a closed-form SQL
+    oracle — a deterministic star+chain pair graph over doc ids
+    (star: i — (i − i%5) for i%5≠0, some edges emitted twice; chain:
+    head 5m — 5(m−1) unless m%8==0) whose components are exactly the
+    40-id blocks, so the oracle is ``doc_id − doc_id % 40`` with NO
+    recursion.  The engine runs the real multi-super-round min-label
+    propagation (stages/components.py:min_label_components — edge-min
+    exchanges + pointer jumping over 8 partitions; chain diameter ~16
+    exercises the jumping), then labels the corpus via the broadcast
+    apply.  Duplicate edges and the partial final block are covered
+    by construction."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.components import connected_components
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=8)
+
+    def mk_pairs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        m1 = ids % 5 != 0
+        a1, b1 = ids[m1], ids[m1] - ids[m1] % 5
+        dup = m1 & (ids % 2 == 0)          # duplicate-edge robustness
+        a2, b2 = ids[dup], ids[dup] - ids[dup] % 5
+        heads = ids[ids % 5 == 0]
+        hm = (heads // 5) % 8 != 0
+        a3, b3 = heads[hm], heads[hm] - 5
+        return pa.table({
+            "id_a": pa.array(np.concatenate([a1, a2, a3])),
+            "id_b": pa.array(np.concatenate([b1, b2, b3]))})
+
+    pairs = docs.map_batches(mk_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return connected_components(pairs, docs, id_col="doc_id",
+                                num_partitions=8)
+
+
+def _salted_join_q(sf_dir: str):
+    """q304: skew-adaptive salted join (stages/join.py:salted_join) —
+    events ⋈ customer on user_id with hot keys (≥70 occurrences,
+    i.e. most of this near-uniform corpus' keys at every SF) routed
+    through the broadcast probe and the rest through the
+    co-partitioned exchange.  Hot detection is approximate by design
+    and only changes ROUTING — the result replays as a plain SQL
+    inner join (exact rows, no tolerance)."""
+    import ray
+
+    from featurebox_ray.stages.join import salted_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"],
+                               override_num_blocks=8)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+    return salted_join(ev, cust, on="user_id", right_on="c_custkey",
+                       right_cols=["c_mktsegment"],
+                       hot_threshold=70, probe_top=64,
+                       num_partitions=8)
 
 
 def _skew_report_q(sf_dir: str):
@@ -8898,6 +8966,19 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q247_golden_records": q247,
+        # closed-form component labels: star width 5 + 8-head chains
+        # make each 40-id block one component (see _min_components_q)
+        "q303_components": """
+            SELECT doc_id,
+                   CAST(doc_id - doc_id % 40 AS BIGINT) AS component
+            FROM documents
+        """,
+        # salted join: routing-only optimization, plain-join replay
+        "q304_salted_join": """
+            SELECT e.event_id, e.user_id, c.c_mktsegment
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+        """,
         # skew report: exact hottest-key counts + one division each
         "q302_skew_report": """
             WITH e AS (SELECT user_id FROM events

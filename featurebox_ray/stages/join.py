@@ -18,6 +18,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .partition import PART_COL, partitioned_map
 
@@ -207,3 +208,155 @@ def auto_join(left_ds, right_ds, *, on: str,
                                zero_copy_batch=True)
     return hash_join(left_ds, right_ds, on=on, right_on=right_on,
                      how=how, num_partitions=num_partitions)
+
+
+def salted_join(left_ds, right_ds, *, on: str,
+                right_on: Optional[str] = None,
+                left_cols: Optional[List[str]] = None,
+                right_cols: Optional[List[str]] = None,
+                hot_threshold: int = 1_000_000,
+                max_hot_keys: int = 1024,
+                probe_top: int = 64,
+                max_hot_right_rows: int = 2_000_000,
+                num_partitions: int = 32):
+    """Skew-adaptive inner equi-join — the "salt hot keys" remedy as
+    one operator: probe the LEFT key histogram cheaply, then route
+    rows with hot keys (≥ ``hot_threshold`` occurrences) through a
+    shuffle-free broadcast probe of just those keys' right rows, and
+    everything else through the co-partitioned task exchange.  A
+    single mega-key therefore never lands in one gather task: its
+    rows stay spread across the left's blocks and join map-side.
+
+    Hot detection is APPROXIMATE by design (per-block top-
+    ``probe_top`` count partials, Arrow-combined; capped at
+    ``max_hot_keys`` hottest) — mis-classification only changes
+    ROUTING, never the result, so the output is partition- and
+    probe-invariant and replays as a plain SQL inner join.  The hot
+    right subset must fit a broadcast (``max_hot_right_rows`` guard,
+    raises with the fix).  NULL keys drop (inner semantics).
+
+    Returns columns ``left_cols + right_cols`` (defaults: all left
+    columns; all right columns except the key).
+    Reference analog: none (scale operator; the operator form of the
+    key_histogram→salting playbook in stages/partition.py).
+    """
+    import ray
+
+    from .partition import materialized_block_refs, sum_partials
+
+    right_on = right_on or on
+    left_ds = left_ds.materialize()
+    right_ds = right_ds.materialize()
+    lschema = left_ds.schema()
+    lbase = getattr(lschema, "base_schema", lschema)
+    rschema = right_ds.schema()
+    rbase = getattr(rschema, "base_schema", rschema)
+    left_cols = left_cols or list(lbase.names)
+    right_cols = right_cols or [c for c in rbase.names
+                                if c != right_on]
+    key_type = lbase.field(on).type
+
+    def probe(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], key_type),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0 or on not in b.column_names:
+            return empty
+        col = b[on].combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        if len(col) == 0:
+            return empty
+        vc = col.value_counts()
+        t = pa.table({"k": vc.field("values"),
+                      "cnt": vc.field("counts").cast(pa.int64())})
+        if t.num_rows > probe_top:
+            t = t.sort_by([("cnt", "descending")]).slice(0, probe_top)
+        return t
+
+    pds = left_ds.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    comb = sum_partials(ray.get(materialized_block_refs(pds)),
+                        keys=["k"], vals=["cnt"])
+    hot_arr = None
+    if comb is not None:
+        hot_t = comb.filter(pc.greater_equal(comb["cnt"],
+                                             hot_threshold))
+        if hot_t.num_rows > max_hot_keys:
+            hot_t = (hot_t.sort_by([("cnt", "descending")])
+                     .slice(0, max_hot_keys))
+        if hot_t.num_rows:
+            hot_arr = hot_t["k"].combine_chunks()
+
+    if hot_arr is None:
+        return hash_join(left_ds, right_ds, on=on, right_on=right_on,
+                         how="inner", num_partitions=num_partitions,
+                         left_cols=left_cols, right_cols=right_cols)
+
+    hot_ref = ray.put(hot_arr)
+
+    def split_side(keep_hot: bool, key_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or key_col not in b.column_names:
+                return b
+            m = pc.fill_null(pc.is_in(
+                b[key_col], value_set=ray.get(hot_ref)), False)
+            return b.filter(m if keep_hot else
+                            pc.and_(pc.invert(m),
+                                    pc.is_valid(b[key_col])))
+        return fn
+
+    # hot path: broadcast just the hot keys' right rows, probe map-side
+    hot_right_blocks = []
+    for blk in ray.get(materialized_block_refs(right_ds)):
+        if blk.num_rows == 0 or right_on not in blk.column_names:
+            continue
+        m = pc.fill_null(pc.is_in(blk[right_on], value_set=hot_arr),
+                         False)
+        f = blk.filter(m).select([right_on] + right_cols)
+        if f.num_rows:
+            hot_right_blocks.append(f)
+    hot_right = (pa.concat_tables(hot_right_blocks,
+                                  promote_options="default")
+                 if hot_right_blocks else
+                 pa.table({right_on: pa.array([], key_type),
+                           **{c: pa.array([], rbase.field(c).type)
+                              for c in right_cols}}))
+    if hot_right.num_rows > max_hot_right_rows:
+        raise ValueError(
+            f"salted_join: hot right subset holds "
+            f"{hot_right.num_rows} rows > max_hot_right_rows "
+            f"({max_hot_right_rows}) — raise hot_threshold or the "
+            "cap, or pre-aggregate the right side")
+    hot_right = hot_right.append_column(
+        "__m", pa.array(np.ones(hot_right.num_rows, np.int8)))
+
+    left_hot = left_ds.map_batches(
+        split_side(True, on), batch_format="pyarrow",
+        zero_copy_batch=True).map_batches(
+        lambda b: b.select(left_cols) if b.num_rows or
+        set(left_cols) <= set(b.column_names) else b,
+        batch_format="pyarrow", zero_copy_batch=True)
+    hot_out = broadcast_join(left_hot, hot_right, on=on,
+                             right_on=right_on)
+
+    def drop_unmatched(b: pa.Table) -> pa.Table:
+        if "__m" not in b.column_names:
+            return b
+        return (b.filter(pc.is_valid(b["__m"]))
+                .drop_columns(["__m"]).select(left_cols + right_cols))
+
+    hot_out = hot_out.map_batches(drop_unmatched,
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    # cold path: both sides filtered to non-hot keys, normal exchange
+    left_cold = left_ds.map_batches(split_side(False, on),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    right_cold = right_ds.map_batches(split_side(False, right_on),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    cold_out = hash_join(left_cold, right_cold, on=on,
+                         right_on=right_on, how="inner",
+                         num_partitions=num_partitions,
+                         left_cols=left_cols, right_cols=right_cols)
+    return hot_out.union(cold_out)
