@@ -618,7 +618,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q302_skew_report": _skew_report_q,
         "q303_components": _min_components_q,
         "q304_salted_join": _salted_join_q,
+        "q305_rolling_extrema": _rolling_extrema_q,
     }
+
+
+def _rolling_extrema_q(sf_dir: str):
+    """q305: trailing-5 rolling min/max envelope per user
+    (stages/window.py:rolling_extrema) — one keyed exchange, bounded
+    window expansion + minimum.at/maximum.at; min/max are selections
+    of the stored doubles so the SQL ROWS-window replay is
+    bit-exact."""
+    import ray
+
+    from featurebox_ray.stages.window import rolling_extrema
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+        override_num_blocks=8)
+    return rolling_extrema(ev, key_col="user_id", ts_col="ts",
+                           seq_col="event_id", value_col="value",
+                           k=5, num_partitions=8)
 
 
 def _min_components_q(sf_dir: str):
@@ -8972,6 +8992,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # rolling extrema: min/max are SELECTIONS (no arithmetic) of
+        # the stored doubles -> ROWS-window replay is bit-exact; the
+        # WHERE mirrors the engine's drop predicate
+        "q305_rolling_extrema": """
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS w,
+                   min(value) OVER w AS vmin,
+                   max(value) OVER w AS vmax
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_id IS NOT NULL AND value IS NOT NULL
+              AND isfinite(value)
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         # salted join: routing-only optimization, plain-join replay
         "q304_salted_join": """

@@ -1273,6 +1273,99 @@ def rolling_rank(ds, *, key_col: str, ts_col: str, seq_col: str,
                            strategy="tasks")
 
 
+def rolling_extrema(ds, *, key_col: str, ts_col: str, seq_col: str,
+                    value_col: str, k: int = 5,
+                    num_partitions: int = 16):
+    """Trailing-window min/max — per row, the smallest and largest of
+    the last ``k`` same-key values (current row inclusive) in
+    ``(ts, seq)`` order: the envelope/band feature (support,
+    resistance, recent range) every monitoring pipeline wants next to
+    the rolling mean/median.
+
+    Emits ``(key_col, seq_col, w:int64, vmin:float64,
+    vmax:float64)`` with ``w`` = actual window size (≥ 1).  min/max
+    are SELECTIONS of the stored doubles — no arithmetic — so SQL
+    ``min()/max() OVER (ROWS BETWEEN k−1 PRECEDING AND CURRENT ROW)``
+    replays bit-exactly.  NULL key/ts/seq and NULL/non-finite values
+    drop (mirror the predicate in the oracle's WHERE).
+
+    Kernel: one keyed exchange; bounded window expansion (≤ k rows
+    gathered per row — the q49/q171 span-walk convention) +
+    ``np.minimum.at``/``np.maximum.at``; O(n·k) vectorized work, the
+    documented bound for small fixed windows.
+    Reference analog: windowed-aggregate family (SURVEY §2.5).
+    """
+    from .partition import partitioned_map
+
+    if k < 1:
+        raise ValueError("rolling_extrema: k must be >= 1")
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+    seq_type = base.field(seq_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks()
+        if not pa.types.is_floating(v.type):
+            v = v.cast(pa.float64())
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.and_(pc.is_valid(b[seq_col]),
+                               pc.fill_null(pc.is_finite(v), False)))
+        keep = pc.fill_null(keep, False)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = pa.table({key_col: b[key_col], "__t": ts,
+                      "__s": b[seq_col], "__v": v.cast(pa.float64())})
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        return t
+
+    empty = pa.table({key_col: pa.array([], key_type),
+                      seq_col: pa.array([], seq_type),
+                      "w": pa.array([], pa.int64()),
+                      "vmin": pa.array([], pa.float64()),
+                      "vmax": pa.array([], pa.float64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        v = t["__v"].to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        from ..functions.segments import segment_ids
+
+        seg_start, _ris, _is_start = segment_ids(codes)
+        idx = np.arange(len(codes))
+        lo = np.maximum(idx - (k - 1), seg_start)
+        spans = (idx - lo + 1).astype(np.int64)
+        total = int(spans.sum())
+        vmin = np.full(len(codes), np.inf)
+        vmax = np.full(len(codes), -np.inf)
+        gid = np.repeat(idx, spans)
+        rows = (np.arange(total)
+                - np.repeat(np.cumsum(spans) - spans, spans)
+                + lo[gid])
+        np.minimum.at(vmin, gid, v[rows])
+        np.maximum.at(vmax, gid, v[rows])
+        return pa.table({
+            key_col: keys,
+            seq_col: t["__s"],
+            "w": pa.array(spans),
+            "vmin": pa.array(vmin, pa.float64()),
+            "vmax": pa.array(vmax, pa.float64())})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__t", "__s"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
+
+
 def sax_encode(ds, *, key_col: str, ts_col: str, order_col: str,
                value_col: str, window: int = 8,
                num_partitions: int = 16):
