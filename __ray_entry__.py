@@ -680,17 +680,19 @@ def _min_components_q(sf_dir: str):
     pairs = docs.map_batches(mk_pairs, batch_format="pyarrow",
                              zero_copy_batch=True)
     return connected_components(pairs, docs, id_col="doc_id",
-                                num_partitions=8)
+                                num_partitions=8,
+                                small_threshold=0)
 
 
 def _salted_join_q(sf_dir: str):
     """q304: skew-adaptive salted join (stages/join.py:salted_join) —
-    events ⋈ customer on user_id with hot keys (≥70 occurrences,
-    i.e. most of this near-uniform corpus' keys at every SF) routed
-    through the broadcast probe and the rest through the
-    co-partitioned exchange.  Hot detection is approximate by design
-    and only changes ROUTING — the result replays as a plain SQL
-    inner join (exact rows, no tolerance)."""
+    events ⋈ customer on user_id with hot keys (≥70 occurrences; the
+    per-user average is ~67 at every SF, so roughly half the keys go
+    hot and half cold — BOTH routing paths are live at every scale;
+    probe_top=4096 keeps the per-block probe exact for this key
+    cardinality).  Hot detection is approximate by design and only
+    changes ROUTING — the result replays as a plain SQL inner join
+    (exact rows, no tolerance)."""
     import ray
 
     from featurebox_ray.stages.join import salted_join
@@ -703,8 +705,8 @@ def _salted_join_q(sf_dir: str):
         columns=["c_custkey", "c_mktsegment"])
     return salted_join(ev, cust, on="user_id", right_on="c_custkey",
                        right_cols=["c_mktsegment"],
-                       hot_threshold=70, probe_top=64,
-                       num_partitions=8)
+                       hot_threshold=70, probe_top=4096,
+                       max_hot_keys=4096, num_partitions=8)
 
 
 def _skew_report_q(sf_dir: str):

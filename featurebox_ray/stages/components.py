@@ -3,9 +3,12 @@ labels — the survivor-selection step every dedup pipeline runs after
 pair finding (component label = the SMALLEST id reachable, so "keep the
 lowest id per group" is ``WHERE doc_id = component``).
 
-Physical plan (fully distributed — the pair set is NEVER concatenated
-on one worker): iterative min-label propagation over the node-keyed
-task exchange.  Per super-round:
+Physical plan, size-dispatched (the auto_join pattern): pair sets up
+to ``small_threshold`` run serial union-find in ONE off-driver Ray
+task (milliseconds at test scale); larger sets run fully distributed
+— the pair set is then NEVER concatenated on one worker — as
+iterative min-label propagation over the node-keyed task exchange.
+Per super-round:
 
 * **edge-min** (two exchanges, the ``k_core`` message shape): each
   node's current label routes onto its half-edges keyed by the
@@ -70,15 +73,25 @@ def union_find_min_labels(a: np.ndarray, b: np.ndarray) -> dict:
 
 def min_label_components(pairs_ds, *, pair_cols=("id_a", "id_b"),
                          num_partitions: int = 16,
-                         max_iters: int = 64):
+                         max_iters: int = 64,
+                         small_threshold: int = 1_000_000):
     """Distributed connected components over an integer pair table.
 
     Returns a Dataset ``(node:int64, component:int64)`` with one row
     per distinct node appearing in any pair; ``component`` = min id
-    reachable.  NULL ids and self-pairs are ignored.  The pair set is
-    only ever processed shard-by-shard through the task exchange —
-    no single task sees all pairs.  Raises if ``max_iters``
-    super-rounds don't converge (needs ~log2(diameter) rounds)."""
+    reachable.  NULL ids and self-pairs are ignored.  Raises if
+    ``max_iters`` super-rounds don't converge (needs ~log2(diameter)
+    rounds).
+
+    Size dispatch (the auto_join pattern): a pair set at or below
+    ``small_threshold`` pairs runs serial union-find in ONE Ray task
+    (milliseconds, still off-driver) — the common case after dedup
+    pair-finding at test scale; anything larger takes the multi-round
+    propagation, where the pair set is only ever processed
+    shard-by-shard through the task exchange and no single task sees
+    all pairs.  Pass ``small_threshold=0`` to force the distributed
+    path (the fuzz tests do).  Both paths produce the identical
+    min-label invariant."""
     import ray
 
     from .partition import materialized_block_refs, partitioned_map
@@ -105,9 +118,28 @@ def min_label_components(pairs_ds, *, pair_cols=("id_a", "id_b"),
     edge_refs = list(materialized_block_refs(half))
     empty_out = pa.table({"node": pa.array([], pa.int64()),
                           "component": pa.array([], pa.int64())})
-    if not edge_refs or ray.data.from_arrow_refs(
-            list(edge_refs)).count() == 0:
+    n_half = (ray.data.from_arrow_refs(list(edge_refs)).count()
+              if edge_refs else 0)
+    if n_half == 0:
         return ray.data.from_arrow(empty_out)
+
+    if n_half <= 2 * small_threshold:
+        # small path: one off-driver task, serial union-find
+        @ray.remote
+        def small_labels(*blocks):
+            tbls = [t for t in blocks if t.num_rows]
+            t = pa.concat_tables(tbls, promote_options="default")
+            lab = union_find_min_labels(
+                t["__k"].to_numpy(zero_copy_only=False),
+                t["to"].to_numpy(zero_copy_only=False))
+            keys = np.fromiter(lab.keys(), np.int64, len(lab))
+            vals = np.fromiter(lab.values(), np.int64, len(lab))
+            order = np.argsort(keys)
+            return pa.table({"node": pa.array(keys[order]),
+                             "component": pa.array(vals[order])})
+
+        return ray.data.from_arrow_refs(
+            [small_labels.remote(*edge_refs)])
 
     def edges_dataset():
         return ray.data.from_arrow_refs(list(edge_refs))
@@ -335,7 +367,8 @@ def pack_label_map(labels_ds):
 def connected_components(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
                          pair_cols=("id_a", "id_b"), batch_size=None,
                          num_partitions: int = 16,
-                         max_iters: int = 64):
+                         max_iters: int = 64,
+                         small_threshold: int = 1_000_000):
     """Label every corpus row with its duplicate-component id.
 
     ``pairs_ds``: Dataset with integer columns ``pair_cols`` (e.g. the
@@ -343,15 +376,17 @@ def connected_components(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
     label.  Output: ``(id_col, component int64)`` — one row per corpus
     row; rows in no pair get ``component = own id``.
 
-    Labels are computed fully distributed (:func:`min_label_components`
-    — the pair set never lands on one worker); the resulting
-    matched-node-sized map broadcasts once and the corpus pass
-    streams."""
+    Labels come from :func:`min_label_components` (size-dispatched:
+    one-task union-find up to ``small_threshold`` pairs, multi-round
+    distributed propagation beyond — the pair set then never lands on
+    one worker); the resulting matched-node-sized map broadcasts once
+    and the corpus pass streams."""
     import ray
 
     labels = min_label_components(pairs_ds, pair_cols=pair_cols,
                                   num_partitions=num_partitions,
-                                  max_iters=max_iters)
+                                  max_iters=max_iters,
+                                  small_threshold=small_threshold)
     lab_ref = pack_label_map(labels)
 
     def apply(batch: pa.Table) -> pa.Table:

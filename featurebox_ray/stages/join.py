@@ -320,6 +320,12 @@ def salted_join(left_ds, right_ds, *, on: str,
                  pa.table({right_on: pa.array([], key_type),
                            **{c: pa.array([], rbase.field(c).type)
                               for c in right_cols}}))
+    if hot_right[right_on].type != key_type:
+        # match hash_join's tag_right cast: a right key of a narrower
+        # int type would fail Arrow's join against the left key
+        hot_right = hot_right.set_column(
+            hot_right.column_names.index(right_on), right_on,
+            hot_right[right_on].cast(key_type))
     if hot_right.num_rows > max_hot_right_rows:
         raise ValueError(
             f"salted_join: hot right subset holds "

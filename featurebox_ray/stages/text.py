@@ -505,9 +505,12 @@ def encoding_audit(ds, *, group_col: str = "source",
     schema = ds.schema()
     base = getattr(schema, "base_schema", schema)
     gtype = base.field(group_col).type
-    tbls = [b for b in ray.get(materialized_block_refs(pds))
-            if b.num_rows and group_col in b.column_names]
-    if not tbls:
+    from .partition import sum_partials
+
+    agg = sum_partials(ray.get(materialized_block_refs(pds)),
+                       keys=[group_col],
+                       vals=["d", "f", "r", "m", "c"])
+    if agg is None:
         return pa.table({group_col: pa.array([], gtype),
                          "n_docs": pa.array([], pa.int64()),
                          "n_flagged": pa.array([], pa.int64()),
@@ -515,29 +518,18 @@ def encoding_audit(ds, *, group_col: str = "source",
                          "n_mojibake": pa.array([], pa.int64()),
                          "n_control": pa.array([], pa.int64()),
                          "flagged_share": pa.array([], pa.float64())})
-    # one Arrow group_by over the concatenated partials (the sibling
-    # combine pattern) — no per-row Python; group order matches the
-    # old sorted() combine (UTF-8 byte order == code-point order)
-    cat = pa.concat_tables(tbls, promote_options="default")
-    agg = (cat.group_by(group_col)
-           .aggregate([("d", "sum"), ("f", "sum"), ("r", "sum"),
-                       ("m", "sum"), ("c", "sum")]))
-    agg = agg.sort_by([(group_col, "ascending")])
-    d = agg["d_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
-    f = agg["f_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    f = agg["f"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
         group_col: agg[group_col].combine_chunks().cast(gtype),
         "n_docs": pa.array(d),
         "n_flagged": pa.array(f),
         "n_replacement": pa.array(
-            agg["r_sum"].to_numpy(zero_copy_only=False)
-            .astype(np.int64)),
+            agg["r"].to_numpy(zero_copy_only=False).astype(np.int64)),
         "n_mojibake": pa.array(
-            agg["m_sum"].to_numpy(zero_copy_only=False)
-            .astype(np.int64)),
+            agg["m"].to_numpy(zero_copy_only=False).astype(np.int64)),
         "n_control": pa.array(
-            agg["c_sum"].to_numpy(zero_copy_only=False)
-            .astype(np.int64)),
+            agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)),
         "flagged_share": pa.array(f.astype(np.float64)
                                   / d.astype(np.float64))})
 

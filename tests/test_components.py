@@ -84,7 +84,7 @@ def test_min_label_components_sharded_fuzz_vs_union_find():
         ds = ray.data.from_arrow(pairs).repartition(9).materialize()
         assert ds.num_blocks() >= 8
         out = min_label_components(
-            ds, num_partitions=8).to_pandas()
+            ds, num_partitions=8, small_threshold=0).to_pandas()
         got = dict(zip(out["node"], out["component"]))
         want = union_find_min_labels(a, b)
         assert got == want, trial
@@ -100,7 +100,7 @@ def test_min_label_components_long_chain_converges_fast():
                       "id_b": pa.array(ids[1:] + 1)})
     out = min_label_components(
         ray.data.from_arrow(pairs).repartition(8),
-        num_partitions=4, max_iters=64).to_pandas()
+        num_partitions=4, max_iters=64, small_threshold=0).to_pandas()
     assert sorted(out["node"]) == list(range(1, n + 1))
     assert set(out["component"]) == {1}
 
@@ -110,9 +110,12 @@ def test_min_label_components_nulls_and_self_pairs():
         "id_a": pa.array([1, None, 7, 7, 4], pa.int64()),
         "id_b": pa.array([2, 3, None, 7, 5], pa.int64()),
     })
-    out = min_label_components(ray.data.from_arrow(pairs)).to_pandas()
-    got = dict(zip(out["node"], out["component"]))
-    assert got == {1: 1, 2: 1, 7: 7, 4: 4, 5: 4}
+    for thr in (0, 10 ** 6):     # distributed AND small-path
+        out = min_label_components(
+            ray.data.from_arrow(pairs),
+            small_threshold=thr).to_pandas()
+        got = dict(zip(out["node"], out["component"]))
+        assert got == {1: 1, 2: 1, 7: 7, 4: 4, 5: 4}, thr
 
 
 def test_catalog_csv_roundtrip(tmp_path):

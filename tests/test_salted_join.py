@@ -110,3 +110,18 @@ def test_rolling_extrema_duckdb_fuzz_partitions():
         if prev is not None:
             assert got.equals(prev)
         prev = got
+
+
+def test_salted_join_narrow_right_key_type():
+    """Right key of a narrower int type must join on the hot path too
+    (the cast hash_join's tag_right always did)."""
+    left = pa.table({"k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                     "v": pa.array([10, 11, 12, 13, 20], pa.int64())})
+    right = pa.table({"rk": pa.array([1, 2], pa.int32()),
+                      "name": pa.array(["a", "b"])})
+    got = salted_join(ray.data.from_arrow(left),
+                      ray.data.from_arrow(right),
+                      on="k", right_on="rk", hot_threshold=3,
+                      num_partitions=2).to_pandas()
+    assert sorted(got["v"].tolist()) == [10, 11, 12, 13, 20]
+    assert set(got[got["k"] == 1]["name"]) == {"a"}
