@@ -619,7 +619,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q303_components": _min_components_q,
         "q304_salted_join": _salted_join_q,
         "q305_rolling_extrema": _rolling_extrema_q,
+        "q306_provenance_read": _provenance_read_q,
     }
+
+
+def _provenance_read_q(sf_dir: str):
+    """q306: provenance-stamped read (sources/io.py:
+    read_with_provenance) — one Ray task per parquet ROW GROUP with
+    the per-file row offset taken from the footer metadata (no data
+    I/O for the stamps); every row carries (source basename, 0-based
+    in-file row index), the record-level lineage a resumable run's
+    partition manifests audit against.  DuckDB replays exactly via
+    read_parquet(filename=true, file_row_number=true)."""
+    import ray  # noqa: F401  (Dataset machinery)
+
+    from featurebox_ray.sources.io import read_with_provenance
+
+    return read_with_provenance(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"]).select_columns(
+        ["event_id", "_file", "_row"])
 
 
 def _rolling_extrema_q(sf_dir: str):
@@ -8994,6 +9013,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # provenance read: events.parquet is written in event_id order
+        # as one file (verified file_row_number == event_id at every
+        # SF), so the physical stamps the engine derives from footer
+        # row-group offsets must equal (constant basename, event_id)
+        "q306_provenance_read": """
+            SELECT event_id,
+                   'events.parquet' AS _file,
+                   CAST(event_id AS BIGINT) AS _row
+            FROM events
         """,
         # rolling extrema: min/max are SELECTIONS (no arithmetic) of
         # the stored doubles -> ROWS-window replay is bit-exact; the

@@ -281,3 +281,60 @@ def read_evolved(path: str, *, schema: "pa.Schema",
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def read_with_provenance(path: str, *, columns=None,
+                         file_col: str = "_file",
+                         row_col: str = "_row"):
+    """Provenance-stamped parquet read — every row carries its source
+    fragment's basename and its 0-based row index WITHIN that file:
+    the record-level lineage a resumable 100-TB run needs to audit
+    per-partition manifests (which fragment produced which rows) and
+    to re-derive any row's origin after arbitrary downstream shuffles.
+
+    Plan: fragments are discovered driver-side (filesystem metadata
+    only); ONE Ray task per ROW GROUP — the per-file row offset of
+    each group comes from the parquet FOOTER (cumulative
+    ``row_group(i).num_rows``, no data I/O), so stamping is exact and
+    the read parallelizes within big files, not just across files.
+    Column pruning pushes into each row-group read.
+
+    Oracle parity: DuckDB's ``read_parquet(..., filename=true,
+    file_row_number=true)`` produces the identical stamps.  Returns a
+    ``ray.data.Dataset``; raises on an empty directory.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"),
+                                  recursive=True))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"read_with_provenance: no parquet under {path!r}")
+
+    work = []                      # (file, row_group, row_offset)
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        off = 0
+        for g in range(md.num_row_groups):
+            work.append((f, g, off))
+            off += md.row_group(g).num_rows
+
+    @ray.remote
+    def read_group(f: str, g: int, off: int):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq2
+
+        t = _pq2.ParquetFile(f).read_row_group(g, columns=columns)
+        return (t.append_column(file_col, _pa.array(
+                    [_os.path.basename(f)] * t.num_rows, _pa.string()))
+                 .append_column(row_col, _pa.array(
+                    range(off, off + t.num_rows), _pa.int64())))
+
+    return ray.data.from_arrow_refs(
+        [read_group.remote(f, g, off) for f, g, off in work])
