@@ -620,7 +620,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q304_salted_join": _salted_join_q,
         "q305_rolling_extrema": _rolling_extrema_q,
         "q306_provenance_read": _provenance_read_q,
+        "q307_impute_median": _impute_median_q,
     }
+
+
+def _impute_median_q(sf_dir: str):
+    """q307: grouped median imputation (stages/quantile.py:
+    impute_group_median) — the synthetic corpus has zero NULLs, so
+    the query injects them deterministically (event_id % 7 == 0) and
+    fills each from its event_type's exact quantile_disc median (an
+    element selection, q51 convention — bit-exact in SQL).  One
+    group-keyed median exchange + a streaming broadcast-fill pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.quantile import impute_group_median
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        override_num_blocks=8)
+
+    def inject(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        mask = (eid % 7 == 0)
+        v = b["value"].to_numpy(zero_copy_only=False).copy()
+        return pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "value": pa.array(v, pa.float64(), mask=mask)})
+
+    return impute_group_median(
+        ev.map_batches(inject, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_col="event_type", value_col="value",
+        id_col="event_id", num_partitions=8)
 
 
 def _provenance_read_q(sf_dir: str):
@@ -9013,6 +9050,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # median imputation: fill value = exact quantile_disc element
+        # (selection, q51 convention); injected NULLs at event_id%7
+        "q307_impute_median": """
+            WITH e AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 7 = 0 THEN NULL
+                          ELSE value END AS value
+              FROM events),
+            m AS (
+              SELECT event_type,
+                     quantile_disc(value, CAST(0.5 AS DOUBLE)) AS med
+              FROM e
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+                AND isfinite(value)
+              GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.value IS NULL THEN m.med
+                        ELSE e.value END AS value_filled,
+                   CAST(e.value IS NULL AND m.med IS NOT NULL
+                        AS BIGINT) AS was_imputed
+            FROM e LEFT JOIN m ON e.event_type = m.event_type
         """,
         # provenance read: events.parquet is written in event_id order
         # as one file (verified file_row_number == event_id at every

@@ -589,3 +589,99 @@ def global_quantile_element(ds, *, value_col: str, q: float,
         raise ValueError("global_quantile_element: did not converge "
                          f"in {max_passes} passes")
     return {"value": int(lo), "n": int(n), "rank": int(rank)}
+
+
+def impute_group_median(ds, *, group_col: str, value_col: str,
+                        id_col: str, num_partitions: int = 16):
+    """Grouped median imputation — fill NULLs in ``value_col`` with
+    the group's exact ``quantile_disc`` median (an element SELECTION
+    of the stored doubles, the q51 convention, so the fill value
+    replays bit-exactly in SQL), leaving rows whose group has no
+    median (all-NULL/non-finite group, or NULL group key) untouched.
+    The standard feature-prep step between profiling and training.
+
+    Non-finite values are excluded from the median COMPUTATION (NaN
+    orders differently in numpy vs SQL) but pass through unfilled —
+    only genuine NULLs are imputed.  Returns ``(id_col, group_col,
+    value_filled:float64, was_imputed:int64)``.
+
+    Plan: one group-keyed exchange computes the medians
+    (:func:`group_quantiles`); the group-sized median table broadcasts
+    once (``ray.put`` of sorted arrays is unnecessary — ``pc.index_in``
+    against the captured table serves the lookup) and the corpus pass
+    streams.  Bounded by |groups| like every broadcast-dim operator.
+    Reference analog: none (data-prep family next to winsorize/
+    collapse_rare/target encode).
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    from .partition import materialized_block_refs
+
+    src = ds.materialize()
+
+    def finite_only(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks()
+        if not pa.types.is_floating(v.type):
+            v = v.cast(pa.float64())
+        # drop NULL group keys here: index_in would otherwise MATCH
+        # null-group rows against a null entry in the median table and
+        # fill rows the contract says stay untouched
+        keep = pc.fill_null(pc.and_(pc.is_finite(v),
+                                    pc.is_valid(b[group_col])), False)
+        return pa.table({group_col: b[group_col],
+                         value_col: v}).filter(keep)
+
+    med_ds = group_quantiles(
+        src.map_batches(finite_only, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        group_col=group_col, value_col=value_col, qs=[0.5],
+        names=["med"], num_partitions=num_partitions)
+    schema = src.schema()
+    base = getattr(schema, "base_schema", schema)
+    gtype = base.field(group_col).type
+    idtype = base.field(id_col).type
+
+    med_blocks = [b for b in ray.get(materialized_block_refs(med_ds))
+                  if b.num_rows and group_col in b.column_names]
+    if med_blocks:
+        med_tbl = pa.concat_tables(med_blocks,
+                                   promote_options="default")
+        med_tbl = med_tbl.filter(pc.is_valid(med_tbl["med"]))
+    else:
+        med_tbl = pa.table({group_col: pa.array([], gtype),
+                            "med": pa.array([], pa.float64())})
+    g_arr = med_tbl[group_col].combine_chunks()
+    m_arr = med_tbl["med"].to_numpy(zero_copy_only=False)
+    med_ref = ray.put((g_arr, m_arr))
+
+    def fill(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or value_col not in b.column_names:
+            return pa.table({id_col: pa.array([], idtype),
+                             group_col: pa.array([], gtype),
+                             "value_filled": pa.array([], pa.float64()),
+                             "was_imputed": pa.array([], pa.int64())})
+        ga, ma = ray.get(med_ref)
+        v = b[value_col].combine_chunks()
+        if not pa.types.is_floating(v.type):
+            v = v.cast(pa.float64())
+        v = v.cast(pa.float64())
+        is_null = np.asarray(pc.is_null(v))
+        idx = pc.index_in(b[group_col], value_set=ga)
+        has_med = np.asarray(pc.is_valid(idx))
+        pos = np.asarray(pc.fill_null(idx, 0)).astype(np.int64)
+        vals = v.to_numpy(zero_copy_only=False).copy()
+        do = is_null & has_med
+        if len(ma):
+            vals[do] = ma[pos[do]]
+        out_null = is_null & ~do
+        return pa.table({
+            id_col: b[id_col],
+            group_col: b[group_col],
+            "value_filled": pa.array(vals, pa.float64(),
+                                     mask=out_null),
+            "was_imputed": pa.array(do.astype(np.int64))})
+
+    return src.map_batches(fill, batch_format="pyarrow",
+                           zero_copy_batch=True)
