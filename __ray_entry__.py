@@ -621,7 +621,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q305_rolling_extrema": _rolling_extrema_q,
         "q306_provenance_read": _provenance_read_q,
         "q307_impute_median": _impute_median_q,
+        "q308_dialogue_profile": _dialogue_profile_q,
     }
+
+
+def _dialogue_profile_q(sf_dir: str):
+    """q308: per-conversation dialogue-structure profile
+    (stages/transitions.py:dialogue_profile) — turns, same-type runs
+    (role alternations + 1), longest run, distinct types; one keyed
+    exchange, shifted compares + reduceat, all-int; SQL islands
+    (row_number difference) replay exactly."""
+    import ray
+
+    from featurebox_ray.stages.transitions import dialogue_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        override_num_blocks=8)
+    return dialogue_profile(ev, key_col="user_id", ts_col="ts",
+                            order_col="event_id",
+                            type_col="event_type", num_partitions=8)
 
 
 def _impute_median_q(sf_dir: str):
@@ -9050,6 +9070,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # dialogue profile: gaps-and-islands runs, all exact ints
+        "q308_dialogue_profile": """
+            WITH e AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND ts IS NOT NULL AND event_id IS NOT NULL),
+            r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   - row_number() OVER (PARTITION BY user_id,
+                                        event_type
+                                        ORDER BY ts, event_id) AS isl
+              FROM e),
+            runs AS (
+              SELECT user_id, count(*) AS run_len
+              FROM r GROUP BY user_id, event_type, isl),
+            a1 AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
+                     CAST(max(run_len) AS BIGINT) AS max_run
+              FROM runs GROUP BY user_id),
+            a2 AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+                     CAST(count(DISTINCT event_type) AS BIGINT)
+                       AS n_types
+              FROM e GROUP BY user_id)
+            SELECT a2.user_id, n_turns, n_runs, max_run, n_types
+            FROM a2 JOIN a1 USING (user_id)
         """,
         # median imputation: fill value = exact quantile_disc element
         # (selection, q51 convention); injected NULLs at event_id%7

@@ -814,3 +814,98 @@ def session_coactivity(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def dialogue_profile(ds, *, key_col: str, ts_col: str,
+                     order_col: str, type_col: str,
+                     num_partitions: int = 16):
+    """Per-key dialogue-structure profile — the turn-sequence shape
+    features a transcript pipeline wants per conversation: total
+    turns, number of same-type runs (role alternations + 1), the
+    longest same-type run, and the distinct type count.  A
+    two-same-role-turns-in-a-row anomaly shows up as
+    ``max_run > 1``; strict alternation gives ``n_runs == n_turns``.
+
+    All-integer (exact in SQL: islands via ``row_number`` differences,
+    run lengths via ``count(*)`` per island).  Rows with NULL
+    key/ts/order/type drop; ``(ts, order)`` orders each timeline.
+
+    One keyed exchange; the kernel is shifted compares + ``reduceat``
+    — no per-row Python.  Returns ``(key_col, n_turns:int64,
+    n_runs:int64, max_run:int64, n_types:int64)``.
+    Reference analog: none (transcript-feature family next to
+    transition counts / predictability / oscillation)."""
+    if num_partitions < 1:
+        raise ValueError("dialogue_profile: num_partitions >= 1")
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[key_col])
+        for c in (ts_col, order_col, type_col):
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        mask = pc.fill_null(mask, False)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = pa.table({key_col: b[key_col], "__t": ts,
+                      "__o": b[order_col], "__ty": b[type_col]})
+        if not pc.all(mask).as_py():
+            t = t.filter(mask)
+        return t
+
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "n_turns": pa.array([], pa.int64()),
+                      "n_runs": pa.array([], pa.int64()),
+                      "max_run": pa.array([], pa.int64()),
+                      "n_types": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        kc = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tc = pc.dictionary_encode(t["__ty"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        new_key = np.concatenate([[True], kc[1:] != kc[:-1]])
+        kstarts = np.flatnonzero(new_key)
+        n_keys = len(kstarts)
+        n_turns = np.diff(np.append(kstarts, len(kc))).astype(np.int64)
+        # runs: a new run at each key start or type change
+        new_run = new_key | np.concatenate([[True], tc[1:] != tc[:-1]])
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts,
+                                     len(kc))).astype(np.int64)
+        krun = np.cumsum(new_key.astype(np.int64)) - 1
+        n_runs = np.zeros(n_keys, np.int64)
+        np.add.at(n_runs, krun[run_starts], 1)
+        max_run = np.zeros(n_keys, np.int64)
+        np.maximum.at(max_run, krun[run_starts], run_lens)
+        # distinct types per key: unique (key, type) composite codes,
+        # mapped back to run slots vectorized (dictionary codes of a
+        # value-sorted table are NOT necessarily ascending, so go
+        # through an argsort of the per-key codes)
+        width = np.int64(tc.max()) + 1 if len(tc) else np.int64(1)
+        uniq = np.unique(kc * width + tc)
+        ku = uniq // width
+        kcodes = kc[kstarts]
+        order = np.argsort(kcodes, kind="stable")
+        slots = order[np.searchsorted(kcodes[order], ku)]
+        n_types = np.zeros(n_keys, np.int64)
+        np.add.at(n_types, slots, 1)
+        return pa.table({
+            key_col: keys.take(pa.array(kstarts, pa.int64())),
+            "n_turns": pa.array(n_turns),
+            "n_runs": pa.array(n_runs),
+            "max_run": pa.array(max_run),
+            "n_types": pa.array(n_types)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__t", "__o"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
