@@ -622,7 +622,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q306_provenance_read": _provenance_read_q,
         "q307_impute_median": _impute_median_q,
         "q308_dialogue_profile": _dialogue_profile_q,
+        "q309_delta_contributors": _delta_contributors_q,
     }
+
+
+def _delta_contributors_q(sf_dir: str):
+    """q309: metric-delta drill-down (stages/diff.py:
+    delta_contributors) — time span split at the q217 midpoint cut,
+    per event_type exact cent sums before/after, delta, and share of
+    the total delta (one float division of exact ints).  Per-block
+    partials + the shared Arrow combine; no shuffle."""
+    import ray  # noqa: F401
+
+    from featurebox_ray.stages.diff import delta_contributors
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+        override_num_blocks=8)
+    return delta_contributors(ev, ts_col="ts", dim_col="event_type",
+                              value_col="value")
 
 
 def _dialogue_profile_q(sf_dir: str):
@@ -9070,6 +9089,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # delta contributors: midpoint cut (q217 arithmetic), exact
+        # cents per (dim, side), share = one division of exact ints
+        "q309_delta_contributors": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS t, event_type AS d,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                       AS c
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            s AS (SELECT min(t) + (max(t) - min(t)) * 1 // 2 AS cut
+                  FROM e),
+            g AS (
+              SELECT d,
+                     CAST(coalesce(sum(CASE WHEN t <= s.cut THEN c
+                                        END), 0) AS BIGINT)
+                       AS cents_before,
+                     CAST(coalesce(sum(CASE WHEN t > s.cut THEN c
+                                        END), 0) AS BIGINT)
+                       AS cents_after
+              FROM e, s GROUP BY d),
+            tot AS (SELECT sum(cents_after - cents_before) AS td
+                    FROM g)
+            SELECT d AS event_type, cents_before, cents_after,
+                   cents_after - cents_before AS delta,
+                   CASE WHEN tot.td = 0 THEN NULL
+                        ELSE CAST(cents_after - cents_before
+                                  AS DOUBLE) / CAST(tot.td AS DOUBLE)
+                   END AS share
+            FROM g, tot
         """,
         # dialogue profile: gaps-and-islands runs, all exact ints
         "q308_dialogue_profile": """

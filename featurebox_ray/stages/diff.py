@@ -459,3 +459,112 @@ def group_qq_drift(ds, *, group_col: str, side_col: str,
                            sort_keys=[group_col, side_col, value_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def delta_contributors(ds, *, ts_col: str, dim_col: str,
+                       value_col: str, split_num: int = 1,
+                       split_den: int = 2):
+    """Metric-delta drill-down — split the time span at
+    ``min + (max−min)·split_num//split_den`` (the q217 temporal-split
+    convention) and report, per dimension value, the exact cent sums
+    before/after, the delta, and each value's SHARE of the total
+    delta: the "which segment drove the change" question every
+    metrics review asks.
+
+    Exact: cents via the shared ``cents_exact`` quantization; share =
+    ONE float64 division of exact int64 deltas (NULL when the total
+    delta is 0).  Rows with NULL ts/dim drop; NULL values count 0
+    cents (``coalesce`` parity).
+
+    Plan: one prep pass (materialized), a footer-cheap global span
+    reduce, per-block ``(dim, side, cents)`` partials combined with
+    the shared Arrow ``sum_partials`` — dims are low-cardinality, no
+    shuffle.  Returns ``(dim_col, cents_before, cents_after,
+    delta:int64, share:float64)``.
+    Reference analog: none (drift/compare family next to
+    snapshot_diff / category_drift)."""
+    import ray
+
+    from ..functions.segments import cents_exact
+    from .partition import (global_span_cut, materialized_block_refs,
+                            sum_partials)
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    dtype_ = base.field(dim_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[ts_col]),
+                                    pc.is_valid(b[dim_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({"__t": ts, "__d": b[dim_col],
+                         "__c": pa.array(cents_exact(
+                             b[value_col].combine_chunks(),
+                             col=value_col))})
+
+    prepped_refs = materialized_block_refs(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    span = global_span_cut(prepped_refs, col="__t",
+                           num=split_num, den=split_den)
+    empty = pa.table({dim_col: pa.array([], dtype_),
+                      "cents_before": pa.array([], pa.int64()),
+                      "cents_after": pa.array([], pa.int64()),
+                      "delta": pa.array([], pa.int64()),
+                      "share": pa.array([], pa.float64())})
+    if span is None:
+        return empty
+    cut = span[2]
+
+    @ray.remote
+    def partial(blk, cut_):
+        if blk.num_rows == 0 or "__d" not in blk.column_names:
+            return pa.table({"d": pa.array([], dtype_),
+                             "side": pa.array([], pa.int8()),
+                             "cents": pa.array([], pa.int64())})
+        t = blk["__t"].to_numpy(zero_copy_only=False)
+        c = blk["__c"].to_numpy(zero_copy_only=False)
+        gd = pc.dictionary_encode(blk["__d"].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        side = (t > cut_).astype(np.int64)
+        cell = codes * 2 + side
+        ucell, inv = np.unique(cell, return_inverse=True)
+        s = np.zeros(len(ucell), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({
+            "d": gd.dictionary.take(pa.array(ucell // 2, pa.int64())),
+            "side": pa.array((ucell % 2).astype(np.int8)),
+            "cents": pa.array(s)})
+
+    blocks = ray.get([partial.remote(r, cut) for r in prepped_refs])
+    comb = sum_partials(blocks, keys=["d", "side"], vals=["cents"])
+    if comb is None:
+        return empty
+    d_arr = comb["d"].combine_chunks()
+    side = comb["side"].to_numpy(zero_copy_only=False)
+    cents = comb["cents"].to_numpy(zero_copy_only=False)
+    # pivot the two sides per dim (comb is sorted by (d, side))
+    dv = pc.dictionary_encode(d_arr)
+    codes = dv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_d = len(dv.dictionary)
+    before = np.zeros(n_d, np.int64)
+    after = np.zeros(n_d, np.int64)
+    np.add.at(before, codes[side == 0], cents[side == 0])
+    np.add.at(after, codes[side == 1], cents[side == 1])
+    delta = after - before
+    td = int(delta.sum())
+    share = (delta.astype(np.float64) / np.float64(td)
+             if td != 0 else np.full(n_d, np.nan))
+    out = pa.table({
+        dim_col: dv.dictionary,
+        "cents_before": pa.array(before),
+        "cents_after": pa.array(after),
+        "delta": pa.array(delta),
+        "share": pa.array(share, pa.float64(),
+                          mask=np.full(n_d, td == 0))})
+    return out.sort_by([(dim_col, "ascending")])
