@@ -623,7 +623,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q307_impute_median": _impute_median_q,
         "q308_dialogue_profile": _dialogue_profile_q,
         "q309_delta_contributors": _delta_contributors_q,
+        "q310_salted_running_total": _salted_running_total_q,
     }
+
+
+def _salted_running_total_q(sf_dir: str):
+    """q310: mega-key-safe running total (stages/window.py:
+    salted_running_total) — every key's timeline is range-split into
+    8 time buckets that land in separate exchange partitions; bucket-
+    local cumsums plus exact per-(key,bucket) offset totals (per-block
+    partials, driver combine, broadcast) reproduce the plain windowed
+    cumulative sum bit-exactly.  Values are cents (q96 convention)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.window import salted_running_total
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+        override_num_blocks=8)
+
+    def cents(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from featurebox_ray.functions.segments import cents_exact
+
+        return pa.table({
+            "event_id": b["event_id"], "ts": b["ts"],
+            "user_id": b["user_id"],
+            "c": pa.array(cents_exact(b["value"].combine_chunks()))})
+
+    return salted_running_total(
+        ev.map_batches(cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+        int_value_col="c", n_buckets=8, num_partitions=8)
 
 
 def _delta_contributors_q(sf_dir: str):
@@ -9089,6 +9125,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # salted running total: identical to the plain window (the
+        # salting only changes ROUTING); cents exact, ts as int64 us
+        "q310_salted_running_total": """
+            SELECT user_id, epoch_us(ts) AS ts, event_id,
+                   CAST(sum(CAST(round(coalesce(value, 0) * 100)
+                                 AS BIGINT)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS running_sum
+            FROM events
+            WHERE ts IS NOT NULL
         """,
         # delta contributors: midpoint cut (q217 arithmetic), exact
         # cents per (dim, side), share = one division of exact ints

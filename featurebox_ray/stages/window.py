@@ -1703,3 +1703,161 @@ def adaptive_sessionize(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, ts_col, order_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def salted_running_total(ds, *, key_col: str, ts_col: str,
+                         order_col: str, int_value_col: str,
+                         out_col: str = "running_sum",
+                         n_buckets: int = 8,
+                         num_partitions: int = 16):
+    """Mega-key-safe running total — the salted split the north-rule
+    asks for: a single hot key's timeline is RANGE-SPLIT into
+    ``n_buckets`` time buckets, each bucket's rows land in their own
+    exchange partition (composite ``key|bucket`` shuffle key), the
+    kernel computes the bucket-local cumulative sum, and each bucket
+    adds the exact int64 total of its key's EARLIER buckets (computed
+    from per-block partials, combined driver-side over ≤ keys×buckets
+    rows, broadcast once).  No task ever holds the whole hot key, yet
+    the result is identical to the plain windowed
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, order ROWS UNBOUNDED
+    PRECEDING)`` — same SQL oracle as ``add_running_totals``.
+
+    Contract: ``int_value_col`` is int64 (pre-scaled cents, the q96
+    convention; NULLs count 0); NULL ``ts`` rows DROP (their bucket is
+    undefined — mirror with ``WHERE ts IS NOT NULL``); NULL keys form
+    one group.  Bucket arithmetic is exact int:
+    ``(t − min) · B // (span + 1)`` over the global span (the q217
+    reduce), with an overflow guard.
+
+    Returns ``(key_col, ts int64, order_col, out_col:int64)``.
+    Reference analog: the skew answer for §2.12's mega-conversation
+    contract (partition.py docstring), now an operator."""
+    import ray
+
+    from .partition import (global_span_cut, materialized_block_refs,
+                            partitioned_map, sum_partials)
+
+    if n_buckets < 1:
+        raise ValueError("salted_running_total: n_buckets >= 1")
+    B = int(n_buckets)
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+    order_type = base.field(order_col).type
+    NULL_KEY = "\x00null"
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_valid(b[ts_col]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        k = pc.fill_null(
+            b[key_col].combine_chunks().cast(pa.string()), NULL_KEY)
+        v = pc.fill_null(
+            b[int_value_col].combine_chunks().cast(pa.int64()), 0)
+        return pa.table({"__k": k, "__t": ts,
+                         "__o": b[order_col], "__v": v,
+                         "__key_orig": b[key_col]})
+
+    prepped_refs = materialized_block_refs(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    span = global_span_cut(prepped_refs, col="__t", num=1, den=2)
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "ts": pa.array([], pa.int64()),
+                      order_col: pa.array([], order_type),
+                      out_col: pa.array([], pa.int64())})
+    if span is None:
+        return ray.data.from_arrow(empty)
+    mn, mx, _ = span
+    width = mx - mn + 1
+    if width * B >= 2 ** 62:
+        raise ValueError("salted_running_total: timestamp span × "
+                         "n_buckets would overflow — reduce n_buckets")
+
+    def bucket_of(t_np: np.ndarray) -> np.ndarray:
+        return ((t_np - mn) * B) // width
+
+    # per-(key, bucket) exact totals from per-block partials
+    @ray.remote
+    def partial(blk):
+        if blk.num_rows == 0 or "__k" not in blk.column_names:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64()),
+                             "tot": pa.array([], pa.int64())})
+        t = blk["__t"].to_numpy(zero_copy_only=False)
+        v = blk["__v"].to_numpy(zero_copy_only=False)
+        bk = bucket_of(t)
+        gd = pc.dictionary_encode(blk["__k"].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cell = codes * B + bk
+        ucell, inv = np.unique(cell, return_inverse=True)
+        s = np.zeros(len(ucell), np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({
+            "k": gd.dictionary.take(
+                pa.array(ucell // B, pa.int64())).cast(pa.string()),
+            "b": pa.array(ucell % B),
+            "tot": pa.array(s)})
+
+    comb = sum_partials(
+        ray.get([partial.remote(r) for r in prepped_refs]),
+        keys=["k", "b"], vals=["tot"])
+    # exclusive per-key prefix over bucket order (comb sorted (k, b))
+    kk = comb["k"].to_numpy(zero_copy_only=False)
+    bb = comb["b"].to_numpy(zero_copy_only=False)
+    tt = comb["tot"].to_numpy(zero_copy_only=False)
+    new_k = np.concatenate([[True], kk[1:] != kk[:-1]])
+    rid = np.cumsum(new_k.astype(np.int64)) - 1
+    seg_first = np.flatnonzero(new_k)[rid]      # per-row segment head
+    cs = np.cumsum(tt)
+    # exclusive prefix within the key segment = earlier buckets' total
+    offsets = (cs - tt) - (cs[seg_first] - tt[seg_first])
+    # composite lookup key "k|b"
+    comp_keys = pa.array([f"{k}|{b}" for k, b in zip(kk, bb)],
+                         pa.string())
+    off_ref = ray.put((comp_keys, offsets.astype(np.int64)))
+
+    def add_kb(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "__k" not in b.column_names:
+            return b.append_column("__kb", pa.array([], pa.string()))
+        t = b["__t"].to_numpy(zero_copy_only=False)
+        bk = bucket_of(t)
+        kb = pc.binary_join_element_wise(
+            b["__k"].combine_chunks(),
+            pa.array(bk.astype("U"), pa.string()), "|")
+        return b.append_column("__kb", kb)
+
+    salted = ray.data.from_arrow_refs(list(prepped_refs)).map_batches(
+        add_kb, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__kb" not in t.column_names:
+            return empty
+        ck, off = ray.get(off_ref)
+        codes, _ = _key_codes_dic(t["__kb"])
+        v = t["__v"].to_numpy(zero_copy_only=False)
+        seg_start, _, _ = seg.segment_ids(codes)
+        cs_l = np.cumsum(v)
+        local = cs_l - np.where(seg_start > 0,
+                                cs_l[np.maximum(seg_start - 1, 0)], 0)
+        pos = pc.index_in(t["__kb"], value_set=ck).to_numpy(
+            zero_copy_only=False)
+        if np.isnan(pos.astype(np.float64)).any():
+            raise ValueError("salted_running_total: bucket missing "
+                             "from the offsets table")
+        add = off[pos.astype(np.int64)]
+        return pa.table({
+            key_col: t["__key_orig"].combine_chunks().cast(key_type),
+            "ts": t["__t"],
+            order_col: t["__o"],
+            out_col: pa.array(local + add)})
+
+    return partitioned_map(salted, kernel, key="__kb",
+                           sort_keys=["__kb", "__t", "__o"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -338,3 +338,44 @@ def test_delta_contributors_duckdb_fuzz():
                               dim_col="d", value_col="v").to_pandas()
     assert got2["delta"].tolist() == [0]
     assert got2["share"].isna().all()
+
+
+def test_salted_running_total_mega_key_duckdb():
+    """salted_running_total vs the plain SQL window under a 60%
+    mega-key, NULL keys, negative values, at two bucket counts —
+    the salting must never change the answer; n_buckets=1 is the
+    degenerate single-bucket identity."""
+    from featurebox_ray.stages.window import salted_running_total
+
+    rng = np.random.default_rng(310)
+    n = 5000
+    k = rng.integers(0, 20, n).astype(object)
+    k[: n * 3 // 5] = 7
+    k[::701] = None
+    t = pa.table({
+        "k": pa.array(list(k), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10 ** 6, n), pa.int64()),
+        "o": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(-500, 500, n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql("""
+        SELECT k, ts, o,
+               CAST(sum(coalesce(v, 0)) OVER (PARTITION BY k
+                    ORDER BY ts, o ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS running_sum
+        FROM t ORDER BY o
+    """).df().reset_index(drop=True)
+    prev = None
+    for nb in (8, 1):
+        got = (salted_running_total(
+            ray.data.from_arrow(t).repartition(6), key_col="k",
+            ts_col="ts", order_col="o", int_value_col="v",
+            n_buckets=nb, num_partitions=8)
+            .to_pandas().sort_values("o").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype(exp.dtypes.to_dict()), exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
