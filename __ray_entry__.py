@@ -624,7 +624,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q308_dialogue_profile": _dialogue_profile_q,
         "q309_delta_contributors": _delta_contributors_q,
         "q310_salted_running_total": _salted_running_total_q,
+        "q311_salted_time_window": _salted_time_window_q,
     }
+
+
+def _salted_time_window_q(sf_dir: str):
+    """q311: mega-key-safe trailing time-window sum (stages/window.py:
+    salted_time_window_sum) — 10-minute RANGE window over cents,
+    timeline range-split into 8 buckets with halo replication of
+    window-reach rows; per-bucket local exact sums equal the plain
+    RANGE window bit-exactly."""
+    import pyarrow as pa
+    import ray
+
+    from featurebox_ray.stages.window import salted_time_window_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+        override_num_blocks=8)
+
+    def cents(b: pa.Table) -> pa.Table:
+        from featurebox_ray.functions.segments import cents_exact
+
+        return pa.table({
+            "event_id": b["event_id"], "ts": b["ts"],
+            "user_id": b["user_id"],
+            "c": pa.array(cents_exact(b["value"].combine_chunks()))})
+
+    return salted_time_window_sum(
+        ev.map_batches(cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+        int_value_col="c", window=600_000_000, n_buckets=8,
+        num_partitions=8)
 
 
 def _salted_running_total_q(sf_dir: str):
@@ -9125,6 +9158,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # salted time window: identical to the plain RANGE window
+        # (halo replication only changes routing); cents exact
+        "q311_salted_time_window": """
+            SELECT user_id, epoch_us(ts) AS ts, event_id,
+                   CAST(sum(CAST(round(coalesce(value, 0) * 100)
+                                 AS BIGINT)) OVER
+                     (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 600000000 PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS w_sum
+            FROM events
+            WHERE ts IS NOT NULL
         """,
         # salted running total: identical to the plain window (the
         # salting only changes ROUTING); cents exact, ts as int64 us

@@ -1861,3 +1861,163 @@ def salted_running_total(ds, *, key_col: str, ts_col: str,
                            sort_keys=["__kb", "__t", "__o"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def salted_time_window_sum(ds, *, key_col: str, ts_col: str,
+                           order_col: str, int_value_col: str,
+                           window: int,
+                           out_col: str = "w_sum",
+                           n_buckets: int = 8,
+                           max_replication: int = 4,
+                           num_partitions: int = 16):
+    """Mega-key-safe trailing TIME-window sum — SQL ``SUM(v) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN window PRECEDING AND
+    CURRENT ROW)`` (RANGE semantics: ALL ts-peers are in frame), with
+    the hot key's timeline range-split into ``n_buckets`` time
+    buckets.  Rows near a bucket's start are REPLICATED into it from
+    earlier buckets as non-emitting context (the halo), so each
+    bucket computes its rows' windows locally and exactly — the
+    bucketed_interval_join clamping idea applied to windowed state.
+
+    Replication factor is ``ceil(window / bucket_width)`` extra
+    copies per row at most, guarded by ``max_replication`` (raises
+    with the fix: fewer buckets or a smaller window).  Values int64
+    (cents convention, NULL→0); NULL ts rows drop (mirror in SQL);
+    NULL keys form one group.  Returns ``(key_col, ts:int64,
+    order_col, out_col:int64)``.
+    Reference analog: the salted sibling of q09's time window."""
+    import ray
+
+    from .partition import (global_span_cut, materialized_block_refs,
+                            partitioned_map)
+
+    if n_buckets < 1:
+        raise ValueError("salted_time_window_sum: n_buckets >= 1")
+    if window < 0:
+        raise ValueError("salted_time_window_sum: window >= 0")
+    B = int(n_buckets)
+    W = int(window)
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+    order_type = base.field(order_col).type
+    NULL_KEY = "\x00null"
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_valid(b[ts_col]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        k = pc.fill_null(
+            b[key_col].combine_chunks().cast(pa.string()), NULL_KEY)
+        v = pc.fill_null(
+            b[int_value_col].combine_chunks().cast(pa.int64()), 0)
+        return pa.table({"__k": k, "__t": ts,
+                         "__o": b[order_col], "__v": v,
+                         "__key_orig": b[key_col]})
+
+    prepped_refs = materialized_block_refs(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    span = global_span_cut(prepped_refs, col="__t", num=1, den=2)
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "ts": pa.array([], pa.int64()),
+                      order_col: pa.array([], order_type),
+                      out_col: pa.array([], pa.int64())})
+    if span is None:
+        return ray.data.from_arrow(empty)
+    mn, mx, _ = span
+    width = (mx - mn) // B + 1          # ceil-ish: buckets cover span
+    reach = -(-W // width)              # buckets a window can cross
+    if reach > max_replication:
+        raise ValueError(
+            f"salted_time_window_sum: window spans {reach} buckets "
+            f"> max_replication ({max_replication}) — use fewer "
+            "buckets or a smaller window")
+
+    def expand(b: pa.Table) -> pa.Table:
+        # each row goes to its own bucket (emit=1) plus, when its
+        # window reach crosses boundaries, to later buckets as
+        # context (emit=0)
+        if b.num_rows == 0 or "__k" not in b.column_names:
+            return pa.table({"__kb": pa.array([], pa.string()),
+                             "__k": pa.array([], pa.string()),
+                             "__t": pa.array([], pa.int64()),
+                             "__o": pa.array([], order_type),
+                             "__v": pa.array([], pa.int64()),
+                             "__key_orig": pa.array([], key_type),
+                             "__emit": pa.array([], pa.int8())})
+        t = b["__t"].to_numpy(zero_copy_only=False)
+        own = (t - mn) // width
+        parts = [(own, np.ones(len(t), np.int8),
+                  np.arange(len(t)))]
+        for d in range(1, reach + 1):
+            tgt = own + d
+            # context is needed in bucket tgt iff this row's ts is
+            # within W of that bucket's start
+            need = (tgt < B) & (mn + tgt * width - t <= W)
+            idx = np.flatnonzero(need)
+            if len(idx):
+                parts.append((tgt[idx],
+                              np.zeros(len(idx), np.int8), idx))
+        bks = np.concatenate([p[0] for p in parts])
+        emits = np.concatenate([p[1] for p in parts])
+        rows = np.concatenate([p[2] for p in parts])
+        sel = b.take(pa.array(rows, pa.int64()))
+        kb = pc.binary_join_element_wise(
+            sel["__k"].combine_chunks(),
+            pa.array(bks.astype("U"), pa.string()), "|")
+        return pa.table({"__kb": kb,
+                         "__k": sel["__k"],
+                         "__t": sel["__t"],
+                         "__o": sel["__o"],
+                         "__v": sel["__v"],
+                         "__key_orig": sel["__key_orig"],
+                         "__emit": pa.array(emits)})
+
+    salted = ray.data.from_arrow_refs(list(prepped_refs)).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__kb" not in t.column_names:
+            return empty
+        codes, _ = _key_codes_dic(t["__kb"])
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        v = t["__v"].to_numpy(zero_copy_only=False)
+        emit = t["__emit"].to_numpy(zero_copy_only=False)
+        new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+        rid = np.cumsum(new_run.astype(np.int64)) - 1
+        # ts is sorted only WITHIN each kb-run: shift each run by a
+        # stride K wider than (span + W) so the concatenation is
+        # globally sorted and one searchsorted serves every run
+        # (frame = same-run rows with ts' in [t-W, t]; RANGE
+        # semantics include ALL ts-peers, even later in sort order)
+        tnorm = ts - mn
+        K = np.int64(B) * np.int64(width) + np.int64(W) + 2
+        n_runs = int(rid[-1]) + 1 if len(rid) else 0
+        if n_runs and np.int64(n_runs) * K >= np.int64(2 ** 62):
+            raise ValueError(
+                "salted_time_window_sum: run-offset stride would "
+                "overflow — raise num_partitions (fewer runs per "
+                "gather task)")
+        ts_adj = tnorm + rid * K
+        cs = np.concatenate([[0], np.cumsum(v)])
+        lo = np.searchsorted(ts_adj, ts_adj - W, side="left")
+        hi = np.searchsorted(ts_adj, ts_adj, side="right")
+        sums = cs[hi] - cs[lo]
+        keep = emit == 1
+        return pa.table({
+            key_col: t["__key_orig"].combine_chunks().cast(
+                key_type).filter(pa.array(keep)),
+            "ts": pa.array(ts[keep]),
+            order_col: t["__o"].combine_chunks().filter(
+                pa.array(keep)),
+            out_col: pa.array(sums[keep])})
+
+    return partitioned_map(salted, kernel, key="__kb",
+                           sort_keys=["__kb", "__t", "__o"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

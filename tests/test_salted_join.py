@@ -379,3 +379,43 @@ def test_salted_running_total_mega_key_duckdb():
         if prev is not None:
             assert got.equals(prev)
         prev = got
+
+
+def test_salted_time_window_sum_mega_key_duckdb():
+    """salted_time_window_sum vs the plain RANGE window: 60% mega-key,
+    NULL keys/ts, ts TIES (RANGE includes all peers), a window WIDER
+    than one bucket (reach > 1 halo replication), and the
+    single-bucket identity."""
+    from featurebox_ray.stages.window import salted_time_window_sum
+
+    rng = np.random.default_rng(311)
+    n = 4000
+    k = rng.integers(0, 12, n).astype(object)
+    k[: n * 3 // 5] = 3
+    k[::613] = None
+    ts = rng.integers(0, 5000, n).astype(object)   # heavy ts ties
+    ts[::499] = None
+    t = pa.table({
+        "k": pa.array(list(k), pa.int64()),
+        "ts": pa.array(list(ts), pa.int64()),
+        "o": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(-300, 300, n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    for W, nb in ((200, 8), (1400, 4), (200, 1)):
+        exp = con.sql(f"""
+            SELECT k, ts, o,
+                   CAST(sum(coalesce(v, 0)) OVER (PARTITION BY k
+                        ORDER BY ts RANGE BETWEEN {W} PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS w_sum
+            FROM t WHERE ts IS NOT NULL ORDER BY o
+        """).df().reset_index(drop=True)
+        got = (salted_time_window_sum(
+            ray.data.from_arrow(t).repartition(6), key_col="k",
+            ts_col="ts", order_col="o", int_value_col="v",
+            window=W, n_buckets=nb, max_replication=4,
+            num_partitions=8)
+            .to_pandas().sort_values("o").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype(exp.dtypes.to_dict()), exp), (W, nb)
