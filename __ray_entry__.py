@@ -625,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q309_delta_contributors": _delta_contributors_q,
         "q310_salted_running_total": _salted_running_total_q,
         "q311_salted_time_window": _salted_time_window_q,
+        "q312_finalized_windows": eq.finalized_tumbling_stats,
     }
 
 
@@ -9158,6 +9159,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # finalized tumbling: q52 aggregate + watermark HAVING cut
+        "q312_finalized_windows": """
+            SELECT user_id,
+                   (epoch_us(ts) // 21600000000) * 21600000000
+                     AS w_start,
+                   count(*) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS id_sum,
+                   round(min(value), 6) AS v_min,
+                   round(max(value), 6) AS v_max
+            FROM events
+            GROUP BY user_id, (epoch_us(ts) // 21600000000)
+            HAVING (epoch_us(ts) // 21600000000) * 21600000000
+                   + 21600000000
+                   <= (SELECT max(epoch_us(ts)) FROM events)
+                      - 86400000000
         """,
         # salted time window: identical to the plain RANGE window
         # (halo replication only changes routing); cents exact

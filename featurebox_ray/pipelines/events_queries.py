@@ -306,6 +306,23 @@ def tumbling_stats(sf_dir: str, width_s: float = 6 * 3600.0):
                    ["user_id", "w_start", "n_events", "id_sum"])
 
 
+def finalized_tumbling_stats(sf_dir: str, width_s: float = 6 * 3600.0,
+                             watermark_s: float = 24 * 3600.0):
+    """q312: watermark-finalized tumbling windows — the q52 aggregate
+    emitted only for windows closed by max_ts - watermark (still-open
+    windows held back; re-runs never re-emit a mutable window)."""
+    from ..stages.window import finalized_tumbling
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = finalized_tumbling(ev, key_col="user_id", ts_col="ts",
+                             value_col="value", id_col="event_id",
+                             width_s=width_s, watermark_s=watermark_s)
+    return _finish(out, ["user_id", "w_start", "n_events", "id_sum",
+                         "v_min", "v_max"],
+                   ["v_min", "v_max"],
+                   ["user_id", "w_start", "n_events", "id_sum"])
+
+
 def asof_next_event(sf_dir: str):
     """Forward as-of: EARLIEST 'error' value at-or-after each event per
     user (next-event lookup; DuckDB ASOF r.ts >= l.ts semantics)."""

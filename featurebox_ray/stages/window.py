@@ -2021,3 +2021,59 @@ def salted_time_window_sum(ds, *, key_col: str, ts_col: str,
                            sort_keys=["__kb", "__t", "__o"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def finalized_tumbling(ds, *, key_col: str, ts_col: str,
+                       value_col: str, id_col: str,
+                       width_s: float, watermark_s: float,
+                       num_partitions: int = 16):
+    """Watermark-finalized tumbling aggregate — the batch shape of a
+    streaming windowed sink: tumbling ``(key, window)`` aggregates
+    (:func:`tumbling_window_stats`) are emitted ONLY for windows the
+    watermark has closed (``w_start + width ≤ max_ts − watermark``);
+    still-open windows are held back, so a periodic re-run never
+    re-emits a window whose inputs could still change (the q275
+    lateness audit measures whether the chosen watermark bound holds).
+
+    The close line derives from the GLOBAL max event ts via the span
+    reduce (footer-cheap, no extra pass over data).  Exact-int
+    aggregates, so SQL replays with the same HAVING cut.
+    Returns the q52 columns filtered to closed windows.
+    Reference analog: none (streaming-semantics family with
+    watermark_lateness / hopping / tumbling)."""
+    from .partition import global_span_cut, materialized_block_refs
+
+    width_us = int(round(width_s * 1_000_000))
+    wm_us = int(round(watermark_s * 1_000_000))
+    if width_us <= 0 or wm_us < 0:
+        raise ValueError("finalized_tumbling: width_s > 0, "
+                         "watermark_s >= 0")
+
+    def ts_only(b: pa.Table) -> pa.Table:
+        t = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        return pa.table({"__t": t}).filter(
+            pc.is_valid(t))
+
+    span = global_span_cut(
+        materialized_block_refs(ds.map_batches(
+            ts_only, batch_format="pyarrow", zero_copy_batch=True)),
+        col="__t", num=1, den=2)
+    agg = tumbling_window_stats(ds, key_col=key_col, ts_col=ts_col,
+                                value_col=value_col, id_col=id_col,
+                                width_s=width_s,
+                                num_partitions=num_partitions)
+    if span is None:
+        return agg            # empty input: nothing to filter
+    close_line = span[1] - wm_us      # max_ts − watermark
+
+    def closed_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "w_start" not in b.column_names:
+            return b
+        w = b["w_start"].combine_chunks().cast(pa.int64())
+        keep = pc.less_equal(pc.add(w, width_us), close_line)
+        return b.filter(pc.fill_null(keep, False))
+
+    return agg.map_batches(closed_only, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -419,3 +419,44 @@ def test_salted_time_window_sum_mega_key_duckdb():
             .to_pandas().sort_values("o").reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got.astype(exp.dtypes.to_dict()), exp), (W, nb)
+
+
+def test_finalized_tumbling_holds_back_open_windows():
+    """finalized_tumbling == tumbling filtered to closed windows; the
+    newest window is always held back (its inputs can still change),
+    and watermark_s=0 closes everything except windows overlapping
+    max_ts."""
+    from featurebox_ray.stages.window import (finalized_tumbling,
+                                              tumbling_window_stats)
+
+    rng = np.random.default_rng(312)
+    n = 1500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10 ** 9, n), pa.int64()),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.normal(size=n)),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    width_s, wm_s = 50.0, 100.0
+    allw = (tumbling_window_stats(ray.data.from_arrow(t), key_col="k",
+                                  ts_col="ts", value_col="v",
+                                  id_col="id", width_s=width_s)
+            .to_pandas())
+    fin = (finalized_tumbling(ds, key_col="k", ts_col="ts",
+                              value_col="v", id_col="id",
+                              width_s=width_s, watermark_s=wm_s)
+           .to_pandas())
+    close = int(t["ts"].to_pandas().max()) - int(wm_s * 1e6)
+    keep = allw[allw["w_start"] + int(width_s * 1e6) <= close]
+    a = keep.sort_values(["k", "w_start"]).reset_index(drop=True)
+    b = fin.sort_values(["k", "w_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(fin) < len(allw)            # something held back
+    # max window never closed even at watermark 0
+    fin0 = (finalized_tumbling(ds, key_col="k", ts_col="ts",
+                               value_col="v", id_col="id",
+                               width_s=width_s, watermark_s=0.0)
+            .to_pandas())
+    assert fin0["w_start"].max() + int(width_s * 1e6) <= \
+        int(t["ts"].to_pandas().max())
