@@ -317,13 +317,23 @@ def read_with_provenance(path: str, *, columns=None,
     if not files:
         raise ValueError(f"read_with_provenance: no parquet under {path!r}")
 
-    work = []                      # (file, row_group, row_offset)
-    for f in files:
+    # footer scans are independent — run them in a thread pool so a
+    # many-fragment layout doesn't serialize startup on the driver
+    # (footer reads release the GIL in Arrow's IO layer)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _footer(f):
         md = _pq.ParquetFile(f).metadata
-        off = 0
+        out, off = [], 0
         for g in range(md.num_row_groups):
-            work.append((f, g, off))
+            out.append((f, g, off))
             off += md.row_group(g).num_rows
+        return out
+
+    work = []                      # (file, row_group, row_offset)
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+        for triples in ex.map(_footer, files):
+            work.extend(triples)
 
     @ray.remote
     def read_group(f: str, g: int, off: int):

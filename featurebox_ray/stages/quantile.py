@@ -663,10 +663,7 @@ def impute_group_median(ds, *, group_col: str, value_col: str,
                              "value_filled": pa.array([], pa.float64()),
                              "was_imputed": pa.array([], pa.int64())})
         ga, ma = ray.get(med_ref)
-        v = b[value_col].combine_chunks()
-        if not pa.types.is_floating(v.type):
-            v = v.cast(pa.float64())
-        v = v.cast(pa.float64())
+        v = b[value_col].combine_chunks().cast(pa.float64())
         is_null = np.asarray(pc.is_null(v))
         idx = pc.index_in(b[group_col], value_set=ga)
         has_med = np.asarray(pc.is_valid(idx))

@@ -1705,6 +1705,48 @@ def adaptive_sessionize(ds, *, key_col: str, ts_col: str,
                            strategy="tasks")
 
 
+_SALTED_NULL_KEY = "\x00null"
+
+
+def _salted_prep(ds, *, key_col: str, ts_col: str, order_col: str,
+                 int_value_col: str):
+    """Shared scaffolding of the salted windowed operators: drop NULL
+    ts rows, cast ts to int64, string-cast keys (NULLs → the sentinel
+    so they form ONE group), coalesce values to int64; materialize
+    and return ``(prepped_refs, span, key_type, order_type)`` with
+    ``span = global_span_cut`` over ``__t`` (None when empty).  Keeping
+    this in one place is the contract — a null/ts/key-handling fix
+    here serves every salted operator."""
+    from .partition import global_span_cut, materialized_block_refs
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+    order_type = base.field(order_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_valid(b[ts_col]), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        k = pc.fill_null(
+            b[key_col].combine_chunks().cast(pa.string()),
+            _SALTED_NULL_KEY)
+        v = pc.fill_null(
+            b[int_value_col].combine_chunks().cast(pa.int64()), 0)
+        return pa.table({"__k": k, "__t": ts,
+                         "__o": b[order_col], "__v": v,
+                         "__key_orig": b[key_col]})
+
+    refs = materialized_block_refs(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    span = global_span_cut(refs, col="__t", num=1, den=2)
+    return refs, span, key_type, order_type
+
+
 def salted_running_total(ds, *, key_col: str, ts_col: str,
                          order_col: str, int_value_col: str,
                          out_col: str = "running_sum",
@@ -1734,38 +1776,15 @@ def salted_running_total(ds, *, key_col: str, ts_col: str,
     contract (partition.py docstring), now an operator."""
     import ray
 
-    from .partition import (global_span_cut, materialized_block_refs,
-                            partitioned_map, sum_partials)
+    from .partition import partitioned_map, sum_partials
 
     if n_buckets < 1:
         raise ValueError("salted_running_total: n_buckets >= 1")
     B = int(n_buckets)
 
-    schema = ds.schema()
-    base = getattr(schema, "base_schema", schema)
-    key_type = base.field(key_col).type
-    order_type = base.field(order_col).type
-    NULL_KEY = "\x00null"
-
-    def prep(b: pa.Table) -> pa.Table:
-        keep = pc.fill_null(pc.is_valid(b[ts_col]), False)
-        if not pc.all(keep).as_py():
-            b = b.filter(keep)
-        ts = b[ts_col].combine_chunks()
-        if pa.types.is_timestamp(ts.type):
-            ts = ts.cast(pa.int64())
-        k = pc.fill_null(
-            b[key_col].combine_chunks().cast(pa.string()), NULL_KEY)
-        v = pc.fill_null(
-            b[int_value_col].combine_chunks().cast(pa.int64()), 0)
-        return pa.table({"__k": k, "__t": ts,
-                         "__o": b[order_col], "__v": v,
-                         "__key_orig": b[key_col]})
-
-    prepped_refs = materialized_block_refs(
-        ds.map_batches(prep, batch_format="pyarrow",
-                       zero_copy_batch=True))
-    span = global_span_cut(prepped_refs, col="__t", num=1, den=2)
+    prepped_refs, span, key_type, order_type = _salted_prep(
+        ds, key_col=key_col, ts_col=ts_col, order_col=order_col,
+        int_value_col=int_value_col)
     empty = pa.table({key_col: pa.array([], key_type),
                       "ts": pa.array([], pa.int64()),
                       order_col: pa.array([], order_type),
@@ -1817,9 +1836,11 @@ def salted_running_total(ds, *, key_col: str, ts_col: str,
     cs = np.cumsum(tt)
     # exclusive prefix within the key segment = earlier buckets' total
     offsets = (cs - tt) - (cs[seg_first] - tt[seg_first])
-    # composite lookup key "k|b"
-    comp_keys = pa.array([f"{k}|{b}" for k, b in zip(kk, bb)],
-                         pa.string())
+    # composite lookup key "k|b" — same vectorized construction as
+    # add_kb so the two forms can never drift
+    comp_keys = pc.binary_join_element_wise(
+        comb["k"].combine_chunks().cast(pa.string()),
+        pa.array(bb.astype("U"), pa.string()), "|")
     off_ref = ray.put((comp_keys, offsets.astype(np.int64)))
 
     def add_kb(b: pa.Table) -> pa.Table:
@@ -1888,8 +1909,7 @@ def salted_time_window_sum(ds, *, key_col: str, ts_col: str,
     Reference analog: the salted sibling of q09's time window."""
     import ray
 
-    from .partition import (global_span_cut, materialized_block_refs,
-                            partitioned_map)
+    from .partition import partitioned_map
 
     if n_buckets < 1:
         raise ValueError("salted_time_window_sum: n_buckets >= 1")
@@ -1898,31 +1918,9 @@ def salted_time_window_sum(ds, *, key_col: str, ts_col: str,
     B = int(n_buckets)
     W = int(window)
 
-    schema = ds.schema()
-    base = getattr(schema, "base_schema", schema)
-    key_type = base.field(key_col).type
-    order_type = base.field(order_col).type
-    NULL_KEY = "\x00null"
-
-    def prep(b: pa.Table) -> pa.Table:
-        keep = pc.fill_null(pc.is_valid(b[ts_col]), False)
-        if not pc.all(keep).as_py():
-            b = b.filter(keep)
-        ts = b[ts_col].combine_chunks()
-        if pa.types.is_timestamp(ts.type):
-            ts = ts.cast(pa.int64())
-        k = pc.fill_null(
-            b[key_col].combine_chunks().cast(pa.string()), NULL_KEY)
-        v = pc.fill_null(
-            b[int_value_col].combine_chunks().cast(pa.int64()), 0)
-        return pa.table({"__k": k, "__t": ts,
-                         "__o": b[order_col], "__v": v,
-                         "__key_orig": b[key_col]})
-
-    prepped_refs = materialized_block_refs(
-        ds.map_batches(prep, batch_format="pyarrow",
-                       zero_copy_batch=True))
-    span = global_span_cut(prepped_refs, col="__t", num=1, den=2)
+    prepped_refs, span, key_type, order_type = _salted_prep(
+        ds, key_col=key_col, ts_col=ts_col, order_col=order_col,
+        int_value_col=int_value_col)
     empty = pa.table({key_col: pa.array([], key_type),
                       "ts": pa.array([], pa.int64()),
                       order_col: pa.array([], order_type),
@@ -1931,7 +1929,10 @@ def salted_time_window_sum(ds, *, key_col: str, ts_col: str,
         return ray.data.from_arrow(empty)
     mn, mx, _ = span
     width = (mx - mn) // B + 1          # ceil-ish: buckets cover span
-    reach = -(-W // width)              # buckets a window can cross
+    # actual replication is inherently bounded at B-1 copies (the
+    # expand loop enforces tgt < B) — clamp before the guard so a
+    # window wider than the whole span is accepted, not rejected
+    reach = min(-(-W // width), B - 1)
     if reach > max_replication:
         raise ValueError(
             f"salted_time_window_sum: window spans {reach} buckets "
@@ -2048,6 +2049,10 @@ def finalized_tumbling(ds, *, key_col: str, ts_col: str,
     if width_us <= 0 or wm_us < 0:
         raise ValueError("finalized_tumbling: width_s > 0, "
                          "watermark_s >= 0")
+
+    # materialize once: the span pass and the aggregate would
+    # otherwise each re-execute the upstream lineage
+    ds = ds.materialize()
 
     def ts_only(b: pa.Table) -> pa.Table:
         t = b[ts_col].combine_chunks()
