@@ -626,7 +626,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q310_salted_running_total": _salted_running_total_q,
         "q311_salted_time_window": _salted_time_window_q,
         "q312_finalized_windows": eq.finalized_tumbling_stats,
+        "q313_coverage_curve": _coverage_curve_q,
     }
+
+
+def _coverage_curve_q(sf_dir: str):
+    """q313: corpus concentration curve (stages/profile.py:
+    coverage_curve) — min docs (largest-first) covering 50/80/90/95/99
+    percent of total characters; sort-free exact ints from
+    distinct-length value-count partials; SQL replays with a
+    descending window cumsum + cross-multiplied threshold."""
+    import ray
+
+    from featurebox_ray.stages.profile import coverage_curve
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["n_chars"],
+                                 override_num_blocks=8)
+    return coverage_curve(docs, weight_col="n_chars")
 
 
 def _salted_time_window_q(sf_dir: str):
@@ -9159,6 +9176,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # coverage curve: min rn with cw*100 >= pct*tot (ints only);
+        # cw at a rank is tie-order-invariant (equal weights)
+        "q313_coverage_curve": """
+            WITH d AS (SELECT n_chars AS w FROM documents
+                       WHERE n_chars IS NOT NULL AND n_chars >= 0),
+            t AS (SELECT sum(w) AS tot FROM d),
+            r AS (SELECT w,
+                         row_number() OVER (ORDER BY w DESC) AS rn,
+                         sum(w) OVER (ORDER BY w DESC
+                                      ROWS UNBOUNDED PRECEDING) AS cw
+                  FROM d),
+            p(pct) AS (VALUES (50), (80), (90), (95), (99)),
+            sel AS (SELECT p.pct, min(r.rn) AS n_rows
+                    FROM p, r, t
+                    WHERE r.cw * 100 >= p.pct * t.tot
+                    GROUP BY p.pct)
+            SELECT CAST(sel.pct AS BIGINT) AS pct,
+                   CAST(sel.n_rows AS BIGINT) AS n_rows,
+                   CAST(r.cw AS BIGINT) AS covered_weight
+            FROM sel JOIN r ON r.rn = sel.n_rows
         """,
         # finalized tumbling: q52 aggregate + watermark HAVING cut
         "q312_finalized_windows": """

@@ -1070,3 +1070,85 @@ def l_diversity_audit(ds, *, quasi_cols, sensitive_col: str,
                            sort_keys=quasi_cols + [sensitive_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def coverage_curve(ds, *, weight_col: str,
+                   thresholds=(50, 80, 90, 95, 99)):
+    """Corpus concentration curve — for each percentage threshold,
+    the MINIMUM number of rows (taken largest-weight-first) whose
+    weights cover at least that share of the total, plus the exact
+    weight they cover: "how few documents hold 90% of the tokens",
+    the concentration profile behind dedup/mixing decisions.
+
+    Exact and sort-free: per-block ``(weight, count)`` value-count
+    partials combine driver-side (bounded by DISTINCT weights, not
+    rows — doc lengths repeat heavily), then one descending walk over
+    the distinct weights answers every threshold with integer
+    cross-multiplied comparisons (``covered·100 ≥ pct·total`` — no
+    float in the decision).  Within the marginal weight, the count of
+    rows actually needed is the exact ceil division.
+
+    NULL / negative weights drop (a document can't carry negative
+    tokens).  Returns ``(pct:int64, n_rows:int64,
+    covered_weight:int64)``; empty input → empty table.
+    Reference analog: none (profiling family next to group_gini /
+    profile_columns)."""
+    import ray
+
+    from .partition import materialized_block_refs, sum_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or weight_col not in b.column_names:
+            return pa.table({"w": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        w = b[weight_col].combine_chunks().cast(pa.int64())
+        keep = pc.fill_null(pc.greater_equal(w, 0), False)
+        w = w.filter(keep)
+        vc = w.value_counts()
+        return pa.table({"w": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    pds = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    comb = sum_partials(ray.get(materialized_block_refs(pds)),
+                        keys=["w"], vals=["cnt"])
+    empty = pa.table({"pct": pa.array([], pa.int64()),
+                      "n_rows": pa.array([], pa.int64()),
+                      "covered_weight": pa.array([], pa.int64())})
+    if comb is None or comb.num_rows == 0:
+        return empty
+    w = comb["w"].to_numpy(zero_copy_only=False).astype(np.int64)[::-1]
+    cnt = comb["cnt"].to_numpy(zero_copy_only=False).astype(
+        np.int64)[::-1]                     # descending weight
+    tot = int(w.astype(object).dot(cnt.astype(object)))
+    if tot == 0:
+        # all-zero weights: every threshold is covered by 0 rows
+        ths = sorted(int(p) for p in thresholds)
+        return pa.table({"pct": pa.array(ths, pa.int64()),
+                         "n_rows": pa.array([0] * len(ths), pa.int64()),
+                         "covered_weight": pa.array([0] * len(ths),
+                                                    pa.int64())})
+    cum_w = np.cumsum((w.astype(object) * cnt.astype(object)))
+    cum_n = np.cumsum(cnt)
+    out_p, out_n, out_cw = [], [], []
+    for p in sorted(int(x) for x in thresholds):
+        if not 0 <= p <= 100:
+            raise ValueError("coverage_curve: thresholds in [0, 100]")
+        # first distinct-weight level where covered*100 >= p*tot
+        lvl = int(np.searchsorted(
+            np.asarray([int(c) * 100 >= p * tot for c in cum_w]),
+            True))
+        prev_w = int(cum_w[lvl - 1]) if lvl else 0
+        prev_n = int(cum_n[lvl - 1]) if lvl else 0
+        need = p * tot - prev_w * 100          # remaining ×100
+        wl = int(w[lvl])
+        if need <= 0 or wl == 0:
+            k = 0 if need <= 0 else int(cnt[lvl])
+        else:
+            k = -(-need // (wl * 100))         # ceil, exact ints
+        out_p.append(p)
+        out_n.append(prev_n + k)
+        out_cw.append(prev_w + k * wl)
+    return pa.table({"pct": pa.array(out_p, pa.int64()),
+                     "n_rows": pa.array(out_n, pa.int64()),
+                     "covered_weight": pa.array(out_cw, pa.int64())})
