@@ -627,7 +627,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q311_salted_time_window": _salted_time_window_q,
         "q312_finalized_windows": eq.finalized_tumbling_stats,
         "q313_coverage_curve": _coverage_curve_q,
+        "q314_latency_profile": _latency_profile_q,
     }
+
+
+def _latency_profile_q(sf_dir: str):
+    """q314: per-conversation inter-turn latency profile
+    (stages/transitions.py:latency_profile) — n_gaps, median/p90/max
+    gap as exact quantile_disc order statistics (shared
+    _disc_index_vec convention); single-event keys emit NULL stats.
+    One keyed exchange, one lexsort + disc-rank gather."""
+    import ray
+
+    from featurebox_ray.stages.transitions import latency_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+        override_num_blocks=8)
+    return latency_profile(ev, key_col="user_id", ts_col="ts",
+                           order_col="event_id", num_partitions=8)
 
 
 def _coverage_curve_q(sf_dir: str):
@@ -9176,6 +9195,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # latency profile: lag gaps + quantile_disc elements (q51
+        # rank convention; q64 CAST-the-q-literal trick)
+        "q314_latency_profile": """
+            WITH e AS (
+              SELECT user_id AS k, epoch_us(ts) AS t, event_id AS o
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL),
+            g AS (SELECT k, t - lag(t) OVER (PARTITION BY k
+                                             ORDER BY t, o) AS gap
+                  FROM e),
+            gg AS (SELECT k, gap FROM g WHERE gap IS NOT NULL),
+            s AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(quantile_disc(gap,
+                              CAST(0.5 AS DOUBLE)) AS BIGINT)
+                           AS median_gap,
+                         CAST(quantile_disc(gap,
+                              CAST(0.9 AS DOUBLE)) AS BIGINT)
+                           AS p90_gap,
+                         CAST(max(gap) AS BIGINT) AS max_gap
+                  FROM gg GROUP BY k),
+            base AS (SELECT k FROM e GROUP BY k)
+            SELECT base.k AS user_id,
+                   CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_gaps,
+                   s.median_gap, s.p90_gap, s.max_gap
+            FROM base LEFT JOIN s ON base.k = s.k
         """,
         # coverage curve: min rn with cw*100 >= pct*tot (ints only);
         # cw at a rank is tie-order-invariant (equal weights)

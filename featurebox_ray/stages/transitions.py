@@ -909,3 +909,93 @@ def dialogue_profile(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, "__t", "__o"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def latency_profile(ds, *, key_col: str, ts_col: str,
+                    order_col: str, num_partitions: int = 16):
+    """Per-key inter-event latency profile — the north-star's
+    "inter-turn latency stats" as exact order statistics: number of
+    gaps, median gap, p90 gap, and max gap (all int64 native time
+    units, ``quantile_disc`` convention via the shared
+    ``_disc_index_vec`` so SQL replays element-exactly).  Keys with a
+    single event emit NULL stats (no gaps).
+
+    One keyed exchange; gaps are one shifted diff per partition,
+    per-key order statistics via one lexsort over (segment, gap) +
+    the vectorized disc-rank gather — no per-row Python.
+
+    Returns ``(key_col, n_gaps:int64, median_gap:int64,
+    p90_gap:int64, max_gap:int64)``.  NULL key/ts/order rows drop.
+    Reference analog: windowed-aggregate family (the latency stats
+    the reference computes per entry, per conversation here)."""
+    from .partition import partitioned_map
+    from .quantile import _disc_index_vec
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[key_col])
+        for c in (ts_col, order_col):
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        mask = pc.fill_null(mask, False)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = pa.table({key_col: b[key_col], "__t": ts,
+                      "__o": b[order_col]})
+        if not pc.all(mask).as_py():
+            t = t.filter(mask)
+        return t
+
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "n_gaps": pa.array([], pa.int64()),
+                      "median_gap": pa.array([], pa.int64()),
+                      "p90_gap": pa.array([], pa.int64()),
+                      "max_gap": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        kc = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        new_key = np.concatenate([[True], kc[1:] != kc[:-1]])
+        kstarts = np.flatnonzero(new_key)
+        n_keys = len(kstarts)
+        # gaps: diff within segments (rows 1.. of each segment)
+        is_gap = ~new_key
+        gaps = (ts - np.concatenate([[0], ts[:-1]]))[is_gap]
+        gseg = (np.cumsum(new_key.astype(np.int64)) - 1)[is_gap]
+        n_gaps = np.zeros(n_keys, np.int64)
+        np.add.at(n_gaps, gseg, 1)
+        has = n_gaps > 0
+        med = np.zeros(n_keys, np.int64)
+        p90 = np.zeros(n_keys, np.int64)
+        mx = np.zeros(n_keys, np.int64)
+        if len(gaps):
+            order = np.lexsort((gaps, gseg))
+            gs, gv = gseg[order], gaps[order]
+            seg_first = np.concatenate(
+                [[True], gs[1:] != gs[:-1]])
+            starts = np.flatnonzero(seg_first)
+            lens = np.diff(np.append(starts, len(gs)))
+            seg_ids = gs[starts]
+            med[seg_ids] = gv[starts + _disc_index_vec(0.5, lens)]
+            p90[seg_ids] = gv[starts + _disc_index_vec(0.9, lens)]
+            mx[seg_ids] = gv[starts + lens - 1]
+        return pa.table({
+            key_col: keys.take(pa.array(kstarts, pa.int64())),
+            "n_gaps": pa.array(n_gaps),
+            "median_gap": pa.array(med, pa.int64(), mask=~has),
+            "p90_gap": pa.array(p90, pa.int64(), mask=~has),
+            "max_gap": pa.array(mx, pa.int64(), mask=~has)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__t", "__o"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
