@@ -366,3 +366,95 @@ def salted_join(left_ds, right_ds, *, on: str,
                          num_partitions=num_partitions,
                          left_cols=left_cols, right_cols=right_cols)
     return hot_out.union(cold_out)
+
+
+def cogroup(left_ds, right_ds, *, on: str, right_on: Optional[str] = None,
+            kernel=None, sort_keys=(), num_partitions: int = 32):
+    """Public co-group primitive (the §2.13 extension surface): run a
+    user ``kernel(left_tbl: pa.Table, right_tbl: pa.Table) ->
+    pa.Table`` once per hash partition of the key, with BOTH sides'
+    rows for that partition's keys co-located (never split) and each
+    side sorted by ``(key, *sort_keys∩side)``.  This is the tagged-
+    union exchange every built-in two-sided op (joins, as-of, diff)
+    rides, exposed so a user can write a custom merge/interval/
+    reconciliation operator without touching engine internals.
+
+    Contract: non-key column names must be DISJOINT across sides
+    (validated upfront); the right key column arrives renamed to
+    ``on``; NULL keys co-locate as one group (SQL ``PARTITION BY``
+    convention); the kernel must return a fixed-schema table
+    (including for empty inputs — it is invoked with empty sides for
+    all-empty partitions so the output schema is stable).
+
+    Scale shape: ONE all-to-all of both inputs, then pure map —
+    exactly one exchange regardless of kernel complexity.
+    """
+    from .partition import partitioned_map
+
+    if kernel is None:
+        raise ValueError("cogroup: kernel is required")
+    right_on = right_on or on
+    ls = left_ds.schema()
+    lbase = getattr(ls, "base_schema", ls)
+    rs = right_ds.schema()
+    rbase = getattr(rs, "base_schema", rs)
+    left_cols = list(lbase.names)
+    right_cols = [c for c in rbase.names if c != right_on]
+    clash = (set(left_cols) - {on}) & set(right_cols)
+    if clash:
+        raise ValueError(
+            f"cogroup: column name(s) {sorted(clash)} appear on both "
+            "sides — project or rename first")
+    key_type = lbase.field(on).type
+    ltypes = {c: lbase.field(c).type for c in left_cols}
+    rtypes = {c: rbase.field(c).type for c in right_cols}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in left_cols}
+        for c in right_cols:
+            cols[c] = pa.nulls(t.num_rows, rtypes[c])
+        return pa.table(cols).append_column(
+            SIDE, pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_cols:
+            cols[c] = (t[right_on].cast(key_type) if c == on
+                       else pa.nulls(t.num_rows, ltypes[c]))
+        for c in right_cols:
+            cols[c] = t[c]
+        return pa.table(cols).append_column(
+            SIDE, pa.array(np.ones(t.num_rows, np.int8)))
+
+    unioned = (left_ds.map_batches(tag_left, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+               .union(right_ds.map_batches(
+                   tag_right, batch_format="pyarrow",
+                   zero_copy_batch=True)))
+
+    lsort = [on] + [k for k in sort_keys if k in left_cols]
+    rsort = [on] + [k for k in sort_keys if k in right_cols]
+
+    def wrapper(t: pa.Table) -> pa.Table:
+        from .partition import sort_table
+
+        if SIDE not in t.column_names:
+            lt = pa.table({c: pa.array([], ltypes[c])
+                           for c in left_cols})
+            rt = pa.table({on: pa.array([], key_type),
+                           **{c: pa.array([], rtypes[c])
+                              for c in right_cols}})
+            return kernel(lt, rt)
+        side = t[SIDE].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lt = sort_table(
+            t.filter(pa.array(lmask)).select(left_cols), lsort)
+        rt = sort_table(
+            t.filter(pa.array(~lmask)).select([on] + right_cols),
+            rsort)
+        return kernel(lt, rt)
+
+    return partitioned_map(unioned, wrapper, key=on,
+                           sort_keys=[on, SIDE],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
