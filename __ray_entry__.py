@@ -628,7 +628,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q312_finalized_windows": eq.finalized_tumbling_stats,
         "q313_coverage_curve": _coverage_curve_q,
         "q314_latency_profile": _latency_profile_q,
+        "q315_embedding_drift": _embedding_drift_q,
     }
+
+
+def _embedding_drift_q(sf_dir: str):
+    """q315: per-label embedding-centroid drift (stages/cohesion.py:
+    embedding_period_drift) — signed squared cosine between the two
+    id-halves' centroid sums; exact object-int dots/norms, ONE
+    float64 division; HUGEINT unnest SQL oracle (q292 technique +
+    q116 half-up quantizer)."""
+    import ray
+
+    from featurebox_ray.stages.cohesion import embedding_period_drift
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        override_num_blocks=8)
+    return embedding_period_drift(emb, vec_col="embedding",
+                                  id_col="vec_id",
+                                  label_col="label", quant_bits=10)
 
 
 def _latency_profile_q(sf_dir: str):
@@ -9195,6 +9215,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # embedding drift: HUGEINT unnest centroid sums per
+        # (label, half), signed cos^2 = one division of exact products
+        "q315_embedding_drift": """
+            WITH cut AS (SELECT min(vec_id) + (max(vec_id)
+                                - min(vec_id)) * 1 // 2 AS c
+                         FROM embeddings),
+            e AS (SELECT label,
+                         CAST(vec_id > cut.c AS INT) AS side,
+                         embedding
+                  FROM embeddings, cut
+                  WHERE label IS NOT NULL AND vec_id IS NOT NULL
+                    AND embedding IS NOT NULL),
+            u AS (SELECT label, side, i AS d,
+                         CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                    * 1024 + 0.5) AS BIGINT) AS q
+                  FROM e,
+                       unnest(range(1, len(embedding) + 1)) AS r(i)),
+            s AS (SELECT label, side, d, sum(q) AS sv
+                  FROM u GROUP BY 1, 2, 3),
+            n AS (SELECT label, side, count(*) AS nv
+                  FROM e GROUP BY 1, 2),
+            dotp AS (SELECT a.label, sum(a.sv * b.sv) AS dot
+                     FROM s a JOIN s b ON a.label = b.label
+                          AND a.d = b.d AND a.side = 0
+                          AND b.side = 1
+                     GROUP BY a.label),
+            nrm AS (SELECT label, side, sum(sv * sv) AS s2
+                    FROM s GROUP BY 1, 2),
+            lbl AS (SELECT label FROM e GROUP BY label)
+            SELECT lbl.label,
+                   CAST(coalesce(nb.nv, 0) AS BIGINT) AS n_before,
+                   CAST(coalesce(na.nv, 0) AS BIGINT) AS n_after,
+                   CASE WHEN nb.nv IS NULL OR na.nv IS NULL
+                             OR n0.s2 = 0 OR n1.s2 = 0 THEN NULL
+                        WHEN dotp.dot < 0 THEN
+                          -(CAST(dotp.dot * dotp.dot AS DOUBLE)
+                            / CAST(n0.s2 * n1.s2 AS DOUBLE))
+                        ELSE CAST(dotp.dot * dotp.dot AS DOUBLE)
+                             / CAST(n0.s2 * n1.s2 AS DOUBLE)
+                   END AS cos2_signed
+            FROM lbl
+            LEFT JOIN (SELECT label, nv FROM n WHERE side = 0) nb
+              USING (label)
+            LEFT JOIN (SELECT label, nv FROM n WHERE side = 1) na
+              USING (label)
+            LEFT JOIN dotp USING (label)
+            LEFT JOIN (SELECT label, s2 FROM nrm WHERE side = 0) n0
+              USING (label)
+            LEFT JOIN (SELECT label, s2 FROM nrm WHERE side = 1) n1
+              USING (label)
         """,
         # latency profile: lag gaps + quantile_disc elements (q51
         # rank convention; q64 CAST-the-q-literal trick)

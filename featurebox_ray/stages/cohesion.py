@@ -975,3 +975,141 @@ def group_embedding_diversity(ds, *, vec_col: str = "embedding",
     return pa.table({group_col: pa.array(gvals, gtype),
                      "n": pa.array(ns, pa.int64()),
                      "mean_d2": pa.array(md, pa.float64())})
+
+
+def embedding_period_drift(ds, *, vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           label_col: str = "label",
+                           quant_bits: int = 10):
+    """Per-label embedding-centroid drift between the two halves of
+    the id span — the cheap monitorable next to the global two-sample
+    MMD (q253): has label L's mean embedding direction moved?
+    Reports the SIGNED squared cosine between the two halves'
+    centroid-sum vectors: ``sign(dot) · (dot)² / (|s1|²·|s2|²)`` —
+    1.0 = identical direction, near 0 = orthogonal drift, negative =
+    flipped.
+
+    Exactness: vectors quantize half-up (the q116 convention); all
+    sums/dots/norms are exact Python ints (object arithmetic, safe
+    past 2⁶³); the output is ONE float64 division of two exact
+    products, replayed bit-exactly by a HUGEINT ``unnest`` SQL
+    oracle.  Labels missing a side, or with a zero centroid on
+    either side, emit NULL.  The split is the q217 midpoint cut of
+    the id span.  NULL label/id/vector rows drop; mixed embedding
+    widths raise.
+
+    One partial-sums pass ((label, side, dim) int64 rows per block,
+    shared Arrow combine) — no shuffle.  Returns ``(label_col,
+    n_before:int64, n_after:int64, cos2_signed:float64)``.
+    Reference analog: none (drift family)."""
+    import ray
+
+    from .partition import (global_span_cut, materialized_block_refs,
+                            sum_partials)
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    ltype = base.field(label_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.and_(pc.and_(pc.is_valid(b[label_col]),
+                            pc.is_valid(b[id_col])),
+                    pc.is_valid(b[vec_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        return b.select([label_col, id_col, vec_col])
+
+    refs = materialized_block_refs(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    empty = pa.table({label_col: pa.array([], ltype),
+                      "n_before": pa.array([], pa.int64()),
+                      "n_after": pa.array([], pa.int64()),
+                      "cos2_signed": pa.array([], pa.float64())})
+    span = global_span_cut(refs, col=id_col, num=1, den=2)
+    if span is None:
+        return empty
+    cut = span[2]
+
+    @ray.remote
+    def partial(blk, cut_):
+        if blk.num_rows == 0 or label_col not in blk.column_names:
+            return pa.table({"lab": pa.array([], ltype),
+                             "side": pa.array([], pa.int8()),
+                             "d": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        xq, dims = _batch_mat(blk, vec_col, quant_bits)
+        ids = blk[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        side = (ids > cut_).astype(np.int64)
+        gd = pc.dictionary_encode(blk[label_col].combine_chunks())
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cell = codes * 2 + side
+        ucell, inv = np.unique(cell, return_inverse=True)
+        # per (label, side): n (sentinel d = -1) + per-dim sums
+        sums = np.zeros((len(ucell), dims), np.int64)
+        np.add.at(sums, inv, xq.astype(np.int64))
+        cnt = np.bincount(inv).astype(np.int64)
+        lab_vals = gd.dictionary.take(
+            pa.array(ucell // 2, pa.int64()))
+        k = len(ucell)
+        d_col = np.concatenate(
+            [np.full((k, 1), -1, np.int64),
+             np.tile(np.arange(dims, dtype=np.int64), (k, 1))],
+            axis=1).ravel()
+        s_col = np.concatenate([cnt[:, None], sums], axis=1).ravel()
+        reps = pa.array(
+            np.repeat(np.arange(k), dims + 1), pa.int64())
+        return pa.table({
+            "lab": lab_vals.take(reps),
+            "side": pa.array(
+                np.repeat((ucell % 2).astype(np.int8), dims + 1)),
+            "d": pa.array(d_col),
+            "s": pa.array(s_col)})
+
+    comb = sum_partials(
+        ray.get([partial.remote(r, cut) for r in refs]),
+        keys=["lab", "side", "d"], vals=["s"])
+    if comb is None:
+        return empty
+    lab = comb["lab"].to_pylist()
+    side = comb["side"].to_numpy(zero_copy_only=False)
+    dd = comb["d"].to_numpy(zero_copy_only=False)
+    ssum = comb["s"].to_numpy(zero_copy_only=False)
+    # assemble per-label per-side vectors in exact Python ints
+    per: dict = {}
+    for i in range(len(lab)):
+        key = (lab[i], int(side[i]))
+        ent = per.setdefault(key, {"n": 0, "v": {}})
+        if int(dd[i]) == -1:
+            ent["n"] += int(ssum[i])
+        else:
+            ent["v"][int(dd[i])] = ent["v"].get(int(dd[i]), 0) \
+                + int(ssum[i])
+    labels = sorted({k[0] for k in per})
+    out_l, out_nb, out_na, out_c = [], [], [], []
+    for L in labels:
+        a = per.get((L, 0))
+        b = per.get((L, 1))
+        out_l.append(L)
+        out_nb.append(a["n"] if a else 0)
+        out_na.append(b["n"] if b else 0)
+        if not a or not b:
+            out_c.append(None)
+            continue
+        dims_all = sorted(set(a["v"]) | set(b["v"]))
+        dot = sum(a["v"].get(d, 0) * b["v"].get(d, 0)
+                  for d in dims_all)
+        u2 = sum(a["v"].get(d, 0) ** 2 for d in dims_all)
+        v2 = sum(b["v"].get(d, 0) ** 2 for d in dims_all)
+        if u2 == 0 or v2 == 0:
+            out_c.append(None)
+            continue
+        val = float(dot * dot) / float(u2 * v2)
+        out_c.append(-val if dot < 0 else val)
+    return pa.table({label_col: pa.array(out_l, ltype),
+                     "n_before": pa.array(out_nb, pa.int64()),
+                     "n_after": pa.array(out_na, pa.int64()),
+                     "cos2_signed": pa.array(out_c, pa.float64())})
