@@ -9221,7 +9221,10 @@ def oracle_sql() -> dict[str, str]:
         "q315_embedding_drift": """
             WITH cut AS (SELECT min(vec_id) + (max(vec_id)
                                 - min(vec_id)) * 1 // 2 AS c
-                         FROM embeddings),
+                         FROM embeddings
+                         WHERE label IS NOT NULL
+                           AND vec_id IS NOT NULL
+                           AND embedding IS NOT NULL),
             e AS (SELECT label,
                          CAST(vec_id > cut.c AS INT) AS side,
                          embedding

@@ -27,8 +27,11 @@ def test_embedding_period_drift_fuzz_vs_replay():
              for v in vecs], pa.list_(pa.float64())),
         "label": pa.array(list(labels), pa.int64()),
     })
-    # serial replay with exact ints
-    cut = 0 + (n - 1 - 0) * 1 // 2
+    # serial replay with exact ints; the cut is over SURVIVING ids
+    # (prep drops null label/vector rows before the span reduce)
+    surv = [int(ids[i]) for i in range(n)
+            if labels[i] is not None and vecs[i] is not None]
+    cut = min(surv) + (max(surv) - min(surv)) * 1 // 2
     agg = {}
     for i in range(n):
         if labels[i] is None or vecs[i] is None:
