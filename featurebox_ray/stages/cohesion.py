@@ -989,11 +989,15 @@ def embedding_period_drift(ds, *, vec_col: str = "embedding",
     1.0 = identical direction, near 0 = orthogonal drift, negative =
     flipped.
 
-    Exactness: vectors quantize half-up (the q116 convention); all
-    sums/dots/norms are exact Python ints (object arithmetic, safe
-    past 2⁶³); the output is ONE float64 division of two exact
-    products, replayed bit-exactly by a HUGEINT ``unnest`` SQL
-    oracle.  Labels missing a side, or with a zero centroid on
+    Exactness: vectors quantize half-up (the q116 convention);
+    per-BLOCK sums accumulate in int64 with an explicit magnitude
+    guard (raises with quantize-coarser guidance near 2⁶²), and the
+    CROSS-block combine runs in exact Python ints on the driver — so
+    dots/norms/products never wrap; the output is ONE float64
+    division of two exact products, replayed bit-exactly by a
+    HUGEINT ``unnest`` SQL oracle.  Embeddings must be fully finite
+    (null/NaN ELEMENTS inside a list raise — the oracle's per-element
+    NULL skipping has no cheap engine mirror).  Labels missing a side, or with a zero centroid on
     either side, emit NULL.  The split is the q217 midpoint cut of
     the id span.  NULL label/id/vector rows drop; mixed embedding
     widths raise.
@@ -1004,8 +1008,7 @@ def embedding_period_drift(ds, *, vec_col: str = "embedding",
     Reference analog: none (drift family)."""
     import ray
 
-    from .partition import (global_span_cut, materialized_block_refs,
-                            sum_partials)
+    from .partition import global_span_cut, materialized_block_refs
 
     schema = ds.schema()
     base = getattr(schema, "base_schema", schema)
@@ -1039,6 +1042,14 @@ def embedding_period_drift(ds, *, vec_col: str = "embedding",
                              "side": pa.array([], pa.int8()),
                              "d": pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64())})
+        flat_chk = blk[vec_col].combine_chunks().flatten()
+        if flat_chk.null_count or not np.isfinite(
+                flat_chk.to_numpy(zero_copy_only=False)).all():
+            raise ValueError(
+                "embedding_period_drift: null or non-finite "
+                "elements inside embedding lists — clean upstream "
+                "(the SQL oracle's NULL-element skipping has no "
+                "engine mirror)")
         xq, dims = _batch_mat(blk, vec_col, quant_bits)
         ids = blk[id_col].to_numpy(zero_copy_only=False).astype(
             np.int64)
@@ -1048,6 +1059,13 @@ def embedding_period_drift(ds, *, vec_col: str = "embedding",
             np.int64)
         cell = codes * 2 + side
         ucell, inv = np.unique(cell, return_inverse=True)
+        # a-priori wrap guard (checked BEFORE accumulating — a
+        # post-hoc check could read an already-wrapped value)
+        if xq.size and blk.num_rows * int(np.abs(xq).max()) >= 2 ** 62:
+            raise ValueError(
+                "embedding_period_drift: per-block centroid sum "
+                "could exceed int64 — lower quant_bits or shrink "
+                "blocks")
         # per (label, side): n (sentinel d = -1) + per-dim sums
         sums = np.zeros((len(ucell), dims), np.int64)
         np.add.at(sums, inv, xq.astype(np.int64))
@@ -1069,25 +1087,29 @@ def embedding_period_drift(ds, *, vec_col: str = "embedding",
             "d": pa.array(d_col),
             "s": pa.array(s_col)})
 
-    comb = sum_partials(
-        ray.get([partial.remote(r, cut) for r in refs]),
-        keys=["lab", "side", "d"], vals=["s"])
-    if comb is None:
-        return empty
-    lab = comb["lab"].to_pylist()
-    side = comb["side"].to_numpy(zero_copy_only=False)
-    dd = comb["d"].to_numpy(zero_copy_only=False)
-    ssum = comb["s"].to_numpy(zero_copy_only=False)
-    # assemble per-label per-side vectors in exact Python ints
+    # cross-block combine in exact Python ints (the deliberate
+    # object-int exception, like outlier_explanation / mmd Gram: an
+    # Arrow int64 sum here could wrap past 2^63 exactly where the
+    # docstring promises exactness); bounded by labels×2×(dims+1)
+    # rows per block
     per: dict = {}
-    for i in range(len(lab)):
-        key = (lab[i], int(side[i]))
-        ent = per.setdefault(key, {"n": 0, "v": {}})
-        if int(dd[i]) == -1:
-            ent["n"] += int(ssum[i])
-        else:
-            ent["v"][int(dd[i])] = ent["v"].get(int(dd[i]), 0) \
-                + int(ssum[i])
+    for blk in ray.get([partial.remote(r, cut) for r in refs]):
+        if blk.num_rows == 0 or "lab" not in blk.column_names:
+            continue
+        lab = blk["lab"].to_pylist()
+        side = blk["side"].to_numpy(zero_copy_only=False)
+        dd = blk["d"].to_numpy(zero_copy_only=False)
+        ssum = blk["s"].to_numpy(zero_copy_only=False)
+        for i in range(len(lab)):
+            key = (lab[i], int(side[i]))
+            ent = per.setdefault(key, {"n": 0, "v": {}})
+            if int(dd[i]) == -1:
+                ent["n"] += int(ssum[i])
+            else:
+                ent["v"][int(dd[i])] = ent["v"].get(int(dd[i]), 0) \
+                    + int(ssum[i])
+    if not per:
+        return empty
     labels = sorted({k[0] for k in per})
     out_l, out_nb, out_na, out_c = [], [], [], []
     for L in labels:

@@ -400,7 +400,10 @@ def cogroup(left_ds, right_ds, *, on: str, right_on: Optional[str] = None,
     rbase = getattr(rs, "base_schema", rs)
     left_cols = list(lbase.names)
     right_cols = [c for c in rbase.names if c != right_on]
-    clash = (set(left_cols) - {on}) & set(right_cols)
+    # hash_join's stronger rule: ANY right column already present on
+    # the left clashes — including one named `on` itself (tag_right
+    # would silently overwrite the renamed key with it)
+    clash = [c for c in right_cols if c in left_cols]
     if clash:
         raise ValueError(
             f"cogroup: column name(s) {sorted(clash)} appear on both "
@@ -454,7 +457,10 @@ def cogroup(left_ds, right_ds, *, on: str, right_on: Optional[str] = None,
             rsort)
         return kernel(lt, rt)
 
+    # sort_keys=[]: the wrapper establishes each side's documented
+    # ordering itself — a gather-level sort of the tagged union would
+    # be thrown away immediately
     return partitioned_map(unioned, wrapper, key=on,
-                           sort_keys=[on, SIDE],
+                           sort_keys=[],
                            num_partitions=num_partitions,
                            strategy="tasks")

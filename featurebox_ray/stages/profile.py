@@ -1090,7 +1090,9 @@ def coverage_curve(ds, *, weight_col: str,
 
     NULL / negative weights drop (a document can't carry negative
     tokens).  Returns ``(pct:int64, n_rows:int64,
-    covered_weight:int64)``; empty input → empty table.
+    covered_weight:int64)``; empty input → empty table; an all-zero
+    weight total RAISES (degenerate, and the SQL replay would answer
+    differently than the equally-valid 0-row answer).
     Reference analog: none (profiling family next to group_gini /
     profile_columns)."""
     import ray
@@ -1117,23 +1119,23 @@ def coverage_curve(ds, *, weight_col: str,
                       "covered_weight": pa.array([], pa.int64())})
     if comb is None or comb.num_rows == 0:
         return empty
+    for p in thresholds:
+        if not 0 <= int(p) <= 100:
+            raise ValueError("coverage_curve: thresholds in [0, 100]")
     w = comb["w"].to_numpy(zero_copy_only=False).astype(np.int64)[::-1]
     cnt = comb["cnt"].to_numpy(zero_copy_only=False).astype(
         np.int64)[::-1]                     # descending weight
     tot = int(w.astype(object).dot(cnt.astype(object)))
     if tot == 0:
-        # all-zero weights: every threshold is covered by 0 rows
-        ths = sorted(int(p) for p in thresholds)
-        return pa.table({"pct": pa.array(ths, pa.int64()),
-                         "n_rows": pa.array([0] * len(ths), pa.int64()),
-                         "covered_weight": pa.array([0] * len(ths),
-                                                    pa.int64())})
+        # "cover p% of zero" is degenerate and the SQL replay (min rn
+        # with cw·100 ≥ p·0) would answer 1 while 0 also qualifies —
+        # refuse instead of silently diverging from the oracle
+        raise ValueError("coverage_curve: total weight is 0 — "
+                         "nothing to cover")
     cum_w = np.cumsum((w.astype(object) * cnt.astype(object)))
     cum_n = np.cumsum(cnt)
     out_p, out_n, out_cw = [], [], []
     for p in sorted(int(x) for x in thresholds):
-        if not 0 <= p <= 100:
-            raise ValueError("coverage_curve: thresholds in [0, 100]")
         # first distinct-weight level where covered*100 >= p*tot
         lvl = int(np.searchsorted(
             np.asarray([int(c) * 100 >= p * tot for c in cum_w]),

@@ -58,3 +58,11 @@ def test_coverage_curve_duckdb_parity():
         FROM sel JOIN r ON r.rn = sel.n_rows ORDER BY pct
     """).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+
+
+def test_coverage_curve_zero_total_raises():
+    import pytest
+
+    t = pa.table({"w": pa.array([0, 0, 0], pa.int64())})
+    with pytest.raises(Exception, match="total weight is 0"):
+        coverage_curve(ray.data.from_arrow(t), weight_col="w")
