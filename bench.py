@@ -249,6 +249,9 @@ QUERY_NAMES = [
     # round-5 additions
     "q303_components", "q304_salted_join", "q305_rolling_extrema", "q306_provenance_read", "q307_impute_median", "q308_dialogue_profile", "q309_delta_contributors", "q310_salted_running_total", "q311_salted_time_window",
     "q312_finalized_windows", "q313_coverage_curve", "q314_latency_profile", "q315_embedding_drift",
+    # q316 stays out of the sweep: its fixture replay is a per-byte
+    # python loop over the whole corpus (gate-only)
+   
 ]
 
 

@@ -1,142 +1,182 @@
-"""CDC changelog compaction — apply an ordered upsert/delete changelog
-to a base snapshot and emit the latest state per key (the merge/compact
-step every incremental 100-TB table maintenance job runs).
+"""Content-defined chunking (CDC) — variable-length chunk boundaries
+placed where a rolling hash of the LOCAL byte window satisfies a
+predicate, so boundaries depend only on nearby content: inserting or
+deleting bytes early in a document re-synchronizes every later chunk
+(the property that makes CDC the dedup-friendly chunker — a
+fixed-window chunker shifts every subsequent chunk instead).  The
+Rabin/FastCDC idea, as one vectorized map stage.
 
-Shape: ONE tagged-union keyed exchange (base rows tag 0, log rows tag 1)
-routed on the key, each partition sorted by ``(key, tag, *order_cols)``
-so a key's segment ends with its LAST changelog row.  The kernel is one
-vectorized run-length pass — no per-key Python.  Semantics:
+Boundary rule: a cut AFTER byte position ``p`` whenever the degree-
+``window`` polynomial hash of bytes ``(p−window, p]`` has its low
+``mask_bits`` bits equal to zero — a pure per-position predicate, so
+the whole block vectorizes (no per-byte Python, no sequential scan).
+Gaps longer than ``max_len`` split at fixed offsets from the LEFT
+boundary (arithmetic, also content-anchored).  No min-length (the
+predicate's expected spacing is 2^mask_bits bytes; tiny chunks are
+legal and rare) — documented contract, mirrored by the replay.
 
-* a key with changelog rows takes the value of the LAST log row
-  (deterministic under the caller-supplied total order);
-* if that last row is a delete, the key is dropped (even if earlier log
-  rows upserted it — delete-then-upsert keeps the upsert, upsert-then-
-  delete drops);
-* keys only in the base pass through unchanged (``op='keep'``);
-* keys only in the log insert with NULL payload columns
-  (``op='insert'``); keys in both update (``op='update'``).
+Chunk ids: each chunk also carries the polynomial hash of its FULL
+byte content, computed from prefix-hash differences (one vectorized
+pass — ``h(chunk) = S[end] − S[start]·A^len`` over uint64 with a
+power table bounded by ``max_len``), so downstream exact dedup can
+group on (hash, length) without reshipping text.
 
-Base keys must be unique (it is a snapshot); duplicate base rows for a
-key raise.  NULL keys must be filtered by the caller's prep.
+Text is processed as UTF-8 BYTES (byte offsets/lengths).  NULL
+ids/text drop; empty docs emit nothing.
 
-Reference analog: none (the reference has no incremental maintenance);
-this is an added-for-100-TB table-compaction primitive.
+Oracle: an independent per-doc serial replay (python rolling hash) —
+the boundary rule is not SQL-expressible.  Reference analog: none
+(beyond-reference dedup primitive next to chunk_documents (q68,
+fixed windows) and ExactSubstr spans).
 """
 
 from __future__ import annotations
-
-from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["cdc_compact"]
+CDC_A = np.uint64(0x100000001B3)           # FNV prime, odd
 
 
-def cdc_compact(base_ds, log_ds, *, key_col: str, order_cols: Sequence[str],
-                value_col: str, delete_col: str,
-                payload_cols: Sequence[str] = (),
-                num_partitions: int = 16):
-    """Compact ``base_ds`` (unique ``key_col`` + ``payload_cols`` +
-    ``value_col``) with ``log_ds`` (``key_col`` + ``order_cols`` +
-    ``value_col`` + boolean ``delete_col``) → latest state per key:
-    ``(key_col, *payload_cols, value_col, op:string)`` with ``op`` in
-    {'keep', 'update', 'insert'}; deleted keys emit nothing."""
-    from .partition import partitioned_map
+def _geom_table(base: np.uint64, n: int) -> np.ndarray:
+    """[1, base, base², …] mod 2^64, length n — one vectorized
+    cumprod (uint64 wraparound is the modulus)."""
+    arr = np.full(n, base, np.uint64)
+    arr[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        return np.cumprod(arr)
 
-    order_cols = list(order_cols)
-    payload_cols = list(payload_cols)
 
-    base_schema = base_ds.schema()
-    base_schema = getattr(base_schema, "base_schema", base_schema)
-    log_schema = log_ds.schema()
-    log_schema = getattr(log_schema, "base_schema", log_schema)
-    key_type = base_schema.field(key_col).type
-    val_type = base_schema.field(value_col).type
-    pay_types = {c: base_schema.field(c).type for c in payload_cols}
-    ord_types = {c: log_schema.field(c).type for c in order_cols}
+def _inv_a() -> np.uint64:
+    """A⁻¹ mod 2^64 (A is odd ⇒ invertible; Newton iteration)."""
+    a = int(CDC_A)
+    inv = 1
+    for _ in range(6):                      # Newton: x *= 2 - a*x
+        inv = (inv * (2 - a * inv)) % (1 << 64)
+    assert (a * inv) % (1 << 64) == 1
+    return np.uint64(inv)
 
-    def tag_base(b: pa.Table) -> pa.Table:
-        if b[key_col].null_count:
-            raise ValueError(f"NULL {key_col} in base snapshot — filter "
-                             "keys upstream")
-        cols = {key_col: b[key_col],
-                "__side": pa.array(np.zeros(b.num_rows, np.int8))}
-        for c in order_cols:
-            cols[c] = pa.nulls(b.num_rows, ord_types[c])
-        cols[value_col] = b[value_col].combine_chunks().cast(val_type)
-        cols["__del"] = pa.array(np.zeros(b.num_rows, bool))
-        for c in payload_cols:
-            cols[c] = b[c]
-        return pa.table(cols)
 
-    def tag_log(b: pa.Table) -> pa.Table:
-        if b[key_col].null_count:
-            raise ValueError(f"NULL {key_col} in changelog — filter keys "
-                             "upstream")
-        cols = {key_col: b[key_col].combine_chunks().cast(key_type),
-                "__side": pa.array(np.ones(b.num_rows, np.int8))}
-        for c in order_cols:
-            cols[c] = b[c]
-        cols[value_col] = b[value_col].combine_chunks().cast(val_type)
-        cols["__del"] = pc.fill_null(b[delete_col], False)
-        for c in payload_cols:
-            cols[c] = pa.nulls(b.num_rows, pay_types[c])
-        return pa.table(cols)
+def cdc_chunk(ds, *, id_col: str = "doc_id", text_col: str = "text",
+              window: int = 16, mask_bits: int = 8,
+              max_len: int = 4096):
+    """Emit ``(id_col, chunk_idx:int64, start:int64, length:int64,
+    chunk_hash:int64)`` — content-defined chunks per document (see
+    module docstring).  ``chunk_hash`` is the uint64 polynomial hash
+    of the chunk bytes viewed as int64."""
+    if window < 1 or mask_bits < 1 or max_len < 1:
+        raise ValueError("cdc_chunk: window/mask_bits/max_len >= 1")
+    mask = np.uint64((1 << mask_bits) - 1)
 
-    unioned = (base_ds.map_batches(tag_base, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-               .union(log_ds.map_batches(tag_log, batch_format="pyarrow",
-                                         zero_copy_batch=True)))
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    id_type = base.field(id_col).type
 
-    empty_cols = {key_col: pa.array([], key_type)}
-    for c in payload_cols:
-        empty_cols[c] = pa.array([], pay_types[c])
-    empty_cols[value_col] = pa.array([], val_type)
-    empty_cols["op"] = pa.array([], pa.string())
-    empty = pa.table(empty_cols)
+    empty = pa.table({id_col: pa.array([], id_type),
+                      "chunk_idx": pa.array([], pa.int64()),
+                      "start": pa.array([], pa.int64()),
+                      "length": pa.array([], pa.int64()),
+                      "chunk_hash": pa.array([], pa.int64())})
 
-    def kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or key_col not in t.column_names:
+    def kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.column_names:
             return empty
-        keys = t[key_col].combine_chunks()
-        side = t["__side"].to_numpy(zero_copy_only=False)
-        codes = pc.dictionary_encode(keys).indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
-        starts = np.flatnonzero(new_run)
-        ends = np.concatenate([starts[1:], [len(codes)]]) - 1
-        # base uniqueness: a key may contribute at most one tag-0 row
-        n_base = np.add.reduceat((side == 0).astype(np.int64), starts)
-        if int(n_base.max(initial=0)) > 1:
-            raise ValueError(f"duplicate {key_col} in base snapshot — "
-                             "base keys must be unique (exact_dedup "
-                             "upstream)")
-        has_base = side[starts] == 0
-        has_log = side[ends] == 1
-        dels = pc.fill_null(t["__del"], False).to_numpy(
-            zero_copy_only=False)
-        keep = ~(has_log & dels[ends])
-        kidx = np.flatnonzero(keep)
-        if len(kidx) == 0:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[id_col]),
+                                    pc.is_valid(b[text_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        if b.num_rows == 0:
             return empty
-        h_log, h_base = has_log[kidx], has_base[kidx]
-        vidx = np.where(h_log, ends[kidx], starts[kidx])
-        pidx = pa.array(np.where(h_base, starts[kidx], -1), pa.int64())
-        pidx = pc.if_else(pc.greater_equal(pidx, 0), pidx,
-                          pa.nulls(len(kidx), pa.int64()))
-        op = np.where(~h_log, "keep",
-                      np.where(h_base, "update", "insert"))
-        out = {key_col: keys.take(pa.array(starts[kidx], pa.int64()))}
-        for c in payload_cols:
-            out[c] = t[c].combine_chunks().take(pidx)
-        out[value_col] = t[value_col].combine_chunks().take(
-            pa.array(vidx, pa.int64()))
-        out["op"] = pa.array(op, pa.string())
-        return pa.table(out)
+        txt = b[text_col].combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        n = len(txt)
+        raw_off = np.frombuffer(txt.buffers()[1], np.int32)
+        off = raw_off[txt.offset:txt.offset + n + 1].astype(np.int64)
+        data_all = np.frombuffer(txt.buffers()[2] or b"", np.uint8)
+        start0 = off[0]
+        flat = data_all[start0:off[-1]].astype(np.uint64)
+        N = len(flat)
+        doc_start = off[:-1] - start0        # per-doc flat offsets
+        doc_end = off[1:] - start0
+        lens = doc_end - doc_start
+        if N == 0:
+            return empty
+        # rolling window hash via global prefix polynomial:
+        # h(bytes[s, e)) = Σ_{q∈[s,e)} b[q]·A^{e-1-q}
+        #               = A^{e-1} · (csum[e] − csum[s]),
+        # csum[i] = Σ_{q<i} b[q]·(A⁻¹)^q — all uint64 wraparound,
+        # every table one vectorized cumprod/cumsum
+        invA = _geom_table(_inv_a(), N + 1)
+        powA_full = _geom_table(CDC_A, N + 1)
+        with np.errstate(over="ignore"):
+            terms = flat * invA[:N]
+            csum = np.concatenate(
+                [np.zeros(1, np.uint64), np.cumsum(terms)])
+        # boundary predicate per END position e (cut after e-1):
+        # window hash = h(bytes[e-window, e)), defined for e >= window
+        # relative to the DOC start (windows never span documents)
+        e_idx = np.arange(1, N + 1)
+        with np.errstate(over="ignore"):
+            def span_hash(s_arr, e_arr):
+                return ((csum[e_arr] - csum[s_arr])
+                        * powA_full[e_arr - 1])
+            doc_of = np.repeat(np.arange(n), lens)
+            rel_e = e_idx - doc_start[doc_of]    # 1..len within doc
+            w_ok = rel_e >= window
+            ws = np.where(w_ok, e_idx - window, 0)
+            wh = span_hash(ws.astype(np.int64), e_idx)
+            is_cut = w_ok & ((wh & mask) == 0)
+            # never cut exactly at a doc end (the end is implicit)
+            is_cut &= rel_e < lens[doc_of]
+        # assemble boundaries per doc: starts of chunks = doc_start +
+        # cut positions; then split any gap > max_len arithmetically
+        rows_id, rows_ci, rows_st, rows_ln = [], [], [], []
+        cut_pos = np.flatnonzero(is_cut) + 1     # cut AFTER byte e-1
+        cd = doc_of[cut_pos - 1]
+        out_id_idx = []
+        for d in range(n):                        # per-DOC assembly:
+            # bounded by chunks per doc, not bytes (predicate spacing
+            # ~2^mask_bits); numpy ops inside
+            sel = cut_pos[cd == d]
+            bounds = np.concatenate(
+                [[doc_start[d]], sel, [doc_end[d]]])
+            if bounds[-1] == bounds[-2] and len(bounds) > 2:
+                bounds = bounds[:-1]
+            # max_len split per gap
+            segs = []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                g = int(e - s)
+                if g <= max_len:
+                    if g > 0:
+                        segs.append((s, e))
+                else:
+                    ks = np.arange(s, e, max_len)
+                    for s2 in ks:
+                        segs.append((int(s2), int(min(s2 + max_len,
+                                                      e))))
+            for ci, (s, e) in enumerate(segs):
+                rows_ci.append(ci)
+                rows_st.append(int(s - doc_start[d]))
+                rows_ln.append(int(e - s))
+                out_id_idx.append(d)
+        if not rows_ci:
+            return empty
+        with np.errstate(over="ignore"):
+            s_abs = (np.asarray([doc_start[i] for i in out_id_idx],
+                                np.int64)
+                     + np.asarray(rows_st, np.int64))
+            e_abs = s_abs + np.asarray(rows_ln, np.int64)
+            chash = ((csum[e_abs] - csum[s_abs])
+                     * powA_full[np.maximum(e_abs - 1, 0)])
+        return pa.table({
+            id_col: b[id_col].combine_chunks().take(
+                pa.array(out_id_idx, pa.int64())),
+            "chunk_idx": pa.array(rows_ci, pa.int64()),
+            "start": pa.array(rows_st, pa.int64()),
+            "length": pa.array(rows_ln, pa.int64()),
+            "chunk_hash": pa.array(chash.view(np.int64))})
 
-    return partitioned_map(unioned, kernel, key=key_col,
-                           sort_keys=[key_col, "__side"] + order_cols,
-                           num_partitions=num_partitions,
-                           strategy="tasks")
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True)
