@@ -630,7 +630,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q314_latency_profile": _latency_profile_q,
         "q315_embedding_drift": _embedding_drift_q,
         "q316_cdc_chunks": _cdc_chunks_q,
+        "q317_cdc_dup_share": _cdc_dup_share_q,
     }
+
+
+def _cdc_dup_share_q(sf_dir: str):
+    """q317: chunk-level duplication rate per document
+    (stages/cdc.py:cdc_dup_share) — CDC chunks, first-seen class =
+    min doc id per (hash, length), per-doc dup share in two chunk-
+    keyed exchanges.  Oracle: SQL OVER the independent serial CDC
+    replay (the q316 fixture recomputed here), so the chunking AND
+    the dedup rollup are both externally checked."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_cdc_chunks
+    from featurebox_ray.stages.cdc import cdc_dup_share
+
+    W, MB, ML = 16, 7, 800
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rep = replay_cdc_chunks(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist(),
+                            window=W, mask_bits=MB, max_len=ML)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    pq.write_table(rep, f"{_ORACLE_DIR}/cdc_chunks317.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/cdc_chunks317.parquet.tmp",
+               f"{_ORACLE_DIR}/cdc_chunks317.parquet")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=8)
+    return cdc_dup_share(docs, window=W, mask_bits=MB, max_len=ML,
+                         num_partitions=8)
 
 
 def _cdc_chunks_q(sf_dir: str):
@@ -640,68 +674,22 @@ def _cdc_chunks_q(sf_dir: str):
     hash from prefix differences; boundaries re-synchronize after
     insertions (the dedup-friendly property fixed windows lack).
     Fixture oracle: INDEPENDENT per-doc serial rolling-hash replay
-    (python byte loop) — not SQL-expressible."""
+    (_oracle_replays.replay_cdc_chunks) — not SQL-expressible."""
     import os
 
-    import numpy as np
-    import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
 
-    from featurebox_ray.stages.cdc import CDC_A, cdc_chunk
+    from _oracle_replays import replay_cdc_chunks
+    from featurebox_ray.stages.cdc import cdc_chunk
 
     W, MB, ML = 16, 7, 800
 
     t = pq.read_table(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "text"])
-    A = int(CDC_A)
-    M = (1 << 64) - 1
-    rows = {"doc_id": [], "chunk_idx": [], "start": [],
-            "length": [], "chunk_hash": []}
-    powW = pow(A, W - 1, 1 << 64)
-    for did, txt in zip(t["doc_id"].to_pylist(),
-                        t["text"].to_pylist()):
-        if did is None or txt is None:
-            continue
-        bs = txt.encode("utf-8")
-        h = 0
-        cuts = []
-        for e in range(1, len(bs) + 1):
-            if e <= W:
-                h = (h * A + bs[e - 1]) & M
-            else:
-                h = ((h - bs[e - W - 1] * powW) * A + bs[e - 1]) & M
-            if e >= W and e < len(bs) and (h & ((1 << MB) - 1)) == 0:
-                cuts.append(e)
-        bounds = [0] + cuts + [len(bs)]
-        segs = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            g = e - s
-            if g <= ML:
-                if g > 0:
-                    segs.append((s, e))
-            else:
-                x = s
-                while x < e:
-                    segs.append((x, min(x + ML, e)))
-                    x += ML
-        for ci, (s, e) in enumerate(segs):
-            hh = 0
-            for q in range(s, e):
-                hh = (hh * A + bs[q]) & M
-            rows["doc_id"].append(did)
-            rows["chunk_idx"].append(ci)
-            rows["start"].append(s)
-            rows["length"].append(e - s)
-            # uint64 -> int64 two's-complement (matches .view(int64))
-            rows["chunk_hash"].append(
-                hh - (1 << 64) if hh >= (1 << 63) else hh)
-    rep = pa.table({
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "chunk_idx": pa.array(rows["chunk_idx"], pa.int64()),
-        "start": pa.array(rows["start"], pa.int64()),
-        "length": pa.array(rows["length"], pa.int64()),
-        "chunk_hash": pa.array(rows["chunk_hash"], pa.int64())})
+    rep = replay_cdc_chunks(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist(),
+                            window=W, mask_bits=MB, max_len=ML)
     os.makedirs(_ORACLE_DIR, exist_ok=True)
     pq.write_table(rep, f"{_ORACLE_DIR}/cdc_chunks.parquet.tmp")
     os.replace(f"{_ORACLE_DIR}/cdc_chunks.parquet.tmp",
@@ -9296,6 +9284,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # CDC dup share: SQL rollup OVER the independent serial CDC
+        # replay — chunking and dedup rollup both externally checked
+        "q317_cdc_dup_share": f"""
+            WITH c AS (SELECT * FROM read_parquet(
+                         '{_ORACLE_DIR}/cdc_chunks317.parquet')),
+            f AS (SELECT chunk_hash, length, min(doc_id) AS fd
+                  FROM c GROUP BY 1, 2),
+            d AS (SELECT c.doc_id,
+                         CAST(count(*) AS BIGINT) AS n_chunks,
+                         CAST(count(*) FILTER (f.fd < c.doc_id)
+                              AS BIGINT) AS n_dup_chunks
+                  FROM c JOIN f USING (chunk_hash, length)
+                  GROUP BY c.doc_id)
+            SELECT doc_id, n_chunks, n_dup_chunks,
+                   CAST(n_dup_chunks AS DOUBLE)
+                     / CAST(n_chunks AS DOUBLE) AS dup_share
+            FROM d
         """,
         # CDC chunks: independent serial rolling-hash replay fixture
         "q316_cdc_chunks": f"""

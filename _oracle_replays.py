@@ -1682,3 +1682,58 @@ def replay_markov_attribution(keys, tss, orders, types, *,
     return list(zip(out["channel"].to_pylist(),
                     out["removal_effect"].to_pylist(),
                     out["share"].to_pylist()))
+
+
+def replay_cdc_chunks(doc_ids, texts, *, window=16, mask_bits=7,
+                      max_len=800):
+    """Independent serial CDC replay (python rolling hash) shared by
+    the q316/q317 fixtures — returns a pyarrow Table
+    (doc_id, chunk_idx, start, length, chunk_hash:int64)."""
+    import pyarrow as pa
+
+    A = 0x100000001B3
+    M = (1 << 64) - 1
+    powW = pow(A, window - 1, 1 << 64)
+    rows = {"doc_id": [], "chunk_idx": [], "start": [],
+            "length": [], "chunk_hash": []}
+    for did, txt in zip(doc_ids, texts):
+        if did is None or txt is None:
+            continue
+        bs = txt.encode("utf-8")
+        h, cuts = 0, []
+        for e in range(1, len(bs) + 1):
+            if e <= window:
+                h = (h * A + bs[e - 1]) & M
+            else:
+                h = ((h - bs[e - window - 1] * powW) * A
+                     + bs[e - 1]) & M
+            if e >= window and e < len(bs) \
+                    and (h & ((1 << mask_bits) - 1)) == 0:
+                cuts.append(e)
+        bounds = [0] + cuts + [len(bs)]
+        segs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s <= max_len:
+                if e > s:
+                    segs.append((s, e))
+            else:
+                x = s
+                while x < e:
+                    segs.append((x, min(x + max_len, e)))
+                    x += max_len
+        for ci, (s, e) in enumerate(segs):
+            hh = 0
+            for q in range(s, e):
+                hh = (hh * A + bs[q]) & M
+            rows["doc_id"].append(did)
+            rows["chunk_idx"].append(ci)
+            rows["start"].append(s)
+            rows["length"].append(e - s)
+            rows["chunk_hash"].append(
+                hh - (1 << 64) if hh >= (1 << 63) else hh)
+    return pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "chunk_idx": pa.array(rows["chunk_idx"], pa.int64()),
+        "start": pa.array(rows["start"], pa.int64()),
+        "length": pa.array(rows["length"], pa.int64()),
+        "chunk_hash": pa.array(rows["chunk_hash"], pa.int64())})

@@ -180,3 +180,97 @@ def cdc_chunk(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(kernel, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def cdc_dup_share(ds, *, id_col: str = "doc_id",
+                  text_col: str = "text", window: int = 16,
+                  mask_bits: int = 8, max_len: int = 4096,
+                  num_partitions: int = 16):
+    """Chunk-level duplication rate per document — chunk the corpus
+    with :func:`cdc_chunk`, then for each document count how many of
+    its chunks' ``(chunk_hash, length)`` classes were FIRST seen in a
+    smaller-id document: the incremental-ingest dedup signal ("how
+    much of this doc is already in the corpus") at sub-document
+    granularity, robust to insertions via the CDC re-sync property.
+
+    Two task exchanges, both O(chunks): (1) keyed by chunk hash — the
+    kernel takes min doc id per (hash, length) class and emits one
+    partial row per (doc, is_dup) group; (2) keyed by doc id — exact
+    count sums.  ``dup_share`` is ONE float64 division.  Returns
+    ``(id_col, n_chunks:int64, n_dup_chunks:int64,
+    dup_share:float64)`` — docs with no chunks (empty text) emit
+    nothing.
+    Reference analog: none (dedup family; the CDC composition)."""
+    from .partition import partitioned_map
+
+    chunks = cdc_chunk(ds, id_col=id_col, text_col=text_col,
+                       window=window, mask_bits=mask_bits,
+                       max_len=max_len)
+
+    part_empty = pa.table({id_col: pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64()),
+                           "nd": pa.array([], pa.int64())})
+
+    def first_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "chunk_hash" not in t.column_names:
+            return part_empty
+        # partitioned_map delivers the partition sorted by
+        # (chunk_hash, length, id) — trust the contract (q22-era
+        # review lesson: no redundant kernel lexsorts)
+        hs = t["chunk_hash"].to_numpy(zero_copy_only=False)
+        ls = t["length"].to_numpy(zero_copy_only=False)
+        ds_ = t[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        new_cls = np.concatenate(
+            [[True], (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])])
+        cls = np.cumsum(new_cls.astype(np.int64)) - 1
+        first_doc = ds_[np.flatnonzero(new_cls)][cls]
+        is_dup = (ds_ > first_doc).astype(np.int64)
+        # per-doc partial counts within this partition
+        comp = ds_ * 2 + is_dup
+        ucomp, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        docs = ucomp // 2
+        dup = ucomp % 2
+        return pa.table({
+            id_col: pa.array(docs),
+            "n": pa.array(cnt),
+            "nd": pa.array(cnt * dup)})
+
+    partials = partitioned_map(chunks, first_kernel,
+                               key="chunk_hash",
+                               sort_keys=["chunk_hash", "length",
+                                          id_col],
+                               num_partitions=num_partitions,
+                               strategy="tasks")
+
+    out_empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_chunks": pa.array([], pa.int64()),
+                          "n_dup_chunks": pa.array([], pa.int64()),
+                          "dup_share": pa.array([], pa.float64())})
+
+    def doc_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return out_empty
+        did = t[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        nd = t["nd"].to_numpy(zero_copy_only=False)
+        new_doc = np.concatenate([[True], did[1:] != did[:-1]])
+        grp = np.cumsum(new_doc.astype(np.int64)) - 1
+        k = int(grp[-1]) + 1 if len(grp) else 0
+        tn = np.zeros(k, np.int64)
+        td = np.zeros(k, np.int64)
+        np.add.at(tn, grp, n)
+        np.add.at(td, grp, nd)
+        return pa.table({
+            id_col: pa.array(did[np.flatnonzero(new_doc)]),
+            "n_chunks": pa.array(tn),
+            "n_dup_chunks": pa.array(td),
+            "dup_share": pa.array(td.astype(np.float64)
+                                  / tn.astype(np.float64))})
+
+    return partitioned_map(partials, doc_kernel, key=id_col,
+                           sort_keys=[id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

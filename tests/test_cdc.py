@@ -85,3 +85,39 @@ def test_cdc_resync_after_insertion():
     h0 = set(g[g.doc_id == 0].chunk_hash)
     h1 = set(g[g.doc_id == 1].chunk_hash)
     assert len(h0 & h1) / len(h0) >= 0.8   # boundaries re-synced
+
+
+def test_cdc_dup_share_planted_duplicates():
+    """Docs that embed earlier docs' content get high dup_share;
+    unique docs get 0; partition-invariant."""
+    import pandas as pd
+
+    from featurebox_ray.stages.cdc import cdc_dup_share
+
+    rng = np.random.default_rng(317)
+    base = "".join(chr(97 + int(c))
+                   for c in rng.integers(0, 26, 3000))
+    uniq = "".join(chr(97 + int(c))
+                   for c in rng.integers(0, 26, 3000))
+    # doc2 = copy of doc0; doc3 = doc0's tail inside fresh prefix
+    docs = [base, uniq, base,
+            "".join(chr(97 + int(c))
+                    for c in rng.integers(0, 26, 500)) + base[1000:]]
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(docs)})
+    prev = None
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (cdc_dup_share(ds, mask_bits=6, max_len=400,
+                             num_partitions=parts)
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        s = got.set_index("doc_id")["dup_share"]
+        assert s[0] == 0.0 and s[1] == 0.0        # first-seen
+        assert s[2] == 1.0                        # exact copy
+        assert s[3] > 0.5                         # embedded tail
+        if prev is not None:
+            pd.testing.assert_frame_equal(got, prev)
+        prev = got
