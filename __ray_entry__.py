@@ -631,7 +631,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q315_embedding_drift": _embedding_drift_q,
         "q316_cdc_chunks": _cdc_chunks_q,
         "q317_cdc_dup_share": _cdc_dup_share_q,
+        "q318_event_spans": _event_spans_q,
     }
+
+
+def _event_spans_q(sf_dir: str):
+    """q318: span reconstruction (stages/transitions.py:paired_spans)
+    — n-th 'click' pairs with n-th 'purchase' per user (rank
+    pairing in (ts, order) order); unmatched ranks NULL-sided,
+    negative durations preserved as the audit signal.  SQL replays
+    with a FULL JOIN of row_number-ranked sides."""
+    import ray
+
+    from featurebox_ray.stages.transitions import paired_spans
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        override_num_blocks=8)
+    return paired_spans(ev, key_col="user_id", ts_col="ts",
+                        order_col="event_id", type_col="event_type",
+                        start_type="click", end_type="purchase",
+                        num_partitions=8)
 
 
 def _cdc_dup_share_q(sf_dir: str):
@@ -9284,6 +9305,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # event spans: FULL JOIN of row_number-ranked starts/ends
+        "q318_event_spans": """
+            WITH e AS (
+              SELECT user_id AS k, epoch_us(ts) AS t, event_id AS o,
+                     event_type AS ty
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL
+                AND event_type IN ('click', 'purchase')),
+            s AS (SELECT k, t,
+                         row_number() OVER (PARTITION BY k
+                                            ORDER BY t, o) - 1 AS r
+                  FROM e WHERE ty = 'click'),
+            x AS (SELECT k, t,
+                         row_number() OVER (PARTITION BY k
+                                            ORDER BY t, o) - 1 AS r
+                  FROM e WHERE ty = 'purchase')
+            SELECT coalesce(s.k, x.k) AS user_id,
+                   CAST(coalesce(s.r, x.r) AS BIGINT) AS span_idx,
+                   s.t AS start_ts, x.t AS end_ts,
+                   x.t - s.t AS duration
+            FROM s FULL JOIN x ON s.k = x.k AND s.r = x.r
         """,
         # CDC dup share: SQL rollup OVER the independent serial CDC
         # replay — chunking and dedup rollup both externally checked

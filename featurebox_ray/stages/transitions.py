@@ -999,3 +999,115 @@ def latency_profile(ds, *, key_col: str, ts_col: str,
                            sort_keys=[key_col, "__t", "__o"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def paired_spans(ds, *, key_col: str, ts_col: str, order_col: str,
+                 type_col: str, start_type: str, end_type: str,
+                 num_partitions: int = 16):
+    """Span reconstruction from start/end event pairs — per key, the
+    n-th ``start_type`` event pairs with the n-th ``end_type`` event
+    (rank pairing in ``(ts, order)`` order): tool-call / job-run
+    duration extraction from an event log.  Rank pairing is the
+    deterministic, SQL-replayable discipline (a FULL JOIN of
+    row_number-ranked starts and ends); unmatched ranks keep a NULL
+    other side, and a negative duration (end before its rank-mate
+    start) is emitted as-is — both are the audit signals.
+
+    One keyed exchange; ranks via masks + cumsum, pairing via two
+    searchsorted-free gathers on composite (key-run, rank) codes.
+    All int64 native time units.  Returns ``(key_col,
+    span_idx:int64, start_ts, end_ts, duration:int64)`` (NULLs where
+    a side is missing).  NULL key/ts/order/type rows drop.
+    Reference analog: none (event-log family next to funnel /
+    next_latency — those answer "did/when next"; this builds the
+    full span table)."""
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key_col).type
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[key_col])
+        for c in (ts_col, order_col, type_col):
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        mask = pc.and_(mask, pc.is_in(
+            b[type_col], value_set=pa.array([start_type, end_type])))
+        mask = pc.fill_null(mask, False)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = pa.table({key_col: b[key_col], "__t": ts,
+                      "__o": b[order_col],
+                      "__is_start": pc.equal(b[type_col],
+                                             start_type)})
+        if not pc.all(mask).as_py():
+            t = t.filter(mask)
+        return t
+
+    empty = pa.table({key_col: pa.array([], key_type),
+                      "span_idx": pa.array([], pa.int64()),
+                      "start_ts": pa.array([], pa.int64()),
+                      "end_ts": pa.array([], pa.int64()),
+                      "duration": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        kc = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        st = t["__is_start"].to_numpy(zero_copy_only=False)
+        new_key = np.concatenate([[True], kc[1:] != kc[:-1]])
+        seg = np.cumsum(new_key.astype(np.int64)) - 1
+        # per-segment rank among starts / among ends (0-based)
+        def seg_rank(mask):
+            c = np.cumsum(mask.astype(np.int64))
+            seg_first = np.flatnonzero(new_key)[seg]
+            base_ = np.where(seg_first > 0,
+                             c[np.maximum(seg_first - 1, 0)], 0)
+            return c - base_ - 1            # valid where mask
+        rs = seg_rank(st)
+        re_ = seg_rank(~st)
+        n_rows = len(kc)
+        if n_rows == 0:
+            return empty
+        # composite (segment, rank) codes; max rank bounded by rows
+        Wd = np.int64(n_rows) + 1
+        s_idx = np.flatnonzero(st)
+        e_idx = np.flatnonzero(~st)
+        s_code = seg[s_idx] * Wd + rs[s_idx]
+        e_code = seg[e_idx] * Wd + re_[e_idx]
+        all_code = np.union1d(s_code, e_code)
+        s_pos = np.searchsorted(all_code, s_code)
+        e_pos = np.searchsorted(all_code, e_code)
+        n_sp = len(all_code)
+        st_ts = np.zeros(n_sp, np.int64)
+        st_ok = np.zeros(n_sp, bool)
+        en_ts = np.zeros(n_sp, np.int64)
+        en_ok = np.zeros(n_sp, bool)
+        st_ts[s_pos] = ts[s_idx]
+        st_ok[s_pos] = True
+        en_ts[e_pos] = ts[e_idx]
+        en_ok[e_pos] = True
+        span_seg = (all_code // Wd).astype(np.int64)
+        span_idx = (all_code % Wd).astype(np.int64)
+        first_rows = np.flatnonzero(new_key)
+        key_of_span = keys.take(pa.array(first_rows[span_seg],
+                                         pa.int64()))
+        dur = en_ts - st_ts
+        both = st_ok & en_ok
+        return pa.table({
+            key_col: key_of_span,
+            "span_idx": pa.array(span_idx),
+            "start_ts": pa.array(st_ts, pa.int64(), mask=~st_ok),
+            "end_ts": pa.array(en_ts, pa.int64(), mask=~en_ok),
+            "duration": pa.array(dur, pa.int64(), mask=~both)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_map(prepped, kernel, key=key_col,
+                           sort_keys=[key_col, "__t", "__o"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -64,3 +64,55 @@ def test_latency_profile_duckdb_fuzz():
     single = prev[prev["k"].isin(range(100, 105))]
     assert (single["n_gaps"] == 0).all()
     assert single["median_gap"].isna().all()
+
+
+def test_paired_spans_duckdb_fuzz():
+    """paired_spans vs the FULL-JOIN ranked replay: unbalanced
+    start/end counts, ties, NULLs, negative durations, at 2
+    partitionings."""
+    from featurebox_ray.stages.transitions import paired_spans
+
+    rng = np.random.default_rng(318)
+    n = 2200
+    t = pa.table({
+        "k": pa.array([None if x % 37 == 0 else int(x % 40)
+                       for x in rng.integers(0, 10 ** 6, n)],
+                      pa.int64()),
+        "ts": pa.array(rng.integers(0, 700, n), pa.int64()),
+        "o": pa.array(np.arange(n, dtype=np.int64)),
+        "ty": pa.array(rng.choice(["S", "E", "other"], n)),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql("""
+        WITH e AS (SELECT k, ts AS t, o, ty FROM t
+                   WHERE k IS NOT NULL AND ts IS NOT NULL
+                     AND o IS NOT NULL AND ty IN ('S', 'E')),
+        s AS (SELECT k, t, row_number() OVER (PARTITION BY k
+                    ORDER BY t, o) - 1 AS r FROM e WHERE ty = 'S'),
+        x AS (SELECT k, t, row_number() OVER (PARTITION BY k
+                    ORDER BY t, o) - 1 AS r FROM e WHERE ty = 'E')
+        SELECT coalesce(s.k, x.k) AS k,
+               CAST(coalesce(s.r, x.r) AS BIGINT) AS span_idx,
+               s.t AS start_ts, x.t AS end_ts,
+               x.t - s.t AS duration
+        FROM s FULL JOIN x ON s.k = x.k AND s.r = x.r
+        ORDER BY k, span_idx
+    """).df().reset_index(drop=True)
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (paired_spans(ds, key_col="k", ts_col="ts",
+                            order_col="o", type_col="ty",
+                            start_type="S", end_type="E",
+                            num_partitions=parts)
+               .to_pandas().sort_values(["k", "span_idx"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype(exp.dtypes.to_dict()), exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
+    assert (prev["duration"].dropna() < 0).any()   # audit signal live
