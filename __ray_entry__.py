@@ -657,7 +657,7 @@ def _event_spans_q(sf_dir: str):
 
 def _cdc_dup_share_q(sf_dir: str):
     """q317: chunk-level duplication rate per document
-    (stages/cdc.py:cdc_dup_share) — CDC chunks, first-seen class =
+    (stages/contentchunk.py:cdc_dup_share) — CDC chunks, first-seen class =
     min doc id per (hash, length), per-doc dup share in two chunk-
     keyed exchanges.  Oracle: SQL OVER the independent serial CDC
     replay (the q316 fixture recomputed here), so the chunking AND
@@ -668,7 +668,7 @@ def _cdc_dup_share_q(sf_dir: str):
     import ray
 
     from _oracle_replays import replay_cdc_chunks
-    from featurebox_ray.stages.cdc import cdc_dup_share
+    from featurebox_ray.stages.contentchunk import cdc_dup_share
 
     W, MB, ML = 16, 7, 800
     t = pq.read_table(f"{sf_dir}/documents.parquet",
@@ -689,7 +689,7 @@ def _cdc_dup_share_q(sf_dir: str):
 
 
 def _cdc_chunks_q(sf_dir: str):
-    """q316: content-defined chunking (stages/cdc.py:cdc_chunk) —
+    """q316: content-defined chunking (stages/contentchunk.py:cdc_chunk) —
     FastCDC-style predicate boundaries (rolling window hash low bits
     zero), max-len arithmetic splits, per-chunk polynomial content
     hash from prefix differences; boundaries re-synchronize after
@@ -702,7 +702,7 @@ def _cdc_chunks_q(sf_dir: str):
     import ray
 
     from _oracle_replays import replay_cdc_chunks
-    from featurebox_ray.stages.cdc import cdc_chunk
+    from featurebox_ray.stages.contentchunk import cdc_chunk
 
     W, MB, ML = 16, 7, 800
 

@@ -1,276 +1,142 @@
-"""Content-defined chunking (CDC) — variable-length chunk boundaries
-placed where a rolling hash of the LOCAL byte window satisfies a
-predicate, so boundaries depend only on nearby content: inserting or
-deleting bytes early in a document re-synchronizes every later chunk
-(the property that makes CDC the dedup-friendly chunker — a
-fixed-window chunker shifts every subsequent chunk instead).  The
-Rabin/FastCDC idea, as one vectorized map stage.
+"""CDC changelog compaction — apply an ordered upsert/delete changelog
+to a base snapshot and emit the latest state per key (the merge/compact
+step every incremental 100-TB table maintenance job runs).
 
-Boundary rule: a cut AFTER byte position ``p`` whenever the degree-
-``window`` polynomial hash of bytes ``(p−window, p]`` has its low
-``mask_bits`` bits equal to zero — a pure per-position predicate, so
-the whole block vectorizes (no per-byte Python, no sequential scan).
-Gaps longer than ``max_len`` split at fixed offsets from the LEFT
-boundary (arithmetic, also content-anchored).  No min-length (the
-predicate's expected spacing is 2^mask_bits bytes; tiny chunks are
-legal and rare) — documented contract, mirrored by the replay.
+Shape: ONE tagged-union keyed exchange (base rows tag 0, log rows tag 1)
+routed on the key, each partition sorted by ``(key, tag, *order_cols)``
+so a key's segment ends with its LAST changelog row.  The kernel is one
+vectorized run-length pass — no per-key Python.  Semantics:
 
-Chunk ids: each chunk also carries the polynomial hash of its FULL
-byte content, computed from prefix-hash differences (one vectorized
-pass — ``h(chunk) = S[end] − S[start]·A^len`` over uint64 with a
-power table bounded by ``max_len``), so downstream exact dedup can
-group on (hash, length) without reshipping text.
+* a key with changelog rows takes the value of the LAST log row
+  (deterministic under the caller-supplied total order);
+* if that last row is a delete, the key is dropped (even if earlier log
+  rows upserted it — delete-then-upsert keeps the upsert, upsert-then-
+  delete drops);
+* keys only in the base pass through unchanged (``op='keep'``);
+* keys only in the log insert with NULL payload columns
+  (``op='insert'``); keys in both update (``op='update'``).
 
-Text is processed as UTF-8 BYTES (byte offsets/lengths).  NULL
-ids/text drop; empty docs emit nothing.
+Base keys must be unique (it is a snapshot); duplicate base rows for a
+key raise.  NULL keys must be filtered by the caller's prep.
 
-Oracle: an independent per-doc serial replay (python rolling hash) —
-the boundary rule is not SQL-expressible.  Reference analog: none
-(beyond-reference dedup primitive next to chunk_documents (q68,
-fixed windows) and ExactSubstr spans).
+Reference analog: none (the reference has no incremental maintenance);
+this is an added-for-100-TB table-compaction primitive.
 """
 
 from __future__ import annotations
+
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-CDC_A = np.uint64(0x100000001B3)           # FNV prime, odd
+__all__ = ["cdc_compact"]
 
 
-def _geom_table(base: np.uint64, n: int) -> np.ndarray:
-    """[1, base, base², …] mod 2^64, length n — one vectorized
-    cumprod (uint64 wraparound is the modulus)."""
-    arr = np.full(n, base, np.uint64)
-    arr[0] = np.uint64(1)
-    with np.errstate(over="ignore"):
-        return np.cumprod(arr)
-
-
-def _inv_a() -> np.uint64:
-    """A⁻¹ mod 2^64 (A is odd ⇒ invertible; Newton iteration)."""
-    a = int(CDC_A)
-    inv = 1
-    for _ in range(6):                      # Newton: x *= 2 - a*x
-        inv = (inv * (2 - a * inv)) % (1 << 64)
-    assert (a * inv) % (1 << 64) == 1
-    return np.uint64(inv)
-
-
-def cdc_chunk(ds, *, id_col: str = "doc_id", text_col: str = "text",
-              window: int = 16, mask_bits: int = 8,
-              max_len: int = 4096):
-    """Emit ``(id_col, chunk_idx:int64, start:int64, length:int64,
-    chunk_hash:int64)`` — content-defined chunks per document (see
-    module docstring).  ``chunk_hash`` is the uint64 polynomial hash
-    of the chunk bytes viewed as int64."""
-    if window < 1 or mask_bits < 1 or max_len < 1:
-        raise ValueError("cdc_chunk: window/mask_bits/max_len >= 1")
-    mask = np.uint64((1 << mask_bits) - 1)
-
-    schema = ds.schema()
-    base = getattr(schema, "base_schema", schema)
-    id_type = base.field(id_col).type
-
-    empty = pa.table({id_col: pa.array([], id_type),
-                      "chunk_idx": pa.array([], pa.int64()),
-                      "start": pa.array([], pa.int64()),
-                      "length": pa.array([], pa.int64()),
-                      "chunk_hash": pa.array([], pa.int64())})
-
-    def kernel(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or text_col not in b.column_names:
-            return empty
-        keep = pc.fill_null(pc.and_(pc.is_valid(b[id_col]),
-                                    pc.is_valid(b[text_col])), False)
-        if not pc.all(keep).as_py():
-            b = b.filter(keep)
-        if b.num_rows == 0:
-            return empty
-        txt = b[text_col].combine_chunks()
-        if pa.types.is_large_string(txt.type):
-            txt = txt.cast(pa.string())
-        n = len(txt)
-        raw_off = np.frombuffer(txt.buffers()[1], np.int32)
-        off = raw_off[txt.offset:txt.offset + n + 1].astype(np.int64)
-        data_all = np.frombuffer(txt.buffers()[2] or b"", np.uint8)
-        start0 = off[0]
-        flat = data_all[start0:off[-1]].astype(np.uint64)
-        N = len(flat)
-        doc_start = off[:-1] - start0        # per-doc flat offsets
-        doc_end = off[1:] - start0
-        lens = doc_end - doc_start
-        if N == 0:
-            return empty
-        # rolling window hash via global prefix polynomial:
-        # h(bytes[s, e)) = Σ_{q∈[s,e)} b[q]·A^{e-1-q}
-        #               = A^{e-1} · (csum[e] − csum[s]),
-        # csum[i] = Σ_{q<i} b[q]·(A⁻¹)^q — all uint64 wraparound,
-        # every table one vectorized cumprod/cumsum
-        invA = _geom_table(_inv_a(), N + 1)
-        powA_full = _geom_table(CDC_A, N + 1)
-        with np.errstate(over="ignore"):
-            terms = flat * invA[:N]
-            csum = np.concatenate(
-                [np.zeros(1, np.uint64), np.cumsum(terms)])
-        # boundary predicate per END position e (cut after e-1):
-        # window hash = h(bytes[e-window, e)), defined for e >= window
-        # relative to the DOC start (windows never span documents)
-        e_idx = np.arange(1, N + 1)
-        with np.errstate(over="ignore"):
-            def span_hash(s_arr, e_arr):
-                return ((csum[e_arr] - csum[s_arr])
-                        * powA_full[e_arr - 1])
-            doc_of = np.repeat(np.arange(n), lens)
-            rel_e = e_idx - doc_start[doc_of]    # 1..len within doc
-            w_ok = rel_e >= window
-            ws = np.where(w_ok, e_idx - window, 0)
-            wh = span_hash(ws.astype(np.int64), e_idx)
-            is_cut = w_ok & ((wh & mask) == 0)
-            # never cut exactly at a doc end (the end is implicit)
-            is_cut &= rel_e < lens[doc_of]
-        # assemble boundaries per doc: starts of chunks = doc_start +
-        # cut positions; then split any gap > max_len arithmetically
-        rows_id, rows_ci, rows_st, rows_ln = [], [], [], []
-        cut_pos = np.flatnonzero(is_cut) + 1     # cut AFTER byte e-1
-        cd = doc_of[cut_pos - 1]
-        out_id_idx = []
-        for d in range(n):                        # per-DOC assembly:
-            # bounded by chunks per doc, not bytes (predicate spacing
-            # ~2^mask_bits); numpy ops inside
-            sel = cut_pos[cd == d]
-            bounds = np.concatenate(
-                [[doc_start[d]], sel, [doc_end[d]]])
-            if bounds[-1] == bounds[-2] and len(bounds) > 2:
-                bounds = bounds[:-1]
-            # max_len split per gap
-            segs = []
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                g = int(e - s)
-                if g <= max_len:
-                    if g > 0:
-                        segs.append((s, e))
-                else:
-                    ks = np.arange(s, e, max_len)
-                    for s2 in ks:
-                        segs.append((int(s2), int(min(s2 + max_len,
-                                                      e))))
-            for ci, (s, e) in enumerate(segs):
-                rows_ci.append(ci)
-                rows_st.append(int(s - doc_start[d]))
-                rows_ln.append(int(e - s))
-                out_id_idx.append(d)
-        if not rows_ci:
-            return empty
-        with np.errstate(over="ignore"):
-            s_abs = (np.asarray([doc_start[i] for i in out_id_idx],
-                                np.int64)
-                     + np.asarray(rows_st, np.int64))
-            e_abs = s_abs + np.asarray(rows_ln, np.int64)
-            chash = ((csum[e_abs] - csum[s_abs])
-                     * powA_full[np.maximum(e_abs - 1, 0)])
-        return pa.table({
-            id_col: b[id_col].combine_chunks().take(
-                pa.array(out_id_idx, pa.int64())),
-            "chunk_idx": pa.array(rows_ci, pa.int64()),
-            "start": pa.array(rows_st, pa.int64()),
-            "length": pa.array(rows_ln, pa.int64()),
-            "chunk_hash": pa.array(chash.view(np.int64))})
-
-    return ds.map_batches(kernel, batch_format="pyarrow",
-                          zero_copy_batch=True)
-
-
-def cdc_dup_share(ds, *, id_col: str = "doc_id",
-                  text_col: str = "text", window: int = 16,
-                  mask_bits: int = 8, max_len: int = 4096,
-                  num_partitions: int = 16):
-    """Chunk-level duplication rate per document — chunk the corpus
-    with :func:`cdc_chunk`, then for each document count how many of
-    its chunks' ``(chunk_hash, length)`` classes were FIRST seen in a
-    smaller-id document: the incremental-ingest dedup signal ("how
-    much of this doc is already in the corpus") at sub-document
-    granularity, robust to insertions via the CDC re-sync property.
-
-    Two task exchanges, both O(chunks): (1) keyed by chunk hash — the
-    kernel takes min doc id per (hash, length) class and emits one
-    partial row per (doc, is_dup) group; (2) keyed by doc id — exact
-    count sums.  ``dup_share`` is ONE float64 division.  Returns
-    ``(id_col, n_chunks:int64, n_dup_chunks:int64,
-    dup_share:float64)`` — docs with no chunks (empty text) emit
-    nothing.
-    Reference analog: none (dedup family; the CDC composition)."""
+def cdc_compact(base_ds, log_ds, *, key_col: str, order_cols: Sequence[str],
+                value_col: str, delete_col: str,
+                payload_cols: Sequence[str] = (),
+                num_partitions: int = 16):
+    """Compact ``base_ds`` (unique ``key_col`` + ``payload_cols`` +
+    ``value_col``) with ``log_ds`` (``key_col`` + ``order_cols`` +
+    ``value_col`` + boolean ``delete_col``) → latest state per key:
+    ``(key_col, *payload_cols, value_col, op:string)`` with ``op`` in
+    {'keep', 'update', 'insert'}; deleted keys emit nothing."""
     from .partition import partitioned_map
 
-    chunks = cdc_chunk(ds, id_col=id_col, text_col=text_col,
-                       window=window, mask_bits=mask_bits,
-                       max_len=max_len)
+    order_cols = list(order_cols)
+    payload_cols = list(payload_cols)
 
-    part_empty = pa.table({id_col: pa.array([], pa.int64()),
-                           "n": pa.array([], pa.int64()),
-                           "nd": pa.array([], pa.int64())})
+    base_schema = base_ds.schema()
+    base_schema = getattr(base_schema, "base_schema", base_schema)
+    log_schema = log_ds.schema()
+    log_schema = getattr(log_schema, "base_schema", log_schema)
+    key_type = base_schema.field(key_col).type
+    val_type = base_schema.field(value_col).type
+    pay_types = {c: base_schema.field(c).type for c in payload_cols}
+    ord_types = {c: log_schema.field(c).type for c in order_cols}
 
-    def first_kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "chunk_hash" not in t.column_names:
-            return part_empty
-        # partitioned_map delivers the partition sorted by
-        # (chunk_hash, length, id) — trust the contract (q22-era
-        # review lesson: no redundant kernel lexsorts)
-        hs = t["chunk_hash"].to_numpy(zero_copy_only=False)
-        ls = t["length"].to_numpy(zero_copy_only=False)
-        ds_ = t[id_col].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        new_cls = np.concatenate(
-            [[True], (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])])
-        cls = np.cumsum(new_cls.astype(np.int64)) - 1
-        first_doc = ds_[np.flatnonzero(new_cls)][cls]
-        is_dup = (ds_ > first_doc).astype(np.int64)
-        # per-doc partial counts within this partition
-        comp = ds_ * 2 + is_dup
-        ucomp, inv = np.unique(comp, return_inverse=True)
-        cnt = np.bincount(inv).astype(np.int64)
-        docs = ucomp // 2
-        dup = ucomp % 2
-        return pa.table({
-            id_col: pa.array(docs),
-            "n": pa.array(cnt),
-            "nd": pa.array(cnt * dup)})
+    def tag_base(b: pa.Table) -> pa.Table:
+        if b[key_col].null_count:
+            raise ValueError(f"NULL {key_col} in base snapshot — filter "
+                             "keys upstream")
+        cols = {key_col: b[key_col],
+                "__side": pa.array(np.zeros(b.num_rows, np.int8))}
+        for c in order_cols:
+            cols[c] = pa.nulls(b.num_rows, ord_types[c])
+        cols[value_col] = b[value_col].combine_chunks().cast(val_type)
+        cols["__del"] = pa.array(np.zeros(b.num_rows, bool))
+        for c in payload_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
 
-    partials = partitioned_map(chunks, first_kernel,
-                               key="chunk_hash",
-                               sort_keys=["chunk_hash", "length",
-                                          id_col],
-                               num_partitions=num_partitions,
-                               strategy="tasks")
+    def tag_log(b: pa.Table) -> pa.Table:
+        if b[key_col].null_count:
+            raise ValueError(f"NULL {key_col} in changelog — filter keys "
+                             "upstream")
+        cols = {key_col: b[key_col].combine_chunks().cast(key_type),
+                "__side": pa.array(np.ones(b.num_rows, np.int8))}
+        for c in order_cols:
+            cols[c] = b[c]
+        cols[value_col] = b[value_col].combine_chunks().cast(val_type)
+        cols["__del"] = pc.fill_null(b[delete_col], False)
+        for c in payload_cols:
+            cols[c] = pa.nulls(b.num_rows, pay_types[c])
+        return pa.table(cols)
 
-    out_empty = pa.table({id_col: pa.array([], pa.int64()),
-                          "n_chunks": pa.array([], pa.int64()),
-                          "n_dup_chunks": pa.array([], pa.int64()),
-                          "dup_share": pa.array([], pa.float64())})
+    unioned = (base_ds.map_batches(tag_base, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+               .union(log_ds.map_batches(tag_log, batch_format="pyarrow",
+                                         zero_copy_batch=True)))
 
-    def doc_kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or id_col not in t.column_names:
-            return out_empty
-        did = t[id_col].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        n = t["n"].to_numpy(zero_copy_only=False)
-        nd = t["nd"].to_numpy(zero_copy_only=False)
-        new_doc = np.concatenate([[True], did[1:] != did[:-1]])
-        grp = np.cumsum(new_doc.astype(np.int64)) - 1
-        k = int(grp[-1]) + 1 if len(grp) else 0
-        tn = np.zeros(k, np.int64)
-        td = np.zeros(k, np.int64)
-        np.add.at(tn, grp, n)
-        np.add.at(td, grp, nd)
-        return pa.table({
-            id_col: pa.array(did[np.flatnonzero(new_doc)]),
-            "n_chunks": pa.array(tn),
-            "n_dup_chunks": pa.array(td),
-            "dup_share": pa.array(td.astype(np.float64)
-                                  / tn.astype(np.float64))})
+    empty_cols = {key_col: pa.array([], key_type)}
+    for c in payload_cols:
+        empty_cols[c] = pa.array([], pay_types[c])
+    empty_cols[value_col] = pa.array([], val_type)
+    empty_cols["op"] = pa.array([], pa.string())
+    empty = pa.table(empty_cols)
 
-    return partitioned_map(partials, doc_kernel, key=id_col,
-                           sort_keys=[id_col],
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].combine_chunks()
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_run = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new_run)
+        ends = np.concatenate([starts[1:], [len(codes)]]) - 1
+        # base uniqueness: a key may contribute at most one tag-0 row
+        n_base = np.add.reduceat((side == 0).astype(np.int64), starts)
+        if int(n_base.max(initial=0)) > 1:
+            raise ValueError(f"duplicate {key_col} in base snapshot — "
+                             "base keys must be unique (exact_dedup "
+                             "upstream)")
+        has_base = side[starts] == 0
+        has_log = side[ends] == 1
+        dels = pc.fill_null(t["__del"], False).to_numpy(
+            zero_copy_only=False)
+        keep = ~(has_log & dels[ends])
+        kidx = np.flatnonzero(keep)
+        if len(kidx) == 0:
+            return empty
+        h_log, h_base = has_log[kidx], has_base[kidx]
+        vidx = np.where(h_log, ends[kidx], starts[kidx])
+        pidx = pa.array(np.where(h_base, starts[kidx], -1), pa.int64())
+        pidx = pc.if_else(pc.greater_equal(pidx, 0), pidx,
+                          pa.nulls(len(kidx), pa.int64()))
+        op = np.where(~h_log, "keep",
+                      np.where(h_base, "update", "insert"))
+        out = {key_col: keys.take(pa.array(starts[kidx], pa.int64()))}
+        for c in payload_cols:
+            out[c] = t[c].combine_chunks().take(pidx)
+        out[value_col] = t[value_col].combine_chunks().take(
+            pa.array(vidx, pa.int64()))
+        out["op"] = pa.array(op, pa.string())
+        return pa.table(out)
+
+    return partitioned_map(unioned, kernel, key=key_col,
+                           sort_keys=[key_col, "__side"] + order_cols,
                            num_partitions=num_partitions,
                            strategy="tasks")

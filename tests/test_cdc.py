@@ -1,4 +1,4 @@
-"""cdc_chunk (stages/cdc.py) — serial rolling-hash parity, the
+"""cdc_chunk (stages/contentchunk.py) — serial rolling-hash parity, the
 insertion re-sync property, max-len splitting, partition invariance,
 and unicode/empty-doc edges."""
 
@@ -6,7 +6,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from featurebox_ray.stages.cdc import CDC_A, cdc_chunk
+from featurebox_ray.stages.contentchunk import CDC_A, cdc_chunk
 
 
 def serial_cdc(text, window=16, mask_bits=8, max_len=4096):
@@ -92,7 +92,7 @@ def test_cdc_dup_share_planted_duplicates():
     unique docs get 0; partition-invariant."""
     import pandas as pd
 
-    from featurebox_ray.stages.cdc import cdc_dup_share
+    from featurebox_ray.stages.contentchunk import cdc_dup_share
 
     rng = np.random.default_rng(317)
     base = "".join(chr(97 + int(c))
