@@ -671,15 +671,24 @@ def _cdc_dup_share_q(sf_dir: str):
     from featurebox_ray.stages.contentchunk import cdc_dup_share
 
     W, MB, ML = 16, 7, 800
-    t = pq.read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "text"])
-    rep = replay_cdc_chunks(t["doc_id"].to_pylist(),
-                            t["text"].to_pylist(),
-                            window=W, mask_bits=MB, max_len=ML)
-    os.makedirs(_ORACLE_DIR, exist_ok=True)
-    pq.write_table(rep, f"{_ORACLE_DIR}/cdc_chunks317.parquet.tmp")
-    os.replace(f"{_ORACLE_DIR}/cdc_chunks317.parquet.tmp",
-               f"{_ORACLE_DIR}/cdc_chunks317.parquet")
+    # the fixture is param-keyed and byte-deterministic: reuse q316's
+    # if this process already wrote it (the replay is the most
+    # expensive pure-python loop in the suite — don't run it twice)
+    fpath = f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet"
+    spath = f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.src"
+    fresh = (os.path.exists(fpath) and os.path.exists(spath)
+             and open(spath).read() == sf_dir)
+    if not fresh:
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        rep = replay_cdc_chunks(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist(),
+                                window=W, mask_bits=MB, max_len=ML)
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
+        pq.write_table(rep, fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+        with open(spath, "w") as fh:
+            fh.write(sf_dir)
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"],
@@ -712,9 +721,12 @@ def _cdc_chunks_q(sf_dir: str):
                             t["text"].to_pylist(),
                             window=W, mask_bits=MB, max_len=ML)
     os.makedirs(_ORACLE_DIR, exist_ok=True)
-    pq.write_table(rep, f"{_ORACLE_DIR}/cdc_chunks.parquet.tmp")
-    os.replace(f"{_ORACLE_DIR}/cdc_chunks.parquet.tmp",
-               f"{_ORACLE_DIR}/cdc_chunks.parquet")
+    pq.write_table(rep,
+        f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet.tmp")
+    os.replace(f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet.tmp",
+               f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet")
+    with open(f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.src", "w") as fh:
+        fh.write(sf_dir)
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"],
@@ -9333,7 +9345,7 @@ def oracle_sql() -> dict[str, str]:
         # replay — chunking and dedup rollup both externally checked
         "q317_cdc_dup_share": f"""
             WITH c AS (SELECT * FROM read_parquet(
-                         '{_ORACLE_DIR}/cdc_chunks317.parquet')),
+                         '{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet')),
             f AS (SELECT chunk_hash, length, min(doc_id) AS fd
                   FROM c GROUP BY 1, 2),
             d AS (SELECT c.doc_id,
@@ -9350,7 +9362,7 @@ def oracle_sql() -> dict[str, str]:
         # CDC chunks: independent serial rolling-hash replay fixture
         "q316_cdc_chunks": f"""
             SELECT doc_id, chunk_idx, start, length, chunk_hash
-            FROM read_parquet('{_ORACLE_DIR}/cdc_chunks.parquet')
+            FROM read_parquet('{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet')
         """,
         # embedding drift: HUGEINT unnest centroid sums per
         # (label, half), signed cos^2 = one division of exact products

@@ -135,11 +135,16 @@ def cdc_chunk(ds, *, id_col: str = "doc_id", text_col: str = "text",
         rows_id, rows_ci, rows_st, rows_ln = [], [], [], []
         cut_pos = np.flatnonzero(is_cut) + 1     # cut AFTER byte e-1
         cd = doc_of[cut_pos - 1]
+        # cd is non-decreasing: one searchsorted pair per doc gives
+        # its cut slice in O(log cuts) — never a cd==d scan per doc
+        # (that would be O(docs × cuts))
+        doc_lo = np.searchsorted(cd, np.arange(n))
+        doc_hi = np.searchsorted(cd, np.arange(n), side="right")
         out_id_idx = []
         for d in range(n):                        # per-DOC assembly:
-            # bounded by chunks per doc, not bytes (predicate spacing
+            # bounded by chunks per doc (predicate spacing
             # ~2^mask_bits); numpy ops inside
-            sel = cut_pos[cd == d]
+            sel = cut_pos[doc_lo[d]:doc_hi[d]]
             bounds = np.concatenate(
                 [[doc_start[d]], sel, [doc_end[d]]])
             if bounds[-1] == bounds[-2] and len(bounds) > 2:
@@ -202,6 +207,14 @@ def cdc_dup_share(ds, *, id_col: str = "doc_id",
     nothing.
     Reference analog: none (dedup family; the CDC composition)."""
     from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    if not pa.types.is_integer(base.field(id_col).type):
+        raise ValueError(
+            f"cdc_dup_share: {id_col} must be an integer column "
+            "(first-seen = MIN id; the composite doc-side codes are "
+            "int64) — map string ids to ints upstream")
 
     chunks = cdc_chunk(ds, id_col=id_col, text_col=text_col,
                        window=window, mask_bits=mask_bits,

@@ -1013,8 +1013,9 @@ def paired_spans(ds, *, key_col: str, ts_col: str, order_col: str,
     other side, and a negative duration (end before its rank-mate
     start) is emitted as-is — both are the audit signals.
 
-    One keyed exchange; ranks via masks + cumsum, pairing via two
-    searchsorted-free gathers on composite (key-run, rank) codes.
+    One keyed exchange; ranks via masks + cumsum, pairing by
+    searchsorted positions of both sides' composite (key-run, rank)
+    codes in their union.
     All int64 native time units.  Returns ``(key_col,
     span_idx:int64, start_ts, end_ts, duration:int64)`` (NULLs where
     a side is missing).  NULL key/ts/order/type rows drop.

@@ -1,123 +1,138 @@
-"""cdc_chunk (stages/contentchunk.py) — serial rolling-hash parity, the
-insertion re-sync property, max-len splitting, partition invariance,
-and unicode/empty-doc edges."""
+"""CDC changelog compaction (stages/cdc.py)."""
 
+import duckdb
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray
 
-from featurebox_ray.stages.contentchunk import CDC_A, cdc_chunk
+from featurebox_ray.stages.cdc import cdc_compact
 
 
-def serial_cdc(text, window=16, mask_bits=8, max_len=4096):
-    bs = text.encode("utf-8")
-    A, M = int(CDC_A), (1 << 64) - 1
-    powW = pow(A, window - 1, 1 << 64)
-    h, cuts = 0, []
-    for e in range(1, len(bs) + 1):
-        if e <= window:
-            h = (h * A + bs[e - 1]) & M
-        else:
-            h = ((h - bs[e - window - 1] * powW) * A + bs[e - 1]) & M
-        if e >= window and e < len(bs) \
-                and (h & ((1 << mask_bits) - 1)) == 0:
-            cuts.append(e)
-    bounds = [0] + cuts + [len(bs)]
-    segs = []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s <= max_len:
-            if e > s:
-                segs.append((s, e))
-        else:
-            x = s
-            while x < e:
-                segs.append((x, min(x + max_len, e)))
-                x += max_len
-    out = []
-    for ci, (s, e) in enumerate(segs):
-        hh = 0
-        for q in range(s, e):
-            hh = (hh * A + bs[q]) & M
-        out.append((ci, s, e - s,
-                    hh - (1 << 64) if hh >= (1 << 63) else hh))
-    return out
+def _fixture(rng, n_base=120, n_log=400):
+    base = pa.table({
+        "key": pa.array(np.arange(n_base), pa.int64()),
+        "name": pa.array([f"name-{i}" if i % 11 else None
+                          for i in range(n_base)], pa.string()),
+        "cents": pa.array(rng.integers(0, 10_000, n_base), pa.int64()),
+    })
+    # log keys cover updates (< n_base), inserts (>= n_base), repeats
+    keys = rng.integers(0, n_base + 40, n_log)
+    log = pa.table({
+        "key": pa.array(keys, pa.int64()),
+        "t": pa.array(rng.integers(0, 50, n_log), pa.int64()),
+        "seq": pa.array(np.arange(n_log), pa.int64()),
+        "cents": pa.array(rng.integers(0, 10_000, n_log), pa.int64()),
+        "is_del": pa.array(rng.random(n_log) < 0.25),
+    })
+    return base, log
 
 
-def test_cdc_serial_parity_and_partition_invariance():
-    rng = np.random.default_rng(316)
-    docs = ["".join(chr(97 + int(c))
-                    for c in rng.integers(0, 26, int(L)))
-            for L in rng.integers(0, 2500, 30)]
-    docs += ["", "éλ☃" * 50, "a" * 2000]     # unicode + empty + runs
-    t = pa.table({"doc_id": pa.array(np.arange(len(docs)),
-                                     pa.int64()),
-                  "text": pa.array(docs)})
-    prev = None
-    for parts in (1, 5):
-        ds = ray.data.from_arrow(t)
-        if parts > 1:
-            ds = ds.repartition(parts)
-        got = (cdc_chunk(ds, mask_bits=6, max_len=400)
-               .to_pandas().sort_values(["doc_id", "chunk_idx"])
-               .reset_index(drop=True))
-        for d, sub in got.groupby("doc_id"):
-            want = serial_cdc(docs[int(d)], mask_bits=6, max_len=400)
-            g = [(int(r.chunk_idx), int(r.start), int(r.length),
-                  int(r.chunk_hash)) for r in sub.itertuples()]
-            assert g == want, d
-        # empty docs emit nothing
-        assert (got.groupby("doc_id").size().get(len(docs) - 3, 0)
-                == 0)
-        # max-len respected
-        assert int(got["length"].max()) <= 400
-        if prev is not None:
-            assert got.equals(prev)
-        prev = got
+def _oracle(base, log):
+    con = duckdb.connect()
+    con.register("b", base)
+    con.register("l", log)
+    return con.execute("""
+        WITH last AS (
+          SELECT key, cents, is_del FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY key ORDER BY t DESC, seq DESC) AS rn
+            FROM l) WHERE rn = 1)
+        SELECT coalesce(b.key, last.key) AS key, b.name AS name,
+               CASE WHEN last.key IS NOT NULL THEN last.cents
+                    ELSE b.cents END AS cents,
+               CASE WHEN last.key IS NULL THEN 'keep'
+                    WHEN b.key IS NULL THEN 'insert'
+                    ELSE 'update' END AS op
+        FROM b FULL JOIN last ON b.key = last.key
+        WHERE NOT (last.key IS NOT NULL AND last.is_del)
+        ORDER BY key
+    """).fetch_arrow_table()
 
 
-def test_cdc_resync_after_insertion():
+def test_cdc_compact_duckdb_fuzz():
     rng = np.random.default_rng(7)
-    doc = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 4000))
-    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
-                  "text": pa.array([doc, "PREFIXINSERT" + doc])})
-    g = cdc_chunk(ray.data.from_arrow(t), mask_bits=6,
-                  max_len=400).to_pandas()
-    h0 = set(g[g.doc_id == 0].chunk_hash)
-    h1 = set(g[g.doc_id == 1].chunk_hash)
-    assert len(h0 & h1) / len(h0) >= 0.8   # boundaries re-synced
+    base, log = _fixture(rng)
+    want = _oracle(base, log).to_pandas()
+    for pb, pl, parts in ((1, 1, 2), (3, 5, 7), (6, 2, 4)):
+        got = (cdc_compact(
+            ray.data.from_arrow(base).repartition(pb),
+            ray.data.from_arrow(log).repartition(pl),
+            key_col="key", order_cols=["t", "seq"], value_col="cents",
+            delete_col="is_del", payload_cols=["name"],
+            num_partitions=parts)
+            .to_pandas().sort_values("key").reset_index(drop=True))
+        assert list(got.columns) == ["key", "name", "cents", "op"]
+        assert got["key"].tolist() == want["key"].tolist()
+        assert got["cents"].tolist() == want["cents"].tolist()
+        assert got["op"].tolist() == want["op"].tolist()
+        assert (got["name"].isna() == want["name"].isna()).all()
+        assert (got["name"].dropna() ==
+                want["name"].dropna()).all()
 
 
-def test_cdc_dup_share_planted_duplicates():
-    """Docs that embed earlier docs' content get high dup_share;
-    unique docs get 0; partition-invariant."""
-    import pandas as pd
+def test_cdc_semantics_small():
+    base = pa.table({"key": pa.array([1, 2, 3], pa.int64()),
+                     "cents": pa.array([10, 20, 30], pa.int64())})
+    log = pa.table({
+        # key 1: upsert then delete -> dropped
+        # key 2: delete then upsert -> survives with 99
+        # key 4: insert; key 5: insert then delete -> dropped
+        "key": pa.array([1, 1, 2, 2, 4, 5, 5], pa.int64()),
+        "t": pa.array([0, 1, 0, 1, 0, 0, 1], pa.int64()),
+        "seq": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        "cents": pa.array([77, 0, 0, 99, 44, 55, 0], pa.int64()),
+        "is_del": pa.array([False, True, True, False, False,
+                            False, True]),
+    })
+    got = (cdc_compact(ray.data.from_arrow(base),
+                       ray.data.from_arrow(log),
+                       key_col="key", order_cols=["t", "seq"],
+                       value_col="cents", delete_col="is_del",
+                       num_partitions=3)
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    assert got["key"].tolist() == [2, 3, 4]
+    assert got["cents"].tolist() == [99, 30, 44]
+    assert got["op"].tolist() == ["update", "keep", "insert"]
 
-    from featurebox_ray.stages.contentchunk import cdc_dup_share
 
-    rng = np.random.default_rng(317)
-    base = "".join(chr(97 + int(c))
-                   for c in rng.integers(0, 26, 3000))
-    uniq = "".join(chr(97 + int(c))
-                   for c in rng.integers(0, 26, 3000))
-    # doc2 = copy of doc0; doc3 = doc0's tail inside fresh prefix
-    docs = [base, uniq, base,
-            "".join(chr(97 + int(c))
-                    for c in rng.integers(0, 26, 500)) + base[1000:]]
-    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
-                  "text": pa.array(docs)})
-    prev = None
-    for parts in (1, 4):
-        ds = ray.data.from_arrow(t)
-        if parts > 1:
-            ds = ds.repartition(parts)
-        got = (cdc_dup_share(ds, mask_bits=6, max_len=400,
-                             num_partitions=parts)
-               .to_pandas().sort_values("doc_id")
-               .reset_index(drop=True))
-        s = got.set_index("doc_id")["dup_share"]
-        assert s[0] == 0.0 and s[1] == 0.0        # first-seen
-        assert s[2] == 1.0                        # exact copy
-        assert s[3] > 0.5                         # embedded tail
-        if prev is not None:
-            pd.testing.assert_frame_equal(got, prev)
-        prev = got
+def test_cdc_empty_log_and_dup_base():
+    base = pa.table({"key": pa.array([1, 2], pa.int64()),
+                     "cents": pa.array([10, 20], pa.int64())})
+    empty_log = pa.table({"key": pa.array([], pa.int64()),
+                          "t": pa.array([], pa.int64()),
+                          "seq": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "is_del": pa.array([], pa.bool_())})
+    got = (cdc_compact(ray.data.from_arrow(base),
+                       ray.data.from_arrow(empty_log),
+                       key_col="key", order_cols=["t", "seq"],
+                       value_col="cents", delete_col="is_del",
+                       num_partitions=2)
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    assert got["op"].tolist() == ["keep", "keep"]
+    assert got["cents"].tolist() == [10, 20]
+
+    dup = pa.table({"key": pa.array([1, 1], pa.int64()),
+                    "cents": pa.array([10, 11], pa.int64())})
+    with pytest.raises(Exception, match="unique"):
+        cdc_compact(ray.data.from_arrow(dup),
+                    ray.data.from_arrow(empty_log),
+                    key_col="key", order_cols=["t", "seq"],
+                    value_col="cents", delete_col="is_del",
+                    num_partitions=2).to_pandas()
+
+
+def test_cdc_compact_duplicate_base_raises():
+    base = pa.table({"key": pa.array([1, 1], pa.int64()),
+                     "cents": pa.array([1, 2], pa.int64())})
+    log = pa.table({"key": pa.array([1], pa.int64()),
+                    "t": pa.array([1], pa.int64()),
+                    "seq": pa.array([1], pa.int64()),
+                    "cents": pa.array([9], pa.int64()),
+                    "is_delete": pa.array([False])})
+    with pytest.raises(Exception, match="duplicate key"):
+        (cdc_compact(ray.data.from_arrow(base),
+                     ray.data.from_arrow(log), key_col="key",
+                     order_cols=["t", "seq"], value_col="cents",
+                     delete_col="is_delete").to_pandas())
