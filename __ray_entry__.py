@@ -632,7 +632,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q316_cdc_chunks": _cdc_chunks_q,
         "q317_cdc_dup_share": _cdc_dup_share_q,
         "q318_event_spans": _event_spans_q,
+        "q319_leakage_audit": _leakage_audit_q,
     }
+
+
+def _leakage_audit_q(sf_dir: str):
+    """q319: temporal-leakage audit as an operator (stages/asof.py:
+    asof_leakage_audit) — run the q10-shaped backfill with the
+    matched right ts exposed as a value column, then recompute the
+    correct backward as-of per row and count disagreements.  The
+    oracle recomputes n_rows/n_matched per user with an independent
+    inequality join and asserts n_mismatch = 0 — the engine's column
+    must agree (a leaking or stale engine join would emit nonzero
+    mismatches and/or different match counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from featurebox_ray.stages.asof import (asof_join,
+                                            asof_leakage_audit)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        override_num_blocks=8).materialize()
+
+    def right_side(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(b["event_type"], "error"), False)
+        b = b.filter(m)
+        ts = b["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "rts": ts})
+
+    def left_side(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "ts"])
+
+    right = ev.map_batches(right_side, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    left = ev.map_batches(left_side, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = asof_join(left, right, key="user_id", ts_col="ts",
+                       right_cols=["rts"], num_partitions=8,
+                       strategy="tasks")
+    return asof_leakage_audit(joined, right, key="user_id",
+                              ts_col="ts", matched_ts_col="rts",
+                              num_partitions=8)
 
 
 def _event_spans_q(sf_dir: str):
@@ -9317,6 +9361,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # leakage audit: independent inequality join recomputes the
+        # per-user match counts; a correct engine join has 0 mismatches
+        "q319_leakage_audit": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            r AS (
+              SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE event_type = 'error' AND user_id IS NOT NULL
+                AND ts IS NOT NULL),
+            m AS (
+              SELECT l.user_id, l.event_id, max(r.t) AS mt
+              FROM l LEFT JOIN r
+                ON r.user_id = l.user_id AND r.t <= l.t
+              GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(mt) AS BIGINT) AS n_matched,
+                   CAST(0 AS BIGINT) AS n_mismatch
+            FROM m GROUP BY user_id
         """,
         # event spans: FULL JOIN of row_number-ranked starts/ends
         "q318_event_spans": """

@@ -364,3 +364,124 @@ def asof_interpolate(left, right, *, key: str, ts_col: str,
                                       "__id"],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def asof_leakage_audit(joined_ds, right_ds, *, key: str,
+                       ts_col: str, matched_ts_col: str,
+                       num_partitions: int = 16):
+    """Temporal-leakage audit as an OPERATOR — the north-rule's
+    zero-leakage probe promoted from test to first-class pipeline
+    stage: given an as-of join's OUTPUT (each left row carrying the
+    matched right timestamp) and the right table itself, recompute
+    the correct backward as-of choice per row and count
+    disagreements.  ``n_mismatch > 0`` means the join either looked
+    into the future (leakage) or missed the latest eligible version
+    (staleness) — both audit-fatal.
+
+    Emits per key: ``(key, n_rows:int64, n_matched:int64,
+    n_mismatch:int64)``.  One tagged-union keyed exchange (right rows
+    tag 0, joined rows tag 1, sorted by ts within the run); expected
+    match via one searchsorted over run-offset-normalized timestamps
+    (the q311 stride trick, overflow-guarded).  NULL key/ts rows of
+    either side drop; a NULL ``matched_ts_col`` is correct exactly
+    when no right row is at-or-before the left ts.
+    Reference analog: the operator form of the flagship's
+    leakage-probe tests (north_star contract)."""
+    import ray
+
+    from .partition import partitioned_map
+
+    schema = joined_ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    key_type = base.field(key).type
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[key]),
+                                    pc.is_valid(b[ts_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({key: b[key], "__tag": pa.array(
+            np.zeros(b.num_rows, np.int8)),
+            "__t": ts, "__m": pa.nulls(b.num_rows, pa.int64())})
+
+    def tag_joined(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[key]),
+                                    pc.is_valid(b[ts_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        mt = b[matched_ts_col].combine_chunks()
+        if pa.types.is_timestamp(mt.type):
+            mt = mt.cast(pa.int64())
+        return pa.table({key: b[key], "__tag": pa.array(
+            np.ones(b.num_rows, np.int8)),
+            "__t": ts, "__m": mt.cast(pa.int64())})
+
+    unioned = (right_ds.map_batches(tag_right, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+               .union(joined_ds.map_batches(
+                   tag_joined, batch_format="pyarrow",
+                   zero_copy_batch=True)))
+
+    empty = pa.table({key: pa.array([], key_type),
+                      "n_rows": pa.array([], pa.int64()),
+                      "n_matched": pa.array([], pa.int64()),
+                      "n_mismatch": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.column_names:
+            return empty
+        keys = t[key].combine_chunks()
+        kc = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tag = t["__tag"].to_numpy(zero_copy_only=False)
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        new_key = np.concatenate([[True], kc[1:] != kc[:-1]])
+        seg = np.cumsum(new_key.astype(np.int64)) - 1
+        n_seg = int(seg[-1]) + 1
+        mn = ts.min()
+        K = np.int64(ts.max() - mn) + 2
+        if np.int64(n_seg) * K >= np.int64(2 ** 62):
+            raise ValueError("asof_leakage_audit: run-offset stride "
+                             "overflow — raise num_partitions")
+        ts_adj = (ts - mn) + seg * K
+        is_r = tag == 0
+        r_adj = ts_adj[is_r]                   # sorted (key, tag, ts)
+        l_idx = np.flatnonzero(~is_r)
+        pos = np.searchsorted(r_adj, ts_adj[l_idx], side="right") - 1
+        # a hit must come from the SAME segment
+        ok = pos >= 0
+        exp_seg = np.where(ok, seg[np.flatnonzero(is_r)][
+            np.maximum(pos, 0)], -1)
+        ok &= exp_seg == seg[l_idx]
+        exp_ts = np.where(ok, ts[np.flatnonzero(is_r)][
+            np.maximum(pos, 0)], 0)
+        m_arr = t["__m"].combine_chunks()
+        m_valid = np.asarray(pc.is_valid(m_arr))[l_idx]
+        m_vals = np.asarray(pc.fill_null(m_arr, 0))[l_idx]
+        mismatch = (m_valid != ok) | (ok & (m_vals != exp_ts))
+        # reduce per segment over joined rows
+        lseg = seg[l_idx]
+        n_rows = np.zeros(n_seg, np.int64)
+        n_match = np.zeros(n_seg, np.int64)
+        n_mis = np.zeros(n_seg, np.int64)
+        np.add.at(n_rows, lseg, 1)
+        np.add.at(n_match, lseg, m_valid.astype(np.int64))
+        np.add.at(n_mis, lseg, mismatch.astype(np.int64))
+        firsts = np.flatnonzero(new_key)
+        keep = n_rows > 0                       # keys with joined rows
+        return pa.table({
+            key: keys.take(pa.array(firsts[keep], pa.int64())),
+            "n_rows": pa.array(n_rows[keep]),
+            "n_matched": pa.array(n_match[keep]),
+            "n_mismatch": pa.array(n_mis[keep])})
+
+    return partitioned_map(unioned, kernel, key=key,
+                           sort_keys=[key, "__tag", "__t"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")
