@@ -633,7 +633,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q317_cdc_dup_share": _cdc_dup_share_q,
         "q318_event_spans": _event_spans_q,
         "q319_leakage_audit": _leakage_audit_q,
+        "q320_dup_regions": _dup_regions_q,
     }
+
+
+def _dup_regions_q(sf_dir: str):
+    """q320: duplicate text regions (stages/contentchunk.py:
+    cdc_dup_regions) — every CDC chunk whose (hash, length) class
+    repeats, with class size and first-seen doc: the keep-first
+    removal plan behind q317's rates.  Oracle: SQL HAVING/JOIN over
+    the same independent serial CDC replay fixture as q316/q317."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_cdc_chunks
+    from featurebox_ray.stages.contentchunk import cdc_dup_regions
+
+    W, MB, ML = 16, 7, 800
+    fpath = f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet"
+    spath = f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.src"
+    fresh = (os.path.exists(fpath) and os.path.exists(spath)
+             and open(spath).read() == sf_dir)
+    if not fresh:
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        rep = replay_cdc_chunks(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist(),
+                                window=W, mask_bits=MB, max_len=ML)
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
+        pq.write_table(rep, fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+        with open(spath, "w") as fh:
+            fh.write(sf_dir)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=8)
+    return cdc_dup_regions(docs, window=W, mask_bits=MB, max_len=ML,
+                           num_partitions=8)
 
 
 def _leakage_audit_q(sf_dir: str):
@@ -9361,6 +9400,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # dup regions: HAVING>1 classes over the shared CDC replay
+        "q320_dup_regions": f"""
+            WITH c AS (SELECT * FROM read_parquet(
+                         '{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet')),
+            f AS (SELECT chunk_hash, length,
+                         CAST(count(*) AS BIGINT) AS n_copies,
+                         CAST(min(doc_id) AS BIGINT) AS first_doc
+                  FROM c GROUP BY 1, 2 HAVING count(*) > 1)
+            SELECT c.doc_id, c.start, c.length, f.n_copies,
+                   f.first_doc
+            FROM c JOIN f USING (chunk_hash, length)
         """,
         # leakage audit: independent inequality join recomputes the
         # per-user match counts; a correct engine join has 0 mismatches

@@ -287,3 +287,69 @@ def cdc_dup_share(ds, *, id_col: str = "doc_id",
                            sort_keys=[id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def cdc_dup_regions(ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 16,
+                    mask_bits: int = 8, max_len: int = 4096,
+                    num_partitions: int = 16):
+    """Duplicate text REGIONS — the removal plan behind
+    :func:`cdc_dup_share`'s rates: every chunk whose
+    ``(chunk_hash, length)`` class occurs more than once in the
+    corpus, annotated with the class size and its first-seen doc.  A
+    downstream scrubber deletes byte range ``[start, start+length)``
+    of every row where ``id_col != first_doc`` (keep-first policy).
+
+    One chunk-hash-keyed exchange; classes resolved per partition
+    (all members of a class co-locate), singleton classes emit
+    nothing so the output is duplicate-volume-sized.  Returns
+    ``(id_col, start:int64, length:int64, n_copies:int64,
+    first_doc:int64)``.
+    Reference analog: none (dedup family; Lee et al. ExactSubstr's
+    span shape at CDC granularity)."""
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    if not pa.types.is_integer(base.field(id_col).type):
+        raise ValueError(
+            f"cdc_dup_regions: {id_col} must be an integer column")
+
+    chunks = cdc_chunk(ds, id_col=id_col, text_col=text_col,
+                       window=window, mask_bits=mask_bits,
+                       max_len=max_len)
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "start": pa.array([], pa.int64()),
+                      "length": pa.array([], pa.int64()),
+                      "n_copies": pa.array([], pa.int64()),
+                      "first_doc": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "chunk_hash" not in t.column_names:
+            return empty
+        # sorted by (chunk_hash, length, id) — contract
+        hs = t["chunk_hash"].to_numpy(zero_copy_only=False)
+        ls = t["length"].to_numpy(zero_copy_only=False)
+        ds_ = t[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        st = t["start"].to_numpy(zero_copy_only=False)
+        new_cls = np.concatenate(
+            [[True], (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])])
+        cls = np.cumsum(new_cls.astype(np.int64)) - 1
+        firsts = np.flatnonzero(new_cls)
+        sizes = np.diff(np.append(firsts, len(cls)))
+        keep = sizes[cls] > 1                 # duplicate classes only
+        if not keep.any():
+            return empty
+        return pa.table({
+            id_col: pa.array(ds_[keep]),
+            "start": pa.array(st[keep].astype(np.int64)),
+            "length": pa.array(ls[keep].astype(np.int64)),
+            "n_copies": pa.array(sizes[cls][keep].astype(np.int64)),
+            "first_doc": pa.array(ds_[firsts][cls][keep])})
+
+    return partitioned_map(chunks, kernel, key="chunk_hash",
+                           sort_keys=["chunk_hash", "length", id_col],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

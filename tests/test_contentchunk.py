@@ -102,3 +102,38 @@ def test_cdc_dup_share_planted_duplicates():
         if prev is not None:
             pd.testing.assert_frame_equal(got, prev)
         prev = got
+
+
+def test_cdc_dup_regions_planted():
+    """Planted duplicates produce regions pointing at the first-seen
+    doc; unique docs emit nothing; partition-invariant."""
+    import pandas as pd
+
+    from featurebox_ray.stages.contentchunk import cdc_dup_regions
+
+    rng = np.random.default_rng(320)
+    base = "".join(chr(97 + int(c))
+                   for c in rng.integers(0, 26, 2500))
+    uniq = "".join(chr(97 + int(c))
+                   for c in rng.integers(0, 26, 2500))
+    docs = [base, uniq, base]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(docs)})
+    prev = None
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (cdc_dup_regions(ds, mask_bits=6, max_len=400,
+                               num_partitions=parts)
+               .to_pandas().sort_values(["doc_id", "start"])
+               .reset_index(drop=True))
+        assert set(got["doc_id"]) == {0, 2}       # uniq emits nothing
+        assert (got["first_doc"] == 0).all()
+        assert (got["n_copies"] == 2).all()
+        # doc 2's duplicate regions cover its whole byte length
+        d2 = got[got["doc_id"] == 2]
+        assert int(d2["length"].sum()) == len(base.encode())
+        if prev is not None:
+            pd.testing.assert_frame_equal(got, prev)
+        prev = got
