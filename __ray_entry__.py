@@ -634,7 +634,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q318_event_spans": _event_spans_q,
         "q319_leakage_audit": _leakage_audit_q,
         "q320_dup_regions": _dup_regions_q,
+        "q321_scrub_dedup": _scrub_dedup_q,
     }
+
+
+def _scrub_dedup_q(sf_dir: str):
+    """q321: keep-first chunk-dedup scrub with byte accounting
+    (stages/contentchunk.py:cdc_scrub) — REAL byte splicing of every
+    non-first duplicate region, n_after measured from the scrubbed
+    bytes (n_before − n_removed == n_after is an internal invariant).
+    Oracle: per-doc removal sums over the shared serial CDC replay
+    fixture joined to octet lengths."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from _oracle_replays import replay_cdc_chunks
+    from featurebox_ray.stages.contentchunk import cdc_scrub
+
+    W, MB, ML = 16, 7, 800
+    fpath = f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet"
+    spath = f"{_ORACLE_DIR}/cdc_chunks_w16m7l800.src"
+    fresh = (os.path.exists(fpath) and os.path.exists(spath)
+             and open(spath).read() == sf_dir)
+    if not fresh:
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        rep = replay_cdc_chunks(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist(),
+                                window=W, mask_bits=MB, max_len=ML)
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
+        pq.write_table(rep, fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+        with open(spath, "w") as fh:
+            fh.write(sf_dir)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=8)
+    return cdc_scrub(docs, window=W, mask_bits=MB, max_len=ML,
+                     num_partitions=8)
 
 
 def _dup_regions_q(sf_dir: str):
@@ -9400,6 +9440,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # scrub accounting: per-doc removal sums over the shared CDC
+        # replay fixture vs octet lengths (engine measures n_after
+        # from the actually-scrubbed bytes)
+        "q321_scrub_dedup": f"""
+            WITH c AS (SELECT * FROM read_parquet(
+                         '{_ORACLE_DIR}/cdc_chunks_w16m7l800.parquet')),
+            f AS (SELECT chunk_hash, length, min(doc_id) AS fd
+                  FROM c GROUP BY 1, 2 HAVING count(*) > 1),
+            rm AS (SELECT c.doc_id,
+                          CAST(sum(c.length) AS BIGINT) AS removed
+                   FROM c JOIN f USING (chunk_hash, length)
+                   WHERE c.doc_id != f.fd GROUP BY c.doc_id),
+            d AS (SELECT doc_id,
+                         CAST(octet_length(encode(text)) AS BIGINT)
+                           AS nb
+                  FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                    AND octet_length(encode(text)) > 0)
+            SELECT d.doc_id, d.nb AS n_before,
+                   CAST(coalesce(rm.removed, 0) AS BIGINT)
+                     AS n_removed,
+                   d.nb - CAST(coalesce(rm.removed, 0) AS BIGINT)
+                     AS n_after
+            FROM d LEFT JOIN rm USING (doc_id)
         """,
         # dup regions: HAVING>1 classes over the shared CDC replay
         "q320_dup_regions": f"""

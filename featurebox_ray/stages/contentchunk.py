@@ -353,3 +353,135 @@ def cdc_dup_regions(ds, *, id_col: str = "doc_id",
                            sort_keys=["chunk_hash", "length", id_col],
                            num_partitions=num_partitions,
                            strategy="tasks")
+
+
+def cdc_scrub(ds, *, id_col: str = "doc_id", text_col: str = "text",
+              window: int = 16, mask_bits: int = 8,
+              max_len: int = 4096, num_partitions: int = 16):
+    """Apply the keep-first removal plan — the end of the chunk-dedup
+    chain (chunk → rate → plan → SCRUB): excise every duplicate
+    region of every non-first document and report the exact byte
+    accounting per doc.  The scrub happens for real (UTF-8 byte
+    splicing on the kept ranges); ``n_after`` is measured from the
+    scrubbed bytes, so ``n_before − n_removed == n_after`` is an
+    internal invariant, not bookkeeping.
+
+    One doc-keyed tagged-union exchange (doc text tag 0, its plan
+    rows tag 1 from :func:`cdc_dup_regions`); the kernel splices each
+    doc's kept ranges vectorized over region boundaries (regions per
+    doc are few — predicate spacing).  Returns ``(id_col,
+    n_before:int64, n_removed:int64, n_after:int64)`` — one row per
+    non-empty doc.  Note: excising mid-string bytes can split UTF-8
+    sequences; the scrubbed text is kept internal here (counts out)
+    precisely because the byte-level contract is what chunk dedup
+    operates on.
+    Reference analog: none (the q301 scrub-then-prove shape for
+    chunk dedup)."""
+    from .partition import partitioned_map
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    if not pa.types.is_integer(base.field(id_col).type):
+        raise ValueError(
+            f"cdc_scrub: {id_col} must be an integer column")
+
+    regions = cdc_dup_regions(ds, id_col=id_col, text_col=text_col,
+                              window=window, mask_bits=mask_bits,
+                              max_len=max_len,
+                              num_partitions=num_partitions)
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.and_(pc.is_valid(b[id_col]),
+                                    pc.is_valid(b[text_col])), False)
+        if not pc.all(keep).as_py():
+            b = b.filter(keep)
+        return pa.table({
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            "__tag": pa.array(np.zeros(b.num_rows, np.int8)),
+            "text": b[text_col].combine_chunks().cast(pa.string()),
+            "start": pa.nulls(b.num_rows, pa.int64()),
+            "length": pa.nulls(b.num_rows, pa.int64()),
+            "first_doc": pa.nulls(b.num_rows, pa.int64())})
+
+    def tag_plan(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "__tag": pa.array(np.ones(b.num_rows, np.int8)),
+            "text": pa.nulls(b.num_rows, pa.string()),
+            "start": b["start"],
+            "length": b["length"],
+            "first_doc": b["first_doc"]})
+
+    unioned = (ds.map_batches(tag_docs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .union(regions.map_batches(
+                   tag_plan, batch_format="pyarrow",
+                   zero_copy_batch=True)))
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_before": pa.array([], pa.int64()),
+                      "n_removed": pa.array([], pa.int64()),
+                      "n_after": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return empty
+        did = t[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tag = t["__tag"].to_numpy(zero_copy_only=False)
+        new_doc = np.concatenate([[True], did[1:] != did[:-1]])
+        starts = np.flatnonzero(new_doc)
+        ends = np.append(starts[1:], len(did))
+        txt = t["text"].to_pylist()
+        st = pc.fill_null(t["start"], -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ln = pc.fill_null(t["length"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        fd = pc.fill_null(t["first_doc"], -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_id, out_b, out_r, out_a = [], [], [], []
+        for s0, e0 in zip(starts, ends):
+            if tag[s0] != 0:
+                # plan rows for a doc outside this input slice —
+                # contract: the doc row always co-locates (same key)
+                raise ValueError("cdc_scrub: plan rows without their "
+                                 "document row")
+            d = int(did[s0])
+            bs = txt[s0].encode("utf-8")
+            nb = len(bs)
+            if nb == 0:
+                continue
+            # removal ranges: plan rows of THIS doc where it is not
+            # the first-seen copy
+            sel = [(int(st[i]), int(ln[i]))
+                   for i in range(s0 + 1, e0)
+                   if tag[i] == 1 and fd[i] != d]
+            if sel:
+                keep_mask = np.ones(nb, bool)
+                for s1, l1 in sel:
+                    keep_mask[s1:s1 + l1] = False
+                kept = bytes(np.frombuffer(bs, np.uint8)[keep_mask])
+                removed = nb - len(kept)
+            else:
+                kept = bs
+                removed = 0
+            out_id.append(d)
+            out_b.append(nb)
+            out_r.append(removed)
+            out_a.append(len(kept))
+        if not out_id:
+            return empty
+        if any(b_ - r_ != a_ for b_, r_, a_ in
+               zip(out_b, out_r, out_a)):
+            raise AssertionError("cdc_scrub: byte accounting broke — "
+                                 "overlapping removal ranges?")
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "n_before": pa.array(out_b, pa.int64()),
+            "n_removed": pa.array(out_r, pa.int64()),
+            "n_after": pa.array(out_a, pa.int64())})
+
+    return partitioned_map(unioned, kernel, key=id_col,
+                           sort_keys=[id_col, "__tag", "start"],
+                           num_partitions=num_partitions,
+                           strategy="tasks")

@@ -137,3 +137,26 @@ def test_cdc_dup_regions_planted():
         if prev is not None:
             pd.testing.assert_frame_equal(got, prev)
         prev = got
+
+
+def test_cdc_scrub_planted_copy_removed_entirely():
+    """A verbatim copy scrubs down to ~0 bytes; the original and a
+    unique doc are untouched; accounting invariant holds."""
+    from featurebox_ray.stages.contentchunk import cdc_scrub
+
+    rng = np.random.default_rng(321)
+    base = "".join(chr(97 + int(c))
+                   for c in rng.integers(0, 26, 2500))
+    uniq = "".join(chr(97 + int(c))
+                   for c in rng.integers(0, 26, 2500))
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([base, uniq, base])})
+    got = (cdc_scrub(ray.data.from_arrow(t).repartition(3),
+                     mask_bits=6, max_len=400, num_partitions=3)
+           .to_pandas().set_index("doc_id"))
+    assert got.loc[0, "n_removed"] == 0
+    assert got.loc[1, "n_removed"] == 0
+    assert got.loc[2, "n_removed"] == len(base.encode())
+    assert got.loc[2, "n_after"] == 0
+    assert (got["n_before"] - got["n_removed"]
+            == got["n_after"]).all()
