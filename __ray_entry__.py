@@ -635,7 +635,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q319_leakage_audit": _leakage_audit_q,
         "q320_dup_regions": _dup_regions_q,
         "q321_scrub_dedup": _scrub_dedup_q,
+        "q322_group_completeness": _group_completeness_q,
     }
+
+
+def _group_completeness_q(sf_dir: str):
+    """q322: per-source column completeness matrix
+    (stages/profile.py:group_completeness) — (source, column) row
+    counts, missing counts (NULL or empty string), fill rate (one
+    division of exact ints); per-block partials + the shared Arrow
+    combine, no shuffle."""
+    import ray
+
+    from featurebox_ray.stages.profile import group_completeness
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "text", "lang", "n_chars"],
+        override_num_blocks=8)
+    return group_completeness(docs, group_col="source",
+                              cols=["text", "lang", "n_chars"])
 
 
 def _scrub_dedup_q(sf_dir: str):
@@ -9440,6 +9459,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id - doc_id % 40 AS BIGINT) AS component
             FROM documents
+        """,
+        # completeness matrix: one UNION-ALL branch per column, exact
+        # counts, one division
+        "q322_group_completeness": """
+            WITH m AS (
+              SELECT source, 'text' AS col,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) FILTER (text IS NULL OR text = '')
+                          AS BIGINT) AS n_missing
+              FROM documents GROUP BY source
+              UNION ALL
+              SELECT source, 'lang',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (lang IS NULL OR lang = '')
+                          AS BIGINT)
+              FROM documents GROUP BY source
+              UNION ALL
+              SELECT source, 'n_chars',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (n_chars IS NULL)
+                          AS BIGINT)
+              FROM documents GROUP BY source)
+            SELECT source, col, n, n_missing,
+                   CAST(n - n_missing AS DOUBLE) / CAST(n AS DOUBLE)
+                     AS fill_rate
+            FROM m
         """,
         # scrub accounting: per-doc removal sums over the shared CDC
         # replay fixture vs octet lengths (engine measures n_after

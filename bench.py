@@ -248,7 +248,7 @@ QUERY_NAMES = [
     "q284_compaction", "q285_schema_evolution", "q286_outlier_explain", "q287_adaptive_sessionize", "q288_qq_drift", "q290_gini", "q291_range_pruned_read", "q292_embed_diversity", "q293_l_diversity", "q294_mixed_language", "q295_release_gate", "q296_seasonal_backtest", "q297_split_contamination", "q298_new_vs_returning", "q299_double_charge", "q300_corpus_factory", "q301_redaction_audit", "q302_skew_report",
     # round-5 additions
     "q303_components", "q304_salted_join", "q305_rolling_extrema", "q306_provenance_read", "q307_impute_median", "q308_dialogue_profile", "q309_delta_contributors", "q310_salted_running_total", "q311_salted_time_window",
-    "q312_finalized_windows", "q313_coverage_curve", "q314_latency_profile", "q315_embedding_drift", "q318_event_spans", "q319_leakage_audit",
+    "q312_finalized_windows", "q313_coverage_curve", "q314_latency_profile", "q315_embedding_drift", "q318_event_spans", "q319_leakage_audit", "q322_group_completeness",
     # q316 stays out of the sweep: its fixture replay is a per-byte
     # python loop over the whole corpus (gate-only)
    

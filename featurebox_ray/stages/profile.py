@@ -1154,3 +1154,88 @@ def coverage_curve(ds, *, weight_col: str,
     return pa.table({"pct": pa.array(out_p, pa.int64()),
                      "n_rows": pa.array(out_n, pa.int64()),
                      "covered_weight": pa.array(out_cw, pa.int64())})
+
+
+def group_completeness(ds, *, group_col: str, cols,
+                       empty_string_is_missing: bool = True):
+    """Per-group column completeness matrix — for every
+    ``(group, column)`` cell: row count, missing count (NULL, plus
+    empty string when ``empty_string_is_missing``), and the fill
+    rate (one float64 division of exact ints): the per-source data-
+    quality table a 100-TB ingest review reads first, the grouped
+    sibling of :func:`profile_columns`.
+
+    Per-block dense partials (groups × |cols| int64 cells) combined
+    with the shared Arrow ``sum_partials`` — no shuffle.  NULL group
+    rows form their own group (SQL ``GROUP BY``).  Returns
+    ``(group_col, column:string, n:int64, n_missing:int64,
+    fill_rate:float64)``.
+    Reference analog: none (profiling family)."""
+    import ray
+
+    from .partition import materialized_block_refs, sum_partials
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("group_completeness: need at least one col")
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    gtype = base.field(group_col).type
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or group_col not in b.column_names:
+            return pa.table({"g": pa.array([], gtype),
+                             "col": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "miss": pa.array([], pa.int64())})
+        gd = pc.dictionary_encode(b[group_col].combine_chunks())
+        codes = (pc.fill_null(gd.indices, len(gd.dictionary))
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        n_g = len(gd.dictionary) + 1        # last slot = NULL group
+        cnt = np.bincount(codes, minlength=n_g).astype(np.int64)
+        gvals = pa.concat_arrays(
+            [gd.dictionary, pa.nulls(1, gd.dictionary.type)])
+        out_g, out_c, out_n, out_m = [], [], [], []
+        for c in cols:
+            col = b[c].combine_chunks()
+            missing = pc.is_null(col)
+            if empty_string_is_missing and (
+                    pa.types.is_string(col.type)
+                    or pa.types.is_large_string(col.type)):
+                missing = pc.or_(missing, pc.fill_null(
+                    pc.equal(col, ""), False))
+            mnp = np.asarray(missing)
+            mm = np.zeros(n_g, np.int64)
+            np.add.at(mm, codes, mnp.astype(np.int64))
+            out_g.append(gvals)
+            out_c.append(pa.array([c] * n_g, pa.string()))
+            out_n.append(pa.array(cnt))
+            out_m.append(pa.array(mm))
+        return pa.table({
+            "g": pa.concat_arrays(out_g),
+            "col": pa.concat_arrays(out_c),
+            "n": pa.concat_arrays(out_n),
+            "miss": pa.concat_arrays(out_m)})
+
+    pds = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    comb = sum_partials(ray.get(materialized_block_refs(pds)),
+                        keys=["g", "col"], vals=["n", "miss"])
+    empty = pa.table({group_col: pa.array([], gtype),
+                      "col": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "n_missing": pa.array([], pa.int64()),
+                      "fill_rate": pa.array([], pa.float64())})
+    if comb is None:
+        return empty
+    comb = comb.filter(pc.greater(comb["n"], 0))
+    n = comb["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = comb["miss"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        group_col: comb["g"].combine_chunks().cast(gtype),
+        "col": comb["col"].combine_chunks().cast(pa.string()),
+        "n": pa.array(n),
+        "n_missing": pa.array(m),
+        "fill_rate": pa.array((n - m).astype(np.float64)
+                              / n.astype(np.float64))})

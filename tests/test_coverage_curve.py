@@ -66,3 +66,55 @@ def test_coverage_curve_zero_total_raises():
     t = pa.table({"w": pa.array([0, 0, 0], pa.int64())})
     with pytest.raises(Exception, match="total weight is 0"):
         coverage_curve(ray.data.from_arrow(t), weight_col="w")
+
+
+def test_group_completeness_duckdb_fuzz():
+    """group_completeness vs a UNION-ALL SQL replay with NULL groups,
+    NULL/empty strings, and NULL ints, at 2 partitionings."""
+    from featurebox_ray.stages.profile import group_completeness
+
+    rng = np.random.default_rng(322)
+    n = 2000
+    t = pa.table({
+        "g": pa.array([None if x % 13 == 0 else f"s{x % 4}"
+                       for x in rng.integers(0, 10 ** 6, n)],
+                      pa.string()),
+        "a": pa.array([None if x % 7 == 0 else
+                       ("" if x % 5 == 0 else f"v{x}")
+                       for x in rng.integers(0, 10 ** 6, n)],
+                      pa.string()),
+        "b": pa.array([None if x % 3 == 0 else int(x)
+                       for x in rng.integers(0, 10 ** 6, n)],
+                      pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql("""
+        WITH m AS (
+          SELECT g, 'a' AS col, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (a IS NULL OR a = '')
+                      AS BIGINT) AS n_missing
+          FROM t GROUP BY g
+          UNION ALL
+          SELECT g, 'b', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (b IS NULL) AS BIGINT)
+          FROM t GROUP BY g)
+        SELECT g, col, n, n_missing,
+               CAST(n - n_missing AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS fill_rate
+        FROM m ORDER BY g NULLS LAST, col
+    """).df().reset_index(drop=True)
+    prev = None
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (group_completeness(ds, group_col="g", cols=["a", "b"])
+               .to_pandas()
+               .sort_values(["g", "col"], na_position="last")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype(exp.dtypes.to_dict()), exp)
+        if prev is not None:
+            assert got.equals(prev)
+        prev = got
